@@ -1,0 +1,771 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ip.IpKit
+import graft.operators.{Dedup, LpmJoin, MergeOps, Similarity, TimeAgg}
+import graft.operators.MergeOps.MergePolicy
+import graft.views.BmpViews
+
+/** The driver-facing query inventory: each entry exercises one operator
+  * family from SURVEY.md §2 (or an LLM-pipeline extension) against the
+  * neutral parquet testdata, with a value-identical DuckDB oracle.
+  *
+  * Determinism rules used throughout so Spark and DuckDB hash-match:
+  *  - money/metric sums go through Decimal(18,2) (exact) and are cast to
+  *    double only at the end; averages divide an exact sum by an exact
+  *    count in double (one identical fp op on both engines);
+  *  - time buckets are pure integer arithmetic on epoch microseconds
+  *    (events.ts is parquet INT64-nanos, read via nanosAsLong);
+  *  - every result has a total deterministic ORDER BY.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts_us` (epoch micros, exact) added. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** DuckDB-side epoch-micros for events.ts (ns → us truncation matches
+    * Spark's `ts div 1000` on the raw int64).
+    */
+  private val EvUs = "epoch_us(ts::TIMESTAMP)"
+
+  // =====================================================================
+  // Relational core (SURVEY §2.4 joins, §2.5 aggregations)
+  // =====================================================================
+
+  val q01PricingAgg = Q(
+    "q01_pricing_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q02RoutesJoin = Q(
+    "q02_j1_routes_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        COUNT(*) AS n_lines
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  val q03LeftEnrich = Q(
+    "q03_j2_left_enrich",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("tot"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"), col("c_name"),
+          coalesce(col("cnt"), lit(0L)).as("order_cnt"),
+          coalesce(col("tot").cast("double"), lit(0.0)).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+        COALESCE(cnt, 0) AS order_cnt,
+        COALESCE(CAST(tot AS DOUBLE), 0.0) AS total_spent
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+      ORDER BY c_custkey"""))
+
+  val q04DualDim = Q(
+    "q04_j4_dual_dim_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // =====================================================================
+  // LPM + covering-prefix joins (J5/J6) on a synthetic 20-bit space
+  // =====================================================================
+
+  /** prefixes derived from `part`: (pstart, pend, len) in a 2^20 space. */
+  private def lpmPrefixes(s: SparkSession, dir: String): DataFrame = {
+    val step = pow(lit(2.0), lit(20) - col("len")).cast("long")
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        (lit(4) + col("p_size") % 13).as("len"),
+        (col("p_partkey") * 2654435761L % 1048576L).as("addr"))
+      .withColumn("pstart", (col("addr") - col("addr") % step))
+      .withColumn("pend", col("pstart") + step - 1)
+      .drop("addr")
+  }
+
+  val q05Lpm = Q(
+    "q05_j5_lpm",
+    (s, dir) => {
+      val probes = ev(s, dir).select(col("event_id"),
+        ((col("event_id") * 40503L + col("user_id") * 9973L) % 1048576L).as("probe"))
+      LpmJoin.lpmByExpansion(
+        probes, Seq("event_id"), "probe",
+        lpmPrefixes(s, dir), "pstart", "len", bits = 20,
+        tieBreak = Seq(col("p_partkey").asc))
+        .select(col("event_id"), col("probe"), col("len"), col("p_partkey"), col("pstart"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH pfx0 AS (
+        SELECT p_partkey, 4 + p_size % 13 AS len,
+               (p_partkey * 2654435761) % 1048576 AS addr
+        FROM part),
+      pfx AS (
+        SELECT p_partkey, len,
+               addr - addr % (1::BIGINT << (20 - len)) AS pstart,
+               addr - addr % (1::BIGINT << (20 - len)) + (1::BIGINT << (20 - len)) - 1 AS pend
+        FROM pfx0),
+      probes AS (
+        SELECT event_id, (event_id * 40503 + user_id * 9973) % 1048576 AS probe
+        FROM events)
+      SELECT event_id, probe, len, p_partkey, pstart
+      FROM probes JOIN pfx ON probe BETWEEN pstart AND pend
+      QUALIFY row_number() OVER (PARTITION BY event_id
+        ORDER BY len DESC, pstart DESC, p_partkey ASC) = 1
+      ORDER BY event_id"""))
+
+  val q06Covering = Q(
+    "q06_j6_covering_join",
+    (s, dir) => {
+      val roaStart = (col("s_suppkey") * 97L % 64L) * 16384L
+      val roas = t(s, dir, "supplier").select(
+        roaStart.as("rstart"),
+        (roaStart + lit(16384L) * (lit(1) + col("s_suppkey") % 4L) - 1).as("rend"),
+        (lit(8) + col("s_suppkey") % 8L).as("maxlen"))
+      val step = pow(lit(2.0), lit(20) - col("len")).cast("long")
+      val ribs = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (lit(6) + col("o_orderkey") % 10L).as("len"),
+          (col("o_orderkey") * 7741L % 1048576L).as("addr"))
+        .withColumn("rib_start", col("addr") - col("addr") % step)
+        .withColumn("rib_end", col("rib_start") + step - 1)
+      val matched = LpmJoin.coveringJoin(
+        ribs, "rib_start", "rib_end", "len", roas, "rstart", "rend", "maxlen")
+        .select(col("o_orderkey")).distinct()
+        .withColumn("st", lit("valid"))
+      ribs.join(matched, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("st"), lit("unknown")).as("rpki_status"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH roas AS (
+        SELECT (s_suppkey * 97 % 64) * 16384 AS rstart,
+               (s_suppkey * 97 % 64) * 16384 + 16384 * (1 + s_suppkey % 4) - 1 AS rend,
+               8 + s_suppkey % 8 AS maxlen
+        FROM supplier),
+      ribs0 AS (
+        SELECT o_orderkey, 6 + o_orderkey % 10 AS len,
+               (o_orderkey * 7741) % 1048576 AS addr
+        FROM orders),
+      ribs AS (
+        SELECT o_orderkey, len,
+               addr - addr % (1::BIGINT << (20 - len)) AS rib_start,
+               addr - addr % (1::BIGINT << (20 - len)) + (1::BIGINT << (20 - len)) - 1 AS rib_end
+        FROM ribs0)
+      SELECT o_orderkey,
+        CASE WHEN EXISTS (SELECT 1 FROM roas r
+          WHERE ribs.rib_start >= r.rstart AND ribs.rib_end <= r.rend
+            AND ribs.len <= r.maxlen)
+        THEN 'valid' ELSE 'unknown' END AS rpki_status
+      FROM ribs ORDER BY o_orderkey"""))
+
+  val q07EnrichOverwrite = Q(
+    "q07_j7_enrich_overwrite",
+    (s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(when(col("c_acctbal") > 0, col("c_name")), lit("unknown"))
+            .as("enriched_name"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+        COALESCE(CASE WHEN c_acctbal > 0 THEN c_name END, 'unknown') AS enriched_name,
+        o_orderstatus
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""))
+
+  val q08Anti = Q(
+    "q08_j8_anti_join",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val hot = t(s, dir, "lineitem").filter(col("l_quantity") > 49.5)
+        .select(col("l_partkey"))
+      p.join(hot, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey, p_name FROM part
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49.5)
+      ORDER BY p_partkey"""))
+
+  // =====================================================================
+  // Merge / CDC / dedup semantics (§2.2, §2.3, §2.6) over the event log
+  // =====================================================================
+
+  val q09Latest = Q(
+    "q09_w1_latest_per_key",
+    (s, dir) =>
+      MergeOps.dedupToLatest(ev(s, dir), Seq("user_id"), Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id"),
+    Some(s"""
+      SELECT user_id, $EvUs AS ts_us, event_id, event_type, value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY $EvUs DESC, event_id DESC) = 1
+      ORDER BY user_id"""))
+
+  val q10First = Q(
+    "q10_m2_insert_ignore",
+    (s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      val current = e.limit(0)
+      MergeOps.insertIgnore(current, e, Seq("user_id"), Seq("ts_us", "event_id"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id, $EvUs AS ts_us, event_id, event_type
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY $EvUs ASC, event_id ASC) = 1
+      ORDER BY user_id"""))
+
+  val q11MergeRetain = Q(
+    "q11_m1_merge_retain_on_withdraw",
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("isw", col("event_type") === "error")
+      val policy = MergePolicy(
+        keys = Seq("user_id"), withdrawnCol = "isw",
+        orderBy = Seq("ts_us", "event_id"),
+        retainOnWithdraw = Seq("value", "props"),
+        alwaysUpdate = Seq("ts_us", "event_id"))
+      MergeOps.applyOrdered(e, policy)
+        .select(col("user_id"), col("ts_us").as("last_ts_us"),
+          col("event_id").as("last_event_id"), col("isw").as("is_withdrawn"),
+          col("value").as("retained_value"), col("props").as("retained_props"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, $EvUs AS ts_us, event_type, value, props
+                 FROM events),
+      last_all AS (
+        SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+               (event_type = 'error') AS is_withdrawn
+        FROM e QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us DESC, event_id DESC) = 1),
+      last_adv AS (
+        SELECT user_id, value AS retained_value, props AS retained_props
+        FROM e WHERE event_type <> 'error'
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us DESC, event_id DESC) = 1)
+      SELECT user_id, last_ts_us, last_event_id, is_withdrawn,
+             retained_value, retained_props
+      FROM last_all LEFT JOIN last_adv USING (user_id)
+      ORDER BY user_id"""))
+
+  val q12Cdc = Q(
+    "q12_t1_cdc_changes",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull && col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_id"), col("prev_type"), col("event_type"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY $EvUs, event_id) AS prev_type
+        FROM events)
+      SELECT user_id, event_id, prev_type, event_type
+      FROM e WHERE prev_type IS NOT NULL AND prev_type <> event_type
+      ORDER BY event_id"""))
+
+  val q13Purge = Q(
+    "q13_t9_stale_purge",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val th = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(max(col("ts_us")).as("th_ts"))
+      MergeOps.purgeStale(e, "user_id", "ts_us", th, "user_id", "th_ts")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("kept"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, $EvUs AS ts_us, event_type FROM events),
+      th AS (SELECT user_id, MAX(ts_us) AS th_ts FROM e
+             WHERE event_type = 'signup' GROUP BY user_id)
+      SELECT e.user_id, COUNT(*) AS kept
+      FROM e LEFT JOIN th ON e.user_id = th.user_id
+      WHERE th.th_ts IS NULL OR e.ts_us >= th.th_ts
+      GROUP BY e.user_id ORDER BY e.user_id"""))
+
+  // =====================================================================
+  // Windowed aggregations (§2.5)
+  // =====================================================================
+
+  val q14ChgStats = Q(
+    "q14_a1_chg_stats_1min",
+    (s, dir) =>
+      TimeAgg.chgStats(ev(s, dir), "ts_us", 60, col("event_type") === "error",
+        Seq("user_id"))
+        .orderBy("bucket", "user_id"),
+    Some(s"""
+      SELECT ($EvUs // 60000000) * 60 AS bucket, user_id,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS withdraws,
+        COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS updates
+      FROM events GROUP BY bucket, user_id ORDER BY bucket, user_id"""))
+
+  val q15ChgStats2m = Q(
+    "q15_a3_chg_stats_2min",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(TimeAgg.timeBucketSec(col("ts_us"), 120).as("bucket"),
+          col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("bucket", "user_id", "event_type"),
+    Some(s"""
+      SELECT ($EvUs // 120000000) * 120 AS bucket, user_id, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY bucket, user_id, event_type
+      ORDER BY bucket, user_id, event_type"""))
+
+  val q16GlobalState = Q(
+    "q16_a4_global_rib_rollup",
+    (s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("peer", col("event_id") % 7L)
+        .withColumn("wd", col("value") < 50)
+      TimeAgg.globalRib(e, Seq("user_id"), "peer", "wd", "ts_us")
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id % 7 AS peer, (value < 50) AS wd,
+                        $EvUs AS ts_us FROM events)
+      SELECT user_id,
+        COUNT(DISTINCT peer) AS num_peers,
+        COUNT(DISTINCT CASE WHEN NOT wd THEN peer END) AS advertising_peers,
+        COUNT(DISTINCT CASE WHEN wd THEN peer END) AS withdrawn_peers,
+        bool_and(wd) AS iswithdrawn,
+        MAX(ts_us) AS last_ts, MIN(ts_us) AS first_ts
+      FROM e GROUP BY user_id ORDER BY user_id"""))
+
+  val q17Hourly = Q(
+    "q17_a6_hourly_profile",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(TimeAgg.timeBucketSec(col("ts_us"), 3600).as("bucket"),
+          col("event_type"))
+        .agg(
+          sum(when(col("value") < 50, 1).otherwise(0)).as("n_small"),
+          sum(when(col("value") >= 50 && col("value") < 150, 1).otherwise(0)).as("n_mid"),
+          sum(when(col("value") >= 150, 1).otherwise(0)).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket", "event_type"),
+    Some(s"""
+      SELECT ($EvUs // 3600000000) * 3600 AS bucket, event_type,
+        CAST(SUM(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        CAST(SUM(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+        CAST(SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        COUNT(*) AS n
+      FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type"""))
+
+  val q18AggOfAgg = Q(
+    "q18_a8_agg_of_agg",
+    (s, dir) => {
+      val perMin = TimeAgg.chgStats(ev(s, dir), "ts_us", 60,
+        col("event_type") === "error", Seq("user_id"))
+      TimeAgg.aggOfAgg(perMin, Seq("user_id"), Seq("updates", "withdraws"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH per_min AS (
+        SELECT ($EvUs // 60000000) * 60 AS bucket, user_id,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS withdraws,
+          COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS updates
+        FROM events GROUP BY bucket, user_id)
+      SELECT user_id,
+        CAST(SUM(updates) AS DOUBLE) / COUNT(*) AS avg_updates,
+        MIN(updates) AS min_updates, MAX(updates) AS max_updates,
+        CAST(SUM(withdraws) AS DOUBLE) / COUNT(*) AS avg_withdraws,
+        MIN(withdraws) AS min_withdraws, MAX(withdraws) AS max_withdraws
+      FROM per_min GROUP BY user_id ORDER BY user_id"""))
+
+  val q19TopN = Q(
+    "q19_w3_topn",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""))
+
+  // =====================================================================
+  // Scalar function suite (§2.7) — inet helpers on synthetic addresses
+  // =====================================================================
+
+  val q20Scalars = Q(
+    "q20_f_scalar_suite",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("ip",
+          when(col("c_custkey") % 2 === 0,
+            format_string("10.%d.%d.%d/%d",
+              col("c_custkey") % 223L, (col("c_custkey") * 7) % 256L,
+              (col("c_custkey") * 13) % 256L, lit(8) + col("c_custkey") % 25L))
+            .otherwise(format_string("2001:db8::%x/%d",
+              col("c_custkey") % 65536L, lit(32) + col("c_custkey") % 97L)))
+        .withColumn("blanked_name",
+          when(col("c_custkey") % 10 === 0, lit("")).otherwise(col("c_name")))
+      c.select(
+        col("c_custkey"),
+        col("ip"),
+        IpKit.inetHost(col("ip")).as("host"),
+        IpKit.inetFamily(col("ip")).as("family"),
+        IpKit.inetMaskLen(col("ip")).as("masklen"),
+        BmpViews.nameOrHost(col("blanked_name"), col("ip")).as("name_or_host"),
+        substring(col("c_name"), 1, 8).as("short_name"),
+        regexp_replace(col("c_name"), "[#\\s]", "").as("squashed"),
+        upper(col("c_name")).as("upper_name"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey, c_name,
+          CASE WHEN c_custkey % 2 = 0
+            THEN printf('10.%d.%d.%d/%d', c_custkey % 223, (c_custkey * 7) % 256,
+                        (c_custkey * 13) % 256, 8 + c_custkey % 25)
+            ELSE printf('2001:db8::%x/%d', c_custkey % 65536, 32 + c_custkey % 97)
+          END AS ip,
+          CASE WHEN c_custkey % 10 = 0 THEN '' ELSE c_name END AS blanked_name
+        FROM customer)
+      SELECT c_custkey, ip,
+        regexp_extract(ip, '^([^/]+)', 1) AS host,
+        CASE WHEN contains(ip, ':') THEN 6 ELSE 4 END AS family,
+        CAST(regexp_extract(ip, '/(\d+)$', 1) AS INTEGER) AS masklen,
+        CASE WHEN length(blanked_name) > 0 THEN blanked_name
+             ELSE regexp_extract(ip, '^([^/]+)', 1) END AS name_or_host,
+        substring(c_name, 1, 8) AS short_name,
+        regexp_replace(c_name, '[#\s]', '', 'g') AS squashed,
+        upper(c_name) AS upper_name
+      FROM c ORDER BY c_custkey"""))
+
+  val q21Tsv = Q(
+    "q21_s2_tsv_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val e = ev(s, dir)
+      val lines = e.select(col("event_id"),
+        concat_ws("\t",
+          col("event_id").cast("string"),
+          col("event_type"),
+          when(col("value") < 50, lit("")).otherwise(col("event_id").cast("string")),
+          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .as("line"))
+      val schema = StructType(Seq(
+        StructField("f_id", StringType), StructField("f_type", StringType),
+        StructField("f_opt", StringType), StructField("f_ts", StringType)))
+      graft.model.Messages.parseTsv(lines, "line", schema)
+        .select(col("event_id"),
+          col("f_type").as("parsed_type"),
+          graft.model.Messages.longEmptyAsZero(col("f_opt")).as("opt_long"),
+          unix_micros(graft.model.Messages.parseTs(col("f_ts"))).as("parsed_ts_us"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      SELECT event_id, event_type AS parsed_type,
+        CASE WHEN value < 50 THEN 0 ELSE event_id END AS opt_long,
+        $EvUs AS parsed_ts_us
+      FROM events ORDER BY event_id"""))
+
+  // =====================================================================
+  // LLM-pipeline: dedup / text analysis / similarity
+  // =====================================================================
+
+  val q22ExactDedup = Q(
+    "q22_dd_exact_dedup",
+    (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), md5(col("text")), "doc_id")
+        .orderBy("content_hash"),
+    Some("""
+      SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+             MIN(doc_id) AS keeper_id
+      FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+
+  val q23NgramJaccard = Q(
+    "q23_dd_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 4, 0) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+4], ' ')))
+            AS sh
+        FROM documents),
+      shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id)
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM cand JOIN shn a ON cand.id_a = a.doc_id
+                JOIN shn b ON cand.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  val q24TextStats = Q(
+    "q24_tx_token_stats",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFns.subwordCount(col("text")).cast("long").as("n_subwords"),
+        size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("n_distinct"),
+        TextFns.typeTokenRatio(col("text")).as("ttr"),
+        TextFns.avgTokenLen(col("text")).as("avg_tok_len"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            t -> len(t) > 0)) AS n_subwords,
+        len(list_distinct(toks)) AS n_distinct,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+          AS avg_tok_len,
+        length(text) AS n_chars_calc
+      FROM d ORDER BY doc_id"""))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val q25Quality = Q(
+    "q25_tx_quality_score",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFns.stopwordRatio(col("text"), Stopwords).as("stopword_ratio"),
+        TextFns.qualityScore(col("text"), Stopwords).as("quality"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      f AS (SELECT doc_id, text, toks,
+        CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))
+          AS DOUBLE) / len(toks) AS swr,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d)
+      SELECT doc_id, swr AS stopword_ratio,
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+          + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3 AS quality
+      FROM f ORDER BY doc_id"""))
+
+  val q26LangId = Q(
+    "q26_tx_lang_id",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFns.markerHits(col("text"), TextFns.EnMarkers).cast("long").as("en_hits"),
+        TextFns.markerHits(col("text"), TextFns.EsMarkers).cast("long").as("es_hits"),
+        TextFns.markerHits(col("text"), TextFns.DeMarkers).cast("long").as("de_hits"),
+        TextFns.markerHits(col("text"), TextFns.FrMarkers).cast("long").as("fr_hits"),
+        TextFns.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      h AS (SELECT doc_id,
+        len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is'))) AS en_hits,
+        len(list_filter(toks, t -> t IN ('el','la','de','los','las','que','y'))) AS es_hits,
+        len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS de_hits,
+        len(list_filter(toks, t -> t IN ('le','la','les','des','et','est'))) AS fr_hits
+        FROM d)
+      SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+             WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+             WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+             WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+             ELSE 'fr' END AS pred_lang
+      FROM h ORDER BY doc_id"""))
+
+  val q27Fingerprint = Q(
+    "q27_tx_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+        list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+          t -> CAST(ascii(t) + ascii(t[-1]) + len(t) AS BIGINT)) AS vals
+        FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
+      FROM d ORDER BY doc_id"""))
+
+  val q28CosineTopK = Q(
+    "q28_ann_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        FROM q JOIN c ON query_id <> neighbor_id)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank,
+        neighbor_id, round(cos, 6) AS cos_r
+      FROM scored
+      QUALIFY rank <= 3
+      ORDER BY query_id, rank"""))
+
+  // rows-only entries (no SQL-expressible oracle): LSH internals use
+  // engine-specific hashing; the driver records a rows>0 check.
+  val q29MinHash = Q(
+    "q29_dd_minhash_lsh",
+    (s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+    None)
+
+  val q30SimHash = Q(
+    "q30_dd_simhash",
+    (s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 28)
+        .orderBy("id_a", "id_b"),
+    None)
+
+  val q31LshAnn = Q(
+    "q31_ann_lsh_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshCosineTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, dim = 64, planes = 6)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** All queries, in gate order. */
+  val all: Seq[Q] = Seq(
+    q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
+    q05Lpm, q06Covering, q07EnrichOverwrite, q08Anti,
+    q09Latest, q10First, q11MergeRetain, q12Cdc, q13Purge,
+    q14ChgStats, q15ChgStats2m, q16GlobalState, q17Hourly, q18AggOfAgg,
+    q19TopN, q20Scalars, q21Tsv,
+    q22ExactDedup, q23NgramJaccard, q24TextStats, q25Quality, q26LangId,
+    q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn)
+}

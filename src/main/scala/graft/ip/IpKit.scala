@@ -1,0 +1,122 @@
+package graft.ip
+
+import java.math.BigInteger
+import java.net.{Inet4Address, InetAddress}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Inet toolkit — the numeric canonical form for IP prefixes/addresses.
+  *
+  * The reference stores addresses as Postgres `inet` and relies on GiST
+  * `inet_ops` for containment (`&&`, `>>=`) — see
+  * `/root/reference/database/1_base.sql:66-81` (find_geo_ip LPM) and
+  * `/root/reference/database/2_aggregations.sql:260-265` (RPKI covering
+  * prefix). Spark has no inet type, so the engine canonicalizes every
+  * address/prefix to `(family, start, end, len)` where start/end are
+  * Decimal(39,0) big-endian numeric values (IPv6 needs 128 bits — never
+  * a Long). Containment and LPM become range predicates that Catalyst
+  * can plan as broadcast range joins; see [[graft.operators.LpmJoin]].
+  *
+  * String-level helpers (`host`, `family`) are pure built-in column
+  * expressions (codegen'd); only the string→numeric conversion needs a
+  * UDF (promoted to a Catalyst Expression only if bench demands —
+  * SURVEY.md §7.3).
+  */
+object IpKit {
+
+  /** Numeric value of an IP address string (IPv4 or IPv6), as an
+    * unsigned big-endian integer. IPv4 → 0..2^32-1, IPv6 → 0..2^128-1.
+    */
+  def ipToBigInt(ip: String): BigInteger = {
+    val addr = InetAddress.getByName(ip.trim)
+    new BigInteger(1, addr.getAddress)
+  }
+
+  def isIpv4(ip: String): Boolean =
+    InetAddress.getByName(ip.trim).isInstanceOf[Inet4Address]
+
+  /** (family, start, end) of a prefix "addr/len" (len optional → host). */
+  def prefixRange(prefix: String): (Int, BigInteger, BigInteger) = {
+    val (addrStr, lenOpt) = prefix.indexOf('/') match {
+      case -1 => (prefix, None)
+      case i  => (prefix.substring(0, i), Some(prefix.substring(i + 1).toInt))
+    }
+    val addr    = InetAddress.getByName(addrStr.trim)
+    val bits    = if (addr.isInstanceOf[Inet4Address]) 32 else 128
+    val len     = lenOpt.getOrElse(bits)
+    val value   = new BigInteger(1, addr.getAddress)
+    val hostLen = bits - len
+    val start   = value.shiftRight(hostLen).shiftLeft(hostLen)
+    val end     = start.add(BigInteger.ONE.shiftLeft(hostLen)).subtract(BigInteger.ONE)
+    (if (bits == 32) 4 else 6, start, end)
+  }
+
+  /** 32/128-char bit string of an address — parity with the reference's
+    * `IpAddr.getIpBits` (`src/main/java/org/openbmp/helpers/IpAddr.java`,
+    * asserted in `ConsumerRunnableAppTest.java:34-38`).
+    */
+  def ipToBits(ip: String): String = {
+    val addr  = InetAddress.getByName(ip.trim)
+    val bytes = addr.getAddress
+    bytes.map(b => String.format("%8s", Integer.toBinaryString(b & 0xff)).replace(' ', '0')).mkString
+  }
+
+  // ---- column-level API ----------------------------------------------
+  //
+  // Numeric form = fixed-length big-endian bytes (4 for v4, 16 for v6):
+  // Spark compares BinaryType lexicographically on unsigned bytes, which
+  // for fixed equal lengths IS unsigned numeric order — and unlike
+  // Decimal (max precision 38 < 2^128-1) it holds full IPv6 range.
+  // Families never compare against each other (ip_family splits them).
+
+  private def toFixedBytes(b: BigInteger, len: Int): Array[Byte] = {
+    val raw = b.toByteArray.dropWhile(_ == 0)
+    val out = new Array[Byte](len)
+    System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+    out
+  }
+
+  private def addrLen(ip: String): Int = if (ip.contains(":")) 16 else 4
+
+  val ipNumUdf = udf((ip: String) =>
+    if (ip == null || ip.isEmpty) null
+    else toFixedBytes(ipToBigInt(ip), addrLen(ip)))
+
+  val prefixStartUdf = udf((p: String) =>
+    if (p == null || p.isEmpty) null
+    else toFixedBytes(prefixRange(p)._2, addrLen(p)))
+
+  val prefixEndUdf = udf((p: String) =>
+    if (p == null || p.isEmpty) null
+    else toFixedBytes(prefixRange(p)._3, addrLen(p)))
+
+  val ipBitsUdf = udf((ip: String) =>
+    if (ip == null || ip.isEmpty) null else ipToBits(ip))
+
+  /** `host(inet)` — strip the mask (`8_views.sql:11,13,33-34,76`). */
+  def inetHost(c: Column): Column = regexp_extract(c, "^([^/]+)", 1)
+
+  /** `family(inet)` → 4|6 (`2_aggregations.sql:371-376`). */
+  def inetFamily(c: Column): Column = when(c.contains(":"), lit(6)).otherwise(lit(4))
+
+  /** mask length of "addr/len", default by family. */
+  def inetMaskLen(c: Column): Column =
+    when(c.contains("/"), regexp_extract(c, "/(\\d+)$", 1).cast(IntegerType))
+      .otherwise(when(c.contains(":"), lit(128)).otherwise(lit(32)))
+
+  /** numeric [start,end] containment: does prefix (s1,e1) contain (s2,e2). */
+  def rangeContains(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+    s1 <= s2 && e1 >= e2
+
+  /** Derive (ip_start, ip_end, ip_family, ip_len) columns from a prefix
+    * string column — the canonical enrichment applied at ingest so that
+    * downstream joins never touch strings.
+    */
+  def withPrefixRange(df: org.apache.spark.sql.DataFrame, prefixCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("ip_start", prefixStartUdf(col(prefixCol)))
+      .withColumn("ip_end", prefixEndUdf(col(prefixCol)))
+      .withColumn("ip_family", inetFamily(col(prefixCol)))
+      .withColumn("ip_len", inetMaskLen(col(prefixCol)))
+}

@@ -1,0 +1,233 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OpenBMP parsed-message model — one schema per bus topic, with the
+  * TSV envelope parsing and cell coercions of the reference consumer
+  * (SURVEY.md §1.3, §2.1 S2/S3).
+  *
+  * Field sets mirror what the reference Query classes serialize
+  * (`/root/reference/src/main/java/org/openbmp/psqlquery/
+  * UnicastPrefixQuery.java:49-97`, `BaseAttributeQuery.java:42-77`,
+  * `PeerQuery.java:42-106`, `RouterQuery.java:42-78`,
+  * `CollectorQuery.java:33-52`, `BmpStatQuery.java:28-53`,
+  * `L3VpnPrefixQuery.java:47-91`).
+  *
+  * Coercions (`processor/ParseNullAsEmpty.java`, `ParseLongEmptyAsZero
+  * .java`, `ParseTimestamp.java`): null string → "", empty numeric → 0,
+  * timestamps `yyyy-MM-dd HH:mm:ss[.SSSSSS]` UTC.
+  */
+object Messages {
+
+  val TsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  // ---- schemas (TSV column order = serialization order) --------------
+
+  val unicastPrefixSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("peer_hash_id", StringType),
+    StructField("base_attr_hash_id", StringType),
+    StructField("isIPv4", StringType),
+    StructField("origin_as", StringType),
+    StructField("prefix", StringType),
+    StructField("prefix_len", StringType),
+    StructField("timestamp", StringType),
+    StructField("isWithdrawn", StringType),
+    StructField("path_id", StringType),
+    StructField("labels", StringType),
+    StructField("isPrePolicy", StringType),
+    StructField("isAdjRibIn", StringType)))
+
+  val baseAttributeSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("peer_hash_id", StringType),
+    StructField("origin", StringType),
+    StructField("as_path", StringType),
+    StructField("origin_as", StringType),
+    StructField("next_hop", StringType),
+    StructField("med", StringType),
+    StructField("local_pref", StringType),
+    StructField("isAtomicAgg", StringType),
+    StructField("aggregator", StringType),
+    StructField("community_list", StringType),
+    StructField("ext_community_list", StringType),
+    StructField("large_community_list", StringType),
+    StructField("cluster_list", StringType),
+    StructField("originator_id", StringType),
+    StructField("as_path_count", StringType),
+    StructField("nexthop_isIPv4", StringType),
+    StructField("timestamp", StringType)))
+
+  val peerSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("router_hash_id", StringType),
+    StructField("peer_rd", StringType),
+    StructField("isIPv4", StringType),
+    StructField("peer_addr", StringType),
+    StructField("name", StringType),
+    StructField("peer_bgp_id", StringType),
+    StructField("peer_as", StringType),
+    StructField("action", StringType),
+    StructField("isL3VPNpeer", StringType),
+    StructField("timestamp", StringType),
+    StructField("isPrePolicy", StringType),
+    StructField("local_ip", StringType),
+    StructField("local_bgp_id", StringType),
+    StructField("local_port", StringType),
+    StructField("local_hold_time", StringType),
+    StructField("local_asn", StringType),
+    StructField("remote_port", StringType),
+    StructField("remote_hold_time", StringType),
+    StructField("sent_capabilities", StringType),
+    StructField("recv_capabilities", StringType),
+    StructField("bmp_reason", StringType),
+    StructField("bgp_err_code", StringType),
+    StructField("bgp_err_subcode", StringType),
+    StructField("error_text", StringType),
+    StructField("isLocRib", StringType),
+    StructField("isLocRibFiltered", StringType),
+    StructField("table_name", StringType)))
+
+  val routerSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("name", StringType),
+    StructField("ip_address", StringType),
+    StructField("timestamp", StringType),
+    StructField("action", StringType),
+    StructField("term_code", StringType),
+    StructField("term_reason", StringType),
+    StructField("term_data", StringType),
+    StructField("init_data", StringType),
+    StructField("description", StringType),
+    StructField("bgp_id", StringType),
+    StructField("collector_hash_id", StringType)))
+
+  val collectorSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("action", StringType),
+    StructField("admin_id", StringType),
+    StructField("routers", StringType),
+    StructField("router_count", StringType),
+    StructField("timestamp", StringType)))
+
+  val bmpStatSchema: StructType = StructType(Seq(
+    StructField("peer_hash_id", StringType),
+    StructField("timestamp", StringType),
+    StructField("prefixes_rejected", StringType),
+    StructField("known_dup_prefixes", StringType),
+    StructField("known_dup_withdraws", StringType),
+    StructField("invalid_cluster_list", StringType),
+    StructField("invalid_as_path", StringType),
+    StructField("invalid_originator", StringType),
+    StructField("invalid_as_confed", StringType),
+    StructField("routes_adj_rib_in", StringType),
+    StructField("routes_loc_rib", StringType)))
+
+  // ---- envelope parse + coercions ------------------------------------
+
+  /** S2: parse a raw TSV `line` column into typed fields (all-string
+    * schema first; coercions applied per target type below).
+    */
+  def parseTsv(df: DataFrame, lineCol: String, schema: StructType): DataFrame = {
+    val parsed = df.withColumn("__p",
+      from_csv(col(lineCol), schema, Map("sep" -> "\t", "quote" -> "")))
+    schema.fields.foldLeft(parsed)((d, f) => d.withColumn(f.name, col(s"__p.${f.name}")))
+      .drop("__p")
+  }
+
+  /** S3 coercions — the ParseNullAsEmpty / ParseLongEmptyAsZero /
+    * ParseTimestamp processors as column transforms.
+    */
+  def nullAsEmpty(c: Column): Column = coalesce(c, lit(""))
+  def longEmptyAsZero(c: Column): Column =
+    coalesce(nullif(trim(c), lit("")).cast(LongType), lit(0L))
+  def parseTs(c: Column): Column =
+    coalesce(
+      to_timestamp(c, TsFormat),
+      to_timestamp(c, "yyyy-MM-dd HH:mm:ss"))
+  def boolCell(c: Column): Column =
+    trim(lower(c)).isin("1", "true", "t")
+
+  /** Space-delimited numeric array (`PsqlFunctions.java:65-91`). */
+  def longArray(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(LongType)))
+      .otherwise(transform(split(trim(c), " +"), s => s.cast(LongType)))
+
+  /** Space-delimited string array (community lists, `PsqlFunctions.java:154-205`). */
+  def strArray(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), " +"))
+
+  /** Typed unicast_prefix records from raw TSV lines: applies the
+    * coercions and the reference's `prefix_len > 128` drop
+    * (`UnicastPrefixQuery.java:50-51`), plus epoch-micros `ts_us` for
+    * the numeric time path.
+    */
+  def unicastPrefixFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    parseTsv(raw, lineCol, unicastPrefixSchema)
+      .withColumn("isIPv4", boolCell(col("isIPv4")))
+      .withColumn("origin_as", longEmptyAsZero(col("origin_as")))
+      .withColumn("prefix_len", longEmptyAsZero(col("prefix_len")).cast(IntegerType))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+      .withColumn("isWithdrawn", boolCell(col("isWithdrawn")))
+      .withColumn("path_id", longEmptyAsZero(col("path_id")))
+      .withColumn("labels", nullAsEmpty(col("labels")))
+      .withColumn("isPrePolicy", boolCell(col("isPrePolicy")))
+      .withColumn("isAdjRibIn", boolCell(col("isAdjRibIn")))
+      .filter(col("prefix_len") <= 128)
+
+  def baseAttributeFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    parseTsv(raw, lineCol, baseAttributeSchema)
+      .withColumn("as_path", longArray(col("as_path")))
+      .withColumn("origin_as", longEmptyAsZero(col("origin_as")))
+      .withColumn("med", longEmptyAsZero(col("med")))
+      .withColumn("local_pref", longEmptyAsZero(col("local_pref")))
+      .withColumn("isAtomicAgg", boolCell(col("isAtomicAgg")))
+      .withColumn("community_list", strArray(col("community_list")))
+      .withColumn("ext_community_list", strArray(col("ext_community_list")))
+      .withColumn("large_community_list", strArray(col("large_community_list")))
+      .withColumn("cluster_list", strArray(col("cluster_list")))
+      .withColumn("as_path_count", longEmptyAsZero(col("as_path_count")).cast(IntegerType))
+      .withColumn("nexthop_isIPv4", boolCell(col("nexthop_isIPv4")))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+
+  def peerFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    parseTsv(raw, lineCol, peerSchema)
+      .withColumn("isIPv4", boolCell(col("isIPv4")))
+      .withColumn("peer_as", longEmptyAsZero(col("peer_as")))
+      // action first/up → state 'up' else 'down' (PeerQuery.java:59-64)
+      .withColumn("state", when(col("action").isin("first", "up"), lit("up")).otherwise(lit("down")))
+      .withColumn("isL3VPNpeer", boolCell(col("isL3VPNpeer")))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+      .withColumn("isPrePolicy", boolCell(col("isPrePolicy")))
+      .withColumn("isLocRib", boolCell(col("isLocRib")))
+      .withColumn("isLocRibFiltered", boolCell(col("isLocRibFiltered")))
+
+  def routerFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    parseTsv(raw, lineCol, routerSchema)
+      // action term → 'down' else 'up' (RouterQuery.java:55)
+      .withColumn("state", when(col("action") === "term", lit("down")).otherwise(lit("up")))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+
+  def collectorFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    parseTsv(raw, lineCol, collectorSchema)
+      // action stopped → 'down' (CollectorQuery.java:33-52)
+      .withColumn("state", when(col("action") === "stopped", lit("down")).otherwise(lit("up")))
+      .withColumn("router_count", longEmptyAsZero(col("router_count")).cast(IntegerType))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+
+  def bmpStatFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame = {
+    val parsed = parseTsv(raw, lineCol, bmpStatSchema)
+    bmpStatSchema.fieldNames.filterNot(Set("peer_hash_id", "timestamp"))
+      .foldLeft(parsed)((d, c) => d.withColumn(c, longEmptyAsZero(col(c))))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Longest-prefix-match and covering-prefix (containment) joins.
+  *
+  * Reference semantics:
+  *  - LPM: `find_geo_ip(ip)` — `SELECT ip FROM geo_ip WHERE ip && addr
+  *    ORDER BY ip desc LIMIT 1` (`/root/reference/database/1_base.sql:66-81`),
+  *    i.e. the most-specific stored prefix containing the probe.
+  *  - Covering-prefix interval join (RPKI): `p.prefix >>= r.prefix AND
+  *    r.prefix_len BETWEEN p.prefix_len AND p.prefix_len_max`
+  *    (`2_aggregations.sql:260-265,338-343`).
+  *
+  * Both operate on the canonical numeric form (start, end, len) from
+  * [[graft.ip.IpKit]]. Two physical strategies:
+  *
+  *  1. `lpmRange` — range-predicate join + `row_number`. The dim side
+  *     (geo table, ROAs) is small → `broadcast` makes this a broadcast
+  *     nested-loop that never shuffles the 100 TB probe side. Right for
+  *     dims up to ~1M rows.
+  *  2. `lpmByExpansion` — explode each probe into its ≤33 (v4) / ≤129
+  *     (v6) ancestor prefixes and equi-join on (start, len). Pure
+  *     shuffle-free-broadcast or shuffled *equi* join → scales to huge
+  *     dim tables where a nested loop would be quadratic.
+  */
+object LpmJoin {
+
+  /** Strategy 1: broadcast range join + top-1 per probe.
+    *
+    * @param probes   fact side; must carry `probeKey` (unique) + `probeAddr`
+    * @param prefixes dim side with numeric [startCol, endCol] + lenCol
+    * @param tieBreak extra deterministic ordering after len desc
+    */
+  def lpmRange(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
+               prefixes: DataFrame, startCol: String, endCol: String, lenCol: String,
+               tieBreak: Seq[Column] = Nil, broadcastDim: Boolean = true): DataFrame = {
+    val dim  = if (broadcastDim) broadcast(prefixes) else prefixes
+    val cond = col(probeAddr) >= col(startCol) && col(probeAddr) <= col(endCol)
+    val w = Window
+      .partitionBy(probeKey.map(col): _*)
+      .orderBy(col(lenCol).desc +: col(startCol).desc +: tieBreak: _*)
+    probes
+      .join(dim, cond, "inner")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Strategy 2: ancestor-expansion LPM — equi-join scale path.
+    *
+    * Probe address `a` can only match a dim prefix at length L whose
+    * start is `(a >> (B-L)) << (B-L)`; generating that candidate per
+    * length turns LPM into an equi-join on (start, len) followed by
+    * max-length-wins. `bits` = size of the address space (32/128, or
+    * smaller for test domains).
+    */
+  def lpmByExpansion(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
+                     prefixes: DataFrame, startCol: String, lenCol: String,
+                     bits: Int, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val candidates = probes.withColumn(
+      "__cand",
+      explode(expr(
+        s"transform(sequence(0, $bits), l -> struct(l as len, " +
+          s"($probeAddr div shiftleft(cast(1 as bigint), $bits - l)) * shiftleft(cast(1 as bigint), $bits - l) as start))")))
+    val w = Window
+      .partitionBy(probeKey.map(col): _*)
+      .orderBy(col(lenCol).desc +: col(startCol).desc +: tieBreak: _*)
+    candidates
+      .join(
+        prefixes,
+        col("__cand.len") === col(lenCol) && col("__cand.start") === col(startCol),
+        "inner")
+      .drop("__cand")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Covering-prefix containment join (J6, RPKI-style): every (fact,dim)
+    * pair where dim's range contains fact's range and fact length falls
+    * in [dim minLen, dim maxLen]. Inner join, all matches (the RPKI
+    * validation then reduces per fact key).
+    */
+  def coveringJoin(facts: DataFrame, factStart: String, factEnd: String, factLen: String,
+                   dims: DataFrame, dimStart: String, dimEnd: String, dimMaxLen: String,
+                   broadcastDim: Boolean = true): DataFrame = {
+    val dim = if (broadcastDim) broadcast(dims) else dims
+    facts.join(
+      dim,
+      col(factStart) >= col(dimStart) && col(factEnd) <= col(dimEnd) &&
+        col(factLen) <= col(dimMaxLen),
+      "inner")
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert/merge — the engine's core write-path semantics.
+  *
+  * Reproduces the reference's `INSERT … ON CONFLICT (key) DO UPDATE`
+  * family (SURVEY.md §2.2, M1–M9) with **conditional column retention on
+  * withdraw**: when the incoming record is a withdraw, attribute columns
+  * keep their OLD values and only timestamp/state bookkeeping changes —
+  * the `CASE excluded.iswithdrawn WHEN true THEN old ELSE new END`
+  * pattern of `/root/reference/src/main/java/org/openbmp/psqlquery/
+  * UnicastPrefixQuery.java:36-37` (and LsNodeQuery/LsLinkQuery/
+  * LsPrefixQuery for the link-state tables).
+  *
+  * Design: state lives as an immutable columnar snapshot (Parquet); each
+  * micro-batch applies `dedupToLatest` (the writer's last-write-wins
+  * compression, `WriterRunnable.java:140-153`) then a full-outer
+  * merge-join per key. At 100 TB the state table is bucketed/partitioned
+  * by key hash so the merge join shuffles only the (small) update side;
+  * the CDC log (§2.3) falls out of the same join at zero extra cost.
+  */
+object MergeOps {
+
+  /** Column policy for one state table — data, not code (SURVEY §7.3). */
+  final case class MergePolicy(
+      keys: Seq[String],
+      /** boolean column on the update marking a withdraw */
+      withdrawnCol: String,
+      /** total order of updates within a key: later wins (ts, seq, …) */
+      orderBy: Seq[String],
+      /** columns retained from OLD state when the update is a withdraw */
+      retainOnWithdraw: Seq[String],
+      /** columns always taken from the update (timestamp, flags, …) */
+      alwaysUpdate: Seq[String]
+  ) {
+    def valueCols: Seq[String] = (alwaysUpdate ++ retainOnWithdraw :+ withdrawnCol).distinct
+  }
+
+  /** S5/D2: batch last-write-wins per key — the writer's same-hash
+    * compression within one flush window (`WriterRunnable.java:140-153`).
+    */
+  def dedupToLatest(updates: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).desc): _*)
+    updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** M2: `ON CONFLICT DO NOTHING` — content-addressed immutable rows
+    * (`BaseAttributeQuery.java:24-36`): keep current, append only keys
+    * never seen (first occurrence wins within the batch).
+    */
+  def insertIgnore(current: DataFrame, updates: DataFrame, keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).asc): _*)
+    val firstPerKey = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fresh = firstPerKey.join(current.select(keys.map(col): _*), keys, "left_anti")
+    current.unionByName(fresh.select(current.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** M1/M3–M9: merge one batch of (already latest-deduped) updates into
+    * `current` applying retain-on-withdraw. Returns the new state with
+    * the same schema as `current`.
+    */
+  def upsert(current: DataFrame, updates: DataFrame, policy: MergePolicy): DataFrame =
+    upsertWithLog(current, updates, policy)._1
+
+  /** Merge + CDC in one pass (T1–T3, `9_triggers.sql:89-126`): emits a
+    * change-log row when the withdrawn flag flipped OR (advertise AND
+    * any retained attribute changed) — the trigger's WHEN clause. On
+    * withdraw the log row carries the OLD attribute values, else the new
+    * (`9_triggers.sql:92-99`).
+    *
+    * @return (newState, changeLog) — changeLog has key + value cols.
+    */
+  def upsertWithLog(current: DataFrame, updates: DataFrame, policy: MergePolicy): (DataFrame, DataFrame) = {
+    import policy._
+    val stateCols  = current.columns.toSeq
+    val cur        = current.columns.foldLeft(current)((d, c) => d.withColumnRenamed(c, s"__old_$c"))
+    val joined = updates.join(
+      cur,
+      keys.map(k => updates(k) === cur(s"__old_$k")).reduce(_ && _),
+      "full_outer")
+
+    val hasOld    = keys.map(k => col(s"__old_$k").isNotNull).reduce(_ && _)
+    val hasNew    = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val withdrawn = col(withdrawnCol)
+
+    // merged value for each state column
+    def mergedCol(c: String): Column = {
+      val old = col(s"__old_$c")
+      if (keys.contains(c)) coalesce(col(c), old)
+      else if (retainOnWithdraw.contains(c))
+        when(!hasNew, old)
+          .otherwise(when(hasOld && withdrawn, old).otherwise(col(c)))
+      else // alwaysUpdate + withdrawnCol + anything else present in update
+        when(!hasNew, old).otherwise(
+          if (updates.columns.contains(c)) col(c) else old)
+    }
+    val keyExprs = keys.map(k => coalesce(col(k), col(s"__old_$k")).as(k))
+    val newState = joined.select(
+      stateCols.map(c => if (keys.contains(c)) keyExprs(keys.indexOf(c)) else mergedCol(c).as(c)): _*)
+
+    // CDC predicate (only rows that had an update)
+    val attrChanged = retainOnWithdraw
+      .map(c => !(col(c) <=> col(s"__old_$c")))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val flagFlipped = !(withdrawn <=> coalesce(col(s"__old_$withdrawnCol"), lit(false)))
+    val isChange    = hasNew && (flagFlipped || (!withdrawn && (!hasOld || attrChanged)))
+
+    val logRows = joined
+      .filter(isChange)
+      .select(
+        (keyExprs ++
+          (retainOnWithdraw.map { c =>
+            when(withdrawn && hasOld, col(s"__old_$c")).otherwise(col(c)).as(c)
+          }) ++
+          alwaysUpdate.map(c => col(c).as(c)) :+
+          withdrawn.as(withdrawnCol)): _*)
+    (newState, logRows)
+  }
+
+  /** Fold an *ordered* batch of updates down to the final per-key state
+    * in one pass (equivalent to applying `upsert` record-by-record):
+    * bookkeeping columns come from the LAST update, retained columns
+    * from the last NON-withdrawn update. Used for bulk replay/bootstrap
+    * where per-record merging would be wasteful.
+    */
+  def applyOrdered(updates: DataFrame, policy: MergePolicy): DataFrame = {
+    import policy._
+    val asc = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val desc = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderBy.map(c => col(c).desc): _*)
+
+    val withFinals = retainOnWithdraw
+      .foldLeft(updates.withColumn("__rn", row_number().over(desc))) { (d, c) =>
+        d.withColumn(s"__ret_$c", last(when(!col(withdrawnCol), col(c)), ignoreNulls = true).over(asc))
+      }
+    val outCols = keys.map(col) ++ alwaysUpdate.map(col) ++ Seq(col(withdrawnCol)) ++
+      retainOnWithdraw.map(c => col(s"__ret_$c").as(c))
+    withFinals.filter(col("__rn") === 1).select(outCols: _*)
+  }
+
+  /** T9: peer-up stale-route purge (`PeerQuery.java:121-153`): drop state
+    * rows of the given key whose timestamp predates the peer-up message.
+    */
+  def purgeStale(current: DataFrame, keyCol: String, tsCol: String, thresholds: DataFrame,
+                 thKeyCol: String, thTsCol: String): DataFrame = {
+    val th = broadcast(thresholds.select(col(thKeyCol).as("__pk"), col(thTsCol).as("__pts")))
+    current
+      .join(th, col(keyCol) === col("__pk"), "left")
+      .filter(col("__pts").isNull || col(tsCol) >= col("__pts"))
+      .drop("__pk", "__pts")
+  }
+}

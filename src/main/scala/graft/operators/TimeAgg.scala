@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Periodic windowed aggregations — SURVEY.md §2.5 (A1–A9).
+  *
+  * The reference computes these as idempotent plpgsql cron jobs
+  * (`/root/reference/database/2_aggregations.sql`): re-running a window
+  * overwrites its bucket (`ON CONFLICT … DO UPDATE`). Here each job is a
+  * pure batch transform over a time-partitioned log table; idempotence
+  * falls out of recomputing whole buckets, and the upsert into the stats
+  * table reuses [[MergeOps.upsert]] keyed by (bucket, group keys).
+  *
+  * All buckets are tumbling (the reference has no sliding/session
+  * windows — SURVEY §2.8). `timeBucketSec` mirrors TimescaleDB
+  * `time_bucket` / the epoch-division idiom of `2_aggregations.sql:93`.
+  */
+object TimeAgg {
+
+  /** `to_timestamp(extract(epoch from ts)::bigint / n * n)` as epoch
+    * seconds (kept numeric: at 100 TB the bucket is a partition key and
+    * integers compare/prune cheaper than timestamps).
+    */
+  def timeBucketSec(epochMicros: Column, seconds: Long): Column = {
+    // exact integer bucketing: subtract the remainder, then the division
+    // by 1e6 is an exact integer (no double rounding anywhere)
+    val step = lit(seconds * 1000000L)
+    ((epochMicros - pmod(epochMicros, step)) / lit(1000000L)).cast("long")
+  }
+
+  /** A1–A3: change-rate stats over a RIB-change log: per (bucket, keys),
+    * counts of withdraws vs updates — `count(CASE WHEN iswithdrawn …)`
+    * (`2_aggregations.sql:91-130`).
+    */
+  def chgStats(log: DataFrame, epochMicrosCol: String, bucketSec: Long,
+               withdrawnCond: Column, keys: Seq[String]): DataFrame = {
+    val bucket = timeBucketSec(col(epochMicrosCol), bucketSec).as("bucket")
+    log
+      .groupBy(bucket +: keys.map(col): _*)
+      .agg(
+        count(when(withdrawnCond, 1)).as("withdraws"),
+        count(when(!withdrawnCond, 1)).as("updates"))
+  }
+
+  /** A4/A5: global consolidated RIB rollup (`2_aggregations.sql:210-233`,
+    * `:290-311`): per (prefix, origin) — peer counts, withdrawn-everywhere
+    * flag (`bool_and`), first/last timestamps. `FILTER (WHERE …)` becomes
+    * `countDistinct(when(…))`; counts stay exact (small cardinality per
+    * group) as the reference's are.
+    */
+  def globalRib(rib: DataFrame, prefixCols: Seq[String], peerCol: String,
+                withdrawnCol: String, tsCol: String): DataFrame =
+    rib
+      .groupBy(prefixCols.map(col): _*)
+      .agg(
+        countDistinct(col(peerCol)).as("num_peers"),
+        countDistinct(when(!col(withdrawnCol), col(peerCol))).as("advertising_peers"),
+        countDistinct(when(col(withdrawnCol), col(peerCol))).as("withdrawn_peers"),
+        expr(s"every($withdrawnCol)").as("iswithdrawn"),
+        max(col(tsCol)).as("last_ts"),
+        min(col(tsCol)).as("first_ts"))
+
+  /** A8: aggregation-of-aggregation (`2_aggregations.sql:471-492`):
+    * avg/min/max of per-bucket counts, per key.
+    */
+  def aggOfAgg(perBucket: DataFrame, keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.flatMap { c =>
+      Seq(
+        (sum(col(c)).cast("double") / count(lit(1))).as(s"avg_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    perBucket.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Retention (§2.8): drop log rows older than the cutoff — at scale
+    * this is a partition drop, expressed here as the equivalent filter.
+    */
+  def applyRetention(log: DataFrame, epochMicrosCol: String, cutoffMicros: Long): DataFrame =
+    log.filter(col(epochMicrosCol) >= lit(cutoffMicros))
+}

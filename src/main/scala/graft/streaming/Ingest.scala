@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Messages
+import graft.operators.MergeOps
+import graft.operators.MergeOps.MergePolicy
+
+/** Streaming ingest — the Spark-native shape of the reference's
+  * Kafka-consumer write path (SURVEY.md §3.1):
+  *
+  * `readStream(kafka, subscribePattern) → per-topic TSV parse →
+  *  repartition(peer key) → dedup-to-latest → keyed merge w/ CDC →
+  *  snapshot + append-log sinks` inside `foreachBatch`.
+  *
+  * The reference's thread/batching machinery maps onto micro-batches:
+  * `batch_time_millis`=300ms → `Trigger.ProcessingTime`; the writer's
+  * same-hash last-write-wins compression (`WriterRunnable.java:140-153`)
+  * → [[MergeOps.dedupToLatest]]; sticky key→writer routing
+  * (`ConsumerRunnable.java:874-946`) → shuffle-by-key, which gives the
+  * same per-key ordering guarantee within a batch. Kafka auto-commit
+  * at-least-once (`Config.java:264-279`) + idempotent keyed merge =
+  * the same replay-convergent semantics, but with checkpointing.
+  */
+object Ingest {
+
+  /** Per-table merge policies — §2.2's column-retention rules as data. */
+  val ipRibPolicy: MergePolicy = MergePolicy(
+    keys = Seq("peer_hash_id", "hash_id"),
+    withdrawnCol = "isWithdrawn",
+    orderBy = Seq("ts_us"),
+    // M1: base_attr/origin retained on withdraw (UnicastPrefixQuery.java:36-37)
+    retainOnWithdraw = Seq("base_attr_hash_id", "origin_as"),
+    alwaysUpdate = Seq("ts_us", "path_id", "labels", "isPrePolicy", "isAdjRibIn",
+      "isIPv4", "prefix", "prefix_len"))
+
+  val lsNodePolicy: MergePolicy = MergePolicy(
+    keys = Seq("hash_id", "peer_hash_id"),
+    withdrawnCol = "isWithdrawn",
+    orderBy = Seq("ts_us"),
+    retainOnWithdraw = Seq("base_attr_hash_id", "sr_capabilities"),
+    alwaysUpdate = Seq("ts_us", "seq"))
+
+  /** Kafka source over the parsed-message topic patterns; the reference
+    * subscribes inventory topics first (`ConsumerRunnable.java:1054-1084`)
+    * — here inventory tables are bootstrapped as a batch before the
+    * stream starts (same consistency barrier, no ordering hack).
+    */
+  def kafkaSource(spark: SparkSession, brokers: String, topicPattern: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribePattern", topicPattern)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("topic"),
+        col("key").cast("string").as("msg_key"),
+        col("value").cast("string").as("line"),
+        col("timestamp").as("kafka_ts"))
+
+  /** One micro-batch of unicast_prefix updates merged into the RIB
+    * snapshot directory, emitting CDC rows to the log directory. Both
+    * are time/key-partitioned parquet; at cluster scale the snapshot is
+    * bucketed by hash so only the update side shuffles.
+    */
+  def mergeBatch(spark: SparkSession, updates: DataFrame, statePath: String,
+                 logPath: String, policy: MergePolicy): Unit = {
+    val latest = MergeOps.dedupToLatest(
+      updates.repartition(policy.keys.map(col): _*), policy.keys, policy.orderBy)
+    val current =
+      try spark.read.parquet(statePath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
+    val (next, log) = MergeOps.upsertWithLog(current, latest, policy)
+    val tmp = statePath + "_next"
+    next.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
+    log.write.mode("append").parquet(logPath)
+  }
+
+  /** Wire a parsed update stream into the merge sink. */
+  def start(parsed: DataFrame, statePath: String, logPath: String,
+            policy: MergePolicy, triggerMs: Long = 300): StreamingQuery =
+    parsed.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, batch, statePath, logPath, policy)
+      }
+      .start()
+
+  /** Batch replay of TSV fixture lines through the same parse+merge path
+    * (used by tests and bootstrap — SURVEY §3.1's inventory-first phase).
+    */
+  def replayUnicastPrefix(spark: SparkSession, lines: DataFrame,
+                          statePath: String, logPath: String): Unit = {
+    val parsed = Messages.unicastPrefixFromTsv(lines)
+    mergeBatch(spark, parsed, statePath, logPath, ipRibPolicy)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.views
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ip.IpKit
+
+/** The reference's reporting views (`/root/reference/database/
+  * 8_views.sql`, `10_l3vpn.sql:81-122`) as DataFrame pipelines over the
+  * materialized state tables. Registered per session via
+  * `df.createOrReplaceTempView` so `spark.sql("SELECT … FROM v_ip_routes")`
+  * works exactly like the reference's Postgres surface (SURVEY §3.3).
+  *
+  * Join shapes (SURVEY §2.4): all inner/left equi-joins — Catalyst
+  * broadcasts the dimension sides (routers/peers/info_asn are tiny next
+  * to the RIB); the RIB-side join keys are the state-table bucket keys
+  * so no RIB shuffle is required.
+  */
+object BmpViews {
+
+  /** `CASE WHEN length(name) > 0 THEN name ELSE host(ip) END`
+    * (`8_views.sql:11,13,33-34`).
+    */
+  def nameOrHost(name: Column, ip: Column): Column =
+    when(length(name) > 0, name).otherwise(IpKit.inetHost(ip))
+
+  /** v_peers (`8_views.sql:10-29`): peers ⋈ routers ⟕ info_asn. */
+  def vPeers(peers: DataFrame, routers: DataFrame, infoAsn: DataFrame): DataFrame =
+    peers.as("p")
+      .join(routers.as("r"), col("p.router_hash_id") === col("r.hash_id"), "inner")
+      .join(broadcast(infoAsn.as("i")), col("p.peer_as") === col("i.asn"), "left")
+      .select(
+        nameOrHost(col("r.name"), col("r.ip_address")).as("RouterName"),
+        nameOrHost(col("p.name"), col("p.peer_addr")).as("PeerName"),
+        col("p.hash_id").as("peer_hash_id"),
+        col("p.router_hash_id").as("router_hash_id"),
+        col("p.peer_addr").as("PeerIP"),
+        col("p.peer_as").as("PeerASN"),
+        col("p.state").as("peer_state"),
+        col("p.isIPv4").as("isPeerIPv4"),
+        col("i.as_name").as("as_name"))
+
+  /** v_ip_routes (`8_views.sql:31-51`): rib ⋈ peers ⋈ attrs ⋈ routers.
+    * Attr join is on the composite (hash_id AND peer_hash_id) key.
+    */
+  def vIpRoutes(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
+                routers: DataFrame): DataFrame =
+    rib.as("rib")
+      .join(peers.as("p"), col("rib.peer_hash_id") === col("p.hash_id"), "inner")
+      .join(attrs.as("a"),
+        col("rib.base_attr_hash_id") === col("a.hash_id") &&
+          col("rib.peer_hash_id") === col("a.peer_hash_id"), "inner")
+      .join(routers.as("r"), col("p.router_hash_id") === col("r.hash_id"), "inner")
+      .select(
+        nameOrHost(col("r.name"), col("r.ip_address")).as("RouterName"),
+        nameOrHost(col("p.name"), col("p.peer_addr")).as("PeerName"),
+        col("rib.prefix").as("Prefix"),
+        col("rib.prefix_len").as("PrefixLen"),
+        col("a.origin").as("Origin"),
+        col("rib.origin_as").as("Origin_AS"),
+        col("a.med").as("MED"),
+        col("a.local_pref").as("LocalPref"),
+        col("a.next_hop").as("NH"),
+        col("a.as_path").as("AS_Path"),
+        col("a.as_path_count").as("ASPath_Count"),
+        col("a.community_list").as("Communities"),
+        col("a.cluster_list").as("ClusterList"),
+        col("a.aggregator").as("Aggregator"),
+        col("p.peer_addr").as("PeerAddress"),
+        col("p.peer_as").as("PeerASN"),
+        col("rib.isIPv4").as("isIPv4"),
+        col("p.isIPv4").as("isPeerIPv4"),
+        col("p.isL3VPNpeer").as("isPeerVPN"),
+        col("rib.ts_us").as("LastModified"),
+        col("rib.hash_id").as("rib_hash_id"),
+        col("rib.base_attr_hash_id").as("base_attr_hash_id"),
+        col("rib.peer_hash_id").as("peer_hash_id"),
+        col("p.router_hash_id").as("router_hash_id"),
+        col("rib.isWithdrawn").as("isWithdrawn"))
+
+  /** v_ip_routes_history-style status label (`8_views.sql:95,112`). */
+  def withdrawnLabel(isWithdrawn: Column): Column =
+    when(isWithdrawn, lit("Withdrawn")).otherwise(lit("Advertised"))
+
+  /** v_ls_links (`8_views.sql:138-142`): two joins to the same node dim. */
+  def vLsLinks(links: DataFrame, nodes: DataFrame): DataFrame =
+    links.as("ln")
+      .join(nodes.as("l"),
+        col("ln.local_node_hash_id") === col("l.hash_id") &&
+          col("ln.peer_hash_id") === col("l.peer_hash_id"), "inner")
+      .join(nodes.as("r"),
+        col("ln.remote_node_hash_id") === col("r.hash_id") &&
+          col("ln.peer_hash_id") === col("r.peer_hash_id"), "inner")
+      .select(
+        col("l.name").as("Local_Node"),
+        col("r.name").as("Remote_Node"),
+        col("ln.hash_id").as("link_hash_id"),
+        col("ln.peer_hash_id").as("peer_hash_id"),
+        col("ln.isWithdrawn").as("isWithdrawn"))
+
+  /** v_ls_nodes pseudo-node filter (`8_views.sql:122`):
+    * `igp_router_id ~ '\..[1-9A-F]00$'` exclusion + `NOT LIKE '%]'`.
+    */
+  def lsNodeFilter(igpRouterId: Column): Column =
+    !igpRouterId.rlike("\\..[1-9A-F]00$") && !igpRouterId.endsWith("]")
+
+  /** Geo enrichment of v_ip_routes (`8_views.sql:76`,
+    * `v_ip_routes_geo`): LPM left-join against the geo table — see
+    * [[graft.operators.LpmJoin]] for the strategy.
+    */
+  def vIpRoutesGeo(routes: DataFrame, geo: DataFrame): DataFrame = {
+    val g = broadcast(
+      IpKit.withPrefixRange(geo, "ip")
+        .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
+          col("country"), col("city")))
+    val probed = routes.withColumn("__addr", IpKit.ipNumUdf(IpKit.inetHost(col("Prefix"))))
+    graft.operators.LpmJoin.lpmRange(
+      probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
+      g, "ip_start", "ip_end", "ip_len").drop("__addr")
+  }
+}

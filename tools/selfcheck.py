@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle and compare values (columns sorted by
+name, rows sorted, exact equality)."""
+import json, math, sys
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for tname in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{sfdir}/{tname}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fail += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {e}"); fail += 1; continue
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); fail += 1; continue
+    if list(exp.dtypes) != list(got.dtypes):
+        print(f"WARN {name}: dtypes {dict(zip(got.columns, got.dtypes))} vs {dict(zip(exp.columns, exp.dtypes))}")
+    exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
+    got = got.sort_values(by=list(got.columns), ignore_index=True)
+    if len(exp) != len(got):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fail += 1; continue
+    mismatches = []
+    for c in exp.columns:
+        ec, gc = exp[c], got[c]
+        for i in range(len(ec)):
+            e, g = ec.iloc[i], gc.iloc[i]
+            if e is None and g is None: continue
+            try:
+                if isinstance(e, float) or isinstance(g, float):
+                    if (isinstance(e, float) and math.isnan(e)) and (isinstance(g, float) and math.isnan(g)):
+                        continue
+                    if e != g: mismatches.append((c, i, e, g))
+                elif str(e) != str(g):
+                    mismatches.append((c, i, e, g))
+            except Exception:
+                mismatches.append((c, i, e, g))
+            if len(mismatches) > 3: break
+        if len(mismatches) > 3: break
+    if mismatches:
+        print(f"FAIL {name}: value mismatches {mismatches[:4]}"); fail += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)"); ok += 1
+
+# rows-only entries
+import glob, os
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name in oracle: continue
+    try:
+        n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+        print(f"{'OK  ' if n > 0 else 'EMPTY'} {name} rows-only ({n} rows)")
+        if n == 0: fail += 1
+        else: ok += 1
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fail += 1
+
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
