@@ -150,15 +150,22 @@ object Messages {
   def boolCell(c: Column): Column =
     trim(lower(c)).isin("1", "true", "t")
 
-  /** Space-delimited numeric array (`PsqlFunctions.java:65-91`). */
-  def longArray(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast(ArrayType(LongType)))
-      .otherwise(transform(split(trim(c), " +"), s => s.cast(LongType)))
+  /** Space-delimited numeric array (`PsqlFunctions.java:65-91`).
+    * Null/empty cells → empty array (from_csv yields null for empty
+    * unquoted TSV cells).
+    */
+  def longArray(c: Column): Column = {
+    val s = trim(coalesce(c, lit("")))
+    when(length(s) === 0, array().cast(ArrayType(LongType)))
+      .otherwise(transform(split(s, " +"), x => x.cast(LongType)))
+  }
 
   /** Space-delimited string array (community lists, `PsqlFunctions.java:154-205`). */
-  def strArray(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(trim(c), " +"))
+  def strArray(c: Column): Column = {
+    val s = trim(coalesce(c, lit("")))
+    when(length(s) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(s, " +"))
+  }
 
   /** Typed unicast_prefix records from raw TSV lines: applies the
     * coercions and the reference's `prefix_len > 128` drop

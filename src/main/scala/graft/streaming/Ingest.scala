@@ -75,10 +75,12 @@ object Ingest {
       catch { case _: Exception => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
     val (next, log) = MergeOps.upsertWithLog(current, latest, policy)
+    // Both `next` and `log` read the old state files — materialize both
+    // BEFORE overwriting statePath, or the log plan reads deleted files.
     val tmp = statePath + "_next"
     next.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
     log.write.mode("append").parquet(logPath)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
   }
 
   /** Wire a parsed update stream into the merge sink. */

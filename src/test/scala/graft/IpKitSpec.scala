@@ -1,0 +1,54 @@
+package graft
+
+import java.math.BigInteger
+
+import graft.ip.IpKit
+
+class IpKitSpec extends SparkSpec {
+
+  test("ipToBits matches the reference's IpAddr test vector") {
+    // /root/reference/src/test/java/org/openbmp/ConsumerRunnableAppTest.java:34-38
+    assert(IpKit.ipToBits("10.1.1.248") === "00001010000000010000000111111000")
+  }
+
+  test("prefixRange v4") {
+    val (fam, s, e) = IpKit.prefixRange("10.0.0.0/8")
+    assert(fam === 4)
+    assert(s === BigInteger.valueOf(10L << 24))
+    assert(e === BigInteger.valueOf((11L << 24) - 1))
+  }
+
+  test("prefixRange host form defaults to full length") {
+    val (_, s, e) = IpKit.prefixRange("192.168.1.5")
+    assert(s === e)
+  }
+
+  test("prefixRange v6 needs >64 bits") {
+    val (fam, s, e) = IpKit.prefixRange("2001:db8::/32")
+    assert(fam === 6)
+    assert(s.bitLength() > 64)
+    assert(e.subtract(s) === BigInteger.ONE.shiftLeft(96).subtract(BigInteger.ONE))
+  }
+
+  test("binary numeric form is containment-ordered in Spark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("10.0.0.0/8", "10.1.0.0/16", "192.168.0.0/16")
+      .toDF("prefix")
+    val ranged = IpKit.withPrefixRange(df, "prefix")
+    val probe = IpKit.ipNumUdf(lit("10.1.2.3"))
+    val hits = ranged.filter(probe >= col("ip_start") && probe <= col("ip_end"))
+      .select("prefix").as[String].collect().toSet
+    assert(hits === Set("10.0.0.0/8", "10.1.0.0/16"))
+  }
+
+  test("inetHost / inetFamily / inetMaskLen columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Seq("10.1.2.3/24", "2001:db8::1/64", "1.2.3.4").toDF("ip")
+      .select(IpKit.inetHost(col("ip")), IpKit.inetFamily(col("ip")),
+        IpKit.inetMaskLen(col("ip")))
+      .as[(String, Int, Int)].collect().toSeq
+    assert(r === Seq(("10.1.2.3", 4, 24), ("2001:db8::1", 6, 64), ("1.2.3.4", 4, 32)))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MergeOps
+import graft.operators.MergeOps.MergePolicy
+
+/** M1-family merge semantics: retain-on-withdraw, CDC predicate (T1),
+  * last-write-wins dedup (S5/D2), insert-ignore (M2), stale purge (T9).
+  * Mirrors the scenarios of FIXTURES.md §A (advertise → attr change →
+  * withdraw → re-advertise).
+  */
+class MergeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val policy = MergePolicy(
+    keys = Seq("k"), withdrawnCol = "wd", orderBy = Seq("ts"),
+    retainOnWithdraw = Seq("attr"), alwaysUpdate = Seq("ts"))
+
+  // (key, ts, attr, withdrawn)
+  def df(rows: (String, Long, String, Boolean)*) =
+    rows.toDF("k", "ts", "attr", "wd")
+
+  test("upsert retains attr on withdraw, updates ts/flag") {
+    val current = df(("a", 1L, "A1", false), ("b", 1L, "B1", false))
+    val updates = df(("a", 2L, null, true), ("c", 2L, "C1", false))
+    val next = MergeOps.upsert(current, updates, policy)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3))).toSet
+    assert(next === Set(
+      ("a", 2L, "A1", true),   // withdrawn: ts/flag new, attr retained
+      ("b", 1L, "B1", false),  // untouched
+      ("c", 2L, "C1", false))) // fresh insert
+  }
+
+  test("CDC fires on withdraw flip and attr change only; withdraw logs OLD attr") {
+    val current = df(("a", 1L, "A1", false), ("b", 1L, "B1", false),
+      ("d", 1L, "D1", false))
+    val updates = df(
+      ("a", 2L, null, true),   // flip → log with OLD attr A1
+      ("b", 2L, "B1", false),  // no flip, attr unchanged → no log
+      ("d", 2L, "D2", false),  // attr change → log new attr
+      ("e", 2L, "E1", false))  // fresh advertise → log
+    val (_, log) = MergeOps.upsertWithLog(current, updates, policy)
+    val rows = log.select("k", "attr", "wd").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows === Set(("a", "A1", true), ("d", "D2", false), ("e", "E1", false)))
+  }
+
+  test("applyOrdered ≡ sequential upserts (batch fold parity)") {
+    val updates = Seq(
+      ("a", 1L, "A1", false), ("a", 2L, "A2", false), ("a", 3L, null, true),
+      ("b", 1L, "B1", false), ("b", 2L, null, true), ("b", 3L, "B2", false),
+      ("c", 1L, null, true))
+    // sequential: apply one-by-one through upsert
+    val empty = df().limit(0)
+    val seqState = updates.foldLeft(empty)((cur, u) =>
+      MergeOps.upsert(cur, df(u), policy))
+    val folded = MergeOps.applyOrdered(updates.toDF("k", "ts", "attr", "wd"), policy)
+    val a = seqState.select("k", "ts", "wd", "attr").collect().map(_.toSeq).toSet
+    val b = folded.select("k", "ts", "wd", "attr").collect().map(_.toSeq).toSet
+    assert(a === b)
+    // and the final content is what the reference's CASE would produce
+    val m = folded.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(m("a") === ((3L, true, "A2")))  // withdrawn, attr from last advertise
+    assert(m("b") === ((3L, false, "B2")))
+    assert(m("c") === ((1L, true, null)))  // withdraw-first: no attr ever
+  }
+
+  test("dedupToLatest keeps exactly the newest row per key") {
+    val d = MergeOps.dedupToLatest(
+      df(("a", 1L, "x", false), ("a", 3L, "y", false), ("a", 2L, "z", true)),
+      Seq("k"), Seq("ts"))
+    assert(d.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      === Seq(("a", 3L, "y")))
+  }
+
+  test("insertIgnore never overwrites existing keys (M2 DO NOTHING)") {
+    val cur = df(("a", 1L, "OLD", false))
+    val upd = df(("a", 9L, "NEW", false), ("b", 1L, "B1", false), ("b", 2L, "B2", false))
+    val out = MergeOps.insertIgnore(cur, upd, Seq("k"), Seq("ts"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(out === Set(("a", "OLD"), ("b", "B1")))
+  }
+
+  test("purgeStale drops pre-threshold rows for matched keys only (T9)") {
+    val cur = df(("a", 1L, "x", false), ("a", 5L, "y", false), ("b", 1L, "z", false))
+    val th = Seq(("a", 3L)).toDF("pk", "pts")
+    val out = MergeOps.purgeStale(cur, "k", "ts", th, "pk", "pts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a", 5L), ("b", 1L)))
+  }
+}

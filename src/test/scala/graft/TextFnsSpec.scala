@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount / subwordCount / ttr") {
+    val r = Seq("The quick  brown fox, the fox!").toDF("text")
+      .select(
+        TextFns.tokenCount(col("text")),
+        TextFns.subwordCount(col("text")),
+        size(array_distinct(TextFns.tokens(col("text")))))
+      .as[(Int, Int, Int)].head()
+    assert(r._1 === 6)           // whitespace tokens (double space collapsed)
+    assert(r._2 === 6)           // letter/digit runs: the quick brown fox the fox
+    assert(r._3 === 5)           // distinct: the, quick, brown, fox, "fox,"... actually fox, vs fox!
+  }
+
+  test("langId picks marker-dominant language, und when none") {
+    val r = Seq(
+      "the cat and the dog of the house",
+      "el gato y la casa de los perros",
+      "der hund und die katze ist nicht da",
+      "xyzzy plugh qwerty").toDF("text")
+      .select(TextFns.langId(col("text"))).as[String].collect().toSeq
+    assert(r === Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fps = Seq("alpha beta gamma", "alpha beta gamma", "gamma beta alpha")
+      .toDF("text").select(TextFns.fingerprint(col("text"))).as[Long].collect().toSeq
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("stopwordRatio and qualityScore bounded") {
+    val r = Seq("the a of and to in is junk").toDF("text")
+      .select(TextFns.stopwordRatio(col("text"), TextFns.EnMarkers),
+        TextFns.qualityScore(col("text"), TextFns.EnMarkers))
+      .as[(Double, Double)].head()
+    assert(r._1 === 7.0 / 8.0)
+    assert(r._2 > 0 && r._2 <= 1.0)
+  }
+}
