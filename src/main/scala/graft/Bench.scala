@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Two sequential passes over the inventory in one session. Pass 1
+  * (cold) is the official `value`/`queries`: it includes Catalyst
+  * planning + whole-stage-codegen compilation, which at toy scale
+  * dominates (the compiled plan is reused across micro-batches/queries
+  * in production). Pass 2 (`queries_warm`) shows the steady-state
+  * per-query execution cost — the number that scales with data volume.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +23,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def pass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // operators may persist() intermediates
+        name -> dt
+      }
+
+    val cold = pass()
+    val warm = pass()
+
+    def fmt(m: Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total     = cold.values.sum
+    val totalWarm = warm.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},""" +
+      s""""value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

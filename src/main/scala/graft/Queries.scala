@@ -171,10 +171,10 @@ object Queries {
     (s, dir) => {
       val probes = ev(s, dir).select(col("event_id"),
         ((col("event_id") * 40503L + col("user_id") * 9973L) % 1048576L).as("probe"))
-      LpmJoin.lpmByExpansion(
+      LpmJoin.lpmByExpansionAgg(
         probes, Seq("event_id"), "probe",
         lpmPrefixes(s, dir), "pstart", "len", bits = 20,
-        tieBreak = Seq(col("p_partkey").asc))
+        payload = Seq("p_partkey"), tieBreakAsc = "p_partkey")
         .select(col("event_id"), col("probe"), col("len"), col("p_partkey"), col("pstart"))
         .orderBy("event_id")
     },
@@ -736,7 +736,7 @@ object Queries {
     "q29_dd_minhash_lsh",
     (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.3)
+        shingleN = 3, numHashes = 12, bands = 6, threshold = 0.3)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
     None)

@@ -26,6 +26,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
       }
+      finally spark.catalog.clearCache() // operators may persist() intermediates
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

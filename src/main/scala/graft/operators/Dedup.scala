@@ -35,6 +35,14 @@ object Dedup {
     df.groupBy(hashOf.as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
 
+  /** Per-doc distinct shingles, exploded: (id, tok). The narrow shape
+    * every candidate-generation join starts from — shingle arrays are
+    * never carried through a shuffle.
+    */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("tok"))
+
   /** MinHash signature: `numHashes` seeded min-hashes over the shingle
     * set. Seeding = hashing the shingle together with the hash index
     * (xxhash64 is deterministic and codegen'd).
@@ -43,35 +51,45 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(sh, t => xxhash64(t, s))))
 
+  /** MinHash signatures as a table: (id, mh_0..mh_{k-1}) computed by
+    * explode + groupBy — `min(xxhash64(tok, s))` per seed is a
+    * codegen'd hash aggregate with map-side partial combine (the
+    * lambda-expression form of [[minHashSignature]] is interpreted and
+    * ~10× slower; this is the 100 TB path).
+    */
+  def minHashTable(exploded: DataFrame, numHashes: Int): DataFrame =
+    exploded.groupBy(col("id"))
+      .agg(
+        min(xxhash64(col("tok"), lit(0))).as("mh_0"),
+        (1 until numHashes).map(s => min(xxhash64(col("tok"), lit(s))).as(s"mh_$s")): _*)
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     * shingle → minhash → band → bucket equi-join → verify. Bands become
     * join keys, so candidates shuffle on (band, bandHash) — linear and
     * skew-safe; the exact Jaccard filter removes LSH false positives.
+    * Candidate generation shuffles only (id, band, bandHash) rows; the
+    * shingle sets are joined back for verification.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleN))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-    val banded = base.select(
-      col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(
-          b.as("band"),
-          xxhash64(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","), b)
-            .as("bh")))).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val exploded = explodedShingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minHashTable(exploded, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bh"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, threshold)
+    verifyJaccardByJoin(cand, exploded, threshold)
   }
 
   /** Exact Jaccard over candidate pairs carrying shingle arrays sh_a/sh_b. */
@@ -83,30 +101,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Exact Jaccard for (id_a, id_b) candidate pairs against the exploded
+    * shingle table: |∩| by a 3-way equi-join + count, |∪| = na+nb−|∩|.
+    * Pure codegen'd joins/hash-aggs — no array payloads in any shuffle.
+    * Pairs sharing zero shingles drop out (jaccard 0 < any threshold).
+    */
+  def verifyJaccardByJoin(cand: DataFrame, exploded: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val ea = exploded.select(col("id").as("id_a"), col("tok"))
+    val eb = exploded.select(col("id").as("id_b"), col("tok"))
+    cand
+      .join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Blocked exact n-gram-Jaccard near-dup: pairs sharing ≥1 shingle
     * (equi-join block on exploded shingles), then exact Jaccard ≥
     * threshold. Deterministic (no hashing) → DuckDB-oracle-friendly.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double): DataFrame = {
-    val base = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleN))
-      .filter(size(col("sh")) > 0)
-    val exploded = base.select(col("id"), col("sh"), explode(col("sh")).as("tok"))
-    val cand = exploded.as("x")
-      .join(exploded.as("y"), Seq("tok"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+    val exploded = explodedShingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = exploded.select(col("tok"), col("id").as("id_a"))
+    val y = exploded.select(col("tok"), col("id").as("id_b"))
+    val cand = x.join(y, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, threshold)
+    verifyJaccardByJoin(cand, exploded, threshold)
   }
 
   /** 64-bit SimHash fingerprint over the token multiset: per bit, the
-    * sign of Σ±1 across token hashes. Expressed as 64 static codegen'd
-    * aggregates — correct and branch-free; the production path for 100 TB
-    * would fold this into one custom Catalyst Expression (SURVEY §7.3).
+    * sign of Σ±1 across token hashes. Expression form (interpreted
+    * higher-order lambdas) — use [[simHashTable]] for bulk computation.
     */
   def simHash(text: Column): Column = {
     val hashes = transform(tokens(text), t => xxhash64(t))
@@ -119,6 +156,25 @@ object Dedup {
       .reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** SimHash fingerprints as a table (id, fp) via explode + one hash
+    * aggregate with 64 codegen'd conditional sums — the scale path
+    * (identical result to [[simHash]], ~10× faster than interpreted
+    * lambda aggregation).
+    */
+  def simHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c_$b"))
+    val counted = exploded.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val fp = (0 until 64)
+      .map(b => when(col(s"c_$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    counted.select(col("id"), fp.as("fp"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -128,7 +184,8 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    val base = simHashTable(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cv")))

@@ -79,6 +79,47 @@ object LpmJoin {
       .drop("__rn")
   }
 
+  /** Aggregated expansion LPM — the high-throughput variant: the dim is
+    * first deduped to one row per (start, len) keeping the minimum of
+    * `tieBreakAsc` (plus its payload), then the per-probe winner is a
+    * single `max_by(struct(len, start), …)` hash aggregate instead of a
+    * window sort. Map-side partial aggregation means the shuffle carries
+    * one row per probe — at 100 TB this beats the window variant by the
+    * full sort cost. Result is identical to `lpmByExpansion` with
+    * tieBreak = (tieBreakAsc asc).
+    *
+    * @param payload dim columns to carry to the output (must include
+    *                tieBreakAsc if wanted in the result)
+    */
+  def lpmByExpansionAgg(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
+                        prefixes: DataFrame, startCol: String, lenCol: String,
+                        bits: Int, payload: Seq[String], tieBreakAsc: String,
+                        broadcastDim: Boolean = true): DataFrame = {
+    val dimDedup = prefixes
+      .groupBy(col(startCol), col(lenCol))
+      .agg(min_by(struct(payload.map(col): _*), col(tieBreakAsc)).as("__payload"))
+    val dim = if (broadcastDim) broadcast(dimDedup) else dimDedup
+    val candidates = probes.withColumn(
+      "__cand",
+      explode(expr(
+        s"transform(sequence(0, $bits), l -> struct(l as len, " +
+          s"($probeAddr div shiftleft(cast(1 as bigint), $bits - l)) * shiftleft(cast(1 as bigint), $bits - l) as start))")))
+    val probeCarry = probes.columns.filterNot(probeKey.contains)
+    candidates
+      .join(dim,
+        col("__cand.len") === col(lenCol) && col("__cand.start") === col(startCol),
+        "inner")
+      .groupBy(probeKey.map(col): _*)
+      .agg(max_by(
+        struct((probeCarry.map(col) :+ col(lenCol) :+ col(startCol) :+ col("__payload")): _*),
+        struct(col(lenCol), col(startCol))).as("__w"))
+      .select(probeKey.map(col) ++
+        probeCarry.map(c => col(s"__w.$c").as(c)) ++
+        Seq(col(s"__w.$lenCol").as(lenCol), col(s"__w.$startCol").as(startCol)) ++
+        payload.filterNot(p => p == lenCol || p == startCol)
+          .map(p => col(s"__w.__payload.$p").as(p)): _*)
+  }
+
   /** Covering-prefix containment join (J6, RPKI-style): every (fact,dim)
     * pair where dim's range contains fact's range and fact length falls
     * in [dim minLen, dim maxLen]. Inner join, all matches (the RPKI

@@ -46,6 +46,14 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("simHashTable ≡ simHash expression form") {
+    val viaExpr = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val viaTable = Dedup.simHashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr === viaTable)
+  }
+
   test("simhash: identical text → identical fingerprint; hamming(1,3) large") {
     val fp = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

@@ -41,6 +41,8 @@ class LpmJoinSpec extends SparkSpec {
         prefixes, "pstart", "pend", "len", tieBreak = Seq(col("pid").asc)))
       val viaExp = resOf(LpmJoin.lpmByExpansion(probes, Seq("probe_id"), "addr",
         prefixes, "pstart", "len", bits, tieBreak = Seq(col("pid").asc)))
+      val viaAgg = resOf(LpmJoin.lpmByExpansionAgg(probes, Seq("probe_id"), "addr",
+        prefixes, "pstart", "len", bits, payload = Seq("pid"), tieBreakAsc = "pid"))
 
       val brute = rawProbes.zipWithIndex.flatMap { case (a, i) =>
         val matches = pfx.filter(p => a >= p._3 && a <= p._4)
@@ -53,6 +55,7 @@ class LpmJoinSpec extends SparkSpec {
 
       assert(viaRange === brute)
       assert(viaExp === brute)
+      assert(viaAgg === brute)
     }
   }
 
