@@ -759,6 +759,162 @@ object Queries {
     },
     None)
 
+  // =====================================================================
+  // Coverage extensions: A2/A4-incremental/A7, J3, F11/F15, retention,
+  // dedup-within-TTL
+  // =====================================================================
+
+  val q32ChgByAsn = Q(
+    "q32_a2_chg_stats_byasn",
+    (s, dir) =>
+      TimeAgg.chgStats(ev(s, dir), "ts_us", 60, col("event_type") === "error",
+        Seq("user_id", "event_type"))
+        .orderBy("bucket", "user_id", "event_type"),
+    Some(s"""
+      SELECT ($EvUs // 60000000) * 60 AS bucket, user_id, event_type,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS withdraws,
+        COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS updates
+      FROM events GROUP BY bucket, user_id, event_type
+      ORDER BY bucket, user_id, event_type"""))
+
+  val q33Incremental = Q(
+    "q33_a4_incremental_watermark",
+    (s, dir) => {
+      val horizon = 7L * 86400 * 1000000 // 7-day re-run horizon
+      val e = TimeAgg.incrementalSince(ev(s, dir), "ts_us", horizon)
+        .withColumn("peer", col("event_id") % 7L)
+        .withColumn("wd", col("value") < 50)
+      TimeAgg.globalRib(e, Seq("user_id"), "peer", "wd", "ts_us")
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id % 7 AS peer, (value < 50) AS wd,
+                        $EvUs AS ts_us FROM events),
+      w AS (SELECT MAX(ts_us) - 7*86400*1000000::BIGINT AS wm FROM e)
+      SELECT user_id,
+        COUNT(DISTINCT peer) AS num_peers,
+        COUNT(DISTINCT CASE WHEN NOT wd THEN peer END) AS advertising_peers,
+        COUNT(DISTINCT CASE WHEN wd THEN peer END) AS withdrawn_peers,
+        bool_and(wd) AS iswithdrawn,
+        MAX(ts_us) AS last_ts, MIN(ts_us) AS first_ts
+      FROM e, w WHERE e.ts_us >= w.wm
+      GROUP BY user_id ORDER BY user_id"""))
+
+  val q34RibCounts = Q(
+    "q34_a7_rib_counts_15min",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(TimeAgg.timeBucketSec(col("ts_us"), 900).as("bucket"), col("user_id"))
+        .agg(
+          sum(when(col("event_id") % 2 === 0, 1).otherwise(0)).as("v4_count"),
+          sum(when(col("event_id") % 2 =!= 0, 1).otherwise(0)).as("v6_count"))
+        .orderBy("bucket", "user_id"),
+    Some(s"""
+      SELECT ($EvUs // 900000000) * 900 AS bucket, user_id,
+        CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v4_count,
+        CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS v6_count
+      FROM events GROUP BY bucket, user_id ORDER BY bucket, user_id"""))
+
+  val q35LogJoin = Q(
+    "q35_j3_log_history_join",
+    (s, dir) => {
+      val e = ev(s, dir); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      e.join(broadcast(c), col("user_id") + 1 === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("event_id"), col("event_type"), col("c_name"), col("n_name"),
+          col("r_name"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, event_type, c_name, n_name, r_name
+      FROM events
+        JOIN customer ON user_id + 1 = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      ORDER BY event_id"""))
+
+  val q36Arrays = Q(
+    "q36_f11_array_ops",
+    (s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        size(toks).cast("long").as("n"),
+        array_join(slice(toks, 1, 5), " ").as("head5"),
+        array_contains(toks, "the").as("has_the"),
+        array_position(toks, "data").cast("long").as("data_pos"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+      SELECT doc_id,
+        toks[1] AS first_tok,
+        toks[-1] AS last_tok,
+        len(toks) AS n,
+        array_to_string(toks[1:5], ' ') AS head5,
+        list_contains(toks, 'the') AS has_the,
+        CAST(COALESCE(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos
+      FROM d ORDER BY doc_id"""))
+
+  val q37AsnFilter = Q(
+    "q37_f15_reserved_filter",
+    (s, dir) => {
+      val asn = col("o_orderkey") * 37L % 131072L
+      t(s, dir, "orders")
+        .withColumn("asn", asn)
+        .filter(!col("asn").isin(0L, 23456L) &&
+          !col("asn").between(64496L, 65535L) &&
+          !col("o_orderstatus").isin("X", "Y"))
+        .select(col("o_orderkey"), col("asn"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, (o_orderkey * 37) % 131072 AS asn
+      FROM orders
+      WHERE (o_orderkey * 37) % 131072 NOT IN (0, 23456)
+        AND (o_orderkey * 37) % 131072 NOT BETWEEN 64496 AND 65535
+        AND o_orderstatus NOT IN ('X', 'Y')
+      ORDER BY o_orderkey"""))
+
+  val q38Retention = Q(
+    "q38_r1_retention",
+    (s, dir) => {
+      val cutoff = 1705276800000000L // 2024-01-15 00:00:00 UTC in micros
+      TimeAgg.applyRetention(ev(s, dir), "ts_us", cutoff)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("kept"), min(col("ts_us")).as("min_ts"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      SELECT event_type, COUNT(*) AS kept, MIN($EvUs) AS min_ts
+      FROM events WHERE $EvUs >= 1705276800000000
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val q39DedupTtl = Q(
+    "q39_d1_dedup_within_ttl",
+    (s, dir) => {
+      val bucketed = ev(s, dir)
+        .withColumn("ttl_bucket", TimeAgg.timeBucketSec(col("ts_us"), 1200))
+      MergeOps.dedupToLatest(bucketed, Seq("user_id", "event_type", "ttl_bucket"),
+        Seq("ts_us", "event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("survivors"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH b AS (SELECT event_type, user_id, event_id, $EvUs AS ts_us,
+                        ($EvUs // 1200000000) * 1200 AS ttl_bucket FROM events),
+      d AS (SELECT * FROM b QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type, ttl_bucket
+        ORDER BY ts_us DESC, event_id DESC) = 1)
+      SELECT event_type, COUNT(*) AS survivors FROM d
+      GROUP BY event_type ORDER BY event_type"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -767,5 +923,7 @@ object Queries {
     q14ChgStats, q15ChgStats2m, q16GlobalState, q17Hourly, q18AggOfAgg,
     q19TopN, q20Scalars, q21Tsv,
     q22ExactDedup, q23NgramJaccard, q24TextStats, q25Quality, q26LangId,
-    q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn)
+    q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
+    q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
+    q37AsnFilter, q38Retention, q39DedupTtl)
 }

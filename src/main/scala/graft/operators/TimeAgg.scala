@@ -79,4 +79,16 @@ object TimeAgg {
     */
   def applyRetention(log: DataFrame, epochMicrosCol: String, cutoffMicros: Long): DataFrame =
     log.filter(col(epochMicrosCol) >= lit(cutoffMicros))
+
+  /** A4's incremental-job watermark (`2_aggregations.sql:189-201`): the
+    * start time is derived from the data itself (max timestamp minus the
+    * re-run horizon) — computed distributedly and applied via a
+    * broadcast scalar join, never a driver collect.
+    */
+  def incrementalSince(df: DataFrame, epochMicrosCol: String, horizonMicros: Long): DataFrame = {
+    val wm = df.agg((max(col(epochMicrosCol)) - lit(horizonMicros)).as("__wm"))
+    df.crossJoin(broadcast(wm))
+      .filter(col(epochMicrosCol) >= col("__wm"))
+      .drop("__wm")
+  }
 }

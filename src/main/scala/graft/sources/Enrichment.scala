@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ip.IpKit
+
+/** Enrichment reference-table loaders — SURVEY.md §2.1 S8 / §2.2 M11-M15.
+  *
+  * The reference loads these with Python cron jobs into Postgres
+  * (`/root/reference/scripts/geo-csv-to-psql.py:33-40`,
+  * `cron_scripts/rpki/rpki_validator.py:26-73`,
+  * `cron_scripts/peeringdb/peeringdb.py:38-60`,
+  * `cron_scripts/gen-whois/gen_whois_route.py:192-216`). Here each is a
+  * `spark.read` + canonicalization into a broadcast-ready DataFrame;
+  * refresh = re-run the loader and swap (the upsert semantics of
+  * M11-M15 reduce to overwrite/merge via [[graft.operators.MergeOps]]).
+  */
+object Enrichment {
+
+  /** geo_ip CSV: family, ip(prefix), country, stateprov, city, lat, lon,
+    * tz_offset, tz_name, isp_name — canonicalized with the numeric
+    * prefix range for the LPM join (J5/T5).
+    */
+  val geoIpSchema: StructType = StructType(Seq(
+    StructField("family", IntegerType),
+    StructField("ip", StringType),
+    StructField("country", StringType),
+    StructField("stateprov", StringType),
+    StructField("city", StringType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("timezone_offset", DoubleType),
+    StructField("timezone_name", StringType),
+    StructField("isp_name", StringType)))
+
+  def loadGeoIpCsv(spark: SparkSession, path: String): DataFrame =
+    IpKit.withPrefixRange(
+      spark.read.schema(geoIpSchema).option("header", "false").csv(path),
+      "ip")
+
+  /** rpki_validator JSON export: `{"roas":[{"asn":"AS65001",
+    * "prefix":"10.0.0.0/8","maxLength":24},…]}` → (prefix, prefix_len,
+    * prefix_len_max, origin_as) + numeric range for the covering join
+    * (J6). The "AS" prefix strip mirrors `rpki_validator.py:42-62`.
+    */
+  def loadRpkiJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val roas = raw.select(explode(col("roas")).as("r"))
+      .select(
+        regexp_replace(col("r.asn").cast("string"), "^AS", "").cast(LongType).as("origin_as"),
+        col("r.prefix").as("prefix"),
+        col("r.maxLength").cast(IntegerType).as("prefix_len_max"))
+      .withColumn("prefix_len", IpKit.inetMaskLen(col("prefix")))
+    IpKit.withPrefixRange(roas, "prefix")
+  }
+
+  /** info_asn rows (whois/peeringdb merge — M13): whois inserts are
+    * DO-NOTHING, peeringdb rows overwrite; precedence = peeringdb last.
+    */
+  def mergeInfoAsn(whois: DataFrame, peeringdb: DataFrame): DataFrame = {
+    val w = whois.select("asn", "as_name", "source")
+    val p = peeringdb.select("asn", "as_name", "source")
+    // peeringdb overwrites; whois fills the gaps (left_anti = DO NOTHING)
+    p.unionByName(w.join(p.select("asn"), Seq("asn"), "left_anti"))
+  }
+
+  /** info_route upsert prep (M12): `DISTINCT ON (prefix, origin_as)`
+    * first-wins over the staged VALUES (`gen_whois_route.py:194-216`).
+    */
+  def distinctRoutes(routes: DataFrame): DataFrame =
+    graft.operators.MergeOps.dedupToLatest(
+      routes, Seq("prefix", "origin_as"), Seq("descr"))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Enrichment
+
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geo_ip CSV loads with numeric prefix ranges incl /0 defaults") {
+    val dir = Files.createTempDirectory("graft_geo")
+    val csv = dir.resolve("geo.csv")
+    Files.writeString(csv, Seq(
+      "4,0.0.0.0/0,ZZ,,,0.0,0.0,0.0,UTC,default",
+      "6,::/0,ZZ,,,0.0,0.0,0.0,UTC,default6",
+      "4,10.0.0.0/8,US,WA,Seattle,47.6,-122.3,-8.0,PST,acme").mkString("\n"))
+    val geo = Enrichment.loadGeoIpCsv(spark, csv.toString)
+    assert(geo.count() === 3)
+    // LPM over the table always matches thanks to the /0 rows
+    val probe = graft.ip.IpKit.ipNumUdf(lit("10.1.2.3"))
+    val hits = geo.filter(col("ip_family") === 4 &&
+        probe >= col("ip_start") && probe <= col("ip_end"))
+      .select("ip").as[String].collect().toSet
+    assert(hits === Set("0.0.0.0/0", "10.0.0.0/8"))
+  }
+
+  test("rpki JSON export parses roas with AS-prefix strip") {
+    val dir = Files.createTempDirectory("graft_rpki")
+    val json = dir.resolve("export.json")
+    Files.writeString(json,
+      """{"roas":[{"asn":"AS65001","prefix":"10.0.0.0/8","maxLength":24},
+        |{"asn":"65002","prefix":"2001:db8::/32","maxLength":48}]}""".stripMargin)
+    val roas = Enrichment.loadRpkiJson(spark, json.toString)
+    val got = roas.select("origin_as", "prefix", "prefix_len", "prefix_len_max")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(got === Set((65001L, "10.0.0.0/8", 8, 24), (65002L, "2001:db8::/32", 32, 48)))
+  }
+
+  test("info_asn merge: peeringdb overwrites, whois fills gaps (M13)") {
+    val whois = Seq((1L, "w-one", "whois"), (2L, "w-two", "whois"))
+      .toDF("asn", "as_name", "source")
+    val pdb = Seq((2L, "p-two", "peeringdb")).toDF("asn", "as_name", "source")
+    val merged = Enrichment.mergeInfoAsn(whois, pdb)
+      .as[(Long, String, String)].collect().toSet
+    assert(merged === Set((1L, "w-one", "whois"), (2L, "p-two", "peeringdb")))
+  }
+}
