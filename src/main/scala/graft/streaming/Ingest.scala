@@ -101,4 +101,37 @@ object Ingest {
     val parsed = Messages.unicastPrefixFromTsv(lines)
     mergeBatch(spark, parsed, statePath, logPath, ipRibPolicy)
   }
+
+  /** T7: router-up cascade (`RouterQuery.java:93-139`): when a router
+    * (re)connects at time T, all of its peers with older state go
+    * 'down' — the consumer's in-memory connection counting reduces, in
+    * batch form, to "first connect in this batch wins per router".
+    */
+  def routerUpCascade(peers: DataFrame, routerUps: DataFrame): DataFrame = {
+    val ups = broadcast(
+      routerUps.filter(col("state") === "up")
+        .groupBy(col("hash_id").as("__rh")).agg(min(col("ts_us")).as("__rts")))
+    peers
+      .join(ups, col("router_hash_id") === col("__rh"), "left")
+      .withColumn("state",
+        when(col("__rts").isNotNull && col("ts_us") < col("__rts"), lit("down"))
+          .otherwise(col("state")))
+      .drop("__rh", "__rts")
+  }
+
+  /** T8: collector start/stop cascade (`CollectorQuery.java:60-87`):
+    * a collector transition marks all of its routers 'down' when their
+    * state predates the collector event.
+    */
+  def collectorCascade(routers: DataFrame, collectorEvents: DataFrame): DataFrame = {
+    val evs = broadcast(
+      collectorEvents.filter(col("action").isin("started", "stopped"))
+        .groupBy(col("hash_id").as("__ch")).agg(max(col("ts_us")).as("__cts")))
+    routers
+      .join(evs, col("collector_hash_id") === col("__ch"), "left")
+      .withColumn("state",
+        when(col("__cts").isNotNull && col("ts_us") < col("__cts"), lit("down"))
+          .otherwise(col("state")))
+      .drop("__ch", "__cts")
+  }
 }

@@ -104,6 +104,31 @@ object BmpViews {
   def lsNodeFilter(igpRouterId: Column): Column =
     !igpRouterId.rlike("\\..[1-9A-F]00$") && !igpRouterId.endsWith("]")
 
+  /** Register the reporting surface on a session: materialized state
+    * tables under their reference names + the derived v_* views, so
+    * `spark.sql("SELECT … FROM v_ip_routes WHERE …")` works exactly like
+    * the reference's Postgres query surface (SURVEY §3.3). Catalyst
+    * expands views inline — filters push through into the state scans.
+    */
+  def registerAll(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
+                  routers: DataFrame, infoAsn: DataFrame,
+                  ribLog: Option[DataFrame] = None): Unit = {
+    rib.createOrReplaceTempView("ip_rib")
+    peers.createOrReplaceTempView("bgp_peers")
+    attrs.createOrReplaceTempView("base_attrs")
+    routers.createOrReplaceTempView("routers")
+    infoAsn.createOrReplaceTempView("info_asn")
+    vPeers(peers, routers, infoAsn).createOrReplaceTempView("v_peers")
+    val routes = vIpRoutes(rib, peers, attrs, routers)
+    routes.createOrReplaceTempView("v_ip_routes")
+    routes.filter(!col("isWithdrawn")).createOrReplaceTempView("v_ip_routes_active")
+    ribLog.foreach { lg =>
+      lg.createOrReplaceTempView("ip_rib_log")
+      lg.withColumn("status", withdrawnLabel(col("isWithdrawn")))
+        .createOrReplaceTempView("v_ip_routes_history")
+    }
+  }
+
   /** Geo enrichment of v_ip_routes (`8_views.sql:76`,
     * `v_ip_routes_geo`): LPM left-join against the geo table — see
     * [[graft.operators.LpmJoin]] for the strategy.

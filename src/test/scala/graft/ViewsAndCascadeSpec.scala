@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Ingest
+import graft.views.BmpViews
+
+class ViewsAndCascadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("v_* views register and answer SQL like the reference surface") {
+    val rib = Seq(
+      ("r1", "p1", "a1", "10.0.0.0", 8, 65001L, true, 1000L, false),
+      ("r2", "p1", "a2", "10.1.0.0", 16, 65002L, true, 1001L, true))
+      .toDF("hash_id", "peer_hash_id", "base_attr_hash_id", "prefix",
+        "prefix_len", "origin_as", "isIPv4", "ts_us", "isWithdrawn")
+    val peers = Seq(("p1", "rt1", "10.9.9.1", "", "10.9.9.1", 65100L, "up", true, false))
+      .toDF("hash_id", "router_hash_id", "peer_addr", "name", "peer_bgp_id",
+        "peer_as", "state", "isIPv4", "isL3VPNpeer")
+    val attrs = Seq(
+      ("a1", "p1", "igp", Seq(65001L), "10.0.0.9", 0L, 100L, Seq("65001:1"),
+        Seq[String](), "", 1),
+      ("a2", "p1", "igp", Seq(65002L, 65001L), "10.0.0.9", 0L, 100L, Seq[String](),
+        Seq[String](), "", 2))
+      .toDF("hash_id", "peer_hash_id", "origin", "as_path", "next_hop", "med",
+        "local_pref", "community_list", "cluster_list", "aggregator", "as_path_count")
+    val routers = Seq(("rt1", "edge-router", "10.8.8.1", "ch1", "up", 900L))
+      .toDF("hash_id", "name", "ip_address", "collector_hash_id", "state", "ts_us")
+    val infoAsn = Seq((65100L, "Acme Transit")).toDF("asn", "as_name")
+
+    BmpViews.registerAll(rib, peers, attrs, routers, infoAsn)
+
+    val active = spark.sql(
+      "SELECT Prefix, RouterName, PeerName, AS_Path FROM v_ip_routes WHERE NOT isWithdrawn")
+    val row = active.head()
+    assert(active.count() === 1)
+    assert(row.getAs[String]("Prefix") === "10.0.0.0")
+    assert(row.getAs[String]("RouterName") === "edge-router")
+    assert(row.getAs[String]("PeerName") === "10.9.9.1") // empty name → host(peer_addr)
+    assert(row.getAs[Seq[Long]]("AS_Path") === Seq(65001L))
+
+    val vp = spark.sql("SELECT PeerASN, as_name FROM v_peers").head()
+    assert(vp.getAs[String]("as_name") === "Acme Transit") // left join hit
+  }
+
+  test("T7 router-up cascade downs only stale peers of that router") {
+    val peers = Seq(
+      ("p1", "rt1", "up", 100L), ("p2", "rt1", "up", 300L), ("p3", "rt2", "up", 100L))
+      .toDF("hash_id", "router_hash_id", "state", "ts_us")
+    val ups = Seq(("rt1", "up", 200L)).toDF("hash_id", "state", "ts_us")
+    val out = Ingest.routerUpCascade(peers, ups)
+      .select("hash_id", "state").as[(String, String)].collect().toMap
+    assert(out === Map("p1" -> "down", "p2" -> "up", "p3" -> "up"))
+  }
+
+  test("T8 collector cascade downs stale routers of that collector") {
+    val routers = Seq(
+      ("rt1", "ch1", "up", 100L), ("rt2", "ch1", "up", 300L), ("rt3", "ch2", "up", 100L))
+      .toDF("hash_id", "collector_hash_id", "state", "ts_us")
+    val evs = Seq(("ch1", "stopped", 200L)).toDF("hash_id", "action", "ts_us")
+    val out = Ingest.collectorCascade(routers, evs)
+      .select("hash_id", "state").as[(String, String)].collect().toMap
+    assert(out === Map("rt1" -> "down", "rt2" -> "up", "rt3" -> "up"))
+  }
+}
