@@ -915,6 +915,57 @@ object Queries {
       SELECT event_type, COUNT(*) AS survivors FROM d
       GROUP BY event_type ORDER BY event_type"""))
 
+  val q40GeoLpm = Q(
+    "q40_j5_geo_lpm_inet",
+    (s, dir) => {
+      graft.plans.GraftFunctions.register(s)
+      // geo table: region /8s + nation /16s as REAL dotted prefixes,
+      // parsed by the native inet_start/inet_end Catalyst expressions
+      val regions = t(s, dir, "region").select(
+        format_string("%d.0.0.0/8", lit(10) + col("r_regionkey")).as("geo_prefix"),
+        lit(8).as("len"))
+      val nations = t(s, dir, "nation").select(
+        format_string("%d.%d.0.0/16", lit(10) + col("n_regionkey"), col("n_nationkey"))
+          .as("geo_prefix"),
+        lit(16).as("len"))
+      val geo = regions.unionByName(nations)
+        .withColumn("gstart", call_function("inet_start", col("geo_prefix")))
+        .withColumn("gend", call_function("inet_end", col("geo_prefix")))
+      val probes = t(s, dir, "customer").select(
+        col("c_custkey"),
+        format_string("%d.%d.%d.%d", lit(10) + col("c_custkey") % 5L,
+          col("c_custkey") % 25L, col("c_custkey") % 256L,
+          (col("c_custkey") * 3) % 256L).as("ip"))
+        .withColumn("addr", call_function("inet_num", col("ip")))
+      LpmJoin.lpmRange(probes, Seq("c_custkey"), "addr",
+        geo, "gstart", "gend", "len")
+        .select(col("c_custkey"), col("ip"), col("geo_prefix"), col("len"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH geo AS (
+        SELECT printf('%d.0.0.0/8', 10 + r_regionkey) AS geo_prefix, 8 AS len,
+               (10 + r_regionkey) * 16777216 AS gstart,
+               (11 + r_regionkey) * 16777216 - 1 AS gend
+        FROM region
+        UNION ALL
+        SELECT printf('%d.%d.0.0/16', 10 + n_regionkey, n_nationkey), 16,
+               (10 + n_regionkey) * 16777216 + n_nationkey * 65536,
+               (10 + n_regionkey) * 16777216 + (n_nationkey + 1) * 65536 - 1
+        FROM nation),
+      probes AS (
+        SELECT c_custkey,
+          printf('%d.%d.%d.%d', 10 + c_custkey % 5, c_custkey % 25,
+                 c_custkey % 256, (c_custkey * 3) % 256) AS ip,
+          (10 + c_custkey % 5) * 16777216 + (c_custkey % 25) * 65536
+            + (c_custkey % 256) * 256 + (c_custkey * 3) % 256 AS addr
+        FROM customer)
+      SELECT c_custkey, ip, geo_prefix, len
+      FROM probes JOIN geo ON addr BETWEEN gstart AND gend
+      QUALIFY row_number() OVER (PARTITION BY c_custkey
+        ORDER BY len DESC, gstart DESC) = 1
+      ORDER BY c_custkey"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -925,5 +976,5 @@ object Queries {
     q22ExactDedup, q23NgramJaccard, q24TextStats, q25Quality, q26LangId,
     q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
-    q37AsnFilter, q38Retention, q39DedupTtl)
+    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm)
 }

@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.ip.IpKit
+
+/** Native Catalyst expressions for the inet toolkit (SURVEY §7.3's
+  * "promote hot ones to Expression with codegen").
+  *
+  * Why not UDFs: a Scala UDF is an opaque black box — Catalyst can't
+  * null-short-circuit it, every call boxes a Row, and it breaks the
+  * WholeStageCodegen span of the enclosing stage. These expressions
+  * generate a direct static call (`InetOps.ipNum(str)`) inline in the
+  * stage's generated Java, like Spark's own string builtins — the geo
+  * LPM probe derivation stays inside one codegen'd scan stage at 100 TB.
+  *
+  * Numeric form: fixed-length big-endian bytes (4 or 16) — see
+  * [[graft.ip.IpKit]]; lexicographic BinaryType comparison is unsigned
+  * numeric order within a family.
+  */
+object InetOps {
+  /** address string → fixed-length big-endian bytes (null if malformed) */
+  def ipNum(s: UTF8String): Array[Byte] =
+    try {
+      val str = s.toString
+      val (_, start, _) = IpKit.prefixRange(str)
+      toFixed(start, if (str.contains(":")) 16 else 4)
+    } catch { case _: Exception => null }
+
+  def prefixStart(s: UTF8String): Array[Byte] =
+    try {
+      val str = s.toString
+      val (_, start, _) = IpKit.prefixRange(str)
+      toFixed(start, if (str.contains(":")) 16 else 4)
+    } catch { case _: Exception => null }
+
+  def prefixEnd(s: UTF8String): Array[Byte] =
+    try {
+      val str = s.toString
+      val (_, _, end) = IpKit.prefixRange(str)
+      toFixed(end, if (str.contains(":")) 16 else 4)
+    } catch { case _: Exception => null }
+
+  def family(s: UTF8String): Int = if (s.toString.contains(":")) 6 else 4
+
+  private def toFixed(b: java.math.BigInteger, len: Int): Array[Byte] = {
+    val raw = b.toByteArray.dropWhile(_ == 0)
+    val out = new Array[Byte](len)
+    System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+    out
+  }
+}
+
+abstract class InetUnary extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  /** name of the static method on InetOps */
+  def method: String
+
+  override def nullable: Boolean = true
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.InetOps.$method($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+}
+
+/** inet_num(str) → binary address value. */
+case class InetNum(child: Expression) extends InetUnary {
+  override def dataType: DataType = BinaryType
+  override def method: String = "ipNum"
+  override def nullSafeEval(input: Any): Any = InetOps.ipNum(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** inet_start('a.b.c.d/len') → binary first address of the prefix. */
+case class InetStart(child: Expression) extends InetUnary {
+  override def dataType: DataType = BinaryType
+  override def method: String = "prefixStart"
+  override def nullSafeEval(input: Any): Any = InetOps.prefixStart(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** inet_end('a.b.c.d/len') → binary last address of the prefix. */
+case class InetEnd(child: Expression) extends InetUnary {
+  override def dataType: DataType = BinaryType
+  override def method: String = "prefixEnd"
+  override def nullSafeEval(input: Any): Any = InetOps.prefixEnd(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** inet_family(str) → 4 | 6 (the Postgres `family()` of F2). */
+case class InetFamily(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = InetOps.family(input.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.InetOps.family($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
+}
+
+/** Function registry for the inet expressions: installable on an
+  * existing session (`GraftFunctions.register(spark)`) or at session
+  * construction via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object GraftFunctions {
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("inet_num", (c: Seq[Expression]) => InetNum(c.head)),
+    ("inet_start", (c: Seq[Expression]) => InetStart(c.head)),
+    ("inet_end", (c: Seq[Expression]) => InetEnd(c.head)),
+    ("inet_family", (c: Seq[Expression]) => InetFamily(c.head))
+  ).map { case (name, builder) =>
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.InetExpressions", name),
+      builder)
+  }
+
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the inet functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
