@@ -966,6 +966,17 @@ object Queries {
         ORDER BY len DESC, gstart DESC) = 1
       ORDER BY c_custkey"""))
 
+  val q41IvfAnn = Q(
+    "q41_ann_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 3, nClusters = 16, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -976,5 +987,5 @@ object Queries {
     q22ExactDedup, q23NgramJaccard, q24TextStats, q25Quality, q26LangId,
     q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
-    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm)
+    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn)
 }

@@ -85,6 +85,60 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN — the scale path beyond LSH: partition the
+    * corpus into k clusters once (index build), then search only the
+    * nprobe closest clusters per query. Query cost drops to ~nprobe/k of
+    * the corpus; the cluster column doubles as the parquet partition key
+    * so cluster pruning happens at the scan.
+    *
+    * Centroid selection is deterministic (k lowest-id vectors) so
+    * results are reproducible; production would run k-means iterations
+    * over the same assignment primitive.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    corpus.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+
+  /** Assign every corpus row to its nearest centroid (one broadcast
+    * cross-product pass; N·k dot products, no shuffle of the corpus).
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame =
+    corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("__cos"), -col("cid"))).as("cluster"),
+        first(col(vecCol)).as(vecCol))
+
+  /** IVF top-k: probe the `nprobe` nearest clusters per query, exact
+    * cosine within them. Recall < 1 by design (vectors near cluster
+    * borders); raise nprobe to trade cost for recall.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nClusters: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nClusters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = ivfAssign(corpus, cents, idCol, vecCol)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__qcos").desc, col("cid").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__qcos", cosine(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+    val scored = probes
+      .join(indexed, Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: corpus
     * self-join on signature, exact cosine ≥ threshold verification.
     */

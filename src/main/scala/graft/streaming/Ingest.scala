@@ -36,12 +36,67 @@ object Ingest {
     alwaysUpdate = Seq("ts_us", "path_id", "labels", "isPrePolicy", "isAdjRibIn",
       "isIPv4", "prefix", "prefix_len"))
 
+  /** M6 l3vpn_rib (`L3VpnPrefixQuery.java:25-43`): like M1 plus rd and
+    * ext-community columns which DO update on withdraw.
+    */
+  val l3vpnRibPolicy: MergePolicy = MergePolicy(
+    keys = Seq("peer_hash_id", "hash_id"),
+    withdrawnCol = "isWithdrawn",
+    orderBy = Seq("ts_us"),
+    retainOnWithdraw = Seq("base_attr_hash_id", "origin_as"),
+    alwaysUpdate = Seq("ts_us", "path_id", "labels", "isPrePolicy", "isAdjRibIn",
+      "isIPv4", "prefix", "prefix_len", "rd", "ext_community_list"))
+
+  /** M7 ls_nodes (`LsNodeQuery.java:22-41`): ts/seq always; attr columns
+    * retained on withdraw.
+    */
   val lsNodePolicy: MergePolicy = MergePolicy(
     keys = Seq("hash_id", "peer_hash_id"),
     withdrawnCol = "isWithdrawn",
     orderBy = Seq("ts_us"),
     retainOnWithdraw = Seq("base_attr_hash_id", "sr_capabilities"),
     alwaysUpdate = Seq("ts_us", "seq"))
+
+  /** M8 ls_links (`LsLinkQuery.java:24-63`): 17 TE/attr columns retained
+    * on withdraw.
+    */
+  val lsLinkPolicy: MergePolicy = MergePolicy(
+    keys = Seq("hash_id", "peer_hash_id"),
+    withdrawnCol = "isWithdrawn",
+    orderBy = Seq("ts_us"),
+    retainOnWithdraw = Seq("base_attr_hash_id", "mt_id", "local_link_id",
+      "remote_link_id", "admin_group", "max_link_bw", "max_resv_bw",
+      "unreserved_bw", "te_def_metric", "protection_type", "mpls_proto_mask",
+      "igp_metric", "srlg", "name", "local_igp_router_id", "local_router_id",
+      "remote_igp_router_id", "remote_router_id", "sr_adjacency_sids"),
+    alwaysUpdate = Seq("ts_us", "seq"))
+
+  /** M9 ls_prefixes (`LsPrefixQuery.java:24-51`): 6 attr columns
+    * retained on withdraw.
+    */
+  val lsPrefixPolicy: MergePolicy = MergePolicy(
+    keys = Seq("hash_id", "peer_hash_id"),
+    withdrawnCol = "isWithdrawn",
+    orderBy = Seq("ts_us"),
+    retainOnWithdraw = Seq("base_attr_hash_id", "ospf_route_type", "igp_flags",
+      "route_tag", "ext_route_tag", "metric", "ospf_fwd_addr"),
+    alwaysUpdate = Seq("ts_us", "seq"))
+
+  /** M3-M5: peers/routers/collectors are full-overwrite merges (no
+    * retained columns; action→state mapping happens at parse). M4's
+    * name/description-only-when-up conditional is applied pre-merge:
+    * see `Messages.routerFromTsv` + [[routerUpCascade]].
+    */
+  def overwriteMerge(current: DataFrame, updates: DataFrame,
+                     keys: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val u = MergeOps.dedupToLatest(updates, keys, orderBy)
+      .withColumn("__wd", lit(false))
+    val c = current.withColumn("__wd", lit(false))
+    MergeOps.upsert(c, u,
+      MergePolicy(keys, "__wd", orderBy, Nil,
+        current.columns.filterNot(keys.contains).toSeq))
+      .drop("__wd")
+  }
 
   /** Kafka source over the parsed-message topic patterns; the reference
     * subscribes inventory topics first (`ConsumerRunnable.java:1054-1084`)

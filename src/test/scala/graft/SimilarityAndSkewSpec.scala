@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Skew}
+
+class SimilarityAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with an obvious structure: vectors along 3 axes
+  private def axisVec(axis: Int, scale: Float, dim: Int = 6): Seq[Float] =
+    (0 until dim).map(d => if (d == axis) scale else 0.01f * (d + 1))
+
+  val corpus = (
+    (0 until 4).map(i => (i.toLong, axisVec(0, 1.0f + i * 0.1f))) ++
+      (4 until 8).map(i => (i.toLong, axisVec(1, 1.0f + i * 0.1f))) ++
+      (8 until 12).map(i => (i.toLong, axisVec(2, 1.0f + i * 0.1f)))
+    ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine topK finds same-axis neighbors first") {
+    val top = Similarity.cosineTopK(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top === Set(1L, 2L, 3L))
+  }
+
+  test("IVF topK with enough probes matches brute force on the cluster structure") {
+    val ivf = Similarity.ivfTopK(corpus.filter(col("vec_id") === 5), corpus,
+      "vec_id", "embedding", k = 3, nClusters = 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ivf === Set(4L, 6L, 7L)) // the other axis-1 vectors
+  }
+
+  test("saltedAgg == plain agg (two-phase correctness)") {
+    val df = Seq.tabulate(1000)(i => ("hot", i.toLong)) ++ Seq(("cold", 5L))
+    val data = df.toDF("k", "v")
+    val plain = data.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Skew.saltedAgg(data, Seq("k"), col("v"), 8,
+      partialAggs = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("saltedJoin == plain join") {
+    val fact = Seq.tabulate(500)(i => ("k1", i.toLong)) :+ (("k2", -1L))
+    val factDf = fact.toDF("k", "v")
+    val dim = Seq(("k1", "one"), ("k2", "two"), ("k3", "three")).toDF("k", "name")
+    val plain = factDf.join(dim, Seq("k")).select("k", "v", "name")
+      .as[(String, Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(factDf, dim, Seq("k"), col("v"), 4)
+      .select("k", "v", "name").as[(String, Long, String)].collect().toSet
+    assert(salted === plain)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StatefulRib
+import graft.streaming.StatefulRib.{RibChange, RibUpdate}
+
+/** flatMapGroupsWithState RIB: CDC parity with the reference trigger
+  * semantics across micro-batches (advertise → dup advertise → attr
+  * change → withdraw → re-advertise).
+  */
+class StatefulRibSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("step: retain-on-withdraw + CDC predicate per record") {
+    val s0 = StatefulRib.step(None,
+      RibUpdate("p1", "h1", "a1", 65001L, 1L, isWithdrawn = false))
+    assert(s0._2.isDefined) // first advertise logs
+    val st1 = s0._1
+    // duplicate advertise, same attr → NO log (trigger WHEN clause)
+    val s1 = StatefulRib.step(Some(st1),
+      RibUpdate("p1", "h1", "a1", 65001L, 2L, isWithdrawn = false))
+    assert(s1._2.isEmpty && s1._1.ts_us === 2L)
+    // withdraw → logs OLD attr, state retains attr
+    val s2 = StatefulRib.step(Some(s1._1),
+      RibUpdate("p1", "h1", "", 0L, 3L, isWithdrawn = true))
+    assert(s2._2.get.base_attr_hash_id === "a1" && s2._2.get.isWithdrawn)
+    assert(s2._1.base_attr_hash_id === "a1" && s2._1.isWithdrawn)
+    // repeated withdraw → no log (flag didn't flip)
+    val s3 = StatefulRib.step(Some(s2._1),
+      RibUpdate("p1", "h1", "", 0L, 4L, isWithdrawn = true))
+    assert(s3._2.isEmpty)
+  }
+
+  test("streaming change stream across micro-batches") {
+    val in  = Files.createTempDirectory("graft_srib_in").toString
+    def write(name: String, rows: Seq[RibUpdate]): Unit =
+      rows.toDS().write.parquet(s"$in/$name")
+
+    write("b1", Seq(
+      RibUpdate("p1", "h1", "a1", 65001L, 1L, isWithdrawn = false),
+      RibUpdate("p1", "h2", "a2", 65002L, 1L, isWithdrawn = false)))
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[RibUpdate]].schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+      .as[RibUpdate]
+    val q = StatefulRib.changeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rib_changes")
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    q.processAllAvailable()
+
+    write("b2", Seq(RibUpdate("p1", "h1", "", 0L, 2L, isWithdrawn = true)))
+    q.processAllAvailable()
+    q.stop()
+
+    val changes = spark.table("rib_changes").as[RibChange].collect()
+      .sortBy(c => (c.hash_id, c.ts_us)).toSeq
+    assert(changes.map(c => (c.hash_id, c.base_attr_hash_id, c.isWithdrawn)) === Seq(
+      ("h1", "a1", false),
+      ("h1", "a1", true),   // withdraw carries OLD attr across batches
+      ("h2", "a2", false)))
+  }
+}
