@@ -125,6 +125,85 @@ object Messages {
     StructField("routes_adj_rib_in", StringType),
     StructField("routes_loc_rib", StringType)))
 
+  /** l3vpn = unicast_prefix + rd + ext_community_list
+    * (`L3VpnPrefixQuery.java:47-91`).
+    */
+  val l3vpnSchema: StructType = StructType(
+    unicastPrefixSchema.fields ++ Seq(
+      StructField("rd", StringType),
+      StructField("ext_community_list", StringType)))
+
+  /** ls_node key fields (`LsNodeQuery.java:44-84`). */
+  val lsNodeSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("peer_hash_id", StringType),
+    StructField("base_attr_hash_id", StringType),
+    StructField("seq", StringType),
+    StructField("asn", StringType),
+    StructField("bgp_ls_id", StringType),
+    StructField("igp_router_id", StringType),
+    StructField("ospf_area_id", StringType),
+    StructField("protocol", StringType),
+    StructField("router_id", StringType),
+    StructField("isis_area_id", StringType),
+    StructField("flags", StringType),
+    StructField("name", StringType),
+    StructField("mt_ids", StringType),
+    StructField("sr_capabilities", StringType),
+    StructField("isWithdrawn", StringType),
+    StructField("timestamp", StringType)))
+
+  /** ls_link key fields (`LsLinkQuery.java:65-131`). */
+  val lsLinkSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("peer_hash_id", StringType),
+    StructField("base_attr_hash_id", StringType),
+    StructField("seq", StringType),
+    StructField("local_node_hash_id", StringType),
+    StructField("remote_node_hash_id", StringType),
+    StructField("intf_ip", StringType),
+    StructField("nei_ip", StringType),
+    StructField("mt_id", StringType),
+    StructField("local_link_id", StringType),
+    StructField("remote_link_id", StringType),
+    StructField("admin_group", StringType),
+    StructField("max_link_bw", StringType),
+    StructField("max_resv_bw", StringType),
+    StructField("unreserved_bw", StringType),
+    StructField("te_def_metric", StringType),
+    StructField("protection_type", StringType),
+    StructField("mpls_proto_mask", StringType),
+    StructField("igp_metric", StringType),
+    StructField("srlg", StringType),
+    StructField("name", StringType),
+    StructField("isWithdrawn", StringType),
+    StructField("timestamp", StringType)))
+
+  /** ls_prefix key fields (`LsPrefixQuery.java:53-99`). */
+  val lsPrefixSchema: StructType = StructType(Seq(
+    StructField("hash_id", StringType),
+    StructField("peer_hash_id", StringType),
+    StructField("base_attr_hash_id", StringType),
+    StructField("seq", StringType),
+    StructField("local_node_hash_id", StringType),
+    StructField("mt_id", StringType),
+    StructField("ospf_route_type", StringType),
+    StructField("igp_flags", StringType),
+    StructField("route_tag", StringType),
+    StructField("ext_route_tag", StringType),
+    StructField("ospf_fwd_addr", StringType),
+    StructField("metric", StringType),
+    StructField("prefix", StringType),
+    StructField("prefix_len", StringType),
+    StructField("isWithdrawn", StringType),
+    StructField("timestamp", StringType)))
+
+  /** Valid enum domains (`1_base.sql:28-32`) — Spark has no enum type;
+    * ingest validates into StringType.
+    */
+  val LsProtocols = Set("IS-IS_L1", "IS-IS_L2", "OSPFv2", "OSPFv3", "Direct", "Static", "")
+  val OspfRouteTypes = Set("Intra", "Inter", "Ext-1", "Ext-2", "NSSA-1", "NSSA-2", "")
+
   // ---- envelope parse + coercions ------------------------------------
 
   /** S2: parse a raw TSV `line` column into typed fields (all-string
@@ -229,6 +308,47 @@ object Messages {
       .withColumn("router_count", longEmptyAsZero(col("router_count")).cast(IntegerType))
       .withColumn("timestamp", parseTs(col("timestamp")))
       .withColumn("ts_us", unix_micros(col("timestamp")))
+
+  def l3vpnFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    parseTsv(raw, lineCol, l3vpnSchema)
+      .withColumn("isIPv4", boolCell(col("isIPv4")))
+      .withColumn("origin_as", longEmptyAsZero(col("origin_as")))
+      .withColumn("prefix_len", longEmptyAsZero(col("prefix_len")).cast(IntegerType))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+      .withColumn("isWithdrawn", boolCell(col("isWithdrawn")))
+      .withColumn("path_id", longEmptyAsZero(col("path_id")))
+      .withColumn("isPrePolicy", boolCell(col("isPrePolicy")))
+      .withColumn("isAdjRibIn", boolCell(col("isAdjRibIn")))
+      .withColumn("rd", nullAsEmpty(col("rd")))
+      .withColumn("ext_community_list", strArray(col("ext_community_list")))
+      .filter(col("prefix_len") <= 128)
+
+  private def lsCommon(df: DataFrame): DataFrame =
+    df.withColumn("seq", longEmptyAsZero(col("seq")))
+      .withColumn("isWithdrawn", boolCell(col("isWithdrawn")))
+      .withColumn("timestamp", parseTs(col("timestamp")))
+      .withColumn("ts_us", unix_micros(col("timestamp")))
+      // enum validation (1_base.sql:28-32): unknown → ''
+      .withColumn("protocol",
+        when(col("protocol").isin(LsProtocols.toSeq: _*), col("protocol"))
+          .otherwise(lit("")))
+
+  def lsNodeFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    lsCommon(parseTsv(raw, lineCol, lsNodeSchema)
+      .withColumn("asn", longEmptyAsZero(col("asn"))))
+
+  def lsLinkFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    lsCommon(parseTsv(raw, lineCol, lsLinkSchema).withColumn("protocol", lit("")))
+      .withColumn("igp_metric", longEmptyAsZero(col("igp_metric")))
+
+  def lsPrefixFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
+    lsCommon(parseTsv(raw, lineCol, lsPrefixSchema).withColumn("protocol", lit("")))
+      .withColumn("prefix_len", longEmptyAsZero(col("prefix_len")).cast(IntegerType))
+      .withColumn("metric", longEmptyAsZero(col("metric")))
+      .withColumn("ospf_route_type",
+        when(col("ospf_route_type").isin(OspfRouteTypes.toSeq: _*),
+          col("ospf_route_type")).otherwise(lit("")))
 
   def bmpStatFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame = {
     val parsed = parseTsv(raw, lineCol, bmpStatSchema)

@@ -120,22 +120,31 @@ object GraftFunctions {
     ("inet_num", (c: Seq[Expression]) => InetNum(c.head)),
     ("inet_start", (c: Seq[Expression]) => InetStart(c.head)),
     ("inet_end", (c: Seq[Expression]) => InetEnd(c.head)),
-    ("inet_family", (c: Seq[Expression]) => InetFamily(c.head))
+    ("inet_family", (c: Seq[Expression]) => InetFamily(c.head)),
+    ("inet_contains", (c: Seq[Expression]) => InetContains(c(0), c(1)))
   ).map { case (name, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.plans.InetExpressions", name),
       builder)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteInetContains))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteInetContains
+  }
 }
 
-/** `spark.sql.extensions` entry point injecting the inet functions. */
+/** `spark.sql.extensions` entry point: inet functions + the
+  * containment-to-range optimizer rule.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteInetContains)
+  }
 }

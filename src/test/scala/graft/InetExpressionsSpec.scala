@@ -24,6 +24,29 @@ class InetExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("bad")))
   }
 
+  test("inet_contains evaluates and is rewritten to range form by the rule") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT inet_contains('10.0.0.0/8', inet_num('10.1.2.3')) AS hit,
+             inet_contains('10.0.0.0/8', inet_num('11.0.0.1')) AS miss,
+             inet_contains('2001:db8::/32', inet_num('2001:db8::42')) AS hit6""").head()
+    assert(r.getAs[Boolean]("hit") && !r.getAs[Boolean]("miss") && r.getAs[Boolean]("hit6"))
+
+    // the optimizer rewrites the predicate into start/end conjuncts so a
+    // containment join plans over simple binary comparisons
+    Seq("10.0.0.0/8", "192.168.0.0/16").toDF("pfx").createOrReplaceTempView("pfx_t")
+    Seq("10.5.5.5", "192.168.3.4", "8.8.8.8").toDF("ip").createOrReplaceTempView("probe_t")
+    val joined = spark.sql("""
+      SELECT pfx, ip FROM probe_t JOIN pfx_t
+      ON inet_contains(pfx, inet_num(ip))""")
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("inet_contains"))
+    assert(optimized.contains("inetstart") || optimized.contains("InetStart")
+      || optimized.contains("inet_start"))
+    assert(joined.collect().map(r0 => (r0.getString(0), r0.getString(1))).toSet ===
+      Set(("10.0.0.0/8", "10.5.5.5"), ("192.168.0.0/16", "192.168.3.4")))
+  }
+
   test("expression results match the UDF forms on v4+v6 prefixes") {
     GraftFunctions.register(spark)
     val ips = Seq("10.0.0.0/8", "192.168.1.5", "2001:db8::/32", "::1").toDF("ip")

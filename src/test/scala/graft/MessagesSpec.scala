@@ -48,6 +48,25 @@ class MessagesSpec extends SparkSpec {
     assert(Messages.peerFromTsv(mk("down")).head().getAs[String]("state") === "down")
   }
 
+  test("l3vpn parse: unicast fields + rd + ext communities") {
+    val line = Seq(Seq("h9", "p1", "a1", "1", "65001", "10.0.0.0", "8",
+      "2024-01-01 00:00:01.000000", "false", "0", "", "1", "1",
+      "65001:100", "rt:65001:1 rt:65001:2").mkString("\t")).toDF("line")
+    val r = Messages.l3vpnFromTsv(line).head()
+    assert(r.getAs[String]("rd") === "65001:100")
+    assert(r.getAs[Seq[String]]("ext_community_list") === Seq("rt:65001:1", "rt:65001:2"))
+  }
+
+  test("ls_node parse validates protocol enum; ls_prefix validates route type") {
+    def node(proto: String) = Seq(Seq("h1", "p1", "a1", "5", "65001", "0",
+      "0102.0304.0506", "0", proto, "10.0.0.1", "49.0001", "", "node1", "0",
+      "", "false", "2024-01-01 00:00:01.000000").mkString("\t")).toDF("line")
+    assert(Messages.lsNodeFromTsv(node("IS-IS_L2")).head().getAs[String]("protocol")
+      === "IS-IS_L2")
+    assert(Messages.lsNodeFromTsv(node("BOGUS")).head().getAs[String]("protocol") === "")
+    assert(Messages.lsNodeFromTsv(node("IS-IS_L2")).head().getAs[Long]("seq") === 5L)
+  }
+
   test("router action term → down; collector stopped → down") {
     def mkR(action: String) = Seq((Seq("rh", "r1", "10.0.0.1",
       "2024-01-01 00:00:01.000000", action) ++ Seq.fill(7)("")).mkString("\t")).toDF("line")
