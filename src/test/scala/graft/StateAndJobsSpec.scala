@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AggJobs, MergeOps, StateTables}
+import graft.operators.MergeOps.MergePolicy
+
+/** Bucketed state tables (Exchange elision on the snapshot side) and
+  * the idempotent stats-job runner.
+  */
+class StateAndJobsSpec extends AnyFunSuite {
+  // own session: needs a warehouse dir for bucketed catalog tables
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to observe bucketing
+    .config("spark.sql.ui.explainMode", "formatted")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  val policy = MergePolicy(
+    keys = Seq("k"), withdrawnCol = "wd", orderBy = Seq("ts"),
+    retainOnWithdraw = Seq("attr"), alwaysUpdate = Seq("ts"))
+
+  test("bucketed state merge: snapshot side reads without Exchange") {
+    val init = (1 to 100).map(i => (s"k$i", 1L, s"A$i", false))
+      .toDF("k", "ts", "attr", "wd")
+    StateTables.writeBucketed(init, "rib_state", Seq("k"), 8)
+
+    // the merge join over the bucketed side needs no shuffle on state
+    val updates = Seq(("k1", 2L, "A1x", false), ("k999", 2L, "N1", false))
+      .toDF("k", "ts", "attr", "wd")
+    val joined = spark.table("rib_state").join(updates, Seq("k"), "full_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected only the update-side Exchange:\n$plan")
+
+    StateTables.mergeIntoBucketed(spark, "rib_state", updates, policy, 8)
+    val st = spark.table("rib_state")
+    assert(st.count() === 101)
+    assert(st.filter(col("k") === "k1").head().getAs[String]("attr") === "A1x")
+  }
+
+  test("stats job: re-run with late data converges (idempotent buckets)") {
+    def logOf(rows: (Long, Long, Boolean)*) =
+      rows.toSeq.toDF("ts_us", "user_id", "wd")
+    val bucketUs = 60L * 1000000
+    val now1 = 10 * bucketUs + 5
+    // first run: events in buckets 0 and 1
+    val log1 = logOf((1L, 1L, false), (bucketUs + 1, 1L, true))
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("bucket", "user_id", "withdraws", "updates")
+    val s1 = AggJobs.runChgStats(empty, log1, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = 20 * bucketUs, nowMicros = now1)
+    assert(s1.count() === 2)
+
+    // late event lands in bucket 1; re-run recomputes that bucket whole
+    val log2 = log1.unionByName(logOf((bucketUs + 2, 1L, false)))
+    val s2 = AggJobs.runChgStats(s1, log2, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = 20 * bucketUs, nowMicros = now1 + 7)
+    val b1 = s2.filter(col("bucket") === 60).head()
+    assert(s2.count() === 2) // still one row per bucket — no dupes
+    assert(b1.getAs[Long]("withdraws") === 1L && b1.getAs[Long]("updates") === 1L)
+
+    // running again with identical inputs changes nothing
+    val s3 = AggJobs.runChgStats(s2, log2, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = 20 * bucketUs, nowMicros = now1 + 9)
+    assert(s3.collect().toSet === s2.collect().toSet)
+  }
+}
