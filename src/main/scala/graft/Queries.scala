@@ -966,6 +966,24 @@ object Queries {
         ORDER BY len DESC, gstart DESC) = 1
       ORDER BY c_custkey"""))
 
+  val q42MmFeatures = Q(
+    "q42_mm_feature_extract",
+    (s, dir) => {
+      // documents' text bytes stand in for opaque media content — the
+      // pipeline shape (binary col → batched per-partition decode →
+      // feature vector) is the real thing, the decoder is the stub
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+          encode(col("text"), "UTF-8").as("content"))
+      graft.operators.Multimodal.extractFeatures(media, "content", dim = 8)
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 2), 4).as("f1"),
+          size(col("features")).as("fdim"))
+        .orderBy("media_id")
+    },
+    None)
+
   val q41IvfAnn = Q(
     "q41_ann_ivf_topk",
     (s, dir) => {
@@ -987,5 +1005,5 @@ object Queries {
     q22ExactDedup, q23NgramJaccard, q24TextStats, q25Quality, q26LangId,
     q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
-    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn)
+    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures)
 }

@@ -80,6 +80,25 @@ object TimeAgg {
   def applyRetention(log: DataFrame, epochMicrosCol: String, cutoffMicros: Long): DataFrame =
     log.filter(col(epochMicrosCol) >= lit(cutoffMicros))
 
+  /** Streaming variant of A1 (SURVEY §2.8): tumbling event-time window
+    * + watermark, append mode — a window's row is emitted exactly once,
+    * when the watermark passes its end (the streaming twin of the
+    * idempotent whole-bucket batch re-run in [[AggJobs]]; allowed
+    * lateness = the watermark delay instead of the re-run horizon).
+    * `tsCol` must be a TimestampType event-time column.
+    */
+  def streamingChgStats(stream: DataFrame, tsCol: String, bucket: String,
+                        watermarkDelay: String, withdrawnCond: Column,
+                        keys: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), bucket) +: keys.map(col): _*)
+      .agg(
+        count(when(withdrawnCond, 1)).as("withdraws"),
+        count(when(!withdrawnCond, 1)).as("updates"))
+      .select((col("window.start").as("bucket_start") +: keys.map(col)) ++
+        Seq(col("withdraws"), col("updates")): _*)
+
   /** A4's incremental-job watermark (`2_aggregations.sql:189-201`): the
     * start time is derived from the data itself (max timestamp minus the
     * re-run horizon) — computed distributedly and applied via a

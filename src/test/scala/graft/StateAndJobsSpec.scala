@@ -13,17 +13,21 @@ import graft.operators.MergeOps.MergePolicy
   * the idempotent stats-job runner.
   */
 class StateAndJobsSpec extends AnyFunSuite {
-  // own session: needs a warehouse dir for bucketed catalog tables
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      Files.createTempDirectory("graft_wh").toString)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to observe bucketing
-    .config("spark.sql.ui.explainMode", "formatted")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // getOrCreate() may return another suite's session (builder configs
+  // are ignored then) — set session-scoped confs explicitly instead.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // force SMJ so the Exchange-elision assertion observes bucketing
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
+  }
   import spark.implicits._
 
   val policy = MergePolicy(
@@ -31,6 +35,13 @@ class StateAndJobsSpec extends AnyFunSuite {
     retainOnWithdraw = Seq("attr"), alwaysUpdate = Seq("ts"))
 
   test("bucketed state merge: snapshot side reads without Exchange") {
+    // clean any leftover managed-table locations from aborted runs
+    for (t <- Seq("rib_state", "rib_state_next")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
     val init = (1 to 100).map(i => (s"k$i", 1L, s"A$i", false))
       .toDF("k", "ts", "attr", "wd")
     StateTables.writeBucketed(init, "rib_state", Seq("k"), 8)

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.TimeAgg
+
+/** §2.8 streaming semantics: event-time tumbling window + watermark in
+  * append mode — windows seal once the watermark passes, late-but-
+  * within-watermark data still counts.
+  */
+class StreamingAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed change stats with watermark across micro-batches") {
+    val in = Files.createTempDirectory("graft_sagg_in").toString
+    def write(name: String, rows: Seq[(Timestamp, Long, Boolean)]): Unit =
+      rows.toDF("ts", "user_id", "wd").write.parquet(s"$in/$name")
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    write("b1", Seq(
+      (ts("2024-01-01 00:00:10"), 1L, false),
+      (ts("2024-01-01 00:00:40"), 1L, true),
+      (ts("2024-01-01 00:01:10"), 1L, false)))
+
+    val stream = spark.readStream
+      .schema("ts timestamp, user_id bigint, wd boolean")
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+    val agg = TimeAgg.streamingChgStats(stream, "ts", "1 minute", "30 seconds",
+      col("wd"), Seq("user_id"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_stats_stream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+
+    // late event for the 00:00 window, within watermark horizon relative
+    // to max seen (00:01:10 → watermark 00:00:40): 00:00 window not yet
+    // sealed, so this still counts; then an event far ahead seals all.
+    write("b2", Seq((ts("2024-01-01 00:00:50"), 1L, false)))
+    q.processAllAvailable()
+    write("b3", Seq((ts("2024-01-01 00:10:00"), 1L, false)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("chg_stats_stream")
+      .select(col("bucket_start").cast("string"), col("user_id"),
+        col("withdraws"), col("updates"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out.contains(("2024-01-01 00:00:00", 1L, 1L, 2L))) // incl. late event
+    assert(out.contains(("2024-01-01 00:01:00", 1L, 0L, 1L)))
+  }
+}
