@@ -116,26 +116,59 @@ object Ingest {
         col("value").cast("string").as("line"),
         col("timestamp").as("kafka_ts"))
 
-  /** One micro-batch of unicast_prefix updates merged into the RIB
-    * snapshot directory, emitting CDC rows to the log directory. Both
-    * are time/key-partitioned parquet; at cluster scale the snapshot is
-    * bucketed by hash so only the update side shuffles.
+  // ---- versioned snapshot state ---------------------------------------
+  // Each merge writes the next snapshot to <statePath>_v<N> and then
+  // atomically swaps a tiny _CURRENT pointer file — one snapshot write
+  // per batch (never a write + copy-back), readers always see a complete
+  // version, and the previous version remains for time travel until
+  // pruned. This is the snapshot/commit-pointer pattern of table formats
+  // (Delta/Iceberg) reduced to its essentials.
+
+  private def pointerFile(statePath: String) =
+    java.nio.file.Paths.get(statePath, "_CURRENT")
+
+  /** Current committed version, if any. */
+  def currentVersion(statePath: String): Option[Int] = {
+    val p = pointerFile(statePath)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p)).trim.toInt)
+    else None
+  }
+
+  /** Read the committed state snapshot (empty-schema fallback handled by
+    * callers that know the update schema).
+    */
+  def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
+    currentVersion(statePath).map(v => spark.read.parquet(s"$statePath/v$v"))
+
+  /** One micro-batch of updates merged into the versioned snapshot,
+    * emitting CDC rows to the log directory. At cluster scale the
+    * snapshot is bucketed by hash (see [[graft.operators.StateTables]])
+    * so only the update side shuffles.
     */
   def mergeBatch(spark: SparkSession, updates: DataFrame, statePath: String,
                  logPath: String, policy: MergePolicy): Unit = {
     val latest = MergeOps.dedupToLatest(
       updates.repartition(policy.keys.map(col): _*), policy.keys, policy.orderBy)
-    val current =
-      try spark.read.parquet(statePath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema) }
+    val ver = currentVersion(statePath)
+    val current = ver match {
+      case Some(v) => spark.read.parquet(s"$statePath/v$v")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema)
+    }
     val (next, log) = MergeOps.upsertWithLog(current, latest, policy)
-    // Both `next` and `log` read the old state files — materialize both
-    // BEFORE overwriting statePath, or the log plan reads deleted files.
-    val tmp = statePath + "_next"
-    next.write.mode("overwrite").parquet(tmp)
+    val nextVer = ver.getOrElse(-1) + 1
+    next.write.mode("overwrite").parquet(s"$statePath/v$nextVer")
     log.write.mode("append").parquet(logPath)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(statePath)
+    // atomic pointer swap, then prune versions older than the previous
+    val tmp = java.nio.file.Paths.get(statePath, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp, nextVer.toString.getBytes)
+    java.nio.file.Files.move(tmp, pointerFile(statePath),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (nextVer >= 2)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(statePath, s"v${nextVer - 2}"))
   }
 
   /** Wire a parsed update stream into the merge sink. */

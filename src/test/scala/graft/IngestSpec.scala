@@ -35,7 +35,7 @@ class IngestSpec extends SparkSpec {
       Seq(line("h1", "a3", "2024-01-01 00:00:04.000000", withdrawn = false)).toDF("line"),
       state, log)
 
-    val st = spark.read.parquet(state)
+    val st = Ingest.readState(spark, state).get
     assert(st.count() === 1)
     val row = st.head()
     assert(row.getAs[String]("base_attr_hash_id") === "a3")

@@ -36,7 +36,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val st = spark.read.parquet(state)
+    val st = Ingest.readState(spark, state).get
     assert(st.count() === 2)
     val h1 = st.filter(col("hash_id") === "h1").head()
     assert(h1.getAs[Boolean]("isWithdrawn") === true)
