@@ -608,27 +608,32 @@ object Queries {
     "q24_tx_token_stats",
     (s, dir) => {
       val d = t(s, dir, "documents")
+      val blank = length(trim(col("text"))) === 0
       d.select(
         col("doc_id"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFns.subwordCount(col("text")).cast("long").as("n_subwords"),
-        size(array_distinct(TextFns.tokens(col("text")))).cast("long").as("n_distinct"),
-        TextFns.typeTokenRatio(col("text")).as("ttr"),
-        TextFns.avgTokenLen(col("text")).as("avg_tok_len"),
+        when(blank, lit(0L))
+          .otherwise(size(array_distinct(TextFns.tokens(col("text")))).cast("long"))
+          .as("n_distinct"),
+        when(blank, lit(null)).otherwise(TextFns.typeTokenRatio(col("text"))).as("ttr"),
+        when(blank, lit(null)).otherwise(TextFns.avgTokenLen(col("text"))).as("avg_tok_len"),
         length(col("text")).cast("long").as("n_chars_calc"))
         .orderBy("doc_id")
     },
     Some("""
-      WITH d AS (SELECT doc_id, text,
+      WITH d AS (SELECT doc_id, text, (length(trim(text)) = 0) AS blank,
         regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
       SELECT doc_id,
-        len(toks) AS n_tokens,
+        CASE WHEN blank THEN 0 ELSE len(toks) END AS n_tokens,
         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
             t -> len(t) > 0)) AS n_subwords,
-        len(list_distinct(toks)) AS n_distinct,
-        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-        CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
-          AS avg_tok_len,
+        CASE WHEN blank THEN 0 ELSE len(list_distinct(toks)) END AS n_distinct,
+        CASE WHEN blank THEN NULL
+             ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END AS ttr,
+        CASE WHEN blank THEN NULL
+             ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks)
+        END AS avg_tok_len,
         length(text) AS n_chars_calc
       FROM d ORDER BY doc_id"""))
 

@@ -29,10 +29,16 @@ object AggJobs {
   def runChgStats(stats: DataFrame, log: DataFrame, epochMicrosCol: String,
                   bucketSec: Long, withdrawnCond: org.apache.spark.sql.Column,
                   keys: Seq[String], horizonMicros: Long, nowMicros: Long): DataFrame = {
-    val bucketUs     = bucketSec * 1000000L
+    val bucketUs      = bucketSec * 1000000L
     val currentBucket = nowMicros - nowMicros % bucketUs
+    // align the lower bound UP to a bucket boundary: only whole buckets
+    // are ever recomputed (a truncated oldest bucket would overwrite a
+    // previously-complete row with undercounts)
+    val rawStart   = nowMicros - horizonMicros
+    val alignedStart = if (rawStart % bucketUs == 0) rawStart
+                       else rawStart + (bucketUs - rawStart % bucketUs)
     val windowed = log.filter(
-      col(epochMicrosCol) >= lit(nowMicros - horizonMicros) &&
+      col(epochMicrosCol) >= lit(alignedStart) &&
         col(epochMicrosCol) < lit(currentBucket)) // exclude in-progress bucket
     val fresh = TimeAgg.chgStats(windowed, epochMicrosCol, bucketSec, withdrawnCond, keys)
     // upsert whole buckets: delete-then-insert by (bucket, keys) ≡ ON

@@ -35,6 +35,13 @@ object Dedup {
     df.groupBy(hashOf.as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
 
+  // NOTE on persist(): the near-dup operators persist their per-doc
+  // derived tables for the duration of the returned plan (they are read
+  // 2-3×). The cache lives until the session's next
+  // `spark.catalog.clearCache()` (or unpersist) — long-lived sessions
+  // looping over many corpora should clear between corpora, as
+  // graft.Bench/Verify do between queries.
+
   /** Per-doc distinct shingles, exploded: (id, tok). The narrow shape
     * every candidate-generation join starts from — shingle arrays are
     * never carried through a shuffle.
@@ -73,6 +80,9 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
     val rowsPerBand = numHashes / bands
     val exploded = explodedShingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -60,6 +60,10 @@ object LpmJoin {
   def lpmByExpansion(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
                      prefixes: DataFrame, startCol: String, lenCol: String,
                      bits: Int, tieBreak: Seq[Column] = Nil): DataFrame = {
+    // long arithmetic: shiftleft wraps shift amounts mod 64, so address
+    // spaces beyond 62 bits would silently corrupt candidates — the v6
+    // (128-bit) path uses lpmRange over the binary form instead
+    require(bits <= 62, s"lpmByExpansion supports numeric spaces up to 62 bits (got $bits); use lpmRange on the binary form for IPv6")
     val candidates = probes.withColumn(
       "__cand",
       explode(expr(
@@ -95,6 +99,7 @@ object LpmJoin {
                         prefixes: DataFrame, startCol: String, lenCol: String,
                         bits: Int, payload: Seq[String], tieBreakAsc: String,
                         broadcastDim: Boolean = true): DataFrame = {
+    require(bits <= 62, s"lpmByExpansionAgg supports numeric spaces up to 62 bits (got $bits); use lpmRange on the binary form for IPv6")
     val dimDedup = prefixes
       .groupBy(col(startCol), col(lenCol))
       .agg(min_by(struct(payload.map(col): _*), col(tieBreakAsc)).as("__payload"))

@@ -147,12 +147,18 @@ object MergeOps {
       .partitionBy(keys.map(col): _*)
       .orderBy(orderBy.map(c => col(c).desc): _*)
 
-    val withFinals = retainOnWithdraw
-      .foldLeft(updates.withColumn("__rn", row_number().over(desc))) { (d, c) =>
-        d.withColumn(s"__ret_$c", last(when(!col(withdrawnCol), col(c)), ignoreNulls = true).over(asc))
-      }
+    // retained values come from the last NON-withdrawn update as a whole
+    // row (struct), not per-column ignoreNulls — a legitimately-null
+    // column in that update must stay null, exactly as record-by-record
+    // upserts would leave it
+    val retStruct = last(
+      when(!col(withdrawnCol), struct(retainOnWithdraw.map(col): _*)),
+      ignoreNulls = true).over(asc)
+    val withFinals = updates
+      .withColumn("__rn", row_number().over(desc))
+      .withColumn("__ret", retStruct)
     val outCols = keys.map(col) ++ alwaysUpdate.map(col) ++ Seq(col(withdrawnCol)) ++
-      retainOnWithdraw.map(c => col(s"__ret_$c").as(c))
+      retainOnWithdraw.map(c => col(s"__ret.$c").as(c))
     withFinals.filter(col("__rn") === 1).select(outCols: _*)
   }
 

@@ -39,7 +39,12 @@ object StateTables {
     val next    = MergeOps.upsert(current, latest, policy)
     val tmp     = table + "_next"
     writeBucketed(next, tmp, policy.keys, numBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // swap via rename-aside: a crash at any point leaves the state
+    // recoverable under a well-known name (never a window with no table)
+    val old = table + "_old"
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{And, BinaryExpression, Expression, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{And, BinaryExpression, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, Length}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -41,7 +41,10 @@ case class InetContains(left: Expression, right: Expression)
     val end   = InetOps.prefixEnd(p.asInstanceOf[UTF8String])
     val addr  = a.asInstanceOf[Array[Byte]]
     if (start == null || end == null) null
-    else java.util.Arrays.compareUnsigned(start, addr) <= 0 &&
+    // mixed families never contain each other (Postgres >>= semantics);
+    // length check also keeps the lexicographic compare numeric
+    else start.length == addr.length &&
+      java.util.Arrays.compareUnsigned(start, addr) <= 0 &&
       java.util.Arrays.compareUnsigned(end, addr) >= 0
   }
 
@@ -51,7 +54,8 @@ case class InetContains(left: Expression, right: Expression)
       byte[] end = graft.plans.InetOps.prefixEnd($p);
       if (start == null || end == null) { ${ev.isNull} = true; }
       else {
-        ${ev.value} = java.util.Arrays.compareUnsigned(start, $a) <= 0 &&
+        ${ev.value} = start.length == $a.length &&
+          java.util.Arrays.compareUnsigned(start, $a) <= 0 &&
           java.util.Arrays.compareUnsigned(end, $a) >= 0;
       }
     """)
@@ -60,12 +64,16 @@ case class InetContains(left: Expression, right: Expression)
     copy(newLeft, newRight)
 }
 
-/** Optimizer rule: containment predicate → range-conjunct form. */
+/** Optimizer rule: containment predicate → range-conjunct form (with
+  * the same-family length guard — mixed v4/v6 never contain).
+  */
 object RewriteInetContains extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions { case InetContains(p, a) =>
       And(
-        LessThanOrEqual(InetStart(p), a),
-        GreaterThanOrEqual(InetEnd(p), a))
+        EqualTo(Length(InetStart(p)), Length(a)),
+        And(
+          LessThanOrEqual(InetStart(p), a),
+          GreaterThanOrEqual(InetEnd(p), a)))
     }
 }

@@ -171,10 +171,17 @@ object Ingest {
         new java.io.File(statePath, s"v${nextVer - 2}"))
   }
 
-  /** Wire a parsed update stream into the merge sink. */
+  /** Wire a parsed update stream into the merge sink. The checkpoint
+    * (default: alongside the state) makes restarts resume from the last
+    * committed offsets instead of replaying the topic from earliest;
+    * the snapshot converges either way (idempotent merge) but the CDC
+    * log would otherwise re-append history.
+    */
   def start(parsed: DataFrame, statePath: String, logPath: String,
-            policy: MergePolicy, triggerMs: Long = 300): StreamingQuery =
+            policy: MergePolicy, triggerMs: Long = 300,
+            checkpoint: Option[String] = None): StreamingQuery =
     parsed.writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$statePath/_checkpoint"))
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeBatch(batch.sparkSession, batch, statePath, logPath, policy)

@@ -139,8 +139,13 @@ object BmpViews {
         .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
           col("country"), col("city")))
     val probed = routes.withColumn("__addr", IpKit.ipNumUdf(IpKit.inetHost(col("Prefix"))))
-    graft.operators.LpmJoin.lpmRange(
+    // LEFT semantics like the reference view (8_views.sql:76): routes
+    // with no covering geo prefix keep null geo columns, never drop
+    val matched = graft.operators.LpmJoin.lpmRange(
       probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
-      g, "ip_start", "ip_end", "ip_len").drop("__addr")
+      g, "ip_start", "ip_end", "ip_len")
+      .select(col("rib_hash_id"), col("peer_hash_id"),
+        col("geo_ip"), col("country"), col("city"))
+    routes.join(matched, Seq("rib_hash_id", "peer_hash_id"), "left")
   }
 }

@@ -29,8 +29,12 @@ class InetExpressionsSpec extends SparkSpec {
     val r = spark.sql("""
       SELECT inet_contains('10.0.0.0/8', inet_num('10.1.2.3')) AS hit,
              inet_contains('10.0.0.0/8', inet_num('11.0.0.1')) AS miss,
-             inet_contains('2001:db8::/32', inet_num('2001:db8::42')) AS hit6""").head()
+             inet_contains('2001:db8::/32', inet_num('2001:db8::42')) AS hit6,
+             inet_contains('10.0.0.0/8', inet_num('a00:1::')) AS xfam,
+             inet_contains('::/0', inet_num('10.0.0.1')) AS xfam2""").head()
     assert(r.getAs[Boolean]("hit") && !r.getAs[Boolean]("miss") && r.getAs[Boolean]("hit6"))
+    // mixed families never contain (Postgres >>= semantics)
+    assert(!r.getAs[Boolean]("xfam") && !r.getAs[Boolean]("xfam2"))
 
     // the optimizer rewrites the predicate into start/end conjuncts so a
     // containment join plans over simple binary comparisons

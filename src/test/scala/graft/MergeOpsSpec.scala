@@ -67,6 +67,20 @@ class MergeOpsSpec extends SparkSpec {
     assert(m("c") === ((1L, true, null)))  // withdraw-first: no attr ever
   }
 
+  test("applyOrdered keeps a legitimately-null retained value from the last advertise") {
+    // advertise(A) → advertise(null) → withdraw: record-by-record leaves
+    // attr=null (retained from the 2nd advertise); per-column ignoreNulls
+    // would wrongly resurrect "A"
+    val updates = df(("a", 1L, "A", false), ("a", 2L, null, false), ("a", 3L, null, true))
+    val folded = MergeOps.applyOrdered(updates, policy).head()
+    assert(folded.getAs[String]("attr") === null)
+    assert(folded.getAs[Boolean]("wd") === true)
+    val seqState = updates.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .foldLeft(df().limit(0))((cur, u) => MergeOps.upsert(cur, df(u), policy))
+    assert(seqState.head().getAs[String]("attr") === null)
+  }
+
   test("dedupToLatest keeps exactly the newest row per key") {
     val d = MergeOps.dedupToLatest(
       df(("a", 1L, "x", false), ("a", 3L, "y", false), ("a", 2L, "z", true)),

@@ -36,7 +36,7 @@ class StateAndJobsSpec extends AnyFunSuite {
 
   test("bucketed state merge: snapshot side reads without Exchange") {
     // clean any leftover managed-table locations from aborted runs
-    for (t <- Seq("rib_state", "rib_state_next")) {
+    for (t <- Seq("rib_state", "rib_state_next", "rib_state_old")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -85,5 +85,13 @@ class StateAndJobsSpec extends AnyFunSuite {
     val s3 = AggJobs.runChgStats(s2, log2, "ts_us", 60, col("wd"), Seq("user_id"),
       horizonMicros = 20 * bucketUs, nowMicros = now1 + 9)
     assert(s3.collect().toSet === s2.collect().toSet)
+
+    // a horizon landing MID-bucket must not recompute that bucket from a
+    // truncated window (would overwrite a complete row with undercounts)
+    val s4 = AggJobs.runChgStats(s3, log2, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = now1 + 9 - 30 * 1000000, // lower bound = 00:00:30
+      nowMicros = now1 + 9)
+    val b0 = s4.filter(col("bucket") === 0).head()
+    assert(b0.getAs[Long]("updates") === 1L) // original complete value kept
   }
 }
