@@ -28,14 +28,26 @@ object IpKit {
 
   /** Numeric value of an IP address string (IPv4 or IPv6), as an
     * unsigned big-endian integer. IPv4 → 0..2^32-1, IPv6 → 0..2^128-1.
+    *
+    * IPv4-mapped forms (`::ffff:a.b.c.d`) stay IPv6 (Postgres `family`
+    * semantics — the reference's inet columns treat them as family 6);
+    * Java's InetAddress normalizes them to Inet4Address, so the 16-byte
+    * value is reconstructed from the mapped prefix.
     */
   def ipToBigInt(ip: String): BigInteger = {
-    val addr = InetAddress.getByName(ip.trim)
-    new BigInteger(1, addr.getAddress)
+    val s    = ip.trim
+    val addr = InetAddress.getByName(s)
+    addr match {
+      case v4: Inet4Address if s.contains(":") =>
+        // ::ffff:a.b.c.d — rebuild the 128-bit mapped value
+        new BigInteger(1, v4.getAddress)
+          .add(BigInteger.valueOf(0xffffL).shiftLeft(32))
+      case a => new BigInteger(1, a.getAddress)
+    }
   }
 
   def isIpv4(ip: String): Boolean =
-    InetAddress.getByName(ip.trim).isInstanceOf[Inet4Address]
+    !ip.contains(":") && InetAddress.getByName(ip.trim).isInstanceOf[Inet4Address]
 
   /** (family, start, end) of a prefix "addr/len" (len optional → host). */
   def prefixRange(prefix: String): (Int, BigInteger, BigInteger) = {
@@ -43,10 +55,9 @@ object IpKit {
       case -1 => (prefix, None)
       case i  => (prefix.substring(0, i), Some(prefix.substring(i + 1).toInt))
     }
-    val addr    = InetAddress.getByName(addrStr.trim)
-    val bits    = if (addr.isInstanceOf[Inet4Address]) 32 else 128
+    val bits    = if (addrStr.contains(":")) 128 else 32
     val len     = lenOpt.getOrElse(bits)
-    val value   = new BigInteger(1, addr.getAddress)
+    val value   = ipToBigInt(addrStr)
     val hostLen = bits - len
     val start   = value.shiftRight(hostLen).shiftLeft(hostLen)
     val end     = start.add(BigInteger.ONE.shiftLeft(hostLen)).subtract(BigInteger.ONE)

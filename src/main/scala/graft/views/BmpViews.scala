@@ -104,6 +104,56 @@ object BmpViews {
   def lsNodeFilter(igpRouterId: Column): Column =
     !igpRouterId.rlike("\\..[1-9A-F]00$") && !igpRouterId.endsWith("]")
 
+  /** F7: OSPF uses router_id, IS-IS the IGP router id (`8_views.sql:113,131`). */
+  def routerIdByProtocol(protocol: Column, routerId: Column, igpRouterId: Column): Column =
+    when(protocol.isin("OSPFv2", "OSPFv3"), routerId).otherwise(igpRouterId)
+
+  /** v_ls_nodes (`8_views.sql:104-131`): nodes ⋈ peers ⋈ routers with
+    * the pseudo-node exclusion and the protocol-dependent router id.
+    */
+  def vLsNodes(nodes: DataFrame, peers: DataFrame, routers: DataFrame): DataFrame =
+    nodes.as("n")
+      .join(peers.as("p"), col("n.peer_hash_id") === col("p.hash_id"), "inner")
+      .join(routers.as("r"), col("p.router_hash_id") === col("r.hash_id"), "inner")
+      .filter(lsNodeFilter(col("n.igp_router_id")))
+      .select(
+        nameOrHost(col("r.name"), col("r.ip_address")).as("RouterName"),
+        nameOrHost(col("p.name"), col("p.peer_addr")).as("PeerName"),
+        col("n.name").as("Node_Name"),
+        routerIdByProtocol(col("n.protocol"), col("n.router_id"), col("n.igp_router_id"))
+          .as("Router_ID"),
+        col("n.protocol").as("Protocol"),
+        col("n.hash_id").as("node_hash_id"),
+        col("n.peer_hash_id").as("peer_hash_id"),
+        col("n.isWithdrawn").as("isWithdrawn"))
+
+  /** v_ls_prefixes (`8_views.sql:145-153`): prefixes ⋈ their local node. */
+  def vLsPrefixes(prefixes: DataFrame, nodes: DataFrame): DataFrame =
+    prefixes.as("pf")
+      .join(nodes.as("n"),
+        col("pf.local_node_hash_id") === col("n.hash_id") &&
+          col("pf.peer_hash_id") === col("n.peer_hash_id"), "inner")
+      .select(
+        col("n.name").as("Node_Name"),
+        col("pf.prefix").as("Prefix"),
+        col("pf.prefix_len").as("PrefixLen"),
+        col("pf.metric").as("Metric"),
+        col("pf.ospf_route_type").as("RouteType"),
+        col("pf.hash_id").as("prefix_hash_id"),
+        col("pf.peer_hash_id").as("peer_hash_id"),
+        col("pf.isWithdrawn").as("isWithdrawn"))
+
+  /** v_l3vpn_routes (`10_l3vpn.sql:81-122`): the v_ip_routes join shape
+    * plus RD and extended communities.
+    */
+  def vL3vpnRoutes(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
+                   routers: DataFrame): DataFrame =
+    vIpRoutes(rib, peers, attrs, routers)
+      .join(rib.select(col("hash_id").as("rib_hash_id"),
+        col("peer_hash_id"), col("rd").as("RD"),
+        col("ext_community_list").as("ExtCommunities")),
+        Seq("rib_hash_id", "peer_hash_id"), "inner")
+
   /** Register the reporting surface on a session: materialized state
     * tables under their reference names + the derived v_* views, so
     * `spark.sql("SELECT … FROM v_ip_routes WHERE …")` works exactly like

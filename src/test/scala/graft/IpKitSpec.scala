@@ -42,6 +42,30 @@ class IpKitSpec extends SparkSpec {
     assert(hits === Set("10.0.0.0/8", "10.1.0.0/16"))
   }
 
+  test("FIXTURES scenario 5: v4-mapped + /0 defaults LPM edge cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ::ffff:a.b.c.d is family 6 (Postgres semantics), 16-byte value
+    val (fam, s6, _) = IpKit.prefixRange("::ffff:10.1.2.3")
+    assert(fam === 6)
+    assert(s6.bitLength() > 32 && s6.and(BigInteger.valueOf(0xffffffffL)) ===
+      IpKit.ipToBigInt("10.1.2.3"))
+
+    val geo = IpKit.withPrefixRange(
+      Seq("0.0.0.0/0", "::/0", "10.0.0.0/8", "2001:db8::/32").toDF("ip"), "ip")
+    def lpmOf(probe: String): String = {
+      val famLit = if (probe.contains(":")) 6 else 4
+      val p = IpKit.ipNumUdf(lit(probe))
+      geo.filter(col("ip_family") === famLit &&
+          p >= col("ip_start") && p <= col("ip_end"))
+        .orderBy(col("ip_len").desc).select("ip").as[String].head()
+    }
+    assert(lpmOf("10.1.2.3") === "10.0.0.0/8")
+    assert(lpmOf("8.8.8.8") === "0.0.0.0/0")        // default route catches
+    assert(lpmOf("2001:db8::1") === "2001:db8::/32")
+    assert(lpmOf("::ffff:10.1.2.3") === "::/0")      // mapped stays family 6
+  }
+
   test("inetHost / inetFamily / inetMaskLen columns") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
