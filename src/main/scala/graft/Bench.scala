@@ -30,6 +30,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // operators may persist() intermediates
+        System.gc() // let ContextCleaner reclaim shuffle files/broadcasts
         name -> dt
       }
 

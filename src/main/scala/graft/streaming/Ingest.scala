@@ -197,6 +197,30 @@ object Ingest {
     mergeBatch(spark, parsed, statePath, logPath, ipRibPolicy)
   }
 
+  /** T4: peer event log (`9_triggers.sql:43-85`): EVERY peer message
+    * appends an event row — with the session fields when the peer is
+    * up, the BMP/BGP error fields when down.
+    */
+  def peerEventLog(peerUpdates: DataFrame): DataFrame = {
+    val up = col("state") === "up"
+    peerUpdates.select(
+      col("hash_id").as("peer_hash_id"),
+      col("state"),
+      col("ts_us"),
+      col("peer_addr"),
+      col("name"),
+      col("peer_as"),
+      when(up, col("local_ip")).as("local_ip"),
+      when(up, col("local_port")).as("local_port"),
+      when(up, col("local_asn")).as("local_asn"),
+      when(up, col("sent_capabilities")).as("sent_capabilities"),
+      when(up, col("recv_capabilities")).as("recv_capabilities"),
+      when(!up, col("bmp_reason")).as("bmp_reason"),
+      when(!up, col("bgp_err_code")).as("bgp_err_code"),
+      when(!up, col("bgp_err_subcode")).as("bgp_err_subcode"),
+      when(!up, col("error_text")).as("error_text"))
+  }
+
   /** T7: router-up cascade (`RouterQuery.java:93-139`): when a router
     * (re)connects at time T, all of its peers with older state go
     * 'down' — the consumer's in-memory connection counting reduces, in

@@ -43,6 +43,25 @@ class ViewsAndCascadeSpec extends SparkSpec {
     assert(vp.getAs[String]("as_name") === "Acme Transit") // left join hit
   }
 
+  test("T4 peer event log: up rows carry session fields, down rows error fields") {
+    val peers = graft.model.Messages.peerFromTsv(Seq(
+      (Seq("p1", "r1", "", "1", "10.0.0.9", "peer9", "10.0.0.9", "65009", "up",
+        "0", "2024-01-01 00:00:01.000000", "1", "10.0.0.1", "10.0.0.1", "179",
+        "90", "65000", "40000", "90", "caps-s", "caps-r", "", "", "", "",
+        "0", "0", "t") ++ Seq()).mkString("\t"),
+      (Seq("p2", "r1", "", "1", "10.0.0.8", "peer8", "10.0.0.8", "65008", "down",
+        "0", "2024-01-01 00:00:02.000000", "1", "", "", "", "", "", "", "",
+        "", "", "reason-x", "6", "2", "cease", "0", "0", "t")).mkString("\t"))
+      .toDF("line"))
+    val log = Ingest.peerEventLog(peers).collect()
+      .map(r => r.getAs[String]("peer_hash_id") -> r).toMap
+    assert(log("p1").getAs[String]("local_ip") === "10.0.0.1")
+    assert(log("p1").getAs[String]("bmp_reason") === null)
+    assert(log("p2").getAs[String]("local_ip") === null)
+    assert(log("p2").getAs[String]("bmp_reason") === "reason-x")
+    assert(log("p2").getAs[String]("error_text") === "cease")
+  }
+
   test("T7 router-up cascade downs only stale peers of that router") {
     val peers = Seq(
       ("p1", "rt1", "up", 100L), ("p2", "rt1", "up", 300L), ("p3", "rt2", "up", 100L))
