@@ -147,7 +147,8 @@ object Ingest {
     * so only the update side shuffles.
     */
   def mergeBatch(spark: SparkSession, updates: DataFrame, statePath: String,
-                 logPath: String, policy: MergePolicy): Unit = {
+                 logPath: String, policy: MergePolicy,
+                 batchId: Option[Long] = None): Unit = {
     val latest = MergeOps.dedupToLatest(
       updates.repartition(policy.keys.map(col): _*), policy.keys, policy.orderBy)
     val ver = currentVersion(statePath)
@@ -159,7 +160,13 @@ object Ingest {
     val (next, log) = MergeOps.upsertWithLog(current, latest, policy)
     val nextVer = ver.getOrElse(-1) + 1
     next.write.mode("overwrite").parquet(s"$statePath/v$nextVer")
-    log.write.mode("append").parquet(logPath)
+    // CDC log: with a batchId (streaming), the write is idempotent — a
+    // retried/replayed micro-batch overwrites its own partition instead
+    // of appending duplicates (at-least-once source → exactly-once log)
+    batchId match {
+      case Some(id) => log.write.mode("overwrite").parquet(s"$logPath/batch=$id")
+      case None     => log.write.mode("append").parquet(logPath)
+    }
     // atomic pointer swap, then prune versions older than the previous
     val tmp = java.nio.file.Paths.get(statePath, "_CURRENT.tmp")
     java.nio.file.Files.write(tmp, nextVer.toString.getBytes)
@@ -183,8 +190,8 @@ object Ingest {
     parsed.writeStream
       .option("checkpointLocation", checkpoint.getOrElse(s"$statePath/_checkpoint"))
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch.sparkSession, batch, statePath, logPath, policy)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch.sparkSession, batch, statePath, logPath, policy, Some(batchId))
       }
       .start()
 
