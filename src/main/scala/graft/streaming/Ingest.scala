@@ -204,6 +204,24 @@ object Ingest {
     mergeBatch(spark, parsed, statePath, logPath, ipRibPolicy)
   }
 
+  /** Log compaction (SURVEY §4 "autovacuum → compaction job instead"):
+    * micro-batching accumulates one small parquet dir per batch under
+    * the CDC log; periodically rewrite closed time ranges into few large
+    * files partitioned by hour — the read-side layout the stats jobs
+    * prune on. Returns the compacted frame writer's target path.
+    */
+  def compactLog(spark: SparkSession, logPath: String, compactedPath: String,
+                 tsUsCol: String = "ts_us"): Unit = {
+    val log = spark.read.parquet(logPath)
+    log
+      .withColumn("date_hour",
+        from_unixtime((col(tsUsCol) / 1000000L).cast("long"), "yyyy-MM-dd-HH"))
+      .repartition(col("date_hour"))
+      .write.mode("overwrite")
+      .partitionBy("date_hour")
+      .parquet(compactedPath)
+  }
+
   /** T4: peer event log (`9_triggers.sql:43-85`): EVERY peer message
     * appends an event row — with the session fields when the peer is
     * up, the BMP/BGP error fields when down.

@@ -42,5 +42,11 @@ class StreamingSpec extends SparkSpec {
     assert(h1.getAs[Boolean]("isWithdrawn") === true)
     assert(h1.getAs[String]("base_attr_hash_id") === "a1") // retained on withdraw
     assert(spark.read.parquet(log).count() === 3)          // 2 advertises + 1 withdraw
+
+    // compaction rewrites the per-batch dirs into hour-partitioned files
+    Ingest.compactLog(spark, log, s"$out/log_compact")
+    val compact = spark.read.parquet(s"$out/log_compact")
+    assert(compact.count() === 3)
+    assert(compact.columns.contains("date_hour"))
   }
 }
