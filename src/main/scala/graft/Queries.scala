@@ -510,7 +510,10 @@ object Queries {
         BmpViews.nameOrHost(col("blanked_name"), col("ip")).as("name_or_host"),
         substring(col("c_name"), 1, 8).as("short_name"),
         regexp_replace(col("c_name"), "[#\\s]", "").as("squashed"),
-        upper(col("c_name")).as("upper_name"))
+        upper(col("c_name")).as("upper_name"),
+        // F6: the pseudo-node-style regex filter as a flag column
+        (col("ip").rlike("\\.\\d+/\\d+$") && !col("ip").endsWith("/8"))
+          .as("pseudo_flag"))
         .orderBy("c_custkey")
     },
     Some("""
@@ -531,7 +534,8 @@ object Queries {
              ELSE regexp_extract(ip, '^([^/]+)', 1) END AS name_or_host,
         substring(c_name, 1, 8) AS short_name,
         regexp_replace(c_name, '[#\s]', '', 'g') AS squashed,
-        upper(c_name) AS upper_name
+        upper(c_name) AS upper_name,
+        (regexp_matches(ip, '\.\d+/\d+$') AND NOT ip LIKE '%/8') AS pseudo_flag
       FROM c ORDER BY c_custkey"""))
 
   val q21Tsv = Q(

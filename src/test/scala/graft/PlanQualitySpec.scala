@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression tests — the 100 TB story is only real if the
+  * physical plans keep the shapes the docs claim: dims broadcast (fact
+  * side never pre-shuffled), scans pruned to needed columns, no
+  * accidental sort-merge joins or cartesian products on the join
+  * pipelines.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02 join chain: all dims broadcast, lineitem scan pruned") {
+    val plan = planOf("q02_j1_routes_join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    // lineitem scan must read only the join/agg columns, not the table
+    val scanLine = plan.split("\n").find(l => l.contains("lineitem") && l.contains("ReadSchema"))
+      .orElse(plan.split("\n").find(_.contains("ReadSchema: struct<l_")))
+    assert(scanLine.exists { l =>
+      l.contains("l_orderkey") && !l.contains("l_shipdate") && !l.contains("l_returnflag")
+    }, s"lineitem scan not pruned:\n${scanLine.getOrElse(plan)}")
+  }
+
+  test("q06 covering join broadcasts the ROA dim (no shuffled theta join)") {
+    val plan = planOf("q06_j6_covering_join")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"covering join didn't broadcast:\n$plan")
+  }
+
+  test("q05 expansion LPM is an equi-join + partial aggregation (no window sort)") {
+    val plan = planOf("q05_j5_lpm")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"expansion LPM fell back to a window:\n$plan")
+    // max_by(struct) plans as SortAggregate (struct buffer) — still a
+    // partial+final aggregation, one row per probe leaves the map side
+    assert(plan.contains("Aggregate"), s"missing aggregate:\n$plan")
+  }
+
+  test("q01 aggregation keeps whole-stage codegen on the scan+agg path") {
+    val qe = SparkEntry.queries("q01_pricing_agg")(spark, dir).queryExecution
+    val s = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"), s"no WholeStageCodegen spans:\n${s.take(2000)}")
+  }
+}
