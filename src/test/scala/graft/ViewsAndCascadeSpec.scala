@@ -62,6 +62,34 @@ class ViewsAndCascadeSpec extends SparkSpec {
     assert(log("p2").getAs[String]("error_text") === "cease")
   }
 
+  test("FIXTURES scenario 2: peer down/up flap → event log + stale RIB purge") {
+    // RIB before the flap: two routes learned from p1, one from p2
+    val rib = Seq(
+      ("h1", "p1", 100L), ("h2", "p1", 200L), ("h3", "p2", 100L))
+      .toDF("hash_id", "peer_hash_id", "ts_us")
+    // p1 flaps: down at t=300, back up at t=400 (the up message is the
+    // purge trigger — PeerQuery.java:121-153 deletes older rows)
+    def peerLine(action: String, ts: String) =
+      (Seq("p1", "r1", "", "1", "10.0.0.9", "peer9", "10.0.0.9", "65009", action,
+        "0", ts, "1") ++ Seq.fill(16)("")).mkString("\t")
+    val flap = graft.model.Messages.peerFromTsv(Seq(
+      peerLine("down", "1970-01-01 00:00:00.000300"),
+      peerLine("up", "1970-01-01 00:00:00.000400")).toDF("line"))
+
+    // T4: both transitions land in the event log
+    val events = Ingest.peerEventLog(flap)
+      .select("state").as[String].collect().sorted.toSeq
+    assert(events === Seq("down", "up"))
+
+    // T9: the up message purges p1's pre-flap routes; p2 untouched
+    val upMsgs = flap.filter(col("state") === "up")
+      .select(col("hash_id"), col("ts_us"))
+    val purged = graft.operators.MergeOps.purgeStale(
+      rib, "peer_hash_id", "ts_us", upMsgs, "hash_id", "ts_us")
+      .select("hash_id").as[String].collect().toSet
+    assert(purged === Set("h3")) // p1's stale routes gone, p2 kept
+  }
+
   test("T7 router-up cascade downs only stale peers of that router") {
     val peers = Seq(
       ("p1", "rt1", "up", 100L), ("p2", "rt1", "up", 300L), ("p3", "rt2", "up", 100L))
