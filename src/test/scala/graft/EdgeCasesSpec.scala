@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, MergeOps}
+import graft.operators.MergeOps.MergePolicy
+
+/** Edge-case hardening: empty/blank/unicode text, empty update batches,
+  * single-row corpora — the inputs a 100 TB crawl corpus definitely
+  * contains.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text functions on blank and unicode text") {
+    val r = Seq(("", 1L), ("   ", 2L), ("héllo wörld héllo", 3L), ("日本語 テキスト", 4L))
+      .toDF("text", "id")
+      .select(col("id"), TextFns.tokenCount(col("text")).as("n"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.langId(col("text")).as("lang"))
+      .collect().map(r0 => r0.getLong(0) -> (r0.getInt(1), r0.getLong(2), r0.getString(3)))
+      .toMap
+    assert(r(1L)._1 === 0 && r(2L)._1 === 0)
+    assert(r(3L)._1 === 3 && r(4L)._1 === 2)
+    assert(r(3L)._2 >= 0 && r(1L)._3 === "und")
+  }
+
+  test("shingles/minhash on texts shorter than the shingle size") {
+    val docs = Seq((1L, "one two"), (2L, "single"), (3L, "")).toDF("doc_id", "text")
+    // 3-gram shingles of 2-token/1-token/empty docs → all filtered out
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", shingleN = 3,
+      numHashes = 8, bands = 4, threshold = 0.1)
+    assert(pairs.count() === 0)
+  }
+
+  test("merge with an empty update batch is a no-op") {
+    val policy = MergePolicy(Seq("k"), "wd", Seq("ts"), Seq("attr"), Seq("ts"))
+    val cur = Seq(("a", 1L, "A", false)).toDF("k", "ts", "attr", "wd")
+    val (next, log) = MergeOps.upsertWithLog(cur, cur.limit(0), policy)
+    assert(next.collect().map(_.toSeq).toSet === cur.collect().map(_.toSeq).toSet)
+    assert(log.count() === 0)
+  }
+
+  test("dedupToLatest on empty input and single row") {
+    val df = Seq(("a", 1L)).toDF("k", "ts")
+    assert(MergeOps.dedupToLatest(df.limit(0), Seq("k"), Seq("ts")).count() === 0)
+    assert(MergeOps.dedupToLatest(df, Seq("k"), Seq("ts")).count() === 1)
+  }
+}
