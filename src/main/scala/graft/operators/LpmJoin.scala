@@ -49,13 +49,33 @@ object LpmJoin {
       .drop("__rn")
   }
 
+  /** Static candidate array: one (len, alignedStart) struct per length
+    * ACTUALLY PRESENT in the dim (collected once — the distinct-length
+    * set of a routing table is tiny, e.g. ~25 for real BGP). Static
+    * literals keep the whole expansion inside whole-stage codegen
+    * (loop-unrolled); the generic `transform(sequence(...))` lambda is
+    * interpreted and ~10× slower at 10M+ probes.
+    */
+  private def candidateArray(probeAddr: String, lens: Seq[Int], bits: Int): Column = {
+    val structs = lens.sorted.map { l =>
+      val step = 1L << (bits - l)
+      struct(lit(l).as("len"),
+        (col(probeAddr) - pmod(col(probeAddr), lit(step))).as("start"))
+    }
+    array(structs: _*)
+  }
+
+  private def dimLens(prefixes: DataFrame, lenCol: String): Seq[Int] =
+    prefixes.select(col(lenCol).cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
   /** Strategy 2: ancestor-expansion LPM — equi-join scale path.
     *
     * Probe address `a` can only match a dim prefix at length L whose
     * start is `(a >> (B-L)) << (B-L)`; generating that candidate per
-    * length turns LPM into an equi-join on (start, len) followed by
-    * max-length-wins. `bits` = size of the address space (32/128, or
-    * smaller for test domains).
+    * dim-present length turns LPM into an equi-join on (start, len)
+    * followed by max-length-wins. `bits` = size of the address space
+    * (32, or smaller for test domains).
     */
   def lpmByExpansion(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
                      prefixes: DataFrame, startCol: String, lenCol: String,
@@ -66,9 +86,7 @@ object LpmJoin {
     require(bits <= 62, s"lpmByExpansion supports numeric spaces up to 62 bits (got $bits); use lpmRange on the binary form for IPv6")
     val candidates = probes.withColumn(
       "__cand",
-      explode(expr(
-        s"transform(sequence(0, $bits), l -> struct(l as len, " +
-          s"($probeAddr div shiftleft(cast(1 as bigint), $bits - l)) * shiftleft(cast(1 as bigint), $bits - l) as start))")))
+      explode(candidateArray(probeAddr, dimLens(prefixes, lenCol), bits)))
     val w = Window
       .partitionBy(probeKey.map(col): _*)
       .orderBy(col(lenCol).desc +: col(startCol).desc +: tieBreak: _*)
@@ -99,30 +117,39 @@ object LpmJoin {
                         prefixes: DataFrame, startCol: String, lenCol: String,
                         bits: Int, payload: Seq[String], tieBreakAsc: String,
                         broadcastDim: Boolean = true): DataFrame = {
-    require(bits <= 62, s"lpmByExpansionAgg supports numeric spaces up to 62 bits (got $bits); use lpmRange on the binary form for IPv6")
+    // winner selection packs (len, start) into ONE bigint so the
+    // per-probe reduction is a plain codegen'd max() HASH aggregate —
+    // max_by over a struct would force a SortAggregate (struct buffer),
+    // i.e. a full sort of all matched rows. Needs len+addr to fit a
+    // long: 6 bits of len + `bits` of start ≤ 63.
+    require(bits <= 57, s"lpmByExpansionAgg supports numeric spaces up to 57 bits (got $bits); use lpmRange on the binary form for IPv6")
     val dimDedup = prefixes
       .groupBy(col(startCol), col(lenCol))
       .agg(min_by(struct(payload.map(col): _*), col(tieBreakAsc)).as("__payload"))
     val dim = if (broadcastDim) broadcast(dimDedup) else dimDedup
     val candidates = probes.withColumn(
       "__cand",
-      explode(expr(
-        s"transform(sequence(0, $bits), l -> struct(l as len, " +
-          s"($probeAddr div shiftleft(cast(1 as bigint), $bits - l)) * shiftleft(cast(1 as bigint), $bits - l) as start))")))
+      explode(candidateArray(probeAddr, dimLens(prefixes, lenCol), bits)))
     val probeCarry = probes.columns.filterNot(probeKey.contains)
-    candidates
+    val packed = candidates
       .join(dim,
         col("__cand.len") === col(lenCol) && col("__cand.start") === col(startCol),
-        "inner")
+        "left_semi")
+      .withColumn("__pack",
+        shiftleft(col("__cand.len").cast("long"), bits) + col("__cand.start"))
+    val winners = packed
       .groupBy(probeKey.map(col): _*)
-      .agg(max_by(
-        struct((probeCarry.map(col) :+ col(lenCol) :+ col(startCol) :+ col("__payload")): _*),
-        struct(col(lenCol), col(startCol))).as("__w"))
-      .select(probeKey.map(col) ++
-        probeCarry.map(c => col(s"__w.$c").as(c)) ++
-        Seq(col(s"__w.$lenCol").as(lenCol), col(s"__w.$startCol").as(startCol)) ++
+      .agg(max(col("__pack")).as("__pk"),
+        probeCarry.map(c => first(col(c)).as(c)): _*)
+      .withColumn(lenCol, shiftrightunsigned(col("__pk"), bits).cast("int"))
+      .withColumn(startCol, col("__pk") - shiftleft(shiftrightunsigned(col("__pk"), bits), bits))
+      .drop("__pk")
+    winners
+      .join(dim, Seq(startCol, lenCol))
+      .select(probeKey.map(col) ++ probeCarry.map(col) ++
+        Seq(col(lenCol), col(startCol)) ++
         payload.filterNot(p => p == lenCol || p == startCol)
-          .map(p => col(s"__w.__payload.$p").as(p)): _*)
+          .map(p => col(s"__payload.$p").as(p)): _*)
   }
 
   /** Covering-prefix containment join (J6, RPKI-style): every (fact,dim)
