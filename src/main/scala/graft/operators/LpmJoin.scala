@@ -140,7 +140,7 @@ object LpmJoin {
     val winners = packed
       .groupBy(probeKey.map(col): _*)
       .agg(max(col("__pack")).as("__pk"),
-        probeCarry.map(c => first(col(c)).as(c)): _*)
+        probeCarry.toIndexedSeq.map(c => first(col(c)).as(c)): _*)
       .withColumn(lenCol, shiftrightunsigned(col("__pk"), bits).cast("int"))
       .withColumn(startCol, col("__pk") - shiftleft(shiftrightunsigned(col("__pk"), bits), bits))
       .drop("__pk")
