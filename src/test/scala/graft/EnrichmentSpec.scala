@@ -38,6 +38,16 @@ class EnrichmentSpec extends SparkSpec {
     assert(got === Set((65001L, "10.0.0.0/8", 8, 24), (65002L, "2001:db8::/32", 32, 48)))
   }
 
+  test("info_route staging: DISTINCT ON (prefix, origin_as) first-wins (M12)") {
+    val staged = Seq(
+      ("10.0.0.0/8", 65001L, "zzz-last"), ("10.0.0.0/8", 65001L, "aaa-first"),
+      ("10.1.0.0/16", 65002L, "only"))
+      .toDF("prefix", "origin_as", "descr")
+    val got = Enrichment.distinctRoutes(staged)
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(("10.0.0.0/8", 65001L, "zzz-last"), ("10.1.0.0/16", 65002L, "only")))
+  }
+
   test("info_asn merge: peeringdb overwrites, whois fills gaps (M13)") {
     val whois = Seq((1L, "w-one", "whois"), (2L, "w-two", "whois"))
       .toDF("asn", "as_name", "source")
