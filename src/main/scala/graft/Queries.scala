@@ -975,6 +975,51 @@ object Queries {
         ORDER BY len DESC, gstart DESC) = 1
       ORDER BY c_custkey"""))
 
+  val q43AsOf = Q(
+    "q43_asof_point_in_time",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val signups = MergeOps.dedupToLatest(
+        e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us").as("s_ts"), col("event_id").as("s_event_id")),
+        Seq("user_id", "s_ts"), Seq("s_event_id"))
+      graft.operators.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        "ts_us", "s_ts", Seq("s_event_id", "s_ts"))
+        .select("user_id", "event_id", "ts_us", "s_event_id", "s_ts")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, $EvUs AS ts_us FROM events),
+      l AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
+      r0 AS (SELECT user_id, ts_us AS s_ts, event_id AS s_event_id FROM e
+             WHERE event_type = 'signup'),
+      r AS (SELECT * FROM r0 QUALIFY row_number() OVER (
+              PARTITION BY user_id, s_ts ORDER BY s_event_id DESC) = 1)
+      SELECT l.user_id, l.event_id, l.ts_us, r.s_event_id, r.s_ts
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.s_ts <= l.ts_us
+      QUALIFY row_number() OVER (PARTITION BY l.user_id, l.event_id
+        ORDER BY r.s_ts DESC NULLS LAST, r.s_event_id DESC NULLS LAST) = 1
+      ORDER BY l.event_id"""))
+
+  val q44SemiIntersect = Q(
+    "q44_u1_semi_intersection",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val users = e.select(col("user_id")).distinct()
+      val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val errorers = e.filter(col("event_type") === "error").select(col("user_id"))
+      users.join(buyers, Seq("user_id"), "left_semi")
+        .join(errorers, Seq("user_id"), "left_semi")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+      ORDER BY user_id"""))
+
   val q42MmFeatures = Q(
     "q42_mm_feature_extract",
     (s, dir) => {
@@ -1014,5 +1059,6 @@ object Queries {
     q22ExactDedup, q23NgramJaccard, q24TextStats, q25Quality, q26LangId,
     q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
-    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures)
+    q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures,
+    q43AsOf, q44SemiIntersect)
 }
