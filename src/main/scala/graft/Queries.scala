@@ -1020,6 +1020,50 @@ object Queries {
       SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
       ORDER BY user_id"""))
 
+  val q45RunningSum = Q(
+    "q45_w4_running_aggregates",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir).select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(cum).as("running_n"),
+        sum(dec(col("value"))).over(cum).cast("double").as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, $EvUs AS ts_us,
+                        CAST(value AS DECIMAL(18,2)) AS v FROM events)
+      SELECT user_id, event_id,
+        COUNT(*) OVER w_cum AS running_n,
+        CAST(SUM(v) OVER w_cum AS DOUBLE) AS running_value,
+        lag(event_id) OVER w AS prev_event_id,
+        ts_us - lag(ts_us) OVER w AS gap_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+             w_cum AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val q46PropsExtract = Q(
+    "q46_f_semistructured_props",
+    (s, dir) =>
+      ev(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy((col("k") % 10L).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("k_mod"),
+    Some("""
+      WITH e AS (SELECT user_id,
+        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+      SELECT k % 10 AS k_mod, COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM e GROUP BY k_mod ORDER BY k_mod"""))
+
   val q42MmFeatures = Q(
     "q42_mm_feature_extract",
     (s, dir) => {
@@ -1060,5 +1104,5 @@ object Queries {
     q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
     q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures,
-    q43AsOf, q44SemiIntersect)
+    q43AsOf, q44SemiIntersect, q45RunningSum, q46PropsExtract)
 }
