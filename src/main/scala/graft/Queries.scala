@@ -467,9 +467,9 @@ object Queries {
           COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS updates
         FROM events GROUP BY bucket, user_id)
       SELECT user_id,
-        CAST(SUM(updates) AS DOUBLE) / COUNT(*) AS avg_updates,
+        CAST(SUM(updates) AS DOUBLE) / COUNT(updates) AS avg_updates,
         MIN(updates) AS min_updates, MAX(updates) AS max_updates,
-        CAST(SUM(withdraws) AS DOUBLE) / COUNT(*) AS avg_withdraws,
+        CAST(SUM(withdraws) AS DOUBLE) / COUNT(withdraws) AS avg_withdraws,
         MIN(withdraws) AS min_withdraws, MAX(withdraws) AS max_withdraws
       FROM per_min GROUP BY user_id ORDER BY user_id"""))
 

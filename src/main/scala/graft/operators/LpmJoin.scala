@@ -33,12 +33,19 @@ object LpmJoin {
     * @param probes   fact side; must carry `probeKey` (unique) + `probeAddr`
     * @param prefixes dim side with numeric [startCol, endCol] + lenCol
     * @param tieBreak extra deterministic ordering after len desc
+    * @param extraCond additional join predicate ANDed to the range test —
+    *                  e.g. an address-family guard when probe and dim mix
+    *                  v4 (4-byte) and v6 (16-byte) binary forms, where raw
+    *                  lexicographic compare would produce cross-family
+    *                  false matches (reference `inet &&` never matches
+    *                  across families, `1_base.sql:66-81`)
     */
   def lpmRange(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
                prefixes: DataFrame, startCol: String, endCol: String, lenCol: String,
-               tieBreak: Seq[Column] = Nil, broadcastDim: Boolean = true): DataFrame = {
+               tieBreak: Seq[Column] = Nil, broadcastDim: Boolean = true,
+               extraCond: Column = lit(true)): DataFrame = {
     val dim  = if (broadcastDim) broadcast(prefixes) else prefixes
-    val cond = col(probeAddr) >= col(startCol) && col(probeAddr) <= col(endCol)
+    val cond = col(probeAddr) >= col(startCol) && col(probeAddr) <= col(endCol) && extraCond
     val w = Window
       .partitionBy(probeKey.map(col): _*)
       .orderBy(col(lenCol).desc +: col(startCol).desc +: tieBreak: _*)

@@ -150,10 +150,15 @@ object MergeOps {
     // retained values come from the last NON-withdrawn update as a whole
     // row (struct), not per-column ignoreNulls — a legitimately-null
     // column in that update must stay null, exactly as record-by-record
-    // upserts would leave it
-    val retStruct = last(
-      when(!col(withdrawnCol), struct(retainOnWithdraw.map(col): _*)),
-      ignoreNulls = true).over(asc)
+    // upserts would leave it. Keys whose updates are ALL withdraws fall
+    // back to the FIRST update's values: record-by-record, the first
+    // withdraw lands with no existing row (hasOld=false) and writes its
+    // incoming attribute values; later withdraws retain them.
+    val retStruct = coalesce(
+      last(
+        when(!col(withdrawnCol), struct(retainOnWithdraw.map(col): _*)),
+        ignoreNulls = true).over(asc),
+      first(struct(retainOnWithdraw.map(col): _*)).over(asc))
     val withFinals = updates
       .withColumn("__rn", row_number().over(desc))
       .withColumn("__ret", retStruct)

@@ -26,7 +26,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard: a zero vector has no direction, so cosine is
+    * undefined → null (NOT NaN: Spark sorts NaN ABOVE every double, so a
+    * single zero-norm corpus row would rank #1 in every top-k; nulls
+    * sort last under desc).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * corpus rows (excluding self-id matches). Queries must be small

@@ -39,8 +39,12 @@ object StateTables {
     val next    = MergeOps.upsert(current, latest, policy)
     val tmp     = table + "_next"
     writeBucketed(next, tmp, policy.keys, numBuckets)
-    // swap via rename-aside: a crash at any point leaves the state
-    // recoverable under a well-known name (never a window with no table)
+    // swap via rename-aside: catalog renames are not atomic as a pair,
+    // so between the two RENAMEs the well-known name briefly does not
+    // exist and a reader (or a crash) in that window sees a missing
+    // table. State is always recoverable — the full pre-merge snapshot
+    // survives as `<table>_old` and the merged one as `<table>_next`;
+    // recovery = rename whichever exists back to `table`.
     val old = table + "_old"
     spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"ALTER TABLE $table RENAME TO $old")

@@ -62,12 +62,15 @@ object TimeAgg {
         min(col(tsCol)).as("first_ts"))
 
   /** A8: aggregation-of-aggregation (`2_aggregations.sql:471-492`):
-    * avg/min/max of per-bucket counts, per key.
+    * avg/min/max of per-bucket counts, per key. The average divides by
+    * `count(c)` (non-null rows) to match SQL AVG semantics when the
+    * value column has nulls; the explicit sum/count form (vs `avg`) is
+    * kept for bit-exact DuckDB parity on integer inputs.
     */
   def aggOfAgg(perBucket: DataFrame, keys: Seq[String], valueCols: Seq[String]): DataFrame = {
     val aggs = valueCols.flatMap { c =>
       Seq(
-        (sum(col(c)).cast("double") / count(lit(1))).as(s"avg_$c"),
+        (sum(col(c)).cast("double") / count(col(c))).as(s"avg_$c"),
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"))
     }

@@ -190,10 +190,14 @@ object BmpViews {
           col("country"), col("city")))
     val probed = routes.withColumn("__addr", IpKit.ipNumUdf(IpKit.inetHost(col("Prefix"))))
     // LEFT semantics like the reference view (8_views.sql:76): routes
-    // with no covering geo prefix keep null geo columns, never drop
+    // with no covering geo prefix keep null geo columns, never drop.
+    // Family guard: the binary forms are 4 bytes (v4) vs 16 bytes (v6);
+    // without it a v4 probe compares lexicographically inside v6 ranges
+    // (reference inet && never matches across families)
     val matched = graft.operators.LpmJoin.lpmRange(
       probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
-      g, "ip_start", "ip_end", "ip_len")
+      g, "ip_start", "ip_end", "ip_len",
+      extraCond = length(col("__addr")) === length(col("ip_start")))
       .select(col("rib_hash_id"), col("peer_hash_id"),
         col("geo_ip"), col("country"), col("city"))
     routes.join(matched, Seq("rib_hash_id", "peer_hash_id"), "left")

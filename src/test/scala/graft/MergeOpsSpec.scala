@@ -67,6 +67,21 @@ class MergeOpsSpec extends SparkSpec {
     assert(m("c") === ((1L, true, null)))  // withdraw-first: no attr ever
   }
 
+  test("applyOrdered ≡ sequential upserts when ALL updates for a key are withdraws") {
+    // the first withdraw lands with no existing row, so record-by-record
+    // upsert writes its incoming (non-null) attr; later withdraws retain
+    // it — applyOrdered must reproduce that, not leave attr null
+    val updates = Seq(
+      ("a", 1L, "A1", true), ("a", 2L, "A2", true), ("a", 3L, null, true))
+    val seqState = updates.foldLeft(df().limit(0))((cur, u) =>
+      MergeOps.upsert(cur, df(u), policy))
+    val folded = MergeOps.applyOrdered(updates.toDF("k", "ts", "attr", "wd"), policy)
+    assert(folded.head().getAs[String]("attr") === "A1")
+    assert(seqState.head().getAs[String]("attr") === "A1")
+    assert(folded.select("k", "ts", "wd", "attr").collect().map(_.toSeq).toSet
+      === seqState.select("k", "ts", "wd", "attr").collect().map(_.toSeq).toSet)
+  }
+
   test("applyOrdered keeps a legitimately-null retained value from the last advertise") {
     // advertise(A) → advertise(null) → withdraw: record-by-record leaves
     // attr=null (retained from the 2nd advertise); per-column ignoreNulls

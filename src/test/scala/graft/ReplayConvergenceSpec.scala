@@ -48,7 +48,10 @@ class ReplayConvergenceSpec extends SparkSpec {
         t <- 1 to rnd.between(2, 8)
       } yield (s"k$k", t.toLong, (k * 100 + t).toLong,
         if (rnd.nextBoolean()) s"a$k-$t" else null,
-        rnd.nextInt(4) == 0)).toSeq
+        // k6: ALL withdraws — a key never advertised exercises the
+        // first-update fallback of applyOrdered (upsert writes the
+        // first withdraw's incoming attrs; the fold must match)
+        k == 6 || rnd.nextInt(4) == 0)).toSeq
 
       // 1. singleton batches ≡ applyOrdered one-pass fold
       val canonical = MergeOps.applyOrdered(toDf(updates), policy)

@@ -24,6 +24,16 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(top === Set(1L, 2L, 3L))
   }
 
+  test("zero-norm vectors never rank in topK (cosine is null, not NaN)") {
+    val withZero = corpus.unionByName(
+      Seq((99L, Seq.fill(6)(0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.cosineTopK(withZero.filter(col("vec_id") === 0), withZero,
+      "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!top.contains(99L)) // NaN would sort above every real cosine
+    assert(top === Set(1L, 2L, 3L))
+  }
+
   test("IVF topK with enough probes matches brute force on the cluster structure") {
     val ivf = Similarity.ivfTopK(corpus.filter(col("vec_id") === 5), corpus,
       "vec_id", "embedding", k = 3, nClusters = 3, nprobe = 2)

@@ -43,6 +43,25 @@ class ViewsAndCascadeSpec extends SparkSpec {
     assert(vp.getAs[String]("as_name") === "Acme Transit") // left join hit
   }
 
+  test("vIpRoutesGeo never matches across address families (inet && semantics)") {
+    // 40.1.2.3's 4-byte form lies lexicographically inside 2800::/12's
+    // 16-byte [start,end]; without the family guard the v6 range would
+    // win (len 12 > nothing) or outrank a real v4 match via len desc
+    val routes = Seq(
+      ("r1", "p1", "40.1.2.3/32"),   // v4, no v4 geo covering → null geo
+      ("r2", "p1", "10.1.2.3/32"),   // v4, covered by 10.0.0.0/8
+      ("r3", "p1", "2800:0:1::5/128")) // v6, covered by 2800::/12
+      .toDF("rib_hash_id", "peer_hash_id", "Prefix")
+    val geo = Seq(
+      ("2800::/12", "BR", "Sao Paulo"),
+      ("10.0.0.0/8", "US", "Denver"))
+      .toDF("ip", "country", "city")
+    val out = BmpViews.vIpRoutesGeo(routes, geo)
+      .select("rib_hash_id", "country").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("r1" -> null, "r2" -> "US", "r3" -> "BR"))
+  }
+
   test("T4 peer event log: up rows carry session fields, down rows error fields") {
     val peers = graft.model.Messages.peerFromTsv(Seq(
       (Seq("p1", "r1", "", "1", "10.0.0.9", "peer9", "10.0.0.9", "65009", "up",
