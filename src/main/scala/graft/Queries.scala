@@ -739,23 +739,80 @@ object Queries {
       QUALIFY rank <= 3
       ORDER BY query_id, rank"""))
 
-  // rows-only entries (no SQL-expressible oracle): LSH internals use
-  // engine-specific hashing; the driver records a rows>0 check.
+  // LSH gate queries run the ENGINE-PORTABLE hash variants (md5-derived
+  // 60-bit hashes, overflow-free universal family) so the DuckDB oracle
+  // reproduces candidate generation EXACTLY — the xxhash64 defaults are
+  // the throughput path and are spec-covered (DedupSpec).
   val q29MinHash = Q(
     "q29_dd_minhash_lsh",
     (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 12, bands = 6, threshold = 0.3)
+        shingleN = 3, numHashes = 12, bands = 6, threshold = 0.3,
+        baseHash = Dedup.md5Base)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
-    None)
+    Some("""
+      WITH sh0 AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))
+            AS sh
+        FROM documents),
+      shn AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS hh FROM ex),
+      params AS (SELECT unnest(range(0, 12)) AS s),
+      mh AS (
+        SELECT doc_id, s,
+          MIN(((1000003 * s + 12345) * hh + (999983 * s + 7)) % 2147483647) AS m
+        FROM h CROSS JOIN params GROUP BY doc_id, s),
+      bandsig AS (
+        SELECT doc_id, s // 2 AS band,
+          MIN(CASE WHEN s % 2 = 0 THEN m END) AS m0,
+          MIN(CASE WHEN s % 2 = 1 THEN m END) AS m1
+        FROM mh GROUP BY doc_id, band),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandsig a JOIN bandsig b
+          ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM cand JOIN shn a ON cand.id_a = a.doc_id
+                JOIN shn b ON cand.id_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+      ORDER BY id_a, id_b"""))
 
   val q30SimHash = Q(
     "q30_dd_simhash",
     (s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 28)
+      // maxHamming 3 < nChunks 4 keeps the pigeonhole banding EXACT
+      // (every qualifying pair shares a chunk), so the all-pairs oracle
+      // sees the same result the banded scale path produces
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+        tokenHash = Dedup.md5Hash60, bits = 60)
         .orderBy("id_a", "id_b"),
-    None)
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS h FROM tok),
+      bitsums AS (
+        SELECT doc_id, bb.b AS bit, SUM((h >> bb.b) & 1) AS c, COUNT(*) AS n
+        FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+        GROUP BY doc_id, bb.b),
+      fp AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN 2 * c >= n THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
+        FROM bitsums GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY id_a, id_b"""))
 
   val q31LshAnn = Q(
     "q31_ann_lsh_topk",
@@ -766,7 +823,40 @@ object Queries {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     },
-    None)
+    // the oracle recomputes the deterministic hyperplane weights inline
+    // (same overflow-free integer formula as Similarity.planeWeight) and
+    // replicates bucket assignment + within-bucket exact top-k
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      dots AS (
+        SELECT vec_id, pp.p AS p,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> CAST(cv[i] AS DOUBLE) *
+                 (((pp.p * 1103515 + (i - 1) * 12347 + 42) * 2654435761 % 1000003)
+                  / 1000003.0 - 0.5))) AS dp
+        FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pp),
+      sig AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id),
+      vs AS (SELECT v.vec_id, cv, sig FROM v JOIN sig USING (vec_id)),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.cv) + 1),
+            i -> CAST(q.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(q.cv) + 1),
+               i -> CAST(q.cv[i] AS DOUBLE) * CAST(q.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+               i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cos
+        FROM vs q JOIN vs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 50)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank,
+        neighbor_id, round(cos, 6) AS cos
+      FROM scored
+      QUALIFY rank <= 3
+      ORDER BY query_id, rank"""))
 
   // =====================================================================
   // Coverage extensions: A2/A4-incremental/A7, J3, F11/F15, retention,
@@ -1075,23 +1165,70 @@ object Queries {
           encode(col("text"), "UTF-8").as("content"))
       graft.operators.Multimodal.extractFeatures(media, "content", dim = 8)
         .select(col("media_id"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 2), 4).as("f1"),
+          element_at(col("features"), 1).cast("long").as("f0"),
+          element_at(col("features"), 2).cast("long").as("f1"),
           size(col("features")).as("fdim"))
         .orderBy("media_id")
     },
-    None)
+    // the stub features are integer byte-folds — the oracle recomputes
+    // them from the hex dump of the UTF-8 bytes (byte j feeds lane
+    // (j-1) % 8; f0/f1 are lanes 0/1)
+    Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      bytes AS (
+        SELECT media_id, unnest(range(1, n + 1)) AS j, h FROM b),
+      agg AS (
+        SELECT media_id,
+          SUM(CASE WHEN (j - 1) % 8 = 0
+              THEN ('0x' || substr(h, 2 * j - 1, 2))::BIGINT END) AS s0,
+          SUM(CASE WHEN (j - 1) % 8 = 1
+              THEN ('0x' || substr(h, 2 * j - 1, 2))::BIGINT END) AS s1
+        FROM bytes GROUP BY media_id)
+      SELECT b.media_id,
+        CAST(COALESCE(s0, 0) AS BIGINT) AS f0,
+        CAST(COALESCE(s1, 0) AS BIGINT) AS f1,
+        8 AS fdim
+      FROM b LEFT JOIN agg USING (media_id)
+      ORDER BY media_id"""))
 
   val q41IvfAnn = Q(
     "q41_ann_ivf_topk",
     (s, dir) => {
+      // exact-recall configuration (nprobe = nClusters): every cluster
+      // is probed, so the full IVF machinery — centroid build, cluster
+      // assignment, probe routing, per-cluster scoring — must reproduce
+      // the brute-force answer bit-for-bit, which the oracle computes
+      // directly. The approximate regime (nprobe < nClusters) is
+      // spec-covered (SimilarityAndSkewSpec).
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
-        "vec_id", "embedding", k = 3, nClusters = 16, nprobe = 4)
+        "vec_id", "embedding", k = 3, nClusters = 16, nprobe = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        FROM q JOIN c ON query_id <> neighbor_id)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank,
+        neighbor_id, round(cos, 6) AS cos
+      FROM scored
+      QUALIFY rank <= 3
+      ORDER BY query_id, rank"""))
 
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(

@@ -50,46 +50,94 @@ object Dedup {
                                shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("tok"))
 
-  /** MinHash signature: `numHashes` seeded min-hashes over the shingle
-    * set. Seeding = hashing the shingle together with the hash index
-    * (xxhash64 is deterministic and codegen'd).
+  /** Engine-portable 60-bit string hash: the top 15 hex chars of md5 as
+    * a positive BIGINT. md5 is bit-identical in every engine, so results
+    * computed with this hash are reproducible outside Spark (the DuckDB
+    * oracle writes `('0x' || substr(md5(t),1,15))::BIGINT`). Slower than
+    * xxhash64 (both codegen'd, but md5 churns 128 bits + hex round-trip)
+    * — the default hash family stays xxhash64; pass [[portableFamily]]
+    * when cross-engine reproducibility matters more than CPU.
     */
-  def minHashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, t => xxhash64(t, s))))
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Universal-hash family for minhash: h_s(t) = (a_s·H(t) + b_s) mod p
+    * with p = 2^31−1, fixed multipliers, and ONE base hash H per token
+    * (the s affine variants are two integer ops each — cheaper than s
+    * independent string hashes). Overflow-free in 64-bit (a < 2^25,
+    * H < p < 2^31 → a·H+b < 2^56), so any engine with BIGINT arithmetic
+    * reproduces it exactly when H is portable.
+    */
+  val HashP = 2147483647L // 2^31 − 1
+  def portableA(s: Int): Long = 1000003L * s + 12345L
+  def portableB(s: Int): Long = 999983L * s + 7L
+
+  /** Default base hash: xxhash64 folded to [0, p) — fastest. */
+  def xxBase(t: Column): Column = pmod(xxhash64(t), lit(HashP))
+
+  /** Engine-portable base hash: [[md5Hash60]] mod p (DuckDB:
+    * `('0x' || substr(md5(t),1,15))::BIGINT % 2147483647`).
+    */
+  def md5Base(t: Column): Column = md5Hash60(t) % HashP
+
+  private def affine(h: Column, s: Int): Column =
+    (lit(portableA(s)) * h + lit(portableB(s))) % HashP
+
+  /** MinHash signature: `numHashes` affine min-hashes over the shingle
+    * set (expression form; [[minHashTable]] is the bulk path).
+    */
+  def minHashSignature(sh: Column, numHashes: Int,
+                       baseHash: Column => Column = xxBase): Column = {
+    val hs = transform(sh, t => baseHash(t))
+    transform(sequence(lit(0), lit(numHashes - 1)), s => {
+      val a = lit(1000003L) * s + lit(12345L)
+      val b = lit(999983L) * s + lit(7L)
+      array_min(transform(hs, h => (a * h + b) % lit(HashP)))
+    })
+  }
 
   /** MinHash signatures as a table: (id, mh_0..mh_{k-1}) computed by
-    * explode + groupBy — `min(xxhash64(tok, s))` per seed is a
-    * codegen'd hash aggregate with map-side partial combine (the
-    * lambda-expression form of [[minHashSignature]] is interpreted and
-    * ~10× slower; this is the 100 TB path).
+    * explode + groupBy — the base hash is projected ONCE per token, and
+    * each `min((a_s·h + b_s) mod p)` is a codegen'd hash aggregate with
+    * map-side partial combine (the lambda-expression form is
+    * interpreted and ~10× slower; this is the 100 TB path).
     */
-  def minHashTable(exploded: DataFrame, numHashes: Int): DataFrame =
-    exploded.groupBy(col("id"))
+  def minHashTable(exploded: DataFrame, numHashes: Int,
+                   baseHash: Column => Column = xxBase): DataFrame =
+    exploded.select(col("id"), baseHash(col("tok")).as("__h"))
+      .groupBy(col("id"))
       .agg(
-        min(xxhash64(col("tok"), lit(0))).as("mh_0"),
-        (1 until numHashes).map(s => min(xxhash64(col("tok"), lit(s))).as(s"mh_$s")): _*)
+        min(affine(col("__h"), 0)).as("mh_0"),
+        (1 until numHashes).map(s => min(affine(col("__h"), s)).as(s"mh_$s")): _*)
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     * shingle → minhash → band → bucket equi-join → verify. Bands become
-    * join keys, so candidates shuffle on (band, bandHash) — linear and
-    * skew-safe; the exact Jaccard filter removes LSH false positives.
-    * Candidate generation shuffles only (id, band, bandHash) rows; the
-    * shingle sets are joined back for verification.
+    * join keys, so candidates shuffle on (band, band values) — linear
+    * and skew-safe; the exact Jaccard filter removes LSH false
+    * positives. The band key is the raw minima array (rowsPerBand longs,
+    * not a re-hash): no collision risk, and candidate semantics are
+    * exactly "some band's minima all equal" — reproducible by the
+    * DuckDB oracle. Candidate generation shuffles only (id, band,
+    * minima) rows; the shingle sets are joined back for verification.
+    *
+    * With `baseHash = md5Base` the whole pipeline is engine-portable
+    * (md5-based hashes) and oracle-checkable; the xxhash64 default is
+    * the throughput path.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8,
+                 baseHash: Column => Column = xxBase): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
     val rowsPerBand = numHashes / bands
     val exploded = explodedShingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minHashTable(exploded, numHashes)
+    val sigs = minHashTable(exploded, numHashes, baseHash)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bh"))
+      struct(lit(b).as("band"), array(cols: _*).as("bh"))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
@@ -167,19 +215,23 @@ object Dedup {
   }
 
   /** SimHash fingerprints as a table (id, fp) via explode + one hash
-    * aggregate with 64 codegen'd conditional sums — the scale path
+    * aggregate with `bits` codegen'd conditional sums — the scale path
     * (identical result to [[simHash]], ~10× faster than interpreted
-    * lambda aggregation).
+    * lambda aggregation). `tokenHash`/`bits` default to the xxhash64
+    * 64-bit form; pass [[md5Hash60]]/60 for the engine-portable variant
+    * the DuckDB oracle can reproduce.
     */
-  def simHashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashTable(df: DataFrame, idCol: String, textCol: String,
+                   tokenHash: Column => Column = xxhash64(_),
+                   bits: Int = 64): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("id"), tokenHash(col("tok")).as("h"))
+    val bitSums = (0 until bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"c_$b"))
     val counted = exploded.groupBy(col("id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val fp = (0 until 64)
+    val fp = (0 until bits)
       .map(b => when(col(s"c_$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     counted.select(col("id"), fp.as("fp"))
@@ -188,17 +240,23 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    * chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), equi-join on
-    * chunks, verify by hamming distance.
+  /** SimHash near-dup pairs: band the fingerprint into nChunks chunks
+    * (pigeonhole: hamming < nChunks ⇒ some chunk equal — recall is
+    * EXACT only when maxHamming < nChunks), equi-join on chunks, verify
+    * by hamming distance.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val base = simHashTable(df, idCol, textCol)
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_),
+                   bits: Int = 64, nChunks: Int = 4): DataFrame = {
+    require(bits % nChunks == 0, s"bits ($bits) must divide into nChunks ($nChunks)")
+    val chunkBits = bits / nChunks
+    val base = simHashTable(df, idCol, textCol, tokenHash, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunkStructs = (0 until 4).map(c =>
+    val chunkStructs = (0 until nChunks).map(c =>
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cv")))
+        shiftrightunsigned(col("fp"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("cv")))
     val banded = base.select(col("id"), col("fp"),
       explode(array(chunkStructs: _*)).as("b"))
       .select(col("id"), col("fp"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))

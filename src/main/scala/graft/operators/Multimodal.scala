@@ -33,18 +33,25 @@ object Multimodal {
       StructField("duration_ms", LongType))))))
 
   /** STUB decoder — stands in for image decode + feature extraction.
-    * Deterministic in the content bytes: feature d = scaled byte-fold.
+    * Deterministic in the content bytes: feature d = integer byte-fold
+    * (Σ of bytes at positions ≡ d mod dim). Integer accumulation keeps
+    * the value exactly representable in float32 (sums < 2^24, i.e. any
+    * content < 16 MB per lane) — engine-portable, so the driver's
+    * DuckDB oracle reproduces it from the hex dump of the bytes.
     * Replace with a real decoder behind the same signature.
     */
   def stubDecode(content: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    val acc = new Array[Int](dim)
     if (content != null) {
       var i = 0
       while (i < content.length) {
-        out(i % dim) = out(i % dim) + (content(i) & 0xff) / 255.0f
+        acc(i % dim) += content(i) & 0xff
         i += 1
       }
     }
+    val out = new Array[Float](dim)
+    var d = 0
+    while (d < dim) { out(d) = acc(d).toFloat; d += 1 }
     out
   }
 

@@ -56,13 +56,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
-    * a fixed LCG-ish hash mapped to [-1, 1). Generated as literals on
-    * the driver — identical on every executor, no shuffle of planes.
+    * a fixed LCG-ish hash mapped to [-0.5, 0.5). Generated as literals
+    * on the driver — identical on every executor, no shuffle of planes.
+    * The arithmetic is overflow-free in 64-bit (≤ 3.3e17), so any
+    * engine with BIGINT arithmetic reproduces the weights bit-exactly —
+    * the DuckDB oracle recomputes them inline.
     */
-  private def planeWeight(p: Int, d: Int): Double = {
-    val h = (p * 1103515245L + d * 12345L + 42L) * 2654435761L
-    ((h % 1000003L).toDouble / 1000003.0)
-  }
+  private[graft] def planeWeight(p: Int, d: Int): Double =
+    ((p * 1103515L + d * 12347L + 42L) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
 
   /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). */
   def lshSignature(vec: Column, dim: Int, planes: Int): Column =
