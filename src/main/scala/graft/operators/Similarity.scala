@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ a·b in double precision (left-to-right fold — deterministic). */
+  /** Σ a·b in double precision (left-to-right fold — deterministic).
+    * Native codegen'd loop ([[graft.plans.ArrayDotProduct]]) — the
+    * interpreted `aggregate(zip_with(...))` lambda form it replaces is
+    * ~10× slower per pair and breaks whole-stage codegen in the ANN
+    * scoring joins. Identical result semantics (incl. null/length
+    * behavior), so the DuckDB oracles are unaffected.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.ArrayDotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -129,7 +129,7 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    descriptors.foreach { case (ident, _, builder) =>
+    (descriptors ++ ArrayFunctions.descriptors).foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "built-in")
     }
@@ -144,7 +144,7 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.descriptors.foreach(ext.injectFunction)
+    (GraftFunctions.descriptors ++ ArrayFunctions.descriptors).foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteInetContains)
   }
 }
