@@ -1230,6 +1230,124 @@ object Queries {
       QUALIFY rank <= 3
       ORDER BY query_id, rank"""))
 
+  // =====================================================================
+  // Round-2 coverage: M13 precedence merge, T7 cascade, embedding
+  // near-dup, deterministic sampling
+  // =====================================================================
+
+  val q47InfoAsnMerge = Q(
+    "q47_m13_info_asn_precedence",
+    (s, dir) => {
+      // whois = every customer; peeringdb = every 3rd (authoritative).
+      // mergeInfoAsn: peeringdb overwrites, whois fills the gaps
+      // (gen_whois_asn.py:186-199 precedence semantics)
+      val whois = t(s, dir, "customer").select(
+        col("c_custkey").as("asn"), col("c_name").as("as_name"),
+        lit("whois").as("source"))
+      val pdb = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0).select(
+        col("c_custkey").as("asn"), upper(col("c_name")).as("as_name"),
+        lit("peeringdb").as("source"))
+      graft.sources.Enrichment.mergeInfoAsn(whois, pdb)
+        .orderBy("asn")
+    },
+    Some("""
+      WITH whois AS (
+        SELECT c_custkey AS asn, c_name AS as_name, 'whois' AS source
+        FROM customer),
+      pdb AS (
+        SELECT c_custkey AS asn, upper(c_name) AS as_name, 'peeringdb' AS source
+        FROM customer WHERE c_custkey % 3 = 0)
+      SELECT asn, as_name, source FROM pdb
+      UNION ALL
+      SELECT w.asn, w.as_name, w.source FROM whois w
+      WHERE NOT EXISTS (SELECT 1 FROM pdb p WHERE p.asn = w.asn)
+      ORDER BY asn"""))
+
+  val q48RouterCascade = Q(
+    "q48_t7_router_cascade",
+    (s, dir) => {
+      // peers = customers pinned to router c_custkey % 10; router-up
+      // events = routers 0..4 coming up at ts 500k. Peers whose state
+      // predates their router's up-transition cascade to 'down'
+      // (RouterQuery.java:121-153 semantics)
+      val peers = t(s, dir, "customer").select(
+        col("c_custkey").as("hash_id"),
+        (col("c_custkey") % 10).as("router_hash_id"),
+        lit("up").as("state"),
+        (col("c_custkey") * 1000).as("ts_us"))
+      val ups = t(s, dir, "nation").filter(col("n_nationkey") < 5).select(
+        col("n_nationkey").as("hash_id"), lit("up").as("state"),
+        lit(500000L).as("ts_us"))
+      graft.streaming.Ingest.routerUpCascade(peers, ups)
+        .orderBy("hash_id")
+    },
+    Some("""
+      WITH peers AS (
+        SELECT c_custkey AS hash_id, c_custkey % 10 AS router_hash_id,
+               'up' AS state, c_custkey * 1000 AS ts_us
+        FROM customer),
+      ups AS (
+        SELECT n_nationkey AS rh, MIN(500000) AS rts
+        FROM nation WHERE n_nationkey < 5 GROUP BY n_nationkey)
+      SELECT hash_id, router_hash_id,
+        CASE WHEN rts IS NOT NULL AND ts_us < rts THEN 'down' ELSE state END AS state,
+        ts_us
+      FROM peers LEFT JOIN ups ON router_hash_id = rh
+      ORDER BY hash_id"""))
+
+  val q49EmbedNearDup = Q(
+    "q49_dd_embed_neardup",
+    (s, dir) =>
+      // LSH-blocked embedding near-dup: candidates share the 6-plane
+      // bucket (deterministic overflow-free hyperplanes — the oracle
+      // recomputes them), verified by exact cosine ≥ threshold
+      Similarity.cosineNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, planes = 6)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      dots AS (
+        SELECT vec_id, pp.p AS p,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> CAST(cv[i] AS DOUBLE) *
+                 (((pp.p * 1103515 + (i - 1) * 12347 + 42) * 2654435761 % 1000003)
+                  / 1000003.0 - 0.5))) AS dp
+        FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pp),
+      sig AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id),
+      vs AS (SELECT v.vec_id, cv, sig FROM v JOIN sig USING (vec_id)),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_sum(list_transform(range(1, len(a.cv) + 1),
+            i -> CAST(a.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(a.cv) + 1),
+               i -> CAST(a.cv[i] AS DOUBLE) * CAST(a.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(b.cv) + 1),
+               i -> CAST(b.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE))))) AS cos
+        FROM vs a JOIN vs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, round(cos, 6) AS cos
+      FROM scored WHERE cos >= 0.3
+      ORDER BY id_a, id_b"""))
+
+  val q50DetSample = Q(
+    "q50_s_deterministic_sample",
+    (s, dir) =>
+      // stable hash-based 10% sample — the training-pipeline primitive
+      // for reproducible subsets/splits (same rows on every engine and
+      // every run, unlike rand()-based sampling)
+      t(s, dir, "documents")
+        .filter(Dedup.md5Hash60(col("doc_id").cast("string")) % 100 < 10)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, CAST(len(text) AS INT) AS text_len
+      FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+      ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -1241,5 +1359,6 @@ object Queries {
     q27Fingerprint, q28CosineTopK, q29MinHash, q30SimHash, q31LshAnn,
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
     q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures,
-    q43AsOf, q44SemiIntersect, q45RunningSum, q46PropsExtract)
+    q43AsOf, q44SemiIntersect, q45RunningSum, q46PropsExtract,
+    q47InfoAsnMerge, q48RouterCascade, q49EmbedNearDup, q50DetSample)
 }
