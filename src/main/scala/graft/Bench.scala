@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 50 queries × several codegen'd stages each blows through the
+      // default 100-entry generated-class cache — evictions force
+      // recompiles that inflate individual queries by seconds (observed
+      // 8.5s in-bench vs 1.1s isolated). Static conf, set before the
+      // session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
