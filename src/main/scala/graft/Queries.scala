@@ -726,10 +726,10 @@ object Queries {
         SELECT query_id, neighbor_id,
           list_sum(list_transform(range(1, len(qv) + 1),
             i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
              * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
-               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0) AS cos
         FROM q JOIN c ON query_id <> neighbor_id)
       SELECT query_id,
         CAST(row_number() OVER (PARTITION BY query_id
@@ -844,10 +844,10 @@ object Queries {
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           list_sum(list_transform(range(1, len(q.cv) + 1),
             i -> CAST(q.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len(q.cv) + 1),
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.cv) + 1),
                i -> CAST(q.cv[i] AS DOUBLE) * CAST(q.cv[i] AS DOUBLE))))
              * sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
-               i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cos
+               i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))), 0) AS cos
         FROM vs q JOIN vs c ON q.sig = c.sig AND q.vec_id <> c.vec_id
         WHERE q.vec_id < 50)
       SELECT query_id,
@@ -1170,9 +1170,10 @@ object Queries {
           size(col("features")).as("fdim"))
         .orderBy("media_id")
     },
-    // the stub features are integer byte-folds — the oracle recomputes
-    // them from the hex dump of the UTF-8 bytes (byte j feeds lane
-    // (j-1) % 8; f0/f1 are lanes 0/1)
+    // the stub features are integer byte-folds reduced mod 2^24 (exact
+    // in float32 at any content size) — the oracle recomputes them from
+    // the hex dump of the UTF-8 bytes (byte j feeds lane (j-1) % 8;
+    // f0/f1 are lanes 0/1)
     Some("""
       WITH b AS (
         SELECT doc_id AS media_id, hex(encode(text)) AS h,
@@ -1188,8 +1189,8 @@ object Queries {
               THEN ('0x' || substr(h, 2 * j - 1, 2))::BIGINT END) AS s1
         FROM bytes GROUP BY media_id)
       SELECT b.media_id,
-        CAST(COALESCE(s0, 0) AS BIGINT) AS f0,
-        CAST(COALESCE(s1, 0) AS BIGINT) AS f1,
+        CAST(COALESCE(s0, 0) % 16777216 AS BIGINT) AS f0,
+        CAST(COALESCE(s1, 0) % 16777216 AS BIGINT) AS f1,
         8 AS fdim
       FROM b LEFT JOIN agg USING (media_id)
       ORDER BY media_id"""))
@@ -1217,10 +1218,10 @@ object Queries {
         SELECT query_id, neighbor_id,
           list_sum(list_transform(range(1, len(qv) + 1),
             i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
              * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
-               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0) AS cos
         FROM q JOIN c ON query_id <> neighbor_id)
       SELECT query_id,
         CAST(row_number() OVER (PARTITION BY query_id
@@ -1323,10 +1324,10 @@ object Queries {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           list_sum(list_transform(range(1, len(a.cv) + 1),
             i -> CAST(a.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, len(a.cv) + 1),
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.cv) + 1),
                i -> CAST(a.cv[i] AS DOUBLE) * CAST(a.cv[i] AS DOUBLE))))
              * sqrt(list_sum(list_transform(range(1, len(b.cv) + 1),
-               i -> CAST(b.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE))))) AS cos
+               i -> CAST(b.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE)))), 0) AS cos
         FROM vs a JOIN vs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
       SELECT id_a, id_b, round(cos, 6) AS cos
       FROM scored WHERE cos >= 0.3
@@ -1348,6 +1349,226 @@ object Queries {
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
       ORDER BY doc_id"""))
 
+  // =====================================================================
+  // Round-3 coverage: T6 peer default naming, IPv6 binary LPM, M14
+  // pdb_exchange_peers, A9 rd-keyed l3vpn stats
+  // =====================================================================
+
+  val q51PeerInherit = Q(
+    "q51_t6_peer_default_naming",
+    (s, dir) => {
+      // peers = customers; every 4th reports the loc-rib default
+      // (peer_addr AND peer_bgp_id both 0.0.0.0) → inherits name/bgp_id
+      // from its router (9_triggers.sql:46-49); addr-only / bgp-only
+      // zeros must NOT inherit. router_hash_id % 30 > 24 rows have no
+      // router → trigger's SELECT INTO yields NULLs.
+      val peers = t(s, dir, "customer").select(
+        col("c_custkey").as("hash_id"),
+        col("c_name").as("name"),
+        (col("c_custkey") % 30).as("router_hash_id"),
+        when((col("c_custkey") % 4).isin(0, 1), lit("0.0.0.0"))
+          .otherwise(format_string("10.1.%d.%d",
+            col("c_custkey") % 256L, (col("c_custkey") * 3) % 256L)).as("peer_addr"),
+        when((col("c_custkey") % 4).isin(0, 2), lit("0.0.0.0"))
+          .otherwise(format_string("10.2.%d.%d",
+            col("c_custkey") % 256L, (col("c_custkey") * 7) % 256L)).as("peer_bgp_id"))
+      val routers = t(s, dir, "nation").select(
+        col("n_nationkey").as("hash_id"),
+        col("n_name").as("name"),
+        format_string("172.16.%d.1", col("n_nationkey")).as("ip_address"))
+      graft.streaming.Ingest.inheritPeerDefaults(peers, routers)
+        .select(col("hash_id"), col("peer_addr"), col("peer_bgp_id"),
+          col("name"), col("router_hash_id"))
+        .orderBy("hash_id")
+    },
+    Some("""
+      WITH peers AS (
+        SELECT c_custkey AS hash_id, c_name AS name,
+          c_custkey % 30 AS router_hash_id,
+          CASE WHEN c_custkey % 4 IN (0, 1) THEN '0.0.0.0'
+               ELSE printf('10.1.%d.%d', c_custkey % 256, (c_custkey * 3) % 256)
+          END AS peer_addr,
+          CASE WHEN c_custkey % 4 IN (0, 2) THEN '0.0.0.0'
+               ELSE printf('10.2.%d.%d', c_custkey % 256, (c_custkey * 7) % 256)
+          END AS peer_bgp_id
+        FROM customer),
+      routers AS (
+        SELECT n_nationkey AS hash_id, n_name AS name,
+               printf('172.16.%d.1', n_nationkey) AS ip_address
+        FROM nation)
+      SELECT p.hash_id, p.peer_addr,
+        CASE WHEN p.peer_addr = '0.0.0.0' AND p.peer_bgp_id = '0.0.0.0'
+             THEN r.ip_address ELSE p.peer_bgp_id END AS peer_bgp_id,
+        CASE WHEN p.peer_addr = '0.0.0.0' AND p.peer_bgp_id = '0.0.0.0'
+             THEN r.name ELSE p.name END AS name,
+        p.router_hash_id
+      FROM peers p LEFT JOIN routers r ON p.router_hash_id = r.hash_id
+      ORDER BY p.hash_id"""))
+
+  val q52LpmV6 = Q(
+    "q52_j5_lpm_ipv6_binary",
+    (s, dir) => {
+      // family-agnostic LPM over the 16-byte binary form (reference
+      // find_geo_ip, 1_base.sql:66-81): v4 /8s + v6 /32s + /48s + the
+      // IPv4-mapped /96; probes mix v4, v6, and ::ffff: mapped
+      // addresses. All prefix lengths are nibble-aligned so the DuckDB
+      // oracle reproduces containment as a hex-string prefix match.
+      val geo = t(s, dir, "region").select(
+        format_string("%d.0.0.0/8", lit(10) + col("r_regionkey")).as("geo_prefix"))
+        .unionByName(t(s, dir, "nation").select(
+          format_string("2001:%x::/32", col("n_nationkey") + 1).as("geo_prefix")))
+        .unionByName(t(s, dir, "nation").select(
+          format_string("2001:%x:%x::/48",
+            (col("n_nationkey") % 5) + 1, col("n_nationkey")).as("geo_prefix")))
+        .unionByName(t(s, dir, "region").filter(col("r_regionkey") === 0)
+          .select(lit("::ffff:0:0/96").as("geo_prefix")))
+      val geoR = IpKit.withPrefixRange(geo, "geo_prefix")
+      val probes = t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0,
+          format_string("%d.%d.%d.%d", lit(10) + col("c_custkey") % 5L,
+            col("c_custkey") % 25L, col("c_custkey") % 256L,
+            (col("c_custkey") * 3) % 256L))
+          .when(col("c_custkey") % 3 === 1,
+            format_string("2001:%x:%x::%x", lit(1) + col("c_custkey") % 5L,
+              col("c_custkey") % 20L, col("c_custkey") % 65536L))
+          .otherwise(format_string("::ffff:%d.%d.%d.%d",
+            col("c_custkey") % 256L, (col("c_custkey") * 3) % 256L,
+            (col("c_custkey") * 5) % 256L, (col("c_custkey") * 7) % 256L))
+          .as("ip"))
+        .withColumn("addr", IpKit.ipNumUdf(col("ip")))
+      // family guard: 4-byte v4 forms never compare into 16-byte v6
+      // ranges (mapped probes are 16-byte, so they match only v6 dims)
+      LpmJoin.lpmRange(probes, Seq("c_custkey"), "addr",
+        geoR, "ip_start", "ip_end", "ip_len",
+        extraCond = length(col("addr")) === length(col("ip_start")))
+        .select(col("c_custkey"), col("ip"), col("geo_prefix"),
+          col("ip_len").as("len"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH geo AS (
+        SELECT printf('%d.0.0.0/8', 10 + r_regionkey) AS geo_prefix, 8 AS len,
+               4 AS fam, printf('%02x', 10 + r_regionkey) AS hp
+        FROM region
+        UNION ALL
+        SELECT printf('2001:%x::/32', n_nationkey + 1), 32, 6,
+               '2001' || printf('%04x', n_nationkey + 1)
+        FROM nation
+        UNION ALL
+        SELECT printf('2001:%x:%x::/48', (n_nationkey % 5) + 1, n_nationkey), 48, 6,
+               '2001' || printf('%04x', (n_nationkey % 5) + 1) || printf('%04x', n_nationkey)
+        FROM nation
+        UNION ALL
+        SELECT '::ffff:0:0/96', 96, 6, '00000000000000000000ffff'
+        FROM region WHERE r_regionkey = 0),
+      probes AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 3 = 0
+                 THEN printf('%d.%d.%d.%d', 10 + c_custkey % 5, c_custkey % 25,
+                             c_custkey % 256, (c_custkey * 3) % 256)
+               WHEN c_custkey % 3 = 1
+                 THEN printf('2001:%x:%x::%x', 1 + c_custkey % 5, c_custkey % 20,
+                             c_custkey % 65536)
+               ELSE printf('::ffff:%d.%d.%d.%d', c_custkey % 256,
+                           (c_custkey * 3) % 256, (c_custkey * 5) % 256,
+                           (c_custkey * 7) % 256) END AS ip,
+          CASE WHEN c_custkey % 3 = 0 THEN 4 ELSE 6 END AS fam,
+          CASE WHEN c_custkey % 3 = 0
+                 THEN printf('%02x%02x%02x%02x', 10 + c_custkey % 5, c_custkey % 25,
+                             c_custkey % 256, (c_custkey * 3) % 256)
+               WHEN c_custkey % 3 = 1
+                 THEN '2001' || printf('%04x', 1 + c_custkey % 5)
+                      || printf('%04x', c_custkey % 20) || '0000000000000000'
+                      || printf('%04x', c_custkey % 65536)
+               ELSE '00000000000000000000ffff'
+                    || printf('%02x%02x%02x%02x', c_custkey % 256,
+                              (c_custkey * 3) % 256, (c_custkey * 5) % 256,
+                              (c_custkey * 7) % 256) END AS hx
+        FROM customer)
+      SELECT c_custkey, ip, geo_prefix, len
+      FROM probes p JOIN geo g
+        ON p.fam = g.fam AND substr(p.hx, 1, len // 4) = g.hp
+      QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY len DESC) = 1
+      ORDER BY c_custkey"""))
+
+  val q53PdbIxPeers = Q(
+    "q53_m14_pdb_ix_peers",
+    (s, dir) => {
+      // two PeeringDB refresh snapshots over the same IX-peer key space
+      // (ix_id, peer_ipv4, peer_ipv6): the newer run overwrites every
+      // non-key column for the rows it carries (peeringdb.py:48-60
+      // ON CONFLICT DO UPDATE), untouched rows survive
+      def snapshot(df: DataFrame, speed: Column, tsUs: Column): DataFrame = df.select(
+        (col("s_suppkey") % 8).as("ix_id"),
+        format_string("IX-%d", col("s_suppkey") % 8).as("ix_name"),
+        format_string("206.%d.%d.1", col("s_suppkey") % 16L, col("s_suppkey") % 250L)
+          .as("peer_ipv4"),
+        format_string("2001:504:%x::%x", col("s_suppkey") % 8L, col("s_suppkey"))
+          .as("peer_ipv6"),
+        (col("s_suppkey") % 3 === 0).as("rs_peer"),
+        col("s_name").as("peer_name"),
+        (col("s_suppkey") * 100).as("peer_asn"),
+        speed.as("speed"),
+        tsUs.as("ts_us"))
+      val sup  = t(s, dir, "supplier")
+      val base = snapshot(sup, lit(1000L) * (lit(1) + col("s_suppkey") % 10L),
+        col("s_suppkey").cast("long"))
+      val upd  = snapshot(sup.filter(col("s_suppkey") % 2 === 0), lit(10000L),
+        lit(1000000L) + col("s_suppkey"))
+      graft.sources.Enrichment.mergePdbIxPeers(base, upd)
+        .select("ix_id", "peer_ipv4", "peer_ipv6", "ix_name", "peer_name",
+          "peer_asn", "rs_peer", "speed", "ts_us")
+        .orderBy("ix_id", "peer_ipv4", "peer_ipv6")
+    },
+    Some("""
+      WITH base AS (
+        SELECT s_suppkey % 8 AS ix_id, printf('IX-%d', s_suppkey % 8) AS ix_name,
+          printf('206.%d.%d.1', s_suppkey % 16, s_suppkey % 250) AS peer_ipv4,
+          printf('2001:504:%x::%x', s_suppkey % 8, s_suppkey) AS peer_ipv6,
+          (s_suppkey % 3 = 0) AS rs_peer, s_name AS peer_name,
+          s_suppkey * 100 AS peer_asn, 1000 * (1 + s_suppkey % 10) AS speed,
+          s_suppkey AS ts_us
+        FROM supplier),
+      upd AS (
+        SELECT s_suppkey % 8 AS ix_id, printf('IX-%d', s_suppkey % 8) AS ix_name,
+          printf('206.%d.%d.1', s_suppkey % 16, s_suppkey % 250) AS peer_ipv4,
+          printf('2001:504:%x::%x', s_suppkey % 8, s_suppkey) AS peer_ipv6,
+          (s_suppkey % 3 = 0) AS rs_peer, s_name AS peer_name,
+          s_suppkey * 100 AS peer_asn, 10000 AS speed,
+          1000000 + s_suppkey AS ts_us
+        FROM supplier WHERE s_suppkey % 2 = 0),
+      merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b WHERE NOT EXISTS (
+          SELECT 1 FROM upd u WHERE u.ix_id = b.ix_id
+            AND u.peer_ipv4 = b.peer_ipv4 AND u.peer_ipv6 = b.peer_ipv6))
+      SELECT ix_id, peer_ipv4, peer_ipv6, ix_name, peer_name, peer_asn,
+             rs_peer, speed, ts_us
+      FROM merged ORDER BY ix_id, peer_ipv4, peer_ipv6"""))
+
+  val q54L3vpnByRd = Q(
+    "q54_a9_l3vpn_chg_byrd",
+    (s, dir) => {
+      // A9 rd-keyed l3vpn change stats (10_l3vpn.sql:256-267): bucket ×
+      // (peer_hash_id, rd) with withdraw/update counts
+      val e = ev(s, dir)
+        .withColumn("peer_hash_id", col("event_id") % 7L)
+        .withColumn("rd", format_string("%d:%d",
+          lit(100) + col("user_id") % 3L, col("user_id") % 5L))
+      TimeAgg.chgStats(e, "ts_us", 60, col("event_type") === "error",
+        Seq("peer_hash_id", "rd"))
+        .orderBy("bucket", "peer_hash_id", "rd")
+    },
+    Some(s"""
+      SELECT ($EvUs // 60000000) * 60 AS bucket, event_id % 7 AS peer_hash_id,
+        printf('%d:%d', 100 + user_id % 3, user_id % 5) AS rd,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS withdraws,
+        COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS updates
+      FROM events GROUP BY bucket, peer_hash_id, rd
+      ORDER BY bucket, peer_hash_id, rd"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -1360,5 +1581,6 @@ object Queries {
     q32ChgByAsn, q33Incremental, q34RibCounts, q35LogJoin, q36Arrays,
     q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures,
     q43AsOf, q44SemiIntersect, q45RunningSum, q46PropsExtract,
-    q47InfoAsnMerge, q48RouterCascade, q49EmbedNearDup, q50DetSample)
+    q47InfoAsnMerge, q48RouterCascade, q49EmbedNearDup, q50DetSample,
+    q51PeerInherit, q52LpmV6, q53PdbIxPeers, q54L3vpnByRd)
 }

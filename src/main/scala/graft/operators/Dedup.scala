@@ -55,7 +55,8 @@ object Dedup {
     * computed with this hash are reproducible outside Spark (the DuckDB
     * oracle writes `('0x' || substr(md5(t),1,15))::BIGINT`). Slower than
     * xxhash64 (both codegen'd, but md5 churns 128 bits + hex round-trip)
-    * — the default hash family stays xxhash64; pass [[portableFamily]]
+    * — the default hash family stays xxhash64; pass `baseHash =
+    * Dedup.md5Base` (minhash) / `tokenHash = Dedup.md5Hash60` (simhash)
     * when cross-engine reproducibility matters more than CPU.
     */
   def md5Hash60(c: Column): Column =
@@ -64,9 +65,9 @@ object Dedup {
   /** Universal-hash family for minhash: h_s(t) = (a_s·H(t) + b_s) mod p
     * with p = 2^31−1, fixed multipliers, and ONE base hash H per token
     * (the s affine variants are two integer ops each — cheaper than s
-    * independent string hashes). Overflow-free in 64-bit (a < 2^25,
-    * H < p < 2^31 → a·H+b < 2^56), so any engine with BIGINT arithmetic
-    * reproduces it exactly when H is portable.
+    * independent string hashes). Overflow-free in 64-bit while
+    * a_s < 2^32 (H < p < 2^31 → a·H+b < 2^63), which holds for
+    * s ≤ 4294 — enforced by the numHashes guard in [[minHashLsh]].
     */
   val HashP = 2147483647L // 2^31 − 1
   def portableA(s: Int): Long = 1000003L * s + 12345L
@@ -131,6 +132,9 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
+    require(numHashes <= 4096,
+      s"numHashes ($numHashes) > 4096 overflows the 64-bit universal-hash family " +
+        "(a_s = 1000003*s + 12345 must stay < 2^32)")
     val rowsPerBand = numHashes / bands
     val exploded = explodedShingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -34,14 +34,15 @@ object Multimodal {
 
   /** STUB decoder — stands in for image decode + feature extraction.
     * Deterministic in the content bytes: feature d = integer byte-fold
-    * (Σ of bytes at positions ≡ d mod dim). Integer accumulation keeps
-    * the value exactly representable in float32 (sums < 2^24, i.e. any
-    * content < 16 MB per lane) — engine-portable, so the driver's
-    * DuckDB oracle reproduces it from the hex dump of the bytes.
-    * Replace with a real decoder behind the same signature.
+    * (Σ of bytes at positions ≡ d mod dim), reduced mod 2^24 so the
+    * value is ALWAYS exactly representable in float32 regardless of
+    * content size (unbounded lane sums would silently lose low bits
+    * past 2^24) — engine-portable, so the driver's DuckDB oracle
+    * reproduces it from the hex dump of the bytes. Replace with a real
+    * decoder behind the same signature.
     */
   def stubDecode(content: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Int](dim)
+    val acc = new Array[Long](dim)
     if (content != null) {
       var i = 0
       while (i < content.length) {
@@ -51,7 +52,7 @@ object Multimodal {
     }
     val out = new Array[Float](dim)
     var d = 0
-    while (d < dim) { out(d) = acc(d).toFloat; d += 1 }
+    while (d < dim) { out(d) = (acc(d) % (1L << 24)).toFloat; d += 1 }
     out
   }
 

@@ -72,4 +72,41 @@ object Enrichment {
   def distinctRoutes(routes: DataFrame): DataFrame =
     graft.operators.MergeOps.dedupToLatest(
       routes, Seq("prefix", "origin_as"), Seq("descr"))
+
+  /** M14 pdb_exchange_peers (`cron_scripts/peeringdb/peeringdb.py:48-60`):
+    * IX-peer rows keyed (ix_id, peer_ipv4, peer_ipv6); every non-key
+    * column takes the incoming value on conflict (ON CONFLICT DO UPDATE
+    * SET all columns = excluded.*). The loader reads the PeeringDB-shaped
+    * JSON export; the merge is the standard last-write-wins overwrite.
+    */
+  val pdbIxPeerSchema: StructType = StructType(Seq(
+    StructField("ix_id", LongType),
+    StructField("ix_name", StringType),
+    StructField("ix_prefix_v4", StringType),
+    StructField("ix_prefix_v6", StringType),
+    StructField("rs_peer", BooleanType),
+    StructField("peer_name", StringType),
+    StructField("peer_ipv4", StringType),
+    StructField("peer_ipv6", StringType),
+    StructField("peer_asn", LongType),
+    StructField("speed", LongType),
+    StructField("policy", StringType),
+    StructField("poc_policy_email", StringType),
+    StructField("poc_noc_email", StringType),
+    StructField("ix_city", StringType),
+    StructField("ix_country", StringType),
+    StructField("ix_region", StringType),
+    StructField("ts_us", LongType)))
+
+  val pdbIxPeerKeys: Seq[String] = Seq("ix_id", "peer_ipv4", "peer_ipv6")
+
+  def loadPdbIxPeersJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pdbIxPeerSchema).json(path)
+      // the PK is (ix_id, peer_ipv4, peer_ipv6) — NULL keys can't upsert
+      .na.fill("", Seq("peer_ipv4", "peer_ipv6"))
+      .filter(col("ix_id").isNotNull)
+
+  /** Refresh merge: updates overwrite current on the IX-peer key. */
+  def mergePdbIxPeers(current: DataFrame, updates: DataFrame): DataFrame =
+    graft.streaming.Ingest.overwriteMerge(current, updates, pdbIxPeerKeys, Seq("ts_us"))
 }

@@ -246,6 +246,27 @@ object Ingest {
       when(!up, col("error_text")).as("error_text"))
   }
 
+  /** T6: peer default naming (`database/9_triggers.sql:46-49`): loc-rib
+    * peers report peer_addr 0.0.0.0 AND peer_bgp_id 0.0.0.0 — such a
+    * peer inherits `name` and `peer_bgp_id` from its router
+    * (`SELECT r.name, r.ip_address INTO new.name, new.peer_bgp_id`).
+    * Trigger parity includes the missing-router case: Postgres
+    * `SELECT INTO` with no row yields NULLs, so an orphan default peer
+    * gets NULL name/bgp_id here too. Routers are a broadcast dim —
+    * applied in the peer ingest path before the overwrite merge, like
+    * the BEFORE INSERT/UPDATE trigger.
+    */
+  def inheritPeerDefaults(peers: DataFrame, routers: DataFrame): DataFrame = {
+    val r = broadcast(routers.select(col("hash_id").as("__rh"),
+      col("name").as("__rname"), col("ip_address").as("__rip")))
+    val isDefault = col("peer_addr") === "0.0.0.0" && col("peer_bgp_id") === "0.0.0.0"
+    peers
+      .join(r, col("router_hash_id") === col("__rh"), "left")
+      .withColumn("name", when(isDefault, col("__rname")).otherwise(col("name")))
+      .withColumn("peer_bgp_id", when(isDefault, col("__rip")).otherwise(col("peer_bgp_id")))
+      .drop("__rh", "__rname", "__rip")
+  }
+
   /** T7: router-up cascade (`RouterQuery.java:93-139`): when a router
     * (re)connects at time T, all of its peers with older state go
     * 'down' — the consumer's in-memory connection counting reduces, in
