@@ -154,6 +154,15 @@ object BmpViews {
         col("ext_community_list").as("ExtCommunities")),
         Seq("rib_hash_id", "peer_hash_id"), "inner")
 
+  /** v_l3vpn_routes_history (`10_l3vpn.sql:105-122`): the same join
+    * shape over the l3vpn CDC log with the Withdrawn/Advertised event
+    * label.
+    */
+  def vL3vpnRoutesHistory(ribLog: DataFrame, peers: DataFrame, attrs: DataFrame,
+                          routers: DataFrame): DataFrame =
+    vL3vpnRoutes(ribLog, peers, attrs, routers)
+      .withColumn("event", withdrawnLabel(col("isWithdrawn")))
+
   /** Register the reporting surface on a session: materialized state
     * tables under their reference names + the derived v_* views, so
     * `spark.sql("SELECT … FROM v_ip_routes WHERE …")` works exactly like
@@ -176,6 +185,35 @@ object BmpViews {
       lg.createOrReplaceTempView("ip_rib_log")
       lg.withColumn("status", withdrawnLabel(col("isWithdrawn")))
         .createOrReplaceTempView("v_ip_routes_history")
+    }
+  }
+
+  /** Register the link-state surface (`8_views.sql:104-153`): the three
+    * ls state tables under their reference names plus v_ls_nodes /
+    * v_ls_links / v_ls_prefixes.
+    */
+  def registerLinkState(nodes: DataFrame, links: DataFrame, prefixes: DataFrame,
+                        peers: DataFrame, routers: DataFrame): Unit = {
+    nodes.createOrReplaceTempView("ls_nodes")
+    links.createOrReplaceTempView("ls_links")
+    prefixes.createOrReplaceTempView("ls_prefixes")
+    vLsNodes(nodes, peers, routers).createOrReplaceTempView("v_ls_nodes")
+    vLsLinks(links, nodes).createOrReplaceTempView("v_ls_links")
+    vLsPrefixes(prefixes, nodes).createOrReplaceTempView("v_ls_prefixes")
+  }
+
+  /** Register the l3vpn surface (`10_l3vpn.sql:81-122`): l3vpn_rib (+
+    * log) under the reference names plus v_l3vpn_routes and the l3vpn
+    * history view.
+    */
+  def registerL3vpn(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
+                    routers: DataFrame, ribLog: Option[DataFrame] = None): Unit = {
+    rib.createOrReplaceTempView("l3vpn_rib")
+    vL3vpnRoutes(rib, peers, attrs, routers).createOrReplaceTempView("v_l3vpn_routes")
+    ribLog.foreach { lg =>
+      lg.createOrReplaceTempView("l3vpn_rib_log")
+      vL3vpnRoutesHistory(lg, peers, attrs, routers)
+        .createOrReplaceTempView("v_l3vpn_routes_history")
     }
   }
 

@@ -48,6 +48,28 @@ class EnrichmentSpec extends SparkSpec {
     assert(got === Set(("10.0.0.0/8", 65001L, "zzz-last"), ("10.1.0.0/16", 65002L, "only")))
   }
 
+  test("pdb_exchange_peers JSON loads and refresh-merges on the IX key (M14)") {
+    val dir = Files.createTempDirectory("graft_pdb")
+    val json = dir.resolve("ixpeers.json")
+    Files.writeString(json, Seq(
+      """{"ix_id":1,"ix_name":"TestIX","peer_ipv4":"206.1.1.1","peer_ipv6":"2001:504::1","rs_peer":true,"peer_name":"net-a","peer_asn":65001,"speed":10000,"policy":"Open","ix_city":"Seattle","ix_country":"US","ix_region":"NA","ts_us":100}""",
+      """{"ix_id":1,"ix_name":"TestIX","peer_ipv4":"206.1.1.2","peer_asn":65002,"speed":1000,"ts_us":100}""",
+      """{"ix_name":"NoKey"}""").mkString("\n"))
+    val loaded = Enrichment.loadPdbIxPeersJson(spark, json.toString)
+    // NULL-key row dropped; missing ip columns normalized to '' so the
+    // (ix_id, peer_ipv4, peer_ipv6) PK always upserts
+    assert(loaded.count() === 2)
+    assert(loaded.filter(col("peer_ipv6") === "").count() === 1)
+
+    val refresh = Seq((1L, "206.1.1.1", "2001:504::1", 65001L, 100000L, 200L))
+      .toDF("ix_id", "peer_ipv4", "peer_ipv6", "peer_asn", "speed", "ts_us")
+    val current = loaded.select("ix_id", "peer_ipv4", "peer_ipv6", "peer_asn",
+      "speed", "ts_us")
+    val merged = Enrichment.mergePdbIxPeers(current, refresh)
+      .select("peer_ipv4", "speed").as[(String, Long)].collect().toMap
+    assert(merged === Map("206.1.1.1" -> 100000L, "206.1.1.2" -> 1000L))
+  }
+
   test("info_asn merge: peeringdb overwrites, whois fills gaps (M13)") {
     val whois = Seq((1L, "w-one", "whois"), (2L, "w-two", "whois"))
       .toDF("asn", "as_name", "source")

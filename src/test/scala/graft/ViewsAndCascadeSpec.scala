@@ -43,6 +43,85 @@ class ViewsAndCascadeSpec extends SparkSpec {
     assert(vp.getAs[String]("as_name") === "Acme Transit") // left join hit
   }
 
+  test("full reference view surface registers: every view answers spark.sql by name") {
+    val rib = Seq(("r1", "p1", "a1", "10.0.0.0", 8, 65001L, true, 1000L, false))
+      .toDF("hash_id", "peer_hash_id", "base_attr_hash_id", "prefix",
+        "prefix_len", "origin_as", "isIPv4", "ts_us", "isWithdrawn")
+    val peers = Seq(("p1", "rt1", "10.9.9.1", "peer-one", "10.9.9.1", 65100L, "up",
+      true, false))
+      .toDF("hash_id", "router_hash_id", "peer_addr", "name", "peer_bgp_id",
+        "peer_as", "state", "isIPv4", "isL3VPNpeer")
+    val attrs = Seq(("a1", "p1", "igp", Seq(65001L), "10.0.0.9", 0L, 100L,
+      Seq("65001:1"), Seq[String](), "", 1))
+      .toDF("hash_id", "peer_hash_id", "origin", "as_path", "next_hop", "med",
+        "local_pref", "community_list", "cluster_list", "aggregator", "as_path_count")
+    val routers = Seq(("rt1", "edge-router", "10.8.8.1", "ch1", "up", 900L))
+      .toDF("hash_id", "name", "ip_address", "collector_hash_id", "state", "ts_us")
+    val infoAsn = Seq((65100L, "Acme Transit")).toDF("asn", "as_name")
+    val nodes = Seq(
+      ("n1", "p1", "node-a", "0100.0a0a.0a01", "10.10.10.1", "IS-IS_L2", false),
+      ("n2", "p1", "node-b", "0100.0a0a.0a02", "10.10.10.2", "OSPFv2", false))
+      .toDF("hash_id", "peer_hash_id", "name", "igp_router_id", "router_id",
+        "protocol", "isWithdrawn")
+    val links = Seq(("lk1", "p1", "n1", "n2", false))
+      .toDF("hash_id", "peer_hash_id", "local_node_hash_id", "remote_node_hash_id",
+        "isWithdrawn")
+    val lsPrefixes = Seq(("pf1", "p1", "n1", "10.10.0.0", 16, 20L, "intra", false))
+      .toDF("hash_id", "peer_hash_id", "local_node_hash_id", "prefix", "prefix_len",
+        "metric", "ospf_route_type", "isWithdrawn")
+    val vpnRib = rib.withColumn("rd", lit("100:1"))
+      .withColumn("ext_community_list", array(lit("rt=100:1")))
+
+    BmpViews.registerAll(rib, peers, attrs, routers, infoAsn, ribLog = Some(rib))
+    BmpViews.registerLinkState(nodes, links, lsPrefixes, peers, routers)
+    BmpViews.registerL3vpn(vpnRib, peers, attrs, routers, ribLog = Some(vpnRib))
+
+    val surface = Seq(
+      "ip_rib", "bgp_peers", "base_attrs", "routers", "info_asn",
+      "v_peers", "v_ip_routes", "v_ip_routes_active",
+      "ip_rib_log", "v_ip_routes_history",
+      "ls_nodes", "ls_links", "ls_prefixes",
+      "v_ls_nodes", "v_ls_links", "v_ls_prefixes",
+      "l3vpn_rib", "v_l3vpn_routes", "l3vpn_rib_log", "v_l3vpn_routes_history")
+    surface.foreach { v =>
+      assert(spark.sql(s"SELECT * FROM $v").columns.nonEmpty, s"view $v")
+    }
+
+    // semantic spot checks across the newly registered views
+    val link = spark.sql(
+      "SELECT Local_Node, Remote_Node FROM v_ls_links").head()
+    assert(link.getString(0) === "node-a" && link.getString(1) === "node-b")
+    // protocol-dependent Router_ID: IS-IS → igp_router_id, OSPF → router_id
+    val ids = spark.sql("SELECT Node_Name, Router_ID FROM v_ls_nodes")
+      .as[(String, String)].collect().toMap
+    assert(ids === Map("node-a" -> "0100.0a0a.0a01", "node-b" -> "10.10.10.2"))
+    assert(spark.sql("SELECT Prefix FROM v_ls_prefixes").head().getString(0)
+      === "10.10.0.0")
+    val vpn = spark.sql("SELECT rd, ExtCommunities FROM v_l3vpn_routes").head()
+    assert(vpn.getAs[String]("rd") === "100:1")
+    assert(spark.sql("SELECT event FROM v_l3vpn_routes_history").head()
+      .getString(0) === "Advertised")
+  }
+
+  test("T6 peer default naming: both-zero peers inherit name/bgp_id from router") {
+    val peers = Seq(
+      ("p1", "rt1", "0.0.0.0", "orig-name", "0.0.0.0"), // both zero → inherit
+      ("p2", "rt1", "0.0.0.0", "keep-two", "10.0.0.2"), // addr zero only → keep
+      ("p3", "rt1", "10.0.0.3", "keep-three", "0.0.0.0"), // bgp zero only → keep
+      ("p4", "rt-missing", "0.0.0.0", "keep-four", "0.0.0.0")) // no router → NULLs
+      .toDF("hash_id", "router_hash_id", "peer_addr", "name", "peer_bgp_id")
+    val routers = Seq(("rt1", "edge-router", "10.8.8.1"))
+      .toDF("hash_id", "name", "ip_address")
+    val out = Ingest.inheritPeerDefaults(peers, routers)
+      .select("hash_id", "name", "peer_bgp_id")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("p1") === ("edge-router", "10.8.8.1"))
+    assert(out("p2") === ("keep-two", "10.0.0.2"))
+    assert(out("p3") === ("keep-three", "0.0.0.0"))
+    assert(out("p4") === (null, null)) // trigger's SELECT INTO with no row
+  }
+
   test("vIpRoutesGeo never matches across address families (inet && semantics)") {
     // 40.1.2.3's 4-byte form lies lexicographically inside 2800::/12's
     // 16-byte [start,end]; without the family guard the v6 range would
