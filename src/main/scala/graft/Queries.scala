@@ -582,9 +582,12 @@ object Queries {
 
   val q23NgramJaccard = Q(
     "q23_dd_ngram_jaccard",
+    // maxShingleDf = 50: the 100 TB stop-shingle guard, mirrored in the
+    // oracle's HAVING — candidate generation drops shingles shared by
+    // more than 50 docs (verification still uses full sets)
     (s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 5, threshold = 0.5)
+        shingleN = 5, threshold = 0.5, maxShingleDf = 50)
         .orderBy("id_a", "id_b"),
     Some("""
       WITH sh AS (
@@ -596,9 +599,11 @@ object Queries {
         FROM documents),
       shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
       ex AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      freq AS (SELECT tok FROM ex GROUP BY tok HAVING COUNT(*) <= 50),
+      exok AS (SELECT ex.* FROM ex JOIN freq USING (tok)),
       cand AS (
         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM ex x JOIN ex y ON x.tok = y.tok AND x.doc_id < y.doc_id)
+        FROM exok x JOIN exok y ON x.tok = y.tok AND x.doc_id < y.doc_id)
       SELECT id_a, id_b,
         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -745,10 +750,12 @@ object Queries {
   // the throughput path and are spec-covered (DedupSpec).
   val q29MinHash = Q(
     "q29_dd_minhash_lsh",
+    // maxBandBucket = 50: the mega-bucket guard (one viral template
+    // must not produce b²/2 candidates), mirrored in the oracle
     (s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 12, bands = 6, threshold = 0.3,
-        baseHash = Dedup.md5Base)
+        baseHash = Dedup.md5Base, maxBandBucket = 50)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b"),
     Some("""
@@ -772,9 +779,12 @@ object Queries {
           MIN(CASE WHEN s % 2 = 0 THEN m END) AS m0,
           MIN(CASE WHEN s % 2 = 1 THEN m END) AS m1
         FROM mh GROUP BY doc_id, band),
+      bok AS (SELECT band, m0, m1 FROM bandsig
+              GROUP BY band, m0, m1 HAVING COUNT(*) <= 50),
+      bandok AS (SELECT bandsig.* FROM bandsig JOIN bok USING (band, m0, m1)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bandsig a JOIN bandsig b
+        FROM bandok a JOIN bandok b
           ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
          AND a.doc_id < b.doc_id)
       SELECT id_a, id_b,
@@ -1301,9 +1311,12 @@ object Queries {
     (s, dir) =>
       // LSH-blocked embedding near-dup: candidates share the 6-plane
       // bucket (deterministic overflow-free hyperplanes — the oracle
-      // recomputes them), verified by exact cosine ≥ threshold
+      // recomputes them), verified by exact cosine ≥ threshold.
+      // maxBucket = 100 is the degenerate-bucket guard, mirrored in
+      // the oracle's HAVING; the multi-table recall path (tables > 1)
+      // is spec-covered (SimilarityAndSkewSpec)
       Similarity.cosineNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, planes = 6)
+        threshold = 0.3, dim = 64, planes = 6, maxBucket = 100)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b"),
     Some("""
@@ -1319,7 +1332,9 @@ object Queries {
         SELECT vec_id,
           CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
         FROM dots GROUP BY vec_id),
-      vs AS (SELECT v.vec_id, cv, sig FROM v JOIN sig USING (vec_id)),
+      sok AS (SELECT sig FROM sig GROUP BY sig HAVING COUNT(*) <= 100),
+      vs AS (SELECT v.vec_id, cv, sig FROM v JOIN sig USING (vec_id)
+             JOIN sok USING (sig)),
       scored AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           list_sum(list_transform(range(1, len(a.cv) + 1),

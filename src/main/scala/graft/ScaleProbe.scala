@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale probe for the near-dup candidate-generation guards: measures
+  * candidate-pair counts and wall time for the uncapped vs guarded
+  * configurations across a 10× corpus growth (sf0.01 → sf0.1).
+  *
+  * The documents corpus is made ADVERSARIAL by appending one common
+  * stop-phrase to every doc — the resulting hot 5-grams have doc
+  * frequency = N, so uncapped candidate generation must produce all
+  * N(N-1)/2 pairs (the 100 TB failure mode: one viral phrase → 10¹²
+  * candidates). The df cap drops exactly those shingles from candidate
+  * generation, leaving the natural (df ≤ ~4) shingle pairs — growth
+  * returns to ~linear. For embeddings, the fixed-plane LSH bucket join
+  * is compared against the scale rule (planes = planesFor(n), bucket
+  * cap): fixed planes grow candidates ~N²/2^planes, the scale rule
+  * holds expected bucket size constant.
+  *
+  * Output: one line per (probe, scale, config) with candidate count and
+  * seconds — the numbers quoted in COVERAGE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timedCount(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$label%-46s candidates=$n%10d  time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .withColumn("text",
+          concat(col("text"), lit(" the of the of the end")))
+      val exploded = Dedup.explodedShingles(docs, "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exploded.count()
+      timedCount(s"ngram   $sf uncapped",
+        Dedup.ngramCandidates(exploded, Int.MaxValue))
+      timedCount(s"ngram   $sf maxShingleDf=50",
+        Dedup.ngramCandidates(exploded, 50))
+      exploded.unpersist()
+
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      timedCount(s"cosine  $sf fixed planes=6 uncapped",
+        Similarity.cosineCandidates(emb, 64, 6, 1, Int.MaxValue))
+      val p = Similarity.planesFor(n, targetBucket = 16)
+      timedCount(s"cosine  $sf planesFor(n)=$p cap=64 tables=2",
+        Similarity.cosineCandidates(emb, 64, p, 2, 64))
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}

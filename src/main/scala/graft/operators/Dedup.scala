@@ -46,8 +46,8 @@ object Dedup {
     * every candidate-generation join starts from — shingle arrays are
     * never carried through a shuffle.
     */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
-                               shingleN: Int): DataFrame =
+  private[graft] def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                                      shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("tok"))
 
   /** Engine-portable 60-bit string hash: the top 15 hex chars of md5 as
@@ -124,11 +124,21 @@ object Dedup {
     * With `baseHash = md5Base` the whole pipeline is engine-portable
     * (md5-based hashes) and oracle-checkable; the xxhash64 default is
     * the throughput path.
+    *
+    * `maxBandBucket` is the 100 TB bucket-size guard: a band bucket of
+    * b near-identical docs yields b²/2 candidate pairs, so one viral
+    * template with b = 10⁶ members produces 5·10¹¹ pairs from a single
+    * bucket. Buckets larger than the cap are dropped from candidate
+    * generation ONLY (verification always uses full shingle sets) —
+    * recall loss is bounded to pairs whose EVERY matching band is a
+    * mega-bucket, i.e. exactly the mass-duplicate clusters a pipeline
+    * handles with exact dedup first.
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.8,
-                 baseHash: Column => Column = xxBase): DataFrame = {
+                 baseHash: Column => Column = xxBase,
+                 maxBandBucket: Int = Int.MaxValue): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
         "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
@@ -143,8 +153,19 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), array(cols: _*).as("bh"))
     }
-    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("b"))
+    val banded0 = sigs.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded =
+      if (maxBandBucket == Int.MaxValue) banded0
+      else {
+        // bucket sizes in the same shuffle layout as the join that
+        // follows (map-side-combined count on the join key)
+        val ok = banded0.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBandBucket)
+          .select("band", "bh")
+        banded0.join(ok, Seq("band", "bh"))
+      }
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bh"))
@@ -186,21 +207,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Blocked exact n-gram-Jaccard near-dup: pairs sharing ≥1 shingle
-    * (equi-join block on exploded shingles), then exact Jaccard ≥
-    * threshold. Deterministic (no hashing) → DuckDB-oracle-friendly.
+  /** Candidate pairs sharing ≥1 shingle with doc-frequency ≤
+    * `maxShingleDf` — the blocked candidate stage of [[ngramJaccard]],
+    * exposed for scale probing. A shingle with doc frequency f
+    * contributes f²/2 candidate rows, so ONE stop-shingle ("of the …
+    * of the") with f = 10⁶ yields 5·10¹¹ candidates at corpus scale;
+    * the df cap removes exactly those from candidate GENERATION (df is
+    * computed in the same pass over the persisted exploded table).
+    * Verification still scores full shingle sets, so a dropped pair is
+    * only lost if it shares NO sub-cap shingle — near-dups at any
+    * useful threshold share many rare shingles, which bounds the
+    * recall loss to pairs related only through stop-phrases.
     */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int, threshold: Double): DataFrame = {
-    val exploded = explodedShingles(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = exploded.select(col("tok"), col("id").as("id_a"))
-    val y = exploded.select(col("tok"), col("id").as("id_b"))
-    val cand = x.join(y, Seq("tok"))
+  def ngramCandidates(exploded: DataFrame, maxShingleDf: Int): DataFrame = {
+    val source =
+      if (maxShingleDf == Int.MaxValue) exploded
+      else {
+        val ok = exploded.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDf)
+          .select("tok")
+        exploded.join(ok, Seq("tok"))
+      }
+    val x = source.select(col("tok"), col("id").as("id_a"))
+    val y = source.select(col("tok"), col("id").as("id_b"))
+    x.join(y, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccardByJoin(cand, exploded, threshold)
+  }
+
+  /** Blocked exact n-gram-Jaccard near-dup: pairs sharing ≥1 shingle
+    * (equi-join block on exploded shingles), then exact Jaccard ≥
+    * threshold. Deterministic (no hashing) → DuckDB-oracle-friendly.
+    * `maxShingleDf` caps candidate generation (see [[ngramCandidates]]).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val exploded = explodedShingles(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardByJoin(ngramCandidates(exploded, maxShingleDf), exploded, threshold)
   }
 
   /** 64-bit SimHash fingerprint over the token multiset: per bit, the

@@ -73,12 +73,26 @@ object Similarity {
   private[graft] def planeWeight(p: Int, d: Int): Double =
     ((p * 1103515L + d * 12347L + 42L) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
 
-  /** Random-hyperplane LSH signature: bit p = sign(v · plane_p). */
-  def lshSignature(vec: Column, dim: Int, planes: Int): Column =
+  /** Random-hyperplane LSH signature: bit p = sign(v · plane_{p+offset}).
+    * `planeOffset` selects an independent plane set — table t of a
+    * multi-table LSH uses offset t·planes, so every table hashes with
+    * disjoint hyperplanes.
+    */
+  def lshSignature(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
-      val weights = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      val weights = array((0 until dim).map(d => lit(planeWeight(p + planeOffset, d))): _*)
       when(dot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Plane count that keeps the EXPECTED bucket size ≈ `targetBucket`
+    * under a uniform sign distribution: 2^planes ≈ n / targetBucket.
+    * The scale rule for [[cosineNearDup]]: planes grows with log₂(n),
+    * so within-bucket all-pairs work stays ~n·targetBucket instead of
+    * n²/2^(fixed planes).
+    */
+  def planesFor(corpusSize: Long, targetBucket: Int = 64): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
   /** LSH-bucketed ANN: join queries to corpus on equal signature bucket,
     * then exact cosine top-k within the bucket. Recall < 1 by design;
@@ -156,19 +170,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH blocking: corpus
-    * self-join on signature, exact cosine ≥ threshold verification.
+  /** Embedding-cosine near-duplicate pairs via LSH blocking: per-table
+    * corpus self-join on signature, union of candidates across
+    * independent tables, exact cosine ≥ threshold verification.
+    *
+    * Scale shape: a single fixed-plane table has ≤ 2^planes buckets, so
+    * within-bucket all-pairs is O(n²/2^planes) — quadratic at corpus
+    * scale. The two knobs restore linearity:
+    *  - `planes`: size with [[planesFor]] (planes ~ log₂(n/targetBucket))
+    *    so expected bucket size stays constant as n grows;
+    *  - `maxBucket`: hard guard dropping degenerate buckets (mass
+    *    near-identical embeddings all hash together regardless of plane
+    *    count) from candidate generation — the same skip-or-split rule
+    *    as [[Dedup.minHashLsh]]'s band cap, with the same bounded
+    *    recall loss (only pairs whose EVERY table lands in a
+    *    mega-bucket are lost).
+    * Raising `tables` (disjoint hyperplane sets per table, see
+    * [[lshSignature]] planeOffset) buys back the recall that sharper
+    * bucketing costs: candidates are the UNION over tables, so a pair
+    * is kept if ANY table buckets it together.
+    *
+    * Candidate rows carry only (sig, id) — vectors join back for
+    * verification, so multi-table unions never shuffle embeddings.
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, dim: Int, planes: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), dim, planes).as("sig"))
-    val a = sig.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
-    val b = sig.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
+                    threshold: Double, dim: Int, planes: Int = 8,
+                    tables: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(tables >= 1, s"tables ($tables) must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cosineCandidates(base, dim, planes, tables, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Candidate stage of [[cosineNearDup]], exposed for scale probing:
+    * per-table bucket self-join over a `(id, v)` frame, capped and
+    * unioned — returns distinct (id_a, id_b) before exact verification.
+    */
+  def cosineCandidates(base: DataFrame, dim: Int, planes: Int,
+                       tables: Int, maxBucket: Int): DataFrame =
+    (0 until tables).map { t =>
+      val sigs = base.select(col("id"),
+        lshSignature(col("v"), dim, planes, t * planes).as("sig"))
+      val capped =
+        if (maxBucket == Int.MaxValue) sigs
+        else {
+          val ok = sigs.groupBy(col("sig")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") <= maxBucket).select("sig")
+          sigs.join(ok, Seq("sig"))
+        }
+      val a = capped.select(col("sig"), col("id").as("id_a"))
+      val b = capped.select(col("sig"), col("id").as("id_b"))
+      a.join(b, Seq("sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
 }

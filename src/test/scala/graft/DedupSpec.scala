@@ -46,6 +46,44 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("maxShingleDf drops stop-shingle-only pairs from candidates, keeps real dups") {
+    // docs 10-13 share ONLY the hot shingle "of the" (df=4 > cap 3);
+    // docs 1/4 are exact dups sharing rare shingles (df ≤ 3)
+    val hot = docs.unionByName(Seq(
+      (10L, "alpha beta of the gamma delta"),
+      (11L, "epsilon zeta of the eta theta"),
+      (12L, "iota kappa of the lamda mu"),
+      (13L, "nu xi of the omicron pi"))
+      .toDF("doc_id", "text"))
+    val uncapped = Dedup.ngramJaccard(hot, "doc_id", "text", 2, 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((10L, 11L))) // blocked via the hot shingle
+    val capped = Dedup.ngramJaccard(hot, "doc_id", "text", 2, 0.05, maxShingleDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 10L)) // hot-shingle-only pairs gone
+    assert(capped.contains((1L, 4L)))
+  }
+
+  test("minHashLsh band-bucket cap drops mega-bucket candidates only") {
+    // all-identical docs collapse into one band bucket of size 6 —
+    // the cap excludes the whole bucket; unrelated docs unaffected
+    val mass = ((0 until 6).map(i => (100L + i, "same viral template text here")) :+
+      (1L, "the quick brown fox jumps over the lazy dog") :+
+      (4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLsh(mass, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 >= 100L)) // template pairs found
+    assert(uncapped.contains((1L, 4L)))
+    val capped = Dedup.minHashLsh(mass, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.5,
+      maxBandBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 100L)) // mega-bucket skipped
+    assert(capped.contains((1L, 4L)))         // small buckets untouched
+  }
+
   test("simHashTable ≡ simHash expression form") {
     val viaExpr = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap

@@ -41,6 +41,53 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(ivf === Set(4L, 6L, 7L)) // the other axis-1 vectors
   }
 
+  test("cosineNearDup: multi-table candidates ⊇ single-table; all pairs exact-verified") {
+    val single = Similarity.cosineNearDup(corpus, "vec_id", "embedding",
+      threshold = 0.9, dim = 6, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Similarity.cosineNearDup(corpus, "vec_id", "embedding",
+      threshold = 0.9, dim = 6, planes = 4, tables = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi)) // union over tables only adds candidates
+    // no false positives ever: every reported pair passes exact cosine
+    val va = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val vb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = va.join(vb, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(brute))
+  }
+
+  test("cosineNearDup maxBucket drops only the degenerate mega-bucket") {
+    // six identical embeddings collapse into one bucket in EVERY table
+    // (identical vectors → identical signs); the small pair is the exact
+    // NEGATION — every plane dot flips sign, so its bucket provably
+    // differs from the mass bucket
+    val mass = (
+      (0 until 6).map(i => (100L + i, axisVec(0, 1.0f))) ++
+        Seq((0L, axisVec(0, 1.0f).map(x => -x)), (1L, axisVec(0, 1.0f).map(x => -x)))
+      ).toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDup(mass, "vec_id", "embedding",
+      threshold = 0.95, dim = 6, planes = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 >= 100L))
+    assert(uncapped.contains((0L, 1L)))
+    val capped = Similarity.cosineNearDup(mass, "vec_id", "embedding",
+      threshold = 0.95, dim = 6, planes = 6, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 100L)) // mega-bucket skipped
+    assert(capped.contains((0L, 1L)))
+  }
+
+  test("planesFor keeps expected bucket size constant as the corpus grows") {
+    assert(Similarity.planesFor(64, 64) === 1)
+    assert(Similarity.planesFor(6400, 64) >= 6)
+    assert(Similarity.planesFor(6400000, 64) >= 16)
+    // 100× corpus → ~+7 planes, not 100× bucket occupancy
+    assert(Similarity.planesFor(6400000, 64) - Similarity.planesFor(64000, 64) === 7)
+  }
+
   test("saltedAgg == plain agg (two-phase correctness)") {
     val df = Seq.tabulate(1000)(i => ("hot", i.toLong)) ++ Seq(("cold", 5L))
     val data = df.toDF("k", "v")
