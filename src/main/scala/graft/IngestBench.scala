@@ -71,6 +71,40 @@ object IngestBench {
       s""""unit":"msgs/sec","msgs":$n,"batches":$batches,"secs":$secs,""" +
       s""""rib_rows":$ribRows,"log_rows":$logRows,""" +
       s""""reference_baseline":2800}""")
+
+    // Changed-bucket write-volume probe: a key-localized 1k-msg update
+    // merged into the full snapshot via the bucket-partitioned layout
+    // must rewrite bytes ∝ touched buckets, not O(state) — the
+    // columnar answer to the reference's row-level ON CONFLICT.
+    import graft.operators.StateTables
+    val bstate = s"$out/bstate"
+    StateTables.writeBucketPartitioned(
+      Ingest.readState(spark, state).get, bstate, Ingest.ipRibPolicy.keys, 256)
+    val stateBytes =
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(bstate))
+    // 1k msgs over 40 (hash, peer) key pairs — a localized burst
+    val updLines = spark.range(1000).select(concat_ws("\t",
+      concat(lit("pfx"), (col("id") % 20).cast("string")),
+      concat(lit("peer"), (col("id") % 2).cast("string")),
+      concat(lit("attr"), (col("id") % 100).cast("string")),
+      lit("1"), ((col("id") % 60000) + 1000).cast("string"),
+      format_string("10.%d.%d.0", col("id") % 200, (col("id") * 7) % 250),
+      lit("24"),
+      date_format(
+        timestamp_micros(lit(1704067200000000L) + 999000000L + col("id")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      lit("false"), lit("0"), lit(""), lit("1"), lit("1")).as("line"))
+    val t1 = System.nanoTime()
+    val touched = StateTables.mergeChangedBuckets(spark, bstate,
+      Messages.unicastPrefixFromTsv(updLines), Ingest.ipRibPolicy, 256)
+    val mergeSecs = (System.nanoTime() - t1) / 1e9
+    val rewrittenBytes = touched.map(b => org.apache.commons.io.FileUtils
+      .sizeOfDirectory(new java.io.File(s"$bstate/__bucket=$b"))).sum
+    println(s"""{"metric":"changed_bucket_merge","update_msgs":1000,""" +
+      s""""buckets_touched":${touched.size},"buckets_total":256,""" +
+      s""""rewritten_bytes":$rewrittenBytes,"state_bytes":$stateBytes,""" +
+      s""""write_fraction":${rewrittenBytes.toDouble / stateBytes},""" +
+      s""""secs":$mergeSecs}""")
     spark.stop()
   }
 }

@@ -51,4 +51,75 @@ object StateTables {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     spark.sql(s"DROP TABLE IF EXISTS $old")
   }
+
+  // ---- changed-bucket-only merge --------------------------------------
+  // The catalog-bucketed path above still REWRITES the whole snapshot
+  // per merge — O(state) write amplification per batch, the reference's
+  // `ON CONFLICT` touches only conflicting rows. The layout below gets
+  // the columnar equivalent: the snapshot is directory-partitioned by a
+  // hash bucket of the merge key, updates are hashed with the same
+  // function, and a merge (a) reads ONLY the partitions holding updated
+  // keys (partition pruning at the scan) and (b) swaps ONLY those
+  // directories. Untouched bucket files are never opened or rewritten —
+  // write volume is ∝ (touched buckets) ≈ update spread, not state size.
+
+  /** The bucket partition function: pmod(hash(keys), numBuckets) —
+    * identical on the state and update sides by construction.
+    */
+  def bucketId(keys: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Write a snapshot in the changed-bucket layout: one directory per
+    * key-hash bucket (`__bucket=<i>/`). Size numBuckets so a bucket is
+    * a few parquet files (e.g. 2^10-2^17 at 100 TB): more buckets →
+    * finer merge granularity, fewer → larger scan units.
+    */
+  def writeBucketPartitioned(df: DataFrame, path: String, keys: Seq[String],
+                             numBuckets: Int): Unit =
+    df.withColumn("__bucket", bucketId(keys, numBuckets))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+  /** Merge updates into a bucket-partitioned snapshot rewriting ONLY
+    * the buckets that contain updated keys.
+    *
+    * The touched-bucket list is plan-time metadata (≤ numBuckets ints —
+    * the one acceptable collect); the current-state scan carries an
+    * `isin(touched)` partition filter so pruning happens at the
+    * directory listing, and the merged result is staged to
+    * `<path>_stage` then swapped in with per-bucket directory renames
+    * (the staged write also sidesteps reading and overwriting the same
+    * path in one plan). Per-bucket rename is atomic per bucket but not
+    * across buckets — a crash mid-swap leaves a mix of old/new buckets;
+    * the merge is idempotent (re-running the same batch converges), and
+    * a transactional deployment wraps the swap in a commit pointer like
+    * [[graft.streaming.Ingest.mergeBatch]]'s versioned `_CURRENT`.
+    *
+    * @return the bucket ids rewritten (size = write amplification in
+    *         units of buckets)
+    */
+  def mergeChangedBuckets(spark: SparkSession, path: String, updates: DataFrame,
+                          policy: MergeOps.MergePolicy, numBuckets: Int): Seq[Int] = {
+    val latest = MergeOps.dedupToLatest(updates, policy.keys, policy.orderBy)
+      .withColumn("__bucket", bucketId(policy.keys, numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = latest.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val current = spark.read.parquet(path)
+      .filter(col("__bucket").isin(touched: _*)) // partition-pruned read
+    val merged = MergeOps.upsert(current.drop("__bucket"), latest.drop("__bucket"), policy)
+      .withColumn("__bucket", bucketId(policy.keys, numBuckets))
+    val stage = path + "_stage"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    latest.unpersist()
+    val conf = spark.sessionState.newHadoopConf()
+    val fs   = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    touched.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(path, s"__bucket=$b")
+      val src = new org.apache.hadoop.fs.Path(stage, s"__bucket=$b")
+      fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst) // a bucket can empty out only if all its rows were keyed-deleted
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    touched
+  }
 }

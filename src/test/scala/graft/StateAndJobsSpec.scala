@@ -34,6 +34,41 @@ class StateAndJobsSpec extends AnyFunSuite {
     keys = Seq("k"), withdrawnCol = "wd", orderBy = Seq("ts"),
     retainOnWithdraw = Seq("attr"), alwaysUpdate = Seq("ts"))
 
+  test("changed-bucket merge rewrites only buckets containing updated keys") {
+    val dir = Files.createTempDirectory("graft_cb").toString + "/state"
+    val init = (1 to 200).map(i => (s"k$i", 1L, s"A$i", false))
+      .toDF("k", "ts", "attr", "wd")
+    StateTables.writeBucketPartitioned(init, dir, Seq("k"), 16)
+
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = bucketFiles()
+    assert(before.size === 16)
+
+    // updates: one changed key, one brand-new key
+    val updates = Seq(("k1", 2L, "A1x", false), ("k999", 2L, "NEW", false))
+      .toDF("k", "ts", "attr", "wd")
+    val touched = StateTables.mergeChangedBuckets(spark, dir, updates, policy, 16)
+    assert(touched.size <= 2) // ≤ one bucket per distinct key
+
+    // untouched bucket dirs keep their exact file sets (parquet writes
+    // generate fresh UUID part names, so a rewrite would change them)
+    val after = bucketFiles()
+    before.keySet.filterNot(b => touched.map(t => s"__bucket=$t").contains(b))
+      .foreach(b => assert(after(b) === before(b), s"bucket $b was rewritten"))
+    touched.foreach(t => assert(after(s"__bucket=$t") !== before(s"__bucket=$t")))
+
+    // merged contents equal the reference full upsert
+    val got = spark.read.parquet(dir).drop("__bucket")
+    val want = MergeOps.upsert(init, updates, policy)
+    assert(got.count() === 201)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.filter(col("k") === "k1").head().getAs[String]("attr") === "A1x")
+    assert(got.filter(col("k") === "k999").head().getAs[String]("attr") === "NEW")
+  }
+
   test("bucketed state merge: snapshot side reads without Exchange") {
     // clean any leftover managed-table locations from aborted runs
     for (t <- Seq("rib_state", "rib_state_next", "rib_state_old")) {
