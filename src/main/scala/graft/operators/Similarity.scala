@@ -123,12 +123,38 @@ object Similarity {
     * so cluster pruning happens at the scan.
     *
     * Centroid selection is deterministic (k lowest-id vectors) so
-    * results are reproducible; production would run k-means iterations
-    * over the same assignment primitive.
+    * results are reproducible; [[ivfRefineCentroids]] runs k-means
+    * iterations over the same assignment primitive for recall quality.
     */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     corpus.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+
+  /** k-means refinement of an IVF centroid set: `iters` rounds of
+    * assign (one broadcast pass over the corpus, [[ivfAssign]]) →
+    * per-cluster component mean (posexplode + hash aggregate — the
+    * corpus shuffles only (cluster, pos, x) triples). Deterministic
+    * given the deterministic first-k init; a cluster that empties out
+    * keeps its previous centroid. An offline index-build job — cost is
+    * iters × (N·k dot products), never on the query path.
+    */
+  def ivfRefineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, iters: Int): DataFrame = {
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      val means = assigned
+        .select(col("cluster").as("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("__mean"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__mean"), col("centroid")).as("centroid"))
+    }
+    cents
+  }
 
   /** Assign every corpus row to its nearest centroid (one broadcast
     * cross-product pass; N·k dot products, no shuffle of the corpus).
@@ -148,8 +174,11 @@ object Similarity {
     * borders); raise nprobe to trade cost for recall.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nClusters: Int, nprobe: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nClusters)
+              k: Int, nClusters: Int, nprobe: Int, kmeansIters: Int = 0): DataFrame = {
+    val cents0 = ivfCentroids(corpus, idCol, vecCol, nClusters)
+    val cents = (if (kmeansIters > 0)
+      ivfRefineCentroids(corpus, idCol, vecCol, cents0, kmeansIters)
+    else cents0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val indexed = ivfAssign(corpus, cents, idCol, vecCol)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__qcos").desc, col("cid").asc)

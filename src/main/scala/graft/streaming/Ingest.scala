@@ -104,17 +104,26 @@ object Ingest {
     * stream starts (same consistency barrier, no ordering hack).
     */
   def kafkaSource(spark: SparkSession, brokers: String, topicPattern: String): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribePattern", topicPattern)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(
-        col("topic"),
-        col("key").cast("string").as("msg_key"),
-        col("value").cast("string").as("line"),
-        col("timestamp").as("kafka_ts"))
+    decodeKafkaRecords(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribePattern", topicPattern)
+        .option("startingOffsets", "earliest")
+        .load())
+
+  /** The source-to-parse seam: maps Kafka's wire schema (topic, binary
+    * key/value, timestamp) to the engine's line frame. Everything after
+    * `.load()` flows through here, so the file-source specs exercise
+    * the identical decode path by feeding a Kafka-shaped frame — only
+    * the `.format("kafka").load()` line itself needs a broker.
+    */
+  def decodeKafkaRecords(records: DataFrame): DataFrame =
+    records.select(
+      col("topic"),
+      col("key").cast("string").as("msg_key"),
+      col("value").cast("string").as("line"),
+      col("timestamp").as("kafka_ts"))
 
   // ---- versioned snapshot state ---------------------------------------
   // Each merge writes the next snapshot to <statePath>_v<N> and then

@@ -41,6 +41,35 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(ivf === Set(4L, 6L, 7L)) // the other axis-1 vectors
   }
 
+  test("IVF k-means refinement improves recall at nprobe < nClusters") {
+    // two well-separated direction clusters; the deterministic first-k
+    // init picks ids 0 and 1 — BOTH in the axis-0 cluster, so the
+    // nprobe=1 partition splits axis-3 vectors arbitrarily. After
+    // k-means the two centroids converge to the true cluster means and
+    // nprobe=1 reproduces brute force (every vector's neighbors are in
+    // its own direction cluster).
+    val clustered = (
+      (0 until 4).map(i => (i.toLong, axisVec(0, 1.0f + i * 0.05f))) ++
+        (4 until 8).map(i => (i.toLong, axisVec(3, 1.0f + i * 0.05f)))
+      ).toDF("vec_id", "embedding")
+    val brute = Similarity.cosineTopK(clustered, clustered, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def avgRecall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(clustered, clustered, "vec_id", "embedding",
+        k = 3, nClusters = 2, nprobe = 1, kmeansIters = iters)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      brute.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / brute.size
+    }
+    val r0 = avgRecall(0)
+    val r3 = avgRecall(3)
+    assert(r3 > r0, s"kmeans recall $r3 should beat first-k recall $r0")
+    assert(r3 === 1.0) // converged centroids → exact partition recall
+  }
+
   test("cosineNearDup: multi-table candidates ⊇ single-table; all pairs exact-verified") {
     val single = Similarity.cosineNearDup(corpus, "vec_id", "embedding",
       threshold = 0.9, dim = 6, planes = 4)

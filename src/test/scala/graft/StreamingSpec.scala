@@ -49,4 +49,32 @@ class StreamingSpec extends SparkSpec {
     assert(compact.count() === 3)
     assert(compact.columns.contains("date_hour"))
   }
+
+  test("Kafka decode seam: wire-shaped records flow through parse + merge") {
+    import spark.implicits._
+    // exactly Kafka's post-.load() schema: binary key/value, topic,
+    // timestamp — decodeKafkaRecords is the seam every record crosses,
+    // so this drives the full ingest path minus only the broker line
+    val wire = Seq(
+      ("obmp.parsed.unicast_prefix", "h1".getBytes, // key = routing key
+        "h1\tp1\ta1\t1\t65001\t10.0.0.0\t8\t2024-01-01 00:00:01.000000\tfalse\t0\t\t1\t1".getBytes),
+      ("obmp.parsed.unicast_prefix", "h2".getBytes,
+        "h2\tp1\ta2\t1\t65002\t10.1.0.0\t16\t2024-01-01 00:00:02.000000\ttrue\t0\t\t1\t1".getBytes))
+      .toDF("topic", "key", "value")
+      .withColumn("timestamp", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:03")))
+    val decoded = Ingest.decodeKafkaRecords(wire)
+    assert(decoded.columns.toSeq === Seq("topic", "msg_key", "line", "kafka_ts"))
+    assert(decoded.filter(col("msg_key") === "h1").count() === 1)
+
+    val parsed = Messages.unicastPrefixFromTsv(decoded)
+    val rows = parsed.orderBy("hash_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("hash_id") === "h1")
+    assert(rows(1).getAs[Boolean]("isWithdrawn") === true)
+
+    // and on through the merge sink
+    val out = Files.createTempDirectory("graft_kafka_seam").toString
+    Ingest.mergeBatch(spark, parsed, s"$out/state", s"$out/log", Ingest.ipRibPolicy)
+    assert(Ingest.readState(spark, s"$out/state").get.count() === 2)
+  }
 }
