@@ -94,25 +94,47 @@ object StateTables {
     * a transactional deployment wraps the swap in a commit pointer like
     * [[graft.streaming.Ingest.mergeBatch]]'s versioned `_CURRENT`.
     *
+    * With `logPath`, the CDC rows of the merge ([[MergeOps.upsertWithLog]])
+    * are written before the swap — batchId-keyed partitions make a
+    * replayed micro-batch overwrite its own log instead of appending
+    * duplicates, and a crash between log write and swap re-runs the
+    * idempotent merge from the old state.
+    *
     * @return the bucket ids rewritten (size = write amplification in
     *         units of buckets)
     */
   def mergeChangedBuckets(spark: SparkSession, path: String, updates: DataFrame,
-                          policy: MergeOps.MergePolicy, numBuckets: Int): Seq[Int] = {
+                          policy: MergeOps.MergePolicy, numBuckets: Int,
+                          logPath: Option[String] = None,
+                          batchId: Option[Long] = None): Seq[Int] = {
     val latest = MergeOps.dedupToLatest(updates, policy.keys, policy.orderBy)
       .withColumn("__bucket", bucketId(policy.keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = latest.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val current = spark.read.parquet(path)
-      .filter(col("__bucket").isin(touched: _*)) // partition-pruned read
-    val merged = MergeOps.upsert(current.drop("__bucket"), latest.drop("__bucket"), policy)
-      .withColumn("__bucket", bucketId(policy.keys, numBuckets))
-    val stage = path + "_stage"
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
-    latest.unpersist()
     val conf = spark.sessionState.newHadoopConf()
     val fs   = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val current =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.parquet(path)
+          .filter(col("__bucket").isin(touched: _*)) // partition-pruned read
+          .drop("__bucket")
+      else // bootstrap: first batch creates the layout
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          latest.drop("__bucket").schema)
+    val (merged0, log) = MergeOps.upsertWithLog(current, latest.drop("__bucket"), policy)
+    val merged = merged0.withColumn("__bucket", bucketId(policy.keys, numBuckets))
+    val stage = path + "_stage"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    logPath.foreach { lp =>
+      batchId match {
+        case Some(id) => log.write.mode("overwrite").parquet(s"$lp/batch=$id")
+        case None     => log.write.mode("append").parquet(lp)
+      }
+    }
+    latest.unpersist()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path)) // bootstrap: rename needs the parent
     touched.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(path, s"__bucket=$b")
       val src = new org.apache.hadoop.fs.Path(stage, s"__bucket=$b")

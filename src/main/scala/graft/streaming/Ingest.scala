@@ -204,6 +204,27 @@ object Ingest {
       }
       .start()
 
+  /** Streaming variant of [[start]] over the changed-bucket snapshot
+    * layout ([[graft.operators.StateTables.mergeChangedBuckets]]): per
+    * micro-batch, ONLY buckets containing updated keys are read and
+    * rewritten — write amplification ∝ update spread, not O(state).
+    * The versioned-pointer path of [[start]] remains for small state
+    * (atomic whole-snapshot commit); this is the 100 TB state regime.
+    */
+  def startBucketed(parsed: DataFrame, statePath: String, logPath: String,
+                    policy: MergePolicy, numBuckets: Int, triggerMs: Long = 300,
+                    checkpoint: Option[String] = None): StreamingQuery =
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$statePath/_checkpoint"))
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.StateTables.mergeChangedBuckets(
+          batch.sparkSession, s"$statePath/snapshot", batch, policy, numBuckets,
+          logPath = Some(logPath), batchId = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Batch replay of TSV fixture lines through the same parse+merge path
     * (used by tests and bootstrap — SURVEY §3.1's inventory-first phase).
     */

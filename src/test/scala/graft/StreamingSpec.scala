@@ -50,6 +50,57 @@ class StreamingSpec extends SparkSpec {
     assert(compact.columns.contains("date_hour"))
   }
 
+  test("bucketed streaming ingest rewrites only touched buckets per micro-batch") {
+    import spark.implicits._
+    import graft.operators.StateTables
+    val in  = Files.createTempDirectory("graft_bstream_in").toString
+    val out = Files.createTempDirectory("graft_bstream_out").toString
+    val state = s"$out/state"; val log = s"$out/log"
+
+    // pick a second hash that provably lands in a different bucket
+    def bucketOf(hash: String): Int = Seq(("p1", hash)).toDF("peer_hash_id", "hash_id")
+      .select(StateTables.bucketId(Seq("peer_hash_id", "hash_id"), 16)).head().getInt(0)
+    val h2 = (2 to 40).map(i => s"h$i").find(h => bucketOf(h) != bucketOf("h1")).get
+
+    def line(hash: String, attr: String, ts: String, wd: Boolean) =
+      s"$hash\tp1\t$attr\t1\t65001\t10.0.0.0\t8\t$ts\t$wd\t0\t\t1\t1"
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.tsv"),
+      line("h1", "a1", "2024-01-01 00:00:01.000000", wd = false) + "\n" +
+        line(h2, "a9", "2024-01-01 00:00:01.500000", wd = false))
+
+    val parsed = Messages.unicastPrefixFromTsv(
+      spark.readStream.text(in).withColumnRenamed("value", "line"))
+    val q = Ingest.startBucketed(parsed, state, log, Ingest.ipRibPolicy,
+      numBuckets = 16, triggerMs = 50)
+    q.processAllAvailable()
+
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$state/snapshot").listFiles()
+        .filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = bucketFiles()
+
+    // second batch touches ONLY h1's key
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.tsv"),
+      line("h1", "", "2024-01-01 00:00:02.000000", wd = true))
+    q.processAllAvailable()
+    q.stop()
+
+    val after = bucketFiles()
+    val h1Bucket = s"__bucket=${bucketOf("h1")}"
+    assert(after(h1Bucket) !== before(h1Bucket))
+    (before.keySet - h1Bucket).foreach(b =>
+      assert(after(b) === before(b), s"bucket $b was rewritten"))
+
+    val st = spark.read.parquet(s"$state/snapshot")
+    assert(st.count() === 2)
+    val h1 = st.filter(col("hash_id") === "h1").head()
+    assert(h1.getAs[Boolean]("isWithdrawn") === true)
+    assert(h1.getAs[String]("base_attr_hash_id") === "a1") // retained on withdraw
+    assert(spark.read.parquet(log).count() === 3)          // 2 advertises + 1 withdraw
+  }
+
   test("Kafka decode seam: wire-shaped records flow through parse + merge") {
     import spark.implicits._
     // exactly Kafka's post-.load() schema: binary key/value, topic,
