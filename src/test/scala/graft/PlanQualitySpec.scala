@@ -46,4 +46,46 @@ class PlanQualitySpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(s.contains("WholeStageCodegen"), s"no WholeStageCodegen spans:\n${s.take(2000)}")
   }
+
+  test("q52 binary-form v6 LPM broadcasts the geo dim (probes never shuffle)") {
+    val plan = planOf("q52_j5_lpm_ipv6_binary")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"v6 LPM didn't broadcast the dim:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("changed-bucket state read prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/st"
+    val df = (1 to 64).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    graft.operators.StateTables.writeBucketPartitioned(df, tmp, Seq("k"), 8)
+    val pruned = spark.read.parquet(tmp).filter(col("__bucket").isin(1, 2))
+    val scan = pruned.queryExecution.executedPlan.toString
+    // the isin lands in PartitionFilters, so only 2 of 8 directories are
+    // listed/read — the mechanism mergeChangedBuckets' current-read uses
+    assert(scan.contains("PartitionFilters") && scan.contains("__bucket"),
+      s"no partition filter on the bucket scan:\n$scan")
+    pruned.count() // execute so the scan metrics fill in
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.metrics("numFiles").value
+    val total = spark.read.parquet(tmp).inputFiles.length
+    assert(scanned < total,
+      s"partition pruning did not reduce the file set ($scanned of $total)")
+  }
+
+  test("cosine near-dup candidate shuffles carry no embedding payload") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cand = graft.operators.Similarity.cosineCandidates(emb, 64, 6, 2, 100)
+    val exchanges = cand.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    // candidate-stage shuffles move (sig, id)-shaped rows only — the
+    // 100 TB of vectors joins back AFTER candidates are deduped
+    exchanges.foreach(e => assert(!e.contains("v#") && !e.contains("embedding"),
+      s"embedding payload in a candidate shuffle:\n$e"))
+  }
 }
