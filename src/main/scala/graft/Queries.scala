@@ -1584,6 +1584,154 @@ object Queries {
       FROM events GROUP BY bucket, peer_hash_id, rd
       ORDER BY bucket, peer_hash_id, rd"""))
 
+  val q55PeerEventLog = Q(
+    "q55_t4_peer_event_log",
+    (s, dir) => {
+      // T4 (9_triggers.sql:50-70): EVERY peer message appends an event
+      // row — session fields only when up, BMP/BGP error fields only
+      // when down
+      val peers = t(s, dir, "customer").select(
+        col("c_custkey").as("hash_id"),
+        when(col("c_custkey") % 3 === 0, lit("down")).otherwise(lit("up")).as("state"),
+        (col("c_custkey") * 1000).as("ts_us"),
+        format_string("10.9.%d.%d", col("c_custkey") % 250L, (col("c_custkey") * 3) % 250L)
+          .as("peer_addr"),
+        col("c_name").as("name"),
+        (col("c_custkey") % 64500L).as("peer_as"),
+        format_string("10.0.0.%d", col("c_custkey") % 250L).as("local_ip"),
+        lit(179).as("local_port"),
+        lit(65000L).as("local_asn"),
+        lit("caps-s").as("sent_capabilities"),
+        lit("caps-r").as("recv_capabilities"),
+        format_string("reason-%d", col("c_custkey") % 5L).as("bmp_reason"),
+        (col("c_custkey") % 7L).as("bgp_err_code"),
+        (col("c_custkey") % 11L).as("bgp_err_subcode"),
+        lit("cease").as("error_text"))
+      graft.streaming.Ingest.peerEventLog(peers)
+        .orderBy("peer_hash_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT c_custkey AS peer_hash_id,
+          CASE WHEN c_custkey % 3 = 0 THEN 'down' ELSE 'up' END AS state,
+          c_custkey * 1000 AS ts_us,
+          printf('10.9.%d.%d', c_custkey % 250, (c_custkey * 3) % 250) AS peer_addr,
+          c_name AS name, c_custkey % 64500 AS peer_as,
+          printf('10.0.0.%d', c_custkey % 250) AS l_ip,
+          printf('reason-%d', c_custkey % 5) AS reason,
+          c_custkey % 7 AS err_code, c_custkey % 11 AS err_sub
+        FROM customer)
+      SELECT peer_hash_id, state, ts_us, peer_addr, name, peer_as,
+        CASE WHEN state = 'up' THEN l_ip END AS local_ip,
+        CASE WHEN state = 'up' THEN 179 END AS local_port,
+        CASE WHEN state = 'up' THEN CAST(65000 AS BIGINT) END AS local_asn,
+        CASE WHEN state = 'up' THEN 'caps-s' END AS sent_capabilities,
+        CASE WHEN state = 'up' THEN 'caps-r' END AS recv_capabilities,
+        CASE WHEN state <> 'up' THEN reason END AS bmp_reason,
+        CASE WHEN state <> 'up' THEN err_code END AS bgp_err_code,
+        CASE WHEN state <> 'up' THEN err_sub END AS bgp_err_subcode,
+        CASE WHEN state <> 'up' THEN 'cease' END AS error_text
+      FROM p ORDER BY peer_hash_id"""))
+
+  val q56CollectorCascade = Q(
+    "q56_t8_collector_cascade",
+    (s, dir) => {
+      // T8 (CollectorQuery.java:60-87): a collector start/stop event
+      // downs its routers whose state predates the event
+      val routers = t(s, dir, "customer").select(
+        col("c_custkey").as("hash_id"),
+        (col("c_custkey") % 8).as("collector_hash_id"),
+        lit("up").as("state"),
+        (col("c_custkey") * 1000).as("ts_us"))
+      val evs = t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("hash_id"),
+        lit("stopped").as("action"),
+        lit(300000L).as("ts_us"))
+      graft.streaming.Ingest.collectorCascade(routers, evs)
+        .orderBy("hash_id")
+    },
+    Some("""
+      WITH routers AS (
+        SELECT c_custkey AS hash_id, c_custkey % 8 AS collector_hash_id,
+               'up' AS state, c_custkey * 1000 AS ts_us
+        FROM customer),
+      evs AS (
+        SELECT CAST(r_regionkey AS BIGINT) AS ch, MAX(300000) AS cts
+        FROM region GROUP BY r_regionkey)
+      SELECT hash_id, collector_hash_id,
+        CASE WHEN cts IS NOT NULL AND ts_us < cts THEN 'down' ELSE state END AS state,
+        ts_us
+      FROM routers LEFT JOIN evs ON collector_hash_id = ch
+      ORDER BY hash_id"""))
+
+  val q57LsScalars = Q(
+    "q57_f5_f7_ls_scalars",
+    (s, dir) => {
+      // F7 protocol-dependent router id (8_views.sql:113,131) + F5
+      // Withdrawn/Advertised label (8_views.sql:95,112) + F6 pseudo-node
+      // exclusion flag (8_views.sql:122) on a synthetic ls_nodes frame
+      val nodes = t(s, dir, "customer").select(
+        col("c_custkey").as("hash_id"),
+        element_at(array(lit("OSPFv2"), lit("IS-IS_L2"), lit("OSPFv3"), lit("IS-IS_L1")),
+          (col("c_custkey") % 4 + 1).cast("int")).as("protocol"),
+        format_string("10.10.%d.%d", col("c_custkey") % 250L, (col("c_custkey") * 7) % 250L)
+          .as("router_id"),
+        when(col("c_custkey") % 5 === 0,
+          format_string("0100.0a0a.%04x.[%d]", col("c_custkey") % 65536L, col("c_custkey") % 10L))
+          .otherwise(format_string("0100.0a0a.%04x", col("c_custkey") % 65536L))
+          .as("igp_router_id"),
+        (col("c_custkey") % 2 === 0).as("isWithdrawn"))
+      nodes.select(
+        col("hash_id"),
+        col("protocol"),
+        graft.views.BmpViews.routerIdByProtocol(col("protocol"), col("router_id"),
+          col("igp_router_id")).as("Router_ID"),
+        graft.views.BmpViews.withdrawnLabel(col("isWithdrawn")).as("status"),
+        graft.views.BmpViews.lsNodeFilter(col("igp_router_id")).as("keep"))
+        .orderBy("hash_id")
+    },
+    Some("""
+      WITH nodes AS (
+        SELECT c_custkey AS hash_id,
+          (['OSPFv2', 'IS-IS_L2', 'OSPFv3', 'IS-IS_L1'])[(c_custkey % 4 + 1)::INT]
+            AS protocol,
+          printf('10.10.%d.%d', c_custkey % 250, (c_custkey * 7) % 250) AS router_id,
+          CASE WHEN c_custkey % 5 = 0
+            THEN printf('0100.0a0a.%04x.[%d]', c_custkey % 65536, c_custkey % 10)
+            ELSE printf('0100.0a0a.%04x', c_custkey % 65536) END AS igp_router_id,
+          (c_custkey % 2 = 0) AS isWithdrawn
+        FROM customer)
+      SELECT hash_id, protocol,
+        CASE WHEN protocol IN ('OSPFv2', 'OSPFv3') THEN router_id
+             ELSE igp_router_id END AS Router_ID,
+        CASE WHEN isWithdrawn THEN 'Withdrawn' ELSE 'Advertised' END AS status,
+        (NOT regexp_matches(igp_router_id, '\..[1-9A-F]00$')
+          AND NOT igp_router_id LIKE '%]') AS keep
+      FROM nodes ORDER BY hash_id"""))
+
+  val q58IpBits = Q(
+    "q58_f14_ip_bits",
+    (s, dir) => {
+      // F14 IP→bit-string (IpAddr.getIpBits parity,
+      // ConsumerRunnableAppTest.java:34-38) — v4 gate; the v6 128-bit
+      // form is spec-covered (IpKitSpec reference vector)
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"),
+        format_string("%d.%d.%d.%d", col("c_custkey") % 223L, (col("c_custkey") * 7) % 256L,
+          (col("c_custkey") * 13) % 256L, (col("c_custkey") * 29) % 256L).as("ip"))
+      c.select(col("c_custkey"), col("ip"),
+        IpKit.ipBitsUdf(col("ip")).as("bits"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+        printf('%d.%d.%d.%d', c_custkey % 223, (c_custkey * 7) % 256,
+               (c_custkey * 13) % 256, (c_custkey * 29) % 256) AS ip,
+        lpad(bin((c_custkey % 223) * 16777216 + ((c_custkey * 7) % 256) * 65536
+                 + ((c_custkey * 13) % 256) * 256 + (c_custkey * 29) % 256), 32, '0')
+          AS bits
+      FROM customer ORDER BY c_custkey"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -1597,5 +1745,6 @@ object Queries {
     q37AsnFilter, q38Retention, q39DedupTtl, q40GeoLpm, q41IvfAnn, q42MmFeatures,
     q43AsOf, q44SemiIntersect, q45RunningSum, q46PropsExtract,
     q47InfoAsnMerge, q48RouterCascade, q49EmbedNearDup, q50DetSample,
-    q51PeerInherit, q52LpmV6, q53PdbIxPeers, q54L3vpnByRd)
+    q51PeerInherit, q52LpmV6, q53PdbIxPeers, q54L3vpnByRd,
+    q55PeerEventLog, q56CollectorCascade, q57LsScalars, q58IpBits)
 }
