@@ -143,16 +143,32 @@ object BmpViews {
         col("pf.peer_hash_id").as("peer_hash_id"),
         col("pf.isWithdrawn").as("isWithdrawn"))
 
-  /** v_l3vpn_routes (`10_l3vpn.sql:81-122`): the v_ip_routes join shape
-    * plus RD and extended communities.
+  /** v_l3vpn_routes (`10_l3vpn.sql:81-101`): the v_ip_routes join shape
+    * plus RD, extended communities, and — when the state tables carry
+    * them — the reference view's remaining columns (path_id, labels,
+    * isPrePolicy/isAdjRibIn, FirstAddedTimestamp from the rib;
+    * LargeCommunities from base_attrs). Optional passthrough keeps the
+    * view usable over reduced test fixtures while matching the full
+    * reference surface on full-schema state.
     */
   def vL3vpnRoutes(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
-                   routers: DataFrame): DataFrame =
-    vIpRoutes(rib, peers, attrs, routers)
-      .join(rib.select(col("hash_id").as("rib_hash_id"),
-        col("peer_hash_id"), col("rd").as("RD"),
-        col("ext_community_list").as("ExtCommunities")),
-        Seq("rib_hash_id", "peer_hash_id"), "inner")
+                   routers: DataFrame): DataFrame = {
+    val extraRib = Seq("path_id", "labels", "isPrePolicy", "isAdjRibIn")
+      .filter(rib.columns.contains)
+    val firstAdded = Seq("first_added_ts_us").filter(rib.columns.contains)
+    val ribSide = rib.select(
+      Seq(col("hash_id").as("rib_hash_id"), col("peer_hash_id"),
+        col("rd").as("RD"), col("ext_community_list").as("ExtCommunities")) ++
+        extraRib.map(col) ++
+        firstAdded.map(c => col(c).as("FirstAddedTimestamp")): _*)
+    val base = vIpRoutes(rib, peers, attrs, routers)
+      .join(ribSide, Seq("rib_hash_id", "peer_hash_id"), "inner")
+    if (attrs.columns.contains("large_community_list"))
+      base.join(attrs.select(col("hash_id").as("base_attr_hash_id"),
+        col("peer_hash_id"), col("large_community_list").as("LargeCommunities")),
+        Seq("base_attr_hash_id", "peer_hash_id"), "inner")
+    else base
+  }
 
   /** v_l3vpn_routes_history (`10_l3vpn.sql:105-122`): the same join
     * shape over the l3vpn CDC log with the Withdrawn/Advertised event

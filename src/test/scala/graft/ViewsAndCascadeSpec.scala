@@ -71,6 +71,8 @@ class ViewsAndCascadeSpec extends SparkSpec {
         "metric", "ospf_route_type", "isWithdrawn")
     val vpnRib = rib.withColumn("rd", lit("100:1"))
       .withColumn("ext_community_list", array(lit("rt=100:1")))
+      .withColumn("path_id", lit(7L))
+      .withColumn("labels", lit("16001"))
 
     BmpViews.registerAll(rib, peers, attrs, routers, infoAsn, ribLog = Some(rib))
     BmpViews.registerLinkState(nodes, links, lsPrefixes, peers, routers)
@@ -97,8 +99,11 @@ class ViewsAndCascadeSpec extends SparkSpec {
     assert(ids === Map("node-a" -> "0100.0a0a.0a01", "node-b" -> "10.10.10.2"))
     assert(spark.sql("SELECT Prefix FROM v_ls_prefixes").head().getString(0)
       === "10.10.0.0")
-    val vpn = spark.sql("SELECT rd, ExtCommunities FROM v_l3vpn_routes").head()
+    val vpn = spark.sql(
+      "SELECT rd, ExtCommunities, path_id, labels FROM v_l3vpn_routes").head()
     assert(vpn.getAs[String]("rd") === "100:1")
+    assert(vpn.getAs[Long]("path_id") === 7L) // optional passthrough present
+    assert(vpn.getAs[String]("labels") === "16001")
     assert(spark.sql("SELECT event FROM v_l3vpn_routes_history").head()
       .getString(0) === "Advertised")
   }
