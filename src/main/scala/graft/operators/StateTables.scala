@@ -112,6 +112,7 @@ object StateTables {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = latest.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) { latest.unpersist(); return Nil } // empty micro-batch: no-op
     val conf = spark.sessionState.newHadoopConf()
     val fs   = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val current =

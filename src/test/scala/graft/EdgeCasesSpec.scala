@@ -47,4 +47,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(MergeOps.dedupToLatest(df.limit(0), Seq("k"), Seq("ts")).count() === 0)
     assert(MergeOps.dedupToLatest(df, Seq("k"), Seq("ts")).count() === 1)
   }
+
+  test("changed-bucket merge with an empty micro-batch is a no-op") {
+    val policy = MergePolicy(Seq("k"), "wd", Seq("ts"), Seq("attr"), Seq("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cb_empty").toString + "/st"
+    val init = Seq(("a", 1L, "A", false), ("b", 1L, "B", false))
+      .toDF("k", "ts", "attr", "wd")
+    graft.operators.StateTables.writeBucketPartitioned(init, dir, Seq("k"), 4)
+    val touched = graft.operators.StateTables.mergeChangedBuckets(
+      spark, dir, init.limit(0), policy, 4)
+    assert(touched.isEmpty)
+    assert(spark.read.parquet(dir).count() === 2) // state untouched
+
+    // empty FIRST batch against a not-yet-existing path is also safe
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cb_boot").toString + "/st"
+    assert(graft.operators.StateTables.mergeChangedBuckets(
+      spark, fresh, init.limit(0), policy, 4).isEmpty)
+  }
 }
