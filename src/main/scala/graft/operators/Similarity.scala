@@ -199,6 +199,59 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
+  /** Materialize an IVF index: k-means-refined centroids beside the
+    * corpus written `partitionBy(cluster)` — the physical layout the
+    * [[ivfTopK]] Scaladoc promises. Probe-time cluster selection then
+    * prunes at the parquet DIRECTORY listing ([[ivfTopKIndexed]]), so a
+    * query touches nprobe/k of the corpus files instead of filtering
+    * after a full scan. Index build is offline: one assignment pass +
+    * kmeansIters refinement rounds.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                    nClusters: Int, kmeansIters: Int = 2): Unit = {
+    val cents = ivfRefineCentroids(corpus, idCol, vecCol,
+      ivfCentroids(corpus, idCol, vecCol, nClusters), kmeansIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/index")
+    cents.unpersist()
+  }
+
+  /** IVF top-k over a materialized index: probe routing against the
+    * stored centroids, then an exact-cosine scan restricted to the
+    * probed clusters. The probed-cluster set is plan-time metadata
+    * (≤ |queries|·nprobe ints) pushed as a LITERAL partition filter, so
+    * pruning happens at the directory listing — the scan never lists,
+    * let alone reads, unprobed clusters.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__qcos").desc, col("cid").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("__qcos", cosine(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probedClusters = probes.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0))
+    val indexed = spark.read.parquet(s"$path/index")
+      .filter(col("cluster").isin(probedClusters: _*)) // directory-level pruning
+    val scored = probes
+      .join(indexed, Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: per-table
     * corpus self-join on signature, union of candidates across
     * independent tables, exact cosine ≥ threshold verification.

@@ -70,6 +70,34 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(r3 === 1.0) // converged centroids → exact partition recall
   }
 
+  test("materialized IVF index: directory-pruned probe equals in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/ivf"
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", dir,
+      nClusters = 3, kmeansIters = 2)
+    val queries = corpus.filter(col("vec_id") === 5)
+    val viaIndex = Similarity.ivfTopKIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 3, nprobe = 1)
+    val inMem = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 3, nClusters = 3, nprobe = 1, kmeansIters = 2)
+    val a = viaIndex.select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val b = inMem.select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(a === b)
+
+    // pruning proof: the index scan lists/reads fewer files than stored
+    val plan = viaIndex.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val indexScan = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/index")) => f
+    }.head
+    val scanned = indexScan.metrics("numFiles").value
+    val total = spark.read.parquet(s"$dir/index").inputFiles.length
+    assert(scanned < total, s"no cluster pruning: read $scanned of $total files")
+  }
+
   test("cosineNearDup: multi-table candidates ⊇ single-table; all pairs exact-verified") {
     val single = Similarity.cosineNearDup(corpus, "vec_id", "embedding",
       threshold = 0.9, dim = 6, planes = 4)
