@@ -55,6 +55,24 @@ object ScaleProbe {
         Dedup.ngramCandidates(exploded, 50))
       exploded.unpersist()
 
+      // minhash mega-bucket: exact-duplicate docs collapse into ONE
+      // band bucket per band — b replicas → b²/2 candidates uncapped;
+      // replica count is the scale axis, so sf0.01 only
+      for (reps <- Seq(16, 64) if sf == "sf0.01") {
+        val dups = (0 until reps).map(r =>
+          docs.limit(50).select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+        val ex = Dedup.explodedShingles(dups, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ex.count()
+        timedCount(s"minhash $sf ${reps}x-dups uncapped",
+          Dedup.minHashCandidates(ex, 12, 6, Dedup.md5Base))
+        timedCount(s"minhash $sf ${reps}x-dups maxBandBucket=50",
+          Dedup.minHashCandidates(ex, 12, 6, Dedup.md5Base, maxBandBucket = 50))
+        ex.unpersist()
+      }
+
       val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

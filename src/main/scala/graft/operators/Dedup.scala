@@ -145,9 +145,21 @@ object Dedup {
     require(numHashes <= 4096,
       s"numHashes ($numHashes) > 4096 overflows the 64-bit universal-hash family " +
         "(a_s = 1000003*s + 12345 must stay < 2^32)")
-    val rowsPerBand = numHashes / bands
     val exploded = explodedShingles(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardByJoin(
+      minHashCandidates(exploded, numHashes, bands, baseHash, maxBandBucket),
+      exploded, threshold)
+  }
+
+  /** Candidate stage of [[minHashLsh]], exposed for scale probing:
+    * banded signatures over an exploded-shingle frame, band-bucket cap,
+    * bucket self-join → distinct (id_a, id_b).
+    */
+  def minHashCandidates(exploded: DataFrame, numHashes: Int, bands: Int,
+                        baseHash: Column => Column = xxBase,
+                        maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val sigs = minHashTable(exploded, numHashes, baseHash)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -168,11 +180,10 @@ object Dedup {
       }
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bh"))
+    a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccardByJoin(cand, exploded, threshold)
   }
 
   /** Exact Jaccard over candidate pairs carrying shingle arrays sh_a/sh_b. */
