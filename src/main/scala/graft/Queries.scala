@@ -1732,6 +1732,80 @@ object Queries {
           AS bits
       FROM customer ORDER BY c_custkey"""))
 
+  val q59SaltedAgg = Q(
+    "q59_u2_salted_agg",
+    (s, dir) => {
+      // skew-salted two-phase aggregation ≡ plain aggregation — the
+      // oracle computes the plain form, proving the salt+partial+final
+      // decomposition is value-exact (decimal partials stay exact)
+      graft.operators.Skew.saltedAgg(
+        ev(s, dir), Seq("user_id"), col("event_id"), n = 8,
+        partialAggs = Seq(count(lit(1)).as("pc"), sum(dec(col("value"))).as("ps")),
+        finalAggs = Seq(sum(col("pc")).as("n"),
+          sum(col("ps")).cast("double").as("sum_value")))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val q60AsOfStrict = Q(
+    "q60_asof_strict_tolerance",
+    (s, dir) => {
+      // strict (<, not ≤) + bounded-staleness as-of: each purchase
+      // pairs with the latest signup STRICTLY before it and at most
+      // 2 simulated days older
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val signups = MergeOps.dedupToLatest(
+        e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us").as("s_ts"), col("event_id").as("s_event_id")),
+        Seq("user_id", "s_ts"), Seq("s_event_id"))
+      graft.operators.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
+        "ts_us", "s_ts", Seq("s_event_id", "s_ts"),
+        tolerance = Some(172800000000L), strict = true)
+        .select("user_id", "event_id", "ts_us", "s_event_id", "s_ts")
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, $EvUs AS ts_us FROM events),
+      l AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase'),
+      r0 AS (SELECT user_id, ts_us AS s_ts, event_id AS s_event_id FROM e
+             WHERE event_type = 'signup'),
+      r AS (SELECT * FROM r0 QUALIFY row_number() OVER (
+              PARTITION BY user_id, s_ts ORDER BY s_event_id DESC) = 1)
+      SELECT l.user_id, l.event_id, l.ts_us, r.s_event_id, r.s_ts
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.s_ts < l.ts_us
+        AND l.ts_us - r.s_ts <= 172800000000
+      QUALIFY row_number() OVER (PARTITION BY l.user_id, l.event_id
+        ORDER BY r.s_ts DESC NULLS LAST, r.s_event_id DESC NULLS LAST) = 1
+      ORDER BY l.event_id"""))
+
+  val q61FrameSample = Q(
+    "q61_mm_frame_sampling",
+    (s, dir) => {
+      // deterministic every-Nth-byte frame sampling over opaque media
+      // content (documents' UTF-8 bytes stand in) — offsets only, the
+      // real demuxer consumes them
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
+      graft.operators.Multimodal.sampleFrameOffsets(media, "content", everyN = 7)
+        .select(col("media_id"),
+          size(col("frame_offsets")).as("n_frames"),
+          element_at(col("frame_offsets"), -1).as("last_offset"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id,
+          greatest((octet_length(encode(text)) // 7) - 1, 0) AS m
+        FROM documents)
+      SELECT media_id, CAST(m + 1 AS INT) AS n_frames,
+             CAST(m * 7 AS INT) AS last_offset
+      FROM b ORDER BY media_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -1746,5 +1820,6 @@ object Queries {
     q43AsOf, q44SemiIntersect, q45RunningSum, q46PropsExtract,
     q47InfoAsnMerge, q48RouterCascade, q49EmbedNearDup, q50DetSample,
     q51PeerInherit, q52LpmV6, q53PdbIxPeers, q54L3vpnByRd,
-    q55PeerEventLog, q56CollectorCascade, q57LsScalars, q58IpBits)
+    q55PeerEventLog, q56CollectorCascade, q57LsScalars, q58IpBits,
+    q59SaltedAgg, q60AsOfStrict, q61FrameSample)
 }
