@@ -238,7 +238,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cid").as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedClusters = probes.select(col("cluster")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.get(0)) // id-typed (long/int/string cluster keys all work)
     val indexed = spark.read.parquet(s"$path/index")
       .filter(col("cluster").isin(probedClusters: _*)) // directory-level pruning
     val scored = probes
