@@ -45,13 +45,23 @@ object BmpViews {
     */
   def vIpRoutes(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
                 routers: DataFrame): DataFrame =
+    routesView(rib, peers, attrs, routers, Nil, Nil)
+
+  /** Single rib⋈peers⋈attrs⋈routers chain behind both route views:
+    * one rib scan, dims broadcast; `ribExtra`/`attrExtra` append
+    * (column → output alias) pairs for the l3vpn variant.
+    */
+  private def routesView(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
+                         routers: DataFrame,
+                         ribExtra: Seq[(String, String)],
+                         attrExtra: Seq[(String, String)]): DataFrame =
     rib.as("rib")
       .join(peers.as("p"), col("rib.peer_hash_id") === col("p.hash_id"), "inner")
       .join(attrs.as("a"),
         col("rib.base_attr_hash_id") === col("a.hash_id") &&
           col("rib.peer_hash_id") === col("a.peer_hash_id"), "inner")
       .join(routers.as("r"), col("p.router_hash_id") === col("r.hash_id"), "inner")
-      .select(
+      .select(Seq(
         nameOrHost(col("r.name"), col("r.ip_address")).as("RouterName"),
         nameOrHost(col("p.name"), col("p.peer_addr")).as("PeerName"),
         col("rib.prefix").as("Prefix"),
@@ -76,7 +86,9 @@ object BmpViews {
         col("rib.base_attr_hash_id").as("base_attr_hash_id"),
         col("rib.peer_hash_id").as("peer_hash_id"),
         col("p.router_hash_id").as("router_hash_id"),
-        col("rib.isWithdrawn").as("isWithdrawn"))
+        col("rib.isWithdrawn").as("isWithdrawn")) ++
+        ribExtra.map { case (c, a) => col(s"rib.$c").as(a) } ++
+        attrExtra.map { case (c, a) => col(s"a.$c").as(a) }: _*)
 
   /** v_ip_routes_history-style status label (`8_views.sql:95,112`). */
   def withdrawnLabel(isWithdrawn: Column): Column =
@@ -153,21 +165,19 @@ object BmpViews {
     */
   def vL3vpnRoutes(rib: DataFrame, peers: DataFrame, attrs: DataFrame,
                    routers: DataFrame): DataFrame = {
-    val extraRib = Seq("path_id", "labels", "isPrePolicy", "isAdjRibIn")
-      .filter(rib.columns.contains)
-    val firstAdded = Seq("first_added_ts_us").filter(rib.columns.contains)
-    val ribSide = rib.select(
-      Seq(col("hash_id").as("rib_hash_id"), col("peer_hash_id"),
-        col("rd").as("RD"), col("ext_community_list").as("ExtCommunities")) ++
-        extraRib.map(col) ++
-        firstAdded.map(c => col(c).as("FirstAddedTimestamp")): _*)
-    val base = vIpRoutes(rib, peers, attrs, routers)
-      .join(ribSide, Seq("rib_hash_id", "peer_hash_id"), "inner")
-    if (attrs.columns.contains("large_community_list"))
-      base.join(attrs.select(col("hash_id").as("base_attr_hash_id"),
-        col("peer_hash_id"), col("large_community_list").as("LargeCommunities")),
-        Seq("base_attr_hash_id", "peer_hash_id"), "inner")
-    else base
+    val ribExtra =
+      Seq("rd" -> "RD", "ext_community_list" -> "ExtCommunities") ++
+        Seq("path_id", "labels", "isPrePolicy", "isAdjRibIn")
+          .filter(rib.columns.contains).map(c => c -> c) ++
+        (if (rib.columns.contains("first_added_ts_us"))
+          Seq("first_added_ts_us" -> "FirstAddedTimestamp") else Nil)
+    val attrExtra =
+      if (attrs.columns.contains("large_community_list"))
+        Seq("large_community_list" -> "LargeCommunities") else Nil
+    // one join chain, ONE rib scan — a vIpRoutes + rib self-join would
+    // re-scan and re-shuffle the biggest table for columns the first
+    // scan already read
+    routesView(rib, peers, attrs, routers, ribExtra, attrExtra)
   }
 
   /** v_l3vpn_routes_history (`10_l3vpn.sql:105-122`): the same join
