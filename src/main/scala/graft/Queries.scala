@@ -1451,7 +1451,7 @@ object Queries {
             col("c_custkey") % 256L, (col("c_custkey") * 3) % 256L,
             (col("c_custkey") * 5) % 256L, (col("c_custkey") * 7) % 256L))
           .as("ip"))
-        .withColumn("addr", IpKit.ipNumUdf(col("ip")))
+        .withColumn("addr", IpKit.inetNum(col("ip"))) // native codegen'd
       // family guard: 4-byte v4 forms never compare into 16-byte v6
       // ranges (mapped probes are 16-byte, so they match only v6 dims)
       LpmJoin.lpmRange(probes, Seq("c_custkey"), "addr",

@@ -95,6 +95,15 @@ object IpKit {
     if (ip == null || ip.isEmpty) null
     else toFixedBytes(ipToBigInt(ip), addrLen(ip)))
 
+  /** Native codegen'd form of [[ipNumUdf]] ([[graft.plans.InetNum]]):
+    * same null-on-empty/malformed semantics, but inlined in the
+    * enclosing WholeStageCodegen span instead of a UDF call — the hot
+    * path for probe-address derivation.
+    */
+  def inetNum(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.InetNum(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   val prefixStartUdf = udf((p: String) =>
     if (p == null || p.isEmpty) null
     else toFixedBytes(prefixRange(p)._2, addrLen(p)))

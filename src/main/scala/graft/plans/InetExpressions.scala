@@ -27,26 +27,37 @@ import graft.ip.IpKit
   * numeric order within a family.
   */
 object InetOps {
-  /** address string → fixed-length big-endian bytes (null if malformed) */
+  /** address string → fixed-length big-endian bytes (null if malformed
+    * or empty — `InetAddress.getByName("")` would resolve loopback)
+    */
   def ipNum(s: UTF8String): Array[Byte] =
     try {
       val str = s.toString
-      val (_, start, _) = IpKit.prefixRange(str)
-      toFixed(start, if (str.contains(":")) 16 else 4)
+      if (str.isEmpty) null
+      else {
+        val (_, start, _) = IpKit.prefixRange(str)
+        toFixed(start, if (str.contains(":")) 16 else 4)
+      }
     } catch { case _: Exception => null }
 
   def prefixStart(s: UTF8String): Array[Byte] =
     try {
       val str = s.toString
-      val (_, start, _) = IpKit.prefixRange(str)
-      toFixed(start, if (str.contains(":")) 16 else 4)
+      if (str.isEmpty) null
+      else {
+        val (_, start, _) = IpKit.prefixRange(str)
+        toFixed(start, if (str.contains(":")) 16 else 4)
+      }
     } catch { case _: Exception => null }
 
   def prefixEnd(s: UTF8String): Array[Byte] =
     try {
       val str = s.toString
-      val (_, _, end) = IpKit.prefixRange(str)
-      toFixed(end, if (str.contains(":")) 16 else 4)
+      if (str.isEmpty) null
+      else {
+        val (_, _, end) = IpKit.prefixRange(str)
+        toFixed(end, if (str.contains(":")) 16 else 4)
+      }
     } catch { case _: Exception => null }
 
   def family(s: UTF8String): Int = if (s.toString.contains(":")) 6 else 4

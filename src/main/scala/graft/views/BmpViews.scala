@@ -252,7 +252,7 @@ object BmpViews {
       IpKit.withPrefixRange(geo, "ip")
         .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
           col("country"), col("city")))
-    val probed = routes.withColumn("__addr", IpKit.ipNumUdf(IpKit.inetHost(col("Prefix"))))
+    val probed = routes.withColumn("__addr", IpKit.inetNum(IpKit.inetHost(col("Prefix"))))
     // LEFT semantics like the reference view (8_views.sql:76): routes
     // with no covering geo prefix keep null geo columns, never drop.
     // Family guard: the binary forms are 4 bytes (v4) vs 16 bytes (v6);
