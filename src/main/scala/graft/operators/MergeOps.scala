@@ -84,13 +84,32 @@ object MergeOps {
     * @return (newState, changeLog) — changeLog has key + value cols.
     */
   def upsertWithLog(current: DataFrame, updates: DataFrame, policy: MergePolicy): (DataFrame, DataFrame) = {
+    val (next, log, _) = upsertPlans(current, updates, policy, cacheJoin = false)
+    (next, log)
+  }
+
+  /** [[upsertWithLog]] with the shared full-outer join PERSISTED: a
+    * caller that executes BOTH outputs (state write + CDC-log write)
+    * would otherwise run the whole merge join twice — once per action.
+    * Call the returned release() after both writes.
+    */
+  def upsertWithLogCached(current: DataFrame, updates: DataFrame,
+                          policy: MergePolicy): (DataFrame, DataFrame, () => Unit) =
+    upsertPlans(current, updates, policy, cacheJoin = true)
+
+  private def upsertPlans(current: DataFrame, updates: DataFrame, policy: MergePolicy,
+                          cacheJoin: Boolean): (DataFrame, DataFrame, () => Unit) = {
     import policy._
     val stateCols  = current.columns.toSeq
     val cur        = current.columns.foldLeft(current)((d, c) => d.withColumnRenamed(c, s"__old_$c"))
-    val joined = updates.join(
+    val joined0 = updates.join(
       cur,
       keys.map(k => updates(k) === cur(s"__old_$k")).reduce(_ && _),
       "full_outer")
+    val joined =
+      if (cacheJoin) joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else joined0
+    val release: () => Unit = () => { if (cacheJoin) { joined.unpersist(); () } }
 
     val hasOld    = keys.map(k => col(s"__old_$k").isNotNull).reduce(_ && _)
     val hasNew    = keys.map(k => col(k).isNotNull).reduce(_ && _)
@@ -128,7 +147,7 @@ object MergeOps {
           }) ++
           alwaysUpdate.map(c => col(c).as(c)) :+
           withdrawn.as(withdrawnCol)): _*)
-    (newState, logRows)
+    (newState, logRows, release)
   }
 
   /** Fold an *ordered* batch of updates down to the final per-key state

@@ -86,12 +86,15 @@ object StateTables {
     * the one acceptable collect); the current-state scan carries an
     * `isin(touched)` partition filter so pruning happens at the
     * directory listing, and the merged result is staged to
-    * `<path>_stage` then swapped in with per-bucket directory renames
+    * `<path>_stage` then swapped in with per-bucket park-aside renames
     * (the staged write also sidesteps reading and overwriting the same
-    * path in one plan). Per-bucket rename is atomic per bucket but not
-    * across buckets — a crash mid-swap leaves a mix of old/new buckets;
-    * the merge is idempotent (re-running the same batch converges), and
-    * a transactional deployment wraps the swap in a commit pointer like
+    * path in one plan). The swap is crash-safe per bucket: the old
+    * directory is parked under `<path>_old` before the new one moves
+    * in, every rename result is checked, and the recovery pre-pass of
+    * the NEXT merge restores any bucket a crash left parked — combined
+    * with the idempotent merge, a replayed batch converges with no row
+    * loss. Cross-bucket atomicity (a reader seeing half-swapped state)
+    * still needs a commit pointer like
     * [[graft.streaming.Ingest.mergeBatch]]'s versioned `_CURRENT`.
     *
     * With `logPath`, the CDC rows of the merge ([[MergeOps.upsertWithLog]])
@@ -107,16 +110,24 @@ object StateTables {
                           policy: MergeOps.MergePolicy, numBuckets: Int,
                           logPath: Option[String] = None,
                           batchId: Option[Long] = None): Seq[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val fs   = new HPath(path).getFileSystem(conf)
+    recoverBucketSwap(fs, path) // restore any bucket parked by a crashed swap
+
     val latest = MergeOps.dedupToLatest(updates, policy.keys, policy.orderBy)
       .withColumn("__bucket", bucketId(policy.keys, numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = latest.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) { latest.unpersist(); return Nil } // empty micro-batch: no-op
-    val conf = spark.sessionState.newHadoopConf()
-    val fs   = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // bootstrap detection looks for bucket DIRECTORIES, not bare
+    // existence — a crash can leave the root created but empty, which
+    // must re-enter the bootstrap path, not a schema-less parquet read
+    val hasState = fs.exists(new HPath(path)) &&
+      fs.listStatus(new HPath(path)).exists(_.getPath.getName.startsWith("__bucket="))
     val current =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      if (hasState)
         spark.read.parquet(path)
           .filter(col("__bucket").isin(touched: _*)) // partition-pruned read
           .drop("__bucket")
@@ -124,7 +135,10 @@ object StateTables {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           latest.drop("__bucket").schema)
-    val (merged0, log) = MergeOps.upsertWithLog(current, latest.drop("__bucket"), policy)
+    // cached variant: state write + CDC write both execute below — an
+    // uncached plan would run the whole merge join once per action
+    val (merged0, log, release) =
+      MergeOps.upsertWithLogCached(current, latest.drop("__bucket"), policy)
     val merged = merged0.withColumn("__bucket", bucketId(policy.keys, numBuckets))
     val stage = path + "_stage"
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
@@ -134,15 +148,47 @@ object StateTables {
         case None     => log.write.mode("append").parquet(lp)
       }
     }
-    latest.unpersist()
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path)) // bootstrap: rename needs the parent
+    release(); latest.unpersist()
+    // crash-safe swap: park the old bucket ASIDE (outside the partition
+    // root, so partition discovery never sees it), move the new one in,
+    // then drop the parked copy. Any crash leaves each bucket either at
+    // dst or parked — recoverBucketSwap restores parked ones on the
+    // next merge, and the replayed (idempotent) batch converges.
+    val asideRoot = new HPath(path + "_old")
+    fs.mkdirs(new HPath(path))
+    fs.mkdirs(asideRoot)
     touched.foreach { b =>
-      val dst = new org.apache.hadoop.fs.Path(path, s"__bucket=$b")
-      val src = new org.apache.hadoop.fs.Path(stage, s"__bucket=$b")
-      fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst) // a bucket can empty out only if all its rows were keyed-deleted
+      val dst   = new HPath(path, s"__bucket=$b")
+      val src   = new HPath(stage, s"__bucket=$b")
+      val aside = new HPath(asideRoot, s"__bucket=$b")
+      fs.delete(aside, true)
+      if (fs.exists(dst) && !fs.rename(dst, aside))
+        sys.error(s"bucket swap: failed to park $dst")
+      if (fs.exists(src) && !fs.rename(src, dst)) // a bucket can empty out only if all its rows were keyed-deleted
+        sys.error(s"bucket swap: failed to move $src into place")
+      fs.delete(aside, true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.delete(asideRoot, true)
+    fs.delete(new HPath(stage), true)
     touched
+  }
+
+  /** Recovery pre-pass for [[mergeChangedBuckets]]: any bucket directory
+    * still parked under `<path>_old` belongs to a swap that crashed
+    * between park and move — if its slot is empty, move it back; if the
+    * slot was filled (crash after the move), drop the parked copy.
+    */
+  private def recoverBucketSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val asideRoot = new org.apache.hadoop.fs.Path(path + "_old")
+    if (fs.exists(asideRoot)) {
+      fs.listStatus(asideRoot).foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(st.getPath, dst))
+            sys.error(s"bucket swap recovery: failed to restore ${st.getPath}")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(asideRoot, true)
+    }
   }
 }
