@@ -35,12 +35,22 @@ object Dedup {
     df.groupBy(hashOf.as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper_id"))
 
-  // NOTE on persist(): the near-dup operators persist their per-doc
-  // derived tables for the duration of the returned plan (they are read
-  // 2-3×). The cache lives until the session's next
-  // `spark.catalog.clearCache()` (or unpersist) — long-lived sessions
-  // looping over many corpora should clear between corpora, as
-  // graft.Bench/Verify do between queries.
+  // NOTE on caching intermediates: operators here return a lazy plan, so
+  // a persist() inside them could never be unpersisted — repeated calls
+  // in a long-lived session would accumulate cached blocks until LRU
+  // pressure. Intermediates read 2-3× by one plan (exploded shingles,
+  // the simhash fingerprint table) instead go through localCheckpoint
+  // (lazy): partitions materialize once at the first action, all
+  // subtrees of the SAME plan reuse them, and the blocks are released by
+  // the ContextCleaner as soon as the caller drops the result — no
+  // session-lifetime leak, no clearCache() contract. (Local checkpoints
+  // are non-reliable by design: losing an executor re-fails the query,
+  // which a batch dedup job simply re-runs.)
+
+  /** Lazy local checkpoint: compute-once/read-many for a frame consumed
+    * by several subtrees of one returned plan (see NOTE above).
+    */
+  private def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
   /** Per-doc distinct shingles, exploded: (id, tok). The narrow shape
     * every candidate-generation join starts from — shingle arrays are
@@ -139,14 +149,10 @@ object Dedup {
                  threshold: Double = 0.8,
                  baseHash: Column => Column = xxBase,
                  maxBandBucket: Int = Int.MaxValue): DataFrame = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
-        "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
-    require(numHashes <= 4096,
-      s"numHashes ($numHashes) > 4096 overflows the 64-bit universal-hash family " +
-        "(a_s = 1000003*s + 12345 must stay < 2^32)")
-    val exploded = explodedShingles(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // snapshot: shingle derivation (regexp split + explode) runs once,
+    // not once per use (signatures + both verification joins) — see the
+    // caching NOTE above
+    val exploded = snapshot(explodedShingles(df, idCol, textCol, shingleN))
     verifyJaccardByJoin(
       minHashCandidates(exploded, numHashes, bands, baseHash, maxBandBucket),
       exploded, threshold)
@@ -159,6 +165,15 @@ object Dedup {
   def minHashCandidates(exploded: DataFrame, numHashes: Int, bands: Int,
                         baseHash: Column => Column = xxBase,
                         maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    // public probing API — revalidate even though minHashLsh already did:
+    // a direct caller with numHashes % bands != 0 would silently drop the
+    // trailing hash rows from every band
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
+    require(numHashes <= 4096,
+      s"numHashes ($numHashes) > 4096 overflows the 64-bit universal-hash family " +
+        "(a_s = 1000003*s + 12345 must stay < 2^32)")
     val rowsPerBand = numHashes / bands
     val sigs = minHashTable(exploded, numHashes, baseHash)
     val bandCols = (0 until bands).map { b =>
@@ -255,8 +270,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val exploded = explodedShingles(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = snapshot(explodedShingles(df, idCol, textCol, shingleN))
     verifyJaccardByJoin(ngramCandidates(exploded, maxShingleDf), exploded, threshold)
   }
 
@@ -312,8 +326,7 @@ object Dedup {
                    bits: Int = 64, nChunks: Int = 4): DataFrame = {
     require(bits % nChunks == 0, s"bits ($bits) must divide into nChunks ($nChunks)")
     val chunkBits = bits / nChunks
-    val base = simHashTable(df, idCol, textCol, tokenHash, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = snapshot(simHashTable(df, idCol, textCol, tokenHash, bits))
     val chunkStructs = (0 until nChunks).map(c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("fp"), c * chunkBits)

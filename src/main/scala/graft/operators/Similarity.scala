@@ -130,6 +130,16 @@ object Similarity {
     corpus.orderBy(col(idCol).asc).limit(k)
       .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
 
+  /** Collect a SMALL frame (centroid-table sized) and rebuild it as a
+    * driver-local DataFrame: truncates lineage with no persist() — the
+    * leak-free alternative to caching a plan that a lazily-returned
+    * result could never unpersist.
+    */
+  private def materializeSmall(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** k-means refinement of an IVF centroid set: `iters` rounds of
     * assign (one broadcast pass over the corpus, [[ivfAssign]]) →
     * per-cluster component mean (posexplode + hash aggregate — the
@@ -137,6 +147,13 @@ object Similarity {
     * given the deterministic first-k init; a cluster that empties out
     * keeps its previous centroid. An offline index-build job — cost is
     * iters × (N·k dot products), never on the query path.
+    *
+    * Each iteration's centroid table (k rows × dim floats) is collected
+    * to the driver and rebuilt as a local frame: the lazy chain would
+    * otherwise reference the previous cents TWICE per round (join left +
+    * inside means), doubling the corpus-assign work per iteration —
+    * exponential in iters. Materializing keeps it exactly linear and
+    * leaves nothing cached behind.
     */
   def ivfRefineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                          centroids: DataFrame, iters: Int): DataFrame = {
@@ -150,8 +167,9 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), p => p.getField("m").cast("float")).as("__mean"))
-      cents = cents.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("__mean"), col("centroid")).as("centroid"))
+      cents = materializeSmall(
+        cents.join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("__mean"), col("centroid")).as("centroid")))
     }
     cents
   }
@@ -176,10 +194,13 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nClusters: Int, nprobe: Int, kmeansIters: Int = 0): DataFrame = {
     val cents0 = ivfCentroids(corpus, idCol, vecCol, nClusters)
-    val cents = (if (kmeansIters > 0)
-      ivfRefineCentroids(corpus, idCol, vecCol, cents0, kmeansIters)
-    else cents0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized, not persisted: cents is read by both the assignment
+    // pass and the probe routing below, and a lazily-returned plan could
+    // never release a cache — a driver-local copy of k centroid rows is
+    // free and leak-free
+    val cents = materializeSmall(
+      if (kmeansIters > 0) ivfRefineCentroids(corpus, idCol, vecCol, cents0, kmeansIters)
+      else cents0)
     val indexed = ivfAssign(corpus, cents, idCol, vecCol)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__qcos").desc, col("cid").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -209,13 +230,11 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String, path: String,
                     nClusters: Int, kmeansIters: Int = 2): Unit = {
-    val cents = ivfRefineCentroids(corpus, idCol, vecCol,
-      ivfCentroids(corpus, idCol, vecCol, nClusters), kmeansIters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = materializeSmall(ivfRefineCentroids(corpus, idCol, vecCol,
+      ivfCentroids(corpus, idCol, vecCol, nClusters), kmeansIters))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/index")
-    cents.unpersist()
   }
 
   /** IVF top-k over a materialized index: probe routing against the
@@ -236,7 +255,10 @@ object Similarity {
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probes is computed twice (the eager collect below + the lazy join
+    // plan) but NOT persisted: it's a |queries| × broadcast(centroids)
+    // pass — recomputing it is cheaper than leaking a session-lifetime
+    // cached block per call (queries are small by contract here)
     val probedClusters = probes.select(col("cluster")).distinct()
       .collect().map(_.get(0)) // id-typed (long/int/string cluster keys all work)
     val indexed = spark.read.parquet(s"$path/index")
@@ -278,15 +300,42 @@ object Similarity {
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, dim: Int, planes: Int = 8,
                     tables: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (out, _) = cosineNearDupPlans(df, idCol, vecCol, threshold, dim, planes,
+      tables, maxBucket, cacheBase = false)
+    out
+  }
+
+  /** [[cosineNearDup]] with the base `(id, v)` frame PERSISTED across its
+    * tables+2 uses (per-table signatures + both verification joins).
+    * Worth it when the source is expensive to rescan AND fits the cache;
+    * at full corpus scale prefer the uncached variant — rescanning a
+    * column-pruned parquet beats spilling a corpus-sized cache. Call the
+    * returned release() after the final action on the result.
+    */
+  def cosineNearDupCached(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int, planes: Int = 8,
+                          tables: Int = 1,
+                          maxBucket: Int = Int.MaxValue): (DataFrame, () => Unit) =
+    cosineNearDupPlans(df, idCol, vecCol, threshold, dim, planes, tables, maxBucket,
+      cacheBase = true)
+
+  private def cosineNearDupPlans(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, dim: Int, planes: Int,
+                                 tables: Int, maxBucket: Int,
+                                 cacheBase: Boolean): (DataFrame, () => Unit) = {
     require(tables >= 1, s"tables ($tables) must be >= 1")
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cosineCandidates(base, dim, planes, tables, maxBucket)
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base =
+      if (cacheBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    val release: () => Unit = () => { if (cacheBase) { base.unpersist(); () } }
+    val out = cosineCandidates(base, dim, planes, tables, maxBucket)
       .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    (out, release)
   }
 
   /** Candidate stage of [[cosineNearDup]], exposed for scale probing:

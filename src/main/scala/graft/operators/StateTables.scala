@@ -103,6 +103,20 @@ object StateTables {
     * duplicates, and a crash between log write and swap re-runs the
     * idempotent merge from the old state.
     *
+    * SINGLE WRITER REQUIRED: the staging (`<path>_stage`) and park
+    * (`<path>_old`) directories are fixed siblings of the state path,
+    * and the recovery pre-pass assumes anything found in them belongs to
+    * a CRASHED run of this same merge — two concurrent merges on one
+    * path would overwrite each other's stage and interleave park/move
+    * renames, corrupting buckets. This matches the deployment shape:
+    * [[graft.streaming.Ingest.startBucketed]] calls this from
+    * `foreachBatch`, which Structured Streaming serializes per query
+    * (one driver, one batch at a time). Running two streaming queries
+    * (or a manual job beside one) against the same state path needs
+    * external coordination — there is deliberately no lock file here,
+    * because a crashed holder would wedge the pipeline where the
+    * idempotent-replay design recovers unattended.
+    *
     * @return the bucket ids rewritten (size = write amplification in
     *         units of buckets)
     */
@@ -141,14 +155,15 @@ object StateTables {
       MergeOps.upsertWithLogCached(current, latest.drop("__bucket"), policy)
     val merged = merged0.withColumn("__bucket", bucketId(policy.keys, numBuckets))
     val stage = path + "_stage"
-    merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
-    logPath.foreach { lp =>
-      batchId match {
-        case Some(id) => log.write.mode("overwrite").parquet(s"$lp/batch=$id")
-        case None     => log.write.mode("append").parquet(lp)
+    try {
+      merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+      logPath.foreach { lp =>
+        batchId match {
+          case Some(id) => log.write.mode("overwrite").parquet(s"$lp/batch=$id")
+          case None     => log.write.mode("append").parquet(lp)
+        }
       }
-    }
-    release(); latest.unpersist()
+    } finally { release(); latest.unpersist() } // a failed write must not strand the cached join for the session's lifetime
     // crash-safe swap: park the old bucket ASIDE (outside the partition
     // root, so partition discovery never sees it), move the new one in,
     // then drop the parked copy. Any crash leaves each bucket either at
