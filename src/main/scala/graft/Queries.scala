@@ -1806,6 +1806,185 @@ object Queries {
              CAST(m * 7 AS INT) AS last_offset
       FROM b ORDER BY media_id"""))
 
+  val q62DupClusters = Q(
+    "q62_dd_dup_clusters",
+    (s, dir) => {
+      // connected components over a deterministic sparse pair graph
+      // (near-dup pairs in production; here synthesized from events so
+      // the oracle can close the same graph with a recursive CTE)
+      val e = t(s, dir, "events")
+        .filter(col("event_id") % 23 === 0)
+        .select((col("event_id") % 1000).as("id_a"),
+          ((col("event_id") * 7 + 3) % 1000).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      Dedup.dupClusters(e).orderBy("id")
+    },
+    Some("""
+      WITH RECURSIVE e0 AS (
+        SELECT event_id % 1000 AS a, (event_id * 7 + 3) % 1000 AS b
+        FROM events
+        WHERE event_id % 23 = 0 AND event_id % 1000 <> (event_id * 7 + 3) % 1000),
+      edges AS (
+        SELECT a AS src, b AS dst FROM e0
+        UNION
+        SELECT b AS src, a AS dst FROM e0),
+      reach(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id ORDER BY id"""))
+
+  val q63PiiRedact = Q(
+    "q63_tx_pii_redact",
+    (s, dir) => {
+      // scrub-then-hash curation pass: deterministic fake PII appended to
+      // each doc, redacted + whitespace-normalized inline in the scan
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example.com or "),
+          lit("10.2."), col("doc_id") % 250, lit(".9 tel +1555000"),
+          col("doc_id") % 1000).as("raw"))
+      d.select(
+        col("doc_id"),
+        graft.functions.TextFns.piiCount(col("raw"), graft.functions.TextFns.EmailPattern)
+          .cast("long").as("n_email"),
+        graft.functions.TextFns.piiCount(col("raw"), graft.functions.TextFns.Ipv4Pattern)
+          .cast("long").as("n_ip"),
+        graft.functions.TextFns.piiCount(col("raw"), graft.functions.TextFns.PhonePattern)
+          .cast("long").as("n_phone"),
+        md5(graft.functions.TextFns.normalizeText(
+          graft.functions.TextFns.redactPii(col("raw")))).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@mail.example.com or ' ||
+          '10.2.' || (doc_id % 250) || '.9 tel +1555000' || (doc_id % 1000) AS raw
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+')) AS n_email,
+        len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+        len(regexp_extract_all(raw, '\+[0-9]{7,15}\b')) AS n_phone,
+        md5(regexp_replace(lower(trim(
+          regexp_replace(regexp_replace(regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+[0-9]{7,15}\b', '<PHONE>', 'g'))),
+          '\s+', ' ', 'g')) AS clean_hash
+      FROM d ORDER BY doc_id"""))
+
+  val q64GeoIpOverwrite = Q(
+    "q64_m15_geo_ip_overwrite",
+    (s, dir) => {
+      // M15 (gen_whois/dbHandler.py geo_ip upsert): nightly geo feed
+      // refresh — newer snapshot overwrites every non-key column per ip,
+      // untouched rows survive
+      def snap(df: DataFrame, cc: Column, tsUs: Column): DataFrame = df.select(
+        format_string("192.%d.%d.0", col("c_custkey") % 200L, col("c_custkey") % 250L)
+          .as("ip"),
+        cc.as("country"),
+        format_string("city-%d", col("c_custkey") % 500L).as("city"),
+        (col("c_custkey") % 90L).cast("double").as("latitude"),
+        (col("c_custkey") % 180L).cast("double").as("longitude"),
+        tsUs.as("ts_us"))
+      // custkey < 1000 keeps ip = f(custkey mod 200, mod 250) injective
+      // (lcm = 1000) — current state has unique keys by invariant
+      val c    = t(s, dir, "customer").filter(col("c_custkey") < 1000)
+      val base = snap(c, lit("US"), col("c_custkey").cast("long"))
+      val upd  = snap(c.filter(col("c_custkey") % 3 === 0), lit("DE"),
+        lit(5000000L) + col("c_custkey"))
+      graft.streaming.Ingest.overwriteMerge(base, upd, Seq("ip"), Seq("ts_us"))
+        .select("ip", "country", "city", "latitude", "longitude", "ts_us")
+        .orderBy("ip")
+    },
+    Some("""
+      WITH base AS (
+        SELECT printf('192.%d.%d.0', c_custkey % 200, c_custkey % 250) AS ip,
+          'US' AS country, printf('city-%d', c_custkey % 500) AS city,
+          CAST(c_custkey % 90 AS DOUBLE) AS latitude,
+          CAST(c_custkey % 180 AS DOUBLE) AS longitude,
+          c_custkey AS ts_us
+        FROM customer WHERE c_custkey < 1000),
+      upd AS (
+        SELECT printf('192.%d.%d.0', c_custkey % 200, c_custkey % 250) AS ip,
+          'DE' AS country, printf('city-%d', c_custkey % 500) AS city,
+          CAST(c_custkey % 90 AS DOUBLE) AS latitude,
+          CAST(c_custkey % 180 AS DOUBLE) AS longitude,
+          5000000 + c_custkey AS ts_us
+        FROM customer WHERE c_custkey < 1000 AND c_custkey % 3 = 0)
+      SELECT ip, country, city, latitude, longitude, ts_us FROM upd
+      UNION ALL
+      SELECT base.ip, base.country, base.city, base.latitude, base.longitude, base.ts_us
+      FROM base WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.ip = base.ip)
+      ORDER BY ip"""))
+
+  val q65StatReports = Q(
+    "q65_m10_stat_reports",
+    (s, dir) => {
+      // M10 (StatReportsQuery.java): stat_reports is append-only — parse
+      // the TSV envelope, append, aggregate counters per peer
+      val o = t(s, dir, "orders")
+      val lines = o.select(col("o_orderkey"), concat_ws("\t",
+        format_string("peer-%d", col("o_custkey") % 50L),
+        date_format(timestamp_micros(col("o_orderkey") * 1000000L),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        when(col("o_orderkey") % 5 === 0, lit("")).otherwise((col("o_orderkey") % 7L).cast("string")),
+        (col("o_orderkey") % 3L).cast("string"),
+        (col("o_orderkey") % 4L).cast("string"),
+        lit("0"), lit("0"), lit("0"), lit("0"),
+        (col("o_orderkey") % 1000L).cast("string"),
+        (col("o_orderkey") % 900L).cast("string")).as("line"))
+      graft.model.Messages.bmpStatFromTsv(lines)
+        .groupBy(col("peer_hash_id"))
+        .agg(
+          count(lit(1)).as("n_reports"),
+          sum(col("prefixes_rejected")).as("tot_rejected"),
+          sum(col("known_dup_prefixes")).as("tot_dup_prefixes"),
+          sum(col("known_dup_withdraws")).as("tot_dup_withdraws"),
+          max(col("routes_adj_rib_in")).as("max_adj_rib_in"),
+          max(col("ts_us")).as("last_ts_us"))
+        .orderBy("peer_hash_id")
+    },
+    Some("""
+      SELECT printf('peer-%d', o_custkey % 50) AS peer_hash_id,
+        COUNT(*) AS n_reports,
+        CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE o_orderkey % 7 END) AS BIGINT) AS tot_rejected,
+        CAST(SUM(o_orderkey % 3) AS BIGINT) AS tot_dup_prefixes,
+        CAST(SUM(o_orderkey % 4) AS BIGINT) AS tot_dup_withdraws,
+        MAX(o_orderkey % 1000) AS max_adj_rib_in,
+        MAX(o_orderkey * 1000000) AS last_ts_us
+      FROM orders GROUP BY 1 ORDER BY peer_hash_id"""))
+
+  val q66Intervals = Q(
+    "q66_f10_interval_arith",
+    (s, dir) => {
+      // F10 (8_views.sql / cron queries: now() - interval windows,
+      // calendar-aware month steps): recency window anchored at max(ts),
+      // day truncation, +1 MONTH (clamps Jan 31 → Feb 28/29 in both
+      // engines), all emitted as epoch micros
+      val e   = ev(s, dir)
+      val mx  = e.agg(max(col("ts_us")).as("mx_us"))
+      e.crossJoin(broadcast(mx))
+        .filter(timestamp_micros(col("ts_us")) >
+          timestamp_micros(col("mx_us")) - expr("INTERVAL 90 MINUTES"))
+        .select(
+          col("event_id"),
+          unix_micros(date_trunc("day", timestamp_micros(col("ts_us")))).as("day_us"),
+          unix_micros(timestamp_micros(col("ts_us")) + expr("INTERVAL 1 MONTH")).as("next_month_us"),
+          (col("mx_us") - col("ts_us")).as("age_us"))
+        .orderBy("event_id")
+    },
+    Some(s"""
+      WITH mx AS (SELECT MAX($EvUs) AS mx_us FROM events)
+      SELECT event_id,
+        epoch_us(date_trunc('day', make_timestamp($EvUs))) AS day_us,
+        epoch_us(make_timestamp($EvUs) + INTERVAL 1 MONTH) AS next_month_us,
+        mx_us - $EvUs AS age_us
+      FROM events, mx
+      WHERE make_timestamp($EvUs) > make_timestamp(mx_us) - INTERVAL 90 MINUTE
+      ORDER BY event_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -1821,5 +2000,7 @@ object Queries {
     q47InfoAsnMerge, q48RouterCascade, q49EmbedNearDup, q50DetSample,
     q51PeerInherit, q52LpmV6, q53PdbIxPeers, q54L3vpnByRd,
     q55PeerEventLog, q56CollectorCascade, q57LsScalars, q58IpBits,
-    q59SaltedAgg, q60AsOfStrict, q61FrameSample)
+    q59SaltedAgg, q60AsOfStrict, q61FrameSample,
+    q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
+    q66Intervals)
 }

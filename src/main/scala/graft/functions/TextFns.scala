@@ -81,6 +81,58 @@ object TextFns {
       .otherwise(lit("fr"))
   }
 
+  // ---- PII redaction / normalization ----------------------------------
+
+  /** Redaction patterns: deliberately RE2-compatible (character classes
+    * and bounded repetition only — no lookaround, no backrefs), so the
+    * IDENTICAL pattern strings run under Java regex (Spark, codegen'd
+    * regexp_replace in the scan stage) and RE2 engines (the DuckDB
+    * oracle, or a downstream Go/C++ scrubber). Conservative by design:
+    * favors precision (no lookbehind-based context) — a corpus scrubber
+    * runs these inline at scan time over 100 TB, so patterns must stay
+    * linear-time.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
+  val Ipv4Pattern  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{7,15}\\b"
+
+  /** Scrub emails / IPv4 literals / international-format phone numbers,
+    * in that order (emails first — their domains contain dots that the
+    * IP pattern must never see as already-rewritten text).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Per-kind PII hit count (on the RAW text, before redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Canonical whitespace/case normalization for hashing & exact dedup:
+    * lowercase, trim, collapse any whitespace run to a single space.
+    * Composes with [[redactPii]] for scrub-then-hash pipelines.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Adjacent-duplicate token ratio: |{i : tok_i = tok_{i+1}}| / n — the
+    * degenerate-repetition signal ("buy buy buy buy …" → 0.75). O(n) per
+    * doc, pure array built-ins, and engine-portable (the DuckDB oracle is
+    * the same list_filter over 1-based indexing). 0 for empty text.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    // size<2 guard also keeps sequence() ascending — sequence(1, 0)
+    // would DESCEND through index 0 and trip ANSI array indexing
+    when(length(trim(text)) === 0 || size(toks) < 2, lit(0.0)).otherwise(
+      size(filter(sequence(lit(1), size(toks) - 1),
+        i => element_at(toks, i) === element_at(toks, i + 1)))
+        .cast("double") / size(toks).cast("double"))
+  }
+
   /** Deterministic rolling document fingerprint over tokens:
     * acc = (acc * 131 + (ascii(first) + ascii(last) + len)) mod 1e9+7.
     * Pure integer arithmetic → reproducible across engines (the DuckDB

@@ -201,6 +201,81 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ---- duplicate-cluster resolution -----------------------------------
+
+  /** Connected components over a near-dup pair list: every doc gets
+    * `cluster_id` = the smallest doc id reachable through the pair graph
+    * — the canonical representative, turning pairwise near-dup output
+    * ([[minHashLsh]]/[[simHashPairs]]/[[ngramJaccard]]/
+    * [[Similarity.cosineNearDup]]) into keep/drop decisions.
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * (a) takes the min label over self + neighbors (one equi-join + one
+    * map-side-combined min aggregate), then (b) jumps `comp ← comp(comp)`
+    * (one self-join), which contracts label chains geometrically, so
+    * rounds needed are O(log diameter), not O(diameter). Per-round
+    * results are localCheckpoint'd: lineage stays flat and the blocks
+    * free on GC. Everything shuffles on ids only — no adjacency lists,
+    * no vertex collects; each round is a fixed number of key shuffles of
+    * the (node, label) and edge frames, the shape that survives 100 TB.
+    *
+    * Convergence is detected by the exact sum of labels (labels only
+    * ever decrease, so an unchanged sum IS the fixpoint; decimal(38,0)
+    * keeps the sum exact at any corpus size). EAGER: runs one small job
+    * per round (standard for iterative graph algorithms), returns the
+    * final materialized (id, cluster_id) frame.
+    *
+    * Only ids appearing in `pairs` are returned — docs with no near-dup
+    * pair are their own singleton cluster; [[dedupKeepList]] handles
+    * them.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIters: Int = 64): DataFrame = {
+    val e0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = snapshot( // reused every round
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = snapshot(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty frame sums to null
+    var prevSum = labelSum(labels)
+    var iter = 0
+    while (iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jumping: comp is always the id of a node in the same
+      // component, so its own label exists and is ≤ comp
+      val reps = stepped.select(col("id").as("rid"), col("comp").as("rcomp"))
+      val jumped = snapshot(
+        stepped.join(reps, stepped("comp") === reps("rid"))
+          .select(stepped("id"), col("rcomp").as("comp")))
+      val s = labelSum(jumped)
+      labels = jumped
+      if (s.compareTo(prevSum) == 0) // labels are non-increasing ⇒ equal sum = fixpoint
+        return labels.select(col("id"), col("comp").as("cluster_id"))
+      prevSum = s
+      iter += 1
+    }
+    sys.error(s"dupClusters did not converge in $maxIters rounds — " +
+      "pointer jumping converges in O(log n); this indicates corrupt input (NaN/null ids?)")
+  }
+
+  /** Keep-list for a deduped corpus: one row per KEPT doc — cluster
+    * representatives (id == cluster_id) plus all singleton docs that
+    * appear in no near-dup pair (broadcast-or-shuffle left join against
+    * the cluster map, which is |pairs|-bounded, not corpus-bounded).
+    */
+  def dedupKeepList(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+
   /** Exact Jaccard over candidate pairs carrying shingle arrays sh_a/sh_b. */
   def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs

@@ -100,4 +100,38 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(2L)) <
       java.lang.Long.bitCount(fp(1L) ^ fp(3L)))
   }
+
+  test("dupClusters: chain + clique + reversed pairs → min-id components") {
+    // component {1..5} is a pure CHAIN (worst case for plain propagation
+    // — pointer jumping must still converge fast), {10,11,12} a clique
+    // with reversed/duplicate pairs, {20,21} a pair
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (11L, 10L),
+      (21L, 20L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(r(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(r(_) === 10L))
+    assert(Seq(20L, 21L).forall(r(_) === 20L))
+    assert(r.size === 10)
+  }
+
+  test("dupClusters on empty pairs is empty; self-pairs ignored") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(empty).count() === 0)
+    val selfOnly = Seq((7L, 7L)).toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(selfOnly).count() === 0)
+  }
+
+  test("dedupKeepList keeps representatives + singletons") {
+    val pairs    = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+    val kept = Dedup.dedupKeepList(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1,2,4 cluster together (1 kept); 3 is a singleton
+    assert(kept === Seq(1L, 3L))
+  }
 }

@@ -37,6 +37,40 @@ class TextFnsSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("redactPii scrubs emails, IPs, phones; order keeps email domains intact") {
+    val r = Seq(
+      "mail bob.smith+x@corp.example.co.uk from 10.1.2.3 call +4915112345678 done",
+      "no pii here at all").toDF("text")
+      .select(TextFns.redactPii(col("text"))).as[String].collect().toSeq
+    assert(r(0) === "mail <EMAIL> from <IP> call <PHONE> done")
+    assert(r(1) === "no pii here at all")
+  }
+
+  test("piiCount counts per kind on raw text") {
+    val r = Seq("a@b.com c@d.org 1.2.3.4 +12345678 8.9").toDF("text")
+      .select(
+        TextFns.piiCount(col("text"), TextFns.EmailPattern),
+        TextFns.piiCount(col("text"), TextFns.Ipv4Pattern),
+        TextFns.piiCount(col("text"), TextFns.PhonePattern))
+      .as[(Int, Int, Int)].head()
+    assert(r === ((2, 1, 1))) // "8.9" is not a full dotted quad
+  }
+
+  test("normalizeText lowers, trims and collapses whitespace") {
+    val r = Seq("  Mixed   CASE\t\ttext \n here ").toDF("text")
+      .select(TextFns.normalizeText(col("text"))).as[String].head()
+    assert(r === "mixed case text here")
+  }
+
+  test("repetitionRatio flags degenerate repetition, 0 for short/empty") {
+    val r = Seq("buy buy buy buy", "all distinct words here", "one", "")
+      .toDF("text").select(TextFns.repetitionRatio(col("text"))).as[Double].collect().toSeq
+    assert(r(0) === 0.75) // 3 adjacent dup pairs / 4 tokens
+    assert(r(1) === 0.0)
+    assert(r(2) === 0.0)
+    assert(r(3) === 0.0)
+  }
+
   test("stopwordRatio and qualityScore bounded") {
     val r = Seq("the a of and to in is junk").toDF("text")
       .select(TextFns.stopwordRatio(col("text"), TextFns.EnMarkers),
