@@ -228,11 +228,25 @@ object Dedup {
     * Only ids appearing in `pairs` are returned — docs with no near-dup
     * pair are their own singleton cluster; [[dedupKeepList]] handles
     * them.
+    *
+    * Two regimes: a pair list that fits the driver (≤ `driverEdgeLimit`
+    * rows — near-dup pair lists are tiny relative to the corpus) is
+    * solved in one collect + in-core union-find, skipping ~log n rounds
+    * of job overhead; larger graphs run the distributed rounds. This is
+    * the standard shape for distributed connected components (contract
+    * until it fits, finish in-core). The limit probe is a single
+    * early-terminating `limit(n+1).collect()` — the big path never pulls
+    * more than the limit to the driver.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIters: Int = 64): DataFrame = {
+                  maxIters: Int = 64, driverEdgeLimit: Int = 500000): DataFrame = {
     val e0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .filter(col("src") =!= col("dst"))
+    if (driverEdgeLimit > 0) {
+      val probe = e0.limit(driverEdgeLimit + 1).collect()
+      if (probe.length <= driverEdgeLimit)
+        return localUnionFind(pairs.sparkSession, probe, e0.schema)
+    }
     val edges = snapshot( // reused every round
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
@@ -264,6 +278,47 @@ object Dedup {
     }
     sys.error(s"dupClusters did not converge in $maxIters rounds — " +
       "pointer jumping converges in O(log n); this indicates corrupt input (NaN/null ids?)")
+  }
+
+  /** In-core regime of [[dupClusters]]: union-find with path compression
+    * and union-by-min over a collected (src, dst) edge array. Id type is
+    * whatever the caller's id column is — ordering mirrors Spark's
+    * `min()` for the common id types.
+    */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+                             edges: Array[org.apache.spark.sql.Row],
+                             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+      case _ => String.valueOf(a) < String.valueOf(b)
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (a != null && b != null) {
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val idType = schema.head.dataType
+    val out = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id))).asJava
+    spark.createDataFrame(rows, out)
   }
 
   /** Keep-list for a deduped corpus: one row per KEPT doc — cluster

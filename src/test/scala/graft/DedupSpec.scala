@@ -110,18 +110,25 @@ class DedupSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (12L, 10L), (11L, 10L),
       (21L, 20L))
       .toDF("id_a", "id_b")
-    val r = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
-    assert((1L to 5L).forall(r(_) === 1L))
-    assert(Seq(10L, 11L, 12L).forall(r(_) === 10L))
-    assert(Seq(20L, 21L).forall(r(_) === 20L))
-    assert(r.size === 10)
+    // both regimes must agree: in-core union-find (default) and the
+    // distributed rounds (forced via driverEdgeLimit = 0)
+    for (limit <- Seq(500000, 0)) {
+      val r = Dedup.dupClusters(pairs, driverEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      assert((1L to 5L).forall(r(_) === 1L))
+      assert(Seq(10L, 11L, 12L).forall(r(_) === 10L))
+      assert(Seq(20L, 21L).forall(r(_) === 20L))
+      assert(r.size === 10)
+    }
   }
 
   test("dupClusters on empty pairs is empty; self-pairs ignored") {
-    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
-    assert(Dedup.dupClusters(empty).count() === 0)
-    val selfOnly = Seq((7L, 7L)).toDF("id_a", "id_b")
-    assert(Dedup.dupClusters(selfOnly).count() === 0)
+    for (limit <- Seq(500000, 0)) {
+      val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      assert(Dedup.dupClusters(empty, driverEdgeLimit = limit).count() === 0)
+      val selfOnly = Seq((7L, 7L)).toDF("id_a", "id_b")
+      assert(Dedup.dupClusters(selfOnly, driverEdgeLimit = limit).count() === 0)
+    }
   }
 
   test("dedupKeepList keeps representatives + singletons") {
