@@ -1985,6 +1985,46 @@ object Queries {
       WHERE make_timestamp($EvUs) > make_timestamp(mx_us) - INTERVAL 90 MINUTE
       ORDER BY event_id"""))
 
+  val q67SeqPacking = Q(
+    "q67_tx_seq_packing",
+    (s, dir) =>
+      // contiguous greedy fill: 512-token packs, 8 independent shards
+      graft.operators.Packing.packByTokenBudget(
+        t(s, dir, "documents"), "doc_id", "text", budget = 512, shards = 8)
+        .orderBy("doc_id"),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+          COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        FROM tk)
+      SELECT doc_id, shard, n_tok, CAST(tok_before // 512 AS BIGINT) AS bin
+      FROM c ORDER BY doc_id"""))
+
+  val q68ProfileStats = Q(
+    "q68_profile_stats",
+    (s, dir) =>
+      // per-source data-quality report: counters + exact decimal mean +
+      // exact interpolated percentiles over the events value column
+      graft.operators.Packing.profileNumeric(ev(s, dir), Seq("event_type"), "value")
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        COUNT(DISTINCT value) AS n_distinct,
+        MIN(value) AS min_v,
+        MAX(value) AS max_v,
+        CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / COUNT(value) AS mean_v,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2002,5 +2042,5 @@ object Queries {
     q55PeerEventLog, q56CollectorCascade, q57LsScalars, q58IpBits,
     q59SaltedAgg, q60AsOfStrict, q61FrameSample,
     q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
-    q66Intervals)
+    q66Intervals, q67SeqPacking, q68ProfileStats)
 }

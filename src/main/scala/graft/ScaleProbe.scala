@@ -73,6 +73,22 @@ object ScaleProbe {
         ex.unpersist()
       }
 
+      // distributed connected-components regime: a pure CHAIN is the
+      // worst case (diameter = n); pointer jumping must still converge
+      // in ~log2(n) rounds, not n. Probe counts rounds via wall time
+      // growth: 10× nodes should add a few rounds, not 10× time.
+      if (sf == "sf0.01") {
+        for (chain <- Seq(1000, 10000)) {
+          val pairsDf = spark.range(1, chain)
+            .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+          val t0 = System.nanoTime()
+          val labels = Dedup.dupClusters(pairsDf, driverEdgeLimit = 0)
+          val allMin = labels.agg(max(col("cluster_id"))).collect()(0).getLong(0)
+          println(f"ccomp   chain n=$chain%6d distributed: all-min=${allMin == 0L}%5s" +
+            f"  time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      }
+
       val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

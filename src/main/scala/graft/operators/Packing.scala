@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-to-training-batch operators: sequence packing and dataset
+  * profiling — the last mile of a training-data pipeline after
+  * dedup/curation.
+  */
+object Packing {
+
+  /** Assign each document to a fixed token-budget bin ("pack") —
+    * contiguous greedy fill in deterministic `idCol` order: a doc's bin
+    * is floor(tokens-before-it / budget) within its shard.
+    *
+    * Sharding is the scale design: the cumulative sum is a window over
+    * ONE shard, never a global sort — each shard packs independently
+    * (exactly how multi-worker training shards a corpus), so partitions
+    * stay bounded as the corpus grows; pick shards ≈ corpus tokens /
+    * (budget × target packs per task). A doc longer than the budget
+    * still receives a bin — real pipelines chunk oversize docs upstream.
+    *
+    * @param shardCol deterministic shard assignment (defaults to
+    *                 `pmod(idCol, shards)`; pass e.g. a hash for
+    *                 non-numeric ids)
+    */
+  def packByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                        budget: Long, shards: Int,
+                        shardCol: Option[Column] = None): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(shards > 0, s"shards ($shards) must be positive")
+    val shard = shardCol.getOrElse(pmod(col(idCol), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), shard.as("shard"),
+        graft.functions.TextFns.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("tok_before") / budget))
+      .drop("tok_before")
+  }
+
+  /** Per-group numeric profile: row/null/distinct counts, min/max, an
+    * exact decimal-summed mean, and exact interpolated percentiles —
+    * the data-quality report a curation pipeline emits per source/shard.
+    * One map-side-combined hash aggregate for the counters; percentiles
+    * aggregate per group (Spark's exact `percentile`, same
+    * p·(n−1)-interpolation as SQL `quantile_cont`).
+    */
+  def profileNumeric(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(valueCol)).as("n_distinct"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"),
+        (sum(col(valueCol).cast("decimal(28,8)")).cast("double") /
+          count(col(valueCol))).as("mean_v"),
+        expr(s"percentile($valueCol, 0.5)").as("p50"),
+        expr(s"percentile($valueCol, 0.95)").as("p95"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packByTokenBudget fills bins contiguously per shard") {
+    // one shard, 4 docs × 3 tokens, budget 5:
+    //   doc 0: before=0 → bin 0; doc 1: before=3 → bin 0
+    //   doc 2: before=6 → bin 1; doc 3: before=9 → bin 1
+    val docs = (0L to 3L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val r = Packing.packByTokenBudget(docs, "doc_id", "text", budget = 5, shards = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(r === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("shards pack independently; oversize doc still gets a bin") {
+    val docs = Seq(
+      (0L, "one two"), (2L, "three four"),            // shard 0
+      (1L, Seq.fill(20)("w").mkString(" ")), (3L, "x") // shard 1; doc 1 oversize
+    ).toDF("doc_id", "text")
+    val r = Packing.packByTokenBudget(docs, "doc_id", "text", budget = 8, shards = 2)
+      .select("doc_id", "shard", "bin").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(0L) === ((0L, 0L)))
+    assert(r(2L) === ((0L, 0L)))
+    assert(r(1L) === ((1L, 0L))) // oversize doc heads its own bin
+    assert(r(3L) === ((1L, 2L))) // 20 tokens before → bin 2
+  }
+
+  test("profileNumeric: exact counters, mean, percentiles; nulls counted not averaged") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
+      ("a", None), ("b", Some(10.0))).toDF("k", "v")
+    val r = Packing.profileNumeric(df, Seq("k"), "v").orderBy("k").collect()
+    val a = r(0)
+    assert(a.getAs[Long]("n_rows") === 5L)
+    assert(a.getAs[Long]("n_null") === 1L)
+    assert(a.getAs[Long]("n_distinct") === 4L)
+    assert(a.getAs[Double]("mean_v") === 2.5)
+    assert(a.getAs[Double]("p50") === 2.5)  // interpolated between 2 and 3
+    assert(math.abs(a.getAs[Double]("p95") - 3.85) < 1e-9) // pos 0.95·3 = 2.85 → interpolate
+    assert(r(1).getAs[Double]("p50") === 10.0)
+  }
+}
