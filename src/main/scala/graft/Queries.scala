@@ -2025,6 +2025,53 @@ object Queries {
         quantile_cont(value, 0.95) AS p95
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  val q69Decontam = Q(
+    "q69_dd_decontamination",
+    (s, dir) => {
+      // benchmark-leak check: benchmarks = every 17th doc; flag corpus
+      // docs sharing ≥5 distinct 5-grams (stop-shingles df>50 excluded
+      // from matching, same guard as q23)
+      val docs  = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      Dedup.contaminationFlags(docs, bench, "doc_id", "text",
+        shingleN = 5, minOverlap = 5, maxShingleDf = 50)
+        .orderBy("id", "bench_id")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 4, 0) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+4], ' ')))
+            AS sh
+        FROM documents),
+      shn AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+      ex  AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      bex AS (SELECT doc_id AS bench_id, tok FROM ex WHERE doc_id % 17 = 0),
+      freq AS (SELECT tok FROM ex GROUP BY tok HAVING COUNT(*) <= 50),
+      bok AS (SELECT bex.bench_id, bex.tok FROM bex JOIN freq USING (tok))
+      SELECT ex.doc_id AS id, bok.bench_id, COUNT(*) AS n_shared
+      FROM ex JOIN bok USING (tok)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      ORDER BY id, bench_id"""))
+
+  val q70SourceCap = Q(
+    "q70_s_source_cap",
+    (s, dir) =>
+      // balanced corpus mixing: ≤ 25 docs per source, deterministic
+      // md5-of-id order (stable across runs and input layouts)
+      graft.operators.Packing.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "lang"),
+        groupCol = "source", idCol = "doc_id", k = 25)
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 25 ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2042,5 +2089,6 @@ object Queries {
     q55PeerEventLog, q56CollectorCascade, q57LsScalars, q58IpBits,
     q59SaltedAgg, q60AsOfStrict, q61FrameSample,
     q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
-    q66Intervals, q67SeqPacking, q68ProfileStats)
+    q66Intervals, q67SeqPacking, q68ProfileStats, q69Decontam,
+    q70SourceCap)
 }

@@ -331,6 +331,43 @@ object Dedup {
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
 
+  /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
+    * distinct word n-grams with ANY benchmark doc (the train/test-leak
+    * check every LLM corpus ships with — asymmetric, unlike
+    * [[ngramJaccard]]'s within-corpus pairs).
+    *
+    * Shape for 100 TB corpus vs tiny benchmark set: both sides explode
+    * to (id, shingle); the equi-join shuffles the corpus ONLY on
+    * matching shingles (the benchmark shingle set acts as a semi-join
+    * filter — with a small benchmark side Catalyst broadcasts it, so the
+    * corpus never shuffles at all), then one map-side-combined count per
+    * (corpus_id, bench_id). `maxShingleDf` drops stop-shingles from
+    * MATCHING only, same guard + bounded-recall contract as
+    * [[ngramCandidates]].
+    *
+    * @return (corpus id, bench_id, n_shared) — one row per contaminated
+    *         (corpus doc, benchmark doc) pair
+    */
+  def contaminationFlags(corpus: DataFrame, benchmarks: DataFrame,
+                         idCol: String, textCol: String, shingleN: Int,
+                         minOverlap: Int,
+                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val c = explodedShingles(corpus, idCol, textCol, shingleN)
+    val b0 = explodedShingles(benchmarks, idCol, textCol, shingleN)
+      .withColumnRenamed("id", "bench_id")
+    val b =
+      if (maxShingleDf == Int.MaxValue) b0
+      else { // df computed on the CORPUS side — that's where the mass is
+        val ok = c.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDf).select("tok")
+        b0.join(ok, Seq("tok"))
+      }
+    c.join(b, Seq("tok"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Exact Jaccard over candidate pairs carrying shingle arrays sh_a/sh_b. */
   def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
     pairs

@@ -41,6 +41,26 @@ object Packing {
       .drop("tok_before")
   }
 
+  /** Source balancing: keep at most `k` docs per group, chosen by a
+    * deterministic content-hash order (md5 of the id — portable across
+    * engines and stable across runs/layouts, unlike input order). The
+    * standard per-domain cap before corpus mixing.
+    *
+    * Scale note: row_number windows sort one partition PER GROUP — fine
+    * for source/domain cardinalities (each group ≪ executor memory).
+    * For mega-groups where even one group overflows a task, switch to
+    * hash-threshold sampling (the q50 deterministic-sample pattern) with
+    * a per-group rate ≈ k/|group|: approximate cap, no per-group sort.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Per-group numeric profile: row/null/distinct counts, min/max, an
     * exact decimal-summed mean, and exact interpolated percentiles —
     * the data-quality report a curation pipeline emits per source/shard.

@@ -131,6 +131,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationFlags: asymmetric overlap vs benchmark set, df cap respected") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench 100's 3-grams
+      (2L, "alpha beta gamma other words here"),      // shares only 1 shingle with 100
+      (3L, "totally unrelated content entirely now")) // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val r = Dedup.contaminationFlags(corpus, bench, "doc_id", "text",
+      shingleN = 3, minOverlap = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(r === Seq((1L, 100L, 4L))) // 6 tokens → 4 trigrams, all shared
+    // doc 2 shares exactly 1 trigram (< minOverlap), doc 3 none
+  }
+
   test("dedupKeepList keeps representatives + singletons") {
     val pairs    = Dedup.minHashLsh(docs, "doc_id", "text",
       shingleN = 2, numHashes = 16, bands = 8, threshold = 0.5)

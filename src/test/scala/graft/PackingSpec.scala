@@ -31,6 +31,20 @@ class PackingSpec extends SparkSpec {
     assert(r(3L) === ((1L, 2L))) // 20 tokens before → bin 2
   }
 
+  test("capPerGroup: deterministic k per group, stable across input order") {
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "source")
+    val r1 = Packing.capPerGroup(docs, "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1.size === 10) // 5 per source × 2 sources
+    // same result from reversed input order — hash order, not input order
+    val r2 = Packing.capPerGroup(docs.orderBy(col("doc_id").desc), "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1 === r2)
+    // k larger than the group keeps everything
+    assert(Packing.capPerGroup(docs, "source", "doc_id", 100).count() === 40L)
+  }
+
   test("profileNumeric: exact counters, mean, percentiles; nulls counted not averaged") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
