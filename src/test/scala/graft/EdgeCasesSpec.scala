@@ -26,6 +26,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(r(3L)._2 >= 0 && r(1L)._3 === "und")
   }
 
+  test("round-4 ops on empty/degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    // packing / profiling / capping / mixing on empty frames: empty, no crash
+    assert(graft.operators.Packing.packByTokenBudget(
+      emptyDocs, "doc_id", "text", 512, 8).count() === 0)
+    assert(graft.operators.Packing.profileNumeric(
+      emptyDocs.withColumn("v", col("doc_id").cast("double")),
+      Seq("source"), "v").count() === 0)
+    assert(graft.operators.Packing.capPerGroup(emptyDocs, "source", "doc_id", 5)
+      .count() === 0)
+    val w = Seq(("s", 1.5)).toDF("source", "weight")
+    assert(graft.operators.Packing.mixByWeight(emptyDocs, "source", "doc_id", w)
+      .count() === 0)
+    // decontamination with an empty benchmark set flags nothing
+    val docs = Seq((1L, "alpha beta gamma delta", "s")).toDF("doc_id", "text", "source")
+    assert(Dedup.contaminationFlags(docs, emptyDocs, "doc_id", "text", 3, 1)
+      .count() === 0)
+    // blank text packs with zero tokens into bin 0
+    val blank = Seq((1L, "", "s"), (2L, "   ", "s")).toDF("doc_id", "text", "source")
+    val packed = graft.operators.Packing.packByTokenBudget(blank, "doc_id", "text", 10, 1)
+      .select("n_tok", "bin").as[(Long, Long)].collect().toSeq
+    assert(packed === Seq((0L, 0L), (0L, 0L)))
+    // PII functions pass nulls through, never throw
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(TextFns.redactPii(col("text")), TextFns.normalizeText(col("text")))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("shingles/minhash on texts shorter than the shingle size") {
     val docs = Seq((1L, "one two"), (2L, "single"), (3L, "")).toDF("doc_id", "text")
     // 3-gram shingles of 2-token/1-token/empty docs → all filtered out
