@@ -90,6 +90,33 @@ object Demo {
     graft.operators.TimeAgg.chgStats(spark.read.parquet(log), "ts_us", 60,
       col("isWithdrawn"), Seq("peer_hash_id")).orderBy("bucket").show(false)
 
+    // -- 5. the LLM-pipeline half: curate a doc corpus end-to-end -------
+    // dedup pairs → connected components → keep-list → scrub → pack
+    import graft.operators.{Dedup, Packing}
+    import graft.functions.TextFns
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog today!", "web"), // near-dup of 1
+      (3L, "reach me at ops@example.net or 203.0.113.9 thanks", "mail"),
+      (4L, "completely different content about spark and parquet", "web"),
+      (5L, "the quick brown fox jumps over the lazy dog today", "crawl")) // exact dup of 1
+      .toDF("doc_id", "text", "source")
+
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 8, threshold = 0.6)
+    val clusters = Dedup.dupClusters(pairs.select("id_a", "id_b"))
+    println("== dup clusters ==")
+    clusters.orderBy("id").show(false)
+
+    val curated = Dedup.dedupKeepList(docs, "doc_id", clusters)
+      .withColumn("text", TextFns.normalizeText(TextFns.redactPii(col("text"))))
+    println("== curated (deduped + scrubbed) ==")
+    curated.orderBy("doc_id").show(false)
+
+    println("== packed into 12-token bins ==")
+    Packing.packByTokenBudget(curated, "doc_id", "text", budget = 12, shards = 1)
+      .orderBy("doc_id").show(false)
+
     spark.stop()
   }
 }
