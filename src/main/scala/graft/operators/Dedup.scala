@@ -352,7 +352,9 @@ object Dedup {
                          idCol: String, textCol: String, shingleN: Int,
                          minOverlap: Int,
                          maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val c = explodedShingles(corpus, idCol, textCol, shingleN)
+    // snapshot: with the df cap on, corpus shingles feed both the df
+    // count and the match join — derive once (see the caching NOTE)
+    val c = snapshot(explodedShingles(corpus, idCol, textCol, shingleN))
     val b0 = explodedShingles(benchmarks, idCol, textCol, shingleN)
       .withColumnRenamed("id", "bench_id")
     val b =
