@@ -100,6 +100,31 @@ object ScaleProbe {
         Similarity.cosineCandidates(emb, 64, p, 2, 64))
       emb.unpersist()
     }
+    // round-4 corpus ops: all designed corpus-LINEAR (scan/window/join
+    // shapes with no quadratic tail) — verify wall time tracks a 10×
+    // corpus replication roughly linearly
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val bench10 = docs0.filter(col("doc_id") % 17 === 0) // fixed benchmark set
+    for (mult <- Seq(1, 10)) {
+      val docs = (0 until mult).map(r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          col("text"), col("source")))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      timedCount(s"pack    ${mult}x docs budget=512 shards=32",
+        graft.operators.Packing.packByTokenBudget(docs, "doc_id", "text", 512, 32))
+      timedCount(s"cap     ${mult}x docs k=25/source",
+        graft.operators.Packing.capPerGroup(docs, "source", "doc_id", 25))
+      val w = docs.select(col("source")).distinct()
+        .withColumn("weight", lit(0.5) + substring(col("source"), 4, 10).cast("int") % 4 * lit(0.75))
+      timedCount(s"mix     ${mult}x docs weighted",
+        graft.operators.Packing.mixByWeight(docs, "source", "doc_id", w))
+      timedCount(s"decontm ${mult}x docs vs fixed benchmark",
+        Dedup.contaminationFlags(docs, bench10, "doc_id", "text", 5, 5, maxShingleDf = 50 * mult))
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
