@@ -75,6 +75,37 @@ class PlanQualitySpec extends SparkSpec {
       s"partition pruning did not reduce the file set ($scanned of $total)")
   }
 
+  test("q69 decontamination broadcasts the benchmark side (corpus never pre-shuffles)") {
+    val plan = planOf("q69_dd_decontamination")
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("q67 packing runs one data shuffle (by shard) before the window") {
+    val qe = SparkEntry.queries("q67_tx_seq_packing")(spark, dir).queryExecution
+    val exchanges = qe.executedPlan.toString.split("\n")
+      .filter(_.contains("Exchange hashpartitioning"))
+    // shard exchange for the window + the gate's global orderBy
+    // range exchange; no other data movement
+    assert(exchanges.length === 1,
+      s"expected exactly one hash exchange (shard), got:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q63 PII scrub stays inside whole-stage codegen on the scan") {
+    val qe = SparkEntry.queries("q63_tx_pii_redact")(spark, dir).queryExecution
+    val s = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"), s"no WholeStageCodegen spans:\n${s.take(2000)}")
+  }
+
+  test("q72 quantization is a pure scan-stage projection (no exchange before sort)") {
+    val qe = SparkEntry.queries("q72_ann_quantize_int8")(spark, dir).queryExecution
+    val exchanges = qe.executedPlan.toString.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges.isEmpty,
+      s"quantization should not shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("cosine near-dup candidate shuffles carry no embedding payload") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
