@@ -12,9 +12,16 @@ object TextFns {
 
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Whitespace token count. */
+  /** Whitespace token count — native codegen'd byte scan
+    * ([[graft.plans.TokenCount]]): no regex, no lowercased copy, no
+    * token array, identical result semantics to
+    * `when(length(trim(t)) === 0, 0).otherwise(size(tokens(t)))`
+    * (equivalence locked by TextFnsSpec).
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.TokenCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** BPE-ish subword count estimate: word-piece regex split (letters /
     * digits / other runs), the standard pre-tokenizer shape.

@@ -140,7 +140,8 @@ object GraftFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    (descriptors ++ ArrayFunctions.descriptors).foreach { case (ident, _, builder) =>
+    (descriptors ++ ArrayFunctions.descriptors ++ TextExpressionFunctions.descriptors)
+      .foreach { case (ident, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         ident.funcName, builder, "built-in")
     }
@@ -155,7 +156,8 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    (GraftFunctions.descriptors ++ ArrayFunctions.descriptors).foreach(ext.injectFunction)
+    (GraftFunctions.descriptors ++ ArrayFunctions.descriptors ++
+      TextExpressionFunctions.descriptors).foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteInetContains)
   }
 }

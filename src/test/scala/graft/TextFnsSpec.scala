@@ -37,6 +37,29 @@ class TextFnsSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < 1000000007L))
   }
 
+  test("native token_count ≡ split-size formula on adversarial whitespace") {
+    val cases = Seq(
+      "plain words here", "", "   ", "\t", "\t\t", " \t ", "one",
+      "\tleading tab", "trailing tab\t", "\tboth\t", "a  b\t\nc",
+      "日本語 テキスト", "mixed nbsp stays", // NBSP is NOT \s — one token boundary fewer
+      " spaces trimmed \t not this ")
+    val df = cases.toDF("t")
+    val r = df.select(
+      TextFns.tokenCount(col("t")).as("native"),
+      when(length(trim(col("t"))) === 0, lit(0))
+        .otherwise(size(split(lower(trim(col("t"))), "\\s+"))).as("composed"))
+      .collect()
+    cases.zip(r).foreach { case (s, row) =>
+      assert(row.getInt(0) === row.getInt(1), s"mismatch on ${s.map(_.toInt)}")
+    }
+    // null passes through
+    assert(Seq[String](null).toDF("t").select(TextFns.tokenCount(col("t")))
+      .collect()(0).isNullAt(0))
+    // SQL registration via GraftFunctions
+    graft.plans.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT token_count('a b  c')").collect()(0).getInt(0) === 3)
+  }
+
   test("redactPii scrubs emails, IPs, phones; order keeps email domains intact") {
     val r = Seq(
       "mail bob.smith+x@corp.example.co.uk from 10.1.2.3 call +4915112345678 done",
