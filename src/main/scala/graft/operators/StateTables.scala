@@ -188,6 +188,56 @@ object StateTables {
     touched
   }
 
+  /** Small-file compaction for the changed-bucket layout: every merge
+    * rewrites its touched buckets as fresh files, so a bucket that takes
+    * updates every batch accumulates one file set per merge cadence
+    * window. This rewrites ONLY buckets whose file count exceeds
+    * `maxFilesPerBucket` — coalesced to 1 file each via the same
+    * park-aside swap (crash-safe, recoverable by the next merge's
+    * pre-pass) — and never opens a healthy bucket. Run it on a timer or
+    * after N merges, like any LSM-ish compaction.
+    *
+    * Same single-writer contract as [[mergeChangedBuckets]].
+    *
+    * @return bucket ids compacted
+    */
+  def compactBuckets(spark: SparkSession, path: String,
+                     maxFilesPerBucket: Int = 8): Seq[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val fs   = new HPath(path).getFileSystem(conf)
+    if (!fs.exists(new HPath(path))) return Nil
+    recoverBucketSwap(fs, path)
+    val oversized = fs.listStatus(new HPath(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_")) > maxFilesPerBucket)
+      .map(st => st.getPath.getName.stripPrefix("__bucket=").toInt)
+      .toSeq.sorted
+    if (oversized.isEmpty) return Nil
+    val stage = path + "_stage"
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(oversized: _*)) // partition-pruned: only sick buckets are read
+      .repartition(col("__bucket")) // one task per bucket → one output file each
+      .write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    val asideRoot = new HPath(path + "_old")
+    fs.mkdirs(asideRoot)
+    oversized.foreach { b =>
+      val dst   = new HPath(path, s"__bucket=$b")
+      val src   = new HPath(stage, s"__bucket=$b")
+      val aside = new HPath(asideRoot, s"__bucket=$b")
+      fs.delete(aside, true)
+      if (fs.exists(dst) && !fs.rename(dst, aside))
+        sys.error(s"bucket compaction: failed to park $dst")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        sys.error(s"bucket compaction: failed to move $src into place")
+      fs.delete(aside, true)
+    }
+    fs.delete(asideRoot, true)
+    fs.delete(new HPath(stage), true)
+    oversized
+  }
+
   /** Recovery pre-pass for [[mergeChangedBuckets]]: any bucket directory
     * still parked under `<path>_old` belongs to a swap that crashed
     * between park and move — if its slot is empty, move it back; if the

@@ -69,6 +69,38 @@ class StateAndJobsSpec extends AnyFunSuite {
     assert(got.filter(col("k") === "k999").head().getAs[String]("attr") === "NEW")
   }
 
+  test("bucket compaction coalesces only oversized buckets, content-preserving") {
+    val dir = Files.createTempDirectory("graft_cpct").toString + "/state"
+    val init = (1 to 200).map(i => (s"k$i", 1L, s"A$i", false))
+      .toDF("k", "ts", "attr", "wd")
+    StateTables.writeBucketPartitioned(init, dir, Seq("k"), 8)
+    // churn one key repeatedly → its bucket accumulates a file set per merge
+    for (ts <- 2L to 7L) {
+      val upd = Seq(("k1", ts, s"A1v$ts", false)).toDF("k", "ts", "attr", "wd")
+      StateTables.mergeChangedBuckets(spark, dir, upd, policy, 8)
+    }
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = bucketFiles()
+    val want = spark.read.parquet(dir).drop("__bucket").collect().toSet
+
+    val compacted = StateTables.compactBuckets(spark, dir, maxFilesPerBucket = 2)
+    assert(compacted.nonEmpty) // the churned bucket qualified
+    val after = bucketFiles()
+    compacted.foreach { b =>
+      assert(after(s"__bucket=$b").size === 1,
+        s"bucket $b not coalesced: ${after(s"__bucket=$b")}")
+    }
+    // healthy buckets untouched (exact file sets), content identical
+    before.keySet.filterNot(b => compacted.map(c => s"__bucket=$c").contains(b))
+      .foreach(b => assert(after(b) === before(b), s"healthy bucket $b rewritten"))
+    assert(spark.read.parquet(dir).drop("__bucket").collect().toSet === want)
+    // idempotent: immediately re-running compacts nothing
+    assert(StateTables.compactBuckets(spark, dir, maxFilesPerBucket = 2).isEmpty)
+  }
+
   test("bucketed state merge: snapshot side reads without Exchange") {
     // clean any leftover managed-table locations from aborted runs
     for (t <- Seq("rib_state", "rib_state_next", "rib_state_old")) {
