@@ -53,8 +53,16 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total     = r3(cold.values.sum)
     val totalWarm = r3(warm.values.sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},"value_warm":$totalWarm,"sf":"$sfDir"}"""
     println(s"# warm pass: total=$totalWarm sec, queries=${fmt(warm)}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},"value_warm":$totalWarm,"sf":"$sfDir"}""")
+    println(line)
+    // stdout tails get truncated by capture harnesses (BENCH_r04 parsed:
+    // null); the file copy is whole by construction
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.write(out,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

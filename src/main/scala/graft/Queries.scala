@@ -1420,42 +1420,49 @@ object Queries {
       FROM peers p LEFT JOIN routers r ON p.router_hash_id = r.hash_id
       ORDER BY p.hash_id"""))
 
+  // family-agnostic LPM inputs shared by q52 (range path) and q73
+  // (expansion equi-join path) — the two physical strategies must
+  // hash-match each other AND the one DuckDB oracle (reference
+  // find_geo_ip, 1_base.sql:66-81): v4 /8s + v6 /32s + /48s + the
+  // IPv4-mapped /96; probes mix v4, v6, and ::ffff: mapped addresses.
+  // All prefix lengths are nibble-aligned so the DuckDB oracle
+  // reproduces containment as a hex-string prefix match.
+  private def lpmV6Geo(s: SparkSession, dir: String): DataFrame = {
+    val geo = t(s, dir, "region").select(
+      format_string("%d.0.0.0/8", lit(10) + col("r_regionkey")).as("geo_prefix"))
+      .unionByName(t(s, dir, "nation").select(
+        format_string("2001:%x::/32", col("n_nationkey") + 1).as("geo_prefix")))
+      .unionByName(t(s, dir, "nation").select(
+        format_string("2001:%x:%x::/48",
+          (col("n_nationkey") % 5) + 1, col("n_nationkey")).as("geo_prefix")))
+      .unionByName(t(s, dir, "region").filter(col("r_regionkey") === 0)
+        .select(lit("::ffff:0:0/96").as("geo_prefix")))
+    IpKit.withPrefixRange(geo, "geo_prefix")
+  }
+
+  private def lpmV6Probes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_custkey") % 3 === 0,
+        format_string("%d.%d.%d.%d", lit(10) + col("c_custkey") % 5L,
+          col("c_custkey") % 25L, col("c_custkey") % 256L,
+          (col("c_custkey") * 3) % 256L))
+        .when(col("c_custkey") % 3 === 1,
+          format_string("2001:%x:%x::%x", lit(1) + col("c_custkey") % 5L,
+            col("c_custkey") % 20L, col("c_custkey") % 65536L))
+        .otherwise(format_string("::ffff:%d.%d.%d.%d",
+          col("c_custkey") % 256L, (col("c_custkey") * 3) % 256L,
+          (col("c_custkey") * 5) % 256L, (col("c_custkey") * 7) % 256L))
+        .as("ip"))
+      .withColumn("addr", IpKit.inetNum(col("ip"))) // native codegen'd
+
   val q52LpmV6 = Q(
     "q52_j5_lpm_ipv6_binary",
     (s, dir) => {
-      // family-agnostic LPM over the 16-byte binary form (reference
-      // find_geo_ip, 1_base.sql:66-81): v4 /8s + v6 /32s + /48s + the
-      // IPv4-mapped /96; probes mix v4, v6, and ::ffff: mapped
-      // addresses. All prefix lengths are nibble-aligned so the DuckDB
-      // oracle reproduces containment as a hex-string prefix match.
-      val geo = t(s, dir, "region").select(
-        format_string("%d.0.0.0/8", lit(10) + col("r_regionkey")).as("geo_prefix"))
-        .unionByName(t(s, dir, "nation").select(
-          format_string("2001:%x::/32", col("n_nationkey") + 1).as("geo_prefix")))
-        .unionByName(t(s, dir, "nation").select(
-          format_string("2001:%x:%x::/48",
-            (col("n_nationkey") % 5) + 1, col("n_nationkey")).as("geo_prefix")))
-        .unionByName(t(s, dir, "region").filter(col("r_regionkey") === 0)
-          .select(lit("::ffff:0:0/96").as("geo_prefix")))
-      val geoR = IpKit.withPrefixRange(geo, "geo_prefix")
-      val probes = t(s, dir, "customer").select(
-        col("c_custkey"),
-        when(col("c_custkey") % 3 === 0,
-          format_string("%d.%d.%d.%d", lit(10) + col("c_custkey") % 5L,
-            col("c_custkey") % 25L, col("c_custkey") % 256L,
-            (col("c_custkey") * 3) % 256L))
-          .when(col("c_custkey") % 3 === 1,
-            format_string("2001:%x:%x::%x", lit(1) + col("c_custkey") % 5L,
-              col("c_custkey") % 20L, col("c_custkey") % 65536L))
-          .otherwise(format_string("::ffff:%d.%d.%d.%d",
-            col("c_custkey") % 256L, (col("c_custkey") * 3) % 256L,
-            (col("c_custkey") * 5) % 256L, (col("c_custkey") * 7) % 256L))
-          .as("ip"))
-        .withColumn("addr", IpKit.inetNum(col("ip"))) // native codegen'd
       // family guard: 4-byte v4 forms never compare into 16-byte v6
       // ranges (mapped probes are 16-byte, so they match only v6 dims)
-      LpmJoin.lpmRange(probes, Seq("c_custkey"), "addr",
-        geoR, "ip_start", "ip_end", "ip_len",
+      LpmJoin.lpmRange(lpmV6Probes(s, dir), Seq("c_custkey"), "addr",
+        lpmV6Geo(s, dir), "ip_start", "ip_end", "ip_len",
         extraCond = length(col("addr")) === length(col("ip_start")))
         .select(col("c_custkey"), col("ip"), col("geo_prefix"),
           col("ip_len").as("len"))
@@ -1506,6 +1513,21 @@ object Queries {
         ON p.fam = g.fam AND substr(p.hx, 1, len // 4) = g.hp
       QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY len DESC) = 1
       ORDER BY c_custkey"""))
+
+  val q73LpmV6Expansion = Q(
+    "q73_j5_lpm_ipv6_expansion",
+    (s, dir) => {
+      // same inputs and oracle as q52, different physical strategy: the
+      // ancestor-expansion equi-join (VERDICT r4 item 1 — the v6 scale
+      // path that replaces the broadcast nested-loop for large v6 dims)
+      LpmJoin.lpmByExpansionBinary(lpmV6Probes(s, dir), Seq("c_custkey"), "addr",
+        lpmV6Geo(s, dir), "ip_start", "ip_len",
+        payload = Seq("geo_prefix"), tieBreakAsc = "geo_prefix")
+        .select(col("c_custkey"), col("ip"), col("geo_prefix"),
+          col("ip_len").as("len"))
+        .orderBy("c_custkey")
+    },
+    q52LpmV6.oracle)
 
   val q53PdbIxPeers = Q(
     "q53_m14_pdb_ix_peers",
@@ -2156,5 +2178,5 @@ object Queries {
     q59SaltedAgg, q60AsOfStrict, q61FrameSample,
     q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
     q66Intervals, q67SeqPacking, q68ProfileStats, q69Decontam,
-    q70SourceCap, q71SourceMix, q72QuantizeInt8)
+    q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion)
 }

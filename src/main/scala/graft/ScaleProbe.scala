@@ -125,6 +125,38 @@ object ScaleProbe {
         Dedup.contaminationFlags(docs, bench10, "doc_id", "text", 5, 5, maxShingleDf = 50 * mult))
       docs.unpersist()
     }
+
+    // round-5: IPv6 LPM scale path. A ≥100k-row v6 dim makes the
+    // broadcast nested-loop (lpmRange: |probes|·|dim| range compares)
+    // the round-4 scale-killer; lpmByExpansionBinary is |probes|·|lens|
+    // hashed candidate rows → must grow LINEARLY in probes. The range
+    // row runs at 10× FEWER probes and still loses — the cliff the
+    // equi-join path removes.
+    {
+      import graft.ip.IpKit
+      import graft.operators.LpmJoin
+      val dim = IpKit.withPrefixRange(
+        spark.range(150000).select(
+          format_string("2001:%x:%x:%x::/%d",
+            col("id") % 64, (col("id") / 64) % 4096, col("id") % 16,
+            lit(48) + (col("id") % 3) * lit(8)).as("prefix")), "prefix")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"v6lpm   dim rows=${dim.count()} lens=48/56/64")
+      def probesOf(n: Long) = spark.range(n).select(
+        format_string("2001:%x:%x:%x:%x::1",
+          col("id") % 64, (col("id") * 7) % 4096, col("id") % 16,
+          col("id") % 7).as("ip"))
+        .withColumn("addr", IpKit.inetNum(col("ip")))
+      for (n <- Seq(100000L, 1000000L))
+        timedCount(f"v6lpm   expansion probes=$n%8d dim=150k",
+          LpmJoin.lpmByExpansionBinary(probesOf(n), Seq("id"), "addr",
+            dim, "ip_start", "ip_len", payload = Seq("prefix"), tieBreakAsc = "prefix"))
+      timedCount(f"v6lpm   rangeNLJ  probes=${10000}%8d dim=150k (10x fewer)",
+        LpmJoin.lpmRange(probesOf(10000), Seq("id"), "addr",
+          dim, "ip_start", "ip_end", "ip_len",
+          extraCond = length(col("addr")) === length(col("ip_start"))))
+      dim.unpersist()
+    }
     spark.stop()
   }
 }

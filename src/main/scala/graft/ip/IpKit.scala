@@ -104,6 +104,16 @@ object IpKit {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.InetNum(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Aligned ancestor start of a binary address at `len` bits (native
+    * codegen'd [[graft.plans.InetAligned]]); null when len exceeds the
+    * address width — the candidate key of the expansion LPM.
+    */
+  def inetAligned(addr: Column, len: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.InetAligned(
+        org.apache.spark.sql.GraftColumnBridge.expression(addr),
+        org.apache.spark.sql.GraftColumnBridge.expression(len)))
+
   val prefixStartUdf = udf((p: String) =>
     if (p == null || p.isEmpty) null
     else toFixedBytes(prefixRange(p)._2, addrLen(p)))

@@ -159,6 +159,68 @@ object LpmJoin {
           .map(p => col(s"__payload.$p").as(p)): _*)
   }
 
+  /** Expansion LPM over the fixed-length BINARY address form — the
+    * IPv6 (and mixed-family) equi-join scale path.
+    *
+    * The 62-bit limit of the numeric variants comes from long
+    * arithmetic; the binary form has no such limit — the aligned
+    * ancestor at each dim-present length is computed by the codegen'd
+    * [[graft.plans.InetAligned]] (mask bytes, zero host bits), and the
+    * join is a plain equi-join on (start: Binary, len: Int). Winner
+    * selection exploits a structural fact: within one probe each
+    * candidate LENGTH yields exactly one aligned start, so the LPM
+    * winner is just `max(len)` — a codegen'd int hash aggregate with
+    * map-side partial aggregation (the shuffle carries one row per
+    * probe) — and the winning start is RECOMPUTED from the probe
+    * address afterwards instead of being carried through the shuffle.
+    * No 128-bit packing, no window sort, no broadcast nested-loop: at
+    * 10⁹ probes × 10⁶-row v6 dim this is |probes|·|lens| hashed rows
+    * instead of |probes|·|dim| range comparisons.
+    *
+    * Family safety is structural: binary widths are fixed per family
+    * (4 vs 16 bytes), so cross-family equality is impossible, and a
+    * candidate length beyond the probe's width yields null (dropped by
+    * the pre-join filter). IPv4-mapped probes are 16-byte and so match
+    * only v6 dims — Postgres `family()` semantics
+    * (`/root/reference/database/1_base.sql:66-81`).
+    *
+    * @param payload dim columns carried to the output (must include
+    *                tieBreakAsc if wanted in the result)
+    */
+  def lpmByExpansionBinary(probes: DataFrame, probeKey: Seq[String], probeAddr: String,
+                           prefixes: DataFrame, startCol: String, lenCol: String,
+                           payload: Seq[String], tieBreakAsc: String,
+                           broadcastDim: Boolean = true): DataFrame = {
+    val dimDedup = prefixes
+      .groupBy(col(startCol), col(lenCol))
+      .agg(min_by(struct(payload.map(col): _*), col(tieBreakAsc)).as("__payload"))
+    val dim = if (broadcastDim) broadcast(dimDedup) else dimDedup
+    val lens = dimLens(prefixes, lenCol)
+    val candStructs = lens.sorted.map { l =>
+      struct(lit(l).as("len"),
+        graft.ip.IpKit.inetAligned(col(probeAddr), lit(l)).as("start"))
+    }
+    val candidates = probes
+      .withColumn("__cand", explode(array(candStructs: _*)))
+      .filter(col("__cand.start").isNotNull)
+    val probeCarry = probes.columns.filterNot(probeKey.contains).toIndexedSeq
+    val matched = candidates
+      .join(dim,
+        col("__cand.len") === col(lenCol) && col("__cand.start") === col(startCol),
+        "left_semi")
+    val winners = matched
+      .groupBy(probeKey.map(col): _*)
+      .agg(max(col("__cand.len")).as(lenCol),
+        probeCarry.map(c => first(col(c)).as(c)): _*)
+      .withColumn(startCol, graft.ip.IpKit.inetAligned(col(probeAddr), col(lenCol)))
+    winners
+      .join(dim, Seq(startCol, lenCol))
+      .select(probeKey.map(col) ++ probeCarry.map(col) ++
+        Seq(col(lenCol), col(startCol)) ++
+        payload.filterNot(p => p == lenCol || p == startCol)
+          .map(p => col(s"__payload.$p").as(p)): _*)
+  }
+
   /** Covering-prefix containment join (J6, RPKI-style): every (fact,dim)
     * pair where dim's range contains fact's range and fact length falls
     * in [dim minLen, dim maxLen]. Inner join, all matches (the RPKI

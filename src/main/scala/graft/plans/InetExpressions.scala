@@ -62,6 +62,26 @@ object InetOps {
 
   def family(s: UTF8String): Int = if (s.toString.contains(":")) 6 else 4
 
+  /** Aligned ancestor start of a fixed-length binary address at `len`
+    * bits: the first `len` bits kept, host bits zeroed — the candidate
+    * key of the expansion LPM ([[graft.operators.LpmJoin]]). Returns
+    * null when `len` exceeds the address width (a 4-byte v4 value has
+    * no /48 ancestor) so out-of-family candidate rows drop out of the
+    * equi-join instead of corrupting it.
+    */
+  def alignedStart(addr: Array[Byte], len: Int): Array[Byte] = {
+    val bits = addr.length * 8
+    if (len < 0 || len > bits) null
+    else {
+      val out  = new Array[Byte](addr.length)
+      val full = len >> 3
+      System.arraycopy(addr, 0, out, 0, full)
+      val rem = len & 7
+      if (rem > 0) out(full) = (addr(full) & (0xff << (8 - rem))).toByte
+      out
+    }
+  }
+
   private def toFixed(b: java.math.BigInteger, len: Int): Array[Byte] = {
     val raw = b.toByteArray.dropWhile(_ == 0)
     val out = new Array[Byte](len)
@@ -122,6 +142,31 @@ case class InetFamily(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(newChild)
 }
 
+/** inet_aligned(addrBin, len) → binary aligned ancestor start (null when
+  * len exceeds the address width). Codegen'd: the v6 expansion-LPM
+  * candidate derivation stays inside the probe scan's WholeStageCodegen
+  * span — no UDF boundary on the 100 TB side.
+  */
+case class InetAligned(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, int) arguments, got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(addr: Any, len: Any): Any =
+    InetOps.alignedStart(addr.asInstanceOf[Array[Byte]], len.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l) => s"""
+      ${ev.value} = graft.plans.InetOps.alignedStart($a, $l);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
 /** Function registry for the inet expressions: installable on an
   * existing session (`GraftFunctions.register(spark)`) or at session
   * construction via `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -132,7 +177,8 @@ object GraftFunctions {
     ("inet_start", (c: Seq[Expression]) => InetStart(c.head)),
     ("inet_end", (c: Seq[Expression]) => InetEnd(c.head)),
     ("inet_family", (c: Seq[Expression]) => InetFamily(c.head)),
-    ("inet_contains", (c: Seq[Expression]) => InetContains(c(0), c(1)))
+    ("inet_contains", (c: Seq[Expression]) => InetContains(c(0), c(1))),
+    ("inet_aligned", (c: Seq[Expression]) => InetAligned(c(0), c(1)))
   ).map { case (name, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.plans.InetExpressions", name),

@@ -59,6 +59,63 @@ class LpmJoinSpec extends SparkSpec {
     }
   }
 
+  test("lpmByExpansionBinary == lpmRange on mixed v4/v6 binary form") {
+    import graft.ip.IpKit
+    val rnd = new Random(7)
+    def rv4() = s"${10 + rnd.nextInt(3)}.${rnd.nextInt(4)}.${rnd.nextInt(4)}.${rnd.nextInt(256)}"
+    def rv6() = f"2001:${rnd.nextInt(3)}%x:${rnd.nextInt(3)}%x::${rnd.nextInt(8)}%x"
+    for (round <- 1 to 3) {
+      // random lens incl. non-nibble-aligned; prefixRange canonicalizes
+      // (masks host bits), so unaligned addr/len inputs are fine; add
+      // the default routes and host-length prefixes explicitly
+      val pfx = (0 until 80).map { i =>
+        val fam4 = rnd.nextBoolean()
+        val addr = if (fam4) rv4() else rv6()
+        val len  = if (fam4) 1 + rnd.nextInt(32) else 1 + rnd.nextInt(128)
+        (i.toLong, s"$addr/$len")
+      } ++ Seq((80L, "::/0"), (81L, "0.0.0.0/0"),
+        (82L, s"${rv4()}/32"), (83L, s"${rv6()}/128"))
+      val dim = IpKit.withPrefixRange(pfx.toDF("pid", "prefix"), "prefix")
+      val probes = (0 until 60).map { i =>
+        val ip = rnd.nextInt(3) match {
+          case 0 => rv4()
+          case 1 => rv6()
+          case _ => s"::ffff:${rv4()}"
+        }
+        (i.toLong, ip)
+      }.toDF("probe_id", "ip").withColumn("addr", IpKit.inetNum(col("ip")))
+
+      def resOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("probe_id", "ip_len", "pid").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      val viaRange = resOf(LpmJoin.lpmRange(probes, Seq("probe_id"), "addr",
+        dim, "ip_start", "ip_end", "ip_len", tieBreak = Seq(col("pid").asc),
+        extraCond = length(col("addr")) === length(col("ip_start"))))
+      val viaExp = resOf(LpmJoin.lpmByExpansionBinary(probes, Seq("probe_id"), "addr",
+        dim, "ip_start", "ip_len", payload = Seq("pid"), tieBreakAsc = "pid"))
+      assert(viaRange.nonEmpty, s"round $round produced no matches — bad generator")
+      assert(viaExp === viaRange)
+    }
+  }
+
+  test("inetAligned masks host bits; null beyond family width") {
+    import graft.ip.IpKit
+    val df = Seq(("10.1.255.3", "2001:db8:abcd:ef01::42")).toDF("v4", "v6")
+      .select(
+        hex(IpKit.inetAligned(IpKit.inetNum(col("v4")), lit(13))).as("a13"),
+        hex(IpKit.inetAligned(IpKit.inetNum(col("v4")), lit(32))).as("a32"),
+        IpKit.inetAligned(IpKit.inetNum(col("v4")), lit(48)).as("a48"),
+        hex(IpKit.inetAligned(IpKit.inetNum(col("v6")), lit(45))).as("b45"),
+        hex(IpKit.inetAligned(IpKit.inetNum(col("v6")), lit(0))).as("b0"))
+      .collect()(0)
+    assert(df.getString(0) === "0A000000")       // /13 keeps 10.0/13: 0A00...
+    assert(df.getString(1) === "0A01FF03")       // /32 = identity for v4
+    assert(df.isNullAt(2))                       // v4 has no /48 ancestor
+    assert(df.getString(3) === "20010DB8ABC8" + "0" * 20) // 6th byte cd & f8 = c8
+    assert(df.getString(4) === "0" * 32)         // /0 zeroes all
+  }
+
   test("coveringJoin reproduces the RPKI predicate") {
     val roas = Seq((0L, 511L, 6)).toDF("rstart", "rend", "maxlen")
     val ribs = Seq(

@@ -161,4 +161,58 @@ class StateAndJobsSpec extends AnyFunSuite {
     val b0 = s4.filter(col("bucket") === 0).head()
     assert(b0.getAs[Long]("updates") === 1L) // original complete value kept
   }
+
+  test("bucketed stats job: write amplification ∝ touched buckets across runs") {
+    val dir = Files.createTempDirectory("graft_stats").toString + "/chg_stats"
+    val bucketUs = 60L * 1000000
+    def logOf(rows: Seq[(Long, Long, Boolean)]) = rows.toDF("ts_us", "user_id", "wd")
+    // run 1 (bootstrap): 50 users × time-buckets 0..4 fill the layout
+    val rows1 = for (u <- 1L to 50L; b <- 0L to 4L) yield (b * bucketUs + u, u, u % 3 == 0)
+    val log1 = logOf(rows1)
+    val t1 = AggJobs.runChgStatsBucketed(spark, dir, log1, "ts_us", 60, col("wd"),
+      Seq("user_id"), horizonMicros = 10 * bucketUs + 5,
+      nowMicros = 10 * bucketUs + 5, numBuckets = 32)
+    assert(t1.nonEmpty)
+
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = bucketFiles()
+
+    // run 2: new events for 3 users in time-bucket 8, horizon covering
+    // only buckets 8..9 → fresh is 3 rows → ≤3 key-hash buckets touched
+    val rows2 = Seq((8 * bucketUs + 1, 7L, false), (8 * bucketUs + 2, 8L, true),
+      (8 * bucketUs + 3, 9L, false))
+    val log2 = log1.unionByName(logOf(rows2))
+    val t2 = AggJobs.runChgStatsBucketed(spark, dir, log2, "ts_us", 60, col("wd"),
+      Seq("user_id"), horizonMicros = 2 * bucketUs,
+      nowMicros = 10 * bucketUs, numBuckets = 32)
+    assert(t2.size <= 3, s"3 fresh rows touched ${t2.size} buckets")
+    assert(t2.size < before.size, "run 2 rewrote as many buckets as exist")
+
+    // untouched bucket dirs keep their exact file sets (a rewrite would
+    // generate fresh UUID part names)
+    val after = bucketFiles()
+    before.keySet.filterNot(b => t2.map(t => s"__bucket=$t").contains(b))
+      .foreach(b => assert(after(b) === before(b), s"untouched bucket $b was rewritten"))
+
+    // stored contents equal the snapshot-path (full-rewrite) reference
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("bucket", "user_id", "withdraws", "updates")
+    val s1 = AggJobs.runChgStats(empty, log1, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = 10 * bucketUs + 5, nowMicros = 10 * bucketUs + 5)
+    val s2 = AggJobs.runChgStats(s1, log2, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = 2 * bucketUs, nowMicros = 10 * bucketUs)
+    val got = spark.read.parquet(dir).drop("__bucket", "__tombstone")
+    assert(got.exceptAll(s2).isEmpty && s2.exceptAll(got).isEmpty)
+    val gotSet = got.collect().toSet // materialize BEFORE replay rewrites files
+
+    // replaying run 2 converges: identical contents
+    AggJobs.runChgStatsBucketed(spark, dir, log2, "ts_us", 60, col("wd"),
+      Seq("user_id"), horizonMicros = 2 * bucketUs,
+      nowMicros = 10 * bucketUs, numBuckets = 32)
+    val again = spark.read.parquet(dir).drop("__bucket", "__tombstone")
+    assert(again.collect().toSet === gotSet)
+  }
 }
