@@ -241,9 +241,18 @@ object Ingest {
     * prune on. Returns the compacted frame writer's target path.
     */
   def compactLog(spark: SparkSession, logPath: String, compactedPath: String,
-                 tsUsCol: String = "ts_us"): Unit = {
+                 tsUsCol: String = "ts_us",
+                 retentionCutoffUs: Option[Long] = None): Unit = {
     val log = spark.read.parquet(logPath)
-    log
+    // retention folds into compaction for free: aged rows are filtered
+    // before the rewrite (1_base.sql:236,369 policies); between
+    // compactions the daily physical drop on the hourly layout is
+    // graft.operators.Retention.dropAgedHours — a directory delete, not
+    // a rewrite
+    val kept = retentionCutoffUs
+      .map(c => graft.operators.TimeAgg.applyRetention(log, tsUsCol, c))
+      .getOrElse(log)
+    kept
       .withColumn("date_hour",
         from_unixtime((col(tsUsCol) / 1000000L).cast("long"), "yyyy-MM-dd-HH"))
       .repartition(col("date_hour"))

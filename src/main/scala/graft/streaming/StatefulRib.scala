@@ -21,6 +21,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulRib {
 
+  /** Production state-store configuration for the <100 ms change-stream
+    * path: the RocksDB provider keeps per-executor state in off-heap
+    * block cache + local SSTs instead of JVM objects — heap stays
+    * bounded at production key cardinality (~10⁸ live RIB entries where
+    * the default HDFSBackedStateStoreProvider would hold every versioned
+    * map entry on heap) — and changelog checkpointing ships per-batch
+    * deltas to the checkpoint location instead of full snapshot uploads.
+    * Session-scoped runtime confs: apply BEFORE the query starts
+    * ([[withRocksDbStateStore]]); queries already running keep their
+    * provider.
+    */
+  val rocksDbConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
+  /** Apply [[rocksDbConf]] to the session (idempotent). */
+  def withRocksDbStateStore(spark: SparkSession): SparkSession = {
+    rocksDbConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
   /** Minimal typed RIB record (the M1 columns that participate in the
     * merge semantics; bookkeeping columns ride along untouched).
     */

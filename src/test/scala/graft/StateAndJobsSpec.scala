@@ -215,4 +215,54 @@ class StateAndJobsSpec extends AnyFunSuite {
     val again = spark.read.parquet(dir).drop("__bucket", "__tombstone")
     assert(again.collect().toSet === gotSet)
   }
+
+  test("physical retention drops aged partition dirs; survivors byte-identical") {
+    import graft.operators.Retention
+    val hourUs = 3600L * 1000000
+    // hourly layout: 6 hours of rows starting 2024-01-01 00:00 UTC
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val rows = for (h <- 0L to 5L; i <- 1L to 20L) yield (t0 + h * hourUs + i, h * 100 + i)
+    val raw = Files.createTempDirectory("graft_ret").toString
+    val (logDir, hourDir) = (raw + "/log", raw + "/hourly")
+    rows.toDF("ts_us", "v").withColumn("batch", col("v") % 4)
+      .write.partitionBy("batch").parquet(logDir)
+    graft.streaming.Ingest.compactLog(spark, logDir, hourDir)
+
+    def fileBytes(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val hoursBefore = new java.io.File(hourDir).listFiles()
+      .map(_.getName).filter(_.startsWith("date_hour=")).toSet
+    assert(hoursBefore.size === 6)
+    val survivorBytes = fileBytes(hourDir).filterNot(_._1.contains("2024-01-01-00"))
+      .filterNot(_._1.contains("2024-01-01-01"))
+
+    // cutoff mid-hour-2: hours 0 and 1 lie entirely before it; hour 2
+    // must SURVIVE (it still holds live rows past the cutoff)
+    val dropped = Retention.dropAgedHours(spark, hourDir, t0 + 2 * hourUs + 30 * 1000000L)
+    assert(dropped.toSet === Set("date_hour=2024-01-01-00", "date_hour=2024-01-01-01"))
+    assert(fileBytes(hourDir) === survivorBytes) // byte-identical survivors
+    assert(spark.read.parquet(hourDir).count() === 4 * 20)
+    // idempotent
+    assert(Retention.dropAgedHours(spark, hourDir, t0 + 2 * hourUs + 30 * 1000000L).isEmpty)
+
+    // batch layout: drop compacted ids, keep the replay window
+    val batchesBefore = fileBytes(logDir)
+    val droppedB = Retention.dropAgedBatches(spark, logDir, minBatchId = 2)
+    assert(droppedB.toSet === Set("batch=0", "batch=1"))
+    assert(fileBytes(logDir) === batchesBefore.filterNot(
+      kv => kv._1.contains("batch=0") || kv._1.contains("batch=1")))
+    assert(spark.read.parquet(logDir).filter(col("batch") < 2).count() === 0)
+
+    // compaction with retention folds the cutoff filter into the rewrite
+    graft.streaming.Ingest.compactLog(spark, logDir, hourDir,
+      retentionCutoffUs = Some(t0 + 4 * hourUs))
+    val hoursAfter = new java.io.File(hourDir).listFiles()
+      .map(_.getName).filter(_.startsWith("date_hour=")).toSet
+    assert(hoursAfter === Set("date_hour=2024-01-01-04", "date_hour=2024-01-01-05"))
+  }
 }

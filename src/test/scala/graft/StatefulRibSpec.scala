@@ -66,4 +66,48 @@ class StatefulRibSpec extends SparkSpec {
       ("h1", "a1", true),   // withdraw carries OLD attr across batches
       ("h2", "a2", false)))
   }
+
+  test("changeStream on the RocksDB state store provider (bounded heap)") {
+    import scala.jdk.CollectionConverters._
+    val in = Files.createTempDirectory("graft_srib_rdb").toString
+    Seq(RibUpdate("p1", "h1", "a1", 65001L, 1L, isWithdrawn = false))
+      .toDS().write.parquet(s"$in/b1")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    StatefulRib.withRocksDbStateStore(spark)
+    try {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[RibUpdate]].schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in)
+        .as[RibUpdate]
+      val q = StatefulRib.changeStream(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rib_changes_rocks")
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+      q.processAllAvailable()
+      Seq(RibUpdate("p1", "h1", "", 0L, 2L, isWithdrawn = true))
+        .toDS().write.parquet(s"$in/b2")
+      q.processAllAvailable()
+      // provider actually engaged: the state operator reports rocksdb
+      // custom metrics (absent on the default HDFS-backed provider)
+      val metricKeys = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().asScala)
+      q.stop()
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state metrics in $metricKeys")
+      val changes = spark.table("rib_changes_rocks").as[RibChange].collect()
+        .sortBy(_.ts_us).toSeq
+      assert(changes.map(c => (c.base_attr_hash_id, c.isWithdrawn)) ===
+        Seq(("a1", false), ("a1", true))) // same CDC semantics as default provider
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
 }

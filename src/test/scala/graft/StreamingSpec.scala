@@ -7,6 +7,27 @@ import org.apache.spark.sql.functions._
 import graft.model.Messages
 import graft.streaming.Ingest
 
+/** Fault-injecting local filesystem (`crashy://` scheme): while armed,
+  * the FIRST rename whose destination is a snapshot bucket slot throws —
+  * exactly the window between park-aside and move-into-place of
+  * [[graft.operators.StateTables.mergeChangedBuckets]]'s swap. Stage
+  * writes (`..._stage/__bucket=`) and park renames (`..._old/__bucket=`)
+  * don't match the pattern, so the crash lands after the park succeeded.
+  */
+class CrashyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "crashy"
+  override def getUri: java.net.URI = java.net.URI.create("crashy:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (CrashyRenameFs.armed && dst.toString.contains("/snapshot/__bucket=")) {
+      CrashyRenameFs.armed = false // one-shot: the restarted run proceeds
+      throw new java.io.IOException("injected crash between park and move")
+    }
+    super.rename(src, dst)
+  }
+}
+object CrashyRenameFs { @volatile var armed = false }
+
 /** Real Structured Streaming path: file-source readStream → TSV parse →
   * foreachBatch keyed merge → state + CDC log, driven synchronously via
   * processAllAvailable (the micro-batch shape of the Kafka pipeline).
@@ -99,6 +120,63 @@ class StreamingSpec extends SparkSpec {
     assert(h1.getAs[Boolean]("isWithdrawn") === true)
     assert(h1.getAs[String]("base_attr_hash_id") === "a1") // retained on withdraw
     assert(spark.read.parquet(log).count() === 3)          // 2 advertises + 1 withdraw
+  }
+
+  test("crash between stage-write and bucket swap: restart converges, no duplicate CDC") {
+    import spark.implicits._
+    import graft.operators.StateTables
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.crashy.impl", classOf[CrashyRenameFs].getName)
+    val in  = Files.createTempDirectory("graft_crash_in").toString
+    val out = Files.createTempDirectory("graft_crash_out").toString
+    val state = s"crashy://$out/state"; val log = s"crashy://$out/log"
+    val cp = s"$out/cp" // checkpoint on the healthy FS — the fault targets the swap
+
+    def bucketOf(hash: String): Int = Seq(("p1", hash)).toDF("peer_hash_id", "hash_id")
+      .select(StateTables.bucketId(Seq("peer_hash_id", "hash_id"), 16)).head().getInt(0)
+    val h2 = (2 to 40).map(i => s"h$i").find(h => bucketOf(h) != bucketOf("h1")).get
+    def line(hash: String, attr: String, ts: String, wd: Boolean) =
+      s"$hash\tp1\t$attr\t1\t65001\t10.0.0.0\t8\t$ts\t$wd\t0\t\t1\t1"
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.tsv"),
+      line("h1", "a1", "2024-01-01 00:00:01.000000", wd = false) + "\n" +
+        line(h2, "a9", "2024-01-01 00:00:01.500000", wd = false))
+
+    def startQ() = Ingest.startBucketed(
+      Messages.unicastPrefixFromTsv(
+        spark.readStream.text(in).withColumnRenamed("value", "line")),
+      state, log, Ingest.ipRibPolicy, numBuckets = 16, triggerMs = 50,
+      checkpoint = Some(cp))
+
+    val q1 = startQ()
+    q1.processAllAvailable() // bootstrap batch commits cleanly
+
+    CrashyRenameFs.armed = true
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.tsv"),
+      line("h1", "", "2024-01-01 00:00:02.000000", wd = true))
+    try q1.processAllAvailable() catch { case _: Exception => () }
+    assert(q1.exception.isDefined, "injected rename failure did not fail the query")
+    q1.stop()
+    // the crash window is real: h1's bucket slot is gone, its old copy parked
+    val snapDir = new java.io.File(s"$out/state/snapshot")
+    assert(!new java.io.File(snapDir, s"__bucket=${bucketOf("h1")}").exists())
+    assert(new java.io.File(s"$out/state/snapshot_old/__bucket=${bucketOf("h1")}").exists())
+
+    // restart from the same checkpoint: the uncommitted batch replays —
+    // recoverBucketSwap restores the parked bucket, the idempotent merge
+    // re-applies, the batchId-keyed CDC write overwrites its own partition
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val st = spark.read.parquet(s"$out/state/snapshot")
+    assert(st.count() === 2)
+    val h1 = st.filter(col("hash_id") === "h1").head()
+    assert(h1.getAs[Boolean]("isWithdrawn") === true)
+    assert(h1.getAs[String]("base_attr_hash_id") === "a1") // retained on withdraw
+    assert(!new java.io.File(s"$out/state/snapshot_old").exists()) // recovery cleaned up
+    val cdc = spark.read.parquet(s"$out/log")
+    assert(cdc.count() === 3, "replay appended duplicate CDC rows")
+    assert(cdc.filter(col("hash_id") === "h1").count() === 2) // advertise + withdraw
   }
 
   test("streaming exact dedup: first-seen wins across micro-batches, watermark-bounded state") {
