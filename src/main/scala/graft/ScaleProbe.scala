@@ -42,7 +42,11 @@ object ScaleProbe {
       println(f"$label%-46s candidates=$n%10d  time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
 
-    for (sf <- Seq("sf0.01", "sf0.1")) {
+    // SPARK_GRAFT_PROBE=neardup|corpus|v6lpm runs one section (default all)
+    val only = sys.env.get("SPARK_GRAFT_PROBE")
+    def section(name: String): Boolean = only.forall(_ == name)
+
+    if (section("neardup")) for (sf <- Seq("sf0.01", "sf0.1")) {
       val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
         .withColumn("text",
           concat(col("text"), lit(" the of the of the end")))
@@ -106,7 +110,7 @@ object ScaleProbe {
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
     val bench10 = docs0.filter(col("doc_id") % 17 === 0) // fixed benchmark set
-    for (mult <- Seq(1, 10)) {
+    if (section("corpus")) for (mult <- Seq(1, 10)) {
       val docs = (0 until mult).map(r =>
         docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           col("text"), col("source")))
@@ -132,17 +136,18 @@ object ScaleProbe {
     // hashed candidate rows → must grow LINEARLY in probes. The range
     // row runs at 10× FEWER probes and still loses — the cliff the
     // equi-join path removes.
-    {
+    if (section("v6lpm")) {
       import graft.ip.IpKit
       import graft.operators.LpmJoin
       val dim = IpKit.withPrefixRange(
         spark.range(150000).select(
           format_string("2001:%x:%x:%x::/%d",
-            col("id") % 64, (col("id") / 64) % 4096, col("id") % 16,
+            col("id") % 64, (col("id") / lit(64)).cast("long") % 4096, col("id") % 16,
             lit(48) + (col("id") % 3) * lit(8)).as("prefix")), "prefix")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       println(s"v6lpm   dim rows=${dim.count()} lens=48/56/64")
       def probesOf(n: Long) = spark.range(n).select(
+        col("id"),
         format_string("2001:%x:%x:%x:%x::1",
           col("id") % 64, (col("id") * 7) % 4096, col("id") % 16,
           col("id") % 7).as("ip"))

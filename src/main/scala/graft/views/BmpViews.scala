@@ -246,24 +246,47 @@ object BmpViews {
   /** Geo enrichment of v_ip_routes (`8_views.sql:76`,
     * `v_ip_routes_geo`): LPM left-join against the geo table — see
     * [[graft.operators.LpmJoin]] for the strategy.
+    *
+    * Strategy selection: below `rangeJoinMaxDimRows` the dim broadcasts
+    * into a nested-loop range join (cheapest for the reference-sized
+    * geo tables — no per-probe candidate explode); above it the
+    * nested loop's |probes|·|dim| comparisons stop surviving scale and
+    * the ancestor-expansion EQUI-join takes over
+    * ([[graft.operators.LpmJoin.lpmByExpansionBinary]], |probes|·|lens|
+    * hashed rows, any family). Both strategies are value-identical
+    * (LpmJoinSpec property; q52 vs q73 share one oracle).
     */
-  def vIpRoutesGeo(routes: DataFrame, geo: DataFrame): DataFrame = {
-    val g = broadcast(
-      IpKit.withPrefixRange(geo, "ip")
-        .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
-          col("country"), col("city")))
+  def vIpRoutesGeo(routes: DataFrame, geo: DataFrame,
+                   rangeJoinMaxDimRows: Long = 100000): DataFrame = {
+    val g0 = IpKit.withPrefixRange(geo, "ip")
+      .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
+        col("country"), col("city"))
     val probed = routes.withColumn("__addr", IpKit.inetNum(IpKit.inetHost(col("Prefix"))))
     // LEFT semantics like the reference view (8_views.sql:76): routes
     // with no covering geo prefix keep null geo columns, never drop.
     // Family guard: the binary forms are 4 bytes (v4) vs 16 bytes (v6);
     // without it a v4 probe compares lexicographically inside v6 ranges
-    // (reference inet && never matches across families)
-    val matched = graft.operators.LpmJoin.lpmRange(
-      probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
-      g, "ip_start", "ip_end", "ip_len",
-      extraCond = length(col("__addr")) === length(col("ip_start")))
-      .select(col("rib_hash_id"), col("peer_hash_id"),
-        col("geo_ip"), col("country"), col("city"))
+    // (reference inet && never matches across families) — the expansion
+    // path gets the same guard structurally from fixed binary widths.
+    // The dim count is one cheap action over a count-pushed-down scan,
+    // paid once per view materialization.
+    val matched =
+      if (g0.count() <= rangeJoinMaxDimRows)
+        graft.operators.LpmJoin.lpmRange(
+          probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
+          broadcast(g0), "ip_start", "ip_end", "ip_len",
+          extraCond = length(col("__addr")) === length(col("ip_start")))
+          .select(col("rib_hash_id"), col("peer_hash_id"),
+            col("geo_ip"), col("country"), col("city"))
+      else
+        graft.operators.LpmJoin.lpmByExpansionBinary(
+          probed.select("rib_hash_id", "peer_hash_id", "__addr"),
+          Seq("rib_hash_id", "peer_hash_id"), "__addr",
+          g0, "ip_start", "ip_len",
+          payload = Seq("geo_ip", "country", "city"), tieBreakAsc = "geo_ip",
+          broadcastDim = false)
+          .select(col("rib_hash_id"), col("peer_hash_id"),
+            col("geo_ip"), col("country"), col("city"))
     routes.join(matched, Seq("rib_hash_id", "peer_hash_id"), "left")
   }
 }

@@ -106,6 +106,43 @@ class PlanQualitySpec extends SparkSpec {
       s"quantization should not shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q73 v6 expansion LPM is a broadcast equi-join + aggregate (no NLJ, no window)") {
+    val plan = planOf("q73_j5_lpm_ipv6_expansion")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"v6 expansion LPM didn't plan as a broadcast EQUI-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"v6 expansion LPM fell back to the nested loop:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    assert(!plan.contains("Window"), s"winner selection fell back to a window:\n$plan")
+  }
+
+  test("production operator outputs carry no global sort (gate orderBy is determinism-only)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ip.IpKit
+    // The gates wrap every result in .orderBy(...) so the DuckDB oracle
+    // hash is stable; that range-shuffle is gate plumbing, NOT operator
+    // cost. Production callers use the operators directly — these are
+    // the same shapes minus the sort, and they must plan without a
+    // rangepartitioning Exchange (a global sort of a 100 TB result).
+    val dim = IpKit.withPrefixRange(
+      Seq("10.0.0.0/8", "2001:1::/32").toDF("geo_prefix"), "geo_prefix")
+    val probes = Seq(("1", "10.1.2.3"), ("2", "2001:1::5")).toDF("k", "ip")
+      .withColumn("addr", IpKit.inetNum(col("ip")))
+    val lpm = graft.operators.LpmJoin.lpmByExpansionBinary(probes, Seq("k"), "addr",
+      dim, "ip_start", "ip_len", payload = Seq("geo_prefix"), tieBreakAsc = "geo_prefix")
+    val chg = graft.operators.TimeAgg.chgStats(
+      Seq((1L, 5L, false)).toDF("ts_us", "peer", "wd"), "ts_us", 60, col("wd"), Seq("peer"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dedup = graft.operators.Dedup.exact(docs, md5(col("text")), "doc_id")
+    for ((name, df) <- Seq("lpmByExpansionBinary" -> lpm, "chgStats" -> chg,
+        "exactDedup" -> dedup)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"unsorted $name plans a global sort:\n$plan")
+    }
+  }
+
   test("cosine near-dup candidate shuffles carry no embedding payload") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -144,6 +144,14 @@ class ViewsAndCascadeSpec extends SparkSpec {
       .select("rib_hash_id", "country").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out === Map("r1" -> null, "r2" -> "US", "r3" -> "BR"))
+
+    // large-dim strategy (forced via threshold 0): the expansion
+    // equi-join path must produce the identical view, family guard and
+    // left semantics included
+    val outExp = BmpViews.vIpRoutesGeo(routes, geo, rangeJoinMaxDimRows = 0)
+      .select("rib_hash_id", "country").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(outExp === out)
   }
 
   test("T4 peer event log: up rows carry session fields, down rows error fields") {
