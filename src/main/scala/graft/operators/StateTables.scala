@@ -127,7 +127,7 @@ object StateTables {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sessionState.newHadoopConf()
     val fs   = new HPath(path).getFileSystem(conf)
-    recoverBucketSwap(fs, path) // restore any bucket parked by a crashed swap
+    recoverSwap(fs, path) // restore any bucket parked by a crashed swap
 
     val latest = MergeOps.dedupToLatest(updates, policy.keys, policy.orderBy)
       .withColumn("__bucket", bucketId(policy.keys, numBuckets))
@@ -167,25 +167,40 @@ object StateTables {
     // crash-safe swap: park the old bucket ASIDE (outside the partition
     // root, so partition discovery never sees it), move the new one in,
     // then drop the parked copy. Any crash leaves each bucket either at
-    // dst or parked — recoverBucketSwap restores parked ones on the
+    // dst or parked — recoverSwap restores parked ones on the
     // next merge, and the replayed (idempotent) batch converges.
+    swapStagedDirs(fs, stage, path, touched.map(b => s"__bucket=$b"))
+    touched
+  }
+
+  /** Crash-safe staged-directory swap shared by the changed-bucket merge,
+    * bucket compaction, and incremental log compaction: for each named
+    * child dir, park the current copy ASIDE under `<path>_old` (outside
+    * partition discovery), move the staged one in, drop the parked copy;
+    * delete the stage root last. Any crash leaves each dir either
+    * swapped or parked — [[recoverSwap]] restores parked ones on the
+    * next run. Same single-writer contract as [[mergeChangedBuckets]].
+    */
+  private[graft] def swapStagedDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                    stage: String, path: String,
+                                    names: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
     val asideRoot = new HPath(path + "_old")
     fs.mkdirs(new HPath(path))
     fs.mkdirs(asideRoot)
-    touched.foreach { b =>
-      val dst   = new HPath(path, s"__bucket=$b")
-      val src   = new HPath(stage, s"__bucket=$b")
-      val aside = new HPath(asideRoot, s"__bucket=$b")
+    names.foreach { n =>
+      val dst   = new HPath(path, n)
+      val src   = new HPath(stage, n)
+      val aside = new HPath(asideRoot, n)
       fs.delete(aside, true)
       if (fs.exists(dst) && !fs.rename(dst, aside))
-        sys.error(s"bucket swap: failed to park $dst")
-      if (fs.exists(src) && !fs.rename(src, dst)) // a bucket can empty out only if all its rows were keyed-deleted
-        sys.error(s"bucket swap: failed to move $src into place")
+        sys.error(s"staged swap: failed to park $dst")
+      if (fs.exists(src) && !fs.rename(src, dst)) // a dir can be absent from stage only if all its rows were keyed-deleted
+        sys.error(s"staged swap: failed to move $src into place")
       fs.delete(aside, true)
     }
     fs.delete(asideRoot, true)
     fs.delete(new HPath(stage), true)
-    touched
   }
 
   /** Small-file compaction for the changed-bucket layout: every merge
@@ -207,7 +222,7 @@ object StateTables {
     val conf = spark.sessionState.newHadoopConf()
     val fs   = new HPath(path).getFileSystem(conf)
     if (!fs.exists(new HPath(path))) return Nil
-    recoverBucketSwap(fs, path)
+    recoverSwap(fs, path)
     val oversized = fs.listStatus(new HPath(path))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
       .filter(st => fs.listStatus(st.getPath)
@@ -220,30 +235,16 @@ object StateTables {
       .filter(col("__bucket").isin(oversized: _*)) // partition-pruned: only sick buckets are read
       .repartition(col("__bucket")) // one task per bucket → one output file each
       .write.mode("overwrite").partitionBy("__bucket").parquet(stage)
-    val asideRoot = new HPath(path + "_old")
-    fs.mkdirs(asideRoot)
-    oversized.foreach { b =>
-      val dst   = new HPath(path, s"__bucket=$b")
-      val src   = new HPath(stage, s"__bucket=$b")
-      val aside = new HPath(asideRoot, s"__bucket=$b")
-      fs.delete(aside, true)
-      if (fs.exists(dst) && !fs.rename(dst, aside))
-        sys.error(s"bucket compaction: failed to park $dst")
-      if (fs.exists(src) && !fs.rename(src, dst))
-        sys.error(s"bucket compaction: failed to move $src into place")
-      fs.delete(aside, true)
-    }
-    fs.delete(asideRoot, true)
-    fs.delete(new HPath(stage), true)
+    swapStagedDirs(fs, stage, path, oversized.map(b => s"__bucket=$b"))
     oversized
   }
 
-  /** Recovery pre-pass for [[mergeChangedBuckets]]: any bucket directory
+  /** Recovery pre-pass for [[swapStagedDirs]] callers: any directory
     * still parked under `<path>_old` belongs to a swap that crashed
     * between park and move — if its slot is empty, move it back; if the
     * slot was filled (crash after the move), drop the parked copy.
     */
-  private def recoverBucketSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
     val asideRoot = new org.apache.hadoop.fs.Path(path + "_old")
     if (fs.exists(asideRoot)) {
       fs.listStatus(asideRoot).foreach { st =>

@@ -261,6 +261,92 @@ object Ingest {
       .parquet(compactedPath)
   }
 
+  /** Incremental log compaction — the 100 TB form of [[compactLog]].
+    *
+    * [[compactLog]] re-reads the WHOLE raw log and rewrites the WHOLE
+    * hourly layout per run: O(log) work on a log that only grows, and a
+    * hard dependency on the raw `batch=` dirs never being dropped
+    * (re-compacting after [[graft.operators.Retention.dropAgedBatches]]
+    * would silently erase the compacted history of the dropped ids).
+    * This variant processes each raw batch EXACTLY ONCE:
+    *
+    *  - a `_COMPACTED_THROUGH` marker under `compactedPath` records the
+    *    highest batch id folded in; a run reads only `batch=` dirs above
+    *    it — work ∝ new data;
+    *  - the new rows are unioned with ONLY the hour partitions they
+    *    touch (partition-pruned read) and swapped in per-hour via the
+    *    same park-aside machinery as the bucketed state
+    *    ([[graft.operators.StateTables.swapStagedDirs]]), so untouched
+    *    hours are never opened;
+    *  - the marker moves (atomic tmp+rename) AFTER the swap, so a crash
+    *    anywhere replays the same batches. Replay is EXACTLY idempotent
+    *    — not by uniqueness assumptions but by provenance: compacted
+    *    rows carry their `__src_batch` id, and the union first drops
+    *    existing rows from the replayed ids, so an hour that crashed
+    *    POST-swap (already holding the fresh rows — the window the
+    *    park-aside recovery alone can't cover, since a completed swap
+    *    deletes its parked copy) converges to the same content as one
+    *    that crashed pre-swap;
+    *  - once the marker covers a batch id, the raw dir is safe for
+    *    [[graft.operators.Retention.dropAgedBatches]].
+    *
+    * Same single-writer contract as the bucketed merge.
+    *
+    * @return the `date_hour=` partition names rewritten
+    */
+  def compactLogIncremental(spark: SparkSession, logPath: String,
+                            compactedPath: String,
+                            tsUsCol: String = "ts_us"): Seq[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val fs   = new HPath(compactedPath).getFileSystem(conf)
+    graft.operators.StateTables.recoverSwap(fs, compactedPath)
+
+    val marker = new HPath(compactedPath, "_COMPACTED_THROUGH")
+    val doneThrough: Long =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      } else -1L
+    val logRoot = new HPath(logPath)
+    if (!fs.exists(logRoot)) return Nil
+    val freshIds = fs.listStatus(logRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ > doneThrough).sorted
+    if (freshIds.isEmpty) return Nil
+
+    val fresh = spark.read.option("basePath", logPath)
+      .parquet(freshIds.map(id => s"$logPath/batch=$id"): _*)
+      .withColumnRenamed("batch", "__src_batch") // provenance → exact replay dedup
+      .withColumn("date_hour",
+        from_unixtime((col(tsUsCol) / 1000000L).cast("long"), "yyyy-MM-dd-HH"))
+    val touched = fresh.select(col("date_hour")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: hours in the new data
+    val hasCompacted = fs.exists(new HPath(compactedPath)) &&
+      fs.listStatus(new HPath(compactedPath))
+        .exists(_.getPath.getName.startsWith("date_hour="))
+    val existing =
+      if (hasCompacted)
+        spark.read.parquet(compactedPath)
+          .filter(col("date_hour").isin(touched: _*))       // partition-pruned
+          .filter(!col("__src_batch").isin(freshIds: _*))   // replayed ids re-enter via fresh
+      else fresh.limit(0)
+    val stage = compactedPath + "_stage"
+    existing.unionByName(fresh)
+      .repartition(col("date_hour")) // one task per hour → one file each
+      .write.mode("overwrite").partitionBy("date_hour").parquet(stage)
+    graft.operators.StateTables.swapStagedDirs(fs, stage, compactedPath,
+      touched.map(h => s"date_hour=$h"))
+
+    val tmp = new HPath(compactedPath, "_COMPACTED_THROUGH.tmp")
+    val outS = fs.create(tmp, true)
+    try outS.write(freshIds.max.toString.getBytes) finally outS.close()
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker)) sys.error(s"failed to commit marker $marker")
+    touched.map(h => s"date_hour=$h")
+  }
+
   /** T4: peer event log (`9_triggers.sql:43-85`): EVERY peer message
     * appends an event row — with the session fields when the peer is
     * up, the BMP/BGP error fields when down.

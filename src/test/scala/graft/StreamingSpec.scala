@@ -162,7 +162,7 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$out/state/snapshot_old/__bucket=${bucketOf("h1")}").exists())
 
     // restart from the same checkpoint: the uncommitted batch replays —
-    // recoverBucketSwap restores the parked bucket, the idempotent merge
+    // recoverSwap restores the parked bucket, the idempotent merge
     // re-applies, the batchId-keyed CDC write overwrites its own partition
     val q2 = startQ()
     q2.processAllAvailable()
