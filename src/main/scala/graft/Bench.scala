@@ -58,11 +58,17 @@ object Bench {
     println(s"# warm pass: total=$totalWarm sec, queries=${fmt(warm)}")
     println(line)
     // stdout tails get truncated by capture harnesses (BENCH_r04 parsed:
-    // null); the file copy is whole by construction
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-    java.nio.file.Files.write(out,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    spark.stop()
+    // null); the file copy is whole by construction. The write must not
+    // be able to fail the completed bench run (stdout already carries
+    // the line) or skip spark.stop().
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench_out write failed: ${e.getMessage}")
+    } finally spark.stop()
   }
 }

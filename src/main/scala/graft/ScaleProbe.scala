@@ -107,10 +107,11 @@ object ScaleProbe {
     // round-4 corpus ops: all designed corpus-LINEAR (scan/window/join
     // shapes with no quadratic tail) — verify wall time tracks a 10×
     // corpus replication roughly linearly
+    if (section("corpus")) {
     val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text"), col("source"))
     val bench10 = docs0.filter(col("doc_id") % 17 === 0) // fixed benchmark set
-    if (section("corpus")) for (mult <- Seq(1, 10)) {
+    for (mult <- Seq(1, 10)) {
       val docs = (0 until mult).map(r =>
         docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
           col("text"), col("source")))
@@ -128,6 +129,7 @@ object ScaleProbe {
       timedCount(s"decontm ${mult}x docs vs fixed benchmark",
         Dedup.contaminationFlags(docs, bench10, "doc_id", "text", 5, 5, maxShingleDf = 50 * mult))
       docs.unpersist()
+    }
     }
 
     // round-5: IPv6 LPM scale path. A ≥100k-row v6 dim makes the

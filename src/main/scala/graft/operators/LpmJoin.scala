@@ -191,11 +191,19 @@ object LpmJoin {
                            prefixes: DataFrame, startCol: String, lenCol: String,
                            payload: Seq[String], tieBreakAsc: String,
                            broadcastDim: Boolean = true): DataFrame = {
-    val dimDedup = prefixes
+    // dirty dim rows (unparseable prefix → null start/len from the
+    // IpKit derivations) simply never match, exactly as in lpmRange —
+    // they must not NPE the length collect or poison the join keys
+    val cleanDim = prefixes.filter(col(startCol).isNotNull && col(lenCol).isNotNull)
+    val dimDedup = cleanDim
       .groupBy(col(startCol), col(lenCol))
       .agg(min_by(struct(payload.map(col): _*), col(tieBreakAsc)).as("__payload"))
     val dim = if (broadcastDim) broadcast(dimDedup) else dimDedup
-    val lens = dimLens(prefixes, lenCol)
+    val lens0 = dimLens(cleanDim, lenCol)
+    // an empty/all-dirty dim must yield an empty result, not an
+    // unanalyzable zero-length candidate array: one placeholder length
+    // keeps the plan valid and joins against zero dim rows
+    val lens = if (lens0.isEmpty) Seq(0) else lens0
     val candStructs = lens.sorted.map { l =>
       struct(lit(l).as("len"),
         graft.ip.IpKit.inetAligned(col(probeAddr), lit(l)).as("start"))

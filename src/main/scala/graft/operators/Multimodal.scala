@@ -101,21 +101,10 @@ object Multimodal {
     */
   def extractImageFeatures(df: DataFrame, contentCol: String, kindCol: String,
                            dim: Int): DataFrame = {
-    val outSchema  = df.schema.add("features", ArrayType(FloatType))
-    val contentIdx = df.schema.fieldIndex(contentCol)
-    val kindIdx    = df.schema.fieldIndex(kindCol)
-    implicit val enc = Encoders.row(outSchema)
-    df.mapPartitions { rows =>
-      // ImageIO scans its plugin registry lazily once per JVM; a real
-      // codec (ffmpeg handle, JNI context) would initialize HERE, once
-      // per partition/task
-      rows.map { r =>
-        val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        val feats =
-          if (r.getString(kindIdx) == "image") imageDecode(content, dim)
-          else stubDecode(content, dim)
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
-      }
+    val kindIdx = df.schema.fieldIndex(kindCol)
+    extractWith(df, contentCol) { (row, content) =>
+      if (row.getString(kindIdx) == "image") imageDecode(content, dim)
+      else stubDecode(content, dim)
     }
   }
 
@@ -124,15 +113,23 @@ object Multimodal {
     * (the `// decoder setup` line is where a real codec initializes),
     * rows streamed through it — the Scala shape of `mapInPandas`.
     */
-  def extractFeatures(df: DataFrame, contentCol: String, dim: Int): DataFrame = {
-    val outSchema = df.schema.add("features", ArrayType(FloatType))
+  def extractFeatures(df: DataFrame, contentCol: String, dim: Int): DataFrame =
+    extractWith(df, contentCol)((_, content) => stubDecode(content, dim))
+
+  /** The shared per-partition plumbing of the extractors: schema+encoder
+    * for the appended `features` column, row streaming, decode seam.
+    */
+  private def extractWith(df: DataFrame, contentCol: String)
+                         (decode: (Row, Array[Byte]) => Array[Float]): DataFrame = {
+    val outSchema  = df.schema.add("features", ArrayType(FloatType))
     val contentIdx = df.schema.fieldIndex(contentCol)
     implicit val enc = Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // decoder setup would happen here, once per partition/task
+      // decoder setup happens here, once per partition/task (ImageIO's
+      // plugin registry scan, an ffmpeg handle, a JNI context)
       rows.map { r =>
         val content = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ stubDecode(content, dim).toSeq)
+        Row.fromSeq(r.toSeq :+ decode(r, content).toSeq)
       }
     }
   }

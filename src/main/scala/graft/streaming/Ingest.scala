@@ -240,6 +240,26 @@ object Ingest {
     * files partitioned by hour — the read-side layout the stats jobs
     * prune on. Returns the compacted frame writer's target path.
     */
+  /** UTC `yyyy-MM-dd-HH` label from epoch micros — pure integer
+    * day/hour decomposition plus a DATE-typed format, so the label is
+    * UTC regardless of `spark.sql.session.timeZone` (a session-TZ
+    * `from_unixtime` would shift labels, and
+    * [[graft.operators.Retention.dropAgedHours]] — which parses them
+    * back as UTC — would then delete partitions still holding live
+    * rows). Null/negative timestamps get the literal `unknown`
+    * partition: preserved by compaction, never dropped by retention
+    * (dropAgedHours keeps what it cannot date).
+    */
+  private[graft] def hourLabel(tsUs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dayUs  = lit(86400000000L)
+    val hourUs = lit(3600000000L)
+    val label = concat(
+      date_format(date_from_unix_date((tsUs / dayUs).cast("int")), "yyyy-MM-dd"),
+      lit("-"),
+      lpad(((tsUs % dayUs) / hourUs).cast("int").cast("string"), 2, "0"))
+    when(tsUs.isNotNull && tsUs >= 0, label).otherwise(lit("unknown"))
+  }
+
   def compactLog(spark: SparkSession, logPath: String, compactedPath: String,
                  tsUsCol: String = "ts_us",
                  retentionCutoffUs: Option[Long] = None): Unit = {
@@ -253,8 +273,7 @@ object Ingest {
       .map(c => graft.operators.TimeAgg.applyRetention(log, tsUsCol, c))
       .getOrElse(log)
     kept
-      .withColumn("date_hour",
-        from_unixtime((col(tsUsCol) / 1000000L).cast("long"), "yyyy-MM-dd-HH"))
+      .withColumn("date_hour", hourLabel(col(tsUsCol)))
       .repartition(col("date_hour"))
       .write.mode("overwrite")
       .partitionBy("date_hour")
@@ -290,7 +309,10 @@ object Ingest {
     *  - once the marker covers a batch id, the raw dir is safe for
     *    [[graft.operators.Retention.dropAgedBatches]].
     *
-    * Same single-writer contract as the bucketed merge.
+    * Same single-writer contract as the bucketed merge. Do not point
+    * this and the full-rewrite [[compactLog]] at one `compactedPath`:
+    * the incremental layout carries `__src_batch` (replay provenance)
+    * that the full rewrite neither writes nor preserves.
     *
     * @return the `date_hour=` partition names rewritten
     */
@@ -310,17 +332,22 @@ object Ingest {
       } else -1L
     val logRoot = new HPath(logPath)
     if (!fs.exists(logRoot)) return Nil
+    // fold only COMMITTED batches (dir carries _SUCCESS), and stop at
+    // the first uncommitted id: an in-flight foreachBatch write must
+    // neither be half-read nor skipped-over by the marker (a crashed
+    // writer's dir gets its _SUCCESS when the idempotent replay
+    // overwrites it, unblocking compaction)
     val freshIds = fs.listStatus(logRoot).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
       .filter(_ > doneThrough).sorted
+      .takeWhile(id => fs.exists(new HPath(logRoot, s"batch=$id/_SUCCESS")))
     if (freshIds.isEmpty) return Nil
 
     val fresh = spark.read.option("basePath", logPath)
       .parquet(freshIds.map(id => s"$logPath/batch=$id"): _*)
       .withColumnRenamed("batch", "__src_batch") // provenance → exact replay dedup
-      .withColumn("date_hour",
-        from_unixtime((col(tsUsCol) / 1000000L).cast("long"), "yyyy-MM-dd-HH"))
+      .withColumn("date_hour", hourLabel(col(tsUsCol))) // UTC + null-safe ("unknown")
     val touched = fresh.select(col("date_hour")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted // bounded: hours in the new data
     val hasCompacted = fs.exists(new HPath(compactedPath)) &&

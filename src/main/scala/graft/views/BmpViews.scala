@@ -257,7 +257,8 @@ object BmpViews {
     * (LpmJoinSpec property; q52 vs q73 share one oracle).
     */
   def vIpRoutesGeo(routes: DataFrame, geo: DataFrame,
-                   rangeJoinMaxDimRows: Long = 100000): DataFrame = {
+                   rangeJoinMaxDimRows: Long = 100000,
+                   dimSizeHint: Option[Long] = None): DataFrame = {
     val g0 = IpKit.withPrefixRange(geo, "ip")
       .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
         col("country"), col("city"))
@@ -268,10 +269,11 @@ object BmpViews {
     // without it a v4 probe compares lexicographically inside v6 ranges
     // (reference inet && never matches across families) — the expansion
     // path gets the same guard structurally from fixed binary widths.
-    // The dim count is one cheap action over a count-pushed-down scan,
-    // paid once per view materialization.
+    // Without dimSizeHint the strategy pick costs one count job over the
+    // geo scan per view construction; callers that build the view
+    // repeatedly (per micro-batch) should pass the known dim size.
     val matched =
-      if (g0.count() <= rangeJoinMaxDimRows)
+      if (dimSizeHint.getOrElse(geo.count()) <= rangeJoinMaxDimRows)
         graft.operators.LpmJoin.lpmRange(
           probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
           broadcast(g0), "ip_start", "ip_end", "ip_len",

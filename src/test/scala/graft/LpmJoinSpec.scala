@@ -99,6 +99,30 @@ class LpmJoinSpec extends SparkSpec {
     }
   }
 
+  test("lpmByExpansionBinary tolerates dirty and empty dims like lpmRange") {
+    import graft.ip.IpKit
+    val clean = IpKit.withPrefixRange(
+      Seq((1L, "10.0.0.0/8")).toDF("pid", "prefix"), "prefix")
+    // a dim row whose prefix failed to parse: null start/len ride along
+    val nullRow = Seq(2L).toDF("pid")
+      .withColumn("prefix", lit("bad"))
+      .withColumn("ip_start", lit(null).cast("binary"))
+      .withColumn("ip_end", lit(null).cast("binary"))
+      .withColumn("ip_family", lit(4))
+      .withColumn("ip_len", lit(null).cast("int"))
+    val dirty = clean.unionByName(nullRow.select(clean.columns.map(col).toIndexedSeq: _*))
+    val probes = Seq((1L, "10.1.2.3")).toDF("probe_id", "ip")
+      .withColumn("addr", IpKit.inetNum(col("ip")))
+    val got = LpmJoin.lpmByExpansionBinary(probes, Seq("probe_id"), "addr",
+      dirty, "ip_start", "ip_len", payload = Seq("pid"), tieBreakAsc = "pid")
+      .select("pid").as[Long].collect().toSeq
+    assert(got === Seq(1L)) // dirty row never matches, never throws
+    val empty = dirty.filter(col("pid") === 99L)
+    assert(LpmJoin.lpmByExpansionBinary(probes, Seq("probe_id"), "addr",
+      empty, "ip_start", "ip_len", payload = Seq("pid"), tieBreakAsc = "pid")
+      .count() === 0) // empty dim → empty result, not an analysis error
+  }
+
   test("inetAligned masks host bits; null beyond family width") {
     import graft.ip.IpKit
     val df = Seq(("10.1.255.3", "2001:db8:abcd:ef01::42")).toDF("v4", "v6")

@@ -273,9 +273,11 @@ class StateAndJobsSpec extends AnyFunSuite {
       .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
     val raw = Files.createTempDirectory("graft_inc").toString
     val (logDir, hourDir) = (raw + "/log", raw + "/hourly")
+    // production layout: each micro-batch writes its own batch=N dir
+    // (mergeChangedBuckets/mergeBatch), so _SUCCESS lands INSIDE it —
+    // the committed-batch signal compactLogIncremental keys on
     def writeBatch(id: Long, rows: Seq[(Long, Long)]): Unit =
-      rows.toDF("ts_us", "v").withColumn("batch", lit(id))
-        .write.partitionBy("batch").mode("append").parquet(logDir)
+      rows.toDF("ts_us", "v").write.mode("overwrite").parquet(s"$logDir/batch=$id")
 
     // batches 0..2 span hours 0-1
     writeBatch(0, Seq((t0 + 1, 1L), (t0 + hourUs + 1, 2L)))
@@ -324,5 +326,19 @@ class StateAndJobsSpec extends AnyFunSuite {
     assert(Ingest.compactLogIncremental(spark, logDir, hourDir).isEmpty)
     graft.operators.Retention.dropAgedBatches(spark, logDir, minBatchId = 5)
     assert(got() === want, "compacted history must survive raw-batch drops")
+
+    // an in-flight batch (no _SUCCESS yet) blocks folding AT its id:
+    // neither half-read nor skipped-over by the marker, even when a
+    // later batch is already committed
+    writeBatch(5, Seq((t0 + 2 * hourUs + 2, 7L)))
+    assert(new java.io.File(s"$logDir/batch=5/_SUCCESS").delete())
+    writeBatch(6, Seq((t0 + 2 * hourUs + 3, 8L)))
+    assert(Ingest.compactLogIncremental(spark, logDir, hourDir).isEmpty)
+    // the writer commits (idempotent replay rewrites the dir) → unblocked
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$logDir/batch=5/_SUCCESS"))
+    assert(Ingest.compactLogIncremental(spark, logDir, hourDir) ===
+      Seq("date_hour=2024-03-01-02"))
+    assert(spark.read.parquet(hourDir).count() === want.size + 2)
   }
 }
