@@ -42,7 +42,7 @@ object Retention {
         if (!fs.delete(st.getPath, true))
           sys.error(s"retention: failed to drop ${st.getPath}")
         st.getPath.getName
-      }
+      }.sorted // listStatus order is fs-dependent; report deterministically
   }
 
   private val HourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd-HH")

@@ -225,6 +225,49 @@ object Ingest {
       }
       .start()
 
+  /** One maintenance pass over a bucketed-ingest deployment — the
+    * engine's equivalent of the reference's cron-side housekeeping
+    * (retention policies `1_base.sql:236,369`, autovacuum): run beside
+    * (same driver as) a [[startBucketed]] query on a timer.
+    *
+    * Order matters and is chosen so every step only destroys data the
+    * previous step made redundant:
+    *  1. fold committed CDC batches into the hourly layout
+    *     ([[compactLogIncremental]] — exactly-once, crash-safe);
+    *  2. drop raw `batch=` dirs the marker now covers, minus
+    *     `keepRawBatches` for operator inspection — never a dir
+    *     compaction hasn't folded;
+    *  3. apply the retention policy as physical hour-partition drops on
+    *     the compacted layout;
+    *  4. compact snapshot buckets whose file count outgrew
+    *     `maxFilesPerBucket` (the per-merge file accumulation).
+    *
+    * Single-writer contract: same as [[startBucketed]]'s merge — one
+    * maintenance run at a time, on the same driver as the stream.
+    *
+    * @return (hours folded, raw batches dropped, aged hours dropped,
+    *         buckets compacted)
+    */
+  def maintain(spark: SparkSession, statePath: String, logPath: String,
+               compactedPath: String, retentionCutoffUs: Option[Long] = None,
+               keepRawBatches: Int = 2, maxFilesPerBucket: Int = 8,
+               tsUsCol: String = "ts_us")
+      : (Seq[String], Seq[String], Seq[String], Seq[Int]) = {
+    val folded = compactLogIncremental(spark, logPath, compactedPath, tsUsCol)
+    val droppedBatches = compactedThrough(spark, compactedPath) match {
+      case Some(through) =>
+        graft.operators.Retention.dropAgedBatches(spark, logPath,
+          minBatchId = through - keepRawBatches + 1)
+      case None => Nil
+    }
+    val droppedHours = retentionCutoffUs
+      .map(c => graft.operators.Retention.dropAgedHours(spark, compactedPath, c))
+      .getOrElse(Nil)
+    val compacted = graft.operators.StateTables.compactBuckets(
+      spark, s"$statePath/snapshot", maxFilesPerBucket)
+    (folded, droppedBatches, droppedHours, compacted)
+  }
+
   /** Batch replay of TSV fixture lines through the same parse+merge path
     * (used by tests and bootstrap — SURVEY §3.1's inventory-first phase).
     */
@@ -316,6 +359,21 @@ object Ingest {
     *
     * @return the `date_hour=` partition names rewritten
     */
+  /** Highest raw batch id folded into `compactedPath` (None before the
+    * first incremental compaction) — the watermark below which raw
+    * `batch=` dirs are safe to drop.
+    */
+  def compactedThrough(spark: SparkSession, compactedPath: String): Option[Long] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(compactedPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new HPath(compactedPath, "_COMPACTED_THROUGH")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes()).trim.toLong) finally in.close()
+    }
+  }
+
   def compactLogIncremental(spark: SparkSession, logPath: String,
                             compactedPath: String,
                             tsUsCol: String = "ts_us"): Seq[String] = {
@@ -325,11 +383,7 @@ object Ingest {
     graft.operators.StateTables.recoverSwap(fs, compactedPath)
 
     val marker = new HPath(compactedPath, "_COMPACTED_THROUGH")
-    val doneThrough: Long =
-      if (fs.exists(marker)) {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes()).trim.toLong finally in.close()
-      } else -1L
+    val doneThrough: Long = compactedThrough(spark, compactedPath).getOrElse(-1L)
     val logRoot = new HPath(logPath)
     if (!fs.exists(logRoot)) return Nil
     // fold only COMMITTED batches (dir carries _SUCCESS), and stop at

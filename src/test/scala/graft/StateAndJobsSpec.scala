@@ -341,4 +341,57 @@ class StateAndJobsSpec extends AnyFunSuite {
       Seq("date_hour=2024-03-01-02"))
     assert(spark.read.parquet(hourDir).count() === want.size + 2)
   }
+
+  test("maintenance pass: fold CDC, drop folded raw batches, retention, bucket compaction") {
+    import graft.streaming.Ingest
+    val root = Files.createTempDirectory("graft_maint").toString
+    val state = s"$root/state"; val log = s"$root/log"; val hours = s"$root/hourly"
+    val hourUs = 3600L * 1000000
+    val t0 = java.time.LocalDateTime.of(2024, 5, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    // 6 micro-batches through the production merge path: one CDC row
+    // each (attr changes every time), one event-hour each
+    for (id <- 0L until 6L) {
+      val upd = Seq((s"k${id % 3}", t0 + id * hourUs, s"A$id", false))
+        .toDF("k", "ts", "attr", "wd")
+      StateTables.mergeChangedBuckets(spark, s"$state/snapshot", upd, policy, 8,
+        logPath = Some(log), batchId = Some(id))
+    }
+    // at toy scale AQE coalesces every stage write to one file per
+    // bucket, so compaction finds nothing to do — plant an extra
+    // empty part-file in one bucket to stand in for real file churn
+    val bucketDir = new java.io.File(s"$state/snapshot").listFiles()
+      .filter(_.getName.startsWith("__bucket=")).head
+    val emptyDir = Files.createTempDirectory("graft_maint_empty").toString + "/part"
+    spark.read.parquet(s"$state/snapshot").drop("__bucket").limit(0)
+      .coalesce(1).write.parquet(emptyDir)
+    val part = new java.io.File(emptyDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(bucketDir, "part-churn.snappy.parquet").toPath)
+
+    val (folded, droppedB, droppedH, compacted) = Ingest.maintain(
+      spark, state, log, hours,
+      retentionCutoffUs = Some(t0 + 2 * hourUs),
+      keepRawBatches = 2, maxFilesPerBucket = 1, tsUsCol = "ts")
+
+    assert(folded.size === 6)                       // all committed batches folded
+    assert(droppedB === Seq("batch=0", "batch=1", "batch=2", "batch=3"))
+    assert(droppedH === Seq("date_hour=2024-05-01-00", "date_hour=2024-05-01-01"))
+    assert(compacted.nonEmpty)                      // churned buckets coalesced
+    // raw log keeps exactly the inspection margin
+    val rawLeft = new java.io.File(log).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(rawLeft === Set("batch=4", "batch=5"))
+    // compacted history = hours past the cutoff, one CDC row per hour
+    assert(spark.read.parquet(hours).select("k", "attr").count() === 4)
+    // and the snapshot survived it all intact (planted file was empty)
+    val st = spark.read.parquet(s"$state/snapshot")
+    assert(st.count() === 3)
+    // a second maintenance pass is a no-op (idempotent housekeeping)
+    val (f2, b2, h2, c2) = Ingest.maintain(spark, state, log, hours,
+      retentionCutoffUs = Some(t0 + 2 * hourUs),
+      keepRawBatches = 2, maxFilesPerBucket = 1, tsUsCol = "ts")
+    assert(f2.isEmpty && b2.isEmpty && h2.isEmpty && c2.isEmpty)
+  }
 }
