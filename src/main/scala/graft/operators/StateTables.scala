@@ -75,9 +75,45 @@ object StateTables {
     * finer merge granularity, fewer → larger scan units.
     */
   def writeBucketPartitioned(df: DataFrame, path: String, keys: Seq[String],
-                             numBuckets: Int): Unit =
+                             numBuckets: Int): Unit = {
     df.withColumn("__bucket", bucketId(keys, numBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    // after the data write: mode-overwrite deletes the whole root first
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    writeNumBucketsMarker(fs, path, numBuckets)
+  }
+
+  /** The layout's bucket count is part of its identity: a merge run with
+    * a DIFFERENT numBuckets would hash updates into different dirs than
+    * the ones holding their current rows — the pruned read misses them
+    * and every updated key is silently duplicated. The count is recorded
+    * in a `_NUM_BUCKETS` marker at bootstrap and validated on every
+    * merge; a legacy layout without the marker is grandfathered by
+    * writing the caller's value (trusting it once).
+    */
+  private def writeNumBucketsMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                    path: String, numBuckets: Int): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path, "_NUM_BUCKETS.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(numBuckets.toString.getBytes) finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(path, "_NUM_BUCKETS")
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker)) sys.error(s"failed to commit $marker")
+  }
+
+  private def checkNumBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, numBuckets: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(path, "_NUM_BUCKETS")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try new String(in.readAllBytes()).trim.toInt finally in.close()
+      require(recorded == numBuckets,
+        s"bucket layout at $path was written with numBuckets=$recorded but this " +
+          s"merge was called with $numBuckets — merging would duplicate every " +
+          "updated key; re-bucket the snapshot (writeBucketPartitioned) to change the count")
+    } else writeNumBucketsMarker(fs, path, numBuckets) // grandfather pre-marker layouts
+  }
 
   /** Merge updates into a bucket-partitioned snapshot rewriting ONLY
     * the buckets that contain updated keys.
@@ -140,6 +176,7 @@ object StateTables {
     // must re-enter the bootstrap path, not a schema-less parquet read
     val hasState = fs.exists(new HPath(path)) &&
       fs.listStatus(new HPath(path)).exists(_.getPath.getName.startsWith("__bucket="))
+    if (hasState) checkNumBuckets(fs, path, numBuckets)
     val current =
       if (hasState)
         spark.read.parquet(path)
@@ -157,12 +194,10 @@ object StateTables {
     val stage = path + "_stage"
     try {
       merged.write.mode("overwrite").partitionBy("__bucket").parquet(stage)
-      logPath.foreach { lp =>
-        batchId match {
-          case Some(id) => log.write.mode("overwrite").parquet(s"$lp/batch=$id")
-          case None     => log.write.mode("append").parquet(lp)
-        }
-      }
+      // a fully-written CDC partition from a crashed attempt is
+      // authoritative — a replay against already-swapped state would
+      // recompute degenerate (empty) rows and destroy it
+      logPath.foreach(lp => writeCdcBatch(spark, log, lp, batchId))
     } finally { release(); latest.unpersist() } // a failed write must not strand the cached join for the session's lifetime
     // crash-safe swap: park the old bucket ASIDE (outside the partition
     // root, so partition discovery never sees it), move the new one in,
@@ -170,6 +205,7 @@ object StateTables {
     // dst or parked — recoverSwap restores parked ones on the
     // next merge, and the replayed (idempotent) batch converges.
     swapStagedDirs(fs, stage, path, touched.map(b => s"__bucket=$b"))
+    if (!hasState) writeNumBucketsMarker(fs, path, numBuckets) // bootstrap fixes the layout's identity
     touched
   }
 
@@ -183,7 +219,8 @@ object StateTables {
     */
   private[graft] def swapStagedDirs(fs: org.apache.hadoop.fs.FileSystem,
                                     stage: String, path: String,
-                                    names: Seq[String]): Unit = {
+                                    names: Seq[String],
+                                    allowMissingSrc: Boolean = false): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val asideRoot = new HPath(path + "_old")
     fs.mkdirs(new HPath(path))
@@ -192,16 +229,46 @@ object StateTables {
       val dst   = new HPath(path, n)
       val src   = new HPath(stage, n)
       val aside = new HPath(asideRoot, n)
+      // a name missing from the stage is corruption unless the caller
+      // says otherwise (compaction of an all-empty-files dir writes no
+      // partition): merge/compaction outputs always contain every
+      // touched name, so silently deleting the parked copy here would
+      // turn an anomaly (partial stage write, external cleanup) into
+      // silent data loss — fail BEFORE parking so recoverSwap has
+      // nothing to misjudge
+      if (!allowMissingSrc && !fs.exists(src))
+        sys.error(s"staged swap: $src missing from stage — refusing to drop $dst")
       fs.delete(aside, true)
       if (fs.exists(dst) && !fs.rename(dst, aside))
         sys.error(s"staged swap: failed to park $dst")
-      if (fs.exists(src) && !fs.rename(src, dst)) // a dir can be absent from stage only if all its rows were keyed-deleted
+      if (fs.exists(src) && !fs.rename(src, dst))
         sys.error(s"staged swap: failed to move $src into place")
       fs.delete(aside, true)
     }
     fs.delete(asideRoot, true)
     fs.delete(new HPath(stage), true)
   }
+
+  /** A batchId-keyed CDC partition that a PREVIOUS attempt fully wrote
+    * (`_SUCCESS` present) must be kept, not recomputed: if the crash
+    * landed after the state commit but before the streaming checkpoint
+    * advanced, the replay merges against the ALREADY-UPDATED state and
+    * derives zero (or fewer) change rows — overwriting the real rows
+    * with that degenerate recomputation would permanently lose CDC
+    * history. If the crash landed before the state commit, the replay
+    * recomputes the identical rows, so keeping the original is equally
+    * correct. (Callers always write the log before the state commit.)
+    */
+  private[graft] def writeCdcBatch(spark: SparkSession, log: DataFrame,
+                                   logPath: String, batchId: Option[Long]): Unit =
+    batchId match {
+      case Some(id) =>
+        val dir = new org.apache.hadoop.fs.Path(s"$logPath/batch=$id")
+        val fs  = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+          log.write.mode("overwrite").parquet(dir.toString)
+      case None => log.write.mode("append").parquet(logPath)
+    }
 
   /** Small-file compaction for the changed-bucket layout: every merge
     * rewrites its touched buckets as fresh files, so a bucket that takes
@@ -235,7 +302,10 @@ object StateTables {
       .filter(col("__bucket").isin(oversized: _*)) // partition-pruned: only sick buckets are read
       .repartition(col("__bucket")) // one task per bucket → one output file each
       .write.mode("overwrite").partitionBy("__bucket").parquet(stage)
-    swapStagedDirs(fs, stage, path, oversized.map(b => s"__bucket=$b"))
+    // allowMissingSrc: a bucket whose files were ALL empty yields no
+    // stage partition — collapsing it to nothing is correct compaction
+    swapStagedDirs(fs, stage, path, oversized.map(b => s"__bucket=$b"),
+      allowMissingSrc = true)
     oversized
   }
 

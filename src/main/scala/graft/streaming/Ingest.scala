@@ -133,22 +133,31 @@ object Ingest {
   // pruned. This is the snapshot/commit-pointer pattern of table formats
   // (Delta/Iceberg) reduced to its essentials.
 
-  private def pointerFile(statePath: String) =
-    java.nio.file.Paths.get(statePath, "_CURRENT")
+  private def stateFs(spark: SparkSession, statePath: String) =
+    new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Current committed version, if any. */
-  def currentVersion(statePath: String): Option[Int] = {
-    val p = pointerFile(statePath)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p)).trim.toInt)
-    else None
+  /** Current committed version, if any. The pointer lives on the SAME
+    * filesystem as the snapshot (Hadoop FS API, not java.nio) — a
+    * remote statePath (hdfs://, s3a://) must not silently resolve to a
+    * nonexistent LOCAL path, bootstrap over live remote state, and only
+    * then fail on the pointer write.
+    */
+  def currentVersion(spark: SparkSession, statePath: String): Option[Int] = {
+    val fs = stateFs(spark, statePath)
+    val p  = new org.apache.hadoop.fs.Path(statePath, "_CURRENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes()).trim.toInt) finally in.close()
+    }
   }
 
   /** Read the committed state snapshot (empty-schema fallback handled by
     * callers that know the update schema).
     */
   def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
-    currentVersion(statePath).map(v => spark.read.parquet(s"$statePath/v$v"))
+    currentVersion(spark, statePath).map(v => spark.read.parquet(s"$statePath/v$v"))
 
   /** One micro-batch of updates merged into the versioned snapshot,
     * emitting CDC rows to the log directory. At cluster scale the
@@ -160,7 +169,7 @@ object Ingest {
                  batchId: Option[Long] = None): Unit = {
     val latest = MergeOps.dedupToLatest(
       updates.repartition(policy.keys.map(col): _*), policy.keys, policy.orderBy)
-    val ver = currentVersion(statePath)
+    val ver = currentVersion(spark, statePath)
     val current = ver match {
       case Some(v) => spark.read.parquet(s"$statePath/v$v")
       case None => spark.createDataFrame(
@@ -169,22 +178,19 @@ object Ingest {
     val (next, log) = MergeOps.upsertWithLog(current, latest, policy)
     val nextVer = ver.getOrElse(-1) + 1
     next.write.mode("overwrite").parquet(s"$statePath/v$nextVer")
-    // CDC log: with a batchId (streaming), the write is idempotent — a
-    // retried/replayed micro-batch overwrites its own partition instead
-    // of appending duplicates (at-least-once source → exactly-once log)
-    batchId match {
-      case Some(id) => log.write.mode("overwrite").parquet(s"$logPath/batch=$id")
-      case None     => log.write.mode("append").parquet(logPath)
-    }
+    // CDC log: idempotent per batchId; a fully-written partition from a
+    // crashed attempt is authoritative (see StateTables.writeCdcBatch)
+    graft.operators.StateTables.writeCdcBatch(spark, log, logPath, batchId)
     // atomic pointer swap, then prune versions older than the previous
-    val tmp = java.nio.file.Paths.get(statePath, "_CURRENT.tmp")
-    java.nio.file.Files.write(tmp, nextVer.toString.getBytes)
-    java.nio.file.Files.move(tmp, pointerFile(statePath),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fs  = stateFs(spark, statePath)
+    val tmp = new org.apache.hadoop.fs.Path(statePath, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextVer.toString.getBytes) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(statePath, "_CURRENT")
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr)) sys.error(s"failed to commit pointer $ptr")
     if (nextVer >= 2)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(statePath, s"v${nextVer - 2}"))
+      fs.delete(new org.apache.hadoop.fs.Path(statePath, s"v${nextVer - 2}"), true)
   }
 
   /** Wire a parsed update stream into the merge sink. The checkpoint
@@ -211,9 +217,23 @@ object Ingest {
     * The versioned-pointer path of [[start]] remains for small state
     * (atomic whole-snapshot commit); this is the 100 TB state regime.
     */
+  /** Housekeeping knobs for the in-stream maintenance hook of
+    * [[startBucketed]] — see [[maintain]] for what each step does.
+    * `retentionUs` is an AGE (cutoff = wall clock − retentionUs at each
+    * maintenance firing), matching the reference's rolling policies.
+    */
+  final case class Maintenance(
+      compactedPath: String,
+      every: Int = 100, // micro-batches between maintenance passes
+      retentionUs: Option[Long] = None,
+      keepRawBatches: Int = 2,
+      maxFilesPerBucket: Int = 8,
+      tsUsCol: String = "ts_us")
+
   def startBucketed(parsed: DataFrame, statePath: String, logPath: String,
                     policy: MergePolicy, numBuckets: Int, triggerMs: Long = 300,
-                    checkpoint: Option[String] = None): StreamingQuery =
+                    checkpoint: Option[String] = None,
+                    maintenance: Option[Maintenance] = None): StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpoint.getOrElse(s"$statePath/_checkpoint"))
       .trigger(Trigger.ProcessingTime(triggerMs))
@@ -221,14 +241,33 @@ object Ingest {
         graft.operators.StateTables.mergeChangedBuckets(
           batch.sparkSession, s"$statePath/snapshot", batch, policy, numBuckets,
           logPath = Some(logPath), batchId = Some(batchId))
+        // maintenance runs INSIDE foreachBatch so Structured Streaming
+        // serializes it against the merge — a parallel timer would race
+        // the shared _stage/_old dirs and violate the single-writer
+        // contract (see [[maintain]])
+        maintenance.foreach { m =>
+          if (m.every > 0 && batchId % m.every == 0 && batchId > 0)
+            maintain(batch.sparkSession, statePath, logPath, m.compactedPath,
+              retentionCutoffUs =
+                m.retentionUs.map(r => System.currentTimeMillis() * 1000L - r),
+              keepRawBatches = m.keepRawBatches,
+              maxFilesPerBucket = m.maxFilesPerBucket, tsUsCol = m.tsUsCol)
+        }
         ()
       }
       .start()
 
   /** One maintenance pass over a bucketed-ingest deployment — the
     * engine's equivalent of the reference's cron-side housekeeping
-    * (retention policies `1_base.sql:236,369`, autovacuum): run beside
-    * (same driver as) a [[startBucketed]] query on a timer.
+    * (retention policies `1_base.sql:236,369`, autovacuum).
+    *
+    * MUST NOT run concurrently with the stream's merge: both sides use
+    * the snapshot's fixed `_stage`/`_old` siblings, so a parallel timer
+    * would corrupt buckets (stage overwrite, recovery misjudging a
+    * parked dir). Either pass [[Maintenance]] to [[startBucketed]] —
+    * which calls this from WITHIN `foreachBatch`, where Structured
+    * Streaming serializes it against the merge — or run it while no
+    * stream is active.
     *
     * Order matters and is chosen so every step only destroys data the
     * previous step made redundant:

@@ -69,6 +69,22 @@ class StateAndJobsSpec extends AnyFunSuite {
     assert(got.filter(col("k") === "k999").head().getAs[String]("attr") === "NEW")
   }
 
+  test("merge refuses a numBuckets different from the layout's recorded count") {
+    val dir = Files.createTempDirectory("graft_nb").toString + "/state"
+    val init = (1 to 50).map(i => (s"k$i", 1L, s"A$i", false))
+      .toDF("k", "ts", "attr", "wd")
+    StateTables.writeBucketPartitioned(init, dir, Seq("k"), 16)
+    val upd = Seq(("k1", 2L, "A1x", false)).toDF("k", "ts", "attr", "wd")
+    val e = intercept[IllegalArgumentException] {
+      StateTables.mergeChangedBuckets(spark, dir, upd, policy, 8)
+    }
+    assert(e.getMessage.contains("numBuckets=16"))
+    // matching count still works, and the layout keeps its marker
+    StateTables.mergeChangedBuckets(spark, dir, upd, policy, 16)
+    assert(spark.read.parquet(dir).filter(col("k") === "k1")
+      .head().getAs[String]("attr") === "A1x")
+  }
+
   test("bucket compaction coalesces only oversized buckets, content-preserving") {
     val dir = Files.createTempDirectory("graft_cpct").toString + "/state"
     val init = (1 to 200).map(i => (s"k$i", 1L, s"A$i", false))

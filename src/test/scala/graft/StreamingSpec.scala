@@ -179,6 +179,51 @@ class StreamingSpec extends SparkSpec {
     assert(cdc.filter(col("hash_id") === "h1").count() === 2) // advertise + withdraw
   }
 
+  test("replay after state commit (lost checkpoint commit) keeps original CDC rows") {
+    import spark.implicits._
+    val in  = Files.createTempDirectory("graft_rp_in").toString
+    val out = Files.createTempDirectory("graft_rp_out").toString
+    val state = s"$out/state"; val log = s"$out/log"; val cp = s"$out/cp"
+    def line(hash: String, attr: String, ts: String, wd: Boolean) =
+      s"$hash\tp1\t$attr\t1\t65001\t10.0.0.0\t8\t$ts\t$wd\t0\t\t1\t1"
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.tsv"),
+      line("h1", "a1", "2024-01-01 00:00:01.000000", wd = false))
+    def startQ() = Ingest.startBucketed(
+      Messages.unicastPrefixFromTsv(
+        spark.readStream.text(in).withColumnRenamed("value", "line")),
+      state, log, Ingest.ipRibPolicy, numBuckets = 8, triggerMs = 50,
+      checkpoint = Some(cp))
+    val q1 = startQ()
+    q1.processAllAvailable()
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.tsv"),
+      line("h1", "", "2024-01-01 00:00:02.000000", wd = true))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(log).count() === 2) // advertise + withdraw
+
+    // crash window: merge + CDC + swap all committed, but the streaming
+    // checkpoint did NOT — on restart the source re-delivers the batch
+    // and foreachBatch re-invokes the merge with the SAME batchId
+    // against the already-updated state. Drive that invocation directly
+    // (restarting with a doctored commit log trips Spark's concurrent-
+    // query detection).
+    val replayed = Messages.unicastPrefixFromTsv(
+      Seq(line("h1", "", "2024-01-01 00:00:02.000000", wd = true)).toDF("line"))
+    graft.operators.StateTables.mergeChangedBuckets(
+      spark, s"$state/snapshot", replayed, Ingest.ipRibPolicy, 8,
+      logPath = Some(log), batchId = Some(1L))
+    // the replayed merge derives ZERO changes (state already withdrawn);
+    // without the _SUCCESS guard it would overwrite batch=1 with an
+    // empty frame — the withdraw row must survive
+    val cdc = spark.read.parquet(log)
+    assert(cdc.count() === 2, "replay destroyed committed CDC rows")
+    assert(cdc.filter(col("isWithdrawn") === true).count() === 1)
+    // and state is unchanged (idempotent merge)
+    val h1 = spark.read.parquet(s"$state/snapshot")
+      .filter(col("hash_id") === "h1").head()
+    assert(h1.getAs[Boolean]("isWithdrawn") === true)
+  }
+
   test("streaming exact dedup: first-seen wins across micro-batches, watermark-bounded state") {
     val in = Files.createTempDirectory("graft_sdedup_in").toString
     Files.writeString(java.nio.file.Paths.get(s"$in/b1.tsv"),
