@@ -47,10 +47,13 @@ object AggJobs {
     val currentBucket = nowMicros - nowMicros % bucketUs
     // align the lower bound UP to a bucket boundary: only whole buckets
     // are ever recomputed (a truncated oldest bucket would overwrite a
-    // previously-complete row with undercounts)
+    // previously-complete row with undercounts). floorMod, not %: a
+    // horizon reaching past epoch 0 makes rawStart negative, where
+    // Scala % is negative and the naive formula overshoots the ceiling
+    // by one bucket (silently excluding a complete bucket)
     val rawStart   = nowMicros - horizonMicros
-    val alignedStart = if (rawStart % bucketUs == 0) rawStart
-                       else rawStart + (bucketUs - rawStart % bucketUs)
+    val alignedStart =
+      rawStart + (bucketUs - Math.floorMod(rawStart, bucketUs)) % bucketUs
     val windowed = log.filter(
       col(epochMicrosCol) >= lit(alignedStart) &&
         col(epochMicrosCol) < lit(currentBucket)) // exclude in-progress bucket

@@ -35,9 +35,16 @@ object MergeOps {
       retainOnWithdraw: Seq[String],
       /** columns always taken from the update (timestamp, flags, …) */
       alwaysUpdate: Seq[String]
-  ) {
-    def valueCols: Seq[String] = (alwaysUpdate ++ retainOnWithdraw :+ withdrawnCol).distinct
-  }
+  )
+
+  /** Rows with a NULL merge key are unjoinable garbage: the reference's
+    * key columns are NOT NULL (`1_base.sql` PKs) and a null key can
+    * never be matched, overwritten, or purged later — admitting one
+    * grows state monotonically with junk. Dropped up front by every
+    * keyed-merge entry point.
+    */
+  private def nonNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
 
   /** S5/D2: batch last-write-wins per key — the writer's same-hash
     * compression within one flush window (`WriterRunnable.java:140-153`).
@@ -60,7 +67,7 @@ object MergeOps {
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(orderBy.map(c => col(c).asc): _*)
-    val firstPerKey = updates
+    val firstPerKey = nonNullKeys(updates, keys) // a null key would re-append every run (anti-join can't match it)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -97,9 +104,10 @@ object MergeOps {
                           policy: MergePolicy): (DataFrame, DataFrame, () => Unit) =
     upsertPlans(current, updates, policy, cacheJoin = true)
 
-  private def upsertPlans(current: DataFrame, updates: DataFrame, policy: MergePolicy,
+  private def upsertPlans(current: DataFrame, updates0: DataFrame, policy: MergePolicy,
                           cacheJoin: Boolean): (DataFrame, DataFrame, () => Unit) = {
     import policy._
+    val updates    = nonNullKeys(updates0, keys) // see nonNullKeys — a null-key row would survive as unmatchable junk state
     val stateCols  = current.columns.toSeq
     val cur        = current.columns.foldLeft(current)((d, c) => d.withColumnRenamed(c, s"__old_$c"))
     val joined0 = updates.join(
@@ -173,9 +181,14 @@ object MergeOps {
     // back to the FIRST update's values: record-by-record, the first
     // withdraw lands with no existing row (hasOld=false) and writes its
     // incoming attribute values; later withdraws retain them.
+    // null withdrawn flags count as advertises, matching upsert's
+    // per-record behavior (`hasOld && withdrawn` is null → otherwise →
+    // new values) — a bare !col would make the null row invisible here
+    // and bulk replay would diverge from the streamed state
     val retStruct = coalesce(
       last(
-        when(!col(withdrawnCol), struct(retainOnWithdraw.map(col): _*)),
+        when(!coalesce(col(withdrawnCol), lit(false)),
+          struct(retainOnWithdraw.map(col): _*)),
         ignoreNulls = true).over(asc),
       first(struct(retainOnWithdraw.map(col): _*)).over(asc))
     val withFinals = updates
@@ -191,7 +204,12 @@ object MergeOps {
     */
   def purgeStale(current: DataFrame, keyCol: String, tsCol: String, thresholds: DataFrame,
                  thKeyCol: String, thTsCol: String): DataFrame = {
-    val th = broadcast(thresholds.select(col(thKeyCol).as("__pk"), col(thTsCol).as("__pts")))
+    // latest peer-up per key: multiple up messages for one peer are
+    // legal on the bus; joining them un-deduped would DUPLICATE every
+    // surviving state row, and the newest threshold subsumes the rest
+    val th = broadcast(thresholds
+      .groupBy(col(thKeyCol).as("__pk"))
+      .agg(max(col(thTsCol)).as("__pts")))
     current
       .join(th, col(keyCol) === col("__pk"), "left")
       .filter(col("__pts").isNull || col(tsCol) >= col("__pts"))

@@ -57,7 +57,7 @@ object TimeAgg {
         countDistinct(col(peerCol)).as("num_peers"),
         countDistinct(when(!col(withdrawnCol), col(peerCol))).as("advertising_peers"),
         countDistinct(when(col(withdrawnCol), col(peerCol))).as("withdrawn_peers"),
-        expr(s"every($withdrawnCol)").as("iswithdrawn"),
+        every(col(withdrawnCol)).as("iswithdrawn"), // col(), not expr interpolation: names needing backticks must work
         max(col(tsCol)).as("last_ts"),
         min(col(tsCol)).as("first_ts"))
 
@@ -68,6 +68,8 @@ object TimeAgg {
     * kept for bit-exact DuckDB parity on integer inputs.
     */
   def aggOfAgg(perBucket: DataFrame, keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty,
+      "aggOfAgg needs at least one value column (a bare group count is groupBy(...).count())")
     val aggs = valueCols.flatMap { c =>
       Seq(
         (sum(col(c)).cast("double") / count(col(c))).as(s"avg_$c"),

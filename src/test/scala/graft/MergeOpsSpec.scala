@@ -119,4 +119,37 @@ class MergeOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(out === Set(("a", 5L), ("b", 1L)))
   }
+
+  test("purgeStale with duplicate threshold rows per key does not multiply survivors") {
+    val cur = df(("a", 5L, "y", false))
+    // two peer-up messages for one peer (legal on the bus): latest wins,
+    // and the surviving row must appear exactly once
+    val th = Seq(("a", 2L), ("a", 3L)).toDF("pk", "pts")
+    val out = MergeOps.purgeStale(cur, "k", "ts", th, "pk", "pts").collect()
+    assert(out.length === 1)
+  }
+
+  test("null-key update rows are rejected, not accumulated as junk state") {
+    val current = df(("a", 1L, "A1", false))
+    val updates = Seq((null.asInstanceOf[String], 2L, "J1", false), ("a", 2L, "A2", false))
+      .toDF("k", "ts", "attr", "wd")
+    val (next, log) = MergeOps.upsertWithLog(current, updates, policy)
+    assert(next.count() === 1) // no null-key row joined in
+    assert(next.head().getString(2) === "A2")
+    assert(log.filter(col("k").isNull).count() === 0)
+    // insertIgnore stays idempotent too (anti-join can't match null keys)
+    val once  = MergeOps.insertIgnore(current, updates, Seq("k"), Seq("ts"))
+    val twice = MergeOps.insertIgnore(once, updates, Seq("k"), Seq("ts"))
+    assert(once.count() === 1 && twice.count() === once.count())
+  }
+
+  test("applyOrdered treats a NULL withdrawn flag as an advertise, like upsert") {
+    val updates = Seq(
+      ("k", 1L, "A", java.lang.Boolean.FALSE),
+      ("k", 2L, "B", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("k", "ts", "attr", "wd")
+    // sequential: the null-flag record lands as an advertise → attr=B
+    val folded = MergeOps.applyOrdered(updates, policy).head()
+    assert(folded.getAs[String]("attr") === "B")
+  }
 }

@@ -178,6 +178,19 @@ class StateAndJobsSpec extends AnyFunSuite {
     assert(b0.getAs[Long]("updates") === 1L) // original complete value kept
   }
 
+  test("stats horizon reaching past epoch 0 still recomputes bucket 0") {
+    // rawStart = -1: Scala % is negative there, and the naive align-up
+    // formula lands on bucketUs instead of 0, silently skipping the
+    // first complete bucket
+    val bucketUs = 60L * 1000000
+    val log = Seq((1L, 1L, false)).toDF("ts_us", "user_id", "wd") // bucket 0
+    val empty = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("bucket", "user_id", "withdraws", "updates")
+    val s = AggJobs.runChgStats(empty, log, "ts_us", 60, col("wd"), Seq("user_id"),
+      horizonMicros = 10 * bucketUs + 1, nowMicros = 10 * bucketUs)
+    assert(s.count() === 1)
+  }
+
   test("bucketed stats job: write amplification ∝ touched buckets across runs") {
     val dir = Files.createTempDirectory("graft_stats").toString + "/chg_stats"
     val bucketUs = 60L * 1000000
