@@ -52,6 +52,25 @@ object Dedup {
     */
   private def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 
+  /** The frequency-cap guard shared by every candidate generator: keep
+    * only `df` rows whose key group (counted over `countFrom`, usually
+    * `df` itself) has ≤ max members — the skip-oversized-bucket rule
+    * whose bounded recall loss is documented at each call site. One
+    * implementation so the guard semantics can't drift between the
+    * minhash/ngram/decontamination/cosine paths.
+    */
+  private[operators] def capByKey(df: DataFrame, countFrom: DataFrame,
+                                  keys: Seq[String], max: Int): DataFrame =
+    if (max == Int.MaxValue) df
+    else {
+      // group sizes in the same shuffle layout as the join that follows
+      // (map-side-combined count on the join key)
+      val ok = countFrom.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= max)
+        .select(keys.map(col): _*)
+      df.join(ok, keys)
+    }
+
   /** Per-doc distinct shingles, exploded: (id, tok). The narrow shape
     * every candidate-generation join starts from — shingle arrays are
     * never carried through a shuffle.
@@ -168,31 +187,26 @@ object Dedup {
     // public probing API — revalidate even though minHashLsh already did:
     // a direct caller with numHashes % bands != 0 would silently drop the
     // trailing hash rows from every band
-    require(bands > 0 && numHashes % bands == 0,
+    require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
-        "a remainder would silently drop hashes; bands > numHashes degenerates to all-pairs")
+        "a remainder would silently drop hashes; numHashes = 0 makes every band " +
+        "key an empty array (one global bucket = all-pairs); bands > numHashes " +
+        "degenerates to all-pairs")
     require(numHashes <= 4096,
       s"numHashes ($numHashes) > 4096 overflows the 64-bit universal-hash family " +
         "(a_s = 1000003*s + 12345 must stay < 2^32)")
     val rowsPerBand = numHashes / bands
-    val sigs = minHashTable(exploded, numHashes, baseHash)
+    // snapshot: the k-way min aggregate (the dominant cost) feeds the
+    // bucket-count branch AND both join sides — same caching NOTE as
+    // explodedShingles/simHashTable
+    val sigs = snapshot(minHashTable(exploded, numHashes, baseHash))
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), array(cols: _*).as("bh"))
     }
     val banded0 = sigs.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val banded =
-      if (maxBandBucket == Int.MaxValue) banded0
-      else {
-        // bucket sizes in the same shuffle layout as the join that
-        // follows (map-side-combined count on the join key)
-        val ok = banded0.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBandBucket)
-          .select("band", "bh")
-        banded0.join(ok, Seq("band", "bh"))
-      }
+    val banded = capByKey(banded0, banded0, Seq("band", "bh"), maxBandBucket)
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     a.join(b, Seq("band", "bh"))
@@ -269,8 +283,16 @@ object Dedup {
     var labels = snapshot(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")))
+    // change detection must work for ANY id type: a decimal cast of a
+    // string/UUID id is null, which would sum every round to the same
+    // ZERO and declare convergence after round 1 with wrong clusters.
+    // xxhash64 maps any type to a long; labels are per-row monotone
+    // non-increasing, so a non-fixpoint round changes ≥1 row's hash and
+    // the sums differ (cancellation across 64-bit hashes is ~2⁻⁶⁴;
+    // maxIters still backstops).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+      Option(df.agg(sum(xxhash64(col("comp")).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty frame sums to null
     var prevSum = labelSum(labels)
     var iter = 0
@@ -287,7 +309,7 @@ object Dedup {
           .select(stepped("id"), col("rcomp").as("comp")))
       val s = labelSum(jumped)
       labels = jumped
-      if (s.compareTo(prevSum) == 0) // labels are non-increasing ⇒ equal sum = fixpoint
+      if (s.compareTo(prevSum) == 0) // per-row monotone labels ⇒ equal hash-sum = fixpoint (see labelSum)
         return labels.select(col("id"), col("comp").as("cluster_id"))
       prevSum = s
       iter += 1
@@ -373,13 +395,8 @@ object Dedup {
     val c = snapshot(explodedShingles(corpus, idCol, textCol, shingleN))
     val b0 = explodedShingles(benchmarks, idCol, textCol, shingleN)
       .withColumnRenamed("id", "bench_id")
-    val b =
-      if (maxShingleDf == Int.MaxValue) b0
-      else { // df computed on the CORPUS side — that's where the mass is
-        val ok = c.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxShingleDf).select("tok")
-        b0.join(ok, Seq("tok"))
-      }
+    // df computed on the CORPUS side — that's where the mass is
+    val b = capByKey(b0, c, Seq("tok"), maxShingleDf)
     c.join(b, Seq("tok"))
       .groupBy(col("id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -431,14 +448,7 @@ object Dedup {
     * recall loss to pairs related only through stop-phrases.
     */
   def ngramCandidates(exploded: DataFrame, maxShingleDf: Int): DataFrame = {
-    val source =
-      if (maxShingleDf == Int.MaxValue) exploded
-      else {
-        val ok = exploded.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxShingleDf)
-          .select("tok")
-        exploded.join(ok, Seq("tok"))
-      }
+    val source = capByKey(exploded, exploded, Seq("tok"), maxShingleDf)
     val x = source.select(col("tok"), col("id").as("id_a"))
     val y = source.select(col("tok"), col("id").as("id_b"))
     x.join(y, Seq("tok"))
@@ -512,10 +522,14 @@ object Dedup {
     require(bits % nChunks == 0, s"bits ($bits) must divide into nChunks ($nChunks)")
     val chunkBits = bits / nChunks
     val base = snapshot(simHashTable(df, idCol, textCol, tokenHash, bits))
+    // mask built with >>> not <<: (1L << 64) shift-wraps to 1, so a
+    // single-chunk config would mask every fingerprint to cv = 0 — one
+    // global bucket, silent all-pairs join
+    val chunkMask = -1L >>> (64 - chunkBits)
     val chunkStructs = (0 until nChunks).map(c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("fp"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1)).as("cv")))
+          .bitwiseAND(lit(chunkMask)).as("cv")))
     val banded = base.select(col("id"), col("fp"),
       explode(array(chunkStructs: _*)).as("b"))
       .select(col("id"), col("fp"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))

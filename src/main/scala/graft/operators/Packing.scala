@@ -102,8 +102,11 @@ object Packing {
         max(col(valueCol)).as("max_v"),
         (sum(col(valueCol).cast("decimal(28,8)")).cast("double") /
           count(col(valueCol))).as("mean_v"),
-        expr(s"percentile($valueCol, 0.5)").as("p50"),
-        expr(s"percentile($valueCol, 0.95)").as("p95"))
+        // backticked (with escaping) — a bare splice would parse a name
+        // like "a-b" as the EXPRESSION a minus b and profile the wrong
+        // quantity; every other aggregate here goes through col()
+        expr(s"percentile(`${valueCol.replace("`", "``")}`, 0.5)").as("p50"),
+        expr(s"percentile(`${valueCol.replace("`", "``")}`, 0.95)").as("p95"))
 
   /** Sketch regime of [[profileNumeric]] — same output columns, drop-in.
     * Exact distinct (full hash set per group) and exact percentile

@@ -55,9 +55,41 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
+  /** Global top-k per query over a `(query_id, neighbor_id, cos)` frame
+    * — the shared rank stage of every *TopK variant.
+    *
+    * Two-phase: a salted per-group top-k first (bounded `collect_list`
+    * slice under the SAME total order as the final rank, so the union
+    * of local winners provably contains every global winner), then the
+    * `row_number` window ranks ≤ salts·k rows per query. A bare window
+    * would shuffle EVERY scored row into one partition per query and
+    * sort a corpus-sized partition in a single task — the 10⁹-row
+    * failure mode of "partitionBy(query_id)". Null cosines (zero
+    * vectors) order last, exactly like the window's `desc` nulls-last.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    def cosOf(s: Column) =
+      coalesce(s.getField("cos"), lit(Double.NegativeInfinity))
+    val cmp = (l: Column, r: Column) =>
+      when(cosOf(l) > cosOf(r), -1).when(cosOf(l) < cosOf(r), 1)
+        .when(l.getField("neighbor_id") < r.getField("neighbor_id"), -1)
+        .when(l.getField("neighbor_id") > r.getField("neighbor_id"), 1)
+        .otherwise(0)
+    val pruned = scored
+      .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), lit(salts)))
+      .groupBy(col("query_id"), col("__salt"))
+      .agg(slice(
+        array_sort(collect_list(struct(col("cos"), col("neighbor_id"))), cmp),
+        1, k).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("t"))
+      .select(col("query_id"), col("t.cos").as("cos"),
+        col("t.neighbor_id").as("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
+    pruned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -78,11 +110,19 @@ object Similarity {
     * multi-table LSH uses offset t·planes, so every table hashes with
     * disjoint hyperplanes.
     */
-  def lshSignature(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column =
+  def lshSignature(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
+    // the overflow-free claim of planeWeight holds only while
+    // p·1103515·2654435761 stays under 2⁶³, i.e. p ≲ 3100 — beyond it
+    // the product wraps negative and weights leave [-0.5, 0.5), which
+    // both biases the hyperplanes and breaks oracle reproducibility
+    require(planeOffset + planes <= 3000,
+      s"plane index ${planeOffset + planes} exceeds the 64-bit overflow-free bound " +
+        "of planeWeight (~3000 total planes across all tables)")
     (0 until planes).map { p =>
       val weights = array((0 until dim).map(d => lit(planeWeight(p + planeOffset, d))): _*)
       when(dot(vec, weights) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Plane count that keeps the EXPECTED bucket size ≈ `targetBucket`
     * under a uniform sign distribution: 2^planes ≈ n / targetBucket.
@@ -108,12 +148,7 @@ object Similarity {
     val scored = q.join(c, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN — the scale path beyond LSH: partition the
@@ -213,11 +248,8 @@ object Similarity {
       .join(indexed, Seq("cluster"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("cos", cosine(col("qv"), col(vecCol)))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+      .withColumn("neighbor_id", col(idCol))
+    topKPerQuery(scored, k)
   }
 
   /** Materialize an IVF index: k-means-refined centroids beside the
@@ -267,11 +299,8 @@ object Similarity {
       .join(indexed, Seq("cluster"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("cos", cosine(col("qv"), col(vecCol)))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+      .withColumn("neighbor_id", col(idCol))
+    topKPerQuery(scored, k)
   }
 
   // ---- quantization ---------------------------------------------------
@@ -370,15 +399,13 @@ object Similarity {
   def cosineCandidates(base: DataFrame, dim: Int, planes: Int,
                        tables: Int, maxBucket: Int): DataFrame =
     (0 until tables).map { t =>
+      // snapshot: the dim×planes signature projection (the per-table
+      // dominant cost) feeds the bucket-count branch AND both join
+      // sides — compute it once per table, not 2-3×
       val sigs = base.select(col("id"),
         lshSignature(col("v"), dim, planes, t * planes).as("sig"))
-      val capped =
-        if (maxBucket == Int.MaxValue) sigs
-        else {
-          val ok = sigs.groupBy(col("sig")).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") <= maxBucket).select("sig")
-          sigs.join(ok, Seq("sig"))
-        }
+        .localCheckpoint(false)
+      val capped = Dedup.capByKey(sigs, sigs, Seq("sig"), maxBucket)
       val a = capped.select(col("sig"), col("id").as("id_a"))
       val b = capped.select(col("sig"), col("id").as("id_b"))
       a.join(b, Seq("sig"))

@@ -122,6 +122,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters distributed regime converges on STRING ids (multi-round chain)") {
+    // regression: the old convergence check cast labels to decimal —
+    // null for strings — so every round summed to ZERO and the loop
+    // declared a fixpoint after round 1 with wrong clusters
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(chain, driverEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set("a", "b", "c", "d", "e", "f"))
+    assert(out.values.toSet === Set("a"), s"chain not fully labeled: $out")
+  }
+
+  test("simHashPairs works at nChunks=1 (full-fingerprint join, no mask wrap)") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0, nChunks = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minHashCandidates rejects numHashes = 0 (would be one global bucket)") {
+    val exploded = Seq((1L, "t")).toDF("id", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(exploded, numHashes = 0, bands = 1)
+    }
+    assert(e.getMessage.contains("positive multiple"))
+  }
+
   test("dupClusters on empty pairs is empty; self-pairs ignored") {
     for (limit <- Seq(500000, 0)) {
       val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

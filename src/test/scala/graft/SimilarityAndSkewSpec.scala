@@ -24,6 +24,18 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(top === Set(1L, 2L, 3L))
   }
 
+  test("topK ties break by neighbor id even across salt groups") {
+    // 10 identical corpus vectors: every cosine is 1.0, so the salted
+    // local prune must use the SAME (cos desc, id asc) total order as
+    // the final window or the k-th winner would depend on salt layout
+    val vec = Array(1.0f, 0.0f)
+    val corpus = (1L to 10L).map(i => (i, vec)).toDF("id", "v")
+    val queries = Seq((0L, vec)).toDF("id", "v")
+    val got = graft.operators.Similarity.cosineTopK(queries, corpus, "id", "v", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
   test("zero-norm vectors never rank in topK (cosine is null, not NaN)") {
     val withZero = corpus.unionByName(
       Seq((99L, Seq.fill(6)(0.0f))).toDF("vec_id", "embedding"))
