@@ -29,10 +29,15 @@ object TextFns {
   def subwordCount(text: Column): Column =
     size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
 
-  /** Distinct-token / total-token ratio (type-token ratio). */
+  /** Distinct-token / total-token ratio (type-token ratio). Blank text
+    * is 0, not 1: `split("")` yields `[""]` (one "distinct token"), which
+    * would hand empty documents a perfect diversity score — and through
+    * [[qualityScore]]'s 0.3 weight rank them above real short text.
+    */
   def typeTokenRatio(text: Column): Column = {
     val toks = tokens(text)
-    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
   }
 
   /** Punctuation character ratio. */
@@ -72,8 +77,9 @@ object TextFns {
   val FrMarkers = Seq("le", "la", "les", "des", "et", "est")
 
   /** N-gram/marker language-ID heuristic: argmax of marker-hit counts,
-    * 'und' (undetermined) when all zero. Deterministic tiebreak by the
-    * fixed language order en > es > de > fr.
+    * 'und' (undetermined) when all zero, NULL for NULL text (every
+    * `when` condition is null on null counts, so a bare `otherwise`
+    * would classify every null document as the last language).
     */
   def langId(text: Column): Column = {
     val en = markerHits(text, EnMarkers)
@@ -85,7 +91,7 @@ object TextFns {
       .when(en === mx, lit("en"))
       .when(es === mx, lit("es"))
       .when(de === mx, lit("de"))
-      .otherwise(lit("fr"))
+      .when(fr === mx, lit("fr")) // null mx falls through → null
   }
 
   // ---- PII redaction / normalization ----------------------------------

@@ -1,7 +1,7 @@
 package graft.ip
 
 import java.math.BigInteger
-import java.net.{Inet4Address, InetAddress}
+import java.net.Inet4Address
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -35,8 +35,14 @@ object IpKit {
     * value is reconstructed from the mapped prefix.
     */
   def ipToBigInt(ip: String): BigInteger = {
-    val s    = ip.trim
-    val addr = InetAddress.getByName(s)
+    val s = ip.trim
+    if (s.isEmpty) throw new IllegalArgumentException("empty address")
+    // literal-ONLY parse (guava, shipped with Spark): InetAddress
+    // .getByName would DNS-resolve any non-literal string — 'localhost'
+    // silently becomes 127.0.0.1 (environment-dependent data), and every
+    // malformed cell costs a blocking network lookup inside the scan hot
+    // path. forString throws on non-literals without ever touching DNS.
+    val addr = com.google.common.net.InetAddresses.forString(s)
     addr match {
       case v4: Inet4Address if s.contains(":") =>
         // ::ffff:a.b.c.d — rebuild the 128-bit mapped value
@@ -47,7 +53,10 @@ object IpKit {
   }
 
   def isIpv4(ip: String): Boolean =
-    !ip.contains(":") && InetAddress.getByName(ip.trim).isInstanceOf[Inet4Address]
+    !ip.contains(":") &&
+      (try com.google.common.net.InetAddresses.forString(ip.trim)
+        .isInstanceOf[Inet4Address]
+      catch { case _: IllegalArgumentException => false })
 
   /** (family, start, end) of a prefix "addr/len" (len optional → host). */
   def prefixRange(prefix: String): (Int, BigInteger, BigInteger) = {
@@ -55,8 +64,15 @@ object IpKit {
       case -1 => (prefix, None)
       case i  => (prefix.substring(0, i), Some(prefix.substring(i + 1).toInt))
     }
-    val bits    = if (addrStr.contains(":")) 128 else 32
-    val len     = lenOpt.getOrElse(bits)
+    val bits = if (addrStr.contains(":")) 128 else 32
+    val len  = lenOpt.getOrElse(bits)
+    // out-of-range masks must throw (→ null through the catching
+    // wrappers), not wrap: a negative BigInteger shift REVERSES
+    // direction, so '1.2.3.4/40' would silently yield end < start — a
+    // range no probe can ever land in — and a negative len would crash
+    // toFixedBytes with an array bounds error
+    if (len < 0 || len > bits)
+      throw new IllegalArgumentException(s"mask /$len out of range for $bits-bit address")
     val value   = ipToBigInt(addrStr)
     val hostLen = bits - len
     val start   = value.shiftRight(hostLen).shiftLeft(hostLen)
@@ -69,7 +85,7 @@ object IpKit {
     * asserted in `ConsumerRunnableAppTest.java:34-38`).
     */
   def ipToBits(ip: String): String = {
-    val addr  = InetAddress.getByName(ip.trim)
+    val addr  = com.google.common.net.InetAddresses.forString(ip.trim) // literal-only, no DNS
     val bytes = addr.getAddress
     bytes.map(b => String.format("%8s", Integer.toBinaryString(b & 0xff)).replace(' ', '0')).mkString
   }
@@ -82,7 +98,7 @@ object IpKit {
   // Decimal (max precision 38 < 2^128-1) it holds full IPv6 range.
   // Families never compare against each other (ip_family splits them).
 
-  private def toFixedBytes(b: BigInteger, len: Int): Array[Byte] = {
+  private[graft] def toFixedBytes(b: BigInteger, len: Int): Array[Byte] = {
     val raw = b.toByteArray.dropWhile(_ == 0)
     val out = new Array[Byte](len)
     System.arraycopy(raw, 0, out, len - raw.length, raw.length)
@@ -91,9 +107,15 @@ object IpKit {
 
   private def addrLen(ip: String): Int = if (ip.contains(":")) 16 else 4
 
-  val ipNumUdf = udf((ip: String) =>
-    if (ip == null || ip.isEmpty) null
-    else toFixedBytes(ipToBigInt(ip), addrLen(ip)))
+  // The UDFs mirror the native expressions' null-on-malformed contract
+  // (a single dirty cell in an external geo/RPKI file must not abort
+  // the job) — catch-to-null, with blank-after-trim also null.
+  private def nullOnError[T >: Null](f: String => T): String => T =
+    (s: String) =>
+      if (s == null || s.trim.isEmpty) null
+      else try f(s.trim) catch { case _: Exception => null }
+
+  val ipNumUdf = udf(nullOnError(ip => toFixedBytes(ipToBigInt(ip), addrLen(ip))))
 
   /** Native codegen'd form of [[ipNumUdf]] ([[graft.plans.InetNum]]):
     * same null-on-empty/malformed semantics, but inlined in the
@@ -114,27 +136,27 @@ object IpKit {
         org.apache.spark.sql.GraftColumnBridge.expression(addr),
         org.apache.spark.sql.GraftColumnBridge.expression(len)))
 
-  val prefixStartUdf = udf((p: String) =>
-    if (p == null || p.isEmpty) null
-    else toFixedBytes(prefixRange(p)._2, addrLen(p)))
+  val prefixStartUdf = udf(nullOnError(p => toFixedBytes(prefixRange(p)._2, addrLen(p))))
 
-  val prefixEndUdf = udf((p: String) =>
-    if (p == null || p.isEmpty) null
-    else toFixedBytes(prefixRange(p)._3, addrLen(p)))
+  val prefixEndUdf = udf(nullOnError(p => toFixedBytes(prefixRange(p)._3, addrLen(p))))
 
-  val ipBitsUdf = udf((ip: String) =>
-    if (ip == null || ip.isEmpty) null else ipToBits(ip))
+  val ipBitsUdf = udf(nullOnError(ipToBits))
 
   /** `host(inet)` — strip the mask (`8_views.sql:11,13,33-34,76`). */
   def inetHost(c: Column): Column = regexp_extract(c, "^([^/]+)", 1)
 
-  /** `family(inet)` → 4|6 (`2_aggregations.sql:371-376`). */
-  def inetFamily(c: Column): Column = when(c.contains(":"), lit(6)).otherwise(lit(4))
+  /** `family(inet)` → 4|6, NULL for NULL (`2_aggregations.sql:371-376`;
+    * Postgres family(NULL) is NULL — an `otherwise(4)` would stamp
+    * phantom v4 rows for null prefixes).
+    */
+  def inetFamily(c: Column): Column =
+    when(c.contains(":"), lit(6)).when(c.isNotNull, lit(4))
 
-  /** mask length of "addr/len", default by family. */
+  /** mask length of "addr/len", default by family, NULL for NULL. */
   def inetMaskLen(c: Column): Column =
     when(c.contains("/"), regexp_extract(c, "/(\\d+)$", 1).cast(IntegerType))
-      .otherwise(when(c.contains(":"), lit(128)).otherwise(lit(32)))
+      .when(c.contains(":"), lit(128))
+      .when(c.isNotNull, lit(32))
 
   /** numeric [start,end] containment: does prefix (s1,e1) contain (s2,e2). */
   def rangeContains(s1: Column, e1: Column, s2: Column, e2: Column): Column =

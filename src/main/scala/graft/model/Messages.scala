@@ -222,6 +222,11 @@ object Messages {
   def nullAsEmpty(c: Column): Column = coalesce(c, lit(""))
   def longEmptyAsZero(c: Column): Column =
     coalesce(nullif(trim(c), lit("")).cast(LongType), lit(0L))
+  /** Numeric cell that is legitimately ABSENT (peer session fields on a
+    * down message): empty → NULL, matching the reference's nullable
+    * columns — where [[longEmptyAsZero]] is for counters that default 0.
+    */
+  def longEmptyAsNull(c: Column): Column = nullif(trim(c), lit("")).cast(LongType)
   def parseTs(c: Column): Column =
     coalesce(
       to_timestamp(c, TsFormat),
@@ -291,6 +296,16 @@ object Messages {
       .withColumn("timestamp", parseTs(col("timestamp")))
       .withColumn("ts_us", unix_micros(col("timestamp")))
       .withColumn("isPrePolicy", boolCell(col("isPrePolicy")))
+      // numeric session/error fields (nullable in the reference schema,
+      // 1_base.sql:181-196): empty → NULL long, not 0 — a down message
+      // carries no session and peerEventLog must emit NULLs for it
+      .withColumn("local_port", longEmptyAsNull(col("local_port")))
+      .withColumn("local_hold_time", longEmptyAsNull(col("local_hold_time")))
+      .withColumn("local_asn", longEmptyAsNull(col("local_asn")))
+      .withColumn("remote_port", longEmptyAsNull(col("remote_port")))
+      .withColumn("remote_hold_time", longEmptyAsNull(col("remote_hold_time")))
+      .withColumn("bgp_err_code", longEmptyAsNull(col("bgp_err_code")))
+      .withColumn("bgp_err_subcode", longEmptyAsNull(col("bgp_err_subcode")))
       .withColumn("isLocRib", boolCell(col("isLocRib")))
       .withColumn("isLocRibFiltered", boolCell(col("isLocRibFiltered")))
 

@@ -28,35 +28,29 @@ import graft.ip.IpKit
   */
 object InetOps {
   /** address string → fixed-length big-endian bytes (null if malformed
-    * or empty — `InetAddress.getByName("")` would resolve loopback)
+    * or blank; parsing is literal-only via [[IpKit.ipToBigInt]] — never
+    * DNS). Identical to [[prefixStart]]: a bare address is the /width
+    * prefix of itself.
     */
-  def ipNum(s: UTF8String): Array[Byte] =
-    try {
-      val str = s.toString
-      if (str.isEmpty) null
-      else {
-        val (_, start, _) = IpKit.prefixRange(str)
-        toFixed(start, if (str.contains(":")) 16 else 4)
-      }
-    } catch { case _: Exception => null }
+  def ipNum(s: UTF8String): Array[Byte] = prefixStart(s)
 
   def prefixStart(s: UTF8String): Array[Byte] =
     try {
       val str = s.toString
-      if (str.isEmpty) null
+      if (str.trim.isEmpty) null // blank-after-trim too, not just ""
       else {
         val (_, start, _) = IpKit.prefixRange(str)
-        toFixed(start, if (str.contains(":")) 16 else 4)
+        IpKit.toFixedBytes(start, if (str.contains(":")) 16 else 4)
       }
     } catch { case _: Exception => null }
 
   def prefixEnd(s: UTF8String): Array[Byte] =
     try {
       val str = s.toString
-      if (str.isEmpty) null
+      if (str.trim.isEmpty) null
       else {
         val (_, _, end) = IpKit.prefixRange(str)
-        toFixed(end, if (str.contains(":")) 16 else 4)
+        IpKit.toFixedBytes(end, if (str.contains(":")) 16 else 4)
       }
     } catch { case _: Exception => null }
 
@@ -82,12 +76,6 @@ object InetOps {
     }
   }
 
-  private def toFixed(b: java.math.BigInteger, len: Int): Array[Byte] = {
-    val raw = b.toByteArray.dropWhile(_ == 0)
-    val out = new Array[Byte](len)
-    System.arraycopy(raw, 0, out, len - raw.length, raw.length)
-    out
-  }
 }
 
 abstract class InetUnary extends UnaryExpression {

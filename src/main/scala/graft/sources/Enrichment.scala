@@ -66,8 +66,13 @@ object Enrichment {
     p.unionByName(w.join(p.select("asn"), Seq("asn"), "left_anti"))
   }
 
-  /** info_route upsert prep (M12): `DISTINCT ON (prefix, origin_as)`
-    * first-wins over the staged VALUES (`gen_whois_route.py:194-216`).
+  /** info_route upsert prep (M12): one row per (prefix, origin_as) like
+    * the reference's `DISTINCT ON` (`gen_whois_route.py:194-216`) —
+    * which, with no ORDER BY, keeps an INSERT-ORDER-arbitrary row. A
+    * distributed engine has no stable insert order, so the tiebreak
+    * here is deterministic instead (greatest descr wins): idempotent
+    * re-runs produce identical tables, which the reference's arbitrary
+    * pick cannot guarantee.
     */
   def distinctRoutes(routes: DataFrame): DataFrame =
     graft.operators.MergeOps.dedupToLatest(

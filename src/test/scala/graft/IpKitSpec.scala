@@ -66,6 +66,39 @@ class IpKitSpec extends SparkSpec {
     assert(lpmOf("::ffff:10.1.2.3") === "::/0")      // mapped stays family 6
   }
 
+  test("dirty address inputs: null, not loopback/crash/DNS") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("blank", " "),            // trims to empty — must NOT resolve loopback
+      ("hostname", "localhost"), // non-literal — must NOT DNS-resolve
+      ("badmask", "1.2.3.4/40"), // mask beyond family width
+      ("negmask", "1.2.3.4/-1"),
+      ("garbage", "not-an-ip"),
+      ("good", "10.0.0.0/8"))
+      .toDF("case", "p")
+      .select(col("case"),
+        IpKit.inetNum(col("p")).as("native"),
+        IpKit.prefixStartUdf(col("p")).as("udf"))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    for (c <- Seq("blank", "hostname", "badmask", "negmask", "garbage")) {
+      assert(df(c)._1 == null, s"native inet_num('$c') should be null")
+      assert(df(c)._2 == null, s"prefixStartUdf('$c') should be null")
+    }
+    assert(df("good")._1 != null && df("good")._2 != null)
+    // scala-side parity
+    intercept[IllegalArgumentException](IpKit.prefixRange("1.2.3.4/40"))
+    intercept[IllegalArgumentException](IpKit.ipToBigInt("localhost"))
+  }
+
+  test("inetFamily/inetMaskLen are NULL for NULL input (Postgres family(NULL))") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = Seq(Tuple1(null.asInstanceOf[String])).toDF("p")
+      .select(IpKit.inetFamily(col("p")), IpKit.inetMaskLen(col("p"))).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("inetHost / inetFamily / inetMaskLen columns") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -94,6 +94,18 @@ class TextFnsSpec extends SparkSpec {
     assert(r(3) === 0.0)
   }
 
+  test("blank text scores zero diversity; null text yields null langId") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val r = Seq(("", "x"), ("   ", "y"), (null, "z")).toDF("text", "tag")
+      .select(col("tag"), TextFns.typeTokenRatio(col("text")).as("ttr"),
+        TextFns.langId(col("text")).as("lang"))
+      .collect().map(x => x.getString(0) -> (x.get(1), x.get(2))).toMap
+    assert(r("x")._1 === 0.0) // split("") = [""] must not count as a token
+    assert(r("y")._1 === 0.0)
+    assert(r("z")._2 == null, "null text must not classify as a language")
+  }
+
   test("stopwordRatio and qualityScore bounded") {
     val r = Seq("the a of and to in is junk").toDF("text")
       .select(TextFns.stopwordRatio(col("text"), TextFns.EnMarkers),
