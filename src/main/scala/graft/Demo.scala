@@ -68,8 +68,8 @@ object Demo {
                  FROM v_ip_routes WHERE NOT isWithdrawn""").show(false)
 
     println("== v_ip_routes_history ==")
-    spark.sql("""SELECT Prefix, status, ts_us FROM v_ip_routes_history
-                 ORDER BY ts_us""").show(false)
+    spark.sql("""SELECT Prefix, event, LastModified FROM v_ip_routes_history
+                 ORDER BY LastModified""").show(false)
 
     println("== v_peers ==")
     spark.sql("SELECT PeerName, PeerASN, as_name, peer_state FROM v_peers").show(false)

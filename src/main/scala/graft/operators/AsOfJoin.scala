@@ -45,13 +45,23 @@ object AsOfJoin {
       col(leftTime).as("__t"), lit(leftTag).as("__side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow"),
       lit(null).cast(rStructType).as("__rrow")): _*)
-    val r = right.select(keyCols ++ Seq(
-      col(rightTime).as("__t"), lit(rightTag).as("__side"),
-      lit(null).cast(lStructType).as("__lrow"),
-      struct(rStructCols: _*).as("__rrow")): _*)
+    // equi-join null semantics: a right row with a null key matches
+    // nothing in SQL, but Window.partitionBy groups the null partition
+    // together — drop null-key rights so null-key LEFTS flow through
+    // with a null payload (left-join parity) instead of pairing up
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .select(keyCols ++ Seq(
+        col(rightTime).as("__t"), lit(rightTag).as("__side"),
+        lit(null).cast(lStructType).as("__lrow"),
+        struct(rStructCols: _*).as("__rrow")): _*)
 
+    // __rrow as the final sort key makes equal-time right rows pick a
+    // DETERMINISTIC winner (greatest payload struct) — last() over a
+    // partial order would return whichever row the shuffle happened to
+    // place later
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rrow").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .withColumn("__last_r", last(col("__rrow"), ignoreNulls = true).over(w))

@@ -44,6 +44,13 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  discriminator: Column, n: Int, joinType: String = "inner"): DataFrame = {
+    // the dim is REPLICATED n× — a right/full outer join would emit n
+    // null-padded copies of every unmatched dim key, so fail fast
+    // instead of silently multiplying rows
+    require(Set("inner", "left", "leftouter").contains(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only (got $joinType): " +
+        "the replicated dim side breaks right/full outer semantics")
     val saltedFact = fact.withColumn("__salt", salt(discriminator, n))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1)).cast("array<int>")))

@@ -101,7 +101,10 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 object ArrayFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
-      ("array_dot", (c: Seq[Expression]) => ArrayDotProduct(c(0), c(1)): Expression)
+      ("array_dot", (c: Seq[Expression]) => {
+        require(c.length == 2, s"array_dot takes 2 arguments, got ${c.length}")
+        ArrayDotProduct(c(0), c(1)): Expression
+      })
     ).map { case (name, builder) =>
       (FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.ArrayExpressions", name),

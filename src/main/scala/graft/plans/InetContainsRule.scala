@@ -49,16 +49,25 @@ case class InetContains(left: Expression, right: Expression)
   }
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (p, a) => s"""
-      byte[] start = graft.plans.InetOps.prefixStart($p);
-      byte[] end = graft.plans.InetOps.prefixEnd($p);
-      if (start == null || end == null) { ${ev.isNull} = true; }
+    nullSafeCodeGen(ctx, ev, (p, a) => {
+      // freshName, not fixed locals: two instances of this expression in
+      // one generated method (e.g. an OR of two containment predicates
+      // over a non-nullable child, where nullSafeExec omits its braces)
+      // would otherwise declare `start`/`end` twice — janino compile
+      // error → silent interpreted fallback
+      val start = ctx.freshName("inetStart")
+      val end   = ctx.freshName("inetEnd")
+      s"""
+      byte[] $start = graft.plans.InetOps.prefixStart($p);
+      byte[] $end = graft.plans.InetOps.prefixEnd($p);
+      if ($start == null || $end == null) { ${ev.isNull} = true; }
       else {
-        ${ev.value} = start.length == $a.length &&
-          java.util.Arrays.compareUnsigned(start, $a) <= 0 &&
-          java.util.Arrays.compareUnsigned(end, $a) >= 0;
+        ${ev.value} = $start.length == $a.length &&
+          java.util.Arrays.compareUnsigned($start, $a) <= 0 &&
+          java.util.Arrays.compareUnsigned($end, $a) >= 0;
       }
-    """)
+    """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(newLeft, newRight)

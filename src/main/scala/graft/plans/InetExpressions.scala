@@ -165,8 +165,14 @@ object GraftFunctions {
     ("inet_start", (c: Seq[Expression]) => InetStart(c.head)),
     ("inet_end", (c: Seq[Expression]) => InetEnd(c.head)),
     ("inet_family", (c: Seq[Expression]) => InetFamily(c.head)),
-    ("inet_contains", (c: Seq[Expression]) => InetContains(c(0), c(1))),
-    ("inet_aligned", (c: Seq[Expression]) => InetAligned(c(0), c(1)))
+    ("inet_contains", (c: Seq[Expression]) => {
+      require(c.length == 2, s"inet_contains takes 2 arguments, got ${c.length}")
+      InetContains(c(0), c(1))
+    }),
+    ("inet_aligned", (c: Seq[Expression]) => {
+      require(c.length == 2, s"inet_aligned takes 2 arguments, got ${c.length}")
+      InetAligned(c(0), c(1))
+    })
   ).map { case (name, builder) =>
     (FunctionIdentifier(name),
       new ExpressionInfo("graft.plans.InetExpressions", name),

@@ -83,7 +83,7 @@ object BmpViews {
         col("p.isL3VPNpeer").as("isPeerVPN"),
         col("rib.ts_us").as("LastModified"),
         col("rib.hash_id").as("rib_hash_id"),
-        col("rib.base_attr_hash_id").as("base_attr_hash_id"),
+        col("rib.base_attr_hash_id").as("base_hash_id"), // reference surface name (8_views.sql:46)
         col("rib.peer_hash_id").as("peer_hash_id"),
         col("p.router_hash_id").as("router_hash_id"),
         col("rib.isWithdrawn").as("isWithdrawn")) ++
@@ -93,6 +93,17 @@ object BmpViews {
   /** v_ip_routes_history-style status label (`8_views.sql:95,112`). */
   def withdrawnLabel(isWithdrawn: Column): Column =
     when(isWithdrawn, lit("Withdrawn")).otherwise(lit("Advertised"))
+
+  /** v_ip_routes_history (`8_views.sql:81-103`): the SAME 4-way join
+    * shape as [[vIpRoutes]] over the CDC log, with the
+    * Withdrawn/Advertised `event` label — the reference history view is
+    * a join view, not the raw log (which registers separately as
+    * `ip_rib_log`). Mirrors [[vL3vpnRoutesHistory]].
+    */
+  def vIpRoutesHistory(ribLog: DataFrame, peers: DataFrame, attrs: DataFrame,
+                       routers: DataFrame): DataFrame =
+    vIpRoutes(ribLog, peers, attrs, routers)
+      .withColumn("event", withdrawnLabel(col("isWithdrawn")))
 
   /** v_ls_links (`8_views.sql:138-142`): two joins to the same node dim. */
   def vLsLinks(links: DataFrame, nodes: DataFrame): DataFrame =
@@ -209,7 +220,7 @@ object BmpViews {
     routes.filter(!col("isWithdrawn")).createOrReplaceTempView("v_ip_routes_active")
     ribLog.foreach { lg =>
       lg.createOrReplaceTempView("ip_rib_log")
-      lg.withColumn("status", withdrawnLabel(col("isWithdrawn")))
+      vIpRoutesHistory(lg, peers, attrs, routers)
         .createOrReplaceTempView("v_ip_routes_history")
     }
   }
@@ -262,33 +273,46 @@ object BmpViews {
     val g0 = IpKit.withPrefixRange(geo, "ip")
       .select(col("ip").as("geo_ip"), col("ip_start"), col("ip_end"), col("ip_len"),
         col("country"), col("city"))
-    val probed = routes.withColumn("__addr", IpKit.inetNum(IpKit.inetHost(col("Prefix"))))
-    // LEFT semantics like the reference view (8_views.sql:76): routes
-    // with no covering geo prefix keep null geo columns, never drop.
-    // Family guard: the binary forms are 4 bytes (v4) vs 16 bytes (v6);
-    // without it a v4 probe compares lexicographically inside v6 ranges
-    // (reference inet && never matches across families) — the expansion
-    // path gets the same guard structurally from fixed binary widths.
-    // Without dimSizeHint the strategy pick costs one count job over the
-    // geo scan per view construction; callers that build the view
+    // the reference view shows LIVE routes only (8_views.sql:79 WHERE
+    // isWithdrawn = false); slim callers (tests) may pass frames
+    // without the flag
+    val live =
+      if (routes.columns.contains("isWithdrawn")) routes.filter(!col("isWithdrawn"))
+      else routes
+    // slim probe: only the join keys + derived address cross the LPM —
+    // the route join chain is evaluated on BOTH the probe and restore
+    // sides of this enrich-then-join-back, so the probe must not drag
+    // the ~24 route columns through the LPM join.
+    val probed = live.select(col("rib_hash_id"), col("peer_hash_id"),
+      IpKit.inetNum(IpKit.inetHost(col("Prefix"))).as("__addr"))
+    // LEFT semantics like the reference view: routes with no covering
+    // geo prefix keep null geo columns, never drop. Family guard: the
+    // binary forms are 4 bytes (v4) vs 16 bytes (v6); without it a v4
+    // probe compares lexicographically inside v6 ranges (reference
+    // inet && never matches across families) — the expansion path gets
+    // the same guard structurally from fixed binary widths. Both
+    // branches break (start, len) ties by least geo_ip, so the two
+    // strategies stay value-identical on duplicate geo prefixes.
+    // Without dimSizeHint the strategy pick costs one count job over
+    // the geo scan per view construction; callers that build the view
     // repeatedly (per micro-batch) should pass the known dim size.
     val matched =
       if (dimSizeHint.getOrElse(geo.count()) <= rangeJoinMaxDimRows)
         graft.operators.LpmJoin.lpmRange(
           probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
           broadcast(g0), "ip_start", "ip_end", "ip_len",
+          tieBreak = Seq(col("geo_ip").asc),
           extraCond = length(col("__addr")) === length(col("ip_start")))
           .select(col("rib_hash_id"), col("peer_hash_id"),
             col("geo_ip"), col("country"), col("city"))
       else
         graft.operators.LpmJoin.lpmByExpansionBinary(
-          probed.select("rib_hash_id", "peer_hash_id", "__addr"),
-          Seq("rib_hash_id", "peer_hash_id"), "__addr",
+          probed, Seq("rib_hash_id", "peer_hash_id"), "__addr",
           g0, "ip_start", "ip_len",
           payload = Seq("geo_ip", "country", "city"), tieBreakAsc = "geo_ip",
           broadcastDim = false)
           .select(col("rib_hash_id"), col("peer_hash_id"),
             col("geo_ip"), col("country"), col("city"))
-    routes.join(matched, Seq("rib_hash_id", "peer_hash_id"), "left")
+    live.join(matched, Seq("rib_hash_id", "peer_hash_id"), "left")
   }
 }

@@ -39,6 +39,29 @@ class AsOfJoinSpec extends SparkSpec {
       ("u2", 5L, null)))
   }
 
+  test("null join keys: left rows keep null payload, right rows never match (equi-join parity)") {
+    val ls = Seq((null.asInstanceOf[String], 10L, "L1"), ("k1", 10L, "L2"))
+      .toDF("k", "t", "obs")
+    val rs = Seq((null.asInstanceOf[String], 5L, "NULLSTATE"), ("k1", 5L, "S1"))
+      .toDF("k", "rt", "state")
+    val got = AsOfJoin.asOf(ls, rs, Seq("k"), "t", "rt", Seq("state"))
+      .select("obs", "state").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // SQL `l.k = r.k` never matches NULLs: the null-key left row must
+    // appear WITH a null payload, not paired with the null-key right
+    assert(got === Map("L1" -> null, "L2" -> "S1"))
+  }
+
+  test("equal-time right duplicates resolve deterministically (greatest payload)") {
+    val ls = Seq(("k1", 10L, "o")).toDF("k", "t", "obs")
+    val rs = Seq(("k1", 5L, "A"), ("k1", 5L, "B")).toDF("k", "rt", "state")
+    val got = (1 to 5).map { _ =>
+      AsOfJoin.asOf(ls, rs.repartition(4), Seq("k"), "t", "rt", Seq("state"))
+        .select("state").head().getString(0)
+    }.toSet
+    assert(got === Set("B")) // greatest (rt, payload) struct, every run
+  }
+
   test("brute-force parity on seeded random data") {
     val rnd = new scala.util.Random(11)
     val ls = (1 to 200).map(_ => (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, "o"))

@@ -152,6 +152,16 @@ class ViewsAndCascadeSpec extends SparkSpec {
       .select("rib_hash_id", "country").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(outExp === out)
+
+    // reference view filters withdrawn routes (8_views.sql:79) — when
+    // the input carries the flag, withdrawn rows must not appear, on
+    // EITHER strategy
+    val flagged = routes.withColumn("isWithdrawn", col("rib_hash_id") === "r2")
+    for (threshold <- Seq(100000L, 0L)) {
+      val live = BmpViews.vIpRoutesGeo(flagged, geo, rangeJoinMaxDimRows = threshold)
+        .select("rib_hash_id").collect().map(_.getString(0)).toSet
+      assert(live === Set("r1", "r3"), s"threshold=$threshold")
+    }
   }
 
   test("T4 peer event log: up rows carry session fields, down rows error fields") {
