@@ -305,6 +305,7 @@ object Queries {
     Some(s"""
       SELECT user_id, $EvUs AS ts_us, event_id, event_type
       FROM events
+      WHERE user_id IS NOT NULL -- insertIgnore drops unjoinable null keys
       QUALIFY row_number() OVER (PARTITION BY user_id
         ORDER BY $EvUs ASC, event_id ASC) = 1
       ORDER BY user_id"""))
@@ -336,11 +337,25 @@ object Queries {
         SELECT user_id, value AS retained_value, props AS retained_props
         FROM e WHERE event_type <> 'error'
         QUALIFY row_number() OVER (PARTITION BY user_id
-          ORDER BY ts_us DESC, event_id DESC) = 1)
-      SELECT user_id, last_ts_us, last_event_id, is_withdrawn,
-             retained_value, retained_props
-      FROM last_all LEFT JOIN last_adv USING (user_id)
-      ORDER BY user_id"""))
+          ORDER BY ts_us DESC, event_id DESC) = 1),
+      -- all-withdraw keys retain the FIRST update's values (the first
+      -- withdraw lands with no existing row and writes its attrs) —
+      -- mirrors MergeOps.applyOrdered's record-by-record fallback. The
+      -- fallback keys on ROW existence, not value nullness: a last
+      -- advertise with a legitimately-NULL value must stay NULL
+      first_any AS (
+        SELECT user_id, value AS first_value, props AS first_props
+        FROM e QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us ASC, event_id ASC) = 1)
+      SELECT l.user_id, last_ts_us, last_event_id, is_withdrawn,
+             CASE WHEN la.user_id IS NULL THEN fa.first_value
+                  ELSE la.retained_value END AS retained_value,
+             CASE WHEN la.user_id IS NULL THEN fa.first_props
+                  ELSE la.retained_props END AS retained_props
+      FROM last_all l
+      LEFT JOIN last_adv la ON l.user_id = la.user_id
+      LEFT JOIN first_any fa ON l.user_id = fa.user_id
+      ORDER BY l.user_id"""))
 
   val q12Cdc = Q(
     "q12_t1_cdc_changes",
@@ -1075,16 +1090,23 @@ object Queries {
         ORDER BY len DESC, gstart DESC) = 1
       ORDER BY c_custkey"""))
 
+  // shared by q43 (plain) and q60 (strict + tolerance): purchases side +
+  // per-(user, ts) deduped signups side
+  private def asOfSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val signups = MergeOps.dedupToLatest(
+      e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("s_ts"), col("event_id").as("s_event_id")),
+      Seq("user_id", "s_ts"), Seq("s_event_id"))
+    (purchases, signups)
+  }
+
   val q43AsOf = Q(
     "q43_asof_point_in_time",
     (s, dir) => {
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-      val signups = MergeOps.dedupToLatest(
-        e.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("ts_us").as("s_ts"), col("event_id").as("s_event_id")),
-        Seq("user_id", "s_ts"), Seq("s_event_id"))
+      val (purchases, signups) = asOfSides(s, dir)
       graft.operators.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
         "ts_us", "s_ts", Seq("s_event_id", "s_ts"))
         .select("user_id", "event_id", "ts_us", "s_event_id", "s_ts")
@@ -1158,7 +1180,12 @@ object Queries {
         .orderBy("k_mod"),
     Some("""
       WITH e AS (SELECT user_id,
-        CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+        -- NULLIF guards the no-match case: DuckDB regexp_extract yields
+        -- '' there and CAST('' AS BIGINT) ERRORS, where Spark's
+        -- regexp_extract(..).cast produces NULL — the oracle must reach
+        -- the same NULL group, not abort
+        CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+        FROM events)
       SELECT k % 10 AS k_mod, COUNT(*) AS n,
         CAST(SUM(k) AS BIGINT) AS sum_k,
         COUNT(DISTINCT user_id) AS n_users
@@ -1778,13 +1805,7 @@ object Queries {
       // strict (<, not ≤) + bounded-staleness as-of: each purchase
       // pairs with the latest signup STRICTLY before it and at most
       // 2 simulated days older
-      val e = ev(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"))
-      val signups = MergeOps.dedupToLatest(
-        e.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("ts_us").as("s_ts"), col("event_id").as("s_event_id")),
-        Seq("user_id", "s_ts"), Seq("s_event_id"))
+      val (purchases, signups) = asOfSides(s, dir)
       graft.operators.AsOfJoin.asOf(purchases, signups, Seq("user_id"),
         "ts_us", "s_ts", Seq("s_event_id", "s_ts"),
         tolerance = Some(172800000000L), strict = true)

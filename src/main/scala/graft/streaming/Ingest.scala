@@ -30,7 +30,10 @@ object Ingest {
   val ipRibPolicy: MergePolicy = MergePolicy(
     keys = Seq("peer_hash_id", "hash_id"),
     withdrawnCol = "isWithdrawn",
-    orderBy = Seq("ts_us"),
+    // TOTAL order: ts ties resolve by flag (withdraw wins) then attrs —
+    // deterministic across reruns, same tiebreak as the stateful
+    // streaming path's sort
+    orderBy = Seq("ts_us", "isWithdrawn", "base_attr_hash_id"),
     // M1: base_attr/origin retained on withdraw (UnicastPrefixQuery.java:36-37)
     retainOnWithdraw = Seq("base_attr_hash_id", "origin_as"),
     alwaysUpdate = Seq("ts_us", "path_id", "labels", "isPrePolicy", "isAdjRibIn",

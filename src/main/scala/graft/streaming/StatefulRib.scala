@@ -122,11 +122,18 @@ object StatefulRib {
           Iterator.empty
         } else {
           var cur = state.getOption
-          val out = it.toSeq.sortBy(u => (u.ts_us, u.isWithdrawn)).flatMap { u =>
-            val (next, change) = step(cur, u)
-            cur = Some(next)
-            change
-          }
+          // TOTAL order: a (ts, flag)-only sort leaves equal-timestamp
+          // advertises in shuffle-arrival order — nondeterministic state
+          // and CDC across reruns. Adding the attribute columns makes
+          // ties deterministic and matches the batch path's
+          // ipRibPolicy orderBy (withdraws after advertises at equal ts)
+          val out = it.toSeq
+            .sortBy(u => (u.ts_us, u.isWithdrawn, u.base_attr_hash_id, u.origin_as))
+            .flatMap { u =>
+              val (next, change) = step(cur, u)
+              cur = Some(next)
+              change
+            }
           cur.foreach { st =>
             state.update(st)
             ttl.foreach(d => state.setTimeoutDuration(d.toMillis))

@@ -67,6 +67,38 @@ class StatefulRibSpec extends SparkSpec {
       ("h2", "a2", false)))
   }
 
+  test("batch merge path emits the same CDC + state as the change stream") {
+    // the scaladoc's "both paths share the same per-record semantics"
+    // claim, made checkable: the exact batches of the streaming test,
+    // driven through MergeOps.upsertWithLog, must yield the same CDC
+    // triples and the same final state
+    import graft.operators.MergeOps
+    import org.apache.spark.sql.functions.col
+    val policy = MergeOps.MergePolicy(
+      keys = Seq("peer_hash_id", "hash_id"), withdrawnCol = "isWithdrawn",
+      orderBy = Seq("ts_us", "isWithdrawn", "base_attr_hash_id"),
+      retainOnWithdraw = Seq("base_attr_hash_id", "origin_as"),
+      alwaysUpdate = Seq("ts_us"))
+    val b1 = Seq(
+      RibUpdate("p1", "h1", "a1", 65001L, 1L, isWithdrawn = false),
+      RibUpdate("p1", "h2", "a2", 65002L, 1L, isWithdrawn = false)).toDS().toDF()
+    val b2 = Seq(RibUpdate("p1", "h1", "", 0L, 2L, isWithdrawn = true)).toDS().toDF()
+    val (st1, log1) = MergeOps.upsertWithLog(b1.limit(0), b1, policy)
+    val (st2, log2) = MergeOps.upsertWithLog(st1, b2, policy)
+    val cdc = log1.unionByName(log2)
+      .select("hash_id", "base_attr_hash_id", "isWithdrawn").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSortedSetLike
+    // same triples the streaming test asserts from changeStream
+    assert(cdc === Seq(("h1", "a1", false), ("h1", "a1", true), ("h2", "a2", false)))
+    val h1 = st2.filter(col("hash_id") === "h1").head()
+    assert(h1.getAs[Boolean]("isWithdrawn") === true)
+    assert(h1.getAs[String]("base_attr_hash_id") === "a1") // retained, like step()
+  }
+
+  private implicit class SortedSeq(a: Array[(String, String, Boolean)]) {
+    def toSortedSetLike: Seq[(String, String, Boolean)] = a.toSeq.sortBy(t => (t._1, t._3))
+  }
+
   test("changeStream on the RocksDB state store provider (bounded heap)") {
     import scala.jdk.CollectionConverters._
     val in = Files.createTempDirectory("graft_srib_rdb").toString
