@@ -43,11 +43,12 @@ object Bench {
     val cold = pass()
     val warm = pass()
 
-    // Keep the official JSON line SHORT and LAST: the driver captures a
-    // bounded tail of stdout, and round-1's single full-precision
-    // two-pass line overflowed it (BENCH_r01 parsed:null). 3-decimal
-    // rounding + warm pass on a separate non-JSON line keeps the
-    // parseable line ~1.5 KB and nearest the end of output.
+    // The official JSON line is the ONLY stdout line this main prints —
+    // first AND last, so it survives a capture harness that truncates
+    // either end (BENCH_r01 lost a head-truncated line, BENCH_r04/r05
+    // lost a tail-truncated one). Everything informational (warm pass
+    // breakdown) goes to stderr; 3-decimal rounding keeps the line
+    // ~1.5 KB.
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -55,8 +56,9 @@ object Bench {
     val totalWarm = r3(warm.values.sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},"value_warm":$totalWarm,"sf":"$sfDir"}"""
-    println(s"# warm pass: total=$totalWarm sec, queries=${fmt(warm)}")
     println(line)
+    System.out.flush()
+    System.err.println(s"# warm pass: total=$totalWarm sec, queries=${fmt(warm)}")
     // stdout tails get truncated by capture harnesses (BENCH_r04 parsed:
     // null); the file copy is whole by construction. The write must not
     // be able to fail the completed bench run (stdout already carries

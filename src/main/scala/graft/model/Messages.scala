@@ -177,7 +177,17 @@ object Messages {
     StructField("srlg", StringType),
     StructField("name", StringType),
     StructField("isWithdrawn", StringType),
-    StructField("timestamp", StringType)))
+    StructField("timestamp", StringType),
+    // trailing reference columns (`LsLinkQuery.java:26-32` insert list) —
+    // appended last so shorter fixture lines parse with trailing nulls
+    StructField("local_igp_router_id", StringType),
+    StructField("local_router_id", StringType),
+    StructField("remote_igp_router_id", StringType),
+    StructField("remote_router_id", StringType),
+    StructField("local_asn", StringType),
+    StructField("remote_asn", StringType),
+    StructField("peer_node_sid", StringType),
+    StructField("sr_adjacency_sids", StringType)))
 
   /** ls_prefix key fields (`LsPrefixQuery.java:53-99`). */
   val lsPrefixSchema: StructType = StructType(Seq(
@@ -356,6 +366,8 @@ object Messages {
   def lsLinkFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
     lsCommon(parseTsv(raw, lineCol, lsLinkSchema).withColumn("protocol", lit("")))
       .withColumn("igp_metric", longEmptyAsZero(col("igp_metric")))
+      .withColumn("local_asn", longEmptyAsZero(col("local_asn")))
+      .withColumn("remote_asn", longEmptyAsZero(col("remote_asn")))
 
   def lsPrefixFromTsv(raw: DataFrame, lineCol: String = "line"): DataFrame =
     lsCommon(parseTsv(raw, lineCol, lsPrefixSchema).withColumn("protocol", lit("")))

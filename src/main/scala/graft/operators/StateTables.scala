@@ -309,6 +309,43 @@ object StateTables {
     oversized
   }
 
+  /** Predicate delete on the changed-bucket layout — the reference's
+    * `DELETE FROM ip_rib WHERE peer_hash_id = … AND timestamp < …`
+    * (T9 peer-up purge, `PeerQuery.java:121-153`) without a btree: one
+    * partition-wide scan finds the buckets holding matching rows (the
+    * scan is column-pruned to the predicate's inputs), then ONLY those
+    * buckets are rewritten without the matches, via the same crash-safe
+    * park-aside swap as the merge. Write volume ∝ buckets touched by
+    * the predicate; a no-match predicate rewrites nothing. A bucket
+    * whose every row matches collapses to no directory (correct: empty).
+    *
+    * Same single-writer contract as [[mergeChangedBuckets]].
+    *
+    * @return bucket ids rewritten
+    */
+  def deleteMatching(spark: SparkSession, path: String,
+                     predicate: org.apache.spark.sql.Column): Seq[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val fs   = new HPath(path).getFileSystem(conf)
+    val hasState = fs.exists(new HPath(path)) &&
+      fs.listStatus(new HPath(path)).exists(_.getPath.getName.startsWith("__bucket="))
+    if (!hasState) return Nil
+    recoverSwap(fs, path)
+    val touched = spark.read.parquet(path).filter(predicate)
+      .select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: ≤ numBuckets ints
+    if (touched.isEmpty) return Nil
+    val stage = path + "_stage"
+    spark.read.parquet(path)
+      .filter(col("__bucket").isin(touched: _*)) // partition-pruned rewrite set
+      .filter(!coalesce(predicate, lit(false)))  // null-predicate rows survive, like SQL DELETE
+      .write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    swapStagedDirs(fs, stage, path, touched.map(b => s"__bucket=$b"),
+      allowMissingSrc = true) // a fully-deleted bucket stages no partition
+    touched
+  }
+
   /** Recovery pre-pass for [[swapStagedDirs]] callers: any directory
     * still parked under `<path>_old` belongs to a swap that crashed
     * between park and move — if its slot is empty, move it back; if the

@@ -1,0 +1,355 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Messages
+import graft.operators.{MergeOps, StateTables}
+import graft.views.BmpViews
+
+/** The production entrypoint: ONE deployable streaming app wiring the
+  * full reference topology (`ConsumerApp.java:83-111` +
+  * `ConsumerRunnable.java:374-546`) Spark-first.
+  *
+  * One multiplexed source (Kafka `subscribePattern` over the ten
+  * `openbmp.parsed.*` topics, or the file-source fallback) feeds ONE
+  * streaming query whose `foreachBatch` demuxes by topic and merges
+  * every table in the reference's per-record priority order
+  * (`ConsumerRunnable.java:390-546`): collector → router → peer →
+  * base_attribute → unicast_prefix → l3vpn → bmp_stat → ls_node →
+  * ls_link → ls_prefix. A single query instead of ten buys exactly what
+  * the reference gets from one consumer loop + one database:
+  *
+  *  - cascades see fresh upstream state (a router-up in batch N downs
+  *    peers in batch N, not N+1 — T6–T9 inline, like the triggers);
+  *  - ONE commit point per micro-batch: every versioned table is staged
+  *    then published by a single [[ConsistentState]] manifest swap, so
+  *    `v_ip_routes` can never join rib@N against peers@N−1 (the MVCC
+  *    parity the per-table queries give up);
+  *  - Structured Streaming serializes `foreachBatch`, satisfying the
+  *    single-writer contract of every storage path for free.
+  *
+  * Two state regimes, chosen per deployment by [[Conf.bucketedRib]]:
+  * versioned snapshots for everything (atomic cross-table reads; write
+  * amplification O(state) per batch — the reference-scale default), or
+  * changed-bucket layout ([[StateTables.mergeChangedBuckets]]) for the
+  * four RIB-scale tables (write ∝ update spread — the 100 TB regime;
+  * inventory tables stay versioned+consistent, and the rib trades the
+  * cross-table manifest for bounded writes, converging a batch behind).
+  *
+  * The reference's staged topic subscribe (`ConsumerRunnable.java:
+  * 1054-1084` — inventory topics first, so prefixes never arrive before
+  * their peers) maps to bootstrap-then-stream: [[bootstrap]] replays
+  * inventory fixtures as a batch before [[start]] opens the stream; the
+  * in-batch priority order covers the steady state.
+  */
+object GraftApp {
+
+  val TopicPrefix = "openbmp.parsed."
+
+  /** The ten parsed-message topics, in the reference's processing
+    * priority order (`ConsumerRunnable.java:390-546`).
+    */
+  val Topics: Seq[String] = Seq(
+    "collector", "router", "peer", "base_attribute", "unicast_prefix",
+    "l3vpn", "bmp_stat", "ls_node", "ls_link", "ls_prefix")
+
+  /** Deployment knobs. `root` holds every table, log, and checkpoint:
+    * {{{
+    *   <root>/<table>/v<N>, <root>/_CURRENT      versioned + manifest
+    *   <root>/<table>/snapshot/__bucket=<i>      bucketed regime
+    *   <root>/<table>_log/batch=<id>             CDC / append logs
+    *   <root>/_checkpoint                        the ONE query's offsets
+    * }}}
+    */
+  final case class Conf(
+      root: String,
+      triggerMs: Long = 300, // reference batch_time_millis (Config.java:70)
+      bucketedRib: Option[Int] = None, // Some(numBuckets) → 100 TB rib regime
+      keepVersions: Int = 2,
+      registerViews: Boolean = true,
+      maintenanceEvery: Int = 0, // bucketed regime: micro-batches between maintenance passes (0 = off)
+      retentionUs: Option[Long] = None)
+
+  /** Tables that live under the consistent versioned manifest. In
+    * bucketed mode the rib-scale tables move to the bucket layout and
+    * drop out of this set.
+    */
+  private val VersionedRib = Seq("ip_rib", "l3vpn_rib", "ls_nodes", "ls_links", "ls_prefixes")
+  private val Inventory    = Seq("collectors", "routers", "bgp_peers", "base_attrs")
+
+  // ---- sources ---------------------------------------------------------
+
+  /** Kafka production source: all ten topics through one subscription. */
+  def kafkaSource(spark: SparkSession, brokers: String): DataFrame =
+    Ingest.kafkaSource(spark, brokers,
+      Topics.map(t => java.util.regex.Pattern.quote(TopicPrefix + t)).mkString("|"))
+
+  /** File-source fallback (no broker): TSV files dropped under
+    * `<dir>/topic=<full.topic.name>/` stream through the identical
+    * decode seam — (topic, msg_key, line, kafka_ts) — as the Kafka path.
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("recursiveFileLookup", "true")
+      .text(dir)
+      .select(
+        regexp_extract(input_file_name(), "topic=([^/]+)/", 1).as("topic"),
+        lit(null).cast("string").as("msg_key"),
+        col("value").as("line"),
+        lit(null).cast("timestamp").as("kafka_ts"))
+
+  /** Per-topic TSV parse dispatch (S2/S3) — the `Query.parse()` switch
+    * of `ConsumerRunnable.java:390-546` as data.
+    */
+  def parse(topic: String, lines: DataFrame): DataFrame = topic match {
+    case "collector"      => Messages.collectorFromTsv(lines)
+    case "router"         => Messages.routerFromTsv(lines)
+    case "peer"           => Messages.peerFromTsv(lines)
+    case "base_attribute" => Messages.baseAttributeFromTsv(lines)
+    case "unicast_prefix" => Messages.unicastPrefixFromTsv(lines)
+    case "l3vpn"          => Messages.l3vpnFromTsv(lines)
+    case "bmp_stat"       => Messages.bmpStatFromTsv(lines)
+    case "ls_node"        => Messages.lsNodeFromTsv(lines)
+    case "ls_link"        => Messages.lsLinkFromTsv(lines)
+    case "ls_prefix"      => Messages.lsPrefixFromTsv(lines)
+    case other            => sys.error(s"unknown topic suffix: $other")
+  }
+
+  // ---- the micro-batch -------------------------------------------------
+
+  /** One micro-batch through the whole topology. Public seam: the e2e
+    * spec drives THIS (via the started stream), and a batch backfill can
+    * call it directly with batchId-disjoint ids.
+    */
+  def processBatch(batch0: DataFrame, batchId: Long, conf: Conf): Unit = {
+    val spark = batch0.sparkSession
+    // the batch is demuxed ten ways below — one source compute, not ten
+    val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def lines(t: String): DataFrame =
+        batch.filter(col("topic") === TopicPrefix + t).select(col("line"))
+      val root = conf.root
+      val txn  = ConsistentState.begin(spark, root)
+
+      def cur(table: String, like: DataFrame): DataFrame =
+        txn.current(table).getOrElse(like.limit(0))
+
+      // -- inventory, in trigger order ---------------------------------
+      // M5 collectors: latest-wins overwrite
+      val collectors = parse("collector", lines("collector"))
+      txn.stage("collectors",
+        Ingest.overwriteMerge(cur("collectors", collectors), collectors,
+          Seq("hash_id"), Seq("ts_us")))
+
+      // M4 routers: overwrite merge, then T8 — a collector transition in
+      // THIS batch downs routers whose state predates it
+      val routers = parse("router", lines("router"))
+      val routersNext = txn.stage("routers",
+        Ingest.collectorCascade(
+          Ingest.overwriteMerge(cur("routers", routers), routers,
+            Seq("hash_id"), Seq("ts_us")),
+          collectors))
+
+      // M3 peers: T6 default naming against the POST-merge routers (the
+      // BEFORE INSERT trigger reads the routers table), T7 router-up
+      // cascade downs EXISTING peer state, then latest-wins overwrite.
+      val peers = parse("peer", lines("peer"))
+      txn.stage("bgp_peers",
+        Ingest.overwriteMerge(
+          Ingest.routerUpCascade(cur("bgp_peers", peers), routers),
+          Ingest.inheritPeerDefaults(peers, routersNext),
+          Seq("hash_id"), Seq("ts_us")))
+      // T4: every peer message appends an event row
+      StateTables.writeCdcBatch(spark, Ingest.peerEventLog(peers),
+        s"$root/peer_events", Some(batchId))
+
+      // M2 base_attrs: content-addressed DO NOTHING (hash_id PK,
+      // 1_base.sql:286)
+      val attrs = parse("base_attribute", lines("base_attribute"))
+      txn.stage("base_attrs",
+        MergeOps.insertIgnore(cur("base_attrs", attrs), attrs,
+          Seq("hash_id"), Seq("ts_us", "peer_hash_id")))
+
+      // -- rib-scale tables --------------------------------------------
+      // T9: peers that came up in this batch purge their stale rib rows
+      val peerUps = peers.filter(col("state") === "up" && col("ts_us").isNotNull)
+        .select(col("hash_id"), col("ts_us"))
+
+      def mergeRib(table: String, parsed: DataFrame, policy: MergeOps.MergePolicy,
+                   logName: String, purge: Boolean): Unit = {
+        val latest = MergeOps.dedupToLatest(
+          parsed.repartition(policy.keys.map(col): _*), policy.keys, policy.orderBy)
+        conf.bucketedRib match {
+          case Some(nb) =>
+            // 100 TB regime: in-place changed-bucket merge, CDC keyed by
+            // batch id; T9 purge via predicate delete on the same layout
+            if (purge)
+              purgePredicate(peerUps).foreach(p =>
+                StateTables.deleteMatching(spark, s"$root/$table/snapshot", p))
+            StateTables.mergeChangedBuckets(spark, s"$root/$table/snapshot",
+              latest, policy, nb, logPath = Some(s"$root/$logName"),
+              batchId = Some(batchId))
+            ()
+          case None =>
+            val base = cur(table, latest)
+            val purged =
+              if (purge)
+                MergeOps.purgeStale(base, "peer_hash_id", "ts_us",
+                  peerUps, "hash_id", "ts_us")
+              else base
+            val (next, log, release) =
+              MergeOps.upsertWithLogCached(purged, latest, policy)
+            try {
+              StateTables.writeCdcBatch(spark, log, s"$root/$logName", Some(batchId))
+              txn.stage(table, next)
+            } finally release()
+            ()
+        }
+      }
+
+      mergeRib("ip_rib", parse("unicast_prefix", lines("unicast_prefix")),
+        Ingest.ipRibPolicy, "ip_rib_log", purge = true)
+      mergeRib("l3vpn_rib", parse("l3vpn", lines("l3vpn")),
+        Ingest.l3vpnRibPolicy, "l3vpn_rib_log", purge = true)
+
+      // M10 stat_reports: append-only, batch-keyed (idempotent replay)
+      StateTables.writeCdcBatch(spark, parse("bmp_stat", lines("bmp_stat")),
+        s"$root/stat_reports", Some(batchId))
+
+      mergeRib("ls_nodes", parse("ls_node", lines("ls_node")),
+        Ingest.lsNodePolicy, "ls_nodes_log", purge = false)
+      mergeRib("ls_links", parse("ls_link", lines("ls_link")),
+        Ingest.lsLinkPolicy, "ls_links_log", purge = false)
+      mergeRib("ls_prefixes", parse("ls_prefix", lines("ls_prefix")),
+        Ingest.lsPrefixPolicy, "ls_prefixes_log", purge = false)
+
+      // -- the ONE commit point ----------------------------------------
+      txn.commit(conf.keepVersions)
+
+      // bucketed-regime housekeeping, serialized inside the batch like
+      // Ingest.startBucketed's hook (single-writer contract)
+      if (conf.bucketedRib.isDefined && conf.maintenanceEvery > 0 &&
+          batchId > 0 && batchId % conf.maintenanceEvery == 0)
+        VersionedRib.foreach { t =>
+          Ingest.maintain(spark, s"$root/$t", s"$root/${t}_log",
+            s"$root/${t}_log_compacted",
+            retentionCutoffUs =
+              conf.retentionUs.map(r => System.currentTimeMillis() * 1000L - r))
+        }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** The T9 bucket-layout purge predicate: rows of an up-transitioned
+    * peer older than its (latest) up timestamp. Thresholds are a small
+    * driver-side list — peer-ups are rare control-plane events.
+    */
+  private def purgePredicate(peerUps: DataFrame): Option[Column] = {
+    val ups = peerUps.groupBy(col("hash_id")).agg(max(col("ts_us")).as("ts_us"))
+      .collect() // bounded: peers that transitioned up in ONE micro-batch
+    if (ups.isEmpty) None
+    else Some(ups.map { r =>
+      col("peer_hash_id") === lit(r.getString(0)) && col("ts_us") < lit(r.getLong(1))
+    }.reduce(_ || _))
+  }
+
+  /** (Re-)register the full SQL surface over one consistent snapshot:
+    * every reader sees all tables at the SAME manifest version. Called
+    * after each commit; callable any time (e.g. from a separate SQL
+    * session sharing the metastore-less session).
+    */
+  def registerViews(spark: SparkSession, conf: Conf): Unit = {
+    val versioned = Inventory ++ (if (conf.bucketedRib.isEmpty) VersionedRib else Nil)
+    val snap = ConsistentState.readConsistent(spark, conf.root, versioned)
+    def bucketed(table: String): Option[DataFrame] = {
+      val p  = s"${conf.root}/$table/snapshot"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      // bucket dirs, not bare existence: a marker-only root (crashed
+      // bootstrap) has no readable parquet schema yet
+      if (fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("__bucket=")))
+        Some(spark.read.parquet(p).drop("__bucket"))
+      else None
+    }
+    def tbl(name: String): Option[DataFrame] =
+      if (conf.bucketedRib.isDefined && VersionedRib.contains(name)) bucketed(name)
+      else snap.get(name)
+    def log(name: String): Option[DataFrame] = {
+      val p = s"${conf.root}/$name"
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+        Some(spark.read.parquet(p)) else None
+    }
+
+    (tbl("ip_rib"), snap.get("bgp_peers"), snap.get("base_attrs"), snap.get("routers")) match {
+      case (Some(rib), Some(peers), Some(attrs), Some(routers)) =>
+        // info_asn is cron-fed (Enrichment.loadInfoAsn); an empty frame
+        // keeps v_peers total until the operator loads one
+        val infoAsn = snap.getOrElse("info_asn",
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("asn",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("as_name",
+                org.apache.spark.sql.types.StringType)))))
+        BmpViews.registerAll(rib, peers, attrs, routers, infoAsn, log("ip_rib_log"))
+        tbl("l3vpn_rib").foreach(l3 =>
+          BmpViews.registerL3vpn(l3, peers, attrs, routers, log("l3vpn_rib_log")))
+        (tbl("ls_nodes"), tbl("ls_links"), tbl("ls_prefixes")) match {
+          case (Some(n), Some(l), Some(p)) =>
+            BmpViews.registerLinkState(n, l, p, peers, routers)
+          case _ => ()
+        }
+        snap.get("collectors").foreach(_.createOrReplaceTempView("collectors"))
+        log("peer_events").foreach(_.createOrReplaceTempView("peer_events"))
+        log("stat_reports").foreach(_.createOrReplaceTempView("stat_reports"))
+      case _ => () // pre-bootstrap: nothing to register yet
+    }
+  }
+
+  /** Inventory bootstrap — the reference's staged subscribe
+    * (`ConsumerRunnable.java:1054-1084` brings collector/router/peer up
+    * before prefix topics): replay inventory fixture lines as ONE batch
+    * before the stream starts, so the first streaming micro-batch joins
+    * against populated dims. Idempotent (same merge path, negative
+    * batch id keeps CDC disjoint from the stream's).
+    */
+  def bootstrap(spark: SparkSession, fixtures: DataFrame, conf: Conf): Unit =
+    processBatch(fixtures, -1L, conf)
+
+  /** Wire the app onto a (topic, msg_key, line, kafka_ts) stream. */
+  def start(source: DataFrame, conf: Conf): StreamingQuery = {
+    // foreachBatch executes on a CLONED session whose temp-view catalog
+    // dies with the batch — views must register on the session users
+    // actually query (the one that built the source)
+    val session = source.sparkSession
+    source.writeStream
+      .option("checkpointLocation", s"${conf.root}/_checkpoint")
+      .trigger(Trigger.ProcessingTime(conf.triggerMs))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id, conf)
+        if (conf.registerViews) registerViews(session, conf)
+      }
+      .start()
+  }
+
+  /** `spark-submit graft.streaming.GraftApp <root> [--brokers b | --files dir]` */
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(sys.error("usage: GraftApp <root> [--brokers b|--files dir]"))
+    val spark = SparkSession.builder()
+      .appName("graft-consumer")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    val conf = Conf(root,
+      bucketedRib = sys.env.get("GRAFT_NUM_BUCKETS").map(_.toInt))
+    val source = args.sliding(2).collectFirst {
+      case Array("--brokers", b) => kafkaSource(spark, b)
+      case Array("--files", d)   => fileSource(spark, d)
+    }.getOrElse(sys.error("need --brokers <bootstrap> or --files <dir>"))
+    val q = start(source, conf)
+    q.awaitTermination()
+  }
+}

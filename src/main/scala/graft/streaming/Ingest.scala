@@ -67,11 +67,12 @@ object Ingest {
     keys = Seq("hash_id", "peer_hash_id"),
     withdrawnCol = "isWithdrawn",
     orderBy = Seq("ts_us"),
-    retainOnWithdraw = Seq("base_attr_hash_id", "mt_id", "local_link_id",
-      "remote_link_id", "admin_group", "max_link_bw", "max_resv_bw",
-      "unreserved_bw", "te_def_metric", "protection_type", "mpls_proto_mask",
-      "igp_metric", "srlg", "name", "local_igp_router_id", "local_router_id",
-      "remote_igp_router_id", "remote_router_id", "sr_adjacency_sids"),
+    retainOnWithdraw = Seq("base_attr_hash_id", "intf_ip", "nei_ip", "mt_id",
+      "local_link_id", "remote_link_id", "admin_group", "max_link_bw",
+      "max_resv_bw", "unreserved_bw", "te_def_metric", "protection_type",
+      "mpls_proto_mask", "igp_metric", "srlg", "name", "local_igp_router_id",
+      "local_router_id", "remote_igp_router_id", "remote_router_id",
+      "peer_node_sid", "sr_adjacency_sids"),
     alwaysUpdate = Seq("ts_us", "seq"))
 
   /** M9 ls_prefixes (`LsPrefixQuery.java:24-51`): 6 attr columns

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ConsistentState
+
+/** The MVCC-parity property ([[ConsistentState]]): a reader that
+  * resolved the manifest once can never observe two tables from
+  * different commits, and its pinned plans survive a concurrent commit.
+  */
+class ConsistentStateSpec extends SparkSpec {
+
+  test("readConsistent pins all tables to one commit; concurrent commit cannot tear it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cstate").toString
+
+    // commit 1: rib and peers both at "generation 1" content
+    val t1 = ConsistentState.begin(spark, root)
+    t1.stage("ip_rib", Seq(("u1", "p1", 1)).toDF("hash_id", "peer_hash_id", "gen"))
+    t1.stage("bgp_peers", Seq(("p1", 1)).toDF("hash_id", "gen"))
+    t1.commit()
+
+    // a reader opens a consistent snapshot...
+    val pinned = ConsistentState.readConsistent(spark, root, Seq("ip_rib", "bgp_peers"))
+
+    // ...while a writer commits generation 2 into BOTH tables
+    val t2 = ConsistentState.begin(spark, root)
+    t2.stage("ip_rib", Seq(("u1", "p1", 2), ("u2", "p1", 2)).toDF("hash_id", "peer_hash_id", "gen"))
+    t2.stage("bgp_peers", Seq(("p1", 2)).toDF("hash_id", "gen"))
+    t2.commit() // keepVersions=2 retains v0 → the pinned plans stay readable
+
+    // the pinned reader still sees gen-1 EVERYWHERE — no mix of 1 and 2
+    val gens = pinned("ip_rib").select("gen").as[Int].collect().toSet ++
+      pinned("bgp_peers").select("gen").as[Int].collect().toSet
+    assert(gens === Set(1), s"torn read: $gens")
+    assert(pinned("ip_rib").count() === 1)
+
+    // a fresh resolve sees gen-2 everywhere
+    val now = ConsistentState.readConsistent(spark, root, Seq("ip_rib", "bgp_peers"))
+    assert(now("ip_rib").count() === 2)
+    assert(now("bgp_peers").select("gen").as[Int].collect().toSet === Set(2))
+  }
+
+  test("uncommitted staging is invisible; replayed staging converges; pruning keeps the window") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cstate2").toString
+
+    val t1 = ConsistentState.begin(spark, root)
+    t1.stage("t", Seq(1).toDF("x"))
+    t1.commit()
+
+    // crash model: a txn stages v1 but never commits
+    val crashed = ConsistentState.begin(spark, root)
+    crashed.stage("t", Seq(99).toDF("x"))
+    assert(ConsistentState.readConsistent(spark, root, Seq("t"))("t")
+      .as[Int].collect().toSeq === Seq(1)) // manifest untouched
+
+    // the replayed batch re-stages the SAME version dir and commits once
+    val replay = ConsistentState.begin(spark, root)
+    replay.stage("t", Seq(2).toDF("x"))
+    replay.commit()
+    assert(ConsistentState.readConsistent(spark, root, Seq("t"))("t")
+      .as[Int].collect().toSeq === Seq(2))
+
+    // keepVersions=2: after commits v0..v2, v0 is pruned, v1 retained
+    val t3 = ConsistentState.begin(spark, root)
+    t3.stage("t", Seq(3).toDF("x"))
+    t3.commit()
+    val dirs = new java.io.File(s"$root/t").listFiles().map(_.getName).toSet
+    assert(dirs === Set("v1", "v2"), s"unexpected versions: $dirs")
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{ConsistentState, GraftApp}
+
+/** E2e over the production entrypoint's OWN wiring (not the pieces):
+  * fixture TSV streams for multiple message types flow through
+  * [[GraftApp.start]]'s single query — demux, parse, cascades, merges,
+  * one manifest commit, view registration — and the SQL surface is
+  * queried WHILE the stream runs.
+  */
+class GraftAppSpec extends SparkSpec {
+
+  private def writeTopic(in: String, topic: String, file: String, lines: String*): Unit = {
+    val dir = Paths.get(s"$in/topic=${GraftApp.TopicPrefix}$topic")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(file), lines.mkString("", "\n", "\n"))
+  }
+
+  private val ts0 = "2024-01-01 00:00:00.000000"
+  private def collectorLine(hash: String, action: String, ts: String) =
+    s"$hash\t$action\tadmin\t\t1\t$ts"
+  private def routerLine(hash: String, name: String, ip: String, ts: String,
+                         action: String, collector: String) =
+    s"$hash\t$name\t$ip\t$ts\t$action\t\t\t\t\tdescr\t$ip\t$collector"
+  private def peerLine(hash: String, router: String, addr: String, name: String,
+                       bgpId: String, as: Long, action: String, ts: String) =
+    s"$hash\t$router\t0:0\t1\t$addr\t$name\t$bgpId\t$as\t$action\t0\t$ts\t1\t" +
+      "10.0.0.1\t10.0.0.1\t179\t90\t65000\t33001\t90\tcap\tcap\t\t\t\t\t0\t0\ttbl"
+  private def attrLine(hash: String, peer: String, originAs: Long, ts: String) =
+    s"$hash\t$peer\tigp\t65001 $originAs\t$originAs\t10.1.1.1\t0\t100\t0\t\t\t\t\t\t\t2\t1\t$ts"
+  private def prefixLine(hash: String, peer: String, attr: String, prefix: String,
+                         len: Int, ts: String, withdrawn: Boolean) =
+    s"$hash\t$peer\t$attr\t1\t65002\t$prefix\t$len\t$ts\t${if (withdrawn) 1 else 0}\t0\t\t1\t1"
+  private def statLine(peer: String, ts: String) =
+    s"$peer\t$ts\t1\t2\t3\t4\t5\t6\t7\t8\t9"
+
+  test("GraftApp wires the full topology: stream in, consistent views out") {
+    val in   = Files.createTempDirectory("graftapp_in").toString
+    val root = Files.createTempDirectory("graftapp_root").toString
+    val conf = GraftApp.Conf(root, triggerMs = 50)
+
+    // batch 1: inventory + attrs + two prefixes + a stat report
+    writeTopic(in, "collector", "b1.tsv", collectorLine("c1", "started", ts0))
+    writeTopic(in, "router", "b1.tsv",
+      routerLine("r1", "router-one", "10.0.0.1", "2024-01-01 00:00:01.000000", "init", "c1"))
+    writeTopic(in, "peer", "b1.tsv",
+      peerLine("p1", "r1", "10.1.1.1", "peer-one", "10.1.1.1", 65001, "up",
+        "2024-01-01 00:00:02.000000"),
+      // T6: loc-rib default peer (addr+bgp_id 0.0.0.0) inherits name from r1
+      peerLine("p2", "r1", "0.0.0.0", "", "0.0.0.0", 65001, "up",
+        "2024-01-01 00:00:02.000000"))
+    writeTopic(in, "base_attribute", "b1.tsv",
+      attrLine("a1", "p1", 65002, "2024-01-01 00:00:03.000000"))
+    writeTopic(in, "unicast_prefix", "b1.tsv",
+      prefixLine("u1", "p1", "a1", "192.0.2.0", 24, "2024-01-01 00:00:04.000000", withdrawn = false),
+      prefixLine("u2", "p1", "a1", "198.51.100.0", 24, "2024-01-01 00:00:04.100000", withdrawn = false))
+    writeTopic(in, "bmp_stat", "b1.tsv", statLine("p1", "2024-01-01 00:00:05.000000"))
+
+    val q = GraftApp.start(GraftApp.fileSource(spark, in), conf)
+    try {
+      q.processAllAvailable()
+
+      // views are live while the stream runs, over ONE consistent snapshot
+      val routes = spark.sql(
+        "SELECT RouterName, PeerName, prefix, isWithdrawn FROM v_ip_routes ORDER BY prefix")
+        .collect()
+      assert(routes.length === 2)
+      assert(routes.head.getString(0) === "router-one")
+      assert(routes.head.getString(1) === "peer-one")
+      assert(spark.sql("SELECT * FROM v_ip_routes_active").count() === 2)
+      // T6 parity: the default peer inherited the router's name
+      val p2 = spark.sql("SELECT PeerName FROM v_peers WHERE peer_hash_id = 'p2'").collect()
+      assert(p2.map(_.getString(0)).toSeq === Seq("router-one"))
+      assert(spark.sql("SELECT prefixes_rejected FROM stat_reports").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      assert(spark.sql("SELECT state FROM peer_events WHERE peer_hash_id='p1'")
+        .collect().map(_.getString(0)).toSeq === Seq("up"))
+
+      // every versioned table committed at the SAME manifest step
+      val man1 = ConsistentState.readManifest(spark, root)
+      assert(man1.values.toSet.size === 1,
+        s"manifest tore across tables: $man1")
+
+      // batch 2, while running: withdraw u1 (M1 retain + T1 CDC)
+      writeTopic(in, "unicast_prefix", "b2.tsv",
+        prefixLine("u1", "p1", "", "192.0.2.0", 24, "2024-01-01 00:01:00.000000", withdrawn = true))
+      q.processAllAvailable()
+
+      val u1 = spark.sql(
+        "SELECT isWithdrawn, base_hash_id FROM v_ip_routes WHERE prefix='192.0.2.0'")
+        .collect()
+      assert(u1.length === 1)
+      assert(u1.head.getBoolean(0) === true)
+      assert(u1.head.getString(1) === "a1") // retained on withdraw
+      assert(spark.sql("SELECT * FROM v_ip_routes_active").count() === 1)
+      // T1/T2 CDC: 2 advertises + 1 withdraw in the history log
+      assert(spark.sql("SELECT * FROM ip_rib_log").count() === 3)
+
+      val man2 = ConsistentState.readManifest(spark, root)
+      assert(man2.values.toSet.size === 1)
+      assert(man2("ip_rib") === man1("ip_rib") + 1)
+    } finally q.stop()
+  }
+
+  test("GraftApp cascades: router-up downs stale peers; peer-up purges stale rib (T7+T9)") {
+    val in   = Files.createTempDirectory("graftapp2_in").toString
+    val root = Files.createTempDirectory("graftapp2_root").toString
+    val conf = GraftApp.Conf(root, triggerMs = 50)
+
+    writeTopic(in, "collector", "b1.tsv", collectorLine("c1", "started", ts0))
+    writeTopic(in, "router", "b1.tsv",
+      routerLine("r1", "router-one", "10.0.0.1", "2024-01-01 00:00:01.000000", "init", "c1"))
+    writeTopic(in, "peer", "b1.tsv",
+      peerLine("p1", "r1", "10.1.1.1", "peer-one", "10.1.1.1", 65001, "up",
+        "2024-01-01 00:00:02.000000"))
+    writeTopic(in, "base_attribute", "b1.tsv",
+      attrLine("a1", "p1", 65002, "2024-01-01 00:00:02.500000"))
+    writeTopic(in, "unicast_prefix", "b1.tsv",
+      prefixLine("u1", "p1", "a1", "192.0.2.0", 24, "2024-01-01 00:00:03.000000", withdrawn = false),
+      prefixLine("u2", "p1", "a1", "198.51.100.0", 24, "2024-01-01 00:00:04.000000", withdrawn = false))
+
+    val q = GraftApp.start(GraftApp.fileSource(spark, in), conf)
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM v_ip_routes").count() === 2)
+
+      // batch 2: the router reconnects at T — p1 (state ts < T) cascades
+      // down (T7); p1 comes back up at T+1s with ts between u1 and u2 —
+      // only u1 (older than the up) is purged (T9)
+      writeTopic(in, "router", "b2.tsv",
+        routerLine("r1", "router-one", "10.0.0.1", "2024-01-01 00:10:00.000000", "init", "c1"))
+      q.processAllAvailable()
+      val p1 = spark.sql("SELECT peer_state FROM v_peers WHERE peer_hash_id='p1'").collect()
+      assert(p1.map(_.getString(0)).toSeq === Seq("down"))
+
+      writeTopic(in, "peer", "b3.tsv",
+        peerLine("p1", "r1", "10.1.1.1", "peer-one", "10.1.1.1", 65001, "up",
+          "2024-01-01 00:00:03.500000"))
+      q.processAllAvailable()
+      val left = spark.sql("SELECT prefix FROM ip_rib").collect().map(_.getString(0)).toSeq
+      assert(left === Seq("198.51.100.0")) // u1 purged, u2 survived
+    } finally q.stop()
+  }
+
+  test("GraftApp bucketed regime: rib in changed-bucket layout, T9 purge via deleteMatching") {
+    val in   = Files.createTempDirectory("graftapp3_in").toString
+    val root = Files.createTempDirectory("graftapp3_root").toString
+    val conf = GraftApp.Conf(root, triggerMs = 50, bucketedRib = Some(8))
+
+    writeTopic(in, "collector", "b1.tsv", collectorLine("c1", "started", ts0))
+    writeTopic(in, "router", "b1.tsv",
+      routerLine("r1", "router-one", "10.0.0.1", "2024-01-01 00:00:01.000000", "init", "c1"))
+    writeTopic(in, "peer", "b1.tsv",
+      peerLine("p1", "r1", "10.1.1.1", "peer-one", "10.1.1.1", 65001, "up",
+        "2024-01-01 00:00:02.000000"))
+    writeTopic(in, "base_attribute", "b1.tsv",
+      attrLine("a1", "p1", 65002, "2024-01-01 00:00:02.500000"))
+    writeTopic(in, "unicast_prefix", "b1.tsv",
+      prefixLine("u1", "p1", "a1", "192.0.2.0", 24, "2024-01-01 00:00:03.000000", withdrawn = false),
+      prefixLine("u2", "p1", "a1", "198.51.100.0", 24, "2024-01-01 00:00:04.000000", withdrawn = false))
+
+    val q = GraftApp.start(GraftApp.fileSource(spark, in), conf)
+    try {
+      q.processAllAvailable()
+      // rib landed in the bucket layout, not the versioned fan
+      assert(new java.io.File(s"$root/ip_rib/snapshot").listFiles()
+        .exists(_.getName.startsWith("__bucket=")))
+      assert(!ConsistentState.readManifest(spark, root).contains("ip_rib"))
+      assert(spark.sql("SELECT * FROM v_ip_routes").count() === 2)
+
+      // peer-up between the two rib timestamps purges only the older row
+      writeTopic(in, "peer", "b2.tsv",
+        peerLine("p1", "r1", "10.1.1.1", "peer-one", "10.1.1.1", 65001, "up",
+          "2024-01-01 00:00:03.500000"))
+      q.processAllAvailable()
+      val left = spark.sql("SELECT prefix FROM ip_rib").collect().map(_.getString(0)).toSeq
+      assert(left === Seq("198.51.100.0"))
+    } finally q.stop()
+  }
+}
