@@ -34,8 +34,41 @@ object MergeOps {
       /** columns retained from OLD state when the update is a withdraw */
       retainOnWithdraw: Seq[String],
       /** columns always taken from the update (timestamp, flags, …) */
-      alwaysUpdate: Seq[String]
+      alwaysUpdate: Seq[String],
+      /** schema evolution: default value for a column that appears in
+        * updates but not yet in state — EXISTING rows get it backfilled
+        * at read/merge time (unnamed columns backfill as typed NULL,
+        * Postgres `ALTER TABLE … ADD COLUMN` semantics). See
+        * [[evolveState]] / [[graft.operators.StateTables.mergeChangedBuckets]].
+        */
+      evolveDefaults: Map[String, Column] = Map.empty
   )
+
+  /** Additive schema evolution for a keyed-merge state side: align
+    * `state` to the columns `updates` carries. New columns backfill
+    * existing rows with the policy default (typed NULL when unnamed) —
+    * the reference evolves with `ALTER TABLE … ADD COLUMN` which does
+    * exactly this. A column changing TYPE is refused loudly: silently
+    * casting 100 TB of state is never what anyone meant — migrate with
+    * [[graft.operators.StateTables.migrateSnapshot]] first. A column
+    * present in state but missing from updates needs no action here
+    * ([[upsert]] carries old values forward and null-fills new rows).
+    */
+  def evolveState(state: DataFrame, updates: DataFrame, policy: MergePolicy): DataFrame = {
+    val stateTypes = state.schema.fields.map(f => f.name -> f.dataType).toMap
+    val changed = updates.schema.fields
+      .filter(f => stateTypes.get(f.name).exists(_ != f.dataType))
+    require(changed.isEmpty,
+      s"schema evolution: column(s) ${changed.map(f => s"${f.name}: " +
+        s"${stateTypes(f.name).simpleString} -> ${f.dataType.simpleString}").mkString(", ")} " +
+        "changed type between state and updates — refusing to merge (a silent cast " +
+        "rewrites meaning, not bytes); migrate the snapshot explicitly " +
+        "(StateTables.migrateSnapshot) or fix the producer")
+    val fresh = updates.schema.fields.filterNot(f => stateTypes.contains(f.name))
+    fresh.foldLeft(state)((d, f) =>
+      d.withColumn(f.name,
+        policy.evolveDefaults.getOrElse(f.name, lit(null)).cast(f.dataType)))
+  }
 
   /** Rows with a NULL merge key are unjoinable garbage: the reference's
     * key columns are NOT NULL (`1_base.sql` PKs) and a null key can

@@ -179,9 +179,15 @@ object StateTables {
     if (hasState) checkNumBuckets(fs, path, numBuckets)
     val current =
       if (hasState)
-        spark.read.parquet(path)
-          .filter(col("__bucket").isin(touched: _*)) // partition-pruned read
-          .drop("__bucket")
+        // mergeSchema: after an additive evolution only the buckets
+        // touched SINCE carry the new column — the union schema (with
+        // nulls for pre-evolution files) is the correct read of that
+        // mixed layout (see readSnapshot)
+        MergeOps.evolveState(
+          spark.read.option("mergeSchema", "true").parquet(path)
+            .filter(col("__bucket").isin(touched: _*)) // partition-pruned read
+            .drop("__bucket"),
+          latest.drop("__bucket"), policy)
       else // bootstrap: first batch creates the layout
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -269,6 +275,57 @@ object StateTables {
           log.write.mode("overwrite").parquet(dir.toString)
       case None => log.write.mode("append").parquet(logPath)
     }
+
+  /** THE read entry point for a changed-bucket snapshot. Plain
+    * `spark.read.parquet` infers the schema from one footer — after an
+    * additive evolution (new column via [[MergeOps.evolveState]]) only
+    * buckets touched since carry it, so a single-footer read can miss
+    * the column entirely depending on file order. `mergeSchema` builds
+    * the union schema and null-fills pre-evolution files — the exact
+    * `ALTER TABLE … ADD COLUMN` read semantics. (Footer-merging cost is
+    * per-FILE metadata, not data; at 100 TB run [[migrateSnapshot]]
+    * after an evolution to restore single-schema reads.)
+    */
+  def readSnapshot(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path).drop("__bucket")
+
+  /** Materialize a pending schema evolution: rewrite EVERY bucket to the
+    * union schema, backfilling `defaults` (typed NULL when unnamed) into
+    * rows from pre-evolution files. One full rewrite by design — the
+    * explicit, once-per-migration cost that keeps [[mergeChangedBuckets]]
+    * itself free of full rewrites. Crash-safe via the same park-aside
+    * swap; same single-writer contract.
+    *
+    * NULL-backfill caveat: defaults apply to NULLs in the named columns
+    * wherever they occur (parquet cannot distinguish a stored NULL from
+    * a file predating the column) — name only columns whose NULLs all
+    * mean "predates the migration".
+    *
+    * @return bucket ids rewritten
+    */
+  def migrateSnapshot(spark: SparkSession, path: String,
+                      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : Seq[Int] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new HPath(path))) return Nil
+    recoverSwap(fs, path)
+    val buckets = fs.listStatus(new HPath(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .map(_.getPath.getName.stripPrefix("__bucket=").toInt)
+      .toSeq.sorted
+    if (buckets.isEmpty) return Nil
+    val unioned = spark.read.option("mergeSchema", "true").parquet(path)
+    val filled = defaults.foldLeft(unioned) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), v.cast(unioned.schema(c).dataType)))
+    }
+    val stage = path + "_stage"
+    filled
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(stage)
+    swapStagedDirs(fs, stage, path, buckets.map(b => s"__bucket=$b"))
+    buckets
+  }
 
   /** Small-file compaction for the changed-bucket layout: every merge
     * rewrites its touched buckets as fresh files, so a bucket that takes

@@ -269,7 +269,7 @@ object GraftApp {
       // bucket dirs, not bare existence: a marker-only root (crashed
       // bootstrap) has no readable parquet schema yet
       if (fs.exists(hp) && fs.listStatus(hp).exists(_.getPath.getName.startsWith("__bucket=")))
-        Some(spark.read.parquet(p).drop("__bucket"))
+        Some(StateTables.readSnapshot(spark, p)) // mergeSchema: mixed post-evolution buckets
       else None
     }
     def tbl(name: String): Option[DataFrame] =

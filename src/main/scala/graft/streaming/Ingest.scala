@@ -175,7 +175,11 @@ object Ingest {
       updates.repartition(policy.keys.map(col): _*), policy.keys, policy.orderBy)
     val ver = currentVersion(spark, statePath)
     val current = ver match {
-      case Some(v) => spark.read.parquet(s"$statePath/v$v")
+      // evolveState: an update stream that grew a column merges cleanly
+      // (existing rows backfill the policy default); a type change
+      // refuses loudly
+      case Some(v) => MergeOps.evolveState(
+        spark.read.parquet(s"$statePath/v$v"), latest, policy)
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], latest.schema)
     }
@@ -469,6 +473,69 @@ object Ingest {
     fs.delete(marker, false)
     if (!fs.rename(tmp, marker)) sys.error(s"failed to commit marker $marker")
     touched.map(h => s"date_hour=$h")
+  }
+
+  /** The ONE way to read a CDC log that is being incrementally
+    * compacted: compacted hours ∪ raw committed batches, each id exactly
+    * once, at ANY point of the maintenance lifecycle.
+    *
+    * Stats jobs (A1–A9, `2_aggregations.sql:91-130`) must not care
+    * whether [[maintain]] has folded a given batch yet — but reading the
+    * raw `batch=` root naively misses dropped-after-fold dirs, and
+    * reading raw ∪ compacted double-counts the `keepRawBatches` window.
+    * The `_COMPACTED_THROUGH` marker is the single source of truth:
+    *
+    *  - compacted side: rows with `__src_batch` ≤ marker. The ≤-filter
+    *    also closes the crash/concurrency window INSIDE
+    *    [[compactLogIncremental]] (hours swap before the marker moves —
+    *    a read landing between the two would otherwise count the
+    *    just-folded ids twice);
+    *  - raw side: committed (`_SUCCESS`) `batch=` dirs with id > marker
+    *    — including committed ids beyond an in-flight gap id, which
+    *    compaction deliberately hasn't folded yet ([[compactLogIncremental]]
+    *    stops at the first uncommitted id but their data is durable);
+    *  - uncommitted dirs are invisible, exactly like the merge side.
+    *
+    * Output schema = data columns + `__src_batch` + `date_hour` (derived
+    * for raw rows), so downstream hour-pruning works on either regime.
+    */
+  def readCdcLog(spark: SparkSession, logPath: String, compactedPath: String,
+                 tsUsCol: String = "ts_us"): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val cfs  = new HPath(compactedPath).getFileSystem(conf)
+    val through = compactedThrough(spark, compactedPath).getOrElse(-1L)
+    val hasCompacted = cfs.exists(new HPath(compactedPath)) &&
+      cfs.listStatus(new HPath(compactedPath))
+        .exists(_.getPath.getName.startsWith("date_hour="))
+    val logRoot = new HPath(logPath)
+    val lfs = logRoot.getFileSystem(conf)
+    val rawIds =
+      if (!lfs.exists(logRoot)) Nil
+      else lfs.listStatus(logRoot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ > through).sorted
+        .filter(id => lfs.exists(new HPath(logRoot, s"batch=$id/_SUCCESS")))
+    val compacted =
+      if (hasCompacted)
+        Some(spark.read.parquet(compactedPath)
+          .filter(col("__src_batch") <= through)) // marker-authoritative (see above)
+      else None
+    val raw =
+      if (rawIds.isEmpty) None
+      else Some(spark.read.option("basePath", logPath)
+        .parquet(rawIds.map(id => s"$logPath/batch=$id"): _*)
+        .withColumnRenamed("batch", "__src_batch")
+        .withColumn("date_hour", hourLabel(col(tsUsCol))))
+    (compacted, raw) match {
+      case (Some(c), Some(r)) => c.unionByName(r, allowMissingColumns = true)
+      case (Some(c), None)    => c
+      case (None, Some(r))    => r
+      case (None, None) => sys.error(
+        s"readCdcLog: neither compacted hours at $compactedPath nor committed " +
+          s"batches at $logPath — nothing to read (did ingest ever run?)")
+    }
   }
 
   /** T4: peer event log (`9_triggers.sql:43-85`): EVERY peer message

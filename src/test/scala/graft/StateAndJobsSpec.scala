@@ -371,6 +371,119 @@ class StateAndJobsSpec extends AnyFunSuite {
     assert(spark.read.parquet(hourDir).count() === want.size + 2)
   }
 
+  test("schema evolution: new column merges without rewriting untouched buckets; type change refuses") {
+    import graft.operators.{MergeOps, StateTables}
+    val root = Files.createTempDirectory("graft_evolve").toString
+    val path = s"$root/snapshot"
+    val policy = MergeOps.MergePolicy(
+      keys = Seq("k"), withdrawnCol = "wd", orderBy = Seq("ts"),
+      retainOnWithdraw = Nil, alwaysUpdate = Seq("ts", "v"),
+      evolveDefaults = Map("src" -> lit("legacy")))
+
+    // bootstrap: two keys in provably different buckets, old schema
+    def bucketOf(k: String): Int = Seq(Tuple1(k)).toDF("k")
+      .select(StateTables.bucketId(Seq("k"), 16)).head().getInt(0)
+    val k2 = (2 to 60).map(i => s"k$i").find(k => bucketOf(k) != bucketOf("k1")).get
+    StateTables.mergeChangedBuckets(spark, path,
+      Seq(("k1", 1L, 10L, false), (k2, 1L, 20L, false)).toDF("k", "ts", "v", "wd"),
+      policy, 16)
+    def bucketFiles(b: Int): Set[String] =
+      new java.io.File(path, s"__bucket=$b").listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val k2Before = bucketFiles(bucketOf(k2))
+
+    // merge 2: updates GREW a column (src) and touch only k1's bucket
+    StateTables.mergeChangedBuckets(spark, path,
+      Seq(("k1", 2L, 11L, false, "feedX")).toDF("k", "ts", "v", "wd", "src"),
+      policy, 16)
+    assert(bucketFiles(bucketOf(k2)) === k2Before, "untouched bucket was rewritten")
+    // the union read sees the new column: merged row has it, the
+    // pre-evolution row backfills the POLICY default at merge time but
+    // reads as null from its untouched (never-rewritten) file
+    val snap = StateTables.readSnapshot(spark, path)
+    assert(snap.columns.contains("src"))
+    val rows = snap.select("k", "v", "src").collect().map(r =>
+      (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(rows === Set(("k1", 11L, Some("feedX")), (k2, 20L, None)))
+
+    // merge 3: an OLD-schema update still merges (state carries the
+    // union schema; the missing column rides through as its current
+    // value — NULL for pre-evolution rows until migrateSnapshot)
+    StateTables.mergeChangedBuckets(spark, path,
+      Seq((k2, 2L, 21L, false)).toDF("k", "ts", "v", "wd"), policy, 16)
+    val rows3 = StateTables.readSnapshot(spark, path).select("k", "v", "src").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(rows3 === Set(("k1", 11L, Some("feedX")), (k2, 21L, None)))
+
+    // migrateSnapshot: uniform schema, remaining nulls backfilled
+    val migrated = StateTables.migrateSnapshot(spark, path,
+      defaults = Map("src" -> lit("legacy")))
+    assert(migrated.nonEmpty)
+    val plain = spark.read.parquet(path) // single-footer read now suffices
+    assert(plain.columns.contains("src"))
+    assert(plain.filter(col("src").isNull).count() === 0)
+
+    // a TYPE change refuses loudly instead of silently casting state
+    val err = intercept[IllegalArgumentException] {
+      StateTables.mergeChangedBuckets(spark, path,
+        Seq(("k1", 3L, "not-a-long", false)).toDF("k", "ts", "v", "wd"), policy, 16)
+    }
+    assert(err.getMessage.contains("changed type"))
+  }
+
+  test("readCdcLog: every batch exactly once across raw, compacted, and mid-maintenance states") {
+    import graft.streaming.Ingest
+    val hourUs = 3600L * 1000000
+    val t0 = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val raw = Files.createTempDirectory("graft_cdcread").toString
+    val (logDir, hourDir) = (raw + "/log", raw + "/hourly")
+    def writeBatch(id: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("ts_us", "v").write.mode("overwrite").parquet(s"$logDir/batch=$id")
+    def values(): Seq[Long] = Ingest.readCdcLog(spark, logDir, hourDir)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+
+    // raw-only regime (before any compaction ever ran)
+    writeBatch(0, Seq((t0 + 1, 0L)))
+    writeBatch(1, Seq((t0 + 2, 1L), (t0 + hourUs + 1, 10L)))
+    assert(values() === Seq(0L, 1L, 10L))
+
+    // folded AND raw dirs both present (the keepRawBatches window):
+    // the marker keeps the overlap from double-counting
+    Ingest.compactLogIncremental(spark, logDir, hourDir)
+    assert(values() === Seq(0L, 1L, 10L))
+    graft.operators.Retention.dropAgedBatches(spark, logDir, minBatchId = 1)
+    assert(values() === Seq(0L, 1L, 10L))
+
+    // committed id past an in-flight gap: 2 committed, 3 in-flight
+    // (no _SUCCESS), 4 committed — 3 invisible, 4 readable even though
+    // compaction would stop at the gap
+    writeBatch(2, Seq((t0 + hourUs + 2, 20L)))
+    writeBatch(3, Seq((t0 + hourUs + 3, 30L)))
+    assert(new java.io.File(s"$logDir/batch=3/_SUCCESS").delete())
+    writeBatch(4, Seq((t0 + 2 * hourUs + 1, 40L)))
+    assert(values() === Seq(0L, 1L, 10L, 20L, 40L))
+
+    // fold 2 (compaction stops at the gap), then roll the marker BACK —
+    // exactly the crash window between hour-swap and marker-move: the
+    // compacted hours already hold batch-2 rows while the marker says 1
+    // and the raw batch=2 dir still exists. Marker-authoritative read
+    // must still count batch 2 exactly once.
+    assert(Ingest.compactLogIncremental(spark, logDir, hourDir).nonEmpty)
+    assert(values() === Seq(0L, 1L, 10L, 20L, 40L))
+    assert(new java.io.File(hourDir, "._COMPACTED_THROUGH.crc").delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(hourDir, "_COMPACTED_THROUGH"), "1")
+    assert(values() === Seq(0L, 1L, 10L, 20L, 40L),
+      "mid-swap read double-counted a just-folded batch")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(hourDir, "_COMPACTED_THROUGH"), "2")
+
+    // after retention physically drops every folded raw dir
+    graft.operators.Retention.dropAgedBatches(spark, logDir, minBatchId = 3)
+    assert(values() === Seq(0L, 1L, 10L, 20L, 40L))
+  }
+
   test("maintenance pass: fold CDC, drop folded raw batches, retention, bucket compaction") {
     import graft.streaming.Ingest
     val root = Files.createTempDirectory("graft_maint").toString
