@@ -2181,6 +2181,66 @@ object Queries {
           AS max_err
       FROM q ORDER BY vec_id"""))
 
+  val q74CoveringExpansion = Q(
+    "q74_j6_covering_expansion",
+    (s, dir) => {
+      // J6 scale path (same reference predicate as q06,
+      // `2_aggregations.sql:338-343`): CIDR-ALIGNED ROAs — the real-data
+      // shape — validated through the ancestor-expansion EQUI-join
+      // (LpmJoin.coveringJoinByExpansion) instead of the broadcast
+      // nested loop, against the SAME range-predicate oracle form. The
+      // oracle states containment as range inequalities; the engine
+      // factors it into (start, len) equality — value-identical on
+      // aligned dims, so a hash match certifies the factoring.
+      val roas = t(s, dir, "supplier").select(
+        (lit(6) + col("s_suppkey") % 8L).cast("int").as("rlen"),
+        (col("s_suppkey") * 7919L % 1048576L).as("raddr"),
+        (lit(2) + col("s_suppkey") % 6L).as("extra"))
+        .withColumn("rstep", pow(lit(2.0), lit(20) - col("rlen")).cast("long"))
+        .withColumn("rstart", col("raddr") - col("raddr") % col("rstep"))
+        .withColumn("maxlen", col("rlen") + col("extra"))
+        .select("rstart", "rlen", "maxlen")
+      val step = pow(lit(2.0), lit(20) - col("len")).cast("long")
+      val ribs = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (lit(6) + col("o_orderkey") % 10L).as("len"),
+          (col("o_orderkey") * 7741L % 1048576L).as("addr"))
+        .withColumn("rib_start", col("addr") - col("addr") % step)
+      val matched = LpmJoin.coveringJoinByExpansion(
+        ribs, "rib_start", "len", roas, "rstart", "rlen", "maxlen", bits = 20)
+        .select(col("o_orderkey")).distinct()
+        .withColumn("st", lit("valid"))
+      ribs.join(matched, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("st"), lit("unknown")).as("rpki_status"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH roas0 AS (
+        SELECT 6 + s_suppkey % 8 AS rlen,
+               (s_suppkey * 7919) % 1048576 AS raddr,
+               2 + s_suppkey % 6 AS extra
+        FROM supplier),
+      roas AS (
+        SELECT raddr - raddr % (1::BIGINT << (20 - rlen)) AS rstart,
+               raddr - raddr % (1::BIGINT << (20 - rlen)) + (1::BIGINT << (20 - rlen)) - 1 AS rend,
+               rlen + extra AS maxlen
+        FROM roas0),
+      ribs0 AS (
+        SELECT o_orderkey, 6 + o_orderkey % 10 AS len,
+               (o_orderkey * 7741) % 1048576 AS addr
+        FROM orders),
+      ribs AS (
+        SELECT o_orderkey, len,
+               addr - addr % (1::BIGINT << (20 - len)) AS rib_start,
+               addr - addr % (1::BIGINT << (20 - len)) + (1::BIGINT << (20 - len)) - 1 AS rib_end
+        FROM ribs0)
+      SELECT o_orderkey,
+        CASE WHEN EXISTS (SELECT 1 FROM roas r
+          WHERE ribs.rib_start >= r.rstart AND ribs.rib_end <= r.rend
+            AND ribs.len <= r.maxlen)
+        THEN 'valid' ELSE 'unknown' END AS rpki_status
+      FROM ribs ORDER BY o_orderkey"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2199,5 +2259,6 @@ object Queries {
     q59SaltedAgg, q60AsOfStrict, q61FrameSample,
     q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
     q66Intervals, q67SeqPacking, q68ProfileStats, q69Decontam,
-    q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion)
+    q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion,
+    q74CoveringExpansion)
 }

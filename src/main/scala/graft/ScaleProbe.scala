@@ -164,6 +164,64 @@ object ScaleProbe {
           extraCond = length(col("addr")) === length(col("ip_start"))))
       dim.unpersist()
     }
+
+    // round-6: as-of join — union+window scan, so cost must track
+    // (|L|+|R|) log, i.e. ~linear in the left side at fixed right.
+    if (section("asof")) {
+      import graft.operators.AsOfJoin
+      val right = spark.range(500000).select(
+        (col("id") % 5000L).as("k"),
+        (col("id") * 13L % 1000000L).as("rt"),
+        (col("id") % 997L).as("payload"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"asof    right rows=${right.count()} keys=5k")
+      for (n <- Seq(1000000L, 10000000L)) {
+        val left = spark.range(n).select(
+          (col("id") % 5000L).as("k"), (col("id") * 7L % 1000000L).as("lt"))
+        // count(payload), not count(*): a bare count lets Catalyst prune
+        // the carry-forward window away and times an empty shell
+        val t0 = System.nanoTime()
+        val matched = AsOfJoin.asOf(left, right, Seq("k"), "lt", "rt", Seq("payload"))
+          .agg(count(col("payload"))).collect()(0).getLong(0)
+        println(f"asof    left=$n%9d right=500k               matched=$matched%10d" +
+          f"  time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      right.unpersist()
+    }
+
+    // round-6: covering join at real ROA scale. A 500k-row dim makes
+    // the broadcast NLJ |facts|·|dim| range compares — the same cliff
+    // the LPM NLJ hit; coveringJoinByExpansion is |facts|·|lens| hashed
+    // rows and must grow LINEARLY in facts. The NLJ row runs at 100×
+    // FEWER facts for the cliff compare.
+    if (section("covering")) {
+      import graft.operators.LpmJoin
+      val roas = spark.range(500000).select(
+        (lit(8) + col("id") % 17L).cast("int").as("rlen"),
+        (col("id") * 2654435761L % 4294967296L).as("raddr"))
+        .withColumn("rstep", pow(lit(2.0), lit(32) - col("rlen")).cast("long"))
+        .withColumn("rstart", col("raddr") - col("raddr") % col("rstep"))
+        .withColumn("rend", col("rstart") + col("rstep") - 1)
+        .withColumn("maxlen", col("rlen") + lit(2))
+        .select("rstart", "rend", "rlen", "maxlen")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"covering dim rows=${roas.count()} lens=8..24")
+      def factsOf(n: Long) = spark.range(n).select(
+        col("id"),
+        (lit(10) + col("id") % 19L).as("len"),
+        (col("id") * 7741L % 4294967296L).as("addr"))
+        .withColumn("step", pow(lit(2.0), lit(32) - col("len")).cast("long"))
+        .withColumn("rib_start", col("addr") - col("addr") % col("step"))
+        .withColumn("rib_end", col("rib_start") + col("step") - 1)
+      for (n <- Seq(1000000L, 10000000L))
+        timedCount(f"covering expansion facts=$n%9d dim=500k",
+          LpmJoin.coveringJoinByExpansion(factsOf(n), "rib_start", "len",
+            roas, "rstart", "rlen", "maxlen", bits = 32))
+      timedCount(f"covering rangeNLJ  facts=${100000}%9d dim=500k (100x fewer)",
+        LpmJoin.coveringJoin(factsOf(100000), "rib_start", "rib_end", "len",
+          roas, "rstart", "rend", "maxlen"))
+      roas.unpersist()
+    }
     spark.stop()
   }
 }

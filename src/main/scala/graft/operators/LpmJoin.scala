@@ -244,4 +244,70 @@ object LpmJoin {
         col(factLen) <= col(dimMaxLen),
       "inner")
   }
+
+  /** Covering join, equi-join scale path — [[coveringJoin]] is a
+    * broadcast nested loop (|facts| · |dims| range compares), which hits
+    * the same cliff the v4/v6 LPM NLJ did once the ROA table passes
+    * ~100k rows. When dim ranges are CIDR-ALIGNED (real ROAs are), the
+    * containment test factors exactly like LPM: dim covers fact ⟺
+    * fact's ancestor at dim's length equals dim's start AND
+    * factLen ≥ dimLen — so each fact explodes into one candidate per
+    * DISTINCT dim length and the join is a hash equi-join on
+    * (start, len). Unlike LPM there is no top-1 reduction: every match
+    * survives (RPKI wants all covering ROAs), so the output is the same
+    * row set as [[coveringJoin]] restricted to aligned dims
+    * (LpmJoinSpec property). Cost: |facts| · |dimLens| hashed rows —
+    * linear in facts, and the dim side shuffles/broadcasts once.
+    *
+    * @param dimLenCol the dim PREFIX length (the lower BETWEEN bound of
+    *                  the reference predicate `2_aggregations.sql:338-343`;
+    *                  `dimMaxLen` remains the upper bound on factLen)
+    * @param bits      address-space width (≤ 62; binary variant below
+    *                  for v6/mixed)
+    */
+  def coveringJoinByExpansion(facts: DataFrame, factStart: String, factLen: String,
+                              dims: DataFrame, dimStart: String, dimLenCol: String,
+                              dimMaxLen: String, bits: Int,
+                              broadcastDim: Boolean = true): DataFrame = {
+    require(bits <= 62, s"coveringJoinByExpansion supports numeric spaces up to 62 bits (got $bits); use the binary variant for IPv6")
+    val dim = if (broadcastDim) broadcast(dims) else dims
+    facts
+      .withColumn("__cand",
+        explode(candidateArray(factStart, dimLens(dims, dimLenCol), bits)))
+      // a dim can only cover an EQUAL-OR-NARROWER fact; without this the
+      // aligned start of a WIDER fact would false-match its sub-prefix dim
+      .filter(col("__cand.len") <= col(factLen))
+      .join(dim,
+        col("__cand.len") === col(dimLenCol) && col("__cand.start") === col(dimStart),
+        "inner")
+      .filter(col(factLen) <= col(dimMaxLen))
+      .drop("__cand")
+  }
+
+  /** [[coveringJoinByExpansion]] over the fixed-length BINARY address
+    * form (v6 / mixed families), candidate starts via the codegen'd
+    * [[graft.plans.InetAligned]] — same structural family safety as
+    * [[lpmByExpansionBinary]].
+    */
+  def coveringJoinByExpansionBinary(facts: DataFrame, factStart: String, factLen: String,
+                                    dims: DataFrame, dimStart: String, dimLenCol: String,
+                                    dimMaxLen: String,
+                                    broadcastDim: Boolean = true): DataFrame = {
+    val cleanDim = dims.filter(col(dimStart).isNotNull && col(dimLenCol).isNotNull)
+    val dim = if (broadcastDim) broadcast(cleanDim) else cleanDim
+    val lens0 = dimLens(cleanDim, dimLenCol)
+    val lens = if (lens0.isEmpty) Seq(0) else lens0 // placeholder keeps the plan analyzable (joins zero rows)
+    val candStructs = lens.sorted.map { l =>
+      struct(lit(l).as("len"),
+        graft.ip.IpKit.inetAligned(col(factStart), lit(l)).as("start"))
+    }
+    facts
+      .withColumn("__cand", explode(array(candStructs: _*)))
+      .filter(col("__cand.start").isNotNull && col("__cand.len") <= col(factLen))
+      .join(dim,
+        col("__cand.len") === col(dimLenCol) && col("__cand.start") === col(dimStart),
+        "inner")
+      .filter(col(factLen) <= col(dimMaxLen))
+      .drop("__cand")
+  }
 }

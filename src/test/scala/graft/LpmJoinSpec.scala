@@ -151,4 +151,55 @@ class LpmJoinSpec extends SparkSpec {
       roas, "rstart", "rend", "maxlen").select("id").as[Long].collect().toSet
     assert(got === Set(1L))
   }
+
+  test("coveringJoinByExpansion ≡ coveringJoin on aligned dims (numeric and binary forms)") {
+    import graft.ip.IpKit
+    // numeric 16-bit space: pseudo-random aligned dims + facts
+    val dims = spark.range(200).select(
+      (lit(4) + col("id") % 8L).cast("int").as("rlen"),
+      (col("id") * 131L % 65536L).as("raddr"),
+      (lit(1) + col("id") % 5L).as("extra"))
+      .withColumn("rstep", pow(lit(2.0), lit(16) - col("rlen")).cast("long"))
+      .withColumn("rstart", col("raddr") - col("raddr") % col("rstep"))
+      .withColumn("rend", col("rstart") + col("rstep") - 1)
+      .withColumn("maxlen", col("rlen") + col("extra"))
+      .select("rstart", "rend", "rlen", "maxlen")
+    val facts = spark.range(2000).select(
+      col("id"),
+      (lit(3) + col("id") % 12L).as("len"),
+      (col("id") * 7741L % 65536L).as("addr"))
+      .withColumn("step", pow(lit(2.0), lit(16) - col("len")).cast("long"))
+      .withColumn("rib_start", col("addr") - col("addr") % col("step"))
+      .withColumn("rib_end", col("rib_start") + col("step") - 1)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("id"), col("rstart"), col("maxlen")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nlj = pairs(LpmJoin.coveringJoin(facts, "rib_start", "rib_end", "len",
+      dims, "rstart", "rend", "maxlen"))
+    val exp = pairs(LpmJoin.coveringJoinByExpansion(facts, "rib_start", "len",
+      dims, "rstart", "rlen", "maxlen", bits = 16))
+    assert(exp === nlj)
+    assert(nlj.nonEmpty)
+
+    // binary form over real v4 prefixes: same row set as the range NLJ
+    val bdims = IpKit.withPrefixRange(spark.range(64).select(
+      format_string("10.%d.0.0/%d", col("id") % 32, lit(12) + (col("id") % 3) * lit(4))
+        .as("prefix")), "prefix")
+      .withColumn("maxlen", col("ip_len") + lit(8))
+    val bfacts = IpKit.withPrefixRange(spark.range(500).select(
+      col("id"),
+      format_string("10.%d.%d.0/%d", col("id") % 40, (col("id") * 3) % 256,
+        lit(20) + (col("id") % 3) * lit(2)).as("prefix")), "prefix")
+      .withColumnRenamed("ip_start", "f_start").withColumnRenamed("ip_end", "f_end")
+      .withColumnRenamed("ip_len", "f_len")
+    def bpairs(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("id"), hex(col("ip_start")).as("rs")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val bnlj = bpairs(LpmJoin.coveringJoin(bfacts, "f_start", "f_end", "f_len",
+      bdims, "ip_start", "ip_end", "maxlen"))
+    val bexp = bpairs(LpmJoin.coveringJoinByExpansionBinary(bfacts, "f_start", "f_len",
+      bdims, "ip_start", "ip_len", "maxlen"))
+    assert(bexp === bnlj)
+    assert(bnlj.nonEmpty)
+  }
 }
