@@ -75,6 +75,38 @@ class PlanQualitySpec extends SparkSpec {
       s"partition pruning did not reduce the file set ($scanned of $total)")
   }
 
+  test("q74 covering expansion is an equi-join (the NLJ it replaced can't come back)") {
+    val plan = planOf("q74_j6_covering_expansion")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expansion covering join degenerated to a product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin"),
+      s"no hash/equi join in the expansion covering plan:\n$plan")
+  }
+
+  test("readCdcLog hour filter prunes compacted partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcprune").toString
+    val hours = Seq("2024-01-01-00", "2024-01-01-01", "2024-01-01-02")
+    val rows = hours.zipWithIndex.flatMap { case (h, i) =>
+      (1 to 4).map(j => (s"k$i$j", (i * 3600L + j) * 1000000L, i.toLong, h))
+    }
+    rows.toDF("k", "ts_us", "__src_batch", "date_hour")
+      .write.partitionBy("date_hour").parquet(s"$root/compacted")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/compacted/_COMPACTED_THROUGH"), "2".getBytes)
+    val read = graft.streaming.Ingest
+      .readCdcLog(spark, s"$root/log", s"$root/compacted")
+      .filter(col("date_hour") === "2024-01-01-01")
+    val scan = read.queryExecution.executedPlan.toString
+    // the stats jobs read single hours; at 100 TB the compacted layout
+    // must prune to the hour directory, not list-and-filter every hour
+    assert(scan.contains("PartitionFilters") && scan.contains("date_hour"),
+      s"no partition filter on the compacted CDC scan:\n$scan")
+    assert(read.count() === 4)
+  }
+
   test("q69 decontamination broadcasts the benchmark side (corpus never pre-shuffles)") {
     val plan = planOf("q69_dd_decontamination")
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
