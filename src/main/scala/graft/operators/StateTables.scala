@@ -84,6 +84,57 @@ object StateTables {
     writeNumBucketsMarker(fs, path, numBuckets)
   }
 
+  /** Atomically replace the tiny pointer/manifest file at `dst` so a
+    * concurrent reader ALWAYS sees either the old or the new content —
+    * never "no file". The delete-then-rename idiom has a dst-missing
+    * window in which a reader concludes "never committed" (bootstrap)
+    * mid-commit; for the `_CURRENT` manifests that window un-publishes
+    * every table at once.
+    *
+    *  - `file:` — java.nio ATOMIC_MOVE + REPLACE_EXISTING (POSIX
+    *    rename(2), atomic overwrite);
+    *  - HDFS-like — FileContext rename OVERWRITE (atomic namenode op;
+    *    FileSystem.rename has no overwrite form);
+    *  - anything without an AbstractFileSystem binding (test FSes,
+    *    some object stores) — falls back to delete+rename; object-store
+    *    deployments should front pointers with a consistent store the
+    *    same way Delta/Iceberg require.
+    */
+  def replacePointerFile(fs: org.apache.hadoop.fs.FileSystem,
+                         conf: org.apache.hadoop.conf.Configuration,
+                         dst: org.apache.hadoop.fs.Path,
+                         bytes: Array[Byte]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val scheme = Option(fs.makeQualified(dst).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // the nio move bypasses Hadoop's ChecksumFileSystem, so its .crc
+      // sidecars would go stale and fail later fs.open verification —
+      // drop them (both names); readers skip verification when absent
+      fs.delete(new org.apache.hadoop.fs.Path(
+        tmp.getParent, "." + tmp.getName + ".crc"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        dst.getParent, "." + dst.getName + ".crc"), false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.makeQualified(dst).toUri, conf)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(dst, false)
+          if (!fs.rename(tmp, dst)) sys.error(s"failed to commit pointer $dst")
+      }
+    }
+  }
+
   /** The layout's bucket count is part of its identity: a merge run with
     * a DIFFERENT numBuckets would hash updates into different dirs than
     * the ones holding their current rows — the pruned read misses them

@@ -111,13 +111,15 @@ object ConsistentState {
       require(keepVersions >= 1, s"keepVersions ($keepVersions) must be >= 1")
       val fs  = fsOf(spark, root)
       val man = base ++ staged
-      val tmp = new org.apache.hadoop.fs.Path(root, "_CURRENT.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(man.toSeq.sortBy(_._1).map { case (t, v) => s"$t=$v" }
-        .mkString("", "\n", "\n").getBytes) finally out.close()
       val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
-      fs.delete(ptr, false)
-      if (!fs.rename(tmp, ptr)) sys.error(s"failed to commit manifest $ptr")
+      // atomic overwrite (no delete-then-rename): a reader racing the
+      // commit must see old-or-new, never a missing manifest — a missing
+      // one reads as "nothing ever committed" and un-publishes every
+      // table at once
+      graft.operators.StateTables.replacePointerFile(fs,
+        spark.sessionState.newHadoopConf(), ptr,
+        man.toSeq.sortBy(_._1).map { case (t, v) => s"$t=$v" }
+          .mkString("", "\n", "\n").getBytes)
       staged.foreach { case (t, v) =>
         // walk DOWN from the newest prunable version and stop at the
         // first gap: previous commits already pruned below it, so the

@@ -189,14 +189,12 @@ object Ingest {
     // CDC log: idempotent per batchId; a fully-written partition from a
     // crashed attempt is authoritative (see StateTables.writeCdcBatch)
     graft.operators.StateTables.writeCdcBatch(spark, log, logPath, batchId)
-    // atomic pointer swap, then prune versions older than the previous
+    // atomic pointer swap (old-or-new, never missing — see
+    // StateTables.replacePointerFile), then prune older versions
     val fs  = stateFs(spark, statePath)
-    val tmp = new org.apache.hadoop.fs.Path(statePath, "_CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(nextVer.toString.getBytes) finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(statePath, "_CURRENT")
-    fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr)) sys.error(s"failed to commit pointer $ptr")
+    graft.operators.StateTables.replacePointerFile(fs,
+      spark.sessionState.newHadoopConf(), ptr, nextVer.toString.getBytes)
     if (nextVer >= 2)
       fs.delete(new org.apache.hadoop.fs.Path(statePath, s"v${nextVer - 2}"), true)
   }
@@ -467,11 +465,12 @@ object Ingest {
     graft.operators.StateTables.swapStagedDirs(fs, stage, compactedPath,
       touched.map(h => s"date_hour=$h"))
 
-    val tmp = new HPath(compactedPath, "_COMPACTED_THROUGH.tmp")
-    val outS = fs.create(tmp, true)
-    try outS.write(freshIds.max.toString.getBytes) finally outS.close()
-    fs.delete(marker, false)
-    if (!fs.rename(tmp, marker)) sys.error(s"failed to commit marker $marker")
+    // atomic overwrite: a reader racing the marker move must see the old
+    // or new value — a MISSING marker reads as through=-1, hiding every
+    // compacted row while already-folded raw dirs may be dropped
+    graft.operators.StateTables.replacePointerFile(fs,
+      spark.sessionState.newHadoopConf(), marker,
+      freshIds.max.toString.getBytes)
     touched.map(h => s"date_hour=$h")
   }
 

@@ -71,4 +71,41 @@ class ConsistentStateSpec extends SparkSpec {
     val dirs = new java.io.File(s"$root/t").listFiles().map(_.getName).toSet
     assert(dirs === Set("v1", "v2"), s"unexpected versions: $dirs")
   }
+
+  test("manifest swap is atomic: concurrent readers never see a missing manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cstate3").toString
+    val first = ConsistentState.begin(spark, root)
+    first.stage("t", Seq(0).toDF("x"))
+    first.commit()
+
+    // a delete-then-rename swap has a window where _CURRENT is MISSING —
+    // readManifest reads that as "nothing ever committed", un-publishing
+    // every table at once. Hammer commits on one thread while polling the
+    // manifest from another: with the atomic overwrite the reader must
+    // see a non-empty manifest with monotonically advancing versions.
+    @volatile var stop = false
+    @volatile var torn: Option[String] = None
+    val reader = new Thread(() => {
+      var last = -1
+      while (!stop && torn.isEmpty) {
+        val man = ConsistentState.readManifest(spark, root)
+        man.get("t") match {
+          case None => torn = Some("manifest missing/empty mid-commit")
+          case Some(v) =>
+            if (v < last) torn = Some(s"version went backwards: $last -> $v")
+            last = v
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 60).foreach { i =>
+        val txn = ConsistentState.begin(spark, root)
+        txn.stage("t", Seq(i).toDF("x"))
+        txn.commit()
+      }
+    } finally { stop = true; reader.join(10000) }
+    assert(torn.isEmpty, torn.getOrElse(""))
+  }
 }
