@@ -14,9 +14,7 @@ run / fork := true
 // Raw pass-through for forked run output: the default LoggedOutput
 // prefixes every line with "[info] ", which breaks the driver's parse
 // of Bench's final stdout JSON line (BENCH_r05 parsed: null).
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -258,6 +258,15 @@ object GraftApp {
     * every reader sees all tables at the SAME manifest version. Called
     * after each commit; callable any time (e.g. from a separate SQL
     * session sharing the metastore-less session).
+    *
+    * Consistency granularity: each registered VIEW is internally
+    * consistent (all of its joins bind to the one manifest this pass
+    * resolved), matching the reference's per-statement snapshot under
+    * READ COMMITTED. A query joining two *views* planned while a
+    * re-registration pass is mid-flight can bind them one manifest
+    * apart — the same cross-statement behavior Postgres READ COMMITTED
+    * gives; use [[ConsistentState.readConsistent]] directly for a
+    * multi-table repeatable-read.
     */
   def registerViews(spark: SparkSession, conf: Conf): Unit = {
     val versioned = Inventory ++ (if (conf.bucketedRib.isEmpty) VersionedRib else Nil)

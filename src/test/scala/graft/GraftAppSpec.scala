@@ -181,4 +181,42 @@ class GraftAppSpec extends SparkSpec {
       assert(left === Seq("198.51.100.0"))
     } finally q.stop()
   }
+
+  test("GraftApp integrated maintenance: CDC folds to hours mid-stream, reads stay exact") {
+    val in   = Files.createTempDirectory("graftapp4_in").toString
+    val root = Files.createTempDirectory("graftapp4_root").toString
+    val conf = GraftApp.Conf(root, triggerMs = 50, bucketedRib = Some(8),
+      maintenanceEvery = 1) // fold after every micro-batch
+
+    writeTopic(in, "peer", "b1.tsv",
+      peerLine("p1", "r1", "10.1.1.1", "peer-one", "10.1.1.1", 65001, "up",
+        "2024-01-01 00:00:02.000000"))
+    writeTopic(in, "unicast_prefix", "b1.tsv",
+      prefixLine("u1", "p1", "a1", "192.0.2.0", 24, "2024-01-01 00:00:03.000000", withdrawn = false))
+
+    val q = GraftApp.start(GraftApp.fileSource(spark, in), conf)
+    try {
+      q.processAllAvailable()
+      // two more micro-batches, one hour apart — batchIds 1, 2 both
+      // trigger the inline maintenance pass (maintenanceEvery = 1)
+      writeTopic(in, "unicast_prefix", "b2.tsv",
+        prefixLine("u2", "p1", "a1", "198.51.100.0", 24, "2024-01-01 01:00:03.000000", withdrawn = false))
+      q.processAllAvailable()
+      writeTopic(in, "unicast_prefix", "b3.tsv",
+        prefixLine("u3", "p1", "a1", "203.0.113.0", 24, "2024-01-01 02:00:03.000000", withdrawn = false))
+      q.processAllAvailable()
+
+      val compacted = new java.io.File(s"$root/ip_rib_log_compacted")
+      assert(compacted.isDirectory &&
+        compacted.listFiles().exists(_.getName.startsWith("date_hour=")),
+        "maintenance never folded the CDC log to the hourly layout")
+      assert(new java.io.File(compacted, "_COMPACTED_THROUGH").isFile)
+      // the unified reader must see every change exactly once across the
+      // compacted hours ∪ surviving raw batches seam, mid-maintenance
+      val cdc = graft.streaming.Ingest.readCdcLog(spark,
+        s"$root/ip_rib_log", s"$root/ip_rib_log_compacted")
+      val prefixes = cdc.select("prefix").collect().map(_.getString(0)).sorted.toSeq
+      assert(prefixes === Seq("192.0.2.0", "198.51.100.0", "203.0.113.0"))
+    } finally q.stop()
+  }
 }
