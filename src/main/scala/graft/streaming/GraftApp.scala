@@ -304,6 +304,18 @@ object GraftApp {
               org.apache.spark.sql.types.StructField("as_name",
                 org.apache.spark.sql.types.StringType)))))
         BmpViews.registerAll(rib, peers, attrs, routers, infoAsn, log("ip_rib_log"))
+        // cron-fed enrichment surface (reference cron_scripts/*): the
+        // loaders in sources/Enrichment write these tables under <root>;
+        // register whatever is present so the SQL surface matches the
+        // reference's — incl. v_ip_routes_geo (8_views.sql:76) when a
+        // geo table exists (strategy pick from plan stats, no count job)
+        log("geo_ip").foreach { geo =>
+          geo.createOrReplaceTempView("geo_ip")
+          BmpViews.vIpRoutesGeo(BmpViews.vIpRoutes(rib, peers, attrs, routers), geo)
+            .createOrReplaceTempView("v_ip_routes_geo")
+        }
+        Seq("rpki_validator", "pdb_exchange_peers", "info_route")
+          .foreach(t => log(t).foreach(_.createOrReplaceTempView(t)))
         tbl("l3vpn_rib").foreach(l3 =>
           BmpViews.registerL3vpn(l3, peers, attrs, routers, log("l3vpn_rib_log")))
         (tbl("ls_nodes"), tbl("ls_links"), tbl("ls_prefixes")) match {

@@ -103,6 +103,21 @@ class GraftAppSpec extends SparkSpec {
       val man2 = ConsistentState.readManifest(spark, root)
       assert(man2.values.toSet.size === 1)
       assert(man2("ip_rib") === man1("ip_rib") + 1)
+
+      // cron-fed enrichment lands mid-stream (the operator runs the
+      // geoip loader): next registration pass exposes geo_ip AND the
+      // reference's v_ip_routes_geo (8_views.sql:76)
+      import spark.implicits._
+      Seq(("192.0.2.0/24", "NL", "Amsterdam"), ("198.51.100.0/24", "US", "Dallas"))
+        .toDF("ip", "country", "city")
+        .write.mode("overwrite").parquet(s"$root/geo_ip")
+      writeTopic(in, "unicast_prefix", "b3.tsv",
+        prefixLine("u3", "p1", "a1", "203.0.113.0", 24, "2024-01-01 00:02:00.000000", withdrawn = false))
+      q.processAllAvailable()
+      val geo = spark.sql(
+        "SELECT prefix, country FROM v_ip_routes_geo ORDER BY prefix").collect()
+      assert(geo.map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("198.51.100.0", "US"), ("203.0.113.0", null))) // withdrawn u1 absent; unmatched keeps null geo
     } finally q.stop()
   }
 
