@@ -277,4 +277,27 @@ class StreamingSpec extends SparkSpec {
     Ingest.mergeBatch(spark, parsed, s"$out/state", s"$out/log", Ingest.ipRibPolicy)
     assert(Ingest.readState(spark, s"$out/state").get.count() === 2)
   }
+
+  test("replacePointerFile: atomic on file scheme; fallback works without an AbstractFileSystem binding") {
+    import graft.operators.StateTables
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.crashy.impl", classOf[CrashyRenameFs].getName)
+
+    def roundTrip(base: String): Unit = {
+      val ptr = new org.apache.hadoop.fs.Path(base, "_CURRENT")
+      val fs  = ptr.getFileSystem(conf)
+      StateTables.replacePointerFile(fs, conf, ptr, "1".getBytes)
+      StateTables.replacePointerFile(fs, conf, ptr, "2".getBytes) // overwrite an existing pointer
+      val in = fs.open(ptr)
+      val got = try new String(in.readAllBytes()).trim finally in.close()
+      assert(got === "2")
+      // no stray tmp or stale checksum sidecar left behind
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "_CURRENT.tmp")))
+    }
+
+    roundTrip(Files.createTempDirectory("graft_ptr_local").toString)
+    // crashy:// has no AbstractFileSystem binding → FileContext throws
+    // UnsupportedFileSystemException → delete+rename fallback
+    roundTrip(s"crashy://${Files.createTempDirectory("graft_ptr_crashy")}")
+  }
 }
