@@ -428,7 +428,12 @@ object Ingest {
     graft.operators.StateTables.recoverSwap(fs, compactedPath)
 
     val marker = new HPath(compactedPath, "_COMPACTED_THROUGH")
-    val doneThrough: Long = compactedThrough(spark, compactedPath).getOrElse(-1L)
+    // pre-compaction sentinel is MinValue, NOT -1: bootstrap/backfill
+    // batches use NEGATIVE ids (GraftApp.bootstrap = -1) and a -1
+    // sentinel would leave them permanently unfolded — then invisible to
+    // readCdcLog and eventually dropped UNFOLDED by the retention pass
+    // (silent CDC loss)
+    val doneThrough: Long = compactedThrough(spark, compactedPath).getOrElse(Long.MinValue)
     val logRoot = new HPath(logPath)
     if (!fs.exists(logRoot)) return Nil
     // fold only COMMITTED batches (dir carries _SUCCESS), and stop at
@@ -503,7 +508,7 @@ object Ingest {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sessionState.newHadoopConf()
     val cfs  = new HPath(compactedPath).getFileSystem(conf)
-    val through = compactedThrough(spark, compactedPath).getOrElse(-1L)
+    val through = compactedThrough(spark, compactedPath).getOrElse(Long.MinValue) // MinValue: negative (bootstrap) ids must be read pre-compaction
     val hasCompacted = cfs.exists(new HPath(compactedPath)) &&
       cfs.listStatus(new HPath(compactedPath))
         .exists(_.getPath.getName.startsWith("date_hour="))

@@ -431,6 +431,36 @@ class StateAndJobsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("changed type"))
   }
 
+  test("readCdcLog + compaction: bootstrap's negative batch id survives the full lifecycle") {
+    import graft.streaming.Ingest
+    val t0 = java.time.LocalDateTime.of(2024, 6, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    val raw = Files.createTempDirectory("graft_cdcneg").toString
+    val (logDir, hourDir) = (raw + "/log", raw + "/hourly")
+    def writeBatch(id: Long, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("ts_us", "v").write.mode("overwrite").parquet(s"$logDir/batch=$id")
+    def values(): Seq[Long] = Ingest.readCdcLog(spark, logDir, hourDir)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+
+    // GraftApp.bootstrap writes CDC at batchId = -1, the stream at 0,1…
+    writeBatch(-1, Seq((t0 + 1, -10L)))
+    writeBatch(0, Seq((t0 + 2, 0L)))
+    writeBatch(1, Seq((t0 + 3, 1L)))
+    // visible BEFORE any compaction (a -1 through-sentinel hid it)
+    assert(values() === Seq(-10L, 0L, 1L))
+
+    // first fold must include the negative id, not skip past it
+    assert(Ingest.compactLogIncremental(spark, logDir, hourDir).nonEmpty)
+    assert(Ingest.compactedThrough(spark, hourDir) === Some(1L))
+    assert(values() === Seq(-10L, 0L, 1L))
+
+    // retention drops every folded raw dir — the bootstrap rows now only
+    // live in the hourly layout, and must still read exactly once
+    graft.operators.Retention.dropAgedBatches(spark, logDir, minBatchId = 2)
+    assert(!new java.io.File(s"$logDir/batch=-1").exists())
+    assert(values() === Seq(-10L, 0L, 1L))
+  }
+
   test("readCdcLog: every batch exactly once across raw, compacted, and mid-maintenance states") {
     import graft.streaming.Ingest
     val hourUs = 3600L * 1000000
