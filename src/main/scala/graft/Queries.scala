@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
 import graft.ip.IpKit
-import graft.operators.{Dedup, LpmJoin, MergeOps, Similarity, TimeAgg}
+import graft.operators.{Curation, Dedup, LpmJoin, MergeOps, Similarity, TimeAgg}
 import graft.operators.MergeOps.MergePolicy
 import graft.views.BmpViews
 
@@ -2241,6 +2241,141 @@ object Queries {
         THEN 'valid' ELSE 'unknown' END AS rpki_status
       FROM ribs ORDER BY o_orderkey"""))
 
+  // =====================================================================
+  // Round-6 coverage: corpus-curation operators (Gopher repetition
+  // filter, leakage-safe stratified split, token chunking, semantic
+  // centroid outliers)
+  // =====================================================================
+
+  val q75GopherRepetition = Q(
+    "q75_tx_gopher_repetition",
+    (s, dir) =>
+      Curation.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, (length(trim(text)) = 0) AS blank,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents),
+      base AS (SELECT doc_id,
+               CASE WHEN blank THEN 0 ELSE len(toks) END AS n_tokens FROM d),
+      g AS (SELECT doc_id, n,
+              array_to_string(list_slice(toks, i, i + n - 1), ' ') AS gram
+            FROM d, (VALUES (2),(3),(5)) ns(n),
+                 LATERAL unnest(range(1, len(toks) - n + 2)) t(i)
+            WHERE NOT blank AND len(toks) >= n),
+      cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c
+              FROM g GROUP BY doc_id, n, gram),
+      sig AS (SELECT doc_id, n,
+                CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac,
+                CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+                  / SUM(c) AS dup_frac
+              FROM cnt GROUP BY doc_id, n),
+      wide AS (SELECT doc_id,
+                 COALESCE(MAX(CASE WHEN n = 2 THEN top_frac END), 0.0) AS top2_frac,
+                 COALESCE(MAX(CASE WHEN n = 3 THEN top_frac END), 0.0) AS top3_frac,
+                 COALESCE(MAX(CASE WHEN n = 2 THEN dup_frac END), 0.0) AS dup2_frac,
+                 COALESCE(MAX(CASE WHEN n = 5 THEN dup_frac END), 0.0) AS dup5_frac
+               FROM sig GROUP BY doc_id)
+      SELECT base.doc_id, n_tokens,
+        COALESCE(top2_frac, 0.0) AS top2_frac,
+        COALESCE(top3_frac, 0.0) AS top3_frac,
+        COALESCE(dup2_frac, 0.0) AS dup2_frac,
+        COALESCE(dup5_frac, 0.0) AS dup5_frac,
+        (COALESCE(top2_frac, 0.0) <= 0.05 AND COALESCE(top3_frac, 0.0) <= 0.04
+          AND COALESCE(dup2_frac, 0.0) <= 0.10
+          AND COALESCE(dup5_frac, 0.0) <= 0.15) AS passes_repetition
+      FROM base LEFT JOIN wide ON base.doc_id = wide.doc_id
+      ORDER BY base.doc_id"""))
+
+  val q76StratSplit = Q(
+    "q76_s_stratified_split",
+    (s, dir) =>
+      // split key = hash of NORMALIZED CONTENT (not row id): duplicate
+      // and whitespace/case-variant docs land in the same split, so an
+      // imperfect dedup can't leak eval text into train
+      Curation.stratifiedSplit(t(s, dir, "documents"), "text")
+        .groupBy(col("source"), col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(Dedup.md5Hash60(TextFns.normalizeText(col("text"))))
+            .as("n_uniq_texts"))
+        .orderBy("source", "split"),
+    Some("""
+      WITH d AS (SELECT source,
+        ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+          1, 15))::BIGINT AS h,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        END AS n_toks
+        FROM documents),
+      sp AS (SELECT source, n_toks, h,
+               CASE WHEN h % 100 < 80 THEN 'train'
+                    WHEN h % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM d)
+      SELECT source, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        COUNT(DISTINCT h) AS n_uniq_texts
+      FROM sp GROUP BY source, split
+      ORDER BY source, split"""))
+
+  val q77Chunking = Q(
+    "q77_tx_chunking",
+    (s, dir) =>
+      Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "start_tok"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, CAST(i AS INT) AS start_tok,
+              list_slice(toks, i, i + 31) AS chunk
+            FROM d, LATERAL unnest(range(1, greatest(len(toks), 1) + 1, 24)) t(i))
+      SELECT doc_id, start_tok,
+        CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        array_to_string(chunk, ' ') AS chunk_text
+      FROM c ORDER BY doc_id, start_tok"""))
+
+  val q78CentroidOutlier = Q(
+    "q78_sem_centroid_outlier",
+    (s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", outlierFrac = 0.1)
+        .select(col("vec_id"), col("label"),
+          round(col("cos"), 6).as("cos_r"), col("rank"), col("is_outlier"))
+        .orderBy("label", "rank"),
+    Some("""
+      WITH cent AS (
+        SELECT label, i AS pos,
+          CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
+        FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+        GROUP BY label, i),
+      cvec AS (SELECT label, list(c ORDER BY pos) AS centroid
+               FROM cent GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * centroid[i])) AS dp,
+          sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS na,
+          sqrt(list_sum(list_transform(range(1, len(centroid) + 1),
+            i -> centroid[i] * centroid[i]))) AS nb
+        FROM embeddings e JOIN cvec USING (label)),
+      r AS (
+        SELECT vec_id, label,
+          CASE WHEN na * nb > 0 THEN dp / (na * nb) END AS cos,
+          CAST(row_number() OVER (PARTITION BY label
+            ORDER BY (CASE WHEN na * nb > 0 THEN dp / (na * nb) END)
+              ASC NULLS FIRST, vec_id ASC) AS INT) AS rank,
+          COUNT(*) OVER (PARTITION BY label) AS n
+        FROM scored)
+      SELECT vec_id, label, round(cos, 6) AS cos_r, rank,
+        rank <= CAST(ceil(0.1 * n) AS BIGINT) AS is_outlier
+      FROM r ORDER BY label, rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2260,5 +2395,6 @@ object Queries {
     q62DupClusters, q63PiiRedact, q64GeoIpOverwrite, q65StatReports,
     q66Intervals, q67SeqPacking, q68ProfileStats, q69Decontam,
     q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion,
-    q74CoveringExpansion)
+    q74CoveringExpansion,
+    q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier)
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-curation operators for training-data pipelines: Gopher-style
+  * repetition quality signals, leakage-safe stratified splits, and
+  * fixed-size token chunking. All shapes are 100 TB-safe: one explode +
+  * map-side-combined hash aggregates (repetition), pure scan-stage
+  * expressions (split), or a single explode with no shuffle (chunking).
+  *
+  * These extend the engine beyond the reference's BMP surface (same
+  * role as the dedup/similarity operators — see SURVEY.md §2 LLM
+  * extensions); signal definitions follow the published Gopher /
+  * MassiveText filtering rules (Rae et al. 2021, §A1.1) re-expressed
+  * over whitespace tokens.
+  */
+object Curation {
+
+  /** Per-document n-gram repetition signals — the MassiveText/Gopher
+    * "repetitious document" filter family:
+    *
+    *  - `top{n}_frac`: occurrences of the single most frequent n-gram
+    *    divided by the document's n-gram instance count (fraction of the
+    *    doc dominated by one phrase);
+    *  - `dup{n}_frac`: fraction of n-gram instances whose gram occurs
+    *    more than once in the document (self-repetition mass);
+    *  - `passes_repetition`: all thresholds hold.
+    *
+    * Plan shape: ONE explode producing (id, n, gram) for n ∈ {2,3,5} in
+    * a single pass over the token array, then two hash aggregates
+    * (gram counts → per-(doc,n) max/sum), both map-side combined; the
+    * exploded rows shuffle once on (id, n, gram). No windows, no
+    * driver-side state — linear in corpus size at any scale. Documents
+    * shorter than n tokens contribute no n-grams and score 0.0.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        maxTop2: Double = 0.05, maxTop3: Double = 0.04,
+                        maxDup2: Double = 0.10, maxDup5: Double = 0.15): DataFrame = {
+    val ns = Seq(2, 3, 5)
+    val toks = TextFns.tokens(col(textCol))
+    val blank = length(trim(col(textCol))) === 0
+    val base = docs.select(
+      col(idCol),
+      when(blank, lit(0L)).otherwise(size(toks).cast("long")).as("n_tokens"),
+      toks.as("__toks"))
+
+    // one row per n-gram instance, all n sizes in a single explode
+    // (blank text needs no guard here: it tokenizes to [""], size 1,
+    // below every n >= 2)
+    val gramArrays = ns.map { n =>
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(1), size(col("__toks")) - n + 1),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("__toks"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }
+    val grams = base.select(col(idCol), explode(flatten(array(gramArrays: _*))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+
+    val sig = grams
+      .groupBy(col(idCol), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        (max(col("c")).cast("double") / sum(col("c"))).as("top_frac"),
+        (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+          sum(col("c"))).as("dup_frac"))
+
+    def pick(n: Int, c: String): Column =
+      coalesce(max(when(col("n") === n, col(c))), lit(0.0))
+    val wide = sig.groupBy(col(idCol)).agg(
+      pick(2, "top_frac").as("top2_frac"),
+      pick(3, "top_frac").as("top3_frac"),
+      pick(2, "dup_frac").as("dup2_frac"),
+      pick(5, "dup_frac").as("dup5_frac"))
+
+    base.drop("__toks").join(wide, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+      .withColumn("passes_repetition",
+        col("top2_frac") <= maxTop2 && col("top3_frac") <= maxTop3 &&
+          col("dup2_frac") <= maxDup2 && col("dup5_frac") <= maxDup5)
+  }
+
+  /** Leakage-safe deterministic train/val/test assignment: the split key
+    * is a hash of the NORMALIZED CONTENT (not the row id), so byte-dup
+    * and whitespace/case-variant copies of a document always land in the
+    * same split — the property that keeps eval sets uncontaminated when
+    * dedup is imperfect. Pure scan-stage expressions (md5 + modulo), no
+    * shuffle, reproducible across engines and runs (vs rand()-seeded
+    * splits, which reshuffle on every retry/backfill).
+    *
+    * `trainPct`/`valPct` are integer percent cut points on the hash
+    * bucket (0..99): bucket < trainPct → train, < trainPct+valPct → val,
+    * else test.
+    */
+  def stratifiedSplit(docs: DataFrame, textCol: String,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = Dedup.md5Hash60(TextFns.normalizeText(col(textCol))) % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Fixed-size token chunking with overlap — the context-window
+    * chunker for RAG indexing / training-sequence preparation. Emits one
+    * row per chunk: start token offset (1-based), chunk token count, and
+    * the chunk text; stride < chunkSize gives overlapping windows.
+    *
+    * Plan shape: the window starts are generated per row with
+    * `sequence` and exploded — a single narrow explode in the scan
+    * stage, NO shuffle at all; output order within a doc is the
+    * (doc, start_tok) order. Null text yields no chunks; empty text
+    * yields one empty chunk (consistent with the tokenizer's `[""]`).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize ($chunkSize) and stride ($stride) must be positive")
+    val toks = TextFns.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        // null text → null starts → explode drops the row (the guard
+        // matters: size(null)=null but greatest(null,1)=1 would
+        // otherwise fabricate one null chunk)
+        explode(transform(
+          when(col("__toks").isNotNull,
+            sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride))),
+          i => struct(i.as("start_tok"),
+            slice(col("__toks"), i, lit(chunkSize)).as("chunk")))).as("c"))
+      .select(
+        col(idCol),
+        col("c.start_tok").as("start_tok"),
+        size(col("c.chunk")).as("n_chunk_tokens"),
+        array_join(col("c.chunk"), " ").as("chunk_text"))
+  }
+}

@@ -392,6 +392,50 @@ object Similarity {
     (out, release)
   }
 
+  /** SemDeDup-style semantic outlier scoring: cosine of every vector to
+    * its group centroid, ranked within the group (ascending — least
+    * central first), with the bottom `outlierFrac` flagged. The
+    * pruning/quality-audit primitive for embedding-clustered corpora:
+    * drop (or human-review) the rows least representative of their
+    * cluster.
+    *
+    * Centroids use QUANTIZED exact arithmetic — each component is
+    * `floor(x·10⁶)` summed as integers, divided once at the end — so the
+    * centroid is identical regardless of partition/summation order
+    * (float addition is non-associative; a naive distributed mean
+    * changes per run, which silently reshuffles the outlier set between
+    * identical jobs). 10⁻⁶ quantization error is far below embedding
+    * noise.
+    *
+    * Plan shape: centroid build is one posexplode + two map-side-
+    * combined hash aggregates down to (#groups) rows, broadcast back;
+    * the rank window partitions by group — groups are clusters
+    * (bounded), never the full corpus in one partition.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, outlierFrac: Double = 0.1): DataFrame = {
+    require(outlierFrac > 0 && outlierFrac < 1,
+      s"outlierFrac ($outlierFrac) must be in (0, 1)")
+    val cents = df
+      .select(col(labelCol).as("__lbl"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg((sum(floor(col("x").cast("double") * 1000000.0).cast("long")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
+      .groupBy(col("__lbl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("__lbl"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(col("cos").asc_nulls_first, col(idCol).asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(labelCol))
+    df.join(broadcast(cents), col(labelCol) === col("__lbl"))
+      .withColumn("cos", cosine(col(vecCol), col("centroid")))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("is_outlier",
+        col("rank") <= ceil(lit(outlierFrac) * count(lit(1)).over(wc)))
+      .drop("__lbl", "centroid")
+  }
+
   /** Candidate stage of [[cosineNearDup]], exposed for scale probing:
     * per-table bucket self-join over a `(id, v)` frame, capped and
     * unioned — returns distinct (id_a, id_b) before exact verification.

@@ -188,4 +188,38 @@ class PlanQualitySpec extends SparkSpec {
     exchanges.foreach(e => assert(!e.contains("v#") && !e.contains("embedding"),
       s"embedding payload in a candidate shuffle:\n$e"))
   }
+
+  test("chunking and split are pure scan-stage ops — zero shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val chunks = graft.operators.Curation.chunkTokens(docs, "doc_id", "text", 32, 24)
+    val chunkPlan = chunks.queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunkTokens shuffles — it must stay scan-local:\n$chunkPlan")
+    val split = graft.operators.Curation.stratifiedSplit(docs, "text")
+    val splitPlan = split.queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"),
+      s"stratifiedSplit shuffles — it must stay scan-local:\n$splitPlan")
+  }
+
+  test("repetition signals: one explode feeds all n sizes, no window/sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sig = graft.operators.Curation.repetitionSignals(docs, "doc_id", "text")
+    val plan = sig.queryExecution.executedPlan.toString
+    val generates = plan.split("\n").count(_.contains("Generate explode"))
+    assert(generates === 1,
+      s"expected ONE explode for all n-gram sizes, found $generates:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("rangepartitioning"),
+      s"repetition signals plan a window/global sort:\n$plan")
+  }
+
+  test("centroid outliers broadcast the centroid table back to the corpus") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.centroidOutliers(
+      emb, "vec_id", "embedding", "label")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join didn't broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
 }
