@@ -2376,6 +2376,41 @@ object Queries {
         rank <= CAST(ceil(0.1 * n) AS BIGINT) AS is_outlier
       FROM r ORDER BY label, rank"""))
 
+  val q79IncrementalDedup = Q(
+    "q79_dd_incremental_bloom",
+    (s, dir) => {
+      // "which of today's batch is genuinely new" — corpus = even docs;
+      // the batch re-submits two slices of the archive under fresh ids
+      // (the even halves of those slices are content-dups) — exact
+      // anti-join semantics, Bloom-pruned so only candidate dups shuffle
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val nb = docs.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text"), col("source")))
+      val key = Dedup.md5Hash60(TextFns.normalizeText(col("text")))
+      Dedup.newKeysOnly(nb, corpus, key, expectedItems = 1000)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH nb AS (
+        SELECT doc_id + 10000000 AS doc_id, text, source FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 20000000 AS doc_id, text, source FROM documents
+        WHERE doc_id % 7 = 3),
+      ck AS (
+        SELECT ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+          1, 15))::BIGINT AS k
+        FROM documents WHERE doc_id % 2 = 0)
+      SELECT doc_id, source FROM nb
+      WHERE NOT EXISTS (SELECT 1 FROM ck WHERE k =
+        ('0x' || substr(md5(regexp_replace(lower(trim(nb.text)), '\s+', ' ', 'g')),
+          1, 15))::BIGINT)
+      ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2396,5 +2431,6 @@ object Queries {
     q66Intervals, q67SeqPacking, q68ProfileStats, q69Decontam,
     q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion,
     q74CoveringExpansion,
-    q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier)
+    q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier,
+    q79IncrementalDedup)
 }

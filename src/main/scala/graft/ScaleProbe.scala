@@ -222,6 +222,47 @@ object ScaleProbe {
           roas, "rstart", "rend", "maxlen"))
       roas.unpersist()
     }
+
+    // round-6: curation ops. All designed corpus-LINEAR — repetition
+    // signals are explode + two hash aggregates (the explode multiplies
+    // rows ~3× tokens but every downstream stage is map-side combined);
+    // chunking/split are scan-stage-only; centroid outliers are one
+    // posexplode aggregate + a broadcast join + a per-LABEL window.
+    if (section("curation")) {
+      import graft.operators.{Curation, Similarity}
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      // 10×/100× (not 1×/10×): at sf0.1 these ops are so cheap that the
+      // 1× point measures codegen compile, not data — push the lower
+      // point past the overhead floor so the ratio reflects growth
+      for (mult <- Seq(10, 100)) {
+        val docs = (0 until mult).map(r =>
+          docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+            col("text"), col("source")))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        timedCount(s"repet   ${mult}x docs n-grams 2/3/5",
+          Curation.repetitionSignals(docs, "doc_id", "text"))
+        timedCount(s"chunk   ${mult}x docs size=32 stride=24",
+          Curation.chunkTokens(docs, "doc_id", "text", 32, 24))
+        timedCount(s"split   ${mult}x docs 80/10/10",
+          Curation.stratifiedSplit(docs, "text"))
+        docs.unpersist()
+      }
+      val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (mult <- Seq(10, 100)) {
+        val emb = (0 until mult).map(r =>
+          emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+            col("embedding"), col("label")))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        timedCount(s"outlier ${mult}x embeddings 10 labels",
+          Similarity.centroidOutliers(emb, "vec_id", "embedding", "label"))
+        emb.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -542,4 +542,59 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ---- incremental (batch-vs-corpus) exact dedup -----------------------
+
+  private def expr(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
+  /** Serialized Bloom filter over a LONG key column — one map-side-
+    * combined aggregation pass over the corpus, collected as a single
+    * binary sketch (`org.apache.spark.util.sketch.BloomFilter`, bit
+    * size ≈ 1.44·log₂(1/fpp)·expectedItems).
+    */
+  def buildBloom(keys: DataFrame, keyCol: Column, expectedItems: Long): Array[Byte] = {
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expr(keyCol), expectedItems).toAggregateExpression()
+    keys.select(asCol(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain` probe against a serialized Bloom sketch — the
+    * codegen'd Catalyst predicate Spark itself injects for runtime
+    * row-group filtering, usable inline in a 100 TB scan stage.
+    */
+  def mightContain(bloom: Array[Byte], keyCol: Column): Column =
+    asCol(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expr(lit(bloom)), expr(keyCol)))
+
+  /** Incremental exact dedup: the rows of `newBatch` whose `keyOf` value
+    * does NOT already exist in `corpus` — the "which of today's crawl is
+    * genuinely new" primitive for append-only corpus building.
+    *
+    * Semantics are EXACT (a plain anti-join); the Bloom sketch is purely
+    * a pruning pre-filter. A Bloom negative is proof the key is absent
+    * (no false negatives) → the row skips the join entirely and its
+    * payload never shuffles. Only Bloom positives — true dups plus an
+    * `fpp`-sized slice of false positives — reach the anti-join, so the
+    * wide document payload that shuffles is ~dup_rate+fpp of the batch
+    * instead of all of it. The corpus side ships 8-byte keys only.
+    *
+    * `expectedItems` sizes the sketch (collected to the driver and
+    * broadcast as a literal: ~1.2 MB per 10⁶ keys at the default 3%
+    * fpp — size for the corpus-partition a job actually screens
+    * against, not a whole 10¹⁰-key corpus in one sketch).
+    */
+  def newKeysOnly(newBatch: DataFrame, corpus: DataFrame, keyOf: Column,
+                  expectedItems: Long): DataFrame = {
+    require(expectedItems > 0, s"expectedItems ($expectedItems) must be positive")
+    val corpusKeys = corpus.select(keyOf.as("__key"))
+    val bloom = buildBloom(corpusKeys, col("__key"), expectedItems)
+    val keyed = newBatch.withColumn("__key", keyOf)
+    val definitelyNew = keyed.filter(!mightContain(bloom, col("__key")))
+    val confirmedNew = keyed.filter(mightContain(bloom, col("__key")))
+      .join(corpusKeys, Seq("__key"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("__key")
+  }
 }

@@ -184,4 +184,39 @@ class DedupSpec extends SparkSpec {
     // 1,2,4 cluster together (1 kept); 3 is a singleton
     assert(kept === Seq(1L, 3L))
   }
+
+  // ---- Bloom-guarded incremental dedup ---------------------------------
+
+  test("buildBloom/mightContain: no false negatives, low false-positive rate") {
+    val keys = (1L to 1000L).toDF("k")
+    val bloom = Dedup.buildBloom(keys, col("k"), expectedItems = 1000)
+    // every inserted key MUST probe true (Bloom guarantees no FN)
+    val hits = keys.filter(Dedup.mightContain(bloom, col("k"))).count()
+    assert(hits === 1000L)
+    // foreign keys mostly probe false (default fpp ~3%; allow 10%)
+    val foreign = (100001L to 101000L).toDF("k")
+    val fp = foreign.filter(Dedup.mightContain(bloom, col("k"))).count()
+    assert(fp < 100L, s"false-positive rate too high: $fp/1000")
+  }
+
+  test("newKeysOnly: exact anti-join semantics through the Bloom pre-filter") {
+    val corpus = Seq((1L, "shared one"), (2L, "shared two"), (3L, "archive only"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared one"),     // dup of corpus 1
+      (11L, "Shared   TWO "),  // whitespace/case variant — still a dup
+      (12L, "fresh alpha"),
+      (13L, "fresh beta"),
+      (14L, "fresh beta")      // intra-batch dup: BOTH kept (vs-corpus op)
+    ).toDF("doc_id", "text")
+    val key = Dedup.md5Hash60(graft.functions.TextFns.normalizeText(col("text")))
+    val kept = Dedup.newKeysOnly(batch, corpus, key, expectedItems = 100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(12L, 13L, 14L))
+    // result must equal the plain (un-pruned) anti-join
+    val naive = batch.withColumn("__k", key)
+      .join(corpus.select(key.as("__k")), Seq("__k"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === naive)
+  }
 }

@@ -213,6 +213,22 @@ class PlanQualitySpec extends SparkSpec {
       s"repetition signals plan a window/global sort:\n$plan")
   }
 
+  test("incremental dedup probes the Bloom sketch in the scan stage") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val key = graft.operators.Dedup.md5Hash60(col("text"))
+    val out = graft.operators.Dedup.newKeysOnly(batch, corpus, key, 1000)
+    val plan = out.queryExecution.executedPlan.toString
+    // both branches filter on the sketch BEFORE any join/shuffle — the
+    // batch payload that shuffles is only the Bloom-positive slice
+    assert(plan.split("\n").count(_.contains("might_contain")) >= 2,
+      s"Bloom probe missing from the scan stage:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("might_contain"),
+      s"anti-join runs un-pruned:\n$plan")
+  }
+
   test("centroid outliers broadcast the centroid table back to the corpus") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val out = graft.operators.Similarity.centroidOutliers(
