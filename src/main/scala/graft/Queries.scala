@@ -2332,7 +2332,8 @@ object Queries {
              FROM documents WHERE text IS NOT NULL),
       c AS (SELECT doc_id, CAST(i AS INT) AS start_tok,
               list_slice(toks, i, i + 31) AS chunk
-            FROM d, LATERAL unnest(range(1, greatest(len(toks), 1) + 1, 24)) t(i))
+            FROM d, LATERAL unnest(range(1, greatest(len(toks), 1) + 1, 24)) t(i)
+            WHERE i = 1 OR i + 7 < len(toks))
       SELECT doc_id, start_tok,
         CAST(len(chunk) AS INT) AS n_chunk_tokens,
         array_to_string(chunk, ' ') AS chunk_text

@@ -42,6 +42,17 @@ object ScaleProbe {
       println(f"$label%-46s candidates=$n%10d  time=${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
 
+    /** mult copies with disjoint id ranges (stride 10M), persisted. */
+    def replicate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  mult: Int): org.apache.spark.sql.DataFrame = {
+      val out = (0 until mult).map(r =>
+        df.withColumn(idCol, col(idCol) + lit(r * 10000000L)))
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    }
+
     // SPARK_GRAFT_PROBE=neardup|corpus|v6lpm runs one section (default all)
     val only = sys.env.get("SPARK_GRAFT_PROBE")
     def section(name: String): Boolean = only.forall(_ == name)
@@ -112,12 +123,7 @@ object ScaleProbe {
       .select(col("doc_id"), col("text"), col("source"))
     val bench10 = docs0.filter(col("doc_id") % 17 === 0) // fixed benchmark set
     for (mult <- Seq(1, 10)) {
-      val docs = (0 until mult).map(r =>
-        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-          col("text"), col("source")))
-        .reduce(_ unionByName _)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docs.count()
+      val docs = replicate(docs0, "doc_id", mult)
       timedCount(s"pack    ${mult}x docs budget=512 shards=32",
         graft.operators.Packing.packByTokenBudget(docs, "doc_id", "text", 512, 32))
       timedCount(s"cap     ${mult}x docs k=25/source",
@@ -236,12 +242,7 @@ object ScaleProbe {
       // 1× point measures codegen compile, not data — push the lower
       // point past the overhead floor so the ratio reflects growth
       for (mult <- Seq(10, 100)) {
-        val docs = (0 until mult).map(r =>
-          docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
-            col("text"), col("source")))
-          .reduce(_ unionByName _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        docs.count()
+        val docs = replicate(docs0, "doc_id", mult)
         timedCount(s"repet   ${mult}x docs n-grams 2/3/5",
           Curation.repetitionSignals(docs, "doc_id", "text"))
         timedCount(s"chunk   ${mult}x docs size=32 stride=24",
@@ -252,12 +253,7 @@ object ScaleProbe {
       }
       val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       for (mult <- Seq(10, 100)) {
-        val emb = (0 until mult).map(r =>
-          emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
-            col("embedding"), col("label")))
-          .reduce(_ unionByName _)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        emb.count()
+        val emb = replicate(emb0, "vec_id", mult)
         timedCount(s"outlier ${mult}x embeddings 10 labels",
           Similarity.centroidOutliers(emb, "vec_id", "embedding", "label"))
         emb.unpersist()

@@ -105,8 +105,11 @@ object Curation {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
     val bucket = Dedup.md5Hash60(TextFns.normalizeText(col(textCol))) % 100
+    // null text hashes to a null bucket; all null-text docs are mutual
+    // content-duplicates, so they must share ONE split — train, where
+    // they dilute rather than contaminate evaluation
     docs.withColumn("split",
-      when(bucket < trainPct, lit("train"))
+      when(bucket.isNull || bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
@@ -132,9 +135,16 @@ object Curation {
         // null text → null starts → explode drops the row (the guard
         // matters: size(null)=null but greatest(null,1)=1 would
         // otherwise fabricate one null chunk)
+        // A start whose window adds no new tokens — the previous window
+        // already reached the end of the doc — is dropped: it would emit
+        // a chunk fully contained in its predecessor, up-weighting
+        // document tails in the output.
         explode(transform(
-          when(col("__toks").isNotNull,
-            sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride))),
+          filter(
+            when(col("__toks").isNotNull,
+              sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride))),
+            i => i === 1 ||
+              i + lit(chunkSize - stride - 1) < size(col("__toks"))),
           i => struct(i.as("start_tok"),
             slice(col("__toks"), i, lit(chunkSize)).as("chunk")))).as("c"))
       .select(

@@ -591,9 +591,17 @@ object Dedup {
     require(expectedItems > 0, s"expectedItems ($expectedItems) must be positive")
     val corpusKeys = corpus.select(keyOf.as("__key"))
     val bloom = buildBloom(corpusKeys, col("__key"), expectedItems)
+    // empty corpus (or all-null keys): the aggregate evals to a NULL
+    // sketch — everything in the batch is new; probing lit(null) would
+    // null-out BOTH branches and return an empty frame instead
+    if (bloom == null) return newBatch
     val keyed = newBatch.withColumn("__key", keyOf)
-    val definitelyNew = keyed.filter(!mightContain(bloom, col("__key")))
-    val confirmedNew = keyed.filter(mightContain(bloom, col("__key")))
+    // null-key rows probe NULL: coalesce them into the definitely-new
+    // branch — a null key never equals any corpus key under SQL
+    // equality, which is exactly what the plain anti-join would keep
+    val probe = coalesce(mightContain(bloom, col("__key")), lit(false))
+    val definitelyNew = keyed.filter(!probe)
+    val confirmedNew = keyed.filter(probe)
       .join(corpusKeys, Seq("__key"), "left_anti")
     definitelyNew.unionByName(confirmedNew).drop("__key")
   }

@@ -428,7 +428,10 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(labelCol)).orderBy(col("cos").asc_nulls_first, col(idCol).asc)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(labelCol))
-    df.join(broadcast(cents), col(labelCol) === col("__lbl"))
+    // null-safe equality: a null label is its own group (it got a
+    // centroid from the groupBy above); plain === would silently drop
+    // every unlabeled vector from the output
+    df.join(broadcast(cents), col(labelCol) <=> col("__lbl"))
       .withColumn("cos", cosine(col(vecCol), col("centroid")))
       .withColumn("rank", row_number().over(w))
       .withColumn("is_outlier",

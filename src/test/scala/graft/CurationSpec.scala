@@ -61,6 +61,14 @@ class CurationSpec extends SparkSpec {
     assert(r === r2)
   }
 
+  test("stratifiedSplit: null text goes to train (one split, dilutes not contaminates)") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val r = Curation.stratifiedSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(r(1L) === "train" && r(2L) === "train")
+  }
+
   test("stratifiedSplit: cut points respected and validated") {
     val docs = (1L to 400L).map(i => (i, s"document number $i with words")).toDF("doc_id", "text")
     val counts = Curation.stratifiedSplit(docs, "text", trainPct = 80, valPct = 10)
@@ -84,8 +92,20 @@ class CurationSpec extends SparkSpec {
     assert(r === Seq(
       (1, 4, "t1 t2 t3 t4"),
       (4, 4, "t4 t5 t6 t7"),
-      (7, 4, "t7 t8 t9 t10"),
-      (10, 1, "t10")))
+      (7, 4, "t7 t8 t9 t10")))
+    // start 10 is NOT emitted: its window ("t10") is fully contained in
+    // the start-7 chunk — tails must not be up-weighted
+  }
+
+  test("chunkTokens: disjoint-stride tail chunk IS kept (it covers new tokens)") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 4, stride = 8)
+      .orderBy("start_tok")
+      .select("start_tok", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(r === Seq(
+      (1, 4, "t1 t2 t3 t4"),
+      (9, 2, "t9 t10"))) // tokens 9-10 are uncovered without it
   }
 
   test("chunkTokens: empty text yields one empty chunk; null text none") {
@@ -121,6 +141,19 @@ class CurationSpec extends SparkSpec {
     // label 1: the anti-aligned vector is the single outlier
     assert(r(6L) === ((1, true)))
     assert(r(4L)._2 === false && r(5L)._2 === false)
+  }
+
+  test("centroidOutliers: null label is its own group, not dropped") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(0.0f, 1.0f), Some(0)),
+      (3L, Array(1.0f, 1.0f), None),
+      (4L, Array(-1.0f, 0.0f), None)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidOutliers(emb, "vec_id", "embedding", "label",
+      outlierFrac = 0.4)
+    assert(r.count() === 4L) // unlabeled vectors scored, not silently lost
+    assert(r.filter(col("label").isNull).count() === 2L)
   }
 
   test("centroidOutliers: zero vector gets null cos and ranks first") {

@@ -219,4 +219,22 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept === naive)
   }
+
+  test("newKeysOnly: empty corpus keeps the whole batch; null keys survive") {
+    val key = Dedup.md5Hash60(graft.functions.TextFns.normalizeText(col("text")))
+    val batch = Seq((1L, "alpha"), (2L, null: String), (3L, "beta"))
+      .toDF("doc_id", "text")
+    // bootstrap: empty corpus → a NULL Bloom sketch must mean "all new",
+    // not "drop everything"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r0 = Dedup.newKeysOnly(batch, empty, key, expectedItems = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r0 === Seq(1L, 2L, 3L))
+    // null-text batch row: null key never equals a corpus key → NEW
+    // (the anti-join keeps it; the Bloom probe must not eat it)
+    val corpus = Seq((10L, "alpha")).toDF("doc_id", "text")
+    val r1 = Dedup.newKeysOnly(batch, corpus, key, expectedItems = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(r1 === Seq(2L, 3L))
+  }
 }

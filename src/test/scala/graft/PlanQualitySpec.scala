@@ -225,8 +225,17 @@ class PlanQualitySpec extends SparkSpec {
     // batch payload that shuffles is only the Bloom-positive slice
     assert(plan.split("\n").count(_.contains("might_contain")) >= 2,
       s"Bloom probe missing from the scan stage:\n$plan")
-    assert(!plan.contains("SortMergeJoin") || plan.contains("might_contain"),
-      s"anti-join runs un-pruned:\n$plan")
+    // the anti-join's LEFT (batch) input must be Bloom-pruned — the
+    // probe has to sit below the join, not above it (checked on the
+    // optimized logical plan: the physical tree hides children behind
+    // AQE/QueryStage wrappers that collect() won't traverse)
+    val antiLefts = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j.left
+    }
+    assert(antiLefts.nonEmpty, s"no anti-join found in newKeysOnly plan:\n$plan")
+    antiLefts.foreach(in => assert(in.toString.contains("might_contain"),
+      s"anti-join's batch input runs un-pruned:\n$in"))
   }
 
   test("centroid outliers broadcast the centroid table back to the corpus") {
