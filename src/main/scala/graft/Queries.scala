@@ -2412,6 +2412,65 @@ object Queries {
           1, 15))::BIGINT)
       ORDER BY doc_id"""))
 
+  val q80TfIdfTerms = Q(
+    "q80_tx_tfidf_terms",
+    (s, dir) =>
+      Curation.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+    Some("""
+      WITH t AS (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tt AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM t WHERE len(term) > 0 GROUP BY doc_id, term),
+      d AS (SELECT term, COUNT(*) AS df FROM tt GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      sc AS (SELECT doc_id, term, tf, df,
+               CAST(tf * n.n AS DOUBLE) / df AS score
+             FROM tt JOIN d USING (term) CROSS JOIN n)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term ASC) AS INT) AS rank,
+        term, tf, df, score
+      FROM sc
+      QUALIFY rank <= 3
+      ORDER BY doc_id, rank"""))
+
+  val q81Sessionize = Q(
+    "q81_sessionize_gap",
+    (s, dir) => {
+      // gap-based sessionization over the event stream: silence longer
+      // than 30000s starts a new per-user session (threshold sits at the
+      // corpus' median inter-event gap so both outcomes are exercised)
+      val sess = TimeAgg.sessionize(ev(s, dir), Seq("user_id"), "ts_us",
+        gapMicros = 30000000000L, tieBreak = Seq("event_id"))
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, $EvUs AS ts_us FROM events),
+      m AS (SELECT user_id, ts_us, event_id,
+              CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 30000000000 THEN 1
+                   ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sx AS (SELECT user_id, ts_us,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
+             FROM m)
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        MAX(ts_us) - MIN(ts_us) AS duration_us
+      FROM sx GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2433,5 +2492,5 @@ object Queries {
     q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion,
     q74CoveringExpansion,
     q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier,
-    q79IncrementalDedup)
+    q79IncrementalDedup, q80TfIdfTerms, q81Sessionize)
 }

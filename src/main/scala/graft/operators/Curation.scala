@@ -88,6 +88,39 @@ object Curation {
           col("dup2_frac") <= maxDup2 && col("dup5_frac") <= maxDup5)
   }
 
+  /** Per-document top-k characteristic terms by tf·idf, with a LINEAR
+    * idf (`tf · N/df` instead of `tf · ln(N/df)`): the ranking the log
+    * form produces is the same within a document whenever df ordering
+    * agrees, and the linear form stays in EXACT integer arithmetic until
+    * one final double division — bit-reproducible across engines and
+    * runs, where `ln` differs by an ulp between libm implementations
+    * and can flip top-k ties.
+    *
+    * Plan shape: explode → two hash aggregates (term frequency, then
+    * document frequency — both map-side combined) → shuffle join on
+    * term → per-DOC row_number window. Nothing global except the doc
+    * count (`docCount`, one metadata action when not supplied —
+    * per-micro-batch callers should pass it, same contract as
+    * vIpRoutesGeo's dimSizeHint).
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                    docCount: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val n = docCount.getOrElse(docs.count())
+    val terms = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Leakage-safe deterministic train/val/test assignment: the split key
     * is a hash of the NORMALIZED CONTENT (not the row id), so byte-dup
     * and whitespace/case-variant copies of a document always land in the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Periodic windowed aggregations — SURVEY.md §2.5 (A1–A9).
@@ -109,6 +110,34 @@ object TimeAgg {
     * re-run horizon) — computed distributedly and applied via a
     * broadcast scalar join, never a driver collect.
     */
+  /** Gap-based sessionization: events of one key belong to the same
+    * session until a silence longer than `gapMicros` splits them.
+    * Emits `session_idx` (1-based, per key, in time order) on every
+    * row — the standard telemetry/training-log grouping primitive
+    * (per-user browsing sessions, per-router flap episodes).
+    *
+    * Plan shape: two windows over the SAME (key, ts, tieBreak)
+    * partitioning+ordering — lag to detect breaks, running sum to
+    * number them — so the plan sorts each key group once. Partitions
+    * are per-key: the 100 TB shape holds as long as no single key
+    * dominates (same contract as every per-entity window here; salt a
+    * pathological key upstream with [[Skew]]).
+    *
+    * All integer arithmetic (epoch micros), deterministic total order
+    * via `tieBreak` — reproducible across engines and runs.
+    */
+  def sessionize(events: DataFrame, keyCols: Seq[String], epochMicrosCol: String,
+                 gapMicros: Long, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(gapMicros > 0, s"gapMicros ($gapMicros) must be positive")
+    val order = (col(epochMicrosCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(epochMicrosCol), 1).over(w)
+    val isBreak =
+      when(prev.isNull || col(epochMicrosCol) - prev > gapMicros, 1L).otherwise(0L)
+    events.withColumn("session_idx",
+      sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   def incrementalSince(df: DataFrame, epochMicrosCol: String, horizonMicros: Long): DataFrame = {
     val wm = df.agg((max(col(epochMicrosCol)) - lit(horizonMicros)).as("__wm"))
     df.crossJoin(broadcast(wm))

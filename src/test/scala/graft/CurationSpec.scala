@@ -119,6 +119,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- tfIdfTopTerms -----------------------------------------------------
+
+  test("tfIdfTopTerms: rare terms outrank common ones; ties break by term") {
+    val docs = Seq(
+      (1L, "apple apple zebra common"),
+      (2L, "common banana banana"),
+      (3L, "common apple")
+    ).toDF("doc_id", "text")
+    // N=3. doc 1: zebra tf=1 df=1 → 3.0; apple tf=2 df=2 → 3.0 (tie with
+    // zebra → 'apple' first alphabetically); common tf=1 df=3 → 1.0
+    val r = Curation.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "rank", "term", "score")
+      .as[(Long, Int, String, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(r((1L, 1)) === (("apple", 3.0)))
+    assert(r((1L, 2)) === (("zebra", 3.0)))
+    assert(r((2L, 1)) === (("banana", 6.0))) // tf=2 · N/df = 2·3/1
+    assert(r((3L, 1)) === (("apple", 1.5)))
+    // blank text contributes no terms at all
+    val blank = Curation.tfIdfTopTerms(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(blank.count() === 0L)
+  }
+
   // ---- centroidOutliers ------------------------------------------------
 
   test("centroidOutliers: least-central vectors flagged, ties by id") {

@@ -238,6 +238,29 @@ class PlanQualitySpec extends SparkSpec {
       s"anti-join's batch input runs un-pruned:\n$in"))
   }
 
+  test("sessionize shuffles each key group once (both windows share the sort)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq((1L, 10L, 100L)).toDF("user_id", "ts_us", "event_id")
+    val sess = graft.operators.TimeAgg.sessionize(
+      ev, Seq("user_id"), "ts_us", 60000000L, Seq("event_id"))
+    val plan = sess.queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"sessionize must shuffle once on the key, found $exchanges exchanges:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"sessionize plans a global sort:\n$plan")
+  }
+
+  test("tf-idf never goes all-pairs; doc count is a literal, not a join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.tfIdfTopTerms(docs, "doc_id", "text", 3)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"tf-idf plans an all-pairs join:\n$plan")
+  }
+
   test("centroid outliers broadcast the centroid table back to the corpus") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val out = graft.operators.Similarity.centroidOutliers(

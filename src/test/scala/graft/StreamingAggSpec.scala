@@ -53,4 +53,25 @@ class StreamingAggSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 00:00:00", 1L, 1L, 2L))) // incl. late event
     assert(out.contains(("2024-01-01 00:01:00", 1L, 0L, 1L)))
   }
+
+  test("sessionize: gap splits sessions per key; ties break by tieBreak col") {
+    import graft.operators.TimeAgg
+    // user 1: events at 0s, 10s, 100s with gap 60s → sessions (0,10) (100)
+    // user 2: single event → one session
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 10000000L, 11L), (1L, 100000000L, 12L),
+      (2L, 5000000L, 20L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val r = TimeAgg.sessionize(ev, Seq("user_id"), "ts_us",
+      gapMicros = 60000000L, tieBreak = Seq("event_id"))
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(r === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 20L -> 1L))
+    // boundary: a gap EXACTLY equal to gapMicros does NOT split
+    val edge = Seq((1L, 0L, 1L), (1L, 60000000L, 2L), (1L, 120000001L, 3L))
+      .toDF("user_id", "ts_us", "event_id")
+    val r2 = TimeAgg.sessionize(edge, Seq("user_id"), "ts_us", 60000000L,
+      Seq("event_id"))
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
 }
