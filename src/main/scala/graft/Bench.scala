@@ -38,7 +38,12 @@ object Bench {
     try {
       val w = spark.read.parquet(s"$sfDir/nation.parquet")
       w.join(w.groupBy("n_regionkey").count(), Seq("n_regionkey")).count()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // don't fail the bench, but don't hide that the first timed query
+      // will re-absorb the session warm-up this block exists to eat
+      System.err.println(s"[bench] warm-up query failed (${e.getMessage}); " +
+        "first query's time will include session warm-up")
+    }
 
     // gate order (Queries.all), not Map hash order: deterministic
     // per-query attribution across rounds even as queries are added

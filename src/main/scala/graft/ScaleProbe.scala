@@ -251,6 +251,22 @@ object ScaleProbe {
           Curation.stratifiedSplit(docs, "text"))
         docs.unpersist()
       }
+      for (mult <- Seq(10, 100)) {
+        val docs = replicate(docs0, "doc_id", mult)
+        timedCount(s"tfidf   ${mult}x docs top-3",
+          Curation.tfIdfTopTerms(docs, "doc_id", "text", 3,
+            docCount = Some(5000L * mult)))
+        docs.unpersist()
+      }
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      for (mult <- Seq(10, 100)) {
+        val ev = replicate(ev0, "event_id", mult)
+        timedCount(s"session ${mult}x events gap=30000s",
+          graft.operators.TimeAgg.sessionize(ev, Seq("user_id"), "ts_us",
+            30000000000L, Seq("event_id")))
+        ev.unpersist()
+      }
       val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       for (mult <- Seq(10, 100)) {
         val emb = replicate(emb0, "vec_id", mult)

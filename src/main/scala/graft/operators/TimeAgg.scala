@@ -124,16 +124,26 @@ object TimeAgg {
     * pathological key upstream with [[Skew]]).
     *
     * All integer arithmetic (epoch micros), deterministic total order
-    * via `tieBreak` — reproducible across engines and runs.
+    * via `tieBreak` — reproducible across engines and runs. Rows with a
+    * NULL timestamp sort last (matching SQL-default NULLS LAST) and
+    * collapse into ONE trailing "untimed" session per key — they are
+    * never silently dropped, and never fragment into one session each.
     */
   def sessionize(events: DataFrame, keyCols: Seq[String], epochMicrosCol: String,
                  gapMicros: Long, tieBreak: Seq[String] = Seq.empty): DataFrame = {
     require(gapMicros > 0, s"gapMicros ($gapMicros) must be positive")
-    val order = (col(epochMicrosCol) +: tieBreak.map(col)).map(_.asc)
+    val ts = col(epochMicrosCol)
+    val order = ts.asc_nulls_last +: tieBreak.map(col(_).asc)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
-    val prev = lag(col(epochMicrosCol), 1).over(w)
+    val prev = lag(ts, 1).over(w)
+    // under nulls-last ordering, prev.isNull for a non-null ts can only
+    // mean "first row of the key"; a null ts breaks once (prev non-null)
+    // then chains (prev null)
     val isBreak =
-      when(prev.isNull || col(epochMicrosCol) - prev > gapMicros, 1L).otherwise(0L)
+      when(row_number().over(w) === 1, 1L)
+        .when(ts.isNull, when(prev.isNotNull, 1L).otherwise(0L))
+        .when(ts - prev > gapMicros, 1L)
+        .otherwise(0L)
     events.withColumn("session_idx",
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

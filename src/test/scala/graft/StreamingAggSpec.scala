@@ -74,4 +74,17 @@ class StreamingAggSpec extends SparkSpec {
       .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
     assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("sessionize: null timestamps form ONE trailing untimed session per key") {
+    import graft.operators.TimeAgg
+    val ev = Seq(
+      (1L, Some(0L), 1L), (1L, Some(10000000L), 2L),
+      (1L, None, 3L), (1L, None, 4L),      // two untimed rows, one session
+      (2L, None, 5L)                       // key with ONLY untimed rows
+    ).toDF("user_id", "ts_us", "event_id")
+    val r = TimeAgg.sessionize(ev, Seq("user_id"), "ts_us",
+      gapMicros = 60000000L, tieBreak = Seq("event_id"))
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
 }
