@@ -117,6 +117,32 @@ object Demo {
     Packing.packByTokenBudget(curated, "doc_id", "text", budget = 12, shards = 1)
       .orderBy("doc_id").show(false)
 
+    // -- 6. round-6 curation surface: quality-gate, split, chunk, keep
+    // only what's new vs yesterday's corpus
+    import graft.operators.{Curation, TimeAgg}
+    println("== repetition quality signals ==")
+    Curation.repetitionSignals(curated, "doc_id", "text",
+      maxTop2 = 0.5, maxTop3 = 0.5, maxDup2 = 0.5, maxDup5 = 0.5)
+      .orderBy("doc_id").show(false)
+
+    println("== leakage-safe split + 6-token chunks (stride 4) ==")
+    Curation.stratifiedSplit(curated, "text").select("doc_id", "split")
+      .join(Curation.chunkTokens(curated, "doc_id", "text", 6, 4), Seq("doc_id"))
+      .orderBy("doc_id", "start_tok").show(false)
+
+    println("== genuinely new vs an existing corpus (Bloom-guarded) ==")
+    val yesterday = docs.filter(col("doc_id") === 4L)
+    Dedup.newKeysOnly(curated, yesterday,
+      Dedup.md5Hash60(TextFns.normalizeText(col("text"))), expectedItems = 10)
+      .select("doc_id", "source").orderBy("doc_id").show(false)
+
+    println("== per-user sessions over the event log (30s gap) ==")
+    TimeAgg.sessionize(
+      Seq((1L, 0L), (1L, 5000000L), (1L, 90000000L), (2L, 1000000L))
+        .toDF("user_id", "ts_us"),
+      Seq("user_id"), "ts_us", gapMicros = 30000000L)
+      .orderBy("user_id", "ts_us").show(false)
+
     spark.stop()
   }
 }

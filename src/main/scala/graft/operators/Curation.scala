@@ -110,7 +110,11 @@ object Curation {
     val terms = docs
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
+    // snapshot: tf feeds BOTH the df aggregate and the join left side —
+    // without it the corpus explode+aggregate runs twice (same pattern
+    // as Similarity.cosineCandidates' signature snapshot)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
