@@ -250,6 +250,41 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set("1", "3", "5")) // 2 (in-batch) and 4 (cross-batch) dropped
   }
 
+  test("streaming corpus builder: Bloom-guarded append keeps one copy per content") {
+    // the incremental corpus-build loop: each micro-batch keeps only
+    // rows whose content is NEW vs the accumulated corpus, then appends
+    // them — newKeysOnly inside foreachBatch against the corpus dir
+    val in = Files.createTempDirectory("graft_bloom_in").toString
+    val corpusDir = Files.createTempDirectory("graft_bloom_corpus").toString + "/corpus"
+    val key = graft.operators.Dedup.md5Hash60(
+      graft.functions.TextFns.normalizeText(col("text")))
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.tsv"),
+      "1\talpha text\n2\tbeta text")
+    val parsed = spark.readStream.text(in)
+      .select(split(col("value"), "\t").as("f"))
+      .select(col("f").getItem(0).cast("long").as("doc_id"),
+        col("f").getItem(1).as("text"))
+    val q = parsed.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh =
+          if (new java.io.File(corpusDir).exists()) {
+            val corpus = batch.sparkSession.read.parquet(corpusDir)
+            graft.operators.Dedup.newKeysOnly(batch, corpus, key, expectedItems = 1000)
+          } else batch // bootstrap: empty corpus, everything is new
+        fresh.write.mode("append").parquet(corpusDir)
+        ()
+      }.start()
+    q.processAllAvailable()
+    // batch 2: one cross-batch content dup (case/whitespace variant), one new
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.tsv"),
+      "3\tALPHA   text\n4\tgamma text")
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.count() === 3L)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+  }
+
   test("Kafka decode seam: wire-shaped records flow through parse + merge") {
     import spark.implicits._
     // exactly Kafka's post-.load() schema: binary key/value, topic,
