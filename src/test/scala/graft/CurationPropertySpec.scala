@@ -1,0 +1,118 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+
+import graft.operators.{Curation, TimeAgg}
+
+/** Property tests for the curation operators' structural invariants —
+  * the guarantees downstream pipelines build on, checked over random
+  * corpora rather than hand-picked examples. Generators are kept small
+  * (each property collects a DataFrame per case) and cases few; the
+  * point is shape coverage, not volume.
+  */
+class CurationPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val minSucc = 12
+
+  /** Run a property with scalacheck's own runner (no scalatestplus
+    * bridge in the offline dep set) and fail the test on any
+    * counterexample.
+    */
+  private def check(p: Prop, seed: Long = 20260813L): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(minSucc)
+      .withInitialSeed(org.scalacheck.rng.Seed(seed)) // reproducible runs
+    val res = org.scalacheck.Test.check(params, p)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy")
+  private val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+    Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+  private val corpusGen = Gen.chooseNum(1, 8).flatMap(n =>
+    Gen.listOfN(n, textGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+
+  test("chunkTokens: chunks cover every token when stride <= chunkSize, " +
+    "starts strictly increase, no chunk is contained in its predecessor") {
+    val gen = for {
+      docs <- corpusGen
+      chunk <- Gen.chooseNum(1, 8)
+      stride <- Gen.chooseNum(1, chunk) // overlapping / aligned regime
+    } yield (docs, chunk, stride)
+    check(Prop.forAllNoShrink(gen) { case (docs, chunk, stride) =>
+      val df = docs.toDF("doc_id", "text")
+      val chunks = Curation.chunkTokens(df, "doc_id", "text", chunk, stride)
+        .select("doc_id", "start_tok", "n_chunk_tokens")
+        .as[(Long, Int, Int)].collect().groupBy(_._1)
+      docs.forall { case (id, text) =>
+        val nTok = text.split("\\s+", -1).length // split("") → 1, matches tokens()
+        val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2)
+        val covered = cs.map(c => c._2 + c._3 - 1).foldLeft(0)(math.max)
+        val increasing = cs.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+        val noRedundant = cs.sliding(2).forall(w => w.length < 2 ||
+          w(1)._2 + w(1)._3 - 1 > w(0)._2 + w(0)._3 - 1) // tail extends coverage
+        covered == nTok && increasing && noRedundant
+      }
+    })
+  }
+
+  test("sessionize: per-key indices are contiguous 1..k and split exactly at gaps") {
+    val evGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 500L)).map(_.zipWithIndex.map {
+        case (ts, i) => (i.toLong % 3, ts * 1000000L, i.toLong) // 3 keys
+      }))
+    check(Prop.forAllNoShrink(evGen, Gen.chooseNum(1L, 200L)) { (rows, gapSec) =>
+      val gap = gapSec * 1000000L
+      val out = TimeAgg.sessionize(rows.toDF("k", "ts_us", "eid"),
+        Seq("k"), "ts_us", gap, Seq("eid"))
+        .select("k", "ts_us", "eid", "session_idx")
+        .as[(Long, Long, Long, Long)].collect()
+      out.groupBy(_._1).forall { case (_, g) =>
+        val sorted = g.sortBy(r => (r._2, r._3))
+        val idx = sorted.map(_._4)
+        val contiguous = idx.head == 1L &&
+          idx.sliding(2).forall(w => w.length < 2 || w(1) - w(0) == 0 || w(1) - w(0) == 1)
+        val splitsRight = sorted.sliding(2).forall { w =>
+          w.length < 2 || {
+            val brk = w(1)._2 - w(0)._2 > gap
+            (w(1)._4 - w(0)._4 == 1) == brk
+          }
+        }
+        contiguous && splitsRight
+      }
+    })
+  }
+
+  test("repetitionSignals: fractions bounded in [0,1]; token count matches") {
+    check(Prop.forAllNoShrink(corpusGen) { docs =>
+      val r = Curation.repetitionSignals(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "top2_frac", "top3_frac", "dup2_frac", "dup5_frac")
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+      r.length == docs.length && r.forall { case (id, n, t2, t3, d2, d5) =>
+        val text = docs.find(_._1 == id).get._2
+        val expN = if (text.trim.isEmpty) 0L else text.trim.split("\\s+").length.toLong
+        n == expN && Seq(t2, t3, d2, d5).forall(f => f >= 0.0 && f <= 1.0)
+      }
+    })
+  }
+
+  test("stratifiedSplit: whitespace/case variants always co-locate") {
+    val variantGen = for {
+      words <- Gen.nonEmptyListOf(wordGen)
+      seps  <- Gen.listOfN(words.length, Gen.oneOf(" ", "  ", "\t", " \t "))
+      upcase <- Gen.listOfN(words.length, Gen.oneOf(true, false))
+    } yield {
+      val base = words.mkString(" ")
+      val variant = words.zip(upcase).map { case (w, u) => if (u) w.toUpperCase else w }
+        .zip(seps).map { case (w, s) => w + s }.mkString.trim
+      (base, variant)
+    }
+    check(Prop.forAllNoShrink(variantGen) { case (base, variant) =>
+      val r = Curation.stratifiedSplit(
+        Seq((1L, base), (2L, variant)).toDF("doc_id", "text"), "text")
+        .select("split").as[String].collect()
+      r(0) == r(1)
+    })
+  }
+}
