@@ -2471,6 +2471,98 @@ object Queries {
       FROM sx GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""))
 
+  val q82Boilerplate = Q(
+    "q82_tx_boilerplate",
+    (s, dir) =>
+      Curation.boilerplateSegments(t(s, dir, "documents"), "doc_id", "text",
+        segTokens = 4, minDocs = 2)
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, CAST(i AS INT) AS start,
+              array_to_string(list_slice(toks, i, i + 3), ' ') AS seg
+            FROM d, LATERAL unnest(range(1, greatest(len(toks), 1) + 1, 4)) t(i)),
+      b AS (SELECT seg FROM (SELECT seg, doc_id FROM s GROUP BY seg, doc_id)
+            GROUP BY seg HAVING COUNT(*) >= 2),
+      p AS (SELECT s.doc_id,
+              COUNT(*) AS n_segments,
+              CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boiler,
+              coalesce(array_to_string(
+                list(s.seg ORDER BY s.start) FILTER (WHERE b.seg IS NULL), ' '),
+                '') AS clean_text
+            FROM s LEFT JOIN b ON s.seg = b.seg
+            GROUP BY s.doc_id)
+      SELECT doc.doc_id,
+        coalesce(p.n_segments, 0) AS n_segments,
+        coalesce(p.n_boiler, 0) AS n_boiler,
+        CASE WHEN p.n_segments > 0
+             THEN CAST(p.n_boiler AS DOUBLE) / p.n_segments END AS boiler_frac,
+        p.clean_text
+      FROM documents doc LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val q83UnigramLp = Q(
+    "q83_tx_unigram_lp",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.unigramScore(docs, Curation.fitUnigramLm(docs, "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tf AS (SELECT doc_id, term FROM t WHERE len(term) > 0),
+      c AS (SELECT term, COUNT(*) AS c FROM tf GROUP BY term),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+      lp AS (SELECT doc_id, ln(CAST(c.c AS DOUBLE) / tot.total) AS lp
+             FROM tf JOIN c USING (term) CROSS JOIN tot),
+      p AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              round(SUM(lp) / COUNT(*), 6) AS logprob_mean
+            FROM lp GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.logprob_mean
+      FROM documents d LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val q84DuplicateSpans = Q(
+    "q84_dd_duplicate_spans",
+    (s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        gramSize = 6, minCount = 2, gramKeyOf = Dedup.md5Hash60)
+        .orderBy("doc_id", "span_start"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      w AS (SELECT doc_id, CAST(i AS INT) AS start,
+              ('0x' || substr(md5(
+                array_to_string(list_slice(toks, i, i + 5), ' ')), 1, 15))::BIGINT
+                AS gk
+            FROM d, LATERAL unnest(range(1, len(toks) - 4)) t(i)
+            WHERE len(toks) >= 6),
+      k AS (SELECT gk FROM w GROUP BY gk HAVING COUNT(*) >= 2),
+      ds AS (SELECT doc_id, start FROM w JOIN k USING (gk)),
+      m AS (SELECT doc_id, start,
+              CASE WHEN start > coalesce(max(start + 5) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -2147483648) + 1
+                THEN 1 ELSE 0 END AS new_span
+            FROM ds),
+      sx AS (SELECT doc_id, start,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS span
+             FROM m)
+      SELECT doc_id, MIN(start) AS span_start,
+        CAST(MAX(start) + 5 AS INT) AS span_end,
+        CAST(MAX(start) + 5 - MIN(start) + 1 AS INT) AS n_span_tokens
+      FROM sx GROUP BY doc_id, span
+      ORDER BY doc_id, span_start"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2492,5 +2584,6 @@ object Queries {
     q70SourceCap, q71SourceMix, q72QuantizeInt8, q73LpmV6Expansion,
     q74CoveringExpansion,
     q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier,
-    q79IncrementalDedup, q80TfIdfTerms, q81Sessionize)
+    q79IncrementalDedup, q80TfIdfTerms, q81Sessionize,
+    q82Boilerplate, q83UnigramLp, q84DuplicateSpans)
 }

@@ -151,6 +151,115 @@ object Curation {
         .otherwise(lit("test")))
   }
 
+  /** Cross-document boilerplate removal, CCNet/RefinedWeb line-dedup
+    * re-expressed over fixed token segments (the corpus has no line
+    * structure; a real crawl pipeline passes its line/paragraph
+    * splitter's output through the same shape). Each doc is cut into
+    * consecutive non-overlapping `segTokens`-token segments; a segment
+    * is boilerplate when its text occurs in at least `minDocs` DISTINCT
+    * documents (the header/footer/nav signature — distinct-doc df, not
+    * occurrence count, so a doc repeating its own refrain is not
+    * penalized here; that is [[repetitionSignals]]' job). Returns one
+    * row per input doc: segment counts, boilerplate fraction, and the
+    * cleaned text with boilerplate segments cut out.
+    *
+    * Plan shape: one explode → distinct-doc df as TWO map-side-combined
+    * hash aggregates (groupBy(seg,id) then groupBy(seg) — never a
+    * count-distinct expand) → the boilerplate key set joins back →
+    * per-doc rebuild via collect_list of (start, seg) pairs, sorted
+    * in-row. Per-doc state is bounded by the doc's own segment count;
+    * nothing global. Docs with null text survive with n_segments=0 and
+    * null cleaned text.
+    */
+  def boilerplateSegments(docs: DataFrame, idCol: String, textCol: String,
+                          segTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(segTokens > 0, s"segTokens ($segTokens) must be positive")
+    require(minDocs >= 2, s"minDocs ($minDocs) must be at least 2")
+    val toks = TextFns.tokens(col(textCol))
+    val segs = docs
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col("__id"), explode(
+        when(col("__toks").isNotNull,
+          transform(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(segTokens)),
+            i => struct(i.as("start"),
+              array_join(slice(col("__toks"), i, lit(segTokens)), " ").as("seg"))))
+          .otherwise(array().cast("array<struct<start:int,seg:string>>"))).as("s"))
+      .select(col("__id"), col("s.start").as("start"), col("s.seg").as("seg"))
+    val boiler = segs
+      .groupBy(col("seg"), col("__id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("seg"), lit(true).as("__boiler"))
+    val perDoc = segs.join(boiler, Seq("seg"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(when(not(coalesce(col("__boiler"), lit(false))),
+            struct(col("start"), col("seg"))))),
+          p => p.getField("seg")), " ").as("clean_text"))
+    docs.select(col(idCol)).join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_segments") > 0,
+          col("n_boiler").cast("double") / col("n_segments")).as("boiler_frac"),
+        col("clean_text"))
+  }
+
+  /** Fit a unigram language model over the corpus: one row per distinct
+    * token with its count and the corpus-total token count (`total`
+    * repeated on every row so the frame is self-contained for
+    * [[unigramScore]] — k rows × 2 longs, centroid-table sized).
+    * Tokens are the same whitespace normalization as [[tfIdfTopTerms]];
+    * empty tokens are dropped.
+    */
+  def fitUnigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    counts.crossJoin(broadcast(total))
+  }
+
+  /** Per-document mean token log-probability under a [[fitUnigramLm]]
+    * model — the CCNet-style LM quality proxy (lower = more
+    * out-of-distribution; CCNet buckets docs by KenLM perplexity, this
+    * is the order-0 form that needs no external model). Out-of-vocab
+    * tokens score `ln(oovDiscount / total)` so scoring a NEW batch
+    * against a frozen corpus model is well-defined.
+    *
+    * Plan shape: explode → shuffle join on term against the (small) LM
+    * frame — broadcast when Catalyst sizes it under the threshold — →
+    * one per-doc hash aggregate. The mean is `sum(ln)/count`: the sum's
+    * fp addition order is engine- and partition-dependent at the
+    * 10⁻¹⁵ level, so the result is rounded to 6 decimals (same
+    * contract as centroidOutliers' cos_r) — bit-stable in practice,
+    * document-ranking-stable by construction.
+    */
+  def unigramScore(docs: DataFrame, lm: DataFrame, idCol: String, textCol: String,
+                   oovDiscount: Double = 0.5): DataFrame = {
+    require(oovDiscount > 0, s"oovDiscount ($oovDiscount) must be positive")
+    val terms = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    // OOV rows have a null `total` after the left join, so the scalar
+    // corpus total rides in separately (1-row broadcast)
+    val scored = terms.join(lm, Seq("term"), "left")
+      .crossJoin(broadcast(lm.select(max(col("total")).as("__total"))))
+      .withColumn("__lp",
+        log(coalesce(col("c").cast("double"), lit(oovDiscount)) / col("__total")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lp")) / count(lit(1)), 6).as("logprob_mean"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("logprob_mean"))
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * chunker for RAG indexing / training-sequence preparation. Emits one
     * row per chunk: start token offset (1-based), chunk token count, and

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text/training-data pipelines.
@@ -604,5 +605,69 @@ object Dedup {
     val confirmedNew = keyed.filter(probe)
       .join(corpusKeys, Seq("__key"), "left_anti")
     definitelyNew.unionByName(confirmedNew).drop("__key")
+  }
+
+  /** Exact duplicate-span detection — the word-level form of
+    * ExactSubstr dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2021): every maximal run of token
+    * positions covered by a `gramSize`-token window whose text occurs
+    * at least `minCount` times ANYWHERE in the corpus (across docs or
+    * repeated within one). Emits one row per merged span: (id,
+    * span_start, span_end, n_span_tokens), token positions 1-based
+    * inclusive — the mask a training pipeline cuts out of each doc.
+    *
+    * Plan shape: one window-explode producing (id, start, gramKey) →
+    * map-side-combined count per gramKey → the `>= minCount` survivors
+    * join back (keys only — gram text never shuffles when `gramKeyOf`
+    * hashes) → per-doc gaps-and-islands over the DUPLICATED starts
+    * only (running max-end window, then a hash aggregate per island).
+    * The per-doc window sees just the duplicated positions, not the
+    * corpus, so the sort is bounded by a doc's own span count.
+    *
+    * `gramKeyOf` defaults to xxhash64 (8-byte shuffle keys; at 10¹²
+    * grams the ~2⁻⁶⁵·n² birthday collisions mis-flag a vanishing
+    * fraction of windows as duplicated — acceptable for masking). Pass
+    * [[md5Hash60]] for engine-portable results, or `identity` to group
+    * by the raw gram text for exact semantics at ~4× the shuffle bytes.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     gramSize: Int, minCount: Long = 2L,
+                     gramKeyOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(gramSize > 0, s"gramSize ($gramSize) must be positive")
+    require(minCount >= 2, s"minCount ($minCount) must be at least 2")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    // (id, start, key): one row per gramSize-token window; docs shorter
+    // than gramSize emit nothing (null text tokenizes to null → the
+    // isNotNull guard keeps sequence() from fabricating a window)
+    val windows = docs
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), explode(
+        when(col("__toks").isNotNull && size(col("__toks")) >= gramSize,
+          sequence(lit(1), size(col("__toks")) - gramSize + 1))
+          .otherwise(array().cast("array<int>"))).as("start"),
+        col("__toks"))
+      .select(col("id"), col("start"),
+        gramKeyOf(array_join(slice(col("__toks"), col("start"), lit(gramSize)), " "))
+          .as("__gk"))
+    val dupKeys = windows.groupBy(col("__gk")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select(col("__gk"))
+    val dupStarts = windows.join(dupKeys, Seq("__gk")).select(col("id"), col("start"))
+    // gaps-and-islands: a new span begins where this window's start
+    // clears the running max end of all earlier windows by ≥ 2 (touching
+    // or overlapping windows fuse into one maximal span)
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("start").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("start").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dupStarts
+      .withColumn("__newSpan",
+        when(col("start") > coalesce(max(col("start") + gramSize - 1).over(wPrev),
+          lit(Int.MinValue)) + 1, 1).otherwise(0))
+      .withColumn("__span", sum(col("__newSpan")).over(wRun))
+      .groupBy(col("id"), col("__span"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + gramSize - 1).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
   }
 }

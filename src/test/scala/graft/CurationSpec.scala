@@ -180,6 +180,72 @@ class CurationSpec extends SparkSpec {
     assert(r.filter(col("label").isNull).count() === 2L)
   }
 
+  // ---- boilerplateSegments ---------------------------------------------
+
+  test("boilerplateSegments: cross-doc segments removed, hand-computed") {
+    val docs = Seq(
+      (1L, Some("nav bar hello world")),
+      (2L, Some("nav bar totally different")),
+      (3L, Some("unique content only here")),
+      (4L, None),                       // null text survives with 0 segments
+      (5L, Some("nav bar")),            // doc that is ALL boilerplate
+      (6L, Some("nav bar tail"))        // partial tail segment kept
+    ).toDF("doc_id", "text")
+    val r = Curation.boilerplateSegments(docs, "doc_id", "text",
+      segTokens = 2, minDocs = 2)
+      .as[(Long, Long, Long, Option[Double], Option[String])]
+      .collect().map(t => t._1 -> t).toMap
+
+    assert(r(1L) === ((1L, 2L, 1L, Some(0.5), Some("hello world"))))
+    assert(r(2L) === ((2L, 2L, 1L, Some(0.5), Some("totally different"))))
+    assert(r(3L) === ((3L, 2L, 0L, Some(0.0), Some("unique content only here"))))
+    assert(r(4L) === ((4L, 0L, 0L, None, None)))
+    assert(r(5L) === ((5L, 1L, 1L, Some(1.0), Some(""))))
+    assert(r(6L) === ((6L, 2L, 1L, Some(0.5), Some("tail"))))
+  }
+
+  test("boilerplateSegments: intra-doc repetition alone is not boilerplate") {
+    val docs = Seq(
+      (1L, "xx yy xx yy"),              // repeats its own segment — df is 1
+      (2L, "other words here now")
+    ).toDF("doc_id", "text")
+    val r = Curation.boilerplateSegments(docs, "doc_id", "text",
+      segTokens = 2, minDocs = 2)
+      .select("doc_id", "n_boiler").as[(Long, Long)].collect().toMap
+    assert(r(1L) === 0L && r(2L) === 0L)
+  }
+
+  // ---- fitUnigramLm / unigramScore -------------------------------------
+
+  test("unigramScore: hand-computed mean log-probability") {
+    val docs = Seq(
+      (1L, Some("a a b")),
+      (2L, Some("b c")),
+      (3L, None)
+    ).toDF("doc_id", "text")
+    val lm = Curation.fitUnigramLm(docs, "text")
+    // counts: a=2 b=2 c=1, total=5
+    assert(lm.as[(String, Long, Long)].collect().toSet ===
+      Set(("a", 2L, 5L), ("b", 2L, 5L), ("c", 1L, 5L)))
+    val r = Curation.unigramScore(docs, lm, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().map(t => t._1 -> t).toMap
+    val round6 = (x: Double) => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) === ((1L, 3L, Some(round6(math.log(0.4))))))
+    assert(r(2L) === ((2L, 2L, Some(round6((math.log(0.4) + math.log(0.2)) / 2)))))
+    assert(r(3L) === ((3L, 0L, None)))
+  }
+
+  test("unigramScore: OOV tokens score ln(oovDiscount/total)") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val lm = Curation.fitUnigramLm(corpus, "text")
+    val batch = Seq((10L, "a z")).toDF("doc_id", "text") // z is out-of-vocab
+    val r = Curation.unigramScore(batch, lm, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect().head
+    val expected = (math.log(2.0 / 5) + math.log(0.5 / 5)) / 2
+    assert(r._2 === 2L)
+    assert(math.abs(r._3.get - expected) < 1e-6)
+  }
+
   test("centroidOutliers: zero vector gets null cos and ranks first") {
     val emb = Seq(
       (1L, Array(0.0f, 0.0f), 0),

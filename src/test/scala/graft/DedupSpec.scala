@@ -237,4 +237,64 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(r1 === Seq(2L, 3L))
   }
+
+  // ---- duplicateSpans ----------------------------------------------------
+
+  private def spans(docs: org.apache.spark.sql.DataFrame,
+                    gramSize: Int): Map[Long, Seq[(Int, Int, Int)]] =
+    Dedup.duplicateSpans(docs, "doc_id", "text", gramSize)
+      .as[(Long, Int, Int, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+
+  test("duplicateSpans: cross-doc overlapping windows merge into one span") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // shares "a b c" with doc 2
+      (2L, "x y a b c z"),
+      (5L, "solo words only never repeated")
+    ).toDF("doc_id", "text")
+    val r = spans(docs, gramSize = 2)
+    // doc 1: dup bigrams "a b"@1, "b c"@2 → one maximal span tokens 1..3
+    assert(r(1L) === Seq((1, 3, 3)))
+    // doc 2: same grams at 3,4 → span 3..5
+    assert(r(2L) === Seq((3, 5, 3)))
+    assert(!r.contains(5L)) // nothing duplicated → no rows
+  }
+
+  test("duplicateSpans: within-doc repeats count; disjoint spans stay split") {
+    // "p q" repeats inside one doc at starts 1 and 4: two spans (gap of
+    // one un-duplicated token between them)
+    val docs = Seq((3L, "p q r p q")).toDF("doc_id", "text")
+    assert(spans(docs, gramSize = 2)(3L) === Seq((1, 2, 2), (4, 5, 2)))
+  }
+
+  test("duplicateSpans: touching windows fuse; short/null docs emit nothing") {
+    val docs = Seq(
+      (4L, "m n m n"),         // "m n"@1 and @3 touch (end 2 + 1 = start 3)
+      (6L, null: String),
+      (7L, "a")                // shorter than gramSize
+    ).toDF("doc_id", "text")
+    val r = spans(docs, gramSize = 2)
+    assert(r(4L) === Seq((1, 4, 4)))
+    assert(!r.contains(6L) && !r.contains(7L))
+  }
+
+  test("duplicateSpans: md5 and xxhash64 gram keys agree; guards hold") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "zero one two three four five nine")
+    ).toDF("doc_id", "text")
+    val xx = Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val md = Dedup.duplicateSpans(docs, "doc_id", "text", 3,
+        gramKeyOf = Dedup.md5Hash60)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(xx === md && xx.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(docs, "doc_id", "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(docs, "doc_id", "text", 3, minCount = 1)
+    }
+  }
 }

@@ -270,4 +270,42 @@ class PlanQualitySpec extends SparkSpec {
       s"centroid join didn't broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
+
+  test("duplicate-span shuffles carry gram keys, never gram text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", 6)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"duplicateSpans plans an all-pairs join:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"unsorted duplicateSpans plans a global sort:\n$plan")
+    // the gram-count aggregate and join shuffle 8-byte keys + positions;
+    // the token arrays and document text must die in the scan stage
+    plan.split("\n").filter(_.contains("Exchange")).foreach(e =>
+      assert(!e.contains("__toks") && !e.contains("text#"),
+        s"token/text payload in a duplicateSpans shuffle:\n$e"))
+  }
+
+  test("boilerplate df is two hash aggregates, not a count-distinct expand") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.boilerplateSegments(docs, "doc_id", "text", 4)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"distinct-doc df planned a count-distinct Expand:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplateSegments plans an all-pairs join:\n$plan")
+  }
+
+  test("unigram LM total rides a 1-row broadcast; scoring never sorts globally") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = graft.operators.Curation.fitUnigramLm(docs, "text")
+    val r = graft.operators.Curation.unigramScore(docs, lm, "doc_id", "text")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row corpus total isn't broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"unsorted unigramScore plans a global sort:\n$plan")
+  }
 }
