@@ -275,6 +275,32 @@ object ScaleProbe {
         emb.unpersist()
       }
     }
+
+    if (section("curation2")) {
+      // round-6 session-3 ops. Replication makes every copy an exact
+      // twin, so EVERY window/segment is corpus-duplicated — the probe
+      // measures the WORST-case duplicated mass (all positions survive
+      // the df filter, every island merges), not a lucky sparse case.
+      import graft.operators.{Curation, Dedup}
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(10, 100)) {
+        val docs = replicate(docs0, "doc_id", mult)
+        // count() alone would let Catalyst prune the whole aggregate
+        // through the final unique-key left join — the unfoldable hash
+        // filter forces the computed columns to actually materialize
+        timedCount(s"boiler  ${mult}x docs seg=4",
+          Curation.boilerplateSegments(docs, "doc_id", "text", 4)
+            .filter(xxhash64(col("clean_text"), col("n_boiler")) =!= 42))
+        timedCount(s"unigram ${mult}x docs fit+score",
+          Curation.unigramScore(docs, Curation.fitUnigramLm(docs, "text"),
+            "doc_id", "text")
+            .filter(xxhash64(col("logprob_mean").cast("string"), col("n_tokens")) =!= 42))
+        timedCount(s"spans   ${mult}x docs k=6",
+          Dedup.duplicateSpans(docs, "doc_id", "text", 6))
+        docs.unpersist()
+      }
+    }
     spark.stop()
   }
 }
