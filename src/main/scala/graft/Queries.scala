@@ -2563,6 +2563,32 @@ object Queries {
       FROM sx GROUP BY doc_id, span
       ORDER BY doc_id, span_start"""))
 
+  val q85QualityModel = Q(
+    "q85_ml_quality_classifier",
+    (s, dir) => {
+      // model-based quality filter: a weak text-derived label ("doc
+      // mentions spark" as the trusted-distribution proxy — the corpus'
+      // lang/source tags are independent of its synthetic text, so
+      // they'd train a noise model), fitted on the even half, scored on
+      // the held-out odd half with the truth column alongside. L-BFGS
+      // float aggregation is partition-order-dependent, so
+      // probabilities are not bit-reproducible → no SQL oracle; the
+      // driver's rows-only check plus QualityClassifierSpec's held-out
+      // separation cover it.
+      val docs = t(s, dir, "documents")
+      val kw = array_contains(TextFns.tokens(col("text")), "spark")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("label", kw.cast("double"))
+      val model = operators.QualityClassifier.train(train, "text", "label",
+        numFeatures = 1 << 15, maxIter = 25)
+      operators.QualityClassifier.score(
+        docs.filter(col("doc_id") % 2 === 1), model, "text",
+        numFeatures = 1 << 15)
+        .select(col("doc_id"), kw.as("has_kw"), col("quality_prob"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2585,5 +2611,5 @@ object Queries {
     q74CoveringExpansion,
     q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier,
     q79IncrementalDedup, q80TfIdfTerms, q81Sessionize,
-    q82Boilerplate, q83UnigramLp, q84DuplicateSpans)
+    q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies → a linearly separable corpus with
+  // held-out generalization (train docs never reappear in test)
+  private def goodDoc(i: Int) =
+    s"clear prose sentence number $i with informative structured content"
+  private def badDoc(i: Int) =
+    s"buy cheap now spam click $i here winner casino jackpot"
+
+  test("train/score separates held-out good from bad documents") {
+    val train = ((1 to 40).map(i => (goodDoc(i), 1.0)) ++
+      (1 to 40).map(i => (badDoc(i), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 25)
+    val test = ((100 to 119).map(i => (i.toLong, goodDoc(i), 1.0)) ++
+      (100 to 119).map(i => (i.toLong, badDoc(i), 0.0)))
+      .toDF("doc_id", "text", "truth")
+    val scored = QualityClassifier.score(test, model, "text",
+      numFeatures = 1 << 12)
+      .select(col("truth"), col("quality_prob")).as[(Double, Double)].collect()
+    // every held-out good doc outscores every held-out bad doc
+    val good = scored.filter(_._1 == 1.0).map(_._2)
+    val bad = scored.filter(_._1 == 0.0).map(_._2)
+    assert(good.min > bad.max,
+      s"no separation: good min ${good.min} vs bad max ${bad.max}")
+    assert(good.forall(_ > 0.5) && bad.forall(_ < 0.5))
+  }
+
+  test("featurize: bigrams distinguish token order; null/empty text are safe") {
+    val docs = Seq(
+      (1L, Some("alpha beta")),
+      (2L, Some("beta alpha")),   // same unigrams, different bigram
+      (3L, None),
+      (4L, Some(""))
+    ).toDF("doc_id", "text")
+    val f = QualityClassifier.featurize(docs, "text", numFeatures = 1 << 12)
+    val byId = f.select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[org.apache.spark.ml.linalg.Vector])
+      .toMap
+    assert(byId(1L) !== byId(2L), "bigram order lost")
+    assert(byId(3L).numNonzeros === 0) // null text → empty features, no crash
+    // featurization is deterministic (murmur3 bucketing, no fit state)
+    val f2 = QualityClassifier.featurize(docs, "text", numFeatures = 1 << 12)
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[org.apache.spark.ml.linalg.Vector])
+      .toMap
+    assert(byId === f2)
+  }
+
+  test("score output keeps every input row and stays in [0,1]") {
+    val train = ((1 to 10).map(i => (goodDoc(i), 1.0)) ++
+      (1 to 10).map(i => (badDoc(i), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 10)
+    val docs = Seq((1L, "some words"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = QualityClassifier.score(docs, model, "text", numFeatures = 1 << 12)
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r.values.forall(p => p >= 0.0 && p <= 1.0))
+  }
+}
