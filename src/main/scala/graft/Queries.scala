@@ -2563,6 +2563,27 @@ object Queries {
       FROM sx GROUP BY doc_id, span
       ORDER BY doc_id, span_start"""))
 
+  val q86SourceOverlap = Q(
+    "q86_dd_source_overlap",
+    (s, dir) =>
+      Curation.sourceOverlap(t(s, dir, "documents"), "text", "source",
+        gramSize = 6, gramKeyOf = Dedup.md5Hash60)
+        .orderBy("source_a", "source_b"),
+    Some("""
+      WITH d AS (SELECT source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT DISTINCT source,
+              ('0x' || substr(md5(
+                array_to_string(list_slice(toks, i, i + 5), ' ')), 1, 15))::BIGINT
+                AS gk
+            FROM d, LATERAL unnest(range(1, len(toks) - 4)) t(i)
+            WHERE len(toks) >= 6)
+      SELECT a.source AS source_a, b.source AS source_b,
+        COUNT(*) AS n_shared_grams
+      FROM g a JOIN g b ON a.gk = b.gk AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
   val q85QualityModel = Q(
     "q85_ml_quality_classifier",
     (s, dir) => {
@@ -2589,6 +2610,23 @@ object Queries {
     },
     None)
 
+  val q87BpeTokenize = Q(
+    "q87_tx_bpe_tokenize",
+    (s, dir) => {
+      // corpus-fit BPE: distributed word counting, deterministic driver
+      // merge loop on the bounded frequency table, distributed encode.
+      // Fully deterministic (exact integer counts, fixed tie-break) but
+      // the merge recursion has no SQL form → rows-only gate; BpeSpec
+      // pins the merge sequence and encodings on hand-computed corpora.
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.train(
+        operators.Bpe.wordFrequencies(docs, "text"), numMerges = 50)
+      operators.Bpe.tokenCount(docs, "text", merges)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    None)
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2611,5 +2649,6 @@ object Queries {
     q74CoveringExpansion,
     q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier,
     q79IncrementalDedup, q80TfIdfTerms, q81Sessionize,
-    q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel)
+    q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel,
+    q86SourceOverlap, q87BpeTokenize)
 }

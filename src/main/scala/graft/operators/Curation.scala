@@ -208,6 +208,49 @@ object Curation {
         col("clean_text"))
   }
 
+  /** Cross-source contamination matrix: for every unordered pair of
+    * sources, how many DISTINCT `gramSize`-token windows occur in both
+    * — the dataset-level view of [[Dedup.duplicateSpans]] (which marks
+    * positions) and the decontamination check (which guards one
+    * benchmark): "which of my corpus components are copying from each
+    * other, and how much". Drives mixing-weight and dedup-order
+    * decisions before training.
+    *
+    * Plan shape: single pass, never a corpus self-join — window-explode
+    * → distinct (gramKey, source) via one map-side-combined aggregate →
+    * per-key sorted source set (bounded by the source count) → in-row
+    * ordered-pair expansion → one final count aggregate on (a, b).
+    * Shuffles carry 8-byte keys + source ids; gram text dies in the
+    * scan stage. A gram present in all S sources expands to S(S−1)/2
+    * pairs in-row — bounded by the source-count square, not the corpus.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    gramSize: Int,
+                    gramKeyOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(gramSize > 0, s"gramSize ($gramSize) must be positive")
+    val toks = TextFns.tokens(col(textCol))
+    val grams = docs
+      .select(col(srcCol).as("__src"), toks.as("__toks"))
+      .select(col("__src"), explode(
+        when(col("__toks").isNotNull && size(col("__toks")) >= gramSize,
+          transform(sequence(lit(1), size(col("__toks")) - gramSize + 1),
+            i => gramKeyOf(array_join(slice(col("__toks"), i, lit(gramSize)), " "))))
+          .otherwise(array().cast("array<long>"))).as("__gk"))
+    val srcSets = grams
+      .groupBy(col("__gk"), col("__src")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__gk"))
+      .agg(array_sort(collect_set(col("__src"))).as("__srcs"))
+      .filter(size(col("__srcs")) >= 2)
+    srcSets
+      .select(explode(flatten(
+        transform(sequence(lit(1), size(col("__srcs")) - 1), i =>
+          transform(slice(col("__srcs"), i + 1, size(col("__srcs"))), b =>
+            struct(element_at(col("__srcs"), i).as("source_a"), b.as("source_b"))))))
+        .as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Fit a unigram language model over the corpus: one row per distinct
     * token with its count and the corpus-total token count (`total`
     * repeated on every row so the frame is self-contained for

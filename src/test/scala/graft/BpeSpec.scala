@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train: hand-computed merge sequence with deterministic tie-break") {
+    val docs = Seq((1L, "low low lower lowest")).toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs, "text")
+    assert(wf.as[(String, Long)].collect().toSet ===
+      Set(("low", 2L), ("lower", 1L), ("lowest", 1L)))
+    // pair counts: (l,o)=4 (o,w)=4 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1
+    // rank 0: tie (l,o) vs (o,w) at 4 → lexicographic left wins: (l,o)
+    // rank 1: (lo,w)=4; rank 2: (low,e)=2
+    val merges = Bpe.train(wf, numMerges = 3)
+    assert(merges === Seq(Merge(0, "l", "o"), Merge(1, "lo", "w"), Merge(2, "low", "e")))
+  }
+
+  test("train: stops early when every word is fully merged") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 10)
+    assert(merges === Seq(Merge(0, "a", "b")))
+    intercept[IllegalArgumentException] {
+      Bpe.train(Bpe.wordFrequencies(docs, "text"), numMerges = 0)
+    }
+  }
+
+  test("encodeWord applies merges by rank priority, not left-to-right") {
+    val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1, ("low", "e") -> 2)
+    assert(Bpe.encodeWord("lowest", ranks) === Seq("lowe", "s", "t"))
+    assert(Bpe.encodeWord("slow", ranks) === Seq("s", "low"))
+    assert(Bpe.encodeWord("xyz", ranks) === Seq("x", "y", "z")) // OOV chars
+    assert(Bpe.encodeWord("low", ranks) === Seq("low"))
+  }
+
+  test("encode/tokenCount: distributed application, nulls safe, compresses") {
+    val corpus = Seq(
+      (1L, "low low lower lowest"),
+      (2L, "slow glow lowly"),
+      (3L, null: String)
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordFrequencies(corpus, "text"), numMerges = 3)
+    val enc = Bpe.encode(corpus, "text", merges)
+      .select("doc_id", "bpe_tokens")
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    // rank-2 (low,e) fires inside "lower" as well: ["lowe","r"]
+    assert(enc(1L).get === Seq("low", "low", "lowe", "r", "lowe", "s", "t"))
+    assert(enc(2L).get === Seq("s", "low", "g", "low", "low", "l", "y"))
+    assert(enc(3L) === None)
+    val tc = Bpe.tokenCount(corpus, "text", merges)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(tc(1L) === ((4, 7)))
+    assert(tc(2L) === ((3, 7)))
+    assert(tc(3L) === ((0, 0)))
+    // learned-vocab tokens never undercut word count
+    assert(tc.values.forall { case (w, b) => b >= w })
+  }
+}

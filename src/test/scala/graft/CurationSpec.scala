@@ -215,6 +215,44 @@ class CurationSpec extends SparkSpec {
     assert(r(1L) === 0L && r(2L) === 0L)
   }
 
+  // ---- sourceOverlap -----------------------------------------------------
+
+  test("sourceOverlap: hand-computed shared-gram counts per source pair") {
+    val docs = Seq(
+      (1L, "wiki", "the quick brown fox jumps"),
+      (2L, "crawl", "the quick brown cat sits"),   // shares "the quick brown"
+      (3L, "books", "the quick brown fox jumps"),  // exact copy of doc 1
+      (4L, "crawl", "the quick brown fox naps"),   // crawl also shares the fox gram
+      (5L, "wiki", null)                           // null text contributes nothing
+    ).toDF("doc_id", "source", "text")
+    val r = graft.operators.Curation.sourceOverlap(docs, "text", "source", gramSize = 3)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // distinct 3-grams: wiki {tqb,qbf,bfj}; books same 3; crawl {tqb,qbc,bcs,qbf,bfn}
+    assert(r === Map(
+      ("books", "wiki") -> 3L,
+      ("books", "crawl") -> 2L,
+      ("crawl", "wiki") -> 2L))
+    // duplicate instances of a gram within a source count once (doc 3
+    // repeating doc 1's grams adds no new (gram, source) pairs)
+  }
+
+  test("sourceOverlap: disjoint sources produce no rows; pair order is sorted") {
+    val docs = Seq(
+      (1L, "a_src", "one two three four"),
+      (2L, "z_src", "five six seven eight")
+    ).toDF("doc_id", "source", "text")
+    assert(graft.operators.Curation.sourceOverlap(docs, "text", "source", 2)
+      .count() === 0L)
+    val shared = Seq(
+      (1L, "z_src", "alpha beta gamma"),
+      (2L, "a_src", "alpha beta gamma")
+    ).toDF("doc_id", "source", "text")
+    val p = graft.operators.Curation.sourceOverlap(shared, "text", "source", 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(p === Seq(("a_src", "z_src", 2L))) // sorted, never (z, a)
+  }
+
   // ---- fitUnigramLm / unigramScore -------------------------------------
 
   test("unigramScore: hand-computed mean log-probability") {
