@@ -298,6 +298,32 @@ class PlanQualitySpec extends SparkSpec {
       s"boilerplateSegments plans an all-pairs join:\n$plan")
   }
 
+  test("source-overlap shuffles carry gram keys + source ids, never text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.sourceOverlap(docs, "text", "source", 6)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Join"),
+      s"sourceOverlap must be join-free (single-pass pair expansion):\n$plan")
+    plan.split("\n").filter(_.contains("Exchange")).foreach(e =>
+      assert(!e.contains("__toks") && !e.contains("text#"),
+        s"token/text payload in a sourceOverlap shuffle:\n$e"))
+  }
+
+  test("quality-classifier scoring is scan-stage (no exchange, no join)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.limit(50)
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("double"))
+    val model = graft.operators.QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 5)
+    val scored = graft.operators.QualityClassifier.score(docs, model, "text",
+      numFeatures = 1 << 12)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scoring must ride the scan stage (broadcast coefficients):\n$plan")
+  }
+
   test("unigram LM total rides a 1-row broadcast; scoring never sorts globally") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val lm = graft.operators.Curation.fitUnigramLm(docs, "text")
