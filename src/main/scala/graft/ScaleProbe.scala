@@ -276,6 +276,33 @@ object ScaleProbe {
       }
     }
 
+    // round-7: distributed BPE training. Per-merge cost must be FLAT —
+    // one linear scan of the distinct-word table per merge regardless
+    // of how many merges were already learned (the localCheckpoint
+    // lineage cut is what makes this true; without it merge N replans
+    // N stacked UDF layers). time(2k merges) ≈ 2 × time(k merges), and
+    // the per-merge second scales ~linearly in vocab rows, not worse.
+    if (section("bpe")) {
+      import graft.operators.Bpe
+      for (n <- Seq(100000L, 1000000L)) {
+        // synthetic Zipf vocab: hex-ish words share a 17-char alphabet,
+        // so pair statistics stay rich deep into the merge sequence
+        val wf = spark.range(n).select(
+          format_string("w%x", col("id")).as("word"),
+          ((lit(n) / (col("id") + 1)) + 1).cast("long").as("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wf.count()
+        for (merges <- Seq(15, 30)) {
+          val t0 = System.nanoTime()
+          val m = Bpe.trainDistributed(wf, merges)
+          println(f"bpe     vocab=$n%8d merges=$merges%3d learned=${m.size}%3d" +
+            f"  time=${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+            f"  per-merge=${(System.nanoTime() - t0) / 1e9 / m.size}%5.2f s")
+        }
+        wf.unpersist()
+      }
+    }
+
     if (section("curation2")) {
       // round-6 session-3 ops. Replication makes every copy an exact
       // twin, so EVERY window/segment is corpus-duplicated — the probe

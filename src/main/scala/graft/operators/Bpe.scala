@@ -22,6 +22,12 @@ import graft.functions.TextFns
   *     and the word-frequency table it needs is millions of rows where
   *     the corpus is trillions. Fully deterministic: exact integer
   *     counts, ties broken by (count desc, left asc, right asc).
+  *     [[trainDistributed]] is the same loop with the per-merge pair
+  *     COUNT as a Spark aggregate over the symbol-array word table —
+  *     for corpora whose distinct-word table exceeds driver memory.
+  *     The sequential part that remains on the driver is only the
+  *     argmax + the merge decision (one ~16-byte row per merge); the
+  *     two paths emit byte-identical merge sequences (BpeSpec pins it).
   *  3. [[encode]] / [[tokenCount]] — DISTRIBUTED again: the learned
   *     merge ranks broadcast as a plan literal; application is
   *     row-local (a per-word loop bounded by word length — a Scala
@@ -39,6 +45,39 @@ object Bpe {
   /** One learned merge: rank 0 is applied first. */
   final case class Merge(rank: Int, left: String, right: String)
 
+  /** Code-point string order (== UTF-8 binary order, which is what
+    * Spark's UTF8String comparison gives the distributed path's
+    * TakeOrdered). Plain Java String ordering compares UTF-16 units, so
+    * it ranks U+E000..U+FFFF above supplementary characters — the two
+    * tie-breaks would diverge on non-BMP symbols with tying counts.
+    */
+  private val cpOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
+  /** Split into Unicode code points (NOT UTF-16 units: `"🙂".map(...)`
+    * would shear a non-BMP character into two lone surrogate halves,
+    * making learned symbols invalid strings on multilingual corpora).
+    */
+  private[operators] def codePoints(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Learn `numMerges` merges from a word-frequency table. The table is
     * truncated to the `maxVocabRows` most frequent words (deterministic
     * tie-break on the word) before the driver-side loop — cap it to
@@ -55,7 +94,7 @@ object Bpe {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // words as symbol arrays; the loop mutates these in place
     var words: Array[(Array[String], Long)] =
-      top.map { case (w, f) => (w.map(_.toString).toArray, f) }
+      top.map { case (w, f) => (codePoints(w), f) }
     val merges = Vector.newBuilder[Merge]
     var rank = 0
     while (rank < numMerges) {
@@ -64,10 +103,69 @@ object Bpe {
         counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
       if (counts.isEmpty) rank = numMerges // every word fully merged: stop
       else {
-        val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((l, r), _) = counts.min(
+          Ordering.by[((String, String), Long), (Long, String, String)] {
+            case ((a, b), c) => (-c, a, b)
+          }(Ordering.Tuple3(Ordering.Long, cpOrdering, cpOrdering)))
         merges += Merge(rank, l, r)
         words = words.map { case (syms, f) => (applyMerge(syms, l, r), f) }
         rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** [[train]] with the per-merge pair count as a DISTRIBUTED
+    * aggregate, for word tables too large to collect: the symbol-array
+    * word table stays a DataFrame; each iteration runs
+    * explode(adjacent pairs) → map-side-combined `sum(freq)` →
+    * `TakeOrdered(1)` (count desc, left asc, right asc — the same exact
+    * integer tie-break as the driver loop, so the merge sequences are
+    * byte-identical), then rewrites ONLY the words that can contain the
+    * winning pair (a codegen'd `array_contains` guard gates the
+    * row-local merge UDF). Per-merge cost is one linear scan of the
+    * distinct-word table — flat in the number of merges learned so far;
+    * `localCheckpoint` every `checkpointEvery` merges cuts the plan
+    * lineage so iteration N doesn't replan N UDF layers.
+    *
+    * Use [[train]] when the top-`maxVocabRows` truncation is acceptable
+    * (it collects one bounded top-k and runs zero jobs per merge);
+    * use this when vocabulary must not be driver-bounded.
+    */
+  def trainDistributed(wordFreqs: DataFrame, numMerges: Int,
+                       checkpointEvery: Int = 8): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges ($numMerges) must be positive")
+    require(checkpointEvery > 0, s"checkpointEvery ($checkpointEvery) must be positive")
+    val seed = udf((w: String) => codePoints(w).toSeq)
+    var cur = wordFreqs
+      .select(seed(col("word")).as("syms"), col("freq").cast("long").as("freq"))
+      .localCheckpoint(eager = false)
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val pairs = cur
+        .select(col("freq"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1), i =>
+              struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (pairs.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r) = (pairs(0).getString(0), pairs(0).getString(1))
+        merges += Merge(rank, l, r)
+        val applyM = udf((syms: Seq[String]) => applyMerge(syms.toArray, l, r).toSeq)
+        cur = cur.withColumn("syms",
+          when(array_contains(col("syms"), l) && array_contains(col("syms"), r),
+            applyM(col("syms"))).otherwise(col("syms")))
+        rank += 1
+        if (rank % checkpointEvery == 0) cur = cur.localCheckpoint(eager = false)
       }
     }
     merges.result()
@@ -94,7 +192,7 @@ object Bpe {
     */
   private[graft] def encodeWord(word: String,
                                 ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toIndexedSeq
+    var syms = codePoints(word).toIndexedSeq
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue; var at = -1

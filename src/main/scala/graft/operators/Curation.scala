@@ -259,10 +259,17 @@ object Curation {
     * empty tokens are dropped.
     */
   def fitUnigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    // the lazy checkpoint snapshots the corpus-scale explode+aggregate:
+    // `counts` is referenced by both the crossJoin side and the `total`
+    // scalar here, and [[unigramScore]] references the lm frame twice
+    // more (term join + max(total)) — without the snapshot the corpus
+    // scan re-runs up to 4×, the same double-scan tfIdfTopTerms kills
+    // with its own localCheckpoint
     val counts = docs
       .select(explode(TextFns.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
     val total = counts.agg(sum(col("c")).as("total"))
     counts.crossJoin(broadcast(total))
   }

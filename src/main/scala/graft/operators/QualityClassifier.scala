@@ -37,9 +37,23 @@ object QualityClassifier {
 
   /** Unigrams ++ bigrams of the whitespace tokens (fastText's default
     * word-n-gram features), as one array column.
+    *
+    * `maskTerms` removes those tokens from the stream BEFORE n-gram
+    * construction, so no emitted unigram or bigram can contain a masked
+    * token (tokens adjacent-after-removal form the bigrams). This is
+    * the label-leakage guard for weak supervision: when the training
+    * label is derived from the text itself (e.g. "mentions X"), masking
+    * X forces the model to learn the label's *context* — co-occurring
+    * vocabulary, register, length — instead of winning by looking up
+    * the literal label token's hash bucket.
     */
-  private[operators] def terms(textCol: Column): Column = {
-    val toks = TextFns.tokens(textCol)
+  private[operators] def terms(textCol: Column,
+                               maskTerms: Set[String] = Set.empty): Column = {
+    val raw = TextFns.tokens(textCol)
+    // filter() keeps duplicates (array_except would dedup counts);
+    // isInCollection broadcasts the mask as a literal set in the plan
+    val toks = if (maskTerms.isEmpty) raw
+      else filter(raw, t => !t.isInCollection(maskTerms))
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
@@ -48,14 +62,17 @@ object QualityClassifier {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** docs + a `features` sparse vector of hashed n-gram counts. */
+  /** docs + a `features` sparse vector of hashed n-gram counts.
+    * `maskTerms`: tokens excluded from every feature (see [[terms]]).
+    */
   def featurize(docs: DataFrame, textCol: String,
-                numFeatures: Int = 1 << 18): DataFrame = {
+                numFeatures: Int = 1 << 18,
+                maskTerms: Set[String] = Set.empty): DataFrame = {
     require(numFeatures > 0, s"numFeatures ($numFeatures) must be positive")
     new HashingTF()
       .setInputCol("__terms").setOutputCol("features")
       .setNumFeatures(numFeatures)
-      .transform(docs.withColumn("__terms", terms(col(textCol))))
+      .transform(docs.withColumn("__terms", terms(col(textCol), maskTerms)))
       .drop("__terms")
   }
 
@@ -65,11 +82,12 @@ object QualityClassifier {
     */
   def train(docs: DataFrame, textCol: String, labelCol: String,
             numFeatures: Int = 1 << 18, regParam: Double = 1e-3,
-            maxIter: Int = 50): LogisticRegressionModel =
+            maxIter: Int = 50,
+            maskTerms: Set[String] = Set.empty): LogisticRegressionModel =
     new LogisticRegression()
       .setFeaturesCol("features").setLabelCol(labelCol)
       .setRegParam(regParam).setMaxIter(maxIter)
-      .fit(featurize(docs, textCol, numFeatures)
+      .fit(featurize(docs, textCol, numFeatures, maskTerms)
         .select(col(labelCol).cast("double").as(labelCol), col("features")))
 
   /** docs + `quality_prob` (P(label=1)): the model's coefficient
@@ -77,10 +95,11 @@ object QualityClassifier {
     * `numFeatures` used at [[train]] time.
     */
   def score(docs: DataFrame, model: LogisticRegressionModel, textCol: String,
-            numFeatures: Int = 1 << 18): DataFrame =
+            numFeatures: Int = 1 << 18,
+            maskTerms: Set[String] = Set.empty): DataFrame =
     model.setFeaturesCol("features").setProbabilityCol("__prob")
       .setPredictionCol("__pred").setRawPredictionCol("__raw")
-      .transform(featurize(docs, textCol, numFeatures))
+      .transform(featurize(docs, textCol, numFeatures, maskTerms))
       .withColumn("quality_prob", vector_to_array(col("__prob"))(1))
       .drop("features", "__prob", "__pred", "__raw")
 }

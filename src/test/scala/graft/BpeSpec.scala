@@ -27,6 +27,49 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainDistributed emits the byte-identical merge sequence") {
+    // same fixtures as the driver-path tests, plus a tie-heavy corpus
+    // (every pair count equal) so the (count desc, left, right)
+    // tie-break — TakeOrdered on the distributed side, cpOrdering on
+    // the driver side — is actually exercised
+    val corpora = Seq(
+      Seq("low low lower lowest"),
+      Seq("ab ab"),
+      Seq("ab cd ef gh", "ab cd ef gh"),                 // all-tie
+      Seq("peer router collector rib rib attr announce withdraw")
+    )
+    for (texts <- corpora) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val wf = Bpe.wordFrequencies(docs, "text")
+      val a = Bpe.train(wf, numMerges = 12)
+      val b = Bpe.trainDistributed(wf, numMerges = 12, checkpointEvery = 3)
+      assert(a === b, s"paths diverged on corpus $texts")
+    }
+  }
+
+  test("code-point seeding: non-BMP characters stay whole symbols") {
+    // UTF-16 "🙂".map(_.toString) would shear the emoji into two lone
+    // surrogates; both training paths and encodeWord must keep it whole
+    val docs = Seq((1L, "a🙂b a🙂b 🙂🙂")).toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs, "text")
+    val m = Bpe.train(wf, numMerges = 2)
+    assert(m === Bpe.trainDistributed(wf, numMerges = 2))
+    // pair counts: (a,🙂)=2 (🙂,b)=2 (🙂,🙂)=1 → "a"<"🙂" so (a,🙂) first,
+    // then (a🙂,b)=2 beats (🙂,🙂)=1
+    assert(m === Seq(Merge(0, "a", "🙂"), Merge(1, "a🙂", "b")))
+    val ranks = m.map(x => (x.left, x.right) -> x.rank).toMap
+    assert(Bpe.encodeWord("a🙂b", ranks) === Seq("a🙂b"))
+    assert(Bpe.encodeWord("🙂", ranks) === Seq("🙂"))
+    // every emitted symbol is a valid string: a sheared non-BMP char
+    // would surface as a code point in the surrogate range D800-DFFF
+    val enc = Bpe.encode(docs, "text", m)
+      .select("bpe_tokens").as[Seq[String]].collect().flatten
+    assert(enc.nonEmpty && enc.forall(
+      _.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF)),
+      s"lone surrogate half in $enc")
+  }
+
   test("encodeWord applies merges by rank priority, not left-to-right") {
     val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1, ("low", "e") -> 2)
     assert(Bpe.encodeWord("lowest", ranks) === Seq("lowe", "s", "t"))

@@ -33,6 +33,65 @@ class QualityClassifierSpec extends SparkSpec {
     assert(good.forall(_ > 0.5) && bad.forall(_ < 0.5))
   }
 
+  // Wilcoxon/rank AUC: P(score_pos > score_neg) + half-credit ties
+  private def auc(scored: Seq[(Double, Double)]): Double = {
+    val pos = scored.filter(_._1 == 1.0).map(_._2)
+    val neg = scored.filter(_._1 == 0.0).map(_._2)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    wins / (pos.size * neg.size)
+  }
+
+  test("maskTerms removes the label token from every feature") {
+    val docs = Seq(
+      (1L, "alpha spark beta spark gamma"),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    // masking "spark" must equal featurizing text with the token
+    // deleted up front: identical unigram counts AND identical bigrams
+    // (adjacent-after-removal tokens pair up — no bigram bridges spark)
+    val masked = QualityClassifier.featurize(docs, "text",
+      numFeatures = 1 << 12, maskTerms = Set("spark"))
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val scrubbed = QualityClassifier.featurize(
+      docs.withColumn("text",
+        regexp_replace(col("text"), "\\bspark\\b\\s*", "")),
+      "text", numFeatures = 1 << 12)
+      .select("doc_id", "features").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(masked(1L) === scrubbed(1L))
+    assert(masked(1L) === masked(2L),
+      "doc 1 (with spark) and doc 2 (without) must featurize identically under the mask")
+  }
+
+  test("masked label still generalizes: held-out AUC >= 0.9 from context alone") {
+    // weak label = "doc mentions verified"; the token co-occurs with a
+    // good-register vocabulary but is masked from the features, so the
+    // model can only learn the co-occurring context — exactly the q85
+    // gate's construction. Train and test docs are disjoint.
+    def good(i: Int) =
+      s"verified thorough prose reviewed citation $i accurate edited source"
+    def bad(i: Int) =
+      s"click spam casino winner $i jackpot cheap pills lottery"
+    val mask = Set("verified")
+    val label = (t: org.apache.spark.sql.Column) =>
+      array_contains(split(t, " "), "verified").cast("double")
+    val train = ((1 to 40).map(good) ++ (1 to 40).map(bad)).toDF("text")
+      .withColumn("label", label(col("text")))
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 25, maskTerms = mask)
+    val test = ((100 to 119).map(good) ++ (100 to 119).map(bad)).toDF("text")
+      .withColumn("truth", label(col("text")))
+    val scored = QualityClassifier.score(test, model, "text",
+      numFeatures = 1 << 12, maskTerms = mask)
+      .select(col("truth"), col("quality_prob")).as[(Double, Double)].collect()
+    val a = auc(scored.toSeq)
+    assert(a >= 0.9, s"held-out AUC $a < 0.9 with masked label")
+    // and the win is NOT lookup: the label token hashes to a bucket the
+    // masked featurizer provably never populates (previous test)
+  }
+
   test("featurize: bigrams distinguish token order; null/empty text are safe") {
     val docs = Seq(
       (1L, Some("alpha beta")),
