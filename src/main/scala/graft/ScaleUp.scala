@@ -83,10 +83,16 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (t <- Seq("region", "nation")) // fixed dims
+    // optional table subset (e.g. "documents,embeddings" for the 100×
+    // corpus point — full-suite 100× would be ~20 GB of lineitem no
+    // query in the subset reads)
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String) = tables.forall(_.contains(t))
+    for (t <- Seq("region", "nation") if wanted(t)) // fixed dims
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    for (t <- keyCols.keys.toSeq.sorted) {
+    for (t <- keyCols.keys.toSeq.sorted if wanted(t)) {
       val scaled = replicate(spark.read.parquet(s"$src/$t.parquet"), t, mult)
       // repartition before write so downstream scans see multi-file
       // tables (realistic split planning), not one fat file per table

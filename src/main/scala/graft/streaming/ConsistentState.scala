@@ -39,6 +39,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stays valid for the next `keepVersions − 1` commits. Size it to the
   * longest query you run against live state (Iceberg/Delta snapshot
   * retention, reduced to its essentials).
+  *
+  * WRITER contract (same as [[graft.operators.StateTables]]'s bucket
+  * merge): ONE writer per root. The reference gets this from Postgres
+  * row locks; here [[GraftApp]] enforces it structurally — the whole
+  * topology is ONE streaming query, so one `Txn` exists at a time.
+  * Two concurrent txns on one root would race `base`: both compute
+  * "next = current + my batch" and the second pointer swap would
+  * silently drop the first's rows (lost update). [[Txn.commit]] turns
+  * that misconfiguration loud: it re-reads `_CURRENT` and REFUSES
+  * (`ConcurrentModificationException`) when a foreign commit landed
+  * after this txn opened. The check is detection, not a lock — the
+  * re-read→rename window is not atomic on a filesystem, and two txns
+  * staging the SAME table concurrently race the staged `v` directory
+  * itself before either commits — so it converts the common deployment
+  * error (two apps pointed at one root) into a crash instead of data
+  * loss, while the contract itself remains single-writer. (Full
+  * multi-writer safety would need Iceberg-style unique snapshot file
+  * names plus a CAS on the pointer — machinery the one-streaming-query
+  * design makes unnecessary here.)
   */
 object ConsistentState {
 
@@ -106,10 +125,24 @@ object ConsistentState {
 
     /** Atomically publish every staged table (one pointer swap), then
       * prune versions older than `keepVersions` per staged table.
+      *
+      * Refuses (`ConcurrentModificationException`) if `_CURRENT` moved
+      * since this txn opened: a foreign writer committed, this txn's
+      * staged versions were computed against stale state, and swapping
+      * the pointer would silently drop the foreign commit's rows. A
+      * crash-replayed batch is NOT foreign — its txn re-opened AFTER
+      * the crash, so its base already includes every committed version.
       */
     def commit(keepVersions: Int = 2): Map[String, Int] = {
       require(keepVersions >= 1, s"keepVersions ($keepVersions) must be >= 1")
       val fs  = fsOf(spark, root)
+      val now = readManifest(spark, root)
+      if (now != base)
+        throw new java.util.ConcurrentModificationException(
+          s"foreign commit on $root since txn open: manifest moved " +
+            s"$base -> $now. ConsistentState is single-writer per root " +
+            "(run ONE GraftApp per state root); committing would lose " +
+            "the foreign writer's rows.")
       val man = base ++ staged
       val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
       // atomic overwrite (no delete-then-rename): a reader racing the

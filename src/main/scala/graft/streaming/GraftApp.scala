@@ -70,7 +70,8 @@ object GraftApp {
       keepVersions: Int = 2,
       registerViews: Boolean = true,
       maintenanceEvery: Int = 0, // bucketed regime: micro-batches between maintenance passes (0 = off)
-      retentionUs: Option[Long] = None)
+      retentionUs: Option[Long] = None,
+      corpusDir: Option[String] = None) // LLM-corpus parquet dir → curation views
 
   /** Tables that live under the consistent versioned manifest. In
     * bucketed mode the rib-scale tables move to the bucket layout and
@@ -269,6 +270,7 @@ object GraftApp {
     * multi-table repeatable-read.
     */
   def registerViews(spark: SparkSession, conf: Conf): Unit = {
+    conf.corpusDir.foreach(registerCorpus(spark, _))
     val versioned = Inventory ++ (if (conf.bucketedRib.isEmpty) VersionedRib else Nil)
     val snap = ConsistentState.readConsistent(spark, conf.root, versioned)
     def bucketed(table: String): Option[DataFrame] = {
@@ -330,6 +332,55 @@ object GraftApp {
     }
   }
 
+  /** The LLM-corpus surface, registered the same way the BMP surface
+    * is: base tables plus curation VIEWS (lazy plans — computed when
+    * queried, always over the parquet currently at `dir`, so a corpus
+    * refresh between batches is picked up on the next registration
+    * pass). Tables absent from the dir are skipped; everything else the
+    * curation operators offer (dedup, ANN, packing, BPE) builds on
+    * these same registered tables via the operator API.
+    */
+  def registerCorpus(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.TextFns
+    import graft.operators.{Curation, TimeAgg}
+    // corpus event tables carry parquet INT64-nanos timestamps; without
+    // this (runtime-settable) SQL conf the schema conversion throws on
+    // sessions that didn't opt in at build time (e.g. GraftApp.main's)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    def read(name: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        Some(spark.read.parquet(p.toString)) else None
+    }
+    read("documents").foreach { docs =>
+      docs.createOrReplaceTempView("documents")
+      // rule-based per-doc quality signals — scan-stage, no shuffle
+      docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.qualityScore(col("text"), stop).as("quality"),
+        TextFns.langId(col("text")).as("lang_pred"),
+        TextFns.fingerprint(col("text")).as("fingerprint"))
+        .createOrReplaceTempView("v_doc_quality")
+      // Gopher repetition gates — one explode + two hash aggregates
+      Curation.repetitionSignals(docs, "doc_id", "text")
+        .createOrReplaceTempView("v_doc_repetition")
+    }
+    read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
+    read("events").foreach { ev0 =>
+      // testdata events carry INT64-nano `ts`; expose exact epoch-micros
+      val ev = if (ev0.columns.contains("ts_us")) ev0
+        else ev0.withColumn("ts_us", expr("ts div 1000"))
+      ev.createOrReplaceTempView("events")
+      TimeAgg.sessionize(ev, Seq("user_id"), "ts_us",
+        gapMicros = 30000000000L, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .createOrReplaceTempView("v_sessions")
+    }
+  }
+
   /** Inventory bootstrap — the reference's staged subscribe
     * (`ConsumerRunnable.java:1054-1084` brings collector/router/peer up
     * before prefix topics): replay inventory fixture lines as ONE batch
@@ -356,7 +407,7 @@ object GraftApp {
       .start()
   }
 
-  /** `spark-submit graft.streaming.GraftApp <root> [--brokers b | --files dir]` */
+  /** `spark-submit graft.streaming.GraftApp <root> (--brokers b | --files dir) [--corpus dir]` */
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse(sys.error("usage: GraftApp <root> [--brokers b|--files dir]"))
     val spark = SparkSession.builder()
@@ -365,7 +416,8 @@ object GraftApp {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     val conf = Conf(root,
-      bucketedRib = sys.env.get("GRAFT_NUM_BUCKETS").map(_.toInt))
+      bucketedRib = sys.env.get("GRAFT_NUM_BUCKETS").map(_.toInt),
+      corpusDir = args.sliding(2).collectFirst { case Array("--corpus", d) => d })
     val source = args.sliding(2).collectFirst {
       case Array("--brokers", b) => kafkaSource(spark, b)
       case Array("--files", d)   => fileSource(spark, d)

@@ -72,6 +72,31 @@ class ConsistentStateSpec extends SparkSpec {
     assert(dirs === Set("v1", "v2"), s"unexpected versions: $dirs")
   }
 
+  test("two concurrent txns on one root: the second commit refuses loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cstate4").toString
+    val t0 = ConsistentState.begin(spark, root)
+    t0.stage("t", Seq(1).toDF("x"))
+    t0.commit()
+
+    // both writers open against the same committed state — the
+    // single-writer misconfiguration (two apps on one root). They touch
+    // DIFFERENT tables, so the damage a lost update would do is purely
+    // manifest-level: b's swap would un-publish a's table version.
+    val a = ConsistentState.begin(spark, root)
+    val b = ConsistentState.begin(spark, root)
+    a.stage("ta", Seq(2).toDF("x"))
+    b.stage("tb", Seq(99).toDF("x"))
+    a.commit()
+    // b's manifest base is pre-a; publishing it would drop a's commit
+    // from _CURRENT — it must crash, not lose data
+    val e = intercept[java.util.ConcurrentModificationException] { b.commit() }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // a's commit survived untouched
+    assert(ConsistentState.readConsistent(spark, root, Seq("ta"))("ta")
+      .as[Int].collect().toSeq === Seq(2))
+  }
+
   test("manifest swap is atomic: concurrent readers never see a missing manifest") {
     import spark.implicits._
     val root = Files.createTempDirectory("cstate3").toString

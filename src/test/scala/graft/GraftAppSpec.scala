@@ -41,7 +41,8 @@ class GraftAppSpec extends SparkSpec {
   test("GraftApp wires the full topology: stream in, consistent views out") {
     val in   = Files.createTempDirectory("graftapp_in").toString
     val root = Files.createTempDirectory("graftapp_root").toString
-    val conf = GraftApp.Conf(root, triggerMs = 50)
+    val conf = GraftApp.Conf(root, triggerMs = 50,
+      corpusDir = Some("/root/testdata/sf0.001"))
 
     // batch 1: inventory + attrs + two prefixes + a stat report
     writeTopic(in, "collector", "b1.tsv", collectorLine("c1", "started", ts0))
@@ -79,6 +80,19 @@ class GraftAppSpec extends SparkSpec {
         .map(_.getLong(0)).toSeq === Seq(1L))
       assert(spark.sql("SELECT state FROM peer_events WHERE peer_hash_id='p1'")
         .collect().map(_.getString(0)).toSeq === Seq("up"))
+
+      // the LLM-corpus surface registers alongside the BMP surface:
+      // curation views are queryable over the RUNNING stream's session
+      val nq = spark.sql(
+        "SELECT count(*) FROM v_doc_quality WHERE n_tokens > 0 AND quality > 0")
+        .collect()(0).getLong(0)
+      assert(nq > 0, "v_doc_quality empty")
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_repetition WHERE passes_repetition").collect()(0).getLong(0) > 0)
+      assert(spark.sql("SELECT count(*) FROM v_sessions WHERE n_events > 0")
+        .collect()(0).getLong(0) > 0)
+      // raw tables are first-class too (join surface for operator calls)
+      assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 
       // every versioned table committed at the SAME manifest step
       val man1 = ConsistentState.readManifest(spark, root)
