@@ -2653,6 +2653,126 @@ object Queries {
     },
     None)
 
+  val q88ParagraphDedup = Q(
+    "q88_dd_paragraph_dedup",
+    (s, dir) =>
+      // Dolma-style keep-first paragraph dedup; paragraphs are 4-token
+      // blocks (the word-salad corpus has no newline layout — real
+      // docs pass a "\n{2,}" split), keyed by md5Hash60 for oracle
+      // portability (production: xxhash64)
+      Dedup.paragraphDedup(t(s, dir, "documents"), "doc_id", "text",
+        paragraphsOf = Dedup.tokenBlocks(_, 4), keyOf = Dedup.md5Hash60)
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              array_to_string(list_slice(toks, i, i + 3), ' ') AS para
+            FROM d, LATERAL unnest(range(1, greatest(len(toks), 1) + 1, 4)) t(i)),
+      m AS (SELECT doc_id, pos, para,
+              row_number() OVER (
+                PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT
+                ORDER BY doc_id, pos) AS rn
+            FROM s),
+      p AS (SELECT doc_id, COUNT(*) AS n_paragraphs,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dropped,
+              coalesce(array_to_string(
+                list(para ORDER BY pos) FILTER (WHERE rn = 1), ' '), '')
+                AS clean_text
+            FROM m GROUP BY doc_id)
+      SELECT doc.doc_id,
+        coalesce(p.n_paragraphs, 0) AS n_paragraphs,
+        coalesce(p.n_dropped, 0) AS n_dropped,
+        p.clean_text
+      FROM documents doc LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""))
+
+  val q89SemDedup = Q(
+    "q89_sem_semdedup",
+    (s, dir) =>
+      // SemDeDup keep rule over deterministic hyperplane clusters: the
+      // (centroid-cos, id)-minimal member of every mutual-duplicate
+      // group survives; centroids are the quantized exact mean (q78's
+      // arithmetic), clusters the 6-plane buckets the q49 oracle
+      // already reproduces
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, planes = 6, maxBucket = 100)
+        .orderBy("id"),
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      dots AS (
+        SELECT vec_id, pp.p AS p,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> CAST(cv[i] AS DOUBLE) *
+                 (((pp.p * 1103515 + (i - 1) * 12347 + 42) * 2654435761 % 1000003)
+                  / 1000003.0 - 0.5))) AS dp
+        FROM v CROSS JOIN (SELECT unnest(range(0, 6)) AS p) pp),
+      sig AS (
+        SELECT vec_id,
+          CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+            AS BIGINT) AS cluster
+        FROM dots GROUP BY vec_id),
+      cent AS (
+        SELECT cluster, i AS pos,
+          CAST(SUM(CAST(floor(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+            AS DOUBLE) / (1000000.0 * COUNT(*)) AS c
+        FROM v JOIN sig USING (vec_id), LATERAL unnest(range(1, len(cv) + 1)) t(i)
+        GROUP BY cluster, i),
+      cvec AS (SELECT cluster, list(c ORDER BY pos) AS centroid
+               FROM cent GROUP BY cluster),
+      scored AS (
+        SELECT v.vec_id, s.cluster, v.cv,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(centroid) + 1),
+               i -> centroid[i] * centroid[i]))), 0) AS ccos
+        FROM v JOIN sig s USING (vec_id) JOIN cvec USING (cluster)),
+      sok AS (SELECT cluster FROM sig GROUP BY cluster HAVING COUNT(*) <= 100),
+      pok AS (SELECT scored.* FROM scored JOIN sok USING (cluster)),
+      dropped AS (
+        SELECT DISTINCT CASE WHEN (a.ccos, a.vec_id) > (b.ccos, b.vec_id)
+                             THEN a.vec_id ELSE b.vec_id END AS vec_id
+        FROM pok a JOIN pok b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.cv) + 1),
+                i -> CAST(a.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE)))
+              / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.cv) + 1),
+                   i -> CAST(a.cv[i] AS DOUBLE) * CAST(a.cv[i] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, len(b.cv) + 1),
+                   i -> CAST(b.cv[i] AS DOUBLE) * CAST(b.cv[i] AS DOUBLE)))), 0)
+                >= 0.3)
+      SELECT sc.vec_id AS id, sc.cluster,
+        round(sc.ccos, 6) AS cos_centroid,
+        d.vec_id IS NULL AS keep
+      FROM scored sc LEFT JOIN dropped d USING (vec_id)
+      ORDER BY id"""))
+
+  val q90Blocklist = Q(
+    "q90_tx_blocklist",
+    (s, dir) =>
+      // C4-style badword page filter, token-exact; list words chosen
+      // from the corpus vocabulary so both verdicts are exercised
+      Curation.blocklistFilter(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "dup", "vector"))
+        // the comparator handles scalars only — flatten the term array
+        .withColumn("blocked_terms", array_join(col("blocked_terms"), " "))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> t IN ('slow', 'dup', 'vector')) AS hits
+             FROM documents)
+      SELECT doc_id,
+        coalesce(CAST(len(hits) AS BIGINT), 0) AS n_blocked,
+        coalesce(array_to_string(list_sort(list_distinct(hits)), ' '), '')
+          AS blocked_terms,
+        coalesce(len(hits) = 0, true) AS passes_blocklist
+      FROM d
+      ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2676,5 +2796,6 @@ object Queries {
     q75GopherRepetition, q76StratSplit, q77Chunking, q78CentroidOutlier,
     q79IncrementalDedup, q80TfIdfTerms, q81Sessionize,
     q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel,
-    q86SourceOverlap, q87BpeTokenize)
+    q86SourceOverlap, q87BpeTokenize,
+    q88ParagraphDedup, q89SemDedup, q90Blocklist)
 }

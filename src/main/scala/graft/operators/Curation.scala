@@ -349,4 +349,37 @@ object Curation {
         size(col("c.chunk")).as("n_chunk_tokens"),
         array_join(col("c.chunk"), " ").as("chunk_text"))
   }
+
+  /** C4-style blocklist filter (Raffel et al. 2020 §2.2: "we removed
+    * any page that contained any word on the 'List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words'"): per doc, how many token
+    * occurrences hit the list, which distinct listed words appear
+    * (sorted), and the pass verdict (zero hits). Token-exact, not
+    * substring — "scrap" does not hit a listed "crap" (C4's actual
+    * behavior, and the difference matters: substring matching is the
+    * classic clbuttic-mistake failure mode).
+    *
+    * The list is a Scala Seq compiled into the plan as an array
+    * literal: for the realistic list size (C4's is ~400 words) every
+    * comparison happens IN the scan stage via a codegen'd
+    * `array_contains` — zero shuffle, zero join, the filter costs one
+    * pass over already-read tokens. A list too large for a literal
+    * (say, a multi-million-entry URL blocklist) is a different
+    * operator: broadcast-join the exploded tokens against the list
+    * table — same output contract, one narrow shuffle-free broadcast
+    * stage; [[graft.operators.Dedup.contaminationFlags]] already
+    * covers that shape.
+    */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val list = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toks = TextFns.tokens(col(textCol))
+    val hits = filter(toks, t => array_contains(list, t))
+    docs.select(col(idCol),
+      coalesce(size(hits).cast("long"), lit(0L)).as("n_blocked"),
+      coalesce(array_sort(array_distinct(hits)),
+        array().cast("array<string>")).as("blocked_terms"),
+      coalesce(size(hits) === 0, lit(true)).as("passes_blocklist"))
+  }
 }

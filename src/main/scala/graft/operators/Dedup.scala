@@ -670,4 +670,75 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
   }
+
+  /** Fixed-size token-block paragraphs: the segmentation convention of
+    * [[graft.operators.Curation.boilerplateSegments]], exposed so
+    * [[paragraphDedup]] can run on corpora without layout (the
+    * synthetic word-salad tables have no newlines). Real documents pass
+    * `split(col, "\n{2,}")` instead — the operator only needs SOME
+    * array of paragraph strings.
+    */
+  def tokenBlocks(text: Column, blockTokens: Int): Column = {
+    val toks = tokens(text)
+    when(text.isNotNull,
+      transform(sequence(lit(1), greatest(size(toks), lit(1)), lit(blockTokens)),
+        i => array_join(slice(toks, i, lit(blockTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Paragraph-level dedup, keep-FIRST occurrence — the Dolma pipeline's
+    * paragraph dedup step (Soldaini et al. 2024, arXiv:2402.00159 §2:
+    * duplicate paragraphs are marked via a Bloom filter and removed,
+    * first writer wins) made exact: a paragraph survives only in the
+    * globally first document/position that contains it (order = (doc id,
+    * paragraph position)); every later occurrence — in other docs or
+    * later in the same doc — is dropped. Sits between
+    * [[exact]] (whole-doc) and [[duplicateSpans]] (free-position grams):
+    * layout-aligned repeated units die, the rest of each doc survives.
+    *
+    * `paragraphsOf` maps the text column to `array<string>` of
+    * paragraphs ([[tokenBlocks]] or a newline split); `keyOf` is the
+    * 8-byte grouping key ([[md5Hash60]] for oracle portability,
+    * xxhash64 in production — paragraph TEXT never crosses a shuffle
+    * except inside the surviving doc rebuild).
+    *
+    * Plan shape: posexplode → map-side-combined `min(struct(doc, pos))`
+    * per key (the whole "first occurrence" decision — no window over
+    * the corpus, no global sort) → one join back on the 8-byte key →
+    * per-doc rebuild bounded by the doc's own paragraph count. At
+    * 100 TB the exact agg is one shuffle of 16-byte rows; the
+    * streaming/incremental regime swaps the agg for [[newKeysOnly]]'s
+    * Bloom probe (accepting its false-positive drop rate, as Dolma
+    * does).
+    *
+    * Returns one row per input doc: (id, n_paragraphs, n_dropped,
+    * clean_text = surviving paragraphs in original order).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     paragraphsOf: Column => Column,
+                     keyOf: Column => Column = xxhash64(_)): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("__id"), posexplode(paragraphsOf(col(textCol)))
+        .as(Seq("pos", "para")))
+      .withColumn("__pk", keyOf(col("para")))
+    val firsts = paras
+      .groupBy(col("__pk"))
+      .agg(min(struct(col("__id"), col("pos"))).as("__first"))
+    val perDoc = paras.join(firsts, Seq("__pk"))
+      .withColumn("__keep",
+        struct(col("__id"), col("pos")) === col("__first"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(not(col("__keep")), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("para"))))),
+          p => p.getField("para")), " ").as("clean_text"))
+    docs.select(col(idCol)).join(perDoc, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_paragraphs"), lit(0L)).as("n_paragraphs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("clean_text"))
+  }
 }

@@ -459,4 +459,86 @@ object Similarity {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
     }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into clusters, compare
+    * vectors only WITHIN a cluster, and inside every group of mutual
+    * near-duplicates keep the example LEAST similar to the cluster
+    * centroid — the paper's keep rule (the most atypical member carries
+    * the most marginal information; the ones nearest the centroid are
+    * redundant with the cluster itself).
+    *
+    * Clusters here are deterministic random-hyperplane buckets
+    * ([[lshSignature]] — the same planes the oracle reproduces), the
+    * scalable stand-in for the paper's k-means: at 100 TB you'd swap in
+    * [[ivfAssign]] against trained centroids and keep everything
+    * downstream unchanged (the keep rule only needs SOME cluster id).
+    *
+    * Keep rule, made exact and order-free: within a cluster, x is
+    * dropped iff ∃ y in the cluster with cos(x, y) ≥ `threshold` and
+    * (centroid_cos(y), y.id) < (centroid_cos(x), x.id). On a clique of
+    * mutual duplicates exactly the (centroid-cos, id)-minimal member
+    * survives; on a chain a≺b≺c with cos(a,b), cos(b,c) ≥ τ but
+    * cos(a,c) < τ, both b and c drop (the pairwise-exists form — each
+    * has a smaller near-duplicate, whether or not that one survives).
+    * Deterministic: the centroid is the same quantized exact mean as
+    * [[centroidOutliers]] (integer sums of floor(x·10⁶) — identical on
+    * every partition order), ties broken by id.
+    *
+    * Plan shape: one signature projection (snapshot — feeds the
+    * centroid agg, both pair sides, and the output), centroid = two
+    * map-side-combined hash aggregates down to (#clusters) rows joined
+    * back on sig, pairs = capped bucket self-join (never corpus²; the
+    * `maxBucket` guard is the same degenerate-bucket cap as
+    * [[cosineNearDup]]), dropped = one distinct on the loser id,
+    * verdict = one left join. Shuffles carry ids + 8-byte sigs.
+    *
+    * Returns one row per input vector: (id, cluster, cos_centroid
+    * rounded to 6, keep). LLM-pipeline surface — the reference engine's
+    * only dedup is hash-exact (`ConsumerRunnable.java:489-498`); this
+    * is the embedding-space analogue it has no counterpart for.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, dim: Int, planes: Int = 6,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold ($threshold) must be in (0, 1]")
+    val sigs = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshSignature(col(vecCol), dim, planes).as("cluster"))
+      .localCheckpoint(eager = false)
+    // quantized exact per-cluster centroid (partition-order-free):
+    // integer sums of floor(x·1e6), one division at the end
+    val cents = sigs
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(floor(col("x").cast("double") * 1000000.0).cast("long")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster"), transform(col("pc"), p => p.getField("c")).as("centroid"))
+    val scored = sigs.join(cents, Seq("cluster"))
+      .withColumn("ccos", cosine(col("v"), col("centroid")))
+      .select(col("cluster"), col("id"), col("v"), col("ccos"))
+      .localCheckpoint(eager = false)
+    // within-cluster candidate pairs, degenerate buckets capped — the
+    // loser of each pair (larger (ccos, id)) is dropped; distinct on
+    // the loser id is the whole "exists" quantifier
+    val capped = Dedup.capByKey(scored, scored, Seq("cluster"), maxBucket)
+    val a = capped.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("ccos").as("ca"))
+    val b = capped.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("ccos").as("cb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(when(struct(col("ca"), col("id_a")) > struct(col("cb"), col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("id"))
+      .distinct()
+      .withColumn("__drop", lit(true))
+    scored.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        round(col("ccos"), 6).as("cos_centroid"),
+        not(coalesce(col("__drop"), lit(false))).as("keep"))
+  }
 }

@@ -297,4 +297,23 @@ class CurationSpec extends SparkSpec {
     assert(rows(1L)._1 === 1 && rows(1L)._2 === true) // null cos sorts first
     assert(r.filter(col("vec_id") === 1L).select("cos").collect().head.isNullAt(0))
   }
+
+  test("blocklistFilter is token-exact and case-insensitive") {
+    val docs = Seq(
+      (1L, "Clean text only"),
+      (2L, "the Bad word bad again crap"),
+      (3L, "scrap and crap-free and badword survive"), // substrings ≠ tokens
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Curation.blocklistFilter(docs, "doc_id", "text", Seq("BAD", "crap"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[String], Boolean)].collect()
+    assert(r(0) === ((1L, 0L, Seq(), true)))
+    assert(r(1) === ((2L, 3L, Seq("bad", "crap"), false))) // 2×bad + 1×crap
+    assert(r(2) === ((3L, 0L, Seq(), true))) // the clbuttic-mistake guard
+    assert(r(3) === ((4L, 0L, Seq(), true)))
+    intercept[IllegalArgumentException] {
+      Curation.blocklistFilter(docs, "doc_id", "text", Nil)
+    }
+  }
 }

@@ -297,4 +297,50 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateSpans(docs, "doc_id", "text", 3, minCount = 1)
     }
   }
+
+  test("paragraphDedup keeps only the globally first occurrence (doc, pos)") {
+    val docs = Seq(
+      (1L, "aa bb\n\ncc dd"),
+      (2L, "cc dd\n\nee ff"),       // "cc dd" first seen in doc 1
+      (3L, "aa bb\n\naa bb"),       // both occurrences lose to doc 1
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs, "doc_id", "text",
+      paragraphsOf = split(_, "\n{2,}"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String])].collect()
+    assert(r(0) === ((1L, 2L, 0L, Some("aa bb cc dd"))))
+    assert(r(1) === ((2L, 2L, 1L, Some("ee ff"))))
+    assert(r(2) === ((3L, 2L, 2L, Some(""))))
+    assert(r(3) === ((4L, 0L, 0L, None)))
+  }
+
+  test("paragraphDedup within one doc: first position wins, order preserved") {
+    val docs = Seq((7L, "x y\n\nz\n\nx y\n\nw")).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs, "doc_id", "text",
+      paragraphsOf = split(_, "\n{2,}"))
+      .as[(Long, Long, Long, Option[String])].head()
+    assert(r === ((7L, 4L, 1L, Some("x y z w"))))
+  }
+
+  test("tokenBlocks matches the boilerplate segmentation convention") {
+    val r = Seq(("a b C d e")).toDF("text")
+      .select(Dedup.tokenBlocks(col("text"), 2).as("p"))
+      .as[Seq[String]].head()
+    assert(r === Seq("a b", "c d", "e"))
+    val nul = Seq((null.asInstanceOf[String])).toDF("text")
+      .select(Dedup.tokenBlocks(col("text"), 2).as("p"))
+      .as[Seq[String]].head()
+    assert(nul === Seq.empty)
+  }
+
+  test("paragraphDedup: md5 and xxhash64 keys agree") {
+    val docs = Seq(
+      (1L, "p q\n\nr s"), (2L, "r s\n\nt u")).toDF("doc_id", "text")
+    def run(k: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.paragraphDedup(docs, "doc_id", "text",
+        paragraphsOf = split(_, "\n{2,}"), keyOf = k)
+        .as[(Long, Long, Long, Option[String])].collect().toSet
+    assert(run(xxhash64(_)) === run(Dedup.md5Hash60))
+  }
 }

@@ -204,4 +204,58 @@ class SimilarityAndSkewSpec extends SparkSpec {
       .select("k", "v", "name").as[(String, Long, String)].collect().toSet
     assert(salted === plain)
   }
+
+  // dim-2 / 1-plane fixture: u points along plane 0's weight vector, so
+  // every positive combination of (u, u⊥) lands in the same bucket and
+  // the cluster geometry is hand-computable
+  private def semFixture(thetaDeg: Double): (Seq[Float], Seq[Float]) = {
+    val w0 = Similarity.planeWeight(0, 0); val w1 = Similarity.planeWeight(0, 1)
+    val n = math.sqrt(w0 * w0 + w1 * w1)
+    val u = Array(w0 / n, w1 / n)
+    val p = Array(-u(1), u(0))
+    val th = math.toRadians(thetaDeg)
+    val c = Array(u(0) * math.cos(th) + p(0) * math.sin(th),
+      u(1) * math.cos(th) + p(1) * math.sin(th))
+    (u.toSeq.map(_.toFloat), c.toSeq.map(_.toFloat))
+  }
+
+  test("semDedup keeps the least-centroid-similar member of a dup group") {
+    // four copies of u + one 25°-rotated c: centroid sits ~5° from u,
+    // every pair is a near-dup at τ=0.8 (cos 25° ≈ 0.906), and the
+    // SemDeDup keep rule must retain exactly c — the member farthest
+    // from the centroid — not the lowest id
+    val (u, c) = semFixture(25)
+    val df = ((1L to 4L).map(i => (i, u)) :+ ((5L, c)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.8, dim = 2, planes = 1)
+    assert(r.select("cluster").distinct().count() === 1)
+    val keep = r.filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(keep === Set(5L))
+  }
+
+  test("semDedup: clique of identical vectors keeps the minimal id; " +
+    "below-threshold and cross-bucket rows are untouched") {
+    val (u, c) = semFixture(60) // cos 60° = 0.5 < τ — same bucket, not a dup
+    val negU = u.map(x => -x)   // opposite bucket entirely
+    val df = ((1L to 3L).map(i => (i, u)) ++ Seq((4L, c), (5L, negU)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.8, dim = 2, planes = 1)
+    val keep = r.filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(keep === Set(1L, 4L, 5L)) // identical ccos ties break by id
+    assert(r.select("cluster").distinct().count() === 2)
+  }
+
+  test("semDedup maxBucket: over-cap clusters generate no pairs (all keep)") {
+    val (u, _) = semFixture(0)
+    val df = (1L to 5L).map(i => (i, u)).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(df, "vec_id", "embedding",
+      threshold = 0.8, dim = 2, planes = 1, maxBucket = 4)
+    assert(r.filter(col("keep")).count() === 5)
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = 0.0, dim = 2, planes = 1)
+    }
+  }
 }
