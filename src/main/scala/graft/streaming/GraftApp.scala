@@ -365,6 +365,11 @@ object GraftApp {
       // Gopher repetition gates — one explode + two hash aggregates
       Curation.repetitionSignals(docs, "doc_id", "text")
         .createOrReplaceTempView("v_doc_repetition")
+      // C4 badword verdicts — scan-stage, zero shuffle (list is a
+      // deployment-config placeholder; the real list is ~400 words)
+      Curation.blocklistFilter(docs, "doc_id", "text",
+        Seq("slow", "stale", "dup"))
+        .createOrReplaceTempView("v_doc_blocklist")
     }
     read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
     read("events").foreach { ev0 =>

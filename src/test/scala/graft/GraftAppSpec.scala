@@ -89,6 +89,8 @@ class GraftAppSpec extends SparkSpec {
       assert(nq > 0, "v_doc_quality empty")
       assert(spark.sql(
         "SELECT count(*) FROM v_doc_repetition WHERE passes_repetition").collect()(0).getLong(0) > 0)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_blocklist WHERE NOT passes_blocklist").collect()(0).getLong(0) > 0)
       assert(spark.sql("SELECT count(*) FROM v_sessions WHERE n_events > 0")
         .collect()(0).getLong(0) > 0)
       // raw tables are first-class too (join surface for operator calls)

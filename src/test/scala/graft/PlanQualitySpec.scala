@@ -334,4 +334,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"unsorted unigramScore plans a global sort:\n$plan")
   }
+
+  test("blocklist filter is a pure scan-stage projection — zero shuffle, codegen'd") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.blocklistFilter(docs, "doc_id", "text",
+      Seq("slow", "dup", "vector"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"blocklistFilter shuffles — it must stay scan-local:\n$plan")
+    // toString renders whole-stage codegen as "*(n)"; the lambda-bearing
+    // Project itself sits above it (higher-order functions don't
+    // codegen) but the scan stage must
+    assert(plan.contains("*("),
+      s"no codegen'd stage under blocklistFilter:\n$plan")
+  }
+
+  test("paragraph dedup shuffles paragraph KEYS, not paragraph text; no corpus window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text",
+      paragraphsOf = graft.operators.Dedup.tokenBlocks(_, 4))
+    val plan = r.queryExecution.executedPlan.toString
+    // first-occurrence decision is a hash aggregate on the 8-byte key —
+    // a window over the corpus would partition by pk and SORT globally
+    assert(!plan.contains("Window"),
+      s"paragraphDedup plans a window — first-occurrence must be an agg:\n$plan")
+    // the min(struct) agg must have a map-side partial
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"no map-side partial before the first-occurrence shuffle:\n$plan")
+  }
+
+  test("semDedup: centroid table broadcasts back; pair join is bucket-equi, not NLJ") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.3, dim = 64, planes = 6, maxBucket = 100)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semDedup pair generation went all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid/drop tables should broadcast (corpus-side never re-shuffles):\n$plan")
+  }
 }
