@@ -2750,6 +2750,79 @@ object Queries {
       FROM scored sc LEFT JOIN dropped d USING (vec_id)
       ORDER BY id"""))
 
+  val q91KeepBest = Q(
+    "q91_dd_pipeline_keep_best",
+    (s, dir) => {
+      // END-TO-END dedup pipeline: minhash-LSH candidate pairs (q29's
+      // exact config) → connected components (q62's operator) →
+      // keep-best resolution (longest text, tie by id). The gate proves
+      // the three stages COMPOSE correctly — each is individually
+      // oracle-gated, this checks the seams.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 6, threshold = 0.3,
+        baseHash = Dedup.md5Base, maxBandBucket = 50)
+      val clusters = Dedup.dupClusters(pairs.select(
+        col("id_a"), col("id_b")))
+      Dedup.dedupKeepBest(docs, "doc_id", clusters, length(col("text")))
+        .select(col("doc_id"), col("cluster_id"),
+          length(col("text")).cast("long").as("text_len"), col("is_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh0 AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))
+            AS sh
+        FROM documents),
+      shn AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS hh FROM ex),
+      params AS (SELECT unnest(range(0, 12)) AS s),
+      mh AS (
+        SELECT doc_id, s,
+          MIN(((1000003 * s + 12345) * hh + (999983 * s + 7)) % 2147483647) AS m
+        FROM h CROSS JOIN params GROUP BY doc_id, s),
+      bandsig AS (
+        SELECT doc_id, s // 2 AS band,
+          MIN(CASE WHEN s % 2 = 0 THEN m END) AS m0,
+          MIN(CASE WHEN s % 2 = 1 THEN m END) AS m1
+        FROM mh GROUP BY doc_id, band),
+      bok AS (SELECT band, m0, m1 FROM bandsig
+              GROUP BY band, m0, m1 HAVING COUNT(*) <= 50),
+      bandok AS (SELECT bandsig.* FROM bandsig JOIN bok USING (band, m0, m1)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandok a JOIN bandok b
+          ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         AND a.doc_id < b.doc_id),
+      p0 AS (
+        SELECT id_a, id_b
+        FROM cand JOIN shn a ON cand.id_a = a.doc_id
+                  JOIN shn b ON cand.id_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p0
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM p0),
+      reach AS (
+        SELECT src AS id, src AS comp FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      cl AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+      ranked AS (
+        SELECT d.doc_id, cl.cluster_id,
+          CAST(len(d.text) AS BIGINT) AS text_len,
+          row_number() OVER (
+            PARTITION BY coalesce(cl.cluster_id, d.doc_id)
+            ORDER BY len(d.text) DESC, d.doc_id ASC) AS rn
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.id)
+      SELECT doc_id, cluster_id, text_len, rn = 1 AS is_kept
+      FROM ranked ORDER BY doc_id"""))
+
   val q90Blocklist = Q(
     "q90_tx_blocklist",
     (s, dir) =>
@@ -2797,5 +2870,5 @@ object Queries {
     q79IncrementalDedup, q80TfIdfTerms, q81Sessionize,
     q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel,
     q86SourceOverlap, q87BpeTokenize,
-    q88ParagraphDedup, q89SemDedup, q90Blocklist)
+    q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest)
 }

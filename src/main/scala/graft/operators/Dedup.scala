@@ -370,6 +370,35 @@ object Dedup {
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
 
+  /** Cluster resolution, keep-BEST: [[dedupKeepList]] keeps the
+    * min-id representative; real pipelines keep the highest-QUALITY
+    * member (longest text, best LM score, most recent crawl — the
+    * "canonical document per duplicate cluster" policy of the
+    * RefinedWeb/CCNet-style pipelines). Every
+    * doc gets its verdict rather than being filtered, so the caller can
+    * audit what a drop decision was based on.
+    *
+    * `scoreOf` ranks within a cluster (descending; ties break by
+    * ascending id — deterministic). Docs in no cluster are their own
+    * group and always keep.
+    *
+    * Plan shape: one left join docs⋈clusters on id (clusters is the
+    * SMALL side — only docs that appeared in a candidate pair — and
+    * broadcasts), then a window partitioned by cluster id. The window's
+    * partitions are duplicate clusters, bounded by cluster size, never
+    * the corpus; the shuffle carries (id, group, score), not text.
+    */
+  def dedupKeepBest(docs: DataFrame, idCol: String, clusters: DataFrame,
+                    scoreOf: Column): DataFrame = {
+    val w = Window
+      .partitionBy(col("__grp"))
+      .orderBy(scoreOf.desc, col(idCol).asc)
+    docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .drop("__grp")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing ≥ `minOverlap`
     * distinct word n-grams with ANY benchmark doc (the train/test-leak
     * check every LLM corpus ships with — asymmetric, unlike

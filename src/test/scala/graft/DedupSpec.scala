@@ -334,6 +334,20 @@ class DedupSpec extends SparkSpec {
     assert(nul === Seq.empty)
   }
 
+  test("dedupKeepBest keeps the highest-scoring member per cluster, ties by id") {
+    val d = Seq(
+      (1L, "aaaa"), (2L, "aaaaaa"), (3L, "aaaa"),      // cluster 1: 2 wins (longest)
+      (4L, "bb"), (5L, "bb"),                          // cluster 4: tie → 4 wins
+      (6L, "solo"))                                    // no cluster: keeps
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val r = Dedup.dedupKeepBest(d, "doc_id", clusters, length(col("text")))
+      .select("doc_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(r === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> true))
+  }
+
   test("paragraphDedup: md5 and xxhash64 keys agree") {
     val docs = Seq(
       (1L, "p q\n\nr s"), (2L, "r s\n\nt u")).toDF("doc_id", "text")
