@@ -2846,6 +2846,208 @@ object Queries {
       FROM d
       ORDER BY doc_id"""))
 
+  val q92FuzzyDedup = Q(
+    "q92_dd_fuzzy_editdist",
+    (s, dir) =>
+      // MinHash-LSH candidates (q91's exact config) verified by
+      // normalized Levenshtein similarity — the character-level fuzzy
+      // dedup verifier; threshold 0.8 splits the fixture's 32 candidate
+      // pairs 25 dup / 7 non-dup, so both verdicts are exercised
+      Dedup.fuzzyDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 6, minEditSim = 0.8,
+        baseHash = Dedup.md5Base, maxBandBucket = 50)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH sh0 AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))
+            AS sh
+        FROM documents),
+      shn AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT % 2147483647 AS hh FROM ex),
+      params AS (SELECT unnest(range(0, 12)) AS s),
+      mh AS (
+        SELECT doc_id, s,
+          MIN(((1000003 * s + 12345) * hh + (999983 * s + 7)) % 2147483647) AS m
+        FROM h CROSS JOIN params GROUP BY doc_id, s),
+      bandsig AS (
+        SELECT doc_id, s // 2 AS band,
+          MIN(CASE WHEN s % 2 = 0 THEN m END) AS m0,
+          MIN(CASE WHEN s % 2 = 1 THEN m END) AS m1
+        FROM mh GROUP BY doc_id, band),
+      bok AS (SELECT band, m0, m1 FROM bandsig
+              GROUP BY band, m0, m1 HAVING COUNT(*) <= 50),
+      bandok AS (SELECT bandsig.* FROM bandsig JOIN bok USING (band, m0, m1)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandok a JOIN bandok b
+          ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+         AND a.doc_id < b.doc_id),
+      nt AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+      SELECT id_a, id_b,
+        CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+        1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+            / greatest(length(a.t), length(b.t), 1) AS edit_sim,
+        1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+            / greatest(length(a.t), length(b.t), 1) >= 0.8 AS is_dup
+      FROM cand JOIN nt a ON id_a = a.doc_id JOIN nt b ON id_b = b.doc_id
+      ORDER BY id_a, id_b"""))
+
+  val q93PerplexityBuckets = Q(
+    "q93_tx_perplexity_buckets",
+    (s, dir) => {
+      // CCNet head/middle/tail bucketing over the q83 unigram-LM score;
+      // exact tercile cutoffs (quantile_cont semantics on both engines)
+      // compared against the round(,6)-stabilized score
+      val docs = t(s, dir, "documents")
+      Curation.perplexityBuckets(docs,
+        Curation.fitUnigramLm(docs, "text"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tf AS (SELECT doc_id, term FROM t WHERE len(term) > 0),
+      c AS (SELECT term, COUNT(*) AS c FROM tf GROUP BY term),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+      lp AS (SELECT doc_id, ln(CAST(c.c AS DOUBLE) / tot.total) AS lp
+             FROM tf JOIN c USING (term) CROSS JOIN tot),
+      p AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              round(SUM(lp) / COUNT(*), 6) AS logprob_mean
+            FROM lp GROUP BY doc_id),
+      sc AS (SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+               p.logprob_mean
+             FROM documents d LEFT JOIN p USING (doc_id)),
+      cuts AS (SELECT quantile_cont(logprob_mean, 1.0/3) AS lo,
+                      quantile_cont(logprob_mean, 2.0/3) AS hi FROM sc)
+      SELECT doc_id, n_tokens, logprob_mean,
+        CASE WHEN logprob_mean IS NULL THEN 'tail'
+             WHEN logprob_mean <= lo THEN 'tail'
+             WHEN logprob_mean <= hi THEN 'middle'
+             ELSE 'head' END AS bucket
+      FROM sc CROSS JOIN cuts
+      ORDER BY doc_id"""))
+
+  val q94SourceQuality = Q(
+    "q94_s_source_quality",
+    (s, dir) => {
+      // RefinedWeb-style domain-level filtering: per-source rollup +
+      // keep/drop verdict. A shifted duplicate of every 7th doc is
+      // unioned in so dup_ratio is non-zero and BOTH verdict arms cut:
+      // sources fail on mean quality (< 0.48) or on dup share (> 0.12,
+      // between the 3-dup and 4-dup per-source ratios the union creates)
+      val docs = t(s, dir, "documents")
+      val redup = docs.unionByName(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(100000L)))
+      Curation.sourceQualityStats(redup, "text", "source", Stopwords,
+        minMeanQuality = 0.48, maxDupRatio = 0.12)
+        .orderBy("source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT source, text FROM documents WHERE doc_id % 7 = 0),
+      d AS (SELECT source, text,
+              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM base),
+      f AS (SELECT source,
+              CAST(floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+                + least((CAST(len(list_filter(toks,
+                    t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                    / len(toks)) * 5.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS qq,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+            FROM d),
+      g AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(qq) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mean_quality,
+              1.0 - CAST(COUNT(DISTINCT k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS dup_ratio
+            FROM f GROUP BY source)
+      SELECT source, n_docs, mean_quality, dup_ratio,
+        mean_quality >= 0.48 AND dup_ratio <= 0.12 AS keep_source
+      FROM g ORDER BY source"""))
+
+  val q95Kmeans = Q(
+    "q95_ann_kmeans",
+    (s, dir) =>
+      // distributed Lloyd k-means, oracle-grade: first-8-by-id init, two
+      // assign→quantized-mean rounds, final assignment; the oracle
+      // unrolls both iterations as CTEs (q78/q89 quantized-centroid and
+      // q41 raw-cosine-ranking precedents)
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_id"),
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      c0 AS (SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+      a1 AS (
+        SELECT v.vec_id, v.cv, c.cid,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * c.centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN c0 c),
+      s1 AS (SELECT vec_id, cv, cid AS cluster FROM (
+               SELECT vec_id, cv, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn
+               FROM a1) WHERE rn = 1),
+      m1 AS (SELECT cluster AS cid, i AS pos,
+               CAST(SUM(CAST(floor(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+                 AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+             FROM s1, LATERAL unnest(range(1, len(cv) + 1)) t(i)
+             GROUP BY cluster, i),
+      mv1 AS (SELECT cid, list(m ORDER BY pos) AS mean FROM m1 GROUP BY cid),
+      c1 AS (SELECT c0.cid, coalesce(mv1.mean, c0.centroid) AS centroid
+             FROM c0 LEFT JOIN mv1 USING (cid)),
+      a2 AS (
+        SELECT v.vec_id, v.cv, c.cid,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * c.centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN c1 c),
+      s2 AS (SELECT vec_id, cv, cid AS cluster FROM (
+               SELECT vec_id, cv, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn
+               FROM a2) WHERE rn = 1),
+      m2 AS (SELECT cluster AS cid, i AS pos,
+               CAST(SUM(CAST(floor(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+                 AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+             FROM s2, LATERAL unnest(range(1, len(cv) + 1)) t(i)
+             GROUP BY cluster, i),
+      mv2 AS (SELECT cid, list(m ORDER BY pos) AS mean FROM m2 GROUP BY cid),
+      c2 AS (SELECT c1.cid, coalesce(mv2.mean, c1.centroid) AS centroid
+             FROM c1 LEFT JOIN mv2 USING (cid)),
+      af AS (
+        SELECT v.vec_id, c.cid,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * c.centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN c2 c),
+      fin AS (SELECT vec_id, cid, ccos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn,
+                MAX(ccos) OVER (PARTITION BY vec_id) AS mx
+              FROM af)
+      SELECT vec_id, cid AS cluster, round(mx, 6) AS cos
+      FROM fin WHERE rn = 1
+      ORDER BY vec_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -2870,5 +3072,6 @@ object Queries {
     q79IncrementalDedup, q80TfIdfTerms, q81Sessionize,
     q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel,
     q86SourceOverlap, q87BpeTokenize,
-    q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest)
+    q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
+    q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans)
 }

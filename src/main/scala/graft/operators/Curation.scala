@@ -310,6 +310,76 @@ object Curation {
         col("logprob_mean"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet §3.3):
+    * split the corpus into head / middle / tail by LM score — CCNet
+    * buckets by KenLM perplexity per language and trains on head(+middle);
+    * this is the same policy over [[unigramScore]]'s order-0 LM proxy
+    * (higher mean log-prob = more in-distribution = head).
+    *
+    * The two cutoffs are EXACT percentiles of the score distribution
+    * (`lowFrac`/`highFrac`, default terciles), computed as one aggregate
+    * and broadcast back — deliberately NOT a global rank window: ntile
+    * over the whole corpus would funnel 100 TB through one task, while
+    * a threshold comparison stays in the scan stage. CCNet itself
+    * computes cutoffs once (on a sample) and applies them as filters —
+    * the same two-phase shape. At production scale swap the exact
+    * percentile for `approx_percentile`; the exact form is the
+    * oracle-gated configuration. Docs with no scorable tokens (null
+    * score) bucket to 'tail' (CCNet drops them; keeping them auditable
+    * with the worst label is the conservative verdict-per-doc policy).
+    */
+  def perplexityBuckets(docs: DataFrame, lm: DataFrame, idCol: String,
+                        textCol: String, lowFrac: Double = 1.0 / 3,
+                        highFrac: Double = 2.0 / 3): DataFrame = {
+    require(lowFrac > 0 && highFrac < 1 && lowFrac <= highFrac,
+      s"need 0 < lowFrac ($lowFrac) <= highFrac ($highFrac) < 1")
+    val scored = unigramScore(docs, lm, idCol, textCol)
+    val cuts = scored.agg(
+      percentile(col("logprob_mean"), lit(lowFrac)).as("__lo"),
+      percentile(col("logprob_mean"), lit(highFrac)).as("__hi"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("logprob_mean").isNull, lit("tail"))
+          .when(col("logprob_mean") <= col("__lo"), lit("tail"))
+          .when(col("logprob_mean") <= col("__hi"), lit("middle"))
+          .otherwise(lit("head")))
+      .select(col(idCol), col("n_tokens"), col("logprob_mean"), col("bucket"))
+  }
+
+  /** Source-level quality rollup + keep/drop verdict — the RefinedWeb /
+    * Dolma "filter at the domain level" step (Penedo et al. 2023 §3.1
+    * filter whole URLs/domains, not single pages): aggregate per-source
+    * document count, mean heuristic quality, and exact-duplicate ratio,
+    * then verdict each SOURCE against thresholds. One row per source —
+    * the caller semi-joins docs against kept sources (broadcast: the
+    * source table is domain-cardinality, tiny next to the corpus).
+    *
+    * Mean quality uses QUANTIZED exact arithmetic (`floor(q·10⁶)`
+    * summed as longs, one division at the end) so the mean is identical
+    * regardless of partition order — the same determinism contract as
+    * centroidOutliers. dup_ratio = 1 − distinct(normalized-text)/count:
+    * integer arithmetic, one division. Plan shape: ONE map-side-combined
+    * hash aggregate over the corpus (count + quantized sum +
+    * count-distinct-hash per source); no window, no join.
+    */
+  def sourceQualityStats(docs: DataFrame, textCol: String,
+                         srcCol: String, stopwords: Seq[String],
+                         minMeanQuality: Double, maxDupRatio: Double): DataFrame =
+    docs
+      .select(col(srcCol).as("source"),
+        floor(TextFns.qualityScore(col(textCol), stopwords) * 1000000.0)
+          .cast("long").as("__q"),
+        md5(TextFns.normalizeText(col(textCol))).as("__k"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("__q")).cast("double") / (lit(1000000.0) * count(lit(1))))
+          .as("mean_quality"),
+        (lit(1.0) - countDistinct(col("__k")).cast("double") /
+          count(lit(1)).cast("double")).as("dup_ratio"))
+      .withColumn("keep_source",
+        col("mean_quality") >= minMeanQuality && col("dup_ratio") <= maxDupRatio)
+
   /** Fixed-size token chunking with overlap — the context-window
     * chunker for RAG indexing / training-sequence preparation. Emits one
     * row per chunk: start token offset (1-based), chunk token count, and

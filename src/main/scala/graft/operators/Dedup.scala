@@ -465,6 +465,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Fuzzy dedup, edit-distance verified: MinHash-LSH candidate pairs
+    * scored by NORMALIZED Levenshtein similarity
+    * `1 − dist/max(len_a, len_b)` over whitespace-normalized text — the
+    * character-level verifier pipelines reach for when shingle Jaccard
+    * is too coarse (near-identical docs differing by small in-place
+    * edits: dates, names, numbers). Every candidate pair is emitted
+    * with its distance, similarity, and an `is_dup` verdict (≥
+    * `minEditSim`) rather than pre-filtered, so the caller audits what
+    * the verifier rejected.
+    *
+    * Plan shape: candidate generation is [[minHashCandidates]] (banded
+    * equi-join, `maxBandBucket`-capped — linear, skew-safe); the text
+    * joins back ONLY for candidate pairs (two hash joins on id), so the
+    * O(len²) Levenshtein kernel runs once per candidate, never per
+    * cross-pair, and the pair count is bounded by the band-bucket cap.
+    * At 100 TB the cap is what stands between one viral template and
+    * b²/2 quadratic edit-distance calls. Both engines compute integer
+    * edit distance, so the one double division is bit-identical.
+    */
+  def fuzzyDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6,
+                      minEditSim: Double = 0.8,
+                      baseHash: Column => Column = xxBase,
+                      maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    val exploded = snapshot(explodedShingles(df, idCol, textCol, shingleN))
+    val cand = minHashCandidates(exploded, numHashes, bands, baseHash, maxBandBucket)
+    // normalize once per doc (matches the shingle normalization), join
+    // the normalized text back per candidate side
+    val norm = df.select(col(idCol).as("id"),
+      lower(trim(col(textCol))).as("__nt"))
+    cand
+      .join(norm.select(col("id").as("id_a"), col("__nt").as("__ta")), Seq("id_a"))
+      .join(norm.select(col("id").as("id_b"), col("__nt").as("__tb")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double"))
+      .withColumn("is_dup", col("edit_sim") >= minEditSim)
+      .select("id_a", "id_b", "edit_dist", "edit_sim", "is_dup")
+  }
+
   /** Candidate pairs sharing ≥1 shingle with doc-frequency ≤
     * `maxShingleDf` — the blocked candidate stage of [[ngramJaccard]],
     * exposed for scale probing. A shingle with doc frequency f

@@ -209,6 +209,57 @@ object Similarity {
     cents
   }
 
+  /** Distributed Lloyd k-means with ORACLE-GRADE determinism — the
+    * trainable face of [[ivfRefineCentroids]]: first-k-by-id init,
+    * `iters` rounds of assign → QUANTIZED exact centroid update
+    * (each component is `floor(x·10⁶)` summed as longs, divided once —
+    * partition-order-free, the centroidOutliers contract), then a final
+    * assignment pass under the converged centroids. Returns one row per
+    * vector: (id, cluster, cos) where cos is the cosine to its centroid.
+    * A cluster that empties keeps its previous centroid (standard Lloyd
+    * degenerate-case handling; deterministic because everything before
+    * it is).
+    *
+    * Plan shape per iteration: one broadcast N·k assignment pass (no
+    * corpus shuffle) + one posexplode → map-side-combined hash aggregate
+    * down to k·dim rows. Centroids are collected and rebuilt driver-local
+    * each round ([[materializeSmall]]) so the lineage stays LINEAR in
+    * iters — the lazy chain would re-run every prior assignment twice
+    * per round. Cost is iters × (N·k) dot products — the canonical
+    * distributed k-means cost; k and dim bound driver state (k·dim
+    * doubles), never N.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"k ($k) must be positive, iters ($iters) >= 0")
+    var cents = materializeSmall(
+      ivfCentroids(corpus, idCol, vecCol, k)
+        .select(col("cid"),
+          transform(col("centroid"), x => x.cast("double")).as("centroid")))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      val means = assigned
+        .select(col("cluster").as("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(floor(col("x").cast("double") * 1000000.0).cast("long")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("__mean"))
+      cents = materializeSmall(
+        cents.join(means, Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("__mean"), col("centroid")).as("centroid")))
+    }
+    corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("__cos"), -col("cid"))).as("cluster"),
+        max(col("__cos")).as("cos"))
+  }
+
   /** Assign every corpus row to its nearest centroid (one broadcast
     * cross-product pass; N·k dot products, no shuffle of the corpus).
     */

@@ -316,4 +316,67 @@ class CurationSpec extends SparkSpec {
       Curation.blocklistFilter(docs, "doc_id", "text", Nil)
     }
   }
+
+  // ---- perplexityBuckets -------------------------------------------------
+
+  test("perplexityBuckets: tercile cutoffs order docs head/middle/tail") {
+    // 3 docs with strictly ordered LM scores: "a" dominates the corpus
+    // (highest per-token log-prob), "z q" is all-rare; with tercile
+    // cutoffs interpolated between the three scores, each doc is its
+    // own bucket
+    val docs = Seq(
+      (1L, "a a a a a a a a"),
+      (2L, "a a b b"),
+      (3L, "z q")).toDF("doc_id", "text")
+    val lm = Curation.fitUnigramLm(docs, "text")
+    val r = Curation.perplexityBuckets(docs, lm, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
+  }
+
+  test("perplexityBuckets: null/empty text buckets to tail; fracs validated") {
+    val docs = Seq((1L, "a a a"), (2L, "a b"), (3L, null: String), (4L, ""))
+      .toDF("doc_id", "text")
+    val lm = Curation.fitUnigramLm(docs, "text")
+    val r = Curation.perplexityBuckets(docs, lm, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(r(3L) === "tail" && r(4L) === "tail")
+    intercept[IllegalArgumentException] {
+      Curation.perplexityBuckets(docs, lm, "doc_id", "text",
+        lowFrac = 0.7, highFrac = 0.3)
+    }
+  }
+
+  // ---- sourceQualityStats ------------------------------------------------
+
+  test("sourceQualityStats: both verdict arms cut; dup_ratio is exact") {
+    val good = "the quick brown fox jumps over a lazy dog and runs to the hills"
+    val docs = Seq(
+      (1L, "clean", good), (2L, "clean", good + " again today"),
+      (3L, "dupey", good), (4L, "dupey", "the  QUICK brown fox jumps over a lazy dog and runs to the hills"),
+      (5L, "junk", "x x x x"), (6L, "junk", "y y"))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.sourceQualityStats(docs, "text", "source",
+      Seq("the", "a", "of", "and", "to", "in", "is"),
+      minMeanQuality = 0.3, maxDupRatio = 0.25)
+      .select("source", "n_docs", "dup_ratio", "keep_source")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r("clean") === (("clean", 2L, 0.0, true)))
+    // docs 3/4 normalize to the same text -> 1 distinct of 2
+    assert(r("dupey")._3 === 0.5 && !r("dupey")._4)
+    assert(r("junk")._3 === 0.0 && !r("junk")._4) // fails on quality, not dups
+  }
+
+  test("sourceQualityStats: quantized mean is partition-order free") {
+    val docs = (1L to 97L)
+      .map(i => (i, s"s${i % 3}", s"doc $i has words like alpha beta gamma delta number$i"))
+      .toDF("doc_id", "source", "text")
+    val sw = Seq("the", "a", "of", "and", "to", "in", "is")
+    val one = Curation.sourceQualityStats(docs.coalesce(1), "text", "source", sw, 0.5, 0.5)
+      .orderBy("source").collect().toSeq
+    val many = Curation.sourceQualityStats(docs.repartition(13), "text", "source", sw, 0.5, 0.5)
+      .orderBy("source").collect().toSeq
+    assert(one === many)
+  }
 }

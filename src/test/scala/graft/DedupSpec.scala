@@ -348,6 +348,42 @@ class DedupSpec extends SparkSpec {
       4L -> true, 5L -> false, 6L -> true))
   }
 
+  test("fuzzyDedupPairs: edit-distance verdict over LSH candidates") {
+    // docs 1/2 differ by one in-place token edit (the fuzzy-dup shape
+    // Jaccard underrates); doc 3 shares shingles but diverges heavily;
+    // doc 4 is unrelated (never a candidate)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma completely different tail of words"),
+      (4L, "unrelated content with no shared phrases at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.fuzzyDedupPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 6, minEditSim = 0.8)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    val p12 = r((1L, 2L))
+    assert(p12._3 === 3L) // "theta" -> "iota": 3 char edits
+    assert(p12._4 === 1.0 - 3.0 / 45 && p12._5)
+    r.get((1L, 3L)).foreach(p => assert(!p._5)) // candidate maybe; never a dup
+    assert(!r.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // verdicts don't pre-filter: sub-threshold candidates stay visible
+    assert(r.values.forall(p => p._4 > 0.8 == p._5))
+  }
+
+  test("fuzzyDedupPairs: verification count bounded by candidates, cap respected") {
+    val docs = (1L to 30L).map(i => (i, "same viral template text here"))
+      .toDF("doc_id", "text")
+    // cap 10 < 30 identical docs: every band bucket overflows -> no pairs
+    assert(Dedup.fuzzyDedupPairs(docs, "doc_id", "text",
+      maxBandBucket = 10).count() === 0L)
+    // uncapped: all pairs candidates, all exact dups (edit_dist 0)
+    val full = Dedup.fuzzyDedupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(full.length === 30 * 29 / 2)
+    assert(full.forall(p => p._3 == 0L && p._4 == 1.0 && p._5))
+  }
+
   test("paragraphDedup: md5 and xxhash64 keys agree") {
     val docs = Seq(
       (1L, "p q\n\nr s"), (2L, "r s\n\nt u")).toDF("doc_id", "text")

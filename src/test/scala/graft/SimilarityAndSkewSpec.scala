@@ -258,4 +258,42 @@ class SimilarityAndSkewSpec extends SparkSpec {
         threshold = 0.0, dim = 2, planes = 1)
     }
   }
+
+  // ---- kmeansAssign ------------------------------------------------------
+
+  test("kmeansAssign recovers two separated clusters; partition-order free") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.95f, 0.05f)), (4L, Seq(0.05f, 0.95f)),
+      (5L, Seq(0.9f, 0.1f)), (6L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    // init = first-2-by-id: cid 1 ~ x-axis, cid 2 ~ y-axis
+    assert(Seq(1L, 3L, 5L).forall(i => r(i)._2 == 1L))
+    assert(Seq(2L, 4L, 6L).forall(i => r(i)._2 == 2L))
+    assert(r.values.forall(_._3 > 0.9))
+    // quantized centroid update -> identical result at any partitioning
+    val rp = Similarity.kmeansAssign(df.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 2).as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r === rp)
+  }
+
+  test("kmeansAssign: emptied cluster keeps its centroid; ties break to low cid") {
+    // all vectors identical -> both init centroids coincide, every
+    // cosine ties, min-cid wins every round, cluster 2 stays empty and
+    // must retain its centroid (no null propagation) through both
+    // iterations; every assignment is (cluster 1, cos 1.0) exactly
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length === 3)
+    assert(r.forall(t => t._2 == 1L && t._3 == 1.0))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(df, "vec_id", "embedding", k = 0, iters = 1)
+    }
+  }
 }
