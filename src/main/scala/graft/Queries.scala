@@ -3048,6 +3048,38 @@ object Queries {
       FROM fin WHERE rn = 1
       ORDER BY vec_id"""))
 
+  val q96SparseCosine = Q(
+    "q96_ann_sparse_cosine",
+    (s, dir) =>
+      // sparse lexical cosine over the DF-capped term space; the word-
+      // salad corpus has a ~31-term vocabulary, so cap 400 keeps the
+      // whole mid-frequency band (shared-salad pairs spread 0.03–0.999)
+      // and 0.9 splits 47 similar / 124k dissimilar — both verdicts cut
+      Similarity.sparseCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxTermDf = 400, minCosine = 0.9)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH t AS (SELECT doc_id AS id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tf AS (SELECT id, term, COUNT(*) AS tf FROM t
+             WHERE len(term) > 0 GROUP BY id, term),
+      keep AS (SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 400),
+      k AS (SELECT tf.* FROM tf JOIN keep USING (term)),
+      norms AS (SELECT id, SUM(tf * tf) AS n2 FROM k GROUP BY id),
+      dots AS (SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+               FROM k a JOIN k b ON a.term = b.term AND a.id < b.id
+               GROUP BY 1, 2)
+      SELECT id_a, id_b, dot,
+        CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos,
+        CAST(dot AS DOUBLE)
+          / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+          AS is_sim
+      FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
+      ORDER BY id_a, id_b"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3073,5 +3105,6 @@ object Queries {
     q82Boilerplate, q83UnigramLp, q84DuplicateSpans, q85QualityModel,
     q86SourceOverlap, q87BpeTokenize,
     q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
-    q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans)
+    q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
+    q96SparseCosine)
 }

@@ -592,4 +592,65 @@ object Similarity {
         round(col("ccos"), 6).as("cos_centroid"),
         not(coalesce(col("__drop"), lit(false))).as("keep"))
   }
+
+  /** Sparse lexical cosine similarity — the term-vector complement to
+    * the dense ANN family: pair similarity = cosine of exact
+    * term-frequency vectors over a DF-CAPPED vocabulary (terms with
+    * document frequency > `maxTermDf` are dropped from the feature
+    * space — the stop-term removal every sparse retrieval system does,
+    * which is also what carries the idf flavor here). Candidates are
+    * doc pairs sharing ≥ 1 surviving term; each is emitted with its
+    * dot, cosine, and `is_sim` verdict (≥ `minCosine`) — the audit
+    * shape of fuzzyDedupPairs.
+    *
+    * Exactness: tf and the pair dot product are INTEGER sums
+    * (partition-order free); norms are `sqrt(Σtf²)` of integer sums;
+    * cosine is one division of exactly-rounded doubles — bit-identical
+    * on any engine. (A float tf·idf weighting would make the dot a
+    * partition-order-dependent double sum; production ranking can use
+    * it, the oracle-gated configuration cannot.)
+    *
+    * Plan shape: explode → tf hash aggregate (map-side combined,
+    * snapshotted — feeds df, norms, and both join sides) → df filter →
+    * term equi-join → per-pair hash aggregate → two norm joins. The
+    * term join's fan-out is Σ_term df² ≤ maxTermDf · Σ_term df — the
+    * same cap algebra as ngramJaccard's `maxShingleDf` (measured
+    * N²→linear there); at 100 TB the cap is the difference between a
+    * skew-safe equi-join and "the" joining every doc to every doc.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxTermDf: Int, minCosine: Double): DataFrame = {
+    require(maxTermDf > 0, s"maxTermDf ($maxTermDf) must be positive — " +
+      "0 empties the vocabulary; no cap degenerates to all-pairs on stop terms")
+    require(minCosine > 0 && minCosine <= 1,
+      s"minCosine ($minCosine) must be in (0, 1]")
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val kept = tf.join(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxTermDf)
+        .select("term"),
+      Seq("term"))
+      .localCheckpoint(eager = false)
+    val norms = kept.groupBy(col("id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.select(col("term"), col("id").as("id_a"), col("tf").as("tfa"))
+      .join(kept.select(col("term"), col("id").as("id_b"), col("tf").as("tfb")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2b")), Seq("id_b"))
+      .withColumn("cos",
+        col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+      .withColumn("is_sim", col("cos") >= minCosine)
+      .select("id_a", "id_b", "dot", "cos", "is_sim")
+  }
 }

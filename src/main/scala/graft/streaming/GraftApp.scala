@@ -370,6 +370,15 @@ object GraftApp {
       Curation.blocklistFilter(docs, "doc_id", "text",
         Seq("slow", "stale", "dup"))
         .createOrReplaceTempView("v_doc_blocklist")
+      // RefinedWeb domain-level verdicts — one hash aggregate per query
+      Curation.sourceQualityStats(docs, "text", "source", stop,
+        minMeanQuality = 0.4, maxDupRatio = 0.1)
+        .createOrReplaceTempView("v_source_quality")
+      // CCNet head/middle/tail LM buckets — lazy: the LM fit + cutoff
+      // aggregate run when the view is queried, not at registration
+      Curation.perplexityBuckets(docs,
+        Curation.fitUnigramLm(docs, "text"), "doc_id", "text")
+        .createOrReplaceTempView("v_doc_lm_buckets")
     }
     read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
     read("events").foreach { ev0 =>

@@ -91,6 +91,12 @@ class GraftAppSpec extends SparkSpec {
         "SELECT count(*) FROM v_doc_repetition WHERE passes_repetition").collect()(0).getLong(0) > 0)
       assert(spark.sql(
         "SELECT count(*) FROM v_doc_blocklist WHERE NOT passes_blocklist").collect()(0).getLong(0) > 0)
+      assert(spark.sql("SELECT count(*) FROM v_source_quality").collect()(0).getLong(0) > 0)
+      // every doc lands in exactly one LM bucket
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_lm_buckets WHERE bucket IN ('head','middle','tail')")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
       assert(spark.sql("SELECT count(*) FROM v_sessions WHERE n_events > 0")
         .collect()(0).getLong(0) > 0)
       // raw tables are first-class too (join surface for operator calls)

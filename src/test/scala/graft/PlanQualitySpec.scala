@@ -374,4 +374,70 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"centroid/drop tables should broadcast (corpus-side never re-shuffles):\n$plan")
   }
+
+  test("fuzzy dedup: Levenshtein runs per CANDIDATE (equi-joins), never all-pairs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Dedup.fuzzyDedupPairs(docs, "doc_id", "text",
+      maxBandBucket = 50)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzyDedupPairs plans an all-pairs join — the O(len²) kernel must be " +
+        s"candidate-bounded:\n$plan")
+    assert(!plan.contains("Window"),
+      s"unexpected window in fuzzyDedupPairs (cap + dedup are aggregates):\n$plan")
+  }
+
+  test("perplexity buckets: cutoffs ride a broadcast, no global rank sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = graft.operators.Curation.fitUnigramLm(docs, "text")
+    val r = graft.operators.Curation.perplexityBuckets(docs, lm, "doc_id", "text")
+    val plan = r.queryExecution.executedPlan.toString
+    // the ntile alternative would plan rangepartitioning + a corpus-wide
+    // Window; the threshold design must show neither
+    assert(!plan.contains("rangepartitioning") && !plan.contains("Window"),
+      s"perplexityBuckets plans a global rank — cutoffs must be thresholds:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 1-row cutoff frame isn't broadcast:\n$plan")
+  }
+
+  test("source quality rollup is one aggregate pipeline — no join, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.sourceQualityStats(docs, "text", "source",
+      Seq("the", "a"), 0.4, 0.1)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"sourceQualityStats must be a pure aggregate over the corpus scan:\n$plan")
+    // text/token payloads die in the scan stage; shuffles carry only
+    // (source, quantized quality, 32-byte hash)
+    plan.split("\n").filter(_.contains("Exchange")).foreach(e =>
+      assert(!e.contains("text#"),
+        s"document text in a sourceQualityStats shuffle:\n$e"))
+  }
+
+  test("sparse cosine: term equi-join only, pair dot is one hash aggregate") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      maxTermDf = 400, minCosine = 0.9)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"sparseCosinePairs plans an all-pairs join — pairs must come from the " +
+        s"capped term equi-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"unexpected window in sparseCosinePairs (dot/norms are aggregates):\n$plan")
+    // shuffles carry (id, term, tf) triples and pair keys — never text
+    plan.split("\n").filter(_.contains("Exchange")).foreach(e =>
+      assert(!e.contains("text#"),
+        s"document text in a sparseCosinePairs shuffle:\n$e"))
+  }
+
+  test("kmeans final assignment broadcasts centroids; corpus never shuffles pre-agg") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid table must broadcast into the N·k assignment pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("rangepartitioning"),
+      s"kmeansAssign shuffles the corpus outside the per-id aggregate:\n$plan")
+  }
 }

@@ -280,6 +280,45 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(r === rp)
   }
 
+  test("sparseCosinePairs: hand-computed cosines; DF cap prunes stop terms") {
+    val docs = Seq(
+      (1L, "apple banana apple"),   // tf: apple 2, banana 1
+      (2L, "apple banana banana"),  // tf: apple 1, banana 2
+      (3L, "apple cherry"),
+      (4L, "the the the"))          // "the" appears in no other doc
+      .toDF("doc_id", "text")
+    val r = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      maxTermDf = 3, minCosine = 0.9)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    // docs 1/2: dot = 2*1 + 1*2 = 4, norms = sqrt(5) each -> cos ~ 0.8
+    // (assert the literal IEEE expression: sqrt(5)² is not exactly 5)
+    assert(r((1L, 2L))._3 === 4L)
+    assert(r((1L, 2L))._4 === 4.0 / (math.sqrt(5) * math.sqrt(5)) && !r((1L, 2L))._5)
+    // docs 1/3: share apple only: dot 2, norms sqrt(5), sqrt(2)
+    assert(r((1L, 3L))._4 === 2.0 / (math.sqrt(5) * math.sqrt(2)))
+    // doc 4's only term survives (df 1 <= 3) but it shares no term
+    assert(!r.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // cap 1: only cherry (df 1) and "the" survive; no doc PAIR shares a term
+    assert(Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      maxTermDf = 1, minCosine = 0.9).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.sparseCosinePairs(docs, "doc_id", "text", 0, 0.9)
+    }
+  }
+
+  test("sparseCosinePairs: identical docs hit cos 1.0 exactly (integer dot)") {
+    // tf vector (2,2,1): n2 = 9, sqrt exact -> cos = 9/(3·3) = 1.0 exact
+    val docs = Seq(
+      (1L, "x x y y z"), (2L, "x x y y z"), (3L, "completely different words"))
+      .toDF("doc_id", "text")
+    val r = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+      maxTermDf = 10, minCosine = 0.99)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r((1L, 2L))._4 === 1.0 && r((1L, 2L))._5)
+  }
+
   test("kmeansAssign: emptied cluster keeps its centroid; ties break to low cid") {
     // all vectors identical -> both init centroids coincide, every
     // cosine ties, min-cid wins every round, cluster 2 stays empty and
