@@ -3080,6 +3080,58 @@ object Queries {
       FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
       ORDER BY id_a, id_b"""))
 
+  val q97Bm25 = Q(
+    "q97_ret_bm25_topk",
+    (s, dir) => {
+      // BM25 ranked retrieval: first 20 docs as the query set against
+      // the full corpus; quantized-long scores make the ranking (and
+      // the emitted score) integer-exact on both engines
+      val docs = t(s, dir, "documents")
+      operators.Retrieval.bm25TopK(docs.filter(col("doc_id") < 20), docs,
+        "doc_id", "text", k = 5, maxTermDf = 500)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id AS d,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tfx AS (SELECT d, term, COUNT(*) AS tf FROM t
+              WHERE len(term) > 0 GROUP BY d, term),
+      dlx AS (SELECT d, CAST(SUM(tf) AS BIGINT) AS dl FROM tfx GROUP BY d),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      ax AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM dlx),
+      dfx AS (SELECT term, COUNT(*) AS df FROM tfx
+              GROUP BY term HAVING COUNT(*) <= 500),
+      qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+               SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents WHERE doc_id < 20)
+             WHERE len(term) > 0),
+      m AS (SELECT qt.query_id, tfx.d, tfx.tf, dfx.df, dlx.dl
+            FROM tfx JOIN qt USING (term) JOIN dfx USING (term)
+                 JOIN dlx ON dlx.d = tfx.d
+            WHERE qt.query_id <> tfx.d),
+      sc AS (SELECT query_id, d,
+               CAST(SUM(CAST(floor(1000000.0 * (
+                 ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+                 * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                   / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                      * (1.0 - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / ax.avgdl)))
+                 )) AS BIGINT)) AS BIGINT) AS score_q
+             FROM m CROSS JOIN nn CROSS JOIN ax
+             GROUP BY query_id, d)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY score_q DESC, d ASC) AS INTEGER) AS rank,
+        d AS doc_id,
+        CAST(score_q AS DOUBLE) / 1000000.0 AS score
+      FROM sc
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3106,5 +3158,5 @@ object Queries {
     q86SourceOverlap, q87BpeTokenize,
     q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
-    q96SparseCosine)
+    q96SparseCosine, q97Bm25)
 }
