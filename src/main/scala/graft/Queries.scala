@@ -194,16 +194,25 @@ object Queries {
       -- lpmByExpansionAgg and the q52/q73 oracle): probe BETWEEN
       -- pstart AND pend <=> truncate(probe, len) = pstart for aligned
       -- prefixes, so probes expand over the <=13 distinct lengths and
-      -- hash-join — DuckDB's range-join form spilled >64 GB at 10x data
-      lens AS (SELECT DISTINCT len FROM pfx),
+      -- hash-join — DuckDB's range-join form spilled >64 GB at 10x data.
+      -- pfxr pre-reduces the prefix side to ONE row per (len, pstart):
+      -- within a bucket only min(p_partkey) can win the final ranking
+      -- (len DESC, pstart DESC, p_partkey ASC), and without the
+      -- reduction a short-len bucket holds thousands of equivalent
+      -- prefixes — at 10x that made the join fan out ~10^11 rows and
+      -- spill DuckDB past 78 GB
+      pfxr AS (
+        SELECT len, pstart, MIN(p_partkey) AS p_partkey
+        FROM pfx GROUP BY len, pstart),
+      lens AS (SELECT DISTINCT len FROM pfxr),
       cand AS (
         SELECT event_id, probe, l.len,
                probe - probe % (1::BIGINT << (20 - l.len)) AS t
         FROM probes CROSS JOIN lens l)
-      SELECT event_id, probe, pfx.len AS len, p_partkey, pstart
-      FROM cand JOIN pfx ON cand.len = pfx.len AND cand.t = pfx.pstart
+      SELECT event_id, probe, pfxr.len AS len, p_partkey, pstart
+      FROM cand JOIN pfxr ON cand.len = pfxr.len AND cand.t = pfxr.pstart
       QUALIFY row_number() OVER (PARTITION BY event_id
-        ORDER BY pfx.len DESC, pstart DESC, p_partkey ASC) = 1
+        ORDER BY pfxr.len DESC, pstart DESC, p_partkey ASC) = 1
       ORDER BY event_id"""))
 
   val q06Covering = Q(
