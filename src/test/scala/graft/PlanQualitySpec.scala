@@ -430,6 +430,21 @@ class PlanQualitySpec extends SparkSpec {
         s"document text in a sparseCosinePairs shuffle:\n$e"))
   }
 
+  test("bm25: query terms broadcast into the corpus tf table, never the reverse") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val r = graft.operators.Retrieval.bm25TopK(
+      docs.filter(col("doc_id") < 20), docs, "doc_id", "text", k = 5,
+      maxTermDf = 500)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25TopK plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-term side must broadcast into the corpus tf scan:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"bm25TopK plans a global sort (top-k must be per-query window):\n$plan")
+  }
+
   test("kmeans final assignment broadcasts centroids; corpus never shuffles pre-agg") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val r = graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
