@@ -115,4 +115,65 @@ class CurationPropertySpec extends SparkSpec {
       r(0) == r(1)
     })
   }
+
+  test("perplexityBuckets: every doc gets exactly one bucket; bucket order " +
+    "respects score order (no head doc scores below a tail doc)") {
+    check(Prop.forAllNoShrink(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val lm = Curation.fitUnigramLm(df, "text")
+      val r = Curation.perplexityBuckets(df, lm, "doc_id", "text")
+        .select("doc_id", "logprob_mean", "bucket")
+        .as[(Long, Option[Double], String)].collect()
+      val oneEach = r.length == docs.length &&
+        r.forall(t => Set("head", "middle", "tail").contains(t._3))
+      val scored = r.filter(_._2.isDefined)
+      def worst(b: String) = scored.filter(_._3 == b).map(_._2.get)
+      val ordered =
+        (worst("head").isEmpty || worst("middle").isEmpty ||
+          worst("head").min > worst("middle").max) &&
+        (worst("middle").isEmpty || worst("tail").isEmpty ||
+          worst("middle").min > worst("tail").max)
+      oneEach && ordered
+    })
+  }
+
+  test("sourceQualityStats: n_docs partitions the corpus; dup_ratio in [0,1); " +
+    "verdict matches the emitted stats") {
+    val srcGen = Gen.chooseNum(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("s1", "s2", "s3"), textGen)))
+    check(Prop.forAllNoShrink(srcGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "source", "text")
+      val r = Curation.sourceQualityStats(df, "text", "source",
+        Seq("the", "a"), 0.2, 0.4)
+        .as[(String, Long, Double, Double, Boolean)].collect()
+      r.map(_._2).sum == rows.length &&
+        r.forall(t => t._4 >= 0.0 && t._4 < 1.0) &&
+        r.forall(t => t._5 == (t._3 >= 0.2 && t._4 <= 0.4))
+    })
+  }
+
+  test("sparseCosinePairs: cosines in (0,1]; symmetric under id relabeling " +
+    "to reversed order (pair set is orientation-free)") {
+    check(Prop.forAllNoShrink(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val r = graft.operators.Similarity
+        .sparseCosinePairs(df, "doc_id", "text", maxTermDf = 50, minCosine = 0.5)
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+      val bounded = r.forall(t => t._4 > 0.0 && t._4 <= 1.0 && t._1 < t._2)
+      // relabel ids in reverse: the UNDIRECTED pair set must be identical
+      val n = docs.length.toLong
+      val flipped = df.selectExpr(s"$n - 1 - doc_id AS doc_id", "text")
+      val r2 = graft.operators.Similarity
+        .sparseCosinePairs(flipped, "doc_id", "text", maxTermDf = 50, minCosine = 0.5)
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+      def undirected(ps: Array[(Long, Long, Long, Double, Boolean)], flip: Boolean) =
+        ps.map { t =>
+          val (a, b) = if (flip) (n - 1 - t._1, n - 1 - t._2) else (t._1, t._2)
+          (Set(a, b), t._3, t._4, t._5)
+        }.toSet
+      bounded && undirected(r, flip = false) == undirected(r2, flip = true)
+    })
+  }
 }
