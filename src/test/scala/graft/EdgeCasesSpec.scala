@@ -93,4 +93,47 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.operators.StateTables.mergeChangedBuckets(
       spark, fresh, init.limit(0), policy, 4).isEmpty)
   }
+
+  test("round-7 ops on empty/degenerate inputs") {
+    import graft.operators.{Curation, Dedup, Retrieval, Similarity}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "only doc here")).toDF("doc_id", "text")
+
+    // fuzzy dedup: no docs / one doc -> no candidate pairs, no crash
+    assert(Dedup.fuzzyDedupPairs(empty, "doc_id", "text").count() === 0)
+    assert(Dedup.fuzzyDedupPairs(one, "doc_id", "text").count() === 0)
+
+    // perplexity buckets on a 1-doc corpus: the doc is its own tercile
+    // population; cutoffs equal its score, <= sends it to tail
+    val lm1 = Curation.fitUnigramLm(one, "text")
+    assert(Curation.perplexityBuckets(one, lm1, "doc_id", "text")
+      .select("bucket").as[String].collect().toSeq === Seq("tail"))
+
+    // source stats: all-null text still yields a row per source with
+    // n_docs counted and null-safe aggregates (quality sum ignores null)
+    val nulls = Seq((1L, "s1", null: String), (2L, "s1", null: String))
+      .toDF("doc_id", "source", "text")
+    val sr = Curation.sourceQualityStats(nulls, "text", "source",
+      Seq("the"), 0.1, 0.5).collect()
+    assert(sr.length === 1 && sr(0).getLong(1) === 2L)
+
+    // sparse cosine: single doc -> no pairs; empty corpus -> no pairs
+    assert(Similarity.sparseCosinePairs(one, "doc_id", "text", 10, 0.5)
+      .count() === 0)
+    assert(Similarity.sparseCosinePairs(empty, "doc_id", "text", 10, 0.5)
+      .count() === 0)
+
+    // bm25: empty query set and query-only corpus both answer empty
+    assert(Retrieval.bm25TopK(empty, one, "doc_id", "text", k = 3)
+      .count() === 0)
+    assert(Retrieval.bm25TopK(one, one, "doc_id", "text", k = 3)
+      .count() === 0) // only self-match, excluded
+
+    // kmeans: k larger than the corpus still assigns every vector
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ka = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      k = 5, iters = 1)
+    assert(ka.count() === 2)
+  }
 }
