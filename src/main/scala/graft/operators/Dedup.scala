@@ -489,7 +489,12 @@ object Dedup {
                       minEditSim: Double = 0.8,
                       baseHash: Column => Column = xxBase,
                       maxBandBucket: Int = Int.MaxValue): DataFrame = {
-    val exploded = snapshot(explodedShingles(df, idCol, textCol, shingleN))
+    // NO shingle snapshot here: unlike minHashLsh (whose verify joins
+    // re-read the exploded frame), the shingles feed exactly one
+    // consumer — minHashTable inside minHashCandidates, which snapshots
+    // its own signature table — so a localCheckpoint would materialize
+    // the largest intermediate for nothing
+    val exploded = explodedShingles(df, idCol, textCol, shingleN)
     val cand = minHashCandidates(exploded, numHashes, bands, baseHash, maxBandBucket)
     // normalize once per doc (matches the shingle normalization), join
     // the normalized text back per candidate side
