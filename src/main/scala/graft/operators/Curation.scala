@@ -333,7 +333,12 @@ object Curation {
                         highFrac: Double = 2.0 / 3): DataFrame = {
     require(lowFrac > 0 && highFrac < 1 && lowFrac <= highFrac,
       s"need 0 < lowFrac ($lowFrac) <= highFrac ($highFrac) < 1")
+    // snapshot: the scored frame feeds BOTH the cutoff aggregate and
+    // the bucketed output — without it the whole unigram-scoring
+    // pipeline (explode + LM join + per-doc aggregate) runs twice
+    // (the fitUnigramLm compute-once contract)
     val scored = unigramScore(docs, lm, idCol, textCol)
+      .localCheckpoint(eager = false)
     val cuts = scored.agg(
       percentile(col("logprob_mean"), lit(lowFrac)).as("__lo"),
       percentile(col("logprob_mean"), lit(highFrac)).as("__hi"))
