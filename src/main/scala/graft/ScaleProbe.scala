@@ -328,6 +328,42 @@ object ScaleProbe {
         docs.unpersist()
       }
     }
+    if (section("curation3")) {
+      // round-7 ops. Exact-twin replication is the WORST case for the
+      // candidate stages (every copy pairs with every other inside the
+      // band-bucket/term caps), so growth here bounds real-data growth.
+      import graft.operators.{Dedup, Retrieval, Similarity}
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (mult <- Seq(10, 100)) {
+        val docs = replicate(docs0, "doc_id", mult)
+        // fixed caps on an exact-twin corpus zero the candidate stage
+        // (every bucket/term overflows — the guard working); scaling
+        // the caps with the data instead measures candidate growth
+        timedCount(s"fuzzy   ${mult}x docs cap=${50 * mult}",
+          Dedup.fuzzyDedupPairs(docs, "doc_id", "text",
+            maxBandBucket = 50 * mult))
+        // sparse cap stays sub-linear in mult: candidates grow with
+        // Σ_term df² — a linearly-raised cap on a duplicated corpus
+        // re-admits the quadratic (measured once: cap 400·100 at 100×
+        // = 312M pairs / 468 s; that measurement is WHY the cap is an
+        // absolute knob, not a fraction of the corpus)
+        timedCount(s"sparse  ${mult}x docs cap=${400 * math.min(mult, 10)} t=0.9",
+          Similarity.sparseCosinePairs(docs, "doc_id", "text",
+            400 * math.min(mult, 10), 0.9))
+        timedCount(s"bm25    ${mult}x docs q=20 k=5 cap=${500 * mult}",
+          Retrieval.bm25TopK(docs.filter(col("doc_id") < 20), docs,
+            "doc_id", "text", k = 5, maxTermDf = 500 * mult))
+        docs.unpersist()
+      }
+      for (mult <- Seq(10, 100)) {
+        val emb = replicate(emb0, "vec_id", mult)
+        timedCount(s"kmeans  ${mult}x vecs k=8 iters=2",
+          Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2))
+        emb.unpersist()
+      }
+    }
     spark.stop()
   }
 }
