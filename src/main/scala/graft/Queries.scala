@@ -3141,6 +3141,45 @@ object Queries {
       QUALIFY rank <= 5
       ORDER BY query_id, rank"""))
 
+  val q98GopherRules = Q(
+    "q98_tx_gopher_rules",
+    (s, dir) =>
+      // Gopher A1.1 token-shape battery; minWords 50 splits the fixture
+      // by length and the stop-hit rule by vocabulary — several rules cut
+      Curation.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        Stopwords)
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               CASE WHEN text IS NULL OR length(trim(text)) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+             FROM documents),
+      m AS (SELECT doc_id,
+              CAST(len(t) AS BIGINT) AS n_words,
+              CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                AS DOUBLE) / greatest(CAST(len(t) AS BIGINT), 1) AS mean_word_len,
+              CAST(len(list_filter(t,
+                x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                / greatest(CAST(len(t) AS BIGINT), 1) AS symbol_ratio,
+              CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                / greatest(CAST(len(t) AS BIGINT), 1) AS alpha_frac,
+              CAST(len(list_filter(t,
+                x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+                AS stop_hits
+            FROM d)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+        n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+        mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+        symbol_ratio <= 0.1 AS ok_symbols,
+        alpha_frac >= 0.8 AS ok_alpha,
+        stop_hits >= 2 AS ok_stopwords,
+        (n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2
+          AS passes_gopher
+      FROM m ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3167,5 +3206,5 @@ object Queries {
     q86SourceOverlap, q87BpeTokenize,
     q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
-    q96SparseCosine, q97Bm25)
+    q96SparseCosine, q97Bm25, q98GopherRules)
 }

@@ -310,6 +310,63 @@ object Curation {
         col("logprob_mean"))
   }
 
+  /** The Gopher document-quality rule battery (Rae et al. 2021,
+    * Appendix A1.1) — each named rule emitted as its OWN verdict column
+    * so a pipeline can audit which rule killed a document, plus the
+    * conjunction `passes_gopher`. Rules over whitespace tokens:
+    * word-count bounds, mean word length bounds, symbol-to-word ratio
+    * (`#`/`...`), alphabetic-word fraction, and a minimum stop-word hit
+    * count. (Gopher's line-shape rules — bullet/ellipsis line ratios —
+    * live with the repetition gates; this battery is the token-shape
+    * half.)
+    *
+    * Every ratio is exact-integer arithmetic with ONE double division,
+    * so verdicts are engine-reproducible. Pure scan-stage expressions:
+    * zero shuffle, zero join — the same plan class as blocklistFilter.
+    * Null/blank text fails the word-count rule (n_words 0) and every
+    * dependent rule evaluates against n_words = 0 conservatively.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String], minWords: Long = 50,
+                  maxWords: Long = 100000, minMeanLen: Double = 3.0,
+                  maxMeanLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+                  minAlphaFrac: Double = 0.8, minStopHits: Long = 2): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty (the rule is a hit COUNT)")
+    require(minWords >= 0 && maxWords >= minWords,
+      s"bad word-count bounds [$minWords, $maxWords]")
+    val toks = TextFns.tokens(col(textCol))
+    val blank = col(textCol).isNull || length(trim(col(textCol))) === 0
+    val base = docs.select(col(idCol),
+      when(blank, array().cast("array<string>")).otherwise(toks).as("__t"))
+    val n = size(col("__t")).cast("long")
+    val sumLen = aggregate(col("__t"), lit(0L), (acc, t) => acc + length(t))
+    val nSymbol = size(filter(col("__t"),
+      t => t.contains("#") || t.contains("..."))).cast("long")
+    val nAlpha = size(filter(col("__t"), t => t.rlike("[a-z]"))).cast("long")
+    val nStop = size(filter(col("__t"),
+      t => t.isin(stopwords.map(lit): _*))).cast("long")
+    base.select(
+      col(idCol),
+      n.as("n_words"),
+      (sumLen.cast("double") / greatest(n, lit(1L)).cast("double"))
+        .as("mean_word_len"),
+      (nSymbol.cast("double") / greatest(n, lit(1L)).cast("double"))
+        .as("symbol_ratio"),
+      (nAlpha.cast("double") / greatest(n, lit(1L)).cast("double"))
+        .as("alpha_frac"),
+      nStop.as("stop_hits"))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("passes_gopher",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stopwords"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, CCNet §3.3):
     * split the corpus into head / middle / tail by LM score — CCNet
     * buckets by KenLM perplexity per language and trains on head(+middle);

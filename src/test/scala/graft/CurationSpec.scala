@@ -347,6 +347,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- gopherRules -------------------------------------------------------
+
+  test("gopherRules: each rule verdict is independently attributable") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, fifty + " the a"),                       // passes everything
+      (2L, "too short the a"),                      // fails word count only
+      (3L, fifty + " the a " + "# ## ###".repeat(4)), // symbol ratio > 0.1
+      (4L, (1 to 60).map(_ => "77").mkString(" ")), // no alpha, no stops, len 2
+      (5L, null: String), (6L, "  "))               // blank/null: n_words 0
+      .toDF("doc_id", "text")
+    val r = Curation.gopherRules(docs, "doc_id", "text",
+      Seq("the", "a", "of", "and", "to", "in", "is"))
+      .select("doc_id", "n_words", "ok_word_count", "ok_mean_len",
+        "ok_symbols", "ok_alpha", "ok_stopwords", "passes_gopher")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(7))
+    assert(!r(2L).getBoolean(2) && r(2L).getBoolean(4) && !r(2L).getBoolean(7))
+    assert(!r(3L).getBoolean(4) && !r(3L).getBoolean(7)) // symbols kill it
+    assert(!r(4L).getBoolean(5) && !r(4L).getBoolean(6)) // alpha + stopwords
+    assert(!r(4L).getBoolean(3)) // mean len 2 < 3
+    Seq(5L, 6L).foreach { i =>
+      assert(r(i).getLong(1) === 0L && !r(i).getBoolean(7))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.gopherRules(docs, "doc_id", "text", Nil)
+    }
+  }
+
+  test("gopherRules: exact ratios (one integer division each)") {
+    val docs = Seq((1L, "ab cdef #tag 42")).toDF("doc_id", "text")
+    val r = Curation.gopherRules(docs, "doc_id", "text", Seq("the"),
+      minWords = 1)
+      .select("n_words", "mean_word_len", "symbol_ratio", "alpha_frac")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r === ((4L, 12.0 / 4, 1.0 / 4, 3.0 / 4)))
+  }
+
   // ---- sourceQualityStats ------------------------------------------------
 
   test("sourceQualityStats: both verdict arms cut; dup_ratio is exact") {

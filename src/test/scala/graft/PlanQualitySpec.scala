@@ -430,6 +430,15 @@ class PlanQualitySpec extends SparkSpec {
         s"document text in a sparseCosinePairs shuffle:\n$e"))
   }
 
+  test("gopher rule battery is a pure scan-stage projection — zero shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.gopherRules(docs, "doc_id", "text",
+      Seq("the", "a"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"gopherRules shuffles — it must stay scan-local:\n$plan")
+  }
+
   test("bm25: query terms broadcast into the corpus tf table, never the reverse") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     import org.apache.spark.sql.functions.col
