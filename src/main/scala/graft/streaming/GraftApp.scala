@@ -374,6 +374,9 @@ object GraftApp {
       Curation.sourceQualityStats(docs, "text", "source", stop,
         minMeanQuality = 0.4, maxDupRatio = 0.1)
         .createOrReplaceTempView("v_source_quality")
+      // Gopher token-shape rule verdicts — scan-stage, zero shuffle
+      Curation.gopherRules(docs, "doc_id", "text", stop)
+        .createOrReplaceTempView("v_doc_gopher")
       // CCNet head/middle/tail LM buckets — lazy: the LM fit + cutoff
       // aggregate run when the view is queried, not at registration
       Curation.perplexityBuckets(docs,

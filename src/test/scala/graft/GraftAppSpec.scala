@@ -92,6 +92,8 @@ class GraftAppSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM v_doc_blocklist WHERE NOT passes_blocklist").collect()(0).getLong(0) > 0)
       assert(spark.sql("SELECT count(*) FROM v_source_quality").collect()(0).getLong(0) > 0)
+      assert(spark.sql("SELECT count(*) FROM v_doc_gopher WHERE n_words >= 0")
+        .collect()(0).getLong(0) > 0)
       // every doc lands in exactly one LM bucket
       assert(spark.sql(
         "SELECT count(*) FROM v_doc_lm_buckets WHERE bucket IN ('head','middle','tail')")
