@@ -3180,6 +3180,78 @@ object Queries {
           AS passes_gopher
       FROM m ORDER BY doc_id"""))
 
+  val q99CurationFunnel = Q(
+    "q99_pipeline_curation_funnel",
+    (s, dir) => {
+      // END-TO-END curation funnel: Gopher rules (q98) ∧ blocklist
+      // (q90) ∧ exact-dedup canonical (q22 keeper) ∧ stratified split
+      // (q76) → one training-set verdict per doc. Each stage is
+      // individually gated; this checks the seams (q91's pattern for
+      // the quality/selection half of the pipeline).
+      val docs = t(s, dir, "documents")
+      val g = Curation.gopherRules(docs, "doc_id", "text", Stopwords)
+        .select(col("doc_id"), col("passes_gopher"))
+      val b = Curation.blocklistFilter(docs, "doc_id", "text", Seq("dup"))
+        .select(col("doc_id"), col("passes_blocklist"))
+      val keepers = Dedup.exact(docs, md5(col("text")), "doc_id")
+        .select(col("content_hash"), col("keeper_id"))
+      val sp = Curation.stratifiedSplit(docs, "text")
+        .select(col("doc_id"), col("split"))
+      docs.select(col("doc_id"), md5(col("text")).as("__h"))
+        .join(keepers, col("__h") === col("content_hash"), "left")
+        .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("is_canonical"))
+        .join(g, Seq("doc_id")).join(b, Seq("doc_id")).join(sp, Seq("doc_id"))
+        .withColumn("selected",
+          col("passes_gopher") && col("passes_blocklist") &&
+            col("is_canonical") && col("split") === "train")
+        .select("doc_id", "passes_gopher", "passes_blocklist",
+          "is_canonical", "split", "selected")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+               CASE WHEN text IS NULL OR length(trim(text)) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+             FROM documents),
+      gv AS (SELECT doc_id,
+               (CAST(len(t) AS BIGINT) >= 50 AND CAST(len(t) AS BIGINT) <= 100000)
+               AND (CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                     AS DOUBLE) / greatest(CAST(len(t) AS BIGINT), 1) >= 3.0
+                 AND CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                     AS DOUBLE) / greatest(CAST(len(t) AS BIGINT), 1) <= 10.0)
+               AND CAST(len(list_filter(t,
+                     x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                   / greatest(CAST(len(t) AS BIGINT), 1) <= 0.1
+               AND CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                     AS DOUBLE) / greatest(CAST(len(t) AS BIGINT), 1) >= 0.8
+               AND CAST(len(list_filter(t,
+                     x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+                   >= 2 AS passes_gopher
+             FROM d),
+      bl AS (SELECT doc_id,
+               coalesce(len(list_filter(t, x -> x IN ('dup'))) = 0, true)
+                 AS passes_blocklist
+             FROM d),
+      e AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)),
+      ec AS (SELECT doc.doc_id, doc.doc_id = e.keeper AS is_canonical
+             FROM documents doc LEFT JOIN e ON md5(doc.text) = e.h),
+      sp AS (SELECT doc_id,
+               CASE WHEN h IS NULL THEN 'train'
+                    WHEN h % 100 < 80 THEN 'train'
+                    WHEN h % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                     ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g')), 1, 15))::BIGINT AS h
+                   FROM documents))
+      SELECT doc_id, passes_gopher, passes_blocklist, is_canonical, split,
+        passes_gopher AND passes_blocklist AND is_canonical
+          AND split = 'train' AS selected
+      FROM gv JOIN bl USING (doc_id) JOIN ec USING (doc_id) JOIN sp USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3206,5 +3278,5 @@ object Queries {
     q86SourceOverlap, q87BpeTokenize,
     q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
-    q96SparseCosine, q97Bm25, q98GopherRules)
+    q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel)
 }
