@@ -19,7 +19,8 @@ import graft.views.BmpViews
   *    double only at the end; averages divide an exact sum by an exact
   *    count in double (one identical fp op on both engines);
   *  - time buckets are pure integer arithmetic on epoch microseconds
-  *    (events.ts is parquet INT64-nanos, read via nanosAsLong);
+  *    (events.ts → exact epoch-micros via TimeAgg.epochMicros, which
+  *    adapts to either INT64-nanos or TIMESTAMP-micros fixtures);
   *  - every result has a total deterministic ORDER BY.
   */
 object Queries {
@@ -31,14 +32,21 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts_us` (epoch micros, exact) added. */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  /** events with `ts_us` (epoch micros, exact) added — schema-adaptive
+    * via [[graft.operators.TimeAgg.epochMicros]] (the generator has
+    * shipped both INT64-nanos and TIMESTAMP-micros `ts`).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("ts_us", graft.operators.TimeAgg.epochMicros(e))
+  }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** DuckDB-side epoch-micros for events.ts (ns → us truncation matches
-    * Spark's `ts div 1000` on the raw int64).
+  /** DuckDB-side epoch-micros for events.ts — exact for both fixture
+    * regimes: TIMESTAMP-micros reads as TIMESTAMP (cast is identity),
+    * INT64-nanos reads as TIMESTAMP_NS (cast truncates to micros, the
+    * same truncation as Spark's `ts div 1000` on the raw int64).
     */
   private val EvUs = "epoch_us(ts::TIMESTAMP)"
 
@@ -3250,6 +3258,79 @@ object Queries {
         passes_gopher AND passes_blocklist AND is_canonical
           AND split = 'train' AS selected
       FROM gv JOIN bl USING (doc_id) JOIN ec USING (doc_id) JOIN sp USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q100) DSIR importance weights: target-vs-raw unigram
+    * log-likelihood ratio per doc, integer-quantized per TERM so the
+    * per-doc long sum is partition-order free (Curation scaladoc).
+    */
+  val q100DsirWeights = Q(
+    "q100_s_dsir_weights",
+    (s, dir) =>
+      Curation.importanceWeights(t(s, dir, "documents"),
+        "doc_id", "text", "source", targetSource = "src7")
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tf AS (SELECT doc_id, source, term FROM t WHERE len(term) > 0),
+      c AS (SELECT term,
+              CAST(SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              CAST(SUM(CASE WHEN source <> 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+            FROM tf GROUP BY term),
+      tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM c),
+      w AS (SELECT term,
+              CAST(floor(1000000.0 * (
+                ln((ct + 1) / CAST(nt + v AS DOUBLE)) -
+                ln((cr + 1) / CAST(nr + v AS DOUBLE)))) AS BIGINT) AS w_q
+            FROM c CROSS JOIN tot),
+      p AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_q) AS weight_q
+            FROM tf JOIN w USING (term) GROUP BY doc_id)
+      SELECT d.doc_id, d.source,
+        coalesce(p.n_tokens, 0) AS n_tokens,
+        CAST(coalesce(p.weight_q, 0) AS BIGINT) AS dsir_weight_q,
+        round(coalesce(p.weight_q, 0) / 1000000.0, 6) AS dsir_weight
+      FROM documents d LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q101) Token-budget mixture sampling: acceptance rate derived from
+    * measured per-source token mass vs ⌊budget·w⌋, selected by exact
+    * integer hash-threshold (Packing scaladoc). Weights cover 4 of the
+    * 20 sources; absent sources keep nothing, an over-budgeted source
+    * keeps everything.
+    */
+  val q101BudgetSample = Q(
+    "q101_s_budget_sample",
+    (s, dir) =>
+      graft.operators.Packing.sampleToBudget(t(s, dir, "documents"),
+        "doc_id", "text", "source",
+        weights = Map("src0" -> 0.4, "src3" -> 0.3, "src7" -> 0.2,
+          "src12" -> 0.1),
+        budgetTokens = 5000L)
+        .orderBy("doc_id"),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+            AS n_tokens
+        FROM documents),
+      m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+            FROM tk GROUP BY source),
+      w(source, tgt) AS (VALUES ('src0', 2000), ('src3', 1500),
+                                ('src7', 1000), ('src12', 500)),
+      b AS (SELECT doc_id,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'),
+                1, 15))::BIGINT % 1000000 AS bucket
+            FROM documents)
+      SELECT tk.doc_id, tk.source, CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+        m.src_tokens, CAST(coalesce(w.tgt, 0) AS BIGINT) AS tgt_tokens,
+        CAST(b.bucket AS HUGEINT) * m.src_tokens <
+          CAST(coalesce(w.tgt, 0) AS HUGEINT) * 1000000 AS selected
+      FROM tk JOIN m USING (source) LEFT JOIN w USING (source)
+        JOIN b USING (doc_id)
       ORDER BY doc_id"""))
 
   /** All queries, in gate order. */

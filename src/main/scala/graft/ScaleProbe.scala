@@ -258,8 +258,9 @@ object ScaleProbe {
             docCount = Some(5000L * mult)))
         docs.unpersist()
       }
-      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val ev0r = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val ev0 = ev0r.select(col("event_id"), col("user_id"),
+        graft.operators.TimeAgg.epochMicros(ev0r).as("ts_us"))
       for (mult <- Seq(10, 100)) {
         val ev = replicate(ev0, "event_id", mult)
         timedCount(s"session ${mult}x events gap=30000s",

@@ -514,4 +514,66 @@ object Curation {
         array().cast("array<string>")).as("blocked_terms"),
       coalesce(size(hits) === 0, lit(true)).as("passes_blocklist"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of its tokens under a
+    * target-domain unigram model vs the rest-of-corpus model, both
+    * add-one smoothed over the SHARED vocabulary. Positive weight =
+    * looks like the target domain; downstream selection keeps the
+    * top-weighted (or hash-resamples proportional to weight).
+    *
+    * Determinism contract: the per-TERM log-ratio is quantized ONCE to
+    * a long, ⌊10⁶·(ln((ct+1)/(Nt+V)) − ln((cr+1)/(Nr+V)))⌋, and a
+    * document's weight is the SUM of those longs over its token
+    * instances — long sums are associative, so the result is
+    * partition-order free and the DuckDB oracle hash-matches (the
+    * ln-ulp floor-boundary risk is q83/q97's accepted ~10⁻¹⁰ class).
+    *
+    * Plan shape: one explode → (term → target/raw counts) as a single
+    * map-side-combined hash aggregate; the vocab-sized counts frame is
+    * localCheckpoint'd (compute-once contract, [[tfIdfTopTerms]])
+    * because it feeds BOTH the three scalar totals and the per-term
+    * weight join. The token-INSTANCE frame is deliberately NOT
+    * materialized: at 100 TB it is corpus-sized, and re-running a
+    * scan-stage explode twice is cheaper than storing it — the
+    * opposite trade from the vocab frame. Per-doc weight is one
+    * hash-aggregated sum after an equi-join on term; docs with no
+    * tokens surface with weight 0 via the left join back.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, targetSource: String): DataFrame = {
+    val inst = docs
+      .select(col(idCol), col(srcCol),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = inst
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col(srcCol) === targetSource, 1L).otherwise(0L)).as("ct"),
+        sum(when(col(srcCol) === targetSource, 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(eager = false)
+    val totals = counts.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val termW = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        floor(lit(1000000.0) * (
+          log((col("ct") + lit(1L)).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+          log((col("cr") + lit(1L)).cast("double") /
+            (col("nr") + col("v")).cast("double"))))
+          .cast("long").as("w_q"))
+    val perDoc = inst
+      .join(termW, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_q")).as("weight_q"))
+    docs.select(col(idCol), col(srcCol).as("source"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_q"), lit(0L)).as("dsir_weight_q"),
+        round(coalesce(col("weight_q"), lit(0L)).cast("double") /
+          lit(1000000.0), 6).as("dsir_weight"))
+  }
 }

@@ -130,4 +130,57 @@ object Packing {
           count(col(valueCol))).as("mean_v"),
         percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("p50"),
         percentile_approx(col(valueCol), lit(0.95), lit(accuracy)).as("p95"))
+
+  /** Token-budget mixture sampling — the "hit THIS mixture at THIS
+    * token budget" corpus-assembly step (the Pile/DoReMi recipe: target
+    * weights per source, one global budget): derive each source's
+    * acceptance rate from its MEASURED token mass and select documents
+    * by a portable id hash so the expected selected token count per
+    * source is min(tokens_s, ⌊budget·w_s⌋).
+    *
+    * The selection predicate is EXACT integer arithmetic — no
+    * floating-point rate, no RNG:
+    *   accept ⇔ bucket(doc)·tokens_s < ⌊budget·w_s⌋·10⁶, bucket ∈ [0,10⁶)
+    * A source whose mass is already under its target keeps everything
+    * (the inequality holds for every bucket); a source absent from
+    * `weights` gets target 0 and keeps nothing. Both products are
+    * computed in decimal(38,0): at 100 TB a source's token mass is
+    * ~10¹³⁻¹⁴ and bucket is 10⁶, so the long product would overflow —
+    * decimal keeps it exact (DuckDB twin uses HUGEINT).
+    *
+    * Plan: one map-side-combined hash aggregate (per-source token mass,
+    * source-cardinality output) joins back by broadcast; the target
+    * table is a compiled literal. The verdict itself is a scan-stage
+    * expression — the corpus is never shuffled.
+    */
+  def sampleToBudget(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, weights: Map[String, Double],
+                     budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be positive")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      "weights must be finite and non-negative")
+    import docs.sparkSession.implicits._
+    val targets = weights.toSeq
+      .map { case (s, w) => (s, math.floor(budgetTokens * w).toLong) }
+      .toDF(srcCol, "tgt_tokens")
+    val mass = docs.groupBy(col(srcCol))
+      .agg(sum(graft.functions.TextFns.tokenCount(col(textCol))).as("src_tokens"))
+    val bucket = pmod(
+      Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":budget"))),
+      lit(1000000L))
+    docs
+      .withColumn("n_tokens",
+        graft.functions.TextFns.tokenCount(col(textCol)).cast("long"))
+      .join(broadcast(mass), Seq(srcCol))
+      .join(broadcast(targets), Seq(srcCol), "left")
+      .withColumn("selected",
+        bucket.cast("decimal(38,0)") *
+          col("src_tokens").cast("decimal(38,0)") <
+          coalesce(col("tgt_tokens"), lit(0L)).cast("decimal(38,0)") *
+            lit(1000000L).cast("decimal(38,0)"))
+      .select(col(idCol), col(srcCol), col("n_tokens"),
+        col("src_tokens"), coalesce(col("tgt_tokens"), lit(0L)).as("tgt_tokens"),
+        col("selected"))
+  }
 }

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object TimeAgg {
 
+  /** Exact epoch-micros for an events-style `ts` column, tolerant of
+    * BOTH physical regimes the testdata generator has shipped: parquet
+    * INT64 nanoseconds (read as LongType via `nanosAsLong`; truncating
+    * integer div) and parquet TIMESTAMP micros (TIMESTAMP_NTZ/LTZ;
+    * `unix_micros` after a cast that is exact because every Graft
+    * session pins `spark.sql.session.timeZone=UTC`). Schema-adaptive so
+    * a regenerated fixture cannot silently break every time-based
+    * operator again.
+    */
+  def epochMicros(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"`$tsCol` div 1000")
+      case _ => unix_micros(col(tsCol).cast("timestamp"))
+    }
+
   /** `to_timestamp(extract(epoch from ts)::bigint / n * n)` as epoch
     * seconds (kept numeric: at 100 TB the bucket is a partition key and
     * integers compare/prune cheaper than timestamps).

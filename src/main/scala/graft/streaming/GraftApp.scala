@@ -385,9 +385,10 @@ object GraftApp {
     }
     read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
     read("events").foreach { ev0 =>
-      // testdata events carry INT64-nano `ts`; expose exact epoch-micros
+      // expose exact epoch-micros; schema-adaptive (the generator has
+      // shipped both INT64-nano and TIMESTAMP-micro `ts`)
       val ev = if (ev0.columns.contains("ts_us")) ev0
-        else ev0.withColumn("ts_us", expr("ts div 1000"))
+        else ev0.withColumn("ts_us", TimeAgg.epochMicros(ev0))
       ev.createOrReplaceTempView("events")
       TimeAgg.sessionize(ev, Seq("user_id"), "ts_us",
         gapMicros = 30000000000L, tieBreak = Seq("event_id"))
