@@ -3359,5 +3359,6 @@ object Queries {
     q86SourceOverlap, q87BpeTokenize,
     q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
-    q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel)
+    q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel,
+    q100DsirWeights, q101BudgetSample)
 }

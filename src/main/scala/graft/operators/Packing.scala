@@ -161,8 +161,16 @@ object Packing {
     require(weights.values.forall(w => w >= 0 && w.isFinite),
       "weights must be finite and non-negative")
     import docs.sparkSession.implicits._
+    // Exact ⌊budget·w⌋: BigDecimal(w) takes the DECIMAL rendering of the
+    // double (0.3 means 3/10, not the nearest binary64), so the target
+    // matches an oracle computing budget·w in exact decimal for ANY
+    // budget — double multiplication can land one ulp under the rational
+    // product and floor to budget·w − 1.
     val targets = weights.toSeq
-      .map { case (s, w) => (s, math.floor(budgetTokens * w).toLong) }
+      .map { case (s, w) =>
+        (s, (BigDecimal(w) * BigDecimal(budgetTokens))
+          .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      }
       .toDF(srcCol, "tgt_tokens")
     val mass = docs.groupBy(col(srcCol))
       .agg(sum(graft.functions.TextFns.tokenCount(col(textCol))).as("src_tokens"))

@@ -31,7 +31,13 @@ object TimeAgg {
   def epochMicros(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType => expr(s"`$tsCol` div 1000")
-      case _ => unix_micros(col(tsCol).cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"epochMicros: column `$tsCol` has unsupported type $other — " +
+          "expected INT64 nanos (LongType) or TIMESTAMP/TIMESTAMP_NTZ; " +
+          "refusing to guess an epoch unit for it")
     }
 
   /** `to_timestamp(extract(epoch from ts)::bigint / n * n)` as epoch

@@ -417,4 +417,60 @@ class CurationSpec extends SparkSpec {
       .orderBy("source").collect().toSeq
     assert(one === many)
   }
+
+  // ---- importanceWeights (DSIR) ----------------------------------------
+
+  test("importanceWeights: hand-computed add-one-smoothed log ratios") {
+    // vocab {cat, dog}, V=2; target: ct(cat)=2, ct(dog)=0, Nt=2;
+    // rest: cr(cat)=0, cr(dog)=1, Nr=1.
+    //   w_q(cat) = ⌊1e6·(ln(3/4) − ln(1/3))⌋ = ⌊1e6·ln(9/4)⌋ = 810930
+    //   w_q(dog) = ⌊1e6·(ln(1/4) − ln(2/3))⌋ = ⌊−980829.25…⌋ = −980830
+    val docs = Seq(
+      (1L, "cat cat", "tgt"),
+      (2L, "dog", "other")).toDF("doc_id", "text", "source")
+    val r = Curation.importanceWeights(docs, "doc_id", "text", "source", "tgt")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") === 2L)
+    assert(r(0).getAs[Long]("dsir_weight_q") === 2L * 810930L)
+    assert(r(1).getAs[Long]("n_tokens") === 1L)
+    assert(r(1).getAs[Long]("dsir_weight_q") === -980830L)
+    assert(r(1).getAs[Double]("dsir_weight") === -0.98083)
+  }
+
+  test("importanceWeights: zero-token docs surface with weight 0") {
+    val docs = Seq(
+      (1L, "alpha beta", "tgt"),
+      (2L, "", "other"),
+      (3L, "   ", "other")).toDF("doc_id", "text", "source")
+    val r = Curation.importanceWeights(docs, "doc_id", "text", "source", "tgt")
+      .orderBy("doc_id").collect()
+    assert(r.length === 3)
+    assert(r(1).getAs[Long]("n_tokens") === 0L)
+    assert(r(1).getAs[Long]("dsir_weight_q") === 0L)
+    assert(r(2).getAs[Long]("n_tokens") === 0L)
+    assert(r(2).getAs[Double]("dsir_weight") === 0.0)
+  }
+
+  test("importanceWeights: absent target source degrades, does not crash") {
+    // no doc has the target source → ct=0 for every term; smoothing keeps
+    // the ratio finite and every weight ≤ 0 (target model is uniform 1/(0+V))
+    val docs = Seq(
+      (1L, "x y z", "a"),
+      (2L, "x q", "b")).toDF("doc_id", "text", "source")
+    val r = Curation.importanceWeights(docs, "doc_id", "text", "source", "missing")
+      .orderBy("doc_id").collect()
+    assert(r.length === 2)
+    assert(r.forall(_.getAs[Long]("dsir_weight_q") <= 0L))
+  }
+
+  test("importanceWeights: partition-order free (1 vs 17 partitions)") {
+    val docs = (1L to 60L)
+      .map(i => (i, s"tok${i % 7} tok${i % 11} shared", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val one = Curation.importanceWeights(docs.coalesce(1),
+      "doc_id", "text", "source", "src1").orderBy("doc_id").collect().toSeq
+    val many = Curation.importanceWeights(docs.repartition(17),
+      "doc_id", "text", "source", "src1").orderBy("doc_id").collect().toSeq
+    assert(one === many)
+  }
 }

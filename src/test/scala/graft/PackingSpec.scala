@@ -89,4 +89,49 @@ class PackingSpec extends SparkSpec {
     assert(math.abs(a.getAs[Double]("p95") - 3.85) < 1e-9) // pos 0.95·3 = 2.85 → interpolate
     assert(r(1).getAs[Double]("p50") === 10.0)
   }
+
+  // ---- sampleToBudget --------------------------------------------------
+
+  test("sampleToBudget: absent source keeps nothing, over-budget source keeps all") {
+    val docs = Seq(
+      (1L, "a b c", "in"), (2L, "d e", "in"),      // 5 tokens, target huge
+      (3L, "f g h i", "out"), (4L, "j", "out")     // no weight entry
+    ).toDF("doc_id", "text", "source")
+    val r = Packing.sampleToBudget(docs, "doc_id", "text", "source",
+      weights = Map("in" -> 1.0), budgetTokens = 1000L)
+      .orderBy("doc_id").collect()
+    assert(r.filter(_.getAs[String]("source") == "in")
+      .forall(_.getAs[Boolean]("selected")))
+    assert(r.filter(_.getAs[String]("source") == "out")
+      .forall(row => !row.getAs[Boolean]("selected") &&
+        row.getAs[Long]("tgt_tokens") == 0L))
+  }
+
+  test("sampleToBudget: target is exact ⌊budget·w⌋, not the double product") {
+    // 9999999999999999 · 0.3: double arithmetic floors to 3000000000000000,
+    // exact decimal to 2999999999999999 — pins the BigDecimal target path.
+    // tgt·10⁶ ≈ 3·10²¹ also exceeds Long.MaxValue, exercising the
+    // decimal(38,0) comparison that a long product would overflow.
+    val docs = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    val r = Packing.sampleToBudget(docs, "doc_id", "text", "source",
+      weights = Map("s" -> 0.3), budgetTokens = 9999999999999999L).collect()
+    assert(r(0).getAs[Long]("tgt_tokens") === 2999999999999999L)
+    assert(r(0).getAs[Boolean]("selected")) // mass 2 ≪ target → keep all
+  }
+
+  test("sampleToBudget: deterministic and partition-order free") {
+    val docs = (1L to 200L)
+      .map(i => (i, Seq.fill((i % 9 + 1).toInt)("w").mkString(" "), s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val w = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125)
+    val one = Packing.sampleToBudget(docs.coalesce(1), "doc_id", "text", "source",
+      w, 300L).orderBy("doc_id").collect().toSeq
+    val many = Packing.sampleToBudget(docs.repartition(13), "doc_id", "text",
+      "source", w, 300L).orderBy("doc_id").collect().toSeq
+    assert(one === many)
+    // a mid-rate source actually splits: some kept, some dropped
+    val s0 = one.filter(_.getAs[String]("source") == "src0")
+    assert(s0.exists(_.getAs[Boolean]("selected")) &&
+      s0.exists(!_.getAs[Boolean]("selected")))
+  }
 }
