@@ -2635,20 +2635,26 @@ object Queries {
       // co-occurrence lift longer word-salad docs give every token;
       // length alone is measured AUC ≈ 0.73 held-out, and the spec
       // pins ≥ 0.9 on a corpus with real class-conditional vocabulary).
-      // L-BFGS float aggregation is partition-order-dependent, so
-      // probabilities are not bit-reproducible → no SQL oracle; the
-      // driver's rows-only check plus QualityClassifierSpec's held-out
-      // separation cover it.
+      // Trainer is the quantized batch-gradient path: bit-identical
+      // output for any partitioning or rerun (selfcheck's cross-run
+      // determinism check covers it), but still no SQL oracle — the
+      // iterative sigmoid can't be quantized before a cross-engine
+      // compare (QualityClassifier scaladoc), so the driver's check
+      // stays rows-only with QualityClassifierSpec pinning held-out
+      // separation.
       val docs = t(s, dir, "documents")
       val kw = array_contains(TextFns.tokens(col("text")), "spark")
       val train = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("label", kw.cast("double"))
-      val model = operators.QualityClassifier.train(train, "text", "label",
-        numFeatures = 1 << 15, maxIter = 25, maskTerms = Set("spark"))
-      operators.QualityClassifier.score(
+      val model = operators.QualityClassifier.trainQuantized(
+        train, "text", "label",
+        numFeatures = 1 << 15, maxIter = 30, stepSize = 2.0,
+        maskTerms = Set("spark"))
+      operators.QualityClassifier.scoreQuantized(
         docs.filter(col("doc_id") % 2 === 1), model, "text",
-        numFeatures = 1 << 15, maskTerms = Set("spark"))
-        .select(col("doc_id"), kw.as("has_kw"), col("quality_prob"))
+        maskTerms = Set("spark"))
+        .select(col("doc_id"), kw.as("has_kw"),
+          round(col("quality_prob"), 9).as("quality_prob"))
         .orderBy("doc_id")
     },
     None)

@@ -28,10 +28,18 @@ import graft.functions.TextFns
   * Training cost lives offline with [[Similarity.writeIvfIndex]];
   * scoring rides the scan stage.
   *
-  * Scores are NOT bit-reproducible across runs (L-BFGS aggregates
-  * float gradients in partition order), so there is no hash oracle —
-  * the gate is rows-only and the specs assert separation quality on
-  * held-out data instead.
+  * Two trainers: [[train]] (spark.ml L-BFGS — fastest convergence, but
+  * float gradients aggregate in partition order so scores are not
+  * bit-reproducible) and [[trainQuantized]] (fixed-iteration batch
+  * gradient with ⌊residual·2²⁰⌋ long-sum aggregation — bit-identical
+  * for any partitioning or rerun; the q85 gate uses this one so its
+  * output admits a cross-run determinism check). Neither has a DuckDB
+  * hash oracle: the sigmoid's exp() would have to match libm
+  * cross-engine at the quantization floor boundary, which is exactly
+  * the ulp class the other oracles avoid by quantizing BEFORE any
+  * cross-engine comparison — here the iterative loop makes that
+  * impossible, so the gate is rows-only plus the determinism check,
+  * and the specs pin held-out separation quality.
   */
 object QualityClassifier {
 
@@ -102,4 +110,157 @@ object QualityClassifier {
       .transform(featurize(docs, textCol, numFeatures, maskTerms))
       .withColumn("quality_prob", vector_to_array(col("__prob"))(1))
       .drop("features", "__prob", "__pred", "__raw")
+
+  // ---- deterministic path ----------------------------------------------
+  //
+  // The L-BFGS trainer above aggregates float gradients in partition
+  // order, so its scores are not bit-reproducible run-to-run. The pair
+  // below is the reproducible alternative (same trick as
+  // Similarity.centroidOutliers / Curation.importanceWeights): a
+  // fixed-iteration batch-gradient logistic regression whose per-row
+  // residual is quantized ONCE to a long, ⌊residual·2²⁰⌋, and whose
+  // per-feature gradient is a LONG sum of those quantized residuals —
+  // long sums are associative, so the fitted coefficients (and every
+  // downstream score) are identical for ANY partitioning, task order,
+  // or rerun. The ≤2⁻²⁰ per-row quantization bias is three orders of
+  // magnitude under the step·regParam noise floor and irrelevant to
+  // ranking quality; determinism is what it buys.
+
+  /** Coefficients of the deterministic linear model ([[trainQuantized]]).
+    * `coefficients(j)` weights hashed n-gram bucket j (mean-pooled);
+    * `lengthWeight` weights the explicit log1p(|doc|) feature; scoring
+    * is sigmoid(intercept + lengthWeight·log1p(n) + Σ coef(bucket)/n).
+    */
+  final case class LinearModel(coefficients: Array[Double], intercept: Double,
+                               lengthWeight: Double, numFeatures: Int)
+
+  /** `terms` → hashed bucket indices (duplicates preserved — the index
+    * MULTIPLICITY is the term count, so downstream sums see tf counts
+    * without materializing a vector). Self-consistent featurizer for
+    * the deterministic path: sql `hash` = Murmur3(seed 42), codegen'd,
+    * stateless — the same zero-coordination property as HashingTF.
+    */
+  private[operators] def featureIndices(textCol: Column, numFeatures: Int,
+                                        maskTerms: Set[String]): Column =
+    transform(terms(textCol, maskTerms), t => pmod(hash(t), lit(numFeatures)))
+
+  // per-occurrence gradient scale: at 10¹¹ docs the long sum stays
+  // under 10¹¹·2²⁴ ≈ 1.7·10¹⁸ < Long.MaxValue; intercept rows are one
+  // per doc so 2²⁰ leaves the same headroom
+  private val FeatScale = (1L << 24).toDouble
+  private val InterceptScale = (1L << 20).toDouble
+
+  /** Deterministic margin: mean-pooled coefficients (fastText's
+    * averaging — Σ coef(bucket)/|doc| keeps the vocabulary term's scale
+    * independent of document length; a raw-count dot product saturates
+    * the sigmoid on long documents and batch GD cannot recover the
+    * ranking) PLUS an explicit length feature wLen·log1p(|doc|) —
+    * pooling alone would erase length, which for weak quality labels is
+    * often the strongest honest signal, so it gets its own learned
+    * weight instead of leaking through every count. Iteration order
+    * over the index array is fixed → bit-reproducible.
+    */
+  private def mixedMargin(bcCoef: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                          b0: Double, wLen: Double) =
+    udf { idx: scala.collection.Seq[Int] =>
+      if (idx == null || idx.isEmpty) b0
+      else {
+        val c = bcCoef.value
+        var s = 0.0
+        idx.foreach(i => s += c(i))
+        b0 + wLen * math.log1p(idx.size.toDouble) + s / idx.size
+      }
+    }
+
+  /** Fixed-iteration batch-gradient LR over mean-pooled hashed n-grams —
+    * bit-reproducible (see block comment above) where spark.ml's
+    * L-BFGS is not, at the cost of needing more (cheaper) iterations.
+    *
+    * Plan shape per iteration: ONE treeAggregate job over the persisted
+    * (label, indices) RDD — the same shape spark.ml uses for its own
+    * gradient passes: each task folds its rows into a DENSE long array
+    * of quantized gradients (numFeatures+2 slots ≈ 2 MB at 2¹⁸ —
+    * bounded by the feature space, not the data), and arrays merge by
+    * element-wise long addition, which is associative → any task order
+    * or tree shape yields identical bits. No shuffle of the corpus,
+    * no per-iteration query planning; slot 0 carries the intercept
+    * gradient (quantized at InterceptScale), slot 1 the length-feature
+    * gradient, slot j+2 bucket j (per-occurrence r/n at FeatScale).
+    */
+  def trainQuantized(docs: DataFrame, textCol: String, labelCol: String,
+                     numFeatures: Int = 1 << 18, regParam: Double = 1e-3,
+                     maxIter: Int = 60, stepSize: Double = 2.0,
+                     maskTerms: Set[String] = Set.empty): LinearModel = {
+    require(numFeatures > 0, s"numFeatures ($numFeatures) must be positive")
+    require(maxIter > 0 && stepSize > 0, "maxIter and stepSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val data = docs.select(
+        col(labelCol).cast("double").as("__label"),
+        featureIndices(col(textCol), numFeatures, maskTerms).as("__idx"))
+      .as[(Double, Array[Int])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = data.count().toDouble
+      require(n > 0, "trainQuantized: empty training set")
+      val sc = spark.sparkContext
+      val coef = new Array[Double](numFeatures)
+      var intercept = 0.0
+      var wLen = 0.0
+      var iter = 0
+      while (iter < maxIter) {
+        val bc = sc.broadcast((coef, intercept, wLen))
+        val grad = data.treeAggregate(new Array[Long](numFeatures + 2))(
+          seqOp = { (acc, row) =>
+            val (c, b0, wl) = bc.value
+            val (label, idx) = row
+            val nTok = if (idx == null) 0 else idx.length
+            var s = 0.0
+            var k = 0
+            while (k < nTok) { s += c(idx(k)); k += 1 }
+            val margin = if (nTok == 0) b0
+              else b0 + wl * math.log1p(nTok.toDouble) + s / nTok
+            val r = 1.0 / (1.0 + math.exp(-margin)) - label
+            acc(0) += math.floor(r * InterceptScale).toLong
+            if (nTok > 0) {
+              acc(1) += math.floor(r * math.log1p(nTok.toDouble)
+                * InterceptScale).toLong
+              val rq = math.floor(r / nTok * FeatScale).toLong
+              k = 0
+              while (k < nTok) { acc(idx(k) + 2) += rq; k += 1 }
+            }
+            acc
+          },
+          combOp = { (a, b) =>
+            var k = 0
+            while (k < a.length) { a(k) += b(k); k += 1 }
+            a
+          }, depth = 2)
+        bc.destroy()
+        intercept -= stepSize * (grad(0) / InterceptScale / n)
+        wLen -= stepSize * (grad(1) / InterceptScale / n)
+        var j = 0
+        while (j < numFeatures) {
+          coef(j) -= stepSize * (grad(j + 2) / FeatScale / n + regParam * coef(j))
+          j += 1
+        }
+        iter += 1
+      }
+      LinearModel(coef, intercept, wLen, numFeatures)
+    } finally data.unpersist()
+  }
+
+  /** docs + `quality_prob` under a [[LinearModel]]: coefficients ride a
+    * broadcast into a per-row mean-pooled dot product over the hashed
+    * indices — scan-stage, no shuffle, bit-reproducible for any
+    * partitioning.
+    */
+  def scoreQuantized(docs: DataFrame, model: LinearModel, textCol: String,
+                     maskTerms: Set[String] = Set.empty): DataFrame = {
+    val bcCoef = docs.sparkSession.sparkContext.broadcast(model.coefficients)
+    docs.withColumn("quality_prob",
+      lit(1.0) / (lit(1.0) +
+        exp(-mixedMargin(bcCoef, model.intercept, model.lengthWeight)(
+          featureIndices(col(textCol), model.numFeatures, maskTerms)))))
+  }
 }

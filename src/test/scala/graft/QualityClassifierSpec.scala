@@ -113,6 +113,68 @@ class QualityClassifierSpec extends SparkSpec {
     assert(byId === f2)
   }
 
+  test("trainQuantized separates held-out docs and matches the masked-AUC bar") {
+    def good(i: Int) =
+      s"verified thorough prose reviewed citation $i accurate edited source"
+    def bad(i: Int) =
+      s"click spam casino winner $i jackpot cheap pills lottery"
+    val mask = Set("verified")
+    val label = (t: org.apache.spark.sql.Column) =>
+      array_contains(split(t, " "), "verified").cast("double")
+    val train = ((1 to 40).map(good) ++ (1 to 40).map(bad)).toDF("text")
+      .withColumn("label", label(col("text")))
+    val model = QualityClassifier.trainQuantized(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 30, stepSize = 2.0, maskTerms = mask)
+    val test = ((100 to 119).map(good) ++ (100 to 119).map(bad)).toDF("text")
+      .withColumn("truth", label(col("text")))
+    val scored = QualityClassifier.scoreQuantized(test, model, "text", mask)
+      .select(col("truth"), col("quality_prob")).as[(Double, Double)].collect()
+    val a = auc(scored.toSeq)
+    assert(a >= 0.9, s"held-out AUC $a < 0.9 with quantized trainer")
+    val goodP = scored.filter(_._1 == 1.0).map(_._2)
+    val badP = scored.filter(_._1 == 0.0).map(_._2)
+    assert(goodP.min > badP.max,
+      s"no separation: good min ${goodP.min} vs bad max ${badP.max}")
+  }
+
+  test("trainQuantized is bit-identical across partitionings and reruns") {
+    val docs = (1L to 120L).map { i =>
+      val txt = if (i % 3 == 0) goodDoc(i.toInt) else badDoc(i.toInt)
+      (i, txt, if (i % 3 == 0) 1.0 else 0.0)
+    }.toDF("doc_id", "text", "label")
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      QualityClassifier.trainQuantized(df, "text", "label",
+        numFeatures = 1 << 12, maxIter = 12, stepSize = 1.0)
+    val m1 = fit(docs.coalesce(1))
+    val m2 = fit(docs.repartition(13))
+    val m3 = fit(docs.repartition(13)) // rerun, same layout
+    // exact double equality — the whole point of the quantized path
+    assert(m1.intercept === m2.intercept && m2.intercept === m3.intercept)
+    assert(m1.coefficients.toSeq === m2.coefficients.toSeq)
+    assert(m2.coefficients.toSeq === m3.coefficients.toSeq)
+    // and scoring is bit-identical too, independent of layout
+    val s1 = QualityClassifier.scoreQuantized(docs.coalesce(1), m1, "text")
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    val s2 = QualityClassifier.scoreQuantized(docs.repartition(7), m2, "text")
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(s1 === s2)
+  }
+
+  test("scoreQuantized keeps every row; null/empty text score at the intercept") {
+    val train = ((1 to 10).map(i => (goodDoc(i), 1.0)) ++
+      (1 to 10).map(i => (badDoc(i), 0.0))).toDF("text", "label")
+    val model = QualityClassifier.trainQuantized(train, "text", "label",
+      numFeatures = 1 << 12, maxIter = 10, stepSize = 1.0)
+    val docs = Seq((1L, "some words"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = QualityClassifier.scoreQuantized(docs, model, "text")
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r.values.forall(p => p >= 0.0 && p <= 1.0))
+    val atIntercept = 1.0 / (1.0 + math.exp(-model.intercept))
+    assert(r(2L) === atIntercept)
+  }
+
   test("score output keeps every input row and stays in [0,1]") {
     val train = ((1 to 10).map(i => (goodDoc(i), 1.0)) ++
       (1 to 10).map(i => (badDoc(i), 0.0))).toDF("text", "label")

@@ -90,17 +90,33 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK   {name} ({len(got)} rows)"); ok += 1
 
-# rows-only entries
+# rows-only entries; with SELFCHECK_DET_DIR=<dir of a SECOND Verify run>
+# each no-oracle gate is also checked for cross-run bit-determinism
+# (both q85's quantized trainer and q87's BPE claim it — this is the
+# hard signal replacing the hash oracle they can't have)
 import glob, os
+detdir = os.environ.get("SELFCHECK_DET_DIR", "")
 for d in sorted(glob.glob(f"{outdir}/*/")):
     name = os.path.basename(d.rstrip("/"))
     if name in oracle: continue
     if only and name not in only: continue
     try:
         n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
-        print(f"{'OK  ' if n > 0 else 'EMPTY'} {name} rows-only ({n} rows)")
-        if n == 0: fail += 1
-        else: ok += 1
+        if n == 0:
+            print(f"EMPTY {name} rows-only (0 rows)"); fail += 1; continue
+        if detdir and os.path.isdir(f"{detdir}/{name}"):
+            a = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+            b = con.sql(f"SELECT * FROM '{detdir}/{name}/*.parquet'").df()
+            cols = sorted(a.columns)
+            a = a.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
+            b = b.reindex(sorted(b.columns), axis=1).sort_values(by=sorted(b.columns), ignore_index=True)
+            if list(b.columns) != cols or not a.equals(b):
+                print(f"FAIL {name}: rows-only output differs between runs "
+                      f"(determinism violation)"); fail += 1; continue
+            print(f"OK   {name} rows-only ({n} rows, cross-run deterministic)")
+        else:
+            print(f"OK   {name} rows-only ({n} rows)")
+        ok += 1
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1
 
