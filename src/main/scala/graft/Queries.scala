@@ -2664,9 +2664,23 @@ object Queries {
     (s, dir) => {
       // corpus-fit BPE: distributed word counting, deterministic driver
       // merge loop on the bounded frequency table, distributed encode.
-      // Fully deterministic (exact integer counts, fixed tie-break) but
-      // the merge recursion has no SQL form → rows-only gate; BpeSpec
-      // pins the merge sequence and encodings on hand-computed corpora.
+      // Fully deterministic (exact integer counts, fixed tie-break), and
+      // — new in round 8 — fully ORACLED: the DuckDB twin replays the
+      // whole thing in SQL. The key device is representing a word's
+      // symbol sequence as a double-space-joined string ("  l  o  w  "),
+      // under which one left-to-right non-overlapping BPE merge pass of
+      // pair (l,r) is EXACTLY one SQL replace(w, ' l  r ', ' lr ')
+      // (separators are provably absent from symbols — words are
+      // whitespace-split; the flanking single spaces pin both symbol
+      // boundaries, and a consumed match leaves the outer spaces to
+      // re-form the next boundary, so adjacent merges chain like the
+      // Scala pass does, including the aaa→[aa,a] overlap rule). The
+      // training loop is a recursive CTE whose per-step argmax is an
+      // aggregate subquery over the working table (count desc, l, r
+      // asc tie-break = code-point order on both engines); encoding is
+      // a second recursive CTE applying the lowest-rank applicable
+      // merge at its leftmost position per step (LATERAL ... ORDER BY
+      // rank LIMIT 1), exactly encodeWord's priority rule.
       val docs = t(s, dir, "documents")
       val merges = operators.Bpe.train(
         operators.Bpe.wordFrequencies(docs, "text"), numMerges = 50)
@@ -2674,7 +2688,87 @@ object Queries {
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH RECURSIVE wf AS (
+        SELECT word, COUNT(*)::BIGINT AS freq FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+          FROM documents WHERE text IS NOT NULL) WHERE len(word) > 0
+        GROUP BY word
+      ),
+      seeded AS (
+        SELECT '  ' || array_to_string(regexp_split_to_array(word, ''), '  ')
+          || '  ' AS w, freq
+        FROM wf
+      ),
+      bpe(iter, w, freq) AS (
+        SELECT 0, w, freq FROM seeded
+        UNION ALL
+        SELECT iter + 1,
+          replace(w, ' ' || best.l || '  ' || best.r || ' ',
+                     ' ' || best.l || best.r || ' '),
+          freq
+        FROM bpe CROSS JOIN (
+          SELECT l, r FROM (
+            SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+            FROM (SELECT list_filter(string_split(w, '  '), x -> x <> '')
+                    AS syms, freq FROM bpe),
+              LATERAL unnest(range(1, len(syms))) t(i)
+            GROUP BY 1, 2)
+          ORDER BY c DESC, l, r LIMIT 1) best
+        WHERE iter < 50
+      ),
+      merges AS (
+        SELECT iter AS rank, l, r FROM (
+          SELECT iter, l, r, row_number() OVER (
+              PARTITION BY iter ORDER BY c DESC, l, r) AS rn
+          FROM (
+            SELECT iter, syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+            FROM (SELECT iter, list_filter(string_split(w, '  '), x -> x <> '')
+                    AS syms, freq
+                  FROM bpe WHERE iter < 50),
+              LATERAL unnest(range(1, len(syms))) t(i)
+            GROUP BY 1, 2, 3))
+        WHERE rn = 1
+      ),
+      enc(w0, w) AS (
+        SELECT word, '  ' || array_to_string(regexp_split_to_array(word, ''), '  ')
+          || '  ' FROM wf
+        UNION ALL
+        SELECT w0,
+          substr(w, 1, p - 1) || ' ' || l || r || ' ' ||
+            substr(w, p + len(' ' || l || '  ' || r || ' '))
+        FROM (
+          SELECT w0, w, b.l AS l, b.r AS r,
+            strpos(w, ' ' || b.l || '  ' || b.r || ' ') AS p
+          FROM enc, LATERAL (
+            SELECT l, r FROM merges
+            WHERE strpos(w, ' ' || l || '  ' || r || ' ') > 0
+            ORDER BY rank LIMIT 1) b(l, r))
+      ),
+      final AS (
+        SELECT w0, w FROM enc e
+        WHERE NOT EXISTS (SELECT 1 FROM merges m
+          WHERE strpos(e.w, ' ' || m.l || '  ' || m.r || ' ') > 0)
+      ),
+      word_tokens AS (
+        SELECT w0 AS word,
+          len(list_filter(string_split(w, '  '), x -> x <> '')) AS n_sub
+        FROM final
+      ),
+      doc_words AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+          FROM documents WHERE text IS NOT NULL) WHERE len(word) > 0
+      )
+      SELECT d.doc_id,
+        COALESCE(x.n_words, 0)::INT AS n_words,
+        COALESCE(x.n_bpe, 0)::INT AS n_bpe_tokens
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, COUNT(*)::INT AS n_words, SUM(n_sub)::INT AS n_bpe
+        FROM doc_words JOIN word_tokens USING (word) GROUP BY doc_id) x
+        USING (doc_id)
+      ORDER BY doc_id"""))
 
   val q88ParagraphDedup = Q(
     "q88_dd_paragraph_dedup",
