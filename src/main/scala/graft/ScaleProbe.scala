@@ -285,23 +285,42 @@ object ScaleProbe {
     // the per-merge second scales ~linearly in vocab rows, not worse.
     if (section("bpe")) {
       import graft.operators.Bpe
-      for (n <- Seq(100000L, 1000000L)) {
-        // synthetic Zipf vocab: hex-ish words share a 17-char alphabet,
-        // so pair statistics stay rich deep into the merge sequence
-        val wf = spark.range(n).select(
-          format_string("w%x", col("id")).as("word"),
-          ((lit(n) / (col("id") + 1)) + 1).cast("long").as("freq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        wf.count()
-        for (merges <- Seq(15, 30)) {
-          val t0 = System.nanoTime()
-          val m = Bpe.trainDistributed(wf, merges)
-          println(f"bpe     vocab=$n%8d merges=$merges%3d learned=${m.size}%3d" +
-            f"  time=${(System.nanoTime() - t0) / 1e9}%6.2f s" +
-            f"  per-merge=${(System.nanoTime() - t0) / 1e9 / m.size}%5.2f s")
-        }
-        wf.unpersist()
+      // driver round-trips per learned merge: each trainDistributed
+      // round is one collect job (+ lazy checkpoint materializations),
+      // so the Spark job count ≈ rounds — the number that must stay
+      // ~numMerges/|batch| for a 32k-vocab production train to be
+      // feasible (sequential = one job PER merge)
+      val jobCount = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobCount.incrementAndGet()
+        })
+      val n = 100000L
+      // synthetic Zipf vocab: hex-ish words share a 17-char alphabet,
+      // so pair statistics stay rich deep into the merge sequence
+      val wf = spark.range(n).select(
+        format_string("w%x", col("id")).as("word"),
+        ((lit(n) / (col("id") + 1)) + 1).cast("long").as("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wf.count()
+      val merges = 1000
+      val seqM = Bpe.train(wf, merges) // driver reference for overlap
+      for ((exact, label) <- Seq((true, "exact"), (false, "greedy"))) {
+        val j0 = jobCount.get()
+        val t0 = System.nanoTime()
+        val m = Bpe.trainDistributed(wf, merges, exact = exact)
+        val jobs = jobCount.get() - j0
+        val overlap = m.map(x => (x.left, x.right)).toSet
+          .intersect(seqM.map(x => (x.left, x.right)).toSet).size
+        println(f"bpe     vocab=$n%8d mode=$label%-6s merges=$merges%4d" +
+          f" learned=${m.size}%4d  jobs=$jobs%5d" +
+          f" (${m.size.toDouble / jobs}%5.1f merges/job)" +
+          f"  seq-overlap=${overlap.toDouble / seqM.size}%5.3f" +
+          f"  time=${(System.nanoTime() - t0) / 1e9}%7.2f s")
       }
+      wf.unpersist()
     }
 
     if (section("curation2")) {

@@ -115,36 +115,128 @@ object Bpe {
     merges.result()
   }
 
+  /** The safe batch from one round's sorted pair table: the maximal
+    * PREFIX (no skipping — a skipped conflicting pair could still be
+    * the true next argmax after its count decays) of candidates that
+    * are pairwise symbol-disjoint, where "symbols" of an accepted
+    * merge include its concatenation (a later candidate touching l,
+    * r, OR l+r could gain/lose occurrences from the earlier merge).
+    * The prefix is then truncated to counts STRICTLY above the stop
+    * candidate's count: every pair sharing a symbol with an accepted
+    * merge sorts at/after the stop point (else it would have stopped
+    * the prefix earlier), so the new pairs an accepted merge creates
+    * are count-bounded by c_stop — strict truncation means nothing the
+    * batch couldn't see can tie or beat any accepted merge, making the
+    * batch byte-identical to running the sequential argmax m times
+    * (BpeSpec pins this against [[train]], ties and overlaps included).
+    *
+    * `candidates` must be the round's pairs sorted by (count desc,
+    * left asc, right asc); `sawWholeTable` = the collect was NOT
+    * truncated at K (then no hidden conflict exists below the last
+    * row and an all-disjoint prefix may keep even its last count).
+    */
+  private[graft] def safeBatch(candidates: Array[(String, String, Long)],
+                                   sawWholeTable: Boolean): Seq[(String, String)] = {
+    val accepted = Vector.newBuilder[(String, String, Long)]
+    var used = Set.empty[String]
+    var stopCount = -1L
+    var stopped = false
+    var i = 0
+    while (i < candidates.length && !stopped) {
+      val (l, r, c) = candidates(i)
+      if (used(l) || used(r) || used.contains(l + r)) {
+        stopCount = c; stopped = true
+      } else {
+        accepted += ((l, r, c))
+        used = used + l + r + (l + r)
+        i += 1
+      }
+    }
+    // unseen tail of a truncated collect could conflict: bound by the
+    // last visible count unless we saw the whole table
+    if (!stopped && !sawWholeTable && candidates.nonEmpty)
+      stopCount = candidates.last._3
+    val all = accepted.result()
+    val safe =
+      if (stopCount < 0) all // whole table was disjoint — all safe
+      else all.filter(_._3 > stopCount)
+    // always make progress: the head alone is the plain sequential argmax
+    val batch = if (safe.isEmpty) all.take(1) else safe
+    batch.map { case (l, r, _) => (l, r) }
+  }
+
+  /** The greedy disjoint batch: walk the sorted candidates, SKIP any
+    * that touches a symbol (or concatenation) an earlier accepted one
+    * touches, accept the rest. Rounds drop ~|batch|× but the merge
+    * sequence may differ from sequential BPE: a skipped pair would
+    * sometimes have been the sequential argmax after its count decayed,
+    * and pairs created by earlier batch members are not visible until
+    * the next round. The divergence is bounded in rank, not content —
+    * every accepted pair was within the top `batchK` of its round
+    * (ScaleProbe measures the realized merge-set overlap vs
+    * sequential: 0.848 over a 1000-merge train on the 100k-word probe
+    * vocab at batchK=64, with 6.5× fewer driver round-trips and 7.8×
+    * lower wall-clock).
+    */
+  private[graft] def greedyBatch(candidates: Array[(String, String, Long)],
+                                 maxAccept: Int): Seq[(String, String)] = {
+    val accepted = Vector.newBuilder[(String, String)]
+    var used = Set.empty[String]
+    var n = 0
+    var i = 0
+    while (i < candidates.length && n < maxAccept) {
+      val (l, r, _) = candidates(i)
+      if (!used(l) && !used(r) && !used.contains(l + r)) {
+        accepted += ((l, r))
+        used = used + l + r + (l + r)
+        n += 1
+      }
+      i += 1
+    }
+    accepted.result()
+  }
+
   /** [[train]] with the per-merge pair count as a DISTRIBUTED
     * aggregate, for word tables too large to collect: the symbol-array
-    * word table stays a DataFrame; each iteration runs
+    * word table stays a DataFrame; each round runs
     * explode(adjacent pairs) → map-side-combined `sum(freq)` →
-    * `TakeOrdered(1)` (count desc, left asc, right asc — the same exact
-    * integer tie-break as the driver loop, so the merge sequences are
-    * byte-identical), then rewrites ONLY the words that can contain the
-    * winning pair (a codegen'd `array_contains` guard gates the
-    * row-local merge UDF). Per-merge cost is one linear scan of the
-    * distinct-word table — flat in the number of merges learned so far;
-    * `localCheckpoint` every `checkpointEvery` merges cuts the plan
-    * lineage so iteration N doesn't replan N UDF layers.
+    * `TakeOrdered(batchK)` (count desc, left asc, right asc — the same
+    * exact integer tie-break as the driver loop), accepts a batch of
+    * merges, and rewrites the words once per round with the whole
+    * batch. Per-round cost is one linear scan of the distinct-word
+    * table; `localCheckpoint` every `checkpointEvery` rounds cuts the
+    * plan lineage so round N doesn't replan N UDF layers.
+    *
+    * `exact = true` (default) accepts only the provably
+    * order-preserving prefix ([[safeBatch]]) — byte-identical output
+    * to the sequential loop, but real vocabularies' top pairs share
+    * symbols, so batches collapse to ~1 and round-trips stay
+    * ~numMerges. `exact = false` accepts the greedy disjoint set
+    * ([[greedyBatch]]) — ~batchK merges per round, the difference
+    * between 32k driver round-trips and ~hundreds for a production
+    * vocabulary, at the cost of a documented local reordering of the
+    * merge sequence.
     *
     * Use [[train]] when the top-`maxVocabRows` truncation is acceptable
     * (it collects one bounded top-k and runs zero jobs per merge);
     * use this when vocabulary must not be driver-bounded.
     */
   def trainDistributed(wordFreqs: DataFrame, numMerges: Int,
-                       checkpointEvery: Int = 8): Seq[Merge] = {
+                       checkpointEvery: Int = 8, batchK: Int = 64,
+                       exact: Boolean = true): Seq[Merge] = {
     require(numMerges > 0, s"numMerges ($numMerges) must be positive")
     require(checkpointEvery > 0, s"checkpointEvery ($checkpointEvery) must be positive")
+    require(batchK > 0, s"batchK ($batchK) must be positive")
     val seed = udf((w: String) => codePoints(w).toSeq)
     var cur = wordFreqs
       .select(seed(col("word")).as("syms"), col("freq").cast("long").as("freq"))
       .localCheckpoint(eager = false)
     val merges = Vector.newBuilder[Merge]
     var rank = 0
+    var round = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
-      val pairs = cur
+      val top = cur
         .select(col("freq"), explode(
           when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1), i =>
@@ -155,17 +247,22 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (pairs.isEmpty) exhausted = true // every word fully merged
+        .limit(batchK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true // every word fully merged
       else {
-        val (l, r) = (pairs(0).getString(0), pairs(0).getString(1))
-        merges += Merge(rank, l, r)
-        val applyM = udf((syms: Seq[String]) => applyMerge(syms.toArray, l, r).toSeq)
-        cur = cur.withColumn("syms",
-          when(array_contains(col("syms"), l) && array_contains(col("syms"), r),
-            applyM(col("syms"))).otherwise(col("syms")))
-        rank += 1
-        if (rank % checkpointEvery == 0) cur = cur.localCheckpoint(eager = false)
+        val batch = (if (exact) safeBatch(top, sawWholeTable = top.length < batchK)
+                     else greedyBatch(top, numMerges - rank))
+          .take(numMerges - rank)
+        batch.foreach { case (l, r) => merges += Merge(rank, l, r); rank += 1 }
+        val applyAll = udf { (syms: Seq[String]) =>
+          var out = syms.toArray
+          batch.foreach { case (l, r) => out = applyMerge(out, l, r) }
+          out.toSeq
+        }
+        cur = cur.withColumn("syms", applyAll(col("syms")))
+        round += 1
+        if (round % checkpointEvery == 0) cur = cur.localCheckpoint(eager = false)
       }
     }
     merges.result()

@@ -48,6 +48,72 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("safeBatch: conflicting candidate stops the prefix; ties truncate") {
+    // (a,b)=10 then (b,c)=8 conflicts on 'b' → batch = [(a,b)] (10 > 8)
+    assert(Bpe.safeBatch(Array(("a","b",10L), ("b","c",8L)), true)
+      === Seq(("a","b")))
+    // disjoint but TIED with the stop candidate → strict truncation
+    // drops it, head survives as the fallback
+    assert(Bpe.safeBatch(Array(("a","b",10L), ("c","d",8L), ("b","x",8L)), true)
+      === Seq(("a","b")))
+    // concat collision: (x, ab) touches the symbol (a,b) creates
+    assert(Bpe.safeBatch(Array(("a","b",10L), ("x","ab",6L)), true)
+      === Seq(("a","b")))
+    // fully disjoint whole table → everything accepted
+    assert(Bpe.safeBatch(Array(("a","b",10L), ("c","d",8L), ("e","f",8L)), true)
+      === Seq(("a","b"), ("c","d"), ("e","f")))
+    // truncated collect: last visible count bounds the unseen tail
+    assert(Bpe.safeBatch(Array(("a","b",10L), ("c","d",8L)), false)
+      === Seq(("a","b")))
+  }
+
+  test("greedyBatch skips conflicts and keeps accepting; exact=false still learns") {
+    // unlike safeBatch, a conflict is skipped, not a stop
+    assert(Bpe.greedyBatch(Array(("a","b",10L), ("b","c",8L), ("d","e",6L)), 10)
+      === Seq(("a","b"), ("d","e")))
+    assert(Bpe.greedyBatch(Array(("a","b",10L), ("x","ab",6L), ("c","d",5L)), 10)
+      === Seq(("a","b"), ("c","d")))
+    assert(Bpe.greedyBatch(Array(("a","b",10L), ("c","d",8L)), 1)
+      === Seq(("a","b")))
+    // end-to-end: greedy mode learns numMerges well-formed merges and
+    // its tokenizer still compresses. (Merge-SET closeness to
+    // sequential is a LARGE-vocab property — on a toy corpus greedy
+    // grabs breadth where sequential builds chains, so overlap is
+    // meaningless here; ScaleProbe's bpe section measures it at 100k
+    // vocab: 0.848 at batchK=64.)
+    val docs = Seq((1L, "low low lower lowest new newer newest wide wider")).toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs, "text")
+    val greedyM = Bpe.trainDistributed(wf, numMerges = 8, exact = false)
+    assert(greedyM.size === 8)
+    assert(greedyM.map(_.rank) === (0 until 8))
+    // every learned merge joins symbols that existed when it was ranked
+    val counts = Bpe.tokenCount(docs, "text", greedyM)
+      .select("n_words", "n_bpe_tokens").as[(Int, Int)].collect()(0)
+    assert(counts._2 < counts._1 * 5, "greedy tokenizer failed to compress")
+  }
+
+  test("batched trainDistributed equals sequential train on random tie-heavy corpora") {
+    // small alphabet + short words + duplicates = dense ties, overlap
+    // runs (aaa), and chained merges — the cases where an unsound batch
+    // rule diverges. Byte-identical equality across batch sizes is the
+    // strongest evidence safeBatch preserves the sequential order.
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(4 + rnd.nextInt(12)) {
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val text = Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val wf = Bpe.wordFrequencies(docs, "text").cache()
+      val seqM = Bpe.train(wf, numMerges = 10)
+      for (k <- Seq(2, 8, 64)) {
+        val batM = Bpe.trainDistributed(wf, numMerges = 10, batchK = k)
+        assert(seqM === batM, s"seed=$seed batchK=$k corpus=$text")
+      }
+      wf.unpersist()
+    }
+  }
+
   test("code-point seeding: non-BMP characters stay whole symbols") {
     // UTF-16 "🙂".map(_.toString) would shear the emoji into two lone
     // surrogates; both training paths and encodeWord must keep it whole
