@@ -323,6 +323,58 @@ object ScaleProbe {
       wf.unpersist()
     }
 
+    if (section("funnel")) {
+      // Round-8: the COMPOSED pipelines (q91 dedup keep-best, q99
+      // curation funnel) at 10×/100×. Per-stage probes (curation3)
+      // bound each stage alone; composition is where cap interactions
+      // (LSH bucket cap × cluster size × keep rule; hash-join fan-in
+      // of four verdict branches) could reintroduce a super-linear
+      // tail invisible per-stage. Exact-twin replication remains the
+      // candidate-stage worst case.
+      import graft.operators.{Curation, Dedup}
+      val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      for (mult <- Seq(10, 100)) {
+        val docs = replicate(docs0, "doc_id", mult)
+        // q91 composition: LSH pairs → connected components → keep-best
+        // (cap scales ×mult as the operator contract prescribes for a
+        // corpus duplicated ×mult — same rule as the curation3 rows)
+        timedCount(s"keep-best ${mult}x docs",
+          {
+            val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+              shingleN = 3, numHashes = 12, bands = 6, threshold = 0.3,
+              maxBandBucket = 50 * mult)
+            val clusters = Dedup.dupClusters(pairs.select(col("id_a"), col("id_b")))
+            Dedup.dedupKeepBest(docs, "doc_id", clusters, length(col("text")))
+              .filter(xxhash64(col("cluster_id"), col("is_kept")) =!= 42)
+          })
+        // q99 composition: gopher ∧ blocklist ∧ exact-dedup canonical ∧
+        // stratified split — four scan/agg branches joined on doc_id
+        timedCount(s"funnel    ${mult}x docs",
+          {
+            val g = Curation.gopherRules(docs, "doc_id", "text", stop)
+              .select(col("doc_id"), col("passes_gopher"))
+            val b = Curation.blocklistFilter(docs, "doc_id", "text", Seq("dup"))
+              .select(col("doc_id"), col("passes_blocklist"))
+            val keepers = Dedup.exact(docs, md5(col("text")), "doc_id")
+              .select(col("content_hash"), col("keeper_id"))
+            val sp = Curation.stratifiedSplit(docs, "text")
+              .select(col("doc_id"), col("split"))
+            docs.select(col("doc_id"), md5(col("text")).as("__h"))
+              .join(keepers, col("__h") === col("content_hash"), "left")
+              .select(col("doc_id"),
+                (col("doc_id") === col("keeper_id")).as("is_canonical"))
+              .join(g, Seq("doc_id")).join(b, Seq("doc_id")).join(sp, Seq("doc_id"))
+              .withColumn("selected",
+                col("passes_gopher") && col("passes_blocklist") &&
+                  col("is_canonical") && col("split") === "train")
+              .filter(xxhash64(col("selected"), col("split")) =!= 42)
+          })
+        docs.unpersist()
+      }
+    }
+
     if (section("curation2")) {
       // round-6 session-3 ops. Replication makes every copy an exact
       // twin, so EVERY window/segment is corpus-duplicated — the probe
