@@ -3433,6 +3433,193 @@ object Queries {
         JOIN b USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** (q102) Per-source tokenizer fertility under the corpus-fit BPE
+    * (q87's tokenizer): subword-per-word ratio by source — the
+    * which-sources-pay-more-tokens audit. Oracle = q87's recursive-CTE
+    * BPE replay aggregated by source; fertility is one exact
+    * long/long → double division on both engines.
+    */
+  val q102BpeFertility = Q(
+    "q102_tx_bpe_fertility",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.train(
+        operators.Bpe.wordFrequencies(docs, "text"), numMerges = 50)
+      operators.Bpe.fertilityBySource(docs, "text", "source", merges)
+        .orderBy("source")
+    },
+    Some("""
+      WITH RECURSIVE wf AS (
+        SELECT word, COUNT(*)::BIGINT AS freq FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+          FROM documents WHERE text IS NOT NULL) WHERE len(word) > 0
+        GROUP BY word
+      ),
+      seeded AS (
+        SELECT '  ' || array_to_string(regexp_split_to_array(word, ''), '  ')
+          || '  ' AS w, freq
+        FROM wf
+      ),
+      bpe(iter, w, freq) AS (
+        SELECT 0, w, freq FROM seeded
+        UNION ALL
+        SELECT iter + 1,
+          replace(w, ' ' || best.l || '  ' || best.r || ' ',
+                     ' ' || best.l || best.r || ' '),
+          freq
+        FROM bpe CROSS JOIN (
+          SELECT l, r FROM (
+            SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+            FROM (SELECT list_filter(string_split(w, '  '), x -> x <> '')
+                    AS syms, freq FROM bpe),
+              LATERAL unnest(range(1, len(syms))) t(i)
+            GROUP BY 1, 2)
+          ORDER BY c DESC, l, r LIMIT 1) best
+        WHERE iter < 50
+      ),
+      merges AS (
+        SELECT iter AS rank, l, r FROM (
+          SELECT iter, l, r, row_number() OVER (
+              PARTITION BY iter ORDER BY c DESC, l, r) AS rn
+          FROM (
+            SELECT iter, syms[i] AS l, syms[i+1] AS r, SUM(freq) AS c
+            FROM (SELECT iter, list_filter(string_split(w, '  '), x -> x <> '')
+                    AS syms, freq
+                  FROM bpe WHERE iter < 50),
+              LATERAL unnest(range(1, len(syms))) t(i)
+            GROUP BY 1, 2, 3))
+        WHERE rn = 1
+      ),
+      enc(w0, w) AS (
+        SELECT word, '  ' || array_to_string(regexp_split_to_array(word, ''), '  ')
+          || '  ' FROM wf
+        UNION ALL
+        SELECT w0,
+          substr(w, 1, p - 1) || ' ' || l || r || ' ' ||
+            substr(w, p + len(' ' || l || '  ' || r || ' '))
+        FROM (
+          SELECT w0, w, b.l AS l, b.r AS r,
+            strpos(w, ' ' || b.l || '  ' || b.r || ' ') AS p
+          FROM enc, LATERAL (
+            SELECT l, r FROM merges
+            WHERE strpos(w, ' ' || l || '  ' || r || ' ') > 0
+            ORDER BY rank LIMIT 1) b(l, r))
+      ),
+      final AS (
+        SELECT w0, w FROM enc e
+        WHERE NOT EXISTS (SELECT 1 FROM merges m
+          WHERE strpos(e.w, ' ' || m.l || '  ' || m.r || ' ') > 0)
+      ),
+      word_tokens AS (
+        SELECT w0 AS word,
+          len(list_filter(string_split(w, '  '), x -> x <> '')) AS n_sub
+        FROM final
+      ),
+      doc_words AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+          FROM documents WHERE text IS NOT NULL) WHERE len(word) > 0
+      ),
+      per_doc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+          CAST(SUM(n_sub) AS BIGINT) AS n_bpe
+        FROM doc_words JOIN word_tokens USING (word) GROUP BY doc_id
+      )
+      SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+        CAST(SUM(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
+        CAST(SUM(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe_tokens,
+        CASE WHEN SUM(coalesce(p.n_words, 0)) > 0 THEN
+          CAST(SUM(coalesce(p.n_bpe, 0)) AS DOUBLE)
+            / CAST(SUM(coalesce(p.n_words, 0)) AS DOUBLE) END AS fertility
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
+  /** (q103) Temperature-flattened mixture (α = 0.5): targets ∝
+    * ⌊√mass⌋ (exact integer sqrt, exact HUGEINT floor division —
+    * Packing.temperatureMix scaladoc), selection by the q101 integer
+    * hash-threshold. Every source participates (flattening), so the
+    * gate exercises mid-rate splits on all 20 sources.
+    */
+  val q103TemperatureMix = Q(
+    "q103_s_temperature_mix",
+    (s, dir) =>
+      graft.operators.Packing.temperatureMix(t(s, dir, "documents"),
+        "doc_id", "text", "source", budgetTokens = 5000L)
+        .orderBy("doc_id"),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+            AS n_tokens
+        FROM documents),
+      m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+            FROM tk GROUP BY source),
+      iq AS (SELECT source, src_tokens,
+               CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS q
+             FROM m),
+      den AS (SELECT CAST(SUM(q) AS HUGEINT) AS d FROM iq),
+      w AS (SELECT source, src_tokens,
+              CAST((CAST(5000 AS HUGEINT) * CAST(q AS HUGEINT)) // den.d
+                AS BIGINT) AS tgt_tokens
+            FROM iq CROSS JOIN den),
+      b AS (SELECT doc_id,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'),
+                1, 15))::BIGINT % 1000000 AS bucket
+            FROM documents)
+      SELECT tk.doc_id, tk.source, CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+        w.src_tokens, w.tgt_tokens,
+        CAST(b.bucket AS HUGEINT) * w.src_tokens <
+          CAST(w.tgt_tokens AS HUGEINT) * 1000000 AS selected
+      FROM tk JOIN w USING (source) JOIN b USING (doc_id)
+      ORDER BY tk.doc_id"""))
+
+  /** (q104) Bigram-LM document scoring (order-1 CCNet proxy, one up
+    * from q83's unigram): add-one-smoothed transition log-probs,
+    * ⌊10⁶·ln⌋-quantized per transition then long-summed per doc —
+    * partition-order free; the mean is two exact-input double
+    * divisions (Curation.bigramScore scaladoc).
+    */
+  val q104BigramLp = Q(
+    "q104_tx_bigram_lp",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.bigramScore(docs, Curation.fitBigramLm(docs, "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM documents WHERE text IS NOT NULL),
+      tr AS (
+        SELECT doc_id, t[i] AS t1, t[i+1] AS t2
+        FROM tk, LATERAL unnest(range(1, len(t))) u(i)
+        WHERE len(t) >= 2),
+      c12 AS (SELECT t1, t2, COUNT(*)::BIGINT AS c12 FROM tr GROUP BY 1, 2),
+      c1 AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      vv AS (SELECT COUNT(DISTINCT x)::BIGINT AS v FROM
+               (SELECT unnest(t) AS x FROM tk)),
+      sc AS (
+        SELECT tr.doc_id, COUNT(*)::BIGINT AS n_trans,
+          CAST(SUM(CAST(floor(1000000.0 * ln(
+            CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + vv.v AS DOUBLE)))
+            AS BIGINT)) AS BIGINT) AS lpq
+        FROM tr JOIN c12 USING (t1, t2) JOIN c1 USING (t1) CROSS JOIN vv
+        GROUP BY tr.doc_id)
+      SELECT d.doc_id,
+        coalesce(sc.n_trans, 0) AS n_trans,
+        coalesce(sc.lpq, 0) AS bigram_lp_q,
+        CASE WHEN sc.n_trans > 0 THEN
+          (CAST(sc.lpq AS DOUBLE) / 1000000.0) / CAST(sc.n_trans AS DOUBLE)
+          END AS bigram_lp_mean
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3460,5 +3647,6 @@ object Queries {
     q88ParagraphDedup, q89SemDedup, q90Blocklist, q91KeepBest,
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
     q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel,
-    q100DsirWeights, q101BudgetSample)
+    q100DsirWeights, q101BudgetSample, q102BpeFertility,
+    q103TemperatureMix, q104BigramLp)
 }

@@ -329,4 +329,25 @@ object Bpe {
       .withColumn("n_bpe_tokens",
         when(col("bpe_tokens").isNull, lit(0)).otherwise(size(col("bpe_tokens"))))
       .drop("bpe_tokens")
+
+  /** Per-source tokenizer fertility (subword tokens per word) — the
+    * "which sources does this tokenizer serve badly" audit every
+    * multilingual/multi-domain pipeline runs after fitting a
+    * tokenizer: a source whose fertility is far above the corpus mean
+    * pays disproportionate sequence length for the same text, which
+    * skews both the token budget ([[Packing]]) and training mixture
+    * weights. One scan ([[tokenCount]]'s encode) + one hash aggregate
+    * on source; the fertility division is two exact longs → DOUBLE,
+    * bit-identical cross-engine.
+    */
+  def fertilityBySource(docs: DataFrame, textCol: String, srcCol: String,
+                        merges: Seq[Merge]): DataFrame =
+    tokenCount(docs, textCol, merges)
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_words"),
+        sum(col("n_bpe_tokens").cast("long")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_bpe_tokens").cast("double") / col("n_words").cast("double")))
 }

@@ -576,4 +576,86 @@ object Curation {
         round(coalesce(col("weight_q"), lit(0L)).cast("double") /
           lit(1000000.0), 6).as("dsir_weight"))
   }
+
+  /** Adjacent token transitions (t1, t2) per row of `docs` — the shared
+    * explode for [[fitBigramLm]] (corpus counts) and [[bigramScore]]
+    * (per-doc scoring). Empty/blank/null text yields no rows.
+    */
+  private def transitions(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = filter(TextFns.tokens(col(textCol)), t => length(t) > 0)
+    docs.select(col(idCol),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            struct(element_at(toks, i).as("t1"),
+              element_at(toks, i + 1).as("t2"))))
+          .otherwise(array().cast("array<struct<t1:string,t2:string>>")))
+          .as("__tr"))
+      .select(col(idCol), col("__tr.t1").as("t1"), col("__tr.t2").as("t2"))
+  }
+
+  /** Order-1 (bigram) corpus LM with add-one smoothing — the next step
+    * up from [[fitUnigramLm]]'s order-0 CCNet proxy: transition
+    * probability P(t2|t1) = (c12+1)/(c1+V) where c12 = corpus count of
+    * the bigram, c1 = count of transitions leaving t1, V = unigram
+    * vocabulary size. Returns (t1, t2, c12, c1, v) — counts, not
+    * probabilities, so [[bigramScore]] can smooth unseen bigrams and
+    * unseen contexts consistently (c12=0 / c1=0 fall out of the same
+    * formula).
+    *
+    * Plan: one transition explode → map-side-combined count; context
+    * counts are a second aggregate OF THE COUNTS (vocab-bounded, not
+    * corpus-bounded); V rides in as a broadcast scalar. The bigram
+    * frame is localCheckpoint'd — it is read twice downstream (bigram
+    * join + context derivation), same compute-once contract as
+    * [[fitUnigramLm]].
+    */
+  def fitBigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val c12 = transitions(docs.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(filter(TextFns.tokens(col(textCol)),
+        t => length(t) > 0)).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    c12.join(c1, Seq("t1")).crossJoin(broadcast(vocab))
+  }
+
+  /** Per-document bigram log-probability under a [[fitBigramLm]] model.
+    * Determinism contract (importanceWeights' trick at order 1): each
+    * transition's log-prob is quantized ONCE to a long,
+    * ⌊10⁶·ln((c12+1)/(c1+V))⌋, and the document score is the LONG sum —
+    * partition-order free, and the mean `(Σq/10⁶)/n_trans` is two
+    * exact-input double divisions, bit-identical in DuckDB. Unseen
+    * bigrams of a seen context smooth to 1/(c1+V); unseen contexts to
+    * 1/V — both from the same coalesced formula, so scoring a NEW batch
+    * against a frozen corpus model is well-defined.
+    */
+  def bigramScore(docs: DataFrame, lm: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val tr = transitions(docs, idCol, textCol)
+    val ctx = lm.select(col("t1"), col("c1")).dropDuplicates("t1")
+    val scalarV = lm.select(max(col("v")).as("__v"))
+    val scored = tr
+      .join(lm.select(col("t1"), col("t2"), col("c12")), Seq("t1", "t2"), "left")
+      .join(ctx, Seq("t1"), "left")
+      .crossJoin(broadcast(scalarV))
+      .withColumn("__lpq",
+        floor(lit(1000000.0) * log(
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double")))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lpq")).as("bigram_lp_q"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("bigram_lp_q"), lit(0L)).as("bigram_lp_q"),
+        when(col("n_trans") > 0,
+          (col("bigram_lp_q").cast("double") / lit(1000000.0)) /
+            col("n_trans").cast("double"))
+          .as("bigram_lp_mean"))
+  }
 }

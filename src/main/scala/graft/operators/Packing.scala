@@ -160,18 +160,29 @@ object Packing {
     require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be positive")
     require(weights.values.forall(w => w >= 0 && w.isFinite),
       "weights must be finite and non-negative")
-    import docs.sparkSession.implicits._
     // Exact ⌊budget·w⌋: BigDecimal(w) takes the DECIMAL rendering of the
     // double (0.3 means 3/10, not the nearest binary64), so the target
     // matches an oracle computing budget·w in exact decimal for ANY
     // budget — double multiplication can land one ulp under the rational
     // product and floor to budget·w − 1.
-    val targets = weights.toSeq
-      .map { case (s, w) =>
+    sampleToTargets(docs, idCol, textCol, srcCol,
+      weights.map { case (s, w) =>
         (s, (BigDecimal(w) * BigDecimal(budgetTokens))
           .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
-      }
-      .toDF(srcCol, "tgt_tokens")
+      })
+  }
+
+  /** [[sampleToBudget]]'s selection stage with EXPLICIT per-source token
+    * targets — the shared exact-integer kernel: accept ⇔
+    * bucket(doc)·tokens_s < target_s·10⁶ in decimal(38,0). A source
+    * absent from `targets` keeps nothing.
+    */
+  def sampleToTargets(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    require(targets.values.forall(_ >= 0), "targets must be non-negative")
+    import docs.sparkSession.implicits._
+    val tgt = targets.toSeq.toDF(srcCol, "tgt_tokens")
     val mass = docs.groupBy(col(srcCol))
       .agg(sum(graft.functions.TextFns.tokenCount(col(textCol))).as("src_tokens"))
     val bucket = pmod(
@@ -181,7 +192,7 @@ object Packing {
       .withColumn("n_tokens",
         graft.functions.TextFns.tokenCount(col(textCol)).cast("long"))
       .join(broadcast(mass), Seq(srcCol))
-      .join(broadcast(targets), Seq(srcCol), "left")
+      .join(broadcast(tgt), Seq(srcCol), "left")
       .withColumn("selected",
         bucket.cast("decimal(38,0)") *
           col("src_tokens").cast("decimal(38,0)") <
@@ -190,5 +201,43 @@ object Packing {
       .select(col(idCol), col(srcCol), col("n_tokens"),
         col("src_tokens"), coalesce(col("tgt_tokens"), lit(0L)).as("tgt_tokens"),
         col("selected"))
+  }
+
+  /** Temperature-flattened mixture at α = 0.5 (the multilingual
+    * up-sampling exponent family of mBERT/XLM: target share ∝ mass^α,
+    * flattening the head sources and up-weighting the tail): per-source
+    * targets are ⌊budget · isqrt(mass_s) / Σ isqrt(mass)⌋ with
+    * isqrt = ⌊√mass⌋ computed on EXACT integer masses — integer-sqrt
+    * quantization of the weight (relative error < 1/√mass, vanishing at
+    * corpus scale) buys fully exact cross-engine arithmetic: both
+    * engines' correctly-rounded sqrt floors to the true isqrt for any
+    * mass < 2⁵² (safe past 100 TB token masses), and the target
+    * division is one exact BigInt/HUGEINT floor. Selection delegates to
+    * [[sampleToTargets]].
+    *
+    * One bounded driver collect (per-source masses — source cardinality
+    * rows) is required to compile the targets into the plan, mirroring
+    * [[sampleToBudget]]'s broadcast-targets shape.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be positive")
+    val masses = docs.groupBy(col(srcCol))
+      .agg(sum(graft.functions.TextFns.tokenCount(col(textCol))).cast("long")
+        .as("__m"))
+      .collect() // one row per source — bounded
+      .map(r => (r.getString(0), math.max(r.getLong(1), 0L)))
+    require(masses.nonEmpty, "temperatureMix: empty corpus")
+    val isqrt = masses.map { case (s, m) =>
+      require(m < (1L << 52), s"source $s mass $m >= 2^52: isqrt contract broken")
+      (s, math.floor(math.sqrt(m.toDouble)).toLong)
+    }
+    val denom = isqrt.map(x => BigInt(x._2)).sum
+    val targets =
+      if (denom == 0) isqrt.map { case (s, _) => (s, 0L) }.toMap
+      else isqrt.map { case (s, q) =>
+        (s, ((BigInt(budgetTokens) * BigInt(q)) / denom).toLong)
+      }.toMap
+    sampleToTargets(docs, idCol, textCol, srcCol, targets)
   }
 }

@@ -136,6 +136,28 @@ class BpeSpec extends SparkSpec {
       s"lone surrogate half in $enc")
   }
 
+  test("fertilityBySource: hand-computed subword/word ratios per source") {
+    // merge (a,b) only → "ab"→1 token, "abab"→2 ("ab","ab" — the pass
+    // then priority encode both give 2), "c"→1
+    val docs = Seq(
+      (1L, "ab ab", "s1"),      // 2 words → 2 bpe tokens
+      (2L, "abab c", "s1"),     // 2 words → 3 bpe tokens
+      (3L, "", "s2"),           // 0 words
+      (4L, null.asInstanceOf[String], "s2")
+    ).toDF("doc_id", "text", "source")
+    val merges = Seq(Merge(0, "a", "b"))
+    val r = Bpe.fertilityBySource(docs, "text", "source", merges)
+      .orderBy("source").collect()
+    assert(r(0).getAs[String]("source") === "s1")
+    assert(r(0).getAs[Long]("n_docs") === 2L)
+    assert(r(0).getAs[Long]("n_words") === 4L)
+    assert(r(0).getAs[Long]("n_bpe_tokens") === 5L)
+    assert(r(0).getAs[Double]("fertility") === 1.25)
+    assert(r(1).getAs[String]("source") === "s2")
+    assert(r(1).getAs[Long]("n_words") === 0L)
+    assert(r(1).isNullAt(r(1).fieldIndex("fertility")))
+  }
+
   test("encodeWord applies merges by rank priority, not left-to-right") {
     val ranks = Map(("l", "o") -> 0, ("lo", "w") -> 1, ("low", "e") -> 2)
     assert(Bpe.encodeWord("lowest", ranks) === Seq("lowe", "s", "t"))

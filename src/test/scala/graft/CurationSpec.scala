@@ -463,6 +463,45 @@ class CurationSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("dsir_weight_q") <= 0L))
   }
 
+  test("bigramScore: hand-computed add-one smoothing, short docs, OOV") {
+    // corpus: "a b a b" + "a c" + "x". transitions: (a,b)x2, (b,a)x1,
+    // (a,c)x1. c1: a·=3, b·=1. V = 4 (a, b, c, x — the single-token doc
+    // still contributes to the unigram vocabulary).
+    //   lp(a,b) = ln(3/7), lp(b,a) = ln(2/5), lp(a,c) = ln(2/7)
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"), (4L, "")).toDF("doc_id", "text")
+    val lm = Curation.fitBigramLm(docs, "text")
+    val r = Curation.bigramScore(docs, lm, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def q(p: Double) = math.floor(1e6 * math.log(p)).toLong
+    assert(r(0).getAs[Long]("n_trans") === 3L)
+    assert(r(0).getAs[Long]("bigram_lp_q") === 2 * q(3.0 / 7) + q(2.0 / 5))
+    assert(r(1).getAs[Long]("n_trans") === 1L)
+    assert(r(1).getAs[Long]("bigram_lp_q") === q(2.0 / 7))
+    // single-token and empty docs: no transitions, mean null
+    assert(r(2).getAs[Long]("n_trans") === 0L)
+    assert(r(2).isNullAt(r(2).fieldIndex("bigram_lp_mean")))
+    assert(r(3).getAs[Long]("bigram_lp_q") === 0L)
+    // scoring a NEW batch: unseen bigram with seen context (a,a) →
+    // ln(1/(3+4)); unseen context (z,z) → ln(1/4)
+    val novel = Seq((10L, "a a"), (11L, "z z")).toDF("doc_id", "text")
+    val n = Curation.bigramScore(novel, lm, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(n(0).getAs[Long]("bigram_lp_q") === q(1.0 / 7))
+    assert(n(1).getAs[Long]("bigram_lp_q") === q(1.0 / 4))
+  }
+
+  test("bigramScore: partition-order free (1 vs 17 partitions)") {
+    val docs = (1L to 80L)
+      .map(i => (i, s"t${i % 5} t${i % 7} t${i % 5} t${i % 3}"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val lm = Curation.fitBigramLm(df, "text")
+      Curation.bigramScore(df, lm, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(run(docs.coalesce(1)) === run(docs.repartition(17)))
+  }
+
   test("importanceWeights: partition-order free (1 vs 17 partitions)") {
     val docs = (1L to 60L)
       .map(i => (i, s"tok${i % 7} tok${i % 11} shared", s"src${i % 3}"))

@@ -119,6 +119,37 @@ class PackingSpec extends SparkSpec {
     assert(r(0).getAs[Boolean]("selected")) // mass 2 ≪ target → keep all
   }
 
+  test("temperatureMix: isqrt-proportional targets, every source participates") {
+    // masses: a=16, b=4, c=1 → isqrt 4,2,1, denom 7
+    // budget 700 → targets ⌊700·4/7⌋=400, ⌊700·2/7⌋=200, ⌊700·1/7⌋=100
+    val docs = Seq(
+      (1L, Seq.fill(16)("w").mkString(" "), "a"),
+      (2L, Seq.fill(4)("w").mkString(" "), "b"),
+      (3L, "w", "c")).toDF("doc_id", "text", "source")
+    val r = Packing.temperatureMix(docs, "doc_id", "text", "source", 700L)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => x.getAs[String]("source") -> x.getAs[Long]("tgt_tokens")).toMap
+      === Map("a" -> 400L, "b" -> 200L, "c" -> 100L))
+    // α=0.5 flattening: the raw-mass share of a is 16/21 ≈ 0.76, the
+    // flattened share is 4/7 ≈ 0.57 — tail sources gained
+    assert(r.forall(_.getAs[Long]("tgt_tokens") > 0L))
+  }
+
+  test("temperatureMix: deterministic, partition-order free, empty corpus rejected") {
+    val docs = (1L to 120L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), s"s${i % 5}"))
+      .toDF("doc_id", "text", "source")
+    val one = Packing.temperatureMix(docs.coalesce(1), "doc_id", "text",
+      "source", 200L).orderBy("doc_id").collect().toSeq
+    val many = Packing.temperatureMix(docs.repartition(13), "doc_id", "text",
+      "source", 200L).orderBy("doc_id").collect().toSeq
+    assert(one === many)
+    intercept[IllegalArgumentException] {
+      Packing.temperatureMix(docs.filter(col("doc_id") < 0), "doc_id", "text",
+        "source", 200L)
+    }
+  }
+
   test("sampleToBudget: deterministic and partition-order free") {
     val docs = (1L to 200L)
       .map(i => (i, Seq.fill((i % 9 + 1).toInt)("w").mkString(" "), s"src${i % 4}"))
