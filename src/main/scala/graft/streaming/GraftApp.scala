@@ -382,6 +382,14 @@ object GraftApp {
       Curation.perplexityBuckets(docs,
         Curation.fitUnigramLm(docs, "text"), "doc_id", "text")
         .createOrReplaceTempView("v_doc_lm_buckets")
+      // order-1 LM scores (q104's operator) — lazy like the buckets
+      Curation.bigramScore(docs,
+        Curation.fitBigramLm(docs, "text"), "doc_id", "text")
+        .createOrReplaceTempView("v_doc_bigram_lp")
+      // DSIR importance weights vs the first source in the corpus — a
+      // deployment-config placeholder target domain
+      Curation.importanceWeights(docs, "doc_id", "text", "source", "src0")
+        .createOrReplaceTempView("v_doc_dsir")
     }
     read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
     read("events").foreach { ev0 =>

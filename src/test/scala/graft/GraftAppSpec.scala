@@ -99,6 +99,13 @@ class GraftAppSpec extends SparkSpec {
         "SELECT count(*) FROM v_doc_lm_buckets WHERE bucket IN ('head','middle','tail')")
         .collect()(0).getLong(0) ===
         spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      // order-1 LM + DSIR views cover every doc (left-join contract)
+      assert(spark.sql("SELECT count(*) FROM v_doc_bigram_lp")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_doc_dsir")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
       assert(spark.sql("SELECT count(*) FROM v_sessions WHERE n_events > 0")
         .collect()(0).getLong(0) > 0)
       // raw tables are first-class too (join surface for operator calls)
