@@ -3620,6 +3620,43 @@ object Queries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** (q105) Hard-negative mining: per query, top-k corpus items with
+    * cosine in [0.15, 0.35) — near the decision boundary, below the
+    * near-dup band (Similarity.hardNegatives scaladoc). Oracle = q28's
+    * exact-cosine form with the band predicate.
+    */
+  val q105HardNegatives = Q(
+    "q105_ann_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 3, minCos = 0.15, maxCos = 0.35)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id < 5),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0) AS cos
+        FROM q JOIN c ON query_id <> neighbor_id),
+      banded AS (SELECT * FROM scored WHERE cos >= 0.15 AND cos < 0.35)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank,
+        neighbor_id, round(cos, 6) AS cos_r
+      FROM banded
+      QUALIFY rank <= 3
+      ORDER BY query_id, rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3648,5 +3685,5 @@ object Queries {
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
     q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel,
     q100DsirWeights, q101BudgetSample, q102BpeFertility,
-    q103TemperatureMix, q104BigramLp)
+    q103TemperatureMix, q104BigramLp, q105HardNegatives)
 }

@@ -58,6 +58,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar corpus items whose cosine falls in
+    * [minCos, maxCos) — similar enough to be informative negatives,
+    * below the near-duplicate band that would make them false
+    * negatives. The canonical retrieval-training data op (DPR/ANCE
+    * family: negatives mined near the decision boundary).
+    *
+    * Plan: [[cosineTopK]]'s broadcast-queries scan with the band
+    * predicate pushed BEFORE the rank stage — the corpus is scanned
+    * once, non-band rows never enter the salted top-k aggregate. The
+    * band compare runs on the same double `cosine` both engines
+    * compute identically (q28's contract), so the cut is
+    * oracle-exact.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, minCos: Double,
+                    maxCos: Double): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(minCos < maxCos, s"minCos ($minCos) must be < maxCos ($maxCos)")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") >= minCos && col("cos") < maxCos)
+    topKPerQuery(scored, k)
+  }
+
   /** Global top-k per query over a `(query_id, neighbor_id, cos)` frame
     * — the shared rank stage of every *TopK variant.
     *

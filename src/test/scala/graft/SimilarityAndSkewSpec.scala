@@ -24,6 +24,31 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(top === Set(1L, 2L, 3L))
   }
 
+  test("hardNegatives: band excludes near-dups and dissimilars, keeps the boundary") {
+    // same-axis neighbors of vec 0 have cos ≈ 1 (excluded as near-dups);
+    // cross-axis cos is small but positive (the 0.01 offsets) — the band
+    // must select exactly the cross-axis boundary region
+    val all = Similarity.cosineTopK(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", k = 11)
+      .select(col("neighbor_id"), col("cos")).as[(Long, Double)].collect().toMap
+    val crossCos = all.filter(_._1 >= 4).values
+    val (lo, hi) = (crossCos.min - 0.01, crossCos.max + 0.01)
+    val hn = Similarity.hardNegatives(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", k = 20, minCos = lo, maxCos = hi)
+      .select(col("neighbor_id"), col("cos")).as[(Long, Double)].collect()
+    assert(hn.map(_._1).toSet === all.filter { case (id, c) => c >= lo && c < hi }.keySet)
+    assert(hn.forall { case (id, c) => c >= lo && c < hi && id >= 4 },
+      "same-axis near-dup leaked into the negative band")
+    // ranks descend by cos within the band
+    val ranked = Similarity.hardNegatives(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", k = 3, minCos = lo, maxCos = hi)
+      .orderBy("rank").select("cos").as[Double].collect()
+    assert(ranked.sorted.reverse.toSeq === ranked.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(corpus, corpus, "vec_id", "embedding", 3, 0.5, 0.5)
+    }
+  }
+
   test("topK ties break by neighbor id even across salt groups") {
     // 10 identical corpus vectors: every cosine is 1.0, so the salted
     // local prune must use the SAME (cos desc, id asc) total order as
