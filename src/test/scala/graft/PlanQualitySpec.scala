@@ -464,4 +464,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("rangepartitioning"),
       s"kmeansAssign shuffles the corpus outside the per-id aggregate:\n$plan")
   }
+
+  test("budget/temperature sampling: targets and masses broadcast, corpus never shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (r <- Seq(
+      graft.operators.Packing.sampleToBudget(docs, "doc_id", "text", "source",
+        Map("src0" -> 0.5), 1000L),
+      graft.operators.Packing.temperatureMix(docs, "doc_id", "text", "source",
+        1000L))) {
+      val plan = r.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"per-source frames must broadcast into the corpus scan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"sampling shuffled the corpus:\n$plan")
+    }
+  }
+
+  test("hard negatives broadcast the query side; band filters before the rank stage") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Similarity.hardNegatives(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 3, minCos = 0.1, maxCos = 0.4)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast into the corpus scan:\n$plan")
+    // the band predicate must sit in the scan-side filter, not after
+    // the aggregate: no corpus row outside the band enters a shuffle
+    assert(plan.contains("Filter"), s"band filter missing:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"hardNegatives plans a global sort:\n$plan")
+  }
+
+  test("bigram LM scoring: one transition explode per side, vocab scalar broadcasts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.bigramScore(docs,
+      graft.operators.Curation.fitBigramLm(docs, "text"), "doc_id", "text")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bigramScore plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the 1-row vocab scalar must broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"bigramScore plans a global sort:\n$plan")
+  }
 }
