@@ -140,9 +140,13 @@ object TextFns {
     val toks = tokens(text)
     // size<2 guard also keeps sequence() ascending — sequence(1, 0)
     // would DESCEND through index 0 and trip ANSI array indexing
+    // zip_with(slice, slice) evaluates the token array once per child;
+    // transform/filter + element_at would re-tokenize per element
     when(length(trim(text)) === 0 || size(toks) < 2, lit(0.0)).otherwise(
-      size(filter(sequence(lit(1), size(toks) - 1),
-        i => element_at(toks, i) === element_at(toks, i + 1)))
+      size(filter(
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => a === b),
+        eq => eq))
         .cast("double") / size(toks).cast("double"))
   }
 

@@ -62,9 +62,13 @@ object QualityClassifier {
     // isInCollection broadcasts the mask as a literal set in the plan
     val toks = if (maskTerms.isEmpty) raw
       else filter(raw, t => !t.isInCollection(maskTerms))
+    // zip_with(slice, slice) — NOT transform+element_at: element_at on
+    // an expression-valued array re-inlines the whole tokenization into
+    // every element access (O(n²) re-splitting per row); zip_with
+    // evaluates each array child once
     val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     when(textCol.isNotNull, concat(toks, bigrams))
       .otherwise(array().cast("array<string>"))
