@@ -19,12 +19,25 @@ object Dedup {
 
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Let-binding for Column expressions: evaluates `v` ONCE and hands
+    * the materialized value to `body` as a lambda variable. Without it,
+    * a lambda body referencing an expression-valued array (e.g.
+    * `slice(tokens(text), i, n)` inside transform) re-inlines and
+    * re-evaluates the whole expression on EVERY element access —
+    * O(n²·|text|) re-tokenization per row. Higher-order functions are
+    * interpreted, so no codegen subexpression elimination saves you.
+    */
+  private def letCol(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val cnt  = greatest(size(toks) - lit(n - 1), lit(0))
     when(cnt > 0,
-      array_distinct(transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " "))))
+      letCol(toks)(tk => array_distinct(
+        transform(sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(1))),
+          i => array_join(slice(tk, i, lit(n)), " ")))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -756,8 +769,9 @@ object Dedup {
   def tokenBlocks(text: Column, blockTokens: Int): Column = {
     val toks = tokens(text)
     when(text.isNotNull,
-      transform(sequence(lit(1), greatest(size(toks), lit(1)), lit(blockTokens)),
-        i => array_join(slice(toks, i, lit(blockTokens)), " ")))
+      letCol(toks)(tk =>
+        transform(sequence(lit(1), greatest(size(tk), lit(1)), lit(blockTokens)),
+          i => array_join(slice(tk, i, lit(blockTokens)), " "))))
       .otherwise(array().cast("array<string>"))
   }
 
