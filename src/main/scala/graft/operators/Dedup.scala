@@ -727,7 +727,11 @@ object Dedup {
     // (id, start, key): one row per gramSize-token window; docs shorter
     // than gramSize emit nothing (null text tokenizes to null → the
     // isNotNull guard keeps sequence() from fabricating a window)
-    val windows = docs
+    // snapshot: the window table feeds BOTH the dup-key aggregate and
+    // the join back — without it the corpus explode + per-window hash
+    // (the operator's dominant cost) runs twice (compute-once contract,
+    // [[minHashLsh]])
+    val windows = snapshot(docs
       .select(col(idCol).as("id"), toks.as("__toks"))
       .select(col("id"), explode(
         when(col("__toks").isNotNull && size(col("__toks")) >= gramSize,
@@ -736,7 +740,7 @@ object Dedup {
         col("__toks"))
       .select(col("id"), col("start"),
         gramKeyOf(array_join(slice(col("__toks"), col("start"), lit(gramSize)), " "))
-          .as("__gk"))
+          .as("__gk")))
     val dupKeys = windows.groupBy(col("__gk")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select(col("__gk"))
     val dupStarts = windows.join(dupKeys, Seq("__gk")).select(col("id"), col("start"))
