@@ -3657,6 +3657,275 @@ object Queries {
       QUALIFY rank <= 3
       ORDER BY query_id, rank"""))
 
+  /** (q106) Hybrid retrieval: BM25 lexical top-10 (q97's machinery)
+    * and dense cosine top-10 (q28's) fused by reciprocal-rank fusion
+    * (Retrieval.rrfFuse scaladoc — integer-quantized 10⁹ div (60+rank)
+    * contributions, so the fused ranking is long-exact on both
+    * engines). documents.doc_id and embeddings.vec_id are the same id
+    * space by fixture construction, so the two arms rank the same
+    * corpus through different modalities.
+    */
+  val q106HybridRrf = Q(
+    "q106_ret_hybrid_rrf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = operators.Retrieval.bm25TopK(docs.filter(col("doc_id") < 20),
+        docs, "doc_id", "text", k = 10, maxTermDf = 500)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.cosineTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      operators.Retrieval.rrfFuse(Seq(lex, dense), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id AS d,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tfx AS (SELECT d, term, COUNT(*) AS tf FROM t
+              WHERE len(term) > 0 GROUP BY d, term),
+      dlx AS (SELECT d, CAST(SUM(tf) AS BIGINT) AS dl FROM tfx GROUP BY d),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      ax AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM dlx),
+      dfx AS (SELECT term, COUNT(*) AS df FROM tfx
+              GROUP BY term HAVING COUNT(*) <= 500),
+      qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+               SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents WHERE doc_id < 20)
+             WHERE len(term) > 0),
+      m AS (SELECT qt.query_id, tfx.d, tfx.tf, dfx.df, dlx.dl
+            FROM tfx JOIN qt USING (term) JOIN dfx USING (term)
+                 JOIN dlx ON dlx.d = tfx.d
+            WHERE qt.query_id <> tfx.d),
+      sc AS (SELECT query_id, d,
+               CAST(SUM(CAST(floor(1000000.0 * (
+                 ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+                 * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                   / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                      * (1.0 - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / ax.avgdl)))
+                 )) AS BIGINT)) AS BIGINT) AS score_q
+             FROM m CROSS JOIN nn CROSS JOIN ax
+             GROUP BY query_id, d),
+      lex AS (SELECT query_id, d AS doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, d ASC) AS rank
+              FROM sc QUALIFY rank <= 10),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 20),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0) AS cos
+        FROM q JOIN c ON query_id <> neighbor_id),
+      dense AS (SELECT query_id, neighbor_id AS doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored QUALIFY rank <= 10),
+      arms AS (SELECT query_id, doc_id, rank FROM lex
+               UNION ALL
+               SELECT query_id, doc_id, rank FROM dense),
+      fused AS (SELECT query_id, doc_id,
+                  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_q
+                FROM arms GROUP BY query_id, doc_id)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_q DESC, doc_id ASC) AS INTEGER) AS rank,
+        doc_id,
+        CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf_score
+      FROM fused
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** (q107) IVF recall@5 audit in the APPROXIMATE regime (nprobe 4 of
+    * 16 — q41 gates the exact-recall configuration): per query, how
+    * many of the exact top-5 the probe-limited search recovered. The
+    * oracle replays the whole IVF machinery in SQL — first-16-by-id
+    * centroids, nearest-centroid assignment (q95's ordering), top-4
+    * probe routing, within-cluster exact cosine — against the q28
+    * brute-force form, so the measured recall is itself hash-checked.
+    */
+  val q107IvfRecall = Q(
+    "q107_ann_ivf_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val approx = Similarity.ivfTopK(qs, emb, "vec_id", "embedding",
+        k = 5, nClusters = 16, nprobe = 4)
+      val exact = Similarity.cosineTopK(qs, emb, "vec_id", "embedding", k = 5)
+      operators.Retrieval.recallAtK(approx, exact, k = 5)
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      cents AS (SELECT vec_id AS cid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+                FROM embeddings ORDER BY vec_id LIMIT 16),
+      asg AS (
+        SELECT vec_id, cid,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> CAST(cv[i] AS DOUBLE) * centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(centroid) + 1),
+               i -> centroid[i] * centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN cents),
+      assigned AS (SELECT vec_id, cid AS cluster FROM (
+                     SELECT vec_id, cid, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn
+                     FROM asg) WHERE rn = 1),
+      qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+             WHERE vec_id < 20),
+      pr AS (
+        SELECT query_id, cid,
+          list_sum(list_transform(range(1, len(qe) + 1),
+            i -> CAST(qe[i] AS DOUBLE) * centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+               i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(centroid) + 1),
+               i -> centroid[i] * centroid[i]))), 0) AS qcos
+        FROM qv CROSS JOIN cents),
+      probes AS (SELECT query_id, cid AS cluster FROM (
+                   SELECT query_id, cid, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY qcos DESC NULLS LAST, cid ASC) AS rn
+                   FROM pr) WHERE rn <= 4),
+      ascored AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.qe) + 1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))), 0) AS cos
+        FROM probes p
+        JOIN assigned a ON a.cluster = p.cluster
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN qv q ON q.query_id = p.query_id
+        WHERE p.query_id <> v.vec_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM ascored) WHERE rank <= 5),
+      escored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.qe) + 1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))), 0) AS cos
+        FROM qv q JOIN v ON q.query_id <> v.vec_id),
+      exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM escored) WHERE rank <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS recall
+      FROM exact e
+      LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+      ORDER BY e.query_id"""))
+
+  /** (q108) Cluster-balanced coreset: the 3 most central vectors per
+    * k-means cluster (Similarity.clusterCoreset scaladoc) — q95's
+    * quantized two-iteration Lloyd composed with a per-cluster rank.
+    * Oracle = q95's unrolled CTE with the final window keyed by
+    * cluster instead of vector.
+    */
+  val q108ClusterCoreset = Q(
+    "q108_ann_cluster_coreset",
+    (s, dir) =>
+      Similarity.clusterCoreset(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2, m = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("cluster", "rank"),
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      c0 AS (SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+      a1 AS (
+        SELECT v.vec_id, v.cv, c.cid,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * c.centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN c0 c),
+      s1 AS (SELECT vec_id, cv, cid AS cluster FROM (
+               SELECT vec_id, cv, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn
+               FROM a1) WHERE rn = 1),
+      m1 AS (SELECT cluster AS cid, i AS pos,
+               CAST(SUM(CAST(floor(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+                 AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+             FROM s1, LATERAL unnest(range(1, len(cv) + 1)) t(i)
+             GROUP BY cluster, i),
+      mv1 AS (SELECT cid, list(m ORDER BY pos) AS mean FROM m1 GROUP BY cid),
+      c1 AS (SELECT c0.cid, coalesce(mv1.mean, c0.centroid) AS centroid
+             FROM c0 LEFT JOIN mv1 USING (cid)),
+      a2 AS (
+        SELECT v.vec_id, v.cv, c.cid,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * c.centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN c1 c),
+      s2 AS (SELECT vec_id, cv, cid AS cluster FROM (
+               SELECT vec_id, cv, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn
+               FROM a2) WHERE rn = 1),
+      m2 AS (SELECT cluster AS cid, i AS pos,
+               CAST(SUM(CAST(floor(CAST(cv[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+                 AS DOUBLE) / (1000000.0 * COUNT(*)) AS m
+             FROM s2, LATERAL unnest(range(1, len(cv) + 1)) t(i)
+             GROUP BY cluster, i),
+      mv2 AS (SELECT cid, list(m ORDER BY pos) AS mean FROM m2 GROUP BY cid),
+      c2 AS (SELECT c1.cid, coalesce(mv2.mean, c1.centroid) AS centroid
+             FROM c1 LEFT JOIN mv2 USING (cid)),
+      af AS (
+        SELECT v.vec_id, c.cid,
+          list_sum(list_transform(range(1, len(v.cv) + 1),
+            i -> CAST(v.cv[i] AS DOUBLE) * c.centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN c2 c),
+      fin AS (SELECT vec_id, cid, ccos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn,
+                MAX(ccos) OVER (PARTITION BY vec_id) AS mx
+              FROM af),
+      sel AS (SELECT vec_id, cid AS cluster, mx AS cos
+              FROM fin WHERE rn = 1)
+      SELECT cluster,
+        CAST(row_number() OVER (PARTITION BY cluster
+          ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank,
+        vec_id, round(cos, 6) AS cos
+      FROM sel
+      QUALIFY rank <= 3
+      ORDER BY cluster, rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3685,5 +3954,6 @@ object Queries {
     q92FuzzyDedup, q93PerplexityBuckets, q94SourceQuality, q95Kmeans,
     q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel,
     q100DsirWeights, q101BudgetSample, q102BpeFertility,
-    q103TemperatureMix, q104BigramLp, q105HardNegatives)
+    q103TemperatureMix, q104BigramLp, q105HardNegatives,
+    q106HybridRrf, q107IvfRecall, q108ClusterCoreset)
 }

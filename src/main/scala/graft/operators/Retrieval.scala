@@ -90,4 +90,68 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id_").as("doc_id"),
         (col("score_q").cast("double") / lit(1000000.0)).as("score"))
   }
+
+  /** Reciprocal-rank fusion of N ranked retrieval arms (the standard
+    * hybrid-retrieval combiner: lexical BM25 + dense ANN, fused without
+    * score calibration). Each arm is a `(query_id, doc_id, rank)` frame
+    * — typically the output of [[bm25TopK]] and
+    * [[Similarity.cosineTopK]]/`ivfTopK` with columns renamed; a doc's
+    * fused score is Σ_arms 1/(k0 + rank), zero contribution from arms
+    * that didn't rank it.
+    *
+    * ORACLE-GRADE determinism: each arm contribution is the INTEGER
+    * division `10⁹ div (k0 + rank)` summed as longs — no float
+    * addition anywhere; ranking compares the long (ties by ascending
+    * doc id) and the emitted score is one final double division.
+    *
+    * Plan shape: a union of already-top-k-capped arms (≤ Σ armsᵢ·kᵢ
+    * rows per query by construction), one map-side-combined hash
+    * aggregate to (query, doc), and a per-query window over ≤ arms·k
+    * rows — the window input is bounded by the upstream caps, never by
+    * the corpus, so the 10⁹-row partitionBy failure mode can't occur.
+    * At 100 TB the cost lives entirely in the arms; fusion is free.
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranked arm")
+    require(k > 0, s"k ($k) must be positive")
+    require(k0 >= 0, s"k0 ($k0) must be non-negative")
+    val unioned = arms
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    unioned
+      .withColumn("__c", expr(s"1000000000 div ($k0 + rank)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("rrf_q").cast("double") / lit(1000000000.0)).as("rrf_score"))
+  }
+
+  /** Recall@k of an approximate ranked result against the exact one —
+    * the audit every ANN deployment runs before trading recall for
+    * cost (IVF nprobe tuning, LSH plane count, PQ code size). Both
+    * inputs are `(query_id, rank, neighbor_id)` frames; output is one
+    * row per exact-side query: hits, the exact-neighbor count actually
+    * present (≤ k when the corpus is small), and recall = hits/that.
+    *
+    * Plan shape: both sides pre-filtered to rank ≤ k (≤ k rows per
+    * query each), one equi-join on (query, neighbor), one hash
+    * aggregate — bounded by |queries|·k throughout.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+  }
 }

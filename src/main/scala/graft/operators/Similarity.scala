@@ -288,6 +288,32 @@ object Similarity {
         max(col("__cos")).as("cos"))
   }
 
+  /** Cluster-balanced coreset: the `m` most central vectors of each
+    * k-means cluster (highest cosine to their centroid, ties by
+    * ascending id) — the diverse-sampling primitive behind
+    * prototype/coreset selection: cover every region of embedding
+    * space with its most representative members instead of sampling
+    * the head of the density. Composes [[kmeansAssign]] (same
+    * quantized, order-free centroids — oracle-exact), then ranks
+    * within clusters.
+    *
+    * Plan shape: the rank stage is the salted two-phase top-k
+    * ([[topKPerQuery]] keyed by cluster) — a bare
+    * `Window.partitionBy(cluster)` would sort one N/k-row partition
+    * per cluster in a single task at corpus scale; the salted
+    * pre-aggregate bounds every window partition to salts·m rows.
+    */
+  def clusterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int, m: Int): DataFrame = {
+    require(m > 0, s"m ($m) must be positive")
+    val scored = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .select(col("cluster").as("query_id"), col(idCol).as("neighbor_id"),
+        col("cos"))
+    topKPerQuery(scored, m)
+      .select(col("query_id").as("cluster"), col("rank"),
+        col("neighbor_id").as(idCol), col("cos"))
+  }
+
   /** Assign every corpus row to its nearest centroid (one broadcast
     * cross-product pass; N·k dot products, no shuffle of the corpus).
     */

@@ -66,4 +66,57 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(a === b)
   }
+
+  // ---- rrfFuse -----------------------------------------------------------
+
+  private def ranks(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "doc_id", "rank")
+
+  test("rrfFuse: hand-computed fused scores; both-arm doc beats single-arm") {
+    // doc 10 ranks 2nd in both arms: 2/(60+2) > 1/(60+1) single-arm top
+    val lex = ranks((1L, 11L, 1), (1L, 10L, 2))
+    val dense = ranks((1L, 12L, 1), (1L, 10L, 2))
+    val r = Retrieval.rrfFuse(Seq(lex, dense), k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(r.map(_._3).toSeq === Seq(10L, 11L, 12L))
+    // quantized contract: score = sum of (1e9 div (60+rank)) / 1e9
+    val c1 = 1000000000L / 61; val c2 = 1000000000L / 62
+    assert(r(0)._4 === (c2 + c2) / 1e9)
+    assert(r(1)._4 === c1 / 1e9)
+    // equal fused score ties break by ascending doc_id
+    assert(r(1)._3 < r(2)._3 && r(1)._4 === r(2)._4)
+  }
+
+  test("rrfFuse: k caps output per query; arms with disjoint queries keep both") {
+    val a = ranks((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val b = ranks((2L, 20L, 1))
+    val r = Retrieval.rrfFuse(Seq(a, b), k = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(r.count(_._1 == 1L) === 2)
+    assert(r.count(_._1 == 2L) === 1)
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty, k = 1) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), k = 0) }
+  }
+
+  // ---- recallAtK ---------------------------------------------------------
+
+  private def ranked(rows: (Long, Int, Long)*) =
+    rows.toDF("query_id", "rank", "neighbor_id")
+
+  test("recallAtK: per-query hit counts against exact; misses score 0") {
+    val exact = ranked((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L))
+    val approx = ranked((1L, 1, 11L), (1L, 2, 99L), (2L, 1, 21L))
+    val r = Retrieval.recallAtK(approx, exact, k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, 1L, 2L, 0.5)))  // hit 11, missed 10
+    assert(r(1) === ((2L, 0L, 1L, 0.0)))  // 21 != 20
+  }
+
+  test("recallAtK: ranks beyond k are ignored on both sides") {
+    val exact = ranked((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+    val approx = ranked((1L, 1, 10L), (1L, 3, 11L)) // 11 at rank 3 > k
+    val r = Retrieval.recallAtK(approx, exact, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.head === ((1L, 1L, 2L, 0.5)))
+  }
 }

@@ -305,6 +305,33 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(r === rp)
   }
 
+  test("clusterCoreset: m most central per cluster, cos-desc id-asc order") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.95f, 0.05f)), (4L, Seq(0.05f, 0.95f)),
+      (5L, Seq(0.9f, 0.1f)), (6L, Seq(0.1f, 0.9f)),
+      (7L, Seq(0.8f, 0.2f)), (8L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.clusterCoreset(df, "vec_id", "embedding",
+      k = 2, iters = 2, m = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(r.length === 4) // 2 clusters x m=2
+    val byCluster = r.groupBy(_._1)
+    byCluster.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(1, 2))
+      // rank order is cos desc (ties id asc)
+      assert(sorted(0)._4 >= sorted(1)._4)
+    }
+    // partition-order free (inherits kmeansAssign's quantized contract)
+    val rp = Similarity.clusterCoreset(df.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 2, m = 2).as[(Long, Int, Long, Double)].collect()
+    assert(r.sortBy(t => (t._1, t._2)).toSeq === rp.sortBy(t => (t._1, t._2)).toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.clusterCoreset(df, "vec_id", "embedding", k = 2, iters = 1, m = 0)
+    }
+  }
+
   test("sparseCosinePairs: hand-computed cosines; DF cap prunes stop terms") {
     val docs = Seq(
       (1L, "apple banana apple"),   // tf: apple 2, banana 1
