@@ -3926,6 +3926,85 @@ object Queries {
       QUALIFY rank <= 3
       ORDER BY cluster, rank"""))
 
+  /** (q109) Product-quantization ADC top-k (Pq scaladoc): 4 subspaces
+    * × 16 dims, 8-codeword L2 codebooks (one quantized-mean training
+    * round), corpus encoded to 4 codes/vector, queries scored by
+    * exact-long ADC sums. The oracle replays codebook training,
+    * encoding, the per-query lookup table, and the quantized ADC
+    * ranking entirely in SQL.
+    */
+  val q109PqAdc = Q(
+    "q109_ann_pq_adc",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Pq.pqAdcTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
+      sv AS (SELECT vec_id, sub,
+               list_transform(embedding[sub*16+1 : sub*16+16],
+                 x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings CROSS JOIN subs),
+      seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+      c0 AS (SELECT sub, vec_id AS cid, v AS cent FROM sv
+             WHERE vec_id IN (SELECT vec_id FROM seed)),
+      d1 AS (SELECT s.vec_id, s.sub, s.v, c.cid,
+               (list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i]))
+                - 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> s.v[i] * c.cent[i]))
+                + list_sum(list_transform(range(1, 17),
+                    i -> c.cent[i] * c.cent[i]))) AS dd
+             FROM sv s JOIN c0 c ON c.sub = s.sub),
+      a1 AS (SELECT vec_id, sub, v, cid AS code FROM (
+               SELECT vec_id, sub, v, cid, row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+               FROM d1) WHERE rn = 1),
+      m1 AS (SELECT sub, code AS cid, i AS pos,
+               CAST(SUM(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)) AS mc
+             FROM a1, LATERAL unnest(range(1, 17)) t(i)
+             GROUP BY sub, code, i),
+      mv AS (SELECT sub, cid, list(mc ORDER BY pos) AS mean FROM m1
+             GROUP BY sub, cid),
+      c1 AS (SELECT c0.sub, c0.cid, coalesce(mv.mean, c0.cent) AS cent
+             FROM c0 LEFT JOIN mv ON mv.sub = c0.sub AND mv.cid = c0.cid),
+      dxf AS (SELECT s.vec_id, s.sub, c.cid,
+               (list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i]))
+                - 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> s.v[i] * c.cent[i]))
+                + list_sum(list_transform(range(1, 17),
+                    i -> c.cent[i] * c.cent[i]))) AS dd
+             FROM sv s JOIN c1 c ON c.sub = s.sub),
+      enc AS (SELECT vec_id, sub, cid AS code FROM (
+                SELECT vec_id, sub, cid, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+                FROM dxf) WHERE rn = 1),
+      lut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                CAST(floor(1000000.0 * (
+                  list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i]))
+                  - 2.0 * list_sum(list_transform(range(1, 17),
+                      i -> s.v[i] * c.cent[i]))
+                  + list_sum(list_transform(range(1, 17),
+                      i -> c.cent[i] * c.cent[i]))
+                )) AS BIGINT) AS lq
+              FROM sv s JOIN c1 c ON c.sub = s.sub
+              WHERE s.vec_id < 10),
+      sc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(SUM(l.lq) AS BIGINT) AS adist_q
+             FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.code
+             WHERE l.query_id <> e.vec_id
+             GROUP BY 1, 2)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY adist_q ASC, neighbor_id ASC) AS INTEGER) AS rank,
+        neighbor_id,
+        CAST(adist_q AS DOUBLE) / 1000000.0 AS adist
+      FROM sc
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -3955,5 +4034,5 @@ object Queries {
     q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel,
     q100DsirWeights, q101BudgetSample, q102BpeFertility,
     q103TemperatureMix, q104BigramLp, q105HardNegatives,
-    q106HybridRrf, q107IvfRecall, q108ClusterCoreset)
+    q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc)
 }

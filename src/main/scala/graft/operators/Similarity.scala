@@ -98,7 +98,7 @@ object Similarity {
     * failure mode of "partitionBy(query_id)". Null cosines (zero
     * vectors) order last, exactly like the window's `desc` nulls-last.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
     def cosOf(s: Column) =
       coalesce(s.getField("cos"), lit(Double.NegativeInfinity))
     val cmp = (l: Column, r: Column) =>
@@ -198,7 +198,7 @@ object Similarity {
     * leak-free alternative to caching a plan that a lazily-returned
     * result could never unpersist.
     */
-  private def materializeSmall(df: DataFrame): DataFrame = {
+  private[operators] def materializeSmall(df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     df.sparkSession.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
