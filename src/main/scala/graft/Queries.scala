@@ -4005,6 +4005,280 @@ object Queries {
       QUALIFY rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** (q110) IVF-PQ composed index (Pq.ivfPqTopK scaladoc): q107's
+    * coarse routing (first-16-by-id centroids, cosine, nprobe 4)
+    * restricts the candidate set, q109's PQ machinery (4×16 subspaces,
+    * 8 codewords, one quantized training round) ranks it by exact-long
+    * ADC. The oracle is the union of both gates' CTE batteries joined
+    * at the candidate set — coarse assignment, probe routing, codebook
+    * training, encoding, LUT, and the restricted ADC sum all replayed
+    * in SQL.
+    */
+  val q110IvfPq = Q(
+    "q110_ann_ivfpq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Pq.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1,
+        nClusters = 16, nprobe = 4, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH subs AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS sub),
+      sv AS (SELECT vec_id, sub,
+               list_transform(embedding[sub*16+1 : sub*16+16],
+                 x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings CROSS JOIN subs),
+      seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+      c0 AS (SELECT sub, vec_id AS cid, v AS cent FROM sv
+             WHERE vec_id IN (SELECT vec_id FROM seed)),
+      d1 AS (SELECT s.vec_id, s.sub, s.v, c.cid,
+               (list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i]))
+                - 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> s.v[i] * c.cent[i]))
+                + list_sum(list_transform(range(1, 17),
+                    i -> c.cent[i] * c.cent[i]))) AS dd
+             FROM sv s JOIN c0 c ON c.sub = s.sub),
+      a1 AS (SELECT vec_id, sub, v, cid AS code FROM (
+               SELECT vec_id, sub, v, cid, row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+               FROM d1) WHERE rn = 1),
+      m1 AS (SELECT sub, code AS cid, i AS pos,
+               CAST(SUM(CAST(floor(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)) AS mc
+             FROM a1, LATERAL unnest(range(1, 17)) t(i)
+             GROUP BY sub, code, i),
+      mv AS (SELECT sub, cid, list(mc ORDER BY pos) AS mean FROM m1
+             GROUP BY sub, cid),
+      c1 AS (SELECT c0.sub, c0.cid, coalesce(mv.mean, c0.cent) AS cent
+             FROM c0 LEFT JOIN mv ON mv.sub = c0.sub AND mv.cid = c0.cid),
+      dxf AS (SELECT s.vec_id, s.sub, c.cid,
+               (list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i]))
+                - 2.0 * list_sum(list_transform(range(1, 17),
+                    i -> s.v[i] * c.cent[i]))
+                + list_sum(list_transform(range(1, 17),
+                    i -> c.cent[i] * c.cent[i]))) AS dd
+             FROM sv s JOIN c1 c ON c.sub = s.sub),
+      enc AS (SELECT vec_id, sub, cid AS code FROM (
+                SELECT vec_id, sub, cid, row_number() OVER (
+                  PARTITION BY vec_id, sub ORDER BY dd ASC, cid ASC) AS rn
+                FROM dxf) WHERE rn = 1),
+      lut AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+                CAST(floor(1000000.0 * (
+                  list_sum(list_transform(range(1, 17), i -> s.v[i] * s.v[i]))
+                  - 2.0 * list_sum(list_transform(range(1, 17),
+                      i -> s.v[i] * c.cent[i]))
+                  + list_sum(list_transform(range(1, 17),
+                      i -> c.cent[i] * c.cent[i]))
+                )) AS BIGINT) AS lq
+              FROM sv s JOIN c1 c ON c.sub = s.sub
+              WHERE s.vec_id < 10),
+      v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      cents AS (SELECT vec_id AS ccid,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+                FROM embeddings ORDER BY vec_id LIMIT 16),
+      asg AS (
+        SELECT vec_id, ccid,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> CAST(cv[i] AS DOUBLE) * centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(centroid) + 1),
+               i -> centroid[i] * centroid[i]))), 0) AS ccos
+        FROM v CROSS JOIN cents),
+      assigned AS (SELECT vec_id, ccid AS cluster FROM (
+                     SELECT vec_id, ccid, row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY ccos DESC NULLS LAST, ccid ASC) AS rn
+                     FROM asg) WHERE rn = 1),
+      qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+             WHERE vec_id < 10),
+      pr AS (
+        SELECT query_id, ccid,
+          list_sum(list_transform(range(1, len(qe) + 1),
+            i -> CAST(qe[i] AS DOUBLE) * centroid[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+               i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(centroid) + 1),
+               i -> centroid[i] * centroid[i]))), 0) AS qcos
+        FROM qv CROSS JOIN cents),
+      probes AS (SELECT query_id, ccid AS cluster FROM (
+                   SELECT query_id, ccid, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY qcos DESC NULLS LAST, ccid ASC) AS rn
+                   FROM pr) WHERE rn <= 4),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN assigned a ON a.cluster = p.cluster
+               WHERE p.query_id <> a.vec_id),
+      sc AS (SELECT c.query_id, c.neighbor_id, CAST(SUM(l.lq) AS BIGINT) AS adist_q
+             FROM cand c
+             JOIN enc e ON e.vec_id = c.neighbor_id
+             JOIN lut l ON l.query_id = c.query_id AND l.sub = e.sub
+               AND l.cid = e.code
+             GROUP BY 1, 2)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY adist_q ASC, neighbor_id ASC) AS INTEGER) AS rank,
+        neighbor_id,
+        CAST(adist_q AS DOUBLE) / 1000000.0 AS adist
+      FROM sc
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** (q111) Matryoshka truncation recall audit: exact cosine top-5 in
+    * the FIRST-16-DIM prefix space vs the full 64-dim exact top-5 —
+    * the measurement that decides whether MRL-style truncated
+    * embeddings (Kusupati et al. 2022) are safe for a retrieval
+    * corpus. Pure composition of gated machinery (cosineTopK twice +
+    * recallAtK); the oracle scores both spaces with q107's exact CTE
+    * pattern, the truncated one summing dims 1..16 only.
+    */
+  val q111TruncRecall = Q(
+    "q111_ann_trunc_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val approx = Similarity.cosineTopK(trunc.filter(col("vec_id") < 20),
+        trunc, "vec_id", "embedding", k = 5)
+      val exact = Similarity.cosineTopK(emb.filter(col("vec_id") < 20),
+        emb, "vec_id", "embedding", k = 5)
+      operators.Retrieval.recallAtK(approx, exact, k = 5)
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+             WHERE vec_id < 20),
+      tscored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 17),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, 17),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 17),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM qv q JOIN v ON q.query_id <> v.vec_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+                   FROM tscored) WHERE rank <= 5),
+      escored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.qe) + 1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM qv q JOIN v ON q.query_id <> v.vec_id),
+      exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM escored) WHERE rank <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS recall
+      FROM exact e
+      LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+      ORDER BY e.query_id"""))
+
+  /** (q112) Curriculum quality binning (Curation.curriculumBins
+    * scaladoc): ntile(4) by descending q25 quality score computed
+    * WITHOUT a global window — coarse-bucket counts + per-bucket
+    * row_number + broadcast offsets give the exact global rank at
+    * scale. The oracle uses DuckDB's native ntile over the same score
+    * and tie order, so the two-pass rank is hash-checked against the
+    * single-window semantics it replaces.
+    */
+  val q112CurriculumBins = Q(
+    "q112_s_curriculum_bins",
+    (s, dir) =>
+      Curation.curriculumBins(t(s, dir, "documents"), "doc_id", "text",
+        Stopwords, nBins = 4)
+        .orderBy("bin"),
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+        regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+      s AS (SELECT doc_id,
+        coalesce(
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+          + (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                  ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END)
+            * 0.3
+          + least(CAST(len(list_filter(toks,
+              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+              / len(toks) * 5.0, 1.0) * 0.3,
+          -1.0) AS score,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+      FROM d),
+      r AS (SELECT doc_id, score, n_tokens,
+              ntile(4) OVER (ORDER BY score DESC, doc_id ASC) AS bin
+            FROM s)
+      SELECT CAST(bin AS INTEGER) AS bin,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        min(score) AS min_quality, max(score) AS max_quality
+      FROM r GROUP BY bin ORDER BY bin"""))
+
+  /** (q113) Epoch-based up-sampling plan (Packing.repeatToBudget
+    * scaladoc): per-source whole-epoch repeats ⌊tgt/mass⌋ plus the
+    * q101 hash-threshold kernel selecting the partial-epoch docs —
+    * with-replacement mixing, exact in integer/decimal arithmetic.
+    * Weights 0.5/0.3/0.2 on three sources; unweighted sources repeat 0.
+    */
+  val q113EpochPlan = Q(
+    "q113_s_epoch_plan",
+    (s, dir) =>
+      graft.operators.Packing.repeatToBudget(t(s, dir, "documents"),
+        "doc_id", "text", "source",
+        weights = Map("src0" -> 0.5, "src3" -> 0.3, "src7" -> 0.2),
+        budgetTokens = 10000L)
+        .orderBy("doc_id"),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+            AS n_tokens
+        FROM documents),
+      m AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+            FROM tk GROUP BY source),
+      w(source, tgt) AS (VALUES ('src0', 5000), ('src3', 3000),
+                                ('src7', 2000)),
+      b AS (SELECT doc_id,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'),
+                1, 15))::BIGINT % 1000000 AS bucket
+            FROM documents),
+      e AS (SELECT tk.doc_id, tk.source, tk.n_tokens, m.src_tokens,
+              CAST(coalesce(w.tgt, 0) AS BIGINT) AS tgt_tokens,
+              CASE WHEN m.src_tokens > 0
+                   THEN coalesce(w.tgt, 0) // m.src_tokens ELSE 0 END
+                AS full_epochs,
+              CASE WHEN m.src_tokens > 0
+                   THEN coalesce(w.tgt, 0) % m.src_tokens ELSE 0 END
+                AS rem,
+              b.bucket
+            FROM tk JOIN m USING (source) LEFT JOIN w USING (source)
+              JOIN b USING (doc_id))
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        src_tokens, tgt_tokens,
+        CAST(full_epochs AS BIGINT) AS full_epochs,
+        CAST(full_epochs +
+          (CASE WHEN CAST(bucket AS HUGEINT) * src_tokens <
+                     CAST(rem AS HUGEINT) * 1000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+      FROM e
+      ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4034,5 +4308,6 @@ object Queries {
     q96SparseCosine, q97Bm25, q98GopherRules, q99CurationFunnel,
     q100DsirWeights, q101BudgetSample, q102BpeFertility,
     q103TemperatureMix, q104BigramLp, q105HardNegatives,
-    q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc)
+    q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc,
+    q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan)
 }

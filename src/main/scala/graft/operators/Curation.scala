@@ -663,4 +663,69 @@ object Curation {
             col("n_trans").cast("double"))
           .as("bigram_lp_mean"))
   }
+
+  /** Curriculum quality binning: split the corpus into `nBins`
+    * equal-size tiles by descending [[TextFns.qualityScore]] (ties by
+    * id; NULL text scores −1, after everything real) — the
+    * easy-to-hard ordering curriculum schedules train on, reported as
+    * per-bin (n_docs, sum_tokens, min/max quality).
+    *
+    * The bin IS SQL `ntile(n) OVER (ORDER BY score DESC, id)`, but
+    * computed WITHOUT the single-partition global window (a global
+    * sort of the corpus through one task — the canonical 100 TB
+    * scale-killer). Two passes instead:
+    *   1. coarse bucket = ⌊score·64⌋ (score ∈ [−1, 1] ⇒ ≤ 129 distinct
+    *      buckets); one hash aggregate counts each bucket, and the
+    *      bounded count table collects to the driver, where
+    *      higher-bucket prefix sums become per-bucket rank offsets;
+    *   2. `row_number` partitioned BY BUCKET (each task sorts one
+    *      score-slice, never the corpus) + broadcast offset = the exact
+    *      global rank; the ntile bin then follows arithmetically
+    *      (first N mod n tiles take ⌈N/n⌉ rows, the rest ⌊N/n⌋).
+    *
+    * Skew note: a single coarse bucket can still concentrate mass if
+    * scores pile on one value (e.g. every empty doc scores exactly 0);
+    * per-bucket partitions bound the sort at |bucket|, which for a
+    * continuous composite score is ≈ N/129 — and the operator never
+    * sorts more than one bucket in one task either way.
+    */
+  def curriculumBins(docs: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String], nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins ($nBins) must be positive")
+    import docs.sparkSession.implicits._
+    val scored = docs.select(
+      col(idCol),
+      TextFns.tokenCount(col(textCol)).cast("long").as("__tok"),
+      coalesce(TextFns.qualityScore(col(textCol), stopwords), lit(-1.0))
+        .as("__score"))
+      .withColumn("__bucket", floor(col("__score") * lit(64.0)).cast("int"))
+    // bounded: ≤ 129 buckets regardless of corpus size
+    val counts = scored.groupBy(col("__bucket")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .zip(counts).map { case ((_, before), (b, _)) => (b, before) }
+    val offsetDf = offsets.toSeq.toDF("__bucket", "__off")
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    val nBig = total % nBins          // first nBig tiles take small+1 rows
+    val small = total / nBins
+    val cut = nBig * (small + 1)
+    val ranked = scored
+      .join(broadcast(offsetDf), Seq("__bucket"))
+      .withColumn("__rank", col("__off") + row_number().over(wInBucket))
+    val binned =
+      if (small == 0) ranked.withColumn("bin", col("__rank").cast("int"))
+      else ranked.withColumn("bin",
+        when(col("__rank") <= cut,
+          floor((col("__rank") - 1) / lit(small + 1)) + 1)
+          .otherwise(lit(nBig) + floor((col("__rank") - lit(cut) - 1) / lit(small)) + 1)
+          .cast("int"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("sum_tokens"),
+        min(col("__score")).as("min_quality"),
+        max(col("__score")).as("max_quality"))
+  }
 }

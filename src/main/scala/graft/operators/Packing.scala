@@ -203,6 +203,71 @@ object Packing {
         col("selected"))
   }
 
+  /** Epoch-based up-sampling plan: how many times each document is
+    * REPEATED to hit its source's token target — the with-replacement
+    * side of corpus mixing ([[sampleToBudget]] can only keep/drop;
+    * Llama-style mixes up-sample scarce high-weight sources across
+    * multiple epochs). Per source s with exact integer token mass
+    * `mass_s` and target ⌊budget·w_s⌋:
+    *
+    *   full_s  = target_s div mass_s      (whole epochs, every doc)
+    *   rem_s   = target_s mod mass_s      (the partial epoch)
+    *
+    * and each doc repeats `full_s` times plus once more iff the
+    * [[sampleToTargets]] hash-threshold kernel selects it for the
+    * remainder (bucket·mass_s < rem_s·10⁶ in decimal — exact, so the
+    * partial epoch lands within one doc of rem_s tokens in
+    * expectation). All arithmetic is integer/decimal — cross-engine
+    * exact at any budget. A source with no weight (or zero mass)
+    * repeats 0 times.
+    *
+    * Plan shape: one map-side-combined mass aggregate (|sources| rows,
+    * broadcast back), then a scan-stage projection — no corpus shuffle,
+    * no window; the 100 TB cost is one pass over the docs.
+    */
+  def repeatToBudget(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, weights: Map[String, Double],
+                     budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be positive")
+    require(weights.values.forall(w => w >= 0 && w.isFinite),
+      "weights must be finite and non-negative")
+    import docs.sparkSession.implicits._
+    val targets = weights.map { case (s, w) =>
+      (s, (BigDecimal(w) * BigDecimal(budgetTokens))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
+    val tgt = targets.toSeq.toDF(srcCol, "tgt_tokens")
+    val mass = docs.groupBy(col(srcCol))
+      .agg(sum(graft.functions.TextFns.tokenCount(col(textCol))).cast("long")
+        .as("src_tokens"))
+    val bucket = pmod(
+      Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":budget"))),
+      lit(1000000L))
+    docs
+      .withColumn("n_tokens",
+        graft.functions.TextFns.tokenCount(col(textCol)).cast("long"))
+      .join(broadcast(mass), Seq(srcCol))
+      .join(broadcast(tgt), Seq(srcCol), "left")
+      .withColumn("__tgt", coalesce(col("tgt_tokens"), lit(0L)))
+      // integral div/mod on longs — exact at any magnitude (no doubles)
+      .withColumn("full_epochs",
+        when(col("src_tokens") > 0, expr("__tgt div src_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("src_tokens") > 0, col("__tgt") % col("src_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("__sel",
+        bucket.cast("decimal(38,0)") *
+          col("src_tokens").cast("decimal(38,0)") <
+          col("__rem").cast("decimal(38,0)") *
+            lit(1000000L).cast("decimal(38,0)"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("src_tokens"),
+        col("__tgt").as("tgt_tokens"), col("full_epochs"),
+        (col("full_epochs") + when(col("__sel"), 1L).otherwise(0L))
+          .as("n_repeats"))
+  }
+
   /** Temperature-flattened mixture at α = 0.5 (the multilingual
     * up-sampling exponent family of mBERT/XLM: target share ∝ mass^α,
     * flattening the head sources and up-weighting the tail): per-source

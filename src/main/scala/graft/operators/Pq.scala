@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) for embedding-scale ANN: split each
@@ -132,6 +133,81 @@ object Pq {
       .agg(sum(col("lq")).as("adist_q"))
       // rank ascending by feeding the shared salted top-k stage the
       // NEGATED exact long (doubles are exact far beyond this range)
+      .withColumn("cos", -col("adist_q").cast("double"))
+    Similarity.topKPerQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos") / lit(1000000.0)).as("adist"))
+  }
+
+  /** IVF-PQ top-k — the canonical billion-vector index shape (FAISS
+    * IVFx,PQy; Jégou et al. 2011): an IVF coarse quantizer routes each
+    * query to its `nprobe` nearest clusters (cosine, the
+    * [[Similarity.ivfTopK]] routing), and within the probed clusters
+    * candidates are ranked by PQ ADC instead of exact distance — the
+    * corpus is never touched at query time beyond its m-byte codes.
+    * Encoding is on RAW vectors (FAISS `by_residual=false`): residual
+    * encoding buys recall at the cost of a per-cluster LUT (nprobe×
+    * larger), and raw-vector codes keep the codebook query-independent
+    * — one broadcast LUT per query regardless of routing.
+    *
+    * At 100 TB the two legs separate cleanly: the coarse assignment and
+    * PQ codes are the OFFLINE index (persist them `partitionBy(cluster)`
+    * as in [[Similarity.writeIvfIndex]] and the probe filter prunes at
+    * the directory listing); query time reads nprobe/nClusters of the
+    * code files — m bytes a vector — and sums m table lookups each.
+    *
+    * Determinism matches [[pqAdcTopK]] and [[Similarity.ivfTopK]]
+    * exactly: first-k-by-id seeds, quantized means, low-id tie breaks,
+    * exact-long ADC ranking. Output (query_id, rank, neighbor_id,
+    * adist), adist ascending within each query, self excluded.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, dim: Int, m: Int, ksub: Int, iters: Int,
+                nClusters: Int, nprobe: Int, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(nprobe > 0 && nprobe <= nClusters,
+      s"nprobe ($nprobe) must be in [1, nClusters=$nClusters]")
+    // coarse leg: first-k-by-id centroids, cosine routing (ivfTopK's
+    // exact machinery so the q107 oracle CTEs replay it verbatim)
+    val coarse = Similarity.materializeSmall(
+      Similarity.ivfCentroids(corpus, idCol, vecCol, nClusters))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qcos").desc, col("cid").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__qcos", Similarity.cosine(col("qv"), col("centroid")))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cid").as("cluster"))
+    // PQ leg: codebooks, then the OFFLINE index — codes with the coarse
+    // cluster carried through the encode aggregate (cluster is
+    // functionally dependent on id, so widening the grouping key is
+    // free): (neighbor_id, cluster, sub, code), the table a 100 TB
+    // deployment persists partitionBy(cluster). No corpus⋈corpus join.
+    val cents = Similarity.materializeSmall(
+      pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters))
+    val subDim = dim / m
+    val indexed = Similarity.ivfAssign(corpus, coarse, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cluster"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * subDim + 1, subDim)): _*)).as(Seq("sub", "v")))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("__d2", d2(col("v"), col("cent")))
+      .groupBy(col("neighbor_id"), col("cluster"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("code"))
+    val lut = subvectors(queries, idCol, vecCol, dim, m, "query_id", "qv")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        floor(lit(1000000.0) * d2(col("qv"), col("cent"))).cast("long").as("lq"))
+    // query time: every join is a broadcast against the routed index —
+    // probes (|q|·nprobe rows) select the clusters, the LUT scores them;
+    // only the probed fraction of code rows flows into the aggregate
+    val scored = indexed
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("lq")).as("adist_q"))
       .withColumn("cos", -col("adist_q").cast("double"))
     Similarity.topKPerQuery(scored, k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -512,4 +512,65 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text", "source", "src1").orderBy("doc_id").collect().toSeq
     assert(one === many)
   }
+
+  // ---- curriculumBins ----------------------------------------------------
+
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  test("curriculumBins: two-pass rank equals the ntile window semantics") {
+    // 10 docs, 4 bins → ntile sizes 3,3,2,2 (uneven split exercises the
+    // big-tile/small-tile boundary the evenly-divisible gate corpus skips)
+    val docs = (1L to 10L)
+      .map(i => (i, ("tok" + i + " ") * i.toInt + "the end"))
+      .toDF("doc_id", "text")
+    val got = Curation.curriculumBins(docs, "doc_id", "text", Stop, nBins = 4)
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("n_docs")).toSeq === Seq(3L, 3L, 2L, 2L))
+    // the same aggregate computed through Spark's own single-window ntile
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    val expected = docs.select(col("doc_id"),
+      graft.functions.TextFns.tokenCount(col("text")).cast("long").as("__tok"),
+      coalesce(graft.functions.TextFns.qualityScore(col("text"), Stop),
+        lit(-1.0)).as("__score"))
+      .withColumn("bin", ntile(4).over(w))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("sum_tokens"),
+        min(col("__score")).as("min_quality"),
+        max(col("__score")).as("max_quality"))
+      .orderBy("bin").collect()
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("curriculumBins: null text scores -1 and lands in the last bin") {
+    val docs = Seq((1L, "the rich and varied text of a long document"),
+      (2L, "middle quality words here"), (3L, null.asInstanceOf[String]),
+      (4L, "the and of to in is the and of")).toDF("doc_id", "text")
+    val r = Curation.curriculumBins(docs, "doc_id", "text", Stop, nBins = 4)
+      .orderBy("bin").collect()
+    assert(r.length === 4)
+    assert(r.last.getAs[Double]("min_quality") === -1.0)
+    assert(r.last.getAs[Double]("max_quality") === -1.0)
+  }
+
+  test("curriculumBins: nBins > corpus size degrades to one doc per bin") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val r = Curation.curriculumBins(docs, "doc_id", "text", Stop, nBins = 5)
+      .orderBy("bin").collect()
+    assert(r.length === 2)
+    assert(r.forall(_.getAs[Long]("n_docs") == 1L))
+    assert(r.map(_.getAs[Int]("bin")).toSeq === Seq(1, 2))
+  }
+
+  test("curriculumBins: partition-order free") {
+    val docs = (1L to 57L)
+      .map(i => (i, Seq.fill((i % 13 + 1).toInt)("w" + i % 7).mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = Curation.curriculumBins(docs.coalesce(1), "doc_id", "text",
+      Stop, nBins = 4).orderBy("bin").collect().toSeq
+    val many = Curation.curriculumBins(docs.repartition(11), "doc_id", "text",
+      Stop, nBins = 4).orderBy("bin").collect().toSeq
+    assert(one === many)
+  }
 }

@@ -165,4 +165,58 @@ class PackingSpec extends SparkSpec {
     assert(s0.exists(_.getAs[Boolean]("selected")) &&
       s0.exists(!_.getAs[Boolean]("selected")))
   }
+
+  // ---- repeatToBudget ----------------------------------------------------
+
+  test("repeatToBudget: hand-computed whole epochs and remainder split") {
+    // srcA mass = 5 tokens, target ⌊23·1.0⌋ = 23 → full = 4, rem = 3;
+    // srcB mass = 4, unweighted → full = 0, repeats 0
+    val docs = Seq((1L, "a b c", "srcA"), (2L, "d e", "srcA"),
+      (3L, "f g h i", "srcB")).toDF("doc_id", "text", "source")
+    val r = Packing.repeatToBudget(docs, "doc_id", "text", "source",
+      Map("srcA" -> 1.0), 23L).orderBy("doc_id").collect()
+    val a = r.filter(_.getAs[String]("source") == "srcA")
+    assert(a.forall(_.getAs[Long]("full_epochs") == 4L))
+    assert(a.forall(_.getAs[Long]("tgt_tokens") == 23L))
+    assert(a.forall(_.getAs[Long]("src_tokens") == 5L))
+    assert(a.forall(x => x.getAs[Long]("n_repeats") == 4L ||
+      x.getAs[Long]("n_repeats") == 5L))
+    val b = r.filter(_.getAs[String]("source") == "srcB")
+    assert(b.forall(_.getAs[Long]("full_epochs") == 0L))
+    assert(b.forall(_.getAs[Long]("n_repeats") == 0L))
+  }
+
+  test("repeatToBudget: remainder selection matches the sampleToTargets kernel") {
+    val docs = (1L to 80L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    // budget below one epoch for every source ⇒ full = 0 everywhere and
+    // n_repeats ∈ {0,1} must equal sampleToBudget's keep/drop decision
+    val w = Map("src0" -> 0.4, "src1" -> 0.3)
+    val rep = Packing.repeatToBudget(docs, "doc_id", "text", "source", w, 100L)
+      .orderBy("doc_id").collect()
+    val sel = Packing.sampleToBudget(docs, "doc_id", "text", "source", w, 100L)
+      .orderBy("doc_id").collect()
+    assert(rep.forall(_.getAs[Long]("full_epochs") == 0L))
+    assert(rep.map(_.getAs[Long]("n_repeats")).toSeq ===
+      sel.map(r => if (r.getAs[Boolean]("selected")) 1L else 0L).toSeq)
+  }
+
+  test("repeatToBudget: exact ⌊budget·w⌋ targets and partition-order freedom") {
+    val docs = (1L to 60L)
+      .map(i => (i, "x " * (i % 5 + 1).toInt, s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val one = Packing.repeatToBudget(docs.coalesce(1), "doc_id", "text",
+      "source", Map("s0" -> 0.3, "s1" -> 0.7), 1000001L)
+      .orderBy("doc_id").collect().toSeq
+    val many = Packing.repeatToBudget(docs.repartition(9), "doc_id", "text",
+      "source", Map("s0" -> 0.3, "s1" -> 0.7), 1000001L)
+      .orderBy("doc_id").collect().toSeq
+    assert(one === many)
+    // decimal targets: 1000001·0.3 = 300000.3 floors to 300000 exactly
+    assert(one.filter(_.getAs[String]("source") == "s0")
+      .forall(_.getAs[Long]("tgt_tokens") == 300000L))
+    assert(one.filter(_.getAs[String]("source") == "s1")
+      .forall(_.getAs[Long]("tgt_tokens") == 700000L))
+  }
 }

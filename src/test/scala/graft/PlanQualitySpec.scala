@@ -507,4 +507,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"bigramScore plans a global sort:\n$plan")
   }
+
+  test("ivf-pq: LUT and centroid tables broadcast; corpus codes never NLJ") {
+    val plan = planOf("q110_ann_ivfpq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LUT/centroids must broadcast-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"ivfPqTopK plans a cartesian product:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ivfPqTopK shuffles a sort-merge join:\n$plan")
+  }
+
+  test("curriculum bins: no single-partition global window, offsets broadcast") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.curriculumBins(docs, "doc_id", "text",
+      Seq("the", "a", "of", "and", "to", "in", "is"), nBins = 4)
+    val plan = r.queryExecution.executedPlan.toString
+    // the point of the two-pass rank: the row_number window partitions by
+    // the coarse bucket — an empty partition spec would be a global sort
+    // through one task
+    assert(plan.contains("windowspecdefinition(__bucket"),
+      s"curriculumBins's window is not keyed by __bucket:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"bucket offsets must broadcast back:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"curriculumBins plans a global sort:\n$plan")
+  }
+
+  test("repeat-to-budget is scan + two broadcast joins — corpus never shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Packing.repeatToBudget(docs, "doc_id", "text",
+      "source", Map("src0" -> 0.5, "src3" -> 0.3), 10000L)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mass/targets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"repeatToBudget shuffles the corpus:\n$plan")
+    assert(!plan.contains("rangepartitioning") && !plan.contains("Window"),
+      s"repeatToBudget must stay scan-stage:\n$plan")
+  }
 }

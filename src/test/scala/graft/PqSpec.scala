@@ -70,4 +70,45 @@ class PqSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(a === b)
   }
+
+  test("ivfPqTopK: probing every cluster reproduces full PQ ADC exactly") {
+    // nprobe = nClusters ⇒ the coarse leg prunes nothing; the composed
+    // operator must equal pqAdcTopK bit-for-bit (same codebooks, same
+    // quantized ADC ranking)
+    val full = Pq.pqAdcTopK(vecs.filter(col("vec_id") <= 2), vecs,
+      "vec_id", "embedding", dim = 4, m = 2, ksub = 2, iters = 1, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val composed = Pq.ivfPqTopK(vecs.filter(col("vec_id") <= 2), vecs,
+      "vec_id", "embedding", dim = 4, m = 2, ksub = 2, iters = 1,
+      nClusters = 2, nprobe = 2, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(composed === full)
+  }
+
+  test("ivfPqTopK: nprobe=1 restricts candidates to the routed cluster") {
+    // coarse centroids = vecs 1 and 2, one per group; query 1 routes to
+    // its own group's cluster, so only {3, 5} are reachable
+    val r = Pq.ivfPqTopK(vecs.filter(col("vec_id") === 1), vecs,
+      "vec_id", "embedding", dim = 4, m = 2, ksub = 2, iters = 1,
+      nClusters = 2, nprobe = 1, k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(r.map(_._3).toSet === Set(3L, 5L))
+    assert(r.map(_._4).toSeq === r.map(_._4).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqTopK(vecs, vecs, "vec_id", "embedding", dim = 4, m = 2,
+        ksub = 2, iters = 1, nClusters = 2, nprobe = 3, k = 1)
+    }
+  }
+
+  test("ivfPqTopK is deterministic across partitionings") {
+    val a = Pq.ivfPqTopK(vecs.filter(col("vec_id") <= 2), vecs,
+      "vec_id", "embedding", dim = 4, m = 2, ksub = 2, iters = 1,
+      nClusters = 2, nprobe = 1, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Pq.ivfPqTopK(vecs.filter(col("vec_id") <= 2), vecs.repartition(5),
+      "vec_id", "embedding", dim = 4, m = 2, ksub = 2, iters = 1,
+      nClusters = 2, nprobe = 1, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b)
+  }
 }
