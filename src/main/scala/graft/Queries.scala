@@ -4279,6 +4279,101 @@ object Queries {
       FROM e
       ORDER BY doc_id"""))
 
+  /** (q114) Count-Min frequency sketch (Sketches scaladoc): 4×64
+    * counters over every token occurrence, the 10 most frequent terms
+    * point-estimated as min-over-rows — CMS over-counts only, never
+    * under. Counters, hashes (md5-60 mod width), and estimates all
+    * replay exactly in SQL.
+    */
+  val q114CmsFreq = Q(
+    "q114_sk_cms_freq",
+    (s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val counters = operators.Sketches.cmsCounters(occ, "term",
+        width = 64, depth = 4)
+      val top = occ.groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("term").asc).limit(10)
+      operators.Sketches.cmsEstimate(counters, top, "term",
+        width = 64, depth = 4)
+        .orderBy("term")
+    },
+    Some("""
+      WITH occ AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                     '\s+')) AS term
+                   FROM documents),
+      vf AS (SELECT term FROM occ WHERE len(term) > 0),
+      ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+             FROM vf GROUP BY term),
+      top AS (SELECT term, exact_count FROM ex
+              ORDER BY exact_count DESC, term ASC LIMIT 10),
+      r AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS row),
+      counters AS (SELECT row,
+                     ('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || term),
+                       1, 15))::BIGINT % 64 AS slot,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM vf CROSS JOIN r GROUP BY 1, 2),
+      probe AS (SELECT t.term, t.exact_count, r.row,
+                  ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || t.term),
+                    1, 15))::BIGINT % 64 AS slot
+                FROM top t CROSS JOIN r)
+      SELECT p.term, p.exact_count,
+        CAST(MIN(coalesce(c.c, 0)) AS BIGINT) AS cms_count
+      FROM probe p
+      LEFT JOIN counters c ON c.row = p.row AND c.slot = p.slot
+      GROUP BY 1, 2
+      ORDER BY p.term"""))
+
+  /** (q115) Deterministic HyperLogLog distinct-count (Sketches
+    * scaladoc): per-source distinct-token estimate from 64 registers,
+    * ρ via binary-string length (no float log), harmonic sum as an
+    * exact long — the raw Flajolet estimator, next to the exact
+    * distinct count it approximates. Every register and the estimate
+    * itself hash-check against the SQL replay.
+    */
+  val q115HllDistinct = Q(
+    "q115_sk_hll_distinct",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val est = operators.Sketches.hllEstimate(
+        operators.Sketches.hllRegisters(terms, "term", "source", m = 64),
+        "source", m = 64)
+      terms.groupBy(col("source"))
+        .agg(count_distinct(col("term")).as("n_exact"))
+        .join(est, Seq("source"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH occ AS (SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                       '\s+')) AS term
+                   FROM documents),
+      vf AS (SELECT source, term FROM occ WHERE len(term) > 0),
+      h AS (SELECT source,
+              ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv
+            FROM vf),
+      rr AS (SELECT source, hv % 64 AS idx,
+               CASE WHEN hv // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(hv // 64)) END AS rho
+             FROM h),
+      regs AS (SELECT source, idx, MAX(rho) AS M FROM rr GROUP BY 1, 2),
+      agg AS (SELECT source, COUNT(*) AS occ_regs,
+                CAST(SUM(CAST(1 AS BIGINT) << (55 - M)) AS BIGINT) AS s
+              FROM regs GROUP BY source),
+      ex AS (SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_exact
+             FROM vf GROUP BY source)
+      SELECT ex.source, ex.n_exact,
+        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+          * CAST(36028797018963968 AS DOUBLE)
+          / CAST(a.s + (64 - a.occ_regs) * (CAST(1 AS BIGINT) << 55)
+              AS DOUBLE) AS hll_est
+      FROM ex JOIN agg a USING (source)
+      ORDER BY ex.source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4309,5 +4404,6 @@ object Queries {
     q100DsirWeights, q101BudgetSample, q102BpeFertility,
     q103TemperatureMix, q104BigramLp, q105HardNegatives,
     q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc,
-    q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan)
+    q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan,
+    q114CmsFreq, q115HllDistinct)
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming-friendly frequency/cardinality sketches with FULLY
+  * DETERMINISTIC, cross-engine-replayable arithmetic — the 100 TB
+  * answer to "how often does this term appear" and "how many distinct
+  * values does this source hold" when exact answers would shuffle the
+  * corpus: a Count-Min sketch is depth·width counters (a few KB)
+  * built by one map-side-combined aggregate, and a HyperLogLog is m
+  * registers per group. Both use [[Dedup.md5Hash60]] (60-bit md5
+  * prefix) as the hash so every counter, register, and estimate is
+  * bit-identical in any engine with md5 — the DuckDB oracles replay
+  * the sketches end to end, unlike Spark's built-in
+  * `count_min_sketch`/`approx_count_distinct` whose binary payloads
+  * and HLL++ bias tables are implementation-private.
+  *
+  * Determinism details: CMS counters are exact long sums (order-free);
+  * the HLL harmonic sum Σ2^−M_j is computed as the EXACT integer
+  * Σ2^(55−M_j) (≤ m·2^55 < 2^62, no floating addition), so the final
+  * estimate is one double multiply-divide chain — identical IEEE
+  * operations in identical order on both engines.
+  */
+object Sketches {
+
+  /** Row hash i of the CMS family: md5("i:value") mod width — depth
+    * independent 60-bit hashes, one md5 per (row, value).
+    */
+  private def cmsHash(value: Column, row: Int, width: Int): Column =
+    pmod(Dedup.md5Hash60(concat(lit(row.toString), lit(":"), value)),
+      lit(width.toLong))
+
+  /** Build Count-Min counters over a value column: (row, slot, c) with
+    * c the exact number of input rows hashing there — depth·width rows
+    * total regardless of input size. One explode to `depth` rows per
+    * value + one map-side-combined hash aggregate; at 100 TB the
+    * shuffle carries at most depth·width partial counters per task.
+    */
+  def cmsCounters(values: DataFrame, valueCol: String,
+                  width: Int, depth: Int): DataFrame = {
+    require(width > 0 && depth > 0,
+      s"width ($width) and depth ($depth) must be positive")
+    values
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsHash(col(valueCol), r, width)): _*)).as(Seq("row", "slot")))
+      .groupBy(col("row"), col("slot"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate query terms against a counter table: the CMS
+    * estimate is min over depth of the counter each row hashes the
+    * term to (Cormode & Muthukrishnan 2005; over-counts only — never
+    * under). `counters` is depth·width rows — broadcast; estimating is
+    * a scan of the term list.
+    */
+  def cmsEstimate(counters: DataFrame, terms: DataFrame, termCol: String,
+                  width: Int, depth: Int): DataFrame = {
+    require(width > 0 && depth > 0,
+      s"width ($width) and depth ($depth) must be positive")
+    terms
+      .select(col("*"), posexplode(array((0 until depth).map(r =>
+        cmsHash(col(termCol), r, width)): _*)).as(Seq("row", "slot")))
+      .join(broadcast(counters), Seq("row", "slot"), "left")
+      .groupBy(terms.columns.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
+  }
+
+  /** Per-group HyperLogLog registers (Flajolet et al. 2007) from the
+    * 60-bit md5 hash: register index = hash mod m, rank ρ = one plus
+    * the leading-zero count of the remaining 54-bit suffix, computed
+    * exactly in BOTH engines as 55 − length(bin(suffix)) (the binary
+    * string length IS ⌊log₂⌋+1 — no float log). Output (group, idx, M)
+    * for occupied registers only; [[hllEstimate]] fills the zeros.
+    * One hash aggregate; m·|groups| rows leave the map side.
+    */
+  def hllRegisters(values: DataFrame, valueCol: String, groupCol: String,
+                   m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m ($m) must be a power of two")
+    val h = Dedup.md5Hash60(col(valueCol).cast("string"))
+    // exact integer h div m via bit shift — h is 60-bit, so a double
+    // division would round; m is a power of two by contract
+    val suffix = shiftright(h, Integer.numberOfTrailingZeros(m))
+    values
+      .select(col(groupCol),
+        pmod(h, lit(m.toLong)).as("idx"),
+        when(suffix === 0, lit(55))
+          .otherwise(lit(55) - length(bin(suffix))).cast("int").as("rho"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("M"))
+  }
+
+  /** Raw HLL estimate per group: αm·m²·2⁵⁵ / Σ2^(55−M_j), with empty
+    * registers contributing M_j = 0 (their 2⁵⁵ terms are added as
+    * (m − occupied)·2⁵⁵ — exact long arithmetic throughout; the only
+    * floating-point is the final one-multiply-one-divide). α is the
+    * standard constant for the given m. The raw estimator (no
+    * linear-counting small-range correction) keeps the arithmetic a
+    * pure function of the registers — the oracle replays it exactly;
+    * accuracy at tiny cardinalities is a documented non-goal.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String, m: Int): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m ($m) must be a power of two")
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val pow55 = math.pow(2.0, 55.0) // exact in double
+    registers
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__occ"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - M)")).as("__s"))
+      .select(col(groupCol),
+        (lit(alpha) * lit(m.toDouble * m.toDouble) * lit(pow55) /
+          (col("__s") + (lit(m.toLong) - col("__occ")) *
+            lit(1L << 55)).cast("double")).as("hll_est"))
+  }
+}

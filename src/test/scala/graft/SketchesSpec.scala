@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Count-Min ---------------------------------------------------------
+
+  test("cmsCounters: exactly depth*distinct-slots rows; totals preserved per row") {
+    val vals = (1L to 300L).map(i => s"t${i % 40}").toDF("v")
+    val c = Sketches.cmsCounters(vals, "v", width = 16, depth = 3).collect()
+    assert(c.map(_.getAs[Int]("row")).toSet === Set(0, 1, 2))
+    // every CMS row partitions ALL 300 occurrences across its slots
+    val byRow = c.groupBy(_.getAs[Int]("row"))
+      .map { case (r, rows) => r -> rows.map(_.getAs[Long]("c")).sum }
+    assert(byRow.values.toSet === Set(300L))
+    assert(c.forall(r => r.getAs[Long]("slot") >= 0 && r.getAs[Long]("slot") < 16))
+  }
+
+  test("cmsEstimate never under-counts and is exact for unique slots") {
+    val vals = (1L to 500L).map(i => s"term${i % 25}").toDF("v")
+    val counters = Sketches.cmsCounters(vals, "v", width = 64, depth = 4)
+    val exact = vals.groupBy(col("v")).agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(counters, exact, "v", width = 64, depth = 4)
+      .collect()
+    assert(est.forall(r => r.getAs[Long]("cms_count") >= r.getAs[Long]("exact")))
+    // a term absent from the build side still probes (left join → >= 0)
+    val miss = Sketches.cmsEstimate(counters,
+      Seq("never-seen-term-xyz").toDF("v"), "v", width = 64, depth = 4)
+      .collect()
+    assert(miss.length === 1 && miss.head.getAs[Long]("cms_count") >= 0L)
+  }
+
+  test("cms is partition-order free") {
+    val vals = (1L to 400L).map(i => s"w${i % 31}").toDF("v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCounters(df, "v", width = 32, depth = 4)
+        .orderBy("row", "slot").collect().toSeq
+    assert(run(vals.coalesce(1)) === run(vals.repartition(13)))
+  }
+
+  // ---- HyperLogLog -------------------------------------------------------
+
+  test("hllRegisters: rho matches a driver-side bit computation") {
+    val vals = Seq(("g", "alpha"), ("g", "beta"), ("g", "gamma")).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(vals, "v", "grp", m = 64)
+      .as[(String, Long, Int)].collect().map(t => (t._2, t._3)).toMap
+    def md560(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    Seq("alpha", "beta", "gamma").foreach { s =>
+      val h = md560(s)
+      val suffix = h >>> 6
+      val rho = if (suffix == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(suffix))
+      assert(regs.get(h % 64).exists(_ >= rho))
+    }
+  }
+
+  test("hllEstimate: within 25% of truth at 10k distinct values, deterministic") {
+    val vals = (1L to 10000L).map(i => ("g", s"value-$i")).toDF("grp", "v")
+    val est1 = Sketches.hllEstimate(
+      Sketches.hllRegisters(vals, "v", "grp", m = 64), "grp", m = 64)
+      .collect().head.getAs[Double]("hll_est")
+    val est2 = Sketches.hllEstimate(
+      Sketches.hllRegisters(vals.repartition(17), "v", "grp", m = 64),
+      "grp", m = 64)
+      .collect().head.getAs[Double]("hll_est")
+    assert(est1 === est2) // bit-identical across partitionings
+    assert(math.abs(est1 - 10000.0) / 10000.0 < 0.25,
+      s"raw HLL estimate $est1 too far from 10000")
+  }
+
+  test("hllEstimate: duplicate values do not move the estimate") {
+    val once = (1L to 200L).map(i => ("g", s"d$i")).toDF("grp", "v")
+    val dup = (1L to 200L).flatMap(i => Seq.fill(5)(("g", s"d$i"))).toDF("grp", "v")
+    val e1 = Sketches.hllEstimate(
+      Sketches.hllRegisters(once, "v", "grp", m = 64), "grp", 64)
+      .collect().head.getAs[Double]("hll_est")
+    val e2 = Sketches.hllEstimate(
+      Sketches.hllRegisters(dup, "v", "grp", m = 64), "grp", 64)
+      .collect().head.getAs[Double]("hll_est")
+    assert(e1 === e2)
+  }
+}
