@@ -4374,6 +4374,119 @@ object Queries {
       FROM ex JOIN agg a USING (source)
       ORDER BY ex.source"""))
 
+  /** (q116) JL sign-projection recall audit (Similarity.signProject
+    * scaladoc): embeddings projected 64→16 dims through the
+    * deterministic ±1 matrix, exact cosine top-5 in projected space vs
+    * the full-dim top-5 — the complement of q111's prefix truncation
+    * (random projection mixes ALL input dims instead of keeping a
+    * trained prefix). Projection components are exact integer sums, so
+    * the oracle replays matrix, projection, and both rankings.
+    */
+  val q116JlRecall = Q(
+    "q116_ann_jl_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val proj = Similarity.signProject(emb, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      val approx = Similarity.cosineTopK(proj.filter(col("vec_id") < 20),
+        proj, "vec_id", "embedding", k = 5)
+      val exact = Similarity.cosineTopK(emb.filter(col("vec_id") < 20),
+        emb, "vec_id", "embedding", k = 5)
+      operators.Retrieval.recallAtK(approx, exact, k = 5)
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH pj AS (SELECT CAST(p AS INTEGER) AS p, CAST(j AS INTEGER) AS j,
+               (('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+                  CAST(j AS VARCHAR) || ':jl'), 1, 15))::BIGINT % 2) * 2 - 1
+                 AS r
+             FROM range(0, 16) t1(p) CROSS JOIN range(0, 64) t2(j)),
+      pv AS (SELECT e.vec_id, pj.p,
+               CAST(SUM(pj.r * CAST(floor(CAST(e.embedding[pj.j + 1] AS DOUBLE)
+                 * 1000000.0) AS BIGINT)) AS BIGINT) AS yq
+             FROM embeddings e CROSS JOIN pj
+             GROUP BY 1, 2),
+      pvec AS (SELECT vec_id,
+                 list(CAST(yq AS DOUBLE) / 1000000.0 ORDER BY p) AS cv
+               FROM pv GROUP BY vec_id),
+      pq AS (SELECT vec_id AS query_id, cv AS qe FROM pvec
+             WHERE vec_id < 20),
+      tscored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 17), i -> q.qe[i] * v.cv[i]))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, 17),
+               i -> q.qe[i] * q.qe[i])))
+             * sqrt(list_sum(list_transform(range(1, 17),
+               i -> v.cv[i] * v.cv[i]))), 0) AS cos
+        FROM pq q JOIN pvec v ON q.query_id <> v.vec_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos DESC NULLS LAST, neighbor_id ASC) AS rank
+                   FROM tscored) WHERE rank <= 5),
+      v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+             WHERE vec_id < 20),
+      escored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.qe) + 1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(v.cv) + 1),
+               i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM qv q JOIN v ON q.query_id <> v.vec_id),
+      exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM escored) WHERE rank <= 5)
+      SELECT e.query_id,
+        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(a.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS recall
+      FROM exact e
+      LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+      ORDER BY e.query_id"""))
+
+  /** (q117) Exact per-source token-count quantiles (Quantiles
+    * scaladoc): p50/p90/p99 of document token counts by source via the
+    * two-pass bucket rank — no per-group global sort, no
+    * percentile_approx sketch. Target ranks are exact rational
+    * ⌈num·N/den⌉; the oracle selects the same ranks through a plain
+    * window (safe in DuckDB at gate scale).
+    */
+  val q117ExactQuantiles = Q(
+    "q117_s_exact_quantiles",
+    (s, dir) =>
+      operators.Quantiles.exactQuantiles(
+        t(s, dir, "documents").select(col("source"),
+          TextFns.tokenCount(col("text")).as("n_tokens")),
+        "source", "n_tokens", bucketWidth = 8L,
+        qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy("source", "q"),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+            AS n_tokens
+        FROM documents),
+      r AS (SELECT source, n_tokens,
+              row_number() OVER (PARTITION BY source
+                ORDER BY n_tokens ASC) AS rn,
+              count(*) OVER (PARTITION BY source) AS n
+            FROM tk),
+      t(label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                    ('p99', 99, 100))
+      SELECT r.source, t.label AS q, CAST(r.n_tokens AS BIGINT) AS value
+      FROM r JOIN t ON r.rn = (t.num * r.n + t.den - 1) // t.den
+      ORDER BY r.source, q"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4405,5 +4518,5 @@ object Queries {
     q103TemperatureMix, q104BigramLp, q105HardNegatives,
     q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc,
     q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan,
-    q114CmsFreq, q115HllDistinct)
+    q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles)
 }

@@ -433,6 +433,41 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, v => when(scale > 0, v.cast("double") / scale).otherwise(lit(0.0)))
 
+  /** Johnson–Lindenstrauss sign projection: reduce `dim`-d vectors to
+    * `outDim` components y_p = Σ_j r(p,j)·x_j with r ∈ {−1, +1} drawn
+    * deterministically from md5("p:j:jl") — the database-friendly JL
+    * family (Achlioptas 2003: ±1 entries preserve pairwise distances
+    * like Gaussians do). No 1/√outDim scaling: cosine is
+    * scale-invariant, and downstream use here is cosine ranking.
+    *
+    * ORACLE-GRADE determinism: each component is the exact long
+    * Σ r·⌊x·10⁶⌋ (sign flips are exact; the sum is integer —
+    * partition-order free), divided by 10⁶ once at the end. The
+    * projection matrix is outDim·dim rows — broadcast; the corpus cost
+    * is one explode + one hash aggregate, scan-shaped at 100 TB.
+    */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, outDim: Int): DataFrame = {
+    require(dim > 0 && outDim > 0 && outDim <= dim,
+      s"need 0 < outDim ($outDim) <= dim ($dim)")
+    val spark = df.sparkSession
+    val proj = spark.range(outDim.toLong).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(dim.toLong).select(col("id").cast("int").as("j")))
+      .select(col("p"), col("j"),
+        (pmod(Dedup.md5Hash60(concat_ws(":", col("p"), col("j"), lit("jl"))),
+          lit(2L)) * lit(2L) - lit(1L)).as("r"))
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("j", "x")))
+      .join(broadcast(proj), Seq("j"))
+      .groupBy(col(idCol), col("p"))
+      .agg(sum(col("r") *
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long")).as("yq"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("p"), col("yq")))).as("pm"))
+      .select(col(idCol),
+        transform(col("pm"), e =>
+          e.getField("yq").cast("double") / lit(1000000.0)).as(vecCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking: per-table
     * corpus self-join on signature, union of candidates across
     * independent tables, exact cosine ≥ threshold verification.

@@ -387,4 +387,39 @@ class SimilarityAndSkewSpec extends SparkSpec {
       Similarity.kmeansAssign(df, "vec_id", "embedding", k = 0, iters = 1)
     }
   }
+
+  test("signProject: deterministic, sign-exact, and scale-preserving") {
+    val df = Seq(
+      (1L, Seq.tabulate(8)(i => (i + 1) * 0.25f)),
+      (2L, Seq.tabulate(8)(i => (i + 1) * -0.25f)),
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.signProject(df, "vec_id", "embedding", dim = 8, outDim = 4)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val b = Similarity.signProject(df.repartition(7), "vec_id", "embedding",
+      dim = 8, outDim = 4)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // integer-sum projection: bit-identical
+    assert(a.forall(_._2.length == 4))
+    // v2 = -v1 exactly (floor asymmetry aside: components use ⌊x·10⁶⌋,
+    // and ±(i+1)·0.25·10⁶ are exact integers, so the negation is exact)
+    assert(a(0)._2.zip(a(1)._2).forall { case (x, y) => x == -y })
+    intercept[IllegalArgumentException] {
+      Similarity.signProject(df, "vec_id", "embedding", dim = 8, outDim = 9)
+    }
+  }
+
+  test("signProject preserves cosine ordering for well-separated directions") {
+    // 32-dim: near-duplicates must stay closer than an opposite vector
+    // after a 32→8 sign projection
+    val base = Seq.tabulate(32)(i => math.sin(i * 0.7).toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => x + (if (i == 3) 0.05f else 0f) }
+    val anti = base.map(x => -x)
+    val df = Seq((1L, base), (2L, near), (3L, anti)).toDF("vec_id", "embedding")
+    val p = Similarity.signProject(df, "vec_id", "embedding", dim = 32, outDim = 8)
+    val top = Similarity.cosineTopK(p.filter($"vec_id" === 1L), p,
+      "vec_id", "embedding", k = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(top.head._3 === 2L, s"projected NN of base should be near, got $top")
+  }
 }
