@@ -436,6 +436,57 @@ object ScaleProbe {
         emb.unpersist()
       }
     }
+    if (section("sketchann")) {
+      // round-8 session-2 ops: composed IVF-PQ, JL projection, the
+      // two-pass rank family, and the fixed-size sketches. Docs get a
+      // per-replica length suffix so quality scores SPREAD across
+      // replicas (exact twins would pile every doc into one coarse
+      // bucket — legal, but then the probe measures the skew caveat,
+      // not the operator's growth).
+      import graft.operators.{Pq, Quantiles, Sketches}
+      val emb0 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val docs0 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      for (mult <- Seq(1, 10)) {
+        val emb = replicate(emb0, "vec_id", mult)
+        timedCount(s"ivfpq   ${mult}x vecs m=4 ksub=8 nprobe=4/16 q=10",
+          Pq.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+            "embedding", dim = 64, m = 4, ksub = 8, iters = 1,
+            nClusters = 16, nprobe = 4, k = 5))
+        timedCount(s"jlproj  ${mult}x vecs 64->16",
+          Similarity.signProject(emb, "vec_id", "embedding", 64, 16))
+        emb.unpersist()
+      }
+      for (mult <- Seq(1, 10, 100)) {
+        val docs = (0 until mult).map(r =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", concat(col("text"),
+              lit(" " + Seq.fill(r % 7)("pad").mkString(" ")))))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        timedCount(s"currbin ${mult}x docs nBins=16",
+          graft.operators.Curation.curriculumBins(docs, "doc_id", "text",
+            Seq("the", "a", "of", "and", "to", "in", "is"), nBins = 16))
+        timedCount(s"quantl  ${mult}x docs p50/p90/p99 by source",
+          Quantiles.exactQuantiles(
+            docs.select(col("source"),
+              graft.functions.TextFns.tokenCount(col("text")).as("v")),
+            "source", "v", bucketWidth = 8L,
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))))
+        val occ = docs.select(explode(graft.functions.TextFns.tokens(col("text")))
+          .as("term")).filter(length(col("term")) > 0)
+        timedCount(s"cms     ${mult}x docs 4x64 counters",
+          Sketches.cmsCounters(occ, "term", 64, 4))
+        timedCount(s"hll     ${mult}x docs m=64 by source",
+          Sketches.hllEstimate(Sketches.hllRegisters(
+            docs.select(col("source"),
+              explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+              .filter(length(col("term")) > 0),
+            "term", "source", 64), "source", 64))
+        docs.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }

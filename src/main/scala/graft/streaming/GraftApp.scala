@@ -390,6 +390,27 @@ object GraftApp {
       // deployment-config placeholder target domain
       Curation.importanceWeights(docs, "doc_id", "text", "source", "src0")
         .createOrReplaceTempView("v_doc_dsir")
+      // curriculum quality quartiles (q112's operator) — lazy; the
+      // driver collect of coarse-bucket counts runs on first query
+      Curation.curriculumBins(docs, "doc_id", "text", stop, nBins = 4)
+        .createOrReplaceTempView("v_doc_curriculum")
+      // exact per-source token-count percentiles (q117) — lazy two-pass
+      graft.operators.Quantiles.exactQuantiles(
+        docs.select(col("source"), TextFns.tokenCount(col("text")).as("v")),
+        "source", "v", bucketWidth = 8L,
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .createOrReplaceTempView("v_source_token_quantiles")
+      // term-frequency CMS counters + per-source HLL distinct estimates
+      // (q114/q115) — bounded outputs a monitoring pipeline samples
+      val occ = docs.select(col("source"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      graft.operators.Sketches.cmsCounters(occ, "term", width = 64, depth = 4)
+        .createOrReplaceTempView("v_term_cms")
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(occ, "term", "source", m = 64),
+        "source", m = 64)
+        .createOrReplaceTempView("v_source_hll")
     }
     read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
     read("events").foreach { ev0 =>

@@ -108,6 +108,21 @@ class GraftAppSpec extends SparkSpec {
         spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
       assert(spark.sql("SELECT count(*) FROM v_sessions WHERE n_events > 0")
         .collect()(0).getLong(0) > 0)
+      // round-8 session-2 views: curriculum quartiles partition the
+      // corpus; quantiles emit 3 rows per source; sketches are bounded
+      assert(spark.sql("SELECT sum(n_docs) FROM v_doc_curriculum")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_source_token_quantiles WHERE q IN ('p50','p90','p99')")
+        .collect()(0).getLong(0) === 3 *
+        spark.sql("SELECT count(DISTINCT source) FROM documents")
+          .collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_term_cms")
+        .collect()(0).getLong(0) <= 4L * 64L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_source_hll WHERE hll_est > 0")
+        .collect()(0).getLong(0) > 0)
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 
