@@ -4487,6 +4487,55 @@ object Queries {
       FROM r JOIN t ON r.rn = (t.num * r.n + t.den - 1) // t.den
       ORDER BY r.source, q"""))
 
+  /** (q118) Span-level benchmark decontamination
+    * (Dedup.contaminatedSpans scaladoc): docs 0–24 stand in for the
+    * eval suite, every ≥4-token span of the rest of the corpus that
+    * reproduces a benchmark 4-gram is emitted as a cut mask — q84's
+    * islands machinery keyed by an external broadcast gram set instead
+    * of corpus self-counts.
+    */
+  val q118ContamSpans = Q(
+    "q118_dd_contam_spans",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedSpans(docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), "doc_id", "text",
+        gramSize = 4, gramKeyOf = Dedup.md5Hash60)
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      wb AS (SELECT DISTINCT ('0x' || substr(md5(
+               array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15))::BIGINT
+               AS gk
+             FROM d, LATERAL unnest(range(1, len(toks) - 2)) t(i)
+             WHERE doc_id < 25 AND len(toks) >= 4),
+      w AS (SELECT doc_id, CAST(i AS INT) AS start,
+              ('0x' || substr(md5(
+                array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 15))::BIGINT
+                AS gk
+            FROM d, LATERAL unnest(range(1, len(toks) - 2)) t(i)
+            WHERE doc_id >= 25 AND len(toks) >= 4),
+      ds AS (SELECT doc_id, start FROM w JOIN wb USING (gk)),
+      m AS (SELECT doc_id, start,
+              CASE WHEN start > coalesce(max(start + 3) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -2147483648) + 1
+                THEN 1 ELSE 0 END AS new_span
+            FROM ds),
+      sx AS (SELECT doc_id, start,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS span
+             FROM m)
+      SELECT doc_id, MIN(start) AS span_start,
+        CAST(MAX(start) + 3 AS INT) AS span_end,
+        CAST(MAX(start) + 3 - MIN(start) + 1 AS INT) AS n_span_tokens
+      FROM sx GROUP BY doc_id, span
+      ORDER BY doc_id, span_start"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4518,5 +4567,6 @@ object Queries {
     q103TemperatureMix, q104BigramLp, q105HardNegatives,
     q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc,
     q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan,
-    q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles)
+    q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
+    q118ContamSpans)
 }

@@ -744,9 +744,18 @@ object Dedup {
     val dupKeys = windows.groupBy(col("__gk")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select(col("__gk"))
     val dupStarts = windows.join(dupKeys, Seq("__gk")).select(col("id"), col("start"))
-    // gaps-and-islands: a new span begins where this window's start
-    // clears the running max end of all earlier windows by ≥ 2 (touching
-    // or overlapping windows fuse into one maximal span)
+    mergeSpans(dupStarts, idCol, gramSize)
+  }
+
+  /** Gaps-and-islands over flagged window starts: a new span begins
+    * where this window's start clears the running max end of all
+    * earlier windows by ≥ 2 (touching or overlapping windows fuse into
+    * one maximal span). The per-doc window sees just the flagged
+    * positions — the sort is bounded by a doc's own span count.
+    * Shared by [[duplicateSpans]] and [[contaminatedSpans]].
+    */
+  private def mergeSpans(dupStarts: DataFrame, idCol: String,
+                         gramSize: Int): DataFrame = {
     val wPrev = Window.partitionBy(col("id")).orderBy(col("start").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("id")).orderBy(col("start").asc)
@@ -761,6 +770,43 @@ object Dedup {
         (max(col("start")) + gramSize - 1).as("span_end"))
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_span_tokens"))
+  }
+
+  /** Span-level benchmark decontamination — the surgical form of [[
+    * contaminationFlags]] (which flags whole docs): every maximal token
+    * span of `corpus` covered by a `gramSize`-gram that appears ANYWHERE
+    * in `bench` is emitted as a mask (id, span_start, span_end,
+    * n_span_tokens) — cut the spans, keep the doc (the eval-overlap
+    * scrub of Lee et al. 2021 §4 / open corpus pipelines, span-level so
+    * one leaked test question doesn't delete a whole web page).
+    *
+    * Plan shape: the benchmark side reduces to DISTINCT 8-byte gram keys
+    * (broadcast by contract — eval suites are small); the corpus makes
+    * one window explode, keeps hash-key hits only, and the span merge is
+    * [[duplicateSpans]]'s bounded per-doc islands pass. The corpus never
+    * shuffles gram text and is scanned once.
+    */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, gramSize: Int,
+                        gramKeyOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(gramSize > 0, s"gramSize ($gramSize) must be positive")
+    def windowsOf(df: DataFrame, idAs: String): DataFrame = {
+      val toks = graft.functions.TextFns.tokens(col(textCol))
+      df.select(col(idCol).as(idAs), toks.as("__toks"))
+        .select(col(idAs), explode(
+          when(col("__toks").isNotNull && size(col("__toks")) >= gramSize,
+            sequence(lit(1), size(col("__toks")) - gramSize + 1))
+            .otherwise(array().cast("array<int>"))).as("start"),
+          col("__toks"))
+        .select(col(idAs), col("start"),
+          gramKeyOf(array_join(slice(col("__toks"), col("start"), lit(gramSize)), " "))
+            .as("__gk"))
+    }
+    val benchKeys = windowsOf(bench, "__bid").select(col("__gk")).distinct()
+    val hits = windowsOf(corpus, "id")
+      .join(broadcast(benchKeys), Seq("__gk"))
+      .select(col("id"), col("start"))
+    mergeSpans(hits, idCol, gramSize)
   }
 
   /** Fixed-size token-block paragraphs: the segmentation convention of

@@ -393,4 +393,33 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long, Long, Option[String])].collect().toSet
     assert(run(xxhash64(_)) === run(Dedup.md5Hash60))
   }
+
+  test("contaminatedSpans: hand-computed masks; overlapping hits fuse") {
+    val bench = Seq((100L, "a b c d"), (101L, "c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // "a b c d" at 3; "b c d e" (its own 4-gram "c d e f" base? no —
+      // only grams FROM bench count): positions 3..6 and the separate
+      // repeat at 9..12 stay two spans (gap of 2)
+      (1L, "x y a b c d z w a b c d"),
+      // overlapping bench grams "a b c d"@1 and "c d e f"@3 fuse: 1..6
+      (2L, "a b c d e f"),
+      (3L, "no overlap here at all"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = Dedup.contaminatedSpans(corpus, bench, "doc_id", "text",
+      gramSize = 4, gramKeyOf = Dedup.md5Hash60)
+      .as[(Long, Int, Int, Int)].collect().sortBy(t => (t._1, t._2))
+    assert(r.toSeq === Seq((1L, 3, 6, 4), (1L, 9, 12, 4), (2L, 1, 6, 6)))
+  }
+
+  test("contaminatedSpans: empty benchmark masks nothing; key families agree") {
+    val bench = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    assert(Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", 4).count() === 0L)
+    val b2 = Seq((9L, "b c d e")).toDF("doc_id", "text")
+    def run(k: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.contaminatedSpans(corpus, b2, "doc_id", "text", 4, k)
+        .as[(Long, Int, Int, Int)].collect().toSet
+    assert(run(xxhash64(_)) === run(Dedup.md5Hash60))
+    assert(run(xxhash64(_)) === Set((1L, 2, 5, 4)))
+  }
 }
