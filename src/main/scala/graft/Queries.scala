@@ -4536,6 +4536,73 @@ object Queries {
       FROM sx GROUP BY doc_id, span
       ORDER BY doc_id, span_start"""))
 
+  /** (q119) Deterministic epoch shuffle via a generalized Feistel
+    * network (Packing.feistelShuffleKey scaladoc): a seed-reproducible
+    * bijective shuffle key over the dense doc_id index — the
+    * retry-stable replacement for `orderBy(rand(seed))`. The oracle
+    * replays the identical BIGINT round arithmetic (seed 42, 4 rounds,
+    * a = ⌈√n⌉, b = ⌈n/a⌉ computed from count(*) in SQL).
+    */
+  val q119FeistelShuffle = Q(
+    "q119_s_feistel_shuffle",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // one bounded aggregate to size the domain
+      graft.operators.Packing.feistelShuffle(docs.select("doc_id"),
+        "doc_id", n, seed = 42)
+        .orderBy("shuffle_key")
+    },
+    Some("""
+      WITH p AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                   AS a, CAST(count(*) AS BIGINT) AS n FROM documents),
+      q AS (SELECT a, (n + a - 1) // a AS b FROM p),
+      x0 AS (SELECT doc_id, doc_id // q.b AS l, doc_id % q.b AS r, q.a, q.b
+             FROM documents, q),
+      x1 AS (SELECT doc_id, (l + (((r + 42000126 + 2654435761) % 2147483647)
+               * 2247054683) % a) % a AS l, r, a, b FROM x0),
+      x2 AS (SELECT doc_id, l, (r + (((l + 42000126 + 5308871522) % 2147483647)
+               * 2247054683) % b) % b AS r, a, b FROM x1),
+      x3 AS (SELECT doc_id, (l + (((r + 42000126 + 7963307283) % 2147483647)
+               * 2247054683) % a) % a AS l, r, a, b FROM x2),
+      x4 AS (SELECT doc_id, l, (r + (((l + 42000126 + 10617743044) % 2147483647)
+               * 2247054683) % b) % b AS r, a, b FROM x3)
+      SELECT doc_id, l * b + r AS shuffle_key FROM x4 ORDER BY shuffle_key"""))
+
+  /** (q120) Winnowing fingerprints (Dedup.winnowFingerprints scaladoc):
+    * MOSS's local min-in-window fingerprint selection over 3-gram
+    * hashes, window 4, rightmost-min tie rule. The oracle materializes
+    * every (window end, gram) pair with a bounded range join, takes the
+    * per-window min key, and resolves ties to the max position.
+    */
+  val q120WinnowFps = Q(
+    "q120_dd_winnow_fps",
+    (s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        gramSize = 3, window = 4, gramKeyOf = Dedup.md5Hash60)
+        .orderBy("doc_id", "fp_pos", "fp"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              ('0x' || substr(md5(
+                array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT
+                AS gk
+            FROM d, LATERAL unnest(range(1, len(toks) - 1)) t(i)
+            WHERE len(toks) >= 3),
+      n AS (SELECT doc_id, max(pos) AS ng FROM g GROUP BY doc_id),
+      e AS (SELECT doc_id, CAST(j AS INT) AS e
+            FROM n, LATERAL unnest(range(4, ng + 1)) t(j)),
+      j AS (SELECT e.doc_id, e.e, g.pos, g.gk
+            FROM e JOIN g ON g.doc_id = e.doc_id AND g.pos BETWEEN e.e - 3 AND e.e),
+      mn AS (SELECT doc_id, e, min(gk) AS mg FROM j GROUP BY doc_id, e),
+      sel AS (SELECT j.doc_id, max(j.pos) AS fp_pos, mn.mg AS fp
+              FROM j JOIN mn ON j.doc_id = mn.doc_id AND j.e = mn.e
+                AND j.gk = mn.mg
+              GROUP BY j.doc_id, j.e, mn.mg)
+      SELECT DISTINCT doc_id, fp_pos, fp FROM sel
+      ORDER BY doc_id, fp_pos, fp"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4568,5 +4635,5 @@ object Queries {
     q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc,
     q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan,
     q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
-    q118ContamSpans)
+    q118ContamSpans, q119FeistelShuffle, q120WinnowFps)
 }

@@ -880,4 +880,51 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         col("clean_text"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * §3, the MOSS local algorithm): hash every `gramSize`-token gram,
+    * slide a window of `window` consecutive gram hashes, and in each
+    * full window select the minimum hash — rightmost occurrence on
+    * ties — then keep the distinct selected (position, hash) pairs.
+    * The guarantee (Theorem 1): any shared token run of length ≥
+    * window + gramSize − 1 between two documents yields at least one
+    * shared fingerprint, with an expected density of 2/(window+1) —
+    * the sub-linear sketch that makes all-pairs substring matching a
+    * fingerprint equi-join instead of a gram equi-join.
+    *
+    * Plan shape: one explode to gram hashes (8-byte, text never
+    * shuffles), one per-doc window pass ordered by position — bounded
+    * by each doc's own gram count, never a global sort. The
+    * rightmost-min selection is a single `min(struct(hash, -pos))`
+    * over the sliding frame: struct ordering compares hash first, then
+    * the negated position, so ties resolve to the LARGEST position in
+    * one codegen'd aggregate instead of a second ranking pass.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         gramSize: Int, window: Int,
+                         gramKeyOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(gramSize > 0, s"gramSize ($gramSize) must be positive")
+    require(window > 0, s"window ($window) must be positive")
+    val toks = tokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), explode(
+        when(col("__toks").isNotNull && size(col("__toks")) >= gramSize,
+          sequence(lit(1), size(col("__toks")) - gramSize + 1))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("__toks"))
+      .select(col("id"), col("pos"),
+        gramKeyOf(array_join(slice(col("__toks"), col("pos"), lit(gramSize)), " "))
+          .as("__gk"))
+    val wSlide = Window.partitionBy(col("id")).orderBy(col("pos").asc)
+      .rowsBetween(-(window - 1), 0)
+    grams
+      .withColumn("__sel", min(struct(col("__gk").as("h"),
+        (-col("pos")).as("np"))).over(wSlide))
+      // positions are dense 1..nGrams, so pos >= window ⇔ full window
+      .filter(col("pos") >= window)
+      .select(col("id").as(idCol), (-col("__sel.np")).as("fp_pos"),
+        col("__sel.h").as("fp"))
+      .distinct()
+  }
 }

@@ -305,4 +305,53 @@ object Packing {
       }.toMap
     sampleToTargets(docs, idCol, textCol, srcCol, targets)
   }
+
+  /** Deterministic epoch shuffle via a generalized Feistel network
+    * (Black & Rogaway 2002 "Ciphers with Arbitrary Finite Domains",
+    * construction 4): an index x ∈ [0, n) is split over Z_a × Z_b with
+    * a = ⌈√n⌉, b = ⌈n/a⌉, and each of `rounds` alternating rounds adds
+    * a keyed mix of the untouched half modulo its own modulus — every
+    * round is invertible (subtract the same mix), so the composite is a
+    * bijection on [0, a·b) and injective on [0, n). Sorting by the key
+    * is a seed-reproducible global shuffle: unlike `orderBy(rand(seed))`
+    * the order survives retries, partial re-reads, and backfills, and
+    * seed+1 gives the next epoch's independent order.
+    *
+    * Scale shape: the key is a pure narrow projection of integer
+    * arithmetic (codegen'd, no UDF, no shuffle, no state); the one
+    * shuffle a consumer pays is the final sort-by-key it would pay for
+    * any shuffled materialization. All intermediates stay < 2⁶³:
+    * halves < 2³¹·⁵ for n < 2⁴⁵ (docs, not tokens — comfortably past a
+    * 100 TB corpus), the mix reduces mod 2³¹−1 before the 2²⁴⁷-million
+    * multiplier, and a·b < 2⁶² — so the same BIGINT arithmetic is exact
+    * in any SQL engine, which is what makes the DuckDB oracle possible.
+    */
+  def feistelShuffleKey(index: Column, n: Long, seed: Long,
+                        rounds: Int = 4): Column = {
+    require(n >= 1 && n < (1L << 45), s"n ($n) must be in [1, 2^45)")
+    require(seed >= 0 && seed < (1L << 31), s"seed ($seed) must be in [0, 2^31)")
+    require(rounds >= 2, s"rounds ($rounds) must be >= 2")
+    val a = math.max(math.ceil(math.sqrt(n.toDouble)).toLong, 1L)
+    val b = (n + a - 1) / a
+    def mix(round: Int, z: Column, m: Long): Column =
+      ((z + lit(seed * 1000003L) + lit(round * 2654435761L)) % lit(2147483647L)) *
+        lit(2247054683L) % lit(m)
+    // Column./ is DOUBLE division — floor-div is exact here (< 2^45)
+    val init = (floor(index / lit(b)).cast("long"), index % lit(b))
+    val (l, r) = (1 to rounds).foldLeft(init) { case ((l, r), i) =>
+      if (i % 2 == 1) (((l + mix(i, r, a)) % lit(a)), r)
+      else (l, ((r + mix(i, l, b)) % lit(b)))
+    }
+    l * lit(b) + r
+  }
+
+  /** [[feistelShuffleKey]] as a frame op: `idCol` must hold a dense
+    * index in [0, n) (testdata doc_ids are; otherwise derive one with a
+    * partition-offset pass). Adds `shuffle_key`, injective over the
+    * frame — `orderBy("shuffle_key")` IS the epoch order.
+    */
+  def feistelShuffle(docs: DataFrame, idCol: String, n: Long, seed: Long,
+                     rounds: Int = 4): DataFrame =
+    docs.withColumn("shuffle_key",
+      feistelShuffleKey(col(idCol).cast("long"), n, seed, rounds))
 }

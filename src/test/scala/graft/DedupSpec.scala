@@ -422,4 +422,46 @@ class DedupSpec extends SparkSpec {
     assert(run(xxhash64(_)) === run(Dedup.md5Hash60))
     assert(run(xxhash64(_)) === Set((1L, 2, 5, 4)))
   }
+
+  test("winnowFingerprints: hand-computed selection with rightmost-min ties") {
+    // grams of "a b a b a b c" (k=3): p1 "a b a", p2 "b a b", p3 "a b a",
+    // p4 "b a b", p5 "a b c" — pin their hashes to 1, 2, 1, 2, 0 so the
+    // windows are hand-checkable:
+    //   w=4, e=4: {1,2,1,2} min=1 at p1 and p3 → rightmost p3 → (3, 1)
+    //   w=4, e=5: {2,1,2,0} min=0 at p5 → (5, 0)
+    val pin = (g: org.apache.spark.sql.Column) =>
+      when(g === "a b a", 1L).when(g === "b a b", 2L).otherwise(0L)
+    val docs = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val r = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      gramSize = 3, window = 4, gramKeyOf = pin)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(r === Set((1L, 3, 1L), (1L, 5, 0L)))
+  }
+
+  test("winnowFingerprints: the winnowing guarantee and degenerate docs") {
+    // Theorem 1 (Schleimer et al. 2003): a shared token run of length
+    // >= window + gramSize - 1 = 6 guarantees a shared fingerprint VALUE
+    val shared = "q w e r t y"
+    val docs = Seq(
+      (1L, s"u i o p $shared z x c v"),
+      (2L, s"$shared m n b"),
+      (3L, "too short"),           // fewer grams than the window → none
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      gramSize = 3, window = 4)
+      .as[(Long, Int, Long)].collect()
+    val byDoc = r.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // density sanity: selections per doc are far below the gram count
+    val grams1 = 10 + 6 - 2 // doc 1 tokens=14 → 12 grams
+    assert(byDoc(1L).size < grams1)
+    // the guarantee is hash-family independent (selections differ, the
+    // shared-fingerprint property cannot)
+    val md5 = Dedup.winnowFingerprints(docs, "doc_id", "text",
+      gramSize = 3, window = 4, gramKeyOf = Dedup.md5Hash60)
+      .as[(Long, Int, Long)].collect()
+    val byDocMd5 = md5.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDocMd5(1L).intersect(byDocMd5(2L)).nonEmpty)
+  }
 }

@@ -219,4 +219,43 @@ class PackingSpec extends SparkSpec {
     assert(one.filter(_.getAs[String]("source") == "s1")
       .forall(_.getAs[Long]("tgt_tokens") == 700000L))
   }
+
+  test("feistelShuffleKey: bijection on the full a*b domain, injection on [0,n)") {
+    val n = 1000L
+    val a = math.ceil(math.sqrt(n.toDouble)).toLong // 32
+    val b = (n + a - 1) / a                         // 32
+    val m = a * b
+    // over the FULL domain the network is a permutation: every key in
+    // [0, m) appears exactly once
+    val full = spark.range(m).select(
+      Packing.feistelShuffleKey(col("id"), n, seed = 7).as("k"))
+    assert(full.agg(countDistinct(col("k"))).first().getLong(0) === m)
+    assert(full.agg(min(col("k")), max(col("k"))).first() ===
+      org.apache.spark.sql.Row(0L, m - 1))
+    // restricted to [0, n) it is injective (a sub-permutation)
+    val sub = spark.range(n).select(
+      Packing.feistelShuffleKey(col("id"), n, seed = 7).as("k"))
+    assert(sub.agg(countDistinct(col("k"))).first().getLong(0) === n)
+  }
+
+  test("feistelShuffle: deterministic per seed, different across seeds") {
+    val docs = spark.range(257).toDF("doc_id")
+    def order(seed: Long): Seq[Long] =
+      Packing.feistelShuffle(docs, "doc_id", 257L, seed)
+        .orderBy("shuffle_key").select("doc_id")
+        .as[Long].collect().toSeq
+    assert(order(3) === order(3))             // retry-stable
+    assert(order(3) !== order(4))             // epochs differ
+    assert(order(3).sorted === (0L until 257L)) // still a full pass
+    // the shuffle actually shuffles: identity order would be useless
+    assert(order(3) !== (0L until 257L))
+  }
+
+  test("feistelShuffle: no shuffle in the key plan (pure projection)") {
+    val docs = spark.range(100).toDF("doc_id")
+    val plan = Packing.feistelShuffle(docs, "doc_id", 100L, seed = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("exchange"))
+    assert(!plan.toLowerCase.contains("repartition"))
+  }
 }
