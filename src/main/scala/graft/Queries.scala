@@ -4603,6 +4603,53 @@ object Queries {
       SELECT DISTINCT doc_id, fp_pos, fp FROM sel
       ORDER BY doc_id, fp_pos, fp"""))
 
+  /** (q121) Stride-scheduled proportional interleave
+    * (Packing.strideInterleave scaladoc): the j-th doc of source s is
+    * scheduled at virtual time j·(lcm/w_s), so every prefix of the
+    * epoch stream holds the 3:2:1 target mixture — exact integer
+    * arithmetic, replayed verbatim by the oracle's window rank.
+    */
+  val q121StrideInterleave = Q(
+    "q121_s_stride_interleave",
+    (s, dir) =>
+      graft.operators.Packing.strideInterleave(t(s, dir, "documents"),
+        "doc_id", "source", Map("src0" -> 3, "src3" -> 2, "src7" -> 1))
+        .select("vt", "source", "pass_idx", "doc_id"),
+    Some("""
+      WITH f AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS pass_idx
+            FROM documents WHERE source IN ('src0', 'src3', 'src7'))
+      SELECT pass_idx * (CASE source WHEN 'src0' THEN 2
+                                     WHEN 'src3' THEN 3 ELSE 6 END) AS vt,
+        source, CAST(pass_idx AS BIGINT) AS pass_idx, doc_id
+      FROM f ORDER BY vt, source, pass_idx"""))
+
+  /** (q122) Rendezvous (HRW) sharding (Packing.rendezvousAssign
+    * scaladoc): doc → argmax over 8 shards of hash(doc:shard), ties to
+    * the last shard name — the consistent-routing primitive whose
+    * assignments provably survive shard-set changes. Oracle ranks the
+    * same md5-60bit scores per doc.
+    */
+  val q122RendezvousShard = Q(
+    "q122_s_rendezvous_shard",
+    (s, dir) =>
+      graft.operators.Packing.rendezvousAssign(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        (0 until 8).map(i => s"n$i"), hashOf = Dedup.md5Hash60)
+        .orderBy("doc_id"),
+    Some("""
+      WITH sh(s) AS (VALUES ('n0'), ('n1'), ('n2'), ('n3'), ('n4'),
+                            ('n5'), ('n6'), ('n7')),
+      sc AS (SELECT doc_id, s,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || s),
+                 1, 15))::BIGINT AS h
+             FROM documents, sh),
+      r AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+              ORDER BY h DESC, s DESC) AS rn
+            FROM sc)
+      SELECT doc_id, s AS shard FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4635,5 +4682,6 @@ object Queries {
     q106HybridRrf, q107IvfRecall, q108ClusterCoreset, q109PqAdc,
     q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan,
     q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
-    q118ContamSpans, q119FeistelShuffle, q120WinnowFps)
+    q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
+    q121StrideInterleave, q122RendezvousShard)
 }

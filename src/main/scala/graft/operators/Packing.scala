@@ -354,4 +354,68 @@ object Packing {
                      rounds: Int = 4): DataFrame =
     docs.withColumn("shuffle_key",
       feistelShuffleKey(col(idCol).cast("long"), n, seed, rounds))
+
+  /** Deterministic proportional interleave — stride scheduling
+    * (Waldspurger & Weihl, OSDI 1995) applied to batch composition: the
+    * j-th doc of source s (1-based, in `idCol` order) is scheduled at
+    * virtual time j·(L/w_s) where L = lcm of the integer weights, and
+    * the epoch order is (vt, source, j) ascending. A weight-3 source
+    * then appears 3× as often as a weight-1 source at every PREFIX of
+    * the stream, not just in aggregate — the property batch-mixture
+    * guarantees need ("each batch ≈ the target mixture", not "the
+    * epoch eventually is"). Exact integer arithmetic end to end:
+    * reproducible across engines, retries, and backfills.
+    *
+    * The other mixers ([[mixByWeight]], [[temperatureMix]],
+    * [[repeatToBudget]]) decide HOW MUCH of each source to take; this
+    * decides the ORDER the survivors stream in. Compose: sample first,
+    * interleave the keep-list.
+    *
+    * Plan shape: one per-source window for the dense rank (bounded by
+    * source cardinality; at extreme single-source skew pre-shard the
+    * rank with a partition-offset pass) and the consumer's final
+    * sort-by-(vt, source) — the same one shuffle any materialized
+    * ordering pays.
+    */
+  def strideInterleave(docs: DataFrame, idCol: String, srcCol: String,
+                       weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty, "strideInterleave: no weights")
+    require(weights.values.forall(_ > 0),
+      s"strideInterleave: weights must be positive: $weights")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = weights.values.foldLeft(1L)((l, w) => l / gcd(l, w) * w)
+    require(lcm < (1L << 31), s"strideInterleave: lcm($weights) = $lcm too large")
+    val stride = typedLit(weights.map { case (s, w) => (s, lcm / w) })
+    val wSrc = Window.partitionBy(col(srcCol)).orderBy(col(idCol).asc)
+    docs
+      .filter(col(srcCol).isin(weights.keys.toSeq.map(lit): _*))
+      .withColumn("pass_idx", row_number().over(wSrc).cast("long"))
+      .withColumn("vt", col("pass_idx") * element_at(stride, col(srcCol)))
+      .orderBy(col("vt").asc, col(srcCol).asc, col("pass_idx").asc)
+  }
+
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: a key routes to argmax over shards of hash(key, shard).
+    * The property sticky distributed routing needs: when the shard set
+    * changes, ONLY keys owned by the removed (or won by the added)
+    * shard move — every other assignment is provably unchanged (their
+    * argmax set lost no member it had chosen), vs modulo sharding
+    * where ~all keys reshuffle. Pure narrow projection: the per-key
+    * argmax is one `array_max` over |shards| (hash, name) structs —
+    * codegen'd, no shuffle, no state, no shard table to look up.
+    *
+    * Ties (hash collisions across shards) resolve to the
+    * lexicographically LAST shard name via the struct ordering —
+    * deterministic, engine-portable.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String, shards: Seq[String],
+                       hashOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(shards.nonEmpty, "rendezvousAssign: no shards")
+    require(shards.distinct.size == shards.size,
+      s"rendezvousAssign: duplicate shard names: $shards")
+    val scored = array(shards.sorted.map(s =>
+      struct(hashOf(concat(col(keyCol).cast("string"), lit(":"), lit(s)))
+        .as("h"), lit(s).as("s"))): _*)
+    df.withColumn("shard", array_max(scored).getField("s"))
+  }
 }

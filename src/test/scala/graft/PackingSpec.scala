@@ -251,6 +251,38 @@ class PackingSpec extends SparkSpec {
     assert(order(3) !== (0L until 257L))
   }
 
+  test("strideInterleave: every prefix holds the target mixture; exact vt") {
+    // weights a:2, b:1 → lcm 2, strides a=1, b=2
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"), (7L, "c")).toDF("doc_id", "source")
+    val r = Packing.strideInterleave(docs, "doc_id", "source",
+      Map("a" -> 2, "b" -> 1))
+      .select("source", "doc_id", "vt").as[(String, Long, Long)]
+      .collect().toSeq
+    // vt: a→1,2,3,4  b→2,4; order (vt, source): a a b a a b; 'c' dropped
+    assert(r === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 5L, 2L),
+      ("a", 3L, 3L), ("a", 4L, 4L), ("b", 6L, 4L)))
+    // the prefix property: after any even prefix, a:b counts are 2:1
+    val srcs = r.map(_._1)
+    assert(srcs.take(3).count(_ == "a") === 2)
+    assert(srcs.take(6).count(_ == "a") === 4)
+  }
+
+  test("rendezvousAssign: only the removed shard's keys move") {
+    val keys = spark.range(300).toDF("k")
+    val all = (0 until 5).map(i => s"sh$i")
+    val with5 = Packing.rendezvousAssign(keys, "k", all)
+      .as[(Long, String)].collect().toMap
+    val with4 = Packing.rendezvousAssign(keys, "k", all.filterNot(_ == "sh2"))
+      .as[(Long, String)].collect().toMap
+    with5.foreach { case (k, s) =>
+      if (s == "sh2") assert(with4(k) !== "sh2")
+      else assert(with4(k) === s) // untouched assignments are stable
+    }
+    // and the hash spreads: every shard owns something at n=300
+    assert(with5.values.toSet === all.toSet)
+  }
+
   test("feistelShuffle: no shuffle in the key plan (pure projection)") {
     val docs = spark.range(100).toDF("doc_id")
     val plan = Packing.feistelShuffle(docs, "doc_id", 100L, seed = 1)
