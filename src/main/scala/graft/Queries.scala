@@ -4650,6 +4650,82 @@ object Queries {
             FROM sc)
       SELECT doc_id, s AS shard FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  /** (q123) Containment quote detection (Dedup.containmentJoin
+    * scaladoc): 20-token chunks of docs 0–9 as "quotes", searched
+    * against the whole corpus by directional gram containment
+    * |q∩d|/|q| over a df-capped trigram vocabulary — each chunk must
+    * rediscover its parent at containment 1.0; cross-doc hits are the
+    * near-quote tail. Oracle mirrors the chunking, the df cut, and the
+    * exact-int division.
+    */
+  val q123ContainmentQuotes = Q(
+    "q123_dd_containment_quotes",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quotes = Curation.chunkTokens(docs.filter(col("doc_id") < 10),
+        "doc_id", "text", chunkSize = 20, stride = 20)
+        .select((col("doc_id") * 1000 + col("start_tok")).as("quote_id"),
+          col("chunk_text").as("text"))
+      Dedup.containmentJoin(quotes, docs, "quote_id", "doc_id", "text",
+        gramSize = 3, dfCap = 1000, minContainment = 0.5,
+        gramKeyOf = Dedup.md5Hash60)
+        .orderBy("quote_id", "doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      qd AS (SELECT doc_id * 1000 + i AS quote_id,
+               list_slice(toks, i, i + 19) AS qtoks
+             FROM d, LATERAL unnest(range(1, greatest(len(toks), 1) + 1, 20)) t(i)
+             WHERE doc_id < 10),
+      qg AS (SELECT DISTINCT quote_id,
+               ('0x' || substr(md5(
+                 array_to_string(list_slice(qtoks, i, i + 2), ' ')), 1, 15))::BIGINT
+                 AS gk
+             FROM qd, LATERAL unnest(range(1, len(qtoks) - 1)) t(i)
+             WHERE len(qtoks) >= 3),
+      cg AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(
+                 array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT
+                 AS gk
+             FROM d, LATERAL unnest(range(1, len(toks) - 1)) t(i)
+             WHERE len(toks) >= 3),
+      hdf AS (SELECT gk FROM cg GROUP BY gk HAVING count(*) > 1000),
+      qk AS (SELECT quote_id, gk FROM qg ANTI JOIN hdf USING (gk)),
+      ck AS (SELECT doc_id, gk FROM cg ANTI JOIN hdf USING (gk)),
+      qs AS (SELECT quote_id, count(*) AS q_size FROM qk GROUP BY quote_id),
+      ij AS (SELECT qk.quote_id, ck.doc_id, count(*) AS n_inter
+             FROM qk JOIN ck USING (gk) GROUP BY 1, 2)
+      SELECT ij.quote_id, ij.doc_id, n_inter, q_size,
+        CAST(n_inter AS DOUBLE) / q_size AS containment
+      FROM ij JOIN qs USING (quote_id)
+      WHERE CAST(n_inter AS DOUBLE) / q_size >= 0.5
+      ORDER BY quote_id, doc_id"""))
+
+  /** (q124) Per-source vocabulary profile (Curation.vocabStats
+    * scaladoc): token mass, type count, hapax legomena and hapax share
+    * — the Heaps/Zipf source-health diagnostics, one
+    * vocabulary-bounded shuffle.
+    */
+  val q124VocabStats = Q(
+    "q124_tx_vocab_stats",
+    (s, dir) =>
+      Curation.vocabStats(t(s, dir, "documents"), "text", "source")
+        .orderBy("source"),
+    Some("""
+      WITH tok AS (SELECT source, unnest(
+               regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+             FROM documents),
+      tc AS (SELECT source, t, count(*) AS n FROM tok
+             WHERE t <> '' GROUP BY source, t)
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          AS hapax_ratio
+      FROM tc GROUP BY source ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4683,5 +4759,6 @@ object Queries {
     q110IvfPq, q111TruncRecall, q112CurriculumBins, q113EpochPlan,
     q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
-    q121StrideInterleave, q122RendezvousShard)
+    q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
+    q124VocabStats)
 }

@@ -728,4 +728,32 @@ object Curation {
         min(col("__score")).as("min_quality"),
         max(col("__score")).as("max_quality"))
   }
+
+  /** Per-source vocabulary profile — the Heaps/Zipf diagnostics a
+    * corpus report leads with: token mass N, type count V (distinct
+    * tokens), hapax legomena count (types seen exactly once) and the
+    * hapax share of the vocabulary. A healthy natural-language source
+    * shows V ≪ N with a large hapax share (Zipf tail); V ≈ N flags
+    * id/hash spam, a collapsed hapax share flags template/boilerplate
+    * farms — cheap signals that catch whole bad SOURCES before any
+    * per-doc scoring runs.
+    *
+    * Plan shape: one explode to (source, token) with map-side-combined
+    * counting — the only shuffle carries distinct (source, token)
+    * pairs (vocabulary-bounded, NOT corpus-bounded) — then a per-source
+    * fold. Empty-string tokens (blank docs tokenize to `[""]`) are
+    * dropped, not counted as a type.
+    */
+  def vocabStats(docs: DataFrame, textCol: String,
+                 srcCol: String): DataFrame =
+    docs
+      .select(col(srcCol), explode(TextFns.tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(srcCol), col("__t")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(srcCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ratio",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
 }

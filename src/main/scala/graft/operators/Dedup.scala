@@ -881,6 +881,63 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Directional containment join — near-superset / quote detection:
+    * for each `quotes` row, every `corpus` doc whose gram set covers at
+    * least `minContainment` of the quote's grams, with
+    * C(q→d) = |grams(q) ∩ grams(d)| / |grams(q)|. Resemblance (Jaccard,
+    * the MinHash estimand) goes to ~0 when a short quote sits inside a
+    * long doc; containment is the asymmetric measure that still reads
+    * 1.0 — Broder 1997 §2's second measure, the one plagiarism/quote
+    * pipelines actually want.
+    *
+    * Grams with corpus doc-frequency > `dfCap` are dropped from BOTH
+    * sides (numerator and denominator), which (a) bounds the candidate
+    * fanout per gram to dfCap² — the standard sub-quadratic guard this
+    * codebase applies to every similarity self-join — and (b) is the
+    * stopword-removal semantics quote detection wants anyway. A quote
+    * gram absent from the corpus entirely still counts in the
+    * denominator (it is evidence AGAINST containment); only
+    * high-frequency corpus grams are vocabulary-excluded.
+    *
+    * Plan shape: both sides reduce to distinct 8-byte (id, gram-key)
+    * pairs in the scan stage (gram text never shuffles); the high-df
+    * vocabulary is one map-side-combined count + two anti-joins; the
+    * intersection is one equi-join on the 8-byte key, aggregated with
+    * partial combine. Containment is a single exact-int division,
+    * engine-portable for the oracle.
+    */
+  def containmentJoin(quotes: DataFrame, corpus: DataFrame,
+                      quoteIdCol: String, corpusIdCol: String,
+                      textCol: String, gramSize: Int, dfCap: Long,
+                      minContainment: Double,
+                      gramKeyOf: Column => Column = xxhash64(_)): DataFrame = {
+    require(gramSize > 0, s"gramSize ($gramSize) must be positive")
+    require(dfCap > 0, s"dfCap ($dfCap) must be positive")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment ($minContainment) must be in (0, 1]")
+    def gramsOf(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+        explode(shingles(col(textCol), gramSize)).as("__g"))
+        .select(col(idCol), gramKeyOf(col("__g")).as("__gk"))
+        .distinct() // shingles are per-doc distinct; this folds key collisions
+    val cg = snapshot(gramsOf(corpus, corpusIdCol))
+    val highDf = cg.groupBy(col("__gk")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > dfCap).select(col("__gk"))
+    val qk = gramsOf(quotes, quoteIdCol)
+      .join(highDf, Seq("__gk"), "left_anti")
+    val ck = cg.join(highDf, Seq("__gk"), "left_anti")
+    val qSize = qk.groupBy(col(quoteIdCol)).agg(count(lit(1)).as("q_size"))
+    qk.join(ck, Seq("__gk"))
+      .groupBy(col(quoteIdCol), col(corpusIdCol))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(qSize, Seq(quoteIdCol))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("q_size").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col(quoteIdCol), col(corpusIdCol), col("n_inter"),
+        col("q_size"), col("containment"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
     * §3, the MOSS local algorithm): hash every `gramSize`-token gram,
     * slide a window of `window` consecutive gram hashes, and in each

@@ -573,4 +573,19 @@ class CurationSpec extends SparkSpec {
       Stop, nBins = 4).orderBy("bin").collect().toSeq
     assert(one === many)
   }
+
+  test("vocabStats: hand-computed type/hapax counts; blank docs add nothing") {
+    val docs = Seq(
+      ("s1", "a b a c"),     // tokens 4, types {a:2, b:1, c:1}, hapax 2
+      ("s1", "a d"),         // a→3, d→1 → s1: N=6, V=4, hapax {b,c,d}=3
+      ("s2", "x x x"),       // N=3, V=1, hapax 0
+      ("s2", ""),            // blank → [""] → dropped
+      ("s3", "u v w")        // N=3, V=3, hapax 3
+    ).toDF("source", "text")
+    val r = Curation.vocabStats(docs, "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(("s1", 6L, 4L, 3L, 0.75), ("s2", 3L, 1L, 0L, 0.0),
+      ("s3", 3L, 3L, 3L, 1.0)))
+  }
 }

@@ -423,6 +423,42 @@ class DedupSpec extends SparkSpec {
     assert(run(xxhash64(_)) === Set((1L, 2, 5, 4)))
   }
 
+  test("containmentJoin: quote inside a long doc reads 1.0 where Jaccard ~0") {
+    val corpus = Seq(
+      (1L, "z1 z2 z3 z4 q w e r t y z5 z6 z7 z8 z9 z10 z11 z12"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val quotes = Seq((100L, "q w e r t y"), (200L, "q w e r t x"),
+      (300L, "m1 m2 m3 m4")).toDF("quote_id", "text")
+    val r = Dedup.containmentJoin(quotes, corpus, "quote_id", "doc_id",
+      "text", gramSize = 3, dfCap = 100, minContainment = 0.5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // quote 100: 4 trigrams, all inside doc 1 → containment 1.0
+    // quote 200: trigrams {q w e, w e r, e r t, r t x} — 3 of 4 in doc 1
+    // quote 300: zero overlap anywhere → below threshold
+    assert(r === Set((100L, 1L, 4L, 4L, 1.0), (200L, 1L, 3L, 4L, 0.75)))
+  }
+
+  test("containmentJoin: dfCap drops stop-grams from BOTH sides") {
+    // the gram "x y z" appears in every corpus doc (df 3 > cap 2) and is
+    // the quote's ONLY gram → denominator empties → no rows, rather than
+    // a spurious 1.0 against all three docs
+    val corpus = Seq((1L, "x y z a b c"), (2L, "x y z d e f"),
+      (3L, "x y z g h i")).toDF("doc_id", "text")
+    val quotes = Seq((9L, "x y z")).toDF("quote_id", "text")
+    val r = Dedup.containmentJoin(quotes, corpus, "quote_id", "doc_id",
+      "text", gramSize = 3, dfCap = 2, minContainment = 0.1)
+    assert(r.count() === 0L)
+    // a quote gram ABSENT from the corpus still counts against the
+    // denominator: "x b c" shares nothing; "a b c" hits doc 1 only
+    val q2 = Seq((9L, "a b c q q q")).toDF("quote_id", "text")
+    val r2 = Dedup.containmentJoin(q2, corpus, "quote_id", "doc_id",
+      "text", gramSize = 3, dfCap = 2, minContainment = 0.1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // grams: {a b c, b c q, c q q, q q q} → 1 of 4 in doc 1
+    assert(r2 === Set((9L, 1L, 1L, 4L, 0.25)))
+  }
+
   test("winnowFingerprints: hand-computed selection with rightmost-min ties") {
     // grams of "a b a b a b c" (k=3): p1 "a b a", p2 "b a b", p3 "a b a",
     // p4 "b a b", p5 "a b c" — pin their hashes to 1, 2, 1, 2, 0 so the
