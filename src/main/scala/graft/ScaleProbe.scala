@@ -487,6 +487,48 @@ object ScaleProbe {
       }
     }
 
+    if (section("session3")) {
+      // round-8 session-3 ops: decontamination span masks, winnowing,
+      // containment quotes (fixed probe side, growing corpus), and the
+      // pure-projection shuffling/sharding family. Replica texts get a
+      // per-replica token salt so gram tables grow with data (exact
+      // twins would only grow the dup tail).
+      val docs0 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      val bench = docs0.filter(col("doc_id") < 25)
+      val quotes = graft.operators.Curation.chunkTokens(
+        docs0.filter(col("doc_id") < 10), "doc_id", "text", 20, 20)
+        .select((col("doc_id") * 1000 + col("start_tok")).as("quote_id"),
+          col("chunk_text").as("text"))
+      for (mult <- Seq(1, 10)) {
+        val docs = (0 until mult).map(r =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", concat(col("text"), lit(s" salt$r end$r"))))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        timedCount(s"contam  ${mult}x corpus vs fixed bench 4-grams",
+          Dedup.contaminatedSpans(docs, bench, "doc_id", "text", 4))
+        timedCount(s"winnow  ${mult}x corpus k=3 w=4",
+          Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4))
+        timedCount(s"containq ${mult}x corpus, fixed 20-tok quotes",
+          Dedup.containmentJoin(quotes, docs, "quote_id", "doc_id",
+            "text", gramSize = 3, dfCap = 1000, minContainment = 0.5))
+        timedCount(s"vocab   ${mult}x corpus by source",
+          graft.operators.Curation.vocabStats(docs, "text", "source"))
+        docs.unpersist()
+      }
+      for (mult <- Seq(1, 10, 100)) {
+        val n = 500L * mult
+        val ids = spark.range(n).toDF("doc_id")
+        timedCount(s"feistel ${mult}x ids, key+sort",
+          graft.operators.Packing.feistelShuffle(ids, "doc_id", n, 42)
+            .orderBy("shuffle_key"))
+        timedCount(s"rendez  ${mult}x ids, 8 shards",
+          graft.operators.Packing.rendezvousAssign(ids, "doc_id",
+            (0 until 8).map(i => s"n$i")))
+      }
+    }
+
     spark.stop()
   }
 }
