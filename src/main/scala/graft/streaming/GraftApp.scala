@@ -411,6 +411,36 @@ object GraftApp {
         graft.operators.Sketches.hllRegisters(occ, "term", "source", m = 64),
         "source", m = 64)
         .createOrReplaceTempView("v_source_hll")
+      // round-8 session-3 surface ------------------------------------
+      // per-source Heaps/Zipf vocabulary health (q124) — one
+      // vocabulary-bounded aggregate
+      Curation.vocabStats(docs, "text", "source")
+        .createOrReplaceTempView("v_source_vocab")
+      // rendezvous shard ownership (q122) — pure projection; the
+      // 8-shard set is a deployment-config placeholder
+      graft.operators.Packing.rendezvousAssign(
+        docs.select(col("doc_id")), "doc_id", (0 until 8).map(i => s"n$i"))
+        .createOrReplaceTempView("v_doc_shard")
+      // deterministic epoch order (q119): the one EAGER registration —
+      // the Feistel domain needs n at plan-build; parquet row-count
+      // metadata makes this count cheap, and seed 0 is the
+      // deployment-config epoch number
+      val nDocs = docs.count()
+      if (nDocs > 0)
+        graft.operators.Packing.feistelShuffle(
+          docs.select(col("doc_id")), "doc_id", nDocs, seed = 0)
+          .createOrReplaceTempView("v_doc_shuffle")
+      // winnowing fingerprints (q120) — the substring-match sketch a
+      // plagiarism/overlap monitor queries; per-doc bounded
+      graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text",
+        gramSize = 3, window = 4)
+        .createOrReplaceTempView("v_doc_winnow")
+      // span decontamination masks (q118) vs a placeholder benchmark
+      // slice (deployment passes the real eval-suite table)
+      graft.operators.Dedup.contaminatedSpans(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", gramSize = 4)
+        .createOrReplaceTempView("v_doc_contam_spans")
     }
     read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
     read("events").foreach { ev0 =>

@@ -123,6 +123,27 @@ class GraftAppSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM v_source_hll WHERE hll_est > 0")
         .collect()(0).getLong(0) > 0)
+      // round-8 session-3 views: vocab health per source, rendezvous
+      // shard ownership, the deterministic epoch order (a permutation:
+      // every doc exactly once, keys distinct), winnowing fingerprints
+      assert(spark.sql(
+        "SELECT count(*) FROM v_source_vocab WHERE n_types <= n_tokens")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(DISTINCT source) FROM documents")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_shard WHERE shard LIKE 'n%'")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(DISTINCT shuffle_key) FROM v_doc_shuffle")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_doc_winnow")
+        .collect()(0).getLong(0) > 0)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_contam_spans WHERE n_span_tokens >= 4")
+        .collect()(0).getLong(0) >= 0)
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 
