@@ -4726,6 +4726,54 @@ object Queries {
           AS hapax_ratio
       FROM tc GROUP BY source ORDER BY source"""))
 
+  /** (q125) Kneser-Ney bigram log-probability
+    * (Curation.fitKnBigramLm/knBigramScore scaladoc): d = 3/4 makes
+    * every KN probability a ratio of exact integers, so the oracle
+    * replays the identical (max(4c−3,0)·B + 3·n1p·n1m)/(4·B·c1)
+    * division and the ⌊10⁶·ln⌋ quantized long sum. Self-scoring the
+    * corpus exercises no backoff branch (every transition is seen).
+    */
+  val q125KnBigramLp = Q(
+    "q125_tx_kn_bigram_lp",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.knBigramScore(docs, Curation.fitKnBigramLm(docs, "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM documents WHERE text IS NOT NULL),
+      tr AS (
+        SELECT doc_id, t[i] AS t1, t[i+1] AS t2
+        FROM tk, LATERAL unnest(range(1, len(t))) u(i)
+        WHERE len(t) >= 2),
+      c12 AS (SELECT t1, t2, COUNT(*)::BIGINT AS c12 FROM tr GROUP BY 1, 2),
+      cx AS (SELECT t1, CAST(SUM(c12) AS BIGINT) AS c1,
+               COUNT(*)::BIGINT AS n1p FROM c12 GROUP BY 1),
+      ct AS (SELECT t2, COUNT(*)::BIGINT AS n1m FROM c12 GROUP BY 1),
+      bb AS (SELECT COUNT(*)::BIGINT AS b FROM c12),
+      sc AS (
+        SELECT tr.doc_id, COUNT(*)::BIGINT AS n_trans,
+          CAST(SUM(CAST(floor(1000000.0 * ln(
+            CAST(greatest(4 * c12.c12 - 3, 0) * bb.b
+                 + 3 * cx.n1p * ct.n1m AS DOUBLE) /
+            CAST(4 * bb.b * cx.c1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS lpq
+        FROM tr JOIN c12 USING (t1, t2) JOIN cx USING (t1)
+          JOIN ct USING (t2) CROSS JOIN bb
+        GROUP BY tr.doc_id)
+      SELECT d.doc_id,
+        coalesce(sc.n_trans, 0) AS n_trans,
+        coalesce(sc.lpq, 0) AS kn_lp_q,
+        CASE WHEN sc.n_trans > 0 THEN
+          (CAST(sc.lpq AS DOUBLE) / 1000000.0) / CAST(sc.n_trans AS DOUBLE)
+          END AS kn_lp_mean
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4760,5 +4808,5 @@ object Queries {
     q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
-    q124VocabStats)
+    q124VocabStats, q125KnBigramLp)
 }

@@ -664,6 +664,85 @@ object Curation {
           .as("bigram_lp_mean"))
   }
 
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.27 with one discount): the smoothing all
+    * serious n-gram LM filters use (CCNet's KenLM is modified-KN) —
+    * absolute discount d = 3/4 off every seen pair, mass re-spent on
+    * the CONTINUATION unigram P_cont(w2) = N1−(w2)/B ("how many
+    * contexts does w2 complete" — the reason "francisco" scores low
+    * despite high frequency). Returns the pair table joined with every
+    * statistic scoring needs: (t1, t2, c12, c1, n1p, n1m, b, v) where
+    * n1p = |{w2 : c(t1,w2)>0}|, n1m = |{w1 : c(w1,t2)>0}|, b = distinct
+    * pair types, v = vocabulary.
+    *
+    * d = 3/4 makes every probability a RATIO OF EXACT INTEGERS:
+    * P = (max(4·c12−3, 0)·B + 3·n1p·n1m) / (4·B·c1) — so cross-engine
+    * scoring needs one double division of exact longs (contract:
+    * c12·B < 2⁶¹; past that, lift the numerator to Decimal(38)).
+    *
+    * Same shuffle shape as [[fitBigramLm]] plus two map-side-combined
+    * aggregates (continuation counts) — all pair-table-bounded.
+    */
+  def fitKnBigramLm(docs: DataFrame, textCol: String): DataFrame = {
+    val c12 = transitions(docs.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(eager = false)
+    val ctx = c12.groupBy(col("t1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy(col("t2")).agg(count(lit(1)).as("n1m"))
+    val pairTypes = c12.agg(count(lit(1)).as("b"))
+    val vocab = docs
+      .select(explode(filter(TextFns.tokens(col(textCol)),
+        t => length(t) > 0)).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    c12.join(ctx, Seq("t1")).join(cont, Seq("t2"))
+      .crossJoin(broadcast(pairTypes)).crossJoin(broadcast(vocab))
+  }
+
+  /** Per-document Kneser-Ney bigram log-probability under a
+    * [[fitKnBigramLm]] model — [[bigramScore]]'s determinism contract
+    * (per-transition ⌊10⁶·ln P⌋ long, LONG sum, two exact-input double
+    * divisions for the mean) over the KN probability. Backoffs for a
+    * NEW batch against a frozen model: a seen context with an unseen
+    * target whose word never appears as a continuation (numerator 0),
+    * and an unseen context, both fall back to ln(1/V) — the same
+    * uniform floor [[bigramScore]] uses, so the score is total.
+    */
+  def knBigramScore(docs: DataFrame, lm: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val tr = transitions(docs, idCol, textCol)
+    val ctx = lm.select(col("t1"), col("c1"), col("n1p")).dropDuplicates("t1")
+    val cont = lm.select(col("t2"), col("n1m")).dropDuplicates("t2")
+    val scalars = lm.select(max(col("b")).as("__b"), max(col("v")).as("__v"))
+    val scored = tr
+      .join(lm.select(col("t1"), col("t2"), col("c12")), Seq("t1", "t2"), "left")
+      .join(ctx, Seq("t1"), "left")
+      .join(cont, Seq("t2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__num",
+        greatest(lit(4L) * coalesce(col("c12"), lit(0L)) - lit(3L), lit(0L)) *
+          col("__b") +
+          lit(3L) * coalesce(col("n1p"), lit(0L)) * coalesce(col("n1m"), lit(0L)))
+      .withColumn("__lpq",
+        when(col("c1").isNotNull && col("__num") > 0,
+          floor(lit(1000000.0) * log(col("__num").cast("double") /
+            (lit(4L) * col("__b") * col("c1")).cast("double"))))
+          .otherwise(
+            floor(lit(1000000.0) * log(lit(1.0) / col("__v").cast("double"))))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__lpq")).as("kn_lp_q"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("kn_lp_q"), lit(0L)).as("kn_lp_q"),
+        when(col("n_trans") > 0,
+          (col("kn_lp_q").cast("double") / lit(1000000.0)) /
+            col("n_trans").cast("double"))
+          .as("kn_lp_mean"))
+  }
+
   /** Curriculum quality binning: split the corpus into `nBins`
     * equal-size tiles by descending [[TextFns.qualityScore]] (ties by
     * id; NULL text scores −1, after everything real) — the

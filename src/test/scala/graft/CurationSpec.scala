@@ -574,6 +574,31 @@ class CurationSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("knBigramScore: hand-computed KN probabilities; interpolated mass sums to 1") {
+    // corpus: "a b a b" + "b a c" → c12 {(a,b):2,(b,a):2,(a,c):1},
+    // c1 {a:3,b:2}, n1p {a:2,b:1}, n1m {a:1,b:1,c:1}, B=3, V=3
+    val docs = Seq((1L, "a b a b"), (2L, "b a c")).toDF("doc_id", "text")
+    val lm = Curation.fitKnBigramLm(docs, "text")
+    def p(c12: Long, n1p: Long, n1m: Long, c1: Long): Double =
+      (math.max(4 * c12 - 3, 0) * 3 + 3 * n1p * n1m).toDouble / (4.0 * 3 * c1)
+    // interpolated KN is a proper distribution over the vocab:
+    // P(a|a)+P(b|a)+P(c|a) = 6/36 + 21/36 + 9/36 = 1
+    assert(p(0, 2, 1, 3) + p(2, 2, 1, 3) + p(1, 2, 1, 3) === 1.0)
+    def q(x: Double): Long = math.floor(1e6 * math.log(x)).toLong
+    val expected1 = 2 * q(p(2, 2, 1, 3)) + q(p(2, 1, 1, 2)) // a→b, a→b, b→a
+    val expected2 = q(p(2, 1, 1, 2)) + q(p(1, 2, 1, 3))     // b→a, a→c
+    val r = Curation.knBigramScore(docs, lm, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq((1L, 3L, expected1, expected1 / 1e6 / 3),
+      (2L, 2L, expected2, expected2 / 1e6 / 2)))
+    // backoffs on a NEW batch: unseen context, and a seen context whose
+    // target never continues anything — both floor to ln(1/V)
+    val fresh = Seq((9L, "z q"), (10L, "a z")).toDF("doc_id", "text")
+    val rf = Curation.knBigramScore(fresh, lm, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rf.map(_._3) === Seq(q(1.0 / 3), q(1.0 / 3)))
+  }
+
   test("vocabStats: hand-computed type/hapax counts; blank docs add nothing") {
     val docs = Seq(
       ("s1", "a b a c"),     // tokens 4, types {a:2, b:1, c:1}, hapax 2
