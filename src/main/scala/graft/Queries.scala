@@ -4774,6 +4774,55 @@ object Queries {
       FROM documents d LEFT JOIN sc USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** (q126) MinHash estimator-accuracy audit
+    * (Dedup.minHashAccuracyAudit scaladoc): signature-agreement
+    * estimate vs exact shingle Jaccard for all pairs of a 50-doc
+    * sample block, H = 16 — the measured error behind any production
+    * LSH threshold choice. Oracle replays the portable affine minhash
+    * family per component and the exact set Jaccard.
+    */
+  val q126MinHashAudit = Q(
+    "q126_dd_minhash_audit",
+    (s, dir) =>
+      Dedup.minHashAccuracyAudit(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", shingleN = 3, numHashes = 16,
+        baseHash = Dedup.md5Base)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH sh0 AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
+            i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i:i+2], ' ')))
+            AS sh
+        FROM documents WHERE doc_id < 50),
+      shn AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS tok FROM shn),
+      h AS (SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS hh
+            FROM ex),
+      params AS (SELECT unnest(range(0, 16)) AS s),
+      mh AS (
+        SELECT doc_id, s,
+          MIN(((1000003 * s + 12345) * hh + (999983 * s + 7)) % 2147483647)
+            AS m
+        FROM h CROSS JOIN params GROUP BY doc_id, s),
+      ag AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree
+             FROM mh a JOIN mh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      ja AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                 AS jaccard_r
+             FROM shn a JOIN shn b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, n_agree,
+        round(CAST(n_agree AS DOUBLE) / 16, 6) AS est_r, jaccard_r
+      FROM ag JOIN ja USING (id_a, id_b)
+      ORDER BY id_a, id_b"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4808,5 +4857,5 @@ object Queries {
     q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
-    q124VocabStats, q125KnBigramLp)
+    q124VocabStats, q125KnBigramLp, q126MinHashAudit)
 }

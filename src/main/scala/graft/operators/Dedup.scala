@@ -881,6 +881,44 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** MinHash estimator-accuracy audit — the sketch-error twin of the
+    * ANN recall audits (q107/q111/q116): for every pair in a SAMPLED
+    * doc block, the signature-agreement estimate ĵ = |{s : mhₐ[s] =
+    * mh_b[s]}| / H next to the exact shingle Jaccard, so the expected
+    * |ĵ − J| ≈ √(J(1−J)/H) error bound is measurable on real data
+    * before anyone trusts an H for production LSH thresholds.
+    *
+    * All-pairs by contract: callers pass a bounded sample (audits
+    * measure a sample, they don't sweep the corpus); the op is O(n²)
+    * in the block size and says so, which is the honest shape — the
+    * production pair generator stays [[minHashCandidates]].
+    */
+  def minHashAccuracyAudit(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, numHashes: Int,
+                           baseHash: Column => Column = xxBase): DataFrame = {
+    require(shingleN > 0 && numHashes > 0,
+      s"shingleN ($shingleN) and numHashes ($numHashes) must be positive")
+    val d = docs
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minHashSignature(col("__sh"), numHashes, baseHash))
+    val a = d.select(col("__id").as("id_a"), col("__sh").as("__sha"),
+      col("__sig").as("__siga"))
+    val b = d.select(col("__id").as("id_b"), col("__sh").as("__shb"),
+      col("__sig").as("__sigb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("__siga"), col("__sigb"),
+          (x, y) => x === y), eq => eq)).cast("long").as("n_agree"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+          ./(size(array_union(col("__sha"), col("__shb"))).cast("double"))
+          .as("__j"))
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        round(col("n_agree").cast("double") / lit(numHashes.toDouble), 6)
+          .as("est_r"),
+        round(col("__j"), 6).as("jaccard_r"))
+  }
+
   /** Directional containment join — near-superset / quote detection:
     * for each `quotes` row, every `corpus` doc whose gram set covers at
     * least `minContainment` of the quote's grams, with

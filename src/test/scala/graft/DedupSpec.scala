@@ -423,6 +423,24 @@ class DedupSpec extends SparkSpec {
     assert(run(xxhash64(_)) === Set((1L, 2, 5, 4)))
   }
 
+  test("minHashAccuracyAudit: identical docs agree on every component") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "q r s t u v"), (4L, "xx")).toDF("doc_id", "text")
+    val r = Dedup.minHashAccuracyAudit(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => ((t._1, t._2), t)).toMap
+    // identical shingle sets: every component agrees, both measures 1.0
+    assert(r((1L, 2L)) === (1L, 2L, 16L, 1.0, 1.0))
+    // disjoint sets: exact Jaccard 0; the estimate shares the signature
+    // of the identical twins (same sets → same sigs → same agreements)
+    assert(r((1L, 3L))._5 === 0.0)
+    assert(r((1L, 3L))._3 === r((2L, 3L))._3)
+    // doc 4 has no 3-shingles → excluded from every pair
+    assert(!r.keys.exists { case (a, b) => a == 4L || b == 4L })
+    assert(r.size === 3)
+  }
+
   test("containmentJoin: quote inside a long doc reads 1.0 where Jaccard ~0") {
     val corpus = Seq(
       (1L, "z1 z2 z3 z4 q w e r t y z5 z6 z7 z8 z9 z10 z11 z12"),
