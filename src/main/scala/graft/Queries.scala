@@ -4823,6 +4823,118 @@ object Queries {
       FROM ag JOIN ja USING (id_a, id_b)
       ORDER BY id_a, id_b"""))
 
+  /** (q127) Corpus snapshot diff (Curation.corpusDiff scaladoc): old =
+    * the documents table; new = drop every 10th doc, append a token to
+    * every 7th, case-fold every 5th (whitespace/case churn must read
+    * `unchanged`), and add fresh ids for every 13th — the four statuses
+    * the incremental re-processing contract needs, each exercised.
+    */
+  val q127CorpusDiff = Q(
+    "q127_s_corpus_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newV = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" extra")))
+            .when(col("doc_id") % 5 === 0, upper(col("text")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Curation.corpusDiff(docs, newV, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH o AS (SELECT doc_id,
+               ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g')), 1, 15))::BIGINT AS h
+             FROM documents),
+      nv AS (SELECT CASE WHEN add THEN doc_id + 100000 ELSE doc_id END
+               AS doc_id,
+               CASE WHEN NOT add AND doc_id % 7 = 0 THEN text || ' extra'
+                    WHEN NOT add AND doc_id % 5 = 0 THEN upper(text)
+                    ELSE text END AS text
+             FROM (SELECT doc_id, text, false AS add FROM documents
+                   WHERE doc_id % 10 <> 0
+                   UNION ALL
+                   SELECT doc_id, text, true AS add FROM documents
+                   WHERE doc_id % 13 = 0)),
+      n AS (SELECT doc_id,
+              ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                '\s+', ' ', 'g')), 1, 15))::BIGINT AS h
+            FROM nv)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ORDER BY doc_id"""))
+
+  /** (q128) Training-export manifest — the capstone composition a run
+    * actually consumes: per doc, the leakage-safe content-hash split
+    * (q76's operator), rendezvous shard ownership (q122), the
+    * deterministic Feistel epoch key (q119) and the token count — one
+    * row per doc, every column reproducible from the corpus alone, so
+    * the manifest can be regenerated byte-identically after any
+    * failure. Oracle composes the four oracle formulas.
+    */
+  val q128ExportManifest = Q(
+    "q128_s_export_manifest",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val staged = graft.operators.Packing.feistelShuffle(
+        graft.operators.Packing.rendezvousAssign(
+          Curation.stratifiedSplit(docs, "text"),
+          "doc_id", (0 until 8).map(i => s"n$i"), hashOf = Dedup.md5Hash60),
+        "doc_id", n, seed = 42)
+      staged.select(col("doc_id"), col("split"), col("shard"),
+        col("shuffle_key"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                   AS a, CAST(count(*) AS BIGINT) AS n FROM documents),
+      q AS (SELECT a, (n + a - 1) // a AS b FROM p),
+      x0 AS (SELECT doc_id, doc_id // q.b AS l, doc_id % q.b AS r, q.a, q.b
+             FROM documents, q),
+      x1 AS (SELECT doc_id, (l + (((r + 42000126 + 2654435761) % 2147483647)
+               * 2247054683) % a) % a AS l, r, a, b FROM x0),
+      x2 AS (SELECT doc_id, l, (r + (((l + 42000126 + 5308871522) % 2147483647)
+               * 2247054683) % b) % b AS r, a, b FROM x1),
+      x3 AS (SELECT doc_id, (l + (((r + 42000126 + 7963307283) % 2147483647)
+               * 2247054683) % a) % a AS l, r, a, b FROM x2),
+      x4 AS (SELECT doc_id, l, (r + (((l + 42000126 + 10617743044) % 2147483647)
+               * 2247054683) % b) % b AS r, a, b FROM x3),
+      fe AS (SELECT doc_id, l * b + r AS shuffle_key FROM x4),
+      sh(s) AS (VALUES ('n0'), ('n1'), ('n2'), ('n3'), ('n4'), ('n5'),
+                       ('n6'), ('n7')),
+      sc AS (SELECT doc_id, s,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || s),
+                 1, 15))::BIGINT AS h
+             FROM documents, sh),
+      rr AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+               ORDER BY h DESC, s DESC) AS rn
+             FROM sc),
+      shard AS (SELECT doc_id, s AS shard FROM rr WHERE rn = 1),
+      sp AS (SELECT doc_id,
+               CASE WHEN text IS NULL THEN 'train'
+                    WHEN hb < 80 THEN 'train'
+                    WHEN hb < 90 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT doc_id, text,
+                     ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g')), 1, 15))::BIGINT % 100 AS hb
+                   FROM documents)),
+      tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+                AS n_tokens
+              FROM documents)
+      SELECT d.doc_id, sp.split, shard.shard, fe.shuffle_key, tok.n_tokens
+      FROM documents d JOIN sp USING (doc_id) JOIN shard USING (doc_id)
+        JOIN fe USING (doc_id) JOIN tok USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4857,5 +4969,6 @@ object Queries {
     q114CmsFreq, q115HllDistinct, q116JlRecall, q117ExactQuantiles,
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
-    q124VocabStats, q125KnBigramLp, q126MinHashAudit)
+    q124VocabStats, q125KnBigramLp, q126MinHashAudit, q127CorpusDiff,
+    q128ExportManifest)
 }

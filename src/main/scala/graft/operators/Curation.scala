@@ -808,6 +808,41 @@ object Curation {
         max(col("__score")).as("max_quality"))
   }
 
+  /** Corpus snapshot diff — what changed between two crawl/ingest
+    * versions, by id and content hash: `added` (id only in new),
+    * `removed` (id only in old), `changed` (same id, different
+    * normalized-content hash), `unchanged`. The operational primitive
+    * behind incremental re-processing: downstream stages (dedup
+    * signatures, embeddings, LM scores) re-run on `added ∪ changed`
+    * only, and retention audits read `removed`. Content equality is
+    * [[graft.functions.TextFns.normalizeText]] + [[Dedup.md5Hash60]] —
+    * whitespace/case churn is NOT a change (re-crawls reformat
+    * constantly; re-embedding the corpus over tabs-vs-spaces is the
+    * classic wasted-epoch story).
+    *
+    * Plan shape: both sides reduce to (id, 8-byte hash) in the scan
+    * stage, then ONE full outer join on id — text never shuffles. NULL
+    * text hashes NULL; two NULLs compare equal here (`<=>`), so a
+    * doc missing text in both versions is `unchanged`, not forever
+    * `changed`.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    // presence flags, not hash-nullness, decide added/removed — a
+    // null-TEXT doc also hashes null and must not read as absent
+    def keyed(df: DataFrame, hashAs: String, presAs: String): DataFrame =
+      df.select(col(idCol),
+        Dedup.md5Hash60(TextFns.normalizeText(col(textCol))).as(hashAs),
+        lit(true).as(presAs))
+    keyed(oldDocs, "__ho", "__po")
+      .join(keyed(newDocs, "__hn", "__pn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(col("__ho") <=> col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Per-source vocabulary profile — the Heaps/Zipf diagnostics a
     * corpus report leads with: token mass N, type count V (distinct
     * tokens), hapax legomena count (types seen exactly once) and the

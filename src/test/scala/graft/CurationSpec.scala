@@ -599,6 +599,24 @@ class CurationSpec extends SparkSpec {
     assert(rf.map(_._3) === Seq(q(1.0 / 3), q(1.0 / 3)))
   }
 
+  test("corpusDiff: four statuses; whitespace/case churn is unchanged; null text is not 'added'") {
+    val old = Seq((1L, "Alpha  Beta"), (2L, "gone"), (3L, "same"),
+      (4L, "was this"), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha beta"),   // case+whitespace fold → unchanged
+      (3L, "same"), (4L, "now that"),   // changed
+      (5L, null.asInstanceOf[String]),  // null in both → unchanged
+      (9L, "fresh")).toDF("doc_id", "text")
+    val r = Curation.corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "unchanged", 2L -> "removed", 3L -> "unchanged",
+      4L -> "changed", 5L -> "unchanged", 9L -> "added"))
+    // null text appearing where a doc was absent is added, not invisible
+    val neu2 = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Curation.corpusDiff(old.filter(col("doc_id") === 3L), neu2,
+      "doc_id", "text").as[(Long, String)].collect().toMap ===
+      Map(3L -> "removed", 7L -> "added"))
+  }
+
   test("vocabStats: hand-computed type/hapax counts; blank docs add nothing") {
     val docs = Seq(
       ("s1", "a b a c"),     // tokens 4, types {a:2, b:1, c:1}, hapax 2
