@@ -546,4 +546,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning") && !plan.contains("Window"),
       s"repeatToBudget must stay scan-stage:\n$plan")
   }
+
+  test("contaminatedSpans broadcasts the benchmark gram keys; corpus never sorts globally") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Dedup.contaminatedSpans(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+      "doc_id", "text", gramSize = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench keys must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("rangepartitioning"),
+      s"corpus side shuffled/sorted globally:\n$plan")
+  }
+
+  test("export-manifest composition stays a scan-stage projection + one broadcast") {
+    // split, shard and shuffle key are all narrow expressions — the
+    // only exchange the capstone pays is the final orderBy's range
+    // partitioning; nothing may shuffle the corpus before it
+    val plan = planOf("q128_s_export_manifest")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"manifest composition introduced a corpus shuffle join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"manifest composition fell back to a window:\n$plan")
+  }
+
+  test("corpusDiff reduces both sides to (id, hash) before the full outer join") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.operators.Curation.corpusDiff(
+      docs, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .queryExecution
+    // the logical plan projects the text column away below the join:
+    // no join-side output may carry `text`
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(_.children.forall(
+      _.output.forall(_.name != "text"))),
+      s"text crosses the diff shuffle:\n${qe.optimizedPlan}")
+  }
 }
