@@ -4935,6 +4935,35 @@ object Queries {
         JOIN fe USING (doc_id) JOIN tok USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** (q129) Length-bucketed batch plan + padding economics
+    * (Packing.lengthBucketedBatches scaladoc): docs ranked (tokens
+    * desc, id) into batches of 16, each padded to its own max —
+    * per-batch waste in exact integers; rank via the per-length
+    * two-pass trick, no global sort. Oracle is the literal window
+    * rank.
+    */
+  val q129LengthBatches = Q(
+    "q129_s_length_batches",
+    (s, dir) =>
+      graft.operators.Packing.lengthBucketedBatches(
+        t(s, dir, "documents"), "doc_id", "text", batchSize = 16)
+        .orderBy("batch_id"),
+    Some("""
+      WITH tk AS (SELECT doc_id,
+               CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               END AS t
+             FROM documents),
+      r AS (SELECT doc_id, t, row_number() OVER (ORDER BY t DESC, doc_id)
+              AS rn
+            FROM tk),
+      b AS (SELECT (rn - 1) // 16 AS batch_id, t FROM r)
+      SELECT batch_id, count(*) AS n_docs, MAX(t) AS max_tokens,
+        CAST(SUM(t) AS BIGINT) AS sum_tokens,
+        MAX(t) * count(*) AS padded_tokens,
+        MAX(t) * count(*) - CAST(SUM(t) AS BIGINT) AS waste_tokens
+      FROM b GROUP BY batch_id ORDER BY batch_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4970,5 +4999,5 @@ object Queries {
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
     q124VocabStats, q125KnBigramLp, q126MinHashAudit, q127CorpusDiff,
-    q128ExportManifest)
+    q128ExportManifest, q129LengthBatches)
 }

@@ -394,6 +394,48 @@ object Packing {
       .orderBy(col("vt").asc, col(srcCol).asc, col("pass_idx").asc)
   }
 
+  /** Length-bucketed batch plan + padding economics: docs ranked by
+    * (token count desc, id), cut into fixed-size batches, each batch
+    * padded to its own max length — the dynamic-batching trick every
+    * trainer uses because naive id-order batching pads every sequence
+    * to the batch's longest straggler (padding FLOPs are pure waste).
+    * Returns per batch: n_docs, max/sum tokens, padded_tokens =
+    * max·n_docs, waste_tokens = padded − sum. Exact integers end to
+    * end.
+    *
+    * The global rank uses [[graft.operators.Curation.curriculumBins]]'s
+    * two-pass trick with an EXACT coarse key — the token count itself:
+    * one hash aggregate counts each distinct length (bounded by max
+    * sequence length, not corpus size — ≤100k rows for any real
+    * tokenizer cap), driver prefix sums become per-length offsets, and
+    * row_number partitions BY LENGTH — no task ever sorts more than one
+    * length-class, there is no global sort anywhere.
+    */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, textCol: String,
+                            batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize ($batchSize) must be positive")
+    import docs.sparkSession.implicits._
+    val tok = docs.select(col(idCol).as("__id"),
+      coalesce(graft.functions.TextFns.tokenCount(col(textCol)).cast("long"),
+        lit(0L)).as("__tok"))
+    val counts = tok.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (t, c)) => (t, acc + c) }
+      .zip(counts).map { case ((_, before), (t, _)) => (t, before) }
+    val offsetDf = offsets.toSeq.toDF("__tok", "__off")
+    val wInLen = Window.partitionBy(col("__tok")).orderBy(col("__id").asc)
+    tok.join(broadcast(offsetDf), Seq("__tok"))
+      .withColumn("__rank", col("__off") + row_number().over(wInLen))
+      .withColumn("batch_id",
+        floor((col("__rank") - 1) / lit(batchSize)).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__tok")).as("max_tokens"),
+        sum(col("__tok")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("max_tokens") * col("n_docs"))
+      .withColumn("waste_tokens",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+  }
+
   /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
     * 1998: a key routes to argmax over shards of hash(key, shard).
     * The property sticky distributed routing needs: when the shard set

@@ -251,6 +251,31 @@ class PackingSpec extends SparkSpec {
     assert(order(3) !== (0L until 257L))
   }
 
+  test("lengthBucketedBatches: hand-computed batches; beats naive id-order padding") {
+    // lengths: doc1→5, doc2→5, doc3→3, doc4→1; B=2
+    // sorted (len desc, id): [1,2], [3,4] → waste 0 and (3*2-4)=2
+    val docs = Seq((1L, "a a a a a"), (2L, "b b b b b"), (3L, "c c c"),
+      (4L, "d")).toDF("doc_id", "text")
+    val r = Packing.lengthBucketedBatches(docs, "doc_id", "text", 2)
+      .orderBy("batch_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 2L, 5L, 10L, 10L, 0L), (1L, 2L, 3L, 4L, 6L, 2L)))
+    // interleaved long/short docs: naive id-order batching pads every
+    // batch to 9; bucketed batching separates the length classes
+    val skew = (1L to 32L)
+      .map(i => (i, if (i % 2 == 0) "x " * 9 else "y"))
+      .toDF("doc_id", "text")
+    val bucketedWaste = Packing.lengthBucketedBatches(skew, "doc_id", "text", 4)
+      .agg(sum(col("waste_tokens"))).first().getLong(0)
+    val naiveWaste = skew
+      .select(graft.functions.TextFns.tokenCount(col("text")).cast("long")
+        .as("t"), ((col("doc_id") - 1) / 4).cast("long").as("b"))
+      .groupBy("b").agg((max(col("t")) * count(lit(1)) - sum(col("t"))).as("w"))
+      .agg(sum(col("w"))).first().getLong(0)
+    assert(bucketedWaste === 0L)
+    assert(naiveWaste > 0L)
+  }
+
   test("strideInterleave: every prefix holds the target mixture; exact vt") {
     // weights a:2, b:1 → lcm 2, strides a=1, b=2
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
