@@ -4964,6 +4964,43 @@ object Queries {
         MAX(t) * count(*) - CAST(SUM(t) AS BIGINT) AS waste_tokens
       FROM b GROUP BY batch_id ORDER BY batch_id"""))
 
+  /** (q130) Farthest-point k-center seeds (Similarity.kCenterSeeds
+    * scaladoc): Gonzalez's 2-approximation, 8 seeds over the embedding
+    * table — the coverage-maximizing diversity sampler. The oracle is
+    * a BPE-style recursive CTE whose per-step LATERAL argmax replays
+    * the same min-squared-L2 double arithmetic.
+    */
+  val q130KCenterSeeds = Q(
+    "q130_ann_kcenter_seeds",
+    (s, dir) =>
+      Similarity.kCenterSeeds(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8)
+        .orderBy("rank"),
+    Some("""
+      WITH RECURSIVE kc(iter, ids) AS (
+        SELECT 1, [CAST((SELECT MIN(vec_id) FROM embeddings) AS BIGINT)]
+        UNION ALL
+        SELECT kc.iter + 1, list_append(kc.ids, best.vid)
+        FROM kc, LATERAL (
+          SELECT vec_id AS vid FROM (
+            SELECT e.vec_id, MIN(list_sum(list_transform(
+                range(1, len(e.embedding) + 1),
+                i -> (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(c.embedding[i] AS DOUBLE))
+                   * (CAST(e.embedding[i] AS DOUBLE)
+                      - CAST(c.embedding[i] AS DOUBLE))))) AS md
+            FROM embeddings e JOIN embeddings c
+              ON list_contains(kc.ids, c.vec_id)
+            WHERE NOT list_contains(kc.ids, e.vec_id)
+            GROUP BY e.vec_id, e.embedding)
+          ORDER BY md DESC, vec_id ASC
+          LIMIT 1) best
+        WHERE kc.iter < 8)
+      SELECT CAST(t.i AS INT) AS rank, ids[t.i] AS seed_id
+      FROM kc, LATERAL unnest(range(1, len(ids) + 1)) t(i)
+      WHERE iter = 8
+      ORDER BY rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -4999,5 +5036,5 @@ object Queries {
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
     q124VocabStats, q125KnBigramLp, q126MinHashAudit, q127CorpusDiff,
-    q128ExportManifest, q129LengthBatches)
+    q128ExportManifest, q129LengthBatches, q130KCenterSeeds)
 }

@@ -742,4 +742,56 @@ object Similarity {
       .withColumn("is_sim", col("cos") >= minCosine)
       .select("id_a", "id_b", "dot", "cos", "is_sim")
   }
+
+  /** Farthest-point (k-center) seed selection — Gonzalez 1985's
+    * 2-approximation: start from the smallest id, then k−1 times pick
+    * the point maximizing the min squared-L2 distance to everything
+    * chosen (ties → smallest id). The diversity sampler behind eval
+    * anchor sets, annotation batches, and k-means++-style inits —
+    * coverage-maximizing where [[clusterCoreset]] is density-following.
+    *
+    * k driver rounds by contract (k is small — single digits to low
+    * hundreds): each round is ONE distributed scan computing
+    * `least(dist to each chosen seed)` (the chosen side rides in the
+    * plan as literals — nothing shuffles, the argmax is a TakeOrdered
+    * of 1), exactly the bounded-driver-loop shape of [[graft.operators.
+    * Bpe.train]]. On a 100 TB corpus you seed from a sample, which is
+    * what a k-center 2-approximation is for.
+    *
+    * Distances are the oracle-portable double form: sequential
+    * left-fold of (aᵢ−bᵢ)² in double — the same arithmetic DuckDB's
+    * `list_sum(list_transform(...))` performs (the q28 cosine
+    * precedent), so the per-round argmax replays exactly in SQL.
+    */
+  def kCenterSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = base.orderBy(col("__id").asc).head()
+      var chosen = Vector((first.getLong(0), first.getSeq[Float](1)))
+      while (chosen.size < k) {
+        val dists = chosen.map { case (_, cv) =>
+          aggregate(zip_with(col("__v"), typedLit(cv), (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, d) => acc + d)
+        }
+        val md = if (dists.size == 1) dists.head else least(dists: _*)
+        val next = base
+          .filter(!col("__id").isin(chosen.map(x => x._1: Any): _*))
+          .select(col("__id"), col("__v"), md.as("__md"))
+          .orderBy(col("__md").desc, col("__id").asc)
+          .limit(1).head()
+        chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1)))
+      }
+      chosen.zipWithIndex
+        .map { case ((id, _), i) => (i + 1, id) }
+        .toDF("rank", "seed_id")
+    } finally { base.unpersist(); () }
+  }
 }

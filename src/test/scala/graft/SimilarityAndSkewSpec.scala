@@ -422,4 +422,20 @@ class SimilarityAndSkewSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect()
     assert(top.head._3 === 2L, s"projected NN of base should be near, got $top")
   }
+
+  test("kCenterSeeds: picks the geometric extremes, smallest-id start") {
+    // 1-D line embedded in 2-D: positions 0, 0.1, 0.2, 5, 10
+    val pts = Seq(0f, 0.1f, 0.2f, 5f, 10f).zipWithIndex
+      .map { case (x, i) => (i.toLong, Seq(x, 0f)) }
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.kCenterSeeds(pts, "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Int, Long)].collect().toSeq
+    // start id 0 (pos 0) → farthest is id 4 (pos 10) → then id 3
+    // (pos 5, min-dist 25 to both ends beats the 0.01-scale cluster)
+    assert(seeds === Seq((1, 0L), (2, 4L), (3, 3L)))
+    // k = n degenerates to a full deterministic ordering
+    val all = Similarity.kCenterSeeds(pts, "vec_id", "embedding", k = 5)
+      .as[(Int, Long)].collect().map(_._2).toSet
+    assert(all === Set(0L, 1L, 2L, 3L, 4L))
+  }
 }
