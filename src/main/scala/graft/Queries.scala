@@ -5001,6 +5001,38 @@ object Queries {
       WHERE iter = 8
       ORDER BY rank"""))
 
+  /** (q131) Deterministic weighted sample without replacement
+    * (Packing.weightedSample scaladoc): A-ES keys ln(u)/w with
+    * hash-derived u, weight = token count, k = 50 — inclusion
+    * proportional to length, reproducible on any engine. Oracle
+    * replays the identical key arithmetic and LIMIT.
+    */
+  val q131WeightedSample = Q(
+    "q131_s_weighted_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Packing.weightedSample(docs, "doc_id",
+        TextFns.tokenCount(col("text")), k = 50)
+        .select(col("doc_id"), col("__w").as("w"),
+          round(col("es_key"), 6).as("es_key_r"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id,
+               CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               END AS w
+             FROM documents),
+      k AS (SELECT doc_id, w,
+              ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es'),
+                1, 15))::BIGINT + 1)
+                / CAST(1152921504606846976 AS DOUBLE)) / w AS es_key
+            FROM w WHERE w > 0),
+      s AS (SELECT doc_id, w, es_key FROM k
+            ORDER BY es_key DESC, doc_id LIMIT 50)
+      SELECT doc_id, w, round(es_key, 6) AS es_key_r
+      FROM s ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -5036,5 +5068,6 @@ object Queries {
     q118ContamSpans, q119FeistelShuffle, q120WinnowFps,
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
     q124VocabStats, q125KnBigramLp, q126MinHashAudit, q127CorpusDiff,
-    q128ExportManifest, q129LengthBatches, q130KCenterSeeds)
+    q128ExportManifest, q129LengthBatches, q130KCenterSeeds,
+    q131WeightedSample)
 }

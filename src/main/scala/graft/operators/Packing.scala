@@ -394,6 +394,40 @@ object Packing {
       .orderBy(col("vt").asc, col(srcCol).asc, col("pass_idx").asc)
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic — Efraimidis
+    * & Spirakis 2006 (algorithm A-ES): each row gets key ln(u)/w with
+    * u = (md5₆₀(id:salt)+1)/2⁶⁰, and the k largest keys ARE a weighted
+    * sample without replacement (inclusion ∝ weight, exactly the
+    * u^(1/w) order statistic, in log space). Hash-derived u instead of
+    * rand() → the same sample on every engine, every retry, every
+    * partition count; a new salt is a fresh draw.
+    *
+    * This is the missing third sampler: [[graft.operators.Curation
+    * .stratifiedSplit]]/q50 are uniform, [[sampleToBudget]] fills a
+    * token budget; A-ES answers "k docs, long ones proportionally more
+    * likely" (importance-weighted eval sets, weighted distillation
+    * pools). Zero-weight rows are excluded — they have inclusion
+    * probability 0 by definition.
+    *
+    * Plan shape: pure scan-stage projection + one TakeOrdered(k) — no
+    * shuffle, no window. u's double conversion is correctly-rounded
+    * from the SAME 60-bit integer on any engine and 2⁶⁰ is a power of
+    * two, so u (and the ln/divide after it) replays exactly in the
+    * oracle.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     salt: String = "es"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val u = (graft.operators.Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(":" + salt))) + lit(1L))
+      .cast("double") / lit(math.pow(2, 60))
+    df.withColumn("__w", weight.cast("long"))
+      .filter(col("__w") > 0)
+      .withColumn("es_key", log(u) / col("__w").cast("double"))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Length-bucketed batch plan + padding economics: docs ranked by
     * (token count desc, id), cut into fixed-size batches, each batch
     * padded to its own max length — the dynamic-batching trick every

@@ -251,6 +251,37 @@ class PackingSpec extends SparkSpec {
     assert(order(3) !== (0L until 257L))
   }
 
+  test("weightedSample: weight-proportional inclusion, deterministic, no replacement") {
+    // 100 heavy docs (w=9) + 100 light (w=1): a 40-sample should be
+    // dominated by heavy docs (E[heavy] = 40·9/ (9+1) scaled ≈ 36 ±
+    // binomial noise; the draw is DETERMINISTIC given the hash so the
+    // assertion is stable)
+    val docs = (1L to 200L)
+      .map(i => (i, if (i <= 100) "h " * 9 else "l"))
+      .toDF("doc_id", "text")
+    val s1 = Packing.weightedSample(docs, "doc_id",
+      graft.functions.TextFns.tokenCount(col("text")), k = 40)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.distinct.size === 40)             // without replacement
+    assert(s1.count(_ <= 100L) >= 30)           // heavy docs dominate
+    // same salt → same sample regardless of partitioning; new salt →
+    // a fresh draw
+    val s2 = Packing.weightedSample(docs.repartition(13), "doc_id",
+      graft.functions.TextFns.tokenCount(col("text")), k = 40)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.toSet === s2.toSet)
+    val s3 = Packing.weightedSample(docs, "doc_id",
+      graft.functions.TextFns.tokenCount(col("text")), k = 40, salt = "es2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s3.toSet !== s1.toSet)
+    // zero-weight rows can never be drawn
+    val withEmpty = docs.union(Seq((999L, "")).toDF("doc_id", "text"))
+    val s4 = Packing.weightedSample(withEmpty, "doc_id",
+      graft.functions.TextFns.tokenCount(col("text")), k = 201)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(!s4.contains(999L) && s4.size === 200)
+  }
+
   test("lengthBucketedBatches: hand-computed batches; beats naive id-order padding") {
     // lengths: doc1→5, doc2→5, doc3→3, doc4→1; B=2
     // sorted (len desc, id): [1,2], [3,4] → waste 0 and (3*2-4)=2
