@@ -5033,6 +5033,321 @@ object Queries {
       SELECT doc_id, w, round(es_key, 6) AS es_key_r
       FROM s ORDER BY doc_id"""))
 
+  /** (q132) k-anonymity suppression (Curation.kAnonSuppress scaladoc):
+    * quasi-identifiers (event_type, user_id, week), k = 5 — groups
+    * small enough to re-identify a member are dropped wholesale. The
+    * gate emits the surviving group table; the oracle is the HAVING
+    * form of the same cut.
+    */
+  val q132KAnon = Q(
+    "q132_s_kanon_suppress",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("week", date_trunc("week", col("ts")))
+      operators.Curation.kAnonSuppress(
+        ev, Seq("event_type", "user_id", "week"), k = 5)
+        .select(col("event_type"), col("user_id"), col("week"),
+          col("grp_n"))
+        .distinct()
+        .orderBy("event_type", "user_id", "week")
+    },
+    Some("""
+      SELECT event_type, user_id, date_trunc('week', ts) AS week,
+        count(*) AS grp_n
+      FROM events
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 5
+      ORDER BY 1, 2, 3"""))
+
+  /** (q133) Embedding-space benchmark decontamination
+    * (Similarity.embedDecontaminate scaladoc): vec_id < 10 stands in
+    * for the eval suite; every other vector's max cosine to the
+    * benchmark decides the contaminated flag at tau = 0.30. The q28
+    * double contract makes the max and the cut oracle-exact.
+    */
+  val q133EmbedDecontam = Q(
+    "q133_sem_embed_decontam",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.embedDecontaminate(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", tau = 0.30)
+        .select(col("vec_id"), round(col("max_cos"), 6).as("max_cos_r"),
+          col("contaminated"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings
+            WHERE vec_id >= 10),
+      scored AS (
+        SELECT vec_id,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> CAST(cv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(bv) + 1),
+               i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM c, b),
+      m AS (SELECT vec_id, max(cos) AS mc FROM scored
+            WHERE cos IS NOT NULL GROUP BY vec_id)
+      SELECT vec_id, round(mc, 6) AS max_cos_r, mc >= 0.30 AS contaminated
+      FROM m ORDER BY vec_id"""))
+
+  /** (q134) Per-dimension embedding statistics (Similarity.dimStats
+    * scaladoc): quantized sums + exact float min/max per dimension —
+    * the normalization pre-pass. One posexplode + one hash aggregate.
+    */
+  val q134DimStats = Q(
+    "q134_ann_dim_stats",
+    (s, dir) =>
+      operators.Similarity.dimStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim"),
+    Some("""
+      SELECT CAST(t.i AS INT) AS dim, count(*) AS n,
+        CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000.0)
+          AS BIGINT)) AS BIGINT) AS sum_q,
+        min(CAST(embedding[t.i] AS DOUBLE)) AS min_x,
+        max(CAST(embedding[t.i] AS DOUBLE)) AS max_x
+      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)
+      GROUP BY t.i
+      ORDER BY dim"""))
+
+  /** (q135) Purged chronological split (Curation.timeSplit scaladoc):
+    * cutoff = exact 4/5-quantile of the event timestamp (rational rank
+    * arithmetic), 6-hour embargo between train and valid. The gate
+    * emits per-split counts and boundaries.
+    */
+  val q135TimeSplit = Q(
+    "q135_s_time_split",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+      operators.Curation.timeSplit(ev, "ts_us", num = 4, den = 5,
+        embargoMicros = 21600000000L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH v AS (SELECT epoch_us(ts) AS us FROM events),
+      r AS (SELECT us, row_number() OVER (ORDER BY us) AS rn,
+              count(*) OVER () AS n
+            FROM v),
+      c AS (SELECT us AS cut FROM r WHERE rn = (4 * n + 4) // 5),
+      l AS (SELECT us,
+              CASE WHEN us <= cut THEN 'train'
+                   WHEN us > cut + 21600000000 THEN 'valid'
+                   ELSE 'embargo' END AS split
+            FROM v, c)
+      SELECT split, count(*) AS n, min(us) AS min_ts_us,
+        max(us) AS max_ts_us
+      FROM l GROUP BY split ORDER BY split"""))
+
+  /** (q136) Readability metrics (TextFns.fleschScore scaladoc):
+    * whitespace words, terminal-punctuation sentences (clamped >= 1),
+    * vowel-group syllable proxy, Flesch reading-ease — all scan-stage
+    * regex passes; the score is an affine IEEE expression rounded at
+    * 4 dp on both engines.
+    */
+  val q136Readability = Q(
+    "q136_tx_readability",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("words"),
+        TextFns.sentenceCount(col("text")).as("sentences"),
+        TextFns.syllableProxy(col("text")).as("syllables"),
+        round(TextFns.fleschScore(col("text")), 4).as("flesch_r"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH m AS (SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+          END AS words,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+          END AS sentences,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        FROM documents)
+      SELECT doc_id, CAST(words AS BIGINT) AS words,
+        CAST(sentences AS BIGINT) AS sentences,
+        CAST(syllables AS BIGINT) AS syllables,
+        CASE WHEN words > 0 THEN
+          round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+            - 84.6 * (CAST(syllables AS DOUBLE) / words), 4)
+        END AS flesch_r
+      FROM m ORDER BY doc_id"""))
+
+  /** (q137) Balanced class weights (Curation.classWeights scaladoc):
+    * ⌊10⁶·N/(K·n_c)⌋ per label — loss re-weighting for skewed label
+    * distributions, quantized so the division is engine-exact.
+    */
+  val q137ClassWeights = Q(
+    "q137_s_class_weights",
+    (s, dir) =>
+      operators.Curation.classWeights(t(s, dir, "embeddings"), "label")
+        .orderBy("label"),
+    Some("""
+      WITH c AS (SELECT label, count(*) AS n_c FROM embeddings
+                 GROUP BY label),
+      t AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, count(*) AS k FROM c)
+      SELECT c.label, CAST(c.n_c AS BIGINT) AS n_c,
+        CAST(floor(1000000.0 * CAST(t.n AS DOUBLE)
+          / CAST(t.k * c.n_c AS DOUBLE)) AS BIGINT) AS weight_q
+      FROM c, t ORDER BY c.label"""))
+
+  /** (q138) Dirichlet query-likelihood retrieval (Retrieval.qlTopK
+    * scaladoc): the LM-smoothing complement to q97's BM25, same
+    * quantized-long scoring contract, first 20 docs as queries.
+    */
+  val q138QlTopK = Q(
+    "q138_ret_ql_topk",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Retrieval.qlTopK(docs.filter(col("doc_id") < 20), docs,
+        "doc_id", "text", k = 5, mu = 2000.0, maxTermDf = 500)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id AS d,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tfx AS (SELECT d, term, COUNT(*) AS tf FROM t
+              WHERE len(term) > 0 GROUP BY d, term),
+      dlx AS (SELECT d, CAST(SUM(tf) AS BIGINT) AS dl FROM tfx GROUP BY d),
+      ct AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_tot FROM dlx),
+      vx AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tfx
+             GROUP BY term HAVING COUNT(*) <= 500),
+      qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+               SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents WHERE doc_id < 20)
+             WHERE len(term) > 0),
+      qv AS (SELECT qt.query_id, qt.term, vx.cf FROM qt
+             JOIN vx USING (term)),
+      nq AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_q FROM qv
+             GROUP BY query_id),
+      m AS (SELECT qv.query_id, tfx.d, tfx.tf, qv.cf
+            FROM tfx JOIN qv USING (term)
+            WHERE qv.query_id <> tfx.d),
+      sc AS (SELECT query_id, d,
+               CAST(SUM(CAST(floor(1000000.0 * ln(1.0 +
+                 CAST(tf AS DOUBLE) * CAST(ct.c_tot AS DOUBLE)
+                   / (2000.0 * CAST(cf AS DOUBLE)))) AS BIGINT)) AS BIGINT)
+                 AS match_q
+             FROM m CROSS JOIN ct
+             GROUP BY query_id, d),
+      fin AS (SELECT sc.query_id, sc.d,
+                sc.match_q + nq.n_q * CAST(floor(1000000.0 *
+                  ln(2000.0 / (CAST(dlx.dl AS DOUBLE) + 2000.0)))
+                  AS BIGINT) AS score_q
+              FROM sc JOIN dlx ON dlx.d = sc.d JOIN nq USING (query_id))
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY score_q DESC, d ASC) AS INTEGER) AS rank,
+        d AS doc_id, CAST(score_q AS DOUBLE) / 1000000.0 AS score
+      FROM fin
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** (q139) Grouping-sets corpus profile: token/doc totals by
+    * (source, lang) with ROLLUP subtotals and a grand total — the
+    * one-query corpus report a mixing policy reads. Exercises
+    * Catalyst's Expand operator (grouping sets); the shuffle carries
+    * the grouped aggregates only.
+    */
+  val q139RollupProfile = Q(
+    "q139_s_rollup_profile",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first),
+    Some("""
+      WITH tk AS (SELECT source, lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+            END AS w
+        FROM documents)
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS n_tokens
+      FROM tk
+      GROUP BY ROLLUP (source, lang)
+      ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST"""))
+
+  /** (q140) Windowed PMI co-occurrence pairs (Curation.pmiPairs
+    * scaladoc): ±2-token window, pairs seen >= 5 times, quantized PMI
+    * — the embedding-pre-training association table.
+    */
+  val q140PmiPairs = Q(
+    "q140_tx_pmi_pairs",
+    (s, dir) =>
+      operators.Curation.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        window = 2, minCount = 5L)
+        .orderBy("a", "b"),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+        FROM documents),
+      p AS (SELECT least(ts[t1.i], ts[t2.j]) AS a,
+                   greatest(ts[t1.i], ts[t2.j]) AS b
+            FROM toks,
+              LATERAL unnest(range(1, len(ts))) t1(i),
+              LATERAL unnest(range(t1.i + 1,
+                least(t1.i + 2, len(ts)) + 1)) t2(j)),
+      uni AS (SELECT unnest(ts) AS t FROM toks),
+      uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+      nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM uc),
+      pc AS (SELECT a, b, count(*) AS c_xy FROM p GROUP BY a, b
+             HAVING count(*) >= 5),
+      pt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS p_tot FROM pc)
+      SELECT pc.a, pc.b, CAST(pc.c_xy AS BIGINT) AS c_xy,
+        CAST(ua.c AS BIGINT) AS c_x, CAST(ub.c AS BIGINT) AS c_y,
+        CAST(floor(1000000.0 * ln(
+          CAST(pc.c_xy AS DOUBLE) * CAST(nt.n_tot AS DOUBLE)
+            * CAST(nt.n_tot AS DOUBLE)
+          / (CAST(pt.p_tot AS DOUBLE) * CAST(ua.c AS DOUBLE)
+             * CAST(ub.c AS DOUBLE)))) AS BIGINT) AS pmi_q
+      FROM pc JOIN uc ua ON ua.t = pc.a
+              JOIN uc ub ON ub.t = pc.b
+              CROSS JOIN nt CROSS JOIN pt
+      ORDER BY a, b"""))
+
+  /** (q141) Per-source z-score normalization (Curation.sourceZScores
+    * scaladoc): token-count z within source from exact long sums,
+    * ⌊10⁴·z⌋, null for degenerate sources.
+    */
+  val q141SourceZScores = Q(
+    "q141_s_source_zscore",
+    (s, dir) =>
+      operators.Curation.sourceZScores(t(s, dir, "documents"), "doc_id",
+        "text", "source")
+        .orderBy("doc_id"),
+    Some("""
+      WITH tk AS (SELECT doc_id, source,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+            END AS BIGINT) AS x
+        FROM documents),
+      st AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS ss
+             FROM tk GROUP BY source),
+      z AS (SELECT tk.doc_id, tk.source, tk.x,
+              sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std,
+              CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+            FROM tk JOIN st USING (source))
+      SELECT doc_id, source, x AS n_tokens,
+        CASE WHEN std > 0 THEN
+          CAST(floor(10000.0 * (CAST(x AS DOUBLE) - mean) / std) AS BIGINT)
+        END AS z_q
+      FROM z ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -5069,5 +5384,7 @@ object Queries {
     q121StrideInterleave, q122RendezvousShard, q123ContainmentQuotes,
     q124VocabStats, q125KnBigramLp, q126MinHashAudit, q127CorpusDiff,
     q128ExportManifest, q129LengthBatches, q130KCenterSeeds,
-    q131WeightedSample)
+    q131WeightedSample, q132KAnon, q133EmbedDecontam, q134DimStats,
+    q135TimeSplit, q136Readability, q137ClassWeights, q138QlTopK,
+    q139RollupProfile, q140PmiPairs, q141SourceZScores)
 }

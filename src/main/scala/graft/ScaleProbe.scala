@@ -529,6 +529,56 @@ object ScaleProbe {
       }
     }
 
+    if (section("session4")) {
+      // round-8 session-4 ops: PMI pairs (the explode is the linear
+      // term; pair aggregate is vocab²-bounded and map-side combined),
+      // QL retrieval vs a fixed query set, embedding decontamination
+      // vs a fixed benchmark, z-scores / k-anon / time split (scan +
+      // tiny-agg shapes). Token-salted replicas as in session3.
+      val docs0 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      val queries = docs0.filter(col("doc_id") < 20)
+      for (mult <- Seq(1, 10)) {
+        val docs = (0 until mult).map(r =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", concat(col("text"), lit(s" salt$r end$r"))))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        timedCount(s"pmi     ${mult}x corpus w=2 minCount=5",
+          graft.operators.Curation.pmiPairs(docs, "doc_id", "text", 2, 5L))
+        timedCount(s"ql      ${mult}x corpus, fixed 20 queries",
+          graft.operators.Retrieval.qlTopK(queries, docs, "doc_id", "text",
+            k = 5, maxTermDf = 500))
+        timedCount(s"zscore  ${mult}x corpus by source",
+          graft.operators.Curation.sourceZScores(docs, "doc_id", "text",
+            "source"))
+        docs.unpersist()
+      }
+      val emb0 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val benchV = emb0.filter(col("vec_id") < 10)
+      for (mult <- Seq(1, 10)) {
+        val emb = replicate(emb0.filter(col("vec_id") >= 10), "vec_id", mult)
+        timedCount(s"edecon  ${mult}x vecs vs fixed 10-vec bench",
+          graft.operators.Similarity.embedDecontaminate(emb, benchV,
+            "vec_id", "embedding", 0.3))
+        emb.unpersist()
+      }
+      val ev0 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      for (mult <- Seq(1, 10, 100)) {
+        val ev = replicate(
+          ev0.select(col("event_id"), col("event_type"), col("user_id"),
+            operators.TimeAgg.epochMicros(ev0).as("ts_us")),
+          "event_id", mult)
+        timedCount(s"kanon   ${mult}x events k=5",
+          graft.operators.Curation.kAnonSuppress(ev,
+            Seq("event_type", "user_id"), 5))
+        timedCount(s"tsplit  ${mult}x events 4/5 + embargo",
+          graft.operators.Curation.timeSplit(ev, "ts_us", 4, 5,
+            21600000000L))
+        ev.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }

@@ -160,4 +160,39 @@ object TextFns {
     val tokVal = (t: Column) => ascii(t) + ascii(substring(t, -1, 1)) + length(t)
     aggregate(toks, lit(0L), (acc, t) => (acc * 131 + tokVal(t).cast("long")) % 1000000007L)
   }
+
+  // ---- Readability -----------------------------------------------------
+
+  /** Sentence count: runs of terminal punctuation, clamped to >= 1 for
+    * non-empty text (a fragment with no terminator is one sentence —
+    * the Flesch denominator must never be 0). RE2-compatible pattern.
+    */
+  def sentenceCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(greatest(
+        size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"),
+        lit(1L)))
+
+  /** Syllable proxy: vowel-group count over the lowercased text — the
+    * standard dictionary-free estimator (each maximal [aeiouy]+ run ≈
+    * one syllable). Exact syllabification needs a pronunciation
+    * lexicon; this proxy is monotone with it and engine-portable.
+    */
+  def syllableProxy(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** Flesch reading-ease over the proxies: 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W), null for empty text (no words → undefined). The
+    * two divisions and the affine combination are literal-identical
+    * IEEE double expressions on any engine, so a 6-dp round is
+    * oracle-exact (the q28 contract). Pure scan-stage: three regex
+    * passes, no shuffle.
+    */
+  def fleschScore(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val syl = syllableProxy(text).cast("double")
+    when(w > 0,
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w))
+  }
 }

@@ -870,4 +870,176 @@ object Curation {
         sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .withColumn("hapax_ratio",
         col("n_hapax").cast("double") / col("n_types").cast("double"))
+
+  /** k-anonymity suppression: drop every row whose quasi-identifier
+    * combination is shared by fewer than `k` rows. The release-safety
+    * primitive for publishing event/interaction data alongside a
+    * training corpus — any group small enough to re-identify a member
+    * is suppressed wholesale, the standard k-anonymity guarantee
+    * (Sweeney 2002) restricted to suppression (no generalization
+    * hierarchy — that is a policy input, not an engine feature).
+    *
+    * Plan shape: one hash aggregate over the quasi columns (map-side
+    * combined — the shuffle carries distinct quasi combinations, not
+    * rows), then an equi-join of the input back to the surviving
+    * groups on the same keys — AQE co-partitions the join with the
+    * aggregate's shuffle, so the corpus moves once. Returns the
+    * surviving rows plus `grp_n` (their group's size); suppressed
+    * rows are absent, not nulled.
+    */
+  def kAnonSuppress(df: DataFrame, quasiCols: Seq[String],
+                    k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must not be empty")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val keys = quasiCols.map(col)
+    val groups = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("grp_n"))
+      .filter(col("grp_n") >= k)
+    df.join(groups, quasiCols)
+  }
+
+  /** Purged chronological split: train on the past, validate on the
+    * future, with an embargo gap between them so near-boundary leakage
+    * (a validation row whose context overlaps the last training rows)
+    * is structurally impossible — the purged split of financial ML
+    * (de Prado 2018, ch. 7) applied to corpus events.
+    *
+    * The cutoff is the EXACT (num/den)-quantile of `tsMicrosCol`
+    * (rational rank arithmetic, [[Quantiles.exactQuantiles]] — no
+    * float ever touches rank selection, so any engine derives the same
+    * boundary). Rows with ts <= cutoff are `train`; rows with
+    * ts > cutoff + embargoMicros are `valid`; rows inside the gap are
+    * labeled `embargo` for the caller to discard or audit.
+    *
+    * Plan shape: the quantile pass is the two-pass bucket-count shape
+    * (shuffles counts, not rows); the labeling pass is a scan with two
+    * broadcast scalars. Nothing global-sorts the corpus.
+    */
+  def timeSplit(df: DataFrame, tsMicrosCol: String,
+                num: Int, den: Int, embargoMicros: Long,
+                bucketWidth: Long = 86400L * 1000000L): DataFrame = {
+    require(embargoMicros >= 0, "embargoMicros must be non-negative")
+    val cut = Quantiles.exactQuantiles(
+      df.select(lit("all").as("__one"), col(tsMicrosCol)),
+      "__one", tsMicrosCol, bucketWidth, Seq(("cut", num, den)))
+      .select(col("value").as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col(tsMicrosCol) <= col("__cut"), lit("train"))
+          .when(col(tsMicrosCol) > col("__cut") + lit(embargoMicros),
+            lit("valid"))
+          .otherwise(lit("embargo")))
+      .drop("__cut")
+  }
+
+  /** Windowed token co-occurrence with PMI (Church & Hanks 1990) — the
+    * word2vec/GloVe-style association table a corpus pipeline derives
+    * for embedding pre-training, synonym mining, and tokenizer-merge
+    * diagnostics. Pairs are unordered (lexicographically normalized)
+    * over a ±`window` token neighborhood;
+    *
+    *   pmi = ln(c_xy · N² / (P · c_x · c_y))
+    *
+    * with c_x unigram occurrence counts (N total), c_xy pair counts
+    * (P total). Quantized ⌊10⁶·pmi⌋ — every factor is an exact long,
+    * so the double expression is engine-identical.
+    *
+    * Plan shape: one explode to ≤ window·tokens pair rows (the token
+    * array is let-bound behind a projection boundary — the transitions
+    * lesson: element_at over an unmaterialized split would re-tokenize
+    * per element), then two map-side-combined hash aggregates
+    * (vocabulary- and pair-bounded, not corpus-bounded). `minCount`
+    * prunes the pair tail before the PMI join.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               window: Int, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    val toks = docs.select(col(idCol),
+      filter(TextFns.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+    val pairs = toks
+      .select(explode(when(size(col("__toks")) >= 2,
+        flatten(transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+          transform(sequence(i + 1, least(i + lit(window), size(col("__toks")))),
+            j => struct(
+              least(element_at(col("__toks"), i),
+                element_at(col("__toks"), j)).as("a"),
+              greatest(element_at(col("__toks"), i),
+                element_at(col("__toks"), j)).as("b"))))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val uni = docs
+      .select(explode(filter(TextFns.tokens(col(textCol)),
+        t => length(t) > 0)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val nTot = uni.agg(sum(col("c")).as("n_tot"))
+    val pc = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .localCheckpoint(eager = false)
+    val pTot = pc.agg(sum(col("c_xy")).as("p_tot"))
+    pc
+      .join(uni.select(col("t").as("a"), col("c").as("c_x")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_y")), Seq("b"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(pTot))
+      .select(col("a"), col("b"), col("c_xy"), col("c_x"), col("c_y"),
+        floor(lit(1000000.0) * log(
+          col("c_xy").cast("double") * col("n_tot").cast("double") *
+            col("n_tot").cast("double") /
+            (col("p_tot").cast("double") * col("c_x").cast("double") *
+              col("c_y").cast("double"))))
+          .cast("long").as("pmi_q"))
+  }
+
+  /** Per-source z-score normalization of a per-doc metric (token
+    * count here) — cross-source quality scores are not comparable raw
+    * (a code corpus's "short" is a news corpus's "long"), so mixing
+    * policies normalize within source first. Population mean/std from
+    * exact long sums (Σx, Σx², n) — the double expression
+    * `sqrt(Σx²/n − (Σx/n)²)` is engine-identical; z is emitted
+    * quantized ⌊10⁴·z⌋ and null for degenerate (std = 0) sources.
+    *
+    * Plan shape: one map-side-combined aggregate to |sources| rows,
+    * broadcast back, z in the scan stage.
+    */
+  def sourceZScores(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(srcCol),
+      TextFns.tokenCount(col(textCol)).cast("long").as("x"))
+    val stats = base.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val variance = col("ss").cast("double") / col("n").cast("double") -
+      mean * mean
+    base.join(broadcast(stats), Seq(srcCol))
+      .withColumn("__std", sqrt(variance))
+      .select(col(idCol), col(srcCol), col("x").as("n_tokens"),
+        when(col("__std") > 0,
+          floor(lit(10000.0) * (col("x").cast("double") - mean) /
+            col("__std")).cast("long")).as("z_q"))
+  }
+
+  /** Inverse-frequency class weights: weight_q = ⌊10⁶ · N / (K · n_c)⌋
+    * per label value — the "balanced" class-weight heuristic
+    * (sklearn's class_weight='balanced') for loss re-weighting when a
+    * corpus's label distribution is skewed. Quantized to a long so the
+    * division result is engine-exact (the centroidOutliers contract).
+    *
+    * One map-side-combined hash aggregate (labels are tiny) plus a
+    * broadcast total — scan-stage at any scale.
+    */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_c"))
+    val totals = counts.agg(sum(col("n_c")).as("__n"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(labelCol),
+        col("n_c"),
+        floor(lit(1000000.0) * col("__n").cast("double") /
+          (col("__k") * col("n_c")).cast("double")).cast("long")
+          .as("weight_q"))
+  }
 }

@@ -154,4 +154,81 @@ object Retrieval {
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_exact").cast("double"))
   }
+
+  /** Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001)
+    * — the language-model complement to [[bm25TopK]]. Scored in the
+    * sparse rank-equivalent form
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf·|C| / (μ·cf_t))
+    *              + n_q · ln(μ / (dl + μ))
+    *
+    * where cf_t is t's collection frequency, |C| the corpus token
+    * count, and n_q the count of distinct query terms present in the
+    * corpus vocabulary (OOV terms contribute nothing under the
+    * collection LM, so they are excluded from n_q too — documented
+    * choice, keeps the score computable from the match set alone).
+    * Only documents matching ≥ 1 query term are ranked, the standard
+    * inverted-index semantics.
+    *
+    * ORACLE-GRADE determinism, the bm25TopK contract: each matched
+    * term contributes ⌊10⁶·ln(1 + tf·|C|/(μ·cf))⌋ summed as LONGS;
+    * the doc-length term adds n_q·⌊10⁶·ln(μ/(dl+μ))⌋ once; ranking
+    * compares the long with ascending-id ties. Every double inside a
+    * ⌊·⌋ is a literal-identical IEEE expression of exact longs.
+    *
+    * Plan shape: identical to bm25TopK — corpus tf/dl/cf are one
+    * explode + hash aggregates; the query side broadcasts with the
+    * df cap applied BEFORE touching the corpus tf table; one
+    * map-side-combined aggregate to (query, doc) and a per-query
+    * window bounded by maxTermDf·|query terms|.
+    */
+  def qlTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             textCol: String, k: Int, mu: Double = 2000.0,
+             maxTermDf: Int = Int.MaxValue): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(mu > 0, s"mu ($mu) must be positive")
+    require(maxTermDf > 0, s"maxTermDf ($maxTermDf) must be positive")
+    val terms = corpus
+      .select(col(idCol).as("doc_id_"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    // snapshot: tf feeds cf, df, dl, and the match join (q80 contract)
+    val tf = terms.groupBy(col("doc_id_"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dl = tf.groupBy(col("doc_id_")).agg(sum(col("tf")).as("dl"))
+    val ctot = dl.agg(sum(col("dl")).as("c_tot"))
+    val vocab = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") <= maxTermDf)
+    val qterms = queries
+      .select(col(idCol).as("query_id"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct() // QL query terms as a set (bm25TopK convention)
+    val qv = qterms.join(vocab, Seq("term"))
+    val nq = qv.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
+    val matched = tf
+      .join(broadcast(qv), Seq("term"))
+      .crossJoin(broadcast(ctot))
+      .filter(col("query_id") =!= col("doc_id_"))
+    val termC = log(lit(1.0) +
+      col("tf").cast("double") * col("c_tot").cast("double") /
+        (lit(mu) * col("cf").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id_").asc)
+    matched
+      .withColumn("__c", floor(lit(1000000.0) * termC).cast("long"))
+      .groupBy(col("query_id"), col("doc_id_"))
+      .agg(sum(col("__c")).as("match_q"))
+      .join(dl, Seq("doc_id_"))
+      .join(broadcast(nq), Seq("query_id"))
+      .withColumn("score_q", col("match_q") + col("n_q") *
+        floor(lit(1000000.0) *
+          log(lit(mu) / (col("dl").cast("double") + lit(mu)))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id_").as("doc_id"),
+        (col("score_q").cast("double") / lit(1000000.0)).as("score"))
+  }
 }

@@ -794,4 +794,56 @@ object Similarity {
         .toDF("rank", "seed_id")
     } finally { base.unpersist(); () }
   }
+
+  /** Semantic decontamination: flag every corpus vector whose cosine
+    * to ANY benchmark vector reaches `tau` — the embedding-space
+    * complement of the lexical benchmark filters (q69 exact grams,
+    * q118 spans): paraphrased eval items that share no n-gram with
+    * the benchmark still collide in embedding space.
+    *
+    * Plan shape: the benchmark side is small by contract (an eval
+    * suite) and broadcasts; the corpus scans ONCE through a broadcast
+    * nested-loop scoring pass, then one map-side-combined max per
+    * corpus id. Nothing shuffles corpus vectors. The cosine is the
+    * q28 double contract, so the max and the tau cut replay exactly
+    * in SQL. Returns (id, max_cos, contaminated) for every corpus
+    * row with a defined cosine; callers anti-join `contaminated`.
+    */
+  def embedDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, vecCol: String,
+                         tau: Double): DataFrame = {
+    val b = broadcast(benchmark.select(col(vecCol).as("__bv")))
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(b)
+      .withColumn("__cos", cosine(col("__cv"), col("__bv")))
+      .filter(col("__cos").isNotNull)
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= lit(tau))
+  }
+
+  /** Per-dimension corpus statistics over an embedding column — the
+    * normalization/whitening pre-pass (mean-centering, min-max
+    * scaling, dead-dimension detection) a feature pipeline runs
+    * before indexing. Means are integer-quantized (⌊10⁶·x⌋ summed as
+    * longs — the centroidOutliers contract) so the aggregate is
+    * partition-order-free and engine-exact; min/max compare floats
+    * exactly.
+    *
+    * Plan shape: one posexplode + one hash aggregate keyed by
+    * dimension index (map-side combined: d partial rows per task, not
+    * per vector). The shuffle carries d × tasks rows at any corpus
+    * size.
+    */
+  def dimStats(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("__x").cast("double") * lit(1000000.0))
+          .cast("long")).as("sum_q"),
+        min(col("__x").cast("double")).as("min_x"),
+        max(col("__x").cast("double")).as("max_x"))
+      .select((col("__d") + 1).cast("int").as("dim"), col("n"),
+        col("sum_q"), col("min_x"), col("max_x"))
 }

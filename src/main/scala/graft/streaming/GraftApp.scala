@@ -441,8 +441,34 @@ object GraftApp {
         docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
         "doc_id", "text", gramSize = 4)
         .createOrReplaceTempView("v_doc_contam_spans")
+      // round-8 session-4 surface ------------------------------------
+      // readability metrics (q136) — scan-stage regex passes
+      docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("words"),
+        TextFns.sentenceCount(col("text")).as("sentences"),
+        TextFns.syllableProxy(col("text")).as("syllables"),
+        TextFns.fleschScore(col("text")).as("flesch"))
+        .createOrReplaceTempView("v_doc_readability")
+      // per-source z-scored length (q141) — tiny-agg broadcast back
+      Curation.sourceZScores(docs, "doc_id", "text", "source")
+        .createOrReplaceTempView("v_doc_zscore")
+      // grouping-sets corpus profile (q139)
+      docs.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .createOrReplaceTempView("v_corpus_rollup")
+      // windowed PMI association table (q140) — pair-bounded aggregate
+      Curation.pmiPairs(docs, "doc_id", "text", window = 2, minCount = 5L)
+        .createOrReplaceTempView("v_term_pmi")
     }
-    read("embeddings").foreach(_.createOrReplaceTempView("embeddings"))
+    read("embeddings").foreach { emb =>
+      emb.createOrReplaceTempView("embeddings")
+      // label balance weights (q137) and per-dimension stats (q134)
+      graft.operators.Curation.classWeights(emb, "label")
+        .createOrReplaceTempView("v_class_weights")
+      graft.operators.Similarity.dimStats(emb, "embedding")
+        .createOrReplaceTempView("v_dim_stats")
+    }
     read("events").foreach { ev0 =>
       // expose exact epoch-micros; schema-adaptive (the generator has
       // shipped both INT64-nano and TIMESTAMP-micro `ts`)
@@ -455,6 +481,12 @@ object GraftApp {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
         .createOrReplaceTempView("v_sessions")
+      // purged chronological split (q135) — lazy; the exact-quantile
+      // coarse-count collect runs on first query. 6 h embargo is a
+      // deployment-config placeholder
+      Curation.timeSplit(ev, "ts_us", num = 4, den = 5,
+        embargoMicros = 21600000000L)
+        .createOrReplaceTempView("v_event_split")
     }
   }
 

@@ -631,4 +631,80 @@ class CurationSpec extends SparkSpec {
     assert(r === Seq(("s1", 6L, 4L, 3L, 0.75), ("s2", 3L, 1L, 0L, 0.0),
       ("s3", 3L, 3L, 3L, 1.0)))
   }
+
+  test("kAnonSuppress: groups under k vanish wholesale; grp_n attached") {
+    val df = Seq(
+      ("click", 1L), ("click", 1L), ("click", 1L), // group of 3
+      ("click", 2L),                               // group of 1
+      ("view", 1L), ("view", 1L)                   // group of 2
+    ).toDF("etype", "uid")
+    val r = Curation.kAnonSuppress(df, Seq("etype", "uid"), k = 2)
+      .select("etype", "uid", "grp_n")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r.count(t => t._1 == "click" && t._2 == 1L && t._3 == 3L) === 3)
+    assert(r.count(t => t._1 == "view" && t._2 == 1L && t._3 == 2L) === 2)
+    assert(!r.exists(_._2 == 2L), "singleton group must be suppressed")
+    // k = 1 keeps everything
+    assert(Curation.kAnonSuppress(df, Seq("etype", "uid"), k = 1)
+      .count() === 6)
+  }
+
+  test("timeSplit: exact rational cutoff, embargo band labeled") {
+    // 10 rows at ts 1..10 → 4/5-quantile rank = ceil(8) = 8 → cutoff 8
+    val df = (1L to 10L).map(i => (i, i * 1000000L)).toDF("id", "us")
+    val r = Curation.timeSplit(df, "us", num = 4, den = 5,
+      embargoMicros = 1000000L, bucketWidth = 1000000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((1L to 8L).forall(r(_) == "train"))
+    assert(r(9L) === "embargo") // 8 < 9 <= 8+1
+    assert(r(10L) === "valid")
+    // zero embargo → no embargo rows
+    val r0 = Curation.timeSplit(df, "us", num = 4, den = 5,
+      embargoMicros = 0L, bucketWidth = 1000000L)
+      .select("split").as[String].collect()
+    assert(!r0.contains("embargo"))
+  }
+
+  test("pmiPairs: hand-computed window-2 pairs and quantized PMI") {
+    val docs = Seq((1L, "a b c a"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Curation.pmiPairs(docs, "doc_id", "text", window = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    // doc 1 pairs: (1,2)ab (1,3)ac (2,3)bc (2,4)ab (3,4)ac → ab:2 ac:2 bc:1
+    // unigrams include 'solo': a=2 b=1 c=1 solo=1, N=5; P=5
+    def q(cxy: Long, cx: Long, cy: Long) =
+      math.floor(1e6 * math.log(cxy.toDouble * 25.0 / (5.0 * cx * cy))).toLong
+    assert(r(("a", "b")) === ((2L, 2L, 1L, q(2, 2, 1))))
+    assert(r(("a", "c")) === ((2L, 2L, 1L, q(2, 2, 1))))
+    assert(r(("b", "c")) === ((1L, 1L, 1L, q(1, 1, 1))))
+    assert(r.size === 3, "blank/single-token docs contribute no pairs")
+    // minCount prunes the tail
+    assert(Curation.pmiPairs(docs, "doc_id", "text", window = 2,
+      minCount = 2L).count() === 2)
+  }
+
+  test("sourceZScores: exact-moment z, null for degenerate source") {
+    val docs = Seq(
+      (1L, "w", "s1"), (2L, "w w w", "s1"), // counts 1, 3 → mean 2, std 1
+      (3L, "x y", "s2")                     // single doc → std 0 → null
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.sourceZScores(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), Option(x.get(3))))).toMap
+    assert(r(1L) === ((1L, Some(-10000L))))
+    assert(r(2L) === ((3L, Some(10000L))))
+    assert(r(3L) === ((2L, None)))
+  }
+
+  test("classWeights: balanced heuristic, quantized floor") {
+    // labels: a x 6, b x 3, c x 1 → N=10, K=3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("label")
+    val r = Curation.classWeights(df, "label")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("a") === ((6L, math.floor(1e6 * 10.0 / 18.0).toLong)))
+    assert(r("b") === ((3L, math.floor(1e6 * 10.0 / 9.0).toLong)))
+    assert(r("c") === ((1L, math.floor(1e6 * 10.0 / 3.0).toLong)))
+  }
 }

@@ -136,4 +136,53 @@ class EdgeCasesSpec extends SparkSpec {
       k = 5, iters = 1)
     assert(ka.count() === 2)
   }
+
+  test("round-8 session-4 ops on empty/degenerate inputs") {
+    import graft.operators.{Curation, Retrieval, Similarity}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one = Seq((1L, "only doc here")).toDF("doc_id", "text")
+
+    // pmi: empty corpus and a corpus with no 2-token doc -> no pairs
+    assert(Curation.pmiPairs(empty, "doc_id", "text", 2).count() === 0)
+    assert(Curation.pmiPairs(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", 2).count() === 0)
+
+    // ql: empty query set / self-only corpus both answer empty
+    assert(Retrieval.qlTopK(empty, one, "doc_id", "text", k = 3)
+      .count() === 0)
+    assert(Retrieval.qlTopK(one, one, "doc_id", "text", k = 3)
+      .count() === 0)
+
+    // kAnon on empty input: no groups, no rows, no error
+    val emptyEv = Seq.empty[(String, Long)].toDF("etype", "uid")
+    assert(Curation.kAnonSuppress(emptyEv, Seq("etype", "uid"), 2)
+      .count() === 0)
+
+    // timeSplit single row: the 4/5-quantile is the row itself -> train
+    val oneTs = Seq((1L, 42L)).toDF("id", "us")
+    assert(Curation.timeSplit(oneTs, "us", 4, 5, 0L, bucketWidth = 10L)
+      .select("split").as[String].head() === "train")
+
+    // classWeights on one label: weight = N/(1*N) = 1.0 quantized
+    val oneLbl = Seq.fill(3)("x").toDF("label")
+    assert(Curation.classWeights(oneLbl, "label")
+      .select("weight_q").as[Long].head() === 1000000L)
+
+    // embedDecontaminate with empty benchmark: no cosines, empty result
+    val vecs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val noBench = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.embedDecontaminate(vecs, noBench, "vec_id",
+      "embedding", 0.5).count() === 0)
+
+    // dimStats on empty input: no rows
+    assert(Similarity.dimStats(noBench, "embedding").count() === 0)
+
+    // sourceZScores: empty input; all-blank source gives std 0 -> null z
+    val blankSrc = Seq((1L, "", "s"), (2L, "", "s")).toDF("doc_id", "text", "source")
+    assert(Curation.sourceZScores(empty.withColumn("source", lit("s")),
+      "doc_id", "text", "source").count() === 0)
+    val zr = Curation.sourceZScores(blankSrc, "doc_id", "text", "source")
+      .collect().map(r => Option(r.get(3)))
+    assert(zr.forall(_.isEmpty))
+  }
 }

@@ -144,6 +144,35 @@ class GraftAppSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM v_doc_contam_spans WHERE n_span_tokens >= 4")
         .collect()(0).getLong(0) >= 0)
+      // round-8 session-4 views: readability covers every doc; z-scores
+      // cover every doc; the rollup's grand-total row equals the corpus;
+      // class weights cover every label; dim stats cover every dim;
+      // the purged split labels every event
+      assert(spark.sql("SELECT count(*) FROM v_doc_readability")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_doc_zscore")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT n_docs FROM v_corpus_rollup WHERE source IS NULL AND lang IS NULL")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_term_pmi WHERE c_xy >= 5")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_term_pmi").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_class_weights")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(DISTINCT label) FROM embeddings")
+          .collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_dim_stats")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT max(size(embedding)) FROM embeddings")
+          .collect()(0).getInt(0).toLong)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_event_split WHERE split IN ('train','embargo','valid')")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0))
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 

@@ -586,4 +586,57 @@ class PlanQualitySpec extends SparkSpec {
       _.output.forall(_.name != "text"))),
       s"text crosses the diff shuffle:\n${qe.optimizedPlan}")
   }
+
+  test("qlTopK: query terms broadcast; no cartesian, no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val r = graft.operators.Retrieval.qlTopK(
+      docs.filter(col("doc_id") < 20), docs, "doc_id", "text", k = 5,
+      maxTermDf = 500)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"qlTopK plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-term side must broadcast into the corpus tf scan:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"qlTopK plans a global sort (top-k must be per-query window):\n$plan")
+  }
+
+  test("embedDecontaminate: benchmark broadcasts; corpus never shuffles pre-agg") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val r = graft.operators.Similarity.embedDecontaminate(
+      emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", tau = 0.3)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the benchmark side must broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("rangepartitioning"),
+      s"embedDecontaminate shuffles the corpus outside the max-agg:\n$plan")
+  }
+
+  test("sourceZScores: per-source stats broadcast back; z stays scan-stage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.sourceZScores(docs, "doc_id", "text",
+      "source")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row stats table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sourceZScores shuffles the corpus for the stats join:\n$plan")
+  }
+
+  test("pmiPairs: no cartesian; text never crosses a shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.pmiPairs(docs, "doc_id", "text",
+      window = 2, minCount = 5L)
+    val qe = r.queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pmiPairs plans a cartesian product:\n$plan")
+    val exchanges = qe.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.forall(_.output.forall(_.name != "text")),
+      s"document text crosses a pmiPairs shuffle:\n$plan")
+  }
 }

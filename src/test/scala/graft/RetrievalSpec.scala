@@ -119,4 +119,47 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(r.head === ((1L, 1L, 2L, 0.5)))
   }
+
+  test("qlTopK: self excluded, no-shared-term docs absent, deterministic") {
+    val r = Retrieval.qlTopK(corpus.filter(col("doc_id") === 1), corpus,
+      "doc_id", "text", k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(!r.exists(_._3 == 1L), "self match must be excluded")
+    assert(!r.exists(_._3 == 4L), "no shared term -> never ranked")
+    assert(r.map(_._2).toSeq === (1 to r.length).toSeq)
+    val again = Retrieval.qlTopK(corpus.filter(col("doc_id") === 1), corpus,
+      "doc_id", "text", k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(r.toSeq === again.toSeq)
+  }
+
+  test("qlTopK: hand-computed Dirichlet score on a 2-doc corpus") {
+    val tiny = Seq((1L, "a b"), (2L, "a a c"), (3L, "a")).toDF("doc_id", "text")
+    // corpus: |C| = 6 tokens; cf: a=4, b=1, c=1; dl: d1=2, d2=3, d3=1
+    // query doc 3 = {a}; n_q = 1, mu = 2
+    // score(d1) = floor(1e6·ln(1 + 1·6/(2·4))) + 1·floor(1e6·ln(2/(2+2)))
+    val mu = 2.0
+    def q(x: Double) = math.floor(1e6 * x).toLong
+    val exp1 = q(math.log(1 + 1.0 * 6 / (mu * 4))) + q(math.log(mu / (2 + mu)))
+    val exp2 = q(math.log(1 + 2.0 * 6 / (mu * 4))) + q(math.log(mu / (3 + mu)))
+    val r = Retrieval.qlTopK(tiny.filter(col("doc_id") === 3), tiny,
+      "doc_id", "text", k = 2, mu = mu)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    val scores = r.map(t => t._3 -> math.round(t._4 * 1e6)).toMap
+    assert(scores === Map(1L -> exp1, 2L -> exp2))
+    // d2 has tf=2 of 'a' but is longer; exact order per the formula
+    val want = Seq(1L, 2L).sortBy(id => -(if (id == 1L) exp1 else exp2))
+    assert(r.map(_._3).toSeq === want)
+  }
+
+  test("qlTopK: maxTermDf drops stop terms from the match set") {
+    // 'spark' appears in 4 docs; cap at 3 removes it -> doc 2 ('spark
+    // shuffle') still reachable from doc 1 via 'shuffle'/'join' only
+    val r = Retrieval.qlTopK(corpus.filter(col("doc_id") === 1), corpus,
+      "doc_id", "text", k = 4, maxTermDf = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.exists(_._3 == 3L), "doc 3 must still match via 'join'")
+    assert(r.exists(_._3 == 5L), "doc 5 must still match via shuffle/join")
+  }
 }

@@ -438,4 +438,31 @@ class SimilarityAndSkewSpec extends SparkSpec {
       .as[(Int, Long)].collect().map(_._2).toSet
     assert(all === Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("embedDecontaminate: max-cos cut; zero vectors drop out") {
+    val bench = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0.01f)),  // cos ~ 1 → contaminated
+      (2L, Seq(0f, 1f)),     // cos 0 → clean
+      (3L, Seq(-1f, 0f)),    // cos -1 → clean
+      (4L, Seq(0f, 0f))      // zero norm → no defined cosine → absent
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embedDecontaminate(corpus, bench,
+      "vec_id", "embedding", tau = 0.9)
+      .as[(Long, Double, Boolean)].collect().map(t => t._1 -> t._3).toMap
+    assert(r === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("dimStats: hand-computed quantized sums and float min/max") {
+    val df = Seq(
+      (1L, Seq(1.5f, -0.25f)),
+      (2L, Seq(0.5f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.dimStats(df, "embedding")
+      .orderBy("dim")
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    // dim 1: floor(1.5e6) + floor(0.5e6) = 2_000_000; min 0.5 max 1.5
+    // dim 2: floor(-250000) + floor(2e6) = 1_750_000; min -0.25 max 2.0
+    assert(r === Seq((1, 2L, 2000000L, 0.5, 1.5),
+      (2, 2L, 1750000L, -0.25, 2.0)))
+  }
 }

@@ -114,4 +114,30 @@ class TextFnsSpec extends SparkSpec {
     assert(r._1 === 7.0 / 8.0)
     assert(r._2 > 0 && r._2 <= 1.0)
   }
+
+  test("readability: sentence clamp, syllable proxy, flesch null on empty") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val r = Seq(
+      ("no terminator here", "a"),     // 1 sentence (clamped), 3 words
+      ("One. Two! Three?? ", "b"),     // 3 sentences
+      ("", "c"),                       // empty → 0 sentences, null flesch
+      ("rhythm", "d")                  // vowel groups: y → 1 syllable
+    ).toDF("text", "tag")
+      .select(col("tag"), TextFns.sentenceCount(col("text")).as("s"),
+        TextFns.syllableProxy(col("text")).as("syl"),
+        TextFns.fleschScore(col("text")).as("f"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), Option(x.get(3))))).toMap
+    assert(r("a")._1 === 1L)
+    assert(r("b")._1 === 3L)
+    assert(r("c") === ((0L, 0L, None)))
+    assert(r("d") === ((1L, 1L, r("d")._3)))
+    assert(r("d")._3.isDefined)
+    // hand check: "one two." → W=2 S=1, vowel groups o|e / o → syl=3 →
+    // 206.835 − 1.015·2 − 84.6·(3/2) = 77.905
+    val f = Seq("one two.").toDF("text")
+      .select(TextFns.fleschScore(col("text"))).as[Double].head()
+    assert(math.abs(f - 77.905) < 1e-9)
+  }
 }
