@@ -5348,6 +5348,350 @@ object Queries {
         END AS z_q
       FROM z ORDER BY doc_id"""))
 
+  /** (q142) Winsorized event values (Quantiles.winsorize scaladoc):
+    * per-event-type clipping at the exact rational [p05, p95] band —
+    * robust scaling on cents-quantized longs; bounds broadcast, clip
+    * scan-stage.
+    */
+  val q142Winsorize = Q(
+    "q142_a_winsorize",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("vq"))
+      operators.Quantiles.winsorize(ev, "event_type", "vq",
+        bucketWidth = 1000L, lo = (1, 20), hi = (19, 20))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH v AS (SELECT event_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS vq FROM events),
+      r AS (SELECT event_type, vq,
+              row_number() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+      b AS (SELECT event_type,
+              min(CASE WHEN rn = (1 * n + 19) // 20 THEN vq END) AS lo,
+              min(CASE WHEN rn = (19 * n + 19) // 20 THEN vq END) AS hi
+            FROM r GROUP BY event_type)
+      SELECT v.event_id, v.event_type, v.vq, b.lo, b.hi,
+        least(greatest(v.vq, b.lo), b.hi) AS vq_clipped
+      FROM v JOIN b USING (event_type)
+      ORDER BY event_id"""))
+
+  /** (q143) Per-user activity features (TimeAgg.userActivityFeatures
+    * scaladoc): event/type/session counts, activity span, quantized
+    * value mean — the feature-store row per entity. 30-minute session
+    * gap.
+    */
+  val q143UserFeatures = Q(
+    "q143_s_user_features",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+      operators.TimeAgg.userActivityFeatures(ev, "user_id", "ts_us",
+        "event_type", "value", gapMicros = 1800000000L,
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS vq FROM events),
+      s AS (SELECT user_id, us, vq, event_type,
+              CASE WHEN lag(us) OVER w IS NULL THEN 1
+                   WHEN us - lag(us) OVER w > 1800000000 THEN 1
+                   ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, count(*) AS n_events,
+        count(DISTINCT event_type) AS n_types,
+        CAST(sum(brk) AS BIGINT) AS n_sessions,
+        min(us) AS first_us, max(us) AS last_us,
+        CAST(sum(vq) AS BIGINT) AS value_cents,
+        CAST(floor(10000.0 * CAST(sum(vq) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_value_q
+      FROM s GROUP BY user_id ORDER BY user_id"""))
+
+  /** (q144) Label-noise detection via k-NN disagreement
+    * (Similarity.labelDisagreement scaladoc): fraction of each audited
+    * vector's 5 exact nearest neighbors with a different label —
+    * probable-mislabel triage. The audit queries are a deterministic
+    * quarter-sample (vec_id % 4 = 0 — the q126 sampled-audit
+    * contract: exact scoring over a sample, not all-pairs over the
+    * corpus); the ranked frame is q28's exact top-k and the aggregate
+    * works identically over an IVF/LSH frame at scale.
+    */
+  val q144LabelNoise = Q(
+    "q144_ann_label_noise",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = operators.Similarity.cosineTopK(
+        emb.filter(col("vec_id") % 4 === 0), emb, "vec_id",
+        "embedding", k = 5)
+      operators.Similarity.labelDisagreement(knn,
+        emb.select(col("vec_id"), col("label")), "vec_id", "label", k = 5)
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS own
+                 FROM embeddings WHERE vec_id % 4 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+            FROM embeddings),
+      scored AS (
+        SELECT query_id, own, neighbor_id, nl,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM q JOIN c ON query_id <> neighbor_id),
+      rk AS (SELECT query_id, own, nl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM scored)
+      SELECT query_id AS vec_id, own AS label,
+        count(*) AS n_nbrs,
+        CAST(sum(CASE WHEN nl <> own THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_diff,
+        CAST(sum(CASE WHEN nl <> own THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS noise_frac
+      FROM rk WHERE rank <= 5
+      GROUP BY query_id, own
+      ORDER BY vec_id"""))
+
+  /** (q145) Rank normalization (Quantiles.exactRanks scaladoc): token
+    * count → exact within-source rank (bucket-offset machinery, no
+    * per-group global sort) → ⌊10⁶·(rank−1)/(n−1)⌋ — the cross-source
+    * score-blending transform.
+    */
+  val q145RankNormalize = Q(
+    "q145_s_rank_normalize",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), TextFns.tokenCount(col("text")).cast("long")
+          .as("n_tok"))
+      operators.Quantiles.exactRanks(base, "source", "n_tok",
+        bucketWidth = 8L, tieCols = Seq("doc_id"))
+        .withColumn("norm_q", when(col("grp_n") > 1,
+          floor(lit(1000000.0) * (col("rank") - 1).cast("double") /
+            (col("grp_n") - 1).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, source,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+            END AS BIGINT) AS n_tok
+        FROM documents),
+      r AS (SELECT doc_id, source, n_tok,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_tok, doc_id) AS BIGINT) AS rank,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS grp_n
+            FROM tk)
+      SELECT doc_id, source, n_tok, rank, grp_n,
+        CASE WHEN grp_n > 1 THEN
+          CAST(floor(1000000.0 * CAST(rank - 1 AS DOUBLE)
+            / CAST(grp_n - 1 AS DOUBLE)) AS BIGINT)
+        ELSE 0 END AS norm_q
+      FROM r ORDER BY doc_id"""))
+
+  /** (q146) χ² source keyness (Curation.keyness scaladoc): top-10
+    * positively-associated terms per source, ⌊100·χ²⌋ from exact 2×2
+    * margins.
+    */
+  val q146Keyness = Q(
+    "q146_tx_keyness",
+    (s, dir) =>
+      operators.Curation.keyness(t(s, dir, "documents"), "text", "source",
+        minCount = 5L, k = 10)
+        .orderBy("source", "rank"),
+    Some("""
+      WITH st AS (SELECT source, term, count(*) AS a FROM (
+               SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+             WHERE len(term) > 0 GROUP BY source, term),
+      tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS ct FROM st GROUP BY term),
+      srct AS (SELECT source, CAST(sum(a) AS BIGINT) AS ns FROM st
+               GROUP BY source),
+      nt AS (SELECT CAST(sum(ns) AS BIGINT) AS n_tot FROM srct),
+      cells AS (SELECT st.source, st.term, st.a,
+               tt.ct - st.a AS b, srct.ns - st.a AS c,
+               nt.n_tot - srct.ns - (tt.ct - st.a) AS d, nt.n_tot
+             FROM st JOIN tt USING (term) JOIN srct USING (source)
+                  CROSS JOIN nt
+             WHERE st.a >= 5
+               AND CAST(st.a AS DOUBLE) * CAST(nt.n_tot - srct.ns
+                     - (tt.ct - st.a) AS DOUBLE)
+                 > CAST(tt.ct - st.a AS DOUBLE)
+                   * CAST(srct.ns - st.a AS DOUBLE)),
+      scored AS (SELECT source, term, a,
+               CAST(floor(100.0 * (CAST(n_tot AS DOUBLE)
+                   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))
+                 AS BIGINT) AS chi2_q
+             FROM cells)
+      SELECT source,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY chi2_q DESC, term ASC) AS INTEGER) AS rank,
+        term, CAST(a AS BIGINT) AS a, chi2_q
+      FROM scored
+      QUALIFY rank <= 10
+      ORDER BY source, rank"""))
+
+  /** (q147) Deterministic MLM masking plan (Curation.mlmMaskPlan
+    * scaladoc): BERT 80/10/10 at 15 % via the portable md5₆₀ uniform —
+    * masking as reproducible data, not training-loop RNG.
+    */
+  val q147MlmMask = Q(
+    "q147_tx_mlm_mask",
+    (s, dir) =>
+      operators.Curation.mlmMaskPlan(t(s, dir, "documents"), "doc_id",
+        "text")
+        .orderBy("doc_id", "pos"),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+        FROM documents),
+      p AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos, ts[t.i] AS token
+            FROM toks, LATERAL unnest(range(1, len(ts) + 1)) t(i)),
+      h AS (SELECT doc_id, pos, token,
+              ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(pos AS VARCHAR) || ':mlm'), 1, 15))::BIGINT + 1)
+                / CAST(1152921504606846976 AS DOUBLE)) AS u
+            FROM p)
+      SELECT doc_id, pos, token,
+        CASE WHEN u < 0.12 THEN 'mask'
+             WHEN u < 0.135 THEN 'random'
+             ELSE 'keep' END AS action,
+        round(u, 6) AS u_r
+      FROM h WHERE u < 0.15
+      ORDER BY doc_id, pos"""))
+
+  /** (q148) Vocabulary coverage / OOV audit (Curation.vocabCoverage
+    * scaladoc): top-1000 corpus vocabulary, per-source OOV token
+    * share — the tokenizer-sizing question as one aggregate.
+    */
+  val q148VocabCoverage = Q(
+    "q148_tx_vocab_coverage",
+    (s, dir) =>
+      operators.Curation.vocabCoverage(t(s, dir, "documents"), "text",
+        "source", vocabSize = 1000)
+        .orderBy("source"),
+    Some("""
+      WITH st AS (SELECT source, term, count(*) AS c FROM (
+               SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+             WHERE len(term) > 0 GROUP BY source, term),
+      v AS (SELECT term FROM (SELECT term, sum(c) AS ct FROM st
+              GROUP BY term)
+            ORDER BY ct DESC, term ASC LIMIT 1000),
+      j AS (SELECT st.source, st.c,
+              CASE WHEN v.term IS NULL THEN st.c ELSE 0 END AS oov
+            FROM st LEFT JOIN v USING (term))
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        CAST(floor(1000000.0 * CAST(sum(oov) AS DOUBLE)
+          / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS oov_q
+      FROM j GROUP BY source ORDER BY source"""))
+
+  /** (q149) Term burstiness (Curation.burstiness scaladoc): top-50
+    * variance-to-mean terms over all documents, ⌊10⁴·vmr⌋ from exact
+    * Σc/Σc²/N — Church–Gale clustering diagnostic.
+    */
+  val q149Burstiness = Q(
+    "q149_tx_burstiness",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Curation.burstiness(docs, "doc_id", "text",
+        nDocs = docs.count(), minDf = 5L, k = 50)
+        .orderBy("rank")
+    },
+    Some("""
+      WITH tc AS (SELECT doc_id, term, count(*) AS c FROM (
+               SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+             WHERE len(term) > 0 GROUP BY doc_id, term),
+      st AS (SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+             FROM tc GROUP BY term HAVING count(*) >= 5),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      sc AS (SELECT term, df, s, ss,
+               CAST(floor(10000.0 *
+                 ((CAST(ss AS DOUBLE) / CAST(nd AS DOUBLE))
+                  - (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)))
+                 / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))) AS BIGINT)
+                 AS vmr_q
+             FROM st CROSS JOIN n)
+      SELECT CAST(row_number() OVER (ORDER BY vmr_q DESC, term ASC)
+          AS INTEGER) AS rank,
+        term, CAST(df AS BIGINT) AS df, s AS tf, vmr_q
+      FROM sc
+      QUALIFY rank <= 50
+      ORDER BY rank"""))
+
+  /** (q150) Corpus health card (Curation.corpusHealthCard scaladoc):
+    * the per-source dataset-card row — doc/token/type/hapax mass,
+    * exact-duplicate share, OOV share vs the top-1000 vocabulary.
+    */
+  val q150HealthCard = Q(
+    "q150_s_health_card",
+    (s, dir) =>
+      operators.Curation.corpusHealthCard(t(s, dir, "documents"),
+        "doc_id", "text", "source", vocabSize = 1000)
+        .orderBy("source"),
+    Some("""
+      WITH tok AS (SELECT source, term, count(*) AS c FROM (
+               SELECT source,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents)
+             WHERE len(term) > 0 GROUP BY source, term),
+      vs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+             FROM tok GROUP BY source),
+      v AS (SELECT term FROM (SELECT term, sum(c) AS ct FROM tok
+              GROUP BY term)
+            ORDER BY ct DESC, term ASC LIMIT 1000),
+      cov AS (SELECT source,
+               CAST(sum(CASE WHEN v.term IS NULL THEN tok.c ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(floor(1000000.0 *
+                 CAST(sum(CASE WHEN v.term IS NULL THEN tok.c ELSE 0 END)
+                   AS DOUBLE)
+                 / CAST(sum(tok.c) AS DOUBLE)) AS BIGINT) AS oov_q
+             FROM tok LEFT JOIN v USING (term) GROUP BY source),
+      h AS (SELECT doc_id, source,
+              md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                '\s+', ' ', 'g')) AS hh
+            FROM documents),
+      dg AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1),
+      d AS (SELECT h.source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN dg.hh IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dup_docs
+            FROM h LEFT JOIN dg USING (hh) GROUP BY h.source)
+      SELECT d.source, d.n_docs, d.n_dup_docs,
+        CAST(floor(1000000.0 * CAST(d.n_dup_docs AS DOUBLE)
+          / CAST(d.n_docs AS DOUBLE)) AS BIGINT) AS dup_q,
+        coalesce(vs.n_tokens, 0) AS n_tokens,
+        coalesce(vs.n_types, 0) AS n_types,
+        coalesce(vs.n_hapax, 0) AS n_hapax,
+        coalesce(cov.n_oov, 0) AS n_oov,
+        coalesce(cov.oov_q, 0) AS oov_q
+      FROM d LEFT JOIN vs USING (source) LEFT JOIN cov USING (source)
+      ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -5386,5 +5730,7 @@ object Queries {
     q128ExportManifest, q129LengthBatches, q130KCenterSeeds,
     q131WeightedSample, q132KAnon, q133EmbedDecontam, q134DimStats,
     q135TimeSplit, q136Readability, q137ClassWeights, q138QlTopK,
-    q139RollupProfile, q140PmiPairs, q141SourceZScores)
+    q139RollupProfile, q140PmiPairs, q141SourceZScores, q142Winsorize,
+    q143UserFeatures, q144LabelNoise, q145RankNormalize, q146Keyness,
+    q147MlmMask, q148VocabCoverage, q149Burstiness, q150HealthCard)
 }

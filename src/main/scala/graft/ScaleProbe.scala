@@ -552,6 +552,25 @@ object ScaleProbe {
         timedCount(s"zscore  ${mult}x corpus by source",
           graft.operators.Curation.sourceZScores(docs, "doc_id", "text",
             "source"))
+        timedCount(s"ranknm  ${mult}x corpus by source",
+          graft.operators.Quantiles.exactRanks(
+            docs.select(col("doc_id"), col("source"),
+              graft.functions.TextFns.tokenCount(col("text")).cast("long")
+                .as("n_tok")),
+            "source", "n_tok", 8L, Seq("doc_id")))
+        timedCount(s"keyness ${mult}x corpus top-10/source",
+          graft.operators.Curation.keyness(docs, "text", "source", 5L, 10))
+        timedCount(s"mlm     ${mult}x corpus 15%",
+          graft.operators.Curation.mlmMaskPlan(docs, "doc_id", "text"))
+        timedCount(s"vcov    ${mult}x corpus top-1k vocab",
+          graft.operators.Curation.vocabCoverage(docs, "text", "source",
+            1000))
+        timedCount(s"burst   ${mult}x corpus top-50 VMR",
+          graft.operators.Curation.burstiness(docs, "doc_id", "text",
+            500L * mult, 5L, 50))
+        timedCount(s"health  ${mult}x corpus card",
+          graft.operators.Curation.corpusHealthCard(docs, "doc_id",
+            "text", "source", 1000))
         docs.unpersist()
       }
       val emb0 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -576,6 +595,37 @@ object ScaleProbe {
           graft.operators.Curation.timeSplit(ev, "ts_us", 4, 5,
             21600000000L))
         ev.unpersist()
+      }
+      // batch-3 ops: winsorize + user features on growing event logs;
+      // labelDisagreement over a linearly-growing ranked frame (the
+      // knn arm's own growth is probed with its gate family)
+      for (mult <- Seq(1, 10, 100)) {
+        val ev = replicate(
+          ev0.select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"), operators.TimeAgg.epochMicros(ev0).as("ts_us")),
+          "event_id", mult)
+        timedCount(s"winsor  ${mult}x events p05/p95",
+          graft.operators.Quantiles.winsorize(
+            ev.select(col("event_id"), col("event_type"),
+              floor(col("value") * lit(100.0)).cast("long").as("vq")),
+            "event_type", "vq", 1000L, (1, 20), (19, 20)))
+        timedCount(s"ufeat   ${mult}x events 30-min gap",
+          graft.operators.TimeAgg.userActivityFeatures(ev, "user_id",
+            "ts_us", "event_type", "value", 1800000000L, Seq("event_id")))
+        ev.unpersist()
+      }
+      for (mult <- Seq(1, 10, 100)) {
+        val n = 500L * mult
+        val knn = spark.range(n).select(col("id").as("query_id"))
+          .crossJoin(spark.range(5).select((col("id") + 1).cast("int")
+            .as("rank")))
+          .withColumn("neighbor_id",
+            pmod(col("query_id") * 31 + col("rank"), lit(n)))
+        val labels = spark.range(n).select(col("id").as("vec_id"),
+          pmod(col("id"), lit(7)).cast("int").as("label"))
+        timedCount(s"lnoise  ${mult}x ranked rows (n=$n, k=5)",
+          graft.operators.Similarity.labelDisagreement(knn, labels,
+            "vec_id", "label", 5))
       }
     }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -1019,6 +1020,217 @@ object Curation {
         when(col("__std") > 0,
           floor(lit(10000.0) * (col("x").cast("double") - mean) /
             col("__std")).cast("long")).as("z_q"))
+  }
+
+  /** χ² keyness: the terms most distinctive of each source vs the rest
+    * of the corpus (Dunning/keyness analysis — the corpus-linguistics
+    * tool a curation team uses to understand WHAT a source contributes
+    * before weighting it). For term t in source s with the 2×2 table
+    * (a = c(t,s), b = c(t,¬s), c = c(¬t,s), d = c(¬t,¬s)):
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * computed in doubles OF exact longs (literal-identical expression
+    * on any engine), emitted ⌊100·χ²⌋. Only positively-associated
+    * terms (ad > bc) rank — depletion keyness is the complement set,
+    * not this listing. `minCount` drops unstable low-frequency cells.
+    *
+    * Plan shape: one explode → one (source, term) hash aggregate
+    * (vocabulary-bounded shuffle), term and source margins derived
+    * from it, broadcast margins joined back, top-k per source over
+    * vocab-bounded rows — never a corpus-sized window.
+    */
+  def keyness(docs: DataFrame, textCol: String, srcCol: String,
+              minCount: Long = 5L, k: Int = 10): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint(eager = false)
+    val termTot = st.groupBy(col("term")).agg(sum(col("a")).as("ct"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("ns"))
+    val nTot = srcTot.agg(sum(col("ns")).as("n_tot"))
+    val cells = st
+      .join(termTot, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("b", col("ct") - col("a"))
+      .withColumn("c", col("ns") - col("a"))
+      .withColumn("d", col("n_tot") - col("ns") - col("b"))
+      .filter(col("a") >= minCount)
+      .filter(col("a").cast("double") * col("d").cast("double") >
+        col("b").cast("double") * col("c").cast("double"))
+    val num = col("n_tot").cast("double") *
+      (col("a").cast("double") * col("d").cast("double") -
+        col("b").cast("double") * col("c").cast("double")) *
+      (col("a").cast("double") * col("d").cast("double") -
+        col("b").cast("double") * col("c").cast("double"))
+    val den = (col("a") + col("b")).cast("double") *
+      (col("c") + col("d")).cast("double") *
+      (col("a") + col("c")).cast("double") *
+      (col("b") + col("d")).cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2_q").desc, col("term").asc)
+    cells
+      .withColumn("chi2_q", floor(lit(100.0) * num / den).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("a"),
+        col("chi2_q"))
+  }
+
+  /** Deterministic MLM masking plan (BERT's 80/10/10 at 15%): for each
+    * token position, a portable hash-derived uniform decides mask /
+    * random-replace / keep-original; unmasked positions are not
+    * emitted. Pre-computing the plan as data (instead of RNG calls in
+    * the training loop) makes masking reproducible across epochs,
+    * engines, and restarts — u = (md5₆₀(id:pos:salt)+1)/2⁶⁰, the q131
+    * sampling contract.
+    *
+    * Plan shape: one posexplode over the let-bound token array (the
+    * transitions lesson) then a scan-stage filter keeping ~15 % of
+    * positions. No shuffle at all.
+    */
+  def mlmMaskPlan(docs: DataFrame, idCol: String, textCol: String,
+                  salt: String = "mlm"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      filter(TextFns.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+    val u = (Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+      col("pos").cast("string"), lit(":" + salt))) + lit(1L))
+      .cast("double") / lit(math.pow(2, 60))
+    toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "token")))
+      .withColumn("pos", (col("__p") + 1).cast("long")).drop("__p")
+      .withColumn("__u", u)
+      .filter(col("__u") < 0.15)
+      .withColumn("action",
+        when(col("__u") < 0.12, lit("mask"))
+          .when(col("__u") < 0.135, lit("random"))
+          .otherwise(lit("keep")))
+      .select(col(idCol), col("pos"), col("token"), col("action"),
+        round(col("__u"), 6).as("u_r"))
+  }
+
+  /** Vocabulary coverage / OOV-rate audit: fix the top-`vocabSize`
+    * corpus terms (by frequency, ties lexicographic — fully
+    * deterministic) as the vocabulary, then report each source's
+    * out-of-vocabulary token share — the pre-tokenizer sizing question
+    * ("does a 32k vocab cover the code source or starve it?").
+    * oov_q = ⌊10⁶·oov/total⌋ from exact longs.
+    *
+    * Plan shape: one explode → (term) and (source, term) hash
+    * aggregates (vocabulary-bounded shuffles); the vocab cut is a sort
+    * of the VOCAB table (never the corpus) and broadcasts back as an
+    * anti-join key set.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, srcCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize ($vocabSize) must be positive")
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val vocab = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1L).as("__in"))
+    st.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("c")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_q",
+        floor(lit(1000000.0) * col("n_oov").cast("double") /
+          col("n_tokens").cast("double")).cast("long"))
+  }
+
+  /** Term burstiness (Church & Gale): variance-to-mean ratio of a
+    * term's per-document count over ALL `nDocs` documents (zeros
+    * included) — bursty terms (VMR ≫ 1) concentrate in few documents
+    * (topical/template terms), Poisson-like terms spread evenly
+    * (function words). The complement diagnostic to [[keyness]]:
+    * keyness says WHERE a term lives, burstiness says HOW it clusters.
+    *
+    *   vmr = (Σc²/N − (Σc/N)²) / (Σc/N), emitted ⌊10⁴·vmr⌋
+    *
+    * from exact long Σc, Σc², N — engine-identical doubles. `minDf`
+    * drops unstable rare terms; top-`k` by (vmr, term) ranks over the
+    * vocabulary-bounded table, never the corpus.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 nDocs: Long, minDf: Long = 5L, k: Int = 50): DataFrame = {
+    require(nDocs > 0, s"nDocs ($nDocs) must be positive")
+    require(k > 0, s"k ($k) must be positive")
+    val tc = docs
+      .select(col(idCol),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val stats = tc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("df") >= minDf)
+    val mean = col("s").cast("double") / lit(nDocs).cast("double")
+    val e2 = col("ss").cast("double") / lit(nDocs).cast("double")
+    val w = Window.orderBy(col("vmr_q").desc, col("term").asc)
+    stats
+      .withColumn("vmr_q",
+        floor(lit(10000.0) * (e2 - mean * mean) / mean).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("term"), col("df"), col("s").as("tf"),
+        col("vmr_q"))
+  }
+
+  /** Corpus health card: the per-source dataset-card row a curation
+    * run publishes next to its export manifest — doc/token mass,
+    * type/hapax vocabulary health ([[vocabStats]] semantics), the
+    * exact-duplicate share (normalized-hash groups of size > 1), and
+    * the OOV share vs the corpus top-`vocabSize` vocabulary
+    * ([[vocabCoverage]] semantics). Every number derives from exact
+    * longs.
+    *
+    * Plan shape: composes three vocabulary-bounded aggregates and one
+    * (hash → count) dedup aggregate; the corpus is scanned twice
+    * (tokens, hashes), nothing corpus-sized shuffles beyond the
+    * (source, term) tables the components already pay for.
+    */
+  def corpusHealthCard(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, vocabSize: Int): DataFrame = {
+    val vs = vocabStats(docs, textCol, srcCol)
+      .select(col(srcCol), col("n_tokens"), col("n_types"), col("n_hapax"))
+    val cov = vocabCoverage(docs, textCol, srcCol, vocabSize)
+      .select(col("source").as(srcCol), col("n_oov"), col("oov_q"))
+    val hashes = docs.select(col(idCol), col(srcCol),
+      md5(TextFns.normalizeText(coalesce(col(textCol), lit(""))))
+        .as("__h"))
+    val dupGroups = hashes.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), lit(1L).as("__dup"))
+    val dups = hashes.join(dupGroups, Seq("__h"), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_docs"))
+      .withColumn("dup_q",
+        floor(lit(1000000.0) * col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double")).cast("long"))
+    dups
+      .join(vs, Seq(srcCol), "left")
+      .join(cov, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_docs"), col("n_dup_docs"), col("dup_q"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("oov_q"), lit(0L)).as("oov_q"))
   }
 
   /** Inverse-frequency class weights: weight_q = ⌊10⁶ · N / (K · n_c)⌋

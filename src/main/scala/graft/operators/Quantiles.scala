@@ -77,4 +77,77 @@ object Quantiles {
         col("__g") === col("__tg") && col("__grank") === col("__rank"))
       .select(col("__g").as(groupCol), col("q"), col("__v").as("value"))
   }
+
+  /** Winsorize: clip a per-row long metric to its group's exact
+    * [lo, hi] quantile band — the robust-scaling pre-pass that stops a
+    * fat-tailed feature (payment amounts, doc lengths) from dominating
+    * a normalized training signal. Quantile selection is
+    * [[exactQuantiles]]'s rational-rank machinery (no float touches a
+    * rank), so the clip bounds are engine-exact longs and the clipped
+    * value is a pure `least/greatest`.
+    *
+    * Plan shape: the quantile pass shuffles counts, not rows; the
+    * bounds table (2 rows per group) broadcasts back; the clip is
+    * scan-stage. Returns the input plus `lo`, `hi`, and
+    * `<valueCol>_clipped`.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                bucketWidth: Long,
+                lo: (Int, Int), hi: (Int, Int)): DataFrame = {
+    val bounds = exactQuantiles(df, groupCol, valueCol, bucketWidth,
+      Seq(("lo", lo._1, lo._2), ("hi", hi._1, hi._2)))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("q") === "lo", col("value"))).as("lo"),
+        min(when(col("q") === "hi", col("value"))).as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol).cast("long"), col("lo")), col("hi")))
+  }
+
+  /** Exact 1-based ascending rank of every row within its group —
+    * WITHOUT a per-group global sort (the [[exactQuantiles]] offset
+    * trick applied to all rows instead of target ranks): the coarse
+    * bucket count collects to the driver, prefix sums become bucket
+    * offsets, and a row_number window partitioned by (group, bucket)
+    * — each task sorts one value-slice — plus the broadcast offset is
+    * the exact rank. `tieCols` must make the within-group order total
+    * (equal values otherwise get arbitrary distinct ranks and no
+    * oracle could replay them). Appends `rank` and `grp_n`.
+    *
+    * This is the primitive under rank/quantile normalization ("scale
+    * this score to [0,1] by its within-source rank") — the
+    * cross-source score-blending step of a mixing policy.
+    */
+  def exactRanks(df: DataFrame, groupCol: String, valueCol: String,
+                 bucketWidth: Long, tieCols: Seq[String]): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be positive")
+    require(tieCols.nonEmpty, "tieCols must make the within-group order total")
+    import df.sparkSession.implicits._
+    val base = df
+      .withColumn("__g", col(groupCol).cast("string"))
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__bucket", expr(s"__v div ${bucketWidth}L"))
+    // driver-bounded by the exactQuantiles caller contract
+    val counts = base.groupBy(col("__g"), col("__bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGroup = counts.groupBy(_._1)
+    val offsets = byGroup.toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.scanLeft((g, 0L, 0L)) { case ((_, _, acc), (_, b, c)) =>
+        (g, b, acc + c)
+      }.zip(sorted).map { case ((_, _, before), (_, b, _)) => (g, b, before) }
+    }
+    val totals = byGroup.toSeq.map { case (g, rows) => (g, rows.map(_._3).sum) }
+    val offsetDf = offsets.toDF("__g", "__bucket", "__off")
+    val totalDf = totals.toDF("__tg", "grp_n")
+    val wInBucket = Window.partitionBy(col("__g"), col("__bucket"))
+      .orderBy(col("__v").asc +: tieCols.map(col(_).asc): _*)
+    base
+      .join(broadcast(offsetDf), Seq("__g", "__bucket"))
+      .withColumn("rank", col("__off") + row_number().over(wInBucket))
+      .join(broadcast(totalDf), col("__g") === col("__tg"))
+      .drop("__g", "__v", "__bucket", "__off", "__tg")
+  }
 }

@@ -835,6 +835,41 @@ object Similarity {
     * per vector). The shuffle carries d × tasks rows at any corpus
     * size.
     */
+  /** Label-noise scores via k-NN disagreement (confident-learning
+    * lite): for each labeled vector, the fraction of its k nearest
+    * neighbors carrying a DIFFERENT label — high disagreement flags
+    * probable mislabels for relabeling or down-weighting before
+    * classifier training.
+    *
+    * Takes ANY ranked-neighbor frame `(query_id, rank, neighbor_id)` —
+    * exact [[cosineTopK]] for audit scale, [[ivfTopK]]/[[lshCosineTopK]]
+    * for corpus scale — so the disagreement aggregate never dictates
+    * the ANN strategy. The fraction is one exact division of longs.
+    *
+    * Plan shape: two broadcast label lookups (labels are (id, label) —
+    * tiny next to vectors) + one hash aggregate over ≤ |queries|·k
+    * rows.
+    */
+  def labelDisagreement(knn: DataFrame, labels: DataFrame, idCol: String,
+                        labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val own = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("__own"))
+    val nbr = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nbr"))
+    knn.filter(col("rank") <= k)
+      .join(broadcast(own), Seq("query_id"))
+      .join(broadcast(nbr), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__own"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("__nbr") =!= col("__own"), 1L).otherwise(0L))
+          .as("n_diff"))
+      .select(col("query_id").as(idCol), col("__own").as(labelCol),
+        col("n_nbrs"), col("n_diff"),
+        (col("n_diff").cast("double") / col("n_nbrs").cast("double"))
+          .as("noise_frac"))
+  }
+
   def dimStats(corpus: DataFrame, vecCol: String): DataFrame =
     corpus
       .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))

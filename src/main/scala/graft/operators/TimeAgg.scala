@@ -175,4 +175,39 @@ object TimeAgg {
       .filter(col(epochMicrosCol) >= col("__wm"))
       .drop("__wm")
   }
+
+  /** Per-entity activity feature vector — the feature-store primitive
+    * that turns an event log into one training row per user: event
+    * count, distinct behavior types, session count ([[sessionize]]'s
+    * gap rule folded into one window pass), activity span, and a
+    * quantized value mean. Everything derives from exact longs (value
+    * is taken as ⌊100·v⌋ cents; the mean is one ⌊10⁴·s/n⌋ division of
+    * exact longs — engine-identical), so the row is oracle-exact.
+    *
+    * Plan shape: one per-user window pass (the sort any sessionization
+    * pays, partitioned by user — never global) feeding one hash
+    * aggregate keyed by user. At 100 TB the shuffle carries
+    * (user, event) rows once; skewed users are bounded by their own
+    * event counts, not the corpus.
+    */
+  def userActivityFeatures(events: DataFrame, userCol: String,
+                           epochMicrosCol: String, typeCol: String,
+                           valueCol: String, gapMicros: Long,
+                           tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val sess = sessionize(events, Seq(userCol), epochMicrosCol, gapMicros,
+      tieBreak)
+    sess
+      .withColumn("__vq", floor(col(valueCol).cast("double") * lit(100.0))
+        .cast("long"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(typeCol)).as("n_types"),
+        max(col("session_idx")).as("n_sessions"),
+        min(col(epochMicrosCol)).as("first_us"),
+        max(col(epochMicrosCol)).as("last_us"),
+        sum(col("__vq")).as("value_cents"))
+      .withColumn("mean_value_q",
+        floor(lit(10000.0) * col("value_cents").cast("double") /
+          col("n_events").cast("double")).cast("long"))
+  }
 }

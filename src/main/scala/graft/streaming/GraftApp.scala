@@ -460,6 +460,29 @@ object GraftApp {
       // windowed PMI association table (q140) — pair-bounded aggregate
       Curation.pmiPairs(docs, "doc_id", "text", window = 2, minCount = 5L)
         .createOrReplaceTempView("v_term_pmi")
+      // within-source rank normalization (q145) — lazy coarse-count pass
+      graft.operators.Quantiles.exactRanks(
+        docs.select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).cast("long").as("n_tok")),
+        "source", "n_tok", bucketWidth = 8L, tieCols = Seq("doc_id"))
+        .createOrReplaceTempView("v_doc_rank_norm")
+      // per-source distinctive terms (q146)
+      Curation.keyness(docs, "text", "source", minCount = 5L, k = 10)
+        .createOrReplaceTempView("v_source_keyness")
+      // deterministic MLM masking plan (q147) — scan-stage
+      Curation.mlmMaskPlan(docs, "doc_id", "text")
+        .createOrReplaceTempView("v_doc_mlm_mask")
+      // tokenizer-sizing OOV audit (q148), burstiness diagnostic
+      // (q149 — nDocs from parquet metadata count), health card (q150)
+      Curation.vocabCoverage(docs, "text", "source", vocabSize = 1000)
+        .createOrReplaceTempView("v_vocab_coverage")
+      if (nDocs > 0) // nDocs: the feistel registration's metadata count
+        Curation.burstiness(docs, "doc_id", "text", nDocs, minDf = 5L,
+          k = 50)
+          .createOrReplaceTempView("v_term_burstiness")
+      Curation.corpusHealthCard(docs, "doc_id", "text", "source",
+        vocabSize = 1000)
+        .createOrReplaceTempView("v_corpus_health")
     }
     read("embeddings").foreach { emb =>
       emb.createOrReplaceTempView("embeddings")
@@ -487,6 +510,18 @@ object GraftApp {
       Curation.timeSplit(ev, "ts_us", num = 4, den = 5,
         embargoMicros = 21600000000L)
         .createOrReplaceTempView("v_event_split")
+      // per-user feature rows (q143) — one window pass + one aggregate
+      TimeAgg.userActivityFeatures(ev, "user_id", "ts_us", "event_type",
+        "value", gapMicros = 1800000000L, tieBreak = Seq("event_id"))
+        .createOrReplaceTempView("v_user_features")
+      // winsorized values (q142) — lazy; the quantile coarse-count
+      // collect runs on first query
+      graft.operators.Quantiles.winsorize(
+        ev.select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100.0)).cast("long").as("vq")),
+        "event_type", "vq", bucketWidth = 1000L, lo = (1, 20),
+        hi = (19, 20))
+        .createOrReplaceTempView("v_event_winsor")
     }
   }
 

@@ -697,6 +697,100 @@ class CurationSpec extends SparkSpec {
     assert(r(3L) === ((2L, None)))
   }
 
+  test("keyness: hand-computed chi2 on a 2-source corpus") {
+    val docs = Seq((1L, "x x y", "s1"), (2L, "y z z z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.keyness(docs, "text", "source", minCount = 1L, k = 10)
+      .as[(String, Int, String, Long, Long)].collect()
+      .map(t => (t._1, t._3) -> ((t._2, t._4, t._5))).toMap
+    // (s1,x): a=2 b=0 c=1 d=4 → chi2 = 7·64/(2·5·3·4) = 3.7333 → 373
+    assert(r(("s1", "x")) === ((1, 2L, 373L)))
+    // (s1,y): a=1 b=1 c=2 d=3 → chi2 = 7/120 = 0.0583 → 5
+    assert(r(("s1", "y")) === ((2, 1L, 5L)))
+    // (s2,z): a=3 b=0 c=1 d=3 → chi2 = 7·81/144 = 3.9375 → 393
+    assert(r(("s2", "z")) === ((1, 3L, 393L)))
+    // (s2,y): ad < bc (negative association) → absent
+    assert(!r.contains(("s2", "y")))
+  }
+
+  test("mlmMaskPlan: deterministic, ~15% coverage, action bands hold") {
+    val docs = Seq((1L, ("tok " * 400).trim), (2L, "")).toDF("doc_id", "text")
+    val r1 = Curation.mlmMaskPlan(docs, "doc_id", "text")
+      .as[(Long, Long, String, String, Double)].collect().sortBy(t => (t._1, t._2))
+    val r2 = Curation.mlmMaskPlan(docs, "doc_id", "text")
+      .as[(Long, Long, String, String, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(r1.toSeq === r2.toSeq, "plan must be bit-deterministic")
+    assert(r1.nonEmpty && r1.forall(_._1 === 1L), "empty doc emits nothing")
+    // coverage near 15% of 400 positions (hash-uniform, loose band)
+    assert(r1.length > 30 && r1.length < 90, s"got ${r1.length}")
+    assert(r1.forall(t => t._2 >= 1 && t._2 <= 400))
+    assert(r1.forall(t => Set("mask", "random", "keep").contains(t._4)))
+    assert(r1.forall(_._5 < 0.15))
+    // mask dominates (80% of selected)
+    assert(r1.count(_._4 == "mask") > r1.length / 2)
+    // a different salt reshuffles the plan
+    val r3 = Curation.mlmMaskPlan(docs, "doc_id", "text", salt = "mlm2")
+      .as[(Long, Long, String, String, Double)].collect()
+    assert(r3.map(_._2).toSet !== r1.map(_._2).toSet)
+  }
+
+  test("vocabCoverage: top-N cut with deterministic ties, OOV share") {
+    // corpus counts: a=4, b=2, c=1, d=1 → vocab(2) = {a, b}
+    val docs = Seq((1L, "a a b c", "s1"), (2L, "a a b d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.vocabCoverage(docs, "text", "source", vocabSize = 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // each source: 4 tokens, 1 OOV → 250000
+    assert(r("s1") === ((4L, 1L, 250000L)))
+    assert(r("s2") === ((4L, 1L, 250000L)))
+    // vocab big enough -> zero OOV everywhere
+    val r2 = Curation.vocabCoverage(docs, "text", "source", vocabSize = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r2.forall(_._3 === 0L))
+  }
+
+  test("burstiness: hand-computed VMR; Poisson-ish term ranks below") {
+    // 4 docs; 'x' all in one doc (c=4): s=4 ss=16
+    //   mean=1, e2=4, vmr=(4-1)/1=3 → 30000
+    // 'y' spread 1 per doc: s=4 ss=4, vmr=(1-1)/1=0 → 0
+    val docs = Seq((1L, "x x x x y"), (2L, "y"), (3L, "y"), (4L, "y"))
+      .toDF("doc_id", "text")
+    val r = Curation.burstiness(docs, "doc_id", "text", nDocs = 4L,
+      minDf = 1L, k = 10)
+      .as[(Int, String, Long, Long, Long)].collect()
+      .map(t => t._2 -> ((t._1, t._3, t._4, t._5))).toMap
+    assert(r("x") === ((1, 1L, 4L, 30000L)))
+    assert(r("y") === ((2, 4L, 4L, 0L)))
+    // minDf prunes x (df 1)
+    assert(Curation.burstiness(docs, "doc_id", "text", 4L, minDf = 2L,
+      k = 10).as[(Int, String, Long, Long, Long)].collect()
+      .map(_._2).toSeq === Seq("y"))
+  }
+
+  test("corpusHealthCard: dup share, vocab health, OOV per source") {
+    val docs = Seq(
+      (1L, "a a b", "s1"), (2L, "A  a B", "s1"), // normalized dups
+      (3L, "c d", "s1"),
+      (4L, "a z", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = Curation.corpusHealthCard(docs, "doc_id", "text", "source",
+      vocabSize = 3)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    // s1: 3 docs, docs 1+2 normalize equal → 2 dups → dup_q=666666
+    val s1 = r("s1")
+    assert((s1._2, s1._3, s1._4) === ((3L, 2L, 666666L)))
+    // s1 tokens: a,a,b,a,a,b,c,d = 8; types {a,b,c,d}; hapax {c,d}
+    assert((s1._5, s1._6, s1._7) === ((8L, 4L, 2L)))
+    // corpus counts: a=5,b=2,c=1,d=1,z=1 → vocab(3)={a,b,c} (ties c<d<z)
+    // s1 OOV: d → 1 of 8; s2 OOV: z → 1 of 2
+    assert((s1._8, s1._9) === ((1L, 125000L)))
+    val s2 = r("s2")
+    assert((s2._2, s2._3, s2._4) === ((1L, 0L, 0L)))
+    assert((s2._8, s2._9) === ((1L, 500000L)))
+  }
+
   test("classWeights: balanced heuristic, quantized floor") {
     // labels: a x 6, b x 3, c x 1 → N=10, K=3
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))

@@ -184,5 +184,53 @@ class EdgeCasesSpec extends SparkSpec {
     val zr = Curation.sourceZScores(blankSrc, "doc_id", "text", "source")
       .collect().map(r => Option(r.get(3)))
     assert(zr.forall(_.isEmpty))
+
+    // winsorize: empty input -> empty (no bounds, no crash); single
+    // value group clips to itself
+    import graft.operators.Quantiles
+    val emptyV = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(Quantiles.winsorize(emptyV, "g", "v", 10L, (1, 20), (19, 20))
+      .count() === 0)
+    val oneV = Seq(("g", 7L)).toDF("g", "v")
+    assert(Quantiles.winsorize(oneV, "g", "v", 10L, (1, 20), (19, 20))
+      .select("v_clipped").as[Long].head() === 7L)
+
+    // labelDisagreement: empty knn -> empty
+    val noKnn = Seq.empty[(Long, Int, Long)]
+      .toDF("query_id", "rank", "neighbor_id")
+    val lbl = Seq((1L, 0)).toDF("vec_id", "label")
+    assert(Similarity.labelDisagreement(noKnn, lbl, "vec_id", "label", 3)
+      .count() === 0)
+
+    // userActivityFeatures on empty events -> empty
+    import graft.operators.TimeAgg
+    val noEv = Seq.empty[(Long, Long, String, Double, Long)]
+      .toDF("user_id", "ts_us", "event_type", "value", "event_id")
+    assert(TimeAgg.userActivityFeatures(noEv, "user_id", "ts_us",
+      "event_type", "value", 1000L, Seq("event_id")).count() === 0)
+
+    // exactRanks / keyness / mlmMaskPlan on empty corpora -> empty
+    val emptyRk = Seq.empty[(Long, String, Long)].toDF("id", "g", "v")
+    assert(Quantiles.exactRanks(emptyRk, "g", "v", 10L, Seq("id"))
+      .count() === 0)
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Curation.keyness(emptySrc, "text", "source").count() === 0)
+    assert(Curation.mlmMaskPlan(empty, "doc_id", "text").count() === 0)
+
+    // vocab coverage / burstiness / health card on empty corpora
+    assert(Curation.vocabCoverage(emptySrc, "text", "source", 10)
+      .count() === 0)
+    assert(Curation.burstiness(empty, "doc_id", "text", nDocs = 1L)
+      .count() === 0)
+    assert(Curation.corpusHealthCard(emptySrc, "doc_id", "text",
+      "source", 10).count() === 0)
+    // all-blank corpus: health card still counts docs (dup among blanks)
+    val blanks = Seq((1L, "", "s"), (2L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val hc = Curation.corpusHealthCard(blanks, "doc_id", "text", "source",
+      10).collect()
+    assert(hc.length === 1 && hc(0).getLong(1) === 2L &&
+      hc(0).getLong(2) === 2L, "blank docs are exact dups of each other")
   }
 }

@@ -173,6 +173,39 @@ class GraftAppSpec extends SparkSpec {
         "SELECT count(*) FROM v_event_split WHERE split IN ('train','embargo','valid')")
         .collect()(0).getLong(0) ===
         spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_user_features")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(DISTINCT user_id) FROM events")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_event_winsor WHERE vq_clipped BETWEEN lo AND hi")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_rank_norm WHERE rank BETWEEN 1 AND grp_n")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_source_keyness WHERE rank <= 10")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_source_keyness")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_mlm_mask WHERE action IN ('mask','random','keep')")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_doc_mlm_mask")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_vocab_coverage WHERE n_oov <= n_tokens")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(DISTINCT source) FROM documents")
+          .collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_term_burstiness")
+        .collect()(0).getLong(0) <= 50L)
+      assert(spark.sql(
+        "SELECT sum(n_docs) FROM v_corpus_health")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 

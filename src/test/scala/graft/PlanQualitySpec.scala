@@ -626,6 +626,93 @@ class PlanQualitySpec extends SparkSpec {
       s"sourceZScores shuffles the corpus for the stats join:\n$plan")
   }
 
+  test("winsorize: quantile bounds broadcast back; no global row sort") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val base = ev.select(col("event_id"), col("event_type"),
+      floor(col("value") * lit(100.0)).cast("long").as("vq"))
+    val r = graft.operators.Quantiles.winsorize(base, "event_type", "vq",
+      1000L, (1, 20), (19, 20))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 2-rows-per-group bounds table must broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"winsorize globally sorts rows (clip must be scan-stage):\n$plan")
+  }
+
+  test("userActivityFeatures: per-user window, never a global sort") {
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    val ev = ev0.withColumn("ts_us",
+      graft.operators.TimeAgg.epochMicros(ev0))
+    val r = graft.operators.TimeAgg.userActivityFeatures(ev, "user_id",
+      "ts_us", "event_type", "value", 1800000000L, Seq("event_id"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"userActivityFeatures plans a global sort:\n$plan")
+  }
+
+  test("labelDisagreement: label lookups broadcast into the knn frame") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val knn = graft.operators.Similarity.cosineTopK(
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+    val r = graft.operators.Similarity.labelDisagreement(knn,
+      emb.select(col("vec_id"), col("label")), "vec_id", "label", 5)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"(id, label) lookups must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"labelDisagreement shuffles the knn frame for a label join:\n$plan")
+  }
+
+  test("exactRanks: bucket offsets broadcast; no global row sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val base = docs.select(col("doc_id"), col("source"),
+      graft.functions.TextFns.tokenCount(col("text")).cast("long")
+        .as("n_tok"))
+    val r = graft.operators.Quantiles.exactRanks(base, "source", "n_tok",
+      8L, Seq("doc_id"))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset/total tables must broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"exactRanks plans a global sort (ranks must come from bucket offsets):\n$plan")
+  }
+
+  test("keyness: margins broadcast; no cartesian blowup") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.keyness(docs, "text", "source",
+      minCount = 5L, k = 10)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"keyness plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row margin table must broadcast:\n$plan")
+  }
+
+  test("mlmMaskPlan is a pure scan-stage projection — zero shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.mlmMaskPlan(docs, "doc_id", "text")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mlmMaskPlan shuffles — it must stay scan-local:\n$plan")
+  }
+
+  test("vocabCoverage/healthCard: vocab cut broadcasts; no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (r <- Seq(
+      graft.operators.Curation.vocabCoverage(docs, "text", "source", 1000),
+      graft.operators.Curation.corpusHealthCard(docs, "doc_id", "text",
+        "source", 1000))) {
+      val plan = r.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"plans a cartesian product:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the vocab-cut table must broadcast:\n$plan")
+    }
+  }
+
   test("pmiPairs: no cartesian; text never crosses a shuffle") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val r = graft.operators.Curation.pmiPairs(docs, "doc_id", "text",

@@ -51,4 +51,42 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.exactQuantiles(df, "src", "v", 8L, Seq(("bad", 3, 2)))
     }
   }
+
+  test("winsorize: clips to the exact rational band per group") {
+    // group g: values 1..10 → p20 rank ceil(2)=2 → lo=2;
+    // p80 rank ceil(8)=8 → hi=8
+    val df = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
+    val r = Quantiles.winsorize(df, "grp", "v", bucketWidth = 4L,
+      lo = (1, 5), hi = (4, 5))
+      .select("v", "lo", "hi", "v_clipped")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.forall(t => t._2 === 2L && t._3 === 8L))
+    assert(r.map(_._4).toSeq ===
+      Seq(2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 8L, 8L))
+    // a second group is clipped independently
+    val df2 = df.union(Seq(("h", 100L), ("h", 200L), ("h", 300L))
+      .toDF("grp", "v"))
+    val r2 = Quantiles.winsorize(df2, "grp", "v", 4L, (1, 5), (4, 5))
+      .filter($"grp" === "h").select("v_clipped")
+      .as[Long].collect().sorted
+    assert(r2.head >= 100L && r2.last <= 300L)
+  }
+
+  test("exactRanks: dense-id tie order, partition-order free") {
+    // g: values 5, 5, 3, 9 with ids 1..4 → order (3,id3) (5,id1) (5,id2) (9,id4)
+    val df = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 3L),
+      (4L, "g", 9L), (5L, "h", 1L)).toDF("id", "grp", "v")
+    val r = Quantiles.exactRanks(df, "grp", "v", bucketWidth = 4L,
+      tieCols = Seq("id"))
+      .select("id", "rank", "grp_n").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r === Map(1L -> ((2L, 4L)), 2L -> ((3L, 4L)), 3L -> ((1L, 4L)),
+      4L -> ((4L, 4L)), 5L -> ((1L, 1L))))
+    // rank assignment is independent of physical partitioning
+    val a = Quantiles.exactRanks(df.coalesce(1), "grp", "v", 4L, Seq("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val b = Quantiles.exactRanks(df.repartition(7), "grp", "v", 4L, Seq("id"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }

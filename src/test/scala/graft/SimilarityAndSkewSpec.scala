@@ -453,6 +453,24 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(r === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("labelDisagreement: counts differing neighbor labels; rank>k ignored") {
+    val knn = Seq(
+      (1L, 1, 2L), (1L, 2, 3L), (1L, 3, 4L), // neighbors of 1
+      (2L, 1, 1L), (2L, 2, 3L),
+      (2L, 3, 4L), (2L, 4, 9L)               // rank 4 > k: ignored
+    ).toDF("query_id", "rank", "neighbor_id")
+    val labels = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1), (9L, 0))
+      .toDF("vec_id", "label")
+    val r = Similarity.labelDisagreement(knn, labels, "vec_id", "label",
+      k = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._3, t._4, t._5))).toMap
+    // q1 (label 0): nbrs 2(0), 3(1), 4(1) → 2/3 differ
+    assert(r(1L) === ((3L, 2L, 2.0 / 3.0)))
+    // q2 (label 0): nbrs 1(0), 3(1), 4(1) → 2/3; rank-4 nbr excluded
+    assert(r(2L) === ((3L, 2L, 2.0 / 3.0)))
+  }
+
   test("dimStats: hand-computed quantized sums and float min/max") {
     val df = Seq(
       (1L, Seq(1.5f, -0.25f)),

@@ -87,4 +87,25 @@ class StreamingAggSpec extends SparkSpec {
       .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
+
+  test("userActivityFeatures: hand-computed feature row per user") {
+    // user 1: events at t=0, 30s, 120s (gap 60s → 2 sessions),
+    //         types a,a,b; values 1.50, 2.50, 6.00
+    // user 2: one event, one session
+    val ev = Seq(
+      (1L, 0L, "a", 1.50, 10L),
+      (1L, 30000000L, "a", 2.50, 11L),
+      (1L, 120000000L, "b", 6.00, 12L),
+      (2L, 0L, "c", 0.25, 20L)
+    ).toDF("user_id", "ts_us", "event_type", "value", "event_id")
+    val r = TimeAgg.userActivityFeatures(ev, "user_id", "ts_us",
+      "event_type", "value", gapMicros = 60000000L,
+      tieBreak = Seq("event_id"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    // u1: 3 events, 2 types, 2 sessions, span [0, 120s],
+    //     cents 150+250+600=1000, mean_q = floor(1e4*1000/3) = 3333333
+    assert(r(1L) === ((1L, 3L, 2L, 2L, 0L, 120000000L, 1000L, 3333333L)))
+    assert(r(2L) === ((2L, 1L, 1L, 1L, 0L, 0L, 25L, 250000L)))
+  }
 }
