@@ -5692,6 +5692,306 @@ object Queries {
       FROM d LEFT JOIN vs USING (source) LEFT JOIN cov USING (source)
       ORDER BY source"""))
 
+  /** (q151) Exact heavy hitters (Sketches.heavyHitters scaladoc):
+    * tokens with count > N/100 via the two-pass Misra–Gries candidate
+    * scheme — exact output, no full-cardinality shuffle.
+    */
+  val q151HeavyHitters = Q(
+    "q151_sk_heavy_hitters",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      operators.Sketches.heavyHitters(terms, "term", den = 100)
+        .orderBy("term")
+    },
+    Some("""
+      WITH f AS (SELECT term FROM (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+            AS term
+          FROM documents)
+        WHERE len(term) > 0)
+      SELECT term, count(*) AS cnt FROM f GROUP BY term
+      HAVING count(*) * 100 > (SELECT count(*) FROM f)
+      ORDER BY term"""))
+
+  /** (q152) Code-switch detection (Curation.codeSwitchSignals
+    * scaladoc): language ID per 20-token chunk, per-doc switch counts
+    * and dominant-language share.
+    */
+  val q152CodeSwitch = Q(
+    "q152_tx_code_switch",
+    (s, dir) =>
+      operators.Curation.codeSwitchSignals(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 20)
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        FROM documents WHERE text IS NOT NULL),
+      ch AS (SELECT doc_id, t.k AS start_tok,
+               ts[t.k : least(t.k + 19, len(ts))] AS chunk
+             FROM d, LATERAL unnest(range(1, len(ts) + 1, 20)) t(k)),
+      lngt AS (SELECT doc_id, start_tok,
+               regexp_split_to_array(lower(trim(
+                 array_to_string(chunk, ' '))), '\s+') AS ct
+             FROM ch),
+      hits AS (SELECT doc_id, start_tok,
+          len(list_filter(ct, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(ct, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(ct, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(ct, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM lngt),
+      lng AS (SELECT doc_id, start_tok,
+          CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+               WHEN en = greatest(en, es, de, fr) THEN 'en'
+               WHEN es = greatest(en, es, de, fr) THEN 'es'
+               WHEN de = greatest(en, es, de, fr) THEN 'de'
+               ELSE 'fr' END AS lg
+        FROM hits),
+      sw AS (SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lg
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+             FROM (SELECT doc_id, lg,
+                     lag(lg) OVER (PARTITION BY doc_id
+                       ORDER BY start_tok) AS prev
+                   FROM lng)
+             GROUP BY doc_id),
+      pl AS (SELECT doc_id, lg, count(*) AS c FROM lng
+             GROUP BY doc_id, lg),
+      dom AS (SELECT doc_id,
+               min(CASE WHEN c = mx THEN lg END) AS dominant_lang,
+               min(mx) AS mxc, min(nl) AS n_langs
+             FROM (SELECT doc_id, lg, c,
+                     max(c) OVER (PARTITION BY doc_id) AS mx,
+                     count(*) OVER (PARTITION BY doc_id) AS nl
+                   FROM pl)
+             GROUP BY doc_id)
+      SELECT sw.doc_id, sw.n_chunks, dom.n_langs, sw.n_switches,
+        dom.dominant_lang,
+        CAST(floor(1000000.0 * CAST(dom.mxc AS DOUBLE)
+          / CAST(sw.n_chunks AS DOUBLE)) AS BIGINT) AS dom_share_q
+      FROM sw JOIN dom USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q153) Preference pairs (Curation.preferencePairs scaladoc):
+    * rank-r vs rank-(r+⌈n/2⌉) doc pairs per source by token-count
+    * score — DPO/reward-model data prep.
+    */
+  val q153PreferencePairs = Q(
+    "q153_s_preference_pairs",
+    (s, dir) =>
+      operators.Curation.preferencePairs(t(s, dir, "documents"),
+        "doc_id", "text", "source")
+        .orderBy("source", "low_id"),
+    Some("""
+      WITH tk AS (SELECT doc_id, source,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+            END AS BIGINT) AS score
+        FROM documents),
+      r AS (SELECT doc_id, source, score,
+              CAST(row_number() OVER (PARTITION BY source
+                ORDER BY score, doc_id) AS BIGINT) AS rank,
+              CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+            FROM tk),
+      lo AS (SELECT source, doc_id AS low_id, score AS low_score,
+               rank + (n - n // 2) AS pr
+             FROM r WHERE rank <= n // 2),
+      hi AS (SELECT source, doc_id AS high_id, score AS high_score,
+               rank AS pr
+             FROM r)
+      SELECT lo.source, low_id, high_id, low_score, high_score,
+        high_score - low_score AS margin
+      FROM lo JOIN hi USING (source, pr)
+      ORDER BY source, low_id"""))
+
+  /** (q154) Span-corruption plan (Curation.spanCorruptPlan scaladoc):
+    * T5-style 3-token spans at rate 0.05 via md5₆₀ block selection —
+    * parallel and exactly replayable.
+    */
+  val q154SpanCorrupt = Q(
+    "q154_tx_span_corrupt",
+    (s, dir) =>
+      operators.Curation.spanCorruptPlan(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id", "block"),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+        FROM documents),
+      nn AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS nt FROM toks
+             WHERE len(ts) > 0),
+      b AS (SELECT doc_id, nt, unnest(range(0, (nt + 2) // 3)) AS block
+            FROM nn),
+      h AS (SELECT doc_id, nt, block,
+              ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(block AS VARCHAR) || ':t5'), 1, 15))::BIGINT + 1)
+                / CAST(1152921504606846976 AS DOUBLE)) AS u
+            FROM b),
+      sel AS (SELECT doc_id, block, block * 3 + 1 AS span_start,
+               least(3, nt - block * 3) AS span_len, u
+             FROM h WHERE u < 0.05)
+      SELECT doc_id, block, span_start, span_len,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY block)
+          AS INTEGER) AS sentinel,
+        round(u, 6) AS u_r
+      FROM sel ORDER BY doc_id, block"""))
+
+  /** (q155) Exact tie-adjusted AUC (Eval.aucExact scaladoc): the
+    * quantized quality score ranking lang='en' docs — the Mann–Whitney
+    * U form from exact longs; one row (P, N, ⌊10⁶·AUC⌋).
+    */
+  val q155Auc = Q(
+    "q155_ml_auc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Eval.aucExact(
+        docs.select(floor(lit(1000000.0) *
+          TextFns.qualityScore(col("text"), Stopwords)).cast("long")
+          .as("s_q"), col("lang")),
+        "s_q", col("lang") === "en")
+    },
+    Some("""
+      WITH d AS (SELECT text, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT lang, text,
+          CAST(len(list_filter(toks,
+            t -> t IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(toks) AS swr,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d),
+      q AS (SELECT CAST(floor(1000000.0 *
+              (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3)) AS BIGINT) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM f),
+      ps AS (SELECT s, CAST(sum(y) AS BIGINT) AS p_s,
+               CAST(sum(1 - y) AS BIGINT) AS n_s
+             FROM q GROUP BY s),
+      cb AS (SELECT s, p_s, n_s,
+               coalesce(sum(n_s) OVER (ORDER BY s ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb
+             FROM ps)
+      SELECT CAST(sum(p_s) AS BIGINT) AS p,
+        CAST(sum(n_s) AS BIGINT) AS n,
+        CASE WHEN sum(p_s) > 0 AND sum(n_s) > 0 THEN
+          CAST(floor(1000000.0 *
+            CAST(sum(p_s * (2 * nb + n_s)) AS DOUBLE)
+            / (2.0 * CAST(sum(p_s) AS DOUBLE)
+               * CAST(sum(n_s) AS DOUBLE))) AS BIGINT)
+        END AS auc_q
+      FROM cb"""))
+
+  /** (q156) Trailing-window rate anomaly (TimeAgg.rateAnomaly
+    * scaladoc): per-minute counts per event type, z vs the previous 30
+    * densified minutes, ⌊100·z⌋ — the event-storm detector.
+    */
+  val q156RateAnomaly = Q(
+    "q156_a_rate_anomaly",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+      operators.TimeAgg.rateAnomaly(ev, "event_type", "ts_us",
+        bucketSec = 60L, window = 30)
+        .filter(col("z_q").isNotNull)
+        .orderBy("event_type", "bucket")
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+          (epoch_us(ts) - epoch_us(ts) % 60000000) // 1000000 AS bucket
+        FROM events),
+      cnt AS (SELECT event_type, bucket, count(*) AS c FROM e
+              GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+             FROM cnt GROUP BY 1),
+      dense AS (SELECT event_type, bucket, coalesce(c, 0) AS c FROM
+        (SELECT sp.event_type, t.b AS bucket FROM sp,
+           LATERAL unnest(range(b0, b1 + 60, 60)) t(b)) g
+        LEFT JOIN cnt USING (event_type, bucket)),
+      w AS (SELECT event_type, bucket, c,
+              sum(c) OVER win AS s, sum(c * c) OVER win AS ss,
+              count(*) OVER win AS n
+            FROM dense
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, bucket, CAST(c AS BIGINT) AS c,
+        CAST(floor(100.0 *
+          (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)
+          AS z_q
+      FROM w
+      WHERE n = 30
+        AND (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+      ORDER BY event_type, bucket"""))
+
+  /** (q157) Three-step funnel (TimeAgg.funnel scaladoc):
+    * view → click → purchase within 24 h per step, earliest-completion
+    * semantics, per-user stage row.
+    */
+  val q157Funnel = Q(
+    "q157_a_funnel",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+      operators.TimeAgg.funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), horizonMicros = 86400000000L)
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                 FROM events),
+      s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(us) AS t2_us
+             FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1_us
+               AND us <= t1_us + 86400000000
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(us) AS t3_us
+             FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2_us
+               AND us <= t2_us + 86400000000
+             GROUP BY e.user_id)
+      SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+        CAST(CASE WHEN s3.t3_us IS NOT NULL THEN 3
+             WHEN s2.t2_us IS NOT NULL THEN 2
+             ELSE 1 END AS INTEGER) AS stage
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id"""))
+
+  /** (q158) Cohort retention matrix (TimeAgg.cohortRetention
+    * scaladoc): daily cohorts × day offsets → distinct active users —
+    * the retention triangle.
+    */
+  val q158CohortRetention = Q(
+    "q158_a_cohort_retention",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+      operators.TimeAgg.cohortRetention(ev, "user_id", "ts_us",
+        bucketSec = 86400L)
+        .orderBy("cohort", "offset")
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT user_id,
+          (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000000 AS bucket
+        FROM events),
+      c AS (SELECT user_id, min(bucket) AS cohort FROM a
+            GROUP BY user_id)
+      SELECT c.cohort, (a.bucket - c.cohort) // 86400 AS "offset",
+        count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -5732,5 +6032,8 @@ object Queries {
     q135TimeSplit, q136Readability, q137ClassWeights, q138QlTopK,
     q139RollupProfile, q140PmiPairs, q141SourceZScores, q142Winsorize,
     q143UserFeatures, q144LabelNoise, q145RankNormalize, q146Keyness,
-    q147MlmMask, q148VocabCoverage, q149Burstiness, q150HealthCard)
+    q147MlmMask, q148VocabCoverage, q149Burstiness, q150HealthCard,
+    q151HeavyHitters, q152CodeSwitch, q153PreferencePairs,
+    q154SpanCorrupt, q155Auc, q156RateAnomaly, q157Funnel,
+    q158CohortRetention)
 }

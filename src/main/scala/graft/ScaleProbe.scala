@@ -571,6 +571,27 @@ object ScaleProbe {
         timedCount(s"health  ${mult}x corpus card",
           graft.operators.Curation.corpusHealthCard(docs, "doc_id",
             "text", "source", 1000))
+        timedCount(s"hh      ${mult}x token stream den=100",
+          graft.operators.Sketches.heavyHitters(
+            docs.select(explode(graft.functions.TextFns.tokens(
+              col("text"))).as("term"))
+              .filter(length(col("term")) > 0), "term", 100))
+        timedCount(s"cswitch ${mult}x corpus 20-tok chunks",
+          graft.operators.Curation.codeSwitchSignals(docs, "doc_id",
+            "text"))
+        timedCount(s"spanc   ${mult}x corpus rate .05",
+          graft.operators.Curation.spanCorruptPlan(docs, "doc_id",
+            "text"))
+        timedCount(s"pref    ${mult}x corpus by source",
+          graft.operators.Curation.preferencePairs(docs, "doc_id",
+            "text", "source"))
+        timedCount(s"auc     ${mult}x corpus quality-vs-lang",
+          graft.operators.Eval.aucExact(
+            docs.select(floor(lit(1000000.0) *
+              graft.functions.TextFns.qualityScore(col("text"),
+                Seq("the", "a", "of", "and", "to", "in", "is")))
+              .cast("long").as("s_q"), col("lang")),
+            "s_q", col("lang") === "en"))
         docs.unpersist()
       }
       val emb0 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -604,6 +625,16 @@ object ScaleProbe {
           ev0.select(col("event_id"), col("event_type"), col("user_id"),
             col("value"), operators.TimeAgg.epochMicros(ev0).as("ts_us")),
           "event_id", mult)
+        timedCount(s"anomaly ${mult}x events 60s w=30",
+          graft.operators.TimeAgg.rateAnomaly(ev, "event_type", "ts_us",
+            60L, 30))
+        timedCount(s"funnel  ${mult}x events 24h horizon",
+          graft.operators.TimeAgg.funnel(ev, "user_id", "ts_us",
+            "event_type", Seq("view", "click", "purchase"),
+            86400000000L))
+        timedCount(s"cohort  ${mult}x events daily",
+          graft.operators.TimeAgg.cohortRetention(ev, "user_id", "ts_us",
+            86400L))
         timedCount(s"winsor  ${mult}x events p05/p95",
           graft.operators.Quantiles.winsorize(
             ev.select(col("event_id"), col("event_type"),

@@ -1233,6 +1233,120 @@ object Curation {
         coalesce(col("oov_q"), lit(0L)).as("oov_q"))
   }
 
+  /** Code-switch detection: chunk each document into fixed token
+    * windows, language-ID every chunk ([[TextFns.langId]]'s marker
+    * heuristic), and report per doc how the language flips — mixed-
+    * language documents poison monolingual training mixes yet pass
+    * doc-level language ID (the dominant language wins the vote). Per
+    * doc: chunk count, distinct chunk languages, boundary switches
+    * (adjacent chunks disagreeing), the dominant language
+    * (lexicographically smallest among count ties — deterministic) and
+    * its share ⌊10⁶·max/n⌋.
+    *
+    * Plan shape: one chunk explode, per-doc-bounded windows (a doc's
+    * chunk list, never the corpus), two hash aggregates.
+    */
+  def codeSwitchSignals(docs: DataFrame, idCol: String, textCol: String,
+                        chunkSize: Int = 20): DataFrame = {
+    val ch = chunkTokens(docs, idCol, textCol, chunkSize, chunkSize)
+      .select(col(idCol), col("start_tok"),
+        TextFns.langId(col("chunk_text")).as("__lang"))
+    val wSeq = Window.partitionBy(col(idCol)).orderBy(col("start_tok"))
+    val switches = ch
+      .withColumn("__prev", lag(col("__lang"), 1).over(wSeq))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") =!= col("__lang"), 1L).otherwise(0L))
+          .as("n_switches"))
+    val perLang = ch.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val dom = perLang
+      .withColumn("__mx", max(col("__c")).over(wDoc))
+      .withColumn("__nl", count(lit(1)).over(wDoc))
+      .filter(col("__c") === col("__mx"))
+      .groupBy(col(idCol))
+      .agg(min(col("__lang")).as("dominant_lang"),
+        min(col("__mx")).as("__mxc"), min(col("__nl")).as("n_langs"))
+    switches.join(dom, Seq(idCol))
+      .select(col(idCol), col("n_chunks"), col("n_langs"),
+        col("n_switches"), col("dominant_lang"),
+        floor(lit(1000000.0) * col("__mxc").cast("double") /
+          col("n_chunks").cast("double")).cast("long").as("dom_share_q"))
+  }
+
+  /** Preference-pair construction for reward-model / DPO-style
+    * training: within each source, rank docs by an integer quality
+    * score (exact ranks, [[Quantiles.exactRanks]] — no per-group
+    * global sort), then pair rank r with rank r + ⌈n/2⌉ — maximally
+    * separated halves, every doc used at most once, the odd middle
+    * element skipped. Emits (source, low/high ids and scores, margin);
+    * callers filter small margins.
+    *
+    * Plan shape: the rank pass plus ONE self equi-join on
+    * (source, rank) — co-partitioned keys, no broadcast of the corpus.
+    */
+  def preferencePairs(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, bucketWidth: Long = 8L): DataFrame = {
+    val ranked = Quantiles.exactRanks(
+      docs.select(col(idCol), col(srcCol),
+        TextFns.tokenCount(col(textCol)).cast("long").as("score")),
+      srcCol, "score", bucketWidth, Seq(idCol))
+    val half = col("grp_n") - (col("grp_n") / lit(2L)).cast("long")
+    val low = ranked.filter(col("rank") <= col("grp_n") / lit(2L))
+      .select(col(srcCol).as("source"), col(idCol).as("low_id"),
+        col("score").as("low_score"), (col("rank") + half).as("__pr"))
+    val high = ranked.select(col(srcCol).as("source"),
+      col(idCol).as("high_id"), col("score").as("high_score"),
+      col("rank").as("__pr"))
+    low.join(high, Seq("source", "__pr"))
+      .select(col("source"), col("low_id"), col("high_id"),
+        col("low_score"), col("high_score"),
+        (col("high_score") - col("low_score")).as("margin"))
+  }
+
+  /** T5-style span-corruption plan: fixed `spanLen`-token blocks, each
+    * independently selected with probability `rate` by the portable
+    * md5₆₀ uniform ([[mlmMaskPlan]]'s contract) — span starts never
+    * depend on earlier selections, so the plan is embarrassingly
+    * parallel AND exactly replayable (sequential geometric-span
+    * sampling would be neither). Emits per selected block its span
+    * start/length and the per-doc sentinel ordinal.
+    *
+    * Plan shape: one block explode (n/spanLen rows per doc) filtered
+    * to ~rate of blocks, one per-doc-bounded window for the sentinel
+    * numbering.
+    */
+  def spanCorruptPlan(docs: DataFrame, idCol: String, textCol: String,
+                      spanLen: Int = 3, rate: Double = 0.05,
+                      salt: String = "t5"): DataFrame = {
+    require(spanLen >= 1, s"spanLen ($spanLen) must be >= 1")
+    require(rate > 0 && rate < 1, s"rate ($rate) must be in (0,1)")
+    val toks = docs.select(col(idCol),
+      filter(TextFns.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+    val u = (Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(":"),
+      col("block").cast("string"), lit(":" + salt))) + lit(1L))
+      .cast("double") / lit(math.pow(2, 60))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("block"))
+    toks
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), size(col("__toks")).cast("long").as("__n"),
+        // integer block count ⌈n/spanLen⌉ via `div` (Spark `/` on
+        // longs is DOUBLE division and would break sequence())
+        explode(sequence(lit(0L),
+          expr(s"(CAST(size(__toks) AS BIGINT) + ${spanLen - 1}L) " +
+            s"div ${spanLen}L") - lit(1L))).as("block"))
+      .withColumn("__u", u)
+      .filter(col("__u") < lit(rate))
+      .withColumn("span_start", col("block") * spanLen + 1)
+      .withColumn("span_len",
+        least(lit(spanLen.toLong), col("__n") - col("block") * spanLen))
+      .withColumn("sentinel", row_number().over(wDoc))
+      .select(col(idCol), col("block"), col("span_start"), col("span_len"),
+        col("sentinel"), round(col("__u"), 6).as("u_r"))
+  }
+
   /** Inverse-frequency class weights: weight_q = ⌊10⁶ · N / (K · n_c)⌋
     * per label value — the "balanced" class-weight heuristic
     * (sklearn's class_weight='balanced') for loss re-weighting when a

@@ -116,4 +116,48 @@ object Sketches {
           (col("__s") + (lit(m.toLong) - col("__occ")) *
             lit(1L << 55)).cast("double")).as("hll_est"))
   }
+
+  /** Exact φ = 1/den heavy hitters WITHOUT a full-cardinality shuffle
+    * — the two-pass Misra–Gries scheme: pass 1 runs an MG summary with
+    * `den` counters per partition (any item with global count > N/den
+    * must, by pigeonhole, exceed its share in SOME partition, and MG
+    * with k counters reports everything above N_part/(k+1) — so the
+    * union of partition summaries is a GUARANTEED candidate superset);
+    * pass 2 exactly recounts only candidate rows and applies the
+    * integer threshold `count·den > N`.
+    *
+    * The output is fully deterministic even though MG's candidate set
+    * is partition-order dependent: false candidates are eliminated by
+    * the exact recount, true heavy hitters can never be missed. At
+    * 100 TB the shuffle carries candidate rows only (≤ den·partitions
+    * distinct values), never the full value cardinality.
+    */
+  def heavyHitters(values: DataFrame, valueCol: String,
+                   den: Int): DataFrame = {
+    require(den >= 2, s"den ($den) must be >= 2")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val vals = values.select(col(valueCol).cast("string").as("v"))
+    val cands = vals.as[String].mapPartitions { it =>
+      // classic Misra–Gries with `den` counters: per-partition
+      // imperative state, the documented mapPartitions exception
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        if (counters.contains(v)) counters(v) += 1L
+        else if (counters.size < den) counters(v) = 1L
+        else {
+          val dead = counters.collect { case (k, 1L) => k }.toList
+          counters.mapValuesInPlace((_, c) => c - 1L)
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("v").distinct()
+    val n = vals.count()
+    vals.join(broadcast(cands), Seq("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(den.toLong) > lit(n))
+      .select(col("v").as(valueCol), col("cnt"))
+  }
 }

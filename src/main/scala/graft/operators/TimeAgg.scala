@@ -190,6 +190,114 @@ object TimeAgg {
     * (user, event) rows once; skewed users are bounded by their own
     * event counts, not the corpus.
     */
+  /** Trailing-window rate anomaly detection: per (key, time bucket),
+    * the z-score of the bucket's event count against the previous
+    * `window` buckets — the route-flap / event-storm detector layered
+    * over the A1-style change-rate tables. Buckets are DENSIFIED
+    * (zero-count minutes exist — skipping them would bias the trailing
+    * mean), bounded by the key's time span over `bucketSec`, not by
+    * event volume. z = (c − mean)/σ from exact long window sums,
+    * emitted ⌊100·z⌋, null while the window is partial or flat (σ=0).
+    *
+    * Plan shape: one count aggregate, one per-key sequence explode to
+    * the dense bucket grid, one per-key window ordered by bucket (a
+    * key's buckets, never the corpus), all shuffles on the key.
+    */
+  def rateAnomaly(events: DataFrame, keyCol: String,
+                  epochMicrosCol: String, bucketSec: Long,
+                  window: Int): DataFrame = {
+    require(bucketSec > 0, s"bucketSec ($bucketSec) must be positive")
+    require(window >= 2, s"window ($window) must be >= 2")
+    val counts = events
+      .select(col(keyCol), timeBucketSec(col(epochMicrosCol), bucketSec)
+        .as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val span = counts.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+    val dense = span
+      .select(col(keyCol), explode(sequence(col("__b0"), col("__b1"),
+        lit(bucketSec))).as("bucket"))
+      .join(counts, Seq(keyCol, "bucket"), "left")
+      .withColumn("c", coalesce(col("__c"), lit(0L)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
+      .rowsBetween(-window, -1)
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val variance = col("__ss").cast("double") / col("__n").cast("double") -
+      mean * mean
+    dense
+      .withColumn("__s", sum(col("c")).over(w))
+      .withColumn("__ss", sum(col("c") * col("c")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("z_q",
+        when(col("__n") === window && variance > 0,
+          floor(lit(100.0) * (col("c").cast("double") - mean) /
+            sqrt(variance)).cast("long")))
+      .select(col(keyCol), col("bucket"), col("c"), col("z_q"))
+  }
+
+  /** Three-step funnel: per user, the earliest completion of
+    * step1 → step2 → step3 where each step follows the previous within
+    * `horizonMicros` — the activation-flow question asked of any event
+    * log. Earliest-completion semantics (the first qualifying step-2
+    * after step-1, then the first qualifying step-3) — order-total and
+    * engine-exact on integer micros.
+    *
+    * Plan shape: three conditional min-aggregates keyed by user with
+    * co-partitioned joins between them — no per-user sort, no window.
+    */
+  def funnel(events: DataFrame, userCol: String, epochMicrosCol: String,
+             typeCol: String, steps: Seq[String],
+             horizonMicros: Long): DataFrame = {
+    require(steps.length == 3, "funnel expects exactly 3 steps")
+    require(horizonMicros > 0, "horizonMicros must be positive")
+    val ev = events.select(col(userCol), col(typeCol).as("__t"),
+      col(epochMicrosCol).cast("long").as("__ts"))
+    val s1 = ev.filter(col("__t") === steps(0))
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("t1_us"))
+    val s2 = ev.filter(col("__t") === steps(1))
+      .join(s1, Seq(userCol))
+      .filter(col("__ts") > col("t1_us") &&
+        col("__ts") <= col("t1_us") + horizonMicros)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("t2_us"))
+    val s3 = ev.filter(col("__t") === steps(2))
+      .join(s2, Seq(userCol))
+      .filter(col("__ts") > col("t2_us") &&
+        col("__ts") <= col("t2_us") + horizonMicros)
+      .groupBy(col(userCol)).agg(min(col("__ts")).as("t3_us"))
+    s1.join(s2, Seq(userCol), "left").join(s3, Seq(userCol), "left")
+      .select(col(userCol), col("t1_us"), col("t2_us"), col("t3_us"),
+        when(col("t3_us").isNotNull, 3)
+          .when(col("t2_us").isNotNull, 2)
+          .otherwise(1).as("stage"))
+  }
+
+  /** Cohort retention matrix: users grouped by first-seen bucket
+    * (the cohort), counted in every later bucket they appear in —
+    * (cohort, offset) → distinct users, the standard retention
+    * triangle. Exact integer bucketing end to end.
+    *
+    * Plan shape: per-user min (one aggregate), distinct (user, bucket)
+    * activity (one aggregate), join on user, count per (cohort,
+    * offset) — all shuffles keyed, output bounded by buckets².
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      epochMicrosCol: String,
+                      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec ($bucketSec) must be positive")
+    val act = events
+      .select(col(userCol), timeBucketSec(col(epochMicrosCol), bucketSec)
+        .as("bucket"))
+      .distinct()
+    val cohort = act.groupBy(col(userCol))
+      .agg(min(col("bucket")).as("cohort"))
+    act.join(cohort, Seq(userCol))
+      .withColumn("offset",
+        ((col("bucket") - col("cohort")) / lit(bucketSec)).cast("long"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   def userActivityFeatures(events: DataFrame, userCol: String,
                            epochMicrosCol: String, typeCol: String,
                            valueCol: String, gapMicros: Long,

@@ -483,6 +483,26 @@ object GraftApp {
       Curation.corpusHealthCard(docs, "doc_id", "text", "source",
         vocabSize = 1000)
         .createOrReplaceTempView("v_corpus_health")
+      // batch-6 surface: code-switch signals (q152), preference pairs
+      // (q153), span-corruption plan (q154), quality-AUC audit (q155),
+      // exact heavy hitters (q151 — eager: the MG pass counts the
+      // stream at build, like the Feistel registration)
+      Curation.codeSwitchSignals(docs, "doc_id", "text")
+        .createOrReplaceTempView("v_doc_code_switch")
+      Curation.preferencePairs(docs, "doc_id", "text", "source")
+        .createOrReplaceTempView("v_preference_pairs")
+      Curation.spanCorruptPlan(docs, "doc_id", "text")
+        .createOrReplaceTempView("v_doc_span_corrupt")
+      graft.operators.Eval.aucExact(
+        docs.select(floor(lit(1000000.0) * TextFns.qualityScore(
+          col("text"), stop)).cast("long").as("s_q"), col("lang")),
+        "s_q", col("lang") === "en")
+        .createOrReplaceTempView("v_quality_auc")
+      if (nDocs > 0)
+        graft.operators.Sketches.heavyHitters(
+          docs.select(explode(TextFns.tokens(col("text"))).as("term"))
+            .filter(length(col("term")) > 0), "term", den = 100)
+          .createOrReplaceTempView("v_term_heavy")
     }
     read("embeddings").foreach { emb =>
       emb.createOrReplaceTempView("embeddings")
@@ -510,6 +530,16 @@ object GraftApp {
       Curation.timeSplit(ev, "ts_us", num = 4, den = 5,
         embargoMicros = 21600000000L)
         .createOrReplaceTempView("v_event_split")
+      // event analytics: per-minute anomaly z (q156), the
+      // view→click→purchase funnel (q157), daily retention (q158)
+      TimeAgg.rateAnomaly(ev, "event_type", "ts_us", bucketSec = 60L,
+        window = 30)
+        .createOrReplaceTempView("v_rate_anomaly")
+      TimeAgg.funnel(ev, "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), horizonMicros = 86400000000L)
+        .createOrReplaceTempView("v_funnel")
+      TimeAgg.cohortRetention(ev, "user_id", "ts_us", bucketSec = 86400L)
+        .createOrReplaceTempView("v_cohort_retention")
       // per-user feature rows (q143) — one window pass + one aggregate
       TimeAgg.userActivityFeatures(ev, "user_id", "ts_us", "event_type",
         "value", gapMicros = 1800000000L, tieBreak = Seq("event_id"))

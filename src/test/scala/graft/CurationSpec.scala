@@ -791,6 +791,64 @@ class CurationSpec extends SparkSpec {
     assert((s2._8, s2._9) === ((1L, 500000L)))
   }
 
+  test("codeSwitchSignals: chunk langs, switches, dominant share") {
+    // doc 1: 2 chunks english, 1 chunk spanish → 1 switch, dom en 2/3
+    val en = "the cat and the dog of the house is in town now then"
+    val enTail = "to go and to stay in the end is all of it here"
+    val es = "el perro y la casa de los gatos que son las flores aqui"
+    val docs = Seq(
+      (1L, s"$en x y z a b c d e f ${enTail} p q r s t u v w ${es} m n o p"),
+      (2L, "the of and is a to in")  // one chunk, en
+    ).toDF("doc_id", "text")
+    val r = Curation.codeSwitchSignals(docs, "doc_id", "text",
+      chunkSize = 20)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    val d1 = r(1L)
+    assert(d1._2 === 3L, s"expected 3 chunks, got $d1")
+    assert(d1._3 === 2L) // en + es
+    assert(d1._4 === 1L) // one boundary switch
+    assert(d1._5 === "en")
+    assert(d1._6 === math.floor(1e6 * 2.0 / 3.0).toLong)
+    assert(r(2L) === ((2L, 1L, 1L, 0L, "en", 1000000L)))
+  }
+
+  test("preferencePairs: halves pair up, odd middle skipped") {
+    // source s: token counts 1..5 (ids 1..5) → half=2, pairs
+    // (rank1,rank4)=(id1,id4), (rank2,rank5)=(id2,id5); id3 unpaired
+    val docs = (1 to 5).map(i => (i.toLong, ("w " * i).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.preferencePairs(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    assert(r.length === 2)
+    assert(r(0) === (("s", 1L, 4L, 1L, 4L, 3L)))
+    assert(r(1) === (("s", 2L, 5L, 2L, 5L, 3L)))
+    // even group: all docs pair
+    val docs4 = (1 to 4).map(i => (i.toLong, ("w " * i).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Curation.preferencePairs(docs4, "doc_id", "text", "source")
+      .count() === 2)
+  }
+
+  test("spanCorruptPlan: deterministic blocks, tail span length") {
+    val docs = Seq((1L, ("tok " * 301).trim)).toDF("doc_id", "text")
+    // 301 tokens → 101 blocks (last block = 1 token)
+    val r1 = Curation.spanCorruptPlan(docs, "doc_id", "text",
+      spanLen = 3, rate = 0.3)
+      .as[(Long, Long, Long, Long, Int, Double)].collect().sortBy(_._2)
+    val r2 = Curation.spanCorruptPlan(docs, "doc_id", "text",
+      spanLen = 3, rate = 0.3)
+      .as[(Long, Long, Long, Long, Int, Double)].collect().sortBy(_._2)
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.nonEmpty && r1.length < 70, s"rate 0.3 of 101: ${r1.length}")
+    assert(r1.forall(t => t._3 === t._2 * 3 + 1), "span_start = 3b+1")
+    assert(r1.forall(t => t._4 === (if (t._2 == 100L) 1L else 3L)),
+      "tail block spans 1 token, others 3")
+    assert(r1.map(_._5).toSeq === (1 to r1.length).toSeq,
+      "sentinels number selected blocks densely")
+  }
+
   test("classWeights: balanced heuristic, quantized floor") {
     // labels: a x 6, b x 3, c x 1 → N=10, K=3
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))

@@ -232,5 +232,30 @@ class EdgeCasesSpec extends SparkSpec {
       10).collect()
     assert(hc.length === 1 && hc(0).getLong(1) === 2L &&
       hc(0).getLong(2) === 2L, "blank docs are exact dups of each other")
+
+    // batch-6 ops on empty/degenerate inputs
+    import graft.operators.{Eval, Sketches}
+    val noVals = Seq.empty[String].toDF("v")
+    assert(Sketches.heavyHitters(noVals, "v", den = 4).count() === 0)
+    assert(Curation.codeSwitchSignals(empty, "doc_id", "text")
+      .count() === 0)
+    assert(Curation.spanCorruptPlan(empty, "doc_id", "text")
+      .count() === 0)
+    // single-doc source: no pairs (half = 0)
+    val oneDoc = Seq((1L, "w w", "s")).toDF("doc_id", "text", "source")
+    assert(Curation.preferencePairs(oneDoc, "doc_id", "text", "source")
+      .count() === 0)
+    assert(Eval.aucExact(Seq.empty[(Long, Boolean)].toDF("s", "y"),
+      "s", col("y")).collect().head.isNullAt(2))
+
+    // event analytics on empty logs
+    val noEv2 = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "ts_us")
+    assert(TimeAgg.rateAnomaly(noEv2, "event_type", "ts_us", 60L, 5)
+      .count() === 0)
+    assert(TimeAgg.funnel(noEv2, "user_id", "ts_us", "event_type",
+      Seq("a", "b", "c"), 1000L).count() === 0)
+    assert(TimeAgg.cohortRetention(noEv2, "user_id", "ts_us", 60L)
+      .count() === 0)
   }
 }

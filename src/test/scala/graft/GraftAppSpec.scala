@@ -206,6 +206,32 @@ class GraftAppSpec extends SparkSpec {
         "SELECT sum(n_docs) FROM v_corpus_health")
         .collect()(0).getLong(0) ===
         spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_doc_code_switch")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents WHERE text IS NOT NULL")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_preference_pairs WHERE high_score < low_score")
+        .collect()(0).getLong(0) === 0L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_doc_span_corrupt WHERE span_len BETWEEN 1 AND 3")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_doc_span_corrupt")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_quality_auc").collect()(0).getLong(0) === 1L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_term_heavy WHERE cnt > 0")
+        .collect()(0).getLong(0) >= 0L)
+      assert(spark.sql("SELECT count(*) FROM v_rate_anomaly")
+        .collect()(0).getLong(0) > 0L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_funnel WHERE stage BETWEEN 1 AND 3")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_funnel").collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_cohort_retention WHERE `offset` = 0 AND n_users > 0")
+        .collect()(0).getLong(0) > 0L)
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 

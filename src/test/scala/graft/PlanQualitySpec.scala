@@ -713,6 +713,55 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: MG candidates broadcast into the exact recount") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.{col, explode, length}
+    val terms = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text")))
+        .as("term"))
+      .filter(length(col("term")) > 0)
+    val r = graft.operators.Sketches.heavyHitters(terms, "term", den = 100)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the candidate set must broadcast into the recount scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"heavyHitters shuffles the stream for the candidate join:\n$plan")
+  }
+
+  test("codeSwitch/spanCorrupt/preferencePairs: no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (r <- Seq(
+      graft.operators.Curation.codeSwitchSignals(docs, "doc_id", "text"),
+      graft.operators.Curation.spanCorruptPlan(docs, "doc_id", "text"),
+      graft.operators.Curation.preferencePairs(docs, "doc_id", "text",
+        "source"))) {
+      val plan = r.queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"plans a global sort:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("event analytics (anomaly/funnel/cohort): keyed shuffles only") {
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    val ev = ev0.withColumn("ts_us",
+      graft.operators.TimeAgg.epochMicros(ev0))
+    for (r <- Seq(
+      graft.operators.TimeAgg.rateAnomaly(ev, "event_type", "ts_us",
+        60L, 30),
+      graft.operators.TimeAgg.funnel(ev, "user_id", "ts_us",
+        "event_type", Seq("view", "click", "purchase"), 86400000000L),
+      graft.operators.TimeAgg.cohortRetention(ev, "user_id", "ts_us",
+        86400L))) {
+      val plan = r.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"plans a cartesian product:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"plans a global sort:\n$plan")
+    }
+  }
+
   test("pmiPairs: no cartesian; text never crosses a shuffle") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val r = graft.operators.Curation.pmiPairs(docs, "doc_id", "text",

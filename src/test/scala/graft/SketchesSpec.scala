@@ -86,4 +86,23 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getAs[Double]("hll_est")
     assert(e1 === e2)
   }
+
+  test("heavyHitters: exact counts above N/den; partition-layout free") {
+    // 100 'hot' + 50 'warm' + 150 singletons → N = 300
+    // den = 4: threshold 75 → only 'hot'; den = 8: 37.5 → hot + warm
+    val vals = (Seq.fill(100)("hot") ++ Seq.fill(50)("warm") ++
+      (1 to 150).map(i => s"cold$i")).toDF("v")
+    val r4 = Sketches.heavyHitters(vals, "v", den = 4)
+      .as[(String, Long)].collect().toMap
+    assert(r4 === Map("hot" -> 100L))
+    val r8 = Sketches.heavyHitters(vals, "v", den = 8)
+      .as[(String, Long)].collect().toMap
+    assert(r8 === Map("hot" -> 100L, "warm" -> 50L))
+    // MG candidates differ per layout; the exact recount must not
+    for (parts <- Seq(1, 3, 17)) {
+      val r = Sketches.heavyHitters(vals.repartition(parts), "v", den = 8)
+        .as[(String, Long)].collect().toMap
+      assert(r === r8, s"layout $parts changed the heavy-hitter set")
+    }
+  }
 }

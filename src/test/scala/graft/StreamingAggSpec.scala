@@ -108,4 +108,45 @@ class StreamingAggSpec extends SparkSpec {
     assert(r(1L) === ((1L, 3L, 2L, 2L, 0L, 120000000L, 1000L, 3333333L)))
     assert(r(2L) === ((2L, 1L, 1L, 1L, 0L, 0L, 25L, 250000L)))
   }
+
+  test("rateAnomaly: densified buckets, hand-computed trailing z") {
+    // per-minute counts: b0=1, b60=3, b120=1, b180=9, b240=GAP(0), b300=1
+    def events(bucketSec: Long, n: Int) =
+      (1 to n).map(i => ("k", bucketSec * 1000000L + i))
+    val ev = (events(0, 1) ++ events(60, 3) ++ events(120, 1) ++
+      events(180, 9) ++ events(300, 1)).toDF("key", "ts_us")
+    val r = TimeAgg.rateAnomaly(ev, "key", "ts_us", bucketSec = 60L,
+      window = 2)
+      .collect().map(x => x.getLong(1) -> Option(x.get(3))).toMap
+    assert(r.size === 6, "gap bucket 240 must be densified")
+    assert(r(0L).isEmpty && r(60L).isEmpty, "partial windows stay null")
+    assert(r(120L) === Some(-100L)) // prior [1,3]: mean 2 sd 1 → -100
+    assert(r(180L) === Some(700L))  // prior [3,1]: (9-2)/1 → 700
+    assert(r(240L) === Some(-125L)) // prior [1,9]: (0-5)/4 → -125
+    assert(r(300L) === Some(-78L))  // prior [9,0]: floor(100·(1-4.5)/4.5)
+  }
+
+  test("funnel: earliest-completion semantics with per-step horizon") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 0L), (2L, "view", 5L),            // click precedes view
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "purchase", 20L),
+      (4L, "purchase", 1L)                            // never viewed
+    ).toDF("user_id", "event_type", "ts_us")
+    val r = TimeAgg.funnel(ev, "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"), horizonMicros = 10L)
+      .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
+    assert(r === Map(1L -> 3, 2L -> 1, 3L -> 2), s"got $r")
+  }
+
+  test("cohortRetention: first-seen cohorts and day offsets") {
+    def at(day: Long, u: Long) = (u, day * 86400000000L + u)
+    val ev = Seq(at(0, 1), at(1, 1), at(3, 1), at(1, 2))
+      .toDF("user_id", "ts_us")
+    val r = TimeAgg.cohortRetention(ev, "user_id", "ts_us",
+      bucketSec = 86400L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r === Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (86400L, 0L, 1L)))
+  }
 }
