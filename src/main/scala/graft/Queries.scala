@@ -5992,6 +5992,198 @@ object Queries {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** Ranked-with-relevance frame shared by q159/q160: exact top-5
+    * neighbors of the q144 quarter-sample, relevant = neighbor label
+    * matches query label.
+    */
+  private def labeledKnn(s: SparkSession, dir: String) = {
+    val emb = t(s, dir, "embeddings")
+    val knn = operators.Similarity.cosineTopK(
+      emb.filter(col("vec_id") % 4 === 0), emb, "vec_id", "embedding",
+      k = 5)
+    val own = emb.select(col("vec_id").as("query_id"),
+      col("label").as("__ql"))
+    val nbr = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("__nl"))
+    knn.join(broadcast(own), Seq("query_id"))
+      .join(broadcast(nbr), Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"),
+        (col("__nl") === col("__ql")).as("rel"))
+  }
+
+  private val KnnRelOracle = """
+      q AS (SELECT vec_id AS query_id, embedding AS qv, label AS own
+            FROM embeddings WHERE vec_id % 4 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+            FROM embeddings),
+      scored AS (
+        SELECT query_id, own, neighbor_id, nl,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM q JOIN c ON query_id <> neighbor_id),
+      rk AS (SELECT query_id, nl = own AS rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+             FROM scored)"""
+
+  /** (q159) Mean reciprocal rank (Eval.mrrAtK scaladoc): label-match
+    * relevance over the exact top-5 of the quarter-sample;
+    * quantized-reciprocal contributions summed as longs.
+    */
+  val q159Mrr = Q(
+    "q159_ret_mrr",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nQ = emb.filter(col("vec_id") % 4 === 0).count()
+      operators.Eval.mrrAtK(labeledKnn(s, dir), k = 5, nQueries = nQ)
+    },
+    Some(s"""
+      WITH $KnnRelOracle,
+      fr AS (SELECT query_id, min(rank) AS f FROM rk
+             WHERE rank <= 5 AND rel GROUP BY query_id),
+      sm AS (SELECT coalesce(sum(1000000 // f), 0) AS s FROM fr),
+      nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+             WHERE vec_id % 4 = 0)
+      SELECT nq.n AS n_queries,
+        CAST(floor(CAST(sm.s AS DOUBLE) / CAST(nq.n AS DOUBLE))
+          AS BIGINT) AS mrr_q
+      FROM sm, nq"""))
+
+  /** (q160) nDCG@5 per query (Eval.ndcgAtK scaladoc): per-position
+    * quantized gains, ideal DCG from the identical expression.
+    */
+  val q160Ndcg = Q(
+    "q160_ret_ndcg",
+    (s, dir) =>
+      operators.Eval.ndcgAtK(labeledKnn(s, dir), k = 5)
+        .orderBy("query_id"),
+    Some(s"""
+      WITH $KnnRelOracle,
+      pq AS (SELECT query_id,
+               CAST(sum(CASE WHEN rel THEN
+                 CAST(floor(1000000.0 / log2(1 + CAST(rank AS DOUBLE)))
+                   AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_q,
+               CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rel
+             FROM rk WHERE rank <= 5 GROUP BY query_id)
+      SELECT query_id, n_rel, dcg_q,
+        CASE WHEN n_rel > 0 THEN
+          CAST(floor(1000000.0 * CAST(dcg_q AS DOUBLE)
+            / CAST(CAST(list_sum(list_transform(
+                range(1, least(n_rel, 5) + 1),
+                i -> CAST(floor(1000000.0 / log2(1 + CAST(i AS DOUBLE)))
+                  AS BIGINT))) AS BIGINT) AS DOUBLE)) AS BIGINT)
+        ELSE 0 END AS ndcg_q
+      FROM pq ORDER BY query_id"""))
+
+  /** (q161) Calibration / ECE (Eval.calibration scaladoc): quality
+    * score deciles vs lang='en', pure-integer expected calibration
+    * error on every bucket row.
+    */
+  val q161Ece = Q(
+    "q161_ml_ece",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Eval.calibration(
+        docs.select(floor(lit(1000000.0) *
+          TextFns.qualityScore(col("text"), Stopwords)).cast("long")
+          .as("s_q"), col("lang")),
+        "s_q", col("lang") === "en")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH d AS (SELECT text, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT lang, text,
+          CAST(len(list_filter(toks,
+            t -> t IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(toks) AS swr,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d),
+      q AS (SELECT CAST(floor(1000000.0 *
+              (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3)) AS BIGINT) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM f),
+      b AS (SELECT least(s // 100000, 9) AS bucket, count(*) AS n,
+              CAST(sum(y) AS BIGINT) AS pos,
+              CAST(sum(s) AS BIGINT) AS conf_sum_q
+            FROM q GROUP BY 1),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(abs(1000000 * pos - conf_sum_q)) AS BIGINT)
+                 AS num
+             FROM b)
+      SELECT b.bucket, b.n, b.pos, b.conf_sum_q,
+        tt.num // tt.nt AS ece_q
+      FROM b, tt ORDER BY b.bucket"""))
+
+  /** (q162) Language-ID classification report (Eval.classReport
+    * scaladoc): stored lang vs marker-heuristic prediction —
+    * per-class counts and quantized precision/recall/F1.
+    */
+  val q162LangReport = Q(
+    "q162_ml_lang_report",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+        .filter(col("pred").isNotNull)
+      operators.Eval.classReport(docs, "lang", "pred")
+        .orderBy("label")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT lang AS truth,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS pred
+             FROM h),
+      cm AS (SELECT truth, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+      bt AS (SELECT truth AS label, CAST(sum(n) AS BIGINT) AS n_truth
+             FROM cm GROUP BY 1),
+      bp AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred
+             FROM cm GROUP BY 1),
+      tp AS (SELECT truth AS label, CAST(n AS BIGINT) AS tp FROM cm
+             WHERE truth = pred),
+      j AS (SELECT coalesce(bt.label, bp.label) AS label,
+              coalesce(n_truth, 0) AS n_truth,
+              coalesce(n_pred, 0) AS n_pred,
+              coalesce(tp, 0) AS tp
+            FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+                 LEFT JOIN tp ON coalesce(bt.label, bp.label) = tp.label)
+      SELECT label, n_truth, n_pred, tp,
+        CASE WHEN n_pred > 0 THEN
+          CAST(floor(1000000.0 * CAST(tp AS DOUBLE)
+            / CAST(n_pred AS DOUBLE)) AS BIGINT) END AS prec_q,
+        CASE WHEN n_truth > 0 THEN
+          CAST(floor(1000000.0 * CAST(tp AS DOUBLE)
+            / CAST(n_truth AS DOUBLE)) AS BIGINT) END AS rec_q,
+        CASE WHEN n_pred > 0 AND n_truth > 0
+             AND (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                  + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)) > 0 THEN
+          CAST(floor(1000000.0 * 2.0
+            * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+            * (CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE))
+            / (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+               + CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)))
+            AS BIGINT) END AS f1_q
+      FROM j ORDER BY label"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -6035,5 +6227,5 @@ object Queries {
     q147MlmMask, q148VocabCoverage, q149Burstiness, q150HealthCard,
     q151HeavyHitters, q152CodeSwitch, q153PreferencePairs,
     q154SpanCorrupt, q155Auc, q156RateAnomaly, q157Funnel,
-    q158CohortRetention)
+    q158CohortRetention, q159Mrr, q160Ndcg, q161Ece, q162LangReport)
 }

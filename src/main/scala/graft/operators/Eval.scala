@@ -28,6 +28,125 @@ object Eval {
     * window over that bounded table (scores are quantized — bounded by
     * the quantization grid, not the corpus), one scalar aggregate.
     */
+  /** Mean reciprocal rank over a ranked frame `(query_id, rank, rel)`
+    * — quantized-reciprocal semantics: each query contributes
+    * `1000000 div firstRelRank` (an exact integer), queries with no
+    * relevant result contribute 0, and the mean is ONE division of
+    * exact longs — bit-reproducible regardless of partition order.
+    * `nQueries` is the evaluation denominator (queries absent from the
+    * frame — retrieval returned nothing — still count).
+    */
+  def mrrAtK(ranked: DataFrame, k: Int, nQueries: Long): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(nQueries > 0, s"nQueries ($nQueries) must be positive")
+    ranked
+      .filter(col("rank") <= k && col("rel"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).as("__fr"))
+      .agg(coalesce(sum(expr("1000000L div CAST(__fr AS BIGINT)")),
+        lit(0L)).as("__sum"))
+      .select(lit(nQueries).as("n_queries"),
+        floor(col("__sum").cast("double") /
+          lit(nQueries).cast("double")).cast("long").as("mrr_q"))
+  }
+
+  /** nDCG@k per query over a ranked frame `(query_id, rank, rel)` with
+    * binary relevance: gain at rank i is ⌊10⁶/log₂(1+i)⌋ — quantized
+    * PER POSITION then summed as longs, so DCG and the ideal DCG
+    * (first `min(nRel, k)` positions) are partition-order-free, and
+    * ndcg_q = ⌊10⁶·dcg/idcg⌋ is one exact-long division. Queries with
+    * no relevant result in the top k emit ndcg_q = 0.
+    *
+    * Plan shape: two hash aggregates over ≤ |queries|·k rows plus a
+    * broadcast of the k-row ideal-gain prefix table.
+    */
+  def ndcgAtK(ranked: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val topk = ranked.filter(col("rank") <= k)
+    val perQ = topk
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rel"),
+        expr("CAST(floor(1000000.0 / log2(1 + CAST(rank AS DOUBLE))) AS BIGINT)"))
+        .otherwise(0L)).as("dcg_q"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"))
+    // the ideal DCG uses the IDENTICAL per-position gain expression
+    // (same engine log2 ulps), folded over sequence(1, min(nRel, k))
+    perQ
+      .withColumn("__idcg", when(col("n_rel") > 0, expr(
+        s"aggregate(sequence(1, CAST(least(n_rel, ${k}L) AS INT)), 0L, " +
+          "(acc, i) -> acc + CAST(floor(1000000.0 " +
+          "/ log2(1 + CAST(i AS DOUBLE))) AS BIGINT))")))
+      .select(col("query_id"), col("n_rel"), col("dcg_q"),
+        when(col("n_rel") > 0,
+          floor(lit(1000000.0) * col("dcg_q").cast("double") /
+            col("__idcg").cast("double")).cast("long"))
+          .otherwise(lit(0L)).as("ndcg_q"))
+  }
+
+  /** Calibration table + expected calibration error for a quantized
+    * [0,1] confidence score (⌊10⁶·p⌋ longs) against a binary label:
+    * ten fixed-width confidence deciles, each with count, positives,
+    * and confidence mass; ECE reduces to PURE INTEGER arithmetic —
+    *
+    *   ece_q = ⌊ Σ_b |10⁶·pos_b − Σconf_b| / N ⌋
+    *
+    * (since Σ (n_b/N)·|acc_b − conf_b| has the common denominator
+    * 10⁶·N), so the metric is engine-exact with no float anywhere.
+    * The per-bucket rows carry the same integers for the reliability
+    * diagram.
+    */
+  def calibration(df: DataFrame, scoreQCol: String,
+                  labelCol: Column): DataFrame = {
+    val base = df.filter(col(scoreQCol).isNotNull)
+      .select(col(scoreQCol).cast("long").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .withColumn("bucket",
+        least(expr("__s div 100000L"), lit(9L)))
+    val buckets = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(col("__s")).as("conf_sum_q"))
+    val tot = buckets.agg(sum(col("n")).as("__nt"),
+      sum(abs(lit(1000000L) * col("pos") - col("conf_sum_q")))
+        .as("__num"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("pos"), col("conf_sum_q"),
+        expr("__num div __nt").as("ece_q"))
+  }
+
+  /** Per-class classification report: confusion counts plus quantized
+    * precision/recall/F1 from exact longs. `truthCol`/`predCol` are
+    * label strings; one hash aggregate over the (truth, pred) grid
+    * (classes², tiny), margins derived from it.
+    */
+  def classReport(df: DataFrame, truthCol: String,
+                  predCol: String): DataFrame = {
+    val cm = df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val byTruth = cm.groupBy(col("truth")).agg(sum(col("n")).as("n_truth"))
+    val byPred = cm.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+    val tp = cm.filter(col("truth") === col("pred"))
+      .select(col("truth").as("label"), col("n").as("tp"))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / col("n_truth").cast("double")
+    byTruth.select(col("truth").as("label"), col("n_truth"))
+      .join(byPred.select(col("pred").as("label"), col("n_pred")), Seq("label"), "outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec_q", when(col("n_pred") > 0,
+        floor(lit(1000000.0) * col("tp").cast("double") /
+          col("n_pred").cast("double")).cast("long")))
+      .withColumn("rec_q", when(col("n_truth") > 0,
+        floor(lit(1000000.0) * col("tp").cast("double") /
+          col("n_truth").cast("double")).cast("long")))
+      .withColumn("f1_q", when(col("n_pred") > 0 && col("n_truth") > 0 &&
+        (p + r) > 0,
+        floor(lit(1000000.0) * lit(2.0) * p * r / (p + r)).cast("long")))
+  }
+
   def aucExact(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
     val perScore = df
       .filter(col(scoreCol).isNotNull)

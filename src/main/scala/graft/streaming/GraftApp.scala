@@ -503,6 +503,17 @@ object GraftApp {
           docs.select(explode(TextFns.tokens(col("text"))).as("term"))
             .filter(length(col("term")) > 0), "term", den = 100)
           .createOrReplaceTempView("v_term_heavy")
+      // quality-score calibration deciles + ECE (q161) and the langId
+      // classification report vs stored labels (q162)
+      graft.operators.Eval.calibration(
+        docs.select(floor(lit(1000000.0) * TextFns.qualityScore(
+          col("text"), stop)).cast("long").as("s_q"), col("lang")),
+        "s_q", col("lang") === "en")
+        .createOrReplaceTempView("v_quality_ece")
+      graft.operators.Eval.classReport(
+        docs.select(col("lang"), TextFns.langId(col("text")).as("pred"))
+          .filter(col("pred").isNotNull), "lang", "pred")
+        .createOrReplaceTempView("v_lang_report")
     }
     read("embeddings").foreach { emb =>
       emb.createOrReplaceTempView("embeddings")
@@ -511,6 +522,20 @@ object GraftApp {
         .createOrReplaceTempView("v_class_weights")
       graft.operators.Similarity.dimStats(emb, "embedding")
         .createOrReplaceTempView("v_dim_stats")
+      // label-match retrieval quality over the quarter-sample audit
+      // (q160's ranked frame) — lazy; the exact knn runs on query
+      val knn = graft.operators.Similarity.cosineTopK(
+        emb.filter(col("vec_id") % 4 === 0), emb, "vec_id", "embedding",
+        k = 5)
+      val ranked = knn
+        .join(broadcast(emb.select(col("vec_id").as("query_id"),
+          col("label").as("__ql"))), Seq("query_id"))
+        .join(broadcast(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl"))), Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"),
+          (col("__nl") === col("__ql")).as("rel"))
+      graft.operators.Eval.ndcgAtK(ranked, k = 5)
+        .createOrReplaceTempView("v_knn_ndcg")
     }
     read("events").foreach { ev0 =>
       // expose exact epoch-micros; schema-adaptive (the generator has

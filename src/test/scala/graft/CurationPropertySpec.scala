@@ -176,4 +176,96 @@ class CurationPropertySpec extends SparkSpec {
       bounded && undirected(r, flip = false) == undirected(r2, flip = true)
     })
   }
+
+  test("heavyHitters equals the brute-force threshold set on random streams") {
+    val streamGen = Gen.chooseNum(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))
+    val gen = for {
+      vals <- streamGen
+      den <- Gen.chooseNum(2, 6)
+      parts <- Gen.chooseNum(1, 5)
+    } yield (vals, den, parts)
+    check(Prop.forAllNoShrink(gen) { case (vals, den, parts) =>
+      val df = vals.toDF("v").repartition(parts)
+      val got = graft.operators.Sketches.heavyHitters(df, "v", den)
+        .as[(String, Long)].collect().toMap
+      val exact = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * den > vals.length }.toMap
+      got == exact
+    })
+  }
+
+  test("exactRanks emits a 1..n permutation per group on random data") {
+    val gen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("g1", "g2"), Gen.chooseNum(0L, 50L))))
+    check(Prop.forAllNoShrink(gen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("id", "g", "v")
+      val r = graft.operators.Quantiles
+        .exactRanks(df, "g", "v", bucketWidth = 7L, tieCols = Seq("id"))
+        .select("g", "rank", "grp_n").as[(String, Long, Long)].collect()
+      r.groupBy(_._1).forall { case (_, rs) =>
+        val n = rs.head._3
+        rs.forall(_._3 == n) && rs.map(_._2).sorted.toSeq == (1L to n)
+      }
+    })
+  }
+
+  test("winsorize keeps every row, clips into [lo, hi], lo <= hi") {
+    val gen = Gen.chooseNum(1, 50).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 200L)))
+    check(Prop.forAllNoShrink(gen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "g", "v")
+      val r = graft.operators.Quantiles
+        .winsorize(df, "g", "v", bucketWidth = 16L, lo = (1, 10),
+          hi = (9, 10))
+        .select("lo", "hi", "v_clipped").as[(Long, Long, Long)].collect()
+      r.length == vals.length &&
+        r.forall(t => t._1 <= t._2 && t._3 >= t._1 && t._3 <= t._2)
+    })
+  }
+
+  test("aucExact matches brute-force pairwise AUC on random inputs") {
+    val gen = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 10L), Gen.oneOf(true, false))))
+    check(Prop.forAllNoShrink(gen) { rows =>
+      val df = rows.toDF("s", "y")
+      val got = graft.operators.Eval.aucExact(df, "s",
+        org.apache.spark.sql.functions.col("y")).collect().head
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) got.isNullAt(2)
+      else {
+        val wins = (for (p <- pos; n <- neg) yield
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val expect = math.floor(1e6 * wins / (pos.size * neg.size)).toLong
+        // brute force sums halves in doubles; the engine is integer-exact.
+        // 2·wins is integral, so both compute the same rational exactly.
+        got.getLong(2) == expect
+      }
+    })
+  }
+
+  test("mlmMaskPlan/spanCorruptPlan: positions in range, disjoint spans") {
+    check(Prop.forAllNoShrink(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val nTok = docs.map { case (id, t) =>
+        id -> t.split("\\s+").count(_.nonEmpty) }.toMap
+      val mask = Curation.mlmMaskPlan(df, "doc_id", "text")
+        .select("doc_id", "pos").as[(Long, Long)].collect()
+      val spans = Curation.spanCorruptPlan(df, "doc_id", "text")
+        .select("doc_id", "span_start", "span_len")
+        .as[(Long, Long, Long)].collect()
+      val maskOk = mask.forall { case (id, p) => p >= 1 && p <= nTok(id) }
+      val spanOk = spans.forall { case (id, st, ln) =>
+        st >= 1 && ln >= 1 && st + ln - 1 <= nTok(id) }
+      val disjoint = spans.groupBy(_._1).forall { case (_, ss) =>
+        val ivs = ss.map(s => (s._2, s._2 + s._3 - 1)).sortBy(_._1)
+        ivs.zip(ivs.drop(1)).forall { case ((_, e1), (s2, _)) => s2 > e1 }
+      }
+      maskOk && spanOk && disjoint
+    })
+  }
 }

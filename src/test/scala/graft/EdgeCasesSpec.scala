@@ -257,5 +257,17 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("a", "b", "c"), 1000L).count() === 0)
     assert(TimeAgg.cohortRetention(noEv2, "user_id", "ts_us", 60L)
       .count() === 0)
+
+    // eval metrics on empty inputs
+    val noRanked = Seq.empty[(Long, Int, Boolean)]
+      .toDF("query_id", "rank", "rel")
+    assert(Eval.mrrAtK(noRanked, 5, nQueries = 3)
+      .select("mrr_q").as[Long].head() === 0L,
+      "no relevant results anywhere -> MRR 0, not an error")
+    assert(Eval.ndcgAtK(noRanked, 5).count() === 0)
+    assert(Eval.calibration(Seq.empty[(Long, Boolean)].toDF("s", "y"),
+      "s", col("y")).count() === 0)
+    assert(Eval.classReport(Seq.empty[(String, String)]
+      .toDF("t", "p"), "t", "p").count() === 0)
   }
 }

@@ -31,6 +31,64 @@ class EvalSpec extends SparkSpec {
     assert(auc(Seq((5L, false))) === ((0L, 1L, None)))
   }
 
+  test("mrrAtK: quantized reciprocals, absent queries count in the mean") {
+    val ranked = Seq(
+      (1L, 1, true), (1L, 2, true),   // first rel rank 1 → 1000000
+      (2L, 1, false), (2L, 3, true),  // first rel rank 3 → 333333
+      (3L, 1, false), (3L, 2, false), // no rel → 0
+      (4L, 7, true)                   // rel beyond k → 0
+    ).toDF("query_id", "rank", "rel")
+    val r = Eval.mrrAtK(ranked, k = 5, nQueries = 5) // query 5 absent
+      .as[(Long, Long)].head()
+    assert(r === ((5L, (1000000L + 333333L) / 5L)))
+  }
+
+  test("ndcgAtK: perfect ranking scores 1e6; hand-computed partial") {
+    def g(i: Int) = math.floor(1e6 / (math.log(1 + i) / math.log(2))).toLong
+    val ranked = Seq(
+      (1L, 1, true), (1L, 2, true), (1L, 3, false),  // ideal for n_rel=2
+      (2L, 1, false), (2L, 2, false), (2L, 3, true), // 1 rel at rank 3
+      (3L, 1, false)                                  // no rel
+    ).toDF("query_id", "rank", "rel")
+    val r = Eval.ndcgAtK(ranked, k = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(r(1L) === ((2L, 1000000L)))
+    val expect2 =
+      math.floor(1e6 * g(3).toDouble / g(1).toDouble).toLong
+    assert(r(2L) === ((1L, expect2)))
+    assert(r(3L) === ((0L, 0L)))
+  }
+
+  test("calibration: pure-integer ECE on a hand 2-bucket table") {
+    // bucket 0: scores 50000 ×2, labels (T, F) → pos 1, conf 100000
+    //   |1e6·1 − 100000| = 900000
+    // bucket 9: score 950000, label T → |1e6 − 950000| = 50000
+    // ece = (900000 + 50000) div 3 = 316666
+    val df = Seq((50000L, true), (50000L, false), (950000L, true))
+      .toDF("s_q", "y")
+    val r = Eval.calibration(df, "s_q", col("y"))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.map(_._1).toSeq === Seq(0L, 9L))
+    assert(r(0) === ((0L, 2L, 1L, 100000L, 316666L)))
+    assert(r(1) === ((9L, 1L, 1L, 950000L, 316666L)))
+  }
+
+  test("classReport: confusion margins and quantized P/R/F1") {
+    // truth a×3 (pred a,a,b), truth b×1 (pred a)
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"))
+      .toDF("truth", "pred")
+    val r = Eval.classReport(df, "truth", "pred")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          Option(x.get(4)), Option(x.get(5))))).toMap
+    // a: n_truth 3, n_pred 3, tp 2 → prec 666666, rec 666666
+    assert(r("a") === ((3L, 3L, 2L, Some(666666L), Some(666666L))))
+    // b: n_truth 1, n_pred 1, tp 0 → prec 0, rec 0 (f1 null: p+r = 0)
+    assert(r("b") === ((1L, 1L, 0L, Some(0L), Some(0L))))
+  }
+
   test("aucExact: null scores excluded; partition-order free") {
     val df = Seq((Some(3L), true), (None, true), (Some(1L), false))
       .toDF("s", "y")

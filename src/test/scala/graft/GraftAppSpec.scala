@@ -232,6 +232,21 @@ class GraftAppSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM v_cohort_retention WHERE `offset` = 0 AND n_users > 0")
         .collect()(0).getLong(0) > 0L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_quality_ece WHERE pos <= n")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_quality_ece")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_lang_report WHERE tp <= n_truth")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_lang_report")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_knn_ndcg WHERE ndcg_q BETWEEN 0 AND 1000000")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM v_knn_ndcg")
+          .collect()(0).getLong(0))
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 
