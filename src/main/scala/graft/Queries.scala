@@ -6184,6 +6184,37 @@ object Queries {
             AS BIGINT) END AS f1_q
       FROM j ORDER BY label"""))
 
+  /** (q163) Markov transition matrix (TimeAgg.markovTransitions
+    * scaladoc): per-user consecutive event-type transitions, counts +
+    * ⌊10⁶·p⌋ row-normalized probabilities.
+    */
+  val q163Markov = Q(
+    "q163_a_markov_transitions",
+    (s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+      operators.TimeAgg.markovTransitions(ev, "user_id", "ts_us",
+        "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+               event_id
+             FROM events),
+      tr AS (SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS to_type
+             FROM e),
+      c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+            WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM c
+             GROUP BY 1)
+      SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n, rt.row_n,
+        CAST(floor(1000000.0 * CAST(c.n AS DOUBLE)
+          / CAST(rt.row_n AS DOUBLE)) AS BIGINT) AS p_q
+      FROM c JOIN rt USING (from_type)
+      ORDER BY from_type, to_type"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -6227,5 +6258,6 @@ object Queries {
     q147MlmMask, q148VocabCoverage, q149Burstiness, q150HealthCard,
     q151HeavyHitters, q152CodeSwitch, q153PreferencePairs,
     q154SpanCorrupt, q155Auc, q156RateAnomaly, q157Funnel,
-    q158CohortRetention, q159Mrr, q160Ndcg, q161Ece, q162LangReport)
+    q158CohortRetention, q159Mrr, q160Ndcg, q161Ece, q162LangReport,
+    q163Markov)
 }

@@ -272,6 +272,34 @@ object TimeAgg {
           .otherwise(1).as("stage"))
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: counts of consecutive (from → to) event types (ordered
+    * by time, ties by `tieCol` — a total order, so the transition set
+    * is engine-exact) plus the row-normalized transition probability
+    * ⌊10⁶·c/row_total⌋ — the session-modeling / next-event-prediction
+    * summary of an event log.
+    *
+    * Plan shape: one per-entity window pass (lag over the entity's own
+    * events) and two hash aggregates over the types² grid.
+    */
+  def markovTransitions(events: DataFrame, entityCol: String,
+                        epochMicrosCol: String, typeCol: String,
+                        tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(epochMicrosCol).asc, col(tieCol).asc)
+    val tr = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = tr.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_n"))
+    tr.join(broadcast(rowTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_n"),
+        floor(lit(1000000.0) * col("n").cast("double") /
+          col("row_n").cast("double")).cast("long").as("p_q"))
+  }
+
   /** Cohort retention matrix: users grouped by first-seen bucket
     * (the cohort), counted in every later bucket they appear in —
     * (cohort, offset) → distinct users, the standard retention

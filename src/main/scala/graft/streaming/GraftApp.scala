@@ -565,6 +565,9 @@ object GraftApp {
         .createOrReplaceTempView("v_funnel")
       TimeAgg.cohortRetention(ev, "user_id", "ts_us", bucketSec = 86400L)
         .createOrReplaceTempView("v_cohort_retention")
+      TimeAgg.markovTransitions(ev, "user_id", "ts_us", "event_type",
+        "event_id")
+        .createOrReplaceTempView("v_markov_transitions")
       // per-user feature rows (q143) — one window pass + one aggregate
       TimeAgg.userActivityFeatures(ev, "user_id", "ts_us", "event_type",
         "value", gapMicros = 1800000000L, tieBreak = Seq("event_id"))

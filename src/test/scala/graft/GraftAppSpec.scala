@@ -247,6 +247,12 @@ class GraftAppSpec extends SparkSpec {
         .collect()(0).getLong(0) ===
         spark.sql("SELECT count(*) FROM v_knn_ndcg")
           .collect()(0).getLong(0))
+      // every transition row's probability mass is a valid share and
+      // each from-row's counts sum to its row total
+      assert(spark.sql(
+        "SELECT count(*) FROM (SELECT from_type, sum(n) s, min(row_n) r " +
+          "FROM v_markov_transitions GROUP BY from_type) WHERE s <> r")
+        .collect()(0).getLong(0) === 0L)
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 

@@ -139,6 +139,28 @@ class StreamingAggSpec extends SparkSpec {
     assert(r === Map(1L -> 3, 2L -> 1, 3L -> 2), s"got $r")
   }
 
+  test("markovTransitions: per-user consecutive pairs, row-normalized") {
+    // u1: a→b→a; u2: a→b. transitions: a→b ×2, b→a ×1
+    val ev = Seq(
+      (1L, "a", 1L, 10L), (1L, "b", 2L, 11L), (1L, "a", 3L, 12L),
+      (2L, "a", 1L, 20L), (2L, "b", 2L, 21L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val r = TimeAgg.markovTransitions(ev, "user_id", "ts_us",
+      "event_type", "event_id")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(r === Map(
+      ("a", "b") -> ((2L, 2L, 1000000L)),
+      ("b", "a") -> ((1L, 1L, 1000000L))))
+    // ties on ts break by event_id: same-ts events order deterministically
+    val tied = Seq((1L, "x", 5L, 1L), (1L, "y", 5L, 2L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val rt = TimeAgg.markovTransitions(tied, "user_id", "ts_us",
+      "event_type", "event_id")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rt.map(t => (t._1, t._2)).toSeq === Seq(("x", "y")))
+  }
+
   test("cohortRetention: first-seen cohorts and day offsets") {
     def at(day: Long, u: Long) = (u, day * 86400000000L + u)
     val ev = Seq(at(0, 1), at(1, 1), at(3, 1), at(1, 2))
