@@ -6215,6 +6215,289 @@ object Queries {
       FROM c JOIN rt USING (from_type)
       ORDER BY from_type, to_type"""))
 
+  /** (q164) Pareto frontier (Robust.paretoFrontier scaladoc): per-user
+    * skyline over (n_events, value_cents) maximizing both — the
+    * multi-objective selection rule, computed with the distributive
+    * local-sweep shape (never a corpus-wide single-task sort).
+    */
+  val q164Pareto = Q(
+    "q164_s_pareto_front",
+    (s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(dec(col("value"))) * 100).cast("long").as("value_cents"))
+      val front = operators.Robust.paretoFrontier(perUser, "n_events",
+        "value_cents")
+      perUser.join(front, Seq("n_events", "value_cents"), "left_semi")
+        .select(col("user_id"), col("n_events"), col("value_cents"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS value_cents
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events, value_cents FROM u a
+      WHERE NOT EXISTS (SELECT 1 FROM u b
+        WHERE b.n_events >= a.n_events AND b.value_cents >= a.value_cents
+          AND (b.n_events > a.n_events OR b.value_cents > a.value_cents))
+      ORDER BY user_id"""))
+
+  /** (q165) Top session paths (TimeAgg.sessionPaths scaladoc): first-5
+    * event types per q81-rule session, aggregated to
+    * (path, n_sessions, n_users).
+    */
+  val q165SessionPaths = Q(
+    "q165_a_session_paths",
+    (s, dir) =>
+      operators.TimeAgg.sessionPaths(ev(s, dir), "user_id", "ts_us",
+        "event_type", "event_id", gapMicros = 30000000000L, k = 5)
+        .orderBy("path"),
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, event_type, $EvUs AS us
+             FROM events),
+      m AS (SELECT user_id, event_id, event_type, us,
+              CASE WHEN us IS NULL THEN
+                     CASE WHEN lag(us) OVER w IS NOT NULL THEN 1 ELSE 0 END
+                   WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 30000000000 THEN 1
+                   ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS LAST, event_id)),
+      sx AS (SELECT user_id, event_id, event_type, us,
+               SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY us NULLS LAST, event_id ROWS UNBOUNDED PRECEDING)
+                 AS session_idx
+             FROM m),
+      p AS (SELECT user_id, session_idx,
+              array_to_string(list_slice(
+                list(event_type ORDER BY us NULLS LAST, event_id), 1, 5),
+                '>') AS path
+            FROM sx GROUP BY user_id, session_idx)
+      SELECT path, COUNT(*) AS n_sessions,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM p GROUP BY path ORDER BY path"""))
+
+  /** (q166) Token-distribution entropy (Curation.tokenEntropy
+    * scaladoc): per-doc Shannon entropy with per-term quantization —
+    * the sum is exact longs, partition-order-free.
+    */
+  val q166TokenEntropy = Q(
+    "q166_tx_token_entropy",
+    (s, dir) =>
+      operators.Curation.tokenEntropy(t(s, dir, "documents"), "doc_id",
+        "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t
+             WHERE len(term) > 0 GROUP BY 1, 2),
+      p AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              COUNT(*) AS n_types,
+              CAST(SUM(CAST(floor(1000000.0 * c * ln(CAST(c AS DOUBLE)))
+                AS BIGINT)) AS BIGINT) AS s
+            FROM tf GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(p.n_tokens, 0) AS n_tokens,
+        coalesce(p.n_types, 0) AS n_types,
+        CASE WHEN p.n_tokens IS NOT NULL THEN
+          CAST(floor(1000000.0 * ln(CAST(p.n_tokens AS DOUBLE))) AS BIGINT)
+            - (p.s // p.n_tokens) END AS entropy_q
+      FROM documents d LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q167) Cohen's κ (Eval.cohenKappa scaladoc): chance-corrected
+    * agreement between the heuristic language identifier and the
+    * labeled language — the label-audit companion to q162's per-class
+    * report, exact longs up to one division.
+    */
+  val q167CohenKappa = Q(
+    "q167_ml_cohen_kappa",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+        .filter(col("pred").isNotNull)
+      operators.Eval.cohenKappa(d, "lang", "pred")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT lang AS a,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS b
+             FROM h),
+      cm AS (SELECT a, b, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+      ma AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM cm GROUP BY 1),
+      mb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM cm GROUP BY 1),
+      sp AS (SELECT coalesce(CAST(SUM(ma.na * mb.nb) AS BIGINT), 0) AS s
+             FROM ma JOIN mb ON ma.a = mb.b),
+      ag AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                 AS agree
+             FROM cm)
+      SELECT n_rows, agree, s AS marg_prod,
+        CASE WHEN n_rows * n_rows <> s THEN
+          CAST(floor(1000000.0
+            * CAST(n_rows * agree - s AS DOUBLE)
+            / CAST(n_rows * n_rows - s AS DOUBLE)) AS BIGINT)
+        END AS kappa_q
+      FROM ag, sp"""))
+
+  /** (q168) N-gram novelty (Dedup.ngramNovelty scaladoc): fraction of
+    * each doc's distinct 3-gram shingles first seen in that doc —
+    * pairwise-free marginal-contribution dedup scoring.
+    */
+  val q168NgramNovelty = Q(
+    "q168_dd_ngram_novelty",
+    (s, dir) =>
+      operators.Dedup.ngramNovelty(t(s, dir, "documents"), "doc_id",
+        "text", n = 3)
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+            FROM d, LATERAL unnest(range(1, len(toks) - 1)) t(i)),
+      f AS (SELECT g, MIN(doc_id) AS first_id FROM g GROUP BY g),
+      p AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+              CAST(SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams
+            FROM g JOIN f USING (g) GROUP BY 1)
+      SELECT d0.doc_id,
+        coalesce(p.n_grams, 0) AS n_grams,
+        coalesce(p.novel_grams, 0) AS novel_grams,
+        CASE WHEN p.n_grams > 0 THEN
+          CAST(floor(1000000.0 * p.novel_grams / p.n_grams) AS BIGINT)
+        END AS novelty_q
+      FROM documents d0 LEFT JOIN p USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q169) Two-proportion z-test (Eval.twoProportionZ scaladoc): A/B
+    * read-out — variant = user_id parity, conversion = any purchase
+    * event; exact counts, one pinned float sequence for z.
+    */
+  val q169AbZTest = Q(
+    "q169_ml_ab_ztest",
+    (s, dir) => {
+      val conv = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          > 0).as("converted"))
+        .withColumn("variant", col("user_id") % 2)
+      operators.Eval.twoProportionZ(conv, "variant", "converted")
+    },
+    Some("""
+      WITH u AS (SELECT user_id, user_id % 2 AS variant,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+            AS converted
+        FROM events GROUP BY user_id),
+      a AS (SELECT
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN variant = 0 AND converted THEN 1 ELSE 0 END)
+            AS BIGINT) AS c0,
+          CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN variant = 1 AND converted THEN 1 ELSE 0 END)
+            AS BIGINT) AS c1
+        FROM u),
+      b AS (SELECT n0, c0, n1, c1,
+              CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+              CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+              CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS ph
+            FROM a),
+      c AS (SELECT *, sqrt(ph * (1.0 - ph)
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+              AS se
+            FROM b),
+      z AS (SELECT n0, c0, n1, c1,
+              CASE WHEN n0 > 0 AND n1 > 0 AND se > 0 THEN
+                CAST(floor(1000000.0 * (p1 - p0) / se) AS BIGINT)
+              END AS z_q
+            FROM c)
+      SELECT n0, c0, n1, c1, z_q,
+        CASE WHEN z_q IS NOT NULL THEN abs(z_q) >= 1960000 END AS significant
+      FROM z"""))
+
+  /** (q170) MAD robust outliers (Robust.madOutliers scaladoc): per
+    * event type, lower-median/MAD fences over ⌊10⁶·value⌋ — exact
+    * rank selection via the Quantiles bucket-count machinery, no
+    * per-group single-task sort.
+    */
+  val q170MadOutliers = Q(
+    "q170_a_mad_outliers",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("value_q",
+          floor(col("value") * lit(1000000.0)).cast("long"))
+      operators.Robust.madOutliers(e, "event_type", "value_q",
+        bucketWidth = 1000000L, k = 3)
+        .select(col("event_type"), col("n"), col("med_q"), col("mad_q"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH v AS (SELECT event_type,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+             FROM events WHERE value IS NOT NULL),
+      r AS (SELECT event_type, vq,
+              row_number() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+      med AS (SELECT event_type, vq AS med_q FROM r WHERE rn = (n + 1) // 2),
+      d AS (SELECT v.event_type, v.vq, abs(v.vq - med.med_q) AS dev
+            FROM v JOIN med USING (event_type)),
+      r2 AS (SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+             FROM d),
+      mad AS (SELECT event_type, dev AS mad_q FROM r2 WHERE rn = (n + 1) // 2)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(med.med_q) AS med_q, MIN(mad.mad_q) AS mad_q,
+        CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_q THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
+  /** (q171) Blocked Jaro–Winkler linkage (Similarity.blockedLinkage +
+    * graft.plans.JaroWinklerSim scaladoc): entity resolution over the
+    * distinct part-name dictionary, blocked on the head noun —
+    * codegen'd JW verified value-identical (exact doubles) to DuckDB's
+    * jaro_winkler_similarity on every candidate pair.
+    */
+  val q171JwLinkage = Q(
+    "q171_dd_jw_linkage",
+    (s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+      operators.Similarity.blockedLinkage(names, "name", "name",
+        n => element_at(split(n, " "), -1), simQMin = 600000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH p AS (SELECT DISTINCT p_name AS name FROM part),
+      b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM p)
+      SELECT a.name AS id_a, c.name AS id_b,
+        CAST(floor(1000000.0 * jaro_winkler_similarity(a.name, c.name))
+          AS BIGINT) AS sim_q
+      FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      WHERE floor(1000000.0 * jaro_winkler_similarity(a.name, c.name))
+        >= 600000
+      ORDER BY id_a, id_b"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -6259,5 +6542,7 @@ object Queries {
     q151HeavyHitters, q152CodeSwitch, q153PreferencePairs,
     q154SpanCorrupt, q155Auc, q156RateAnomaly, q157Funnel,
     q158CohortRetention, q159Mrr, q160Ndcg, q161Ece, q162LangReport,
-    q163Markov)
+    q163Markov, q164Pareto, q165SessionPaths, q166TokenEntropy,
+    q167CohenKappa, q168NgramNovelty, q169AbZTest, q170MadOutliers,
+    q171JwLinkage)
 }

@@ -23,6 +23,17 @@ object TextFns {
       graft.plans.TokenCount(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** Jaro–Winkler similarity — native codegen'd
+    * ([[graft.plans.JaroWinklerSim]]): textbook Winkler variant
+    * (boost threshold 0.7, prefix cap 4), value-identical to DuckDB's
+    * `jaro_winkler_similarity`.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.JaroWinklerSim(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** BPE-ish subword count estimate: word-piece regex split (letters /
     * digits / other runs), the standard pre-tokenizer shape.
     */

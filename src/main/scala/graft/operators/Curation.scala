@@ -1368,4 +1368,38 @@ object Curation {
           (col("__k") * col("n_c")).cast("double")).cast("long")
           .as("weight_q"))
   }
+
+  /** Per-doc Shannon entropy of the token distribution — the
+    * information-density quality signal (near-zero entropy = keyword
+    * stuffing / repeated-token spam, even when length and stopword
+    * filters pass).
+    *
+    * H = ln n − (Σ_t c_t·ln c_t)/n is quantized PER TERM before the
+    * sum: each type contributes ⌊10⁶·c_t·ln c_t⌋ (one ln + one
+    * multiply + one floor, engine-identical), so the corpus-wide sum
+    * is exact long arithmetic — no float accumulation whose value
+    * depends on partition order. The reported
+    *   entropy_q = ⌊10⁶·ln n⌋ − (S div n)
+    * is therefore bit-reproducible and within 2·10⁻⁶ nats of exact H.
+    *
+    * Plan shape: one explode with map-side-combined (doc, term)
+    * counting, one per-doc fold, one left join back for empty docs.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    val perDoc = tf.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(lit(1000000.0) * col("c").cast("double") *
+          log(col("c").cast("double"))).cast("long")).as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (floor(lit(1000000.0) * log(col("n_tokens").cast("double")))
+          .cast("long") - expr("__s div n_tokens")).as("entropy_q"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_types"))
+  }
 }

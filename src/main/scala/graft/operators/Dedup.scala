@@ -1022,4 +1022,36 @@ object Dedup {
         col("__sel.h").as("fp"))
       .distinct()
   }
+
+  /** Per-doc n-gram novelty against all earlier docs (id order): the
+    * fraction of a doc's distinct shingles whose FIRST corpus
+    * occurrence is this doc — the marginal-contribution score that
+    * ranks near-duplicates low without ever forming pairs (a dedup
+    * signal that stays linear when the duplicate clusters are huge,
+    * where pairwise verification is quadratic in cluster size).
+    *
+    * Plan shape: one shingle explode, one min-id hash aggregate per
+    * distinct gram (vocabulary-bounded shuffle), one equi-join back,
+    * one per-doc fold. novelty_q = ⌊10⁶·novel/n_grams⌋ — one exact-long
+    * division.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n > 0, s"n ($n) must be positive")
+    val grams = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("g"))
+    val firstDoc = grams.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+    val perDoc = grams.join(firstDoc, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty_q",
+        floor(lit(1000000.0) * col("novel_grams").cast("double") /
+          col("n_grams").cast("double")).cast("long"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_grams", "novel_grams"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -168,4 +168,69 @@ object Eval {
             (lit(2.0) * col("p").cast("double") * col("n").cast("double")))
             .cast("long")).as("auc_q"))
   }
+
+  /** Cohen's κ between two categorical raters — chance-corrected
+    * agreement for label-quality audits (heuristic labeler vs. gold
+    * labels, or two annotation pipelines): κ = (p_o − p_e)/(1 − p_e).
+    *
+    * Everything up to ONE double division is exact long arithmetic:
+    * with N rows, A agreements, and S = Σ_c rowMarg_c·colMarg_c,
+    *   κ = (N·A − S)/(N² − S)
+    * so ⌊10⁶·κ⌋ is engine-identical. κ is null when p_e = 1 (both
+    * raters constant — agreement is all chance).
+    *
+    * Plan shape: one hash aggregate to the |A-labels|×|B-labels|
+    * confusion matrix; the marginal products are computed over that
+    * bounded table, never the corpus.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val margA = cm.groupBy(col("a")).agg(sum(col("n")).as("na"))
+    val margB = cm.groupBy(col("b")).agg(sum(col("n")).as("nb"))
+    val s = margA.join(margB, col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("s"))
+    cm.agg(sum(col("n")).as("n_rows"),
+        sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+      .crossJoin(broadcast(s))
+      .select(col("n_rows"), col("agree"), col("s").as("marg_prod"),
+        when(col("n_rows") * col("n_rows") =!= col("s"),
+          floor(lit(1000000.0) *
+            (col("n_rows") * col("agree") - col("s")).cast("double") /
+            (col("n_rows") * col("n_rows") - col("s")).cast("double"))
+            .cast("long")).as("kappa_q"))
+  }
+
+  /** Pooled two-proportion z-test over a 0/1 variant assignment — the
+    * A/B significance read-out over an event-derived conversion flag.
+    *
+    * All counts are exact longs; the z statistic is a fixed sequence
+    * of double ops from those longs (two rate divisions, the pooled
+    * rate, one sqrt — IEEE-exact and identically ordered in the
+    * oracle), quantized to ⌊10⁶·z⌋. `significant` derives from the
+    * QUANTIZED value (|z_q| ≥ 1 960 000), so the flag can never
+    * disagree with the printed statistic across engines.
+    *
+    * Plan shape: one corpus aggregate to four longs; everything else
+    * is scalar.
+    */
+  def twoProportionZ(df: DataFrame, variantCol: String,
+                     convCol: String): DataFrame = {
+    val agg = df.agg(
+      sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col(variantCol) === 0 && col(convCol), 1L).otherwise(0L)).as("c0"),
+      sum(when(col(variantCol) === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(variantCol) === 1 && col(convCol), 1L).otherwise(0L)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val ph = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val se = sqrt(ph * (lit(1.0) - ph) *
+      (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+    agg.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        when(col("n0") > 0 && col("n1") > 0 && se > 0,
+          floor(lit(1000000.0) * (p1 - p0) / se).cast("long")).as("z_q"))
+      .withColumn("significant",
+        when(col("z_q").isNotNull, abs(col("z_q")) >= 1960000L))
+  }
 }

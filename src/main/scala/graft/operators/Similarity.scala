@@ -881,4 +881,39 @@ object Similarity {
         max(col("__x").cast("double")).as("max_x"))
       .select((col("__d") + 1).cast("int").as("dim"), col("n"),
         col("sum_q"), col("min_x"), col("max_x"))
+
+  /** Blocked record linkage: candidate pairs share a blocking key
+    * (`blockOf` — e.g. a name's leading tokens), verified by
+    * codegen'd Jaro–Winkler ([[graft.plans.JaroWinklerSim]]) at
+    * threshold `simQMin` on the quantized ⌊10⁶·sim⌋ scale. The
+    * entity-resolution primitive for name-like columns, where
+    * Levenshtein over-penalizes transpositions.
+    *
+    * Scale shape: the self-join is an equi-join on the block key —
+    * shuffle-partitioned, never a cross product — and candidate count
+    * is Σ_b |b|² over block sizes, so the blocking key chooses the
+    * cost: tighten it (more leading tokens, or phonetic+length
+    * compound) before loosening the threshold. The verify expression
+    * runs inside the join's WholeStageCodegen span (no UDF boundary).
+    * A corpus-scale skewed block (one giant key) is the salting case —
+    * same remedy as any skewed equi-join.
+    *
+    * @return (id_a, id_b, sim_q) with id_a < id_b, one row per
+    *         accepted pair
+    */
+  def blockedLinkage(df: DataFrame, idCol: String, nameCol: String,
+                     blockOf: Column => Column, simQMin: Long): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("__na"),
+      blockOf(col(nameCol)).as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("__nb"),
+      blockOf(col(nameCol)).as("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_q",
+        floor(lit(1000000.0) *
+          graft.functions.TextFns.jaroWinkler(col("__na"), col("__nb")))
+          .cast("long"))
+      .filter(col("sim_q") >= simQMin)
+      .select(col("id_a"), col("id_b"), col("sim_q"))
+  }
 }

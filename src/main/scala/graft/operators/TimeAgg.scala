@@ -169,6 +169,42 @@ object TimeAgg {
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Top session paths: the first `k` event types of each
+    * [[sessionize]] session joined into a `'>'`-separated path string,
+    * aggregated to (path, n_sessions, n_users) — the navigation-flow
+    * profile ("what do sessions DO") layered on the same gap rule as
+    * the session table, so the two reports never disagree on session
+    * boundaries.
+    *
+    * Determinism: the per-session order is (ts nulls-last, tieCol) —
+    * the sessionize order — and the path is built by sorting the
+    * collected (rank, type) pairs, not by collect order, so the string
+    * is partition-order-free.
+    *
+    * Plan shape: one per-key window pass (shared shape with
+    * sessionize), one hash aggregate per session truncated at k
+    * events, one hash aggregate over paths. Path cardinality is
+    * bounded by |event types|^k, not the corpus.
+    */
+  def sessionPaths(events: DataFrame, keyCol: String, epochMicrosCol: String,
+                   typeCol: String, tieCol: String, gapMicros: Long,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val s = sessionize(events, Seq(keyCol), epochMicrosCol, gapMicros,
+      Seq(tieCol))
+    val w = Window.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy(col(epochMicrosCol).asc_nulls_last, col(tieCol).asc)
+    s.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+        x => x.getField("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col(keyCol)).as("n_users"))
+  }
+
   def incrementalSince(df: DataFrame, epochMicrosCol: String, horizonMicros: Long): DataFrame = {
     val wm = df.agg((max(col(epochMicrosCol)) - lit(horizonMicros)).as("__wm"))
     df.crossJoin(broadcast(wm))

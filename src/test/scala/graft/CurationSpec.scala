@@ -859,4 +859,47 @@ class CurationSpec extends SparkSpec {
     assert(r("b") === ((3L, math.floor(1e6 * 10.0 / 9.0).toLong)))
     assert(r("c") === ((1L, math.floor(1e6 * 10.0 / 3.0).toLong)))
   }
+
+  // ---- tokenEntropy ----------------------------------------------------
+
+  test("tokenEntropy: uniform, degenerate, and empty docs") {
+    val docs = Seq(
+      (1L, "a b c d"),      // uniform over 4 types → H = ln 4
+      (2L, "x x x x x"),    // one type → H = 0
+      (3L, ""),             // empty → zero tokens, null entropy
+      (4L, "a a b"))        // H = ln3 − (2·ln2)/3
+      .toDF("doc_id", "text")
+    val r = Curation.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), Option(x.get(3))))).toMap
+    // per-term quantization: q_t = floor(1e6·c·ln c); H_q = floor(1e6·ln n) − S div n
+    assert(r(1L) === ((4L, 4L,
+      Some(math.floor(1e6 * math.log(4.0)).toLong))))
+    assert(r(2L) === ((5L, 1L,
+      Some(math.floor(1e6 * math.log(5.0)).toLong -
+        math.floor(1e6 * 5.0 * math.log(5.0)).toLong / 5))))
+    assert(r(3L) === ((0L, 0L, None)))
+    val s4 = math.floor(1e6 * 2.0 * math.log(2.0)).toLong
+    assert(r(4L) === ((3L, 2L,
+      Some(math.floor(1e6 * math.log(3.0)).toLong - s4 / 3))))
+  }
+
+  test("tokenEntropy: degenerate doc scores strictly below diverse doc") {
+    val docs = Seq((1L, "w w w w w w w w"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val r = Curation.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) === 0L)
+    assert(r(1L) < r(2L))
+  }
+
+  test("tokenEntropy: partition-order free (quantized-long sum)") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1L to i).map(j => s"t${j % 7}").mkString(" ")))
+    val a = Curation.tokenEntropy(docs.toDF("doc_id", "text").coalesce(1),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = Curation.tokenEntropy(docs.toDF("doc_id", "text").repartition(13),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

@@ -518,4 +518,28 @@ class DedupSpec extends SparkSpec {
     val byDocMd5 = md5.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     assert(byDocMd5(1L).intersect(byDocMd5(2L)).nonEmpty)
   }
+
+  test("ngramNovelty: first doc is fully novel, exact dup fully stale") {
+    val d = Seq(
+      (1L, "a b c d e"),        // 3 distinct 3-grams, all first here
+      (2L, "a b c d e"),        // exact dup → 0 novel
+      (3L, "a b c x y"),        // shares "a b c" only → 2 of 3 novel
+      (4L, "q r"))              // too short for 3-grams
+      .toDF("doc_id", "text")
+    val r = Dedup.ngramNovelty(d, "doc_id", "text", 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), Option(x.get(3))))).toMap
+    assert(r(1L) === ((3L, 3L, Some(1000000L))))
+    assert(r(2L) === ((3L, 0L, Some(0L))))
+    assert(r(3L) === ((3L, 2L, Some(666666L))))
+    assert(r(4L) === ((0L, 0L, None)))
+  }
+
+  test("ngramNovelty: repeated gram inside one doc counts once (distinct shingles)") {
+    // "a b a b a b" has 3-grams {a b a, b a b} (each appearing twice)
+    val d = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = Dedup.ngramNovelty(d, "doc_id", "text", 3).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 1000000L)))
+  }
 }

@@ -101,4 +101,58 @@ class EvalSpec extends SparkSpec {
       .collect().head.get(2)
     assert(a === b)
   }
+
+  test("cohenKappa: hand-computed 2x2 case") {
+    // confusion: (y,y)=20, (y,n)=5, (n,y)=10, (n,n)=15 → N=50, A=35
+    // margA: y=25, n=25; margB: y=30, n=20 → S = 25·30 + 25·20 = 1250
+    // κ = (50·35 − 1250)/(2500 − 1250) = 500/1250 = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((50L, 35L, 1250L, 400000L)))
+  }
+
+  test("cohenKappa: perfect agreement is 1, constant raters are null") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"))
+    val p = Eval.cohenKappa(perfect.toDF("a", "b"), "a", "b").collect().head
+    assert(p.getLong(3) === 1000000L)
+    val constant = Seq(("a", "a"), ("a", "a"))
+    val c = Eval.cohenKappa(constant.toDF("a", "b"), "a", "b").collect().head
+    assert(c.isNullAt(3)) // p_e = 1
+  }
+
+  test("cohenKappa: disjoint label sets give zero marginal product") {
+    // raters never use the same label: S = 0, agree = 0 → κ = 0
+    val r = Eval.cohenKappa(Seq(("x", "y"), ("x", "z")).toDF("a", "b"),
+      "a", "b").collect().head
+    assert((r.getLong(2), r.getLong(3)) === ((0L, 0L)))
+  }
+
+  test("twoProportionZ: hand-computed z and significance flag") {
+    // n0=100 c0=10, n1=100 c1=20 → p̂=0.15,
+    // se = sqrt(.15·.85·(0.02)) = sqrt(0.00255)
+    // z = 0.1/0.050497...= 1.980295... → z_q = 1980295, significant
+    val rows = (1L to 200L).map { i =>
+      val v = i % 2
+      val conv = if (v == 0) i <= 20 else i <= 40 // 10 evens ≤20, 20 odds ≤40
+      (v, conv)
+    }
+    val r = Eval.twoProportionZ(rows.toDF("variant", "converted"),
+      "variant", "converted").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((100L, 10L, 100L, 20L)))
+    val expectedZ = math.floor(1000000.0 * (0.2 - 0.1) /
+      math.sqrt(0.15 * 0.85 * (1.0 / 100 + 1.0 / 100))).toLong
+    assert(r.getLong(4) === expectedZ)
+    assert(r.getBoolean(5))
+  }
+
+  test("twoProportionZ: zero-rate pooled proportion yields null z") {
+    val rows = Seq((0L, false), (1L, false), (0L, false), (1L, false))
+    val r = Eval.twoProportionZ(rows.toDF("variant", "converted"),
+      "variant", "converted").collect().head
+    assert(r.isNullAt(4)) // se = 0
+    assert(r.isNullAt(5))
+  }
 }
