@@ -6498,6 +6498,271 @@ object Queries {
         >= 600000
       ORDER BY id_a, id_b"""))
 
+  /** (q172) Chunked interval-overlap join (IntervalJoin.overlapJoin
+    * scaladoc): errors within the 2-hour window opened by each purchase
+    * of the same user — an equi-join on (user, time-chunk) with the
+    * ownership filter replacing the dedup pass; the oracle is the
+    * naive range-predicate join.
+    */
+  val q172IntervalOverlap = Q(
+    "q172_j_interval_overlap",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("p_s"),
+          (col("ts_us") + lit(7200000000L)).as("p_e"))
+      val r = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts_us").as("r_s"),
+          (col("ts_us") + lit(3600000000L)).as("r_e"))
+      operators.IntervalJoin.overlapJoin(p, r, Seq("user_id"),
+        "p_s", "p_e", "r_s", "r_e", chunk = 3600000000L)
+        .select("purchase_id", "error_id", "user_id")
+        .orderBy("purchase_id", "error_id")
+    },
+    Some(s"""
+      WITH p AS (SELECT event_id, user_id, $EvUs AS s,
+               $EvUs + 7200000000 AS e
+             FROM events WHERE event_type = 'purchase'),
+           r AS (SELECT event_id, user_id, $EvUs AS s,
+               $EvUs + 3600000000 AS e
+             FROM events WHERE event_type = 'error')
+      SELECT p.event_id AS purchase_id, r.event_id AS error_id,
+        p.user_id AS user_id
+      FROM p JOIN r ON p.user_id = r.user_id AND p.s < r.e AND r.s < p.e
+      ORDER BY purchase_id, error_id"""))
+
+  /** (q173) Prefix vocabulary-growth profile (Segments.vocabGrowth
+    * scaladoc): distinct tokens in the first 10/25/50/100 tokens —
+    * lexical diversity at fixed k, scan-stage higher-order arrays.
+    */
+  val q173VocabGrowth = Q(
+    "q173_tx_vocab_growth",
+    (s, dir) =>
+      operators.Segments.vocabGrowth(t(s, dir, "documents"), "doc_id",
+        "text").orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM documents)
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        CAST(len(list_distinct(t[1:10])) AS BIGINT) AS d10,
+        CAST(len(list_distinct(t[1:25])) AS BIGINT) AS d25,
+        CAST(len(list_distinct(t[1:50])) AS BIGINT) AS d50,
+        CAST(len(list_distinct(t[1:100])) AS BIGINT) AS d100
+      FROM d ORDER BY doc_id"""))
+
+  /** (q174) Longest identical-token run (Segments.maxTokenRun
+    * scaladoc): degenerate-loop detector as ONE aggregate() scan over
+    * the token array; the oracle is the explode + gaps-and-islands
+    * formulation the operator deliberately avoids.
+    */
+  val q174MaxTokenRun = Q(
+    "q174_tx_max_token_run",
+    (s, dir) =>
+      operators.Segments.maxTokenRun(t(s, dir, "documents"), "doc_id",
+        "text").orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM documents),
+      pos AS (SELECT doc_id, CAST(p.i AS BIGINT) AS pos, t[p.i] AS tok
+              FROM d, LATERAL unnest(range(1, len(t) + 1)) p(i)),
+      runs AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS run_len
+               FROM (SELECT doc_id, tok, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id, tok
+                         ORDER BY pos) AS grp
+                     FROM pos)
+               GROUP BY doc_id, tok, grp),
+      best AS (SELECT doc_id, tok, run_len,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY run_len DESC, tok ASC) AS rn
+               FROM runs)
+      SELECT dd.doc_id, coalesce(b.run_len, 0) AS run_len,
+        coalesce(b.tok, '') AS run_token
+      FROM (SELECT doc_id FROM documents) dd
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q175) Per-source two-sample KS drift (Robust.ksDrift scaladoc):
+    * max ECDF gap of each source vs the rest of the corpus, exact
+    * integer numerator, one quantizing division.
+    */
+  val q175KsDrift = Q(
+    "q175_a_ks_drift",
+    (s, dir) =>
+      operators.Robust.ksDrift(t(s, dir, "documents"), "source",
+        "n_chars").orderBy("source"),
+    Some("""
+      WITH c AS (SELECT source AS g, n_chars AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY g, v),
+      gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM c GROUP BY g),
+      vs AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c GROUP BY v),
+      n AS (SELECT CAST(sum(cv) AS BIGINT) AS n FROM vs),
+      grid AS (SELECT gs.g, gs.ng, vs.v, vs.cv, coalesce(c.c, 0) AS c
+               FROM gs CROSS JOIN vs
+                 LEFT JOIN c ON c.g = gs.g AND c.v = vs.v),
+      cum AS (SELECT g, ng, v,
+                CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                  AS cumg,
+                CAST(sum(cv) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                  AS cumv
+              FROM grid),
+      sc AS (SELECT cum.g, cum.ng, n.n - cum.ng AS nr,
+               abs(CAST(cumg AS DECIMAL(38,0)) * (n.n - cum.ng)
+                 - CAST(cumv - cumg AS DECIMAL(38,0)) * cum.ng) AS num
+             FROM cum CROSS JOIN n)
+      SELECT g AS source, MIN(ng) AS n_group,
+        CAST(MIN(nr) AS BIGINT) AS n_rest,
+        CASE WHEN MIN(nr) = 0 THEN 0
+          ELSE CAST(floor(1000000.0 * CAST(MAX(num) AS DOUBLE)
+            / (CAST(MIN(ng) AS DOUBLE) * CAST(MIN(nr) AS DOUBLE)))
+            AS BIGINT) END AS ks_q
+      FROM sc GROUP BY g ORDER BY source"""))
+
+  /** (q176) Margin-based cross-corpus pair mining (Similarity
+    * .marginPairs scaladoc): best even-label ↔ odd-label embedding
+    * pairs by the CCMatrix ratio margin, k = 4, margin ≥ 1.0; the
+    * oracle replays the rank-ordered k-term sums and the single
+    * margin division in the same fp order.
+    */
+  val q176MarginPairs = Q(
+    "q176_ann_margin_pairs",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginPairs(
+        emb.filter(col("label") % 2 === 0),
+        emb.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginQ = 1000000L)
+        .orderBy("a_id")
+    },
+    Some("""
+      WITH a AS (SELECT vec_id, embedding AS v FROM embeddings
+                 WHERE label % 2 = 0),
+      b AS (SELECT vec_id, embedding AS v FROM embeddings
+            WHERE label % 2 = 1),
+      ab AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_sum(list_transform(range(1, len(a.v) + 1),
+            i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+               i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+               i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM a CROSS JOIN b),
+      rka AS (SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
+                ORDER BY cos DESC, b_id ASC) AS rn FROM ab),
+      rkb AS (SELECT b_id, a_id, cos, row_number() OVER (PARTITION BY b_id
+                ORDER BY cos DESC, a_id ASC) AS rn FROM ab),
+      sa AS (SELECT a_id,
+          coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 3 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 4 THEN cos END), 0) AS s
+        FROM rka WHERE rn <= 4 GROUP BY a_id),
+      sb AS (SELECT b_id,
+          coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 3 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 4 THEN cos END), 0) AS s
+        FROM rkb WHERE rn <= 4 GROUP BY b_id),
+      cand AS (SELECT rka.a_id, rka.b_id, rka.cos, sa.s AS sa, sb.s AS sb
+        FROM rka JOIN sa USING (a_id) JOIN sb USING (b_id)
+        WHERE rka.rn <= 4),
+      m AS (SELECT a_id, b_id,
+          CAST(floor(1000000.0 * (cos / (sa / 8.0 + sb / 8.0)))
+            AS BIGINT) AS margin_q
+        FROM cand WHERE (sa / 8.0 + sb / 8.0) > 0 AND cos IS NOT NULL),
+      best AS (SELECT a_id, b_id, margin_q,
+          row_number() OVER (PARTITION BY a_id
+            ORDER BY margin_q DESC, b_id ASC) AS rn FROM m)
+      SELECT a_id, b_id, margin_q FROM best
+      WHERE rn = 1 AND margin_q >= 1000000
+      ORDER BY a_id"""))
+
+  /** (q177) Rank-biased overlap by depth (Eval.rboByDepth scaladoc):
+    * RBO terms (p = 1/2, k = 8) between the per-source length ranking
+    * and token-count ranking — exact 2^(−d) weights, no pow().
+    */
+  val q177Rbo = Q(
+    "q177_ret_rbo",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = d.select(col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      val wa = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val wb = Window.partitionBy(col("source"))
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      val a = d.select(col("source").as("query_id"),
+        col("doc_id").as("item"), row_number().over(wa).as("rank"))
+      val b = tk.select(col("source").as("query_id"),
+        col("doc_id").as("item"), row_number().over(wb).as("rank"))
+      operators.Eval.rboByDepth(a, b, k = 8)
+        .orderBy("query_id", "depth")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, source,
+          CAST(len(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      ra AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank FROM documents),
+      rb AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+               ORDER BY n_tok DESC, doc_id) AS rank FROM tk),
+      e AS (SELECT ra.source, greatest(ra.rank, rb.rank) AS entry
+            FROM ra JOIN rb
+              ON ra.source = rb.source AND ra.doc_id = rb.doc_id
+            WHERE ra.rank <= 8 AND rb.rank <= 8),
+      dep AS (SELECT source, CAST(r.i AS BIGINT) AS depth
+              FROM (SELECT DISTINCT source FROM documents) d,
+                LATERAL unnest(range(1, 9)) r(i)),
+      ov AS (SELECT dep.source, dep.depth,
+               CAST((SELECT count(*) FROM e WHERE e.source = dep.source
+                 AND e.entry <= dep.depth) AS BIGINT) AS overlap
+             FROM dep)
+      SELECT source AS query_id, depth, overlap,
+        CAST(floor(1000000000.0 * CAST(overlap AS DOUBLE)
+          / CAST(depth AS DOUBLE)
+          / CAST((1::BIGINT << depth) AS DOUBLE)) AS BIGINT) AS rbo_term_q
+      FROM ov ORDER BY query_id, depth"""))
+
+  /** (q178) Leave-one-source-out influence (Robust.looInfluence
+    * scaladoc): corpus mean n_chars without each source, from one
+    * aggregate plus algebra — the N-ablations-for-one-scan signal.
+    */
+  val q178LooInfluence = Q(
+    "q178_s_loo_influence",
+    (s, dir) =>
+      operators.Robust.looInfluence(t(s, dir, "documents"), "source",
+        "n_chars").orderBy("source"),
+    Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_group,
+               CAST(sum(n_chars) AS BIGINT) AS sg
+             FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(n_group) AS BIGINT) AS n,
+              CAST(sum(sg) AS BIGINT) AS s FROM g)
+      SELECT g.source, g.n_group,
+        CAST(floor(1000000.0 * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+          AS BIGINT) AS mean_all_q,
+        CASE WHEN t.n = g.n_group THEN NULL
+          ELSE CAST(floor(1000000.0 * CAST(t.s - g.sg AS DOUBLE)
+            / CAST(t.n - g.n_group AS DOUBLE)) AS BIGINT)
+          END AS mean_without_q,
+        CASE WHEN t.n = g.n_group THEN NULL
+          ELSE CAST(floor(1000000.0 * CAST(t.s - g.sg AS DOUBLE)
+              / CAST(t.n - g.n_group AS DOUBLE)) AS BIGINT)
+            - CAST(floor(1000000.0 * CAST(t.s AS DOUBLE)
+              / CAST(t.n AS DOUBLE)) AS BIGINT)
+          END AS delta_q
+      FROM g CROSS JOIN t ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -6544,5 +6809,7 @@ object Queries {
     q158CohortRetention, q159Mrr, q160Ndcg, q161Ece, q162LangReport,
     q163Markov, q164Pareto, q165SessionPaths, q166TokenEntropy,
     q167CohenKappa, q168NgramNovelty, q169AbZTest, q170MadOutliers,
-    q171JwLinkage)
+    q171JwLinkage,
+    q172IntervalOverlap, q173VocabGrowth, q174MaxTokenRun, q175KsDrift,
+    q176MarginPairs, q177Rbo, q178LooInfluence)
 }

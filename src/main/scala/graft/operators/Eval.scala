@@ -233,4 +233,57 @@ object Eval {
       .withColumn("significant",
         when(col("z_q").isNotNull, abs(col("z_q")) >= 1960000L))
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two top-k
+    * rankings per query, reported PER DEPTH: at each depth d ≤ k, the
+    * prefix overlap |A₁..d ∩ B₁..d| and that depth's RBO term
+    *
+    *   term(d) = (1−p)·p^(d−1) · overlap(d)/d     with p = 1/2
+    *
+    * so Σ_d term(d) is the (truncated) RBO. Per-depth rows instead of
+    * the scalar sum keep every fp op order-free: overlap/d is one
+    * exact-integer division, and the weight (1−p)p^(d−1) = 2^(−d) is
+    * computed as 1.0/(1<<d) — an EXACT power of two, not a `pow()`
+    * call whose libm rounding could differ between engines. p = 1/2
+    * is fixed for exactly that reason.
+    *
+    * An item contributes to the overlap from depth max(rank_A, rank_B)
+    * on — so the overlap curve is the cumulative count of intersection
+    * items by that entry depth. Plan shape: one equi-join of the two
+    * (query, item) rank frames, a bounded per-query depth explode
+    * (k rows), one cumulative window whose partitions are k rows —
+    * nothing scales with the corpus, only with queries·k.
+    *
+    * Inputs: `a`, `b` with (query_id, rank, item); ranks 1-based,
+    * ties already broken. Rows with rank > k are ignored.
+    */
+  def rboByDepth(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 62, s"k ($k) must be in [1, 62]")
+    val ar = a.filter(col("rank") <= k)
+      .select(col("query_id"), col("item"), col("rank").as("__ra"))
+    val br = b.filter(col("rank") <= k)
+      .select(col("query_id"), col("item"), col("rank").as("__rb"))
+    val entry = ar.join(br, Seq("query_id", "item"))
+      .select(col("query_id"),
+        greatest(col("__ra"), col("__rb")).cast("long").as("__entry"))
+      .groupBy(col("query_id"), col("__entry"))
+      .agg(count(lit(1)).as("__c"))
+    val depths = a.select(col("query_id")).union(b.select(col("query_id")))
+      .distinct()
+      .withColumn("depth", explode(sequence(lit(1L), lit(k.toLong))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("depth"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    depths.join(entry,
+        depths("query_id") === entry("query_id") &&
+          col("depth") === col("__entry"), "left")
+      .select(depths("query_id"), col("depth"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("overlap", sum(col("__c")).over(w))
+      .withColumn("rbo_term_q",
+        floor(lit(1000000000.0) * col("overlap").cast("double") /
+          col("depth").cast("double") /
+          expr("shiftleft(1L, CAST(depth AS INT))").cast("double"))
+          .cast("long"))
+      .select(col("query_id"), col("depth"), col("overlap"), col("rbo_term_q"))
+  }
 }

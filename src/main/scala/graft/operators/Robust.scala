@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -104,5 +104,104 @@ object Robust {
         first(col("mad_q")).as("mad_q"),
         sum(when(col("__dev") > lit(k.toLong) * col("mad_q"), 1L)
           .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Per-group two-sample Kolmogorov–Smirnov drift: for each group g,
+    * the KS statistic D = max_v |ECDF_g(v) − ECDF_rest(v)| between the
+    * group's distribution of `valueCol` and the REST of the corpus —
+    * the standard nonparametric "did this source/shard drift?" check,
+    * sensitive to shape changes that mean/z-score monitors (q141) miss.
+    *
+    * Exactness: D's numerator is computed in integers —
+    * max |cum_g·N_rest − cum_rest·N_g| over observed values — and
+    * quantized as ⌊10⁶·num/(N_g·N_rest)⌋ with ONE double division, so
+    * the output is engine-identical. Groups with an empty complement
+    * (only one group present) report ks_q = 0.
+    *
+    * Plan shape: one hash aggregate to per-(group, value) counts —
+    * the only pass over the raw data — then all work happens on the
+    * bounded (|groups| × |distinct values|) grid: a broadcast-able
+    * values×groups frame, two cumulative windows partitioned BY GROUP
+    * (each partition is |distinct values| rows, never corpus rows),
+    * one final hash aggregate. At 100 TB the metric is a quantized
+    * score, so |distinct values| is bounded by the quantization grid,
+    * not the corpus.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.select(col(groupCol),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+    // bounded grids: one row per group / per distinct value
+    val groups = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ng"))
+    val values = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val total = values.agg(sum(col("__cv")).as("__n"))
+    // every (group, value) grid point, with the group's count at that
+    // value (0 where absent) — the ECDFs must step at EVERY observed
+    // value, not only the group's own
+    val grid = groups.crossJoin(broadcast(values))
+      .join(counts, Seq(groupCol, "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("__cumg", sum(col("__c")).over(wg))
+      .withColumn("__cumv",
+        sum(col("__cv")).over(wg)) // global cumulative at v (same per group)
+      .crossJoin(broadcast(total))
+      .withColumn("__nr", col("__n") - col("__ng"))
+      .withColumn("__cumr", col("__cumv") - col("__cumg"))
+      // decimal(38,0) products: cum·N terms reach ~1e26 on a 100 TB
+      // corpus — far past Long.MaxValue (9.2e18). 38 digits hold any
+      // count product up to 1e19·1e19.
+      .withColumn("__num",
+        abs(col("__cumg").cast("decimal(38,0)") * col("__nr") -
+          col("__cumr").cast("decimal(38,0)") * col("__ng")))
+    cum.groupBy(col(groupCol))
+      .agg(first(col("__ng")).as("n_group"),
+        first(col("__nr")).as("n_rest"),
+        max(col("__num")).as("__maxnum"))
+      .select(col(groupCol), col("n_group"), col("n_rest"),
+        when(col("n_rest") === 0L, lit(0L))
+          .otherwise(floor(lit(1000000.0) * col("__maxnum").cast("double") /
+            (col("n_group").cast("double") * col("n_rest").cast("double")))
+            .cast("long"))
+          .as("ks_q"))
+  }
+
+  /** Leave-one-group-out influence on a corpus mean — the cheapest
+    * data-ablation signal: for each group g (source, shard, day),
+    * the corpus mean of `valueCol` WITHOUT g, and the delta the
+    * group's removal causes. One hash aggregate over the data plus
+    * algebra on the per-group sums: mean₋g = (S − S_g)/(N − N_g) —
+    * no per-group re-scan, no N× recompute, which is what makes
+    * source ablation tractable when "retrain without source i" is a
+    * 100 TB question asked 20 times.
+    *
+    * Sums are exact longs over the integer metric; the two quantized
+    * outputs each take one double division: ⌊10⁶·mean₋g⌋ and
+    * `delta_q` = ⌊10⁶·mean₋g⌋ − ⌊10⁶·mean⌋ (the difference of the two
+    * quantized means; negative ⇒ removing the group LOWERS the
+    * remaining mean ⇒ the group was pulling quality up). Groups
+    * covering the whole corpus report nulls (no complement to
+    * measure).
+    */
+  def looInfluence(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val perGroup = df.select(col(groupCol),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"), sum(col("__v")).as("__sg"))
+    val totals = perGroup.agg(sum(col("n_group")).as("__n"),
+      sum(col("__sg")).as("__s"))
+    val meanQ = (s: Column, n: Column) =>
+      floor(lit(1000000.0) * s.cast("double") / n.cast("double")).cast("long")
+    perGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_group"),
+        meanQ(col("__s"), col("__n")).as("mean_all_q"),
+        when(col("__n") === col("n_group"), lit(null).cast("long"))
+          .otherwise(meanQ(col("__s") - col("__sg"),
+            col("__n") - col("n_group"))).as("mean_without_q"))
+      .withColumn("delta_q", col("mean_without_q") - col("mean_all_q"))
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Token-sequence profile operators that look INSIDE the token stream
+  * (order matters), complementing the bag-of-words signals in
+  * [[Curation]]: prefix vocabulary growth (lexical diversity without
+  * the length confound) and maximal consecutive-token runs (the
+  * cheapest detector for degenerate generated text, which loops one
+  * token — distinct from Gopher's top-fraction, which a long doc can
+  * pass while still containing a pathological local loop).
+  *
+  * Both are pure scan-stage projections built from higher-order array
+  * functions — zero shuffles, zero explodes, whole-stage codegen —
+  * so at 100 TB they ride the document scan for free.
+  */
+object Segments {
+
+  private def toks(textCol: String): Column =
+    filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+
+  /** Prefix vocabulary-growth profile: for each prefix length k in
+    * `ks`, the number of DISTINCT tokens among the first k tokens
+    * (`d{k}` columns), plus the full token and distinct-token counts.
+    * Comparing d_k across documents at FIXED k removes the length
+    * confound that makes raw type/token ratios incomparable — the
+    * standard lexical-diversity correction.
+    *
+    * All-integer output; `slice` beyond the array end truncates, so
+    * short documents report their true prefix diversity.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  ks: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks ($ks) must be positive")
+    val base = docs.select(col(idCol), toks(textCol).as("__t"))
+    val withKs = ks.foldLeft(base) { (df, k) =>
+      df.withColumn(s"d$k",
+        size(array_distinct(slice(col("__t"), 1, k))).cast("long"))
+    }
+    withKs.select(
+      col(idCol) +:
+        size(col("__t")).cast("long").as("n_tok") +:
+        size(array_distinct(col("__t"))).cast("long").as("n_distinct") +:
+        ks.map(k => col(s"d$k")): _*)
+  }
+
+  /** Longest run of identical consecutive tokens per document: the
+    * run's length and its token (ties broken by lexicographically
+    * smallest token, so the answer is total-order deterministic).
+    * Zero-token documents report `(run_len = 0, run_token = '')`.
+    *
+    * One `aggregate()` left-to-right scan over the token array per row
+    * — state is (previous token, current run, best run, best token) —
+    * instead of the explode → per-doc window → gaps-and-islands
+    * formulation, which shuffles every token instance and sorts it
+    * again inside the window. Same answer, none of the movement.
+    */
+  def maxTokenRun(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      aggregate(
+        toks(textCol),
+        struct(lit("").as("prev"), lit(0L).as("cur"),
+          lit(0L).as("best"), lit("").as("btok")),
+        (acc, t) => {
+          val cur = when(t === acc("prev") && acc("cur") > 0,
+            acc("cur") + 1L).otherwise(lit(1L))
+          val better = cur > acc("best") ||
+            (cur === acc("best") && t < acc("btok")) || acc("best") === 0L
+          struct(t.as("prev"), cur.as("cur"),
+            when(better, cur).otherwise(acc("best")).as("best"),
+            when(better, t).otherwise(acc("btok")).as("btok"))
+        },
+        acc => struct(acc("best"), acc("btok"))
+      ).as("__r"))
+      .select(col(idCol), col("__r.best").as("run_len"),
+        col("__r.btok").as("run_token"))
+}

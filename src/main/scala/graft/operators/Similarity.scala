@@ -916,4 +916,82 @@ object Similarity {
       .filter(col("sim_q") >= simQMin)
       .select(col("id_a"), col("id_b"), col("sim_q"))
   }
+
+  /** Margin-based cross-corpus pair mining (the CCMatrix/LASER bitext
+    * rule, applied corpus-to-corpus): for each item x of side A, its
+    * best candidate y in side B by the RATIO margin
+    *
+    *   margin(x,y) = cos(x,y) / (avgK(x→B)/2 + avgK(y→A)/2)
+    *
+    * — raw cosine normalized by both endpoints' local similarity
+    * density, which kills hub vectors (high cosine to everything)
+    * that a plain threshold would pair promiscuously.
+    *
+    * Exactness: cos is the shared q28 contract; each avgK is the sum
+    * of the k neighbor cosines added IN RANK ORDER (explicit k-term
+    * left-to-right chain, not an unordered SUM) divided by 2k, and the
+    * final margin is one further division — every fp op has a fixed
+    * operand order, so ⌊10⁶·margin⌋ is engine-identical. Pairs whose
+    * normalizer is 0 (all-zero neighborhoods) are dropped.
+    *
+    * Plan shape: two broadcast-query brute scans (A→B, B→A) through
+    * the salted [[topKPerQuery]] — at retrieval scale swap those for
+    * [[ivfTopK]]; the margin algebra only ever touches the bounded
+    * (|A|·k) candidate frame. Output: best pair per A item with
+    * `margin_q >= minMarginQ`, ranked deterministically
+    * (margin desc, b_id asc).
+    */
+  def marginPairs(sideA: DataFrame, sideB: DataFrame, idCol: String,
+                  vecCol: String, k: Int, minMarginQ: Long): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    // rank-ordered k-sum per query: float-exact only if every engine
+    // adds in the same order, hence the explicit element chain
+    def kSum(knn: DataFrame): DataFrame = {
+      val ordered = knn.groupBy(col("query_id"))
+        .agg(array_sort(collect_list(struct(col("rank"), col("cos"))))
+          .as("__byrank"))
+      // get() (0-based) returns null past the end — unlike element_at,
+      // which throws under ANSI mode when a query has < k neighbors
+      val chain = (1 to k).map(i =>
+        coalesce(get(col("__byrank"), lit(i - 1)).getField("cos"), lit(0.0)))
+        .reduceLeft(_ + _)
+      ordered.select(col("query_id"), chain.as("__ksum"))
+    }
+    val abKnn = crossTopK(sideA, sideB, idCol, vecCol, k)
+    val baKnn = crossTopK(sideB, sideA, idCol, vecCol, k)
+    val aDen = kSum(abKnn).withColumnRenamed("query_id", "a_id")
+      .withColumnRenamed("__ksum", "__sa")
+    val bDen = kSum(baKnn).withColumnRenamed("query_id", "b_id")
+      .withColumnRenamed("__ksum", "__sb")
+    val scored = abKnn
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("cos"))
+      .join(broadcast(aDen), Seq("a_id"))
+      .join(broadcast(bDen), Seq("b_id"))
+      .withColumn("__den",
+        col("__sa") / lit(2.0 * k) + col("__sb") / lit(2.0 * k))
+      .filter(col("__den") > 0.0 && col("cos").isNotNull)
+      .withColumn("margin_q",
+        floor(lit(1000000.0) * (col("cos") / col("__den"))).cast("long"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_q").desc, col("b_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("margin_q") >= minMarginQ)
+      .select(col("a_id"), col("b_id"), col("margin_q"))
+  }
+
+  /** Brute-force top-k of each `queries` row against a DISJOINT corpus
+    * (no self-id exclusion — sides are different corpora). Queries
+    * broadcast, corpus scanned once; rank stage is the salted
+    * [[topKPerQuery]].
+    */
+  private def crossTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
 }

@@ -155,4 +155,43 @@ class EvalSpec extends SparkSpec {
     assert(r.isNullAt(4)) // se = 0
     assert(r.isNullAt(5))
   }
+
+  // ------------------------------------------------------------- rboByDepth
+
+  private def rbo(a: Seq[(String, Int, Long)], b: Seq[(String, Int, Long)],
+                  k: Int): Seq[(String, Long, Long, Long)] =
+    Eval.rboByDepth(a.toDF("query_id", "rank", "item"),
+        b.toDF("query_id", "rank", "item"), k)
+      .orderBy("query_id", "depth")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  test("rboByDepth: identical rankings give overlap = depth, term = 2^-d · 1e9") {
+    val a = Seq(("q", 1, 10L), ("q", 2, 20L), ("q", 3, 30L))
+    val out = rbo(a, a, 3)
+    assert(out === Seq(("q", 1L, 1L, 500000000L), ("q", 2L, 2L, 250000000L),
+      ("q", 3L, 3L, 125000000L)))
+  }
+
+  test("rboByDepth: disjoint rankings give zero overlap at every depth") {
+    val a = Seq(("q", 1, 1L), ("q", 2, 2L))
+    val b = Seq(("q", 1, 8L), ("q", 2, 9L))
+    assert(rbo(a, b, 2) === Seq(("q", 1L, 0L, 0L), ("q", 2L, 0L, 0L)))
+  }
+
+  test("rboByDepth: an item enters the overlap at max(rank_a, rank_b)") {
+    // item 5 is rank 1 in A, rank 3 in B → counts only from depth 3
+    val a = Seq(("q", 1, 5L), ("q", 2, 6L), ("q", 3, 7L))
+    val b = Seq(("q", 1, 8L), ("q", 2, 9L), ("q", 3, 5L))
+    val out = rbo(a, b, 3)
+    assert(out.map(_._3) === Seq(0L, 0L, 1L))
+    // term(3) = floor(1e9 · (1/3) / 8)
+    assert(out(2)._4 === math.floor(1000000000.0 * 1.0 / 3.0 / 8.0).toLong)
+  }
+
+  test("rboByDepth: ranks beyond k are ignored") {
+    val a = Seq(("q", 1, 1L), ("q", 5, 2L))
+    val b = Seq(("q", 1, 1L), ("q", 2, 2L))
+    assert(rbo(a, b, 2).map(_._3) === Seq(1L, 1L))
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IntervalJoin, Segments}
+
+class IntervalAndSegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- overlapJoin
+
+  private def pairs(l: Seq[(Long, Long, Long, Long)],
+                    r: Seq[(Long, Long, Long, Long)],
+                    chunk: Long): Set[(Long, Long)] = {
+    val lf = l.toDF("k", "lid", "ls", "le")
+    val rf = r.toDF("k", "rid", "rs", "re")
+    IntervalJoin.overlapJoin(lf, rf, Seq("k"), "ls", "le", "rs", "re", chunk)
+      .select("lid", "rid").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+  }
+
+  test("overlapJoin: half-open semantics — touching endpoints do NOT match") {
+    // [0,10) vs [10,20): no overlap; [0,10) vs [9,20): overlap
+    assert(pairs(Seq((1L, 1L, 0L, 10L)), Seq((1L, 1L, 10L, 20L)), 5L)
+      === Set.empty)
+    assert(pairs(Seq((1L, 1L, 0L, 10L)), Seq((1L, 2L, 9L, 20L)), 5L)
+      === Set((1L, 2L)))
+  }
+
+  test("overlapJoin: a pair spanning many shared chunks appears exactly once") {
+    // both intervals cover chunks 0..9 with chunk=10 — ownership filter
+    // must collapse the 10 candidate hits to one output row
+    val out = IntervalJoin.overlapJoin(
+      Seq((1L, 1L, 0L, 100L)).toDF("k", "lid", "ls", "le"),
+      Seq((1L, 2L, 5L, 95L)).toDF("k", "rid", "rs", "re"),
+      Seq("k"), "ls", "le", "rs", "re", 10L)
+    assert(out.count() === 1L)
+  }
+
+  test("overlapJoin: key columns separate otherwise-overlapping intervals") {
+    assert(pairs(Seq((1L, 1L, 0L, 10L)), Seq((2L, 2L, 0L, 10L)), 4L)
+      === Set.empty)
+  }
+
+  test("overlapJoin: degenerate (end <= start) intervals match nothing") {
+    assert(pairs(Seq((1L, 1L, 5L, 5L)), Seq((1L, 2L, 0L, 10L)), 4L)
+      === Set.empty)
+  }
+
+  test("overlapJoin: matches the naive quadratic join on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (1L to 60L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (rnd.nextInt(3).toLong, i, s, s + 1 + rnd.nextInt(80)) }
+    val r = (1L to 60L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (rnd.nextInt(3).toLong, i, s, s + 1 + rnd.nextInt(80)) }
+    val naive = (for {
+      (lk, lid, ls, le) <- l; (rk, rid, rs, re) <- r
+      if lk == rk && ls < re && rs < le
+    } yield (lid, rid)).toSet
+    assert(pairs(l, r, 37L) === naive)
+  }
+
+  // --------------------------------------------------------- vocabGrowth
+
+  test("vocabGrowth: prefix distincts truncate at the document length") {
+    val df = Seq((1L, "a b a c"), (2L, "")).toDF("doc_id", "text")
+    val out = Segments.vocabGrowth(df, "doc_id", "text", ks = Seq(2, 10))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 4L)  // n_tok
+    assert(out(0).getLong(2) === 3L)  // n_distinct
+    assert(out(0).getLong(3) === 2L)  // d2 = {a, b}
+    assert(out(0).getLong(4) === 3L)  // d10 truncates to whole doc
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L &&
+      out(1).getLong(3) === 0L)
+  }
+
+  // --------------------------------------------------------- maxTokenRun
+
+  private def run(text: String): (Long, String) = {
+    val r = Segments.maxTokenRun(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    (r.getLong(1), r.getString(2))
+  }
+
+  test("maxTokenRun: finds the longest loop, not the most frequent token") {
+    // 'x' appears 4 times but never consecutively; 'y y y' is the run
+    assert(run("x a x y y y x b x") === (3L, "y"))
+  }
+
+  test("maxTokenRun: length ties break to the lexicographically smallest") {
+    assert(run("b b a a") === (2L, "a"))
+    assert(run("a a b b") === (2L, "a"))
+  }
+
+  test("maxTokenRun: single-token and empty documents") {
+    assert(run("solo") === (1L, "solo"))
+    assert(run("   ") === (0L, ""))
+  }
+
+  test("maxTokenRun: case folding merges runs") {
+    assert(run("The THE the") === (3L, "the"))
+  }
+}

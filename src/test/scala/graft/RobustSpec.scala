@@ -110,4 +110,57 @@ class RobustSpec extends SparkSpec {
       "event_id", 1000L, 3).collect()
     assert(out.head.getString(0) === "a>b>c")
   }
+
+  // ---------------------------------------------------------------- ksDrift
+
+  private def ks(rows: Seq[(String, Long)]): Map[String, (Long, Long, Long)] =
+    Robust.ksDrift(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("ksDrift: identical distributions show zero drift") {
+    val rows = for (g <- Seq("a", "b"); v <- 1L to 10L) yield (g, v)
+    assert(ks(rows) === Map("a" -> ((10L, 10L, 0L)), "b" -> ((10L, 10L, 0L))))
+  }
+
+  test("ksDrift: disjoint supports reach the maximum statistic") {
+    // a: all below, b: all above — D = 1 → ks_q = 1_000_000
+    val rows = (1L to 5L).map(v => ("a", v)) ++ (11L to 15L).map(v => ("b", v))
+    val out = ks(rows)
+    assert(out("a") === ((5L, 5L, 1000000L)))
+    assert(out("b") === ((5L, 5L, 1000000L)))
+  }
+
+  test("ksDrift: a single group has no complement and reports zero") {
+    assert(ks(Seq(("only", 1L), ("only", 2L))) ===
+      Map("only" -> ((2L, 0L, 0L))))
+  }
+
+  test("ksDrift: hand-computed two-group gap") {
+    // a = {1,1,2}, b = {2,3}: at v=1 |cum_a·nb − cum_b·na| = |2·2−0·3| = 4
+    //                         at v=2 |3·2 − 1·3| = 3, at v=3 |3·2−2·3| = 0
+    // D = 4/(3·2) → ks_q = 666_666
+    val out = ks(Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)))
+    assert(out("a") === ((3L, 2L, 666666L)))
+  }
+
+  // ------------------------------------------------------------ looInfluence
+
+  test("looInfluence: removal algebra matches the direct recomputation") {
+    val rows = Seq(("a", 10L), ("a", 20L), ("b", 40L), ("b", 50L), ("c", 30L))
+    val out = Robust.looInfluence(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // mean_all = 150/5 = 30 → 30_000_000
+    // without a: 120/3 = 40; without b: 60/3 = 20; without c: 120/4 = 30
+    assert(out("a") === ((30000000L, 40000000L, 10000000L)))
+    assert(out("b") === ((30000000L, 20000000L, -10000000L)))
+    assert(out("c") === ((30000000L, 30000000L, 0L)))
+  }
+
+  test("looInfluence: a group covering the whole corpus reports nulls") {
+    val out = Robust.looInfluence(Seq(("a", 5L), ("a", 7L)).toDF("g", "v"),
+      "g", "v").collect().head
+    assert(!out.isNullAt(2) && out.isNullAt(3) && out.isNullAt(4))
+  }
 }

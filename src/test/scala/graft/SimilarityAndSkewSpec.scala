@@ -483,4 +483,39 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(r === Seq((1, 2L, 2000000L, 0.5, 1.5),
       (2, 2L, 1750000L, -0.25, 2.0)))
   }
+
+  // ------------------------------------------------------------ marginPairs
+
+  test("marginPairs: ratio margin picks the mutual nearest pair, " +
+    "quantization matches a scalar replay of the same fp ops") {
+    // A = axis vectors; B = axis vectors + the diagonal (exact in float)
+    val a = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val b = Seq((11L, Seq(1f, 0f)), (12L, Seq(0.5f, 0.5f)),
+      (13L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginPairs(a, b, "vec_id", "embedding",
+      k = 2, minMarginQ = 0L)
+      .orderBy("a_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // scalar replay in the operator's op order
+    val s = 0.5 / (1.0 * math.sqrt(0.5)) // cos(axis, diagonal)
+    val sa = 1.0 + s                     // rank-ordered 2-term sum, A side
+    val sb1 = 1.0 + 0.0                  // b1's best-2 over A
+    val m = math.floor(1000000.0 * (1.0 / (sa / 4.0 + sb1 / 4.0))).toLong
+    assert(out === Seq((1L, 11L, m), (2L, 13L, m)))
+  }
+
+  test("marginPairs: the margin threshold filters the output") {
+    val a = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((11L, Seq(1f, 0f)), (12L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.marginPairs(a, b, "vec_id", "embedding", k = 2,
+      minMarginQ = Long.MaxValue).count() === 0L)
+  }
+
+  test("marginPairs: zero vectors never pair (null cosine, zero normalizer)") {
+    val a = Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((11L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.marginPairs(a, b, "vec_id", "embedding", k = 1,
+      minMarginQ = 0L).count() === 0L)
+  }
 }
