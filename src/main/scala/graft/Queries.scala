@@ -6763,6 +6763,139 @@ object Queries {
           END AS delta_q
       FROM g CROSS JOIN t ORDER BY source"""))
 
+  /** (q179) Regular-grid resampling with LOCF + linear interpolation
+    * (TimeAgg.gridResample scaladoc): per-user daily feature grid from
+    * the irregular event stream — one union + one per-key window sort
+    * for both fill rules; the oracle replays the same union/window
+    * construction with IGNORE NULLS frames.
+    */
+  val q179GridResample = Q(
+    "q179_a_grid_resample",
+    (s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("value_q",
+          floor(col("value") * lit(1000000.0)).cast("long"))
+      operators.TimeAgg.gridResample(e, "user_id", "ts_us", "value_q",
+        stepMicros = 86400000000L, tieCol = "event_id")
+        .orderBy("user_id", "grid_ts")
+    },
+    Some(s"""
+      WITH o0 AS (SELECT user_id, $EvUs AS ts,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS v, event_id
+             FROM events),
+      o AS (SELECT user_id, ts, v FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                ORDER BY event_id DESC) AS rn FROM o0)
+            WHERE rn = 1),
+      span AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM o
+               GROUP BY user_id),
+      grid AS (SELECT user_id, CAST(g.g AS BIGINT) AS ts
+               FROM span, LATERAL unnest(range(
+                 ((lo + 86399999999) // 86400000000) * 86400000000,
+                 (hi // 86400000000) * 86400000000 + 1,
+                 86400000000)) g(g)),
+      u AS (SELECT user_id, ts, v, 0 AS tag FROM o
+            UNION ALL SELECT user_id, ts, NULL, 1 FROM grid),
+      f AS (SELECT *,
+              last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+                OVER w AS t0,
+              last_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS)
+                OVER w AS v0,
+              first_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+                OVER w2 AS t1,
+              first_value(CASE WHEN tag = 0 THEN v END IGNORE NULLS)
+                OVER w2 AS v1
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w2 AS (PARTITION BY user_id ORDER BY ts, tag
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, ts AS grid_ts, v0 AS locf_q,
+        CASE WHEN t1 IS NULL OR t1 = t0 THEN v0
+          ELSE CAST(floor(CAST(v0 AS DOUBLE) + CAST(v1 - v0 AS DOUBLE)
+            * (CAST(ts - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)))
+            AS BIGINT) END AS lin_q
+      FROM f WHERE tag = 1 ORDER BY user_id, grid_ts"""))
+
+  /** (q180) One-sided CUSUM shift detection (TimeAgg.cusumShift
+    * scaladoc): hourly per-type event counts, densified to zero-count
+    * buckets, drift k = 3, alarm h = 20 — the recurrence computed as
+    * the prefix-sum drawup (two integer windows), not a sequential
+    * scan.
+    */
+  val q180Cusum = Q(
+    "q180_a_cusum_shift",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(3600L))))
+        .select("event_type", "bucket")
+        .join(hourly, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.cusumShift(dense, "event_type", "bucket", "x",
+        k = 3L, h = 20L)
+        .orderBy("event_type", "bucket")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 3600000000) * 3600 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.event_type, d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      p AS (SELECT event_type, bucket, x,
+              CAST(sum(x - 3) OVER (PARTITION BY event_type
+                ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS p
+            FROM dense),
+      c AS (SELECT event_type, bucket, x, p,
+              least(CAST(min(p) OVER (PARTITION BY event_type
+                ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT), 0) AS mp
+            FROM p)
+      SELECT event_type, bucket, x, p - mp AS cusum,
+        (p - mp) >= 20 AS alarm
+      FROM c ORDER BY event_type, bucket"""))
+
+  /** (q181) Z-order (Morton) layout key (Layout.zOrderKey scaladoc):
+    * 8-bit interleave of (user_id mod 256, day mod 256) — the
+    * multi-dimension file-skipping sort key, pure bit arithmetic
+    * mirrored term-for-term in the oracle.
+    */
+  val q181ZOrder = Q(
+    "q181_s_zorder_key",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val zk = operators.Layout.zOrderKey(Seq(
+        pmod(col("user_id"), lit(256L)),
+        pmod(expr("ts_us div 86400000000L"), lit(256L))), bits = 8)
+      e.select(col("event_id"), zk.as("zkey")).orderBy("event_id")
+    },
+    Some {
+      val chain = (for {
+        (c, ci) <- Seq("u", "d").zipWithIndex
+        i <- 0 until 8
+      } yield s"((($c >> $i) & 1) << ${i * 2 + ci})").mkString(" | ")
+      s"""
+      WITH b AS (SELECT event_id, user_id % 256 AS u,
+               ($EvUs // 86400000000) % 256 AS d
+             FROM events)
+      SELECT event_id, CAST($chain AS BIGINT) AS zkey
+      FROM b ORDER BY event_id"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -6811,5 +6944,6 @@ object Queries {
     q167CohenKappa, q168NgramNovelty, q169AbZTest, q170MadOutliers,
     q171JwLinkage,
     q172IntervalOverlap, q173VocabGrowth, q174MaxTokenRun, q175KsDrift,
-    q176MarginPairs, q177Rbo, q178LooInfluence)
+    q176MarginPairs, q177Rbo, q178LooInfluence,
+    q179GridResample, q180Cusum, q181ZOrder)
 }

@@ -382,4 +382,111 @@ object TimeAgg {
         floor(lit(10000.0) * col("value_cents").cast("double") /
           col("n_events").cast("double")).cast("long"))
   }
+
+  /** Regular-grid resampling of an irregular per-key time series, with
+    * both fill rules at once: last-observation-carried-forward
+    * (`locf_q`) and linear interpolation between the surrounding
+    * observations (`lin_q`) — the feature-store step that turns raw
+    * event streams into fixed-cadence training features.
+    *
+    * Grid: every multiple of `stepMicros` in [min ts, max ts] of the
+    * key. Observations are pre-deduplicated to one per (key, ts) by
+    * highest `tieCol` (latest-writer-wins, deterministic). At a grid
+    * point g with straddling observations (t0 ≤ g, v0) and (t1 > g,
+    * v1): locf = v0 and lin = ⌊v0 + (v1−v0)·((g−t0)/(t1−t0))⌋ with the
+    * fp ops in exactly that order (one double division, one multiply,
+    * one add — engine-reproducible); where no later observation exists
+    * (g at/after the key's last event) lin = locf. A grid start always
+    * has an observation at or before it by construction, so locf is
+    * never null.
+    *
+    * Plan shape: one UNION of observations and generated grid rows,
+    * then ONE window sort per key (forward pass carries (t0, v0),
+    * backward pass carries (t1, v1)) — no join, no per-grid-point
+    * probe. The generated grid is ≤ range/step rows per key; the sort
+    * is the same per-key sort any as-of formulation needs, paid once
+    * for both fill rules.
+    */
+  def gridResample(obs: DataFrame, keyCol: String, tsCol: String,
+                   valueQCol: String, stepMicros: Long,
+                   tieCol: String): DataFrame = {
+    require(stepMicros > 0, s"stepMicros ($stepMicros) must be positive")
+    val o = obs.select(col(keyCol), col(tsCol).cast("long").as("__ts"),
+        col(valueQCol).cast("long").as("__v"), col(tieCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__ts"))
+          .orderBy(col(tieCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__ts"), col("__v"), lit(0).as("__tag"))
+    val grid = obs.select(col(keyCol), col(tsCol).cast("long").as("__ts"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
+      // first multiple of step ≥ lo … last multiple ≤ hi (non-negative
+      // epoch micros ⇒ `div` is floor division); a key whose span
+      // contains no multiple yields no grid rows (empty array, not a
+      // reversed-bounds sequence() error)
+      .withColumn("__s",
+        expr(s"((__lo + ${stepMicros - 1}L) div ${stepMicros}L) * ${stepMicros}L"))
+      .withColumn("__e", expr(s"(__hi div ${stepMicros}L) * ${stepMicros}L"))
+      .withColumn("__g", explode(when(col("__s") <= col("__e"),
+        sequence(col("__s"), col("__e"), lit(stepMicros)))
+        .otherwise(array().cast("array<long>"))))
+      .select(col(keyCol), col("__g").as("__ts"),
+        lit(null).cast("long").as("__v"), lit(1).as("__tag"))
+    // obs sort BEFORE the grid row at the same ts: an observation
+    // exactly on the grid is "carried" into it
+    val wFwd = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBwd = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = o.unionByName(grid)
+      .withColumn("__t0", last(when(col("__tag") === 0, col("__ts")),
+        ignoreNulls = true).over(wFwd))
+      .withColumn("__v0", last(when(col("__tag") === 0, col("__v")),
+        ignoreNulls = true).over(wFwd))
+      .withColumn("__t1", first(when(col("__tag") === 0, col("__ts")),
+        ignoreNulls = true).over(wBwd))
+      .withColumn("__v1", first(when(col("__tag") === 0, col("__v")),
+        ignoreNulls = true).over(wBwd))
+      .filter(col("__tag") === 1)
+    filled.select(col(keyCol), col("__ts").as("grid_ts"),
+      col("__v0").as("locf_q"),
+      when(col("__t1").isNull || col("__t1") === col("__t0"), col("__v0"))
+        .otherwise(floor(col("__v0").cast("double") +
+          (col("__v1") - col("__v0")).cast("double") *
+            ((col("__ts") - col("__t0")).cast("double") /
+              (col("__t1") - col("__t0")).cast("double"))).cast("long"))
+        .as("lin_q"))
+  }
+
+  /** One-sided CUSUM shift detection per group: over the bucketed
+    * series x_b (ordered by bucket), the statistic
+    *
+    *   S_b = max(0, S_{b−1} + (x_b − k))
+    *
+    * which accumulates evidence of a sustained upward shift past the
+    * tolerated drift `k` and alarms when S ≥ `h` — the sequential
+    * detector that catches slow sustained rate changes a per-bucket
+    * z-score (q156) never trips on.
+    *
+    * The recurrence LOOKS inherently sequential, but S_b equals the
+    * prefix-sum drawup: with P_b = Σ_{j≤b}(x_j − k),
+    * S_b = P_b − min(0, min_{j≤b} P_j) — two cumulative windows over
+    * the bounded per-group bucket series, all exact integer
+    * arithmetic. Caller supplies a DENSIFIED frame (missing buckets as
+    * x = 0) when absence should count as evidence.
+    */
+  def cusumShift(buckets: DataFrame, groupCol: String, bucketCol: String,
+                 xCol: String, k: Long, h: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__p", sum(col(xCol).cast("long") - lit(k)).over(w))
+      .withColumn("__minp", least(min(col("__p")).over(w), lit(0L)))
+      .select(col(groupCol), col(bucketCol), col(xCol).cast("long").as("x"),
+        (col("__p") - col("__minp")).as("cusum"),
+        (col("__p") - col("__minp") >= lit(h)).as("alarm"))
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, TimeAgg}
+
+class LayoutAndResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ gridResample
+
+  private def grid(rows: Seq[(Long, Long, Long, Long)], step: Long):
+      Seq[(Long, Long, Long, Long)] =
+    TimeAgg.gridResample(rows.toDF("k", "ts", "v", "tie"), "k", "ts", "v",
+        step, "tie")
+      .orderBy("k", "grid_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+  test("gridResample: locf carries, linear interpolates between neighbors") {
+    // obs at t=0 (v=100) and t=10 (v=200), grid step 5 → points 0,5,10
+    val out = grid(Seq((1L, 0L, 100L, 1L), (1L, 10L, 200L, 2L)), 5L)
+    assert(out === Seq(
+      (1L, 0L, 100L, 100L),   // on-observation point: both rules = v0
+      (1L, 5L, 100L, 150L),   // midpoint: locf holds 100, lin = 150
+      (1L, 10L, 200L, 200L)))
+  }
+
+  test("gridResample: interpolation floors toward -inf on uneven spans") {
+    // t=0 v=0, t=3 v=10, grid 1 → lin at t=1 is 10/3 = 3.33 → 3
+    val out = grid(Seq((1L, 0L, 0L, 1L), (1L, 3L, 10L, 2L)), 1L)
+    assert(out.map(_._4) === Seq(0L, 3L, 6L, 10L))
+  }
+
+  test("gridResample: grid past the last observation carries forward") {
+    // obs at 0 and 4; grid step 3 → points 0, 3; at 3: t0=0,t1=4 interp;
+    // then single obs key: grid collapses to the obs itself
+    val out = grid(Seq((1L, 0L, 100L, 1L), (1L, 4L, 180L, 2L)), 3L)
+    assert(out === Seq((1L, 0L, 100L, 100L), (1L, 3L, 100L, 160L)))
+    val single = grid(Seq((2L, 6L, 50L, 1L)), 3L)
+    assert(single === Seq((2L, 6L, 50L, 50L)))
+  }
+
+  test("gridResample: same-ts duplicates resolve to the highest tie value") {
+    val out = grid(Seq((1L, 0L, 1L, 1L), (1L, 0L, 9L, 2L), (1L, 6L, 9L, 3L)),
+      3L)
+    assert(out.head === ((1L, 0L, 9L, 9L)))
+  }
+
+  test("gridResample: a key whose span contains no grid multiple is empty") {
+    assert(grid(Seq((1L, 7L, 1L, 1L), (1L, 8L, 2L, 2L)), 100L) === Seq.empty)
+  }
+
+  // -------------------------------------------------------------- cusumShift
+
+  private def cusum(xs: Seq[Long], k: Long, h: Long): Seq[(Long, Boolean)] =
+    TimeAgg.cusumShift(
+        xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+          .toDF("g", "bucket", "x"), "g", "bucket", "x", k, h)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(3), r.getBoolean(4))).toSeq
+
+  test("cusumShift: matches the sequential recurrence on a hand series") {
+    // k=2: x=5→S=3; x=1→S=2; x=0→S=0; x=6→S=4; x=6→S=8 (alarm at h=8)
+    val out = cusum(Seq(5L, 1L, 0L, 6L, 6L), k = 2L, h = 8L)
+    assert(out === Seq((3L, false), (2L, false), (0L, false), (4L, false),
+      (8L, true)))
+  }
+
+  test("cusumShift: the statistic clamps at zero under sustained quiet") {
+    val out = cusum(Seq(0L, 0L, 0L, 10L), k = 3L, h = 5L)
+    // P = -3,-6,-9,-2; min-prefix = -3,-6,-9,-9 → S = 0,0,0,7
+    assert(out === Seq((0L, false), (0L, false), (0L, false), (7L, true)))
+  }
+
+  test("cusumShift: agrees with a reference fold on random series") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(200)(rnd.nextInt(10).toLong)
+    val expected = xs.scanLeft(0L)((s, x) => math.max(0L, s + x - 4L)).tail
+    assert(cusum(xs, k = 4L, h = 15L).map(_._1) === expected)
+  }
+
+  // ---------------------------------------------------------------- zOrder
+
+  test("zOrderKey: interleaves bits (hand-checked Morton values)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("a", "b")
+    val out = df.select(Layout.zOrderKey(Seq(col("a"), col("b")), 4)
+      .as("z")).collect().map(_.getLong(0)).toSeq
+    // morton(3=0b011, 5=0b101) = b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1 = 0b100111
+    assert(out === Seq(0L, 1L, 2L, 3L, 39L))
+  }
+
+  test("zOrderKey: values beyond the bit budget truncate to low bits") {
+    val out = Seq((256L + 3L, 0L)).toDF("a", "b")
+      .select(Layout.zOrderKey(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().head.getLong(0)
+    assert(out === Seq((3L, 0L)).toDF("a", "b")
+      .select(Layout.zOrderKey(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().head.getLong(0))
+  }
+
+  test("zOrderKey: three-dimension interleave places bit i of col c at 3i+c") {
+    val out = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zOrderKey(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect().head.getLong(0)
+    assert(out === 7L) // bits 0,1,2 set
+  }
+
+  test("zOrdered: range partitioning yields disjoint zkey ranges per file") {
+    val df = (0L until 1000L).map(i => (i, i % 16, (i / 16) % 16))
+      .toDF("id", "u", "d")
+      .withColumn("zkey", Layout.zOrderKey(Seq(col("u"), col("d")), 4))
+    val parts = Layout.zOrdered(df, "zkey", numFiles = 8)
+      .select("zkey").rdd
+      .mapPartitions(it => {
+        val v = it.map(_.getLong(0)).toSeq
+        if (v.isEmpty) Iterator.empty
+        else Iterator.single((v.min, v.max, v.zip(v.tail).forall(p => p._1 <= p._2)))
+      }).collect().toSeq
+    assert(parts.nonEmpty)
+    assert(parts.forall(_._3), "zkey must be sorted within each partition")
+    val sorted = parts.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((_, hi, _), (lo2, _, _)) =>
+      assert(hi <= lo2, "partition zkey ranges must be disjoint")
+    }
+  }
+}
