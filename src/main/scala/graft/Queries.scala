@@ -6896,6 +6896,174 @@ object Queries {
       FROM b ORDER BY event_id"""
     })
 
+  /** (q182) EXACT set-similarity self-join via prefix filtering
+    * (Dedup.prefixJaccard scaladoc): every 4-gram-Jaccard ≥ 0.5 pair
+    * with no LSH miss and no df-cap truncation — the oracle replays
+    * the prefix selection and the count-based verify; its result was
+    * cross-checked equal to the full quadratic list-intersect join.
+    */
+  val q182PrefixJoin = Q(
+    "q182_dd_prefix_jaccard",
+    (s, dir) =>
+      Dedup.prefixJaccard(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH sh AS (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(regexp_split_to_array(lower(trim(text)),
+                '\s+')) - 3, 0) + 1),
+              i -> array_to_string(regexp_split_to_array(lower(trim(text)),
+                '\s+')[i:i+3], ' ')))) AS tok
+            FROM documents),
+      dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfr FROM sh
+              GROUP BY tok),
+      sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+      rk AS (SELECT sh.id, sh.tok, row_number() OVER (PARTITION BY sh.id
+               ORDER BY dfr.dfr, sh.tok) AS pos, sz.n
+             FROM sh JOIN dfr USING (tok) JOIN sz USING (id)),
+      pref AS (SELECT id, tok FROM rk WHERE pos <= n - ceil(0.5 * n) + 1),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id),
+      inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+                FROM cand c JOIN sh x ON x.id = c.id_a
+                  JOIN sh y ON y.id = c.id_b AND y.tok = x.tok
+                GROUP BY c.id_a, c.id_b),
+      j AS (SELECT inter.id_a, inter.id_b,
+              CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+            FROM inter JOIN sz na ON na.id = inter.id_a
+              JOIN sz nb ON nb.id = inter.id_b)
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b"""))
+
+  /** (q183) SCD Type-2 intervalization (MergeOps.scd2 scaladoc): each
+    * user's event stream becomes versioned validity intervals
+    * [valid_from, valid_to) over the quantized value, open row flagged
+    * current — one per-key window pass.
+    */
+  val q183Scd2 = Q(
+    "q183_t_scd2_intervals",
+    (s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("value_q",
+          floor(col("value") * lit(1000000.0)).cast("long"))
+        .select(col("user_id"), col("ts_us"), col("value_q"),
+          col("event_id"))
+      operators.MergeOps.scd2(e, Seq("user_id"), "ts_us", "event_id")
+        .select(col("user_id"), col("valid_from"), col("valid_to"),
+          col("value_q"), col("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some(s"""
+      WITH o0 AS (SELECT user_id, $EvUs AS ts,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS value_q,
+               event_id
+             FROM events),
+      o AS (SELECT user_id, ts, value_q FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                ORDER BY event_id DESC) AS rn FROM o0)
+            WHERE rn = 1)
+      SELECT user_id, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+        value_q,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          AS is_current
+      FROM o ORDER BY user_id, valid_from"""))
+
+  /** (q184) MMR diversity re-ranking (Similarity.mmrRerank scaladoc):
+    * greedy λ=1/2 selection of 3 from each query's top-6, penalized by
+    * max similarity to the already-selected — the oracle unrolls the
+    * 3 greedy rounds explicitly.
+    */
+  val q184Mmr = Q(
+    "q184_ann_mmr_rerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 10),
+        emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
+        m = 6, k = 3)
+        .orderBy("query_id", "step")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+            FROM embeddings WHERE vec_id >= 10),
+      sc AS (SELECT query_id, neighbor_id,
+          list_sum(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+               i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0)
+            AS cos
+        FROM q CROSS JOIN c),
+      cand AS (SELECT query_id, neighbor_id, cos FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
+               WHERE rn <= 6),
+      ps AS (SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> CAST(x.embedding[i] AS DOUBLE)
+               * CAST(y.embedding[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+               i -> CAST(x.embedding[i] AS DOUBLE)
+                  * CAST(x.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(y.embedding) + 1),
+               i -> CAST(y.embedding[i] AS DOUBLE)
+                  * CAST(y.embedding[i] AS DOUBLE)))), 0) AS sim
+        FROM cand a JOIN cand b ON a.query_id = b.query_id
+            AND a.neighbor_id <> b.neighbor_id
+          JOIN embeddings x ON x.vec_id = a.neighbor_id
+          JOIN embeddings y ON y.vec_id = b.neighbor_id),
+      s1 AS (SELECT query_id, neighbor_id, score FROM (
+               SELECT query_id, neighbor_id, 0.5 * cos AS score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY (0.5 * cos) DESC, neighbor_id ASC) AS rn
+               FROM cand) WHERE rn = 1),
+      r2 AS (SELECT c.* FROM cand c LEFT JOIN s1
+               ON s1.query_id = c.query_id
+                 AND s1.neighbor_id = c.neighbor_id
+             WHERE s1.neighbor_id IS NULL),
+      p2 AS (SELECT ps.query_id, ps.ia AS neighbor_id,
+               max(ps.sim) AS maxsim
+             FROM ps JOIN s1 ON s1.query_id = ps.query_id
+               AND s1.neighbor_id = ps.ib
+             GROUP BY 1, 2),
+      sc2 AS (SELECT r2.query_id, r2.neighbor_id,
+                0.5 * r2.cos - 0.5 * coalesce(p2.maxsim, 0) AS score
+              FROM r2 LEFT JOIN p2 USING (query_id, neighbor_id)),
+      s2 AS (SELECT query_id, neighbor_id, score FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc2)
+             WHERE rn = 1),
+      sel2 AS (SELECT query_id, neighbor_id FROM s1
+               UNION ALL SELECT query_id, neighbor_id FROM s2),
+      r3 AS (SELECT c.* FROM cand c LEFT JOIN sel2
+               ON sel2.query_id = c.query_id
+                 AND sel2.neighbor_id = c.neighbor_id
+             WHERE sel2.neighbor_id IS NULL),
+      p3 AS (SELECT ps.query_id, ps.ia AS neighbor_id,
+               max(ps.sim) AS maxsim
+             FROM ps JOIN sel2 ON sel2.query_id = ps.query_id
+               AND sel2.neighbor_id = ps.ib
+             GROUP BY 1, 2),
+      sc3 AS (SELECT r3.query_id, r3.neighbor_id,
+                0.5 * r3.cos - 0.5 * coalesce(p3.maxsim, 0) AS score
+              FROM r3 LEFT JOIN p3 USING (query_id, neighbor_id)),
+      s3 AS (SELECT query_id, neighbor_id, score FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc3)
+             WHERE rn = 1)
+      SELECT query_id, CAST(1 AS INT) AS step, neighbor_id,
+        CAST(floor(1000000.0 * score) AS BIGINT) AS score_q FROM s1
+      UNION ALL
+      SELECT query_id, 2, neighbor_id,
+        CAST(floor(1000000.0 * score) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT query_id, 3, neighbor_id,
+        CAST(floor(1000000.0 * score) AS BIGINT) FROM s3
+      ORDER BY query_id, step"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -6945,5 +7113,6 @@ object Queries {
     q171JwLinkage,
     q172IntervalOverlap, q173VocabGrowth, q174MaxTokenRun, q175KsDrift,
     q176MarginPairs, q177Rbo, q178LooInfluence,
-    q179GridResample, q180Cusum, q181ZOrder)
+    q179GridResample, q180Cusum, q181ZOrder,
+    q182PrefixJoin, q183Scd2, q184Mmr)
 }

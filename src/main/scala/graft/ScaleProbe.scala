@@ -660,6 +660,73 @@ object ScaleProbe {
       }
     }
 
+    // round-8 session-5 operators: interval join, sequence profiles,
+    // drift, resampling, margin mining
+    if (section("session5")) {
+      // interval overlap: events replicated with DISJOINT time ranges
+      // (each copy shifted by the span) — candidate volume must grow
+      // ~linearly because per-chunk density stays constant
+      for (mult <- Seq(1, 4, 16)) {
+        val ev0 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        val base = ev0.select(col("event_id"), col("user_id"),
+          col("event_type"), operators.TimeAgg.epochMicros(ev0).as("ts_us"))
+        val shift = 3000000000000L // ~35 days in micros, past the range
+        val ev = (0 until mult).map(r => base
+          .withColumn("event_id", col("event_id") + lit(r * 10000000L))
+          .withColumn("ts_us", col("ts_us") + lit(r * shift)))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts_us").as("ps"), (col("ts_us") + lit(7200000000L)).as("pe"))
+        val r = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("rid"), col("user_id"),
+            col("ts_us").as("rs"), (col("ts_us") + lit(3600000000L)).as("re"))
+        timedCount(s"ivjoin  ${mult}x events 2h/1h windows",
+          operators.IntervalJoin.overlapJoin(p, r, Seq("user_id"),
+            "ps", "pe", "rs", "re", 3600000000L))
+        // grid resample + cusum on the same replicated frame (synthetic
+        // integer metric — the probe measures movement, not semantics)
+        timedCount(s"grid    ${mult}x events daily LOCF+linear",
+          operators.TimeAgg.gridResample(
+            ev.withColumn("value_q", col("event_id") % 1000L),
+            "user_id", "ts_us", "value_q", 86400000000L, "event_id"))
+        val hourly = ev.withColumn("bucket",
+            operators.TimeAgg.timeBucketSec(col("ts_us"), 3600))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("x"))
+        timedCount(s"cusum   ${mult}x hourly buckets",
+          operators.TimeAgg.cusumShift(hourly, "event_type", "bucket",
+            "x", 3L, 20L))
+        ev.unpersist()
+      }
+      // sequence profiles ride the scan: linear in corpus bytes
+      for (sf <- Seq("sf0.01", "sf0.1")) {
+        val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        timedCount(s"vgrow   $sf",
+          operators.Segments.vocabGrowth(docs, "doc_id", "text"))
+        timedCount(s"maxrun  $sf",
+          operators.Segments.maxTokenRun(docs, "doc_id", "text"))
+        timedCount(s"ksdrift $sf n_chars vs rest",
+          operators.Robust.ksDrift(docs, "source", "n_chars"))
+      }
+      // margin mining: the brute crossTopK stage is quadratic BY DESIGN
+      // (baseline path; swap in ivfTopK at retrieval scale) — probe
+      // documents the growth so the cap story is explicit
+      for (mult <- Seq(1, 2, 4)) {
+        val emb = replicate(
+          spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+          "vec_id", mult)
+        timedCount(s"margin  ${mult}x embeddings k=4 (brute baseline)",
+          operators.Similarity.marginPairs(
+            emb.filter(col("label") % 2 === 0),
+            emb.filter(col("label") % 2 === 1),
+            "vec_id", "embedding", 4, 1000000L))
+        emb.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }

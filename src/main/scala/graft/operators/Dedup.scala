@@ -1054,4 +1054,45 @@ object Dedup {
       .na.fill(0L, Seq("n_grams", "novel_grams"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** EXACT threshold set-similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family) — every pair with shingle Jaccard ≥
+    * `threshold`, with NO probabilistic miss (MinHash) and NO df-cap
+    * truncation (q23's capped candidates): the third point in the
+    * dedup design space, for when the pipeline must certify "no
+    * near-duplicate above t survives".
+    *
+    * Prefix theorem: order the universe of shingles globally by
+    * (document frequency asc, shingle asc) — rarest first. If
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so B must hit one of A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles in that order. Candidates = pairs
+    * sharing ≥1 PREFIX shingle; verification is the exact count-based
+    * join ([[verifyJaccardByJoin]] — no shingle arrays cross a
+    * shuffle).
+    *
+    * Scale shape: prefixes select the RAREST shingles, so candidate
+    * volume is Σ_prefix-tok df² over small dfs — the frequent-shingle
+    * quadratic that forces q23's cap never enters a prefix. The
+    * inherent worst case (N near-identical docs) is output-bound:
+    * those candidates ARE result pairs. One df aggregate, one per-DOC
+    * window (bounded by doc length), one equi-join on prefix shingle.
+    */
+  def prefixJaccard(df: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    val exploded = snapshot(explodedShingles(df, idCol, textCol, shingleN))
+    val dfreq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("tok"))
+    val sized = exploded.join(dfreq, Seq("tok"))
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = sized.filter(
+      col("__pos") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    val cand = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardByJoin(cand, exploded, threshold)
+  }
 }

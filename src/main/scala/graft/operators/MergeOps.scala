@@ -248,4 +248,38 @@ object MergeOps {
       .filter(col("__pts").isNull || col(tsCol) >= col("__pts"))
       .drop("__pk", "__pts")
   }
+
+  /** SCD Type-2 intervalization of an update log: one validity
+    * interval per accepted update — `valid_from` = the update's
+    * timestamp, `valid_to` = the NEXT update's timestamp for the same
+    * key (null while current), `is_current` on the open row. Turns the
+    * engine's CDC logs into the versioned-dimension shape that lets a
+    * fact row join the attribute values that were true AT ITS OWN
+    * TIME (the as-of join's natural dimension-side partner).
+    *
+    * Same-timestamp collisions resolve BEFORE intervalization by
+    * highest `tieCol` (latest-writer-wins, deterministic) — two
+    * updates in one instant must not create a zero-width interval.
+    *
+    * Plan shape: one per-key window sort total (the dedup row_number
+    * and the lead() share the (key, ts) sort order, so Catalyst plans
+    * ONE exchange + sort); per-key partitions are version counts,
+    * never the corpus.
+    */
+  def scd2(updates: DataFrame, keyCols: Seq[String], tsCol: String,
+           tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val keys = keyCols.map(col)
+    val wDedup = Window.partitionBy(keys :+ col(tsCol): _*)
+      .orderBy(col(tieCol).desc)
+    val wNext = Window.partitionBy(keys: _*)
+      .orderBy(col(tsCol))
+    updates
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wNext))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -994,4 +994,66 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("cv")))
     topKPerQuery(scored, k)
   }
+
+  /** MMR (maximal marginal relevance) diversity re-ranking: from each
+    * query's top-`m` candidates, greedily select `k` maximizing
+    *
+    *   λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+    *
+    * — the standard fix for retrieval/coreset selection returning k
+    * near-copies of the same best match. λ defaults to 1/2 (exact in
+    * binary, so the score arithmetic is engine-identical: one halving
+    * of each term and one subtract).
+    *
+    * The greedy recursion unrolls to `k − 1` DataFrame rounds composed
+    * on the driver — each round is a per-query window over ≤ m rows,
+    * never a corpus-sized sort, and the candidate/pair frames are
+    * localCheckpointed once (m² pair sims per query, computed a single
+    * time). Ties break (score desc, id asc); zero-vector candidates
+    * (null cosine) never enter the candidate set by [[topKPerQuery]]'s
+    * ordering when m < corpus, and a null pair-sim penalizes as 0.
+    *
+    * @return (query_id, step ∈ 1..k, neighbor_id, score_q = ⌊10⁶·score⌋)
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, m: Int, k: Int): DataFrame = {
+    require(k >= 1 && m >= k, s"need m ($m) >= k ($k) >= 1")
+    val cvec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val cand = crossTopK(queries, corpus, idCol, vecCol, m)
+      .join(cvec, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("__cv"))
+      .localCheckpoint(eager = false)
+    val pairSim = cand.select(col("query_id"), col("neighbor_id").as("__ia"),
+        col("__cv").as("__va"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("__ib"),
+        col("__cv").as("__vb")), Seq("query_id"))
+      .filter(col("__ia") =!= col("__ib"))
+      .select(col("query_id"), col("__ia"), col("__ib"),
+        cosine(col("__va"), col("__vb")).as("__sim"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("neighbor_id").asc)
+    def pick(scored: DataFrame, step: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), lit(step).as("step"), col("neighbor_id"),
+        floor(lit(1000000.0) * col("__score")).cast("long").as("score_q"))
+    val first = pick(cand.withColumn("__score", lit(0.5) * col("cos")), 1)
+    (2 to k).foldLeft(first) { (selected, step) =>
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val penalty = pairSim
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("__ib")), Seq("query_id", "__ib"))
+        .groupBy(col("query_id"), col("__ia").as("neighbor_id"))
+        .agg(max(col("__sim")).as("__maxsim"))
+      val scored = remaining.join(penalty, Seq("query_id", "neighbor_id"),
+          "left")
+        .withColumn("__score", lit(0.5) * col("cos") -
+          lit(0.5) * coalesce(col("__maxsim"), lit(0.0)))
+      selected.unionByName(pick(scored, step))
+    }
+  }
 }

@@ -542,4 +542,64 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((2L, 2L, 1000000L)))
   }
+
+  // ------------------------------------------------------------ prefixJaccard
+
+  private def bruteJaccardPairs(docs: Seq[(Long, String)], n: Int,
+                                t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[String] = {
+      val tk = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < n) Set.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      a = sh(ta); b = sh(tb)
+      if a.nonEmpty && b.nonEmpty
+      j = (a & b).size.toDouble / (a | b).size.toDouble if j >= t
+    } yield (ia, ib)).toSet
+  }
+
+  test("prefixJaccard: exactly the brute-force threshold join, no misses") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today again"),
+      (2L, "the cat sat on the mat today against"),   // near-dup of 1
+      (3L, "a completely different document entirely here"),
+      (4L, "a completely different document entirely there"), // near-dup of 3
+      (5L, "the cat walked over a different mat"))
+    val got = Dedup.prefixJaccard(docs.toDF("doc_id", "text"), "doc_id",
+        "text", shingleN = 3, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === bruteJaccardPairs(docs, 3, 0.4))
+    assert(got.nonEmpty)
+  }
+
+  test("prefixJaccard: catches pairs whose shared shingles are corpus-frequent") {
+    // every doc shares the same frequent core; a df-cap candidate
+    // generator (q23 semantics) would drop the shared shingle — the
+    // prefix filter must still find all true pairs
+    val core = "alpha beta gamma delta epsilon zeta"
+    val docs = (1L to 8L).map(i => (i, s"$core tail$i")) :+
+      (9L, "unrelated text entirely about other things completely")
+    val got = Dedup.prefixJaccard(docs.toDF("doc_id", "text"), "doc_id",
+        "text", shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === bruteJaccardPairs(docs, 3, 0.5))
+    assert(got.size === 28) // all C(8,2) core-sharing pairs
+  }
+
+  test("prefixJaccard: random corpus agrees with brute force") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val got = Dedup.prefixJaccard(docs.toDF("doc_id", "text"), "doc_id",
+        "text", shingleN = 2, threshold = 0.6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === bruteJaccardPairs(docs, 2, 0.6))
+  }
 }

@@ -152,4 +152,37 @@ class MergeOpsSpec extends SparkSpec {
     val folded = MergeOps.applyOrdered(updates, policy).head()
     assert(folded.getAs[String]("attr") === "B")
   }
+
+  // ------------------------------------------------------------------- scd2
+
+  test("scd2: chained validity intervals, open current row") {
+    val updates = Seq(("k", 10L, "A", 1L), ("k", 20L, "B", 2L),
+      ("k", 30L, "C", 3L)).toDF("key", "ts", "attr", "seq")
+    val out = MergeOps.scd2(updates, Seq("key"), "ts", "seq")
+      .orderBy("ts")
+      .select("attr", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out === Seq(("A", 10L, 20L, false), ("B", 20L, 30L, false),
+      ("C", 30L, -1L, true)))
+  }
+
+  test("scd2: same-instant updates collapse to the highest tie, no zero-width row") {
+    val updates = Seq(("k", 10L, "old", 1L), ("k", 10L, "new", 2L),
+      ("k", 20L, "next", 3L)).toDF("key", "ts", "attr", "seq")
+    val out = MergeOps.scd2(updates, Seq("key"), "ts", "seq")
+      .orderBy("ts").select("attr").collect().map(_.getString(0)).toSeq
+    assert(out === Seq("new", "next"))
+  }
+
+  test("scd2: keys intervalize independently") {
+    val updates = Seq(("a", 10L, 1L), ("b", 15L, 2L), ("a", 20L, 3L))
+      .toDF("key", "ts", "seq")
+    val cur = MergeOps.scd2(updates, Seq("key"), "ts", "seq")
+      .filter(col("is_current"))
+      .select("key", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cur === Set(("a", 20L), ("b", 15L)))
+  }
 }

@@ -775,4 +775,81 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.forall(_.output.forall(_.name != "text")),
       s"document text crosses a pmiPairs shuffle:\n$plan")
   }
+
+  test("interval overlap join: chunked EQUI-join, never a nested-loop theta join") {
+    val plan = planOf("q172_j_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join fell back to a theta join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no equi-join in the interval join plan:\n$plan")
+  }
+
+  test("vocabGrowth and maxTokenRun are scan-stage projections — zero shuffle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (r <- Seq(
+      graft.operators.Segments.vocabGrowth(docs, "doc_id", "text"),
+      graft.operators.Segments.maxTokenRun(docs, "doc_id", "text"))) {
+      val exchanges = r.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"sequence profile shuffles:\n${r.queryExecution.executedPlan}")
+    }
+  }
+
+  test("ksDrift: raw rows take ONE aggregate; windows run on the bounded grid") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Robust.ksDrift(docs, "source", "n_chars")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"ksDrift cartesian:\n$plan")
+    // the values×groups grid build must broadcast, not shuffle the grid
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"ksDrift grid didn't broadcast:\n$plan")
+    val exchanges = r.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // no shuffle may carry the raw per-document rows: everything past
+    // the first aggregate is (group, value, count) grid traffic
+    assert(exchanges.forall(_.output.forall(a =>
+      a.name == "g" || a.name.startsWith("__") || a.name == "source")),
+      s"unexpected shuffle payload:\n$plan")
+  }
+
+  test("marginPairs: denominator tables broadcast into the candidate frame") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val r = graft.operators.Similarity.marginPairs(
+      emb.filter(col("label") % 2 === 0), emb.filter(col("label") % 2 === 1),
+      "vec_id", "embedding", k = 4, minMarginQ = 0L)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"marginPairs k-sum join didn't broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"marginPairs shuffled a bounded side:\n$plan")
+  }
+
+  test("gridResample: one per-key window chain, no join between grid and obs") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions._
+    val e = ev.withColumn("ts_us", graft.operators.TimeAgg.epochMicros(ev))
+      .withColumn("value_q", floor(col("value") * lit(1000000.0)).cast("long"))
+    val r = graft.operators.TimeAgg.gridResample(e, "user_id", "ts_us",
+      "value_q", 86400000000L, "event_id")
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"gridResample plans a join:\n$plan")
+    assert(plan.contains("Window"), s"gridResample lost its window:\n$plan")
+  }
+
+  test("zOrderKey stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val r = ev.select(col("event_id"), graft.operators.Layout.zOrderKey(
+      Seq(pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L))),
+      8).as("zkey"))
+    val s = r.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"),
+      s"zOrderKey broke codegen:\n${s.take(1500)}")
+  }
 }

@@ -518,4 +518,35 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(Similarity.marginPairs(a, b, "vec_id", "embedding", k = 1,
       minMarginQ = 0L).count() === 0L)
   }
+
+  // -------------------------------------------------------------- mmrRerank
+
+  test("mmrRerank: diversity penalty displaces the near-duplicate second hit") {
+    // corpus: two EXACT twins close to the query, plus an orthogonal
+    // direction. Pure top-2 = the twins; the twin's penalty is
+    // sim = 1, so MMR's second pick must be the orthogonal vector
+    // (rel 0.447 - 0 beats 0.894 - 1).
+    val q = Seq((1L, Seq(2f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (11L, Seq(1f, 0f)),   // twin A (closest, cos ~0.894)
+      (12L, Seq(1f, 0f)),   // twin B (identical duplicate)
+      (13L, Seq(0f, 1f))    // orthogonal to the twins (cos ~0.447)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(q, corpus, "vec_id", "embedding",
+        m = 3, k = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(out === Seq((1, 11L), (2, 13L)))
+  }
+
+  test("mmrRerank: step-1 score is half the top cosine; steps are distinct ids") {
+    val q = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq((11L, Seq(1f, 0f)), (12L, Seq(0f, 1f)),
+      (13L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(q, corpus, "vec_id", "embedding",
+        m = 3, k = 3)
+      .orderBy("step").collect()
+    assert(out.head.getLong(3) === 500000L) // floor(1e6 * 0.5 * cos=1)
+    assert(out.map(_.getLong(2)).distinct.length === 3)
+  }
 }
