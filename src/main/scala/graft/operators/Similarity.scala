@@ -51,11 +51,25 @@ object Similarity {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
+  }
+
+  /** cosine() with BOTH norms precomputed as row columns (`__qn`,
+    * `__cn`): the brute scans score |Q|·|C| pairs, and inlining
+    * `cosine()` would evaluate three dot products per pair — hoisting
+    * the norms to one per ROW cuts the kernel to a third. The value is
+    * bit-identical: same `sqrt(dot(v,v))` subexpressions, same
+    * `when(denom > 0, dot/denom)` null semantics, just evaluated once.
+    */
+  private def hoistedCosine: Column = {
+    val denom = col("__qn") * col("__cn")
+    when(denom > 0, dot(col("qv"), col("cv")) / denom)
   }
 
   /** Hard-negative mining for contrastive training: per query, the
@@ -78,10 +92,12 @@ object Similarity {
     require(k > 0, s"k ($k) must be positive")
     require(minCos < maxCos, s"minCos ($minCos) must be < maxCos ($maxCos)")
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", hoistedCosine)
       .filter(col("cos") >= minCos && col("cos") < maxCos)
     topKPerQuery(scored, k)
   }
@@ -170,12 +186,14 @@ object Similarity {
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, planes: Int = 8): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), dim, planes).as("sig")))
+      lshSignature(col(vecCol), dim, planes).as("sig"),
+      norm(col(vecCol)).as("__qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), dim, planes).as("sig"))
+      lshSignature(col(vecCol), dim, planes).as("sig"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
   }
 
@@ -342,17 +360,21 @@ object Similarity {
       if (kmeansIters > 0) ivfRefineCentroids(corpus, idCol, vecCol, cents0, kmeansIters)
       else cents0)
     val indexed = ivfAssign(corpus, cents, idCol, vecCol)
+      .withColumn("__cn", norm(col(vecCol)))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__qcos").desc, col("cid").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__qcos", cosine(col("qv"), col("centroid")))
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid").as("cluster"))
+      .select(col("query_id"), col("qv"), col("cid").as("cluster"),
+        norm(col("qv")).as("__qn"))
     val scored = probes
       .join(indexed, Seq("cluster"))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("cos", cosine(col("qv"), col(vecCol)))
+      .withColumn("cos",
+        when(col("__qn") * col("__cn") > 0,
+          dot(col("qv"), col(vecCol)) / (col("__qn") * col("__cn"))))
       .withColumn("neighbor_id", col(idCol))
     topKPerQuery(scored, k)
   }
@@ -988,10 +1010,12 @@ object Similarity {
   private def crossTopK(queries: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.crossJoin(c)
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
   }
 

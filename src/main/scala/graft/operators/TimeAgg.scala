@@ -126,6 +126,25 @@ object TimeAgg {
       .select((col("window.start").as("bucket_start") +: keys.map(col)) ++
         Seq(col("withdraws"), col("updates")): _*)
 
+  /** Streaming SESSION-window aggregation: per-key event counts over
+    * dynamic gap-based sessions (`session_window` — a session closes
+    * after `gap` of silence, sealed in append mode once the watermark
+    * passes its end). The streaming twin of the batch [[sessionize]]:
+    * same grouping semantics, but state-store-backed and emitting each
+    * session exactly once. Session state per key is bounded by the gap,
+    * not the stream length — the state store holds only open sessions.
+    */
+  def streamingSessionAgg(stream: DataFrame, tsCol: String, gap: String,
+                          watermarkDelay: String,
+                          keys: Seq[String]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        keys.map(col)) :+ col("n_events"): _*)
+
   /** A4's incremental-job watermark (`2_aggregations.sql:189-201`): the
     * start time is derived from the data itself (max timestamp minus the
     * re-run horizon) — computed distributedly and applied via a

@@ -54,6 +54,44 @@ class StreamingAggSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 00:01:00", 1L, 0L, 1L)))
   }
 
+  test("streaming session windows: gap splits sessions, watermark seals them") {
+    val in = Files.createTempDirectory("graft_ssw_in").toString
+    def write(name: String, rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "user_id").write.parquet(s"$in/$name")
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    // user 1: two bursts separated by > 1 min gap; user 2: one event
+    write("b1", Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:00:30"), 1L),
+      (ts("2024-01-01 00:05:00"), 1L),
+      (ts("2024-01-01 00:05:10"), 2L)))
+
+    val stream = spark.readStream
+      .schema("ts timestamp, user_id bigint")
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+    val agg = TimeAgg.streamingSessionAgg(stream, "ts", "1 minute",
+      "30 seconds", Seq("user_id"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("session_stream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    // advance the watermark far enough to seal every open session
+    write("b2", Seq((ts("2024-01-01 01:00:00"), 9L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("session_stream")
+      .select(col("session_start").cast("string"),
+        col("session_end").cast("string"), col("user_id"), col("n_events"))
+      .as[(String, String, Long, Long)].collect().toSet
+    // session end = last event + gap
+    assert(out.contains(("2024-01-01 00:00:00", "2024-01-01 00:01:30", 1L, 2L)))
+    assert(out.contains(("2024-01-01 00:05:00", "2024-01-01 00:06:00", 1L, 1L)))
+    assert(out.contains(("2024-01-01 00:05:10", "2024-01-01 00:06:10", 2L, 1L)))
+  }
+
   test("sessionize: gap splits sessions per key; ties break by tieBreak col") {
     import graft.operators.TimeAgg
     // user 1: events at 0s, 10s, 100s with gap 60s → sessions (0,10) (100)
