@@ -7064,6 +7064,110 @@ object Queries {
         CAST(floor(1000000.0 * score) AS BIGINT) FROM s3
       ORDER BY query_id, step"""))
 
+  /** Shared oracle fragment for q185/q186: the directed 5-NN graph
+    * over embeddings (q28's cosine formula + rank).
+    */
+  private val KnnCte = """
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(q.embedding) + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE)
+               * CAST(c.embedding[i] AS DOUBLE)))
+          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                  * CAST(q.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+               i -> CAST(c.embedding[i] AS DOUBLE)
+                  * CAST(c.embedding[i] AS DOUBLE)))), 0) AS cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+      knn AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
+              WHERE rn <= 5)"""
+
+  /** (q185) Bounded-round label propagation (Graph.labelPropagate
+    * scaladoc): 20 % seeded labels spread over the directed 5-NN graph
+    * in 2 majority-vote rounds; the oracle unrolls both rounds.
+    */
+  val q185LabelProp = Q(
+    "q185_ml_label_propagation",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.labelPropagate(
+        knn.select(col("query_id"), col("neighbor_id")),
+        emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("label")),
+        "vec_id", "label", rounds = 2)
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      seed AS (SELECT vec_id AS v, label, 0 AS round_assigned
+               FROM embeddings WHERE vec_id % 5 = 0),
+      v1 AS (SELECT k.query_id AS v, s.label, CAST(count(*) AS BIGINT) AS c
+             FROM knn k JOIN seed s ON s.v = k.neighbor_id
+             WHERE k.query_id NOT IN (SELECT v FROM seed)
+             GROUP BY 1, 2),
+      r1 AS (SELECT v, label, 1 AS round_assigned FROM (
+               SELECT *, row_number() OVER (PARTITION BY v
+                 ORDER BY c DESC, label ASC) AS rn FROM v1)
+             WHERE rn = 1),
+      l1 AS (SELECT v, label, round_assigned FROM seed
+             UNION ALL SELECT v, label, round_assigned FROM r1),
+      v2 AS (SELECT k.query_id AS v, l.label, CAST(count(*) AS BIGINT) AS c
+             FROM knn k JOIN l1 l ON l.v = k.neighbor_id
+             WHERE k.query_id NOT IN (SELECT v FROM l1)
+             GROUP BY 1, 2),
+      r2 AS (SELECT v, label, 2 AS round_assigned FROM (
+               SELECT *, row_number() OVER (PARTITION BY v
+                 ORDER BY c DESC, label ASC) AS rn FROM v2)
+             WHERE rn = 1)
+      SELECT v AS vec_id, label, round_assigned FROM l1
+      UNION ALL SELECT v, label, round_assigned FROM r2
+      ORDER BY vec_id"""))
+
+  /** (q186) Mutual-kNN triangle stats (Graph.triangleStats scaladoc):
+    * symmetrized 5-NN edges → ordered-triple triangle enumeration →
+    * per-vertex counts and ⌊10⁶·local clustering coefficient⌋.
+    */
+  val q186Triangles = Q(
+    "q186_g_triangle_stats",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.triangleStats(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))))
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM mut UNION ALL SELECT b FROM mut)
+              GROUP BY id),
+      wed AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM mut e1 JOIN mut e2 ON e1.a = e2.a AND e1.b < e2.b),
+      tri AS (SELECT x, y, z FROM wed
+              WHERE EXISTS (SELECT 1 FROM mut m
+                  WHERE m.a = wed.y AND m.b = wed.z)),
+      pv AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+               SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+             GROUP BY id)
+      SELECT deg.id, deg.degree, coalesce(pv.triangles, 0) AS triangles,
+        CASE WHEN deg.degree >= 2 THEN
+          CAST(floor(1000000.0 * CAST(2 * coalesce(pv.triangles, 0)
+              AS DOUBLE)
+            / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)) AS BIGINT)
+        ELSE 0 END AS clustering_q
+      FROM deg LEFT JOIN pv USING (id) ORDER BY id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -7114,5 +7218,6 @@ object Queries {
     q172IntervalOverlap, q173VocabGrowth, q174MaxTokenRun, q175KsDrift,
     q176MarginPairs, q177Rbo, q178LooInfluence,
     q179GridResample, q180Cusum, q181ZOrder,
-    q182PrefixJoin, q183Scd2, q184Mmr)
+    q182PrefixJoin, q183Scd2, q184Mmr,
+    q185LabelProp, q186Triangles)
 }

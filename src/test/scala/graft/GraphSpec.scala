@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutualEdges: one-way edges are dropped, mutual pairs canonicalize a<b") {
+    val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 2L), (2L, 4L))
+      .toDF("query_id", "neighbor_id")
+    val out = Graph.mutualEdges(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 4L))) // 1->3 has no back edge
+  }
+
+  test("triangleStats: hand graph — one triangle plus a tail") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((2L, 1L, 1000000L))) // 2/(2·1) = 1
+    assert(out(2L) === ((2L, 1L, 1000000L)))
+    assert(out(3L) === ((3L, 1L, 333333L))) // 2/(3·2)
+    assert(out(4L) === ((1L, 0L, 0L)))      // deg < 2
+  }
+
+  test("triangleStats: a 4-clique has C(4,3)=4 triangles, coefficient 1") {
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = (for (a <- vs; b <- vs if a < b) yield (a, b)).toDF("a", "b")
+    val out = Graph.triangleStats(edges).collect()
+    assert(out.forall(r => r.getLong(1) === 3L && r.getLong(2) === 3L &&
+      r.getLong(3) === 1000000L))
+  }
+
+  test("labelPropagate: labels spread along a chain, one hop per round") {
+    // seed 1; chain 1-2-3-4 (directed both ways so votes flow)
+    val knn = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L)).toDF("query_id", "neighbor_id")
+    val seeds = Seq((1L, 7)).toDF("id", "label")
+    val out = Graph.labelPropagate(knn, seeds, "id", "label", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out === Map(1L -> ((7, 0)), 2L -> ((7, 1)), 3L -> ((7, 2))))
+    // vertex 4 is 3 hops out: unreached in 2 rounds
+  }
+
+  test("labelPropagate: majority wins; count ties break to the smaller label") {
+    // vertex 10 sees two label-1 seeds and one label-0 seed → 1;
+    // vertex 20 sees one of each → tie → 0
+    val knn = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))
+      .toDF("query_id", "neighbor_id")
+    val seeds = Seq((1L, 0), (2L, 1), (3L, 1)).toDF("id", "label")
+    val out = Graph.labelPropagate(knn, seeds, "id", "label", rounds = 1)
+      .filter($"round_assigned" === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(10L -> 1, 20L -> 0))
+  }
+
+  test("labelPropagate: already-labeled vertices are clamped, never re-voted") {
+    val knn = Seq((1L, 2L), (2L, 1L)).toDF("query_id", "neighbor_id")
+    val seeds = Seq((1L, 5), (2L, 9)).toDF("id", "label")
+    val out = Graph.labelPropagate(knn, seeds, "id", "label", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((1L, 5, 0), (2L, 9, 0)))
+  }
+}
