@@ -7168,6 +7168,151 @@ object Queries {
         ELSE 0 END AS clustering_q
       FROM deg LEFT JOIN pv USING (id) ORDER BY id"""))
 
+  /** (q187) Quantized-grid dimension covariance (Stats.dimCovariance
+    * scaladoc): the dead/duplicated/linearly-tied embedding-dimension
+    * audit over the first 6 dims, exact integer sums.
+    */
+  val q187DimCov = Q(
+    "q187_ml_dim_covariance",
+    (s, dir) =>
+      operators.Stats.dimCovariance(t(s, dir, "embeddings"), "embedding",
+        dims = 6).orderBy("dj", "dk"),
+    Some("""
+      WITH p AS (SELECT j.j, k.k
+             FROM (SELECT unnest(range(1, 7)) AS j) j,
+                  (SELECT unnest(range(1, 7)) AS k) k
+             WHERE k.k >= j.j),
+      pr AS (SELECT p.j AS dj, p.k AS dk,
+               CAST(floor(1000000.0 * CAST(e.embedding[p.j] AS DOUBLE)
+                 * CAST(e.embedding[p.k] AS DOUBLE)) AS BIGINT) AS pq
+             FROM embeddings e CROSS JOIN p
+             WHERE len(e.embedding) >= 6),
+      ag AS (SELECT dj, dk, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pq) AS DECIMAL(38,0)) AS sxy
+             FROM pr GROUP BY 1, 2),
+      dm AS (SELECT d.d,
+               CAST(sum(CAST(floor(1000000.0
+                 * CAST(e.embedding[d.d] AS DOUBLE)) AS BIGINT))
+                 AS DECIMAL(38,0)) AS sx
+             FROM embeddings e
+               CROSS JOIN (SELECT unnest(range(1, 7)) AS d) d
+             WHERE len(e.embedding) >= 6 GROUP BY 1)
+      SELECT CAST(ag.dj AS INTEGER) AS dj, CAST(ag.dk AS INTEGER) AS dk,
+        ag.n,
+        CAST(floor(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(sj.sx AS DOUBLE) * CAST(sk.sx AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0))
+          AS BIGINT) AS cov_q
+      FROM ag JOIN dm sj ON sj.d = ag.dj JOIN dm sk ON sk.d = ag.dk
+      ORDER BY dj, dk"""))
+
+  /** (q188) Per-source Pearson correlation (Stats.pearson scaladoc)
+    * between document length and token count — five exact decimal
+    * sums, two sqrts per group.
+    */
+  val q188Pearson = Q(
+    "q188_a_pearson_corr",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Stats.pearson(d, "source", "n_chars", "n_tok")
+        .orderBy("source")
+    },
+    Some("""
+      WITH tk AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 END AS BIGINT) AS y
+             FROM documents),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS syy,
+               CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                 AS DECIMAL(38,0)) AS sxy
+             FROM tk GROUP BY source),
+      v AS (SELECT source, n,
+              CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS vx,
+              CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS vy,
+              CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS cov
+            FROM ag)
+      SELECT source, n,
+        CASE WHEN vx > 0 AND vy > 0 THEN
+          CAST(floor(1000000.0 * CAST(cov AS DOUBLE)
+            / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))))
+            AS BIGINT)
+        END AS pearson_q
+      FROM v ORDER BY source"""))
+
+  /** (q189) Truncated α=1/2 EWMA (Stats.ewmaSmooth scaladoc) over
+    * densified hourly per-type counts, window 6 — exact power-of-two
+    * weights, fixed-order 6-term chain.
+    */
+  val q189Ewma = Q(
+    "q189_a_ewma_smooth",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(3600L))))
+        .select("event_type", "bucket")
+        .join(hourly, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.Stats.ewmaSmooth(dense, "event_type", "bucket", "x",
+        window = 6)
+        .orderBy("event_type", "bucket")
+    },
+    Some {
+      val chain = (0 until 6).map(d =>
+        s"CAST(coalesce(lag(x, $d) OVER (PARTITION BY event_type " +
+          s"ORDER BY bucket), 0) AS DOUBLE) / ${1L << (d + 1)}.0")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 3600000000) * 3600 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.event_type, d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket))
+      SELECT event_type, bucket, x,
+        CAST(floor(1000000.0 * ($chain)) AS BIGINT) AS ewma_q
+      FROM dense ORDER BY event_type, bucket"""
+    })
+
+  /** (q190) Simpson concentration (Stats.simpson scaladoc) of the
+    * language mix within each source — transcendental-free diversity.
+    */
+  val q190Simpson = Q(
+    "q190_s_simpson_diversity",
+    (s, dir) =>
+      operators.Stats.simpson(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source"),
+    Some("""
+      WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+             FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS n_cats,
+        CAST(floor(1000000.0
+          * CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+              AS DOUBLE)
+          / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)))
+          AS BIGINT) AS simpson_q
+      FROM c GROUP BY source ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -7219,5 +7364,6 @@ object Queries {
     q176MarginPairs, q177Rbo, q178LooInfluence,
     q179GridResample, q180Cusum, q181ZOrder,
     q182PrefixJoin, q183Scd2, q184Mmr,
-    q185LabelProp, q186Triangles)
+    q185LabelProp, q186Triangles,
+    q187DimCov, q188Pearson, q189Ewma, q190Simpson)
 }
