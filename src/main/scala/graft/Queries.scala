@@ -7313,6 +7313,135 @@ object Queries {
           AS BIGINT) AS simpson_q
       FROM c GROUP BY source ORDER BY source"""))
 
+  /** (q191) Declarative data-contract validation (Expectations
+    * scaladoc): five rule types over events in ONE aggregate pass —
+    * the promotion gate a batch pipeline runs before publishing a
+    * partition.
+    */
+  val q191Expectations = Q(
+    "q191_s_expectations",
+    (s, dir) => {
+      import operators.Expectations._
+      operators.Expectations.validate(ev(s, dir), Seq(
+        NotNull("event_id"), Unique("event_id"),
+        InRange("value", 0.0, 450.0),
+        OneOf("event_type",
+          Seq("view", "click", "purchase", "signup", "error")),
+        Matches("event_type", "^[a-z]+$")))
+        .orderBy("rule", "column")
+    },
+    Some("""
+      SELECT 'not_null' AS rule, 'event_id' AS "column",
+        CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_violations,
+        count(*) FILTER (event_id IS NULL) = 0 AS passed
+      FROM events
+      UNION ALL
+      SELECT 'unique', 'event_id',
+        CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+        count(event_id) - count(DISTINCT event_id) = 0
+      FROM events
+      UNION ALL
+      SELECT 'in_range', 'value',
+        CAST(count(*) FILTER (value IS NOT NULL
+          AND (value < 0.0 OR value > 450.0)) AS BIGINT),
+        count(*) FILTER (value IS NOT NULL
+          AND (value < 0.0 OR value > 450.0)) = 0
+      FROM events
+      UNION ALL
+      SELECT 'one_of', 'event_type',
+        CAST(count(*) FILTER (event_type IS NOT NULL AND event_type
+          NOT IN ('view', 'click', 'purchase', 'signup', 'error'))
+          AS BIGINT),
+        count(*) FILTER (event_type IS NOT NULL AND event_type
+          NOT IN ('view', 'click', 'purchase', 'signup', 'error')) = 0
+      FROM events
+      UNION ALL
+      SELECT 'matches', 'event_type',
+        CAST(count(*) FILTER (event_type IS NOT NULL
+          AND NOT regexp_matches(event_type, '^[a-z]+$')) AS BIGINT),
+        count(*) FILTER (event_type IS NOT NULL
+          AND NOT regexp_matches(event_type, '^[a-z]+$')) = 0
+      FROM events
+      ORDER BY rule, "column""""))
+
+  /** (q192) Exact equi-depth histogram (Quantiles.equiDepthHistogram
+    * scaladoc): 4 equal-count bins of document length per source with
+    * integer bin bounds — optimizer-statistics shape, no per-group
+    * global sort.
+    */
+  val q192EquiDepth = Q(
+    "q192_a_equidepth_hist",
+    (s, dir) =>
+      operators.Quantiles.equiDepthHistogram(t(s, dir, "documents"),
+        "source", "n_chars", bucketWidth = 64L, k = 4,
+        tieCols = Seq("doc_id"))
+        .orderBy("source", "bin"),
+    Some("""
+      WITH r AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rank,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM documents)
+      SELECT source, CAST(((rank - 1) * 4) // n AS BIGINT) AS bin,
+        MIN(v) AS lo, MAX(v) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+      FROM r GROUP BY source, ((rank - 1) * 4) // n
+      ORDER BY source, bin"""))
+
+  /** (q193) Linear multi-touch attribution (TimeAgg.linearAttribution
+    * scaladoc): views/clicks in the 2 h before each purchase share
+    * equal integer credit — built on the chunked interval join.
+    */
+  val q193Attribution = Q(
+    "q193_a_linear_attribution",
+    (s, dir) =>
+      operators.TimeAgg.linearAttribution(ev(s, dir), "user_id", "ts_us",
+        "event_id", "event_type", "purchase", Seq("view", "click"),
+        horizonMicros = 7200000000L)
+        .orderBy("conv_id", "touch_id"),
+    Some(s"""
+      WITH e AS (SELECT event_id, user_id, event_type, $EvUs AS ts
+             FROM events),
+      c AS (SELECT user_id, event_id AS conv_id, ts FROM e
+            WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, event_id AS touch_id, ts FROM e
+            WHERE event_type IN ('view', 'click')),
+      p AS (SELECT c.user_id, c.conv_id, t.touch_id
+            FROM c JOIN t ON c.user_id = t.user_id
+              AND t.ts >= c.ts - 7200000000 AND t.ts <= c.ts),
+      n AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_touches
+            FROM p GROUP BY 1)
+      SELECT p.user_id, p.conv_id, p.touch_id, n.n_touches,
+        CAST(1000000 // n.n_touches AS BIGINT) AS credit_q
+      FROM p JOIN n USING (conv_id)
+      ORDER BY conv_id, touch_id"""))
+
+  /** (q194) Vocabulary discovery curve (Segments.vocabDiscovery
+    * scaladoc): new-token count and cumulative vocabulary per
+    * 50-document ingestion batch — the diminishing-returns audit.
+    */
+  val q194VocabCurve = Q(
+    "q194_tx_vocab_discovery",
+    (s, dir) =>
+      operators.Segments.vocabDiscovery(t(s, dir, "documents"), "doc_id",
+        "text", batchSize = 50L)
+        .orderBy("batch"),
+    Some("""
+      WITH tk AS (SELECT doc_id // 50 AS batch,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                 '\s+'), x -> len(x) > 0)) AS tok
+             FROM documents),
+      f AS (SELECT tok, CAST(min(batch) AS BIGINT) AS batch FROM tk
+            GROUP BY tok),
+      nn AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_new_terms
+             FROM f GROUP BY batch),
+      ab AS (SELECT DISTINCT CAST(doc_id // 50 AS BIGINT) AS batch
+             FROM documents)
+      SELECT ab.batch, coalesce(nn.n_new_terms, 0) AS n_new_terms,
+        CAST(sum(coalesce(nn.n_new_terms, 0)) OVER (ORDER BY ab.batch
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS vocab_cum
+      FROM ab LEFT JOIN nn USING (batch) ORDER BY batch"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -7365,5 +7494,6 @@ object Queries {
     q179GridResample, q180Cusum, q181ZOrder,
     q182PrefixJoin, q183Scd2, q184Mmr,
     q185LabelProp, q186Triangles,
-    q187DimCov, q188Pearson, q189Ewma, q190Simpson)
+    q187DimCov, q188Pearson, q189Ewma, q190Simpson,
+    q191Expectations, q192EquiDepth, q193Attribution, q194VocabCurve)
 }

@@ -711,6 +711,28 @@ object ScaleProbe {
         timedCount(s"ksdrift $sf n_chars vs rest",
           operators.Robust.ksDrift(docs, "source", "n_chars"))
       }
+      // graph ops over a synthetic kNN frame (k=5): mutual edges are
+      // ≤ n·k, wedges ≤ n·k² — both linear in vertices at fixed k
+      for (mult <- Seq(1, 4, 16)) {
+        val n = 500L * mult
+        val knn = spark.range(n).select(col("id").as("query_id"))
+          .crossJoin(spark.range(5).select((col("id") + 1).as("r")))
+          .withColumn("neighbor_id",
+            pmod(col("query_id") * 31L + col("r") * 7L, lit(n)))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id")
+        val edges = operators.Graph.mutualEdges(knn)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        timedCount(s"trigfx  ${mult}x vertices (n=$n, k=5)",
+          operators.Graph.triangleStats(edges))
+        timedCount(s"lprop   ${mult}x vertices 2 rounds",
+          operators.Graph.labelPropagate(knn,
+            spark.range(0, n, 5).select(col("id"),
+              pmod(col("id"), lit(7)).cast("int").as("label")),
+            "id", "label", 2))
+        edges.unpersist()
+      }
       // margin mining: the brute crossTopK stage is quadratic BY DESIGN
       // (baseline path; swap in ivfTopK at retrieval scale) — probe
       // documents the growth so the cap story is explicit

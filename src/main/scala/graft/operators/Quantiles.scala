@@ -150,4 +150,26 @@ object Quantiles {
       .join(broadcast(totalDf), col("__g") === col("__tg"))
       .drop("__g", "__v", "__bucket", "__off", "__tg")
   }
+
+  /** Exact equi-depth histogram per group: k bins of (as close as
+    * integer arithmetic allows) equal row count, each reported with
+    * its value bounds — the optimizer-statistics shape (selectivity
+    * estimation, drift dashboards) built on [[exactRanks]], so no
+    * group ever sorts through one task. Bin of a row =
+    * ((rank − 1)·k) div N, a pure integer map; `tieCols` make the
+    * rank total so the oracle can replay the exact same binning.
+    *
+    * @return (groupCol, bin ∈ 0..k−1, lo, hi, n_rows)
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         bucketWidth: Long, k: Int,
+                         tieCols: Seq[String]): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    exactRanks(df, groupCol, valueCol, bucketWidth, tieCols)
+      .withColumn("bin", expr(s"((rank - 1) * ${k}L) div grp_n"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(min(col(valueCol).cast("long")).as("lo"),
+        max(col(valueCol).cast("long")).as("hi"),
+        count(lit(1)).as("n_rows"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -78,4 +79,33 @@ object Segments {
       ).as("__r"))
       .select(col(idCol), col("__r.best").as("run_len"),
         col("__r.btok").as("run_token"))
+
+  /** Vocabulary discovery curve over ingestion batches: group
+    * documents into arrival batches (`idCol div batchSize` — id order
+    * stands in for arrival order), find each distinct token's FIRST
+    * batch, and report per batch the newly-seen token count plus the
+    * cumulative vocabulary. The corpus-growth audit that says whether
+    * another crawl increment still buys new vocabulary or only
+    * repeats — a flattening curve is the data-driven stop signal.
+    *
+    * Plan: one explode + min-aggregate per distinct token (map-side
+    * combined), then all curve arithmetic on the bounded batch table
+    * (one tiny window). Batches absent from the firsts (no new
+    * tokens) still appear with 0.
+    */
+  def vocabDiscovery(docs: DataFrame, idCol: String, textCol: String,
+                     batchSize: Long): DataFrame = {
+    require(batchSize > 0, s"batchSize ($batchSize) must be positive")
+    val batchOf = expr(s"$idCol div ${batchSize}L")
+    val firsts = docs.select(batchOf.as("batch"), toks(textCol).as("__t"))
+      .select(col("batch"), explode(col("__t")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new_terms"))
+    val allBatches = docs.select(batchOf.as("batch")).distinct()
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allBatches.join(firsts, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_new_terms"))
+      .withColumn("vocab_cum", sum(col("n_new_terms")).over(w))
+  }
 }

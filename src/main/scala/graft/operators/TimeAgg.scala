@@ -480,6 +480,46 @@ object TimeAgg {
         .as("lin_q"))
   }
 
+  /** Linear (equal-credit) conversion attribution: for every
+    * conversion event, the touch events of the same key within the
+    * trailing `horizonMicros` window (touch_ts ∈ [conv_ts − horizon,
+    * conv_ts], both ends inclusive) each receive credit
+    * ⌊10⁶ / n_touches⌋ — the multi-touch answer to "which upstream
+    * interactions produced this outcome", where last-touch alone
+    * over-credits the final click.
+    *
+    * Built ON [[IntervalJoin.overlapJoin]] (conversions become
+    * half-open windows [conv_ts − h, conv_ts + 1), touches become unit
+    * points), so the pairing is the chunked equi-join with the
+    * ownership filter — no per-conversion scan, no theta join. Credit
+    * is exact integer division; conversions with zero touches are
+    * absent (nothing to credit).
+    */
+  def linearAttribution(events: DataFrame, keyCol: String,
+                        epochMicrosCol: String, idCol: String,
+                        typeCol: String, convType: String,
+                        touchTypes: Seq[String],
+                        horizonMicros: Long): DataFrame = {
+    require(horizonMicros > 0, s"horizonMicros must be positive")
+    require(touchTypes.nonEmpty, "touchTypes must not be empty")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(keyCol), col(idCol).as("conv_id"),
+        (col(epochMicrosCol) - lit(horizonMicros)).as("__cs"),
+        (col(epochMicrosCol) + lit(1L)).as("__ce"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol), col(idCol).as("touch_id"),
+        col(epochMicrosCol).as("__ts"),
+        (col(epochMicrosCol) + lit(1L)).as("__te"))
+    val pairs = IntervalJoin.overlapJoin(conv, touch, Seq(keyCol),
+      "__cs", "__ce", "__ts", "__te", chunk = horizonMicros)
+    val n = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"))
+    pairs.join(n, Seq("conv_id"))
+      .select(col(keyCol), col("conv_id"), col("touch_id"),
+        col("n_touches"),
+        expr("1000000L div n_touches").as("credit_q"))
+  }
+
   /** One-sided CUSUM shift detection per group: over the bucketed
     * series x_b (ordered by bucket), the statistic
     *

@@ -841,6 +841,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Window"), s"gridResample lost its window:\n$plan")
   }
 
+  test("triangle join pipeline: equi-joins only, no cartesian or NLJ") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val knn = (1L to 200L).flatMap(i => (1L to 5L).map(j =>
+      (i, (i * 31 + j * 7) % 200 + 1))).filter(p => p._1 != p._2)
+      .toDF("query_id", "neighbor_id")
+    val r = graft.operators.Graph.triangleStats(
+      graft.operators.Graph.mutualEdges(knn))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle pipeline planned a product join:\n$plan")
+  }
+
+  test("dimCovariance: one explode per arm, per-dim sums broadcast back") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.Stats.dimCovariance(emb, "embedding", 6)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim sums didn't broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bounded dim table shuffled:\n$plan")
+  }
+
   test("zOrderKey stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$dir/events.parquet")
