@@ -92,6 +92,44 @@ class StreamingAggSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 00:05:10", "2024-01-01 00:06:10", 2L, 1L)))
   }
 
+  test("stream-stream interval join: errors pair with purchases in-window, " +
+    "state bounded by watermark") {
+    val in1 = Files.createTempDirectory("graft_ssj_p").toString
+    val in2 = Files.createTempDirectory("graft_ssj_e").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq((ts("2024-01-01 00:10:00"), 1L, 100L)).toDF("pts", "user_id", "pid")
+      .write.parquet(s"$in1/b1")
+    Seq(
+      (ts("2024-01-01 00:20:00"), 1L, 200L),  // within 30 min of purchase
+      (ts("2024-01-01 02:00:00"), 1L, 201L),  // far outside the window
+      (ts("2024-01-01 00:15:00"), 2L, 202L))  // other user: no pair
+      .toDF("ets", "user_id", "eid").write.parquet(s"$in2/b1")
+
+    val purchases = spark.readStream
+      .schema("pts timestamp, user_id bigint, pid bigint")
+      .option("recursiveFileLookup", "true").parquet(in1)
+      .withWatermark("pts", "10 minutes")
+    val errors = spark.readStream
+      .schema("ets timestamp, user_id bigint, eid bigint")
+      .option("recursiveFileLookup", "true").parquet(in2)
+      .withWatermark("ets", "10 minutes")
+    // event-time range join: error within [purchase, purchase + 30 min];
+    // the two-sided time bound + watermarks is what lets Spark evict
+    // join state instead of buffering both streams forever
+    val joined = purchases.alias("p").join(errors.alias("e"),
+      expr("p.user_id = e.user_id AND e.ets >= p.pts AND " +
+        "e.ets <= p.pts + interval 30 minutes"))
+      .select(col("p.pid"), col("e.eid"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_stream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_stream")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((100L, 200L)))
+  }
+
   test("sessionize: gap splits sessions per key; ties break by tieBreak col") {
     import graft.operators.TimeAgg
     // user 1: events at 0s, 10s, 100s with gap 60s → sessions (0,10) (100)
