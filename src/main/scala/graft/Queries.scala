@@ -7442,6 +7442,425 @@ object Queries {
           AS vocab_cum
       FROM ab LEFT JOIN nn USING (batch) ORDER BY batch"""))
 
+  /** (q195) Integer PageRank over the mutual 5-NN graph
+    * (Graph.pageRank scaladoc): Q = 10¹² grid, d = 17/20, floor per
+    * contribution, 3 rounds; the oracle unrolls the Pregel iterations
+    * with the same integer arithmetic (`//`).
+    */
+  val q195PageRank = Q(
+    "q195_g_pagerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.pageRank(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), rounds = 3)
+        .orderBy("id")
+    },
+    Some {
+      val iter = (p: String, o: String) => s"""
+      $o AS (SELECT p.u, p.deg, p.n,
+               (3000000000000 // (20 * p.n)) + c.inc AS r
+             FROM $p p JOIN (
+               SELECT s.v AS u,
+                 CAST(sum((17 * p.r) // (20 * p.deg)) AS BIGINT) AS inc
+               FROM sym s JOIN $p p ON p.u = s.u GROUP BY s.v) c
+               ON c.u = p.u)"""
+      s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a AS u, b AS v FROM mut
+              UNION ALL SELECT b AS u, a AS v FROM mut),
+      dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+      r0 AS (SELECT u, deg, n, 1000000000000 // n AS r
+             FROM dg CROSS JOIN nn),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")},
+      ${iter("r2", "r3")}
+      SELECT u AS id, deg AS degree, CAST(r AS BIGINT) AS rank_q
+      FROM r3 ORDER BY id"""
+    })
+
+  /** (q196) Chi-square contingency audit source × lang
+    * (Stats.chiSquare scaladoc): per-cell expected count and
+    * chi-square contribution from the exact (N·o − r·c)²/(N·r·c)
+    * identity.
+    */
+  val q196ChiSquare = Q(
+    "q196_a_chi_square",
+    (s, dir) =>
+      operators.Stats.chiSquare(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cells),
+      j AS (SELECT source, lang, o, rt, ct, tt,
+              CAST(tt AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct AS dev
+            FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t)
+      SELECT source, lang, o,
+        CAST(floor(1000000.0 * CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE)
+          / CAST(tt AS DOUBLE)) AS BIGINT) AS e_q,
+        CAST(floor(1000000.0 * CAST(dev * dev AS DOUBLE)
+          / CAST(CAST(tt AS HUGEINT) * rt * ct AS DOUBLE)) AS BIGINT)
+          AS contrib_q
+      FROM j ORDER BY source, lang"""))
+
+  /** (q197) Per-source Spearman rank correlation of doc length vs
+    * token count (Stats.spearman scaladoc): doubled-midrank transform
+    * (exact integers, 2m + t − 1) then the q188 Pearson kernel on the
+    * ranks.
+    */
+  val q197Spearman = Q(
+    "q197_a_spearman_corr",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Stats.spearman(d, "source", "n_chars", "n_tok")
+        .orderBy("source")
+    },
+    Some("""
+      WITH tk AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 END AS BIGINT) AS y
+             FROM documents),
+      rk AS (SELECT source,
+               2 * rank() OVER (PARTITION BY source ORDER BY x)
+                 + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+               2 * rank() OVER (PARTITION BY source ORDER BY y)
+                 + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+             FROM tk),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+               CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+             FROM rk GROUP BY source),
+      v AS (SELECT source, n,
+              CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+              CAST(n AS HUGEINT) * syy - sy * sy AS vy,
+              CAST(n AS HUGEINT) * sxy - sx * sy AS cov
+            FROM ag)
+      SELECT source, n,
+        CASE WHEN vx > 0 AND vy > 0 THEN
+          CAST(floor(1000000.0 * CAST(cov AS DOUBLE)
+            / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))))
+            AS BIGINT)
+        END AS spearman_q
+      FROM v ORDER BY source"""))
+
+  /** (q198) Gini concentration of per-doc token mass within each
+    * source (Stats.gini scaladoc): exact rank-weighted integer
+    * numerator over the (mass, doc_id)-sorted permutation.
+    */
+  val q198Gini = Q(
+    "q198_s_gini_tokens",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Stats.gini(d, "source", "doc_id", "n_tok")
+        .orderBy("source")
+    },
+    Some("""
+      WITH tk AS (SELECT source, doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 END AS BIGINT) AS w
+             FROM documents),
+      rk AS (SELECT source, w,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY w ASC, doc_id ASC) AS BIGINT) AS i
+             FROM tk),
+      ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(w) AS BIGINT) AS total,
+               CAST(sum(CAST(i AS HUGEINT) * w) AS HUGEINT) AS sw
+             FROM rk GROUP BY source)
+      SELECT source, n, total,
+        CASE WHEN total > 0 THEN
+          CAST(floor(1000000.0 *
+            CAST(2 * sw - (CAST(n AS HUGEINT) + 1) * total AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * total AS DOUBLE)) AS BIGINT)
+        END AS gini_q
+      FROM ag ORDER BY source"""))
+
+  /** (q199) Total-variation distance between each source's token
+    * distribution and the corpus distribution (Stats.tvdVsCorpus
+    * scaladoc): exact common-denominator numerator; the mass of
+    * tokens a source never emits enters via S_g·(T − covered), never
+    * as a source × vocabulary frame.
+    */
+  val q199Tvd = Q(
+    "q199_s_tvd_divergence",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      operators.Stats.tvdVsCorpus(d, "source", "tok")
+        .orderBy("source")
+    },
+    Some("""
+      WITH tk AS (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                 '\s+'), x -> len(x) > 0)) AS tok
+             FROM documents),
+      gi AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      co AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM gi GROUP BY 1),
+      st AS (SELECT source, CAST(sum(c) AS BIGINT) AS sg FROM gi GROUP BY 1),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM gi),
+      ag AS (SELECT g.source,
+               CAST(sum(abs(CAST(g.c AS HUGEINT) * tt.t
+                 - CAST(co.ct AS HUGEINT) * st.sg)) AS HUGEINT) AS present,
+               CAST(sum(CAST(co.ct AS HUGEINT)) AS HUGEINT) AS covered
+             FROM gi g JOIN co USING (tok) JOIN st USING (source)
+               CROSS JOIN tt
+             GROUP BY g.source)
+      SELECT st.source, st.sg AS n,
+        CAST(floor(1000000.0 *
+          CAST(ag.present + CAST(st.sg AS HUGEINT) * (tt.t - ag.covered)
+            AS DOUBLE)
+          / CAST(2 * CAST(st.sg AS HUGEINT) * tt.t AS DOUBLE)) AS BIGINT)
+          AS tvd_q
+      FROM ag JOIN st USING (source) CROSS JOIN tt ORDER BY source"""))
+
+  /** (q200) Language-mix pivot per source — Spark's `pivot` with an
+    * EXPLICIT value list (the one-pass form: no values-discovery
+    * pre-query, and the fixed columns are what a downstream contract
+    * wants anyway). Absent cells are 0, not null, on both engines.
+    */
+  val q200LangPivot = Q(
+    "q200_s_lang_pivot",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source"),
+    Some("""
+      SELECT source,
+        CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** (q201) One-vs-rest Mann–Whitney U on doc length per source
+    * (Stats.mannWhitney scaladoc): doubled midranks on the bounded
+    * distinct-value grid — no row-level global sort; u2 vs eu2 gives
+    * the shift direction exactly.
+    */
+  val q201MannWhitney = Q(
+    "q201_a_mann_whitney",
+    (s, dir) =>
+      operators.Stats.mannWhitney(t(s, dir, "documents"), "source",
+        "n_chars")
+        .orderBy("source"),
+    Some("""
+      WITH gv AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2),
+      vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS nv FROM gv GROUP BY 1),
+      cum AS (SELECT v, nv,
+               CAST(coalesce(sum(nv) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+             FROM vals),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM gv),
+      ag AS (SELECT g.source, CAST(sum(g.c) AS BIGINT) AS n,
+               CAST(sum(CAST(g.c AS HUGEINT)
+                 * (2 * CAST(cm.cb AS HUGEINT) + cm.nv + 1)) AS HUGEINT)
+                 AS r2
+             FROM gv g JOIN cum cm USING (v) GROUP BY g.source)
+      SELECT source, n,
+        CAST(r2 - CAST(n AS HUGEINT) * (n + 1) AS BIGINT) AS u2,
+        CAST(CAST(n AS HUGEINT) * (tt.t - n) AS BIGINT) AS eu2
+      FROM ag CROSS JOIN tt ORDER BY source"""))
+
+  /** (q202) Benford first-significant-digit audit of order totals
+    * (Stats.benford scaladoc). o_totalprice is physically DOUBLE, so
+    * both engines canonicalize through decimal(18,2) BEFORE the
+    * string-form digit extract — double→varchar formatting is the
+    * only engine-divergent step and it never runs.
+    */
+  val q202Benford = Q(
+    "q202_a_benford_digits",
+    (s, dir) =>
+      operators.Stats.benford(
+        t(s, dir, "orders").select(
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+        "price")
+        .orderBy("digit"),
+    Some {
+      val bq = (1 to 9).map(dd =>
+        s"WHEN $dd THEN ${math.floor(1000000.0 * math.log10(1.0 + 1.0 / dd)).toLong}")
+        .mkString(" ")
+      s"""
+      WITH d AS (SELECT regexp_extract(CAST(CAST(o_totalprice
+               AS DECIMAL(18,2)) AS VARCHAR), '[1-9]') AS dg
+             FROM orders),
+      f AS (SELECT CAST(dg AS INT) AS digit, CAST(count(*) AS BIGINT) AS n
+            FROM d WHERE dg <> '' GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM f),
+      j AS (SELECT digit, n,
+              CAST(floor(1000000.0 * CAST(n AS DOUBLE)
+                / CAST(tt AS DOUBLE)) AS BIGINT) AS share_q,
+              CAST(CASE digit $bq END AS BIGINT) AS benford_q
+            FROM f CROSS JOIN t)
+      SELECT digit, n, share_q, benford_q, share_q - benford_q AS dev_q
+      FROM j ORDER BY digit"""
+    })
+
+  /** (q203) Unicode NFC canonical composition (plans.NfcNormalize
+    * scaladoc — native codegen'd, ASCII zero-copy fast path). The
+    * fixture text is ASCII, so the gate FORGES combining sequences
+    * (e → e + U+0301) identically on both engines and checks the
+    * recomposition to precomposed é; both implement UAX #15.
+    */
+  val q203NfcNormalize = Q(
+    "q203_tx_nfc_normalize",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFns.nfc(regexp_replace(col("text"), "e", "e\u0301"))
+          .as("text_nfc"))
+        .withColumn("n_cp", length(col("text_nfc")).cast("long"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS text_nfc,
+        CAST(length(nfc_normalize(replace(text, 'e', 'e' || chr(769))))
+          AS BIGINT) AS n_cp
+      FROM documents ORDER BY doc_id"""))
+
+  /** (q204) Theil–Sen robust trend per event type over DAILY counts
+    * (Robust.theilSen scaladoc): lower median of the exact quantized
+    * pairwise slopes — outlier-immune growth rate in counts/second on
+    * the 10⁻⁶ grid.
+    */
+  val q204TheilSen = Q(
+    "q204_a_theilsen_slope",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      operators.Robust.theilSen(daily, "event_type", "bucket", "x")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 86400000000) * 86400 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT a.event_type,
+              CAST(floor(1000000.0 * CAST(b.x - a.x AS DOUBLE)
+                / CAST(b.bucket - a.bucket AS DOUBLE)) AS BIGINT) AS slope
+            FROM h a JOIN h b ON a.event_type = b.event_type
+              AND b.bucket > a.bucket),
+      r AS (SELECT event_type, slope,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY slope) AS rn,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS p
+            FROM p)
+      SELECT event_type, p AS n_pairs, slope AS slope_med_q
+      FROM r WHERE rn = (p + 1) // 2 ORDER BY event_type"""))
+
+  /** (q205) Pairwise association rules over per-user event-type
+    * baskets (TimeAgg.assocRules scaladoc): support / confidence /
+    * lift on the 10⁻⁶ grid from exact counts, minCount = 5.
+    */
+  val q205AssocRules = Q(
+    "q205_a_assoc_rules",
+    (s, dir) =>
+      operators.TimeAgg.assocRules(t(s, dir, "events"), "user_id",
+        "event_type", minCount = 5L)
+        .orderBy("antecedent", "consequent"),
+    Some("""
+      WITH b AS (SELECT DISTINCT user_id, event_type FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM b),
+      it AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni
+             FROM b GROUP BY 1),
+      p AS (SELECT a.event_type AS antecedent, c.event_type AS consequent,
+              CAST(count(*) AS BIGINT) AS n_ab
+            FROM b a JOIN b c ON a.user_id = c.user_id
+              AND a.event_type <> c.event_type
+            GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT p.antecedent, p.consequent, p.n_ab,
+        CAST(floor(1000000.0 * CAST(n_ab AS DOUBLE)
+          / CAST(nn.n AS DOUBLE)) AS BIGINT) AS support_q,
+        CAST(floor(1000000.0 * CAST(n_ab AS DOUBLE)
+          / CAST(na.ni AS DOUBLE)) AS BIGINT) AS conf_q,
+        CAST(floor(1000000.0 *
+          CAST(CAST(n_ab AS HUGEINT) * nn.n AS DOUBLE)
+          / CAST(CAST(na.ni AS HUGEINT) * nb.ni AS DOUBLE)) AS BIGINT)
+          AS lift_q
+      FROM p JOIN it na ON na.event_type = p.antecedent
+        JOIN it nb ON nb.event_type = p.consequent CROSS JOIN nn
+      ORDER BY antecedent, consequent"""))
+
+  /** (q206) Per-cell mutual information source × lang
+    * (Stats.mutualInfo scaladoc): nats on the 10⁻⁶ grid, ln on exact
+    * integer-product ratios — the q166 ln contract; negative cells
+    * (anti-associated) are kept.
+    */
+  val q206MutualInfo = Q(
+    "q206_a_mutual_info",
+    (s, dir) =>
+      operators.Stats.mutualInfo(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cells)
+      SELECT source, lang, o,
+        CAST(floor(1000000.0 * CAST(o AS DOUBLE)
+          * ln(CAST(CAST(tt AS HUGEINT) * o AS DOUBLE)
+            / CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE))
+          / CAST(tt AS DOUBLE)) AS BIGINT) AS mi_contrib_q
+      FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
+      ORDER BY source, lang"""))
+
+  /** (q207) Top-5 character trigram profile per language bucket
+    * (Segments.charNgramProfile scaladoc): code-point sliding window,
+    * deterministic (count desc, gram asc) top-k on the bounded
+    * (lang × gram) grid.
+    */
+  val q207CharTrigrams = Q(
+    "q207_tx_char_trigrams",
+    (s, dir) =>
+      operators.Segments.charNgramProfile(t(s, dir, "documents"), "lang",
+        "text", n = 3, k = 5)
+        .orderBy("lang", "rank"),
+    Some("""
+      WITH t AS (SELECT lang, lower(trim(text)) AS tt FROM documents
+             WHERE length(lower(trim(text))) >= 3),
+      g AS (SELECT lang, unnest(list_transform(range(1, length(tt) - 1),
+               i -> substr(tt, CAST(i AS BIGINT), 3))) AS gram
+            FROM t),
+      c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM g GROUP BY 1, 2),
+      r AS (SELECT lang, gram, cnt,
+              CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY cnt DESC, gram ASC) AS INT) AS rank
+            FROM c)
+      SELECT lang, gram, cnt, rank FROM r WHERE rank <= 5
+      ORDER BY lang, rank"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -7495,5 +7914,8 @@ object Queries {
     q182PrefixJoin, q183Scd2, q184Mmr,
     q185LabelProp, q186Triangles,
     q187DimCov, q188Pearson, q189Ewma, q190Simpson,
-    q191Expectations, q192EquiDepth, q193Attribution, q194VocabCurve)
+    q191Expectations, q192EquiDepth, q193Attribution, q194VocabCurve,
+    q195PageRank, q196ChiSquare, q197Spearman, q198Gini, q199Tvd,
+    q200LangPivot, q201MannWhitney, q202Benford, q203NfcNormalize,
+    q204TheilSen, q205AssocRules, q206MutualInfo, q207CharTrigrams)
 }

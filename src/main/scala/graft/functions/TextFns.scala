@@ -23,6 +23,18 @@ object TextFns {
       graft.plans.TokenCount(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** Unicode NFC canonical composition — native codegen'd
+    * ([[graft.plans.NfcNormalize]]): ASCII fast path with zero
+    * allocation, UAX #15 NFC otherwise, value-identical to DuckDB's
+    * `nfc_normalize`. Run before any byte-level hash/fingerprint so
+    * precomposed and combining-mark renderings of the same text
+    * collide.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** Jaro–Winkler similarity — native codegen'd
     * ([[graft.plans.JaroWinklerSim]]): textbook Winkler variant
     * (boost threshold 0.7, prefix cap 4), value-identical to DuckDB's

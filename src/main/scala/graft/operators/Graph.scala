@@ -106,4 +106,58 @@ object Graph {
       labels.unionByName(newly)
     }.withColumnRenamed("__v", idCol)
   }
+
+  /** Bounded-round INTEGER PageRank over an undirected edge frame
+    * (`a < b` canonical form, e.g. [[mutualEdges]] output) — the
+    * centrality score a curation pipeline uses to pick authoritative
+    * representatives inside near-duplicate neighborhoods.
+    *
+    * Every quantity lives on a fixed integer grid so the result is
+    * bit-identical on any engine and any partition order:
+    *
+    *   r⁰_v  = ⌊Q/N⌋                                (Q = 10¹²)
+    *   rᵗ⁺¹_v = ⌊3·Q/(20·N)⌋ + Σ_{u∈adj(v)} ⌊17·rᵗ_u/(20·deg_u)⌋
+    *
+    * i.e. damping d = 17/20 with the floor applied per CONTRIBUTION
+    * (so each edge ships one exact long and the per-vertex sum is
+    * order-free; 17·r ≤ 17·10¹² never overflows). Isolated vertices
+    * don't exist by construction (every vertex is an edge endpoint),
+    * so there is no dangling-mass term.
+    *
+    * Plan: `rounds` driver-composed iterations, each ONE equi-join of
+    * the (symmetrized) edge frame with the current rank table + one
+    * hash aggregate — the classic Pregel step as two shuffles on the
+    * vertex id. Degrees are computed once and carried in the rank
+    * table so iterations never re-join the degree frame.
+    *
+    * @return (id, degree, rank_q) — rank on the Q = 10¹² grid
+    */
+  def pageRank(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds ($rounds) must be in [1, 20]")
+    val Q = 1000000000000L
+    val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
+      .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+    val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
+    val n = deg.select(lit(1).as("__one"),
+      count(lit(1)).cast("long").as("__n"))
+    val r0 = deg.crossJoin(broadcast(n).drop("__one"))
+      .select(col("__u"), col("__deg"), col("__n"),
+        expr(s"${Q}L div __n").as("__r"))
+    val ranks = (1 to rounds).foldLeft(r0) { (r, _) =>
+      val contrib = sym
+        .join(r.select(col("__u"), col("__deg"), col("__r")), Seq("__u"))
+        .select(col("__v").as("__u"),
+          expr("(17L * __r) div (20L * __deg)").as("__c"))
+        .groupBy(col("__u")).agg(sum(col("__c")).as("__in"))
+      r.select(col("__u"), col("__deg"), col("__n"))
+        .join(contrib, Seq("__u"))
+        .select(col("__u"), col("__deg"), col("__n"),
+          (expr(s"(3L * ${Q}L) div (20L * __n)") + col("__in"))
+            .cast("long").as("__r"))
+      // inner join is lossless: every vertex has degree >= 1, so every
+      // vertex receives at least its own neighbors' contributions
+    }
+    ranks.select(col("__u").as("id"), col("__deg").as("degree"),
+      col("__r").as("rank_q"))
+  }
 }

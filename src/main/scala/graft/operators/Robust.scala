@@ -204,4 +204,43 @@ object Robust {
             col("__n") - col("n_group"))).as("mean_without_q"))
       .withColumn("delta_q", col("mean_without_q") - col("mean_all_q"))
   }
+
+  /** Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    * slopes ⌊10⁶·(y_j−y_i)/(x_j−x_i)⌋ over the group's (x, y) series
+    * — the outlier-immune slope estimator (breakdown point 29 %) that
+    * complements [[ksDrift]]/CUSUM with a magnitude: "this event type
+    * is growing 3.2 counts/hour".
+    *
+    * Exactness: dy·10⁶ is an exact integer in double (|dy| < 2⁴³
+    * holds for any count series), the one divide is correctly
+    * rounded, floor lands identically on any engine (the q188
+    * pattern); the median then SELECTS among exact integers — the
+    * lower median (⌊(p+1)/2⌋-th smallest), which needs no averaging.
+    *
+    * Plan: the pair frame is a per-group self-join on the BOUNDED
+    * bucket grid (B buckets → B²/2 pairs per group; hourly years are
+    * B ≈ 10⁴ — grid-bounded, never corpus-bounded), then one
+    * per-group window sort over the pairs. Groups with < 2 buckets
+    * emit no row.
+    */
+  def theilSen(buckets: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val b = buckets.select(col(groupCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).na.drop()
+    val pairs = b.join(
+        b.select(col(groupCol), col("__x").as("__x2"), col("__y").as("__y2")),
+        Seq(groupCol))
+      .filter(col("__x2") > col("__x"))
+      .select(col(groupCol),
+        floor(lit(1000000.0) * (col("__y2") - col("__y")).cast("double") /
+          (col("__x2") - col("__x")).cast("double")).cast("long")
+          .as("__slope"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__slope"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__p", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rn") === expr("(__p + 1L) div 2L"))
+      .select(col(groupCol), col("__p").as("n_pairs"),
+        col("__slope").as("slope_med_q"))
+  }
 }

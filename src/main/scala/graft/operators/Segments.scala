@@ -108,4 +108,34 @@ object Segments {
       .na.fill(0L, Seq("n_new_terms"))
       .withColumn("vocab_cum", sum(col("n_new_terms")).over(w))
   }
+
+  /** Top-k character n-gram profile per group — the byte-level
+    * signature behind language/script identification and
+    * encoding-corruption triage (a lang bucket whose top trigrams
+    * look nothing like its siblings' is mislabeled or mojibake).
+    * N-grams slide over `lower(trim(text))` by CODE POINT (both
+    * engines' substring semantics), counted per (group, gram); top-k
+    * by (count desc, gram asc) — fully deterministic.
+    *
+    * Plan: the explode is scan-stage (higher-order sequence/
+    * transform, no UDF), the count map-side combines to the bounded
+    * (groups × distinct grams) grid, and ONLY the grid reaches the
+    * per-group top-k window.
+    */
+  def charNgramProfile(docs: DataFrame, groupCol: String, textCol: String,
+                       n: Int, k: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n ($n) must be in [1, 8]")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val grams = docs
+      .select(col(groupCol), lower(trim(col(textCol))).as("__t"))
+      .filter(length(col("__t")) >= n)
+      .select(col(groupCol), explode(expr(
+        s"transform(sequence(1, length(__t) - ${n - 1}), " +
+          s"i -> substring(__t, i, $n))")).as("gram"))
+      .groupBy(col(groupCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    grams.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -137,4 +137,249 @@ object Stats {
         floor(lit(1000000.0) * col("__s2").cast("double") /
           (col("n").cast("double") * col("n").cast("double")))
           .cast("long").as("simpson_q"))
+
+  /** Pearson chi-square contingency audit over two categorical
+    * columns ("is language independent of source"): per cell the
+    * observed count o, the expected count under independence, and the
+    * cell's chi-square contribution, computed from the EXACT identity
+    *
+    *   (o − e)²/e  =  (N·o − r·c)² / (N·r·c)
+    *
+    * with r = row total, c = column total. Products stay in
+    * decimal(38,0); the single divide per cell runs on the exact
+    * integers (doubles, correctly-rounded IEEE ops in a fixed order)
+    * so e_q = ⌊10⁶·r·c/N⌋ and contrib_q = ⌊10⁶·(N·o−r·c)²/(N·r·c)⌋
+    * are engine-identical. Plan: one hash agg to cells, two bounded
+    * marginal aggs broadcast back — the corpus is scanned once.
+    * (At 10¹⁰⁺ rows (N·o−r·c)² approaches decimal38's ceiling —
+    * sub-sample or bucket first; the audit is about proportions.)
+    */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(rowCol), col(colCol)).na.drop()
+      .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
+    val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
+    val tot = cells.agg(sum(col("o")).as("__t"))
+    val dev = dec(col("__t")) * dec(col("o")) - dec(col("__r")) * dec(col("__c"))
+    cells
+      .join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
+      .crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("o"),
+        floor(lit(1000000.0) *
+          (dec(col("__r")) * dec(col("__c"))).cast("double") /
+          col("__t").cast("double")).cast("long").as("e_q"),
+        floor(lit(1000000.0) * (dev * dev).cast("double") /
+          (dec(col("__t")) * dec(col("__r")) * dec(col("__c")))
+            .cast("double")).cast("long").as("contrib_q"))
+  }
+
+  /** Per-group Spearman rank correlation: average-rank transform on
+    * each axis, then [[pearson]] on the ranks. Average ranks are kept
+    * EXACT as doubled integers — for a tie run starting at min-rank m
+    * with t members, 2·avgrank = 2·m + t − 1 — so the downstream
+    * Pearson runs on exact longs and inherits its bit-reproducibility
+    * (the shared ×2 cancels in the correlation). Two per-group window
+    * sorts (one per axis); everything after is [[pearson]]'s hash agg.
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    def r2(c: String, out: String) = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val t = Window.partitionBy(col(groupCol), col(c))
+      (lit(2L) * rank().over(w) + count(lit(1)).over(t) - lit(1L)).as(out)
+    }
+    val ranked = df
+      .select(col(groupCol), col(xCol).cast("long").as("__xv"),
+        col(yCol).cast("long").as("__yv"))
+      .na.drop()
+      .select(col(groupCol), r2("__xv", "__rx"), r2("__yv", "__ry"))
+    pearson(ranked, groupCol, "__rx", "__ry")
+      .withColumnRenamed("pearson_q", "spearman_q")
+  }
+
+  /** Gini concentration of a non-negative integer mass per group
+    * ("how unequal is token mass across this source's documents"):
+    * with the group's masses sorted ascending (ties broken by `idCol`
+    * so the permutation — and through it the rank-weighted sum — is
+    * unique),
+    *
+    *   gini_q = ⌊10⁶ · (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)⌋
+    *
+    * Exact integer numerator/denominator in decimal(38,0), one
+    * correctly-rounded divide per group. Plan: one per-group window
+    * sort for the rank weights + one hash agg. Groups with zero total
+    * mass yield null.
+    */
+  def gini(df: DataFrame, groupCol: String, idCol: String,
+           wCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__w").asc, col(idCol).asc)
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(wCol).cast("long").as("__w"))
+      .na.drop()
+      .withColumn("__i", row_number().over(w))
+    val agg = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__w"))).as("s"),
+        sum(dec(col("__i")) * dec(col("__w"))).as("__sw"))
+    agg.select(col(groupCol), col("n"), col("s").cast("long").as("total"),
+      when(col("s") > 0,
+        floor(lit(1000000.0) *
+          (lit(2) * col("__sw") - (dec(col("n")) + lit(1)) * col("s"))
+            .cast("double") /
+          (dec(col("n")) * col("s")).cast("double")).cast("long"))
+        .as("gini_q"))
+  }
+
+  /** Total-variation distance between each group's categorical
+    * distribution and the corpus distribution — the transcendental-free
+    * divergence audit (exact where KL/JSD would smuggle in ln):
+    *
+    *   TVD_g = ½ Σ_t |c_{g,t}/S_g − C_t/T|
+    *
+    * computed over the common denominator S_g·T so every term is an
+    * exact decimal: Σ_{t∈g} |c_{g,t}·T − C_t·S_g| plus S_g·(T − Σ_{t∈g} C_t)
+    * for the mass of categories the group never emits — no group ×
+    * full-vocabulary frame is ever materialized. One divide per group
+    * at the end: tvd_q = ⌊10⁶·num/(2·S_g·T)⌋.
+    *
+    * Plan: map-side-combined (group, item) counts equi-join the
+    * bounded per-item corpus table, then one per-group agg.
+    */
+  def tvdVsCorpus(df: DataFrame, groupCol: String,
+                  itemCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gi = df.select(col(groupCol), col(itemCol)).na.drop()
+      .groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("__c"))
+    val corpus = gi.groupBy(col(itemCol)).agg(sum(col("__c")).as("__ct"))
+    val totals = gi.groupBy(col(groupCol)).agg(sum(col("__c")).as("__s"))
+    val grand = gi.agg(sum(col("__c")).as("__t"))
+    gi.join(corpus, Seq(itemCol))
+      .join(broadcast(totals), Seq(groupCol))
+      .crossJoin(broadcast(grand))
+      .groupBy(col(groupCol))
+      .agg(first(col("__s")).as("n"),
+        sum(abs(dec(col("__c")) * dec(col("__t")) -
+          dec(col("__ct")) * dec(col("__s")))).as("__present"),
+        sum(dec(col("__ct"))).as("__covered"),
+        first(dec(col("__s"))).as("__sg"), first(dec(col("__t"))).as("__tt"))
+      .select(col(groupCol), col("n"),
+        floor(lit(1000000.0) *
+          (col("__present") + col("__sg") * (col("__tt") - col("__covered")))
+            .cast("double") /
+          (lit(2) * col("__sg") * col("__tt")).cast("double"))
+          .cast("long").as("tvd_q"))
+  }
+
+  /** One-vs-rest Mann–Whitney U on a bounded-cardinality integer
+    * metric — the rank-based two-sample location test that backs the
+    * KS-drift audit with an effect-size statistic. Entirely on the
+    * (distinct value) grid, so there is NO row-level global sort:
+    * for value v with corpus count n_v and smaller-value mass
+    * cum_v, the doubled midrank is 2·cum_v + n_v + 1, and
+    *
+    *   2·U_g = Σ_v c_{g,v}·(2·cum_v + n_v + 1) − n_g·(n_g + 1)
+    *
+    * (doubling keeps tie midranks integer; halve downstream if the
+    * classical U is wanted). Also emits the doubled expected value
+    * 2·E[U] = n_g·(N − n_g) under H₀ — comparing u2 against eu2 gives
+    * the direction of the shift exactly.
+    *
+    * Plan: one hash agg to the (group, value) grid, one window over
+    * the BOUNDED distinct-value grid for cumulative counts, one
+    * per-group agg. Decimal products (corpus-scale rank sums pass
+    * 10²⁰).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String,
+                  xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
+      .withColumn("__cum",
+        coalesce(sum(col("__nv")).over(
+          Window.orderBy(col("__v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val grand = gv.agg(sum(col("__c")).as("__t"))
+    gv.join(broadcast(vals), Seq("__v"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(dec(col("__c")) *
+          (lit(2) * dec(col("__cum")) + dec(col("__nv")) + lit(1)))
+          .as("__r2"),
+        first(col("__t")).as("__t"))
+      .select(col(groupCol), col("n"),
+        (col("__r2") - dec(col("n")) * (dec(col("n")) + lit(1)))
+          .cast("long").as("u2"),
+        (dec(col("n")) * (dec(col("__t")) - dec(col("n"))))
+          .cast("long").as("eu2"))
+    // decimal(38,0) internally; the long gate surface holds to ~10⁹
+    // rows per side — past that read the decimals before the cast
+  }
+
+  /** Mutual information between two categorical columns, decomposed
+    * per cell — the information-theoretic companion to [[chiSquare]]
+    * (chi-square asks "is there association"; MI says how many NATS
+    * of one label the other reveals):
+    *
+    *   contrib_q = ⌊10⁶ · o · ln((N·o)/(r·c)) / N⌋
+    *
+    * MI = Σ contrib_q / 10⁶ over cells. The ln argument is built from
+    * EXACT integer products (decimal(38,0) → double, correctly
+    * rounded), and the fp chain per cell is fixed-order: divide, ln,
+    * scale — the same ln-on-exact-inputs contract as token entropy
+    * (q166). Negative contributions (cells rarer than independence
+    * predicts) are real and kept. Plan: identical shape to
+    * [[chiSquare]] — one corpus scan, bounded marginals broadcast
+    * back.
+    */
+  def mutualInfo(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(rowCol), col(colCol)).na.drop()
+      .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
+    val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
+    val tot = cells.agg(sum(col("o")).as("__t"))
+    cells
+      .join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
+      .crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("o"),
+        floor(lit(1000000.0) * col("o").cast("double") *
+          log((dec(col("__t")) * dec(col("o"))).cast("double") /
+            (dec(col("__r")) * dec(col("__c"))).cast("double")) /
+          col("__t").cast("double")).cast("long").as("mi_contrib_q"))
+  }
+
+  /** Benford first-significant-digit audit of a positive numeric
+    * column: per digit d ∈ 1..9 the observed count, the observed
+    * share ⌊10⁶·n_d/N⌋, and the deviation from Benford's
+    * ⌊10⁶·log₁₀(1+1/d)⌋ — the expected shares are nine COMPILED
+    * constants (evaluated once on the driver), so no runtime
+    * transcendental enters the plan. The digit extract is string-form
+    * (first char of the digits of the absolute value), which for
+    * DECIMAL inputs is exact — no float formatting ambiguity.
+    * Plan shape: scan + 9-row hash agg.
+    */
+  def benford(df: DataFrame, numCol: String): DataFrame = {
+    val digits = (1 to 9).map(dd =>
+      dd -> math.floor(1000000.0 * math.log10(1.0 + 1.0 / dd)).toLong).toMap
+    val expected = typedLit(digits)
+    val d = df.select(regexp_extract(col(numCol).cast("string"),
+        "[1-9]", 0).as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum(col("n")).as("__t"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        floor(lit(1000000.0) * col("n").cast("double") /
+          col("__t").cast("double")).cast("long").as("share_q"),
+        element_at(expected, col("digit")).as("benford_q"))
+      .withColumn("dev_q", col("share_q") - col("benford_q"))
+  }
 }

@@ -548,4 +548,53 @@ object TimeAgg {
         (col("__p") - col("__minp")).as("cusum"),
         (col("__p") - col("__minp") >= lit(h)).as("alarm"))
   }
+
+  /** Pairwise association rules over per-entity item baskets
+    * (market-basket on event types, tag co-occurrence, …): for every
+    * ORDERED pair a→b of distinct items co-present in ≥ `minCount`
+    * baskets,
+    *
+    *   support_q = ⌊10⁶·n_ab/N⌋   conf_q = ⌊10⁶·n_ab/n_a⌋
+    *   lift_q    = ⌊10⁶·n_ab·N/(n_a·n_b)⌋
+    *
+    * from exact integer counts (decimal product for the lift
+    * numerator), one correctly-rounded divide each — the q188
+    * reproducibility pattern.
+    *
+    * Plan: distinct (entity, item) baskets, a per-entity self-join
+    * whose fan-out is k² per basket with k = basket size (bounded by
+    * the ITEM vocabulary, e.g. event types — never corpus rows), one
+    * hash agg to the pair table, then broadcast joins of the bounded
+    * per-item table. `minCount` prunes the long tail before the
+    * output.
+    */
+  def assocRules(df: DataFrame, entityCol: String, itemCol: String,
+                 minCount: Long = 1L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val baskets = df.select(col(entityCol).as("__e"), col(itemCol).as("__i"))
+      .na.drop().distinct()
+    val nEnt = baskets.agg(countDistinct(col("__e")).as("__nn"))
+    val item = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = baskets
+      .join(baskets.select(col("__e"), col("__i").as("__j")), Seq("__e"))
+      .filter(col("__i") =!= col("__j"))
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(broadcast(item.select(col("__i"), col("__ni").as("__na"))),
+        Seq("__i"))
+      .join(broadcast(item.select(col("__i").as("__j"),
+        col("__ni").as("__nb"))), Seq("__j"))
+      .crossJoin(broadcast(nEnt))
+      .select(col("__i").as("antecedent"), col("__j").as("consequent"),
+        col("n_ab"),
+        floor(lit(1000000.0) * col("n_ab").cast("double") /
+          col("__nn").cast("double")).cast("long").as("support_q"),
+        floor(lit(1000000.0) * col("n_ab").cast("double") /
+          col("__na").cast("double")).cast("long").as("conf_q"),
+        floor(lit(1000000.0) * (dec(col("n_ab")) * dec(col("__nn")))
+          .cast("double") /
+          (dec(col("__na")) * dec(col("__nb"))).cast("double"))
+          .cast("long").as("lift_q"))
+  }
 }

@@ -175,6 +175,57 @@ object JaroWinklerSim {
   }
 }
 
+/** Native codegen'd Unicode NFC normalization — the canonical-
+  * composition pass every dedup/fingerprint stage needs BEFORE
+  * hashing (the same visible text arrives as precomposed é or as
+  * e + U+0301 depending on the crawler, and a byte-level hash calls
+  * them different documents).
+  *
+  * Spark has no normalization built-in; a Scala UDF would box every
+  * row of a 100 TB scan. This expression stays in WholeStageCodegen
+  * and fast-paths the dominant case: an ASCII-only string (checked
+  * with a byte scan, no decode) IS its own NFC form and is returned
+  * as-is with zero allocation — `java.text.Normalizer` only runs on
+  * strings that actually contain multi-byte sequences. Semantics are
+  * Unicode-standard NFC, value-identical to DuckDB's
+  * `nfc_normalize` (both implement UAX #15 canonical composition).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+object NfcNormalize {
+
+  /** See [[NfcNormalize]] for the semantics contract. */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s // pure ASCII: already NFC, no copy
+    val str = s.toString
+    val out = java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC)
+    if (out eq str) s else UTF8String.fromString(out)
+  }
+}
+
 /** Registry for the text expressions (merged into [[GraftFunctions]] /
   * [[GraftExtensions]]).
   */
@@ -182,6 +233,7 @@ object TextExpressionFunctions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       ("token_count", (c: Seq[Expression]) => TokenCount(c.head): Expression),
+      ("nfc_normalize", (c: Seq[Expression]) => NfcNormalize(c.head): Expression),
       ("jaro_winkler", (c: Seq[Expression]) => {
         require(c.length == 2, s"jaro_winkler takes 2 arguments, got ${c.length}")
         JaroWinklerSim(c(0), c(1)): Expression

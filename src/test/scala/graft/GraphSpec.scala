@@ -62,4 +62,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(out === Set((1L, 5, 0), (2L, 9, 0)))
   }
+
+  test("pageRank: matches a driver-side replay of the integer recurrence") {
+    // path a-b-c-d plus triangle b-c-e: mixed degrees 1..3
+    val edgeList = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (3L, 5L))
+    val out = Graph.pageRank(edgeList.toDF("a", "b"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // exact reference replay of the documented integer recurrence
+    val adj = (edgeList ++ edgeList.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val n = adj.size.toLong
+    val q = 1000000000000L
+    var r = adj.keys.map(v => v -> q / n).toMap
+    for (_ <- 1 to 3)
+      r = adj.map { case (v, ns) =>
+        v -> (3L * q / (20L * n) + ns.map(u =>
+          17L * r(u) / (20L * adj(u).size)).sum)
+      }
+    adj.keys.foreach { v =>
+      assert(out(v) === ((adj(v).size.toLong, r(v))),
+        s"vertex $v: got ${out(v)}, want (${adj(v).size}, ${r(v)})")
+    }
+    // symmetric triangle: equal ranks under any rounds
+    val tri = Graph.pageRank(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"),
+      rounds = 4).collect().map(_.getLong(2)).toSet
+    assert(tri.size === 1)
+  }
 }

@@ -100,4 +100,20 @@ class IntervalAndSegmentsSpec extends SparkSpec {
   test("maxTokenRun: case folding merges runs") {
     assert(run("The THE the") === (3L, "the"))
   }
+
+  test("charNgramProfile: sliding trigrams, deterministic top-k") {
+    val docs = Seq(("en", "aaab"), ("en", "aaa"), ("en", "ab"),
+      ("tie", "abcabd")).toDF("lang", "text")
+    val out = Segments.charNgramProfile(docs, "lang", "text", n = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    // "aaab" → aaa,aab; "aaa" → aaa; "ab" too short → dropped
+    assert(out(("en", 1)) === (("aaa", 2L)))
+    assert(out(("en", 2)) === (("aab", 1L)))
+    // all-count-1 grams rank lexicographically: abc < abd < bca < cab
+    assert(out(("tie", 1))._1 === "abc")
+    assert(out(("tie", 2))._1 === "abd")
+    assert(out(("tie", 3))._1 === "bca")
+    assert(out(("tie", 4))._1 === "cab")
+  }
 }

@@ -163,4 +163,27 @@ class RobustSpec extends SparkSpec {
       "g", "v").collect().head
     assert(!out.isNullAt(2) && out.isNullAt(3) && out.isNullAt(4))
   }
+
+  // --------------------------------------------------------------- theilSen
+
+  test("theilSen: median slope ignores a wild outlier point") {
+    // y = 2x on x=0..2 plus an outlier (3, 100): 4 of 6 pair slopes
+    // are exactly 2 → the median stays 2 on the 1e-6 grid
+    val rows = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
+      ("g", 3L, 100L), ("solo", 9L, 9L))
+    val out = Robust.theilSen(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("g") === ((6L, 2000000L)))
+    assert(!out.contains("solo")) // < 2 points: no slope
+  }
+
+  test("theilSen: negative slopes floor correctly on the grid") {
+    // two points, dy=-1 over dx=3: floor(-1e6/3) = -333334 (floor, not
+    // truncation — the DuckDB // twin agrees)
+    val out = Robust.theilSen(Seq(("g", 0L, 1L), ("g", 3L, 0L))
+      .toDF("g", "x", "y"), "g", "x", "y").collect().head
+    assert(out.getLong(1) === 1L)
+    assert(out.getLong(2) === -333334L)
+  }
 }

@@ -52,4 +52,92 @@ class StatsSpec extends SparkSpec {
     assert(out("a") === ((2L, 2L, 500000L))) // two uniform cats: 1/2
     assert(out("b") === ((2L, 1L, 1000000L))) // one cat: 1
   }
+
+  test("chiSquare: independent table has zero contribution, dependent doesn't") {
+    val ind = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "x"), ("b", "y"), ("b", "y"))
+    val outI = Stats.chiSquare(ind.toDF("r", "c"), "r", "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // every cell: o=2, e = 4*4/8 = 2 exactly, contribution 0
+    outI.values.foreach { case (o, eq, cq) =>
+      assert(o === 2L); assert(eq === 2000000L); assert(cq === 0L)
+    }
+    val dep = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("b", "y"))
+    val outD = Stats.chiSquare(dep.toDF("r", "c"), "r", "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (a,x): o=4, e=2, (o-e)^2/e = 2 → 2e6 on the grid
+    assert(outD(("a", "x")) === ((4L, 2000000L, 2000000L)))
+  }
+
+  test("spearman: monotone nonlinear is +1, ties use midranks") {
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 10L), ("g", 3L, 100L),
+      ("t", 1L, 5L), ("t", 1L, 5L), ("t", 2L, 9L))
+    val out = Stats.spearman(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("g") === 1000000L) // rank-perfect despite nonlinearity
+    assert(out("t") === 1000000L) // tie midranks agree on both axes
+  }
+
+  test("gini: equal masses 0, one-holder concentration 3/4 for n=4") {
+    val rows = Seq(("eq", 1L, 5L), ("eq", 2L, 5L), ("eq", 3L, 5L),
+      ("eq", 4L, 5L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 0L), ("one", 4L, 10L))
+    val out = Stats.gini(rows.toDF("g", "id", "w"), "g", "id", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("eq") === 0L)
+    assert(out("one") === 750000L) // (1 - 1/n) = 3/4
+  }
+
+  test("tvdVsCorpus: identical mixes 0, disjoint point mass 1/2") {
+    val same = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"))
+    Stats.tvdVsCorpus(same.toDF("g", "t"), "g", "t")
+      .collect().foreach(r => assert(r.getLong(2) === 0L))
+    val dis = Seq(("g1", "a"), ("g1", "a"), ("g2", "b"), ("g2", "b"))
+    val out = Stats.tvdVsCorpus(dis.toDF("g", "t"), "g", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // point mass on a vs uniform{a,b}: TVD = 1/2
+    assert(out("g1") === 500000L)
+    assert(out("g2") === 500000L)
+  }
+
+  test("mannWhitney: separated samples hit 0/2·n1·n2, ties midrank") {
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+    val out = Stats.mannWhitney(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") === ((2L, 0L, 4L))) // all below rest: U=0, E[2U]=4
+    assert(out("B") === ((2L, 8L, 4L))) // all above rest: 2U = 2·n1·n2
+    val ties = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 3L))
+    val outT = Stats.mannWhitney(ties.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(outT("A") === 2L) // midranks (2,2,2,4): R_A=4 → 2U=2
+  }
+
+  test("mutualInfo: dependent cells carry ln2 nats, independent cells 0") {
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+    val outD = Stats.mutualInfo(dep.toDF("r", "c"), "r", "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    // o=2, N=4, r=c=2: 1e6·2·ln(8/4)/4 = 5e5·ln2 = 346573.59…
+    assert(outD(("a", "x")) === 346573L)
+    assert(outD(("b", "y")) === 346573L)
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+    Stats.mutualInfo(ind.toDF("r", "c"), "r", "c")
+      .collect().foreach(r => assert(r.getLong(3) === 0L))
+  }
+
+  test("benford: digit extract and compiled expected shares") {
+    val rows = Seq(BigDecimal("19.00"), BigDecimal("25.10"),
+      BigDecimal("102.00"), BigDecimal("1.50"), BigDecimal("0.07"))
+      .map(Tuple1(_))
+    val out = Stats.benford(rows.toDF("x"), "x")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1) === ((3L, 600000L, 301029L))) // log10(2) = .30103
+    assert(out(2)._1 === 1L)
+    assert(out(7)._1 === 1L) // 0.07 → first significant digit 7
+    assert(out(7)._3 === 57991L) // log10(8/7)
+  }
 }

@@ -247,4 +247,20 @@ class StreamingAggSpec extends SparkSpec {
     assert(r === Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
       (86400L, 0L, 1L)))
   }
+
+  test("assocRules: support/confidence/lift from exact basket counts") {
+    // u1:{a,b} u2:{a,b} u3:{a} — duplicates within a basket collapse
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("user_id", "event_type")
+    val out = TimeAgg.assocRules(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a→b: n_ab=2, N=3, n_a=3, n_b=2
+    assert(out(("a", "b")) === ((2L, 666666L, 666666L, 1000000L)))
+    // b→a: confidence 2/2 = 1; lift symmetric
+    assert(out(("b", "a")) === ((2L, 666666L, 1000000L, 1000000L)))
+    // minCount prunes below-threshold pairs entirely
+    assert(TimeAgg.assocRules(ev, "user_id", "event_type", minCount = 3L)
+      .count() === 0L)
+  }
 }

@@ -140,4 +140,28 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.fleschScore(col("text"))).as[Double].head()
     assert(math.abs(f - 77.905) < 1e-9)
   }
+
+  test("nfc: composes combining marks, ASCII passes through by reference") {
+    import graft.plans.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    // e + U+0301 → precomposed é (2 code points → 1)
+    assert(NfcNormalize.nfc(UTF8String.fromString("cafe\u0301"))
+      .toString === "caf\u00e9")
+    // already-NFC non-ASCII: unchanged value
+    assert(NfcNormalize.nfc(UTF8String.fromString("caf\u00e9"))
+      .toString === "caf\u00e9")
+    // pure ASCII fast path: the SAME UTF8String instance comes back
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    // DataFrame path (codegen): null-safe, composes, length shrinks
+    val out = Seq(("a", "e\u0301x"), ("b", "ok"), ("c", null))
+      .toDF("id", "t")
+      .select(col("id"), TextFns.nfc(col("t")).as("n"),
+        length(TextFns.nfc(col("t"))).as("len"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.get(2))))).toMap
+    assert(out("a") === ((Some("\u00e9x"), Some(2))))
+    assert(out("b") === ((Some("ok"), Some(2))))
+    assert(out("c") === ((None, None)))
+  }
 }
