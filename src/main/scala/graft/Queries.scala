@@ -7861,6 +7861,56 @@ object Queries {
       SELECT lang, gram, cnt, rank FROM r WHERE rank <= 5
       ORDER BY lang, rank"""))
 
+  /** (q208) Accent folding (plans.StripAccents scaladoc): forge
+    * combining-acute sequences on both engines, strip them, and land
+    * back on the original ASCII — NFD → drop Mn → NFC vs DuckDB's
+    * utf8proc `strip_accents`. `same_as_raw` pins the round trip.
+    */
+  val q208StripAccents = Q(
+    "q208_tx_strip_accents",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFns.stripAccents(regexp_replace(col("text"), "e", "e\u0301"))
+          .as("text_folded"))
+        .select(col("doc_id"), col("text_folded"),
+          (col("text_folded") === col("text")).as("same_as_raw"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        strip_accents(replace(text, 'e', 'e' || chr(769))) AS text_folded,
+        strip_accents(replace(text, 'e', 'e' || chr(769))) = text
+          AS same_as_raw
+      FROM documents ORDER BY doc_id"""))
+
+  /** (q209) Zipf exponent of the corpus term distribution
+    * (Segments.zipfSlope scaladoc): Theil–Sen median slope on the
+    * (⌊10⁶·ln rank⌋, ⌊10⁶·ln freq⌋) grid over the top-100 terms —
+    * ≈ −10⁶ for natural language.
+    */
+  val q209ZipfSlope = Q(
+    "q209_tx_zipf_slope",
+    (s, dir) =>
+      operators.Segments.zipfSlope(t(s, dir, "documents"), "text",
+        topK = 100),
+    Some("""
+      WITH tk AS (SELECT unnest(list_filter(regexp_split_to_array(
+               lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+             FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tk GROUP BY tok),
+      r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS rnk
+            FROM c QUALIFY rnk <= 100),
+      q AS (SELECT
+              CAST(floor(1000000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+              CAST(floor(1000000.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+            FROM r),
+      p AS (SELECT CAST(floor(1000000.0 * CAST(b.y - a.y AS DOUBLE)
+              / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope
+            FROM q a JOIN q b ON b.x > a.x),
+      s AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+              CAST(count(*) OVER () AS BIGINT) AS p FROM p)
+      SELECT 'corpus' AS scope, p AS n_pairs, slope AS slope_med_q
+      FROM s WHERE rn = (p + 1) // 2"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -7917,5 +7967,6 @@ object Queries {
     q191Expectations, q192EquiDepth, q193Attribution, q194VocabCurve,
     q195PageRank, q196ChiSquare, q197Spearman, q198Gini, q199Tvd,
     q200LangPivot, q201MannWhitney, q202Benford, q203NfcNormalize,
-    q204TheilSen, q205AssocRules, q206MutualInfo, q207CharTrigrams)
+    q204TheilSen, q205AssocRules, q206MutualInfo, q207CharTrigrams,
+    q208StripAccents, q209ZipfSlope)
 }

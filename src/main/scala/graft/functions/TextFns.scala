@@ -35,6 +35,17 @@ object TextFns {
       graft.plans.NfcNormalize(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
+  /** Accent folding — native codegen'd ([[graft.plans.StripAccents]]):
+    * NFD → drop non-spacing marks → NFC, value-identical to DuckDB's
+    * `strip_accents` on decomposable sequences; ASCII zero-copy fast
+    * path. The canonical pre-pass for diacritic-insensitive blocking
+    * keys and fuzzy linkage.
+    */
+  def stripAccents(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.StripAccents(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** Jaro–Winkler similarity — native codegen'd
     * ([[graft.plans.JaroWinklerSim]]): textbook Winkler variant
     * (boost threshold 0.7, prefix cap 4), value-identical to DuckDB's

@@ -138,4 +138,33 @@ object Segments {
     grams.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Zipf-law exponent of the corpus term distribution: the Theil–Sen
+    * median slope of (⌊10⁶·ln rank⌋, ⌊10⁶·ln freq⌋) over the top-K
+    * terms — a healthy natural-language corpus sits near −1·10⁶ on
+    * the grid; a synthetic/template-heavy one flattens, a
+    * deduplicated-to-death one steepens. ln runs on INTEGER-valued
+    * doubles only (the q166 ln contract), the slope median selects
+    * among exact longs ([[graft.operators.Robust.theilSen]]).
+    *
+    * Plan: the explode+count map-side combines to the vocabulary
+    * grid; ONLY that grid is sorted for top-K (K rows reach the
+    * window); the pair frame is K²/2 — constant-bounded, never
+    * corpus-bounded.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 3 && topK <= 10000, s"topK ($topK) must be in [3, 10000]")
+    val counts = docs.select(explode(toks(textCol)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("__f"))
+    val w = Window.orderBy(col("__f").desc, col("tok").asc)
+    val pts = counts
+      .orderBy(col("__f").desc, col("tok").asc).limit(topK)
+      .withColumn("__r", row_number().over(w))
+      .select(lit("corpus").as("scope"),
+        floor(lit(1000000.0) * log(col("__r").cast("double")))
+          .cast("long").as("__x"),
+        floor(lit(1000000.0) * log(col("__f").cast("double")))
+          .cast("long").as("__y"))
+    Robust.theilSen(pts, "scope", "__x", "__y")
+  }
 }

@@ -226,6 +226,61 @@ object NfcNormalize {
   }
 }
 
+/** Native codegen'd accent stripping — fold accented renderings onto
+  * their base letters (é/e + U+0301 → e) so fuzzy matching, blocking
+  * keys, and fingerprints collide across diacritic variants.
+  *
+  * Semantics: NFD canonical decomposition, drop every non-spacing
+  * mark (Unicode category Mn), NFC the remainder — value-identical to
+  * DuckDB's `strip_accents` (utf8proc) on decomposable sequences.
+  * Same ASCII zero-allocation fast path as [[NfcNormalize]]: a pure
+  * ASCII string cannot carry marks and is returned as-is, so over a
+  * mostly-ASCII 100 TB corpus the Normalizer never runs.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    StripAccents.strip(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.StripAccents.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+object StripAccents {
+
+  /** See [[StripAccents]] for the semantics contract. */
+  def strip(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s // pure ASCII: nothing to strip, no copy
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(sb.toString,
+      java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Registry for the text expressions (merged into [[GraftFunctions]] /
   * [[GraftExtensions]]).
   */
@@ -234,6 +289,7 @@ object TextExpressionFunctions {
     Seq(
       ("token_count", (c: Seq[Expression]) => TokenCount(c.head): Expression),
       ("nfc_normalize", (c: Seq[Expression]) => NfcNormalize(c.head): Expression),
+      ("strip_accents", (c: Seq[Expression]) => StripAccents(c.head): Expression),
       ("jaro_winkler", (c: Seq[Expression]) => {
         require(c.length == 2, s"jaro_winkler takes 2 arguments, got ${c.length}")
         JaroWinklerSim(c(0), c(1)): Expression

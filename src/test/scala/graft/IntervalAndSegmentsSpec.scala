@@ -116,4 +116,26 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     assert(out(("tie", 3))._1 === "bca")
     assert(out(("tie", 4))._1 === "cab")
   }
+
+  test("zipfSlope: matches an exact driver-side replay of the quantized kernel") {
+    // exact Zipf: freq = 12/rank → 12/6/4/3, slope −1 on the ln-ln grid
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")).mkString(" ")
+    val out = Segments.zipfSlope(Seq(text).toDF("text"), "text", topK = 100)
+      .collect().head
+    // replay: quantize exactly as the operator does, brute-force pairs
+    val freqs = Seq(12L, 6L, 4L, 3L)
+    val pts = freqs.zipWithIndex.map { case (f, i) =>
+      (math.floor(1000000.0 * math.log((i + 1).toDouble)).toLong,
+        math.floor(1000000.0 * math.log(f.toDouble)).toLong)
+    }
+    val slopes = (for {
+      (a, i) <- pts.zipWithIndex; b <- pts.drop(i + 1)
+    } yield math.floor(1000000.0 * (b._2 - a._2).toDouble /
+        (b._1 - a._1).toDouble).toLong).sorted
+    val median = slopes((slopes.size + 1) / 2 - 1)
+    assert(out.getLong(1) === slopes.size.toLong)
+    assert(out.getLong(2) === median)
+    assert(median <= -1000000L && median >= -1000002L) // exponent −1
+  }
 }

@@ -164,4 +164,26 @@ class TextFnsSpec extends SparkSpec {
     assert(out("b") === ((Some("ok"), Some(2))))
     assert(out("c") === ((None, None)))
   }
+
+  test("stripAccents: folds both accent renderings, ASCII by reference") {
+    import graft.plans.StripAccents
+    import org.apache.spark.unsafe.types.UTF8String
+    // decomposed AND precomposed renderings both land on the base char
+    assert(StripAccents.strip(UTF8String.fromString("cafe\u0301"))
+      .toString === "cafe")
+    assert(StripAccents.strip(UTF8String.fromString("caf\u00e9"))
+      .toString === "cafe")
+    // diaeresis: \u00fc \u2192 u
+    assert(StripAccents.strip(UTF8String.fromString("u\u0308ber"))
+      .toString === "uber")
+    // pure ASCII fast path: same instance back
+    val ascii = UTF8String.fromString("plain")
+    assert(StripAccents.strip(ascii) eq ascii)
+    // DataFrame path: null-safe codegen
+    val out = Seq(("a", "caf\u00e9"), ("b", null)).toDF("id", "t")
+      .select(col("id"), TextFns.stripAccents(col("t")).as("f"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("a") === Some("cafe"))
+    assert(out("b") === None)
+  }
 }
