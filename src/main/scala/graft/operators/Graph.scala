@@ -135,14 +135,21 @@ object Graph {
   def pageRank(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds ($rounds) must be in [1, 20]")
     val Q = 1000000000000L
+    // compute-once: the edge frame (often an expensive kNN pipeline)
+    // is touched per round, and each round's rank table feeds the
+    // next twice — without materialization lineage re-executes the
+    // whole upstream once per round (and grows exponentially in the
+    // fold). localCheckpoint keeps every iteration ONE join + one agg.
     val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
       .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+      .localCheckpoint(eager = false)
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
     val n = deg.select(lit(1).as("__one"),
       count(lit(1)).cast("long").as("__n"))
     val r0 = deg.crossJoin(broadcast(n).drop("__one"))
       .select(col("__u"), col("__deg"), col("__n"),
         expr(s"${Q}L div __n").as("__r"))
+      .localCheckpoint(eager = false)
     val ranks = (1 to rounds).foldLeft(r0) { (r, _) =>
       val contrib = sym
         .join(r.select(col("__u"), col("__deg"), col("__r")), Seq("__u"))
@@ -154,6 +161,7 @@ object Graph {
         .select(col("__u"), col("__deg"), col("__n"),
           (expr(s"(3L * ${Q}L) div (20L * __n)") + col("__in"))
             .cast("long").as("__r"))
+        .localCheckpoint(eager = false)
       // inner join is lossless: every vertex has degree >= 1, so every
       // vertex receives at least its own neighbors' contributions
     }

@@ -225,8 +225,11 @@ object Robust {
     */
   def theilSen(buckets: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
+    // compute-once: the bucket grid self-joins — don't recompute the
+    // upstream aggregation for each join arm
     val b = buckets.select(col(groupCol), col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y")).na.drop()
+      .localCheckpoint(eager = false)
     val pairs = b.join(
         b.select(col(groupCol), col("__x").as("__x2"), col("__y").as("__y2")),
         Seq(groupCol))

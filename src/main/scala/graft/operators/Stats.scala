@@ -156,8 +156,11 @@ object Stats {
     */
   def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // compute-once: cells feeds itself + three marginal subtrees —
+    // without materialization the corpus scan re-executes per subtree
     val cells = df.select(col(rowCol), col(colCol)).na.drop()
       .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
     val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
     val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
     val tot = cells.agg(sum(col("o")).as("__t"))
@@ -251,8 +254,11 @@ object Stats {
   def tvdVsCorpus(df: DataFrame, groupCol: String,
                   itemCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // compute-once: the (group, item) grid feeds the join plus three
+    // aggregate subtrees — one corpus scan, not four
     val gi = df.select(col(groupCol), col(itemCol)).na.drop()
       .groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
     val corpus = gi.groupBy(col(itemCol)).agg(sum(col("__c")).as("__ct"))
     val totals = gi.groupBy(col(groupCol)).agg(sum(col("__c")).as("__s"))
     val grand = gi.agg(sum(col("__c")).as("__t"))
@@ -295,9 +301,12 @@ object Stats {
   def mannWhitney(df: DataFrame, groupCol: String,
                   xCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // compute-once: gv feeds the join plus the value-grid and grand
+    // totals — one corpus scan, not three
     val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
     val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
       .withColumn("__cum",
         coalesce(sum(col("__nv")).over(
@@ -339,8 +348,10 @@ object Stats {
     */
   def mutualInfo(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // compute-once cell grid (see chiSquare)
     val cells = df.select(col(rowCol), col(colCol)).na.drop()
       .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
     val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
     val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
     val tot = cells.agg(sum(col("o")).as("__t"))
@@ -374,6 +385,7 @@ object Stats {
       .filter(col("__d") =!= "")
       .groupBy(col("__d").cast("int").as("digit"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // 9-row grid: scan once, not twice
     val tot = d.agg(sum(col("n")).as("__t"))
     d.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),

@@ -571,8 +571,11 @@ object TimeAgg {
   def assocRules(df: DataFrame, entityCol: String, itemCol: String,
                  minCount: Long = 1L): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // compute-once: baskets feeds the self-join twice plus two
+    // aggregate subtrees — one corpus scan, not four
     val baskets = df.select(col(entityCol).as("__e"), col(itemCol).as("__i"))
       .na.drop().distinct()
+      .localCheckpoint(eager = false)
     val nEnt = baskets.agg(countDistinct(col("__e")).as("__nn"))
     val item = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = baskets

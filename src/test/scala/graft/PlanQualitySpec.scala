@@ -876,4 +876,69 @@ class PlanQualitySpec extends SparkSpec {
     assert(s.contains("WholeStageCodegen"),
       s"zOrderKey broke codegen:\n${s.take(1500)}")
   }
+
+  test("chi-square / mutual info / TVD: marginals broadcast, corpus scanned once") {
+    for (name <- Seq("q196_a_chi_square", "q206_a_mutual_info",
+        "q199_s_tvd_divergence")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: bounded marginal tables didn't broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: a bounded marginal shuffled into an SMJ:\n$plan")
+    }
+  }
+
+  test("Mann-Whitney: one aggregate over raw rows, windows on the value grid") {
+    val plan = planOf("q201_a_mann_whitney")
+    // raw documents feed exactly one hash-aggregate pair (partial+final
+    // on (source, value)); every Window in the plan runs AFTER that
+    // reduction, over the bounded distinct-value grid
+    val lines = plan.split("\n")
+    val docScans = lines.count(l => l.contains("Scan parquet") &&
+      l.contains("documents"))
+    assert(docScans <= 1, s"documents scanned $docScans times:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"grid tables should broadcast:\n$plan")
+  }
+
+  test("nfc / strip_accents / token_count ride whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = docs.select(
+      graft.functions.TextFns.nfc(col("text")).as("a"),
+      graft.functions.TextFns.stripAccents(col("text")).as("b"))
+    val s = r.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"),
+      s"text expressions broke codegen:\n${s.take(1500)}")
+  }
+
+  test("pageRank rounds: keyed equi-joins, iteration lineage cut per round") {
+    import spark.implicits._
+    val edges = (1L to 300L).map(i => (i, i % 300 + 1)).toDF("a", "b")
+    val r = graft.operators.Graph.pageRank(edges, rounds = 3)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pageRank planned a cartesian:\n$plan")
+    // the only BNLJ allowed is the 1-row vertex-count broadcast (Cross)
+    // inside r0 — and the localCheckpoint lineage cut means the final
+    // round's plan contains NO join back to the raw edge input
+    val bnlj = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj === 0,
+      s"round plan should start from the checkpointed rank table:\n$plan")
+    assert(plan.split("\n").count(_.contains("LocalTableScan")) <= 1)
+  }
+
+  test("charNgramProfile: only the (group, gram) grid reaches the top-k window") {
+    val r = graft.operators.Segments.charNgramProfile(
+      spark.read.parquet(s"$dir/documents.parquet"), "lang", "text", 3, 5)
+    val plan = r.queryExecution.optimizedPlan.toString
+    // the Window must sit ABOVE the gram aggregate (grid input), never
+    // directly over the exploded corpus rows
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"top-k window not over the aggregated grid:\n$plan")
+  }
 }
