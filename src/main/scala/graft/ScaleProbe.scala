@@ -749,6 +749,75 @@ object ScaleProbe {
       }
     }
 
+    if (section("session6")) {
+      // PageRank over the synthetic mutual-kNN graph: each round is one
+      // edge join + one agg on checkpointed inputs — linear in |E|
+      for (mult <- Seq(1, 4, 16)) {
+        val n = 500L * mult
+        val knn = spark.range(n).select(col("id").as("query_id"))
+          .crossJoin(spark.range(5).select((col("id") + 1).as("r")))
+          .withColumn("neighbor_id",
+            pmod(col("query_id") * 31L + col("r") * 7L, lit(n)))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select("query_id", "neighbor_id")
+        timedCount(s"prank   ${mult}x vertices (n=$n, k=5) 3 rounds",
+          operators.Graph.pageRank(operators.Graph.mutualEdges(knn), 3))
+      }
+      // audit battery: one-scan shapes must ride the corpus size
+      for (sf <- Seq("sf0.01", "sf0.1")) {
+        val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        timedCount(s"chi2    $sf source x lang",
+          operators.Stats.chiSquare(docs, "source", "lang"))
+        timedCount(s"minfo   $sf source x lang",
+          operators.Stats.mutualInfo(docs, "source", "lang"))
+        timedCount(s"mannw   $sf n_chars one-vs-rest",
+          operators.Stats.mannWhitney(docs, "source", "n_chars"))
+        val toks = docs.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        timedCount(s"tvd     $sf term dist vs corpus",
+          operators.Stats.tvdVsCorpus(toks, "source", "tok"))
+        timedCount(s"ctrig   $sf top-5 per lang",
+          operators.Segments.charNgramProfile(docs, "lang", "text", 3, 5))
+        timedCount(s"zipf    $sf top-100 terms",
+          operators.Segments.zipfSlope(docs, "text", 100))
+        timedCount(s"nfcfold $sf nfc+strip_accents scan",
+          docs.select(functions.TextFns.nfc(col("text")).as("a"),
+            functions.TextFns.stripAccents(col("text")).as("b"))
+            .filter(length(col("a")) >= 0 && length(col("b")) >= 0))
+      }
+      // association rules: replicated USERS (baskets grow, item vocab
+      // fixed) — pair grid stays constant-size, scan grows linearly
+      for (mult <- Seq(1, 4, 16)) {
+        val ev = replicate(
+          spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+            .select(col("user_id"), col("event_type")),
+          "user_id", mult)
+        timedCount(s"assoc   ${mult}x users minCount=5",
+          operators.TimeAgg.assocRules(ev, "user_id", "event_type", 5L))
+        ev.unpersist()
+      }
+      // Theil-Sen: pairs are quadratic IN THE BUCKET GRID by design —
+      // replicated disjoint time ranges grow the grid linearly, the
+      // pair frame quadratically; the probe documents that the cost is
+      // grid-bound (B²), never corpus-bound
+      for (mult <- Seq(1, 2, 4)) {
+        val ev0 = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        val base = ev0.select(col("event_type"),
+          operators.TimeAgg.epochMicros(ev0).as("ts_us"))
+        val shift = 3000000000000L
+        val ev = (0 until mult).map(r => base
+          .withColumn("ts_us", col("ts_us") + lit(r * shift)))
+          .reduce(_ unionByName _)
+        val daily = ev.withColumn("bucket",
+            operators.TimeAgg.timeBucketSec(col("ts_us"), 86400))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("x"))
+        timedCount(s"theils  ${mult}x bucket grid (daily)",
+          operators.Robust.theilSen(daily, "event_type", "bucket", "x"))
+      }
+    }
+
     spark.stop()
   }
 }
