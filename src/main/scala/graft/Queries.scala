@@ -7911,6 +7911,509 @@ object Queries {
       SELECT 'corpus' AS scope, p AS n_pairs, slope AS slope_med_q
       FROM s WHERE rn = (p + 1) // 2"""))
 
+  /** (q210) Integer-grid HITS hubs/authorities over the DIRECTED 5-NN
+    * graph (Graph.hits scaladoc): 2 rounds, L1-normalized per
+    * half-step, every normalizer an exact decimal sum — the oracle
+    * unrolls all four half-steps.
+    */
+  val q210Hits = Q(
+    "q210_g_hits",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.hits(
+        knn.select(col("query_id").as("src"), col("neighbor_id").as("dst")),
+        rounds = 2)
+        .orderBy("id")
+    },
+    Some {
+      val auth = (hPrev: String, o: String) => s"""
+      ${o}r AS (SELECT e.d AS v, CAST(sum(p.h) AS HUGEINT) AS raw
+             FROM e JOIN $hPrev p ON p.v = e.s GROUP BY e.d),
+      $o AS (SELECT v.v,
+               coalesce(CAST((1000000000000::HUGEINT * r.raw)
+                 // (SELECT sum(raw) FROM ${o}r) AS BIGINT), 0) AS a
+             FROM v LEFT JOIN ${o}r r ON r.v = v.v)"""
+      val hub = (aCur: String, o: String) => s"""
+      ${o}r AS (SELECT e.s AS v, CAST(sum(p.a) AS HUGEINT) AS raw
+             FROM e JOIN $aCur p ON p.v = e.d GROUP BY e.s),
+      $o AS (SELECT v.v,
+               coalesce(CAST((1000000000000::HUGEINT * r.raw)
+                 // (SELECT sum(raw) FROM ${o}r) AS BIGINT), 0) AS h
+             FROM v LEFT JOIN ${o}r r ON r.v = v.v)"""
+      s"""
+      WITH $KnnCte,
+      e AS (SELECT DISTINCT query_id AS s, neighbor_id AS d FROM knn),
+      v AS (SELECT s AS v FROM e UNION SELECT d AS v FROM e),
+      h0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS h FROM v),
+      ${auth("h0", "a1")},
+      ${hub("a1", "h1")},
+      ${auth("h1", "a2")},
+      ${hub("a2", "h2")},
+      od AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY s),
+      idg AS (SELECT d AS v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY d)
+      SELECT v.v AS id, coalesce(od.c, 0) AS out_degree,
+        coalesce(idg.c, 0) AS in_degree, h2.h AS hub_q, a2.a AS auth_q
+      FROM v LEFT JOIN od ON od.v = v.v LEFT JOIN idg ON idg.v = v.v
+        JOIN h2 ON h2.v = v.v JOIN a2 ON a2.v = v.v
+      ORDER BY id"""
+    })
+
+  /** (q211) Per-source Jensen–Shannon divergence vs the rest of the
+    * corpus (Stats.jsDivergence scaladoc): present pairs carry exact
+    * per-item quantized contributions; absent items aggregate on the
+    * (source, corpus-count) grid via the closed ½·q·ln2 form.
+    */
+  val q211JsDivergence = Q(
+    "q211_s_js_divergence",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      operators.Stats.jsDivergence(d, "source", "tok")
+        .orderBy("source")
+    },
+    Some("""
+      WITH tk AS (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                 '\s+'), x -> len(x) > 0)) AS tok
+             FROM documents),
+      gi AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      co AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM gi GROUP BY 1),
+      st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng FROM gi GROUP BY 1),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM gi),
+      wr AS (SELECT source, ng, tt.t - ng AS nr FROM st CROSS JOIN tt),
+      pr AS (SELECT g.source,
+               CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(CAST(floor(1000000000000.0 * (
+                 0.5 * (CAST(g.c AS DOUBLE) / CAST(wr.ng AS DOUBLE))
+                   * ln((CAST(g.c AS DOUBLE) / CAST(wr.ng AS DOUBLE))
+                     / (((CAST(g.c AS DOUBLE) / CAST(wr.ng AS DOUBLE))
+                        + (CAST(co.ct - g.c AS DOUBLE) / CAST(wr.nr AS DOUBLE)))
+                       / 2.0))
+                 + CASE WHEN co.ct > g.c THEN
+                     0.5 * (CAST(co.ct - g.c AS DOUBLE) / CAST(wr.nr AS DOUBLE))
+                       * ln((CAST(co.ct - g.c AS DOUBLE) / CAST(wr.nr AS DOUBLE))
+                         / (((CAST(g.c AS DOUBLE) / CAST(wr.ng AS DOUBLE))
+                            + (CAST(co.ct - g.c AS DOUBLE) / CAST(wr.nr AS DOUBLE)))
+                           / 2.0))
+                   ELSE 0.0 END)) AS HUGEINT)) AS HUGEINT) AS jp
+             FROM gi g JOIN co USING (tok) JOIN wr ON wr.source = g.source
+             GROUP BY g.source),
+      pbc AS (SELECT g.source, co.ct, CAST(count(*) AS BIGINT) AS npres
+              FROM gi g JOIN co USING (tok) GROUP BY 1, 2),
+      cg AS (SELECT ct, CAST(count(*) AS BIGINT) AS nitems FROM co GROUP BY 1),
+      ab AS (SELECT wr.source,
+               CAST(sum(cg.nitems - coalesce(pbc.npres, 0)) AS BIGINT)
+                 AS n_absent,
+               CAST(sum(CAST(cg.nitems - coalesce(pbc.npres, 0) AS HUGEINT)
+                 * CAST(floor(1000000000000.0 * (
+                     0.5 * (CAST(cg.ct AS DOUBLE) / CAST(wr.nr AS DOUBLE))
+                       * ln(2.0))) AS HUGEINT)) AS HUGEINT) AS ja
+             FROM wr CROSS JOIN cg
+               LEFT JOIN pbc ON pbc.source = wr.source AND pbc.ct = cg.ct
+             GROUP BY wr.source)
+      SELECT wr.source, wr.ng AS n_tokens, wr.nr AS n_rest,
+        pr.n_present, ab.n_absent, CAST(pr.jp + ab.ja AS BIGINT) AS jsd_q
+      FROM wr JOIN pr USING (source) JOIN ab USING (source)
+      ORDER BY wr.source"""))
+
+  /** (q212) Exact average precision of the quality score against the
+    * lang='en' label, trec_eval tie-break (score DESC, doc_id ASC) —
+    * Eval.averagePrecision scaladoc; rank decomposes on the score grid
+    * so no global sort exists in the plan.
+    */
+  val q212AvgPrecision = Q(
+    "q212_ml_avg_precision",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Eval.averagePrecision(
+        docs.select(col("doc_id"),
+          floor(lit(1000000.0) *
+            TextFns.qualityScore(col("text"), Stopwords)).cast("long")
+            .as("s_q"), col("lang")),
+        "doc_id", "s_q", col("lang") === "en")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, text, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, lang, text,
+          CAST(len(list_filter(toks,
+            t -> t IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(toks) AS swr,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d),
+      q AS (SELECT doc_id, CAST(floor(1000000.0 *
+              (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3)) AS BIGINT) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM f),
+      grid AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS p
+               FROM q GROUP BY s),
+      cums AS (SELECT s,
+                 coalesce(sum(n) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS nab,
+                 coalesce(sum(p) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pab
+               FROM grid),
+      rk AS (SELECT q.y,
+               c.nab + row_number() OVER (PARTITION BY q.s
+                 ORDER BY q.doc_id ASC) AS k,
+               c.pab + sum(q.y) OVER (PARTITION BY q.s ORDER BY q.doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+             FROM q JOIN cums c ON c.s = q.s)
+      SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+        CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+        CASE WHEN sum(y) > 0 THEN
+          CAST(sum(CASE WHEN y = 1 THEN
+              CAST(floor(1000000000000.0 * CAST(tp AS DOUBLE)
+                / CAST(k AS DOUBLE)) AS HUGEINT)
+            ELSE 0 END) // sum(y) AS BIGINT)
+        END AS ap_q
+      FROM rk"""))
+
+  /** (q213) Murphy decomposition of the Brier score over the q161
+    * calibration bucketing (Eval.brierDecomposition scaladoc): the raw
+    * Brier sum is an exact integer on the 10⁶ score grid; the three
+    * decomposition terms quantize per bucket.
+    */
+  val q213Brier = Q(
+    "q213_ml_brier",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Eval.brierDecomposition(
+        docs.select(floor(lit(1000000.0) *
+          TextFns.qualityScore(col("text"), Stopwords)).cast("long")
+          .as("s_q"), col("lang")),
+        "s_q", col("lang") === "en")
+    },
+    Some("""
+      WITH d AS (SELECT text, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT lang, text,
+          CAST(len(list_filter(toks,
+            t -> t IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(toks) AS swr,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d),
+      q AS (SELECT CAST(floor(1000000.0 *
+              (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3)) AS BIGINT) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM f),
+      b AS (SELECT least(s // 100000, 9) AS bucket,
+              CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+              CAST(sum(s) AS BIGINT) AS conf,
+              CAST(sum(CAST((s - 1000000 * y) AS HUGEINT)
+                * (s - 1000000 * y)) AS HUGEINT) AS sq
+            FROM q GROUP BY 1),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(pos) AS BIGINT) AS post,
+               CAST(sum(sq) AS HUGEINT) AS sqt FROM b),
+      pb AS (SELECT b.n, b.pos, tt.nt, tt.post, tt.sqt,
+               CAST(floor(1000000000000.0 * CAST(b.n AS DOUBLE)
+                 * (CAST(b.conf AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0)
+                    - CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 * (CAST(b.conf AS DOUBLE) / (CAST(b.n AS DOUBLE) * 1000000.0)
+                    - CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 / CAST(tt.nt AS DOUBLE)) AS BIGINT) AS rel_q,
+               CAST(floor(1000000000000.0 * CAST(b.n AS DOUBLE)
+                 * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+                    - CAST(tt.post AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+                 * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+                    - CAST(tt.post AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+                 / CAST(tt.nt AS DOUBLE)) AS BIGINT) AS res_q
+             FROM b CROSS JOIN tt)
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos,
+        CAST(any_value(sqt) // any_value(nt) AS BIGINT) AS brier_q,
+        CAST(sum(rel_q) AS BIGINT) AS reliability_q,
+        CAST(sum(res_q) AS BIGINT) AS resolution_q,
+        CAST(floor(1000000000000.0
+          * (CAST(any_value(post) AS DOUBLE) / CAST(any_value(nt) AS DOUBLE))
+          * (1.0 - CAST(any_value(post) AS DOUBLE)
+             / CAST(any_value(nt) AS DOUBLE))) AS BIGINT) AS uncertainty_q
+      FROM pb"""))
+
+  /** (q214) Fleiss' kappa over 5 synthetic raters (Eval.fleissKappa
+    * scaladoc): rater r keeps the stored lang with a 70 % md5 coin,
+    * otherwise assigns one of 4 langs by hash — multi-rater agreement
+    * on a deterministic, engine-portable rating frame.
+    */
+  val q214FleissKappa = Q(
+    "q214_ml_fleiss_kappa",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+        lit(":rater:"), col("rater").cast("string")))
+      val cats = array(lit("en"), lit("es"), lit("de"), lit("fr"))
+      val ratings = docs.select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), lit(5))).as("rater"))
+        .select(col("doc_id"),
+          when(pmod(h, lit(100L)) < 70, col("lang"))
+            .otherwise(element_at(cats, (pmod(h, lit(4L)) + 1).cast("int")))
+            .as("rating"))
+      operators.Eval.fleissKappa(ratings, "doc_id", "rating", raters = 5)
+    },
+    Some("""
+      WITH r AS (SELECT doc_id, lang, unnest(range(1, 6)) AS rater
+             FROM documents),
+      rt AS (SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                   || ':rater:' || CAST(rater AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 70
+                 THEN lang
+                 ELSE ['en','es','de','fr'][CAST(('0x'
+                   || substr(md5(CAST(doc_id AS VARCHAR) || ':rater:'
+                   || CAST(rater AS VARCHAR)), 1, 15))::BIGINT % 4 AS INT) + 1]
+               END AS rating
+             FROM r),
+      g AS (SELECT doc_id, rating, CAST(count(*) AS BIGINT) AS n
+            FROM rt GROUP BY 1, 2),
+      pi AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum(ssq - 5) AS HUGEINT) AS pbar_num
+             FROM (SELECT doc_id, CAST(sum(n * n) AS HUGEINT) AS ssq
+                   FROM g GROUP BY doc_id)),
+      pc AS (SELECT CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS pe_num
+             FROM (SELECT rating, CAST(sum(n) AS BIGINT) AS nc
+                   FROM g GROUP BY rating))
+      SELECT ni AS n_items, 5 AS n_raters,
+        CAST(floor(1000000000000.0 * CAST(pbar_num AS DOUBLE)
+          / CAST(ni * 5 * 4 AS DOUBLE)) AS BIGINT) AS pbar_q,
+        CAST(floor(1000000000000.0 * CAST(pe_num AS DOUBLE)
+          / CAST(CAST(ni AS HUGEINT) * ni * 5 * 5 AS DOUBLE)) AS BIGINT)
+          AS pe_q,
+        CASE WHEN pe_num <> CAST(ni AS HUGEINT) * ni * 5 * 5 THEN
+          CAST(floor(1000000000000.0 *
+            CAST(pbar_num * (CAST(ni AS HUGEINT) * ni * 5 * 5)
+              - pe_num * (CAST(ni AS HUGEINT) * 5 * 4) AS DOUBLE)
+            / CAST((CAST(ni AS HUGEINT) * 5 * 4)
+              * ((CAST(ni AS HUGEINT) * ni * 5 * 5) - pe_num) AS DOUBLE))
+            AS BIGINT)
+        END AS kappa_q
+      FROM pi CROSS JOIN pc"""))
+
+  /** (q215) Distinct-n diversity per source for n = 1, 2, 3
+    * (Segments.distinctNgramRatio scaladoc): corpus-level distinct
+    * n-grams over total — the cross-document template detector.
+    */
+  val q215DistinctNgrams = Q(
+    "q215_tx_distinct_ngrams",
+    (s, dir) =>
+      operators.Segments.distinctNgramRatio(t(s, dir, "documents"),
+        "source", "text", Seq(1, 2, 3))
+        .orderBy("source", "n"),
+    Some {
+      val block = (n: Int) => s"""
+      SELECT source, $n AS n, CAST(sum(c) AS BIGINT) AS n_total,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(floor(1000000.0 * CAST(count(*) AS DOUBLE)
+          / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS ratio_q
+      FROM (
+        SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        FROM (
+          SELECT source, unnest(CASE WHEN len(toks) - ${n - 1} > 0
+            THEN list_transform(range(1, greatest(len(toks) - ${n - 1}, 1) + 1),
+              i -> array_to_string(toks[i:i+${n - 1}], ' '))
+            ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM (SELECT source,
+              list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> len(x) > 0) AS toks
+            FROM documents)
+        ) GROUP BY source, g
+      ) GROUP BY source"""
+      s"""${block(1)}
+      UNION ALL ${block(2)}
+      UNION ALL ${block(3)}
+      ORDER BY source, n"""
+    })
+
+  /** (q216) Per-document sentence profile (Segments.sentenceProfile
+    * scaladoc): sentence count, mean/max tokens per punctuation-split
+    * segment, terminal-punctuation ending — Gopher's structural
+    * signals.
+    */
+  val q216SentenceStats = Q(
+    "q216_tx_sentence_stats",
+    (s, dir) =>
+      operators.Segments.sentenceProfile(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id, text,
+          (text IS NULL OR length(trim(text)) = 0) AS blank,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      m AS (SELECT doc_id, text, blank,
+          CASE WHEN blank THEN 0
+               ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+          END AS n_sentences,
+          CASE WHEN blank THEN 0 ELSE len(toks) END AS n_tokens
+        FROM d)
+      SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CASE WHEN NOT blank AND n_sentences > 0 THEN
+          CAST(floor(1000000.0 * CAST(n_tokens AS DOUBLE)
+            / CAST(n_sentences AS DOUBLE)) AS BIGINT)
+        END AS mean_sent_tokens_q,
+        CASE WHEN blank THEN 0
+          ELSE CAST(coalesce(list_max(list_filter(list_transform(
+            regexp_split_to_array(trim(text), '[.!?]+'),
+            s -> len(list_filter(regexp_split_to_array(lower(trim(s)),
+              '\s+'), t -> len(t) > 0))), c -> c > 0)), 0) AS BIGINT)
+        END AS max_seg_tokens,
+        CASE WHEN blank THEN false
+          ELSE regexp_matches(trim(text), '[.!?]$') END AS ends_terminal
+      FROM m ORDER BY doc_id"""))
+
+  /** (q217) Neyman-optimal stratified allocation of a 1000-doc budget
+    * over sources by n_chars spread (Packing.neymanAllocation
+    * scaladoc): exact integer moments, floor-sqrt weights,
+    * largest-remainder apportionment, size caps.
+    */
+  val q217NeymanAlloc = Q(
+    "q217_s_neyman_alloc",
+    (s, dir) =>
+      operators.Packing.neymanAllocation(t(s, dir, "documents"),
+        "source", "n_chars", totalN = 1000L)
+        .select(col("source"), col("n_docs"),
+          col("sum_v").cast("long").as("sum_v"),
+          col("sum_sq").cast("long").as("sum_sq"),
+          col("weight_w"), col("alloc_target"), col("n_alloc"))
+        .orderBy("source"),
+    Some("""
+      WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS HUGEINT) AS s1,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+             FROM documents GROUP BY source),
+      w AS (SELECT *, CAST(floor(sqrt(CAST(n_docs * s2 - s1 * s1
+               AS DOUBLE))) AS BIGINT) AS wh FROM m),
+      wz AS (SELECT *, CASE WHEN (SELECT max(wh) FROM w) = 0
+               THEN n_docs ELSE wh END AS w2 FROM w),
+      tw AS (SELECT CAST(sum(w2) AS HUGEINT) AS tot FROM wz),
+      qt AS (SELECT wz.*, CAST((1000 * CAST(w2 AS HUGEINT)) // tw.tot
+               AS BIGINT) AS base,
+               (1000 * CAST(w2 AS HUGEINT)) % tw.tot AS rem
+             FROM wz CROSS JOIN tw),
+      ex AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+               AS rk FROM qt),
+      eb AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extras FROM qt)
+      SELECT source, n_docs, CAST(s1 AS BIGINT) AS sum_v,
+        CAST(s2 AS BIGINT) AS sum_sq, w2 AS weight_w,
+        base + (CASE WHEN rk <= eb.extras THEN 1 ELSE 0 END)
+          AS alloc_target,
+        least(base + (CASE WHEN rk <= eb.extras THEN 1 ELSE 0 END), n_docs)
+          AS n_alloc
+      FROM ex CROSS JOIN eb ORDER BY source"""))
+
+  /** (q218) Soft dedup (Dedup.softDedup scaladoc): canonical member
+    * always kept, every other member of an exact-duplicate cluster
+    * kept with probability ≈ 1/size by the md5 integer coin.
+    */
+  val q218SoftDedup = Q(
+    "q218_dd_soft_dedup",
+    (s, dir) =>
+      Dedup.softDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+    Some("""
+      WITH h AS (SELECT doc_id AS id,
+               ('0x' || substr(md5(coalesce(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g'), '')), 1, 15))::BIGINT AS content_hash
+             FROM documents),
+      c AS (SELECT content_hash, CAST(count(*) AS BIGINT) AS cluster_size,
+              min(id) AS keeper
+            FROM h GROUP BY content_hash)
+      SELECT id, content_hash, cluster_size,
+        id = keeper AS is_canonical,
+        (id = keeper OR
+          (('0x' || substr(md5(CAST(id AS VARCHAR) || ':soft'), 1, 15))::BIGINT
+            % 1000000) * cluster_size < 1000000) AS kept
+      FROM h JOIN c USING (content_hash) ORDER BY id"""))
+
+  /** (q219) Lag-1..3 autocorrelation of daily event counts per type on
+    * a densified bucket grid (Stats.acf scaladoc): the exact-integer
+    * Pearson kernel over (x_b, x_{b+lag}) pairs.
+    */
+  val q219Acf = Q(
+    "q219_a_acf",
+    (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isNotNull)
+      val daily = e.withColumn("bucket",
+          TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      operators.Stats.acf(daily, "event_type", "bucket", "x",
+        stepSec = 86400, maxLag = 3)
+        .orderBy("event_type", "lag")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 86400000000) * 86400 AS bucket FROM events
+             WHERE event_type IS NOT NULL),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             FROM h GROUP BY 1),
+      grid AS (SELECT event_type, unnest(generate_series(lo, hi, 86400))
+               AS b FROM sp),
+      dense AS (SELECT grid.event_type, grid.b, coalesce(h.x, 0) AS v
+             FROM grid LEFT JOIN h ON h.event_type = grid.event_type
+               AND h.bucket = grid.b),
+      lagged AS (SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+             FROM (VALUES (1), (2), (3)) l(lag)
+             CROSS JOIN dense a
+             JOIN dense b ON b.event_type = a.event_type
+               AND b.b = a.b + l.lag * 86400),
+      ag AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+             FROM lagged GROUP BY 1, 2)
+      SELECT event_type, lag, n_pairs,
+        CASE WHEN n_pairs * sxx - sx * sx > 0
+              AND n_pairs * syy - sy * sy > 0 THEN
+          CAST(floor(1000000.0 * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+        END AS acf_q
+      FROM ag ORDER BY event_type, lag"""))
+
+  /** (q220) Per-document encoding-health audit (TextFns
+    * replacementCount/controlCharCount/asciiRatioQ scaladoc):
+    * U+FFFD count, control-char count, ascii ratio — the crawl
+    * mojibake detectors, all length-difference scans.
+    */
+  val q220EncodingAudit = Q(
+    "q220_tx_encoding_audit",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFns.replacementCount(col("text")).as("n_replacement"),
+        TextFns.controlCharCount(col("text")).as("n_control"),
+        TextFns.asciiRatioQ(col("text")).as("ascii_ratio_q"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        CAST(length(text) - length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+          AS BIGINT) AS n_replacement,
+        CAST(length(text) - length(regexp_replace(text,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+          AS n_control,
+        CASE WHEN length(text) > 0 THEN
+          CAST(floor(1000000.0 * CAST(length(regexp_replace(text,
+            '[^\x00-\x7F]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE)) AS BIGINT)
+        END AS ascii_ratio_q
+      FROM documents ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -7968,5 +8471,8 @@ object Queries {
     q195PageRank, q196ChiSquare, q197Spearman, q198Gini, q199Tvd,
     q200LangPivot, q201MannWhitney, q202Benford, q203NfcNormalize,
     q204TheilSen, q205AssocRules, q206MutualInfo, q207CharTrigrams,
-    q208StripAccents, q209ZipfSlope)
+    q208StripAccents, q209ZipfSlope,
+    q210Hits, q211JsDivergence, q212AvgPrecision, q213Brier,
+    q214FleissKappa, q215DistinctNgrams, q216SentenceStats,
+    q217NeymanAlloc, q218SoftDedup, q219Acf, q220EncodingAudit)
 }

@@ -229,4 +229,35 @@ object TextFns {
     when(w > 0,
       lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w))
   }
+
+  /** Count of Unicode replacement characters (U+FFFD) — each one marks
+    * a byte sequence some upstream decoder could not interpret; a
+    * nonzero count is the cheapest mojibake detector a crawl pipeline
+    * has. Length-difference form (no per-char explode); `length` is
+    * code points on both engines (DuckDB: `length(t) -
+    * length(replace(t, chr(65533), ''))`).
+    */
+  def replacementCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\x{FFFD}", ""))).cast("long")
+
+  /** Count of C0/C1-adjacent control characters excluding tab/LF/CR —
+    * binary garbage that leaked into a text column (RE2-compatible
+    * class, identical in the DuckDB oracle).
+    */
+  def controlCharCount(text: Column): Column =
+    (length(text) -
+      length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")))
+      .cast("long")
+
+  /** ⌊10⁶·asciiChars/chars⌋, null for empty text — the blunt
+    * script-mix / encoding-health ratio (a nominally-English source
+    * drifting below ~0.95 is mis-tagged or mis-decoded).
+    */
+  def asciiRatioQ(text: Column): Column = {
+    val total = length(text)
+    val ascii = length(regexp_replace(text, "[^\\x00-\\x7F]", ""))
+    when(total > 0,
+      floor(lit(1000000.0) * ascii.cast("double") / total.cast("double"))
+        .cast("long"))
+  }
 }

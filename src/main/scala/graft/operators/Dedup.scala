@@ -1095,4 +1095,42 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     verifyJaccardByJoin(cand, exploded, threshold)
   }
+
+  /** Soft (probabilistic) dedup: instead of keeping exactly one doc per
+    * exact-duplicate cluster, each member survives with probability
+    * ≈ 1/clusterSize — preserving the duplication signal's EXPECTED
+    * unit mass while still killing the over-representation (the
+    * SoftDeDup idea: hard dedup erases the fact that duplicated text
+    * is common text, which is itself training signal). The canonical
+    * member (min id) is always kept, so no cluster vanishes; each
+    * NON-canonical member is kept iff
+    *
+    *   (md5₆₀(id:"soft") mod 10⁶) · clusterSize  <  10⁶
+    *
+    * — a deterministic engine-portable coin (same md5 device as the
+    * split/sample kernels), so reruns and engines agree doc-by-doc.
+    *
+    * Plan shape: one hash agg on the content hash (cluster size +
+    * canonical id), broadcast-free self-join back on the hash (same
+    * key, co-partitioned), scan-stage coin — two shuffles total on the
+    * content hash.
+    *
+    * @return (id, content_hash, cluster_size, is_canonical, kept)
+    */
+  def softDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      md5Hash60(coalesce(
+        graft.functions.TextFns.normalizeText(col(textCol)), lit("")))
+        .as("content_hash"))
+    val clusters = hashed.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("__keeper"))
+    val coin = pmod(
+      md5Hash60(concat(col("id").cast("string"), lit(":soft"))),
+      lit(1000000L))
+    hashed.join(clusters, Seq("content_hash"))
+      .select(col("id"), col("content_hash"), col("cluster_size"),
+        (col("id") === col("__keeper")).as("is_canonical"),
+        (col("id") === col("__keeper") ||
+          coin * col("cluster_size") < lit(1000000L)).as("kept"))
+  }
 }

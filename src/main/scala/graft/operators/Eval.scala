@@ -286,4 +286,152 @@ object Eval {
           .cast("long"))
       .select(col("query_id"), col("depth"), col("overlap"), col("rbo_term_q"))
   }
+
+  /** Exact average precision of an integer score against a binary
+    * label, ranked by (score DESC, id ASC) — the trec_eval tie-break
+    * (a deterministic total order; the tie-free cousin of [[aucExact]],
+    * which instead folds ties into the closed ½ form).
+    *
+    *   AP = (Σ_{k : rel(k)} ⌊10¹²·TP(k)/k⌋) div P
+    *
+    * quantized per HIT so the sum is partition-order free.
+    *
+    * Plan shape — no global sort: rank(k) decomposes as
+    * (rows at strictly higher scores) + (tied rows at smaller ids) + 1.
+    * The first addend lives on the bounded distinct-score grid (hash
+    * agg + one window over grid rows); the second is a window
+    * PARTITIONED BY score (block-bounded), never a single-partition
+    * global window.
+    *
+    * @return one row (n_pos, n_neg, ap_q)
+    */
+  def averagePrecision(df: DataFrame, idCol: String, scoreCol: String,
+                       labelCol: Column): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(idCol).as("__id"), col(scoreCol).cast("long").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    val grid = base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val wg = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = grid
+      .withColumn("__nAbove", coalesce(sum(col("__n")).over(wg), lit(0L)))
+      .withColumn("__pAbove", coalesce(sum(col("__p")).over(wg), lit(0L)))
+      .select(col("__s"), col("__nAbove"), col("__pAbove"))
+    val wb = Window.partitionBy(col("__s")).orderBy(col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(cums, Seq("__s"))
+      .withColumn("__kInBlock", count(lit(1)).over(wb))
+      .withColumn("__tpInBlock", sum(col("__y")).over(wb))
+      .select(col("__y"),
+        (col("__nAbove") + col("__kInBlock")).as("__k"),
+        (col("__pAbove") + col("__tpInBlock")).as("__tp"))
+      .agg(sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"),
+        // decimal accumulator: 10¹² per hit × corpus-scale hit counts
+        // passes long range
+        sum(when(col("__y") === 1,
+          floor(lit(1.0e12) * col("__tp").cast("double") /
+            col("__k").cast("double")).cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__sum_q"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, expr("__sum_q div n_pos")).as("ap_q"))
+  }
+
+  /** Murphy decomposition of the Brier score over the [[calibration]]
+    * bucketing: BS = reliability − resolution + uncertainty, each term
+    * engine-exact. The raw Brier sum Σ(s_q − 10⁶·y)² is an exact
+    * integer (scores live on the 10⁶ grid), so `brier_q` ≡ ⌊10¹²·BS⌋
+    * = Σ div N with NO float anywhere; the three decomposition terms
+    * quantize one fixed-order double expression per BUCKET (≤ 10
+    * buckets) and sum as longs.
+    *
+    * @return one row (n, pos, brier_q, reliability_q, resolution_q,
+    *         uncertainty_q) — all on the 10¹² grid
+    */
+  def brierDecomposition(df: DataFrame, scoreQCol: String,
+                         labelCol: Column): DataFrame = {
+    val base = df.filter(col(scoreQCol).isNotNull)
+      .select(col(scoreQCol).cast("long").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .withColumn("__bucket", least(expr("__s div 100000L"), lit(9L)))
+    val buckets = base.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"),
+        sum(col("__s")).as("__conf_q"),
+        // decimal accumulator: ≤10¹² per row × corpus rows passes long
+        sum(((col("__s") - lit(1000000L) * col("__y")) *
+          (col("__s") - lit(1000000L) * col("__y"))).cast("decimal(38,0)"))
+          .as("__sq"))
+      .localCheckpoint(eager = false) // ≤10-row grid feeds two subtrees
+    val tot = buckets.agg(sum(col("__n")).as("__nt"), sum(col("__pos")).as("__post"),
+      sum(col("__sq")).as("__sqt"))
+    val pbarMinusObar = col("__conf_q").cast("double") / (col("__n").cast("double") * lit(1000000.0)) -
+      col("__pos").cast("double") / col("__n").cast("double")
+    val obarMinusO = col("__pos").cast("double") / col("__n").cast("double") -
+      col("__post").cast("double") / col("__nt").cast("double")
+    val perBucket = buckets.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__pos"), col("__nt"), col("__post"), col("__sqt"),
+        floor(lit(1.0e12) * col("__n").cast("double") * pbarMinusObar * pbarMinusObar /
+          col("__nt").cast("double")).cast("long").as("__rel_q"),
+        floor(lit(1.0e12) * col("__n").cast("double") * obarMinusO * obarMinusO /
+          col("__nt").cast("double")).cast("long").as("__res_q"))
+    val obar = col("__post").cast("double") / col("__nt").cast("double")
+    perBucket
+      .groupBy(col("__nt"), col("__post"), col("__sqt"))
+      .agg(sum(col("__n")).as("n"), sum(col("__pos")).as("pos"),
+        sum(col("__rel_q")).as("reliability_q"),
+        sum(col("__res_q")).as("resolution_q"))
+      .select(col("n"), col("pos"),
+        expr("__sqt div __nt").as("brier_q"),
+        col("reliability_q"), col("resolution_q"),
+        floor(lit(1.0e12) * obar * (lit(1.0) - obar)).cast("long")
+          .as("uncertainty_q"))
+  }
+
+  /** Fleiss' kappa for R raters × N items over a categorical rating
+    * frame `(item, rating)` with EXACTLY `raters` rows per item —
+    * multi-rater chance-corrected agreement ([[cohenKappa]] handles
+    * the 2-rater case). All sums are exact integers:
+    *
+    *   P̄  = Σ_i (Σ_c n_ic² − R) / (N·R·(R−1))
+    *   P_e = Σ_c (Σ_i n_ic)²    / (N·R)²
+    *   κ   = (P̄ − P_e) / (1 − P_e)
+    *
+    * with the final κ ONE double division of exact decimal numerators
+    * (cross-multiplied to a common denominator) — engine-identical.
+    *
+    * Plan shape: one hash agg to the (item, category) grid, one per
+    * item, one per category, three scalar rows broadcast together.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, ratingCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, s"raters ($raters) must be >= 2")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val grid = ratings.groupBy(col(itemCol).as("__i"), col(ratingCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val perItem = grid.groupBy(col("__i"))
+      .agg(sum(col("__n") * col("__n")).as("__ssq"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(d(col("__ssq")) - lit(raters)).as("__pbar_num"))
+    val perCat = grid.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__nc"))
+      .agg(sum(d(col("__nc")) * d(col("__nc"))).as("__pe_num"))
+    perItem.crossJoin(perCat)
+      .select(col("__ni").as("n_items"), lit(raters).as("n_raters"),
+        col("__pbar_num"), col("__pe_num"),
+        (d(col("__ni")) * lit(raters) * lit(raters - 1)).as("__pbar_den"),
+        (d(col("__ni")) * d(col("__ni")) * lit(raters) * lit(raters)).as("__pe_den"))
+      .select(col("n_items"), col("n_raters"),
+        floor(lit(1.0e12) * col("__pbar_num").cast("double") /
+          col("__pbar_den").cast("double")).cast("long").as("pbar_q"),
+        floor(lit(1.0e12) * col("__pe_num").cast("double") /
+          col("__pe_den").cast("double")).cast("long").as("pe_q"),
+        when(col("__pe_num") =!= col("__pe_den"),
+          floor(lit(1.0e12) *
+            (col("__pbar_num") * col("__pe_den") -
+              col("__pe_num") * col("__pbar_den")).cast("double") /
+            (col("__pbar_den") * (col("__pe_den") - col("__pe_num")))
+              .cast("double")).cast("long")).as("kappa_q"))
+  }
 }

@@ -168,4 +168,82 @@ object Graph {
     ranks.select(col("__u").as("id"), col("__deg").as("degree"),
       col("__r").as("rank_q"))
   }
+
+  /** Bounded-round INTEGER HITS over a DIRECTED edge frame
+    * `(src, dst)` (e.g. a raw kNN frame before symmetrization) — the
+    * hub/authority split PageRank can't see: on a kNN graph a high
+    * AUTHORITY is a vector many queries agree on (a density mode worth
+    * keeping); a high HUB is a vector whose neighborhood spans many
+    * authorities (a boundary/bridge point). Curation uses the pair to
+    * pick cluster representatives (authority) and flag outlier bridges
+    * (hub ≫ authority).
+    *
+    * Integer grid (Q = 10¹²), L1-normalized per half-step so every
+    * engine and partition order agrees bit-for-bit:
+    *
+    *   h⁰_v = Q
+    *   aᵗ_v = ⌊Q · Σ_{u→v} hᵗ⁻¹_u / Σ_w in_raw_w⌋
+    *   hᵗ_v = ⌊Q · Σ_{v→u} aᵗ_u  / Σ_w out_raw_w⌋
+    *
+    * Raw sums accumulate as decimal(38,0): Σ over E edges of values
+    * ≤ Q reaches E·10¹², past long at corpus scale; the normalized
+    * scores are ≤ Q and land back in long. The classic L2
+    * normalization is replaced by L1 deliberately — it's the one norm
+    * whose normalizer is an exact integer sum (no sqrt on the grid),
+    * and HITS rankings are norm-invariant.
+    *
+    * Plan: per round TWO equi-join + hash-agg steps (edge ⋈ score on
+    * one endpoint, group by the other) plus one single-row total
+    * broadcast back — the Pregel shape; no shuffle touches anything
+    * wider than (id, long). Vertices missing a side (no in-edges / no
+    * out-edges) carry 0 for that score and stay in the output.
+    *
+    * @return (id, out_degree, in_degree, hub_q, auth_q)
+    */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) must be in [1, 10]")
+    val Q = 1000000000000L
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val verts = e.select(col("__s").as("__v"))
+      .unionByName(e.select(col("__d").as("__v")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // one L1-normalized half-step: raw_v = Σ joinSide score, then
+    // scale to the Q grid by the exact integer total
+    def halfStep(score: DataFrame, scoreCol: String,
+                 joinKey: String, groupKey: String, outCol: String): DataFrame = {
+      val raw = e.join(score.select(col("__v").as(joinKey), col(scoreCol)),
+          Seq(joinKey))
+        .groupBy(col(groupKey).as("__v"))
+        .agg(sum(col(scoreCol).cast("decimal(38,0)")).as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      val scaled = raw.crossJoin(broadcast(tot))
+        .select(col("__v"),
+          expr(s"CAST((CAST(${Q}L AS DECIMAL(38,0)) * __raw) div __tot AS LONG)")
+            .as(outCol))
+      verts.join(scaled, Seq("__v"), "left")
+        .select(col("__v"), coalesce(col(outCol), lit(0L)).as(outCol))
+        .localCheckpoint(eager = false)
+    }
+    val h0 = verts.select(col("__v"), lit(Q).as("__h"))
+    val (hubs, auths) = (1 to rounds).foldLeft((h0, h0.select(col("__v"), lit(0L).as("__a")))) {
+      case ((h, _), _) =>
+        val a = halfStep(h, "__h", "__s", "__d", "__a")
+        val h2 = halfStep(a, "__a", "__d", "__s", "__h")
+        (h2, a)
+    }
+    val outDeg = e.groupBy(col("__s").as("__v")).agg(count(lit(1)).as("out_degree"))
+    val inDeg = e.groupBy(col("__d").as("__v")).agg(count(lit(1)).as("in_degree"))
+    verts
+      .join(outDeg, Seq("__v"), "left")
+      .join(inDeg, Seq("__v"), "left")
+      .join(hubs, Seq("__v"))
+      .join(auths, Seq("__v"))
+      .select(col("__v").as("id"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        col("__h").as("hub_q"), col("__a").as("auth_q"))
+  }
 }

@@ -494,4 +494,76 @@ object Packing {
         .as("h"), lit(s).as("s"))): _*)
     df.withColumn("shard", array_max(scored).getField("s"))
   }
+
+  /** Neyman-optimal stratified sample allocation: split a sampling
+    * budget of `totalN` documents across strata ∝ N_h·σ_h — the
+    * allocation that minimizes estimator variance for a fixed budget
+    * (uniform-rate sampling over-spends on homogeneous strata; an
+    * eval-set builder wants the spread where the metric varies).
+    *
+    * Exact-integer pipeline: per stratum the moments (N_h, Σx, Σx²)
+    * aggregate distributed (decimal — corpus-scale Σx² passes long);
+    * N_h·σ_h = √(N_h·Σx² − (Σx)²) uses the floor(sqrt(double)) device
+    * (the [[temperatureMix]] isqrt contract: exact below 2⁵²,
+    * cross-engine identical above because both engines round the same
+    * decimal→double then take correctly-rounded sqrt). Targets are
+    * largest-remainder (Hamilton) apportionment of `totalN` over the
+    * weights — ties broken by stratum name ascending — then capped at
+    * the stratum size (a stratum can't supply more docs than it has;
+    * the cap is reported separately so the caller sees the shortfall
+    * rather than a silently smaller sample). All-constant strata
+    * (every weight 0) fall back to allocation ∝ N_h.
+    *
+    * Plan shape: one map-side-combined moments agg to |strata| rows,
+    * ONE bounded driver collect to run the apportionment (the same
+    * compile-into-plan shape as [[sampleToBudget]]'s targets), result
+    * re-emitted as a literal frame — no corpus-side shuffle at all.
+    *
+    * @return (stratum, n_docs, sum_v, sum_sq, weight_w, alloc_target,
+    *         n_alloc) — one row per stratum
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+                       totalN: Long): DataFrame = {
+    require(totalN > 0, s"totalN ($totalN) must be positive")
+    import df.sparkSession.implicits._
+    val moments = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s1"),
+        sum(col(valueCol).cast("decimal(38,0)") *
+          col(valueCol).cast("decimal(38,0)")).as("__s2"))
+      .collect() // one row per stratum — bounded
+      .map(r => (r.getString(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .sortBy(_._1)
+    require(moments.nonEmpty, "neymanAllocation: empty input")
+    val weighted = moments.map { case (s, n, s1, s2) =>
+      val varNum = BigInt(n) * s2 - s1 * s1 // N_h²·Var — exact, ≥ 0
+      (s, n, s1, s2, math.floor(math.sqrt(varNum.toDouble)).toLong)
+    }
+    val allZero = weighted.forall(_._5 == 0L)
+    val w = weighted.map { case (s, n, s1, s2, wh) =>
+      (s, n, s1, s2, if (allZero) n else wh)
+    }
+    val totW = w.map(x => BigInt(x._5)).sum
+    val quotas = w.map { case (s, n, s1, s2, wh) =>
+      val q = BigInt(totalN) * BigInt(wh)
+      (s, n, s1, s2, wh, (q / totW).toLong, (q % totW).toLong)
+    }
+    val extras = totalN - quotas.map(_._6).sum
+    val extraSet = quotas.sortBy { case (s, _, _, _, _, _, rem) => (-rem, s) }
+      .take(extras.toInt).map(_._1).toSet
+    val rows = quotas.map { case (s, n, s1, s2, wh, base, _) =>
+      val target = base + (if (extraSet(s)) 1L else 0L)
+      (s, n, s1.toString, s2.toString, wh, target, math.min(target, n))
+    }.toSeq
+    rows.toDF(stratumCol, "n_docs", "__s1", "__s2", "weight_w",
+        "alloc_target", "n_alloc")
+      // string round-trip keeps the exact integer; re-cast for the
+      // consumer (decimal(38,0) — corpus-scale moments pass long)
+      .select(col(stratumCol), col("n_docs"),
+        col("__s1").cast("decimal(38,0)").as("sum_v"),
+        col("__s2").cast("decimal(38,0)").as("sum_sq"),
+        col("weight_w"), col("alloc_target"), col("n_alloc"))
+  }
 }

@@ -167,4 +167,70 @@ object Segments {
           .cast("long").as("__y"))
     Robust.theilSen(pts, "scope", "__x", "__y")
   }
+
+  /** Distinct-n generation-diversity profile per group: for each n in
+    * `ns`, the group's TOTAL n-gram count, its corpus-level DISTINCT
+    * n-gram count, and ⌊10⁶·distinct/total⌋ — the standard distinct-n
+    * metric (low values flag template/boilerplate-heavy or
+    * mode-collapsed sources that per-DOC repetition filters miss,
+    * because the repetition is across documents).
+    *
+    * Plan per n: explode to (group, ngram), ONE map-side-combined hash
+    * agg to the (group, ngram) grid, one per-group agg over the grid —
+    * the exact-distinct two-stage shape (no countDistinct sort-agg,
+    * no per-doc arrays through a shuffle). The ns frames union after
+    * aggregation, so the widest shuffle is the largest single-n grid.
+    */
+  def distinctNgramRatio(docs: DataFrame, groupCol: String,
+                         textCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"ns ($ns) must be within [1, 8]")
+    ns.map { n =>
+      val tk = toks(textCol)
+      val grams =
+        when(size(tk) - lit(n - 1) > 0,
+          transform(sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(1))),
+            i => array_join(slice(tk, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))
+      docs.select(col(groupCol), explode(grams).as("__g"))
+        .groupBy(col(groupCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("__c")).as("n_total"))
+        .select(col(groupCol), lit(n).as("n"), col("n_total"), col("n_distinct"),
+          floor(lit(1000000.0) * col("n_distinct").cast("double") /
+            col("n_total").cast("double")).cast("long").as("ratio_q"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-document sentence profile: sentence count (shared with the
+    * Flesch gate: terminal-punctuation runs, min 1 for non-empty
+    * text), token total, mean and MAX tokens per punctuation-split
+    * segment, and whether the document ends in terminal punctuation —
+    * the Gopher-style structural signals (a 400-token "sentence" is a
+    * table or a log dump; a doc not ending in .!? is likely truncated).
+    *
+    * Pure scan-stage array math — the segment split, per-segment token
+    * counts, and max fold never leave the row. mean_q = ⌊10⁶·W/S⌋.
+    */
+  def sentenceProfile(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val blank = col(textCol).isNull || length(trim(col(textCol))) === 0
+    val segTokens = filter(
+      transform(split(trim(col(textCol)), "[.!?]+"),
+        s => size(filter(split(lower(trim(s)), "\\s+"), t => length(t) > 0))),
+      c => c > 0)
+    val nSent = TextFns.sentenceCount(col(textCol))
+    val nTok = TextFns.tokenCount(col(textCol)).cast("long")
+    docs.select(col(idCol),
+      when(blank, lit(0L)).otherwise(nSent).as("n_sentences"),
+      when(blank, lit(0L)).otherwise(nTok).as("n_tokens"),
+      when(!blank && nSent > 0,
+        floor(lit(1000000.0) * nTok.cast("double") / nSent.cast("double"))
+          .cast("long")).as("mean_sent_tokens_q"),
+      when(!blank, coalesce(array_max(segTokens), lit(0)).cast("long"))
+        .otherwise(lit(0L)).as("max_seg_tokens"),
+      when(blank, lit(false))
+        .otherwise(trim(col(textCol)).rlike("[.!?]$")).as("ends_terminal"))
+  }
 }

@@ -394,4 +394,131 @@ object Stats {
         element_at(expected, col("digit")).as("benford_q"))
       .withColumn("dev_q", col("share_q") - col("benford_q"))
   }
+
+  /** Jensen–Shannon divergence of each group's item distribution
+    * against the REST of the corpus — the bounded, symmetric
+    * complement to [[tvdVsCorpus]] (TVD weights all mass shifts
+    * equally; JSD amplifies items one side has and the other lacks,
+    * which is what actually flags a source whose vocabulary is alien
+    * rather than merely re-weighted).
+    *
+    * Per (group g, item t): p = c_{g,t}/n_g, q = (c_t − c_{g,t})/n_r,
+    * m = (p+q)/2, contribution ½·p·ln(p/m) + ½·q·ln(q/m) (x·ln(x/m)
+    * := 0 at x = 0), quantized ⌊10¹²·⌋ per ITEM and summed as longs —
+    * partition-order free, and every double is produced by the same
+    * operand-order expression on any engine.
+    *
+    * Scale shape: the naive grid is |groups|·|vocab| (dense in the
+    * vocabulary). This implementation only materializes PRESENT
+    * (group, item) pairs; items absent from a group contribute the
+    * closed form ½·q·ln2 that depends ONLY on the item's corpus count
+    * — so absent mass aggregates on the (group, corpus-count) grid
+    * (distinct counts are O(√mass) under Zipf, not O(vocab)): count
+    * how many items with corpus count c the group does NOT contain,
+    * times the per-item quantized contribution at c.
+    *
+    * @return (group, n_tokens, n_rest, n_present, n_absent, jsd_q)
+    */
+  def jsDivergence(df: DataFrame, groupCol: String,
+                   itemCol: String): DataFrame = {
+    // compute-once: the present grid feeds four aggregate subtrees
+    val gi = df.select(col(groupCol), col(itemCol)).na.drop()
+      .groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val corpus = gi.groupBy(col(itemCol)).agg(sum(col("__c")).as("__ct"))
+      .localCheckpoint(eager = false)
+    val totals = gi.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ng"))
+    val grand = gi.agg(sum(col("__c")).as("__t"))
+    val withRest = broadcast(totals.crossJoin(grand)
+      .select(col(groupCol), col("__ng"), (col("__t") - col("__ng")).as("__nr")))
+    // present pairs: exact per-item quantized contribution
+    val p = col("__c").cast("double") / col("__ng").cast("double")
+    val q = (col("__ct") - col("__c")).cast("double") / col("__nr").cast("double")
+    val m = (p + q) / lit(2.0)
+    val contrib =
+      lit(0.5) * p * log(p / m) +
+        when(col("__ct") > col("__c"), lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+    val present = gi.join(corpus, Seq(itemCol))
+      .join(withRest, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_present"),
+        // decimal accumulator: vocab-scale item counts × 10¹² grid
+        // contributions pass long range
+        sum(floor(lit(1.0e12) * contrib).cast("decimal(38,0)"))
+          .as("__jsd_present"),
+        // per-(group, corpus-count) present-item tallies for the
+        // absent-side complement below
+        first(col("__ng")).as("n_tokens"), first(col("__nr")).as("n_rest"))
+    val presentByCount = gi.join(corpus, Seq(itemCol))
+      .groupBy(col(groupCol), col("__ct"))
+      .agg(count(lit(1)).as("__npres"))
+    // items with corpus count c: bounded grid under Zipf
+    val countGrid = corpus.groupBy(col("__ct")).agg(count(lit(1)).as("__nitems"))
+    val qa = col("__ct").cast("double") / col("__nr").cast("double")
+    val absent = withRest.crossJoin(countGrid)
+      .join(presentByCount, Seq(groupCol, "__ct"), "left")
+      .select(col(groupCol),
+        (col("__nitems") - coalesce(col("__npres"), lit(0L))).as("__nabs"),
+        floor(lit(1.0e12) * (lit(0.5) * qa * log(lit(2.0))))
+          .cast("long").as("__cq"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__nabs")).as("n_absent"),
+        sum(col("__nabs").cast("decimal(38,0)") *
+          col("__cq").cast("decimal(38,0)")).as("__jsd_absent"))
+    present.join(absent, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"), col("n_rest"),
+        col("n_present"), col("n_absent"),
+        // JSD ≤ ln 2, so the 10¹² grid total is back in long range
+        (col("__jsd_present") + col("__jsd_absent")).cast("long").as("jsd_q"))
+  }
+
+  /** Lag-k autocorrelation of a bucketed per-group series, computed as
+    * the exact-integer Pearson kernel over (x_b, x_{b+lag}) pairs on a
+    * DENSIFIED bucket grid (missing buckets count 0 — the series is a
+    * count series, and skipping gaps would silently correlate
+    * non-adjacent buckets). One sequence-explode per group to densify
+    * (grid-bounded, not corpus-bounded), one self-join shifted by each
+    * lag, one hash agg per (group, lag).
+    *
+    * @param buckets (groupCol, bucketCol, valueCol) — one row per
+    *                present bucket; bucketCol an integer grid (e.g.
+    *                [[TimeAgg.timeBucketSec]] output), stepSec its step
+    * @return (group, lag, n_pairs, acf_q) — ⌊10⁶·r⌋, null when either
+    *         side of the pair window is constant
+    */
+  def acf(buckets: DataFrame, groupCol: String, bucketCol: String,
+          valueCol: String, stepSec: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag ($maxLag) must be in [1, 64]")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val span = buckets.groupBy(col(groupCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val dense = span
+      .select(col(groupCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepSec)))
+          .as("__b"))
+      .join(buckets.select(col(groupCol), col(bucketCol).as("__b"),
+        col(valueCol).cast("long").as("__v")), Seq(groupCol, "__b"), "left")
+      .select(col(groupCol), col("__b"), coalesce(col("__v"), lit(0L)).as("__v"))
+      .localCheckpoint(eager = false)
+    val lagged = (1 to maxLag).map { l =>
+      val shifted = dense.select(col(groupCol),
+        (col("__b") - lit(l * stepSec)).as("__b"), col("__v").as("__y"))
+      dense.join(shifted, Seq(groupCol, "__b"))
+        .select(col(groupCol), lit(l).as("lag"), col("__v").as("__x"), col("__y"))
+    }.reduce(_ unionByName _)
+    val agg = lagged.groupBy(col(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d(col("__x"))).as("sx"), sum(d(col("__y"))).as("sy"),
+        sum(d(col("__x")) * d(col("__x"))).as("sxx"),
+        sum(d(col("__y")) * d(col("__y"))).as("syy"),
+        sum(d(col("__x")) * d(col("__y"))).as("sxy"))
+    val vx = (d(col("n_pairs")) * col("sxx") - col("sx") * col("sx"))
+    val vy = (d(col("n_pairs")) * col("syy") - col("sy") * col("sy"))
+    val cov = (d(col("n_pairs")) * col("sxy") - col("sx") * col("sy"))
+    agg.select(col(groupCol), col("lag"), col("n_pairs"),
+      when(vx > 0 && vy > 0,
+        floor(lit(1000000.0) * cov.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .cast("long")).as("acf_q"))
+  }
 }

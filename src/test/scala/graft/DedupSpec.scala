@@ -602,4 +602,40 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === bruteJaccardPairs(docs, 2, 0.6))
   }
+
+  test("softDedup: canonical always kept, singletons always kept") {
+    val dup = Seq((3L, "same text"), (1L, "same text"), (2L, "same text"),
+      (4L, "unique one"), (5L, "unique two"))
+    val out = Dedup.softDedup(dup.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3L, true, true)))   // min id canonicalizes
+    assert(out(2L)._1 === 3L)
+    assert(!out(2L)._2 && !out(3L)._2)
+    // cluster size 1 → coin·1 < 10⁶ always → kept
+    assert(out(4L) === ((1L, true, true)))
+    assert(out(5L) === ((1L, true, true)))
+  }
+
+  test("softDedup: non-canonical keep matches the md5 coin exactly") {
+    val dup = (1L to 10L).map(i => (i, "same text"))
+    val out = Dedup.softDedup(dup.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // replay the coin on the driver: md5 hex top-15 chars as a long
+    def coin(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:soft".getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    (1L to 10L).foreach { i =>
+      val want = i == 1L || coin(i) * 10L < 1000000L
+      assert(out(i) === want, s"doc $i: got ${out(i)}, want $want")
+    }
+    // normalization: whitespace variants land in the same cluster
+    val norm = Dedup.softDedup(
+      Seq((1L, "a  b"), (2L, "a b "), (3L, " A B")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(norm.map(_.getLong(2)).toSet === Set(3L))
+  }
 }

@@ -194,4 +194,71 @@ class EvalSpec extends SparkSpec {
     val b = Seq(("q", 1, 1L), ("q", 2, 2L))
     assert(rbo(a, b, 2).map(_._3) === Seq(1L, 1L))
   }
+
+  test("averagePrecision: hand-ranked list with a tie broken by id") {
+    // order (score desc, id asc): 1(+), 2(-), 3(+), 4(-)
+    // ids 1 and 2 TIE at score 10 — id breaks it
+    val rows = Seq((1L, 10L, true), (2L, 10L, false),
+      (3L, 5L, true), (4L, 1L, false))
+    val out = Eval.averagePrecision(rows.toDF("id", "s", "y"),
+      "id", "s", col("y")).collect()(0)
+    assert(out.getLong(0) === 2L) // n_pos
+    assert(out.getLong(1) === 2L) // n_neg
+    // AP = (⌊1e12·1/1⌋ + ⌊1e12·2/3⌋) div 2
+    val want = (1000000000000L +
+      math.floor(1.0e12 * 2.0 / 3.0).toLong) / 2
+    assert(out.getLong(2) === want)
+  }
+
+  test("averagePrecision: all-positive gives exactly 1; no positives null") {
+    val allPos = Eval.averagePrecision(
+      Seq((1L, 3L, true), (2L, 2L, true)).toDF("id", "s", "y"),
+      "id", "s", col("y")).collect()(0)
+    assert(allPos.getLong(2) === 1000000000000L)
+    val noPos = Eval.averagePrecision(
+      Seq((1L, 3L, false)).toDF("id", "s", "y"),
+      "id", "s", col("y")).collect()(0)
+    assert(noPos.isNullAt(2))
+  }
+
+  test("brierDecomposition: hand buckets; rel - res + unc = brier") {
+    // two extreme buckets: s=0 (one wrong, one right), s=1e6 (two right)
+    val rows = Seq((0L, false), (0L, true), (1000000L, true),
+      (1000000L, true))
+    val out = Eval.brierDecomposition(rows.toDF("s", "y"), "s",
+      col("y")).collect()(0)
+    assert(out.getLong(0) === 4L)
+    assert(out.getLong(1) === 3L)
+    assert(out.getLong(2) === 250000000000L)  // 1e12/4
+    assert(out.getLong(3) === 125000000000L)  // reliability 0.125
+    assert(out.getLong(4) === 62500000000L)   // resolution 0.0625
+    assert(out.getLong(5) === 187500000000L)  // uncertainty .75·.25
+    // Murphy identity (every term here is binary-exact)
+    assert(out.getLong(3) - out.getLong(4) + out.getLong(5) ===
+      out.getLong(2))
+  }
+
+  test("fleissKappa: perfect agreement = 1, perfect disagreement = -1") {
+    val agree = Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b"))
+    val k1 = Eval.fleissKappa(agree.toDF("item", "r"), "item", "r",
+      raters = 3).collect()(0)
+    assert(k1.getLong(0) === 2L)
+    assert(k1.getLong(2) === 1000000000000L) // pbar = 1
+    assert(k1.getLong(3) === 500000000000L)  // pe = 1/2
+    assert(k1.getLong(4) === 1000000000000L) // kappa = 1
+    val disagree = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    val k2 = Eval.fleissKappa(disagree.toDF("item", "r"), "item", "r",
+      raters = 2).collect()(0)
+    assert(k2.getLong(2) === 0L)
+    assert(k2.getLong(4) === -1000000000000L)
+  }
+
+  test("fleissKappa: kappa null when chance agreement is total") {
+    // one category only: pe = 1 → denominator 0 → null
+    val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+    val out = Eval.fleissKappa(rows.toDF("item", "r"), "item", "r",
+      raters = 2).collect()(0)
+    assert(out.isNullAt(4))
+  }
 }

@@ -89,4 +89,51 @@ class GraphSpec extends SparkSpec {
       rounds = 4).collect().map(_.getLong(2)).toSet
     assert(tri.size === 1)
   }
+
+  test("hits: matches a driver-side replay of the L1-integer recurrence") {
+    // star: 1→{2,3,4}, 5→{2}, 2→1 — vertex 2 is the strong authority,
+    // vertex 1 the strong hub
+    val edgeList = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L), (2L, 1L))
+    val out = Graph.hits(edgeList.toDF("src", "dst"), rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val q = BigInt(1000000000000L)
+    val verts = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var h = verts.map(v => v -> q).toMap
+    var a = verts.map(v => v -> BigInt(0)).toMap
+    for (_ <- 1 to 2) {
+      val rawA = edgeList.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => h(e._1)).sum }
+      val totA = rawA.values.sum
+      a = verts.map(v => v -> rawA.get(v).map(r => q * r / totA)
+        .getOrElse(BigInt(0))).toMap
+      val rawH = edgeList.groupBy(_._1).map { case (v, es) =>
+        v -> es.map(e => a(e._2)).sum }
+      val totH = rawH.values.sum
+      h = verts.map(v => v -> rawH.get(v).map(r => q * r / totH)
+        .getOrElse(BigInt(0))).toMap
+    }
+    val outDeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inDeg = edgeList.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    verts.foreach { v =>
+      val want = (outDeg.getOrElse(v, 0L), inDeg.getOrElse(v, 0L),
+        h(v).toLong, a(v).toLong)
+      assert(out(v) === want, s"vertex $v: got ${out(v)}, want $want")
+    }
+    // the structural claims the operator exists for
+    assert(out(2L)._4 === verts.map(v => out(v)._4).max) // top authority
+    assert(out(1L)._3 === verts.map(v => out(v)._3).max) // top hub
+  }
+
+  test("hits: L1 normalization — scores sum to ~Q each half-step") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val rows = Graph.hits(edges, rounds = 3).collect()
+    val hubSum = rows.map(_.getLong(3)).sum
+    val authSum = rows.map(_.getLong(4)).sum
+    // floors only lose < |verts| grid units
+    assert(math.abs(hubSum - 1000000000000L) <= rows.length)
+    assert(math.abs(authSum - 1000000000000L) <= rows.length)
+  }
 }

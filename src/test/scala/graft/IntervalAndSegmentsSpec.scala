@@ -138,4 +138,45 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     assert(out.getLong(2) === median)
     assert(median <= -1000000L && median >= -1000002L) // exponent −1
   }
+
+  // -------------------------------------------------- distinctNgramRatio
+
+  test("distinctNgramRatio: hand-computed totals per n") {
+    val docs = Seq(("A", "a a a"), ("A", "a a")).toDF("src", "text")
+    val out = Segments.distinctNgramRatio(docs, "src", "text", Seq(1, 2, 3))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1) === ((5L, 1L, 200000L)))   // 5 unigrams, 1 distinct
+    assert(out(2) === ((3L, 1L, 333333L)))   // "a a" ×3
+    assert(out(3) === ((1L, 1L, 1000000L)))  // "a a a" once
+  }
+
+  test("distinctNgramRatio: distinct is corpus-level, not per-doc") {
+    // the same bigram in two docs counts once distinct, twice total
+    val docs = Seq(("A", "x y"), ("A", "x y")).toDF("src", "text")
+    val out = Segments.distinctNgramRatio(docs, "src", "text", Seq(2))
+      .collect()(0)
+    assert((out.getLong(2), out.getLong(3)) === ((2L, 1L)))
+  }
+
+  // ------------------------------------------------------ sentenceProfile
+
+  test("sentenceProfile: counts, mean, max segment, terminal flag") {
+    val docs = Seq(
+      (1L, "Hello world. Bye now! ok"),
+      (2L, "One two three."),
+      (3L, ""),
+      (4L, "no terminator here")).toDF("id", "text")
+    val out = Segments.sentenceProfile(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4), r.getBoolean(5)))).toMap
+    // doc 1: 2 punctuation runs, 5 tokens, mean 2.5, segments 2/2/1
+    assert(out(1L) === ((2L, 5L, 2500000L, 2L, false)))
+    assert(out(2L) === ((1L, 3L, 3000000L, 3L, true)))
+    assert(out(3L) === ((0L, 0L, -1L, 0L, false)))
+    // no terminator: clamps to 1 sentence (the Flesch rule)
+    assert(out(4L) === ((1L, 3L, 3000000L, 3L, false)))
+  }
 }

@@ -346,4 +346,38 @@ class PackingSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("exchange"))
     assert(!plan.toLowerCase.contains("repartition"))
   }
+
+  test("neymanAllocation: budget follows the spread, caps at stratum size") {
+    // A: values {0, 10} → N·σ weight = √(2·100 − 100) = 10
+    // B: constant {5, 5} → weight 0
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L))
+      .toDF("src", "v")
+    val out = Packing.neymanAllocation(df, "src", "v", totalN = 5L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out("A") === ((2L, 10L, 5L, 2L))) // target 5, capped at 2 docs
+    assert(out("B") === ((2L, 0L, 0L, 0L)))
+  }
+
+  test("neymanAllocation: largest-remainder apportionment sums to totalN") {
+    // weights 1:1:1 over totalN=10 → base 3 each, extra to smallest name
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 0L), ("b", 2L),
+      ("c", 0L), ("c", 2L)).toDF("src", "v")
+    val out = Packing.neymanAllocation(df, "src", "v", totalN = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(out.values.sum === 10L)
+    assert(out("a") === 4L) // tie on remainder → name ascending
+    assert(out("b") === 3L)
+    assert(out("c") === 3L)
+  }
+
+  test("neymanAllocation: all-constant strata fall back to proportional") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("b", 1L))
+      .toDF("src", "v")
+    val out = Packing.neymanAllocation(df, "src", "v", totalN = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") === ((3L, 3L))) // weight = N_h when every σ = 0
+    assert(out("b") === ((1L, 1L)))
+  }
 }

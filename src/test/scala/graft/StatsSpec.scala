@@ -140,4 +140,52 @@ class StatsSpec extends SparkSpec {
     assert(out(7)._1 === 1L) // 0.07 → first significant digit 7
     assert(out(7)._3 === 57991L) // log10(8/7)
   }
+
+  test("jsDivergence: identical distributions give exactly 0") {
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x"), ("b", "y"))
+    val out = Stats.jsDivergence(rows.toDF("g", "tok"), "g", "tok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // p = q for every term → every ln is ln(1) = 0 → exact zero
+    assert(out("a") === ((2L, 0L, 0L)))
+    assert(out("b") === ((2L, 0L, 0L)))
+  }
+
+  test("jsDivergence: disjoint vocabularies give the ln2 maximum") {
+    val rows = Seq(("a", "x"), ("b", "y"))
+    val out = Stats.jsDivergence(rows.toDF("g", "tok"), "g", "tok")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // present x for a: p=1, q=0 → ½ln2; absent y: q=1 → ½ln2;
+    // each term floors on the 1e12 grid: 2·⌊10¹²·½ln2⌋
+    val half = math.floor(1.0e12 * (0.5 * 1.0 * math.log(1.0 / 0.5))).toLong
+    assert(out("a") === ((1L, 1L, 1L, 1L, 2 * half)))
+    assert(out("b") === ((1L, 1L, 1L, 1L, 2 * half)))
+  }
+
+  test("acf: alternating series — exact -1 at lag 1, ~+1 at lag 2") {
+    // daily buckets 0..4 with x = 1,0,1,0,1
+    val rows = (0 to 4).map(i => ("t", i.toLong * 86400L,
+      if (i % 2 == 0) 1L else 0L))
+    val out = Stats.acf(rows.toDF("g", "b", "x"), "g", "b", "x",
+        stepSec = 86400L, maxLag = 2)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // lag1: 4 pairs, r = -1 exactly (all sums integers, sqrt(4) exact)
+    assert(out(1) === ((4L, -1000000L)))
+    // lag2: 3 pairs, r = 2/(√2·√2) = 0.999…8 → floors to 999999
+    assert(out(2) === ((3L, 999999L)))
+  }
+
+  test("acf: gaps densify to zero before pairing") {
+    // buckets 0 and 2·86400 present; bucket 1 missing → counts as 0
+    val rows = Seq(("t", 0L, 2L), ("t", 2L * 86400L, 2L))
+    val out = Stats.acf(rows.toDF("g", "b", "x"), "g", "b", "x",
+        stepSec = 86400L, maxLag = 1)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // dense series 2,0,2 → lag-1 pairs (2,0),(0,2): n_pairs = 2
+    assert(out(1) === 2L)
+  }
 }

@@ -186,4 +186,25 @@ class TextFnsSpec extends SparkSpec {
     assert(out("a") === Some("cafe"))
     assert(out("b") === None)
   }
+
+  test("encoding audit: replacement, control, ascii ratio") {
+    val df = Seq(
+      ("a", "ab�c�"),          // two replacement chars
+      ("b", "xy\tz\n"),            // one control (tab/LF exempt)
+      ("c", "aé"),                  // 1 ascii of 2 chars
+      ("d", ""),                         // empty → ratio null
+      ("e", "plain ascii")).toDF("k", "t")
+    val out = df.select(col("k"),
+      TextFns.replacementCount(col("t")),
+      TextFns.controlCharCount(col("t")),
+      TextFns.asciiRatioQ(col("t")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out("a") === ((2L, 0L, 600000L)))  // 3 ascii of 5
+    assert(out("b") === ((0L, 1L, 1000000L))) // controls are ascii
+    assert(out("c") === ((0L, 0L, 500000L)))
+    assert(out("d") === ((0L, 0L, -1L)))
+    assert(out("e") === ((0L, 0L, 1000000L)))
+  }
 }
