@@ -8414,6 +8414,152 @@ object Queries {
         END AS ascii_ratio_q
       FROM documents ORDER BY doc_id"""))
 
+  /** (q221) Top principal component by integer power iteration on the
+    * quantized covariance grid (Stats.pcaPower scaladoc): one
+    * distributed covariance pass, exact BigInt iteration, canonical
+    * sign, truncating Rayleigh eigenvalue — zero floats past the grid.
+    */
+  val q221PcaPower = Q(
+    "q221_ann_pca_power",
+    (s, dir) =>
+      operators.Stats.pcaPower(t(s, dir, "embeddings"), "embedding",
+        dims = 6, iters = 3)
+        .orderBy("dim"),
+    Some {
+      val iter = (vp: String, w: String, vn: String) => s"""
+      $w AS (SELECT cs.j AS dim,
+               CAST(sum(CAST(cs.cov_q AS HUGEINT) * p.v) AS HUGEINT) AS w
+             FROM cs JOIN $vp p ON p.dim = cs.k GROUP BY cs.j),
+      ${w}s AS (SELECT CAST(sum(abs(w)) AS HUGEINT) AS s FROM $w),
+      $vn AS (SELECT $w.dim,
+               CASE WHEN ${w}s.s = 0 THEN p.v
+                 WHEN $w.w < 0
+                   THEN -((1000000000000::HUGEINT * (-$w.w)) // ${w}s.s)
+                 ELSE (1000000000000::HUGEINT * $w.w) // ${w}s.s
+               END AS v
+             FROM $w JOIN $vp p USING (dim) CROSS JOIN ${w}s)"""
+      s"""
+      WITH p AS (SELECT j.j, k.k
+             FROM (SELECT unnest(range(1, 7)) AS j) j,
+                  (SELECT unnest(range(1, 7)) AS k) k
+             WHERE k.k >= j.j),
+      pr AS (SELECT p.j AS dj, p.k AS dk,
+               CAST(floor(1000000.0 * CAST(e.embedding[p.j] AS DOUBLE)
+                 * CAST(e.embedding[p.k] AS DOUBLE)) AS BIGINT) AS pq
+             FROM embeddings e CROSS JOIN p
+             WHERE len(e.embedding) >= 6),
+      ag AS (SELECT dj, dk, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pq) AS DECIMAL(38,0)) AS sxy
+             FROM pr GROUP BY 1, 2),
+      dm AS (SELECT d.d,
+               CAST(sum(CAST(floor(1000000.0
+                 * CAST(e.embedding[d.d] AS DOUBLE)) AS BIGINT))
+                 AS DECIMAL(38,0)) AS sx
+             FROM embeddings e
+               CROSS JOIN (SELECT unnest(range(1, 7)) AS d) d
+             WHERE len(e.embedding) >= 6 GROUP BY 1),
+      cv AS (SELECT ag.dj, ag.dk,
+               CAST(floor(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(sj.sx AS DOUBLE) * CAST(sk.sx AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0))
+                 AS BIGINT) AS cov_q
+             FROM ag JOIN dm sj ON sj.d = ag.dj
+               JOIN dm sk ON sk.d = ag.dk),
+      cs AS (SELECT dj AS j, dk AS k, cov_q FROM cv
+             UNION ALL
+             SELECT dk AS j, dj AS k, cov_q FROM cv WHERE dj <> dk),
+      v0 AS (SELECT unnest(range(1, 7)) AS dim,
+               CAST(1000000000000 AS HUGEINT)
+                 + unnest(range(1, 7)) AS v),
+      ${iter("v0", "w1", "v1")},
+      ${iter("v1", "w2", "v2")},
+      ${iter("v2", "w3", "v3")},
+      fl AS (SELECT CASE WHEN (SELECT v FROM v3
+                 ORDER BY abs(v) DESC, dim ASC LIMIT 1) < 0
+               THEN -1 ELSE 1 END AS f),
+      vf AS (SELECT dim, v * fl.f AS v FROM v3 CROSS JOIN fl),
+      wf AS (SELECT dim, w * fl.f AS w FROM w3 CROSS JOIN fl),
+      lam AS (SELECT CASE WHEN sum(vf.v * vf.v) = 0 THEN 0
+                ELSE CAST(sum(vf.v * wf.w) // sum(vf.v * vf.v) AS BIGINT)
+              END AS l
+              FROM vf JOIN wf USING (dim))
+      SELECT CAST(vf.dim AS INT) AS dim, CAST(vf.v AS BIGINT) AS v_q,
+        lam.l AS lambda_q
+      FROM vf CROSS JOIN lam ORDER BY dim"""
+    })
+
+  /** (q222) Sorted-neighborhood near-dup blocking
+    * (Dedup.sortedNeighborhood scaladoc): prefix-key order, window-3
+    * neighbor pairs, normalized-Levenshtein verification — grid-
+    * decomposed positions, no single-partition sort.
+    */
+  val q222SortedNeighborhood = Q(
+    "q222_dd_sorted_neighborhood",
+    (s, dir) =>
+      Dedup.sortedNeighborhood(t(s, dir, "documents"), "doc_id", "text",
+        keyLen = 16, windowSize = 3, minEditSim = 0.3)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH b AS (SELECT doc_id AS id,
+               coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                 '') AS t
+             FROM documents),
+      p AS (SELECT id, t,
+              row_number() OVER (ORDER BY substr(t, 1, 16) ASC, id ASC)
+                AS pos
+            FROM b),
+      pr AS (SELECT a.id AS id_a, bb.id AS id_b,
+               CAST(bb.pos - a.pos AS INT) AS gap, a.t AS ta, bb.t AS tb
+             FROM p a JOIN p bb ON bb.pos - a.pos BETWEEN 1 AND 3),
+      sc AS (SELECT id_a, id_b, gap,
+               CASE WHEN greatest(length(ta), length(tb)) = 0
+                 THEN CAST(1000000 AS BIGINT)
+                 ELSE CAST(floor(1000000.0
+                   * (1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                     / CAST(greatest(length(ta), length(tb)) AS DOUBLE)))
+                   AS BIGINT)
+               END AS edit_sim_q
+             FROM pr)
+      SELECT id_a, id_b, gap, edit_sim_q FROM sc
+      WHERE edit_sim_q >= 300000
+      ORDER BY id_a, id_b"""))
+
+  /** (q223) Good–Turing unseen-mass audit per source
+    * (Segments.goodTuring scaladoc): hapax share N₁/N and discounted
+    * singleton count 2·N₂/N₁ from the count-of-counts grid.
+    */
+  val q223GoodTuring = Q(
+    "q223_tx_good_turing",
+    (s, dir) =>
+      operators.Segments.goodTuring(t(s, dir, "documents"),
+        "source", "text")
+        .orderBy("source"),
+    Some("""
+      WITH tk AS (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                 '\s+'), x -> len(x) > 0)) AS tok
+             FROM documents),
+      tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      coc AS (SELECT source, c, CAST(count(*) AS BIGINT) AS nr
+              FROM tc GROUP BY 1, 2),
+      ag AS (SELECT source,
+               CAST(sum(c * nr) AS BIGINT) AS n_tokens,
+               CAST(sum(nr) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN nr ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(sum(CASE WHEN c = 2 THEN nr ELSE 0 END) AS BIGINT)
+                 AS n_dis
+             FROM coc GROUP BY 1)
+      SELECT source, n_tokens, n_types, n_hapax, n_dis,
+        CAST(floor(1000000.0 * CAST(n_hapax AS DOUBLE)
+          / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS p_unseen_q,
+        CASE WHEN n_hapax > 0 THEN
+          CAST(floor(1000000.0 * 2.0 * CAST(n_dis AS DOUBLE)
+            / CAST(n_hapax AS DOUBLE)) AS BIGINT)
+        END AS r1_star_q
+      FROM ag ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -8474,5 +8620,6 @@ object Queries {
     q208StripAccents, q209ZipfSlope,
     q210Hits, q211JsDivergence, q212AvgPrecision, q213Brier,
     q214FleissKappa, q215DistinctNgrams, q216SentenceStats,
-    q217NeymanAlloc, q218SoftDedup, q219Acf, q220EncodingAudit)
+    q217NeymanAlloc, q218SoftDedup, q219Acf, q220EncodingAudit,
+    q221PcaPower, q222SortedNeighborhood, q223GoodTuring)
 }

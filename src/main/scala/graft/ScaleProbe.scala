@@ -749,6 +749,60 @@ object ScaleProbe {
       }
     }
 
+    if (section("knnprof")) {
+      // attribute the full-corpus kNN cost: raw pair scoring vs the
+      // salted top-k reduction vs the whole cosineTopK — the graph
+      // gates (q195/q210/q185/q186) all pay this prefix
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val q = broadcast(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        operators.Similarity.norm(col("embedding")).as("__qn")))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        operators.Similarity.norm(col("embedding")).as("__cn"))
+      val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          when(col("__qn") * col("__cn") > 0,
+            operators.Similarity.dot(col("qv"), col("cv"))
+              / (col("__qn") * col("__cn"))))
+      timedCount("knnprof scan: 2000x2000 pair scoring only",
+        scored.filter(col("cos") > -2.0))
+      timedCount("knnprof scan+filter: cos > 0.9 band",
+        scored.filter(col("cos") > 0.9))
+      timedCount("knnprof full cosineTopK k=5",
+        operators.Similarity.cosineTopK(emb, emb, "vec_id", "embedding", 5))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"), col("__salt"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      timedCount("knnprof stage1 salt window only",
+        scored.select(col("query_id"), col("cos"), col("neighbor_id"))
+          .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), lit(64)))
+          .withColumn("__r", row_number().over(ws))
+          .filter(col("__r") <= 5))
+      timedCount("knnprof scan via select-only (no filter)",
+        scored.select(col("query_id"), col("cos"), col("neighbor_id")))
+      val narrow = scored.select(col("query_id"), col("cos"),
+        col("neighbor_id"))
+        .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), lit(64)))
+      timedCount("knnprof exchange+sort only (no window)",
+        narrow.repartition(col("query_id"), col("__salt"))
+          .sortWithinPartitions(col("query_id"), col("__salt"),
+            col("cos").desc, col("neighbor_id"))
+          .filter(col("cos").isNotNull))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      timedCount("knnprof single window by query (no salt)",
+        narrow.withColumn("__r", row_number().over(wq))
+          .filter(col("__r") <= 5))
+      println(operators.Similarity.cosineTopK(emb, emb, "vec_id",
+          "embedding", 5)
+        .queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("WindowGroupLimit") || l.contains("Window")
+          || l.contains("Sort") || l.contains("Exchange"))
+        .mkString("\n"))
+    }
+
     if (section("session6")) {
       // PageRank over the synthetic mutual-kNN graph: each round is one
       // edge join + one agg on checkpointed inputs — linear in |E|

@@ -1133,4 +1133,66 @@ object Dedup {
         (col("id") === col("__keeper") ||
           coin * col("cluster_size") < lit(1000000L)).as("kept"))
   }
+
+  /** Sorted-neighborhood record linkage: order the corpus by a
+    * blocking key (here: the first `keyLen` chars of the normalized
+    * text), then compare each doc ONLY to its `windowSize` successors
+    * in that order — the classic SNM blocking that catches near-dups
+    * whose PREFIX agrees (OCR rescans, versioned re-crawls) at O(n·w)
+    * comparisons, complementary to MinHash (set overlap) and SimHash
+    * (bit distance). Verified by normalized Levenshtein similarity.
+    *
+    * NO global single-partition sort: the global position decomposes
+    * as (count of rows at strictly smaller keys) + (row_number within
+    * the key block) — the first addend lives on the distinct-key grid
+    * (one window over grid rows), the second is a window PARTITIONED
+    * BY key. Neighbor pairs are `windowSize` shifted equi-joins on the
+    * position (the lag-join shape), so every shuffle is on a key or an
+    * integer — nothing is ever gathered to one partition.
+    *
+    * @return (id_a, id_b, gap, edit_sim_q) for pairs within the
+    *         window with similarity ≥ minEditSim; gap = position
+    *         distance in the sort order
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+                         keyLen: Int, windowSize: Int,
+                         minEditSim: Double): DataFrame = {
+    require(windowSize >= 1 && windowSize <= 16,
+      s"windowSize ($windowSize) must be in [1, 16]")
+    val norm = graft.functions.TextFns.normalizeText(col(textCol))
+    val base = df.select(col(idCol).as("id"),
+        coalesce(norm, lit("")).as("__t"))
+      .withColumn("__key", substring(col("__t"), 1, keyLen))
+      .localCheckpoint(eager = false)
+    val grid = base.groupBy(col("__key")).agg(count(lit(1)).as("__n"))
+    val wg = Window.orderBy(col("__key").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grid
+      .withColumn("__before", coalesce(sum(col("__n")).over(wg), lit(0L)))
+      .select(col("__key"), col("__before"))
+    val wb = Window.partitionBy(col("__key")).orderBy(col("id").asc)
+    val positioned = base.join(offsets, Seq("__key"))
+      .withColumn("__pos", col("__before") + row_number().over(wb))
+      .select(col("id"), col("__t"), col("__pos"))
+      .localCheckpoint(eager = false)
+    val pairs = (1 to windowSize).map { g =>
+      positioned.select(col("id").as("id_a"), col("__t").as("__ta"),
+          (col("__pos") + g).as("__pos"))
+        .join(positioned.select(col("id").as("id_b"), col("__t").as("__tb"),
+          col("__pos")), Seq("__pos"))
+        .select(col("id_a"), col("id_b"), lit(g).as("gap"),
+          col("__ta"), col("__tb"))
+    }.reduce(_ unionByName _)
+    pairs
+      .withColumn("__dist", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("edit_sim_q",
+        when(greatest(length(col("__ta")), length(col("__tb"))) === 0,
+          lit(1000000L))
+          .otherwise(floor(lit(1000000.0) *
+            (lit(1.0) - col("__dist").cast("double") /
+              greatest(length(col("__ta")), length(col("__tb")))
+                .cast("double"))).cast("long")))
+      .filter(col("edit_sim_q") >= (minEditSim * 1000000).toLong)
+      .select(col("id_a"), col("id_b"), col("gap"), col("edit_sim_q"))
+  }
 }

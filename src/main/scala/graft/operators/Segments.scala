@@ -233,4 +233,39 @@ object Segments {
       when(blank, lit(false))
         .otherwise(trim(col(textCol)).rlike("[.!?]$")).as("ends_terminal"))
   }
+
+  /** Good–Turing unseen-mass estimate per group: from the
+    * count-of-counts grid, the hapax count N₁, the dis legomena N₂,
+    * the Good–Turing probability mass of UNSEEN vocabulary
+    * p₀ = N₁/N (⌊10⁶·⌋) and the discounted singleton count
+    * r*₁ = 2·N₂/N₁ (⌊10⁶·⌋) — the two numbers that tell a corpus
+    * curator how much of a source's vocabulary distribution is still
+    * unobserved (high p₀ = under-sampled source; near-zero = saturated
+    * or template text).
+    *
+    * Plan: one map-side-combined hash agg to the (group, term) grid,
+    * one to the (group, freq) count-of-counts grid (bounded: distinct
+    * frequencies are O(√mass) under Zipf), one per-group rollup.
+    */
+  def goodTuring(docs: DataFrame, groupCol: String,
+                 textCol: String): DataFrame = {
+    val terms = docs.select(col(groupCol), explode(toks(textCol)).as("__t"))
+      .groupBy(col(groupCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val coc = terms.groupBy(col(groupCol), col("__c"))
+      .agg(count(lit(1)).as("__nr"))
+    coc.groupBy(col(groupCol))
+      .agg(sum(col("__c") * col("__nr")).as("n_tokens"),
+        sum(col("__nr")).as("n_types"),
+        sum(when(col("__c") === 1, col("__nr")).otherwise(lit(0L)))
+          .as("n_hapax"),
+        sum(when(col("__c") === 2, col("__nr")).otherwise(lit(0L)))
+          .as("n_dis"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        floor(lit(1000000.0) * col("n_hapax").cast("double") /
+          col("n_tokens").cast("double")).cast("long").as("p_unseen_q"),
+        when(col("n_hapax") > 0,
+          floor(lit(1000000.0) * lit(2.0) * col("n_dis").cast("double") /
+            col("n_hapax").cast("double")).cast("long")).as("r1_star_q"))
+  }
 }

@@ -53,8 +53,8 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("__qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("__cn"))
+    val c = balanced(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
@@ -81,7 +81,7 @@ object Similarity {
     *
     * Plan: [[cosineTopK]]'s broadcast-queries scan with the band
     * predicate pushed BEFORE the rank stage — the corpus is scanned
-    * once, non-band rows never enter the salted top-k aggregate. The
+    * once, non-band rows never enter the top-k window. The
     * band compare runs on the same double `cosine` both engines
     * compute identically (q28's contract), so the cut is
     * oracle-exact.
@@ -94,8 +94,8 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("__qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("__cn"))
+    val c = balanced(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", hoistedCosine)
       .filter(col("cos") >= minCos && col("cos") < maxCos)
@@ -103,40 +103,48 @@ object Similarity {
   }
 
   /** Global top-k per query over a `(query_id, neighbor_id, cos)` frame
-    * — the shared rank stage of every *TopK variant.
-    *
-    * Two-phase: a salted per-group top-k first (bounded `collect_list`
-    * slice under the SAME total order as the final rank, so the union
-    * of local winners provably contains every global winner), then the
-    * `row_number` window ranks ≤ salts·k rows per query. A bare window
-    * would shuffle EVERY scored row into one partition per query and
-    * sort a corpus-sized partition in a single task — the 10⁹-row
-    * failure mode of "partitionBy(query_id)". Null cosines (zero
-    * vectors) order last, exactly like the window's `desc` nulls-last.
+    * — the shared rank stage of every *TopK variant. The 10⁹-row
+    * failure mode of a bare "partitionBy(query_id)" window (every
+    * scored row of a hot query gathered into ONE task) is prevented by
+    * the PARTIAL WindowGroupLimit Spark plans below the exchange: each
+    * map task forwards at most k rows per query.
     */
-  private[operators] def topKPerQuery(scored: DataFrame, k: Int, salts: Int = 64): DataFrame = {
-    def cosOf(s: Column) =
-      coalesce(s.getField("cos"), lit(Double.NegativeInfinity))
-    val cmp = (l: Column, r: Column) =>
-      when(cosOf(l) > cosOf(r), -1).when(cosOf(l) < cosOf(r), 1)
-        .when(l.getField("neighbor_id") < r.getField("neighbor_id"), -1)
-        .when(l.getField("neighbor_id") > r.getField("neighbor_id"), 1)
-        .otherwise(0)
-    val pruned = scored
-      .withColumn("__salt", pmod(xxhash64(col("neighbor_id")), lit(salts)))
-      .groupBy(col("query_id"), col("__salt"))
-      .agg(slice(
-        array_sort(collect_list(struct(col("cos"), col("neighbor_id"))), cmp),
-        1, k).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("t"))
-      .select(col("query_id"), col("t.cos").as("cos"),
-        col("t.neighbor_id").as("neighbor_id"))
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    // ONE row_number window + rank filter. Spark's InferWindowGroupLimit
+    // rewrites this into a map-side PARTIAL WindowGroupLimit (≤ k rows
+    // per query emitted per task, before the exchange) + a Final one —
+    // so the shuffle ships ≤ tasks·k rows per query, and a hot query
+    // can never gather corpus-sized input on one partition. That
+    // subsumes the hash-salt pre-reduction this used to do by hand
+    // (and the salted collect_list + interpreted array_sort(cmp) before
+    // it, which cost 12.5 s of a 14.3 s full-corpus kNN at sf0.1 —
+    // higher-order comparators evaluate per COMPARISON, interpreted).
+    // Projection to (query_id, cos, neighbor_id) precedes the sort so
+    // the embedding arrays never enter the exchange. Ordering is
+    // (cos DESC NULLS LAST — Spark's desc default, zero-norm nulls
+    // rank past every real cosine — neighbor_id ASC), a total order
+    // because neighbor_id is unique.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    pruned
+    scored
+      .select(col("query_id"), col("cos"), col("neighbor_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Rebalance a brute-scan corpus side whose scan has FEWER partitions
+    * than the session's parallelism (a small parquet fixture reads as
+    * 1–2 splits, and a broadcast join's output inherits the streamed
+    * side's partitioning — leaving the 4M-pair scoring loop AND the
+    * top-k sort on one or two threads; measured 3–4× on the sf0.1
+    * full-corpus kNN). A corpus already wider than the session (the
+    * 100 TB case) is left untouched — repartitioning it would be a
+    * full shuffle of the big side.
+    */
+  private def balanced(c: DataFrame): DataFrame = {
+    val want = c.sparkSession.sparkContext.defaultParallelism
+    if (c.rdd.getNumPartitions < want) c.repartition(want) else c
   }
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
@@ -188,7 +196,8 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshSignature(col(vecCol), dim, planes).as("sig"),
       norm(col(vecCol)).as("__qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val c = balanced(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
       lshSignature(col(vecCol), dim, planes).as("sig"),
       norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, Seq("sig"))
@@ -1012,8 +1021,8 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("__qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("__cn"))
+    val c = balanced(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("__cn"))
     val scored = q.crossJoin(c)
       .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)

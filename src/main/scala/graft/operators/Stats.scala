@@ -61,6 +61,68 @@ object Stats {
               lit(1000000.0))).cast("long").as("cov_q"))
   }
 
+  /** Top principal component of the first `dims` embedding dimensions
+    * by INTEGER power iteration on the [[dimCovariance]] grid — the
+    * whitening/compression direction an embedding pipeline audits
+    * before quantizing or projecting (a dominant component explaining
+    * most variance means the effective dimensionality is lower than
+    * the stored one).
+    *
+    * The distributed work is exactly one covariance pass (the d²/2
+    * grid); the d×d iteration then runs on the driver in EXACT BigInt
+    * (d² values — bounded by the dims cap, never corpus-sized),
+    * mirroring [[graft.operators.Packing.neymanAllocation]]'s
+    * bounded-collect shape. Per iteration, with C the symmetrized
+    * quantized covariance and v on the Q = 10¹² grid:
+    *
+    *   w_j = Σ_k C_jk·v_k      (exact BigInt)
+    *   v'_j = sign(w_j)·⌊Q·|w_j| / Σ|w|⌋   (L1 normalize, sign-safe:
+    *                            both engines floor a NON-NEGATIVE quotient)
+    *
+    * After the last round the sign is canonicalized (component with
+    * the largest |v|, ties to the smaller dim, made positive) and the
+    * Rayleigh-style eigenvalue estimate λ = trunc(Σv·w / Σv·v) is
+    * emitted on cov_q's 10⁶ grid (truncating division — BigInt's and
+    * HUGEINT //'s shared semantics). Zero iterations of float anywhere past the
+    * covariance quantization → bit-identical on any engine.
+    *
+    * @return (dim, v_q, lambda_q) — one row per dimension
+    */
+  def pcaPower(df: DataFrame, vecCol: String, dims: Int,
+               iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters ($iters) must be in [1, 10]")
+    import df.sparkSession.implicits._
+    val Qv = BigInt(1000000000000L)
+    val grid = dimCovariance(df, vecCol, dims).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(3))).toMap
+    val c = Array.tabulate(dims, dims)((j, k) =>
+      grid.getOrElse((math.min(j, k) + 1, math.max(j, k) + 1), BigInt(0)))
+    // start vector Q+j, not uniform Q: the all-ones vector can be
+    // EXACTLY orthogonal to the dominant eigenvector (e.g. a perfectly
+    // anti-correlated pair), and C maps it to zero — distinct per-dim
+    // offsets break the symmetry deterministically
+    var v = Array.tabulate(dims)(j => Qv + j + 1)
+    var w = v
+    for (_ <- 1 to iters) {
+      w = Array.tabulate(dims)(j =>
+        (0 until dims).map(k => c(j)(k) * v(k)).sum)
+      val s = w.map(_.abs).sum
+      if (s != 0)
+        v = w.map(x => x.signum * ((Qv * x.abs) / s))
+    }
+    val anchor = v.zipWithIndex.maxBy { case (x, i) => (x.abs, BigInt(-i)) }
+    if (anchor._1 < 0) { v = v.map(-_); w = w.map(-_) }
+    val vv = v.map(x => x * x).sum
+    val lambda = if (vv == 0) 0L
+      else {
+        val vw = v.indices.map(j => v(j) * w(j)).sum
+        // BigInt / truncates toward zero — exactly DuckDB's HUGEINT //
+        (vw / vv).toLong
+      }
+    v.zipWithIndex.map { case (x, i) => (i + 1, x.toLong, lambda) }
+      .toSeq.toDF("dim", "v_q", "lambda_q")
+  }
+
   /** Per-group Pearson correlation of two INTEGER metrics, from the
     * five exact sums:
     *

@@ -638,4 +638,30 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text").collect()
     assert(norm.map(_.getLong(2)).toSet === Set(3L))
   }
+
+  test("sortedNeighborhood: only window-adjacent pairs compared") {
+    val docsSn = Seq((10L, "aaa x"), (20L, "aaa y"), (30L, "zzz q"))
+      .toDF("doc_id", "text")
+    // window 1: (10,20) sim 0.8 passes; (20,30) sim 0 fails
+    val w1 = Dedup.sortedNeighborhood(docsSn, "doc_id", "text",
+        keyLen = 16, windowSize = 1, minEditSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(w1.toSeq === Seq((10L, 20L, 1, 800000L)))
+    // window 2 additionally compares (10,30) — still below 0.5
+    val w2 = Dedup.sortedNeighborhood(docsSn, "doc_id", "text",
+        keyLen = 16, windowSize = 2, minEditSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 === Set((10L, 20L), (20L, 30L), (10L, 30L)))
+  }
+
+  test("sortedNeighborhood: position order is (key, id), not input order") {
+    // id 5's text sorts FIRST despite the largest id
+    val docsSn = Seq((1L, "bbb"), (2L, "ccc"), (5L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(docsSn, "doc_id", "text",
+        keyLen = 16, windowSize = 1, minEditSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((5L, 1L), (1L, 2L)))
+  }
 }

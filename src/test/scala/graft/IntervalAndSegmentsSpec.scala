@@ -179,4 +179,24 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     // no terminator: clamps to 1 sentence (the Flesch rule)
     assert(out(4L) === ((1L, 3L, 3000000L, 3L, false)))
   }
+
+  // ----------------------------------------------------------- goodTuring
+
+  test("goodTuring: hand count-of-counts") {
+    // tokens a a b c → N=4, V=3, N1=2, N2=1
+    val docs = Seq(("A", "a a b c")).toDF("src", "text")
+    val out = Segments.goodTuring(docs, "src", "text").collect()(0)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((4L, 3L, 2L, 1L)))
+    assert(out.getLong(5) === 500000L)  // p_unseen = 2/4
+    assert(out.getLong(6) === 1000000L) // r1* = 2·1/2
+  }
+
+  test("goodTuring: no hapax yields null discounted count") {
+    val docs = Seq(("A", "a a b b")).toDF("src", "text")
+    val out = Segments.goodTuring(docs, "src", "text").collect()(0)
+    assert(out.getLong(3) === 0L)
+    assert(out.getLong(5) === 0L)
+    assert(out.isNullAt(6))
+  }
 }

@@ -179,6 +179,35 @@ class StatsSpec extends SparkSpec {
     assert(out(2) === ((3L, 999999L)))
   }
 
+  test("pcaPower: axis-aligned variance picks the axis; L1 grid exact") {
+    // all variance on dim 1
+    val axis = Seq((1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)), (3L, Seq(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val v1 = Stats.pcaPower(axis, "embedding", dims = 2, iters = 3)
+      .orderBy("dim").collect()
+    assert(v1.map(_.getLong(1)).toSeq === Seq(1000000000000L, 0L))
+    assert(v1(0).getLong(2) > 0) // eigenvalue = the dim-1 variance
+    // perfectly correlated dims split the L1 mass evenly
+    val corr = Seq((1L, Seq(1f, 1f)), (2L, Seq(2f, 2f)), (3L, Seq(3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val v2 = Stats.pcaPower(corr, "embedding", dims = 2, iters = 3)
+      .orderBy("dim").collect().map(_.getLong(1)).toSeq
+    assert(v2 === Seq(500000000000L, 500000000000L))
+  }
+
+  test("pcaPower: anti-correlated dims — canonical sign anchors positive") {
+    val anti = Seq((1L, Seq(1f, -1f)), (2L, Seq(2f, -2f)), (3L, Seq(3f, -3f)))
+      .toDF("vec_id", "embedding")
+    val out = Stats.pcaPower(anti, "embedding", dims = 2, iters = 3)
+      .orderBy("dim").collect().map(_.getLong(1)).toSeq
+    // top PC ∝ (1, −1), anchored positive on dim 1; quantization of
+    // the negative-product covariance cell leaves a tiny residual
+    // second component, so assert convergence, not the ideal point
+    assert(out(0) > 0 && out(1) < 0)
+    assert(math.abs(out(0) - 500000000000L) < 10000000L)
+    assert(math.abs(out(1) + 500000000000L) < 10000000L)
+  }
+
   test("acf: gaps densify to zero before pairing") {
     // buckets 0 and 2·86400 present; bucket 1 missing → counts as 0
     val rows = Seq(("t", 0L, 2L), ("t", 2L * 86400L, 2L))
