@@ -180,6 +180,11 @@ object Segments {
     * the exact-distinct two-stage shape (no countDistinct sort-agg,
     * no per-doc arrays through a shuffle). The ns frames union after
     * aggregation, so the widest shuffle is the largest single-n grid.
+    * (A fused single-scan variant — per-n gram arrays wrapped in
+    * (n, gram) structs, flattened, one explode — measured 2.6× SLOWER:
+    * transform/flatten are interpreted higher-order functions, and the
+    * extra struct-building lambda per gram costs more than the saved
+    * scans. Keep the n scans; they're embarrassingly parallel.)
     */
   def distinctNgramRatio(docs: DataFrame, groupCol: String,
                          textCol: String, ns: Seq[Int]): DataFrame = {
