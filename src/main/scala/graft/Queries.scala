@@ -8560,6 +8560,180 @@ object Queries {
         END AS r1_star_q
       FROM ag ORDER BY source"""))
 
+  /** (q224) Hill tail-index of doc length per source (Robust.hillTail
+    * scaladoc): ⌊10¹²·ln(X᙮/X_ref)⌋ per tail sample, integer mean,
+    * α = ⌊10²⁴/H⌋ — the heavy-tail exponent that decides length caps.
+    */
+  val q224HillTail = Q(
+    "q224_s_hill_tail",
+    (s, dir) =>
+      operators.Robust.hillTail(t(s, dir, "documents"), "source",
+        "n_chars", k = 20)
+        .orderBy("source"),
+    Some("""
+      WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+             FROM documents WHERE n_chars > 0),
+      r AS (SELECT source, v, row_number() OVER (PARTITION BY source
+              ORDER BY v DESC) AS rn
+            FROM v),
+      top AS (SELECT * FROM r WHERE rn <= 21),
+      rf AS (SELECT source, CAST(min(v) AS BIGINT) AS ref,
+               CAST(count(*) AS BIGINT) AS n
+             FROM top GROUP BY source HAVING count(*) >= 2),
+      t AS (SELECT top.source, CAST(count(*) AS BIGINT) AS n_tail,
+              any_value(rf.ref) AS x_ref,
+              CAST(sum(CAST(floor(1000000000000.0
+                * ln(CAST(top.v AS DOUBLE) / CAST(rf.ref AS DOUBLE)))
+                AS BIGINT)) AS BIGINT) AS hsum
+            FROM top JOIN rf USING (source)
+            WHERE top.rn < rf.n GROUP BY top.source)
+      SELECT source, n_tail, x_ref, hsum // n_tail AS hill_q,
+        CASE WHEN hsum // n_tail > 0 THEN
+          CAST(1000000000000000000000000::HUGEINT // (hsum // n_tail)
+            AS BIGINT)
+        END AS alpha_q
+      FROM t ORDER BY source"""))
+
+  /** (q225) Matthews correlation of the marker-heuristic language ID
+    * against the stored lang, binarized to 'en' (Eval.mcc scaladoc):
+    * the imbalance-honest confusion summary.
+    */
+  val q225Mcc = Q(
+    "q225_ml_mcc",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+      operators.Eval.mcc(d, col("pred") === "en", col("lang") === "en")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT (lang = 'en') AS y,
+               (CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                     WHEN en = greatest(en, es, de, fr) THEN 'en'
+                     WHEN es = greatest(en, es, de, fr) THEN 'es'
+                     WHEN de = greatest(en, es, de, fr) THEN 'de'
+                     ELSE 'fr' END = 'en') AS p
+             FROM h),
+      c AS (SELECT
+          CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+          CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM pr)
+      SELECT tp, fp, tn, fn,
+        CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn) > 0
+              AND CAST(tn + fp AS HUGEINT) * (tn + fn) > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+              AS DOUBLE)
+            / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) AS DOUBLE)
+              * CAST(CAST(tn + fp AS HUGEINT) * (tn + fn) AS DOUBLE)))
+            AS BIGINT)
+        END AS mcc_q
+      FROM c"""))
+
+  /** (q226) Binary-segmentation changepoint on daily event counts per
+    * type (TimeAgg.binsegSplit scaladoc): the split maximizing
+    * (S_t·B − S·t)²/(t·(B−t)), argmax by (score DESC, t ASC).
+    */
+  val q226BinsegSplit = Q(
+    "q226_a_binseg_split",
+    (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isNotNull)
+      val daily = e.withColumn("bucket",
+          TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      TimeAgg.binsegSplit(daily, "event_type", "bucket", "x")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 86400000000) * 86400 AS bucket FROM events
+             WHERE event_type IS NOT NULL),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT event_type, bucket,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY bucket ASC) AS t,
+              CAST(sum(x) OVER (PARTITION BY event_type ORDER BY bucket ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS st,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+              CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+            FROM h),
+      sc AS (SELECT event_type, bucket, t, n, st, s,
+               CAST(floor(CAST((CAST(st AS HUGEINT) * n
+                   - CAST(s AS HUGEINT) * t)
+                 * (CAST(st AS HUGEINT) * n - CAST(s AS HUGEINT) * t)
+                 AS DOUBLE)
+                 / CAST(CAST(t AS HUGEINT) * (n - t) AS DOUBLE))
+                 AS BIGINT) AS score_q
+             FROM p WHERE t < n),
+      am AS (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY score_q DESC, t ASC) AS rn
+             FROM sc)
+      SELECT event_type, n AS n_buckets, bucket AS split_after,
+        t AS n_left, score_q,
+        CAST(floor(1000000.0 * CAST(st AS DOUBLE) / CAST(t AS DOUBLE))
+          AS BIGINT) AS mean_left_q,
+        CAST(floor(1000000.0 * CAST(s - st AS DOUBLE)
+          / CAST(n - t AS DOUBLE)) AS BIGINT) AS mean_right_q
+      FROM am WHERE rn = 1 ORDER BY event_type"""))
+
+  /** (q227) Perceptual-hash near-dup over the media stub features
+    * (Multimodal.phashTable + Dedup.hammingPairs scaladoc): 60-bit
+    * mean-threshold fingerprint, banded hamming join — EXACT at
+    * maxHamming 3 < nChunks 4, so the all-pairs oracle reproduces the
+    * banded scale path.
+    */
+  val q227PhashNearDup = Q(
+    "q227_mm_phash_neardup",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8")
+          .as("content"))
+      val feats = graft.operators.Multimodal.extractFeatures(
+        media, "content", dim = 60)
+      Dedup.hammingPairs(
+        graft.operators.Multimodal.phashTable(feats, "id", "features",
+          bits = 60),
+        maxHamming = 3, bits = 60, nChunks = 4)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH b AS (SELECT doc_id AS id, hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+             FROM documents),
+      bytes AS (SELECT id, unnest(range(1, n + 1)) AS j, h FROM b),
+      lanesum AS (SELECT id, (j - 1) % 60 AS lane,
+               CAST(sum(('0x' || substr(h, 2 * j - 1, 2))::BIGINT)
+                 % 16777216 AS BIGINT) AS v
+             FROM bytes GROUP BY 1, 2),
+      grid AS (SELECT b.id, l.lane, coalesce(ls.v, 0) AS v
+             FROM b CROSS JOIN (SELECT unnest(range(0, 60)) AS lane) l
+             LEFT JOIN lanesum ls ON ls.id = b.id AND ls.lane = l.lane),
+      fp AS (SELECT id,
+               CAST(sum(CASE WHEN v * 60 > tot
+                 THEN (CAST(1 AS BIGINT) << CAST(lane AS INT))
+                 ELSE 0 END) AS BIGINT) AS fp
+             FROM (SELECT *, CAST(sum(v) OVER (PARTITION BY id) AS BIGINT)
+                     AS tot FROM grid)
+             GROUP BY id)
+      SELECT a.id AS id_a, bb.id AS id_b,
+        CAST(bit_count(xor(a.fp, bb.fp)) AS INT) AS hamming
+      FROM fp a JOIN fp bb ON a.id < bb.id
+      WHERE bit_count(xor(a.fp, bb.fp)) <= 3
+      ORDER BY id_a, id_b"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -8621,5 +8795,6 @@ object Queries {
     q210Hits, q211JsDivergence, q212AvgPrecision, q213Brier,
     q214FleissKappa, q215DistinctNgrams, q216SentenceStats,
     q217NeymanAlloc, q218SoftDedup, q219Acf, q220EncodingAudit,
-    q221PcaPower, q222SortedNeighborhood, q223GoodTuring)
+    q221PcaPower, q222SortedNeighborhood, q223GoodTuring,
+    q224HillTail, q225Mcc, q226BinsegSplit, q227PhashNearDup)
 }

@@ -803,6 +803,48 @@ object ScaleProbe {
         .mkString("\n"))
     }
 
+    if (section("session7")) {
+      // HITS rides the same Pregel shape as PageRank: linear in |E|
+      for (mult <- Seq(1, 4, 16)) {
+        val n = 500L * mult
+        val e = spark.range(n).select(col("id").as("src"))
+          .crossJoin(spark.range(5).select((col("id") + 1).as("r")))
+          .withColumn("dst", pmod(col("src") * 31L + col("r") * 7L, lit(n)))
+          .filter(col("dst") =!= col("src"))
+          .select("src", "dst")
+        timedCount(s"hits    ${mult}x vertices (n=$n, k=5) 2 rounds",
+          operators.Graph.hits(e, 2))
+      }
+      // sorted-neighborhood: pairs = n·w by construction — replicated
+      // corpora grow candidates linearly, never quadratically
+      for (mult <- Seq(1, 4, 16)) {
+        val docs = replicate(
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select(col("doc_id"), col("text")), "doc_id", mult)
+        timedCount(s"snm     ${mult}x docs w=3",
+          operators.Dedup.sortedNeighborhood(docs, "doc_id", "text",
+            keyLen = 16, windowSize = 3, minEditSim = 0.3))
+        docs.unpersist()
+      }
+      // one-scan audit shapes ride the corpus size
+      for (sf <- Seq("sf0.01", "sf0.1")) {
+        val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        val toksDf = docs.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        timedCount(s"jsd     $sf source vs rest",
+          operators.Stats.jsDivergence(toksDf, "source", "tok"))
+        timedCount(s"dngram  $sf n=1,2,3",
+          operators.Segments.distinctNgramRatio(docs, "source", "text",
+            Seq(1, 2, 3)))
+        timedCount(s"gturing $sf per source",
+          operators.Segments.goodTuring(docs, "source", "text"))
+        val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        timedCount(s"pcapow  $sf dims=6 iters=3",
+          operators.Stats.pcaPower(emb, "embedding", 6, 3))
+      }
+    }
+
     if (section("session6")) {
       // PageRank over the synthetic mutual-kNN graph: each round is one
       // edge join + one agg on checkpointed inputs — linear in |E|

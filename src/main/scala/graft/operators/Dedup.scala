@@ -607,10 +607,21 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    tokenHash: Column => Column = xxhash64(_),
+                   bits: Int = 64, nChunks: Int = 4): DataFrame =
+    hammingPairs(snapshot(simHashTable(df, idCol, textCol, tokenHash, bits)),
+      maxHamming, bits, nChunks)
+
+  /** The banded hamming join shared by every 64-bit-fingerprint family
+    * (simhash over tokens, phash over media features): band the
+    * fingerprint into nChunks chunks, equi-join on (chunk, value),
+    * verify by hamming distance — EXACT recall when
+    * maxHamming < nChunks (pigeonhole). `base` must be an (id, fp)
+    * frame, fp in the low `bits` bits.
+    */
+  def hammingPairs(base: DataFrame, maxHamming: Int,
                    bits: Int = 64, nChunks: Int = 4): DataFrame = {
     require(bits % nChunks == 0, s"bits ($bits) must divide into nChunks ($nChunks)")
     val chunkBits = bits / nChunks
-    val base = snapshot(simHashTable(df, idCol, textCol, tokenHash, bits))
     // mask built with >>> not <<: (1L << 64) shift-wraps to 1, so a
     // single-chunk config would mask every fingerprint to cv = 0 — one
     // global bucket, silent all-pairs join

@@ -388,6 +388,41 @@ object Eval {
           .as("uncertainty_q"))
   }
 
+  /** Matthews correlation coefficient of a binary prediction against a
+    * binary truth — the single-number confusion summary that stays
+    * honest under class imbalance (accuracy and F1 both saturate when
+    * one class dominates, which a filtered corpus always has):
+    *
+    *   MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    *
+    * Exact long counts from one hash agg; products in decimal (corpus
+    * scale squares 10¹⁸); ONE sqrt+divide on the exact integers →
+    * ⌊10⁶·⌋ engine-identical. Null when any margin is zero (MCC
+    * undefined — the degenerate all-one-class case).
+    *
+    * @return one row (tp, fp, tn, fn, mcc_q)
+    */
+  def mcc(df: DataFrame, predCol: Column, truthCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.agg(
+      sum(when(predCol && truthCol, 1L).otherwise(0L)).as("tp"),
+      sum(when(predCol && !truthCol, 1L).otherwise(0L)).as("fp"),
+      sum(when(!predCol && !truthCol, 1L).otherwise(0L)).as("tn"),
+      sum(when(!predCol && truthCol, 1L).otherwise(0L)).as("fn"))
+    // pairwise exact decimal products (≤ N² each — a four-way product
+    // would pass decimal(38) at corpus margins), ONE double multiply
+    // between them, mirrored operand order in the oracle
+    val denL = (d(col("tp")) + col("fp")) * (d(col("tp")) + col("fn"))
+    val denR = (d(col("tn")) + col("fp")) * (d(col("tn")) + col("fn"))
+    counts.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      when(denL > 0 && denR > 0,
+        floor(lit(1000000.0) *
+          (d(col("tp")) * col("tn") - d(col("fp")) * col("fn"))
+            .cast("double") /
+          sqrt(denL.cast("double") * denR.cast("double"))).cast("long"))
+        .as("mcc_q"))
+  }
+
   /** Fleiss' kappa for R raters × N items over a categorical rating
     * frame `(item, rating)` with EXACTLY `raters` rows per item —
     * multi-rater chance-corrected agreement ([[cohenKappa]] handles

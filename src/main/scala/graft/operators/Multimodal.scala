@@ -146,6 +146,36 @@ object Multimodal {
           i => i * everyN))
         .otherwise(array().cast(ArrayType(IntegerType))))
 
+  /** Perceptual-hash table over an extracted feature vector: bit b is
+    * set iff lane b exceeds the MEAN lane (the classic aHash/pHash
+    * thresholding, here over whatever [[extractFeatures]] produced —
+    * stub byte-folds in this container, luminance histograms or DCT
+    * coefficients behind the same seam in production). All integer:
+    * lane·bits > Σ lanes avoids the mean division entirely, so the
+    * fingerprint is engine-exact and the near-dup join
+    * ([[Dedup.hammingPairs]]) is oracle-reproducible.
+    *
+    * Pure scan-stage projection: one interpreted fold for the lane
+    * total (bits adds/row), then `bits` codegen'd comparisons.
+    *
+    * @return (idCol, fp) — fp over the low `bits` bits
+    */
+  def phashTable(df: DataFrame, idCol: String, featuresCol: String,
+                 bits: Int): DataFrame = {
+    require(bits >= 4 && bits <= 62, s"bits ($bits) must be in [4, 62]")
+    val tot = aggregate(
+      transform(col(featuresCol), x => x.cast("long")),
+      lit(0L), (a, x) => a + x)
+    val withTot = df.select(col(idCol),
+      col(featuresCol).as("__f"), tot.as("__tot"))
+    val fp = (0 until bits)
+      .map(b => when(
+        element_at(col("__f"), b + 1).cast("long") * bits > col("__tot"),
+        lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    withTot.select(col(idCol), fp.as("fp"))
+  }
+
   /** Build a media table from any binary-ish source column (used by
     * tests; production ingests parquet/tar shards directly).
     */

@@ -246,4 +246,55 @@ object Robust {
       .select(col(groupCol), col("__p").as("n_pairs"),
         col("__slope").as("slope_med_q"))
   }
+
+  /** Hill tail-index estimator per group over a positive integer
+    * metric (doc length, token count, degree): with X₍₁₎ ≥ … the
+    * descending order statistics and k tail samples,
+    *
+    *   H = (1/k)·Σ_{i≤k} ln(X₍ᵢ₎/X₍ₖ₊₁₎),  α̂ = 1/H
+    *
+    * — the standard heavy-tail exponent (α ≈ the Pareto/Zipf tail
+    * slope; small α = extreme docs dominate token mass, the signal
+    * that a length cap or sub-linear sampling is needed before
+    * training). Quantized ⌊10¹²·ln⌋ per SAMPLE then one integer mean
+    * (div), so partition order can't move the result; ln runs on
+    * ratios of exact integers (the q166 ln contract). Groups with
+    * fewer than 2 positive values emit nothing. Ties at the boundary
+    * are value-identical, so WHICH tied row ranks k+1 cannot change
+    * the estimate.
+    *
+    * Plan: one row_number window per group (Spark plans a map-side
+    * partial group-limit for the rank filter — top-(k+1) per task,
+    * never a corpus-sized partition), then a per-group agg.
+    *
+    * @return (group, n_tail, x_ref, hill_q, alpha_q) — hill on the
+    *         10¹² grid, alpha = ⌊10¹²/H⌋ from the quantized H
+    */
+  def hillTail(df: DataFrame, groupCol: String, valueCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k ($k) must be in [1, 10000]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v").desc)
+    val top = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+      .localCheckpoint(eager = false) // feeds the ref agg AND the terms
+    val ref = top.groupBy(col(groupCol))
+      .agg(min(col("__v")).as("__ref"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    top.join(ref, Seq(groupCol))
+      .filter(col("__rn") < col("__n")) // the k_eff tail samples
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tail"), first(col("__ref")).as("x_ref"),
+        sum(floor(lit(1.0e12) *
+          log(col("__v").cast("double") / col("__ref").cast("double")))
+          .cast("long")).as("__hsum"))
+      .select(col(groupCol), col("n_tail"), col("x_ref"),
+        expr("__hsum div n_tail").as("hill_q"))
+      .withColumn("alpha_q",
+        when(col("hill_q") > 0,
+          // ⌊10²⁴/hill_q⌋ in decimal — 10¹²/H on the same grid
+          expr("CAST(CAST(1000000000000000000000000 AS DECIMAL(38,0))" +
+            " div hill_q AS LONG)")))
+  }
 }

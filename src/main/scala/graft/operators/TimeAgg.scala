@@ -600,4 +600,57 @@ object TimeAgg {
           (dec(col("__na")) * dec(col("__nb"))).cast("double"))
           .cast("long").as("lift_q"))
   }
+
+  /** Single-changepoint detection by binary segmentation over a
+    * bucketed per-group series: the split position t (1 ≤ t < B over
+    * the ORDERED buckets) maximizing the between-segment variance
+    * reduction — equivalently, with prefix sum S_t and totals (S, B),
+    *
+    *   score(t) ∝ (S_t·B − S·t)² / (t·(B − t))
+    *
+    * (the k=1 CUSUM/binary-segmentation objective; [[cusumShift]] is
+    * the one-sided drawup variant, this is the two-sided level-shift
+    * locator). The numerator is an exact decimal square; score_q =
+    * ⌊num/den⌋ in ONE double division per candidate, argmax by
+    * (score_q DESC, t ASC) — a deterministic total order.
+    *
+    * Plan: per-group window prefix sums over the BOUNDED bucket grid
+    * (never corpus rows), one row_number window for the argmax.
+    *
+    * @return (group, n_buckets, split_after, n_left, score_q,
+    *         mean_left_q, mean_right_q) — split_after = the bucket
+    *         value ENDING the left segment; means ⌊10⁶·⌋
+    */
+  def binsegSplit(buckets: DataFrame, groupCol: String, bucketCol: String,
+                  valueCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val wo = Window.partitionBy(col(groupCol)).orderBy(col("__b").asc)
+    val wg = Window.partitionBy(col(groupCol))
+    val pre = buckets.select(col(groupCol), col(bucketCol).as("__b"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__t", row_number().over(wo))
+      .withColumn("__st", sum(col("__v")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__s", sum(col("__v")).over(wg))
+      .filter(col("__t") < col("__n")) // splits AFTER the last bucket excluded
+    val num = (d(col("__st")) * col("__n") - d(col("__s")) * col("__t"))
+    val scored = pre.select(col(groupCol), col("__b"), col("__t"),
+      col("__n"), col("__st"), col("__s"),
+      floor((num * num).cast("double") /
+        (d(col("__t")) * (d(col("__n")) - col("__t"))).cast("double"))
+        .cast("long").as("score_q"))
+    val wr = Window.partitionBy(col(groupCol))
+      .orderBy(col("score_q").desc, col("__t").asc)
+    scored.withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("__n").as("n_buckets"),
+        col("__b").as("split_after"), col("__t").cast("long").as("n_left"),
+        col("score_q"),
+        floor(lit(1000000.0) * col("__st").cast("double") /
+          col("__t").cast("double")).cast("long").as("mean_left_q"),
+        floor(lit(1000000.0) * (col("__s") - col("__st")).cast("double") /
+          (col("__n") - col("__t")).cast("double")).cast("long")
+          .as("mean_right_q"))
+  }
 }

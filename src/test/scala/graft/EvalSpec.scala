@@ -254,6 +254,32 @@ class EvalSpec extends SparkSpec {
     assert(k2.getLong(4) === -1000000000000L)
   }
 
+  test("mcc: perfect prediction +1, inverted -1, degenerate null") {
+    val perfect = Seq((true, true), (true, true), (false, false))
+    val m1 = Eval.mcc(perfect.toDF("p", "y"), col("p"), col("y"))
+      .collect()(0)
+    assert((m1.getLong(0), m1.getLong(2)) === ((2L, 1L)))
+    assert(m1.getLong(4) === 1000000L)
+    val inverted = Seq((true, false), (false, true))
+    val m2 = Eval.mcc(inverted.toDF("p", "y"), col("p"), col("y"))
+      .collect()(0)
+    assert(m2.getLong(4) === -1000000L)
+    // all-positive truth: TN+FP margin is 0 → undefined
+    val degen = Seq((true, true), (false, true))
+    val m3 = Eval.mcc(degen.toDF("p", "y"), col("p"), col("y")).collect()(0)
+    assert(m3.isNullAt(4))
+  }
+
+  test("mcc: hand-computed mixed confusion") {
+    // tp=2 fp=1 tn=3 fn=1: mcc = (6-1)/sqrt(3*3*4*4) = 5/12
+    val rows = Seq((true, true), (true, true), (true, false),
+      (false, false), (false, false), (false, false), (false, true))
+    val m = Eval.mcc(rows.toDF("p", "y"), col("p"), col("y")).collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ===
+      ((2L, 1L, 3L, 1L)))
+    assert(m.getLong(4) === math.floor(1000000.0 * 5.0 / 12.0).toLong)
+  }
+
   test("fleissKappa: kappa null when chance agreement is total") {
     // one category only: pe = 1 → denominator 0 → null
     val rows = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))

@@ -63,4 +63,36 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_offsets").as[Seq[Int]].head()
     assert(offs === Seq(0, 10))
   }
+
+  test("phashTable: mean-threshold bits, identical content collides") {
+    val m = Multimodal.fromBytes(spark, Seq(
+      (1L, "image", "same bytes here!".getBytes("UTF-8")),
+      (2L, "image", "same bytes here!".getBytes("UTF-8")),
+      (3L, "image", "totally different content....".getBytes("UTF-8"))))
+    val feats = Multimodal.extractFeatures(m, "content", dim = 8)
+    val fp = Multimodal.phashTable(feats, "media_id", "features", bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    // hand replay: lane sums of the byte fold, bit = lane·8 > total
+    val lanes = Multimodal.stubDecode("same bytes here!".getBytes("UTF-8"), 8)
+      .map(_.toLong)
+    val tot = lanes.sum
+    val want = lanes.zipWithIndex
+      .map { case (v, b) => if (v * 8 > tot) 1L << b else 0L }.sum
+    assert(fp(1L) === want)
+  }
+
+  test("phash near-dup pipeline: banded join finds the identical pair") {
+    val m = Multimodal.fromBytes(spark, Seq(
+      (1L, "image", "same bytes here!".getBytes("UTF-8")),
+      (2L, "image", "same bytes here!".getBytes("UTF-8")),
+      (3L, "image", "totally different content....".getBytes("UTF-8"))))
+    val feats = Multimodal.extractFeatures(m, "content", dim = 60)
+    val pairs = graft.operators.Dedup.hammingPairs(
+      Multimodal.phashTable(feats, "media_id", "features", bits = 60)
+        .withColumnRenamed("media_id", "id"),
+      maxHamming = 0, bits = 60, nChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
 }

@@ -186,4 +186,51 @@ class RobustSpec extends SparkSpec {
     assert(out.getLong(1) === 1L)
     assert(out.getLong(2) === -333334L)
   }
+
+  // -------------------------------------------------------------- hillTail
+
+  test("hillTail: exact Pareto tail recovers the exponent") {
+    // X_(i) = 2^(10-i): ln(X_(i)/X_(k+1)) = (k+1-i)·ln2 — H = ln2·(k+1)/2k
+    val vals = (0 to 9).map(i => ("g", 1L << i))
+    val out = Robust.hillTail(vals.toDF("g", "v"), "g", "v", k = 4)
+      .collect().head
+    assert(out.getLong(1) === 4L)          // n_tail = k
+    assert(out.getLong(2) === (1L << 5))   // x_ref = the 5th largest
+    // terms: ln16, ln8, ln4, ln2 → H = (4+3+2+1)/4 · ln2 = 2.5·ln2
+    val want = (1 to 4).map(j =>
+      math.floor(1.0e12 * math.log((1L << j).toDouble / 1.0)).toLong).sum / 4
+    assert(out.getLong(3) === want)
+  }
+
+  test("hillTail: non-positive values excluded; tiny groups dropped") {
+    val rows = Seq(("a", 8L), ("a", 4L), ("a", 0L), ("a", -2L),
+      ("b", 5L))
+    val out = Robust.hillTail(rows.toDF("g", "v"), "g", "v", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // group a: two positives → one tail sample ln(8/4)
+    assert(out("a") === math.floor(1.0e12 * math.log(2.0)).toLong)
+    assert(!out.contains("b")) // a single value has no tail
+  }
+
+  // ---------------------------------------------------------- binsegSplit
+
+  test("binsegSplit: finds the level shift, means exact") {
+    // series 1,1,1,9,9 — split after position 3
+    val rows = (1 to 5).map(t => ("g", t.toLong, if (t <= 3) 1L else 9L))
+    val out = TimeAgg.binsegSplit(rows.toDF("g", "b", "x"),
+      "g", "b", "x").collect().head
+    assert(out.getLong(1) === 5L)          // n_buckets
+    assert(out.getLong(2) === 3L)          // split_after bucket 3
+    assert(out.getLong(3) === 3L)          // n_left
+    assert(out.getLong(5) === 1000000L)    // mean_left = 1
+    assert(out.getLong(6) === 9000000L)    // mean_right = 9
+  }
+
+  test("binsegSplit: flat series ties break to the earliest split") {
+    val rows = (1 to 4).map(t => ("g", t.toLong, 5L))
+    val out = TimeAgg.binsegSplit(rows.toDF("g", "b", "x"),
+      "g", "b", "x").collect().head
+    assert(out.getLong(4) === 0L) // zero variance reduction everywhere
+    assert(out.getLong(2) === 1L) // t ASC tie-break
+  }
 }
