@@ -8734,6 +8734,65 @@ object Queries {
       WHERE bit_count(xor(a.fp, bb.fp)) <= 3
       ORDER BY id_a, id_b"""))
 
+  /** (q228) Distinct-l diversity audit (Curation.lDiversity scaladoc):
+    * the k-anonymity companion — a group is diverse iff its sensitive
+    * column takes ≥ l distinct values.
+    */
+  val q228LDiversity = Q(
+    "q228_s_ldiversity",
+    (s, dir) => {
+      val ev0 = ev(s, dir)
+      val e = ev0.withColumn("week",
+        TimeAgg.timeBucketSec(col("ts_us"), 7L * 86400))
+      operators.Curation.lDiversity(e, Seq("event_type", "week"),
+        "user_id", l = 3)
+        .orderBy("event_type", "week")
+    },
+    Some(s"""
+      WITH g AS (SELECT event_type,
+               ($EvUs // 604800000000) * 604800 AS week, user_id
+             FROM events),
+      d AS (SELECT event_type, week, user_id,
+              CAST(count(*) AS BIGINT) AS c
+            FROM g GROUP BY 1, 2, 3)
+      SELECT event_type, week, CAST(sum(c) AS BIGINT) AS grp_n,
+        CAST(count(*) AS BIGINT) AS n_sensitive,
+        count(*) >= 3 AS diverse
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** (q229) RFM user segmentation (TimeAgg.rfmSegments scaladoc):
+    * exact-rank quartile bins over recency/frequency/monetary, ties by
+    * user id — the oracle replays the rank with one window per metric.
+    */
+  val q229RfmSegments = Q(
+    "q229_a_rfm_segments",
+    (s, dir) => {
+      val e = ev(s, dir)
+      TimeAgg.rfmSegments(e, "user_id", "ts_us", "value", k = 4)
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH per AS (SELECT user_id,
+               CAST(max($EvUs) AS BIGINT) AS last_us,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS monetary_cents
+             FROM events GROUP BY user_id),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+      r AS (SELECT user_id,
+              ((row_number() OVER (ORDER BY last_us ASC, user_id ASC) - 1)
+                * 4) // n.n + 1 AS r_bin,
+              ((row_number() OVER (ORDER BY freq ASC, user_id ASC) - 1)
+                * 4) // n.n + 1 AS f_bin,
+              ((row_number() OVER (ORDER BY monetary_cents ASC, user_id ASC)
+                - 1) * 4) // n.n + 1 AS m_bin
+            FROM per CROSS JOIN n)
+      SELECT per.user_id, per.last_us, per.freq, per.monetary_cents,
+        CAST(r.r_bin AS BIGINT) AS r_bin, CAST(r.f_bin AS BIGINT) AS f_bin,
+        CAST(r.m_bin AS BIGINT) AS m_bin,
+        CAST(r.r_bin * 100 + r.f_bin * 10 + r.m_bin AS BIGINT) AS rfm_code
+      FROM per JOIN r USING (user_id) ORDER BY user_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -8796,5 +8855,6 @@ object Queries {
     q214FleissKappa, q215DistinctNgrams, q216SentenceStats,
     q217NeymanAlloc, q218SoftDedup, q219Acf, q220EncodingAudit,
     q221PcaPower, q222SortedNeighborhood, q223GoodTuring,
-    q224HillTail, q225Mcc, q226BinsegSplit, q227PhashNearDup)
+    q224HillTail, q225Mcc, q226BinsegSplit, q227PhashNearDup,
+    q228LDiversity, q229RfmSegments)
 }

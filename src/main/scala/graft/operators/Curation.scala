@@ -899,6 +899,30 @@ object Curation {
     df.join(groups, quasiCols)
   }
 
+  /** Distinct-l diversity audit per quasi-identifier group — the
+    * companion check [[kAnonSuppress]] cannot express: a group can be
+    * k-large yet carry ONE sensitive value (everyone in the group
+    * shares it, so membership still discloses it). A group is diverse
+    * iff its sensitive column takes ≥ l distinct values.
+    *
+    * Plan: exact-distinct two-stage shape — hash agg to the
+    * (quasi…, sensitive) grid, then per-group counts from the grid
+    * (no countDistinct sort-agg). Returns one row per group with
+    * `grp_n`, `n_sensitive`, `diverse`.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must not be empty")
+    require(l >= 1, s"l ($l) must be >= 1")
+    val keys = quasiCols.map(col)
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__c")).as("grp_n"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   /** Purged chronological split: train on the past, validate on the
     * future, with an embargo gap between them so near-boundary leakage
     * (a validation row whose context overlaps the last training rows)

@@ -601,6 +601,49 @@ object TimeAgg {
           .cast("long").as("lift_q"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation: per-user
+    * last-activity micros, event count, and exact decimal(18,2) value
+    * sum (in cents), each quantile-bucketed into k bins by EXACT
+    * global rank — the classic CRM/engagement segmentation, here with
+    * every bucket boundary reproducible on any engine.
+    *
+    * Ranking is [[graft.operators.Quantiles.exactRanks]] (bucket-count
+    * offsets collected driver-side + within-bucket windows — no
+    * single-partition global sort), ties broken by the user id, bin =
+    * ((rank−1)·k) div n. Bins are 1..k, larger = higher metric, so
+    * `rfm_code = r·100 + f·10 + m` puts the most-recent/most-active/
+    * highest-value users at k·111.
+    *
+    * @return (user, last_us, freq, monetary_cents, r_bin, f_bin,
+    *         m_bin, rfm_code)
+    */
+  def rfmSegments(events: DataFrame, userCol: String,
+                  epochMicrosCol: String, valueCol: String,
+                  k: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 10, s"k ($k) must be in [2, 10]")
+    val per = events.groupBy(col(userCol))
+      .agg(max(col(epochMicrosCol)).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__mon"))
+      .withColumn("monetary_cents", (col("__mon") * 100).cast("long"))
+      .withColumn("__all", lit("all"))
+      .localCheckpoint(eager = false) // feeds three rank passes + the join
+    def binOf(metric: String, width: Long, out: String): DataFrame =
+      graft.operators.Quantiles.exactRanks(
+        per.select(col(userCol), col("__all"), col(metric)),
+        "__all", metric, width, Seq(userCol))
+        .select(col(userCol),
+          (expr(s"((rank - 1) * ${k}L) div grp_n") + 1).as(out))
+    per
+      .join(binOf("last_us", 86400000000L, "r_bin"), Seq(userCol))
+      .join(binOf("freq", 16L, "f_bin"), Seq(userCol))
+      .join(binOf("monetary_cents", 100000L, "m_bin"), Seq(userCol))
+      .select(col(userCol), col("last_us"), col("freq"),
+        col("monetary_cents"), col("r_bin"), col("f_bin"), col("m_bin"),
+        (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+          .as("rfm_code"))
+  }
+
   /** Single-changepoint detection by binary segmentation over a
     * bucketed per-group series: the split position t (1 ≤ t < B over
     * the ORDERED buckets) maximizing the between-segment variance

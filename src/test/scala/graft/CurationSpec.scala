@@ -902,4 +902,17 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text").orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("lDiversity: k-large group with one sensitive value is NOT diverse") {
+    val rows = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L),          // 3 rows, 1 value
+      ("b", 1L), ("b", 2L), ("b", 3L),          // 3 rows, 3 values
+      ("c", 1L), ("c", 2L))                     // 2 rows, 2 values
+    val out = Curation.lDiversity(rows.toDF("q", "s"), Seq("q"), "s", l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("a") === ((3L, 1L, false))) // k-anonymous but disclosive
+    assert(out("b") === ((3L, 3L, true)))
+    assert(out("c") === ((2L, 2L, false)))
+  }
 }

@@ -233,4 +233,27 @@ class RobustSpec extends SparkSpec {
     assert(out.getLong(4) === 0L) // zero variance reduction everywhere
     assert(out.getLong(2) === 1L) // t ASC tie-break
   }
+
+  // ------------------------------------------------------------------ rfm
+
+  test("rfmSegments: exact-rank bins, monetary in exact cents") {
+    // 4 users, k=2: bins split 2/2 on each metric
+    val rows = Seq(
+      (1L, 100L, 1.50), (1L, 200L, 1.50), // u1: last 200, freq 2, 3.00
+      (2L, 400L, 0.25),                   // u2: last 400, freq 1, 0.25
+      (3L, 300L, 9.99), (3L, 50L, 0.01),  // u3: last 300, freq 2, 10.00
+      (4L, 150L, 2.00))                   // u4: last 150, freq 1, 2.00
+    val out = TimeAgg.rfmSegments(rows.toDF("u", "ts_us", "v"),
+        "u", "ts_us", "v", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    // recency asc: u4(150) u1(200) u3(300) u2(400) → bins 1,1,2,2
+    // freq asc (ties by user): u2(1) u4(1) u1(2) u3(2) → 1,1,2,2
+    // monetary asc: u2(25) u4(200) u1(300) u3(1000) → 1,1,2,2
+    assert(out(1L) === ((300L, 1L, 2L, 2L, 122L)))
+    assert(out(2L) === ((25L, 2L, 1L, 1L, 211L)))
+    assert(out(3L) === ((1000L, 2L, 2L, 2L, 222L)))
+    assert(out(4L) === ((200L, 1L, 1L, 1L, 111L)))
+  }
 }
