@@ -8793,6 +8793,91 @@ object Queries {
         CAST(r.r_bin * 100 + r.f_bin * 10 + r.m_bin AS BIGINT) AS rfm_code
       FROM per JOIN r USING (user_id) ORDER BY user_id"""))
 
+  /** (q230) Expected reciprocal rank @5 (Eval.errAtK scaladoc): the
+    * cascade-model metric with binary-½ relevance — every term an
+    * exact dyadic rational, the whole metric computed with ZERO
+    * floating point (scale 2⁵·lcm(1..5) = 1920).
+    */
+  val q230Err = Q(
+    "q230_ret_err",
+    (s, dir) =>
+      operators.Eval.errAtK(labeledKnn(s, dir), k = 5)
+        .orderBy("query_id"),
+    Some(s"""
+      WITH $KnnRelOracle,
+      t AS (SELECT query_id, rank, rel,
+              coalesce(CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END)
+                OVER (PARTITION BY query_id ORDER BY rank ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS m
+            FROM rk WHERE rank <= 5),
+      e AS (SELECT query_id,
+              CAST(sum(CASE WHEN rel
+                THEN 1920 // ((CAST(1 AS BIGINT) << CAST(m + 1 AS INT))
+                  * rank)
+                ELSE 0 END) AS BIGINT) AS err_s
+            FROM t GROUP BY query_id)
+      SELECT query_id, (1000000000000 * err_s) // 1920 AS err_q
+      FROM e ORDER BY query_id"""))
+
+  /** (q231) Weekday seasonality profile per event type
+    * (TimeAgg.weekdayProfile scaladoc): dow = (epochDays+3) mod 7,
+    * 0 = Monday — pure integer arithmetic, no calendar functions.
+    */
+  val q231WeekdayProfile = Q(
+    "q231_a_weekday_profile",
+    (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isNotNull)
+      TimeAgg.weekdayProfile(e, "event_type", "ts_us")
+        .orderBy("event_type", "dow")
+    },
+    Some(s"""
+      WITH g AS (SELECT event_type,
+               (($EvUs // 86400000000) + 3) % 7 AS dow
+             FROM events WHERE event_type IS NOT NULL),
+      grid AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+             FROM g GROUP BY 1, 2),
+      tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+             FROM grid GROUP BY 1)
+      SELECT grid.event_type, grid.dow, grid.n,
+        CAST(floor(1000000.0 * CAST(grid.n AS DOUBLE)
+          / CAST(tt.tot AS DOUBLE)) AS BIGINT) AS share_q
+      FROM grid JOIN tt USING (event_type)
+      ORDER BY event_type, dow"""))
+
+  /** (q232) Per-source duplicate token mass (Dedup.duplicateMass
+    * scaladoc): fraction of each source's tokens in non-canonical
+    * exact-dup docs — repeated-signal attribution, not dup-doc counts.
+    */
+  val q232DupMass = Q(
+    "q232_s_dup_mass",
+    (s, dir) =>
+      Dedup.duplicateMass(t(s, dir, "documents"), "source", "doc_id",
+        "text")
+        .orderBy("source"),
+    Some("""
+      WITH h AS (SELECT source, doc_id AS id,
+               CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                 ELSE len(list_filter(regexp_split_to_array(
+                   lower(trim(text)), '\s+'), x -> len(x) > 0)) END AS tok,
+               ('0x' || substr(md5(coalesce(regexp_replace(lower(trim(text)),
+                 '\s+', ' ', 'g'), '')), 1, 15))::BIGINT AS ch
+             FROM documents),
+      k AS (SELECT ch, min(id) AS keeper FROM h GROUP BY ch)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_docs,
+        CAST(sum(tok) AS BIGINT) AS tokens,
+        CAST(sum(CASE WHEN id <> keeper THEN tok ELSE 0 END) AS BIGINT)
+          AS dup_tokens,
+        CASE WHEN sum(tok) > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(sum(CASE WHEN id <> keeper THEN tok ELSE 0 END)
+              AS DOUBLE)
+            / CAST(sum(tok) AS DOUBLE)) AS BIGINT)
+        END AS dup_ratio_q
+      FROM h JOIN k USING (ch) GROUP BY source ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -8856,5 +8941,6 @@ object Queries {
     q217NeymanAlloc, q218SoftDedup, q219Acf, q220EncodingAudit,
     q221PcaPower, q222SortedNeighborhood, q223GoodTuring,
     q224HillTail, q225Mcc, q226BinsegSplit, q227PhashNearDup,
-    q228LDiversity, q229RfmSegments)
+    q228LDiversity, q229RfmSegments,
+    q230Err, q231WeekdayProfile, q232DupMass)
 }

@@ -1145,6 +1145,47 @@ object Dedup {
           coin * col("cluster_size") < lit(1000000L)).as("kept"))
   }
 
+  /** Per-group duplicate token mass: what fraction of each source's
+    * TOKENS lives in non-canonical exact-duplicate documents (clusters
+    * over the WHOLE corpus by normalized content hash, canonical = min
+    * id) — the number a curation dashboard actually wants from exact
+    * dedup: not "how many dup docs" but "how much training signal is
+    * repeated", attributed to the source that contributed it.
+    *
+    * Plan: one content-hash agg for cluster keepers (the [[exact]]
+    * shape), an id-join back, then a per-group token-mass rollup —
+    * token counts ride the scan ([[graft.functions.TextFns.tokenCount]]
+    * is codegen'd), sums in decimal past long at corpus scale.
+    *
+    * @return (group, n_docs, n_dup_docs, tokens, dup_tokens,
+    *         dup_ratio_q)
+    */
+  def duplicateMass(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String): DataFrame = {
+    val hashed = df.select(col(groupCol), col(idCol).as("id"),
+      graft.functions.TextFns.tokenCount(col(textCol)).cast("long")
+        .as("__tok"),
+      md5Hash60(coalesce(
+        graft.functions.TextFns.normalizeText(col(textCol)), lit("")))
+        .as("__h"))
+    val keepers = hashed.groupBy(col("__h"))
+      .agg(min(col("id")).as("__keeper"))
+    hashed.join(keepers, Seq("__h"))
+      .withColumn("__dup", col("id") =!= col("__keeper"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("__tok").cast("decimal(38,0)")).as("__t"),
+        sum(when(col("__dup"), col("__tok")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__dt"))
+      .select(col(groupCol), col("n_docs"), col("n_dup_docs"),
+        col("__t").cast("long").as("tokens"),
+        col("__dt").cast("long").as("dup_tokens"),
+        when(col("__t") > 0,
+          floor(lit(1000000.0) * col("__dt").cast("double") /
+            col("__t").cast("double")).cast("long")).as("dup_ratio_q"))
+  }
+
   /** Sorted-neighborhood record linkage: order the corpus by a
     * blocking key (here: the first `keyLen` chars of the normalized
     * text), then compare each doc ONLY to its `windowSize` successors

@@ -388,6 +388,44 @@ object Eval {
           .as("uncertainty_q"))
   }
 
+  /** Expected reciprocal rank at k over a ranked `(query_id, rank,
+    * rel)` frame with BINARY relevance mapped to stop-probability ½ —
+    * the cascade-model ranking metric (a relevant hit at rank r only
+    * counts if the user got past the earlier hits):
+    *
+    *   ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i),  R_r ∈ {0, ½}
+    *
+    * With binary-½ relevance every term is the EXACT dyadic rational
+    * 1/(2^{m_r+1}·r) (m_r = relevant hits before r), so scaling by
+    * S = 2^k·lcm(1..k) makes the per-query sum an exact integer and
+    * err_q = (10¹²·err_s) div S — ZERO floating point in the whole
+    * metric, bit-identical anywhere.
+    *
+    * Plan: one window per query over ≤ k rows (rank-bounded), one agg.
+    */
+  def errAtK(ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k ($k) must be in [1, 20]")
+    val lcm = (1 to k).map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+    val scale = (BigInt(1) << k) * lcm
+    require(scale.isValidLong, s"scale $scale exceeds long")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranked.filter(col("rank") <= k)
+      .withColumn("__m",
+        coalesce(sum(when(col("rel"), 1L).otherwise(0L)).over(w), lit(0L)))
+      .withColumn("__den",
+        expr("shiftleft(1L, CAST(__m + 1 AS INT))") *
+          col("rank").cast("long"))
+      .withColumn("__term",
+        when(col("rel"), expr(s"${scale.toLong}L div __den"))
+          .otherwise(lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__term")).as("__err_s"))
+      .select(col("query_id"),
+        expr(s"(1000000000000L * __err_s) div ${scale.toLong}L")
+          .as("err_q"))
+  }
+
   /** Matthews correlation coefficient of a binary prediction against a
     * binary truth — the single-number confusion summary that stays
     * honest under class imbalance (accuracy and F1 both saturate when

@@ -601,6 +601,34 @@ object TimeAgg {
           .cast("long").as("lift_q"))
   }
 
+  /** Weekday seasonality profile per group: counts and quantized
+    * shares by day-of-week, computed as PURE integer arithmetic on
+    * epoch micros — dow = (epochDays + 3) mod 7 with 0 = Monday
+    * (1970-01-01 was a Thursday), no calendar/timezone function on
+    * either engine, so the oracle mirrors the exact formula. The
+    * weekly-rhythm audit (a "user events" source with a flat weekend
+    * is bot traffic; an events table with a missing Sunday is a
+    * dropped partition).
+    *
+    * Plan: scan + (groups × 7) hash agg; per-group totals derived from
+    * the grid.
+    */
+  def weekdayProfile(events: DataFrame, groupCol: String,
+                     epochMicrosCol: String): DataFrame = {
+    // integer div, NOT double /: a double quotient truncates wrong one
+    // ulp below an exact day boundary
+    val dow = pmod(expr(s"`$epochMicrosCol` div 86400000000L") + 3, lit(7L))
+    val grid = events.select(col(groupCol), dow.as("dow"))
+      .groupBy(col(groupCol), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val totals = grid.groupBy(col(groupCol)).agg(sum(col("n")).as("__tot"))
+    grid.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("dow"), col("n"),
+        floor(lit(1000000.0) * col("n").cast("double") /
+          col("__tot").cast("double")).cast("long").as("share_q"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation: per-user
     * last-activity micros, event count, and exact decimal(18,2) value
     * sum (in cents), each quantile-bucketed into k bins by EXACT

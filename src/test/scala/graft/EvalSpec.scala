@@ -254,6 +254,28 @@ class EvalSpec extends SparkSpec {
     assert(k2.getLong(4) === -1000000000000L)
   }
 
+  test("errAtK: exact dyadic cascade terms") {
+    // q1: rel at ranks 1 and 3 → 1/2 + (1/2)²/3 = 1/2 + 1/12 = 7/12
+    // q2: rel at rank 2 only → 1/4
+    // q3: no rel → 0
+    val rows = Seq(
+      ("q1", 1, true), ("q1", 2, false), ("q1", 3, true),
+      ("q2", 1, false), ("q2", 2, true),
+      ("q3", 1, false))
+    val out = Eval.errAtK(rows.toDF("query_id", "rank", "rel"), k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("q1") === 1000000000000L * (1920 / 2 + 1920 / 12) / 1920)
+    assert(out("q2") === 1000000000000L * (1920 / 4) / 1920)
+    assert(out("q3") === 0L)
+  }
+
+  test("errAtK: ranks beyond k are ignored") {
+    val rows = Seq(("q", 1, false), ("q", 6, true))
+    val out = Eval.errAtK(rows.toDF("query_id", "rank", "rel"), k = 5)
+      .collect()(0)
+    assert(out.getLong(1) === 0L)
+  }
+
   test("mcc: perfect prediction +1, inverted -1, degenerate null") {
     val perfect = Seq((true, true), (true, true), (false, false))
     val m1 = Eval.mcc(perfect.toDF("p", "y"), col("p"), col("y"))

@@ -263,4 +263,33 @@ class StreamingAggSpec extends SparkSpec {
     assert(TimeAgg.assocRules(ev, "user_id", "event_type", minCount = 3L)
       .count() === 0L)
   }
+
+  test("weekdayProfile: integer dow with 0=Monday; shares sum per group") {
+    val day = 86400000000L
+    // 1970-01-05 (epoch day 4) was a Monday; day 5 Tuesday
+    val rows = Seq(("t", 4 * day), ("t", 4 * day + 7), ("t", 5 * day),
+      ("t", 5 * day + 1), ("t", 5 * day + 2), ("u", 9 * day))
+    val out = TimeAgg.weekdayProfile(rows.toDF("g", "ts_us"), "g", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("t", 0L)) === ((2L, 400000L))) // Monday 2/5
+    assert(out(("t", 1L)) === ((3L, 600000L))) // Tuesday 3/5
+    assert(out(("u", 5L)) === ((1L, 1000000L))) // day 9 = Saturday
+  }
+
+  test("rfm/dup-mass composition guard: duplicateMass hand corpus") {
+    // source A: two identical docs (4 tokens each) + 1 unique (2)
+    // source B: one doc duplicating A's text (4 tokens, NOT canonical
+    // because A holds the min id) — cross-source attribution
+    val docs = Seq(
+      (1L, "A", "w x y z"), (2L, "A", "w x y z"), (3L, "A", "a b"),
+      (4L, "B", "w x y z"))
+    val out = graft.operators.Dedup.duplicateMass(
+      docs.toDF("doc_id", "src", "text"), "src", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out("A") === ((3L, 1L, 10L, 4L, 400000L)))
+    assert(out("B") === ((1L, 1L, 4L, 4L, 1000000L)))
+  }
 }
