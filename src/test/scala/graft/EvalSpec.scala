@@ -254,6 +254,17 @@ class EvalSpec extends SparkSpec {
     assert(k2.getLong(4) === -1000000000000L)
   }
 
+  test("averagePrecision: partition-order free (1 vs 17 partitions)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(50).toLong,
+      rnd.nextBoolean()))
+    val a = Eval.averagePrecision(rows.toDF("id", "s", "y").coalesce(1),
+      "id", "s", col("y")).collect()(0).getLong(2)
+    val b = Eval.averagePrecision(rows.toDF("id", "s", "y").repartition(17),
+      "id", "s", col("y")).collect()(0).getLong(2)
+    assert(a === b)
+  }
+
   test("errAtK: exact dyadic cascade terms") {
     // q1: rel at ranks 1 and 3 → 1/2 + (1/2)²/3 = 1/2 + 1/12 = 7/12
     // q2: rel at rank 2 only → 1/4

@@ -208,6 +208,17 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(out(1) + 500000000000L) < 10000000L)
   }
 
+  test("jsDivergence: partition-order free (1 vs 17 partitions)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(_ =>
+      (s"s${rnd.nextInt(4)}", s"t${rnd.nextInt(40)}"))
+    val a = Stats.jsDivergence(rows.toDF("g", "tok").coalesce(1), "g", "tok")
+      .orderBy("g").collect().toSeq
+    val b = Stats.jsDivergence(rows.toDF("g", "tok").repartition(17),
+      "g", "tok").orderBy("g").collect().toSeq
+    assert(a === b)
+  }
+
   test("acf: gaps densify to zero before pairing") {
     // buckets 0 and 2·86400 present; bucket 1 missing → counts as 0
     val rows = Seq(("t", 0L, 2L), ("t", 2L * 86400L, 2L))
