@@ -274,16 +274,18 @@ object Robust {
                k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k ($k) must be in [1, 10000]")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v").desc)
-    val top = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    // ref/count via a SECOND window over the already-limited frame
+    // (same partitioning — one exchange total, no self-join, and no
+    // checkpoint that would hide the map-side WindowGroupLimit stage
+    // or re-scan the corpus)
+    val wg = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
       .filter(col("__v") > 0)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k + 1)
-      .localCheckpoint(eager = false) // feeds the ref agg AND the terms
-    val ref = top.groupBy(col(groupCol))
-      .agg(min(col("__v")).as("__ref"), count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2)
-    top.join(ref, Seq(groupCol))
-      .filter(col("__rn") < col("__n")) // the k_eff tail samples
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__ref", min(col("__v")).over(wg))
+      .filter(col("__n") >= 2 && col("__rn") < col("__n"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_tail"), first(col("__ref")).as("x_ref"),
         sum(floor(lit(1.0e12) *

@@ -941,4 +941,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"top-k window not over the aggregated grid:\n$plan")
   }
+
+  test("kNN top-k plans a map-side PARTIAL WindowGroupLimit") {
+    // the session-7 rewrite's contract: the rank filter must lower to
+    // a Partial group-limit BELOW the exchange (≤ k rows per query per
+    // task forwarded), or a hot query gathers corpus-sized input on
+    // one partition
+    val plan = planOf("q28_ann_cosine_topk")
+    assert(plan.contains("WindowGroupLimit"),
+      s"no WindowGroupLimit in the top-k plan:\n$plan")
+    assert(plan.contains("Partial"),
+      s"no PARTIAL (map-side) group limit in the top-k plan:\n$plan")
+  }
+
+  test("hillTail's per-group top-(k+1) lowers to a partial group limit") {
+    val plan = planOf("q224_s_hill_tail")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"hillTail rank filter did not lower to a map-side limit:\n$plan")
+  }
 }
