@@ -8878,6 +8878,90 @@ object Queries {
         END AS dup_ratio_q
       FROM h JOIN k USING (ch) GROUP BY source ORDER BY source"""))
 
+  /** (q233) Adjusted Rand index between the stored lang partition and
+    * the marker-heuristic prediction (Eval.adjustedRand scaladoc):
+    * co-membership agreement from exact pair counts — label-name free,
+    * unlike kappa.
+    */
+  val q233AdjustedRand = Q(
+    "q233_ml_adjusted_rand",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+      operators.Eval.adjustedRand(d, "lang", "pred")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT lang AS a,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS b
+             FROM h WHERE lang IS NOT NULL),
+      g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2),
+      cells AS (SELECT CAST(sum(CAST(n AS HUGEINT) * (n - 1) // 2)
+                  AS HUGEINT) AS sij,
+                CAST(sum(n) AS BIGINT) AS nn FROM g),
+      am AS (SELECT CAST(sum(CAST(na AS HUGEINT) * (na - 1) // 2)
+               AS HUGEINT) AS sa
+             FROM (SELECT a, CAST(sum(n) AS BIGINT) AS na
+                   FROM g GROUP BY a)),
+      bm AS (SELECT CAST(sum(CAST(nb AS HUGEINT) * (nb - 1) // 2)
+               AS HUGEINT) AS sb
+             FROM (SELECT b, CAST(sum(n) AS BIGINT) AS nb
+                   FROM g GROUP BY b))
+      SELECT nn AS n_items,
+        CASE WHEN CAST(nn AS HUGEINT) * (nn - 1) // 2 > 0 THEN
+          CAST(floor(1000000.0 *
+            CAST(CAST(nn AS HUGEINT) * (nn - 1) // 2 + 2 * sij - sa - sb
+              AS DOUBLE)
+            / CAST(CAST(nn AS HUGEINT) * (nn - 1) // 2 AS DOUBLE))
+            AS BIGINT)
+        END AS index_q,
+        CASE WHEN (sa + sb) * (CAST(nn AS HUGEINT) * (nn - 1) // 2)
+              <> 2 * sa * sb THEN
+          CAST(floor(1000000.0 *
+            CAST(sij * (CAST(nn AS HUGEINT) * (nn - 1) // 2) - sa * sb
+              AS DOUBLE)
+            / (CAST((sa + sb) * (CAST(nn AS HUGEINT) * (nn - 1) // 2)
+               - 2 * sa * sb AS DOUBLE) / 2.0)) AS BIGINT)
+        END AS ari_q
+      FROM cells CROSS JOIN am CROSS JOIN bm"""))
+
+  /** (q234) OCR-garbage token ratio (TextFns.garbageTokenRatioQ
+    * scaladoc): letter-digit-mix and over-long tokens — the scan-stage
+    * rescue/reject signal encoding audits don't see.
+    */
+  val q234GarbageRatio = Q(
+    "q234_tx_garbage_ratio",
+    (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFns.garbageTokenRatioQ(col("text")).as("garbage_ratio_q"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(floor(1000000.0 * CAST(len(list_filter(toks,
+            t -> regexp_matches(t, '^[a-z]+[0-9]+[a-z0-9]*$')
+              OR len(t) > 20)) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)) AS BIGINT)
+        END AS garbage_ratio_q
+      FROM d ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -8942,5 +9026,6 @@ object Queries {
     q221PcaPower, q222SortedNeighborhood, q223GoodTuring,
     q224HillTail, q225Mcc, q226BinsegSplit, q227PhashNearDup,
     q228LDiversity, q229RfmSegments,
-    q230Err, q231WeekdayProfile, q232DupMass)
+    q230Err, q231WeekdayProfile, q232DupMass,
+    q233AdjustedRand, q234GarbageRatio)
 }

@@ -249,6 +249,22 @@ object TextFns {
       length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")))
       .cast("long")
 
+  /** ⌊10⁶·garbageTokens/tokens⌋, null for empty text — the OCR/mojibake
+    * token heuristic: a token is garbage if it mixes letters and
+    * digits with a digit INSIDE (`[a-z]+[0-9]+[a-z0-9]*` after
+    * lowercasing — "c0rrupted", "li0n"), or runs past 20 chars
+    * (de-hyphenation and column-merge artifacts). RE2-compatible, so
+    * the oracle replays the same class.
+    */
+  def garbageTokenRatioQ(text: Column): Column = {
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val bad = filter(toks, t =>
+      t.rlike("^[a-z]+[0-9]+[a-z0-9]*$") || length(t) > 20)
+    when(size(toks) > 0,
+      floor(lit(1000000.0) * size(bad).cast("double") /
+        size(toks).cast("double")).cast("long"))
+  }
+
   /** ⌊10⁶·asciiChars/chars⌋, null for empty text — the blunt
     * script-mix / encoding-health ratio (a nominally-English source
     * drifting below ~0.95 is mis-tagged or mis-decoded).

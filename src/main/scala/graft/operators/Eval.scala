@@ -388,6 +388,59 @@ object Eval {
           .as("uncertainty_q"))
   }
 
+  /** Adjusted Rand index between two partitions of the same items
+    * (truth labels vs predicted labels, exact-dup clusters vs
+    * near-dup clusters): chance-corrected pair-counting agreement,
+    * computed ENTIRELY from the contingency grid with exact integers —
+    *
+    *   ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½(Σᵢ C(aᵢ,2)+Σⱼ C(bⱼ,2)) − E),
+    *   E = Σᵢ C(aᵢ,2)·Σⱼ C(bⱼ,2) / C(n,2)
+    *
+    * Cross-multiplied to integer numerator/denominator (decimal — pair
+    * counts square the corpus), ONE double division → ⌊10⁶·⌋. The
+    * partition-agreement audit κ can't give: κ compares LABELS
+    * pointwise and needs them aligned; ARI compares the induced
+    * co-membership relation, so the two labelings may use entirely
+    * different names.
+    *
+    * @return one row (n_items, index_q = ⌊10⁶·RI⌋, ari_q = ⌊10⁶·ARI⌋;
+    *         ari null when the denominator is 0 — both partitions
+    *         all-singletons or one-cluster)
+    */
+  def adjustedRand(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val c2 = (c: Column) => (d(c) * (d(c) - 1)) / 2
+    val grid = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .na.drop()
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val cells = grid.agg(sum(c2(col("__n"))).as("__sij"),
+      sum(col("__n")).as("__nn"))
+    val aMarg = grid.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+      .agg(sum(c2(col("__na"))).as("__sa"))
+    val bMarg = grid.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+      .agg(sum(c2(col("__nb"))).as("__sb"))
+    cells.crossJoin(aMarg).crossJoin(bMarg)
+      .select(col("__nn").as("n_items"),
+        col("__sij"), col("__sa"), col("__sb"),
+        c2(col("__nn")).as("__t"))
+      // RI from the same quantities: agreements = t + 2·sij − sa − sb
+      .select(col("n_items"),
+        when(col("__t") > 0,
+          floor(lit(1000000.0) *
+            (col("__t") + lit(2) * col("__sij") - col("__sa") - col("__sb"))
+              .cast("double") / col("__t").cast("double")).cast("long"))
+          .as("index_q"),
+        when((col("__sa") + col("__sb")) * col("__t") =!=
+          lit(2) * col("__sa") * col("__sb"),
+          floor(lit(1000000.0) *
+            (col("__sij") * col("__t") - col("__sa") * col("__sb"))
+              .cast("double") /
+            (((col("__sa") + col("__sb")) * col("__t") -
+              lit(2) * col("__sa") * col("__sb")) / 2).cast("double"))
+            .cast("long")).as("ari_q"))
+  }
+
   /** Expected reciprocal rank at k over a ranked `(query_id, rank,
     * rel)` frame with BINARY relevance mapped to stop-probability ½ —
     * the cascade-model ranking metric (a relevant hit at rank r only

@@ -265,6 +265,31 @@ class EvalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("adjustedRand: identity = 1, independence = 0, degenerate null") {
+    val same = Seq(("a", "x"), ("a", "x"), ("b", "y"))
+    val r1 = Eval.adjustedRand(same.toDF("u", "v"), "u", "v").collect()(0)
+    assert(r1.getLong(0) === 3L)
+    assert(r1.getLong(1) === 1000000L) // RI = 1
+    assert(r1.getLong(2) === 1000000L) // ARI = 1
+    // one cluster vs all singletons: chance-level → ARI exactly 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("a", "z"))
+    val r2 = Eval.adjustedRand(indep.toDF("u", "v"), "u", "v").collect()(0)
+    assert(r2.getLong(2) === 0L)
+    // both all-singletons: denominator 0 → ARI undefined
+    val degen = Seq(("a", "x"), ("b", "y"))
+    val r3 = Eval.adjustedRand(degen.toDF("u", "v"), "u", "v").collect()(0)
+    assert(r3.isNullAt(2))
+  }
+
+  test("adjustedRand: renamed labels do not change the index") {
+    val x = Seq(("a", "p"), ("a", "p"), ("b", "q"), ("b", "p"))
+    val y = x.map { case (u, v) => (u.toUpperCase + "!", v + "?") }
+    val rx = Eval.adjustedRand(x.toDF("u", "v"), "u", "v").collect()(0)
+    val ry = Eval.adjustedRand(y.toDF("u", "v"), "u", "v").collect()(0)
+    assert(rx.getLong(1) === ry.getLong(1))
+    assert(rx.getLong(2) === ry.getLong(2))
+  }
+
   test("errAtK: exact dyadic cascade terms") {
     // q1: rel at ranks 1 and 3 → 1/2 + (1/2)²/3 = 1/2 + 1/12 = 7/12
     // q2: rel at rank 2 only → 1/4

@@ -187,6 +187,21 @@ class TextFnsSpec extends SparkSpec {
     assert(out("b") === None)
   }
 
+  test("garbageTokenRatioQ: letter-digit mixes and over-long tokens") {
+    val df = Seq(
+      ("a", "c0rrupted text here li0n"),       // 2 garbage of 4
+      ("b", "the 404 server and x1"),          // 404 pure digits OK; x1 bad
+      ("c", "supercalifragilisticexpialidocious ok"), // >20 chars
+      ("d", "")).toDF("k", "t")
+    val out = df.select(col("k"), TextFns.garbageTokenRatioQ(col("t")))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out("a") === 500000L)
+    assert(out("b") === 200000L)
+    assert(out("c") === 500000L)
+    assert(out("d") === -1L)
+  }
+
   test("encoding audit: replacement, control, ascii ratio") {
     val df = Seq(
       ("a", "ab�c�"),          // two replacement chars
