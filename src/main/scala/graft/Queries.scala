@@ -3090,19 +3090,13 @@ object Queries {
         mean_quality >= 0.48 AND dup_ratio <= 0.12 AS keep_source
       FROM g ORDER BY source"""))
 
-  val q95Kmeans = Q(
-    "q95_ann_kmeans",
-    (s, dir) =>
-      // distributed Lloyd k-means, oracle-grade: first-8-by-id init, two
-      // assign→quantized-mean rounds, final assignment; the oracle
-      // unrolls both iterations as CTEs (q78/q89 quantized-centroid and
-      // q41 raw-cosine-ranking precedents)
-      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 2)
-        .withColumn("cos", round(col("cos"), 6))
-        .orderBy("vec_id"),
-    Some("""
-      WITH v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+  /** Shared DuckDB replay of the q95 k-means (k=8, iters=2):
+    * init c0 → two quantized-mean rounds (c1, c2) → per-(vector,
+    * centroid) cosine under the final centroids (`af`). q95 ranks
+    * af for the assignment; q239 reads the same af for the
+    * simplified silhouette.
+    */
+  private val Kmeans8x2Cte = """v AS (SELECT vec_id, embedding AS cv FROM embeddings),
       c0 AS (SELECT vec_id AS cid,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
              FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -3156,7 +3150,21 @@ object Queries {
                i -> CAST(v.cv[i] AS DOUBLE) * CAST(v.cv[i] AS DOUBLE))))
              * sqrt(list_sum(list_transform(range(1, len(c.centroid) + 1),
                i -> c.centroid[i] * c.centroid[i]))), 0) AS ccos
-        FROM v CROSS JOIN c2 c),
+        FROM v CROSS JOIN c2 c)"""
+
+  val q95Kmeans = Q(
+    "q95_ann_kmeans",
+    (s, dir) =>
+      // distributed Lloyd k-means, oracle-grade: first-8-by-id init, two
+      // assign→quantized-mean rounds, final assignment; the oracle
+      // unrolls both iterations as CTEs (q78/q89 quantized-centroid and
+      // q41 raw-cosine-ranking precedents)
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_id"),
+    Some(s"""
+      WITH $Kmeans8x2Cte,
       fin AS (SELECT vec_id, cid, ccos, row_number() OVER (
                 PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC) AS rn,
                 MAX(ccos) OVER (PARTITION BY vec_id) AS mx
@@ -8962,6 +8970,300 @@ object Queries {
         END AS garbage_ratio_q
       FROM d ORDER BY doc_id"""))
 
+
+  // =====================================================================
+  // Round-8 session-8: survival / privacy / sampling / cluster-quality
+  // =====================================================================
+
+  /** (q235) t-closeness audit (Curation.tCloseness scaladoc): ordered
+    * EMD between each event type's value-band distribution and the
+    * corpus-wide one, exact on the integer grid grp_n·N.
+    */
+  val q235TCloseness = Q(
+    "q235_s_tcloseness",
+    (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("band", floor(col("value") / 10.0).cast("long"))
+      Curation.tCloseness(e, Seq("event_type"), "band", tQ = 150000L)
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH cells AS (SELECT event_type,
+               CAST(floor(value / 10.0) AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS c
+             FROM events
+             WHERE event_type IS NOT NULL AND value IS NOT NULL
+             GROUP BY 1, 2),
+      gdist AS (SELECT band, CAST(sum(c) AS BIGINT) AS gc
+               FROM cells GROUP BY 1),
+      grp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS grp_n
+              FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS m FROM gdist),
+      grid AS (SELECT g.event_type, g.grp_n, gl.band, gl.gc,
+                 coalesce(c.c, 0) AS c
+               FROM grp g CROSS JOIN gdist gl
+               LEFT JOIN cells c
+                 ON c.event_type = g.event_type AND c.band = gl.band),
+      cum AS (SELECT event_type, grp_n,
+                CAST(sum(c) OVER (PARTITION BY event_type
+                  ORDER BY band ASC) AS HUGEINT) AS cumc,
+                CAST(sum(gc) OVER (PARTITION BY event_type
+                  ORDER BY band ASC) AS HUGEINT) AS cumg
+              FROM grid),
+      agg AS (SELECT event_type, grp_n,
+                CAST(sum(abs(cumc * t.n - cumg * grp_n)) AS HUGEINT) AS dsum,
+                CAST(max(t.n) AS HUGEINT) AS n, CAST(max(t.m) AS BIGINT) AS m
+              FROM cum CROSS JOIN tot t GROUP BY 1, 2)
+      SELECT event_type, grp_n, m AS m_values,
+        CASE WHEN m > 1 THEN
+          CAST((1000000 * dsum) // (CAST(grp_n AS HUGEINT) * n * (m - 1))
+            AS BIGINT)
+        ELSE 0 END AS emd_q,
+        (CASE WHEN m > 1 THEN
+          CAST((1000000 * dsum) // (CAST(grp_n AS HUGEINT) * n * (m - 1))
+            AS BIGINT)
+        ELSE 0 END) <= 150000 AS close
+      FROM agg ORDER BY event_type"""))
+
+  /** (q236) k-core of the mutual-5-NN similarity graph (Graph.kCore
+    * scaladoc): bounded-round degree peel; the oracle replays the same
+    * PEEL_ROUNDS rounds as chained CTEs (bounded-round semantics —
+    * identical whether or not the fixpoint landed earlier).
+    */
+  val q236KCore = Q(
+    "q236_g_kcore",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.kCore(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), k = 3,
+        rounds = 8)
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      e0 AS MATERIALIZED (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      d0 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0)
+             GROUP BY id),
+      e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
+               JOIN d0 da ON da.id = e0.a JOIN d0 db ON db.id = e0.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d1 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1)
+             GROUP BY id),
+      e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
+               JOIN d1 da ON da.id = e1.a JOIN d1 db ON db.id = e1.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d2 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+             GROUP BY id),
+      e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
+               JOIN d2 da ON da.id = e2.a JOIN d2 db ON db.id = e2.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d3 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+             GROUP BY id),
+      e4 AS MATERIALIZED (SELECT e3.a, e3.b FROM e3
+               JOIN d3 da ON da.id = e3.a JOIN d3 db ON db.id = e3.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d4 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e4 UNION ALL SELECT b FROM e4)
+             GROUP BY id),
+      e5 AS MATERIALIZED (SELECT e4.a, e4.b FROM e4
+               JOIN d4 da ON da.id = e4.a JOIN d4 db ON db.id = e4.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d5 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e5 UNION ALL SELECT b FROM e5)
+             GROUP BY id),
+      e6 AS MATERIALIZED (SELECT e5.a, e5.b FROM e5
+               JOIN d5 da ON da.id = e5.a JOIN d5 db ON db.id = e5.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d6 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6)
+             GROUP BY id),
+      e7 AS MATERIALIZED (SELECT e6.a, e6.b FROM e6
+               JOIN d6 da ON da.id = e6.a JOIN d6 db ON db.id = e6.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      d7 AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+               SELECT a AS id FROM e7 UNION ALL SELECT b FROM e7)
+             GROUP BY id),
+      e8 AS MATERIALIZED (SELECT e7.a, e7.b FROM e7
+               JOIN d7 da ON da.id = e7.a JOIN d7 db ON db.id = e7.b
+               WHERE da.dg >= 3 AND db.dg >= 3),
+      df AS (SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM (
+               SELECT a AS id FROM e8
+               UNION ALL SELECT b FROM e8)
+             GROUP BY id)
+      SELECT id, core_degree FROM df WHERE core_degree >= 3
+      ORDER BY id"""))
+
+  /** (q237) Kendall tau-b between daily event volume and daily revenue
+    * per event type (Stats.kendallTau scaladoc): exact
+    * concordant/discordant/tie pair counts over the bounded day grid,
+    * one sqrt-divide at the end.
+    */
+  val q237Kendall = Q(
+    "q237_st_kendall",
+    (s, dir) => {
+      val g = ev(s, dir).filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000L").as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(dec(col("value")) * 100).cast("long").as("y"))
+      operators.Stats.kendallTau(g, "event_type", "day", "x", "y")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH g AS (SELECT event_type, $EvUs // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT a.event_type,
+              CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                   WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+                   ELSE 0 END AS s,
+              CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+              CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+            FROM g a JOIN g b
+              ON a.event_type = b.event_type AND a.day < b.day),
+      agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS concordant,
+                CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS discordant,
+                CAST(sum(tx) AS BIGINT) AS n1,
+                CAST(sum(ty) AS BIGINT) AS n2
+              FROM p GROUP BY 1)
+      SELECT event_type, n0, concordant, discordant,
+        CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE) > 0
+          THEN CAST(floor(1000000.0 * CAST(concordant - discordant AS DOUBLE)
+            / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)))
+            AS BIGINT)
+        END AS tau_q
+      FROM agg ORDER BY event_type"""))
+
+  /** (q238) Kaplan-Meier time-to-next-event curve
+    * (TimeAgg.interEventSurvival / kmFromDurations scaladoc): every
+    * event is a subject, duration = whole-day gap to the same user's
+    * next event, the user's last event right-censored at the corpus
+    * edge; survival on the quantized-ln grid.
+    */
+  val q238KaplanMeier = Q(
+    "q238_a_kaplan_meier",
+    (s, dir) =>
+      TimeAgg.interEventSurvival(ev(s, dir), "user_id", "event_id",
+        "ts_us")
+        .orderBy("t_days"),
+    Some(s"""
+      WITH ev0 AS (SELECT user_id, event_id,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      mx AS (SELECT max(us) AS mx FROM ev0),
+      su AS (SELECT us, lead(us) OVER (PARTITION BY user_id
+               ORDER BY us ASC, event_id ASC) AS nxt
+             FROM ev0),
+      du AS (SELECT CASE WHEN nxt IS NOT NULL
+                 THEN (nxt - us) // 86400000000
+                 ELSE (mx - us) // 86400000000 END AS t_days,
+               nxt IS NOT NULL AS obs
+             FROM su CROSS JOIN mx),
+      g AS (SELECT t_days,
+              CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                AS d_events,
+              CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_censored
+            FROM du GROUP BY 1),
+      r AS (SELECT *,
+              CAST(sum(d_events + n_censored) OVER () AS BIGINT)
+                - coalesce(CAST(sum(d_events + n_censored) OVER (
+                    ORDER BY t_days ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n_risk
+            FROM g),
+      q AS (SELECT *,
+              CASE WHEN d_events = 0 THEN 0
+                   WHEN d_events < n_risk THEN
+                CAST(floor(1000000000000.0
+                  * ln(CAST(n_risk - d_events AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE))) AS BIGINT)
+              END AS lnq,
+              max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER (
+                ORDER BY t_days ASC) AS dead
+            FROM r)
+      SELECT t_days, n_risk, d_events, n_censored,
+        CASE WHEN dead = 1 THEN 0
+          ELSE CAST(floor(1000000.0 * exp(
+            CAST(sum(lnq) OVER (ORDER BY t_days ASC) AS DOUBLE)
+              / 1000000000000.0)) AS BIGINT)
+        END AS surv_q
+      FROM q ORDER BY t_days"""))
+
+  /** (q239) Simplified silhouette under the q95 k-means
+    * (Similarity.silhouetteSimplified scaladoc): cosine dissimilarity
+    * to own vs best-other centroid from the SAME per-(vector, centroid)
+    * scores the assignment ranks — the oracle reuses q95's CTE chain.
+    */
+  val q239Silhouette = Q(
+    "q239_ann_silhouette",
+    (s, dir) =>
+      Similarity.silhouetteSimplified(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("vec_id"),
+    Some(s"""
+      WITH $Kmeans8x2Cte,
+      fin AS (SELECT vec_id, cid, ccos, row_number() OVER (
+                PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC)
+                AS rn
+              FROM af),
+      top2 AS (SELECT vec_id,
+                 max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+                 max(CASE WHEN rn = 1 THEN ccos END) AS cos1,
+                 max(CASE WHEN rn = 2 THEN ccos END) AS cos2
+               FROM fin WHERE rn <= 2 GROUP BY vec_id)
+      SELECT vec_id, cluster, round(cos1, 6) AS cos,
+        CASE WHEN greatest(1.0 - cos1, 1.0 - cos2) > 0 THEN
+          CAST(floor(1000000.0 * ((1.0 - cos2) - (1.0 - cos1))
+            / greatest(1.0 - cos1, 1.0 - cos2)) AS BIGINT)
+        ELSE 0 END AS sil_q
+      FROM top2 ORDER BY vec_id"""))
+
+  /** (q240) Systematic PPS sample with Horvitz-Thompson weights
+    * (Packing.systematicSample scaladoc): n=200 grid points over the
+    * n_chars mass line, offset 17 — selection counts and weights all
+    * exact integers.
+    */
+  val q240SystematicPps = Q(
+    "q240_s_systematic_pps",
+    (s, dir) =>
+      operators.Packing.systematicSample(t(s, dir, "documents"),
+        "doc_id", "n_chars", n = 200, offset = 17L)
+        .withColumn("weight_q", col("weight_q").cast("long"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS sz
+             FROM documents WHERE n_chars > 0),
+      t AS (SELECT CAST(sum(sz) AS HUGEINT) AS tot FROM b),
+      c AS (SELECT doc_id, sz,
+              CAST(sum(sz) OVER (ORDER BY doc_id ASC) AS HUGEINT) AS cum
+            FROM b),
+      s AS (SELECT doc_id, sz, tot,
+              (cum * 200 - 17 + tot - 1) // tot
+                - ((cum - sz) * 200 - 17 + tot - 1) // tot AS m
+            FROM c CROSS JOIN t)
+      SELECT doc_id, sz AS size, CAST(m AS BIGINT) AS m_copies,
+        CAST(greatest(1000000,
+          (1000000 * tot) // (200 * CAST(sz AS HUGEINT))) AS BIGINT)
+          AS weight_q
+      FROM s WHERE m >= 1 ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -9027,5 +9329,7 @@ object Queries {
     q224HillTail, q225Mcc, q226BinsegSplit, q227PhashNearDup,
     q228LDiversity, q229RfmSegments,
     q230Err, q231WeekdayProfile, q232DupMass,
-    q233AdjustedRand, q234GarbageRatio)
+    q233AdjustedRand, q234GarbageRatio,
+    q235TCloseness, q236KCore, q237Kendall, q238KaplanMeier,
+    q239Silhouette, q240SystematicPps)
 }

@@ -923,6 +923,68 @@ object Curation {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit per quasi-identifier group (Li, Li &
+    * Venkatasubramanian 2007) for an ORDERED sensitive attribute —
+    * the distributional companion to [[lDiversity]]: a group can be
+    * k-large and l-diverse yet still disclosive when its sensitive
+    * distribution is far from the corpus-wide one (e.g. one cohort's
+    * values all sit in the top band). Distance is the ordered-attribute
+    * Earth Mover's Distance: with the m global sensitive values sorted,
+    * EMD = (1/(m−1))·Σ_j |CumP_j − CumQ_j|, computed EXACTLY in
+    * integers on the common denominator grp_n·N —
+    * |cum_c_j·N − cum_C_j·grp_n| summed as Decimal(38,0), quantized
+    * once at the end (⌊10⁶·Σ/(grp_n·N·(m−1))⌋). A group passes iff
+    * emd_q ≤ tQ.
+    *
+    * Plan shape: hash agg to the (quasi…, sensitive) grid, a second
+    * agg to the m-row global distribution (broadcast back), one
+    * join onto the groups×values grid (groups × m rows — m is
+    * the BAND count, bounded by construction), and a per-group window
+    * over ≤ m rows for the cumulatives. Nothing scans rows twice and
+    * no window partition exceeds m.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, tQ: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must not be empty")
+    require(tQ >= 0, s"tQ ($tQ) must be >= 0")
+    val keys = quasiCols.map(col)
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).as("__gc"))
+    val groups = cells.groupBy(keys: _*)
+      .agg(sum(col("__c")).as("grp_n"))
+    // groups × global-value grid (missing cells count 0), so every
+    // group's cumulative walks the SAME m sensitive values
+    val grid = groups.crossJoin(broadcast(global))
+      .join(cells, quasiCols :+ sensitiveCol, "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val wCum = Window.partitionBy(keys: _*)
+      .orderBy(col(sensitiveCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val d38 = "decimal(38,0)"
+    grid
+      .withColumn("__n", sum(col("__gc")).over(wAll))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__cumc", sum(col("__c")).over(wCum))
+      .withColumn("__cumg", sum(col("__gc")).over(wCum))
+      .withColumn("__d",
+        abs(col("__cumc").cast(d38) * col("__n").cast(d38) -
+          col("__cumg").cast(d38) * col("grp_n").cast(d38)))
+      .groupBy((keys :+ col("grp_n")): _*)
+      .agg(first(col("__n")).as("__n"), first(col("__m")).as("m_values"),
+        sum(col("__d")).as("__dsum"))
+      .withColumn("emd_q",
+        when(col("m_values") > 1,
+          expr(s"CAST((CAST(1000000 AS $d38) * __dsum) div " +
+            s"(CAST(grp_n AS $d38) * CAST(__n AS $d38) * " +
+            "CAST(m_values - 1 AS decimal(38,0))) AS LONG)"))
+          .otherwise(lit(0L)))
+      .withColumn("close", col("emd_q") <= tQ)
+      .drop("__n", "__dsum")
+  }
+
   /** Purged chronological split: train on the past, validate on the
     * future, with an embargo gap between them so near-boundary leakage
     * (a validation row whose context overlaps the last training rows)

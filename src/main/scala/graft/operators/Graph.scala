@@ -169,6 +169,59 @@ object Graph {
       col("__r").as("rank_q"))
   }
 
+  /** Bounded-round k-core peel over an undirected edge frame (`a < b`
+    * canonical form, e.g. [[mutualEdges]] output): repeatedly drop
+    * vertices of degree < k until none remain (or `rounds` is
+    * exhausted — the GATE semantics are the bounded-round peel, which
+    * is deterministic whether or not the fixpoint was reached; the
+    * spec separately proves small graphs converge well inside the
+    * bound). The surviving subgraph is the k-core — the density
+    * skeleton curation uses to separate genuinely clustered near-dup
+    * regions from stray mutual edges (degree-1/2 tendrils peel away,
+    * cliques survive).
+    *
+    * Plan: each round is ONE hash aggregate (degrees over the current
+    * edge frame) + two semi-joins of the edge frame against surviving
+    * vertices — all shuffles keyed on vertex id, nothing wider than
+    * (id, long). Each round's frame is localCheckpoint'd so lineage
+    * stays linear in rounds and early rounds' full-corpus upstream
+    * (often a kNN pipeline) is never re-executed. A round that removes
+    * nothing short-circuits the loop (one cheap count per round —
+    * driver-side but O(rounds), never O(N)).
+    *
+    * Worst case rounds-to-fixpoint is O(diameter) (a path with k=2
+    * peels from the ends inward); on the bounded-degree kNN graphs
+    * this operator targets, depth in practice is small — pass `rounds`
+    * generously and read `converged` in the companion spec.
+    *
+    * @return (id, core_degree) for vertices of the k-core, with their
+    *         degree INSIDE the core
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(rounds >= 1 && rounds <= 64, s"rounds ($rounds) must be in [1, 64]")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    var curCount = cur.count()
+    var r = 0
+    var done = curCount == 0L
+    while (r < rounds && !done) {
+      val alive = degrees(cur).filter(col("core_degree") >= k)
+      val next = cur
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = false)
+      val nextCount = next.count()
+      done = nextCount == curCount || nextCount == 0L
+      cur = next; curCount = nextCount; r += 1
+    }
+    degrees(cur).filter(col("core_degree") >= k)
+  }
+
   /** Bounded-round INTEGER HITS over a DIRECTED edge frame
     * `(src, dst)` (e.g. a raw kNN frame before symmetrization) — the
     * hub/authority split PageRank can't see: on a kNN graph a high

@@ -566,4 +566,73 @@ object Packing {
         col("__s2").cast("decimal(38,0)").as("sum_sq"),
         col("weight_w"), col("alloc_target"), col("n_alloc"))
   }
+
+  /** Systematic probability-proportional-to-size sampling with exact
+    * Horvitz–Thompson weights — the survey-sampling workhorse (Madow
+    * 1949) for drawing a token-budgeted eval/inspection slice whose
+    * REWEIGHTED statistics are unbiased for the corpus: lay the items
+    * on a line in id order, each occupying its `sizeCol` mass; drop n
+    * equally-spaced grid points (offset + j·total/n, j = 0..n−1); an
+    * item is drawn once per grid point inside its span. Everything is
+    * EXACT integer arithmetic — grid point j sits at rational
+    * (j·total + offset)/n, and the hit count for the span
+    * [cum_prev, cum) is
+    *
+    *   m_i = ⌈(cum_i·n − offset)/total⌉ − ⌈(cum_prev·n − offset)/total⌉
+    *
+    * (ceil-div of non-negative numerators — floor-div + (total−1), so
+    * any engine agrees bit-for-bit; no float ever touches selection).
+    * Items larger than total/n can be drawn multiple times (`m_copies`
+    * — the with-replacement reading); the HT inclusion weight is
+    * 1/π_i with π_i = min(1, n·size/total), i.e.
+    * weight_q = max(10⁶, ⌊10⁶·total/(n·size)⌋) (decimal(38,0) — a
+    * 10⁶-scaled product at 100 TB token mass exceeds long).
+    *
+    * The global cumulative is the bucket-offset device (NOT a global
+    * sort): per-bucket sums on the BOUNDED id-range grid, a window
+    * prefix-sum over bucket subtotals, broadcast join back, and a
+    * within-bucket window — no task ever sorts more than one bucket.
+    *
+    * @return drawn rows: (id, size, m_copies, weight_q)
+    */
+  def systematicSample(df: DataFrame, idCol: String, sizeCol: String,
+                       n: Int, offset: Long,
+                       idBucketWidth: Long = 1L << 16): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    require(offset >= 0, s"offset ($offset) must be >= 0")
+    require(idBucketWidth >= 1, "idBucketWidth must be >= 1")
+    val d38 = "decimal(38,0)"
+    val base = df.select(col(idCol).as("__id"),
+        col(sizeCol).cast("long").as("__s"))
+      .filter(col("__s") > 0)
+      .withColumn("__bucket", expr(s"__id div ${idBucketWidth}L"))
+      .localCheckpoint(eager = false)
+    val perBucket = base.groupBy(col("__bucket"))
+      .agg(sum(col("__s")).as("__bs"))
+    val wB = Window.orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__boff", coalesce(sum(col("__bs")).over(wB), lit(0L)))
+      .select(col("__bucket"), col("__boff"))
+    val total = base.agg(sum(col("__s")).as("__tot"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ceil-div((cum·n − offset), total): numerator ≥ −(total−1), so the
+    // +(total−1) shift keeps the truncating div on floor semantics
+    base
+      .join(broadcast(offsets), Seq("__bucket"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__boff") + sum(col("__s")).over(wIn))
+      .withColumn("__hi",
+        expr(s"(CAST(__cum AS $d38) * $n - $offset + __tot - 1) div CAST(__tot AS $d38)"))
+      .withColumn("__lo",
+        expr(s"(CAST(__cum - __s AS $d38) * $n - $offset + __tot - 1) div CAST(__tot AS $d38)"))
+      .withColumn("m_copies", (col("__hi") - col("__lo")).cast("long"))
+      .filter(col("m_copies") >= 1)
+      .withColumn("weight_q",
+        greatest(lit(1000000L).cast(d38),
+          expr(s"(CAST(1000000 AS $d38) * CAST(__tot AS $d38)) div (CAST($n AS $d38) * CAST(__s AS $d38))")))
+      .select(col("__id").as(idCol), col("__s").as("size"),
+        col("m_copies"), col("weight_q").cast(d38).as("weight_q"))
+  }
 }

@@ -286,6 +286,23 @@ object Similarity {
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cid"), struct(col("__cos"), -col("cid"))).as("cluster"),
+        max(col("__cos")).as("cos"))
+  }
+
+  /** The centroid loop of [[kmeansAssign]], exposed for operators that
+    * need the CONVERGED centroid table itself (silhouette, coreset
+    * scoring): first-k-by-id init, `iters` quantized assign→mean
+    * rounds, driver-materialized per round (linear lineage).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"k ($k) must be positive, iters ($iters) >= 0")
     var cents = materializeSmall(
       ivfCentroids(corpus, idCol, vecCol, k)
@@ -306,13 +323,53 @@ object Similarity {
           .select(col("cid"),
             coalesce(col("__mean"), col("centroid")).as("centroid")))
     }
+    cents
+  }
+
+  /** Simplified silhouette under the [[kmeansAssign]] clustering, in
+    * COSINE dissimilarity (d = 1 − cos, the metric the assignment
+    * itself optimizes): per vector, a = dissimilarity to its own
+    * centroid, b = best dissimilarity among the OTHER k−1 centroids,
+    * sil = (b − a)/max(a, b) ∈ [−1, 1], quantized ⌊10⁶·⌋. The
+    * classical silhouette's O(N²) point-to-point distances are
+    * replaced by point-to-centroid (the "simplified silhouette" of
+    * Hruschka et al. 2004) — the only formulation that scales: one
+    * broadcast N·k scoring pass, no pairwise join.
+    *
+    * Both a and b derive from the SAME per-(vector, centroid) cosine
+    * values the assignment pass computes, ranked in one bounded window
+    * (k rows per vector): rn = 1 is the assigned centroid (ties by
+    * ascending cid — identical to [[ivfAssign]]'s max_by tie-break),
+    * rn = 2 the runner-up. sil_q is 0 when both dissimilarities are 0.
+    *
+    * @return (id, cluster, cos, sil_q) one row per vector
+    */
+  def silhouetteSimplified(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2 for a silhouette")
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc_nulls_last, col("cid").asc)
     corpus
       .crossJoin(broadcast(cents))
       .withColumn("__cos", cosine(col(vecCol), col("centroid")))
+      .select(col(idCol), col("cid"), col("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
       .groupBy(col(idCol))
-      .agg(
-        max_by(col("cid"), struct(col("__cos"), -col("cid"))).as("cluster"),
-        max(col("__cos")).as("cos"))
+      .agg(max_by(col("cid"), -col("__rn")).as("cluster"),
+        max_by(col("__cos"), -col("__rn")).as("cos"),
+        max(col("__rn")).as("__have"),
+        max_by(col("__cos"), col("__rn")).as("__cos2"))
+      .filter(col("__have") === 2) // k >= 2 guarantees this
+      .withColumn("__a", lit(1.0) - col("cos"))
+      .withColumn("__b", lit(1.0) - col("__cos2"))
+      .withColumn("sil_q",
+        when(greatest(col("__a"), col("__b")) > 0,
+          floor(lit(1000000.0) * (col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b"))).cast("long"))
+          .otherwise(lit(0L)))
+      .select(col(idCol), col("cluster"), col("cos"), col("sil_q"))
   }
 
   /** Cluster-balanced coreset: the `m` most central vectors of each

@@ -583,4 +583,53 @@ object Stats {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
           .cast("long")).as("acf_q"))
   }
+
+  /** Kendall τ-b rank correlation per group over a keyed series — the
+    * tie-corrected, outlier-immune companion to [[spearman]] (Spearman
+    * squares rank gaps; Kendall counts pair inversions, so one wild
+    * bucket perturbs it by at most its own pairs). Exact pair counts:
+    *
+    *   C / D   = concordant / discordant pairs
+    *   n1 / n2 = Σ t(t−1)/2 over x-ties / y-ties
+    *   τ_b     = (C − D) / √((n0 − n1)(n0 − n2)),  n0 = n(n−1)/2
+    *
+    * C, D, n0, n1, n2 are exact integers; the single fp step is the
+    * final sqrt-divide (two exact longs → double), quantized ⌊10⁶·⌋.
+    *
+    * CONTRACT: rows are a bounded per-group series (time buckets, band
+    * grids — the [[acf]]/[[ewmaSmooth]] input class), keyed uniquely
+    * within the group by `keyCol`. The pair build is a within-group
+    * self-join (grid² rows) — bounded because the grid is, exactly the
+    * weekly/daily-profile contract, NEVER a per-row corpus. For
+    * corpus-sized inputs, pre-aggregate to a grid first; that is the
+    * honest O(g·m²) shape, not a hidden global sort.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, keyCol: String,
+                 xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .na.drop()
+      .localCheckpoint(eager = false)
+    val rhs = base.select(col("__g"), col("__k").as("__k2"),
+      col("__x").as("__x2"), col("__y").as("__y2"))
+    val pairs = base.join(rhs, Seq("__g")).filter(col("__k") < col("__k2"))
+      .select(col("__g"),
+        (signum(col("__x") - col("__x2")) *
+          signum(col("__y") - col("__y2"))).cast("int").as("__s"),
+        (col("__x") === col("__x2")).cast("long").as("__tx"),
+        (col("__y") === col("__y2")).cast("long").as("__ty"))
+    val agg = pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__s") === -1, 1L).otherwise(0L)).as("discordant"),
+        sum(col("__tx")).as("__n1"), sum(col("__ty")).as("__n2"))
+    val den = (col("n0") - col("__n1")).cast("double") *
+      (col("n0") - col("__n2")).cast("double")
+    agg.select(col("__g").as(groupCol), col("n0"), col("concordant"),
+        col("discordant"),
+        when(den > 0,
+          floor(lit(1000000.0) *
+            (col("concordant") - col("discordant")).cast("double") /
+            sqrt(den)).cast("long")).as("tau_q"))
+  }
 }

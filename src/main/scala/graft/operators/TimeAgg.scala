@@ -724,4 +724,119 @@ object TimeAgg {
           (col("__n") - col("__t")).cast("double")).cast("long")
           .as("mean_right_q"))
   }
+
+  /** Kaplan–Meier retention curve over per-user activity spans — the
+    * right-censored survival estimator (Kaplan & Meier 1958) behind
+    * every honest churn/retention read: a user whose last activity is
+    * within `horizonMicros` of the corpus end has NOT churned — they
+    * are CENSORED at the observation edge, and counting them as
+    * churned (the naive retention query) biases survival down.
+    *
+    * Per user: entry = first event, exit = last event. Churn event
+    * observed iff last ≤ max_ts − horizon (the user then went quiet
+    * for a full horizon inside the window); otherwise censored with
+    * duration (max_ts − first). Durations land on whole days
+    * (integer div — no calendar functions). Over the ordered distinct
+    * durations t with d_t events and n_t at-risk (duration ≥ t):
+    *
+    *   S(t) = Π_{u ≤ t} (1 − d_u/n_u)
+    *
+    * computed on the ⌊10¹²·ln⌋ grid ([[Robust.hillTail]] contract):
+    * each factor contributes ⌊10¹²·ln((n_u−d_u)/n_u)⌋ (one exact
+    * long-ratio divide + one ln, both correctly-rounded doubles on any
+    * engine), the cumulative sum is exact, and
+    * surv_q = ⌊10⁶·exp(cum/10¹²)⌋ — 0 from the first bucket where
+    * n_u = d_u (everyone at risk churned; ln undefined, survival
+    * exactly 0 thereafter).
+    *
+    * Plan shape: one per-user hash agg (corpus moves once), one
+    * single-row max broadcast, one hash agg to the duration grid
+    * (bounded: days in window), and windows over that grid only.
+    *
+    * @return one row per distinct duration day: (t_days, n_risk,
+    *         d_events, n_censored, surv_q), ordered by t_days
+    */
+  def kaplanMeier(events: DataFrame, userCol: String,
+                  epochMicrosCol: String, horizonMicros: Long): DataFrame = {
+    require(horizonMicros >= 0, s"horizonMicros ($horizonMicros) must be >= 0")
+    val day = 86400000000L
+    val per = events
+      .groupBy(col(userCol))
+      .agg(min(col(epochMicrosCol)).as("__first"),
+        max(col(epochMicrosCol)).as("__last"))
+    val mx = per.agg(max(col("__last")).as("__mx"))
+    val durs = per.crossJoin(broadcast(mx))
+      .withColumn("__churn", col("__last") <= col("__mx") - lit(horizonMicros))
+      .withColumn("__t",
+        when(col("__churn"), expr(s"(__last - __first) div ${day}L"))
+          .otherwise(expr(s"(__mx - __first) div ${day}L")))
+    kmFromDurations(durs, "__t", "__churn")
+  }
+
+  /** Time-to-next-event survival — [[kaplanMeier]]'s per-event cousin
+    * for inter-arrival analysis ("how long until a user acts again"):
+    * every event is a subject whose duration is the gap to the SAME
+    * user's next event (whole days, integer div); a user's last event
+    * has no successor and is right-censored at the corpus edge
+    * (max_ts − ts). The estimator itself is [[kmFromDurations]].
+    *
+    * Plan shape: one per-user window (lead over the user's own events,
+    * ordered by (ts, id) — bounded per user, the sessionize contract),
+    * one single-row max broadcast, then the bounded duration-grid
+    * aggregation.
+    */
+  def interEventSurvival(events: DataFrame, userCol: String,
+                         idCol: String, epochMicrosCol: String): DataFrame = {
+    val day = 86400000000L
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(epochMicrosCol).asc, col(idCol).asc)
+    val mx = events.agg(max(col(epochMicrosCol)).as("__mx"))
+    val durs = events
+      .withColumn("__next", lead(col(epochMicrosCol), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .withColumn("__obs", col("__next").isNotNull)
+      .withColumn("__t",
+        when(col("__obs"), expr(s"(__next - `$epochMicrosCol`) div ${day}L"))
+          .otherwise(expr(s"(__mx - `$epochMicrosCol`) div ${day}L")))
+    kmFromDurations(durs, "__t", "__obs")
+  }
+
+  /** The Kaplan–Meier product-limit estimator over an already-built
+    * subject table: one row per subject with an integer duration and
+    * an observed/censored flag. Shared tail of [[kaplanMeier]] /
+    * [[interEventSurvival]]; see kaplanMeier's scaladoc for the
+    * quantized-ln survival contract.
+    */
+  def kmFromDurations(subjects: DataFrame, durationCol: String,
+                      observedCol: String): DataFrame = {
+    val durs = subjects
+      .groupBy(col(durationCol).as("t_days"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("n_censored"))
+    // at-risk n_t = users with duration >= t = total - cum(users with dur < t)
+    val wo = Window.orderBy(col("t_days").asc)
+    val wCumPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs
+      .withColumn("__leave", col("d_events") + col("n_censored"))
+      .withColumn("__tot", sum(col("__leave")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_risk",
+        col("__tot") - coalesce(sum(col("__leave")).over(wCumPrev), lit(0L)))
+      .withColumn("__lnq",
+        when(col("d_events") === 0, lit(0L))
+          .when(col("d_events") < col("n_risk"),
+            floor(lit(1.0e12) *
+              log((col("n_risk") - col("d_events")).cast("double") /
+                col("n_risk").cast("double"))).cast("long")))
+      .withColumn("__dead",
+        max((col("d_events") === col("n_risk")).cast("int")).over(wCum))
+      .withColumn("surv_q",
+        when(col("__dead") === 1, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            exp(sum(col("__lnq")).over(wCum).cast("double") / lit(1.0e12)))
+            .cast("long")))
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        col("n_censored"), col("surv_q"))
+  }
 }

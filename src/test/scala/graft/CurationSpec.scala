@@ -915,4 +915,23 @@ class CurationSpec extends SparkSpec {
     assert(out("b") === ((3L, 3L, true)))
     assert(out("c") === ((2L, 2L, false)))
   }
+
+
+  test("tCloseness: ordered EMD against the corpus distribution, exact grid") {
+    // A:(2,2,3) B:(1,2) C:(1,1,3); global bands {1:3, 2:3, 3:2}, N=8, m=3
+    val rows = Seq(("A", 2L), ("A", 2L), ("A", 3L), ("B", 1L), ("B", 2L),
+      ("C", 1L), ("C", 1L), ("C", 3L)).toDF("grp", "band")
+    val out = Curation.tCloseness(rows, Seq("grp"), "band", tQ = 150000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("A") === ((3L, 3L, 229166L, false)))
+    assert(out("B") === ((2L, 3L, 187500L, false)))
+    assert(out("C") === ((3L, 3L, 187500L, false)))
+  }
+
+  test("tCloseness: a single group IS the corpus -> EMD 0, close") {
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 2L)).toDF("grp", "band")
+    val r = Curation.tCloseness(rows, Seq("grp"), "band", tQ = 0L).collect()(0)
+    assert(r.getLong(3) === 0L && r.getBoolean(4))
+  }
 }

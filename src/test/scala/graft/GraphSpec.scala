@@ -136,4 +136,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(hubSum - 1000000000000L) <= rows.length)
     assert(math.abs(authSum - 1000000000000L) <= rows.length)
   }
+
+
+  test("kCore: k=3 keeps the 4-clique, peels the tail") {
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val clique = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val out = Graph.kCore(edges, k = 3, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k=2 fully peels a path (worst-case depth) within bound") {
+    val edges = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    assert(Graph.kCore(edges, k = 2, rounds = 8).count() === 0L)
+  }
+
+  test("kCore: k=2 core of triangle+pendant is the triangle, and " +
+      "early-exit equals the full-round result") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val a = Graph.kCore(edges, k = 2, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.kCore(edges, k = 2, rounds = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(b === a)
+  }
 }

@@ -380,4 +380,37 @@ class PackingSpec extends SparkSpec {
     assert(out("a") === ((3L, 3L))) // weight = N_h when every σ = 0
     assert(out("b") === ((1L, 1L)))
   }
+
+
+  test("systematicSample: equal sizes pick every (total/n)-th item, " +
+      "weights = total/(n*size)") {
+    val df = (1L to 4L).map(i => (i, 10L)).toDF("doc_id", "n_chars")
+    val out = Packing.systematicSample(df, "doc_id", "n_chars", n = 2,
+      offset = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDecimal(3).longValue)).toList
+    assert(out === List((1L, 1L, 2000000L), (3L, 1L, 2000000L)))
+  }
+
+  test("systematicSample: an item wider than the stride is drawn " +
+      "multiple times with weight capped at 1") {
+    val df = Seq((1L, 5L), (2L, 100L), (3L, 5L)).toDF("doc_id", "n_chars")
+    val out = Packing.systematicSample(df, "doc_id", "n_chars", n = 4,
+      offset = 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDecimal(3).longValue))).toMap
+    // total=110, grid 0/27.5/55/82.5: doc1 covers 0; doc2 covers the rest
+    assert(out === Map(1L -> ((1L, 5500000L)), 2L -> ((3L, 1000000L))))
+    assert(out.values.map(_._1).sum === 4L)
+  }
+
+  test("systematicSample: draw count is exactly n and zero-size rows " +
+      "never selected, across offsets and bucket widths") {
+    val df = (1L to 50L).map(i => (i, if (i % 7 == 0) 0L else i % 5 + 1))
+      .toDF("doc_id", "n_chars")
+    for (off <- Seq(0L, 3L, 17L); bw <- Seq(4L, 64L)) {
+      val out = Packing.systematicSample(df, "doc_id", "n_chars", n = 10,
+        offset = off, idBucketWidth = bw).collect()
+      assert(out.map(_.getLong(2)).sum === 10L, s"off=$off bw=$bw")
+      assert(out.forall(_.getLong(1) > 0L))
+    }
+  }
 }

@@ -549,4 +549,24 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(out.head.getLong(3) === 500000L) // floor(1e6 * 0.5 * cos=1)
     assert(out.map(_.getLong(2)).distinct.length === 3)
   }
+
+
+  test("silhouetteSimplified: separated clusters score positive, " +
+      "assignment matches kmeansAssign") {
+    import graft.operators.Similarity
+    val vecs = (0 until 12).map { i =>
+      val base = if (i < 6) Array(1.0f, 0.0f, 0.05f * i)
+                 else Array(0.0f, 1.0f, 0.05f * (i - 6))
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val sil = Similarity.silhouetteSimplified(vecs, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val assign = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sil.keySet === (0L until 12L).toSet)
+    assert(sil.forall { case (id, (cl, _)) => assign(id) === cl })
+    assert(sil.values.forall(_._2 > 0L)) // every point closer to its own side
+  }
 }

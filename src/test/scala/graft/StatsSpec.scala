@@ -228,4 +228,35 @@ class StatsSpec extends SparkSpec {
     // dense series 2,0,2 → lag-1 pairs (2,0),(0,2): n_pairs = 2
     assert(out(1) === 2L)
   }
+
+
+  test("kendallTau: monotone series hits ±1 exactly") {
+    import graft.operators.Stats
+    val up = Seq(("g", 1L, 1L, 10L), ("g", 2L, 2L, 20L), ("g", 3L, 3L, 30L))
+      .toDF("g", "k", "x", "y")
+    val r1 = Stats.kendallTau(up, "g", "k", "x", "y").collect()(0)
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 3L &&
+      r1.getLong(3) === 0L && r1.getLong(4) === 1000000L)
+    val down = Seq(("g", 1L, 1L, 30L), ("g", 2L, 2L, 20L), ("g", 3L, 3L, 10L))
+      .toDF("g", "k", "x", "y")
+    assert(Stats.kendallTau(down, "g", "k", "x", "y")
+      .collect()(0).getLong(4) === -1000000L)
+  }
+
+  test("kendallTau: tau-b tie correction (hand-computed)") {
+    import graft.operators.Stats
+    // x=(1,1,2), y=(1,2,3): C=2, D=0, n0=3, n1=1(x-tie), n2=0
+    // tau = 2/sqrt(2*3) = 0.81649658... -> 816496
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 2L, 3L))
+      .toDF("g", "k", "x", "y")
+    val r = Stats.kendallTau(df, "g", "k", "x", "y").collect()(0)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 2L && r.getLong(3) === 0L)
+    assert(r.getLong(4) === 816496L)
+  }
+
+  test("kendallTau: all-tied x yields null tau (degenerate denominator)") {
+    import graft.operators.Stats
+    val df = Seq(("g", 1L, 5L, 1L), ("g", 2L, 5L, 2L)).toDF("g", "k", "x", "y")
+    assert(Stats.kendallTau(df, "g", "k", "x", "y").collect()(0).isNullAt(4))
+  }
 }

@@ -292,4 +292,33 @@ class StreamingAggSpec extends SparkSpec {
     assert(out("A") === ((3L, 1L, 10L, 4L, 400000L)))
     assert(out("B") === ((1L, 1L, 4L, 4L, 1000000L)))
   }
+
+
+  test("kmFromDurations: textbook product-limit with censoring") {
+    // t=1 obs, t=2 obs, t=2 cens, t=3 obs:
+    //   S(1)=3/4 -> 749999 (quantized-ln grid), S(2)=1/2 -> 499999,
+    //   S(3): d=n at risk -> exactly 0
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("t", "obs")
+    val out = TimeAgg.kmFromDurations(subj, "t", "obs")
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toList === List((1L, 4L, 1L, 0L, 749999L),
+      (2L, 3L, 1L, 1L, 499999L), (3L, 1L, 1L, 0L, 0L)))
+  }
+
+  test("interEventSurvival: gaps per user, last event censored at edge") {
+    val us = 86400000000L // one day
+    val ev = Seq(
+      (1L, 10L, 0L * us), (1L, 11L, 1L * us), (1L, 12L, 3L * us),
+      (2L, 20L, 0L * us), (2L, 21L, 4L * us))
+      .toDF("user_id", "event_id", "ts_us")
+    // gaps: u1: 1d, 2d, censored 1d (edge 4d); u2: 4d, censored 0d
+    val out = TimeAgg.interEventSurvival(ev, "user_id", "event_id", "ts_us")
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toList === List((0L, 5L, 0L, 1L), (1L, 4L, 1L, 1L),
+      (2L, 2L, 1L, 0L), (4L, 1L, 1L, 0L)))
+  }
 }
