@@ -9264,6 +9264,323 @@ object Queries {
           AS weight_q
       FROM s WHERE m >= 1 ORDER BY doc_id"""))
 
+  // =====================================================================
+  // Round-8 session-9: link prediction, classical tests, targeting
+  // diagnostics, keyword extraction, seasonal decomposition
+  // =====================================================================
+
+  /** (q241) Adamic–Adar link prediction over the mutual-5-NN graph
+    * (Graph.adamicAdar scaladoc): inverse-log common-neighbor weights
+    * quantized per neighbor before the integer sum; top-30 predicted
+    * links via TakeOrderedAndProject (no global sort).
+    */
+  val q241AdamicAdar = Q(
+    "q241_g_adamic_adar",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.adamicAdar(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), topK = 30)
+        .orderBy("x", "y")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+              FROM sym GROUP BY 1),
+      adj AS (SELECT a AS z, b AS x FROM sym),
+      wed AS (SELECT a1.z, a1.x AS x, a2.x AS y
+              FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x),
+      cand AS (SELECT w.z, w.x, w.y FROM wed w
+               WHERE NOT EXISTS (SELECT 1 FROM mut m
+                   WHERE m.a = w.x AND m.b = w.y)),
+      aasc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+                 CAST(sum(CAST(floor(1000000000.0 / ln(CAST(dg AS DOUBLE)))
+                   AS BIGINT)) AS BIGINT) AS aa_q
+               FROM cand JOIN deg USING (z) GROUP BY x, y)
+      SELECT x, y, common_neighbors, aa_q
+      FROM (SELECT * FROM aasc ORDER BY aa_q DESC, x ASC, y ASC LIMIT 30)
+      ORDER BY x, y"""))
+
+  /** (q242) One-vs-rest Welch's t-test per source on n_chars
+    * (Stats.welchT scaladoc): exact decimal moments, rest side by
+    * integer difference, one mirrored fp sequence for t and the
+    * Welch–Satterthwaite df.
+    */
+  val q242WelchT = Q(
+    "q242_a_welch_t",
+    (s, dir) =>
+      operators.Stats.welchT(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source"),
+    Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+               CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q1
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1),
+      t AS (SELECT CAST(sum(n1) AS BIGINT) AS nt,
+              CAST(sum(s1) AS HUGEINT) AS st,
+              CAST(sum(q1) AS HUGEINT) AS qt FROM g),
+      e AS (SELECT source, n1, nt - n1 AS n2,
+              CAST(n1 AS DOUBLE) AS dn1, CAST(nt - n1 AS DOUBLE) AS dn2,
+              CAST(s1 AS DOUBLE) AS ds1, CAST(q1 AS DOUBLE) AS dq1,
+              CAST(st - s1 AS DOUBLE) AS ds2,
+              CAST(qt - q1 AS DOUBLE) AS dq2
+            FROM g CROSS JOIN t)
+      SELECT source, n1, n2,
+        CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+          CAST(floor(1000000.0 * (ds1 / dn1 - ds2 / dn2) /
+            sqrt(((dq1 - ds1 * ds1 / dn1) / (dn1 - 1.0)) / dn1 +
+                 ((dq2 - ds2 * ds2 / dn2) / (dn2 - 1.0)) / dn2))
+            AS BIGINT) END AS t_q,
+        CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+          CAST(floor(1000000.0 *
+            (((dq1 - ds1 * ds1 / dn1) / (dn1 - 1.0)) / dn1 +
+             ((dq2 - ds2 * ds2 / dn2) / (dn2 - 1.0)) / dn2) *
+            (((dq1 - ds1 * ds1 / dn1) / (dn1 - 1.0)) / dn1 +
+             ((dq2 - ds2 * ds2 / dn2) / (dn2 - 1.0)) / dn2) /
+            ((((dq1 - ds1 * ds1 / dn1) / (dn1 - 1.0)) / dn1) *
+             (((dq1 - ds1 * ds1 / dn1) / (dn1 - 1.0)) / dn1) / (dn1 - 1.0) +
+             (((dq2 - ds2 * ds2 / dn2) / (dn2 - 1.0)) / dn2) *
+             (((dq2 - ds2 * ds2 / dn2) / (dn2 - 1.0)) / dn2) / (dn2 - 1.0)))
+            AS BIGINT) END AS df_q
+      FROM e ORDER BY source"""))
+
+  /** (q243) Cramér's V association strength for source × lang
+    * (Stats.cramersV scaladoc): integer sum of the q196 per-cell
+    * ⌊10⁶·contrib⌋ quantities, one final sqrt.
+    */
+  val q243CramersV = Q(
+    "q243_a_cramers_v",
+    (s, dir) =>
+      operators.Stats.cramersV(t(s, dir, "documents"), "source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cells),
+      j AS (SELECT source, lang, o,
+              CAST(floor(1000000.0 *
+                CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE)
+                / CAST(tt AS DOUBLE)) AS BIGINT) AS e_q,
+              CAST(floor(1000000.0 *
+                CAST((CAST(tt AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                   * (CAST(tt AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                  AS DOUBLE)
+                / CAST(CAST(tt AS HUGEINT) * rt * ct AS DOUBLE)) AS BIGINT)
+                AS contrib_q
+            FROM cells JOIN r USING (source) JOIN c USING (lang)
+            CROSS JOIN t),
+      agg AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_cols,
+                CAST(sum(contrib_q) + 1000000 * sum(o) - sum(e_q)
+                  AS BIGINT) AS chi2_q FROM j)
+      SELECT n, n_rows, n_cols, chi2_q,
+        CASE WHEN least(n_rows, n_cols) >= 2 THEN
+          CAST(floor(1000000.0 * sqrt(CAST(chi2_q AS DOUBLE) /
+            (1000000.0 * CAST(n AS DOUBLE) *
+             CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))) AS BIGINT)
+        ELSE 0 END AS v_q
+      FROM agg"""))
+
+  /** (q244) McNemar's paired test (Eval.mcnemar scaladoc): langId
+    * vs the en-stopword-count heuristic as "is English" classifiers
+    * against the stored lang — pure integer statistic on the
+    * discordant counts.
+    */
+  val q244McNemar = Q(
+    "q244_ml_mcnemar",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+      val enCnt = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        x => x.isin("the", "and", "of", "to", "a", "in", "is")))
+      operators.Eval.mcnemar(d,
+        TextFns.langId(col("text")) === lit("en"),
+        enCnt >= 3,
+        col("lang") === lit("en"))
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      p AS (SELECT
+              (CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END = 'en') AS pa,
+              (en >= 3) AS pb, (lang = 'en') AS tr
+            FROM h),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN pa = tr AND pb = tr THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_right,
+              CAST(sum(CASE WHEN pa <> tr AND pb <> tr THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_wrong,
+              CAST(sum(CASE WHEN pa = tr AND pb <> tr THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+              CAST(sum(CASE WHEN pa <> tr AND pb = tr THEN 1 ELSE 0 END)
+                AS BIGINT) AS c
+            FROM p)
+      SELECT n, both_right, both_wrong, b, c,
+        CASE WHEN b + c > 0 THEN
+          (1000000 * (b - c) * (b - c)) // (b + c) END AS stat_q
+      FROM m"""))
+
+  /** (q245) Decile lift table of the en-stopword-count score against
+    * the "is English" label (Eval.liftTable scaladoc): exact
+    * bucket-offset global rank, all-integer rates and cumulative
+    * lift.
+    */
+  val q245LiftTable = Q(
+    "q245_ml_lift_table",
+    (s, dir) => {
+      val enCnt = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        x => x.isin("the", "and", "of", "to", "a", "in", "is")))
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("doc_id"), enCnt.cast("long").as("score"), col("lang"))
+      operators.Eval.liftTable(d, "score", col("lang") === lit("en"),
+        bins = 10, tieCols = Seq("doc_id"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> x IN ('the','and','of','to','a','in','is'))) AS BIGINT)
+            AS score,
+          (lang = 'en') AS lbl
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS rn, count(*) OVER () AS nn FROM d),
+      b AS (SELECT ((rn - 1) * 10) // nn AS bin,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT)
+                AS positives,
+              CAST(max(nn) AS BIGINT) AS tn
+            FROM r GROUP BY 1),
+      w AS (SELECT bin, n, positives, tn,
+              CAST(sum(n) OVER (ORDER BY bin ASC) AS BIGINT) AS cum_n,
+              CAST(sum(positives) OVER (ORDER BY bin ASC) AS BIGINT)
+                AS cum_p,
+              CAST(sum(positives) OVER () AS BIGINT) AS tot_p
+            FROM b)
+      SELECT bin, n, positives,
+        (1000000 * positives) // n AS rate_q,
+        CASE WHEN tot_p > 0 THEN
+          (1000000 * cum_p * tn) // (cum_n * tot_p)
+        ELSE 0 END AS cum_lift_q
+      FROM w ORDER BY bin"""))
+
+  /** (q246) RAKE keyword extraction per source (Segments.rakeKeywords
+    * scaladoc): stopword-delimited candidate phrases, integer
+    * degree-over-frequency word scores, top-10 phrases per source.
+    */
+  val q246Rake = Q(
+    "q246_tx_rake_keywords",
+    (s, dir) =>
+      operators.Segments.rakeKeywords(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("source").isNotNull),
+        "source", "doc_id", "text", Stopwords,
+        maxPhraseLen = 4, topK = 10)
+        .orderBy("source", "phrase"),
+    Some("""
+      WITH d AS (SELECT source, doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS ts
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      tok AS (SELECT source, doc_id, u.i, ts[u.i] AS t,
+                CASE WHEN ts[u.i] IN ('the','a','of','and','to','in','is')
+                  THEN 1 ELSE 0 END AS st
+              FROM d, LATERAL unnest(range(1, len(ts) + 1)) u(i)),
+      ph0 AS (SELECT source, doc_id, i, t, st,
+                sum(st) OVER (PARTITION BY source, doc_id ORDER BY i)
+                  AS pid
+              FROM tok),
+      ph AS (SELECT source, doc_id, pid, list(t ORDER BY i) AS ptoks
+             FROM ph0 WHERE st = 0 GROUP BY source, doc_id, pid
+             HAVING count(*) <= 4),
+      ws AS (SELECT source, w,
+               (1000000 * CAST(sum(ln0) AS BIGINT))
+                 // CAST(count(*) AS BIGINT) AS wq
+             FROM (SELECT source, len(ptoks) AS ln0, unnest(ptoks) AS w
+                   FROM ph)
+             GROUP BY source, w),
+      occ AS (SELECT o.source, o.doc_id, o.pid, o.phrase,
+                CAST(sum(ws.wq) AS BIGINT) AS score
+              FROM (SELECT source, doc_id, pid,
+                      array_to_string(ptoks, ' ') AS phrase,
+                      unnest(ptoks) AS w
+                    FROM ph) o
+              JOIN ws ON ws.source = o.source AND ws.w = o.w
+              GROUP BY o.source, o.doc_id, o.pid, o.phrase),
+      bp AS (SELECT source, phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               max(score) AS score_q
+             FROM occ GROUP BY source, phrase),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY score_q DESC, phrase ASC) AS rn FROM bp)
+      SELECT source, phrase, n_occurrences, score_q
+      FROM rk WHERE rn <= 10 ORDER BY source, phrase"""))
+
+  /** (q247) Weekly seasonal decomposition of daily event counts per
+    * event type (TimeAgg.seasonalDecompose scaladoc): exact MA-7
+    * trend, integer detrend, weekday seasonal means, residuals.
+    */
+  val q247SeasonalDecompose = Q(
+    "q247_a_seasonal_decompose",
+    (s, dir) =>
+      operators.TimeAgg.seasonalDecompose(
+        ev(s, dir).filter(col("event_type").isNotNull),
+        "event_type", "ts_us")
+        .orderBy("event_type", "day"),
+    Some(s"""
+      WITH c AS (SELECT event_type, $EvUs // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS lo, max(d) AS hi
+             FROM c GROUP BY 1),
+      grid AS (SELECT sp.event_type, u.day
+               FROM sp, LATERAL unnest(range(lo, hi + 1)) u(day)),
+      dn AS (SELECT g.event_type, g.day, coalesce(c.x, 0) AS x
+             FROM grid g LEFT JOIN c
+               ON c.event_type = g.event_type AND c.d = g.day),
+      ma AS (SELECT event_type, day, x,
+               count(*) OVER w AS wn,
+               CAST(sum(x) OVER w AS BIGINT) AS s7
+             FROM dn WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      f AS (SELECT event_type, day, x,
+              (1000000 * s7) // 7 AS trend_q,
+              1000000 * x - (1000000 * s7) // 7 AS detr_q,
+              (day + 3) % 7 AS dow
+            FROM ma WHERE wn = 7),
+      se AS (SELECT event_type, dow,
+               CAST(floor(CAST(sum(detr_q) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_q
+             FROM f GROUP BY 1, 2)
+      SELECT f.event_type, f.day, f.x, f.trend_q, f.detr_q,
+        se.seasonal_q, f.detr_q - se.seasonal_q AS resid_q
+      FROM f JOIN se USING (event_type, dow)
+      ORDER BY event_type, day"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -9331,5 +9648,7 @@ object Queries {
     q230Err, q231WeekdayProfile, q232DupMass,
     q233AdjustedRand, q234GarbageRatio,
     q235TCloseness, q236KCore, q237Kendall, q238KaplanMeier,
-    q239Silhouette, q240SystematicPps)
+    q239Silhouette, q240SystematicPps,
+    q241AdamicAdar, q242WelchT, q243CramersV, q244McNemar,
+    q245LiftTable, q246Rake, q247SeasonalDecompose)
 }

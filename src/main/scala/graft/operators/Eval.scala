@@ -560,4 +560,82 @@ object Eval {
             (col("__pbar_den") * (col("__pe_den") - col("__pe_num")))
               .cast("double")).cast("long")).as("kappa_q"))
   }
+
+  /** McNemar's paired test for two binary classifiers scored on the
+    * SAME items ("is the new quality filter actually different from
+    * the old one, on the cases where they disagree"): only the
+    * discordant counts matter —
+    *
+    *   b = #(A right, B wrong),  c = #(A wrong, B right)
+    *   stat_q = (10⁶ · (b − c)²) div (b + c)
+    *
+    * — a PURE integer statistic (one hash agg over the corpus, one
+    * exact integer division), null when the classifiers never
+    * disagree. No continuity correction (the exact integer form is
+    * the reproducibility contract; the correction is a calibration
+    * choice layered on top by the caller).
+    *
+    * @return one row (n, both_right, both_wrong, b, c, stat_q)
+    */
+  def mcnemar(df: DataFrame, predA: Column, predB: Column,
+              truth: Column): DataFrame = {
+    val aOk = (predA === truth).cast("long")
+    val bOk = (predB === truth).cast("long")
+    df.agg(count(lit(1)).as("n"),
+        sum(aOk * bOk).as("both_right"),
+        sum((lit(1L) - aOk) * (lit(1L) - bOk)).as("both_wrong"),
+        sum(aOk * (lit(1L) - bOk)).as("b"),
+        sum((lit(1L) - aOk) * bOk).as("c"))
+      .select(col("n"), col("both_right"), col("both_wrong"),
+        col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          expr("(1000000L * (b - c) * (b - c)) div (b + c)")).as("stat_q"))
+  }
+
+  /** Decile (or n-bin) lift table of an integer score against a binary
+    * label — the targeting diagnostic ("how concentrated are the
+    * positives in the top scores"): rows ranked by (score DESC, tie
+    * columns ASC) via the exact bucket-offset rank (NO global sort —
+    * [[Quantiles.exactRanks]] device), bin = ((rank−1)·bins) div N,
+    * and per bin
+    *
+    *   rate_q     = (10⁶ · pos) div n
+    *   cum_lift_q = (10⁶ · cumPos · N) div (cumN · totPos)
+    *
+    * — every number an exact integer ratio of exact longs: the whole
+    * table is engine-identical, no floating point anywhere.
+    *
+    * Plan: one rank pass (hash agg + broadcast offsets + per-bucket
+    * window), one hash agg to `bins` rows, one window over the
+    * bins-bounded frame for the cumulative sums.
+    *
+    * @return (bin, n, positives, rate_q, cum_lift_q) — bin 0 = highest scores
+    */
+  def liftTable(df: DataFrame, scoreCol: String, label: Column,
+                bins: Int, tieCols: Seq[String]): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    val base = df.withColumn("__lbl", label.cast("long"))
+      .withColumn("__neg", -col(scoreCol).cast("long"))
+      .withColumn("__const_g", lit("all"))
+    val ranked = Quantiles.exactRanks(base, "__const_g", "__neg",
+      bucketWidth = 1000L, tieCols = tieCols)
+    val binned = ranked
+      .withColumn("bin", expr(s"((rank - 1) * ${bins}L) div grp_n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__lbl")).as("positives"),
+        max(col("grp_n")).as("__N"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("__cumN", sum(col("n")).over(w))
+      .withColumn("__cumP", sum(col("positives")).over(w))
+      .withColumn("__totP", sum(col("positives")).over(
+        Window.orderBy(col("bin").asc).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bin"), col("n"), col("positives"),
+        expr("(1000000L * positives) div n").as("rate_q"),
+        when(col("__totP") > 0,
+          expr("(1000000L * __cumP * __N) div (__cumN * __totP)"))
+          .otherwise(lit(0L)).as("cum_lift_q"))
+  }
 }

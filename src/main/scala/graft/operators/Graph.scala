@@ -222,6 +222,49 @@ object Graph {
     degrees(cur).filter(col("core_degree") >= k)
   }
 
+  /** Adamic–Adar link prediction over an undirected edge frame
+    * (`a < b` canonical form, e.g. [[mutualEdges]] output): for every
+    * NON-adjacent pair sharing at least one common neighbor,
+    *
+    *   score(x,y) = Σ_{z ∈ CN(x,y)} ⌊10⁹ / ln(deg_z)⌋
+    *
+    * — the inverse-log common-neighbor weight, quantized per NEIGHBOR
+    * before the integer sum so the score is order-free and
+    * engine-exact (the q166 ln contract). deg_z ≥ 2 always holds for
+    * a common neighbor (z touches both x and y), so ln never sees 1.
+    * The top `topK` predicted links are returned, ranked
+    * (score DESC, x ASC, y ASC).
+    *
+    * Scale shape: candidate pairs come from the wedge self-join on the
+    * common neighbor (Σ deg² rows — n·k² on a kNN graph, never
+    * corpus²); adjacency removal is one anti-join; the global top-k is
+    * `orderBy(...).limit(k)` which Spark plans as TakeOrderedAndProject
+    * — each task forwards at most k rows, no global sort ever
+    * materializes.
+    *
+    * @return (x, y, common_neighbors, aa_q) — top `topK` candidate links
+    */
+  def adamicAdar(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
+    val adj = sym.select(col("a").as("z"), col("b").as("x"))
+    val wedges = adj
+      .join(adj.select(col("z"), col("x").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val cand = wedges.join(
+      e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_anti")
+    cand
+      .join(deg, Seq("z"))
+      .withColumn("__wq",
+        floor(lit(1.0e9) / log(col("__deg").cast("double"))).cast("long"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("__wq")).as("aa_q"))
+      .orderBy(col("aa_q").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+  }
+
   /** Bounded-round INTEGER HITS over a DIRECTED edge frame
     * `(src, dst)` (e.g. a raw kNN frame before symmetrization) — the
     * hub/authority split PageRank can't see: on a kNN graph a high

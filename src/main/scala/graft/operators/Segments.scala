@@ -273,4 +273,73 @@ object Segments {
           floor(lit(1000000.0) * lit(2.0) * col("n_dis").cast("double") /
             col("n_hapax").cast("double")).cast("long")).as("r1_star_q"))
   }
+
+  /** RAKE keyword extraction per group (Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs (length ≤
+    * `maxPhraseLen`), each word w scores
+    *
+    *   wscore_q(w) = (10⁶ · deg(w)) div freq(w)
+    *
+    * with freq = occurrences of w in candidate phrases and deg = Σ of
+    * the containing phrase's length over those occurrences (the
+    * degree-over-frequency ratio that favors words living in long
+    * multi-word phrases), and a phrase scores the INTEGER sum of its
+    * member word scores (multiplicity counted) — so the whole metric
+    * is exact integer arithmetic, engine-identical. Top `topK`
+    * phrases per group, ranked (score DESC, phrase ASC).
+    *
+    * Plan: one posexplode + per-doc window (running stopword count
+    * assigns phrase ids) → phrase assembly by hash agg (sort_array
+    * makes the collect order-free) → word-stat hash agg joined back →
+    * per-group top-k window over the phrase-bounded frame. The only
+    * per-row window is the doc-local position sort; nothing
+    * corpus-scale sorts globally.
+    *
+    * @return (group, phrase, n_occurrences, score_q) — topK per group
+    */
+  def rakeKeywords(docs: DataFrame, groupCol: String, idCol: String,
+                   textCol: String, stopwords: Seq[String],
+                   maxPhraseLen: Int, topK: Int): DataFrame = {
+    require(maxPhraseLen >= 1, s"maxPhraseLen ($maxPhraseLen) must be >= 1")
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val tok = docs
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        posexplode(toks(textCol)).as(Seq("__pos", "__t")))
+      .withColumn("__stop",
+        col("__t").isin(stopwords.map(lit): _*).cast("int"))
+    val wDoc = Window.partitionBy(col("__g"), col("__id"))
+      .orderBy(col("__pos"))
+    val phrases = tok
+      .withColumn("__pid", sum(col("__stop")).over(wDoc))
+      .filter(col("__stop") === 0)
+      .groupBy(col("__g"), col("__id"), col("__pid"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__t"))))
+        .as("__st"))
+      .select(col("__g"), col("__id"), col("__pid"),
+        transform(col("__st"), s => s.getField("__t")).as("__ptoks"))
+      .filter(size(col("__ptoks")) <= maxPhraseLen)
+      .localCheckpoint(eager = false)
+    val wordScores = phrases
+      .select(col("__g"), size(col("__ptoks")).cast("long").as("__len"),
+        explode(col("__ptoks")).as("__w"))
+      .groupBy(col("__g"), col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__g"), col("__w"),
+        expr("(1000000L * __deg) div __freq").as("__wq"))
+    val occScores = phrases
+      .select(col("__g"), col("__id"), col("__pid"),
+        array_join(col("__ptoks"), " ").as("phrase"),
+        explode(col("__ptoks")).as("__w"))
+      .join(wordScores, Seq("__g", "__w"))
+      .groupBy(col("__g"), col("__id"), col("__pid"), col("phrase"))
+      .agg(sum(col("__wq")).as("__score"))
+    val byPhrase = occScores.groupBy(col("__g"), col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__score")).as("score_q"))
+    val wTop = Window.partitionBy(col("__g"))
+      .orderBy(col("score_q").desc, col("phrase").asc)
+    byPhrase.withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= topK)
+      .select(col("__g").as(groupCol), col("phrase"), col("n_occurrences"),
+        col("score_q"))
+  }
 }

@@ -632,4 +632,88 @@ object Stats {
             (col("concordant") - col("discordant")).cast("double") /
             sqrt(den)).cast("long")).as("tau_q"))
   }
+
+  /** One-vs-rest Welch's t-test per group over an integer-valued
+    * measure ("does this source's token-count distribution differ from
+    * the rest of the corpus"): moments (n, Σx, Σx²) accumulate as
+    * exact decimal(38,0) longs, the rest-side moments are the exact
+    * integer difference total − group, and only the FINAL statistic
+    * touches doubles — in one fixed operand order mirrored by the
+    * oracle, so t_q = ⌊10⁶·t⌋ and the Welch–Satterthwaite df_q are
+    * engine-identical.
+    *
+    *   v_i = (Σx² − (Σx)²/n_i) / (n_i − 1)         (sample variance)
+    *   t   = (m₁ − m₂) / √(v₁/n₁ + v₂/n₂)
+    *   df  = (v₁/n₁ + v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1))
+    *
+    * Plan: ONE corpus scan → per-group moment agg; the global moment
+    * row is an aggregate of the per-group rows (never a second scan)
+    * broadcast back. Groups with n < 2 on either side yield null t.
+    *
+    * @return (group, n1, n2, t_q, df_q)
+    */
+  def welchT(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = df.select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n1"), sum(dec(col("__x"))).as("__s1"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__q1"))
+      .localCheckpoint(eager = false)
+    val tot = g.agg(sum(col("n1")).as("__nt"), sum(col("__s1")).as("__st"),
+      sum(col("__q1")).as("__qt"))
+    val d = (c: Column) => c.cast("double")
+    val n1 = d(col("n1"))
+    val n2 = d(col("__nt") - col("n1"))
+    val s1 = d(col("__s1")); val q1 = d(col("__q1"))
+    val s2 = d(col("__st") - col("__s1")); val q2 = d(col("__qt") - col("__q1"))
+    val v1 = (q1 - s1 * s1 / n1) / (n1 - lit(1.0))
+    val v2 = (q2 - s2 * s2 / n2) / (n2 - lit(1.0))
+    val se1 = v1 / n1; val se2 = v2 / n2
+    val tt = (s1 / n1 - s2 / n2) / sqrt(se1 + se2)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - lit(1.0)) + se2 * se2 / (n2 - lit(1.0)))
+    g.crossJoin(broadcast(tot))
+      .select(col("__g").as(groupCol), col("n1"),
+        (col("__nt") - col("n1")).as("n2"),
+        when(col("n1") >= 2 && col("__nt") - col("n1") >= 2,
+          floor(lit(1000000.0) * tt).cast("long")).as("t_q"),
+        when(col("n1") >= 2 && col("__nt") - col("n1") >= 2,
+          floor(lit(1000000.0) * dfW).cast("long")).as("df_q"))
+  }
+
+  /** Cramér's V effect size over two categorical columns — the
+    * normalized companion to [[chiSquare]] ("HOW strongly are source
+    * and language associated", on the engine-exact [0, 1] scale).
+    *
+    * [[chiSquare]] emits only cells with o ≥ 1, but an ABSENT cell
+    * contributes its full expected mass e = r·c/N to χ² — dropping it
+    * understates association exactly when association is strongest
+    * (a perfect diagonal is ALL absent off-cells). The identity
+    * Σ_all e = N recovers that mass without materializing zero cells:
+    *
+    *   χ²_q = Σ_present contrib_q + (10⁶·N − Σ_present e_q)
+    *   v_q  = ⌊10⁶ · √(χ²_q / (10⁶ · N · (min(r,c) − 1)))⌋
+    *
+    * — integer sums of the per-cell floored quantities (order-free),
+    * one final sqrt. A perfect 2×2 diagonal lands v_q = 10⁶ exactly.
+    *
+    * @return one row (n, n_rows, n_cols, chi2_q, v_q)
+    */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiSquare(df, rowCol, colCol)
+      .agg(sum(col("o")).as("n"),
+        countDistinct(col(rowCol)).as("n_rows"),
+        countDistinct(col(colCol)).as("n_cols"),
+        sum(col("contrib_q")).as("__pres_q"),
+        sum(col("e_q")).as("__e_q"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        (col("__pres_q") + lit(1000000L) * col("n") - col("__e_q"))
+          .as("chi2_q"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_q"),
+        when(least(col("n_rows"), col("n_cols")) >= 2,
+          floor(lit(1000000.0) * sqrt(col("chi2_q").cast("double") /
+            (lit(1000000.0) * col("n").cast("double") *
+              (least(col("n_rows"), col("n_cols")) - lit(1L)).cast("double"))))
+            .cast("long")).otherwise(lit(0L)).as("v_q"))
 }

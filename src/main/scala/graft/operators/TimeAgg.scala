@@ -839,4 +839,63 @@ object TimeAgg {
       .select(col("t_days"), col("n_risk"), col("d_events"),
         col("n_censored"), col("surv_q"))
   }
+
+  /** Classical additive seasonal decomposition of a daily count series
+    * with weekly period (trend + seasonal + residual — the dashboard
+    * view that separates "traffic is growing" from "it's just
+    * Tuesday"). Per group:
+    *
+    *   trend_q(d)    = (10⁶ · Σ_{d−3..d+3} x) div 7      (centered MA-7,
+    *                   exact integer, only days with a FULL window)
+    *   detr_q(d)     = 10⁶·x_d − trend_q(d)
+    *   seasonal_q(w) = ⌊mean of detr_q over weekday w⌋   (one fp floor
+    *                   on an exact long sum — |Σ| ≪ 2⁵³ bound as in
+    *                   Robust.theilSen)
+    *   resid_q(d)    = detr_q(d) − seasonal_q(w(d))
+    *
+    * Weekday is the q231 contract: (epochDay + 3) mod 7 — pure integer
+    * arithmetic, no calendar/timezone function on either engine.
+    * Missing days inside the span are REAL zeros (densified grid, the
+    * [[Stats.acf]] recipe).
+    *
+    * Plan: one hash agg to the (group, day) grid, one
+    * sequence-explode densify bounded by the span, ONE per-group
+    * range window for the moving average, one (group × 7) seasonal
+    * agg broadcast back. Nothing row-scale shuffles twice.
+    *
+    * @return (group, day, x, trend_q, detr_q, seasonal_q, resid_q)
+    *         for full-window days
+    */
+  def seasonalDecompose(events: DataFrame, groupCol: String,
+                        epochMicrosCol: String): DataFrame = {
+    val counts = events
+      .select(col(groupCol).as("__g"),
+        expr(s"`$epochMicrosCol` div 86400000000L").as("__day"))
+      .groupBy(col("__g"), col("__day"))
+      .agg(count(lit(1)).as("x"))
+    val span = counts.groupBy(col("__g"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val dense = span
+      .select(col("__g"),
+        explode(sequence(col("__lo"), col("__hi"), lit(1L))).as("__day"))
+      .join(counts, Seq("__g", "__day"), "left")
+      .select(col("__g"), col("__day"), coalesce(col("x"), lit(0L)).as("x"))
+    val wMa = Window.partitionBy(col("__g")).orderBy(col("__day"))
+      .rangeBetween(-3L, 3L)
+    val withMa = dense
+      .withColumn("__wn", count(lit(1)).over(wMa))
+      .withColumn("__s7", sum(col("x")).over(wMa))
+      .filter(col("__wn") === 7)
+      .withColumn("trend_q", expr("(1000000L * __s7) div 7"))
+      .withColumn("detr_q", lit(1000000L) * col("x") - col("trend_q"))
+      .withColumn("__dow", pmod(col("__day") + 3, lit(7L)))
+      .localCheckpoint(eager = false)
+    val seasonal = withMa.groupBy(col("__g"), col("__dow"))
+      .agg(floor(sum(col("detr_q")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("seasonal_q"))
+    withMa.join(broadcast(seasonal), Seq("__g", "__dow"))
+      .select(col("__g").as(groupCol), col("__day").as("day"), col("x"),
+        col("trend_q"), col("detr_q"), col("seasonal_q"),
+        (col("detr_q") - col("seasonal_q")).as("resid_q"))
+  }
 }

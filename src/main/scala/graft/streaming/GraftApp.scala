@@ -514,6 +514,31 @@ object GraftApp {
         docs.select(col("lang"), TextFns.langId(col("text")).as("pred"))
           .filter(col("pred").isNotNull), "lang", "pred")
         .createOrReplaceTempView("v_lang_report")
+      // round-8 session-9 surface ------------------------------------
+      // RAKE keywords per source (q246), per-source Welch t on length
+      // (q242), source×lang association strength (q243), paired
+      // classifier comparison (q244) and score-targeting lift (q245)
+      graft.operators.Segments.rakeKeywords(docs, "source", "doc_id",
+        "text", stop, maxPhraseLen = 4, topK = 10)
+        .createOrReplaceTempView("v_term_rake")
+      graft.operators.Stats.welchT(docs, "source", "n_chars")
+        .createOrReplaceTempView("v_source_welch")
+      graft.operators.Stats.cramersV(docs, "source", "lang")
+        .createOrReplaceTempView("v_assoc_cramers")
+      val enCnt = size(filter(split(lower(trim(col("text"))), "\\s+"),
+        x => x.isin(stop.map(lit): _*)))
+      graft.operators.Eval.mcnemar(
+        docs.filter(col("lang").isNotNull && col("text").isNotNull),
+        TextFns.langId(col("text")) === lit("en"), enCnt >= 3,
+        col("lang") === lit("en"))
+        .createOrReplaceTempView("v_langid_mcnemar")
+      graft.operators.Eval.liftTable(
+        docs.filter(col("text").isNotNull && col("lang").isNotNull)
+          .select(col("doc_id"), enCnt.cast("long").as("score"),
+            col("lang")),
+        "score", col("lang") === lit("en"), bins = 10,
+        tieCols = Seq("doc_id"))
+        .createOrReplaceTempView("v_quality_lift")
     }
     read("embeddings").foreach { emb =>
       emb.createOrReplaceTempView("embeddings")
@@ -536,6 +561,13 @@ object GraftApp {
           (col("__nl") === col("__ql")).as("rel"))
       graft.operators.Eval.ndcgAtK(ranked, k = 5)
         .createOrReplaceTempView("v_knn_ndcg")
+      // predicted links over the mutual-kNN graph (q241) — lazy; the
+      // kNN pipeline runs on first query
+      graft.operators.Graph.adamicAdar(graft.operators.Graph.mutualEdges(
+        graft.operators.Similarity.cosineTopK(emb, emb, "vec_id",
+          "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))), topK = 30)
+        .createOrReplaceTempView("v_link_predictions")
     }
     read("events").foreach { ev0 =>
       // expose exact epoch-micros; schema-adaptive (the generator has
@@ -580,6 +612,10 @@ object GraftApp {
         "event_type", "vq", bucketWidth = 1000L, lo = (1, 20),
         hi = (19, 20))
         .createOrReplaceTempView("v_event_winsor")
+      // weekly seasonal decomposition of daily volume (q247)
+      TimeAgg.seasonalDecompose(ev.filter(col("event_type").isNotNull),
+        "event_type", "ts_us")
+        .createOrReplaceTempView("v_event_seasonal")
     }
   }
 

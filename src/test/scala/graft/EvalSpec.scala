@@ -345,4 +345,55 @@ class EvalSpec extends SparkSpec {
       raters = 2).collect()(0)
     assert(out.isNullAt(4))
   }
+
+  test("mcnemar: hand discordant counts and the exact integer statistic") {
+    import org.apache.spark.sql.functions.col
+    // truth all true; A right on rows 1-6, B right on rows 1-3 and 7
+    val df = (1 to 10).map(i => (i, i <= 6, i <= 3 || i == 7))
+      .toDF("id", "a", "b")
+    val out = Eval.mcnemar(df, col("a"), col("b"), lit(true)).collect()(0)
+    assert(out.getLong(0) === 10L)
+    assert(out.getLong(1) === 3L) // both right: 1-3
+    assert(out.getLong(2) === 3L) // both wrong: 8-10
+    assert(out.getLong(3) === 3L) // A-only: 4-6
+    assert(out.getLong(4) === 1L) // B-only: 7
+    assert(out.getLong(5) === 1000000L) // (1e6·(3−1)²) div 4
+  }
+
+  test("mcnemar: null statistic when the classifiers never disagree") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, true, true), (2, false, false)).toDF("id", "a", "b")
+    val out = Eval.mcnemar(df, col("a"), col("b"), lit(true)).collect()(0)
+    assert(out.isNullAt(5))
+  }
+
+  test("liftTable: perfectly-ranked labels — top deciles rate 10^6, " +
+      "cumulative lift decays to exactly 10^6 at the last bin") {
+    import org.apache.spark.sql.functions.col
+    // scores 10..1, positives on the top 3 scores, 10 bins of 1 row
+    val df = (1 to 10).map(i => (i.toLong, (11 - i).toLong, i <= 3))
+      .toDF("doc_id", "score", "lbl")
+    val out = Eval.liftTable(df, "score", col("lbl"), bins = 10,
+      tieCols = Seq("doc_id")).orderBy("bin").collect()
+    assert(out.length === 10)
+    assert(out.map(_.getLong(1)).forall(_ === 1L))
+    assert(out.take(3).map(_.getLong(3)).forall(_ === 1000000L))
+    assert(out.drop(3).map(_.getLong(3)).forall(_ === 0L))
+    // bin 0: lift = (1/1)/(3/10) = 10/3
+    assert(out(0).getLong(4) === 3333333L)
+    assert(out(2).getLong(4) === 3333333L)
+    assert(out(9).getLong(4) === 1000000L)
+  }
+
+  test("liftTable: score ties break by the tie column, bins stay exact " +
+      "when N is not divisible by bins") {
+    import org.apache.spark.sql.functions.col
+    // 5 rows, 2 bins → bins of 3 and 2 ((rank−1)·2 div 5)
+    val df = Seq((1L, 5L, true), (2L, 5L, true), (3L, 5L, false),
+      (4L, 1L, false), (5L, 1L, true)).toDF("doc_id", "score", "lbl")
+    val out = Eval.liftTable(df, "score", col("lbl"), bins = 2,
+      tieCols = Seq("doc_id")).orderBy("bin").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      === List((0L, 3L, 2L), (1L, 2L, 1L)))
+  }
 }

@@ -253,6 +253,37 @@ class GraftAppSpec extends SparkSpec {
         "SELECT count(*) FROM (SELECT from_type, sum(n) s, min(row_n) r " +
           "FROM v_markov_transitions GROUP BY from_type) WHERE s <> r")
         .collect()(0).getLong(0) === 0L)
+      // session-9 surface: rake phrases never exceed the length cap and
+      // score positive; welch rows cover every source; cramers V is a
+      // valid share; mcnemar partitions n; lift table covers all rows;
+      // link predictions are non-adjacent by construction (cheap row
+      // sanity here; semantics are oracle-gated)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_term_rake WHERE score_q <= 0 OR " +
+          "size(split(phrase, ' ')) > 4")
+        .collect()(0).getLong(0) === 0L)
+      assert(spark.sql("SELECT count(*) FROM v_source_welch")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(DISTINCT source) FROM documents")
+          .collect()(0).getLong(0))
+      assert(spark.sql(
+        "SELECT count(*) FROM v_assoc_cramers WHERE v_q BETWEEN 0 AND 1000000")
+        .collect()(0).getLong(0) === 1L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_langid_mcnemar " +
+          "WHERE both_right + both_wrong + b + c = n")
+        .collect()(0).getLong(0) === 1L)
+      assert(spark.sql("SELECT sum(n) FROM v_quality_lift")
+        .collect()(0).getLong(0) ===
+        spark.sql("SELECT count(*) FROM documents WHERE text IS NOT NULL " +
+          "AND lang IS NOT NULL").collect()(0).getLong(0))
+      assert(spark.sql("SELECT count(*) FROM v_event_seasonal " +
+          "WHERE detr_q <> seasonal_q + resid_q " +
+          "OR 1000000 * x <> trend_q + detr_q")
+        .collect()(0).getLong(0) === 0L)
+      assert(spark.sql(
+        "SELECT count(*) FROM v_link_predictions WHERE x >= y")
+        .collect()(0).getLong(0) === 0L)
       // raw tables are first-class too (join surface for operator calls)
       assert(spark.sql("SELECT count(*) FROM documents").collect()(0).getLong(0) > 0)
 

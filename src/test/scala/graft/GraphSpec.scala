@@ -162,4 +162,28 @@ class GraphSpec extends SparkSpec {
     assert(a === Set((1L, 2L), (2L, 2L), (3L, 2L)))
     assert(b === a)
   }
+
+  test("adamicAdar: 4-cycle — both diagonals predicted with the exact " +
+      "quantized inverse-log weight, adjacent pairs excluded") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.adamicAdar(edges, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // every vertex has degree 2; w = floor(1e9 / ln 2) = 1442695040
+    val w = math.floor(1.0e9 / math.log(2.0)).toLong
+    assert(out === Map(
+      (1L, 3L) -> ((2L, 2 * w)),
+      (2L, 4L) -> ((2L, 2 * w))))
+  }
+
+  test("adamicAdar: topK limit keeps the highest-scored pair with the " +
+      "(score DESC, x ASC, y ASC) tie order") {
+    // star center 1 with leaves 2,3,4: candidates are the leaf pairs,
+    // all scoring floor(1e9/ln 3) via the center — tie broken by (x,y)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val rows = Graph.adamicAdar(edges, topK = 1).collect()
+    assert(rows.length === 1)
+    assert((rows(0).getLong(0), rows(0).getLong(1)) === ((2L, 3L)))
+    assert(rows(0).getLong(3) === math.floor(1.0e9 / math.log(3.0)).toLong)
+  }
 }

@@ -199,4 +199,37 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     assert(out.getLong(5) === 0L)
     assert(out.isNullAt(6))
   }
+
+  // ------------------------------------------------------- rakeKeywords
+
+  test("rakeKeywords: hand phrases — degree/frequency word scores and " +
+      "integer phrase sums") {
+    val docs = Seq(("A", 1L, "deep learning is the best deep model"))
+      .toDF("src", "doc_id", "text")
+    val out = Segments.rakeKeywords(docs, "src", "doc_id", "text",
+      stopwords = Seq("is", "the"), maxPhraseLen = 4, topK = 10)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // freq: deep 2, learning 1, best 1, model 1
+    // deg:  deep 2+3=5, learning 2, best 3, model 3
+    // wq:   deep 2500000, learning 2000000, best/model 3000000
+    assert(out === Map(
+      "deep learning" -> ((1L, 4500000L)),
+      "best deep model" -> ((1L, 8500000L))))
+  }
+
+  test("rakeKeywords: repeated phrase counts occurrences once per " +
+      "appearance; maxPhraseLen drops over-long runs; topK ranks " +
+      "(score DESC, phrase ASC)") {
+    val docs = Seq(
+      ("A", 1L, "red fox is red fox"),
+      ("A", 2L, "one two three four five is x")).toDF("s", "id", "text")
+    val out = Segments.rakeKeywords(docs, "s", "id", "text",
+      stopwords = Seq("is"), maxPhraseLen = 4, topK = 2).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // "one two three four five" (len 5) is dropped by maxPhraseLen;
+    // "red fox": freq red 2, fox 2, deg red 4, fox 4 → wq 2e6 each,
+    // phrase score 4e6, 2 occurrences; "x": wq 1e6, score 1e6
+    assert(out.toSet === Set(("red fox", 2L, 4000000L), ("x", 1L, 1000000L)))
+  }
 }

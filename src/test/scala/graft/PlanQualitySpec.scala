@@ -959,4 +959,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"hillTail rank filter did not lower to a map-side limit:\n$plan")
   }
+
+  test("adamicAdar: global top-k plans TakeOrdered, never a global sort") {
+    val plan = planOf("q241_g_adamic_adar")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"adamicAdar top-k did not lower to TakeOrdered:\n$plan")
+  }
+
+  test("welchT / cramersV: at most one corpus scan (the checkpointed " +
+      "moment table), the total row broadcast back") {
+    // the group-moment table is localCheckpoint'd: the plan reads it as
+    // ExistingRDD (materialized ONCE), so no documents FileScan may
+    // appear more than once — and with the checkpoint, none at all
+    val wp = planOf("q242_a_welch_t")
+    assert(wp.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("documents")) <= 1,
+      s"welchT scanned documents more than once:\n$wp")
+    assert(wp.contains("BroadcastNestedLoopJoin") ||
+      wp.contains("BroadcastExchange"), s"welch total not broadcast:\n$wp")
+    val cp = planOf("q243_a_cramers_v")
+    assert(cp.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("documents")) <= 1,
+      s"cramersV scanned documents more than once:\n$cp")
+  }
+
+  test("seasonalDecompose: seasonal means broadcast back, exactly one " +
+      "row-scale window (the MA pass)") {
+    val plan = planOf("q247_a_seasonal_decompose")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"seasonal means not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("rakeKeywords: phrase/word joins stay keyed, no cartesian") {
+    val plan = planOf("q246_tx_rake_keywords")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rake joined unkeyed:\n$plan")
+  }
 }

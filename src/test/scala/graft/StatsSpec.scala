@@ -259,4 +259,54 @@ class StatsSpec extends SparkSpec {
     val df = Seq(("g", 1L, 5L, 1L), ("g", 2L, 5L, 2L)).toDF("g", "k", "x", "y")
     assert(Stats.kendallTau(df, "g", "k", "x", "y").collect()(0).isNullAt(4))
   }
+
+  test("welchT: two-group hand values match the mirrored double sequence") {
+    import graft.operators.Stats
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(10L, 20L, 30L, 40L).map(("b", _))).toDF("g", "x")
+    val out = Stats.welchT(df, "g", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // replicate the operator's exact fp sequence for group a vs rest
+    def expect(n1: Double, s1: Double, q1: Double,
+               n2: Double, s2: Double, q2: Double): (Long, Long) = {
+      val v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+      val v2 = (q2 - s2 * s2 / n2) / (n2 - 1.0)
+      val se1 = v1 / n1; val se2 = v2 / n2
+      val t = (s1 / n1 - s2 / n2) / math.sqrt(se1 + se2)
+      val dfW = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+      (math.floor(1.0e6 * t).toLong, math.floor(1.0e6 * dfW).toLong)
+    }
+    val (ta, dfa) = expect(3, 6, 14, 4, 100, 3000)
+    val ra = out("a")
+    assert(ra.getLong(1) === 3L && ra.getLong(2) === 4L)
+    assert(ra.getLong(3) === ta && ra.getLong(4) === dfa)
+    val (tb, dfb) = expect(4, 100, 3000, 3, 6, 14)
+    assert(out("b").getLong(3) === tb && out("b").getLong(4) === dfb)
+    assert(ta < 0 && tb > 0) // antisymmetric direction
+  }
+
+  test("welchT: a singleton group reports null t (no variance)") {
+    import graft.operators.Stats
+    val df = Seq(("a", 1L), ("b", 2L), ("b", 3L), ("b", 9L)).toDF("g", "x")
+    val byG = Stats.welchT(df, "g", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byG("a").isNullAt(3)) // n1 = 1
+    assert(byG("b").isNullAt(3)) // rest side n2 = 1
+  }
+
+  test("cramersV: perfect 2x2 diagonal scores exactly 10^6 (absent-cell " +
+      "mass recovered), independent table scores 0") {
+    import graft.operators.Stats
+    val perfect = (Seq.fill(5)(("r1", "c1")) ++ Seq.fill(5)(("r2", "c2")))
+      .toDF("r", "c")
+    val p = Stats.cramersV(perfect, "r", "c").collect()(0)
+    assert(p.getLong(0) === 10L && p.getLong(3) === 10000000L)
+    assert(p.getLong(4) === 1000000L)
+    val indep = (for {
+      r <- Seq("r1", "r2"); c <- Seq("c1", "c2"); _ <- 1 to 5
+    } yield (r, c)).toDF("r", "c")
+    val i = Stats.cramersV(indep, "r", "c").collect()(0)
+    assert(i.getLong(3) === 0L && i.getLong(4) === 0L)
+  }
 }

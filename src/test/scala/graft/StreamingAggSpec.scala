@@ -321,4 +321,48 @@ class StreamingAggSpec extends SparkSpec {
     assert(out.toList === List((0L, 5L, 0L, 1L), (1L, 4L, 1L, 1L),
       (2L, 2L, 1L, 0L), (4L, 1L, 1L, 0L)))
   }
+
+  test("seasonalDecompose: pure weekly pattern over a linear-free base " +
+      "— exact trend, seasonal absorbs the pattern, residual zero") {
+    val day0 = 20000L // epoch days
+    val pattern = Array(3L, -1L, -2L, 0L, 1L, 2L, -3L) // sums to 0
+    val rows = for {
+      d <- 0 until 21
+      day = day0 + d
+      x = 5L + pattern(((day + 3) % 7).toInt)
+      _ <- 1L to x
+    } yield Tuple1(day * 86400000000L)
+    val ev = rows.toDF("ts_us").withColumn("g", lit("e"))
+    val out = TimeAgg.seasonalDecompose(ev, "g", "ts_us")
+      .orderBy("day").collect()
+    // full-window days only: day0+3 .. day0+17
+    assert(out.length === 15)
+    assert(out.head.getLong(1) === day0 + 3)
+    assert(out.last.getLong(1) === day0 + 17)
+    out.foreach { r =>
+      val dow = ((r.getLong(1) + 3) % 7).toInt
+      assert(r.getLong(3) === 5000000L) // MA-7 of a zero-sum pattern
+      assert(r.getLong(4) === 1000000L * pattern(dow)) // detrended
+      assert(r.getLong(5) === 1000000L * pattern(dow)) // seasonal mean
+      assert(r.getLong(6) === 0L) // residual
+    }
+  }
+
+  test("seasonalDecompose: a missing day densifies to a real zero and " +
+      "perturbs the window sums around it") {
+    val day0 = 20000L
+    // 9 days of constant 2 events, except day0+4 has none
+    val rows = for {
+      d <- 0 until 9 if d != 4
+      _ <- 1 to 2
+    } yield Tuple1((day0 + d) * 86400000000L)
+    val ev = rows.toDF("ts_us").withColumn("g", lit("e"))
+    val out = TimeAgg.seasonalDecompose(ev, "g", "ts_us")
+      .orderBy("day").collect()
+    // full-window days: day0+3 .. day0+5; window sums all 12 (6·2 + 0)
+    assert(out.map(_.getLong(1)).toList ===
+      List(day0 + 3, day0 + 4, day0 + 5))
+    out.foreach(r => assert(r.getLong(3) === (1000000L * 12) / 7))
+    assert(out(1).getLong(2) === 0L) // the densified zero day
+  }
 }
