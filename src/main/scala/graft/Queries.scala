@@ -9581,6 +9581,211 @@ object Queries {
       FROM f JOIN se USING (event_type, dow)
       ORDER BY event_type, day"""))
 
+  /** (q248) Hilbert-curve layout key (plans.HilbertIndex scaladoc):
+    * the locality-tighter alternative to q181's Morton key, native
+    * codegen'd xy→d walk; the oracle replays the 8 rotate/reflect
+    * levels as a recursive CTE.
+    */
+  val q248Hilbert = Q(
+    "q248_s_hilbert_key",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hk = operators.Layout.hilbertKey(
+        pmod(col("user_id"), lit(256L)),
+        pmod(expr("ts_us div 86400000000L"), lit(256L)), bits = 8)
+      e.select(col("event_id"), hk.as("hkey")).orderBy("event_id")
+    },
+    Some(s"""
+      WITH RECURSIVE b AS (SELECT event_id,
+               CAST(user_id % 256 AS BIGINT) AS x,
+               CAST(($EvUs // 86400000000) % 256 AS BIGINT) AS y
+             FROM events),
+      h AS (
+        SELECT event_id, x, y, CAST(0 AS BIGINT) AS d,
+          CAST(128 AS BIGINT) AS s
+        FROM b
+        UNION ALL
+        SELECT event_id,
+          CASE WHEN (y & s) = 0 THEN
+            (CASE WHEN (x & s) > 0 THEN 255 - y ELSE y END)
+            ELSE x END,
+          CASE WHEN (y & s) = 0 THEN
+            (CASE WHEN (x & s) > 0 THEN 255 - x ELSE x END)
+            ELSE y END,
+          d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) = 0 THEN 3
+                            WHEN (x & s) > 0 THEN 2
+                            WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+          s // 2
+        FROM h WHERE s > 0)
+      SELECT event_id, d AS hkey FROM h WHERE s = 0
+      ORDER BY event_id"""))
+
+  /** (q249) Friedman rank test (Stats.friedman scaladoc): do the
+    * event types rank differently across days — blocks = days,
+    * treatments = event types, cell value = daily count, REAL zeros
+    * on the densified grid, doubled-midrank exact longs.
+    */
+  val q249Friedman = Q(
+    "q249_a_friedman",
+    (s, dir) =>
+      operators.Stats.friedman(
+        ev(s, dir).filter(col("event_type").isNotNull)
+          .withColumn("day", expr("ts_us div 86400000000L"))
+          .withColumn("one", lit(1L)),
+        "day", "event_type", "one"),
+    Some(s"""
+      WITH c AS (SELECT $EvUs // 86400000000 AS b, event_type AS t,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      bl AS (SELECT DISTINCT b FROM c),
+      tr AS (SELECT DISTINCT t FROM c),
+      grid AS (SELECT bl.b, tr.t, coalesce(c.x, 0) AS x
+               FROM bl CROSS JOIN tr
+               LEFT JOIN c ON c.b = bl.b AND c.t = tr.t),
+      r AS (SELECT b, t,
+              2 * rank() OVER (PARTITION BY b ORDER BY x)
+                + count(*) OVER (PARTITION BY b, x) - 1 AS r2
+            FROM grid),
+      rs AS (SELECT t, CAST(sum(r2) AS BIGINT) AS rs FROM r GROUP BY t),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(rs * rs) AS BIGINT) AS r2_ssq FROM rs),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM bl)
+      SELECT n_blocks, k, r2_ssq,
+        CASE WHEN n_blocks >= 1 AND k >= 2 THEN
+          CAST(floor(1000000.0 * (3.0 * CAST(r2_ssq AS DOUBLE)
+            / CAST(n_blocks * k * (k + 1) AS DOUBLE)
+            - 3.0 * CAST(n_blocks * (k + 1) AS DOUBLE))) AS BIGINT)
+        END AS q_q
+      FROM kk, nn"""))
+
+  /** (q250) Seeded ε-DP Laplace noisy counts (Curation.dpNoisyCounts
+    * scaladoc): per-(source, lang) counts + deterministic md5₆₀-seeded
+    * inverse-CDF Laplace(b=2) noise, replayed term-for-term.
+    */
+  val q250DpLaplace = Q(
+    "q250_s_dp_laplace",
+    (s, dir) =>
+      operators.Curation.dpNoisyCounts(t(s, dir, "documents"),
+        Seq("source", "lang"), bQ = 2000000L, salt = "r8")
+        .orderBy("source", "lang"),
+    Some("""
+      WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2),
+      u AS (SELECT source, lang, n,
+              (CAST(('0x' || substr(md5(
+                 coalesce(CAST(source AS VARCHAR), '') || ':' ||
+                 coalesce(CAST(lang AS VARCHAR), '') || ':r8'),
+                 1, 15))::BIGINT AS DOUBLE) + 0.5)
+                / 1152921504606846976.0 AS u
+            FROM g),
+      z AS (SELECT source, lang, n,
+              CAST(floor(1000000.0 * (-2.0 * sign(u - 0.5) *
+                ln(1.0 - 2.0 * abs(u - 0.5)))) AS BIGINT) AS noise_q
+            FROM u)
+      SELECT source, lang, n, noise_q,
+        1000000 * n + noise_q AS noisy_n_q
+      FROM z ORDER BY source, lang"""))
+
+  /** (q251) Winnowing overlap pairs (Dedup.winnowOverlapPairs
+    * scaladoc): doc pairs sharing ≥ 2 distinct MOSS fingerprints
+    * (3-gram, window 4, md5₆₀ keys, fp-df cap 200) — each shared
+    * fingerprint certifies a shared ≥ 6-token verbatim run.
+    */
+  val q251WinnowOverlap = Q(
+    "q251_dd_winnow_overlap",
+    (s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        gramSize = 3, window = 4, minShared = 2L,
+        gramKeyOf = Dedup.md5Hash60)
+        .orderBy("id_a", "id_b"),
+    Some("""
+      WITH d AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              ('0x' || substr(md5(
+                array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))::BIGINT
+                AS gk
+            FROM d, LATERAL unnest(range(1, len(toks) - 1)) t(i)
+            WHERE len(toks) >= 3),
+      n AS (SELECT doc_id, max(pos) AS ng FROM g GROUP BY doc_id),
+      e AS (SELECT doc_id, CAST(j AS INT) AS e
+            FROM n, LATERAL unnest(range(4, ng + 1)) t(j)),
+      j AS (SELECT e.doc_id, e.e, g.pos, g.gk
+            FROM e JOIN g ON g.doc_id = e.doc_id AND g.pos BETWEEN e.e - 3 AND e.e),
+      mn AS (SELECT doc_id, e, min(gk) AS mg FROM j GROUP BY doc_id, e),
+      fps AS (SELECT DISTINCT j.doc_id, mn.mg AS fp
+              FROM j JOIN mn ON j.doc_id = mn.doc_id AND j.e = mn.e
+                AND j.gk = mn.mg),
+      dfc AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fps
+                GROUP BY fp) WHERE c <= 200),
+      kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+      ORDER BY id_a, id_b"""))
+
+  /** (q252) Isotonic calibration fit (Eval.isotonicFit scaladoc):
+    * PAVA in closed minimax form over 20 quality-score bins
+    * (q161's score) vs lang='en', quantized segment rates so every
+    * min/max compares exact longs.
+    */
+  val q252IsotonicFit = Q(
+    "q252_ml_isotonic_fit",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sQ = floor(lit(1000000.0) *
+        TextFns.qualityScore(col("text"), Stopwords)).cast("long")
+      operators.Eval.isotonicFit(
+        docs.select(sQ.as("s_q"), col("lang"))
+          .select(least(expr("s_q div 50000L"), lit(19L)).as("bin"),
+            col("lang")),
+        "bin", col("lang") === "en")
+        .orderBy("b")
+    },
+    Some("""
+      WITH d AS (SELECT text, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT lang, text,
+          CAST(len(list_filter(toks,
+            t -> t IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(toks) AS swr,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d),
+      q AS (SELECT least(CAST(floor(1000000.0 *
+              (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3)) AS BIGINT)
+               // 50000, 19) AS b,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM f),
+      bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+               FROM q GROUP BY 1),
+      pre AS (SELECT b, n, pos,
+               CAST(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+               CAST(sum(pos) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+             FROM bins),
+      seg AS (SELECT lo.b AS i, hi.b AS j,
+                CAST(floor(1000000.0
+                  * CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+                  / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE)) AS BIGINT)
+                  AS avg_q
+              FROM pre lo, pre hi WHERE lo.b <= hi.b),
+      m AS (SELECT i, j, min(avg_q) OVER (PARTITION BY i ORDER BY j DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+            FROM seg),
+      ff AS (SELECT i, j, max(m) OVER (PARTITION BY j ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+             FROM m)
+      SELECT bins.b, bins.n, bins.pos, ff.f AS fit_q
+      FROM bins JOIN ff ON ff.i = bins.b AND ff.j = bins.b
+      ORDER BY bins.b"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -9650,5 +9855,7 @@ object Queries {
     q235TCloseness, q236KCore, q237Kendall, q238KaplanMeier,
     q239Silhouette, q240SystematicPps,
     q241AdamicAdar, q242WelchT, q243CramersV, q244McNemar,
-    q245LiftTable, q246Rake, q247SeasonalDecompose)
+    q245LiftTable, q246Rake, q247SeasonalDecompose,
+    q248Hilbert, q249Friedman, q250DpLaplace, q251WinnowOverlap,
+    q252IsotonicFit)
 }

@@ -985,6 +985,42 @@ object Curation {
       .drop("__n", "__dsum")
   }
 
+  /** Seeded Laplace-mechanism noisy counts — the ε-differential-privacy
+    * release primitive for count statistics (Dwork, McSherry, Nissim &
+    * Smith 2006; count queries have sensitivity 1, so Laplace scale
+    * b = 1/ε): per-group exact count n plus Laplace(0, b) noise, where
+    * the uniform draw is the md5₆₀ of the group key and a caller salt —
+    * fully deterministic across runs, partitionings, and engines (the
+    * [[weightedSample]] device), so a privacy-release job is replayable
+    * and auditable while still drawing honest inverse-CDF Laplace noise
+    * per key. A fresh salt per release epoch gives fresh noise.
+    *
+    * u = (md5₆₀(key:salt) + ½)/2⁶⁰ ∈ (0,1), then the inverse CDF
+    * x = −b·sgn(u−½)·ln(1−2·|u−½|), quantized ⌊10⁶·x⌋ once. The
+    * released value is `noisy_n_q = 10⁶·n + noise_q` (micro-units).
+    *
+    * Plan: one hash aggregate to groups, then scan-stage hash + ln per
+    * group row — noise cost is O(groups), never O(rows).
+    */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String], bQ: Long,
+                    salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must not be empty")
+    require(bQ > 0, s"bQ ($bQ) must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws(":",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit(""))) :+
+        lit(salt): _*)
+    val u = (Dedup.md5Hash60(keyStr).cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+    val b = lit(bQ.toDouble / 1e6)
+    val noise = -b * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    counts
+      .withColumn("noise_q", floor(lit(1000000.0) * noise).cast("long"))
+      .withColumn("noisy_n_q", lit(1000000L) * col("n") + col("noise_q"))
+  }
+
   /** Purged chronological split: train on the past, validate on the
     * future, with an embargo gap between them so near-boundary leakage
     * (a validation row whose context overlaps the last training rows)

@@ -1034,6 +1034,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing overlap pairs — the MOSS report step over
+    * [[winnowFingerprints]] ("which documents share VERBATIM token
+    * runs, and how much"): a candidate pair survives iff the two docs
+    * share ≥ `minShared` distinct selected fingerprints, which by the
+    * winnowing guarantee certifies ≥ minShared shared token runs of
+    * length ≥ window + gramSize − 1 each. The substring-plagiarism
+    * join the gram-level equi-join can't afford: fingerprint density
+    * is 2/(window+1), so the join input is ~25× smaller than the gram
+    * table at window 7.
+    *
+    * Plan shape: the fingerprint table (8-byte hashes, text never
+    * shuffles), a df cap on the fingerprint (a boilerplate run shared
+    * by b docs would otherwise build a b² bucket — same guard family
+    * as the shingle-df cap in [[ngramJaccard]]), one self equi-join on
+    * the hash, one count aggregate per surviving pair.
+    */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         gramSize: Int, window: Int, minShared: Long,
+                         gramKeyOf: Column => Column = xxhash64(_),
+                         maxFpDf: Long = 200L): DataFrame = {
+    require(minShared >= 1, s"minShared ($minShared) must be >= 1")
+    require(maxFpDf >= 2, s"maxFpDf ($maxFpDf) must be >= 2")
+    val fps = winnowFingerprints(docs, idCol, textCol, gramSize, window,
+        gramKeyOf)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+      .localCheckpoint(eager = false)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxFpDf)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-doc n-gram novelty against all earlier docs (id order): the
     * fraction of a doc's distinct shingles whose FIRST corpus
     * occurrence is this doc — the marginal-contribution score that

@@ -638,4 +638,62 @@ object Eval {
           expr("(1000000L * __cumP * __N) div (__cumN * __totP)"))
           .otherwise(lit(0L)).as("cum_lift_q"))
   }
+
+  /** Isotonic (monotone nondecreasing) calibration fit over
+    * pre-bucketed scores — the non-parametric recalibration map
+    * ([[calibration]] DIAGNOSES miscalibration; this REPAIRS it):
+    * per score bin b, the fitted positive-rate is the PAVA solution
+    * expressed in its closed minimax form,
+    *
+    *   fit(k) = max_{i ≤ k} min_{j ≥ k} rate(i..j),
+    *
+    * with segment rates quantized once (⌊10⁶·pos/n⌋) so every min/max
+    * compares exact longs — bit-reproducible on any engine, and still
+    * provably monotone (the minimax is nondecreasing in k for ANY
+    * segment function: larger k widens the max's i-range and narrows
+    * the min's j-range).
+    *
+    * Plan: one hash aggregate to the B bins, then a B×B broadcast
+    * self-grid with two windows whose partitions hold ≤ B rows. B is
+    * fixed by the caller's bucketing (20 here), so the grid is
+    * CONSTANT-size however large the input — the whole fit after the
+    * first aggregate is driver-scale work done distributed-safe.
+    */
+  def isotonicFit(df: DataFrame, binCol: String, label: Column): DataFrame = {
+    val bins = df.filter(col(binCol).isNotNull)
+      .select(col(binCol).cast("long").as("b"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+      .localCheckpoint(eager = false)
+    // single-partition windows are safe: the frame is the B-row bin
+    // table, bounded by the caller's bucketing, never the input
+    val wPre = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("b"), col("n"), col("pos"),
+      sum(col("n")).over(wPre).as("__cn"),
+      sum(col("pos")).over(wPre).as("__cp"))
+    val lo = pre.select(col("b").as("i"),
+      (col("__cn") - col("n")).as("__cn0"),
+      (col("__cp") - col("pos")).as("__cp0"))
+    val hi = pre.select(col("b").as("j"),
+      col("__cn").as("__cnj"), col("__cp").as("__cpj"))
+    val seg = lo.crossJoin(broadcast(hi)).filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        floor(lit(1000000.0) *
+          (col("__cpj") - col("__cp0")).cast("double") /
+          (col("__cnj") - col("__cn0")).cast("double")).cast("long")
+          .as("__avg_q"))
+    val wSuffixMin = Window.partitionBy(col("i")).orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRunMax = Window.partitionBy(col("j")).orderBy(col("i").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = seg
+      .withColumn("__m", min(col("__avg_q")).over(wSuffixMin))
+      .withColumn("__f", max(col("__m")).over(wRunMax))
+      .filter(col("i") === col("j"))
+      .select(col("i").as("b"), col("__f").as("fit_q"))
+    bins.join(fit, Seq("b"))
+      .select(col("b"), col("n"), col("pos"), col("fit_q"))
+  }
 }

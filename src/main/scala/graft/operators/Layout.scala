@@ -38,6 +38,19 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** 2-D Hilbert-curve key — native codegen'd
+    * ([[graft.plans.HilbertIndex]]): the locality-tighter layout key
+    * (no diagonal jumps, so every file of a range-partitioned write
+    * covers one contiguous curve segment). Same caller contract as
+    * [[zOrderKey]]: pre-bucket both columns into [0, 2^bits).
+    */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.HilbertIndex(
+        org.apache.spark.sql.GraftColumnBridge.expression(x.cast("long")),
+        org.apache.spark.sql.GraftColumnBridge.expression(y.cast("long")),
+        bits))
+
   /** Range-partition by an existing Z-order key column and sort within
     * partitions — after `.write.parquet`, each output file covers a
     * disjoint zkey range (range partitioning guarantees it), i.e. a

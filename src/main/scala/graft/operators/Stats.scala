@@ -682,6 +682,57 @@ object Stats {
           floor(lit(1000000.0) * dfW).cast("long")).as("df_q"))
   }
 
+  /** Friedman test over a complete block design ("do the event types
+    * genuinely RANK differently across days, ignoring scale"): the
+    * non-parametric repeated-measures ANOVA. Cells are densified to
+    * the (block × treatment) grid with REAL zeros, ranks within each
+    * block use the exact doubled-midrank transform (2m + t − 1, the
+    * [[spearman]] device), per-treatment rank sums R2_j accumulate as
+    * exact longs, and with R_j = R2_j/2 the statistic
+    *
+    *   Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)
+    *     = 3·Σ_j R2_j² / (n·k·(k+1)) − 3·n·(k+1)
+    *
+    * is ONE mirrored fp sequence over exact integers (no tie
+    * correction — midranks make ties well-defined; the classical
+    * correction is a calibration layer the caller can add).
+    *
+    * Plan: one hash agg to cells, a (blocks × k) densify via broadcast
+    * of the tiny treatment list, one per-block window sort over the
+    * k-bounded rows, two scalar aggs.
+    *
+    * @return one row (n_blocks, k, r2_ssq, q_q)
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    val cells = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col("__b"), col("__t")).agg(sum(col("__x")).as("__x"))
+      .localCheckpoint(eager = false)
+    val grid = cells.select("__b").distinct()
+      .crossJoin(broadcast(cells.select("__t").distinct()))
+      .join(cells, Seq("__b", "__t"), "left")
+      .na.fill(0L, Seq("__x"))
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__b"), col("__x"))
+    val sums = grid
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - lit(1L))
+      .groupBy(col("__t")).agg(sum(col("__r2")).as("__rs"))
+      .agg(count(lit(1)).as("k"), sum(col("__rs") * col("__rs")).as("r2_ssq"))
+    val n = cells.select("__b").distinct().agg(count(lit(1)).as("n_blocks"))
+    sums.crossJoin(broadcast(n))
+      .select(col("n_blocks"), col("k"), col("r2_ssq"),
+        when(col("n_blocks") >= 1 && col("k") >= 2,
+          floor(lit(1000000.0) *
+            (lit(3.0) * col("r2_ssq").cast("double") /
+              (col("n_blocks") * col("k") * (col("k") + lit(1L)))
+                .cast("double") -
+              lit(3.0) * (col("n_blocks") * (col("k") + lit(1L)))
+                .cast("double"))).cast("long")).as("q_q"))
+  }
+
   /** Cramér's V effect size over two categorical columns — the
     * normalized companion to [[chiSquare]] ("HOW strongly are source
     * and language associated", on the engine-exact [0, 1] scale).

@@ -934,4 +934,52 @@ class CurationSpec extends SparkSpec {
     val r = Curation.tCloseness(rows, Seq("grp"), "band", tQ = 0L).collect()(0)
     assert(r.getLong(3) === 0L && r.getBoolean(4))
   }
+
+  // ---- dpNoisyCounts -----------------------------------------------------
+
+  private val dpRows = Seq(
+    ("web", "en"), ("web", "en"), ("web", "en"), ("web", "de"),
+    ("book", "en"), ("book", null)).toDF("src", "lng")
+
+  test("dpNoisyCounts: exact counts survive; noise is keyed and bounded") {
+    val out = Curation.dpNoisyCounts(dpRows, Seq("src", "lng"),
+      bQ = 2000000L, salt = "s1")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(t => (t._1, t._2) -> t._3).toMap === Map(
+      ("web", Some("en")) -> 3L, ("web", Some("de")) -> 1L,
+      ("book", Some("en")) -> 1L, ("book", None) -> 1L))
+    out.foreach { case (_, _, n, noiseQ, noisyQ) =>
+      assert(noisyQ === 1000000L * n + noiseQ)
+      // P(|Laplace(2)| > 60) = e^-30 — a blown bound means a wrong CDF
+      assert(math.abs(noiseQ) < 60000000L, s"noise_q $noiseQ implausible")
+    }
+  }
+
+  test("dpNoisyCounts: deterministic per (key, salt); fresh salt, fresh noise") {
+    def run(salt: String): Map[(String, Option[String]), Long] =
+      Curation.dpNoisyCounts(dpRows, Seq("src", "lng"), 2000000L, salt)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1))) -> r.getLong(3))
+        .toMap
+    val a = run("s1"); val b = run("s1"); val c = run("s2")
+    assert(a === b, "same salt must replay identical noise")
+    assert(a !== c, "a fresh salt must redraw the noise")
+    assert(a.values.toSet.size > 1, "noise must vary across keys")
+  }
+
+  test("dpNoisyCounts: noise matches the inverse-CDF Laplace by hand") {
+    import org.apache.spark.sql.Row
+    val one = Curation.dpNoisyCounts(dpRows.filter(col("src") === "web")
+      .filter(col("lng") === "en"), Seq("src", "lng"), 2000000L, "s1")
+      .collect()(0)
+    // replay: md5 of "web:en:s1", top 15 hex chars, inverse CDF at b=2
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("web:en:s1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val m = java.lang.Long.parseLong(md, 16)
+    val u = (m.toDouble + 0.5) / math.pow(2, 60)
+    val noise = -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    assert(one.getLong(3) === math.floor(1000000.0 * noise).toLong)
+  }
 }

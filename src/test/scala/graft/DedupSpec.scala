@@ -664,4 +664,50 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((5L, 1L), (1L, 2L)))
   }
+
+  // ---- winnowOverlapPairs --------------------------------------------------
+
+  private val run1 = "alpha beta gamma delta epsilon zeta"   // 6 tokens
+  private val run2 = "one two three four five six"           // 6 tokens
+
+  test("winnowOverlapPairs: two shared >=6-token runs meet minShared=2") {
+    val d = Seq(
+      (1L, s"$run1 filler1 stuff $run2"),
+      (2L, s"other prefix $run1 middle bits $run2 tail"),
+      (3L, "entirely unrelated words nothing here matches at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+        gramSize = 3, window = 4, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 1)
+    val (a, b, n) = out.head
+    assert(a === 1L && b === 2L, "id_a < id_b ordering")
+    // winnowing guarantee: each 6-token run (window+gram-1 = 6) yields
+    // at least one shared fingerprint
+    assert(n >= 2L)
+  }
+
+  test("winnowOverlapPairs: a single short overlap fails minShared=2") {
+    val d = Seq(
+      (1L, s"$run1 unique trailing content here"),
+      (2L, s"different head words $run1"))
+      .toDF("doc_id", "text")
+    val strict = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      gramSize = 3, window = 4, minShared = 6L).collect()
+    val loose = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      gramSize = 3, window = 4, minShared = 1L).collect()
+    assert(strict.isEmpty, "one shared run cannot reach minShared=6")
+    assert(loose.nonEmpty)
+  }
+
+  test("winnowOverlapPairs: the fp-df cap drops boilerplate fingerprints") {
+    // the same run in 5 docs: each fp has df 5 > cap 3 -> no pairs
+    val d = (1L to 5L).map(i => (i, s"$run1 tail$i")).toDF("doc_id", "text")
+    val capped = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      gramSize = 3, window = 4, minShared = 1L, maxFpDf = 3L).collect()
+    assert(capped.isEmpty)
+    val uncapped = Dedup.winnowOverlapPairs(d, "doc_id", "text",
+      gramSize = 3, window = 4, minShared = 1L, maxFpDf = 200L).collect()
+    assert(uncapped.length === 10, "5 docs sharing a run -> C(5,2) pairs")
+  }
 }

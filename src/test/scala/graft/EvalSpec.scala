@@ -396,4 +396,71 @@ class EvalSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
       === List((0L, 3L, 2L), (1L, 2L, 1L)))
   }
+
+  // ---- isotonicFit --------------------------------------------------------
+
+  private def iso(rows: Seq[(Long, Boolean)]): Seq[(Long, Long)] = {
+    val df = rows.toDF("bin", "y")
+    Eval.isotonicFit(df, "bin", col("y")).orderBy("b")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+  }
+
+  /** Reference PAVA (pool adjacent violators), EXACT rational pooling
+    * comparisons (p1/n1 > p2/n2 via cross-multiplication), quantized
+    * only at output — floor commutes through the operator's max/min,
+    * so the minimax form must equal ⌊10⁶·(exact PAVA fit)⌋.
+    */
+  private def pavaRef(bins: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+    val blocks = collection.mutable.ArrayBuffer[(Long, Long, List[Long])]()
+    bins.foreach { case (b, n, p) =>
+      blocks += ((n, p, List(b)))
+      while (blocks.length >= 2 && {
+        val (n1, p1, _) = blocks(blocks.length - 2)
+        val (n2, p2, _) = blocks.last
+        p1 * n2 > p2 * n1
+      }) {
+        val (n2, p2, b2) = blocks.remove(blocks.length - 1)
+        val (n1, p1, b1) = blocks.remove(blocks.length - 1)
+        blocks += ((n1 + n2, p1 + p2, b1 ++ b2))
+      }
+    }
+    blocks.flatMap { case (n, p, bs) =>
+      // same fp sequence as the operator: (1e6 * p) / n, never 1e6 * (p/n)
+      bs.map(_ -> math.floor(1000000.0 * p.toDouble / n.toDouble).toLong)
+    }.toSeq
+  }
+
+  test("isotonicFit: already-monotone bins are returned unchanged") {
+    val rows = Seq.fill(4)((0L, false)) ++ Seq((0L, true)) ++ // 1/5
+      Seq((1L, true), (1L, false)) ++                          // 1/2
+      Seq.fill(3)((2L, true))                                  // 3/3
+    assert(iso(rows) === Seq((0L, 200000L), (1L, 500000L), (2L, 1000000L)))
+  }
+
+  test("isotonicFit: a violating pair pools to the joint rate") {
+    // bin0 rate 1.0 over 2, bin1 rate 0.0 over 2 -> both pool to 0.5
+    val rows = Seq((0L, true), (0L, true), (1L, false), (1L, false))
+    assert(iso(rows) === Seq((0L, 500000L), (1L, 500000L)))
+  }
+
+  test("isotonicFit: minimax equals stack PAVA on an adversarial profile") {
+    // rates: .8, .2, .6, .6, .1, .9 with uneven bin sizes
+    val spec = Seq((0L, 5L, 4L), (1L, 5L, 1L), (2L, 10L, 6L),
+      (3L, 5L, 3L), (4L, 10L, 1L), (5L, 4L, 4L))
+    val rows = spec.flatMap { case (b, n, p) =>
+      Seq.fill(p.toInt)((b, true)) ++ Seq.fill((n - p).toInt)((b, false))
+    }
+    val got = iso(rows)
+    assert(got === pavaRef(spec))
+    got.zip(got.tail).foreach { case ((_, f1), (_, f2)) =>
+      assert(f1 <= f2, "fit must be nondecreasing")
+    }
+  }
+
+  test("isotonicFit: null bins are ignored") {
+    val df = Seq((Some(0L), true), (None, true), (Some(1L), false))
+      .toDF("bin", "y")
+    val out = Eval.isotonicFit(df, "bin", col("y")).collect()
+    assert(out.length === 2)
+  }
 }

@@ -125,4 +125,47 @@ class LayoutAndResampleSpec extends SparkSpec {
       assert(hi <= lo2, "partition zkey ranges must be disjoint")
     }
   }
+
+  // ------------------------------------------------------------ hilbertKey
+
+  test("hilbertKey: bits=1 visits the base quadrant order 00,01,11,10") {
+    val out = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), 1).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("hilbertKey: bits=3 is a bijection onto 0..63 with unit-step adjacency") {
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val d2xy = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), 3).as("h"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .toMap
+    assert(d2xy.keySet === (0L until 64L).toSet, "must be a bijection")
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve steps d=$d -> ${d + 1} must be grid-adjacent")
+    }
+  }
+
+  test("hilbertKey: codegen column matches the interpreted static walk") {
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val rows = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), 4).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) ===
+        graft.plans.HilbertIndex.index(r.getLong(0), r.getLong(1), 4))
+    }
+  }
+
+  test("hilbertKey: values beyond the bit budget truncate to low bits") {
+    val h = Seq((256L + 3L, 512L + 5L)).toDF("x", "y")
+      .select(Layout.hilbertKey(col("x"), col("y"), 8).as("h"))
+      .collect().head.getLong(0)
+    assert(h === graft.plans.HilbertIndex.index(3L, 5L, 8))
+  }
 }

@@ -309,4 +309,52 @@ class StatsSpec extends SparkSpec {
     val i = Stats.cramersV(indep, "r", "c").collect()(0)
     assert(i.getLong(3) === 0L && i.getLong(4) === 0L)
   }
+
+  // ---- friedman ----------------------------------------------------------
+
+  test("friedman: textbook no-tie case, Q = 4 exactly") {
+    // two blocks, identical 1<2<3 ordering: R2 = (4,8,12), ssq = 224,
+    // Q = 3*224/(2*3*4) - 3*2*4 = 28 - 24 = 4
+    val df = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 1L), ("b2", "t2", 2L), ("b2", "t3", 3L))
+      .toDF("blk", "trt", "v")
+    val r = Stats.friedman(df, "blk", "trt", "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 3L, 224L, 4000000L)))
+  }
+
+  test("friedman: all-tied blocks give Q = 0 via midranks") {
+    // every treatment equal in every block: midrank (k+1)/2 = 2 each,
+    // R2 = 2*rank + ties - 1 = 2*1 + 3 - 1 = 4 per cell, R2_j = 8 each;
+    // ssq = 3*64 = 192, Q = 3*192/(2*3*4) - 24 = 24 - 24 = 0
+    val df = Seq(
+      ("b1", "t1", 7L), ("b1", "t2", 7L), ("b1", "t3", 7L),
+      ("b2", "t1", 9L), ("b2", "t2", 9L), ("b2", "t3", 9L))
+      .toDF("blk", "trt", "v")
+    val r = Stats.friedman(df, "blk", "trt", "v").collect()(0)
+    assert(r.getLong(2) === 192L && r.getLong(3) === 0L)
+  }
+
+  test("friedman: absent cells densify to REAL zeros before ranking") {
+    // t3 missing from b2: its cell must rank as 0 (lowest), not drop
+    val df = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 1L), ("b2", "t2", 2L))
+      .toDF("blk", "trt", "v")
+    val r = Stats.friedman(df, "blk", "trt", "v").collect()(0)
+    // b1 ranks t1<t2<t3 -> R2 (2,4,6); b2 cells (1,2,0) -> t3 lowest:
+    // ranks t3=1, t1=2, t2=3 -> R2 (4,6,2); sums (6,10,8), ssq = 200
+    assert(r.getLong(0) === 2L && r.getLong(2) === 200L)
+  }
+
+  test("friedman: duplicate (block, treatment) rows sum before ranking") {
+    val df = Seq(
+      ("b1", "t1", 1L), ("b1", "t1", 4L), ("b1", "t2", 2L))
+      .toDF("blk", "trt", "v")
+    val r = Stats.friedman(df, "blk", "trt", "v").collect()(0)
+    // cell t1 = 5 > t2 = 2: ranks t2=1, t1=2 -> doubled midranks
+    // t2: 2*1+1-1 = 2; t1: 2*2+1-1 = 4 -> ssq = 4 + 16 = 20
+    assert(r.getLong(1) === 2L && r.getLong(2) === 20L)
+  }
 }
