@@ -9786,6 +9786,156 @@ object Queries {
       FROM bins JOIN ff ON ff.i = bins.b AND ff.j = bins.b
       ORDER BY bins.b"""))
 
+  /** (q253) Kruskal–Wallis H of doc length across sources
+    * (Stats.kruskalWallis scaladoc): value-grid doubled midranks, per
+    * group term quantized to 10⁻⁹ longs before the order-free sum.
+    */
+  val q253KruskalWallis = Q(
+    "q253_a_kruskal_wallis",
+    (s, dir) =>
+      operators.Stats.kruskalWallis(t(s, dir, "documents"),
+        "source", "n_chars"),
+    Some("""
+      WITH gv AS (SELECT source AS g, n_chars AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      v0 AS (SELECT v, CAST(sum(c) AS BIGINT) AS nv FROM gv GROUP BY v),
+      vals AS (SELECT v, nv,
+                 CAST(coalesce(sum(nv) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum
+               FROM v0),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM gv),
+      pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(c AS HUGEINT)
+                 * (2 * CAST(cum AS HUGEINT) + nv + 1)) AS BIGINT) AS r2
+             FROM gv JOIN vals USING (v) GROUP BY g),
+      tj AS (SELECT pg.n, tot.t,
+               CAST(floor(1000000000.0
+                 * (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE))
+                 / (4.0 * CAST(n AS DOUBLE) * CAST(t AS DOUBLE)
+                    * CAST(t + 1 AS DOUBLE))) AS BIGINT) AS tj
+             FROM pg CROSS JOIN tot),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(max(t) AS BIGINT) AS n_total,
+               CAST(sum(tj) AS BIGINT) AS t_sum
+             FROM tj)
+      SELECT k, n_total, t_sum,
+        12 * t_sum - 3000000000 * (n_total + 1) AS h_q9
+      FROM ag"""))
+
+  /** (q254) Two-sample Kolmogorov–Smirnov distance of doc length,
+    * en vs rest (Stats.ksTwoSample scaladoc): exact integer D on the
+    * n_a·n_b common denominator, one final double division.
+    */
+  val q254KsTwoSample = Q(
+    "q254_a_ks_two_sample",
+    (s, dir) =>
+      operators.Stats.ksTwoSample(t(s, dir, "documents"),
+        "n_chars", col("lang") === "en"),
+    Some("""
+      WITH c AS (SELECT n_chars AS v,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                 AS BIGINT) AS cb
+             FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      cum AS (SELECT v,
+                sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cda,
+                sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cdb
+              FROM c),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+      d AS (SELECT CAST(max(abs(cda * n_b - cdb * n_a)) AS BIGINT)
+              AS d_num
+            FROM cum CROSS JOIN tot)
+      SELECT n_a, n_b, d_num,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          CAST(floor(1000000.0 * CAST(d_num AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
+        END AS d_q
+      FROM d CROSS JOIN tot"""))
+
+  /** (q255) Cochran's Q over users × event-type presence
+    * (Stats.cochranQ scaladoc): exact-long numerator/denominator via
+    * the k·C_j − N device, one mirrored division.
+    */
+  val q255CochranQ = Q(
+    "q255_a_cochran_q",
+    (s, dir) =>
+      operators.Stats.cochranQ(ev(s, dir), "user_id", "event_type"),
+    Some("""
+      WITH pres AS (SELECT DISTINCT user_id AS b, event_type AS t
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM pres),
+      r AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM pres GROUP BY b),
+      rr AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(r) AS BIGINT) AS sr,
+               CAST(sum(r * r) AS BIGINT) AS sr2 FROM r),
+      cj AS (SELECT t, CAST(count(*) AS BIGINT) AS cj FROM pres GROUP BY t),
+      ss AS (SELECT CAST(sum((kk.k * cj.cj - rr.sr)
+               * (kk.k * cj.cj - rr.sr)) AS BIGINT) AS ssd
+             FROM cj CROSS JOIN kk CROSS JOIN rr)
+      SELECT rr.n_blocks, kk.k,
+        (kk.k - 1) * ss.ssd AS num,
+        kk.k * (kk.k * rr.sr - rr.sr2) AS den,
+        CASE WHEN kk.k >= 2 AND (kk.k * rr.sr - rr.sr2) > 0 THEN
+          CAST(floor(1000000.0 * CAST((kk.k - 1) * ss.ssd AS DOUBLE)
+            / CAST(kk.k * (kk.k * rr.sr - rr.sr2) AS DOUBLE)) AS BIGINT)
+        END AS q_q
+      FROM rr CROSS JOIN kk CROSS JOIN ss"""))
+
+  /** (q256) TextRank keyword centrality (Segments.textRank scaladoc):
+    * integer PageRank over the ±2-window co-occurrence graph with
+    * edge support >= 5; the oracle replays the pair build and the
+    * three Pregel rounds with the q195 `//` arithmetic.
+    */
+  val q256TextRank = Q(
+    "q256_tx_textrank",
+    (s, dir) =>
+      operators.Segments.textRank(t(s, dir, "documents"), "doc_id",
+        "text", window = 2, minCount = 5L, rounds = 3)
+        .orderBy("term"),
+    Some {
+      val iter = (p: String, o: String) => s"""
+      $o AS (SELECT p.u, p.deg, p.n,
+               (3000000000000 // (20 * p.n)) + c.inc AS r
+             FROM $p p JOIN (
+               SELECT s.v AS u,
+                 CAST(sum((17 * p.r) // (20 * p.deg)) AS BIGINT) AS inc
+               FROM sym s JOIN $p p ON p.u = s.u GROUP BY s.v) c
+               ON c.u = p.u)"""
+      s"""
+      WITH toks AS (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+            t -> len(t) > 0) AS ts
+        FROM documents),
+      p AS (SELECT least(ts[t1.i], ts[t2.j]) AS a,
+                   greatest(ts[t1.i], ts[t2.j]) AS b
+            FROM toks,
+              LATERAL unnest(range(1, len(ts))) t1(i),
+              LATERAL unnest(range(t1.i + 1,
+                least(t1.i + 2, len(ts)) + 1)) t2(j)),
+      ed AS (SELECT a, b FROM (SELECT a, b, count(*) AS c FROM p
+               GROUP BY a, b) WHERE c >= 5 AND a <> b),
+      sym AS (SELECT a AS u, b AS v FROM ed
+              UNION ALL SELECT b AS u, a AS v FROM ed),
+      dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
+      r0 AS (SELECT u, deg, n, 1000000000000 // n AS r
+             FROM dg CROSS JOIN nn),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")},
+      ${iter("r2", "r3")}
+      SELECT u AS term, deg AS degree, CAST(r AS BIGINT) AS rank_q
+      FROM r3 ORDER BY term"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -9857,5 +10007,6 @@ object Queries {
     q241AdamicAdar, q242WelchT, q243CramersV, q244McNemar,
     q245LiftTable, q246Rake, q247SeasonalDecompose,
     q248Hilbert, q249Friedman, q250DpLaplace, q251WinnowOverlap,
-    q252IsotonicFit)
+    q252IsotonicFit, q253KruskalWallis, q254KsTwoSample, q255CochranQ,
+    q256TextRank)
 }

@@ -1074,12 +1074,19 @@ object Curation {
     * (vocabulary- and pair-bounded, not corpus-bounded). `minCount`
     * prunes the pair tail before the PMI join.
     */
-  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
-               window: Int, minCount: Long = 1L): DataFrame = {
+  /** Canonical (a ≤ b) token co-occurrence pairs within a ±`window`
+    * token span — the shared association-edge builder for [[pmiPairs]]
+    * and [[Segments.textRank]]. One explode per doc; the pair structs
+    * are built inline from the token array, so TEXT never shuffles —
+    * only the (a, b) string pairs do.
+    */
+  def cooccurrencePairs(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int): DataFrame = {
     require(window >= 1, s"window ($window) must be >= 1")
-    val toks = docs.select(col(idCol),
-      filter(TextFns.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
-    val pairs = toks
+    docs
+      .select(col(idCol),
+        filter(TextFns.tokens(col(textCol)), t => length(t) > 0)
+          .as("__toks"))
       .select(explode(when(size(col("__toks")) >= 2,
         flatten(transform(sequence(lit(1), size(col("__toks")) - 1), i =>
           transform(sequence(i + 1, least(i + lit(window), size(col("__toks")))),
@@ -1091,6 +1098,12 @@ object Curation {
         .otherwise(array().cast("array<struct<a:string,b:string>>")))
         .as("__p"))
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
+  }
+
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               window: Int, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window ($window) must be >= 1")
+    val pairs = cooccurrencePairs(docs, idCol, textCol, window)
     val uni = docs
       .select(explode(filter(TextFns.tokens(col(textCol)),
         t => length(t) > 0)).as("t"))

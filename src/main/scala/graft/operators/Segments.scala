@@ -342,4 +342,36 @@ object Segments {
       .select(col("__g").as(groupCol), col("phrase"), col("n_occurrences"),
         col("score_q"))
   }
+
+  /** TextRank keyword scores (Mihalcea & Tarau 2004, the unweighted
+    * §2.2 variant): PageRank over the token co-occurrence graph —
+    * vertices are terms, an edge joins two terms seen within ±`window`
+    * positions at least `minCount` times (df-style support threshold:
+    * rare accidental adjacencies never become edges, so the graph is
+    * vocabulary-bounded however large the corpus). Self-loops (a token
+    * repeated inside the window) are dropped. Scores are
+    * [[Graph.pageRank]]'s exact 10¹²-grid integer ranks — deterministic
+    * on any engine and partitioning.
+    *
+    * The corpus-level complement to [[rakeKeywords]]' per-doc phrase
+    * extraction: RAKE scores PHRASES by their own co-occurrence
+    * degree; TextRank scores TERMS by global graph centrality.
+    *
+    * Plan: [[Curation.cooccurrencePairs]] (one explode, text never
+    * shuffles) → hash agg to edge support → bounded-round integer
+    * PageRank (each round one join + one agg on the vocabulary-sized
+    * edge frame).
+    *
+    * @return (term, degree, rank_q)
+    */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               window: Int, minCount: Long, rounds: Int): DataFrame = {
+    require(minCount >= 1, s"minCount ($minCount) must be >= 1")
+    val edges = Curation.cooccurrencePairs(docs, idCol, textCol, window)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount && col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+    Graph.pageRank(edges, rounds)
+      .select(col("id").as("term"), col("degree"), col("rank_q"))
+  }
 }

@@ -733,6 +733,145 @@ object Stats {
                 .cast("double"))).cast("long")).as("q_q"))
   }
 
+  /** Kruskal–Wallis H over k groups ("do the groups genuinely shift
+    * the DISTRIBUTION of x, ignoring shape") — the k-sample extension
+    * of [[mannWhitney]], built on the same value-grid device: doubled
+    * rank sums R2_j = Σ_v c_jv·(2·cum_v + n_v + 1) from one hash agg
+    * plus a window over the DISTINCT-value grid (bounded by value
+    * cardinality, never a global row sort). With R_j = R2_j/2,
+    *
+    *   H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1).
+    *
+    * The per-group term is quantized ⌊10⁹·R_j²/(n_j·N·(N+1))⌋ as an
+    * exact long BEFORE the cross-group sum, so the fold is a LONG sum
+    * — partition-order-free — and `h_q9 = 12·Σt_j − 3·10⁹·(N+1)` is
+    * pure integer arithmetic after it (the 10⁻⁹-grid H; deviation
+    * from the real-valued H is < 12k·10⁻⁹). No tie correction —
+    * midranks make ties well-defined (the [[friedman]] convention).
+    * R2 stays exact in double to ~10⁸ rows per group (R2 ≤ 3N·n_j
+    * < 2⁵³).
+    *
+    * @return one row (k, n_total, t_sum, h_q9)
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
+      .withColumn("__cum",
+        coalesce(sum(col("__nv")).over(
+          Window.orderBy(col("__v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val grand = gv.agg(sum(col("__c")).as("__t"))
+    val perGroup = gv.join(broadcast(vals), Seq("__v"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(dec(col("__c")) *
+          (lit(2) * dec(col("__cum")) + dec(col("__nv")) + lit(1)))
+          .cast("long").as("__r2"),
+        first(col("__t")).as("__t"))
+    val tj = floor(lit(1000000000.0) *
+      (col("__r2").cast("double") * col("__r2").cast("double")) /
+      (lit(4.0) * col("n").cast("double") * col("__t").cast("double") *
+        (col("__t") + lit(1L)).cast("double"))).cast("long")
+    perGroup
+      .select(col("n"), col("__t"), tj.as("__tj"))
+      .agg(count(lit(1)).as("k"), first(col("__t")).as("n_total"),
+        sum(col("__tj")).as("t_sum"))
+      .select(col("k"), col("n_total"), col("t_sum"),
+        (lit(12L) * col("t_sum") -
+          lit(3000000000L) * (col("n_total") + lit(1L))).as("h_q9"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance ("are the two samples
+    * drawn from the SAME distribution" — the shape-sensitive
+    * companion to [[mannWhitney]]'s location test): D is the max
+    * ECDF gap, computed EXACTLY as integers on the common denominator
+    * n_a·n_b — D_num(v) = |CA(v)·n_b − CB(v)·n_a| over the merged
+    * distinct-value grid, one double division at the very end.
+    *
+    * Plan: one hash agg to the value grid (label split inline), one
+    * window pass over the DISTINCT values (bounded by value
+    * cardinality — lengths/scores, never raw row count), one scalar
+    * max. Null labels count toward the B side (CASE semantics,
+    * mirrored by any SQL engine).
+    *
+    * @return one row (n_a, n_b, d_num, d_q)
+    */
+  def ksTwoSample(df: DataFrame, xCol: String, label: Column): DataFrame = {
+    val cells = df.select(col(xCol).cast("long").as("__v"),
+        when(label, 1L).otherwise(0L).as("__a"))
+      .na.drop(Seq("__v"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"),
+        (count(lit(1)) - sum(col("__a"))).as("__cb"))
+      .localCheckpoint(eager = false)
+    val tot = cells.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__CA", sum(col("__ca")).over(w))
+      .withColumn("__CB", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("__CA") * col("n_b") - col("__CB") * col("n_a")).as("__d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("__d")).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(lit(1000000.0) * col("d_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .cast("long")).as("d_q"))
+  }
+
+  /** Cochran's Q over blocks × k binary treatments ("do the k
+    * event types differ in per-user PRESENCE rate" — the binary
+    * repeated-measures sibling of [[friedman]]): with column totals
+    * C_j, row totals R_i, and N = ΣR_i,
+    *
+    *   Q = (k−1)·Σ_j (k·C_j − N)² / (k·(k·ΣR_i − ΣR_i²))
+    *
+    * (the k·C_j − N form clears the N/k rational, so numerator and
+    * denominator are EXACT longs and the statistic is one mirrored
+    * double division). Absent cells are structural zeros — presence
+    * is DISTINCT (block, treatment), so densification is implicit in
+    * the margins.
+    *
+    * Plan: one distinct, two hash aggs (rows, columns), broadcast
+    * scalar combine.
+    *
+    * @return one row (n_blocks, k, num, den, q_q)
+    */
+  def cochranQ(df: DataFrame, blockCol: String,
+               treatCol: String): DataFrame = {
+    val pres = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .na.drop().distinct().localCheckpoint(eager = false)
+    val kT = pres.select(col("__t")).distinct().agg(count(lit(1)).as("k"))
+    val rows = pres.groupBy(col("__b")).agg(count(lit(1)).as("__r"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__r")).as("__sr"),
+        sum(col("__r") * col("__r")).as("__sr2"))
+    val colsT = pres.groupBy(col("__t")).agg(count(lit(1)).as("__cj"))
+    colsT.crossJoin(broadcast(kT)).crossJoin(broadcast(rows))
+      .select((col("k") * col("__cj") - col("__sr")).as("__d"), col("k"),
+        col("n_blocks"), col("__sr"), col("__sr2"))
+      .groupBy(col("k"), col("n_blocks"), col("__sr"), col("__sr2"))
+      .agg(sum(col("__d") * col("__d")).as("__ssd"))
+      .select(col("n_blocks"), col("k"),
+        ((col("k") - lit(1L)) * col("__ssd")).as("num"),
+        (col("k") * (col("k") * col("__sr") - col("__sr2"))).as("den"),
+        when(col("k") >= 2 &&
+            (col("k") * col("__sr") - col("__sr2")) > 0,
+          floor(lit(1000000.0) *
+            ((col("k") - lit(1L)) * col("__ssd")).cast("double") /
+            (col("k") * (col("k") * col("__sr") - col("__sr2")))
+              .cast("double")).cast("long")).as("q_q"))
+  }
+
   /** Cramér's V effect size over two categorical columns — the
     * normalized companion to [[chiSquare]] ("HOW strongly are source
     * and language associated", on the engine-exact [0, 1] scale).

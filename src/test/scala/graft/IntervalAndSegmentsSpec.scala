@@ -232,4 +232,43 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     // phrase score 4e6, 2 occurrences; "x": wq 1e6, score 1e6
     assert(out.toSet === Set(("red fox", 2L, 4000000L), ("x", 1L, 1000000L)))
   }
+
+  // ---- textRank ------------------------------------------------------------
+
+  test("textRank: hub term outranks leaves on a star co-occurrence graph") {
+    // "hub" is adjacent to every leaf; leaves only touch the hub
+    val docs = Seq(
+      (1L, "hub alpha hub beta hub gamma hub delta"),
+      (2L, "hub alpha hub beta hub gamma hub delta"))
+      .toDF("doc_id", "text")
+    val out = Segments.textRank(docs, "doc_id", "text",
+        window = 1, minCount = 2L, rounds = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out.keySet === Set("hub", "alpha", "beta", "gamma", "delta"))
+    assert(out("hub")._1 === 4L, "hub degree = 4 distinct neighbors")
+    val leafRanks = (out - "hub").values.map(_._2).toSet
+    assert(leafRanks.size === 1, "symmetric leaves must tie exactly")
+    assert(out("hub")._2 > leafRanks.head, "hub must outrank leaves")
+  }
+
+  test("textRank: minCount support threshold prunes rare edges") {
+    val docs = Seq(
+      (1L, "a b a b a b"),      // (a,b) seen 5 times in window 1
+      (2L, "c d"))              // (c,d) seen once
+      .toDF("doc_id", "text")
+    val out = Segments.textRank(docs, "doc_id", "text",
+      window = 1, minCount = 2L, rounds = 2).collect()
+    assert(out.map(_.getString(0)).toSet === Set("a", "b"),
+      "the once-seen (c,d) edge must not enter the graph")
+  }
+
+  test("textRank: self-loops from repeated tokens are dropped") {
+    val docs = Seq((1L, "x x x x x y")).toDF("doc_id", "text")
+    val out = Segments.textRank(docs, "doc_id", "text",
+      window = 1, minCount = 1L, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("x" -> 1L, "y" -> 1L),
+      "only the (x,y) edge survives; (x,x) is a self-loop")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Stats
 
 class StatsSpec extends SparkSpec {
@@ -356,5 +358,99 @@ class StatsSpec extends SparkSpec {
     // cell t1 = 5 > t2 = 2: ranks t2=1, t1=2 -> doubled midranks
     // t2: 2*1+1-1 = 2; t1: 2*2+1-1 = 4 -> ssq = 4 + 16 = 20
     assert(r.getLong(1) === 2L && r.getLong(2) === 20L)
+  }
+
+  // ---- kruskalWallis -------------------------------------------------------
+
+  test("kruskalWallis: textbook no-tie case") {
+    // groups {1,2} vs {3,4}: global ranks 1..4, R_a = 3, R_b = 7;
+    // H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 0.6*29 - 15 = 2.4
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "g", "x").collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    // t_a = floor(1e9 * 9/(2*4*5)) = floor(1e9*0.225) = 225000000
+    // t_b = floor(1e9 * 49/(2*4*5)) = 1225000000; h_q9 = 12*sum - 15e9
+    assert(r.getLong(2) === 1450000000L)
+    assert(r.getLong(3) === 2400000000L) // 2.4 on the 1e-9 grid
+  }
+
+  test("kruskalWallis: identical groups give H ~ 0 via midranks") {
+    val df = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L))
+      .toDF("g", "x")
+    val r = Stats.kruskalWallis(df, "g", "x").collect()(0)
+    // both groups: midranks {1.5, 3.5}, R = 5 each; H = 0 exactly:
+    // t_j = floor(1e9 * 25/(2*4*5)) = 625000000; 12*1.25e9 - 15e9 = 0
+    assert(r.getLong(3) === 0L)
+  }
+
+  test("kruskalWallis: agrees with mannWhitney's rank sums for k=2") {
+    val df = Seq(("a", 1L), ("a", 5L), ("a", 5L), ("b", 5L), ("b", 9L),
+      ("b", 2L), ("b", 9L)).toDF("g", "x")
+    val kw = Stats.kruskalWallis(df, "g", "x").collect()(0)
+    val u = Stats.mannWhitney(df, "g", "x").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // U_a + U_b = 2*n_a*n_b (doubled U surface)
+    assert(u("a") + u("b") === 2L * 3L * 4L)
+    assert(kw.getLong(0) === 2L && kw.getLong(1) === 7L)
+  }
+
+  // ---- ksTwoSample ---------------------------------------------------------
+
+  test("ksTwoSample: disjoint supports reach D = 1") {
+    val df = Seq((1L, true), (2L, true), (10L, false), (11L, false))
+      .toDF("x", "y")
+    val r = Stats.ksTwoSample(df, "x", col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getLong(2) === 4L)        // max|CA*nb - CB*na| = 2*2
+    assert(r.getLong(3) === 1000000L)  // D = 1
+  }
+
+  test("ksTwoSample: identical samples give D = 0") {
+    val df = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("x", "y")
+    val r = Stats.ksTwoSample(df, "x", col("y")).collect()(0)
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+  }
+
+  test("ksTwoSample: hand-computed mid-distribution gap") {
+    // A = {1,2,3}, B = {2,3,4}: D = 1/3 at v=1 (CA=1,CB=0)
+    val df = Seq((1L, true), (2L, true), (3L, true),
+      (2L, false), (3L, false), (4L, false)).toDF("x", "y")
+    val r = Stats.ksTwoSample(df, "x", col("y")).collect()(0)
+    assert(r.getLong(2) === 3L)        // |1*3 - 0*3| = 3
+    assert(r.getLong(3) === 333333L)
+  }
+
+  // ---- cochranQ ------------------------------------------------------------
+
+  test("cochranQ: uniform presence gives Q = 0") {
+    // every block has every treatment: C_j = n, kC_j - N = 0
+    val df = (for (b <- 1 to 4; t <- Seq("x", "y", "z")) yield (b.toLong, t))
+      .toDF("blk", "trt")
+    val r = Stats.cochranQ(df, "blk", "trt").collect()(0)
+    // den = k(k*sr - sr2) = 3*(3*12 - 4*9) = 0 -> q_q null (degenerate)
+    assert(r.getLong(2) === 0L)
+    assert(r.isNullAt(4))
+  }
+
+  test("cochranQ: hand-computed 3x3 design") {
+    // blocks: b1 {x,y}, b2 {x}, b3 {x,y,z}; C = (3,2,1), N = 6
+    // R = (2,1,3); sr=6, sr2=14; den = 3*(18-14) = 12
+    // kC-N: (3,0,-3) -> ssd = 18; num = 2*18 = 36; Q = 3.0
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"),
+      (3L, "x"), (3L, "y"), (3L, "z")).toDF("blk", "trt")
+    val r = Stats.cochranQ(df, "blk", "trt").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 36L, 12L)))
+    assert(r.getLong(4) === 3000000L)
+  }
+
+  test("cochranQ: duplicate events collapse to presence") {
+    val once = Seq((1L, "x"), (2L, "y")).toDF("blk", "trt")
+    val dup = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"))
+      .toDF("blk", "trt")
+    assert(Stats.cochranQ(once, "blk", "trt").collect().toSeq.toString ===
+      Stats.cochranQ(dup, "blk", "trt").collect().toSeq.toString)
   }
 }
