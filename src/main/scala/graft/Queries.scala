@@ -9936,6 +9936,99 @@ object Queries {
       FROM r3 ORDER BY term"""
     })
 
+  /** (q257) Duplicate-cluster-aware split (Curation.clusterSplit
+    * scaladoc): exact-dup star pairs (min-id per content hash) feed
+    * the component labeler; every cluster lands in ONE split. The
+    * oracle closes the same star graph with plain SQL (components of
+    * the equality relation ARE the hash groups).
+    */
+  val q257ClusterSplit = Q(
+    "q257_s_cluster_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("__h"))
+      val reps = h.groupBy(col("__h")).agg(min(col("doc_id")).as("id_a"))
+      val pairs = h.join(reps, Seq("__h"))
+        .filter(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      operators.Curation.clusterSplit(docs, "doc_id", pairs,
+        trainPct = 80, valPct = 10, salt = "r8")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (SELECT doc_id, md5(text) AS h FROM documents
+             WHERE text IS NOT NULL),
+      m AS (SELECT h, min(doc_id) AS rep FROM h GROUP BY h),
+      c AS (SELECT d.doc_id, coalesce(m.rep, d.doc_id) AS cluster_id
+            FROM documents d
+            LEFT JOIN h ON h.doc_id = d.doc_id
+            LEFT JOIN m ON m.h = h.h),
+      s AS (SELECT doc_id, cluster_id,
+              ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':r8'),
+                1, 15))::BIGINT % 100 AS bkt
+            FROM c)
+      SELECT doc_id, cluster_id,
+        CASE WHEN bkt < 80 THEN 'train'
+             WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+      FROM s ORDER BY doc_id"""))
+
+  /** (q258) Temperature-smoothed mixture weights at α = 1/2
+    * (Packing.temperatureMix scaladoc): per-source char budgets,
+    * IEEE-exact sqrt quantized per source before the order-free
+    * normalizing sum.
+    */
+  val q258TemperatureMix = Q(
+    "q258_s_temperature_mix",
+    (s, dir) =>
+      operators.Packing.temperatureMix(t(s, dir, "documents"),
+        "source", "n_chars")
+        .orderBy("source"),
+    Some("""
+      WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_size,
+               CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      s AS (SELECT source, t_size, n_docs,
+              CAST(floor(1000000.0 * sqrt(CAST(t_size AS DOUBLE)))
+                AS BIGINT) AS s_q
+            FROM g),
+      t AS (SELECT CAST(sum(s_q) AS BIGINT) AS ss,
+              CAST(sum(t_size) AS BIGINT) AS tt FROM s)
+      SELECT source, t_size, n_docs, s_q,
+        (1000000 * s_q) // ss AS w_q,
+        (1000000 * t_size) // tt AS nat_q
+      FROM s CROSS JOIN t ORDER BY source"""))
+
+  /** (q259) Chao1 vocabulary richness per source (Segments.chao1
+    * scaladoc): bias-corrected f1²/(2(f2+1)) unseen-type estimate in
+    * pure integer arithmetic over the count-of-counts grid.
+    */
+  val q259Chao1 = Q(
+    "q259_tx_chao1",
+    (s, dir) =>
+      operators.Segments.chao1(t(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+    Some("""
+      WITH tk AS (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                 '\s+'), x -> len(x) > 0)) AS tok
+             FROM documents),
+      tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      coc AS (SELECT source, c, CAST(count(*) AS BIGINT) AS nr
+              FROM tc GROUP BY 1, 2),
+      ag AS (SELECT source,
+               CAST(sum(nr) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN nr ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(sum(CASE WHEN c = 2 THEN nr ELSE 0 END) AS BIGINT)
+                 AS n_dis
+             FROM coc GROUP BY 1)
+      SELECT source, n_types, n_hapax, n_dis,
+        1000000 * n_types + (1000000 * n_hapax * (n_hapax - 1))
+          // (2 * (n_dis + 1)) AS chao1_q
+      FROM ag ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10008,5 +10101,5 @@ object Queries {
     q245LiftTable, q246Rake, q247SeasonalDecompose,
     q248Hilbert, q249Friedman, q250DpLaplace, q251WinnowOverlap,
     q252IsotonicFit, q253KruskalWallis, q254KsTwoSample, q255CochranQ,
-    q256TextRank)
+    q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1)
 }

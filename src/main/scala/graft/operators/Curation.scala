@@ -985,6 +985,42 @@ object Curation {
       .drop("__n", "__dsum")
   }
 
+  /** Duplicate-cluster-aware train/val/test split — the leakage-safe
+    * upgrade of [[stratifiedSplit]]: that operator guarantees EXACT
+    * duplicates share a split (content-hash key), but two NEAR-dup
+    * docs can still land on opposite sides and leak evaluation
+    * answers into training. Here the split key is the doc's duplicate
+    * CLUSTER (connected components over a caller-supplied near-dup
+    * pair frame — [[Dedup.dupClusters]], so LSH/Jaccard/edit-distance
+    * pairs all work), and every member of a cluster lands in ONE
+    * split. Docs in no pair are their own singleton cluster. The
+    * bucket is md5₆₀(cluster:salt) % 100 — deterministic across runs,
+    * engines, and partitionings, and STABLE under corpus growth as
+    * long as cluster representatives (min ids) are stable.
+    *
+    * Plan: components (bounded label-propagation rounds or in-core
+    * union-find — dupClusters' contract), one left join back to ids,
+    * scan-stage hash. Returns (id, cluster_id, split); the caller
+    * joins payload back by id, so no text ever shuffles here.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   trainPct: Int = 80, valPct: Int = 10,
+                   salt: String = ""): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val comp = Dedup.dupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val bucket = Dedup.md5Hash60(concat(
+      col("cluster_id").cast("string"), lit(":" + salt))) % 100
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Seeded Laplace-mechanism noisy counts — the ε-differential-privacy
     * release primitive for count statistics (Dwork, McSherry, Nissim &
     * Smith 2006; count queries have sensitivity 1, so Laplace scale

@@ -635,4 +635,37 @@ object Packing {
       .select(col("__id").as(idCol), col("__s").as("size"),
         col("m_copies"), col("weight_q").cast(d38).as("weight_q"))
   }
+
+  /** Temperature-smoothed source mixture weights at α = 1/2 (the
+    * multilingual-corpus device of T5/mT5: sample source i with
+    * probability ∝ p_i^α so small sources are up-weighted without
+    * letting any source dominate; α = 1/2 is the common setting AND
+    * the one whose power is IEEE-exact — sqrt is correctly rounded on
+    * every conforming engine, where pow(x, 0.3) is not). Per-source
+    * size is Σ `sizeCol` (chars or tokens — the caller's budget unit).
+    *
+    * s_q = ⌊10⁶·√size⌋ is quantized to a long per source BEFORE the
+    * normalizing sum, so the fold is order-free, and both w_q
+    * (smoothed) and nat_q (proportional, for comparison) are integer
+    * divisions on exact longs — bit-identical anywhere.
+    *
+    * Plan: one hash agg to sources, broadcast scalar normalize.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String,
+                     sizeCol: String): DataFrame = {
+    val g = df.na.drop(Seq(sourceCol))
+      .groupBy(col(sourceCol))
+      .agg(sum(col(sizeCol).cast("long")).as("t_size"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("s_q",
+        floor(lit(1000000.0) * sqrt(col("t_size").cast("double")))
+          .cast("long"))
+      .localCheckpoint(eager = false)
+    val tot = g.agg(sum(col("s_q")).as("__ss"),
+      sum(col("t_size")).as("__tt"))
+    g.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("t_size"), col("n_docs"), col("s_q"),
+        expr("(1000000L * s_q) div __ss").as("w_q"),
+        expr("(1000000L * t_size) div __tt").as("nat_q"))
+  }
 }

@@ -274,6 +274,28 @@ object Segments {
             col("n_hapax").cast("double")).cast("long")).as("r1_star_q"))
   }
 
+  /** Chao1 species-richness estimator per group (Chao 1984, the
+    * bias-corrected form): "how many DISTINCT tokens does this source
+    * really have, counting the ones we haven't seen yet" —
+    *
+    *   chao1 = n_types + f1·(f1 − 1) / (2·(f2 + 1))
+    *
+    * from the same count-of-counts grid as [[goodTuring]] (f1 = hapax,
+    * f2 = dis legomena; the +1 correction keeps it defined at f2 = 0).
+    * chao1_q = 10⁶·n_types + (10⁶·f1·(f1−1)) div (2·(f2+1)) — pure
+    * integer arithmetic, exact to ~3M hapax per group (the 10⁶·f1²
+    * long bound), engine-identical. The vocabulary-budget planner's
+    * companion to goodTuring's unseen-mass rate: GT says how OFTEN a
+    * new type appears next token; Chao1 says how MANY remain.
+    */
+  def chao1(docs: DataFrame, groupCol: String,
+            textCol: String): DataFrame =
+    goodTuring(docs, groupCol, textCol)
+      .select(col(groupCol), col("n_types"), col("n_hapax"),
+        col("n_dis"),
+        expr("1000000L * n_types + (1000000L * n_hapax * (n_hapax - 1))" +
+          " div (2L * (n_dis + 1))").as("chao1_q"))
+
   /** RAKE keyword extraction per group (Rose et al. 2010): candidate
     * phrases are maximal stopword-free token runs (length ≤
     * `maxPhraseLen`), each word w scores

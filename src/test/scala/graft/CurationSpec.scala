@@ -968,6 +968,35 @@ class CurationSpec extends SparkSpec {
     assert(a.values.toSet.size > 1, "noise must vary across keys")
   }
 
+  // ---- clusterSplit --------------------------------------------------------
+
+  test("clusterSplit: every cluster member shares one split; singletons keyed by own id") {
+    val docs = (1L to 40L).toDF("id")
+    // chain 1-2, 2-3 (one cluster), pair 10-11, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Curation.clusterSplit(docs, "id", pairs, 80, 10, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.length === 40)
+    assert(byId(1L) === byId(2L) && byId(2L) === byId(3L))
+    assert(byId(1L)._1 === 1L, "cluster id is the min member id")
+    assert(byId(10L) === byId(11L))
+    assert(byId(20L)._1 === 20L, "unpaired doc is its own cluster")
+    val splits = out.map(_._3).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(splits.size > 1, "40 clusters must spread across splits")
+  }
+
+  test("clusterSplit: split depends on the cluster, not the member id") {
+    val docs = Seq(5L, 6L).toDF("id")
+    val pairs = Seq((5L, 6L)).toDF("id_a", "id_b")
+    val grouped = Curation.clusterSplit(docs, "id", pairs, 50, 25, "x")
+      .collect().map(_.getString(2)).toSet
+    assert(grouped.size === 1, "a linked pair must never straddle splits")
+  }
+
+  // ---- dpNoisyCounts (hand replay) ----------------------------------------
+
   test("dpNoisyCounts: noise matches the inverse-CDF Laplace by hand") {
     import org.apache.spark.sql.Row
     val one = Curation.dpNoisyCounts(dpRows.filter(col("src") === "web")

@@ -200,6 +200,32 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     assert(out.isNullAt(6))
   }
 
+  // ----------------------------------------------------------- chao1
+
+  test("chao1: bias-corrected richness by hand") {
+    // tokens a a b c: V=3, f1=2 (b,c), f2=1 (a)
+    // chao1 = 3 + 2*1/(2*2) = 3.5 -> 3500000
+    val docs = Seq(("A", "a a b c")).toDF("src", "text")
+    val out = Segments.chao1(docs, "src", "text").collect()(0)
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ===
+      ((3L, 2L, 1L)))
+    assert(out.getLong(4) === 3500000L)
+  }
+
+  test("chao1: zero dis legomena stays defined (the +1 correction)") {
+    // a b c: V=3, f1=3, f2=0 -> chao1 = 3 + 3*2/(2*1) = 6
+    val docs = Seq(("A", "a b c")).toDF("src", "text")
+    val out = Segments.chao1(docs, "src", "text").collect()(0)
+    assert(out.getLong(4) === 6000000L)
+  }
+
+  test("chao1: fully saturated vocab adds nothing") {
+    // every type seen >= 3 times: f1 = 0 -> chao1 = V exactly
+    val docs = Seq(("A", "a a a b b b")).toDF("src", "text")
+    val out = Segments.chao1(docs, "src", "text").collect()(0)
+    assert(out.getLong(1) === 2L && out.getLong(4) === 2000000L)
+  }
+
   // ------------------------------------------------------- rakeKeywords
 
   test("rakeKeywords: hand phrases — degree/frequency word scores and " +

@@ -413,4 +413,34 @@ class PackingSpec extends SparkSpec {
       assert(out.forall(_.getLong(1) > 0L))
     }
   }
+
+  // ---- temperatureMix --------------------------------------------------------
+
+  test("temperatureMix: alpha=1/2 compresses the mixture toward uniform") {
+    // sizes 10000 vs 100: natural ratio 100:1, sqrt ratio 10:1
+    val df = (1L to 10000L).map(i => ("big", 1L)) ++
+      (1L to 100L).map(i => ("small", 1L))
+    val out = Packing.temperatureMix(df.toDF("source", "sz"),
+        "source", "sz")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (bigT, bigS, bigW, bigNat) = out("big")
+    val (smallT, smallS, smallW, smallNat) = out("small")
+    assert(bigT === 10000L && smallT === 100L)
+    assert(bigS === 100000000L && smallS === 10000000L) // exact sqrts
+    assert(bigW === 909090L && smallW === 90909L)       // 10:1 smoothed
+    assert(bigNat === 990099L && smallNat === 9900L)    // 100:1 natural
+  }
+
+  test("temperatureMix: weights are deterministic and sum to ~1e6") {
+    val df = Seq(("a", 7L), ("b", 19L), ("c", 3L), ("a", 11L))
+      .toDF("source", "sz")
+    val w1 = Packing.temperatureMix(df, "source", "sz")
+      .collect().map(r => (r.getString(0), r.getLong(4))).sortBy(_._1)
+    val w2 = Packing.temperatureMix(df, "source", "sz")
+      .collect().map(r => (r.getString(0), r.getLong(4))).sortBy(_._1)
+    assert(w1.toSeq === w2.toSeq)
+    val s = w1.map(_._2).sum
+    assert(s > 1000000L - 3 && s <= 1000000L, "floor-div loses < k units")
+  }
 }
