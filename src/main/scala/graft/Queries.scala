@@ -10029,6 +10029,124 @@ object Queries {
           // (2 * (n_dis + 1)) AS chao1_q
       FROM ag ORDER BY source"""))
 
+  /** (q260) AUC with Hanley–McNeil CI (Eval.aucCi scaladoc): q155's
+    * exact U2/n_pos/n_neg integers, then ONE mirrored fp chain for
+    * se and the clamped 95 % interval.
+    */
+  val q260AucCi = Q(
+    "q260_ml_auc_ci",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Eval.aucCi(
+        docs.select(floor(lit(1000000.0) *
+          TextFns.qualityScore(col("text"), Stopwords)).cast("long")
+          .as("s_q"), col("lang")),
+        "s_q", col("lang") === "en")
+    },
+    Some("""
+      WITH d AS (SELECT text, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT lang, text,
+          CAST(len(list_filter(toks,
+            t -> t IN ('the','a','of','and','to','in','is')))
+            AS DOUBLE) / len(toks) AS swr,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+        FROM d),
+      q AS (SELECT CAST(floor(1000000.0 *
+              (least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + ttr * 0.3 + least(swr * 5.0, 1.0) * 0.3)) AS BIGINT) AS s,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM f),
+      ps AS (SELECT s, CAST(sum(y) AS BIGINT) AS p_s,
+               CAST(sum(1 - y) AS BIGINT) AS n_s
+             FROM q GROUP BY s),
+      cb AS (SELECT s, p_s, n_s,
+               coalesce(sum(n_s) OVER (ORDER BY s ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb
+             FROM ps),
+      ag AS (SELECT CAST(sum(p_s) AS BIGINT) AS n_pos,
+               CAST(sum(n_s) AS BIGINT) AS n_neg,
+               CAST(sum(p_s * (2 * nb + n_s)) AS BIGINT) AS u2
+             FROM cb),
+      x AS (SELECT n_pos, n_neg, u2,
+              CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+                * CAST(n_neg AS DOUBLE)) AS a,
+              CAST(n_pos AS DOUBLE) AS p, CAST(n_neg AS DOUBLE) AS n
+            FROM ag),
+      y AS (SELECT n_pos, n_neg, u2, a, p, n,
+              a / (2.0 - a) AS q1g,
+              2.0 * a * a / (1.0 + a) AS q2g
+            FROM x),
+      z AS (SELECT n_pos, n_neg, u2, a,
+              sqrt((a * (1.0 - a) + (p - 1.0) * (q1g - a * a)
+                + (n - 1.0) * (q2g - a * a)) / (p * n)) AS se
+            FROM y)
+      SELECT n_pos, n_neg, u2,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(floor(1000000.0 * a) AS BIGINT) END AS auc_q,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(floor(1000000.0 * se) AS BIGINT) END AS se_q,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(floor(1000000.0 * greatest(a - 1.96 * se, 0.0))
+            AS BIGINT) END AS lo_q,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(floor(1000000.0 * least(a + 1.96 * se, 1.0))
+            AS BIGINT) END AS hi_q
+      FROM z"""))
+
+  /** (q261) Poisson-bootstrap CI for mean doc length
+    * (Stats.poissonBootstrap scaladoc): 40 md5-seeded Poisson(1)
+    * reweightings, exact integer replicate means, order-statistic
+    * percentile bounds. The oracle interpolates the SAME CDF
+    * thresholds (round-trip decimal strings), so no engine evaluates
+    * exp at query time.
+    */
+  val q261PoissonBootstrap = Q(
+    "q261_a_poisson_bootstrap",
+    (s, dir) =>
+      operators.Stats.poissonBootstrap(t(s, dir, "documents"),
+        "doc_id", "n_chars", reps = 40, salt = "r8"),
+    Some {
+      val c = operators.Stats.PoissonCdf1
+      val cases = c.zipWithIndex
+        .map { case (t, k) => s"WHEN u < ${t} THEN ${k}" }
+        .mkString(" ")
+      s"""
+      WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS v
+             FROM documents
+             WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      est AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST((1000000 * CAST(sum(v) AS HUGEINT)) // count(*)
+                  AS BIGINT) AS est_mean_q
+              FROM b),
+      r AS (SELECT id, v, CAST(t.r AS BIGINT) AS r
+            FROM b, LATERAL unnest(range(0, 40)) t(r)),
+      u AS (SELECT r, v,
+              (CAST(('0x' || substr(md5(id || ':'
+                 || CAST(r AS VARCHAR) || ':r8'), 1, 15))::BIGINT
+                 AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+            FROM r),
+      w AS (SELECT r, v, CASE ${cases} ELSE 9 END AS w FROM u),
+      m AS (SELECT r, CAST(sum(w) AS BIGINT) AS sw,
+              CAST(sum(CAST(w AS HUGEINT) * v) AS HUGEINT) AS swv
+            FROM w GROUP BY r),
+      mm AS (SELECT r, CASE WHEN sw > 0 THEN
+               CAST((1000000 * swv) // CAST(sw AS HUGEINT) AS BIGINT)
+             END AS m FROM m),
+      rk AS (SELECT m, row_number() OVER (ORDER BY m ASC, r ASC) AS rn
+             FROM mm),
+      ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+               CAST(max(CASE WHEN rn = 2 THEN m END) AS BIGINT)
+                 AS ci_lo_q,
+               CAST(max(CASE WHEN rn = 39 THEN m END) AS BIGINT)
+                 AS ci_hi_q
+             FROM rk)
+      SELECT n, n_reps, est_mean_q, ci_lo_q, ci_hi_q
+      FROM est CROSS JOIN ci"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10101,5 +10219,6 @@ object Queries {
     q245LiftTable, q246Rake, q247SeasonalDecompose,
     q248Hilbert, q249Friedman, q250DpLaplace, q251WinnowOverlap,
     q252IsotonicFit, q253KruskalWallis, q254KsTwoSample, q255CochranQ,
-    q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1)
+    q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
+    q260AucCi, q261PoissonBootstrap)
 }

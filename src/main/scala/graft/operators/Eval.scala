@@ -169,6 +169,54 @@ object Eval {
             .cast("long")).as("auc_q"))
   }
 
+  /** AUC with the Hanley–McNeil (1982) standard error and a 95 %
+    * normal-approximation confidence interval — the error bar
+    * [[aucExact]] doesn't carry ("AUC 0.71" means nothing without
+    * knowing if it's ±0.01 or ±0.2). From the same exact integers
+    * (doubled Mann–Whitney numerator U2, n_pos, n_neg), with
+    * A = U2/(2·n_pos·n_neg), Q1 = A/(2−A), Q2 = 2A²/(1+A),
+    *
+    *   se² = (A(1−A) + (n_pos−1)(Q1−A²) + (n_neg−1)(Q2−A²))
+    *         / (n_pos·n_neg)
+    *
+    * and the CI is A ± 1.96·se, clamped to [0, 1]. The whole chain
+    * after the exact aggregate is ONE fixed-order fp sequence on
+    * exact-integer-valued doubles — engine-identical.
+    *
+    * Plan: identical to [[aucExact]] — one hash agg to the score
+    * grid, one window over the DISTINCT scores, one scalar agg.
+    */
+  def aucCi(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val perScore = df
+      .filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("p_s"),
+        sum(lit(1L) - col("y")).as("n_s"))
+    val w = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = perScore
+      .withColumn("__nb", coalesce(sum(col("n_s")).over(w), lit(0L)))
+      .agg(sum(col("p_s")).as("n_pos"), sum(col("n_s")).as("n_neg"),
+        sum(col("p_s") * (lit(2L) * col("__nb") + col("n_s"))).as("u2"))
+    val p = col("n_pos").cast("double"); val n = col("n_neg").cast("double")
+    val a = col("u2").cast("double") / (lit(2.0) * p * n)
+    val q1 = a / (lit(2.0) - a)
+    val q2 = lit(2.0) * a * a / (lit(1.0) + a)
+    val se = sqrt((a * (lit(1.0) - a) +
+      (p - lit(1.0)) * (q1 - a * a) +
+      (n - lit(1.0)) * (q2 - a * a)) / (p * n))
+    val ok = col("n_pos") > 0 && col("n_neg") > 0
+    agg.select(col("n_pos"), col("n_neg"), col("u2"),
+      when(ok, floor(lit(1000000.0) * a).cast("long")).as("auc_q"),
+      when(ok, floor(lit(1000000.0) * se).cast("long")).as("se_q"),
+      when(ok, floor(lit(1000000.0) *
+        greatest(a - lit(1.96) * se, lit(0.0))).cast("long")).as("lo_q"),
+      when(ok, floor(lit(1000000.0) *
+        least(a + lit(1.96) * se, lit(1.0))).cast("long")).as("hi_q"))
+  }
+
   /** Cohen's κ between two categorical raters — chance-corrected
     * agreement for label-quality audits (heuristic labeler vs. gold
     * labels, or two annotation pipelines): κ = (p_o − p_e)/(1 − p_e).

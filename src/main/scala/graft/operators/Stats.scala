@@ -872,6 +872,86 @@ object Stats {
               .cast("double")).cast("long")).as("q_q"))
   }
 
+  /** λ=1 Poisson CDF thresholds P(K ≤ k), k = 0..8 — the inversion
+    * table for [[poissonBootstrap]]'s seeded weights. Computed ONCE
+    * here with a fixed summation order; the oracle interpolates the
+    * same doubles via their shortest round-trip decimal strings, so
+    * no engine ever evaluates exp/factorial at query time.
+    */
+  val PoissonCdf1: Array[Double] = {
+    val e = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 8).map { k =>
+      if (k > 0) fact = fact * k
+      cum = cum + e / fact
+      cum
+    }.toArray
+  }
+
+  /** Poisson bootstrap confidence interval for a per-row metric's
+    * mean (Chamandy et al. 2012, the bootstrap that works on streams
+    * and shards: each replicate reweights every row by an independent
+    * Poisson(1) draw instead of resampling — no global shuffle, no
+    * fixed-n resample). Fully DETERMINISTIC: replicate r's weight for
+    * a row is the λ=1 inverse CDF (the [[PoissonCdf1]] table, capped
+    * at 9) of u = (md5₆₀(id:r:salt)+½)/2⁶⁰ — replayable on any
+    * engine, any partitioning, any day.
+    *
+    * Replicate means are exact integer divisions ((10⁶·Σw·v) div Σw),
+    * the point estimate is the unweighted exact mean, and the CI
+    * bounds are EXACT order statistics of the `reps` replicate means
+    * (indices ⌊0.025·reps⌋+1 and reps−⌊0.025·reps⌋ of the sorted
+    * list — the percentile bootstrap, no normality assumed).
+    *
+    * Plan: one `reps`-way explode (document the ×reps scan cost: for
+    * error bars on corpus stats, reps ≤ ~64 — this is the designed
+    * trade against a global resample's shuffle), two hash aggs, one
+    * window over the reps-row table.
+    *
+    * @return one row (n, n_reps, est_mean_q, ci_lo_q, ci_hi_q)
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       reps: Int, salt: String): DataFrame = {
+    require(reps >= 4 && reps <= 256, s"reps ($reps) must be in [4, 256]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .localCheckpoint(eager = false)
+    val est = base.agg(count(lit(1)).as("n"),
+      expr("(1000000L * CAST(sum(__v) AS decimal(38,0))) div count(1)")
+        .cast("long").as("est_mean_q"))
+    val u = (Dedup.md5Hash60(concat_ws(":", col("__id"),
+      col("__r").cast("string"), lit(salt))).cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+    val wgt = PoissonCdf1.zipWithIndex.foldRight(lit(9L)) {
+      case ((c, k), acc) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
+    }
+    val repMeans = base
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__r"))
+      .select(col("__r"), wgt.as("__w"), col("__v"))
+      .groupBy(col("__r"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(dec(col("__w")) * dec(col("__v"))).as("__swv"))
+      .select(col("__r"),
+        when(col("__sw") > 0,
+          expr("(1000000 * __swv) div CAST(__sw AS decimal(38,0))")
+            .cast("long")).as("__m"))
+    val loIdx = (reps * 25) / 1000 + 1
+    val hiIdx = reps - (reps * 25) / 1000
+    val wRank = Window.orderBy(col("__m").asc, col("__r").asc)
+    val ci = repMeans
+      .withColumn("__rn", row_number().over(wRank))
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("__rn") === loIdx, col("__m"))).as("ci_lo_q"),
+        max(when(col("__rn") === hiIdx, col("__m"))).as("ci_hi_q"))
+    est.crossJoin(broadcast(ci))
+      .select(col("n"), col("n_reps"), col("est_mean_q"),
+        col("ci_lo_q"), col("ci_hi_q"))
+  }
+
   /** Cramér's V effect size over two categorical columns — the
     * normalized companion to [[chiSquare]] ("HOW strongly are source
     * and language associated", on the engine-exact [0, 1] scale).

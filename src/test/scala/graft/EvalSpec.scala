@@ -457,6 +457,35 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  // ---- aucCi ---------------------------------------------------------------
+
+  test("aucCi: all-tied scores give A = 0.5 with the hand-computed HM se") {
+    // one pos, one neg, same score: u2 = 1, A = 0.5; Q1 = Q2 = 1/3;
+    // var = (0.25 + 0 + 0)/1 -> se = 0.5; CI clamps to [0, 1]
+    val df = Seq((5L, true), (5L, false)).toDF("s", "y")
+    val r = Eval.aucCi(df, "s", col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1L)))
+    assert(r.getLong(3) === 500000L && r.getLong(4) === 500000L)
+    assert(r.getLong(5) === 0L && r.getLong(6) === 1000000L)
+  }
+
+  test("aucCi: perfect separation gives se = 0 and a degenerate CI at 1") {
+    val df = Seq((9L, true), (8L, true), (2L, false)).toDF("s", "y")
+    val r = Eval.aucCi(df, "s", col("y")).collect()(0)
+    assert(r.getLong(3) === 1000000L && r.getLong(4) === 0L)
+    assert(r.getLong(5) === 1000000L && r.getLong(6) === 1000000L)
+  }
+
+  test("aucCi: auc_q agrees with aucExact on a mixed ranking") {
+    val rows = Seq((10L, true), (9L, false), (8L, true), (7L, true),
+      (5L, false), (5L, true), (2L, false))
+    val a = Eval.aucExact(rows.toDF("s", "y"), "s", col("y"))
+      .collect()(0).getLong(2)
+    val c = Eval.aucCi(rows.toDF("s", "y"), "s", col("y")).collect()(0)
+    assert(c.getLong(3) === a)
+    assert(c.getLong(5) <= c.getLong(3) && c.getLong(3) <= c.getLong(6))
+  }
+
   test("isotonicFit: null bins are ignored") {
     val df = Seq((Some(0L), true), (None, true), (Some(1L), false))
       .toDF("bin", "y")

@@ -997,4 +997,72 @@ class PlanQualitySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"rake joined unkeyed:\n$plan")
   }
+
+  test("hilbertKey stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val r = ev.select(col("event_id"), graft.operators.Layout.hilbertKey(
+      pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L)),
+      8).as("hkey"))
+    val s = r.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(s.contains("WholeStageCodegen"),
+      s"hilbertKey broke codegen:\n${s.take(1500)}")
+  }
+
+  test("winnowOverlapPairs: keyed fp equi-join, per-doc windows only") {
+    val plan = planOf("q251_dd_winnow_overlap")
+    assert(!plan.contains("CartesianProduct"),
+      s"winnow pair join went cartesian:\n$plan")
+    // every join in the pair pipeline is KEYED on the 8-byte fp hash
+    // (broadcast at spec scale, shuffled-hash at corpus scale — never
+    // an unkeyed nested loop); the fps frame is checkpointed so the
+    // per-doc sliding-min window ran once at materialization
+    val joins = plan.split("\n").filter(_.contains("HashJoin"))
+    assert(joins.nonEmpty && joins.forall(_.contains("[fp#")),
+      s"winnow pair joins not keyed on fp:\n${joins.mkString("\n")}")
+  }
+
+  test("ksTwoSample / kruskalWallis: windows run on the value grid, " +
+      "one corpus scan each") {
+    for (name <- Seq("q254_a_ks_two_sample", "q253_a_kruskal_wallis")) {
+      val plan = planOf(name)
+      assert(plan.split("\n").count(l =>
+        l.contains("FileScan") && l.contains("documents")) <= 1,
+        s"$name scanned documents more than once:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: grid tables should broadcast:\n$plan")
+    }
+  }
+
+  test("isotonicFit: the B x B segment grid broadcasts, no SMJ") {
+    val plan = planOf("q252_ml_isotonic_fit")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"isotonic grid join shuffled:\n$plan")
+  }
+
+  test("textRank: pageRank rounds read the checkpointed rank table, " +
+      "no cartesian") {
+    val plan = planOf("q256_tx_textrank")
+    assert(!plan.contains("CartesianProduct"),
+      s"textRank planned a cartesian:\n$plan")
+    // lineage cut: the final round must NOT re-derive the co-occurrence
+    // explode (documents appear at most once, in the un-checkpointed
+    // degree branch if at all)
+    assert(plan.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("documents")) <= 1,
+      s"textRank re-derived the edge frame per round:\n$plan")
+  }
+
+  test("clusterSplit: only ids shuffle (documents scan pruned to " +
+      "doc_id + text, output carries no text)") {
+    val plan = planOf("q257_s_cluster_split")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("doc_id"),
+      s"clusterSplit joins unkeyed:\n$plan")
+    val scans = plan.split("\n").filter(l =>
+      l.contains("ReadSchema") && l.contains("documents"))
+    assert(scans.forall(l => !l.contains("lang") && !l.contains("source")),
+      s"clusterSplit read unneeded columns:\n${scans.mkString("\n")}")
+  }
 }

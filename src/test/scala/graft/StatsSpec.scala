@@ -446,6 +446,38 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- poissonBootstrap ----------------------------------------------------
+
+  test("PoissonCdf1: lambda=1 inversion table is the textbook CDF") {
+    val c = Stats.PoissonCdf1
+    assert(c.length === 9)
+    assert(math.abs(c(0) - 0.36787944117144233) < 1e-15)
+    assert(math.abs(c(1) - 2 * 0.36787944117144233) < 1e-12)
+    c.zip(c.tail).foreach { case (a, b) => assert(a < b) }
+    assert(c.last > 0.999996 && c.last < 1.0)
+  }
+
+  test("poissonBootstrap: constant metric has a zero-width CI at the value") {
+    val df = (1L to 200L).map(i => (i, 7L)).toDF("id", "v")
+    val r = Stats.poissonBootstrap(df, "id", "v", reps = 40, "s").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((200L, 40L)))
+    assert(r.getLong(2) === 7000000L)
+    assert(r.getLong(3) === 7000000L && r.getLong(4) === 7000000L)
+  }
+
+  test("poissonBootstrap: deterministic per salt, CI brackets the estimate") {
+    val df = (1L to 300L).map(i => (i, i % 97)).toDF("id", "v")
+    def run(salt: String) = Stats.poissonBootstrap(df, "id", "v", 40, salt)
+      .collect()(0)
+    val a = run("s1"); val b = run("s1"); val c = run("s2")
+    assert(a.toSeq === b.toSeq, "same salt must replay identically")
+    assert((a.getLong(3), a.getLong(4)) !== ((c.getLong(3), c.getLong(4))),
+      "a fresh salt must redraw the replicates")
+    assert(a.getLong(3) <= a.getLong(2) && a.getLong(2) <= a.getLong(4),
+      s"CI [${a.getLong(3)}, ${a.getLong(4)}] should bracket ${a.getLong(2)}")
+    assert(a.getLong(3) < a.getLong(4), "spread data -> nonzero CI width")
+  }
+
   test("cochranQ: duplicate events collapse to presence") {
     val once = Seq((1L, "x"), (2L, "y")).toDF("blk", "trt")
     val dup = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"))
