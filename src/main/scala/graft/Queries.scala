@@ -10147,6 +10147,113 @@ object Queries {
       FROM est CROSS JOIN ci"""
     })
 
+  /** (q262) One-way ANOVA F of doc length across sources
+    * (Stats.anovaF scaladoc): exact per-group moments, per-group
+    * ⌊S²/n⌋ quantization keeps the fold order-free.
+    */
+  val q262AnovaF = Q(
+    "q262_a_anova_f",
+    (s, dir) =>
+      operators.Stats.anovaF(t(s, dir, "documents"), "source", "n_chars"),
+    Some("""
+      WITH g AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS s,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1),
+      t AS (SELECT g, n, s, q,
+              CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS BIGINT) AS t
+            FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq,
+              CAST(sum(t) AS BIGINT) AS tt FROM t),
+      b AS (SELECT k, n_total,
+              tt - CAST(floor(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(n_total AS DOUBLE)) AS BIGINT) AS ssb_l,
+              qq - tt AS ssw_l FROM a)
+      SELECT k, n_total, ssb_l, ssw_l,
+        CASE WHEN k >= 2 AND n_total > k AND ssw_l > 0 THEN
+          CAST(floor(1000000.0
+            * (CAST(ssb_l AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+            / (CAST(ssw_l AS DOUBLE) / CAST(n_total - k AS DOUBLE)))
+            AS BIGINT)
+        END AS f_q FROM b"""))
+
+  /** (q263) Brown–Forsythe spread-equality test of doc length across
+    * sources (Stats.brownForsythe scaladoc): exact lower medians from
+    * the value grid, anovaF over |x − med| with grid multiplicities.
+    */
+  val q263BrownForsythe = Q(
+    "q263_a_brown_forsythe",
+    (s, dir) =>
+      operators.Stats.brownForsythe(t(s, dir, "documents"),
+        "source", "n_chars"),
+    Some("""
+      WITH gv AS (SELECT source AS g, n_chars AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      cm AS (SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+             FROM gv),
+      md AS (SELECT g, min(v) AS med FROM cm WHERE 2 * cum >= n
+             GROUP BY g),
+      z AS (SELECT gv.g, gv.c, abs(gv.v - md.med) AS z
+            FROM gv JOIN md USING (g)),
+      g2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * z) AS BIGINT) AS s,
+               CAST(sum(c * z * z) AS BIGINT) AS q
+             FROM z GROUP BY g),
+      t AS (SELECT g, n, s, q,
+              CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS BIGINT) AS t
+            FROM g2),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(s) AS BIGINT) AS ss, CAST(sum(q) AS BIGINT) AS qq,
+              CAST(sum(t) AS BIGINT) AS tt FROM t),
+      b AS (SELECT k, n_total,
+              tt - CAST(floor(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                / CAST(n_total AS DOUBLE)) AS BIGINT) AS ssb_l,
+              qq - tt AS ssw_l FROM a)
+      SELECT k, n_total, ssb_l, ssw_l,
+        CASE WHEN k >= 2 AND n_total > k AND ssw_l > 0 THEN
+          CAST(floor(1000000.0
+            * (CAST(ssb_l AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+            / (CAST(ssw_l AS DOUBLE) / CAST(n_total - k AS DOUBLE)))
+            AS BIGINT)
+        END AS f_q FROM b"""))
+
+  /** (q264) word2vec negative-sampling distribution
+    * (Packing.negativeSampling scaladoc): count^(3/4) via two
+    * IEEE-exact sqrts, per-token quantization, 1e-9-grid shares.
+    */
+  val q264NegSampling = Q(
+    "q264_tx_neg_sampling",
+    (s, dir) =>
+      operators.Packing.negativeSampling(t(s, dir, "documents"), "text")
+        .orderBy("token"),
+    Some("""
+      WITH tk AS (SELECT unnest(list_filter(regexp_split_to_array(
+               lower(trim(text)), '\s+'), x -> len(x) > 0)) AS token
+             FROM documents),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk
+            GROUP BY 1),
+      s AS (SELECT token, c,
+              CAST(floor(1000000.0 * sqrt(CAST(c AS DOUBLE)
+                * sqrt(CAST(c AS DOUBLE)))) AS BIGINT) AS s_q
+            FROM c),
+      t AS (SELECT CAST(sum(s_q) AS BIGINT) AS ss FROM s)
+      SELECT token, c, s_q,
+        CAST((CAST(1000000000 AS HUGEINT) * s_q) // ss AS BIGINT) AS w_q9
+      FROM s CROSS JOIN t ORDER BY token"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10220,5 +10327,6 @@ object Queries {
     q248Hilbert, q249Friedman, q250DpLaplace, q251WinnowOverlap,
     q252IsotonicFit, q253KruskalWallis, q254KsTwoSample, q255CochranQ,
     q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
-    q260AucCi, q261PoissonBootstrap)
+    q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
+    q264NegSampling)
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /** Corpus-to-training-batch operators: sequence packing and dataset
   * profiling — the last mile of a training-data pipeline after
   * dedup/curation.
@@ -651,6 +653,41 @@ object Packing {
     *
     * Plan: one hash agg to sources, broadcast scalar normalize.
     */
+  /** word2vec negative-sampling distribution (Mikolov et al. 2013,
+    * §2.2): draw negatives with probability ∝ count(token)^(3/4) —
+    * the tempering that keeps frequent tokens from dominating the
+    * noise while still over-sampling them vs uniform. The 3/4 power
+    * is computed as √(c·√c) — two IEEE-exact square roots and one
+    * multiply, so unlike pow(c, 0.75) the value is bit-identical on
+    * every conforming engine. Per-token s_q = ⌊10⁶·c^(3/4)⌋ quantizes
+    * BEFORE the normalizing sum (order-free long fold), and
+    * w_q = (10⁹·s_q) div Σs is an exact integer share on the 1e-9
+    * grid (1e-9 because realistic vocabularies spread 1e6 shares too
+    * thin).
+    *
+    * Plan: one explode + hash agg to the vocabulary, broadcast scalar
+    * normalize — the output is vocabulary-bounded however large the
+    * corpus.
+    */
+  def negativeSampling(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(filter(TextFns.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("s_q",
+        floor(lit(1000000.0) *
+          sqrt(col("c").cast("double") * sqrt(col("c").cast("double"))))
+          .cast("long"))
+      .localCheckpoint(eager = false)
+    val tot = counts.agg(sum(col("s_q")).as("__ss"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("c"), col("s_q"),
+        // decimal(38,0) product: 10⁹·s_q overflows a long once any
+        // token passes ~10¹² occurrences — at 100 TB that's reachable
+        expr("(CAST(1000000000 AS decimal(38,0)) * s_q) div __ss")
+          .cast("long").as("w_q9"))
+  }
+
   def temperatureMix(df: DataFrame, sourceCol: String,
                      sizeCol: String): DataFrame = {
     val g = df.na.drop(Seq(sourceCol))

@@ -872,6 +872,106 @@ object Stats {
               .cast("double")).cast("long")).as("q_q"))
   }
 
+  /** One-way ANOVA F over k groups ("do the group MEANS differ,
+    * relative to within-group spread") — the parametric companion to
+    * [[kruskalWallis]], from exact per-group moments (n_j, ΣX as
+    * long, ΣX² as long): with t_j = ⌊S_j²/n_j⌋ and g = ⌊S²/N⌋
+    * (each ONE mirrored double floor on exact-integer inputs,
+    * quantized per group so the cross-group fold is an order-free
+    * LONG sum),
+    *
+    *   ssb = Σt_j − g,   ssw = ΣX² − Σt_j,
+    *   F = (ssb/(k−1)) / (ssw/(N−k)).
+    *
+    * The ⌊·⌋ deviates from the real SS by < k absolute — noise at SS
+    * magnitudes — while making the statistic bit-identical on any
+    * engine and partitioning. Degenerate guards: F is null when
+    * k < 2 or ssw ≤ 0 (all within-group spread consumed).
+    *
+    * @return one row (k, n_total, ssb_l, ssw_l, f_q)
+    */
+  def anovaF(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__q"))
+      .withColumn("__t",
+        floor(col("__s").cast("double") * col("__s").cast("double") /
+          col("__n").cast("double")).cast("long"))
+    g.agg(count(lit(1)).as("k"), sum(col("__n")).as("n_total"),
+        sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"),
+        sum(col("__t")).as("__T"))
+      .select(col("k"), col("n_total"),
+        (col("__T") - floor(col("__S").cast("double") *
+          col("__S").cast("double") / col("n_total").cast("double"))
+          .cast("long")).as("ssb_l"),
+        (col("__Q") - col("__T")).as("ssw_l"))
+      .select(col("k"), col("n_total"), col("ssb_l"), col("ssw_l"),
+        when(col("k") >= 2 && col("n_total") > col("k") &&
+            col("ssw_l") > 0,
+          floor(lit(1000000.0) *
+            (col("ssb_l").cast("double") / (col("k") - lit(1L)).cast("double")) /
+            (col("ssw_l").cast("double") / (col("n_total") - col("k")).cast("double")))
+            .cast("long")).as("f_q"))
+  }
+
+  /** Brown–Forsythe robust variance-equality test ("do the groups
+    * differ in SPREAD, not location"): [[anovaF]] applied to the
+    * absolute deviations |x − median_g| — the median-centered Levene
+    * variant that keeps its size under heavy tails. Group medians are
+    * the EXACT lower medians (smallest v with 2·cum ≥ n — an integer
+    * rule any engine reproduces; no interpolation, no floats), from
+    * one per-group window over the DISTINCT-value grid.
+    *
+    * Plan: one hash agg to the (group, value) grid (the corpus scans
+    * once and feeds both the median derivation and — via the grid,
+    * not a rescan — the deviation moments), one bounded window, then
+    * the anovaF aggregate on grid rows weighted by their counts.
+    *
+    * @return one row (k, n_total, ssb_l, ssw_l, f_q)
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    xCol: String): DataFrame = {
+    val gv = df.select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val med = gv
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(lit(2L) * col("__cum") >= col("__n"))
+      .groupBy(col("__g")).agg(min(col("__v")).as("__med"))
+    // anovaF over |v - med| with grid multiplicities (exact longs)
+    val z = gv.join(med, Seq("__g"))
+      .select(col("__g"), col("__c"),
+        abs(col("__v") - col("__med")).as("__z"))
+    val g = z.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"), sum(col("__c") * col("__z")).as("__s"),
+        sum(col("__c") * col("__z") * col("__z")).as("__q"))
+      .withColumn("__t",
+        floor(col("__s").cast("double") * col("__s").cast("double") /
+          col("__n").cast("double")).cast("long"))
+    g.agg(count(lit(1)).as("k"), sum(col("__n")).as("n_total"),
+        sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"),
+        sum(col("__t")).as("__T"))
+      .select(col("k"), col("n_total"),
+        (col("__T") - floor(col("__S").cast("double") *
+          col("__S").cast("double") / col("n_total").cast("double"))
+          .cast("long")).as("ssb_l"),
+        (col("__Q") - col("__T")).as("ssw_l"))
+      .select(col("k"), col("n_total"), col("ssb_l"), col("ssw_l"),
+        when(col("k") >= 2 && col("n_total") > col("k") &&
+            col("ssw_l") > 0,
+          floor(lit(1000000.0) *
+            (col("ssb_l").cast("double") / (col("k") - lit(1L)).cast("double")) /
+            (col("ssw_l").cast("double") / (col("n_total") - col("k")).cast("double")))
+            .cast("long")).as("f_q"))
+  }
+
   /** λ=1 Poisson CDF thresholds P(K ≤ k), k = 0..8 — the inversion
     * table for [[poissonBootstrap]]'s seeded weights. Computed ONCE
     * here with a fixed summation order; the oracle interpolates the

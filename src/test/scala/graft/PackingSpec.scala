@@ -432,6 +432,20 @@ class PackingSpec extends SparkSpec {
     assert(bigNat === 990099L && smallNat === 9900L)    // 100:1 natural
   }
 
+  test("negativeSampling: count^(3/4) via exact sqrt chain, 1e-9 shares") {
+    val docs = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val out = Packing.negativeSampling(docs, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 4^(3/4) = 2*sqrt(2): floor(1e6 * 2.8284271247461903) = 2828427
+    assert(out("a") === ((4L, 2828427L,
+      (BigInt(1000000000) * 2828427 / 3828427).toLong)))
+    assert(out("b") === ((1L, 1000000L,
+      (BigInt(1000000000) * 1000000 / 3828427).toLong)))
+    val s = out.values.map(_._3).sum
+    assert(s > 999999997L && s <= 1000000000L)
+  }
+
   test("temperatureMix: weights are deterministic and sum to ~1e6") {
     val df = Seq(("a", 7L), ("b", 19L), ("c", 3L), ("a", 11L))
       .toDF("source", "sz")

@@ -446,6 +446,51 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- anovaF / brownForsythe ----------------------------------------------
+
+  test("anovaF: textbook two-group case") {
+    // a={1,2,3}, b={5,7,9}: t=(12,147), T=159, gt=floor(729/6)=121
+    // ssb=38 (exact 37.5 + the gt floor), ssw=169-159=10
+    // F = 38/(10/4) = 15.2
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 7L), ("b", 9L)).toDF("g", "x")
+    val r = Stats.anovaF(df, "g", "x").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 6L, 38L, 10L)))
+    assert(r.getLong(4) === 15200000L)
+  }
+
+  test("anovaF: zero within-group spread is the degenerate null") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L)).toDF("g", "x")
+    val r = Stats.anovaF(df, "g", "x").collect()(0)
+    assert(r.getLong(3) === 0L && r.isNullAt(4))
+  }
+
+  test("brownForsythe: location shift alone gives F = 0") {
+    // same spread, different centers: |x - med| identical across groups
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 7L), ("b", 9L)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, "g", "x").collect()(0)
+    // meds 2 and 7; z: a=(1,0,1) b=(2,0,2); t=(1,5), gt=6 -> ssb=0
+    assert(r.getLong(2) === 0L && r.getLong(3) === 4L)
+    assert(r.getLong(4) === 0L)
+  }
+
+  test("brownForsythe: genuine spread difference is detected") {
+    val df = Seq(("tight", 10L), ("tight", 10L), ("tight", 11L),
+      ("wide", 1L), ("wide", 10L), ("wide", 20L)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, "g", "x").collect()(0)
+    assert(r.getLong(4) > 1000000L, s"expected F > 1, got ${r.getLong(4)}")
+  }
+
+  test("brownForsythe: even-count group uses the exact LOWER median") {
+    // {1, 3}: 2*cum(1)=2 >= n=2 -> med = 1 (lower), z = (0, 2)
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, "g", "x").collect()(0)
+    // both groups identical -> ssb_l = 0
+    assert(r.getLong(2) === 0L)
+  }
+
   // ---- poissonBootstrap ----------------------------------------------------
 
   test("PoissonCdf1: lambda=1 inversion table is the textbook CDF") {
