@@ -914,6 +914,48 @@ object ScaleProbe {
       }
     }
 
+    if (section("session9")) {
+      // winnowOverlapPairs: growth under corpus replication. Replicas
+      // carry the SAME text, so every fingerprint's df multiplies by
+      // mult — the fp-df cap must flatten pair growth the way the
+      // shingle-df cap does for q23 (uncapped: pairs ~ mult², capped:
+      // the viral fingerprints drop out entirely once df > cap)
+      for (mult <- Seq(1, 2, 4)) {
+        val docs = replicate(
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select(col("doc_id"), col("text")), "doc_id", mult)
+        timedCount(s"winnow  ${mult}x docs capped df<=200",
+          Dedup.winnowOverlapPairs(docs, "doc_id", "text", 3, 4, 1L,
+            Dedup.md5Hash60, maxFpDf = 200L))
+        timedCount(s"winnow  ${mult}x docs capped df<=${4 * mult}",
+          Dedup.winnowOverlapPairs(docs, "doc_id", "text", 3, 4, 1L,
+            Dedup.md5Hash60, maxFpDf = 4L * mult))
+        docs.unpersist()
+      }
+      // poissonBootstrap: cost is reps × one scan — linear in reps by
+      // construction; the probe documents the constant-per-rep slope.
+      // (filter on the computed CI forces evaluation — a bare count()
+      // would prune the aggregate, the knnprof lesson)
+      for (reps <- Seq(8, 32, 128)) {
+        val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        timedCount(s"pboot   reps=$reps on sf0.1 events",
+          operators.Stats.poissonBootstrap(ev, "event_id", "user_id",
+            reps, "probe").filter(col("ci_lo_q").isNotNull))
+      }
+      // textRank: the pageRank rounds run on the VOCABULARY edge frame
+      // — corpus replication multiplies edge SUPPORT, not edge count,
+      // so round cost should stay flat while the explode scales
+      for (mult <- Seq(1, 4)) {
+        val docs = replicate(
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select(col("doc_id"), col("text")), "doc_id", mult)
+        timedCount(s"trank   ${mult}x docs window=2 minCount=5",
+          operators.Segments.textRank(docs, "doc_id", "text", 2,
+            5L * mult, 3).filter(col("rank_q") > 0))
+        docs.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }
