@@ -10254,6 +10254,92 @@ object Queries {
         CAST((CAST(1000000000 AS HUGEINT) * s_q) // ss AS BIGINT) AS w_q9
       FROM s CROSS JOIN t ORDER BY token"""))
 
+  /** (q265) Population Stability Index of doc length per source vs
+    * the corpus (Stats.psi scaladoc): +1-smoothed bins, per-bin
+    * 1e-9-quantized contributions (provably ≥ 0, order-free sum).
+    */
+  val q265Psi = Q(
+    "q265_a_psi_drift",
+    (s, dir) =>
+      operators.Stats.psi(t(s, dir, "documents"), "source", "n_chars",
+        binWidth = 100L)
+        .orderBy("source"),
+    Some("""
+      WITH cells AS (SELECT source AS g, n_chars // 100 AS b,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      bins AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells
+               GROUP BY b),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS bb,
+               CAST(sum(cb) AS BIGINT) AS nn FROM bins),
+      groups AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells
+                 GROUP BY g),
+      grid AS (SELECT gr.g, gr.ng, bi.b, bi.cb, nb.bb, nb.nn,
+                 coalesce(ce.c, 0) AS c
+               FROM groups gr CROSS JOIN bins bi CROSS JOIN nb
+               LEFT JOIN cells ce ON ce.g = gr.g AND ce.b = bi.b),
+      k AS (SELECT g, ng, bb,
+              CAST(floor(1000000000.0 *
+                ((CAST(c + 1 AS DOUBLE) / CAST(ng + bb AS DOUBLE)
+                  - CAST(cb + 1 AS DOUBLE) / CAST(nn + bb AS DOUBLE))
+                 * ln((CAST(c + 1 AS DOUBLE) / CAST(ng + bb AS DOUBLE))
+                   / (CAST(cb + 1 AS DOUBLE) / CAST(nn + bb AS DOUBLE)))))
+                AS BIGINT) AS k
+            FROM grid)
+      SELECT g AS source, ng AS n, bb AS n_bins,
+        CAST(sum(k) AS BIGINT) AS psi_q9
+      FROM k GROUP BY 1, 2, 3 ORDER BY source"""))
+
+  /** (q266) Split-conformal interval for a per-source length
+    * predictor (Eval.conformalInterval scaladoc): train-half integer
+    * means predict, cal-half residual order statistic at 90 %
+    * coverage, exact rational rank index.
+    */
+  val q266Conformal = Q(
+    "q266_ml_conformal",
+    (s, dir) => {
+      // split on 20-doc blocks — doc_id parity is CONFOUNDED with the
+      // synthetic source assignment (source = doc_id % 20), so a
+      // parity split would give each half disjoint sources
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      val pred = docs.filter(expr("(doc_id div 20L) % 2L") === 0)
+        .groupBy(col("source"))
+        .agg(expr("sum(n_chars) div count(1)").as("pred"))
+      val cal = docs.filter(expr("(doc_id div 20L) % 2L") === 1)
+        .join(pred, Seq("source"))
+      operators.Eval.conformalInterval(cal, "source", "n_chars", "pred",
+        alphaNum = 1, alphaDen = 10)
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, n_chars FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      p AS (SELECT source,
+              CAST(sum(n_chars) AS BIGINT) // count(*) AS pred
+            FROM d WHERE (doc_id // 20) % 2 = 0 GROUP BY source),
+      cal AS (SELECT d.source, abs(d.n_chars - p.pred) AS r
+              FROM d JOIN p USING (source)
+              WHERE (d.doc_id // 20) % 2 = 1),
+      gv AS (SELECT source, r, CAST(count(*) AS BIGINT) AS c
+             FROM cal GROUP BY 1, 2),
+      cum AS (SELECT source, r, c,
+                sum(c) OVER (PARTITION BY source ORDER BY r ROWS
+                  BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(c) OVER (PARTITION BY source) AS n
+              FROM gv),
+      kk AS (SELECT DISTINCT source, CAST(n AS BIGINT) AS n_cal,
+               CAST((9 * (n + 1) + 9) // 10 AS BIGINT) AS k_rank
+             FROM cum),
+      sel AS (SELECT c.source, CAST(min(c.r) AS BIGINT) AS qhat
+              FROM cum c JOIN kk ON kk.source = c.source
+              WHERE c.cum >= kk.k_rank GROUP BY 1)
+      SELECT kk.source, kk.n_cal, kk.k_rank,
+        CASE WHEN kk.k_rank <= kk.n_cal THEN sel.qhat END AS qhat
+      FROM kk LEFT JOIN sel USING (source) ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10328,5 +10414,5 @@ object Queries {
     q252IsotonicFit, q253KruskalWallis, q254KsTwoSample, q255CochranQ,
     q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
-    q264NegSampling)
+    q264NegSampling, q265Psi, q266Conformal)
 }

@@ -217,6 +217,48 @@ object Eval {
         least(a + lit(1.96) * se, lit(1.0))).cast("long")).as("hi_q"))
   }
 
+  /** Split-conformal prediction interval half-width per group
+    * (Vovk et al.; Lei et al. 2018 §2): given held-out calibration
+    * rows with integer truth `yCol` and integer prediction `predCol`,
+    * the (1−α) interval is ŷ ± q̂ where q̂ is the
+    * ⌈(1−α)(n+1)⌉-th smallest absolute residual — a finite-sample
+    * coverage GUARANTEE with no distributional assumption, the right
+    * error bar for quality-score regressors in a curation pipeline.
+    *
+    * α = alphaNum/alphaDen rational, so the order-statistic index
+    * k = ⌈(alphaDen−alphaNum)(n+1)/alphaDen⌉ is exact integer
+    * arithmetic; q̂ is selected from the per-group DISTINCT-residual
+    * grid with one bounded window (the [[graft.operators.Stats]]
+    * value-grid device — no per-row sort). q̂ is null when k > n
+    * (n too small for the requested coverage — the honest answer).
+    *
+    * @return one row per group (group, n_cal, k_rank, qhat)
+    */
+  def conformalInterval(df: DataFrame, groupCol: String, yCol: String,
+                        predCol: String, alphaNum: Int,
+                        alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must be in (0, 1)")
+    val gv = df.select(col(groupCol).as("__g"),
+        abs(col(yCol).cast("long") - col(predCol).cast("long")).as("__r"))
+      .na.drop()
+      .groupBy(col("__g"), col("__r")).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    gv
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__k",
+        expr(s"(${alphaDen - alphaNum}L * (__n + 1L) + ${alphaDen}L - 1L)" +
+          s" div ${alphaDen}L"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__n")).as("n_cal"), first(col("__k")).as("k_rank"),
+        min(when(col("__cum") >= col("__k"), col("__r"))).as("qhat"))
+      .withColumn("qhat",
+        when(col("k_rank") <= col("n_cal"), col("qhat")))
+  }
+
   /** Cohen's κ between two categorical raters — chance-corrected
     * agreement for label-quality audits (heuristic labeler vs. gold
     * labels, or two annotation pipelines): κ = (p_o − p_e)/(1 − p_e).

@@ -872,6 +872,54 @@ object Stats {
               .cast("double")).cast("long")).as("q_q"))
   }
 
+  /** Population Stability Index per group vs the corpus — the
+    * model-monitoring drift metric ("has this source's length/score
+    * distribution moved away from the pooled one"):
+    *
+    *   PSI_g = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+    *
+    * with p from the group, q from the corpus, over fixed-width value
+    * bins. Zero bins are additively smoothed (+1 per bin on both
+    * sides — the deterministic Laplace rule, so ln never sees 0 and
+    * every engine derives the same rationals). Each bin's
+    * contribution is ⌊10⁹·(p−q)·ln(p/q)⌋ quantized as a long BEFORE
+    * the per-group sum — contributions are provably ≥ 0 ((p−q) and
+    * ln(p/q) share sign), so the fold is an order-free long sum.
+    *
+    * Plan: one hash agg to (group, bin) cells, bin margins broadcast,
+    * a group × bins densified grid (bins are bounded by binWidth —
+    * the caller's contract), one hash agg back to groups.
+    *
+    * @return (group, n, n_bins, psi_q9) — the industry read: < 0.1
+    *         stable, 0.1–0.2 moderate, > 0.2 drifted (in 1e-9 units)
+    */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+          binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth ($binWidth) must be positive")
+    val cells = df.select(col(groupCol).as("__g"),
+        expr(s"CAST($valueCol AS LONG) div ${binWidth}L").as("__b"))
+      .na.drop()
+      .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val bins = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val nb = bins.agg(count(lit(1)).as("__nbins"), sum(col("__cb")).as("__ntot"))
+    val groups = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val grid = groups.crossJoin(broadcast(bins)).crossJoin(broadcast(nb))
+      .join(cells, Seq("__g", "__b"), "left")
+      .na.fill(0L, Seq("__c"))
+    val p = (col("__c") + lit(1L)).cast("double") /
+      (col("__ng") + col("__nbins")).cast("double")
+    val q = (col("__cb") + lit(1L)).cast("double") /
+      (col("__ntot") + col("__nbins")).cast("double")
+    val contrib = floor(lit(1000000000.0) * ((p - q) * log(p / q)))
+      .cast("long")
+    grid
+      .withColumn("__k", contrib)
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__ng")).as("n"), first(col("__nbins")).as("n_bins"),
+        sum(col("__k")).as("psi_q9"))
+  }
+
   /** One-way ANOVA F over k groups ("do the group MEANS differ,
     * relative to within-group spread") — the parametric companion to
     * [[kruskalWallis]], from exact per-group moments (n_j, ΣX as

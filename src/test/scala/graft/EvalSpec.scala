@@ -457,6 +457,36 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  // ---- conformalInterval -----------------------------------------------------
+
+  test("conformalInterval: hand-ranked residual order statistic") {
+    // residuals |y - pred|: {0, 1, 2, 3, 4, 5, 6, 7, 8} (n = 9)
+    // alpha = 1/10: k = ceil(9*10/10) = 9 -> qhat = 8 (the max)
+    // alpha = 5/10: k = ceil(5*10/10) = 5 -> qhat = 4
+    val df = (0L to 8L).map(r => ("g", 100L + r, 100L)).toDF("g", "y", "p")
+    val strict = Eval.conformalInterval(df, "g", "y", "p", 1, 10).collect()(0)
+    assert((strict.getLong(1), strict.getLong(2), strict.getLong(3)) ===
+      ((9L, 9L, 8L)))
+    val loose = Eval.conformalInterval(df, "g", "y", "p", 5, 10).collect()(0)
+    assert((loose.getLong(2), loose.getLong(3)) === ((5L, 4L)))
+  }
+
+  test("conformalInterval: too few rows for the coverage -> null qhat") {
+    // n = 3, alpha = 1/10: k = ceil(9*4/10) = 4 > 3 -> honest null
+    val df = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 3L, 0L))
+      .toDF("g", "y", "p")
+    val r = Eval.conformalInterval(df, "g", "y", "p", 1, 10).collect()(0)
+    assert(r.getLong(2) === 4L && r.isNullAt(3))
+  }
+
+  test("conformalInterval: tied residuals resolve through the grid counts") {
+    // residuals {5, 5, 5, 0}: k at alpha=1/2 -> ceil(5*5/10) = 3 -> qhat 5
+    val df = Seq(("g", 10L, 5L), ("g", 0L, 5L), ("g", 10L, 5L),
+      ("g", 5L, 5L)).toDF("g", "y", "p")
+    val r = Eval.conformalInterval(df, "g", "y", "p", 5, 10).collect()(0)
+    assert(r.getLong(2) === 3L && r.getLong(3) === 5L)
+  }
+
   // ---- aucCi ---------------------------------------------------------------
 
   test("aucCi: all-tied scores give A = 0.5 with the hand-computed HM se") {

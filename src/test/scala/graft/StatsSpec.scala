@@ -446,6 +446,38 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- psi -----------------------------------------------------------------
+
+  test("psi: a group matching the corpus mix has near-zero drift") {
+    // two groups with IDENTICAL distributions -> p == q -> psi = 0
+    val df = (for (g <- Seq("a", "b"); v <- Seq(10L, 10L, 250L)) yield (g, v))
+      .toDF("g", "v")
+    val out = Stats.psi(df, "g", "v", binWidth = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // +1 smoothing leaves a small-n bias, so near-zero, not zero —
+    // and symmetric groups must land on exactly the same value
+    assert(out("a") === out("b"))
+    assert(out("a") < 10000000L, s"matching mix should read stable: $out")
+  }
+
+  test("psi: a concentrated group drifts more than a matching one") {
+    val rows = (1L to 90L).map(i => ("ref", i * 10 % 1000)) ++
+      (1L to 30L).map(i => ("same", i * 30 % 1000)) ++
+      (1L to 30L).map(_ => ("conc", 50L)) // all in one bin
+    val out = Stats.psi(rows.toDF("g", "v"), "g", "v", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("conc") > out("same"),
+      s"concentrated ${out("conc")} should exceed matching ${out("same")}")
+    assert(out("conc") > 200000000L, "one-bin group is 'drifted' (>0.2)")
+  }
+
+  test("psi: contributions are nonnegative so the sum is order-free") {
+    val rows = (1L to 200L).map(i => (s"g${i % 5}", i % 997))
+    val out = Stats.psi(rows.toDF("g", "v"), "g", "v", 100L).collect()
+    assert(out.forall(_.getLong(3) >= 0L))
+    assert(out.length === 5)
+  }
+
   // ---- anovaF / brownForsythe ----------------------------------------------
 
   test("anovaF: textbook two-group case") {
