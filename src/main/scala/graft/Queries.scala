@@ -10340,6 +10340,67 @@ object Queries {
         CASE WHEN kk.k_rank <= kk.n_cal THEN sel.qhat END AS qhat
       FROM kk LEFT JOIN sel USING (source) ORDER BY source"""))
 
+  /** (q267) Ordered event funnel view → click → purchase within 7
+    * days (TimeAgg.eventFunnel scaladoc): first-touch anchors, k−1
+    * user-keyed min-joins, counts per step.
+    */
+  val q267EventFunnel = Q(
+    "q267_a_event_funnel",
+    (s, dir) =>
+      operators.TimeAgg.eventFunnel(ev(s, dir), "user_id", "event_type",
+        "ts_us", Seq("view", "click", "purchase"),
+        windowMicros = 604800000000L)
+        .orderBy("step_idx"),
+    Some(s"""
+      WITH e AS (SELECT user_id AS u, event_type AS t, $EvUs AS ts
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      s0 AS (SELECT u, min(ts) AS anchor FROM e WHERE t = 'view'
+             GROUP BY u),
+      s1 AS (SELECT e.u, min(s0.anchor) AS anchor, min(e.ts) AS prev
+             FROM e JOIN s0 ON s0.u = e.u
+             WHERE e.t = 'click' AND e.ts > s0.anchor
+               AND e.ts - s0.anchor <= 604800000000
+             GROUP BY e.u),
+      s2 AS (SELECT e.u FROM e JOIN s1 ON s1.u = e.u
+             WHERE e.t = 'purchase' AND e.ts > s1.prev
+               AND e.ts - s1.anchor <= 604800000000
+             GROUP BY e.u)
+      SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+      UNION ALL SELECT 1, 'click',
+        (SELECT CAST(count(*) AS BIGINT) FROM s1)
+      UNION ALL SELECT 2, 'purchase',
+        (SELECT CAST(count(*) AS BIGINT) FROM s2)
+      ORDER BY step_idx"""))
+
+  /** (q268) Token burstiness (Segments.burstiness scaladoc):
+    * variance-to-mean ratio of per-doc counts with zeros, the exact
+    * (D·Q − S²)/((D−1)·S) integer ratio, df ≥ 5.
+    */
+  val q268Burstiness = Q(
+    "q268_tx_burstiness",
+    (s, dir) =>
+      operators.Segments.burstiness(t(s, dir, "documents"), "doc_id",
+        "text", minDf = 5L)
+        .orderBy("token"),
+    Some("""
+      WITH tk AS (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                 '\s+'), x -> len(x) > 0)) AS t
+             FROM documents),
+      pd AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      pt AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(c * c) AS BIGINT) AS q
+             FROM pd GROUP BY 1 HAVING count(*) >= 5),
+      dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents)
+      SELECT token, df, total,
+        CAST((1000000::HUGEINT * (d::HUGEINT * q - total::HUGEINT * total))
+          // ((d::HUGEINT - 1) * total) AS BIGINT) AS b_q
+      FROM pt CROSS JOIN dd WHERE d >= 2 ORDER BY token"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10414,5 +10475,6 @@ object Queries {
     q252IsotonicFit, q253KruskalWallis, q254KsTwoSample, q255CochranQ,
     q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
-    q264NegSampling, q265Psi, q266Conformal)
+    q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
+    q268Burstiness)
 }

@@ -296,6 +296,44 @@ object Segments {
         expr("1000000L * n_types + (1000000L * n_hapax * (n_hapax - 1))" +
           " div (2L * (n_dis + 1))").as("chao1_q"))
 
+  /** Per-token burstiness (Church & Gale 1995): the variance-to-mean
+    * ratio of a token's per-document count, zeros included — content
+    * words ARRIVE IN BURSTS (one doc uses "spark" twenty times, most
+    * use it never → VMR ≫ 1) while function words spread evenly
+    * (VMR ≈ 1, the Poisson floor). The signal dedup/quality scoring
+    * can't get from raw frequency: two tokens with equal corpus count
+    * but different burstiness are a topic word vs a stop word.
+    *
+    * EXACT: with D docs, S = Σ per-doc counts, Q = Σ counts², the
+    * sample VMR is (D·Q − S²)/((D−1)·S) — an integer ratio, so
+    * b_q = ⌊10⁶·num⌋ div den in decimal(38,0) with no float anywhere.
+    *
+    * Plan: one explode → (doc, token) hash agg → token hash agg
+    * (vocabulary-bounded), scalar D broadcast. `minDf` keeps hapax
+    * noise out of the output.
+    *
+    * @return (token, df, total, b_q) for tokens with df ≥ minDf
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf ($minDf) must be >= 1")
+    val d38 = "decimal(38,0)"
+    val perDoc = docs
+      .select(col(idCol).as("__id"), explode(toks(textCol)).as("__t"))
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__c"))
+    val perTok = perDoc.groupBy(col("__t").as("token"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__q"))
+      .filter(col("df") >= minDf)
+    val nDocs = docs.agg(count(lit(1)).as("__D"))
+    perTok.crossJoin(broadcast(nDocs))
+      .filter(col("__D") >= 2)
+      .select(col("token"), col("df"), col("total"),
+        expr(s"CAST((CAST(1000000 AS $d38) * " +
+          s"(CAST(__D AS $d38) * __q - CAST(total AS $d38) * total)) div " +
+          s"((CAST(__D AS $d38) - 1) * total) AS LONG)").as("b_q"))
+  }
+
   /** RAKE keyword extraction per group (Rose et al. 2010): candidate
     * phrases are maximal stopword-free token runs (length ≤
     * `maxPhraseLen`), each word w scores

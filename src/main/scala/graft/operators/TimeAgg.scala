@@ -898,4 +898,53 @@ object TimeAgg {
         col("trend_q"), col("detr_q"), col("seasonal_q"),
         (col("detr_q") - col("seasonal_q")).as("resid_q"))
   }
+
+  /** Ordered event funnel ("how many users view → click → purchase,
+    * in order, within the window"), FIRST-TOUCH semantics: the funnel
+    * anchors at each user's EARLIEST step-1 event; step i+1 matches
+    * the earliest step-(i+1) event STRICTLY after the user's step-i
+    * time and within `windowMicros` of the anchor. First-touch is the
+    * deterministic industry convention — it undercounts vs the
+    * any-anchor maximal match (a user whose early anchor dies but a
+    * later one converts is counted out), and that bias is the
+    * documented trade for a one-pass plan.
+    *
+    * Plan: one min-aggregate per step, chained by k−1 USER-keyed
+    * equi-joins (k = steps.length, bounded) — each join carries only
+    * (user, anchor, t_i) longs; the union of k single-row count
+    * aggregates forms the funnel table. Nothing ever sorts the raw
+    * event stream.
+    *
+    * @return (step_idx, step, n_users) — one row per step, n_users
+    *         nonincreasing
+    */
+  def eventFunnel(events: DataFrame, userCol: String, typeCol: String,
+                  epochMicrosCol: String, steps: Seq[String],
+                  windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val base = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(epochMicrosCol).cast("long").as("__ts"))
+      .na.drop()
+      .localCheckpoint(eager = false)
+    val s0 = base.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__anchor"))
+      .withColumn("__prev", col("__anchor"))
+    val chain = steps.zipWithIndex.tail.scanLeft(s0) {
+      case (prev, (step, _)) =>
+        base.filter(col("__t") === step)
+          .join(prev.select(col("__u"), col("__anchor"), col("__prev")),
+            Seq("__u"))
+          .filter(col("__ts") > col("__prev") &&
+            col("__ts") - col("__anchor") <= windowMicros)
+          .groupBy(col("__u"))
+          .agg(min(col("__anchor")).as("__anchor"),
+            min(col("__ts")).as("__prev"))
+    }
+    chain.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
 }

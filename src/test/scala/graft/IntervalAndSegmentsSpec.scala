@@ -297,4 +297,71 @@ class IntervalAndSegmentsSpec extends SparkSpec {
     assert(out === Map("x" -> 1L, "y" -> 1L),
       "only the (x,y) edge survives; (x,x) is a self-loop")
   }
+
+  // ---- burstiness ----------------------------------------------------------
+
+  test("burstiness: bursty token scores above an evenly spread one") {
+    // "even" once per doc (VMR -> sample var 0 -> b_q = 0);
+    // "burst" 4 times in one doc, absent in 3
+    val docs = Seq(
+      (1L, "even burst burst burst burst"),
+      (2L, "even filler"), (3L, "even filler"), (4L, "even filler"))
+      .toDF("doc_id", "text")
+    val out = Segments.burstiness(docs, "doc_id", "text", minDf = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("even") === ((4L, 4L, 0L))) // (4*4 - 16)/((3)*4) = 0
+    // burst: D=4, S=4, Q=16: (64 - 16)/(3*4) = 4 -> 4e6
+    assert(out("burst") === ((1L, 4L, 4000000L)))
+  }
+
+  test("burstiness: minDf filters hapax noise") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Segments.burstiness(docs, "doc_id", "text", minDf = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("a"))
+  }
+
+  // ---- eventFunnel ---------------------------------------------------------
+
+  private def funnel(rows: Seq[(Long, String, Long)],
+                     window: Long): Map[String, Long] = {
+    val df = rows.toDF("u", "t", "ts")
+    graft.operators.TimeAgg.eventFunnel(df, "u", "t", "ts",
+      Seq("view", "click", "buy"), window)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+  }
+
+  test("eventFunnel: in-order completion counts; out-of-order does not") {
+    val rows = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "buy", 30L), // converts
+      (2L, "click", 10L), (2L, "view", 20L), (2L, "buy", 30L), // click b4 view
+      (3L, "view", 10L), (3L, "buy", 20L))                     // skips click
+    // anchors: u1 view@10, u2 view@20, u3 view@10; only u1 has a
+    // click AFTER its anchor (u2's click@10 precedes its view)
+    val f = funnel(rows, window = 100L)
+    assert(f === Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+  }
+
+  test("eventFunnel: the window bounds the whole chain from the anchor") {
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "click", 5L), (1L, "buy", 50L),  // buy outside
+      (2L, "view", 0L), (2L, "click", 5L), (2L, "buy", 9L))   // inside
+    val f = funnel(rows, window = 10L)
+    assert(f === Map("view" -> 2L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("eventFunnel: strict ordering, ties do not advance the funnel") {
+    val rows = Seq((1L, "view", 10L), (1L, "click", 10L))
+    val f = funnel(rows, window = 100L)
+    assert(f === Map("view" -> 1L, "click" -> 0L, "buy" -> 0L))
+  }
+
+  test("eventFunnel: first-touch anchor is the documented undercount") {
+    // anchor view@0 expires before click@200; the later view@150
+    // would convert, but first-touch does not re-anchor
+    val rows = Seq((1L, "view", 0L), (1L, "view", 150L), (1L, "click", 200L))
+    val f = funnel(rows, window = 100L)
+    assert(f === Map("view" -> 1L, "click" -> 0L, "buy" -> 0L))
+  }
 }
