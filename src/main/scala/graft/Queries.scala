@@ -10401,6 +10401,62 @@ object Queries {
           // ((d::HUGEINT - 1) * total) AS BIGINT) AS b_q
       FROM pt CROSS JOIN dd WHERE d >= 2 ORDER BY token"""))
 
+  /** (q269) KMV bottom-64 vocabulary-overlap estimates between
+    * sources (Sketches.kmvOverlapPairs scaladoc): merged-minima union
+    * estimate, shared-minima Jaccard, intersection — the set algebra
+    * HLL can't do, fully md5-deterministic.
+    */
+  val q269KmvOverlap = Q(
+    "q269_sk_kmv_overlap",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .select(col("source"), explode(filter(
+          TextFns.tokens(col("text")), x => length(x) > 0)).as("tok"))
+      operators.Sketches.kmvOverlapPairs(toks, "source", "tok", k = 64)
+        .orderBy("set_a", "set_b")
+    },
+    Some {
+      val estC = 63.0 * math.pow(2, 60)
+      s"""
+      WITH v AS (SELECT DISTINCT s,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+             FROM (SELECT source AS s,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'),
+                       x -> len(x) > 0)) AS tok
+                   FROM documents WHERE source IS NOT NULL)),
+      mk AS (SELECT s, h FROM (SELECT s, h,
+               row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+             FROM v) WHERE rn <= 64),
+      sets AS (SELECT DISTINCT s FROM mk),
+      pairs AS (SELECT a.s AS set_a, b.s AS set_b
+                FROM sets a, sets b WHERE a.s < b.s),
+      mrg AS (SELECT p.set_a, p.set_b, m.h,
+                max(CASE WHEN m.s = p.set_a THEN 1 ELSE 0 END) AS ia,
+                max(CASE WHEN m.s = p.set_b THEN 1 ELSE 0 END) AS ib
+              FROM pairs p JOIN mk m ON m.s = p.set_a OR m.s = p.set_b
+              GROUP BY 1, 2, 3),
+      rk AS (SELECT set_a, set_b, h, ia, ib,
+               row_number() OVER (PARTITION BY set_a, set_b
+                 ORDER BY h) AS rn
+             FROM mrg),
+      ag AS (SELECT set_a, set_b, CAST(count(*) AS BIGINT) AS n_minima,
+               max(CASE WHEN rn = 64 THEN h END) AS hk,
+               CAST(sum(ia * ib) AS BIGINT) AS n_shared
+             FROM rk WHERE rn <= 64 GROUP BY 1, 2),
+      es AS (SELECT set_a, set_b, n_minima, n_shared,
+               CASE WHEN n_minima < 64 THEN 1000000 * n_minima
+                    ELSE CAST(floor(1000000.0 * ${estC}
+                      / CAST(hk AS DOUBLE)) AS BIGINT)
+               END AS union_est_q
+             FROM ag)
+      SELECT set_a, set_b, n_minima, n_shared, union_est_q,
+        (1000000 * n_shared) // least(n_minima, 64) AS jacc_q,
+        (n_shared * union_est_q) // least(n_minima, 64) AS inter_est_q
+      FROM es ORDER BY set_a, set_b"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10476,5 +10532,5 @@ object Queries {
     q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
-    q268Burstiness)
+    q268Burstiness, q269KmvOverlap)
 }

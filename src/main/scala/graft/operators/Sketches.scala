@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming-friendly frequency/cardinality sketches with FULLY
@@ -115,6 +116,84 @@ object Sketches {
         (lit(alpha) * lit(m.toDouble * m.toDouble) * lit(pow55) /
           (col("__s") + (lit(m.toLong) - col("__occ")) *
             lit(1L << 55)).cast("double")).as("hll_est"))
+  }
+
+  /** Bottom-k (KMV) distinct-value sketch per set (Bar-Yossef et al.
+    * 2002; Beyer et al. 2007): the k smallest md5₆₀ hashes of the
+    * set's DISTINCT values. The sketch HLL can't replace: k-minima
+    * lists MERGE under set union and support intersection via the
+    * shared-minima ratio — the audience-overlap primitive. Fully
+    * deterministic (md5-keyed, engine-portable).
+    *
+    * Plan: one distinct, one per-set window — the rank ≤ k filter
+    * lowers to a map-side partial WindowGroupLimit, so at most k rows
+    * per set per task reach the shuffle.
+    */
+  def kmvMinima(values: DataFrame, setCol: String, valueCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val w = Window.partitionBy(col("__s")).orderBy(col("h").asc)
+    values
+      .select(col(setCol).as("__s"),
+        Dedup.md5Hash60(col(valueCol).cast("string")).as("h"))
+      .na.drop()
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__s").as(setCol), col("h"),
+        col("__rn").cast("long").as("rn"))
+  }
+
+  /** Pairwise distinct-union / Jaccard / intersection estimates for
+    * every pair of sets, from the [[kmvMinima]] sketches: the union's
+    * bottom-k is the k smallest of the MERGED minima lists (KMV's
+    * closure property); with h_(k) the k-th smallest on the 2⁶⁰ grid,
+    *
+    *   |A ∪ B| ≈ (k−1)·2⁶⁰ / h_(k)      (exact count when < k minima)
+    *   Jaccard ≈ shared-in-bottom-k / k,  |A ∩ B| ≈ Ĵ · |A ∪ B|
+    *
+    * quantized once each (⌊10⁶·est⌋; Ĵ and the intersection are pure
+    * integer arithmetic on the union estimate). Everything after the
+    * sketches runs on |sets|²·k rows — sets are GROUPS (sources,
+    * shards, days), bounded by construction.
+    */
+  def kmvOverlapPairs(values: DataFrame, setCol: String, valueCol: String,
+                      k: Int): DataFrame = {
+    val m = kmvMinima(values, setCol, valueCol, k)
+      .select(col(setCol).as("__s"), col("h"))
+      .localCheckpoint(eager = false)
+    val sets = m.select(col("__s")).distinct()
+    val pairs = sets.select(col("__s").as("set_a"))
+      .crossJoin(broadcast(sets.select(col("__s").as("set_b"))))
+      .filter(col("set_a") < col("set_b"))
+    val fromA = pairs.join(m, col("set_a") === col("__s"))
+      .select(col("set_a"), col("set_b"), col("h"),
+        lit(1L).as("__ia"), lit(0L).as("__ib"))
+    val fromB = pairs.join(m, col("set_b") === col("__s"))
+      .select(col("set_a"), col("set_b"), col("h"),
+        lit(0L).as("__ia"), lit(1L).as("__ib"))
+    val merged = fromA.unionByName(fromB)
+      .groupBy(col("set_a"), col("set_b"), col("h"))
+      .agg(max(col("__ia")).as("__ia"), max(col("__ib")).as("__ib"))
+    val w = Window.partitionBy(col("set_a"), col("set_b"))
+      .orderBy(col("h").asc)
+    val estC = (k - 1).toDouble * math.pow(2, 60)
+    merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("set_a"), col("set_b"))
+      .agg(count(lit(1)).as("__cnt"),
+        max(when(col("__rn") === k, col("h"))).as("__hk"),
+        sum(col("__ia") * col("__ib")).as("__shared"))
+      .select(col("set_a"), col("set_b"), col("__cnt").as("n_minima"),
+        col("__shared").as("n_shared"),
+        when(col("__cnt") < k, lit(1000000L) * col("__cnt"))
+          .otherwise(floor(lit(1000000.0) * lit(estC) /
+            col("__hk").cast("double")).cast("long")).as("union_est_q"))
+      .withColumn("jacc_q",
+        expr(s"(1000000L * n_shared) div least(n_minima, ${k}L)"))
+      .withColumn("inter_est_q",
+        expr(s"(n_shared * union_est_q) div least(n_minima, ${k}L)"))
   }
 
   /** Exact φ = 1/den heavy hitters WITHOUT a full-cardinality shuffle

@@ -105,4 +105,52 @@ class SketchesSpec extends SparkSpec {
       assert(r === r8, s"layout $parts changed the heavy-hitter set")
     }
   }
+
+  // ---- KMV ----------------------------------------------------------------
+
+  test("kmvMinima: k smallest distinct hashes, duplicates collapse") {
+    val vals = (Seq.fill(5)("x") ++ Seq("y", "z", "w")).map(("s", _))
+      .toDF("set", "v")
+    val out = Sketches.kmvMinima(vals, "set", "v", k = 3).collect()
+    assert(out.length === 3, "4 distinct values, bottom-3 kept")
+    assert(out.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+    val hs = out.map(_.getLong(1))
+    assert(hs.distinct.length === 3 && hs.sorted.toSeq === hs.sorted.toSeq)
+  }
+
+  test("kmvOverlapPairs: sub-k sets give EXACT union/intersection") {
+    // |A| = 4, |B| = 4, |A ∩ B| = 2 -> union 6 < k: everything exact
+    val vals = (Seq("p", "q", "c1", "c2").map(("A", _)) ++
+      Seq("r", "t", "c1", "c2").map(("B", _))).toDF("set", "v")
+    val r = Sketches.kmvOverlapPairs(vals, "set", "v", k = 64).collect()(0)
+    assert((r.getString(0), r.getString(1)) === (("A", "B")))
+    assert(r.getLong(2) === 6L)             // merged minima
+    assert(r.getLong(3) === 2L)             // shared
+    assert(r.getLong(4) === 6000000L)       // exact union
+    assert(r.getLong(5) === (1000000L * 2) / 6)
+    assert(r.getLong(6) === (2L * 6000000L) / 6)
+  }
+
+  test("kmvOverlapPairs: estimate tracks truth within KMV error at k=256") {
+    // two 2000-element sets sharing 1000 -> union 3000, jacc 1/3
+    val a = (1 to 2000).map(i => ("A", s"v$i"))
+    val b = (1001 to 3000).map(i => ("B", s"v$i"))
+    val r = Sketches.kmvOverlapPairs((a ++ b).toDF("set", "v"),
+      "set", "v", k = 256).collect()(0)
+    val union = r.getLong(4) / 1e6
+    assert(union > 2400 && union < 3600,
+      s"union estimate $union too far from 3000") // ~6% rse at k=256
+    val jacc = r.getLong(5) / 1e6
+    assert(jacc > 0.2 && jacc < 0.47, s"jaccard $jacc too far from 1/3")
+  }
+
+  test("kmvOverlapPairs: deterministic across partition layouts") {
+    val vals = (1 to 500).map(i => (s"s${i % 3}", s"v${i % 211}"))
+      .toDF("set", "v")
+    val r1 = Sketches.kmvOverlapPairs(vals.repartition(1), "set", "v", 32)
+      .orderBy("set_a", "set_b").collect().toSeq.toString
+    val r17 = Sketches.kmvOverlapPairs(vals.repartition(17), "set", "v", 32)
+      .orderBy("set_a", "set_b").collect().toSeq.toString
+    assert(r1 === r17)
+  }
 }
