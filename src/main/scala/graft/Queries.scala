@@ -10457,6 +10457,43 @@ object Queries {
       FROM es ORDER BY set_a, set_b"""
     })
 
+  /** (q270) Mantel–Haenszel pooled odds ratio, exposure lang='en' vs
+    * outcome n_chars>300, stratified by source
+    * (Stats.mantelHaenszel scaladoc): per-stratum 1e-6 terms before
+    * the order-free sums, one final division.
+    */
+  val q270MantelHaenszel = Q(
+    "q270_a_mantel_haenszel",
+    (s, dir) =>
+      operators.Stats.mantelHaenszel(t(s, dir, "documents"), "source",
+        col("lang") === "en", col("n_chars") > 300),
+    Some("""
+      WITH st AS (SELECT source AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS e,
+               CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+             FROM documents WHERE source IS NOT NULL),
+      g AS (SELECT s, CAST(sum(e * y) AS BIGINT) AS a,
+              CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+              CAST(sum((1 - e) * y) AS BIGINT) AS c,
+              CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS n
+            FROM st GROUP BY s),
+      q AS (SELECT
+              CAST(floor(1000000.0 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS BIGINT) AS t,
+              CAST(floor(1000000.0 * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS BIGINT) AS u
+            FROM g),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(t) AS BIGINT) AS num_q,
+               CAST(sum(u) AS BIGINT) AS den_q FROM q)
+      SELECT n_strata, num_q, den_q,
+        CASE WHEN den_q > 0 THEN
+          CAST(floor(1000000.0 * CAST(num_q AS DOUBLE)
+            / CAST(den_q AS DOUBLE)) AS BIGINT)
+        END AS or_q
+      FROM ag"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10532,5 +10569,5 @@ object Queries {
     q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
-    q268Burstiness, q269KmvOverlap)
+    q268Burstiness, q269KmvOverlap, q270MantelHaenszel)
 }

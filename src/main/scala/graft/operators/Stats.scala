@@ -920,6 +920,56 @@ object Stats {
         sum(col("__k")).as("psi_q9"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio across strata ("is exposure
+    * associated with outcome AFTER controlling for the stratifying
+    * confounder" — the A/B-test answer Simpson's paradox breaks when
+    * you pool naively; [[simpson]] DETECTS the reversal, this
+    * estimates the deconfounded effect):
+    *
+    *   OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)
+    *
+    * over per-stratum 2×2 tables (a=exposed-positive, b=exposed-
+    * negative, c=unexposed-positive, d=unexposed-negative). Each
+    * stratum term is ⌊10⁶·x⌋ quantized to a long BEFORE the sums
+    * (order-free folds), and the ratio is one exact integer-to-double
+    * division. Null when the denominator is 0 (no discordant pairs).
+    *
+    * Plan: one hash agg to strata (four conditional counts), one
+    * scalar agg.
+    *
+    * @return one row (n_strata, num_q, den_q, or_q)
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, exposure: Column,
+                     outcome: Column): DataFrame = {
+    val strata = df
+      .select(col(stratumCol).as("__s"),
+        when(exposure, 1L).otherwise(0L).as("__e"),
+        when(outcome, 1L).otherwise(0L).as("__y"))
+      .na.drop(Seq("__s"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__e") * col("__y")).as("__a"),
+        sum(col("__e") * (lit(1L) - col("__y"))).as("__b"),
+        sum((lit(1L) - col("__e")) * col("__y")).as("__c"),
+        sum((lit(1L) - col("__e")) * (lit(1L) - col("__y"))).as("__d"),
+        count(lit(1)).as("__n"))
+    strata
+      .select(
+        // each count casts to double BEFORE the product — a·d as a
+        // long would overflow past ~3·10⁹ rows per stratum
+        floor(lit(1000000.0) *
+          (col("__a").cast("double") * col("__d").cast("double")) /
+          col("__n").cast("double")).cast("long").as("__t"),
+        floor(lit(1000000.0) *
+          (col("__b").cast("double") * col("__c").cast("double")) /
+          col("__n").cast("double")).cast("long").as("__u"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("__t")).as("num_q"),
+        sum(col("__u")).as("den_q"))
+      .select(col("n_strata"), col("num_q"), col("den_q"),
+        when(col("den_q") > 0,
+          floor(lit(1000000.0) * col("num_q").cast("double") /
+            col("den_q").cast("double")).cast("long")).as("or_q"))
+  }
+
   /** One-way ANOVA F over k groups ("do the group MEANS differ,
     * relative to within-group spread") — the parametric companion to
     * [[kruskalWallis]], from exact per-group moments (n_j, ΣX as

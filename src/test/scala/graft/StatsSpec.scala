@@ -446,6 +446,44 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- mantelHaenszel --------------------------------------------------------
+
+  test("mantelHaenszel: hand-computed pooled odds ratio") {
+    // s1: a=2 b=1 c=1 d=2 (n=6): t=⌊4e6/6⌋=666666, u=⌊1e6/6⌋=166666
+    // s2: a=b=c=d=1 (n=4): t=u=250000
+    // OR = ⌊1e6·916666/416666⌋ = 2200001
+    val rows =
+      Seq.fill(2)(("s1", true, true)) ++ Seq(("s1", true, false)) ++
+      Seq(("s1", false, true)) ++ Seq.fill(2)(("s1", false, false)) ++
+      Seq(("s2", true, true), ("s2", true, false),
+        ("s2", false, true), ("s2", false, false))
+    val df = rows.toDF("s", "e", "y")
+    val r = Stats.mantelHaenszel(df, "s", col("e"), col("y")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((2L, 916666L, 416666L)))
+    assert(r.getLong(3) === 2200001L)
+  }
+
+  test("mantelHaenszel: no discordant pairs -> null OR") {
+    val df = Seq(("s", true, true), ("s", false, false)).toDF("s", "e", "y")
+    val r = Stats.mantelHaenszel(df, "s", col("e"), col("y")).collect()(0)
+    assert(r.getLong(2) === 0L && r.isNullAt(3))
+  }
+
+  test("mantelHaenszel: deconfounds a Simpson reversal") {
+    // within each stratum exposure HELPS (OR > 1), but the pooled
+    // crude table reverses; MH must report the stratum-level truth
+    val rows =
+      (Seq.fill(9)(("low", true, true)) ++ Seq.fill(1)(("low", true, false)) ++
+       Seq.fill(16)(("low", false, true)) ++ Seq.fill(4)(("low", false, false)) ++
+       Seq.fill(4)(("high", true, true)) ++ Seq.fill(16)(("high", true, false)) ++
+       Seq.fill(1)(("high", false, true)) ++ Seq.fill(9)(("high", false, false)))
+    val df = rows.toDF("s", "e", "y")
+    val r = Stats.mantelHaenszel(df, "s", col("e"), col("y")).collect()(0)
+    assert(r.getLong(3) > 1000000L,
+      s"MH OR ${r.getLong(3)} must exceed 1 despite the crude reversal")
+  }
+
   // ---- psi -----------------------------------------------------------------
 
   test("psi: a group matching the corpus mix has near-zero drift") {
