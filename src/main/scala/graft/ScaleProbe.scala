@@ -914,6 +914,54 @@ object ScaleProbe {
       }
     }
 
+    if (section("layout")) {
+      // file-skipping evidence: range-partition+sort events by the
+      // Morton vs Hilbert key (16 "files"), then count files whose
+      // per-file (u, d) min/max envelope intersects a box predicate —
+      // exactly the column-stats pruning a parquet reader does. The
+      // Hilbert claim: no diagonal jumps → tighter envelopes → fewer
+      // files touched for the same boxes.
+      val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val base = ev0
+        .withColumn("u", pmod(col("user_id"), lit(256L)))
+        .withColumn("d", pmod(
+          operators.TimeAgg.epochMicros(ev0) / lit(86400000000L), lit(256L))
+          .cast("long"))
+        .select(col("u"), col("d"))
+        .persist()
+      base.count()
+      def envelopes(key: org.apache.spark.sql.Column, nFiles: Int) =
+        operators.Layout.zOrdered(base.withColumn("k", key), "k", nFiles)
+          .select(col("u"), col("d")).rdd.mapPartitions { it =>
+            val v = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+            if (v.isEmpty) Iterator.empty
+            else Iterator.single((v.map(_._1).min, v.map(_._1).max,
+              v.map(_._2).min, v.map(_._2).max))
+          }.collect()
+      // u spans the full 0..255 bucket range; d (epoch days mod 256)
+      // only the corpus' ~month — keep boxes inside the populated region
+      val boxes = for (i <- 0 until 8) yield
+        (i * 29L % 224, i * 29L % 224 + 31, i * 3L % 24, i * 3L % 24 + 7)
+      def touched(env: Array[(Long, Long, Long, Long)]): Double = {
+        val counts = boxes.map { case (ul, uh, dl, dh) =>
+          env.count { case (u0, u1, d0, d1) =>
+            u1 >= ul && u0 <= uh && d1 >= dl && d0 <= dh }
+        }
+        counts.sum.toDouble / boxes.size
+      }
+      for (nFiles <- Seq(16, 64)) {
+        val z = envelopes(
+          operators.Layout.zOrderKey(Seq(col("u"), col("d")), 8), nFiles)
+        val h = envelopes(
+          operators.Layout.hilbertKey(col("u"), col("d"), 8), nFiles)
+        val lin = envelopes(col("u") * 256L + col("d"), nFiles)
+        println(f"layout  nFiles=$nFiles%-3d box32 avg files touched: " +
+          f"zorder=${touched(z)}%5.2f  hilbert=${touched(h)}%5.2f  " +
+          f"rowmajor=${touched(lin)}%5.2f")
+      }
+      base.unpersist()
+    }
+
     if (section("session9")) {
       // winnowOverlapPairs: growth under corpus replication. Replicas
       // carry the SAME text, so every fingerprint's df multiplies by
