@@ -10494,6 +10494,99 @@ object Queries {
         END AS or_q
       FROM ag"""))
 
+  /** (q271) Wald SPRT curve for the purchase rate, H0 p=0.18 vs H1
+    * p=0.22 (Stats.sprtCurve scaladoc): ln constants precomputed to
+    * 1e-6 longs, the daily LLR walk is pure integer arithmetic.
+    */
+  val q271Sprt = Q(
+    "q271_a_sprt_curve",
+    (s, dir) =>
+      operators.Stats.sprtCurve(ev(s, dir), "ts_us",
+        col("event_type") === "purchase", p0Q = 180000L, p1Q = 220000L)
+        .orderBy("day"),
+    Some {
+      val p0 = 180000L.toDouble / 1e6
+      val p1 = 220000L.toDouble / 1e6
+      val c1 = math.floor(1e6 * math.log(p1 / p0)).toLong
+      val c2 = math.floor(1e6 * math.log((1.0 - p1) / (1.0 - p0))).toLong
+      s"""
+      WITH d AS (SELECT $EvUs // 86400000000 AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events),
+      g AS (SELECT day, CAST(count(*) AS BIGINT) AS n_day,
+              CAST(sum(y) AS BIGINT) AS s_day FROM d GROUP BY day),
+      c AS (SELECT day, n_day, s_day,
+              CAST(sum(n_day) OVER w AS BIGINT) AS n_cum,
+              CAST(sum(s_day) OVER w AS BIGINT) AS s_cum
+            FROM g WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW))
+      SELECT day, n_day, s_day, n_cum, s_cum,
+        s_cum * ${c1} + (n_cum - s_cum) * ${c2} AS llr_q
+      FROM c ORDER BY day"""
+    })
+
+  /** (q272) CUPED variance reduction, covariate = per-user views,
+    * metric = per-user purchases, arms by user parity
+    * (Stats.cuped scaladoc): exact pooled moments, one mirrored fp
+    * chain for θ, adjusted means, and the variance ratio.
+    */
+  val q272Cuped = Q(
+    "q272_a_cuped",
+    (s, dir) => {
+      val per = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      operators.Stats.cuped(per, col("user_id") % 2 === 0, "y", "x")
+        .orderBy("variant")
+    },
+    Some("""
+      WITH per AS (SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS y
+             FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                        ELSE 'control' END AS v, y, x FROM per),
+      arms AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x) AS HUGEINT) AS sx
+               FROM b GROUP BY v),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+              CAST(sum(x) AS HUGEINT) AS tsx,
+              CAST(sum(y) AS HUGEINT) AS tsy,
+              CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+              CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+              CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM b),
+      e AS (SELECT v, n, nn,
+              CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+              CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE) AS covn,
+              CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) AS varxn,
+              CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE) AS varyn,
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE) AS dx
+            FROM arms CROSS JOIN p)
+      SELECT v AS variant, n,
+        CAST(floor(1000000.0 * my) AS BIGINT) AS mean_y_q,
+        CASE WHEN nn >= 2 AND varxn > 0.0 THEN
+          CAST(floor(1000000.0 * (my - covn / varxn * dx)) AS BIGINT)
+        END AS mean_adj_q,
+        CASE WHEN nn >= 2 AND varxn > 0.0 THEN
+          CAST(floor(1000000.0 * (covn / varxn)) AS BIGINT)
+        END AS theta_q,
+        CASE WHEN nn >= 2 AND varxn > 0.0 AND varyn > 0.0 THEN
+          CAST(floor(1000000.0 * (1.0 - covn * covn
+            / (varxn * varyn))) AS BIGINT)
+        END AS var_ratio_q
+      FROM e ORDER BY variant"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10569,5 +10662,6 @@ object Queries {
     q256TextRank, q257ClusterSplit, q258TemperatureMix, q259Chao1,
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
-    q268Burstiness, q269KmvOverlap, q270MantelHaenszel)
+    q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
+    q271Sprt, q272Cuped)
 }

@@ -920,6 +920,101 @@ object Stats {
         sum(col("__k")).as("psi_q9"))
   }
 
+  /** Sequential probability ratio test curve (Wald 1945) for a
+    * conversion rate — H0: p = p0 vs H1: p = p1, the
+    * peeking-safe sequential A/B monitor: after each day the
+    * cumulative log-likelihood ratio is
+    *
+    *   LLR = S·ln(p1/p0) + (N−S)·ln((1−p1)/(1−p0))
+    *
+    * and the caller stops when it crosses ln((1−β)/α) (accept H1) or
+    * ln(β/(1−α)) (accept H0). The two ln constants are computed ONCE
+    * here from the micro-quantized rates and embedded as ⌊10⁶·c⌋
+    * longs, so the whole curve is PURE INTEGER arithmetic — no engine
+    * evaluates ln at query time and the walk is bit-identical
+    * anywhere (the [[PoissonCdf1]] constant-table device).
+    *
+    * Plan: one hash agg to days, one window over the bounded day
+    * grid.
+    *
+    * @return (day, n_day, s_day, n_cum, s_cum, llr_q) per day
+    */
+  def sprtCurve(df: DataFrame, epochMicrosCol: String, outcome: Column,
+                p0Q: Long, p1Q: Long): DataFrame = {
+    require(p0Q > 0 && p0Q < 1000000 && p1Q > 0 && p1Q < 1000000 &&
+      p0Q != p1Q, s"rates p0=$p0Q p1=$p1Q must be distinct in (0, 1e6)")
+    val p0 = p0Q.toDouble / 1e6
+    val p1 = p1Q.toDouble / 1e6
+    val c1 = math.floor(1e6 * math.log(p1 / p0)).toLong
+    val c2 = math.floor(1e6 * math.log((1.0 - p1) / (1.0 - p0))).toLong
+    val days = df
+      .select(expr(s"CAST($epochMicrosCol AS LONG) div 86400000000L")
+        .as("day"), when(outcome, 1L).otherwise(0L).as("__y"))
+      .na.drop(Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_day"), sum(col("__y")).as("s_day"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .withColumn("n_cum", sum(col("n_day")).over(w))
+      .withColumn("s_cum", sum(col("s_day")).over(w))
+      .withColumn("llr_q",
+        col("s_cum") * lit(c1) + (col("n_cum") - col("s_cum")) * lit(c2))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust the
+    * experiment metric with a pre-period covariate,
+    * ŷ = y − θ·(x − x̄), θ = cov(x, y)/var(x) — the industry device
+    * that removes between-unit variance an A/B test doesn't care
+    * about. θ comes from EXACT pooled moments (Σx, Σy, Σxy, Σx², n in
+    * decimal(38,0)):  θ = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗᵒᵗ), and
+    * each arm's adjusted mean is ȳ_a − θ·(x̄_a − x̄) — ONE mirrored
+    * fp chain after the exact aggregates. Also reports the variance
+    * ratio (1 − ρ²) the adjustment buys.
+    *
+    * Plan: one hash agg per arm, broadcast pooled scalars.
+    *
+    * @return one row per arm (variant, n, mean_y_q, mean_adj_q,
+    *         theta_q, var_ratio_q)
+    */
+  def cuped(df: DataFrame, variant: Column, metricCol: String,
+            covariateCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(when(variant, "treatment").otherwise("control")
+        .as("__v"), col(metricCol).cast("long").as("__y"),
+        col(covariateCol).cast("long").as("__x"))
+      .na.drop()
+    val arms = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__y"))).as("__sy"),
+        sum(dec(col("__x"))).as("__sx"))
+      .localCheckpoint(eager = false)
+    val pooled = base.agg(count(lit(1)).as("__n"),
+      sum(dec(col("__x"))).as("__tsx"), sum(dec(col("__y"))).as("__tsy"),
+      sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
+      sum(dec(col("__x")) * dec(col("__y"))).as("__sxy"),
+      sum(dec(col("__y")) * dec(col("__y"))).as("__syy"))
+    val d = (c: Column) => c.cast("double")
+    val n = d(col("__n"))
+    val covN = n * d(col("__sxy")) - d(col("__tsx")) * d(col("__tsy"))
+    val varXN = n * d(col("__sxx")) - d(col("__tsx")) * d(col("__tsx"))
+    val varYN = n * d(col("__syy")) - d(col("__tsy")) * d(col("__tsy"))
+    val theta = covN / varXN
+    val rho2 = covN * covN / (varXN * varYN)
+    val meanAdj = d(col("__sy")) / d(col("n")) -
+      theta * (d(col("__sx")) / d(col("n")) - d(col("__tsx")) / n)
+    val okX = col("__n") >= 2 && varXN > lit(0.0)
+    arms.crossJoin(broadcast(pooled))
+      .select(col("__v").as("variant"), col("n"),
+        floor(lit(1000000.0) * (d(col("__sy")) / d(col("n"))))
+          .cast("long").as("mean_y_q"),
+        when(okX, floor(lit(1000000.0) * meanAdj)
+          .cast("long")).as("mean_adj_q"),
+        when(okX, floor(lit(1000000.0) * theta)
+          .cast("long")).as("theta_q"),
+        when(okX && varYN > lit(0.0), floor(lit(1000000.0) *
+          (lit(1.0) - rho2)).cast("long")).as("var_ratio_q"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata ("is exposure
     * associated with outcome AFTER controlling for the stratifying
     * confounder" — the A/B-test answer Simpson's paradox breaks when

@@ -446,6 +446,73 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- sprtCurve -------------------------------------------------------------
+
+  test("sprtCurve: integer LLR walk matches the hand-computed constants") {
+    val c1 = math.floor(1e6 * math.log(0.22 / 0.18)).toLong
+    val c2 = math.floor(1e6 * math.log(0.78 / 0.82)).toLong
+    // day 0: 2 trials 1 success; day 1: 3 trials 0 successes
+    val df = Seq((0L, true), (43200000000L, false),
+      (86400000000L, false), (90000000000L, false), (100000000000L, false))
+      .toDF("ts", "y")
+    val out = Stats.sprtCurve(df, "ts", col("y"), 180000L, 220000L)
+      .orderBy("day").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(5) === 1L * c1 + 1L * c2)
+    assert(out(1).getLong(5) === 1L * c1 + 4L * c2)
+    assert(out(1).getLong(3) === 5L && out(1).getLong(4) === 1L)
+  }
+
+  test("sprtCurve: a hot streak drives LLR up, a cold streak down") {
+    val hot = (0 until 50).map(i => (i.toLong * 1000000L, true))
+    val cold = (0 until 50).map(i => (i.toLong * 1000000L, false))
+    val up = Stats.sprtCurve(hot.toDF("ts", "y"), "ts", col("y"),
+      180000L, 220000L).collect()(0).getLong(5)
+    val dn = Stats.sprtCurve(cold.toDF("ts", "y"), "ts", col("y"),
+      180000L, 220000L).collect()(0).getLong(5)
+    assert(up > 0L && dn < 0L)
+  }
+
+  // ---- cuped -----------------------------------------------------------------
+
+  test("cuped: perfectly correlated covariate removes ~all variance") {
+    // y = x exactly -> rho^2 = 1 -> var_ratio ~ 0; theta = 1
+    val rows = (1L to 40L).map(i => (i, i % 13, i % 13))
+    val df = rows.toDF("u", "y", "x")
+    val out = Stats.cuped(df, col("u") % 2 === 0, "y", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out("treatment")._1 === 1000000L) // theta = 1 exactly
+    assert(out("treatment")._2 <= 1L, "variance ratio must collapse to ~0")
+  }
+
+  test("cuped: independent covariate leaves the means unadjusted-ish") {
+    // x constant -> var(x) = 0 -> honest nulls for adjusted columns
+    val df = (1L to 20L).map(i => (i, i % 7, 5L)).toDF("u", "y", "x")
+    val r = Stats.cuped(df, col("u") % 2 === 0, "y", "x").collect()(0)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("cuped: adjusted treatment-control gap tightens toward the true effect") {
+    // y = x + effect(variant), x independent of the arm (CUPED's
+    // pre-period contract): the accidental x imbalance between arms
+    // pollutes the raw gap; the adjustment removes exactly that term
+    val rows = (1L to 100L).map { i =>
+      val treat = i % 2 == 0
+      val x = (i * 7) % 11
+      val y = x + (if (treat) 5L else 0L)
+      (i, y, x)
+    }
+    val out = Stats.cuped(rows.toDF("u", "y", "x"), col("u") % 2 === 0,
+      "y", "x").collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val rawGap = out("treatment")._1 - out("control")._1
+    val adjGap = out("treatment")._2 - out("control")._2
+    assert(math.abs(adjGap - 5000000L) < math.abs(rawGap - 5000000L),
+      s"adjusted gap $adjGap should beat raw $rawGap at recovering 5e6")
+    assert(math.abs(adjGap - 5000000L) < 300000L)
+  }
+
   // ---- mantelHaenszel --------------------------------------------------------
 
   test("mantelHaenszel: hand-computed pooled odds ratio") {
