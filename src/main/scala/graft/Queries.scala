@@ -10587,6 +10587,106 @@ object Queries {
         END AS var_ratio_q
       FROM e ORDER BY variant"""))
 
+  /** (q273) Difference-in-differences on the purchase rate, arms by
+    * user parity, post = second half of the corpus month
+    * (Stats.diffInDiff scaladoc): four exact cells, one fp chain.
+    */
+  val q273DiD = Q(
+    "q273_a_diff_in_diff",
+    (s, dir) =>
+      operators.Stats.diffInDiff(
+        ev(s, dir).filter(col("user_id").isNotNull)
+          .withColumn("m", when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)),
+        col("user_id") % 2 === 0,
+        expr("ts_us div 86400000000L") >= 19738L, "m"),
+    Some(s"""
+      WITH b AS (SELECT
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS v,
+               CASE WHEN $EvUs // 86400000000 >= 19738 THEN 1 ELSE 0
+                 END AS p,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             FROM events WHERE user_id IS NOT NULL),
+      a AS (SELECT
+              CAST(sum(CASE WHEN v = 1 AND p = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_t_pre,
+              CAST(sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_t_post,
+              CAST(sum(CASE WHEN v = 0 AND p = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_c_pre,
+              CAST(sum(CASE WHEN v = 0 AND p = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_c_post,
+              CAST(sum(CASE WHEN v = 1 AND p = 0 THEN y ELSE 0 END)
+                AS BIGINT) AS stp,
+              CAST(sum(CASE WHEN v = 1 AND p = 1 THEN y ELSE 0 END)
+                AS BIGINT) AS sto,
+              CAST(sum(CASE WHEN v = 0 AND p = 0 THEN y ELSE 0 END)
+                AS BIGINT) AS scp,
+              CAST(sum(CASE WHEN v = 0 AND p = 1 THEN y ELSE 0 END)
+                AS BIGINT) AS sco
+            FROM b)
+      SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        CASE WHEN n_t_pre > 0 THEN CAST(floor(1000000.0
+          * (CAST(stp AS DOUBLE) / CAST(n_t_pre AS DOUBLE)))
+          AS BIGINT) END AS m_t_pre_q,
+        CASE WHEN n_t_post > 0 THEN CAST(floor(1000000.0
+          * (CAST(sto AS DOUBLE) / CAST(n_t_post AS DOUBLE)))
+          AS BIGINT) END AS m_t_post_q,
+        CASE WHEN n_c_pre > 0 THEN CAST(floor(1000000.0
+          * (CAST(scp AS DOUBLE) / CAST(n_c_pre AS DOUBLE)))
+          AS BIGINT) END AS m_c_pre_q,
+        CASE WHEN n_c_post > 0 THEN CAST(floor(1000000.0
+          * (CAST(sco AS DOUBLE) / CAST(n_c_post AS DOUBLE)))
+          AS BIGINT) END AS m_c_post_q,
+        CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0
+            AND n_c_post > 0 THEN
+          CAST(floor(1000000.0 * ((CAST(sto AS DOUBLE)
+            / CAST(n_t_post AS DOUBLE) - CAST(stp AS DOUBLE)
+            / CAST(n_t_pre AS DOUBLE)) - (CAST(sco AS DOUBLE)
+            / CAST(n_c_post AS DOUBLE) - CAST(scp AS DOUBLE)
+            / CAST(n_c_pre AS DOUBLE)))) AS BIGINT)
+        END AS did_q
+      FROM a"""))
+
+  /** (q274) Cochran–Armitage trend of English rate across length
+    * deciles (Stats.cochranArmitage scaladoc): exact decimal T, one
+    * mirrored z chain.
+    */
+  val q274CochranArmitage = Q(
+    "q274_a_ca_trend",
+    (s, dir) =>
+      operators.Stats.cochranArmitage(
+        t(s, dir, "documents").filter(col("n_chars").isNotNull)
+          .withColumn("dose", least(expr("n_chars div 100L"), lit(9L))),
+        "dose", col("lang") === "en"),
+    Some("""
+      WITH d AS (SELECT least(n_chars // 100, 9) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents WHERE n_chars IS NOT NULL),
+      c AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS r FROM d GROUP BY s),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(r) AS BIGINT) AS r_total,
+              CAST(sum(CAST(s AS HUGEINT) * n) AS HUGEINT) AS sn,
+              CAST(sum(CAST(s AS HUGEINT) * s * n) AS HUGEINT) AS ssn,
+              CAST(sum(CAST(s AS HUGEINT) * r) AS HUGEINT) AS sr
+            FROM c),
+      z AS (SELECT k, n_total, r_total,
+              CAST(sr * n_total - sn * r_total AS BIGINT) AS t_num,
+              (CAST(r_total AS DOUBLE) * (CAST(n_total AS DOUBLE)
+                - CAST(r_total AS DOUBLE)) / CAST(n_total AS DOUBLE))
+              * ((CAST(n_total AS DOUBLE) * CAST(ssn AS DOUBLE)
+                - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                / CAST(n_total AS DOUBLE)) AS var_t
+            FROM a)
+      SELECT k, n_total, r_total, t_num,
+        CASE WHEN r_total > 0 AND r_total < n_total AND k >= 2 THEN
+          CAST(floor(1000000.0 * CAST(t_num AS DOUBLE) / sqrt(var_t))
+            AS BIGINT)
+        END AS z_q
+      FROM z"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10663,5 +10763,5 @@ object Queries {
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
     q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
-    q271Sprt, q272Cuped)
+    q271Sprt, q272Cuped, q273DiD, q274CochranArmitage)
 }

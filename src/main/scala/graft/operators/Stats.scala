@@ -1015,6 +1015,91 @@ object Stats {
           (lit(1.0) - rho2)).cast("long")).as("var_ratio_q"))
   }
 
+  /** Difference-in-differences ("did the change CAUSE the lift, or
+    * was the cohort already trending") — the two-period, two-group
+    * causal baseline: with cell means ȳ over (variant × period),
+    *
+    *   DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre).
+    *
+    * One scan, four conditional exact (n, Σy) pairs, ONE mirrored fp
+    * chain of four divisions and three subtractions. Cell means are
+    * also emitted so the parallel-trends eyeball check is possible.
+    * Null when any cell is empty (no estimate without all four).
+    *
+    * @return one row (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    *         m_t_pre_q, m_t_post_q, m_c_pre_q, m_c_post_q, did_q)
+    */
+  def diffInDiff(df: DataFrame, variant: Column, post: Column,
+                 metricCol: String): DataFrame = {
+    val base = df.select(when(variant, 1L).otherwise(0L).as("__v"),
+        when(post, 1L).otherwise(0L).as("__p"),
+        col(metricCol).cast("long").as("__y"))
+      .na.drop(Seq("__y"))
+    def cell(v: Int, p: Int, what: Column) =
+      sum(when(col("__v") === v && col("__p") === p, what).otherwise(0L))
+    val agg = base.agg(
+      cell(1, 0, lit(1L)).as("n_t_pre"), cell(1, 1, lit(1L)).as("n_t_post"),
+      cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 1, lit(1L)).as("n_c_post"),
+      cell(1, 0, col("__y")).as("__stp"), cell(1, 1, col("__y")).as("__sto"),
+      cell(0, 0, col("__y")).as("__scp"), cell(0, 1, col("__y")).as("__sco"))
+    val d = (s: String, n: String) => col(s).cast("double") /
+      col(n).cast("double")
+    val ok = col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+      col("n_c_pre") > 0 && col("n_c_post") > 0
+    val q = (c: Column) => floor(lit(1000000.0) * c).cast("long")
+    agg.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+      col("n_c_post"),
+      when(col("n_t_pre") > 0, q(d("__stp", "n_t_pre"))).as("m_t_pre_q"),
+      when(col("n_t_post") > 0, q(d("__sto", "n_t_post"))).as("m_t_post_q"),
+      when(col("n_c_pre") > 0, q(d("__scp", "n_c_pre"))).as("m_c_pre_q"),
+      when(col("n_c_post") > 0, q(d("__sco", "n_c_post"))).as("m_c_post_q"),
+      when(ok, q((d("__sto", "n_t_post") - d("__stp", "n_t_pre")) -
+        (d("__sco", "n_c_post") - d("__scp", "n_c_pre")))).as("did_q"))
+  }
+
+  /** Cochran–Armitage trend test ("does the success RATE move
+    * monotonically with the ordered dose") — the 2×k trend companion
+    * to [[chiSquare]]'s unordered association: with integer scores
+    * s_i, per-dose trials n_i and successes r_i, R = Σr, N = Σn,
+    *
+    *   T = Σ s_i·(r_i·N − n_i·R)           (exact — decimal(38,0))
+    *   Var = R(N−R)/N · (N·Σs²n − (Σsn)²) / N
+    *
+    * and z = T/√Var is ONE mirrored fp chain on exact-integer-valued
+    * doubles. The dose score IS the bucket index — the caller's
+    * bucketing defines the ordering.
+    *
+    * @return one row (k, n_total, r_total, t_num, z_q)
+    */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      outcome: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(doseCol).cast("long").as("__s"),
+        when(outcome, 1L).otherwise(0L).as("__y"))
+      .na.drop(Seq("__s"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__r"))
+    val agg = cells.agg(count(lit(1)).as("k"), sum(col("__n")).as("n_total"),
+      sum(col("__r")).as("r_total"),
+      sum(dec(col("__s")) * dec(col("__n"))).as("__sn"),
+      sum(dec(col("__s")) * dec(col("__s")) * dec(col("__n"))).as("__ssn"),
+      sum(dec(col("__s")) * dec(col("__r"))).as("__sr"))
+    val d = (c: Column) => c.cast("double")
+    // T = Σs·r·N − Σs·n·R (the Σ distributes — exact in decimal)
+    val tNum = dec(col("__sr")) * dec(col("n_total")) -
+      dec(col("__sn")) * dec(col("r_total"))
+    val varT = (d(col("r_total")) *
+      (d(col("n_total")) - d(col("r_total"))) / d(col("n_total"))) *
+      ((d(col("n_total")) * d(col("__ssn")) -
+        d(col("__sn")) * d(col("__sn"))) / d(col("n_total")))
+    agg.select(col("k"), col("n_total"), col("r_total"),
+      tNum.cast("long").as("t_num"),
+      when(col("r_total") > 0 && col("r_total") < col("n_total") &&
+          col("k") >= 2,
+        floor(lit(1000000.0) * d(tNum.cast("long")) / sqrt(varT))
+          .cast("long")).as("z_q"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata ("is exposure
     * associated with outcome AFTER controlling for the stratifying
     * confounder" — the A/B-test answer Simpson's paradox breaks when

@@ -446,6 +446,65 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- diffInDiff ------------------------------------------------------------
+
+  test("diffInDiff: hand-computed cells and estimate") {
+    // treatment: pre mean 1, post mean 4 (+3); control: 1 -> 2 (+1)
+    // DiD = 3 - 1 = 2
+    val rows = Seq(
+      (true, false, 1L), (true, false, 1L), (true, true, 4L),
+      (false, false, 1L), (false, true, 2L), (false, true, 2L))
+    val df = rows.toDF("v", "p", "m")
+    val r = Stats.diffInDiff(df, col("v"), col("p"), "m").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 1L, 2L)))
+    assert(r.getLong(4) === 1000000L && r.getLong(5) === 4000000L)
+    assert(r.getLong(8) === 2000000L)
+  }
+
+  test("diffInDiff: an empty cell yields an honest null estimate") {
+    val df = Seq((true, true, 1L), (false, false, 2L), (false, true, 3L))
+      .toDF("v", "p", "m")
+    val r = Stats.diffInDiff(df, col("v"), col("p"), "m").collect()(0)
+    assert(r.getLong(0) === 0L && r.isNullAt(8))
+  }
+
+  test("diffInDiff: parallel trends with no effect gives DiD = 0") {
+    val rows = Seq((true, false, 5L), (true, true, 8L),
+      (false, false, 2L), (false, true, 5L))
+    val r = Stats.diffInDiff(rows.toDF("v", "p", "m"),
+      col("v"), col("p"), "m").collect()(0)
+    assert(r.getLong(8) === 0L)
+  }
+
+  // ---- cochranArmitage ---------------------------------------------------------
+
+  test("cochranArmitage: perfect positive trend gives a large positive z") {
+    // dose 0: 0/10 success; dose 1: 5/10; dose 2: 10/10
+    val rows = (1 to 10).map(_ => (0L, false)) ++
+      (1 to 5).map(_ => (1L, true)) ++ (1 to 5).map(_ => (1L, false)) ++
+      (1 to 10).map(_ => (2L, true))
+    val r = Stats.cochranArmitage(rows.toDF("dose", "y"), "dose",
+      col("y")).collect()(0)
+    // T = Σs·r·N − Σs·n·R = (5 + 20)*30 − (10+20)*15 = 750 − 450 = 300
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 30L, 15L, 300L)))
+    assert(r.getLong(4) > 5000000L, s"z ${r.getLong(4)} should be >> 0")
+  }
+
+  test("cochranArmitage: flat rates give z ~ 0; reversed trend negative") {
+    val flat = (0L to 2L).flatMap(s =>
+      Seq((s, true), (s, false), (s, true), (s, false)))
+    val rf = Stats.cochranArmitage(flat.toDF("dose", "y"), "dose",
+      col("y")).collect()(0)
+    assert(rf.getLong(3) === 0L && math.abs(rf.getLong(4)) <= 1L)
+    val rev = (1 to 10).map(_ => (0L, true)) ++
+      (1 to 10).map(_ => (2L, false))
+    val rr = Stats.cochranArmitage(rev.toDF("dose", "y"), "dose",
+      col("y")).collect()(0)
+    assert(rr.getLong(4) < 0L)
+  }
+
   // ---- sprtCurve -------------------------------------------------------------
 
   test("sprtCurve: integer LLR walk matches the hand-computed constants") {
