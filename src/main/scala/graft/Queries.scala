@@ -10687,6 +10687,60 @@ object Queries {
         END AS z_q
       FROM z"""))
 
+  /** (q275) Poisson-bootstrap CI for the median doc length
+    * (Stats.poissonBootstrapMedian scaladoc): weighted lower medians
+    * on the per-replicate value grid — integers end to end.
+    */
+  val q275BootstrapMedian = Q(
+    "q275_a_bootstrap_median",
+    (s, dir) =>
+      operators.Stats.poissonBootstrapMedian(t(s, dir, "documents"),
+        "doc_id", "n_chars", reps = 40, salt = "r8"),
+    Some {
+      val cases = operators.Stats.PoissonCdf1.zipWithIndex
+        .map { case (t, k) => s"WHEN u < ${t} THEN ${k}" }
+        .mkString(" ")
+      s"""
+      WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS v
+             FROM documents
+             WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      g0 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+      e0 AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+             FROM g0),
+      est AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                CAST(min(v) AS BIGINT) AS est_median
+              FROM e0 WHERE 2 * cum >= n),
+      r AS (SELECT id, v, CAST(t.r AS BIGINT) AS r
+            FROM b, LATERAL unnest(range(0, 40)) t(r)),
+      u AS (SELECT r, v,
+              (CAST(('0x' || substr(md5(id || ':'
+                 || CAST(r AS VARCHAR) || ':r8'), 1, 15))::BIGINT
+                 AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+            FROM r),
+      w AS (SELECT r, v, CASE ${cases} ELSE 9 END AS w FROM u),
+      gw AS (SELECT r, v, CAST(sum(w) AS BIGINT) AS cw FROM w
+             GROUP BY r, v),
+      cw AS (SELECT r, v,
+               sum(cw) OVER (PARTITION BY r ORDER BY v ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cw) OVER (PARTITION BY r) AS tot
+             FROM gw),
+      md AS (SELECT r, CAST(min(v) AS BIGINT) AS m FROM cw
+             WHERE 2 * cum >= tot AND tot > 0 GROUP BY r),
+      rk AS (SELECT r, m, row_number() OVER (ORDER BY m ASC, r ASC)
+               AS rn FROM md),
+      ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+               CAST(max(CASE WHEN rn = 2 THEN m END) AS BIGINT)
+                 AS ci_lo,
+               CAST(max(CASE WHEN rn = 39 THEN m END) AS BIGINT)
+                 AS ci_hi
+             FROM rk)
+      SELECT n, n_reps, est_median, ci_lo, ci_hi
+      FROM est CROSS JOIN ci"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10763,5 +10817,6 @@ object Queries {
     q260AucCi, q261PoissonBootstrap, q262AnovaF, q263BrownForsythe,
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
     q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
-    q271Sprt, q272Cuped, q273DiD, q274CochranArmitage)
+    q271Sprt, q272Cuped, q273DiD, q274CochranArmitage,
+    q275BootstrapMedian)
 }

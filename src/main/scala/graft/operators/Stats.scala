@@ -1330,6 +1330,75 @@ object Stats {
         col("ci_lo_q"), col("ci_hi_q"))
   }
 
+  /** Poisson-bootstrap confidence interval for the MEDIAN — the
+    * robust companion to [[poissonBootstrap]]'s mean CI (corpus
+    * length/score distributions are heavy-tailed; the median is the
+    * number people should quote, and it needs an error bar too).
+    * Same deterministic device: replicate r reweights each row by the
+    * seeded Poisson(1) inverse CDF; each replicate's weighted LOWER
+    * median is the smallest value v with 2·cumweight(v) ≥ totalweight
+    * — an integer rule over the per-replicate value grid, no floats
+    * at all until nothing (the estimate is a data value). CI bounds
+    * are exact order statistics of the replicate medians.
+    *
+    * Plan: reps-way explode → (rep, value) hash agg (grid is reps ×
+    * distinct values — bounded by value cardinality), per-rep window
+    * over the grid, one reps-row window for the percentiles.
+    *
+    * @return one row (n, n_reps, est_median, ci_lo, ci_hi) — all in
+    *         the metric's own units (exact data values)
+    */
+  def poissonBootstrapMedian(df: DataFrame, idCol: String,
+                             valueCol: String, reps: Int,
+                             salt: String): DataFrame = {
+    require(reps >= 4 && reps <= 256, s"reps ($reps) must be in [4, 256]")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .localCheckpoint(eager = false)
+    // exact corpus lower median from the value grid
+    val grid0 = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val wCum0 = Window.orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = grid0
+      .withColumn("__cum", sum(col("__c")).over(wCum0))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy(col("__v").asc).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(lit(2L) * col("__cum") >= col("__n"))
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("est_median"))
+    val u = (Dedup.md5Hash60(concat_ws(":", col("__id"),
+      col("__r").cast("string"), lit(salt))).cast("double") + lit(0.5)) /
+      lit(math.pow(2, 60))
+    val wgt = PoissonCdf1.zipWithIndex.foldRight(lit(9L)) {
+      case ((c, k), acc) => when(u < lit(c), lit(k.toLong)).otherwise(acc)
+    }
+    val grid = base
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__r"))
+      .select(col("__r"), col("__v"), wgt.as("__w"))
+      .groupBy(col("__r"), col("__v")).agg(sum(col("__w")).as("__cw"))
+    val wCum = Window.partitionBy(col("__r")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__r"))
+    val repMed = grid
+      .withColumn("__cum", sum(col("__cw")).over(wCum))
+      .withColumn("__tot", sum(col("__cw")).over(wAll))
+      .filter(lit(2L) * col("__cum") >= col("__tot") && col("__tot") > 0)
+      .groupBy(col("__r")).agg(min(col("__v")).as("__m"))
+    val loIdx = (reps * 25) / 1000 + 1
+    val hiIdx = reps - (reps * 25) / 1000
+    val wRank = Window.orderBy(col("__m").asc, col("__r").asc)
+    val ci = repMed
+      .withColumn("__rn", row_number().over(wRank))
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("__rn") === loIdx, col("__m"))).as("ci_lo"),
+        max(when(col("__rn") === hiIdx, col("__m"))).as("ci_hi"))
+    est.crossJoin(broadcast(ci))
+      .select(col("n"), col("n_reps"), col("est_median"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Cramér's V effect size over two categorical columns — the
     * normalized companion to [[chiSquare]] ("HOW strongly are source
     * and language associated", on the engine-exact [0, 1] scale).

@@ -719,6 +719,26 @@ class StatsSpec extends SparkSpec {
     assert(a.getLong(3) < a.getLong(4), "spread data -> nonzero CI width")
   }
 
+  test("poissonBootstrapMedian: constant metric collapses the CI") {
+    val df = (1L to 150L).map(i => (i, 42L)).toDF("id", "v")
+    val r = Stats.poissonBootstrapMedian(df, "id", "v", 40, "s")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((150L, 40L)))
+    assert(r.getLong(2) === 42L && r.getLong(3) === 42L &&
+      r.getLong(4) === 42L)
+  }
+
+  test("poissonBootstrapMedian: exact lower median; CI brackets it") {
+    // values 1..101: median 51
+    val df = (1L to 101L).map(i => (i, i)).toDF("id", "v")
+    val r = Stats.poissonBootstrapMedian(df, "id", "v", 40, "s")
+      .collect()(0)
+    assert(r.getLong(2) === 51L)
+    assert(r.getLong(3) <= 51L && 51L <= r.getLong(4))
+    assert(r.getLong(3) > 30L && r.getLong(4) < 72L,
+      s"CI [${r.getLong(3)}, ${r.getLong(4)}] implausibly wide for n=101")
+  }
+
   test("cochranQ: duplicate events collapse to presence") {
     val once = Seq((1L, "x"), (2L, "y")).toDF("blk", "trt")
     val dup = Seq((1L, "x"), (1L, "x"), (1L, "x"), (2L, "y"))
