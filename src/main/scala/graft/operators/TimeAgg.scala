@@ -900,7 +900,11 @@ object TimeAgg {
   }
 
   /** Ordered event funnel ("how many users view → click → purchase,
-    * in order, within the window"), FIRST-TOUCH semantics: the funnel
+    * in order, within the window"), FIRST-TOUCH semantics — the
+    * step-COUNTS report complementing [[funnel]] (q157), which returns
+    * per-USER stages with a fresh horizon per step; here the whole
+    * chain must fit one window from the anchor, any number of steps,
+    * and the output is the per-step conversion table. The funnel
     * anchors at each user's EARLIEST step-1 event; step i+1 matches
     * the earliest step-(i+1) event STRICTLY after the user's step-i
     * time and within `windowMicros` of the anchor. First-touch is the
