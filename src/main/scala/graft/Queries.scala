@@ -10741,6 +10741,109 @@ object Queries {
       FROM est CROSS JOIN ci"""
     })
 
+  /** (q276) Lagged cross-correlation of daily views vs purchases
+    * (Stats.ccf scaladoc): densified day grid, lags −7..7, exact
+    * decimal moments per lag.
+    */
+  val q276Ccf = Q(
+    "q276_a_ccf_lags",
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000L"))
+        .groupBy(lit("all").as("g"), col("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      operators.Stats.ccf(daily, "g", "day", "x", "y", stepSec = 1L,
+        maxLag = 7)
+        .orderBy("lag")
+    },
+    Some(s"""
+      WITH daily AS (SELECT $EvUs // 86400000000 AS b,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS y
+             FROM events GROUP BY 1),
+      sp AS (SELECT min(b) AS lo, max(b) AS hi FROM daily),
+      dense AS (SELECT t.b, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+                FROM (SELECT unnest(range(lo, hi + 1)) AS b FROM sp) t
+                LEFT JOIN daily d ON d.b = t.b),
+      lg AS (SELECT l.lag, a.x, b.y AS yl
+             FROM (SELECT unnest(range(-7, 8)) AS lag) l
+             JOIN dense a ON true
+             JOIN dense b ON b.b = a.b + l.lag),
+      ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(yl) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * yl) AS HUGEINT) AS sxy
+             FROM lg GROUP BY lag)
+      SELECT 'all' AS g, CAST(lag AS INT) AS lag, n_pairs,
+        CASE WHEN (n_pairs * sxx - sx * sx) > 0
+            AND (n_pairs * syy - sy * sy) > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))))
+            AS BIGINT)
+        END AS ccf_q
+      FROM ag ORDER BY lag"""))
+
+  /** (q277) Jonckheere–Terpstra trend of per-user daily activity
+    * across the corpus weeks (Stats.jonckheereTerpstra scaladoc):
+    * doubled pairwise U from the groups × values grid, exact moments.
+    */
+  val q277Jonckheere = Q(
+    "q277_a_jonckheere",
+    (s, dir) => {
+      val perUD = ev(s, dir).filter(col("user_id").isNotNull)
+        .withColumn("day", expr("ts_us div 86400000000L"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("c"))
+        .withColumn("wk",
+          concat(lit("w"), expr("(day - 19723L) div 7L")))
+      operators.Stats.jonckheereTerpstra(perUD, "wk", "c")
+    },
+    Some(s"""
+      WITH pu AS (SELECT user_id, $EvUs // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS c
+             FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      cl AS (SELECT 'w' || CAST((day - 19723) // 7 AS VARCHAR) AS g,
+               c AS v, CAST(count(*) AS BIGINT) AS cc
+             FROM pu GROUP BY 1, 2),
+      grp AS (SELECT g, CAST(sum(cc) AS BIGINT) AS n FROM cl GROUP BY g),
+      vals AS (SELECT DISTINCT v FROM cl),
+      grid AS (SELECT gr.g, va.v, coalesce(cl.cc, 0) AS c
+               FROM grp gr CROSS JOIN vals va
+               LEFT JOIN cl ON cl.g = gr.g AND cl.v = va.v),
+      cum AS (SELECT g, v, c,
+                sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) - c AS below
+              FROM grid),
+      jj AS (SELECT CAST(sum(b.c * (2 * a.below + a.c)) AS BIGINT) AS j2
+             FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+               CAST(sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS HUGEINT)
+                 AS sn3
+             FROM grp),
+      zz AS (SELECT k, n_total, j2,
+               CAST((CAST(n_total AS HUGEINT) * n_total - sn2) // 2
+                 AS BIGINT) AS e2,
+               (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                 * (2.0 * CAST(n_total AS DOUBLE) + 3.0)
+                 - CAST(sn3 AS DOUBLE)) / 72.0 AS var_j
+             FROM jj CROSS JOIN mm)
+      SELECT k, n_total, j2, e2,
+        CASE WHEN k >= 2 AND var_j > 0.0 THEN
+          CAST(floor(1000000.0 * ((CAST(j2 AS DOUBLE)
+            - CAST(e2 AS DOUBLE)) * 0.5) / sqrt(var_j)) AS BIGINT)
+        END AS z_q
+      FROM zz"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10818,5 +10921,5 @@ object Queries {
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
     q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
     q271Sprt, q272Cuped, q273DiD, q274CochranArmitage,
-    q275BootstrapMedian)
+    q275BootstrapMedian, q276Ccf, q277Jonckheere)
 }

@@ -584,6 +584,124 @@ object Stats {
           .cast("long")).as("acf_q"))
   }
 
+  /** Lagged cross-correlation function between two bucketed series
+    * per group ("do purchases FOLLOW views, and by how many days") —
+    * the cross-series companion to [[acf]], on the same shift-join
+    * device: for each lag h ∈ [−maxLag, maxLag], corr(x_t, y_{t+h})
+    * from exact decimal moments over the densified overlap, one
+    * fp chain per (group, lag). Positive lags mean y LAGS x.
+    *
+    * Plan: one densify (zeros are REAL), 2·maxLag+1 self-equi-joins
+    * on the bucket grid (bounded by the series span, never the raw
+    * corpus), one hash agg.
+    */
+  def ccf(buckets: DataFrame, groupCol: String, bucketCol: String,
+          xCol: String, yCol: String, stepSec: Long,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag ($maxLag) must be in [1, 64]")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val span = buckets.groupBy(col(groupCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val dense = span
+      .select(col(groupCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepSec)))
+          .as("__b"))
+      .join(buckets.select(col(groupCol), col(bucketCol).as("__b"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y")),
+        Seq(groupCol, "__b"), "left")
+      .select(col(groupCol), col("__b"),
+        coalesce(col("__x"), lit(0L)).as("__x"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+      .localCheckpoint(eager = false)
+    val lagged = (-maxLag to maxLag).map { l =>
+      val shifted = dense.select(col(groupCol),
+        (col("__b") - lit(l * stepSec)).as("__b"),
+        col("__y").as("__yl"))
+      dense.join(shifted, Seq(groupCol, "__b"))
+        .select(col(groupCol), lit(l).as("lag"), col("__x"), col("__yl"))
+    }.reduce(_ unionByName _)
+    val agg = lagged.groupBy(col(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d(col("__x"))).as("sx"), sum(d(col("__yl"))).as("sy"),
+        sum(d(col("__x")) * d(col("__x"))).as("sxx"),
+        sum(d(col("__yl")) * d(col("__yl"))).as("syy"),
+        sum(d(col("__x")) * d(col("__yl"))).as("sxy"))
+    val vx = (d(col("n_pairs")) * col("sxx") - col("sx") * col("sx"))
+    val vy = (d(col("n_pairs")) * col("syy") - col("sy") * col("sy"))
+    val cov = (d(col("n_pairs")) * col("sxy") - col("sx") * col("sy"))
+    agg.select(col(groupCol), col("lag"), col("n_pairs"),
+      when(vx > 0 && vy > 0,
+        floor(lit(1000000.0) * cov.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .cast("long")).as("ccf_q"))
+  }
+
+  /** Jonckheere–Terpstra ordered k-sample test ("does x INCREASE
+    * along the ordered groups") — the ordered-alternative upgrade of
+    * [[kruskalWallis]] (KW asks "any difference"; JT asks "a trend in
+    * the group ORDER", with far more power when order is the
+    * hypothesis). J = Σ_{i<j} U_ij over ordered group pairs; doubled
+    * (ties count once):
+    *
+    *   J2 = Σ_{i<j} Σ_v c_j(v)·(2·cumBelow_i(v) + c_i(v))
+    *
+    * exact longs from the groups × distinct-values grid. Under H0,
+    * E[J2] = (N² − Σn_i²)/2 and Var(J) = [N²(2N+3) −
+    * Σn_i²(2n_i+3)]/72 (no tie correction — the [[friedman]]
+    * convention), so z = (J2/2 − E[J2]/2)/√Var is one mirrored fp
+    * chain on exact integers. Group ORDER is the group key's natural
+    * sort — the caller encodes the dose in the key.
+    *
+    * Plan: one hash agg to cells, a groups × values densified grid
+    * with per-group windows (grid bounded by value cardinality — the
+    * [[acf]]/[[kendallTau]] input contract), one pair join on the
+    * value (k²·|values| rows, bounded), two scalar aggs.
+    *
+    * @return one row (k, n_total, j2, e2, z_q)
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(groupCol).cast("string").as("__g"),
+        col(xCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val groups = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val vals = cells.select(col("__v")).distinct()
+    val grid = groups.select(col("__g"))
+      .crossJoin(broadcast(vals))
+      .join(cells, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("__below", sum(col("__c")).over(wCum) - col("__c"))
+      .localCheckpoint(eager = false)
+    val j2 = cum.as("a").join(cum.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__g") < col("b.__g"))
+      .agg(sum(col("b.__c") *
+        (lit(2L) * col("a.__below") + col("a.__c"))).as("j2"))
+    val mom = groups.agg(count(lit(1)).as("k"), sum(col("__n")).as("n_total"),
+      sum(dec(col("__n")) * dec(col("__n"))).as("__sn2"),
+      sum(dec(col("__n")) * dec(col("__n")) *
+        (lit(2) * dec(col("__n")) + lit(3))).as("__sn3"))
+    val d = (c: Column) => c.cast("double")
+    // N² − Σn² = 2·Σ_{i<j} n_i·n_j is always even — exact div
+    val e2 = expr("CAST((CAST(n_total AS decimal(38,0)) * n_total" +
+      " - __sn2) div 2 AS LONG)")
+    val varJ = (d(col("n_total")) * d(col("n_total")) *
+      (lit(2.0) * d(col("n_total")) + lit(3.0)) - d(col("__sn3"))) /
+      lit(72.0)
+    j2.crossJoin(broadcast(mom))
+      .withColumn("e2", e2)
+      .select(col("k"), col("n_total"), col("j2"), col("e2"),
+        when(col("k") >= 2 && varJ > lit(0.0),
+          floor(lit(1000000.0) *
+            ((d(col("j2")) - d(col("e2"))) * lit(0.5)) /
+            sqrt(varJ)).cast("long")).as("z_q"))
+  }
+
   /** Kendall τ-b rank correlation per group over a keyed series — the
     * tie-corrected, outlier-immune companion to [[spearman]] (Spearman
     * squares rank gaps; Kendall counts pair inversions, so one wild

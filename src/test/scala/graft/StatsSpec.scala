@@ -446,6 +446,59 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) === 3000000L)
   }
 
+  // ---- ccf -------------------------------------------------------------------
+
+  test("ccf: a shifted copy peaks at exactly its lag") {
+    // y is x delayed by 2 buckets -> ccf(+2) = 1.0 on the overlap
+    val xs = Seq(5L, 1L, 9L, 2L, 7L, 3L, 8L, 4L, 6L, 2L)
+    val rows = xs.indices.map { i =>
+      ("g", i.toLong, xs(i), if (i >= 2) xs(i - 2) else 0L)
+    }
+    // careful: y_t = x_{t-2} means corr(x_t, y_{t+2}) = 1 -> lag +2
+    val out = Stats.ccf(rows.toDF("g", "b", "x", "y"), "g", "b",
+      "x", "y", stepSec = 1L, maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(3)).toMap
+    assert(out(2) >= 999999L, s"lag +2 should be ~1 (sqrt rounding): $out")
+    assert(out.keySet === (-3 to 3).toSet)
+    assert(out(0) < 1000000L)
+  }
+
+  test("ccf: symmetric series give ccf(h) = ccf(-h) when x == y") {
+    val rows = (0L to 9L).map(b => ("g", b, b % 4 + 1, b % 4 + 1))
+    val out = Stats.ccf(rows.toDF("g", "b", "x", "y"), "g", "b",
+      "x", "y", 1L, 3).collect()
+      .map(r => r.getInt(1) -> r.getLong(3)).toMap
+    for (h <- 1 to 3) assert(out(h) === out(-h))
+    assert(out(0) >= 999999L)
+  }
+
+  // ---- jonckheereTerpstra ------------------------------------------------------
+
+  test("jonckheereTerpstra: textbook ordered shift") {
+    // g1 = {1,2}, g2 = {3,4}, g3 = {5,6}: every cross pair ascends
+    // J = 4 + 4 + 4 = 12 -> j2 = 24; E2 = (36 - 12)/2 = 12
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g2", 3L), ("g2", 4L),
+      ("g3", 5L), ("g3", 6L)).toDF("g", "x")
+    val r = Stats.jonckheereTerpstra(df, "g", "x").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 6L, 24L, 12L)))
+    assert(r.getLong(4) > 2000000L, "a perfect ascent is z >> 2")
+  }
+
+  test("jonckheereTerpstra: reversed order flips the sign; ties halve") {
+    val rev = Seq(("g1", 5L), ("g1", 6L), ("g2", 3L), ("g2", 4L),
+      ("g3", 1L), ("g3", 2L)).toDF("g", "x")
+    assert(Stats.jonckheereTerpstra(rev, "g", "x").collect()(0)
+      .getLong(4) < -2000000L)
+    // all values tied: every cross pair contributes 1 (the ½ tie)
+    val tied = Seq(("g1", 7L), ("g1", 7L), ("g2", 7L), ("g2", 7L))
+      .toDF("g", "x")
+    val rt = Stats.jonckheereTerpstra(tied, "g", "x").collect()(0)
+    assert(rt.getLong(2) === 4L, "2x2 cross pairs, doubled-tie = 1 each")
+    assert(rt.getLong(3) === 4L && rt.getLong(4) === 0L,
+      "all-tied data sits exactly at the null expectation")
+  }
+
   // ---- diffInDiff ------------------------------------------------------------
 
   test("diffInDiff: hand-computed cells and estimate") {
