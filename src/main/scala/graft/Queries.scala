@@ -10844,6 +10844,28 @@ object Queries {
         END AS z_q
       FROM zz"""))
 
+  /** (q278) SPRT live totals (Stats.sprtTotals scaladoc): the
+    * complete-mode streaming monitor's batch twin — one global
+    * aggregate, integer LLR from the same embedded constants.
+    */
+  val q278SprtTotals = Q(
+    "q278_a_sprt_totals",
+    (s, dir) =>
+      operators.Stats.sprtTotals(ev(s, dir),
+        col("event_type") === "purchase", p0Q = 180000L, p1Q = 220000L),
+    Some {
+      val p0 = 180000L.toDouble / 1e6
+      val p1 = 220000L.toDouble / 1e6
+      val c1 = math.floor(1e6 * math.log(p1 / p0)).toLong
+      val c2 = math.floor(1e6 * math.log((1.0 - p1) / (1.0 - p0))).toLong
+      s"""
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                 ELSE 0 END) AS BIGINT) AS s
+             FROM events)
+      SELECT n, s, s * ${c1} + (n - s) * ${c2} AS llr_q FROM a"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10921,5 +10943,5 @@ object Queries {
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
     q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
     q271Sprt, q272Cuped, q273DiD, q274CochranArmitage,
-    q275BootstrapMedian, q276Ccf, q277Jonckheere)
+    q275BootstrapMedian, q276Ccf, q277Jonckheere, q278SprtTotals)
 }

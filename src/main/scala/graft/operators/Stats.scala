@@ -1080,6 +1080,28 @@ object Stats {
         col("s_cum") * lit(c1) + (col("n_cum") - col("s_cum")) * lit(c2))
   }
 
+  /** Live SPRT totals — [[sprtCurve]]'s streaming twin: one global
+    * (n, s) aggregate and the integer LLR from the same precomputed
+    * constants, legal as a Structured Streaming COMPLETE-mode query
+    * (a global aggregate is incrementally maintainable state), so the
+    * sequential monitor updates per micro-batch with no reprocessing.
+    * Batch/stream parity is structural: the same plan computes both.
+    */
+  def sprtTotals(df: DataFrame, outcome: Column, p0Q: Long,
+                 p1Q: Long): DataFrame = {
+    require(p0Q > 0 && p0Q < 1000000 && p1Q > 0 && p1Q < 1000000 &&
+      p0Q != p1Q, s"rates p0=$p0Q p1=$p1Q must be distinct in (0, 1e6)")
+    val p0 = p0Q.toDouble / 1e6
+    val p1 = p1Q.toDouble / 1e6
+    val c1 = math.floor(1e6 * math.log(p1 / p0)).toLong
+    val c2 = math.floor(1e6 * math.log((1.0 - p1) / (1.0 - p0))).toLong
+    df.select(when(outcome, 1L).otherwise(0L).as("__y"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("s"))
+      .select(col("n"), col("s"),
+        (col("s") * lit(c1) + (col("n") - col("s")) * lit(c2))
+          .as("llr_q"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust the
     * experiment metric with a pre-period covariate,
     * ŷ = y − θ·(x − x̄), θ = cov(x, y)/var(x) — the industry device

@@ -54,6 +54,43 @@ class StreamingAggSpec extends SparkSpec {
     assert(out.contains(("2024-01-01 00:01:00", 1L, 0L, 1L)))
   }
 
+  test("streaming SPRT monitor: complete-mode LLR updates per batch, " +
+      "batch/stream parity") {
+    import graft.operators.Stats
+    val in = Files.createTempDirectory("graft_sprt_in").toString
+    def write(name: String, rows: Seq[(Long, Boolean)]): Unit =
+      rows.toDF("id", "y").write.parquet(s"$in/$name")
+
+    write("b1", Seq((1L, true), (2L, false), (3L, false)))
+    val stream = spark.readStream
+      .schema("id bigint, y boolean")
+      .option("recursiveFileLookup", "true")
+      .parquet(in)
+    val mon = Stats.sprtTotals(stream, col("y"), 180000L, 220000L)
+    val q = mon.writeStream.outputMode("complete")
+      .format("memory").queryName("sprt_stream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    q.processAllAvailable()
+    def current: (Long, Long, Long) = spark.table("sprt_stream")
+      .as[(Long, Long, Long)].collect().head
+    def batchAt(rows: Seq[(Long, Boolean)]): (Long, Long, Long) =
+      Stats.sprtTotals(rows.toDF("id", "y"), col("y"), 180000L, 220000L)
+        .as[(Long, Long, Long)].collect().head
+    val snap1 = current
+    assert(snap1._1 === 3L && snap1._2 === 1L)
+    assert(snap1 === batchAt(Seq((1L, true), (2L, false), (3L, false))),
+      "streaming LLR must equal the batch computation on the same rows")
+
+    write("b2", Seq((4L, true), (5L, true)))
+    q.processAllAvailable()
+    q.stop()
+    val snap2 = current
+    assert(snap2._1 === 5L && snap2._2 === 3L)
+    assert(snap2 === batchAt(Seq((1L, true), (2L, false), (3L, false),
+      (4L, true), (5L, true))))
+    assert(snap2._3 > snap1._3, "two successes must push the LLR up")
+  }
+
   test("streaming session windows: gap splits sessions, watermark seals them") {
     val in = Files.createTempDirectory("graft_ssw_in").toString
     def write(name: String, rows: Seq[(Timestamp, Long)]): Unit =
