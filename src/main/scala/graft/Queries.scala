@@ -10866,6 +10866,31 @@ object Queries {
       SELECT n, s, s * ${c1} + (n - s) * ${c2} AS llr_q FROM a"""
     })
 
+  /** (q279) Dedup savings report over exact-dup content-hash clusters
+    * (Dedup.dedupSavings scaladoc): cluster-size histogram and chars
+    * reclaimed keeping the min-id representative.
+    */
+  val q279DedupSavings = Q(
+    "q279_dd_dedup_savings",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("text")).as("cluster_id"))
+      Dedup.dedupSavings(docs, "doc_id", "cluster_id", "n_chars")
+        .orderBy("cluster_size")
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, n_chars, md5(text) AS c
+             FROM documents WHERE text IS NOT NULL),
+      cl AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS bytes,
+               CAST(min_by(n_chars, doc_id) AS BIGINT) AS rep_s
+             FROM a GROUP BY c)
+      SELECT n AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(sum(bytes - rep_s) AS BIGINT) AS reclaimed
+      FROM cl GROUP BY n ORDER BY cluster_size"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10943,5 +10968,6 @@ object Queries {
     q264NegSampling, q265Psi, q266Conformal, q267EventFunnel,
     q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
     q271Sprt, q272Cuped, q273DiD, q274CochranArmitage,
-    q275BootstrapMedian, q276Ccf, q277Jonckheere, q278SprtTotals)
+    q275BootstrapMedian, q276Ccf, q277Jonckheere, q278SprtTotals,
+    q279DedupSavings)
 }

@@ -1071,6 +1071,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Dedup savings report over a (id, cluster_id, size) assignment —
+    * the capacity-planning readout every dedup run ends with: the
+    * cluster-size histogram (how duplicated IS the corpus) and the
+    * bytes/tokens reclaimed by keeping one representative (min id)
+    * per cluster. Input is any cluster labeling ([[dupClusters]]
+    * output joined to sizes, or a content-hash grouping); this
+    * operator only aggregates, so it composes with every dedup family.
+    *
+    * Plan: one hash agg to clusters, one to the size histogram
+    * (bounded by max cluster size), one scalar row appended via a
+    * cheap union — no corpus rescan.
+    *
+    * @return histogram rows (cluster_size, n_clusters, n_docs,
+    *         reclaimed) ordered by size, where `reclaimed` sums the
+    *         size column over NON-representative members
+    */
+  def dedupSavings(assign: DataFrame, idCol: String, clusterCol: String,
+                   sizeCol: String): DataFrame = {
+    val clusters = assign.select(col(clusterCol).as("__c"),
+        col(idCol).as("__id"), col(sizeCol).cast("long").as("__s"))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("__n"), sum(col("__s")).as("__bytes"),
+        min(struct(col("__id"), col("__s"))).as("__rep"))
+    clusters
+      .groupBy(col("__n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__n")).as("n_docs"),
+        sum(col("__bytes") - col("__rep.__s")).as("reclaimed"))
+  }
+
   /** Per-doc n-gram novelty against all earlier docs (id order): the
     * fraction of a doc's distinct shingles whose FIRST corpus
     * occurrence is this doc — the marginal-contribution score that

@@ -665,6 +665,32 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((5L, 1L), (1L, 2L)))
   }
 
+  // ---- dedupSavings --------------------------------------------------------
+
+  test("dedupSavings: histogram and reclaimed bytes by hand") {
+    // cluster A: sizes (10, 20, 30) -> keep min-id (10), reclaim 50
+    // cluster B: sizes (5, 5) -> keep min-id (5), reclaim 5
+    // cluster C: singleton (7) -> reclaim 0
+    val assign = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "B", 5L), (5L, "B", 5L), (6L, "C", 7L))
+      .toDF("id", "cl", "sz")
+    val out = Dedup.dedupSavings(assign, "id", "cl", "sz")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      3L -> ((1L, 3L, 50L)),
+      2L -> ((1L, 2L, 5L)),
+      1L -> ((1L, 1L, 0L))))
+  }
+
+  test("dedupSavings: the representative is the MIN-ID member's size") {
+    // min id (id=9 has size 100, id=2 has size 1): rep is id=2 -> 1
+    val assign = Seq((9L, "A", 100L), (2L, "A", 1L)).toDF("id", "cl", "sz")
+    val r = Dedup.dedupSavings(assign, "id", "cl", "sz").collect()(0)
+    assert(r.getLong(3) === 100L, "reclaim the non-representative's 100")
+  }
+
   // ---- winnowOverlapPairs --------------------------------------------------
 
   private val run1 = "alpha beta gamma delta epsilon zeta"   // 6 tokens
