@@ -10891,6 +10891,416 @@ object Queries {
         CAST(sum(bytes - rep_s) AS BIGINT) AS reclaimed
       FROM cl GROUP BY n ORDER BY cluster_size"""))
 
+  /** (q280) Krippendorff's alpha with VARIABLE raters per item
+    * (Eval.krippendorffAlpha scaladoc): 2–5 raters per doc (md5-drawn),
+    * 70 % agreement with the true lang — the missing-data agreement
+    * coefficient q214's Fleiss kappa cannot produce.
+    */
+  val q280Krippendorff = Q(
+    "q280_ml_krippendorff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = (pmod(Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+        lit(":m"))), lit(4L)) + 2).cast("int")
+      val h = Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+        lit(":rater:"), col("rater").cast("string")))
+      val cats = array(lit("en"), lit("es"), lit("de"), lit("fr"))
+      val ratings = docs.select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), m)).as("rater"))
+        .select(col("doc_id"),
+          when(pmod(h, lit(100L)) < 70, col("lang"))
+            .otherwise(element_at(cats, (pmod(h, lit(4L)) + 1).cast("int")))
+            .as("rating"))
+      operators.Eval.krippendorffAlpha(ratings, "doc_id", "rating")
+    },
+    Some("""
+      WITH md AS (SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'),
+                 1, 15))::BIGINT % 4 + 2 AS INT) AS m
+             FROM documents),
+      r AS (SELECT doc_id, lang, unnest(range(1, m + 1)) AS rater FROM md),
+      rt AS (SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                   || ':rater:' || CAST(rater AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 70
+                 THEN lang
+                 ELSE ['en','es','de','fr'][CAST(('0x'
+                   || substr(md5(CAST(doc_id AS VARCHAR) || ':rater:'
+                   || CAST(rater AS VARCHAR)), 1, 15))::BIGINT % 4 AS INT) + 1]
+               END AS rating
+             FROM r),
+      g AS (SELECT doc_id, rating, CAST(count(*) AS BIGINT) AS n
+            FROM rt GROUP BY 1, 2),
+      u AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS m,
+               CAST(sum(n * n) AS BIGINT) AS ssq
+            FROM g GROUP BY doc_id HAVING sum(n) >= 2),
+      pu AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(m) AS BIGINT) AS n_pairable,
+               CAST(sum((12 * (m * m - ssq)) // (m - 1)) AS BIGINT) AS do_num
+             FROM u),
+      pc AS (SELECT CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS sncsq
+             FROM (SELECT rating, CAST(sum(n) AS BIGINT) AS nc
+                   FROM g JOIN u USING (doc_id) GROUP BY rating)),
+      de AS (SELECT n_units, n_pairable, do_num,
+               CAST(CAST(n_pairable AS HUGEINT) * n_pairable - sncsq
+                 AS BIGINT) AS de_num
+             FROM pu CROSS JOIN pc)
+      SELECT n_units, n_pairable, do_num, de_num,
+        CASE WHEN de_num <> 0 THEN
+          CAST(floor(1000000000000.0 *
+            CAST(12 * CAST(de_num AS HUGEINT)
+              - CAST(do_num AS HUGEINT) * (n_pairable - 1) AS DOUBLE)
+            / CAST(12 * CAST(de_num AS HUGEINT) AS DOUBLE)) AS BIGINT)
+        END AS alpha_q
+      FROM de"""))
+
+  /** (q281) Degree assortativity of the mutual-5-NN similarity graph
+    * (Graph.degreeAssortativity scaladoc): Pearson over symmetrized
+    * edge endpoint degrees — all-integer sums, one quantized division.
+    */
+  val q281Assortativity = Q(
+    "q281_g_assortativity",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.degreeAssortativity(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))))
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b AS a, a AS b FROM mut),
+      dg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+             FROM sym GROUP BY a),
+      j AS (SELECT da.deg AS xa, db.deg AS xb
+            FROM sym JOIN dg da ON da.v = sym.a JOIN dg db ON db.v = sym.b),
+      sums AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                 CAST(sum(xa) AS BIGINT) AS sx,
+                 CAST(sum(xa * xb) AS BIGINT) AS sxy,
+                 CAST(sum(xa * xa) AS BIGINT) AS sxx
+               FROM j)
+      SELECT m_edges, sx, sxy, sxx,
+        CASE WHEN m_edges * sxx - sx * sx <> 0 THEN
+          CAST(floor(1000000000000.0 *
+            CAST(m_edges * sxy - sx * sx AS DOUBLE)
+            / CAST(m_edges * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+        END AS assortativity_q
+      FROM sums"""))
+
+  /** (q282) RM3 pseudo-relevance-feedback expansion
+    * (Retrieval.rm3Expansion scaladoc): BM25 top-3 feedback docs per
+    * query, uniform relevance model, top-10 expansion terms —
+    * all-integer term weights ((10¹²·tf) div dl sums).
+    */
+  val q282Rm3 = Q(
+    "q282_ret_rm3_expansion",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Retrieval.rm3Expansion(docs.filter(col("doc_id") < 10),
+        docs, "doc_id", "text", fbDocs = 3, fbTerms = 10, maxTermDf = 500)
+        .orderBy("query_id", "term_rank")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id AS d,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+             FROM documents),
+      tfx AS (SELECT d, term, COUNT(*) AS tf FROM t
+              WHERE len(term) > 0 GROUP BY d, term),
+      dlx AS (SELECT d, CAST(SUM(tf) AS BIGINT) AS dl FROM tfx GROUP BY d),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      ax AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+             FROM dlx),
+      dfx AS (SELECT term, COUNT(*) AS df FROM tfx
+              GROUP BY term HAVING COUNT(*) <= 500),
+      qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+               SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+               FROM documents WHERE doc_id < 10)
+             WHERE len(term) > 0),
+      m AS (SELECT qt.query_id, tfx.d, tfx.tf, dfx.df, dlx.dl
+            FROM tfx JOIN qt USING (term) JOIN dfx USING (term)
+                 JOIN dlx ON dlx.d = tfx.d
+            WHERE qt.query_id <> tfx.d),
+      sc AS (SELECT query_id, d,
+               CAST(SUM(CAST(floor(1000000.0 * (
+                 ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+                 * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+                   / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                      * (1.0 - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / ax.avgdl)))
+                 )) AS BIGINT)) AS BIGINT) AS score_q
+             FROM m CROSS JOIN nn CROSS JOIN ax
+             GROUP BY query_id, d),
+      fb AS (SELECT query_id, d FROM (
+               SELECT query_id, d, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_q DESC, d ASC) AS rnk FROM sc)
+             WHERE rnk <= 3),
+      rm AS (SELECT fb.query_id, tfx.term,
+               CAST(SUM((1000000000000 * tfx.tf) // dlx.dl) AS BIGINT)
+                 AS rm_weight_q
+             FROM fb JOIN tfx ON tfx.d = fb.d JOIN dlx ON dlx.d = fb.d
+             GROUP BY fb.query_id, tfx.term)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rm_weight_q DESC, term ASC) AS INTEGER) AS term_rank,
+        term, rm_weight_q
+      FROM rm
+      QUALIFY term_rank <= 10
+      ORDER BY query_id, term_rank"""))
+
+  /** (q283) Hubness audit of the embedding space
+    * (Graph.kOccurrenceProfile scaladoc): the 5-occurrence histogram
+    * over all vectors (anti-hubs included) with the distribution's
+    * quantized skewness — the intrinsic-dimensionality red-flag check.
+    */
+  val q283Hubness = Q(
+    "q283_ann_hubness",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.kOccurrenceProfile(
+        knn.select(col("query_id"), col("neighbor_id")),
+        emb.select(col("vec_id").as("id")))
+        .orderBy("k_occ")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      occ AS (SELECT neighbor_id AS id, CAST(count(*) AS BIGINT) AS o
+              FROM knn GROUP BY neighbor_id),
+      pp AS (SELECT coalesce(o.o, 0) AS occ FROM embeddings e
+             LEFT JOIN occ o ON o.id = e.vec_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(occ) AS BIGINT) AS e FROM pp),
+      mom AS (SELECT max(n) AS n,
+                CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+                CAST(sum(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3
+              FROM (SELECT n * occ - e AS c, n FROM pp CROSS JOIN tot)),
+      sk AS (SELECT CASE WHEN s2 > 0 THEN
+                 CAST(floor(1000000.0 * CAST(s3 AS DOUBLE)
+                   * sqrt(CAST(n AS DOUBLE))
+                   / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))))
+                   AS BIGINT)
+               END AS skew_q FROM mom)
+      SELECT occ AS k_occ, CAST(count(*) AS BIGINT) AS n_points, skew_q
+      FROM pp CROSS JOIN sk
+      GROUP BY occ, skew_q ORDER BY k_occ"""))
+
+  /** (q284) Page–Hinkley adaptive drift detection
+    * (TimeAgg.pageHinkley scaladoc): hourly per-type event counts
+    * densified to zero buckets (q180's machinery), δ_q = 0.5·10⁶,
+    * λ_q = 20·10⁶ — the running-mean cousin of the q180 CUSUM, pure
+    * BIGINT throughout.
+    */
+  val q284PageHinkley = Q(
+    "q284_a_page_hinkley",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(3600L))))
+        .select("event_type", "bucket")
+        .join(hourly, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.pageHinkley(dense, "event_type", "bucket", "x",
+        deltaQ = 500000L, lambdaQ = 20000000L)
+        .orderBy("event_type", "bucket")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 3600000000) * 3600 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.event_type, d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      c AS (SELECT event_type, bucket, x,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY bucket) AS BIGINT) AS t,
+              CAST(sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS p
+            FROM dense),
+      d AS (SELECT event_type, bucket, x, t,
+              (1000000 * (t * x - p)) // t - 500000 AS dq
+            FROM c),
+      u AS (SELECT event_type, bucket, x,
+              CAST(sum(dq) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS uu
+            FROM d),
+      mm AS (SELECT event_type, bucket, x, uu,
+               least(CAST(min(uu) OVER (PARTITION BY event_type
+                 ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT), 0) AS mu
+             FROM u)
+      SELECT event_type, bucket, x, uu - mu AS ph_q,
+        (uu - mu) >= 20000000 AS alarm
+      FROM mm ORDER BY event_type, bucket"""))
+
+  /** (q285) Seasonal-naive MASE backtest (TimeAgg.maseBacktest
+    * scaladoc): 75 % train split of the densified hourly series,
+    * season = 24 buckets — exact integer MAE sums, one integer
+    * floor-div at 10⁶.
+    */
+  val q285MaseBacktest = Q(
+    "q285_a_mase_backtest",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(3600L))))
+        .select("event_type", "bucket")
+        .join(hourly, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.maseBacktest(dense, "event_type", "bucket", "x",
+        season = 24, trainPct = 75)
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 3600000000) * 3600 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.event_type, d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      st AS (SELECT event_type, bucket, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY bucket) AS BIGINT) AS t,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               lag(x, 1) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS lag1,
+               lag(x, 24) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS lags
+             FROM dense),
+      g AS (SELECT event_type,
+              max((n * 75 + 99) // 100) AS n_train,
+              max(n - (n * 75 + 99) // 100) AS n_test,
+              CAST(sum(CASE WHEN t > 1 AND t <= (n * 75 + 99) // 100
+                THEN abs(x - lag1) ELSE 0 END) AS BIGINT) AS naive_mae_num,
+              CAST(sum(CASE WHEN t > (n * 75 + 99) // 100
+                  AND lags IS NOT NULL
+                THEN abs(x - lags) ELSE 0 END) AS BIGINT) AS test_mae_num,
+              CAST(sum(CASE WHEN t > (n * 75 + 99) // 100
+                  AND lags IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
+            FROM st GROUP BY event_type)
+      SELECT event_type, n_train, n_test, n_scored, naive_mae_num,
+        test_mae_num,
+        CASE WHEN naive_mae_num > 0 AND n_scored > 0 THEN
+          (1000000 * test_mae_num * (n_train - 1))
+            // (n_scored * naive_mae_num)
+        END AS mase_q
+      FROM g ORDER BY event_type"""))
+
+  /** (q286) Bradley–Terry source-strength fit (Eval.bradleyTerry
+    * scaladoc): docs matched by a fixed affine map, winner = more
+    * tokens (ties → lower doc id), comparisons lifted to SOURCE level,
+    * 5 MM rounds at 10⁶ scale — the oracle replays every round.
+    */
+  val q286BradleyTerry = Q(
+    "q286_ml_bradley_terry",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tk = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).as("score"))
+      val n = lit(500L)
+      val a = tk.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+        col("score").as("sc_a"),
+        pmod(col("doc_id") * 7 + 13, n).as("id_b"))
+      val paired = a.join(tk.select(col("doc_id").as("id_b"),
+          col("source").as("src_b"), col("score").as("sc_b")), Seq("id_b"))
+        .filter(col("src_a") =!= col("src_b"))
+      val comps = paired.select(
+        when(col("sc_a") > col("sc_b") ||
+          (col("sc_a") === col("sc_b") && col("id_a") < col("id_b")),
+          col("src_a")).otherwise(col("src_b")).as("winner"),
+        when(col("sc_a") > col("sc_b") ||
+          (col("sc_a") === col("sc_b") && col("id_a") < col("id_b")),
+          col("src_b")).otherwise(col("src_a")).as("loser"))
+      operators.Eval.bradleyTerry(comps, "winner", "loser", iters = 5)
+        .orderBy("id")
+    },
+    Some {
+      val round = (p: String, o: String) => s"""
+      $o AS (SELECT i.id,
+               CASE WHEN d.d > 0 THEN (i.wins * 1000000000000) // d.d
+                 ELSE 0 END AS wq
+             FROM items i JOIN (
+               SELECT p.a AS id,
+                 CAST(sum((p.p * 1000000000000) // (wa.wq + wb.wq))
+                   AS BIGINT) AS d
+               FROM pairs p JOIN $p wa ON wa.id = p.a
+                 JOIN $p wb ON wb.id = p.b
+               GROUP BY p.a) d ON d.id = i.id)"""
+      s"""
+      WITH tk AS (SELECT doc_id, source,
+          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+            END AS BIGINT) AS score
+        FROM documents WHERE text IS NOT NULL),
+      pr AS (SELECT a.doc_id AS id_a, a.source AS src_a, a.score AS sc_a,
+               b.doc_id AS id_b, b.source AS src_b, b.score AS sc_b
+             FROM tk a JOIN tk b ON b.doc_id = (a.doc_id * 7 + 13) % 500
+             WHERE a.source <> b.source),
+      comps AS (SELECT
+          CASE WHEN sc_a > sc_b OR (sc_a = sc_b AND id_a < id_b)
+            THEN src_a ELSE src_b END AS winner,
+          CASE WHEN sc_a > sc_b OR (sc_a = sc_b AND id_a < id_b)
+            THEN src_b ELSE src_a END AS loser
+        FROM pr),
+      nij AS (SELECT winner AS w, loser AS l, CAST(count(*) AS BIGINT) AS n
+              FROM comps GROUP BY 1, 2),
+      pairs AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS p FROM (
+                  SELECT w AS a, l AS b, n FROM nij
+                  UNION ALL SELECT l AS a, w AS b, n FROM nij)
+                GROUP BY a, b),
+      wins AS (SELECT w AS id, CAST(sum(n) AS BIGINT) AS wins
+               FROM nij GROUP BY w),
+      items AS (SELECT DISTINCT p.a AS id, coalesce(w.wins, 0) AS wins
+                FROM pairs p LEFT JOIN wins w ON w.id = p.a),
+      w0 AS (SELECT id, CAST(1000000 AS BIGINT) AS wq FROM items),
+      ${round("w0", "w1")},
+      ${round("w1", "w2")},
+      ${round("w2", "w3")},
+      ${round("w3", "w4")},
+      ${round("w4", "w5")},
+      tot AS (SELECT a AS id, CAST(sum(p) AS BIGINT) AS n_comparisons
+              FROM pairs GROUP BY a)
+      SELECT i.id, i.wins AS n_wins, t.n_comparisons,
+        CAST(w5.wq AS BIGINT) AS w_q
+      FROM items i JOIN w5 ON w5.id = i.id JOIN tot t ON t.id = i.id
+      ORDER BY i.id"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -10969,5 +11379,7 @@ object Queries {
     q268Burstiness, q269KmvOverlap, q270MantelHaenszel,
     q271Sprt, q272Cuped, q273DiD, q274CochranArmitage,
     q275BootstrapMedian, q276Ccf, q277Jonckheere, q278SprtTotals,
-    q279DedupSavings)
+    q279DedupSavings,
+    q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
+    q284PageHinkley, q285MaseBacktest, q286BradleyTerry)
 }

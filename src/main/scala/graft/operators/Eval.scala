@@ -786,4 +786,137 @@ object Eval {
     bins.join(fit, Seq("b"))
       .select(col("b"), col("n"), col("pos"), col("fit_q"))
   }
+
+  /** Krippendorff's alpha (nominal) — the agreement coefficient that,
+    * unlike [[fleissKappa]], tolerates MISSING ratings: units may have
+    * any number of ratings ≥ 2 (units with fewer are excluded, the
+    * standard pairable-values rule). The go-to number when annotation
+    * batches overlap only partially across raters.
+    *
+    * With per-unit category counts n_uk, m_u = Σ_k n_uk, pairable
+    * total n = Σ_u m_u and category marginals n_k:
+    *
+    *   Do ∝ Σ_u Σ_k n_uk(m_u − n_uk)/(m_u − 1)
+    *   α  = 1 − Do_num·(n − 1) / (S·(n² − Σ_k n_k²))
+    *
+    * where Do_num = Σ_u (S·Σ_k n_uk(m_u − n_uk)) div (m_u − 1) at the
+    * integer scale S = `lcmScale`. EXACT (not just deterministic) when
+    * (m_u − 1) divides S for every unit — the default S = 12 covers
+    * 2–5 ratings per unit; pass lcm(1..R−1) for larger panels. The
+    * division is integer floor-div either way, so the statistic is
+    * bit-reproducible on any engine.
+    *
+    * Plan: one (unit, rating) hash agg, two follow-up aggs (per-unit,
+    * per-category) over the bounded grid, one scalar join — the q214
+    * shape with a variable-m twist.
+    *
+    * @return one row (n_units, n_pairable, do_num, de_num, alpha_q)
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        ratingCol: String, lcmScale: Int = 12): DataFrame = {
+    require(lcmScale > 0, s"lcmScale ($lcmScale) must be positive")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val grid = ratings
+      .groupBy(col(itemCol).as("__i"), col(ratingCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val units = grid.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__ssq"))
+      .filter(col("__m") >= 2)
+      .localCheckpoint(eager = false)
+    // Σ_k n_uk(m_u − n_uk) = m_u² − Σ_k n_uk²
+    val perUnit = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__m")).as("__npair"),
+      sum(expr(s"($lcmScale * (__m * __m - __ssq)) div (__m - 1)"))
+        .as("do_num"))
+    // category marginals over INCLUDED units only
+    val perCat = grid
+      .join(units.select(col("__i")), Seq("__i"), "left_semi")
+      .groupBy(col("__c")).agg(sum(col("__n")).as("__nc"))
+      .agg(sum(d(col("__nc")) * d(col("__nc"))).as("__sncsq"))
+    perUnit.crossJoin(perCat)
+      .select(col("n_units"), col("__npair").as("n_pairable"),
+        col("do_num"),
+        (d(col("__npair")) * d(col("__npair")) - col("__sncsq"))
+          .as("de_num"))
+      .select(col("n_units"), col("n_pairable"), col("do_num"),
+        col("de_num").cast("long").as("de_num"),
+        when(col("de_num") =!= 0,
+          floor(lit(1.0e12) *
+            (lit(lcmScale) * col("de_num") -
+              d(col("do_num")) * (col("n_pairable") - 1)).cast("double") /
+            (lit(lcmScale) * col("de_num")).cast("double")).cast("long"))
+          .as("alpha_q"))
+  }
+
+  /** Bradley–Terry strength fitting from pairwise comparisons ("which
+    * of these two docs would you train on") via `iters` rounds of the
+    * MM algorithm (Hunter 2004):
+    *
+    *   w_i ← W_i / Σ_j (n_ij + n_ji) / (w_i + w_j)
+    *
+    * with W_i = total wins of i. Integer-quantized at scale 10⁶ so the
+    * fixed-iteration fit is bit-reproducible and oracle-replayable
+    * (the q195 pagerank contract): each opponent term is the exact
+    * integer (pairs_ij·10¹²) div (w_iq + w_jq), and the update is
+    * (W_i·10¹²) div D_iq. Items that never win keep w_q = 0 after one
+    * round (their MM fixed point); items with no comparisons at all
+    * are absent. Bounds: pairs_ij·10¹² and W_i·10¹² must fit int64 —
+    * per-PAIR counts below ~9·10⁶, which survey-scale comparison data
+    * satisfies by construction (aggregate first if not).
+    *
+    * Plan: one hash agg to the pairs table (bounded by distinct
+    * matchups, never raw comparisons, after the first agg), then per
+    * round one join of the broadcast-able strength table and one hash
+    * agg — iteration state is items-sized, lineage kept linear with a
+    * lazy localCheckpoint per round.
+    *
+    * @param comparisons frame with `winnerCol`, `loserCol`
+    * @return (id, n_wins, n_comparisons, w_q)
+    */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+                   loserCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val wl = comparisons.select(col(winnerCol).as("__w"),
+      col(loserCol).as("__l"))
+    val nij = wl.groupBy(col("__w"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    // symmetric matchup totals pairs_ij (i as __a, opponent __b)
+    val pairs = nij.select(col("__w").as("__a"), col("__l").as("__b"),
+        col("__n"))
+      .unionByName(nij.select(col("__l").as("__a"), col("__w").as("__b"),
+        col("__n")))
+      .groupBy(col("__a"), col("__b")).agg(sum(col("__n")).as("__p"))
+      .localCheckpoint(eager = false)
+    val wins = nij.groupBy(col("__w").as("__id"))
+      .agg(sum(col("__n")).as("__wins"))
+    val items = pairs.select(col("__a").as("__id")).distinct()
+      .join(wins, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__wins"), lit(0L)).as("__wins"))
+      .localCheckpoint(eager = false)
+    val w0 = items.select(col("__id"), lit(1000000L).as("__wq"))
+    val fitted = (1 to iters).foldLeft(w0) { (cur, _) =>
+      val d = pairs
+        .join(cur.select(col("__id").as("__a"), col("__wq").as("__wa")),
+          Seq("__a"))
+        .join(cur.select(col("__id").as("__b"), col("__wq").as("__wb")),
+          Seq("__b"))
+        .withColumn("__t", expr("(__p * 1000000000000L) div (__wa + __wb)"))
+        .groupBy(col("__a").as("__id")).agg(sum(col("__t")).as("__d"))
+      items.join(d, Seq("__id"))
+        .select(col("__id"),
+          when(col("__d") > 0,
+            expr("(__wins * 1000000000000L) div __d")).otherwise(lit(0L))
+            .as("__wq"))
+        .localCheckpoint(eager = false)
+    }
+    val tot = pairs.groupBy(col("__a").as("__id"))
+      .agg(sum(col("__p")).as("n_comparisons"))
+    items.join(fitted, Seq("__id")).join(tot, Seq("__id"))
+      .select(col("__id").as("id"), col("__wins").as("n_wins"),
+        col("n_comparisons"), col("__wq").as("w_q"))
+  }
 }

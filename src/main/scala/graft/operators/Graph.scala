@@ -342,4 +342,107 @@ object Graph {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
         col("__h").as("hub_q"), col("__a").as("auth_q"))
   }
+
+  /** Degree assortativity of an undirected edge frame (`a < b`
+    * canonical form): the Pearson correlation of endpoint degrees over
+    * the symmetrized edge list — positive when high-degree vertices
+    * attach to each other (a social-network shape), negative when hubs
+    * attach to leaves (a star/hub shape). On a similarity graph a
+    * strongly negative r flags hub domination: a few "generic" items
+    * near everything, the same pathology [[kOccurrenceProfile]]
+    * measures from the directed side.
+    *
+    * With M = 2|E| directed edges and exact integer sums
+    * Sx = Σ deg_u, Sxy = Σ deg_u·deg_v, Sxx = Σ deg_u² (symmetry makes
+    * Sx = Sy, Sxx = Syy):
+    *
+    *   r = (M·Sxy − Sx²) / (M·Sxx − Sx²)
+    *
+    * — all integer until ONE final quantized division (⌊10¹²·r⌋).
+    * Plan: one degree hash agg, two broadcast-able joins of the degree
+    * table onto the edge list, one scalar agg. Never materializes
+    * anything bigger than the edge list.
+    *
+    * @return one row: (m_edges, sx, sxy, sxx, assortativity_q)
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("__v"))
+      .agg(count(lit(1)).as("__deg"))
+    val joined = sym
+      .join(deg.select(col("__v").as("a"), col("__deg").as("__da")), Seq("a"))
+      .join(deg.select(col("__v").as("b"), col("__deg").as("__db")), Seq("b"))
+    joined.agg(
+        count(lit(1)).as("m_edges"),
+        sum(col("__da").cast("decimal(38,0)")).as("sx"),
+        sum((col("__da") * col("__db")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("__da") * col("__da")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("m_edges"),
+        col("sx").cast("long").as("sx"),
+        col("sxy").cast("long").as("sxy"),
+        col("sxx").cast("long").as("sxx"),
+        when(col("m_edges") * col("sxx") - col("sx") * col("sx") =!= lit(0),
+          floor(lit(1000000000000.0) *
+            (col("m_edges") * col("sxy") - col("sx") * col("sx"))
+              .cast("double") /
+            (col("m_edges") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).cast("long"))
+          .as("assortativity_q"))
+  }
+
+  /** Hubness audit of a directed kNN frame: the k-occurrence N_k(x) =
+    * how many queries list x among their top-k. In high dimensions the
+    * N_k distribution grows a heavy right tail ("hubs" that appear in
+    * everyone's neighbor list while "anti-hubs" appear in none) — a
+    * standard intrinsic-dimensionality red flag for an embedding space
+    * (Radovanović et al., JMLR 2010): hub-dominated neighborhoods make
+    * every kNN-based downstream op (dedup, label propagation, retrieval)
+    * quietly worse.
+    *
+    * Returns the full k-occurrence histogram over `ids` (anti-hubs
+    * included via a left join, k_occ = 0) with the distribution's
+    * skewness repeated on each row:
+    *
+    *   skew = S3·√n / (S2·√S2),   Sm = Σ (n·N_i − ΣN)^m
+    *
+    * — exact decimal sums, then two IEEE-exact sqrts and three
+    * correctly-rounded fp ops, quantized ⌊10⁶·⌋ (NULL when S2 = 0).
+    *
+    * Plan: one hash agg over the kNN edge list, one broadcast-able
+    * left join onto the id frame, two scalar aggs — never more than
+    * n·k rows in flight.
+    *
+    * @param knn directed frame with `neighbor_id`
+    * @param ids one row per corpus point, column `id`
+    * @return (k_occ, n_points, skew_q) ordered by k_occ
+    */
+  def kOccurrenceProfile(knn: DataFrame, ids: DataFrame): DataFrame = {
+    val occ = knn.groupBy(col("neighbor_id").as("id"))
+      .agg(count(lit(1)).as("__occ"))
+    val perPoint = ids.select(col("id"))
+      .join(occ, Seq("id"), "left")
+      .select(coalesce(col("__occ"), lit(0L)).as("__occ"))
+    val tot = perPoint.agg(count(lit(1)).as("__n"),
+      sum(col("__occ")).as("__e"))
+    val moments = perPoint.crossJoin(broadcast(tot))
+      .select((col("__n") * col("__occ") - col("__e")).as("__c"),
+        col("__n"))
+      .select(col("__n"), col("__c"),
+        col("__c").cast("decimal(38,0)").as("__cd"))
+      .agg(max(col("__n")).as("__n"),
+        sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__s2"),
+        sum(col("__cd") * col("__cd") * col("__cd")).as("__s3"))
+      .select(col("__n"),
+        when(col("__s2") > 0,
+          floor(lit(1000000.0) *
+            col("__s3").cast("double") * sqrt(col("__n").cast("double")) /
+            (col("__s2").cast("double") * sqrt(col("__s2").cast("double"))))
+            .cast("long"))
+          .as("skew_q"))
+    perPoint.groupBy(col("__occ").as("k_occ"))
+      .agg(count(lit(1)).as("n_points"))
+      .crossJoin(broadcast(moments.select(col("skew_q"))))
+      .select(col("k_occ"), col("n_points"), col("skew_q"))
+  }
 }

@@ -231,4 +231,60 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id_").as("doc_id"),
         (col("score_q").cast("double") / lit(1000000.0)).as("score"))
   }
+
+  /** RM3-style pseudo-relevance-feedback expansion (Lavrenko & Croft
+    * 2001): run first-pass [[bm25TopK]] retrieval, treat each query's
+    * top `fbDocs` results as pseudo-relevant, and estimate a relevance
+    * model over their vocabulary —
+    *
+    *   P(w | R_q) ∝ Σ_{d ∈ fb(q)} tf(w,d) / dl(d)
+    *
+    * (uniform feedback-doc weights — the calibration-free variant; the
+    * QL-weighted one needs exp() of log scores, an fp hazard the
+    * uniform model avoids entirely). The top `fbTerms` terms per query
+    * (original query terms included, as RM1 defines) are the expanded
+    * query a second-pass retrieval or a data-selection filter consumes.
+    *
+    * ORACLE-GRADE determinism: each feedback doc contributes the exact
+    * integer (10¹²·tf) div dl per term, summed as longs; term ranking
+    * compares the long with ascending-term ties. No fp anywhere in the
+    * expansion itself (the first pass is bm25TopK's quantized-long
+    * contract).
+    *
+    * Plan shape: first pass = bm25TopK (one corpus explode); second
+    * pass re-derives tf ONLY for the ≤ |queries|·fbDocs feedback docs —
+    * the broadcast semi-join on doc ids prunes before the explode, so
+    * the second corpus scan ships no text beyond the feedback set.
+    * Term ranking windows over ≤ fb-doc vocabulary per query, never
+    * the corpus.
+    */
+  def rm3Expansion(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, fbDocs: Int, fbTerms: Int,
+                   maxTermDf: Int = Int.MaxValue): DataFrame = {
+    require(fbDocs > 0, s"fbDocs ($fbDocs) must be positive")
+    require(fbTerms > 0, s"fbTerms ($fbTerms) must be positive")
+    val fb = bm25TopK(queries, corpus, idCol, textCol, k = fbDocs,
+        maxTermDf = maxTermDf)
+      .select(col("query_id"), col("doc_id"))
+    val fbIds = fb.select(col("doc_id")).distinct()
+    val fbTf = corpus
+      .join(broadcast(fbIds), corpus(idCol) === fbIds("doc_id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val fbDl = fbTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rm_weight_q").desc, col("term").asc)
+    fb.join(fbTf, Seq("doc_id"))
+      .join(broadcast(fbDl), Seq("doc_id"))
+      .withColumn("__c", expr("(1000000000000L * tf) div dl"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("__c")).as("rm_weight_q"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= fbTerms)
+      .select(col("query_id"), col("term_rank"), col("term"),
+        col("rm_weight_q"))
+  }
 }

@@ -549,6 +549,100 @@ object TimeAgg {
         (col("__p") - col("__minp") >= lit(h)).as("alarm"))
   }
 
+  /** Page–Hinkley upward-drift detector per group: where CUSUM
+    * ([[cusumShift]]) tests against a FIXED reference level k, PH
+    * tests each observation against the series' own RUNNING mean, so
+    * it adapts to groups whose base rates differ by orders of
+    * magnitude without per-group tuning:
+    *
+    *   d_t = x_t − x̄_t − δ,   U_T = Σ_{t≤T} d_t,
+    *   PH_T = U_T − min_{t≤T} U_t,   alarm when PH_T ≥ λ.
+    *
+    * Exactness: with inclusive prefix sum P_t and row number t, the
+    * deviation is quantized to an exact integer BEFORE the order-free
+    * cumulative sum — d_tq = (10⁶·(t·x_t − P_t)) div t − δ_q, pure
+    * BIGINT arithmetic (no fp anywhere), so the detector is
+    * bit-reproducible and oracle-matchable. δ_q and λ_q are the
+    * caller's drift/threshold at the same 10⁶ scale.
+    *
+    * Plan shape: one per-group sort feeding three cumulative windows
+    * (prefix sum, running deviation sum, running min) — identical
+    * scale story to [[cusumShift]]: cost is one shuffle on the group
+    * key and the per-group bucket series is bounded by the time span,
+    * never by corpus rows.
+    */
+  def pageHinkley(buckets: DataFrame, groupCol: String, bucketCol: String,
+                  xCol: String, deltaQ: Long, lambdaQ: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(xCol).cast("long")
+    buckets
+      .withColumn("__t", count(lit(1)).over(w))
+      .withColumn("__p", sum(x).over(w))
+      .withColumn("__dq",
+        expr(s"(1000000L * (__t * CAST($xCol AS BIGINT) - __p)) div __t")
+          - lit(deltaQ))
+      .withColumn("__u", sum(col("__dq")).over(w))
+      .withColumn("__minu", least(min(col("__u")).over(w), lit(0L)))
+      .select(col(groupCol), col(bucketCol), x.as("x"),
+        (col("__u") - col("__minu")).as("ph_q"),
+        (col("__u") - col("__minu") >= lit(lambdaQ)).as("alarm"))
+  }
+
+  /** Seasonal-naive forecast backtest with MASE (mean absolute scaled
+    * error) per group: the standard "is this series forecastable, and
+    * does its seasonality carry signal" audit run before trusting any
+    * per-source rate model.
+    *
+    * The first ⌈trainPct %⌉ of each group's buckets are the training
+    * window; every later bucket t is forecast by the seasonal-naive
+    * rule ŷ_t = y_{t−season}. MASE scales the test MAE by the
+    * in-sample one-step naive MAE (Hyndman–Koehler), so scores are
+    * comparable across groups with wildly different volumes:
+    *
+    *   MASE = (Σ_test |y_t − y_{t−s}| / n_test)
+    *        / (Σ_{t=2..n_train} |y_t − y_{t−1}| / (n_train−1))
+    *
+    * Exactness: both numerators are exact integer sums of absolute
+    * differences of counts; the single final division is computed as
+    * one integer floor-div at 10⁶ scale — no fp at all. Groups whose
+    * in-sample naive MAE is zero (constant training series) emit NULL.
+    *
+    * Plan shape: one per-group sort feeding two lag windows and one
+    * hash agg; caller supplies a densified frame (q180's machinery) so
+    * lag distances are uniform.
+    */
+  def maseBacktest(buckets: DataFrame, groupCol: String, bucketCol: String,
+                   xCol: String, season: Int, trainPct: Int): DataFrame = {
+    val ws = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+    val x = col(xCol).cast("long")
+    val staged = buckets
+      .withColumn("__t", row_number().over(ws))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))))
+      .withColumn("__ntr",
+        expr(s"(__n * $trainPct + 99L) div 100L"))
+      .withColumn("__lag1", lag(x, 1).over(ws))
+      .withColumn("__lags", lag(x, season).over(ws))
+    staged.groupBy(col(groupCol))
+      .agg(
+        max(col("__ntr")).as("n_train"),
+        max(col("__n") - col("__ntr")).as("n_test"),
+        sum(when(col("__t") > lit(1) && col("__t") <= col("__ntr"),
+          abs(x - col("__lag1"))).otherwise(lit(0L))).as("naive_mae_num"),
+        sum(when(col("__t") > col("__ntr") && col("__lags").isNotNull,
+          abs(x - col("__lags"))).otherwise(lit(0L))).as("test_mae_num"),
+        sum(when(col("__t") > col("__ntr") && col("__lags").isNotNull,
+          lit(1L)).otherwise(lit(0L))).as("n_scored"))
+      .withColumn("mase_q",
+        when(col("naive_mae_num") > 0 && col("n_scored") > 0,
+          expr("(1000000L * test_mae_num * (n_train - 1L)) div " +
+            "(n_scored * naive_mae_num)")))
+      .select(col(groupCol), col("n_train"), col("n_test"),
+        col("n_scored"), col("naive_mae_num"), col("test_mae_num"),
+        col("mase_q"))
+  }
+
   /** Pairwise association rules over per-entity item baskets
     * (market-basket on event types, tag co-occurrence, …): for every
     * ORDERED pair a→b of distinct items co-present in ≥ `minCount`

@@ -522,4 +522,74 @@ class EvalSpec extends SparkSpec {
     val out = Eval.isotonicFit(df, "bin", col("y")).collect()
     assert(out.length === 2)
   }
+
+  // ------------------------------------------------ krippendorffAlpha
+
+  test("krippendorffAlpha: one agreeing + one disagreeing pair lands " +
+      "exactly at chance (alpha = 0)") {
+    // u1: (x,x) — perfect; u2: (x,y) — disagreement
+    // Do = 0.5, De = (16-10)/12 = 0.5 -> alpha = 0
+    val df = Seq(("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "y"))
+      .toDF("item", "rating")
+    val r = Eval.krippendorffAlpha(df, "item", "rating").collect().head
+    assert(r.getLong(0) === 2L)   // n_units
+    assert(r.getLong(1) === 4L)   // n_pairable
+    assert(r.getLong(2) === 24L)  // do_num at S=12
+    assert(r.getLong(3) === 6L)   // de_num = 16 - (9+1)
+    assert(r.getLong(4) === 0L)
+  }
+
+  test("krippendorffAlpha: perfect agreement is alpha = 1, variable m") {
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u1", "a"),
+      ("u2", "b"), ("u2", "b")).toDF("item", "rating")
+    val r = Eval.krippendorffAlpha(df, "item", "rating").collect().head
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(4) === 1000000000000L)
+  }
+
+  test("krippendorffAlpha: units with a single rating are excluded " +
+      "(pairable-values rule)") {
+    val df = Seq(("u1", "a"), ("u1", "a"), ("lonely", "z"))
+      .toDF("item", "rating")
+    val r = Eval.krippendorffAlpha(df, "item", "rating").collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    // the lonely 'z' never reaches the category marginals either:
+    // de_num = 4 - 4 = 0 -> alpha NULL (single category, undefined)
+    assert(r.getLong(3) === 0L && r.isNullAt(4))
+  }
+
+  // ----------------------------------------------------- bradleyTerry
+
+  test("bradleyTerry: two items converge to the win-ratio fixed point") {
+    // A beats B 3x, B beats A 1x: w_A/w_B -> 3 (exact MM fixed point)
+    val comps = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("w", "l")
+    val out = Eval.bradleyTerry(comps, "w", "l", iters = 5).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") === ((3L, 4L, 1500000L)))
+    assert(out("B") === ((1L, 4L, 500000L)))
+  }
+
+  test("bradleyTerry: a never-winning item pins to w_q = 0 and the " +
+      "winner absorbs the mass") {
+    val comps = Seq(("A", "B"), ("A", "B")).toDF("w", "l")
+    val out = Eval.bradleyTerry(comps, "w", "l", iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("B") === 0L)
+    assert(out("A") > 0L)
+  }
+
+  test("bradleyTerry: strength order follows dominance on a 3-chain") {
+    // A>B 4x, B>C 4x, A>C 1x, C>A 1x: expect w_A >= w_B >= w_C
+    val comps = (Seq.fill(4)(("A", "B")) ++ Seq.fill(4)(("B", "C")) ++
+      Seq(("A", "C"), ("C", "A"))).toDF("w", "l")
+    val out = Eval.bradleyTerry(comps, "w", "l", iters = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("A") > out("B") && out("B") > out("C"))
+    // every item appears with its full matchup count
+    val tot = Eval.bradleyTerry(comps, "w", "l", iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tot === Map("A" -> 6L, "B" -> 8L, "C" -> 6L))
+  }
 }

@@ -186,4 +186,63 @@ class GraphSpec extends SparkSpec {
     assert((rows(0).getLong(0), rows(0).getLong(1)) === ((2L, 3L)))
     assert(rows(0).getLong(3) === math.floor(1.0e9 / math.log(3.0)).toLong)
   }
+
+  // ---------------------------------------------- degreeAssortativity
+
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    // center deg 3, leaves deg 1: every edge joins (3,1) -> r = -1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert(r.getLong(0) === 6L)          // 2|E| directed
+    assert(r.getLong(4) === -1000000000000L)
+  }
+
+  test("degreeAssortativity: a regular graph has zero degree variance " +
+      "(NULL r)") {
+    // 4-cycle: all degrees 2 -> denominator M·Sxx - Sx² = 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    assert(r.isNullAt(4))
+  }
+
+  test("degreeAssortativity: matches the hand Pearson on a mixed graph") {
+    // path 1-2-3 plus edge 3-4: degrees 1,2,2,1
+    // sym pairs: (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(edges).collect().head
+    val m = 6L; val sx = 10L; val sxy = 16L; val sxx = 18L
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((m, sx, sxy, sxx)))
+    val expected = math.floor(1.0e12 * (m * sxy - sx * sx).toDouble /
+      (m * sxx - sx * sx).toDouble).toLong
+    assert(r.getLong(4) === expected) // (96-100)/(108-100) = -0.5
+  }
+
+  // ---------------------------------------------- kOccurrenceProfile
+
+  test("kOccurrenceProfile: hub histogram and positive skew on a " +
+      "one-hub graph") {
+    // 4 queries all naming node 1: N(1)=4, N(2..4)=0
+    val knn = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("query_id", "neighbor_id")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val out = Graph.kOccurrenceProfile(knn, ids)
+      .orderBy("k_occ").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 3L), (4L, 1L)))
+    // c = 4·occ − 4: (12, -4, -4, -4); S2 = 192, S3 = 1536
+    val skew = math.floor(1.0e6 * 1536.0 * math.sqrt(4.0) /
+      (192.0 * math.sqrt(192.0))).toLong
+    assert(out.head.getLong(2) === skew && skew === 1154700L)
+  }
+
+  test("kOccurrenceProfile: uniform occurrence has zero variance (NULL " +
+      "skew) and one histogram row") {
+    val knn = Seq((1L, 2L), (2L, 1L)).toDF("query_id", "neighbor_id")
+    val ids = Seq(1L, 2L).toDF("id")
+    val out = Graph.kOccurrenceProfile(knn, ids).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === ((1L, 2L)))
+    assert(out.head.isNullAt(2))
+  }
 }

@@ -168,4 +168,66 @@ class LayoutAndResampleSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(h === graft.plans.HilbertIndex.index(3L, 5L, 8))
   }
+
+  // ----------------------------------------------------------- pageHinkley
+
+  private def ph(xs: Seq[Long], deltaQ: Long,
+                 lambdaQ: Long): Seq[(Long, Boolean)] =
+    TimeAgg.pageHinkley(
+        xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+          .toDF("g", "bucket", "x"), "g", "bucket", "x", deltaQ, lambdaQ)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(3), r.getBoolean(4))).toSeq
+
+  test("pageHinkley: agrees with a sequential integer fold") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(300)(rnd.nextInt(8).toLong) ++
+      Seq.fill(50)(20L + rnd.nextInt(5).toLong) // sustained level shift
+    val (dq, lq) = (500000L, 20000000L)
+    var p = 0L; var t = 0L; var u = 0L; var minU = 0L
+    val expected = xs.map { x =>
+      t += 1; p += x
+      u += (1000000L * (t * x - p)) / t - dq
+      minU = math.min(minU, u)
+      u - minU
+    }
+    val got = ph(xs, dq, lq)
+    assert(got.map(_._1) === expected)
+    assert(got.last._2, "the shifted tail must alarm")
+    assert(!got(250)._2, "the stationary head must not alarm")
+  }
+
+  test("pageHinkley: a constant series never drifts") {
+    val out = ph(Seq.fill(20)(5L), deltaQ = 0L, lambdaQ = 1L)
+    // x == running mean everywhere -> every deviation is exactly 0
+    assert(out.forall(_._1 == 0L))
+  }
+
+  // ---------------------------------------------------------- maseBacktest
+
+  test("maseBacktest: exact integer MASE on a hand series") {
+    // season 2, trainPct 50 over 8 buckets -> n_train 4, test t=5..8
+    val xs = Seq(10L, 2L, 10L, 2L, 11L, 3L, 9L, 2L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("g", "bucket", "x")
+    val r = TimeAgg.maseBacktest(df, "g", "bucket", "x",
+      season = 2, trainPct = 50).collect().head
+    // in-sample naive (t=2..4): |2-10|+|10-2|+|2-10| = 24
+    // seasonal test errors: |11-10|+|3-2|+|9-11|+|2-3| = 5, n_scored 4
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 4L, 4L)))
+    assert((r.getLong(4), r.getLong(5)) === ((24L, 5L)))
+    // mase = (5/4) / (24/3) = 0.15625 exactly
+    assert(r.getLong(6) === (1000000L * 5L * 3L) / (4L * 24L))
+    assert(r.getLong(6) === 156250L)
+  }
+
+  test("maseBacktest: constant training series yields NULL mase") {
+    val xs = Seq(5L, 5L, 5L, 5L, 9L, 1L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("g", "bucket", "x")
+    val r = TimeAgg.maseBacktest(df, "g", "bucket", "x",
+      season = 1, trainPct = 60).collect().head
+    assert(r.getLong(4) === 0L) // naive MAE numerator
+    assert(r.isNullAt(6))
+  }
 }

@@ -162,4 +162,40 @@ class RetrievalSpec extends SparkSpec {
     assert(r.exists(_._3 == 3L), "doc 3 must still match via 'join'")
     assert(r.exists(_._3 == 5L), "doc 5 must still match via shuffle/join")
   }
+
+  // ----------------------------------------------------- rm3Expansion
+
+  test("rm3Expansion: uniform relevance-model weights are the exact " +
+      "(1e12*tf) div dl sums over the feedback docs") {
+    val docs = Seq(
+      (1L, "apple apple cherry"),
+      (2L, "banana durian"),
+      (3L, "elephant")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana")).toDF("doc_id", "text")
+    val out = Retrieval.rm3Expansion(queries, docs, "doc_id", "text",
+      fbDocs = 2, fbTerms = 10)
+      .orderBy("term_rank")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    // feedback = docs 1 and 2 (the only BM25 matches); weights:
+    //   apple  (2e12 div 3) = 666666666666
+    //   banana (1e12 div 2) = 500000000000, durian same (tie -> term asc)
+    //   cherry (1e12 div 3) = 333333333333
+    assert(out === Seq(
+      (100L, 1, "apple", 666666666666L),
+      (100L, 2, "banana", 500000000000L),
+      (100L, 3, "durian", 500000000000L),
+      (100L, 4, "cherry", 333333333333L)))
+  }
+
+  test("rm3Expansion: fbTerms caps the expansion per query") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a g h")).toDF("doc_id", "text")
+    val queries = Seq((100L, "a")).toDF("doc_id", "text")
+    val out = Retrieval.rm3Expansion(queries, docs, "doc_id", "text",
+      fbDocs = 2, fbTerms = 3).collect()
+    assert(out.length === 3)
+    // highest-weight term is the shared 'a' (1e12/6 + 1e12/3)
+    assert(out.map(r => r.getString(2)).contains("a"))
+  }
 }
