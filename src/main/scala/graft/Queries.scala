@@ -11301,6 +11301,162 @@ object Queries {
       ORDER BY i.id"""
     })
 
+  /** (q287) UniMax budget allocation (Packing.unimaxAllocation
+    * scaladoc): 26k-token budget over the 20 sources at maxEpochs = 1
+    * — closed-form water-filling, small sources saturate, the rest
+    * split the remainder evenly; all-integer.
+    */
+  val q287Unimax = Q(
+    "q287_s_unimax_alloc",
+    (s, dir) =>
+      operators.Packing.unimaxAllocation(t(s, dir, "documents"),
+        "doc_id", "text", "source", budgetTokens = 26000L, maxEpochs = 1)
+        .orderBy("source"),
+    Some("""
+      WITH m AS (SELECT source,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 END) AS BIGINT) AS t_tokens
+             FROM documents GROUP BY source),
+      c AS (SELECT source, t_tokens, t_tokens * 1 AS cap,
+              CAST(row_number() OVER (ORDER BY t_tokens * 1 ASC, source ASC)
+                AS BIGINT) AS i,
+              CAST(count(*) OVER () AS BIGINT) AS mm,
+              coalesce(CAST(sum(t_tokens * 1) OVER (
+                ORDER BY t_tokens * 1 ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS pprev
+            FROM m),
+      sflag AS (SELECT *, pprev + cap * (mm - i + 1) <= 26000 AS sat FROM c),
+      st AS (SELECT
+               CAST(sum(CASE WHEN sat THEN cap ELSE 0 END) AS BIGINT) AS scap,
+               CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS scnt,
+               max(mm) AS mm2 FROM sflag),
+      alloc AS (SELECT source, t_tokens, cap,
+              CASE WHEN sat THEN cap
+                ELSE (26000 - scap) // (mm2 - scnt) END AS alloc_tokens
+            FROM sflag CROSS JOIN st)
+      SELECT source, t_tokens, cap, alloc_tokens,
+        CASE WHEN t_tokens > 0 THEN (1000000 * alloc_tokens) // t_tokens
+          ELSE 0 END AS epochs_q
+      FROM alloc ORDER BY source"""))
+
+  /** (q288) Nelson–Aalen cumulative hazard (TimeAgg.nelsonAalen
+    * scaladoc): the q238 inter-event duration grid with the PURE
+    * integer Σ (10¹²·d_j) div n_j estimator — no ln/exp at all.
+    */
+  val q288NelsonAalen = Q(
+    "q288_a_nelson_aalen",
+    (s, dir) =>
+      operators.TimeAgg.nelsonAalen(
+        operators.TimeAgg.interEventDurations(ev(s, dir), "user_id",
+          "event_id", "ts_us"), "__t", "__obs")
+        .orderBy("t_days"),
+    Some(s"""
+      WITH ev0 AS (SELECT user_id, event_id,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      mx AS (SELECT max(us) AS mx FROM ev0),
+      su AS (SELECT us, lead(us) OVER (PARTITION BY user_id
+               ORDER BY us ASC, event_id ASC) AS nxt
+             FROM ev0),
+      du AS (SELECT CASE WHEN nxt IS NOT NULL
+                 THEN (nxt - us) // 86400000000
+                 ELSE (mx - us) // 86400000000 END AS t_days,
+               nxt IS NOT NULL AS obs
+             FROM su CROSS JOIN mx),
+      g AS (SELECT t_days,
+              CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                AS d_events,
+              CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_censored
+            FROM du GROUP BY 1),
+      r AS (SELECT *,
+              CAST(sum(d_events + n_censored) OVER () AS BIGINT)
+                - coalesce(CAST(sum(d_events + n_censored) OVER (
+                    ORDER BY t_days ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n_risk
+            FROM g)
+      SELECT t_days, n_risk, d_events, n_censored,
+        CAST(sum((1000000000000 * d_events) // n_risk) OVER (
+          ORDER BY t_days ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cumhaz_q
+      FROM r ORDER BY t_days"""))
+
+  /** (q289) Two-cohort log-rank test (TimeAgg.logRank scaladoc):
+    * inter-event survival split by user-id parity — exact-integer O−E,
+    * per-time quantized variance terms, mirrored χ².
+    */
+  val q289LogRank = Q(
+    "q289_a_log_rank",
+    (s, dir) => {
+      val durs = operators.TimeAgg.interEventDurations(ev(s, dir),
+          "user_id", "event_id", "ts_us")
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      operators.TimeAgg.logRank(durs, "__t", "__obs", "grp")
+    },
+    Some(s"""
+      WITH ev0 AS (SELECT user_id, event_id,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      mx AS (SELECT max(us) AS mx FROM ev0),
+      su AS (SELECT user_id, us, lead(us) OVER (PARTITION BY user_id
+               ORDER BY us ASC, event_id ASC) AS nxt
+             FROM ev0),
+      du AS (SELECT user_id % 2 AS grp,
+               CASE WHEN nxt IS NOT NULL
+                 THEN (nxt - us) // 86400000000
+                 ELSE (mx - us) // 86400000000 END AS t_days,
+               nxt IS NOT NULL AS obs
+             FROM su CROSS JOIN mx),
+      g AS (SELECT t_days,
+              CAST(sum(CASE WHEN obs AND grp = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d1,
+              CAST(sum(CASE WHEN obs AND grp <> 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d0,
+              CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS l1,
+              CAST(sum(CASE WHEN grp <> 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS l0
+            FROM du GROUP BY 1),
+      r AS (SELECT *,
+              CAST(sum(l1) OVER () AS BIGINT)
+                - coalesce(CAST(sum(l1) OVER (ORDER BY t_days ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n1,
+              CAST(sum(l0) OVER () AS BIGINT)
+                - coalesce(CAST(sum(l0) OVER (ORDER BY t_days ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n0
+            FROM g),
+      e AS (SELECT t_days, d1, d0, n1, n0, n1 + n0 AS nn, d1 + d0 AS dd
+            FROM r WHERE d1 + d0 > 0),
+      q AS (SELECT d1, d0,
+              (1000000000 * (d1 * nn - dd * n1)) // nn AS oeq,
+              CASE WHEN nn > 1 THEN
+                CAST(floor(1000000000.0
+                  * (CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+                  * (CAST(nn - n1 AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (CAST(nn - dd AS DOUBLE) / CAST(nn - 1 AS DOUBLE)))
+                  AS BIGINT)
+                ELSE 0 END AS vq
+            FROM e),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_times,
+                CAST(sum(d1) AS BIGINT) AS o1,
+                CAST(sum(d0) AS BIGINT) AS o0,
+                CAST(sum(oeq) AS BIGINT) AS oe_q,
+                CAST(sum(vq) AS BIGINT) AS v_q
+              FROM q)
+      SELECT n_times, o1, o0, oe_q, v_q,
+        CASE WHEN v_q > 0 THEN
+          CAST(floor(1000000.0
+            * ((CAST(oe_q AS DOUBLE) / 1000000000.0)
+              * (CAST(oe_q AS DOUBLE) / 1000000000.0))
+            / (CAST(v_q AS DOUBLE) / 1000000000.0)) AS BIGINT)
+        END AS chi_q
+      FROM tot"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11381,5 +11537,6 @@ object Queries {
     q275BootstrapMedian, q276Ccf, q277Jonckheere, q278SprtTotals,
     q279DedupSavings,
     q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
-    q284PageHinkley, q285MaseBacktest, q286BradleyTerry)
+    q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
+    q287Unimax, q288NelsonAalen, q289LogRank)
 }

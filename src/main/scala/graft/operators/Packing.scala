@@ -705,4 +705,62 @@ object Packing {
         expr("(1000000L * s_q) div __ss").as("w_q"),
         expr("(1000000L * t_size) div __tt").as("nat_q"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023): spread a token
+    * budget as UNIFORMLY as possible across sources, capping each at
+    * `maxEpochs` passes over its own mass — the principled alternative
+    * to temperature mixing when over-repeating small sources hurts
+    * more than under-weighting big ones.
+    *
+    * Closed-form water-filling instead of the paper's sequential loop:
+    * sort sources by capacity cap_s = mass_s·maxEpochs ascending; with
+    * prefix sums P_i and m sources, source i is SATURATED (gets its
+    * full cap) iff  A_i = P_{i−1} + cap_i·(m−i+1) ≤ T  — A_i is
+    * monotone in i (ascending caps), so saturation is prefix-closed
+    * and every unsaturated source gets the same fair share
+    * (T − Σ_sat cap) div (m − #sat). All integer arithmetic; the div
+    * remainder (< m tokens) stays unallocated, documented.
+    *
+    * Plan: one corpus hash agg to the bounded source table, then
+    * windows over that table only (single-partition windows are safe
+    * at source cardinality — the temperatureMix contract).
+    *
+    * @return (source, t_tokens, cap, alloc_tokens, epochs_q) with
+    *         epochs_q = ⌊10⁶·alloc/mass⌋
+    */
+  def unimaxAllocation(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String, budgetTokens: Long,
+                       maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens ($budgetTokens) must be positive")
+    require(maxEpochs >= 1, s"maxEpochs ($maxEpochs) must be >= 1")
+    val masses = docs.groupBy(col(srcCol).as("source"))
+      .agg(sum(TextFns.tokenCount(col(textCol))).cast("long")
+        .as("t_tokens"))
+      .withColumn("cap", col("t_tokens") * lit(maxEpochs.toLong))
+      .localCheckpoint(eager = false)
+    val wAsc = Window.orderBy(col("cap").asc, col("source").asc)
+    val wCumPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(1))
+    val staged = masses
+      .withColumn("__i", row_number().over(wAsc))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__pprev",
+        coalesce(sum(col("cap")).over(wCumPrev), lit(0L)))
+      .withColumn("__sat",
+        col("__pprev") + col("cap") * (col("__m") - col("__i") + 1) <=
+          lit(budgetTokens))
+    val satTot = staged.agg(
+      sum(when(col("__sat"), col("cap")).otherwise(0L)).as("__scap"),
+      sum(col("__sat").cast("long")).as("__scnt"),
+      max(col("__m")).as("__mm"))
+    staged.crossJoin(broadcast(satTot))
+      .withColumn("alloc_tokens",
+        when(col("__sat"), col("cap"))
+          .otherwise(expr(s"(${budgetTokens}L - __scap) div (__mm - __scnt)")))
+      .select(col("source"), col("t_tokens"), col("cap"),
+        col("alloc_tokens"),
+        when(col("t_tokens") > 0,
+          expr("(1000000L * alloc_tokens) div t_tokens")).otherwise(lit(0L))
+          .as("epochs_q"))
+  }
 }

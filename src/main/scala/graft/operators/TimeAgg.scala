@@ -880,19 +880,138 @@ object TimeAgg {
     * aggregation.
     */
   def interEventSurvival(events: DataFrame, userCol: String,
-                         idCol: String, epochMicrosCol: String): DataFrame = {
+                         idCol: String, epochMicrosCol: String): DataFrame =
+    kmFromDurations(
+      interEventDurations(events, userCol, idCol, epochMicrosCol),
+      "__t", "__obs")
+
+  /** The per-event duration table behind [[interEventSurvival]] — one
+    * row per event: the gap to the same user's next event in whole
+    * days (`__t`), observed flag (`__obs`, false = right-censored at
+    * the corpus edge), with `userCol` retained so callers can attach
+    * cohort labels ([[logRank]]) or feed [[nelsonAalen]] directly.
+    */
+  def interEventDurations(events: DataFrame, userCol: String,
+                          idCol: String, epochMicrosCol: String): DataFrame = {
     val day = 86400000000L
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(epochMicrosCol).asc, col(idCol).asc)
     val mx = events.agg(max(col(epochMicrosCol)).as("__mx"))
-    val durs = events
+    events
       .withColumn("__next", lead(col(epochMicrosCol), 1).over(w))
       .crossJoin(broadcast(mx))
       .withColumn("__obs", col("__next").isNotNull)
       .withColumn("__t",
         when(col("__obs"), expr(s"(__next - `$epochMicrosCol`) div ${day}L"))
           .otherwise(expr(s"(__mx - `$epochMicrosCol`) div ${day}L")))
-    kmFromDurations(durs, "__t", "__obs")
+      .select(col(userCol), col("__t"), col("__obs"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator over the same subject
+    * table as [[kmFromDurations]]: Ĥ(t) = Σ_{t_j ≤ t} d_j / n_j. Where
+    * KM's product form needs ln/exp (quantized-ln contract), the NA
+    * sum is PURE integer arithmetic — each hazard increment is the
+    * exact (10¹²·d_j) div n_j and the cumulative sum never touches
+    * fp — so the estimator is bit-reproducible on any engine, and is
+    * the variance-stable choice for small risk sets.
+    *
+    * Plan: identical to kmFromDurations — one hash agg to the bounded
+    * duration grid, two cumulative windows over it.
+    *
+    * @return (t_days, n_risk, d_events, n_censored, cumhaz_q)
+    */
+  def nelsonAalen(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val durs = subjects
+      .groupBy(col(durationCol).as("t_days"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col(observedCol), 0L).otherwise(1L)).as("n_censored"))
+    val wo = Window.orderBy(col("t_days").asc)
+    val wCumPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs
+      .withColumn("__leave", col("d_events") + col("n_censored"))
+      .withColumn("__tot", sum(col("__leave")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("n_risk",
+        col("__tot") - coalesce(sum(col("__leave")).over(wCumPrev), lit(0L)))
+      .withColumn("__hq", expr("(1000000000000L * d_events) div n_risk"))
+      .withColumn("cumhaz_q", sum(col("__hq")).over(wCum))
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        col("n_censored"), col("cumhaz_q"))
+  }
+
+  /** Two-group log-rank test over a subject table with a 0/1 cohort
+    * column — "do these two cohorts churn at the same rate", the
+    * survival-curve comparison that respects censoring (a plain
+    * rate z-test does not). At each event time t_j with d_j total
+    * events, n_j at risk and n_1j at risk in cohort 1:
+    *
+    *   O−E = Σ_j (d_1j − d_j·n_1j/n_j)
+    *   V   = Σ_j d_j·(n_1j/n_j)·(1 − n_1j/n_j)·(n_j − d_j)/(n_j − 1)
+    *   χ²  = (O−E)² / V                                  (~χ²₁)
+    *
+    * Determinism: the O−E term is the EXACT integer
+    * (10⁹·(d_1j·n_j − d_j·n_1j)) div n_j (truncation-toward-zero on
+    * both engines; fits int64 while 10⁹·d·n < 2⁶³, i.e. risk sets
+    * into the millions); each variance term is one literal-identical
+    * chain of correctly-rounded fp ops floored at 10⁹ BEFORE the
+    * order-free sum (the q253 pattern); χ² is three mirrored fp ops
+    * on the two quantized sums.
+    *
+    * Plan: one hash agg to the (t, cohort-pivoted) grid, per-cohort
+    * cumulative windows over the bounded duration grid, one scalar
+    * agg.
+    *
+    * @param groupCol integer column valued 0 or 1
+    * @return one row (n_times, o1, o0, oe_q, v_q, chi_q)
+    */
+  def logRank(subjects: DataFrame, durationCol: String,
+              observedCol: String, groupCol: String): DataFrame = {
+    val g1 = (col(groupCol) === 1).cast("long")
+    val grid = subjects
+      .groupBy(col(durationCol).as("t_days"))
+      .agg(
+        sum(when(col(observedCol), g1).otherwise(0L)).as("d1"),
+        sum(when(col(observedCol), lit(1L) - g1).otherwise(0L)).as("d0"),
+        sum(g1).as("l1"),
+        sum(lit(1L) - g1).as("l0"))
+    val wo = Window.orderBy(col("t_days").asc)
+    val wCumPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val staged = grid
+      .withColumn("__n1tot", sum(col("l1")).over(Window.partitionBy(lit(1))))
+      .withColumn("__n0tot", sum(col("l0")).over(Window.partitionBy(lit(1))))
+      .withColumn("n1",
+        col("__n1tot") - coalesce(sum(col("l1")).over(wCumPrev), lit(0L)))
+      .withColumn("n0",
+        col("__n0tot") - coalesce(sum(col("l0")).over(wCumPrev), lit(0L)))
+      .withColumn("nn", col("n1") + col("n0"))
+      .withColumn("dd", col("d1") + col("d0"))
+      .filter(col("dd") > 0)
+      .withColumn("__oeq",
+        expr("(1000000000L * (d1 * nn - dd * n1)) div nn"))
+      .withColumn("__vq",
+        when(col("nn") > 1,
+          floor(lit(1.0e9) *
+            (col("dd").cast("double") * col("n1").cast("double") /
+              col("nn").cast("double")) *
+            ((col("nn") - col("n1")).cast("double") /
+              col("nn").cast("double")) *
+            ((col("nn") - col("dd")).cast("double") /
+              (col("nn") - 1).cast("double"))).cast("long"))
+          .otherwise(lit(0L)))
+    staged.agg(
+        count(lit(1)).as("n_times"),
+        sum(col("d1")).as("o1"),
+        sum(col("d0")).as("o0"),
+        sum(col("__oeq")).as("oe_q"),
+        sum(col("__vq")).as("v_q"))
+      .withColumn("chi_q",
+        when(col("v_q") > 0,
+          floor(lit(1000000.0) *
+            ((col("oe_q").cast("double") / lit(1.0e9)) *
+              (col("oe_q").cast("double") / lit(1.0e9))) /
+            (col("v_q").cast("double") / lit(1.0e9))).cast("long")))
   }
 
   /** The Kaplan–Meier product-limit estimator over an already-built

@@ -457,4 +457,43 @@ class PackingSpec extends SparkSpec {
     val s = w1.map(_._2).sum
     assert(s > 1000000L - 3 && s <= 1000000L, "floor-div loses < k units")
   }
+
+  // ------------------------------------------------- unimaxAllocation
+
+  private def unimax(masses: Seq[(String, Int)], budget: Long,
+                     epochs: Int): Map[String, (Long, Long)] = {
+    // one doc per (source, tokens) with that many single-char words
+    val docs = masses.zipWithIndex.map { case ((s, m), i) =>
+      (i.toLong, Seq.fill(m)("w").mkString(" "), s)
+    }.toDF("doc_id", "text", "source")
+    Packing.unimaxAllocation(docs, "doc_id", "text", "source",
+        budget, epochs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+  }
+
+  test("unimaxAllocation: water-filling saturates small sources, " +
+      "splits the rest evenly") {
+    // caps 10, 20, 100 at 1 epoch, budget 60: 10 saturated
+    // (10+20·2? A-check), then fair share of the rest
+    // A_1 = 10·3 = 30 <= 60 sat; A_2 = 10 + 20·2 = 50 <= 60 sat;
+    // A_3 = 30 + 100 = 130 > 60 -> fair = (60-30) div 1 = 30
+    val out = unimax(Seq(("s", 10), ("m", 20), ("l", 100)), 60L, 1)
+    assert(out("s") === ((10L, 1000000L)))
+    assert(out("m") === ((20L, 1000000L)))
+    assert(out("l") === ((30L, 300000L)))
+  }
+
+  test("unimaxAllocation: budget above total capacity saturates all") {
+    val out = unimax(Seq(("a", 5), ("b", 7)), 1000L, 2)
+    assert(out("a") === ((10L, 2000000L)))
+    assert(out("b") === ((14L, 2000000L)))
+  }
+
+  test("unimaxAllocation: tiny budget gives every source the same " +
+      "fair share, remainder unallocated") {
+    val out = unimax(Seq(("a", 50), ("b", 60), ("c", 70)), 10L, 1)
+    // A_1 = 150 > 10 -> none saturated -> each gets 10 div 3 = 3
+    assert(out.values.map(_._1).toSeq.sorted === Seq(3L, 3L, 3L))
+  }
 }

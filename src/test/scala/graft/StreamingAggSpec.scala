@@ -359,6 +359,46 @@ class StreamingAggSpec extends SparkSpec {
       (2L, 2L, 1L, 0L), (4L, 1L, 1L, 0L)))
   }
 
+  test("nelsonAalen: cumulative hazard is the exact integer sum of " +
+      "d/n increments") {
+    // same textbook frame as the KM spec: increments 1/4, 1/3, 1/1
+    val subj = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("t", "obs")
+    val out = TimeAgg.nelsonAalen(subj, "t", "obs")
+      .orderBy("t_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val q = 1000000000000L
+    assert(out.toList === List((1L, 4L, q / 4), (2L, 3L, q / 4 + q / 3),
+      (3L, 1L, q / 4 + q / 3 + q)))
+  }
+
+  test("logRank: identical cohorts give O-E = 0 and no signal") {
+    // two cohorts with the SAME duration multiset
+    val subj = Seq((0L, 1L, true), (0L, 2L, true), (0L, 3L, false),
+      (1L, 1L, true), (1L, 2L, true), (1L, 3L, false))
+      .toDF("grp", "t", "obs")
+    val r = TimeAgg.logRank(subj, "t", "obs", "grp").collect().head
+    assert(r.getLong(0) === 2L)              // two event times
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getLong(3) === 0L)              // exact O-E cancellation
+    assert(r.getLong(5) === 0L)              // chi ~ 0
+  }
+
+  test("logRank: one-sided events load O-E fully onto cohort 1") {
+    // cohort 1 has all the events; cohort 0 only censored subjects
+    val subj = Seq((1L, 1L, true), (1L, 2L, true),
+      (0L, 5L, false), (0L, 5L, false))
+      .toDF("grp", "t", "obs")
+    val r = TimeAgg.logRank(subj, "t", "obs", "grp").collect().head
+    // t=1: d1=1, n1=2, n=4 -> e1 = 1/2; t=2: d1=1, n1=1, n=3 -> 1/3
+    // O-E = 2 - 5/6 = 7/6
+    assert(r.getLong(1) === 2L && r.getLong(2) === 0L)
+    val exp = (1000000000L * (1L * 4L - 1L * 2L)) / 4L +
+      (1000000000L * (1L * 3L - 1L * 1L)) / 3L
+    assert(r.getLong(3) === exp)
+    assert(r.getLong(5) > 0L)
+  }
+
   test("seasonalDecompose: pure weekly pattern over a linear-free base " +
       "— exact trend, seasonal absorbs the pattern, residual zero") {
     val day0 = 20000L // epoch days
