@@ -11457,6 +11457,80 @@ object Queries {
         END AS chi_q
       FROM tot"""))
 
+  /** (q290) Trigram stupid-backoff LM scoring
+    * (Curation.stupidBackoffScore scaladoc): fit on even doc ids,
+    * score the odd half — the held-out split forces all three backoff
+    * branches (attested trigram, bigram backoff, add-one unigram
+    * floor) through the oracle.
+    */
+  val q290StupidBackoff = Q(
+    "q290_tx_stupid_backoff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.stupidBackoffScore(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tkc AS (
+        SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+      tks AS (
+        SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+            x -> len(x) > 0) AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+      tri AS (SELECT t[i] AS t1, t[i+1] AS t2, t[i+2] AS t3,
+                COUNT(*)::BIGINT AS c123
+              FROM tkc, LATERAL unnest(range(1, len(t) - 1)) u(i)
+              WHERE len(t) >= 3 GROUP BY 1, 2, 3),
+      bi AS (SELECT t[i] AS t1, t[i+1] AS t2, COUNT(*)::BIGINT AS cb
+             FROM tkc, LATERAL unnest(range(1, len(t))) u(i)
+             WHERE len(t) >= 2 GROUP BY 1, 2),
+      uni AS (SELECT x AS term, COUNT(*)::BIGINT AS cu FROM
+                (SELECT unnest(t) AS x FROM tkc) GROUP BY x),
+      nv AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v FROM uni),
+      st AS (SELECT doc_id, t[i] AS t1, t[i+1] AS t2, t[i+2] AS t3
+             FROM tks, LATERAL unnest(range(1, len(t) - 1)) u(i)
+             WHERE len(t) >= 3),
+      j AS (SELECT st.doc_id, tri.c123, b12.cb AS c12, b23.cb AS c23,
+              u2.cu AS c2, u3.cu AS c3, nv.n, nv.v
+            FROM st
+            LEFT JOIN tri ON tri.t1 = st.t1 AND tri.t2 = st.t2
+              AND tri.t3 = st.t3
+            LEFT JOIN bi b12 ON b12.t1 = st.t1 AND b12.t2 = st.t2
+            LEFT JOIN bi b23 ON b23.t1 = st.t2 AND b23.t2 = st.t3
+            LEFT JOIN uni u2 ON u2.term = st.t2
+            LEFT JOIN uni u3 ON u3.term = st.t3
+            CROSS JOIN nv),
+      q AS (SELECT doc_id,
+              CAST(floor(1000000.0 * ln(
+                CASE WHEN coalesce(c123, 0) > 0
+                  THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+                WHEN coalesce(c23, 0) > 0
+                  THEN 0.4 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE))
+                ELSE 0.16 * (CAST(coalesce(c3, 0) + 1 AS DOUBLE)
+                  / CAST(n + v AS DOUBLE))
+                END)) AS BIGINT) AS lpq
+            FROM j),
+      g AS (SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+              CAST(SUM(lpq) AS BIGINT) AS sb_lp_q
+            FROM q GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(g.n_trigrams, 0) AS n_trigrams,
+        coalesce(g.sb_lp_q, 0) AS sb_lp_q,
+        CASE WHEN g.n_trigrams > 0 THEN
+          (CAST(g.sb_lp_q AS DOUBLE) / 1000000.0)
+            / CAST(g.n_trigrams AS DOUBLE)
+          END AS sb_lp_mean
+      FROM documents d LEFT JOIN g USING (doc_id)
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11538,5 +11612,5 @@ object Queries {
     q279DedupSavings,
     q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
-    q287Unimax, q288NelsonAalen, q289LogRank)
+    q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff)
 }

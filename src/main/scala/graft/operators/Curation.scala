@@ -600,6 +600,103 @@ object Curation {
       .select(col(idCol), col("__tr.t1").as("t1"), col("__tr.t2").as("t2"))
   }
 
+  /** Per-document trigram stupid-backoff log-score (Brants et al. 2007
+    * — the web-scale LM smoothing that skips discounting entirely):
+    * each in-document trigram (w1 w2 w3) scores
+    *
+    *   S(w3|w1w2) = c123/c12            when the trigram is attested
+    *              = 0.4 · c23/c2        else when the bigram is
+    *              = 0.16 · (c3+1)/(N+V) else (add-one unigram floor,
+    *                                    keeps the score total for OOV)
+    *
+    * with all counts from the `corpus` frame — fit/score separation is
+    * the point: score a candidate batch against a frozen reference
+    * corpus and the backoff chain handles everything unseen. (Scoring
+    * the corpus against itself never leaves branch 1 — the gate fits
+    * on even doc ids and scores the odd ones.)
+    *
+    * Determinism: the [[bigramScore]] contract — one ⌊10⁶·ln S⌋ long
+    * per trigram (every double inside the floor is a literal-identical
+    * chain of correctly-rounded ops on exact longs), LONG per-doc sum,
+    * two exact-input double divisions for the mean.
+    *
+    * Plan: corpus explodes once per order (trigram/bigram/unigram
+    * map-side-combined counts; bigram and unigram tables checkpointed —
+    * each is read twice downstream), the doc stream joins the three
+    * count tables by key, N/V broadcast. All joins are gram-keyed; at
+    * 100 TB nothing wider than (gram, count) shuffles.
+    */
+  def stupidBackoffScore(docs: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val tri3 = trigrams(corpus.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("c123"))
+    val bi = transitions(corpus.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(eager = false)
+    val uni = corpus
+      .select(explode(filter(TextFns.tokens(col(textCol)),
+        t => length(t) > 0)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint(eager = false)
+    val scalars = uni.agg(sum(col("cu")).as("__n"),
+      count(lit(1)).as("__v"))
+    val score =
+      when(coalesce(col("c123"), lit(0L)) > 0,
+        d(col("c123")) / d(col("c12")))
+      .when(coalesce(col("c23"), lit(0L)) > 0,
+        lit(0.4) * (d(col("c23")) / d(col("c2"))))
+      .otherwise(lit(0.16) *
+        (d(coalesce(col("c3"), lit(0L)) + lit(1L)) /
+          d(col("__n") + col("__v"))))
+    val scored = trigrams(docs, idCol, textCol)
+      .join(tri3, Seq("t1", "t2", "t3"), "left")
+      .join(bi.select(col("t1"), col("t2"), col("cb").as("c12")),
+        Seq("t1", "t2"), "left")
+      .join(bi.select(col("t1").as("t2"), col("t2").as("t3"),
+        col("cb").as("c23")), Seq("t2", "t3"), "left")
+      .join(uni.select(col("term").as("t2"), col("cu").as("c2")),
+        Seq("t2"), "left")
+      .join(uni.select(col("term").as("t3"), col("cu").as("c3")),
+        Seq("t3"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__lpq", floor(lit(1000000.0) * log(score)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__lpq")).as("sb_lp_q"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sb_lp_q"), lit(0L)).as("sb_lp_q"),
+        when(col("n_trigrams") > 0,
+          (col("sb_lp_q").cast("double") / lit(1000000.0)) /
+            col("n_trigrams").cast("double"))
+          .as("sb_lp_mean"))
+  }
+
+  /** In-document trigram stream — [[transitions]]' order-2 sibling,
+    * same projection-boundary contract (tokenize once, transform over
+    * the materialized array).
+    */
+  private def trigrams(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      filter(TextFns.tokens(col(textCol)), t => length(t) > 0).as("__toks"))
+    toks.select(col(idCol),
+        explode(when(size(col("__toks")) >= 3,
+          transform(sequence(lit(1), size(col("__toks")) - 2), i =>
+            struct(element_at(col("__toks"), i).as("t1"),
+              element_at(col("__toks"), i + 1).as("t2"),
+              element_at(col("__toks"), i + 2).as("t3"))))
+          .otherwise(array()
+            .cast("array<struct<t1:string,t2:string,t3:string>>")))
+          .as("__tr"))
+      .select(col(idCol), col("__tr.t1").as("t1"), col("__tr.t2").as("t2"),
+        col("__tr.t3").as("t3"))
+  }
+
   /** Order-1 (bigram) corpus LM with add-one smoothing — the next step
     * up from [[fitUnigramLm]]'s order-0 CCNet proxy: transition
     * probability P(t2|t1) = (c12+1)/(c1+V) where c12 = corpus count of

@@ -1011,4 +1011,40 @@ class CurationSpec extends SparkSpec {
     val noise = -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
     assert(one.getLong(3) === math.floor(1000000.0 * noise).toLong)
   }
+
+  // -------------------------------------------------- stupidBackoffScore
+
+  test("stupidBackoffScore: all three backoff branches score the " +
+      "hand-computed values") {
+    // corpus "a b c a b d": c(a,b,c)=1, c(a,b)=2, c(b,c)=1, cu(b)=2,
+    // N=6, V=4
+    val corpus = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),  // attested trigram: 1/2
+      (3L, "x b c"),  // bigram backoff:  0.4*(1/2)
+      (5L, "x y z"),  // unigram floor:   0.16*(0+1)/(6+4)
+      (7L, "a b"))    // too short: zero trigrams
+      .toDF("doc_id", "text")
+    val out = Curation.stupidBackoffScore(docs, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def lpq(s: Double) = math.floor(1000000.0 * math.log(s)).toLong
+    assert(out(1L) === ((1L, lpq(1.0 / 2.0))))
+    assert(out(3L) === ((1L, lpq(0.4 * (1.0 / 2.0)))))
+    assert(out(5L) === ((1L, lpq(0.16 * (1.0 / 10.0)))))
+    assert(out(7L) === ((0L, 0L)))
+  }
+
+  test("stupidBackoffScore: attested trigrams always outscore their " +
+      "backed-off forms") {
+    val corpus = Seq((0L, "the quick brown fox jumps the quick brown cat"))
+      .toDF("doc_id", "text")
+    val seen = Seq((1L, "the quick brown")).toDF("doc_id", "text")
+    val unseen = Seq((1L, "zzz quick brown")).toDF("doc_id", "text")
+    val s1 = Curation.stupidBackoffScore(seen, corpus, "doc_id", "text")
+      .collect().head.getLong(2)
+    val s2 = Curation.stupidBackoffScore(unseen, corpus, "doc_id", "text")
+      .collect().head.getLong(2)
+    assert(s1 > s2)
+  }
 }
