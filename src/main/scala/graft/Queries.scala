@@ -11531,6 +11531,113 @@ object Queries {
       WHERE d.doc_id % 2 = 1
       ORDER BY d.doc_id"""))
 
+  /** (q291) Personalized PageRank over the mutual-5-NN graph
+    * (Graph.personalizedPageRank scaladoc): teleport restricted to the
+    * vec_id < 25 seed set, 3 integer-exact rounds — proximity-to-seeds
+    * ranking, oracle unrolls every round.
+    */
+  val q291Ppr = Q(
+    "q291_g_personalized_pagerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.personalizedPageRank(
+        operators.Graph.mutualEdges(
+          knn.select(col("query_id"), col("neighbor_id"))),
+        emb.filter(col("vec_id") < 25).select(col("vec_id").as("id")),
+        rounds = 3)
+        .orderBy("id")
+    },
+    Some {
+      val iter = (p: String, o: String) => s"""
+      $o AS (SELECT p.u, p.deg, p.sd, p.s,
+               CASE WHEN p.sd = 1 THEN 3000000000000 // (20 * p.s)
+                 ELSE 0 END + c.inc AS r
+             FROM $p p JOIN (
+               SELECT s2.v AS u,
+                 CAST(sum((17 * p.r) // (20 * p.deg)) AS BIGINT) AS inc
+               FROM sym s2 JOIN $p p ON p.u = s2.u GROUP BY s2.v) c
+               ON c.u = p.u)"""
+      s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a AS u, b AS v FROM mut
+              UNION ALL SELECT b AS u, a AS v FROM mut),
+      dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg,
+               CASE WHEN u < 25 THEN 1 ELSE 0 END AS sd
+             FROM sym GROUP BY u),
+      ss AS (SELECT CAST(sum(sd) AS BIGINT) AS s FROM dg),
+      r0 AS (SELECT u, deg, sd, s,
+               CASE WHEN sd = 1 THEN 1000000000000 // s ELSE 0 END AS r
+             FROM dg CROSS JOIN ss),
+      ${iter("r0", "r1")},
+      ${iter("r1", "r2")},
+      ${iter("r2", "r3")}
+      SELECT u AS id, deg AS degree, CAST(sd AS BIGINT) AS seed,
+        CAST(r AS BIGINT) AS rank_q
+      FROM r3 ORDER BY id"""
+    })
+
+  /** (q292) Pinball-loss forecast backtest (TimeAgg.pinballBacktest
+    * scaladoc): τ = 0.9 quantile loss of the seasonal-naive forecast
+    * on the q285 split — the per-point loss×10 is an exact integer
+    * max, one integer mean division.
+    */
+  val q292Pinball = Q(
+    "q292_a_pinball_backtest",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(3600L))))
+        .select("event_type", "bucket")
+        .join(hourly, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.pinballBacktest(dense, "event_type", "bucket",
+        "x", season = 24, trainPct = 75, tauNum = 9, tauDen = 10)
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 3600000000) * 3600 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.event_type, d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      st AS (SELECT event_type, bucket, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY bucket) AS BIGINT) AS t,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               x - lag(x, 24) OVER (PARTITION BY event_type
+                 ORDER BY bucket) AS e
+             FROM dense),
+      f AS (SELECT event_type,
+              greatest(9 * e, (9 - 10) * e) AS l
+            FROM st
+            WHERE t > (n * 75 + 99) // 100 AND e IS NOT NULL),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+              CAST(sum(l) AS BIGINT) AS pinball_num
+            FROM f GROUP BY event_type)
+      SELECT event_type, n_scored, pinball_num,
+        (1000000 * pinball_num) // (10 * n_scored) AS pinball_mean_q
+      FROM g ORDER BY event_type"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11612,5 +11719,6 @@ object Queries {
     q279DedupSavings,
     q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
-    q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff)
+    q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
+    q291Ppr, q292Pinball)
 }

@@ -1004,6 +1004,90 @@ object ScaleProbe {
       }
     }
 
+    if (section("session10")) {
+      // RM3: the first pass is bm25TopK (probed shape); what's new is
+      // the SECOND corpus scan for feedback-doc tf — the broadcast
+      // semi-join prunes to <= |queries|·fbDocs docs before the
+      // explode, so corpus growth should cost ~one extra scan, flat
+      // expansion output. Token-salted replicas (session3 recipe).
+      val docs0 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val queries = docs0.filter(col("doc_id") < 10)
+      for (mult <- Seq(1, 4, 10)) {
+        val docs = (0 until mult).map(r =>
+          docs0.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", concat(col("text"), lit(s" salt$r end$r"))))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        timedCount(s"rm3     ${mult}x corpus, 10 queries fb=3",
+          operators.Retrieval.rm3Expansion(queries, docs, "doc_id",
+            "text", fbDocs = 3, fbTerms = 10, maxTermDf = 500))
+        // stupid backoff: three explodes over the fit half (gram
+        // tables grow ~linearly with salted data), gram-keyed joins
+        // for the scored half — expect ~linear total
+        timedCount(s"sbscore ${mult}x corpus even-fit odd-score",
+          operators.Curation.stupidBackoffScore(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+            "doc_id", "text").filter(col("n_trigrams") >= 0))
+        docs.unpersist()
+      }
+      // survival: the duration GRID is span-bounded (days), so 10x
+      // events should cost one bigger scan + the same windowed grid
+      for (mult <- Seq(1, 10)) {
+        val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        val ev = (0 until mult).map(r =>
+          ev0.withColumn("user_id", col("user_id") + lit(r * 10000000L))
+            .withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+          .reduce(_ unionByName _)
+          .withColumn("ts_us", operators.TimeAgg.epochMicros(ev0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        val durs = operators.TimeAgg.interEventDurations(ev, "user_id",
+          "event_id", "ts_us")
+          .withColumn("grp", pmod(col("user_id"), lit(2L)))
+        timedCount(s"logrank ${mult}x sf0.1 events parity cohorts",
+          operators.TimeAgg.logRank(durs, "__t", "__obs", "grp"))
+        timedCount(s"naalen  ${mult}x sf0.1 events",
+          operators.TimeAgg.nelsonAalen(durs, "__t", "__obs"))
+        ev.unpersist()
+      }
+      // bradleyTerry: rounds run on the matchup table (bounded by
+      // item-pair types, here source², never raw comparisons) — 10x
+      // comparisons should cost one bigger first agg, flat rounds
+      for (mult <- Seq(1, 10)) {
+        val docs = (0 until mult).map(r =>
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .select(col("doc_id"), col("source"), col("text"))
+            .withColumn("doc_id", col("doc_id") + lit(r * 10000000L)))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val tk = docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFns.tokenCount(col("text")).as("score"))
+        val paired = tk
+          .select(col("doc_id").as("id_a"), col("source").as("src_a"),
+            col("score").as("sc_a"),
+            // pair WITHIN each replica block so comparisons scale
+            (expr("(doc_id div 10000000L) * 10000000L") +
+              pmod(expr("doc_id % 10000000L") * 7 + 13, lit(500L)))
+              .as("id_b"))
+          .join(tk.select(col("doc_id").as("id_b"),
+            col("source").as("src_b"), col("score").as("sc_b")), Seq("id_b"))
+          .filter(col("src_a") =!= col("src_b"))
+        val comps = paired.select(
+          when(col("sc_a") > col("sc_b"), col("src_a"))
+            .otherwise(col("src_b")).as("winner"),
+          when(col("sc_a") > col("sc_b"), col("src_b"))
+            .otherwise(col("src_a")).as("loser"))
+        timedCount(s"bterry  ${mult}x comparisons 5 MM rounds",
+          operators.Eval.bradleyTerry(comps, "winner", "loser", 5))
+        docs.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }

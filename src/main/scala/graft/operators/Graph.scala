@@ -169,6 +169,61 @@ object Graph {
       col("__r").as("rank_q"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * restricted to a SEED set — the "relevance to these examples"
+    * ranking (seed = a benchmark, a curated batch, a topic exemplar
+    * set) that spreads proximity over the similarity graph instead of
+    * global centrality. Same integer-exact iteration at scale
+    * Q = 10¹² with damping 17/20; the teleport term
+    * (3Q) div (20·|S|) lands ONLY on seed vertices (seeds absent from
+    * the graph are ignored; |S| counts present seeds). Vertices
+    * unreachable from the seed set decay to rank 0 — the signal, not
+    * an error.
+    *
+    * Plan: pageRank's shape plus one broadcast-able seed-flag join at
+    * init — per round still one edge join + one hash agg, rank table
+    * localCheckpoint'd.
+    *
+    * @param seeds one column `id`
+    * @return (id, degree, seed, rank_q)
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds ($rounds) must be in [1, 20]")
+    val Q = 1000000000000L
+    val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
+      .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
+      .join(seeds.select(col("id").as("__u"), lit(1L).as("__seed")),
+        Seq("__u"), "left")
+      .select(col("__u"), col("__deg"),
+        coalesce(col("__seed"), lit(0L)).as("__seed"))
+    val s = deg.select(lit(1).as("__one"),
+      sum(col("__seed")).cast("long").as("__s"))
+    val r0 = deg.crossJoin(broadcast(s).drop("__one"))
+      .select(col("__u"), col("__deg"), col("__seed"), col("__s"),
+        when(col("__seed") === 1, expr(s"${Q}L div __s")).otherwise(lit(0L))
+          .as("__r"))
+      .localCheckpoint(eager = false)
+    val ranks = (1 to rounds).foldLeft(r0) { (r, _) =>
+      val contrib = sym
+        .join(r.select(col("__u"), col("__deg"), col("__r")), Seq("__u"))
+        .select(col("__v").as("__u"),
+          expr("(17L * __r) div (20L * __deg)").as("__c"))
+        .groupBy(col("__u")).agg(sum(col("__c")).as("__in"))
+      r.select(col("__u"), col("__deg"), col("__seed"), col("__s"))
+        .join(contrib, Seq("__u"))
+        .select(col("__u"), col("__deg"), col("__seed"), col("__s"),
+          (when(col("__seed") === 1,
+            expr(s"(3L * ${Q}L) div (20L * __s)")).otherwise(lit(0L)) +
+            col("__in")).cast("long").as("__r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("__u").as("id"), col("__deg").as("degree"),
+      col("__seed").as("seed"), col("__r").as("rank_q"))
+  }
+
   /** Bounded-round k-core peel over an undirected edge frame (`a < b`
     * canonical form, e.g. [[mutualEdges]] output): repeatedly drop
     * vertices of degree < k until none remain (or `rounds` is

@@ -643,6 +643,48 @@ object TimeAgg {
         col("mase_q"))
   }
 
+  /** Quantile (pinball) loss backtest — [[maseBacktest]]'s sibling for
+    * ASYMMETRIC forecast evaluation: scoring the seasonal-naive
+    * forecast under the τ-quantile loss
+    *
+    *   L_τ(e) = max(τ·e, (τ−1)·e),   e = y_t − ŷ_t,  ŷ_t = y_{t−s}
+    *
+    * which is what capacity planning actually minimizes (a τ = 0.9
+    * loss punishes under-forecasting 9× over-forecasting). With
+    * rational τ = tauNum/tauDen the per-point loss times tauDen is the
+    * EXACT integer max(tauNum·e, (tauNum−tauDen)·e), so the summed
+    * loss and the single mean division are pure BIGINT:
+    * mean_q = (10⁶·Σ) div (tauDen·n).
+    *
+    * Same plan as maseBacktest: one per-group sort, one lag window,
+    * one hash agg.
+    */
+  def pinballBacktest(buckets: DataFrame, groupCol: String,
+                      bucketCol: String, xCol: String, season: Int,
+                      trainPct: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauDen > 0 && tauNum > 0 && tauNum < tauDen,
+      s"tau ($tauNum/$tauDen) must be in (0, 1)")
+    val ws = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+    val x = col(xCol).cast("long")
+    val staged = buckets
+      .withColumn("__t", row_number().over(ws))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))))
+      .withColumn("__ntr", expr(s"(__n * $trainPct + 99L) div 100L"))
+      .withColumn("__e", x - lag(x, season).over(ws))
+    staged
+      .filter(col("__t") > col("__ntr") && col("__e").isNotNull)
+      .withColumn("__l",
+        greatest(lit(tauNum.toLong) * col("__e"),
+          lit((tauNum - tauDen).toLong) * col("__e")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("__l")).as("pinball_num"))
+      .select(col(groupCol), col("n_scored"), col("pinball_num"),
+        expr(s"(1000000L * pinball_num) div (${tauDen}L * n_scored)")
+          .as("pinball_mean_q"))
+  }
+
   /** Pairwise association rules over per-entity item baskets
     * (market-basket on event types, tag co-occurrence, …): for every
     * ORDERED pair a→b of distinct items co-present in ≥ `minCount`

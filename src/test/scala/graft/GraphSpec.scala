@@ -236,6 +236,36 @@ class GraphSpec extends SparkSpec {
     assert(out.head.getLong(2) === skew && skew === 1154700L)
   }
 
+  // ------------------------------------------- personalizedPageRank
+
+  test("personalizedPageRank: teleport mass lands only on seeds and " +
+      "proximity decays over hops (hand-checked integers)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val seeds = Seq(2L).toDF("id")
+    val out = Graph.personalizedPageRank(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val Q = 1000000000000L
+    // r0: only node 2 holds Q. round 1: 1 <- 17Q/20; 2 <- 3Q/20.
+    // round 2: 1 <- 17·(3Q/20)/20; leaves <- 17·(17Q/20)/(20·3);
+    // 2 additionally keeps its teleport 3Q/20.
+    val leaf2 = (17L * (17L * Q / 20L)) / (20L * 3L)
+    assert(out(1L) === ((0L, (17L * (3L * Q / 20L)) / 20L)))
+    assert(out(2L) === ((1L, 3L * Q / 20L + leaf2)))
+    assert(out(3L) === ((0L, leaf2)))
+    assert(out(4L) === ((0L, leaf2)))
+  }
+
+  test("personalizedPageRank: components unreachable from the seed " +
+      "set decay to zero") {
+    val edges = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graph.personalizedPageRank(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(5L) === 0L && out(6L) === 0L)
+    assert(out(1L) > 0L && out(2L) > 0L)
+  }
+
   test("kOccurrenceProfile: uniform occurrence has zero variance (NULL " +
       "skew) and one histogram row") {
     val knn = Seq((1L, 2L), (2L, 1L)).toDF("query_id", "neighbor_id")

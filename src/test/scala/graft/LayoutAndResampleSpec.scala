@@ -221,6 +221,18 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(r.getLong(6) === 156250L)
   }
 
+  test("pinballBacktest: tau=0.9 losses are exact integer maxes") {
+    // same frame as the MASE spec; test errors e = 1, 1, -2, -1
+    // losses x10: 9, 9, 2, 1 -> sum 21, mean_q = 21e6 // 40
+    val xs = Seq(10L, 2L, 10L, 2L, 11L, 3L, 9L, 2L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("g", "bucket", "x")
+    val r = TimeAgg.pinballBacktest(df, "g", "bucket", "x",
+      season = 2, trainPct = 50, tauNum = 9, tauDen = 10).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 21L, 525000L)))
+  }
+
   test("maseBacktest: constant training series yields NULL mase") {
     val xs = Seq(5L, 5L, 5L, 5L, 9L, 1L)
     val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }

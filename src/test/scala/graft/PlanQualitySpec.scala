@@ -1065,4 +1065,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.forall(l => !l.contains("lang") && !l.contains("source")),
       s"clusterSplit read unneeded columns:\n${scans.mkString("\n")}")
   }
+
+  test("rm3Expansion: feedback-doc semi-join broadcasts (the second " +
+      "corpus pass prunes before the explode)") {
+    val plan = planOf("q282_ret_rm3_expansion")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"rm3 feedback prune didn't broadcast-semi:\n${plan.take(3000)}")
+  }
+
+  test("stupidBackoffScore: gram tables join keyed, no cartesian on " +
+      "the scoring path") {
+    val plan = planOf("q290_tx_stupid_backoff")
+    assert(!plan.contains("CartesianProduct"),
+      s"stupid backoff went cartesian:\n${plan.take(3000)}")
+    // the only nested-loop joins allowed are the broadcast scalars (N, V)
+    val bnl = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 2, s"unexpected NLJ count $bnl:\n${plan.take(3000)}")
+  }
+
+  test("unimaxAllocation: one corpus scan, windows over the bounded " +
+      "source table only") {
+    val q = SparkEntry.queries("q287_s_unimax_alloc")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"unimax re-scanned the corpus ($scans):\n$plan")
+  }
+
+  test("logRank: exactly the duration-builder's two events scans " +
+      "(lead window + single-column corpus-edge max), no grid re-read") {
+    val plan = planOf("q289_a_log_rank")
+    val scans = plan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    // interEventDurations reads events twice by design: the per-user
+    // lead window and the broadcast max(ts) corpus edge (pruned to ts)
+    assert(scans <= 2, s"logRank re-scanned events ($scans):\n$plan")
+  }
 }
