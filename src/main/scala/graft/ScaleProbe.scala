@@ -1020,9 +1020,11 @@ object ScaleProbe {
           .reduce(_ unionByName _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs.count()
+        // df cap is corpus-relative (the q23 probe convention): a
+        // fixed cap on a replicated corpus just prunes the workload
         timedCount(s"rm3     ${mult}x corpus, 10 queries fb=3",
           operators.Retrieval.rm3Expansion(queries, docs, "doc_id",
-            "text", fbDocs = 3, fbTerms = 10, maxTermDf = 500))
+            "text", fbDocs = 3, fbTerms = 10, maxTermDf = 500 * mult))
         // stupid backoff: three explodes over the fit half (gram
         // tables grow ~linearly with salted data), gram-keyed joins
         // for the scored half — expect ~linear total
