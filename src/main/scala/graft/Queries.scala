@@ -11638,6 +11638,96 @@ object Queries {
         (1000000 * pinball_num) // (10 * n_scored) AS pinball_mean_q
       FROM g ORDER BY event_type"""))
 
+  /** (q293) Two-group effect sizes (Stats.effectSizes scaladoc):
+    * doc length en vs non-en — exact-integer Cliff's delta from the
+    * doubled-tie U grid, mirrored-fp Cohen's d and Hedges' g.
+    */
+  val q293EffectSizes = Q(
+    "q293_a_effect_sizes",
+    (s, dir) =>
+      operators.Stats.effectSizes(t(s, dir, "documents"), "n_chars",
+        col("lang") === "en"),
+    Some("""
+      WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+             FROM documents WHERE n_chars IS NOT NULL),
+      grid AS (SELECT x, CAST(sum(g) AS BIGINT) AS c1,
+                 CAST(sum(1 - g) AS BIGINT) AS c2
+               FROM b GROUP BY x),
+      uu AS (SELECT CAST(sum(CAST(c1 AS HUGEINT) * (2 * cum2 + c2))
+                 AS HUGEINT) AS u2
+             FROM (SELECT c1, c2,
+                     coalesce(CAST(sum(c2) OVER (ORDER BY x ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS cum2
+                   FROM grid)),
+      m AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+              CAST(sum(1 - g) AS BIGINT) AS n2,
+              CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS HUGEINT) AS s1,
+              CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS HUGEINT) AS s2,
+              CAST(sum(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * x
+                ELSE 0 END) AS HUGEINT) AS q1,
+              CAST(sum(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * x
+                ELSE 0 END) AS HUGEINT) AS q2
+            FROM b),
+      f AS (SELECT n1, n2, CAST(u2 AS BIGINT) AS u2,
+              CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+              (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE))
+              + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(n2 AS DOUBLE)) AS ssw
+            FROM m CROSS JOIN uu)
+      SELECT n1, n2, u2,
+        (1000000 * (u2 - n1 * n2)) // (n1 * n2) AS cliffs_q,
+        CASE WHEN n1 >= 2 AND n2 >= 2 AND ssw > 0 THEN
+          CAST(floor(1000000.0 * ((m1 - m2)
+            / sqrt(ssw / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))))
+            AS BIGINT)
+        END AS cohen_d_q,
+        CASE WHEN n1 >= 2 AND n2 >= 2 AND ssw > 0 THEN
+          CAST(floor(1000000.0 * (((m1 - m2)
+            / sqrt(ssw / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+            * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+              + CAST(n2 AS DOUBLE)) - 9.0)))) AS BIGINT)
+        END AS hedges_g_q
+      FROM f"""))
+
+  /** (q294) Theil's uncertainty coefficient U(source|lang)
+    * (Stats.uncertaintyCoefficient scaladoc): normalized asymmetric
+    * association from integer-summed quantized entropy terms.
+    */
+  val q294TheilsU = Q(
+    "q294_a_theils_u",
+    (s, dir) =>
+      operators.Stats.uncertaintyCoefficient(t(s, dir, "documents"),
+        "source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+             GROUP BY 1, 2),
+      r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rr
+            FROM cells GROUP BY source),
+      c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cc
+            FROM cells GROUP BY lang),
+      tot AS (SELECT CAST(sum(rr) AS BIGINT) AS t,
+                CAST(count(*) AS BIGINT) AS n_rows FROM r),
+      hx AS (SELECT CAST(sum(CAST(floor(1000000000.0
+                 * CAST(rr AS DOUBLE)
+                 * ln(CAST(t AS DOUBLE) / CAST(rr AS DOUBLE))
+                 / CAST(t AS DOUBLE)) AS BIGINT)) AS BIGINT) AS hx_q
+             FROM r CROSS JOIN tot),
+      mi AS (SELECT CAST(sum(CAST(floor(1000000000.0
+                 * CAST(o AS DOUBLE)
+                 * ln(CAST(CAST(t AS HUGEINT) * o AS DOUBLE)
+                   / CAST(CAST(rr AS HUGEINT) * cc AS DOUBLE))
+                 / CAST(t AS DOUBLE)) AS BIGINT)) AS BIGINT) AS mi_q
+             FROM cells JOIN r USING (source) JOIN c USING (lang)
+             CROSS JOIN tot)
+      SELECT t AS n, n_rows, hx_q, mi_q,
+        CASE WHEN hx_q > 0 THEN (1000000 * mi_q) // hx_q END AS u_q
+      FROM tot CROSS JOIN hx CROSS JOIN mi"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11720,5 +11810,5 @@ object Queries {
     q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
     q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
-    q291Ppr, q292Pinball)
+    q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU)
 }

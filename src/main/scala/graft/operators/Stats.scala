@@ -1573,4 +1573,125 @@ object Stats {
             (lit(1000000.0) * col("n").cast("double") *
               (least(col("n_rows"), col("n_cols")) - lit(1L)).cast("double"))))
             .cast("long")).otherwise(lit(0L)).as("v_q"))
+
+  /** Two-group effect sizes — the "is the difference big enough to
+    * matter" numbers that belong next to every significance test
+    * (a 100 TB corpus makes EVERYTHING significant; effect size is
+    * what survives):
+    *
+    *   Cohen's d  = (m̄₁ − m̄₂) / s_pooled      (parametric)
+    *   Hedges' g  = d · (1 − 3/(4(n₁+n₂) − 9)) (small-sample correction)
+    *   Cliff's δ  = 2U/(n₁n₂) − 1              (ordinal, rank-based)
+    *
+    * Determinism: Cliff's δ is EXACT — the doubled-tie U statistic
+    * U₂ = Σ_v cnt₁(v)·(2·cum₂(<v) + cnt₂(v)) is pure integer (value-
+    * grid window, the q201 machinery), and
+    * δ_q = (10⁶·(U₂ − n₁n₂)) div (n₁n₂). d and g are one mirrored
+    * correctly-rounded fp chain over six exact long sums (n, Σx, Σx²
+    * per group), floored at 10⁶; NULL when the pooled variance is 0
+    * or a group has < 2 rows.
+    *
+    * Plan: one hash agg for the moments + one value-grid aggregate
+    * with a single cumulative window (grid is DISTINCT values, never
+    * rows).
+    *
+    * @param label true = group 1
+    * @return one row (n1, n2, u2, cliffs_q, cohen_d_q, hedges_g_q)
+    */
+  def effectSizes(df: DataFrame, xCol: String, label: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val g1 = label.cast("boolean")
+    val base = df.filter(x.isNotNull)
+      .select(x.as("__x"), when(g1, 1L).otherwise(0L).as("__g"))
+      .localCheckpoint(eager = false)
+    val grid = base.groupBy(col("__x"))
+      .agg(sum(col("__g")).as("__c1"),
+        sum(lit(1L) - col("__g")).as("__c2"))
+    val wLess = Window.orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val u = grid
+      .withColumn("__cum2", coalesce(sum(col("__c2")).over(wLess), lit(0L)))
+      .agg(sum(dec(col("__c1")) * dec(lit(2L) * col("__cum2") + col("__c2")))
+        .as("__u2"))
+    val mom = base.agg(
+      sum(col("__g")).as("n1"),
+      sum(lit(1L) - col("__g")).as("n2"),
+      sum(when(col("__g") === 1, dec(col("__x"))).otherwise(dec(lit(0L))))
+        .as("__s1"),
+      sum(when(col("__g") === 0, dec(col("__x"))).otherwise(dec(lit(0L))))
+        .as("__s2"),
+      sum(when(col("__g") === 1, dec(col("__x")) * dec(col("__x")))
+        .otherwise(dec(lit(0L)))).as("__q1"),
+      sum(when(col("__g") === 0, dec(col("__x")) * dec(col("__x")))
+        .otherwise(dec(lit(0L)))).as("__q2"))
+    val d = (c: String) => col(c).cast("double")
+    val m1 = d("__s1") / d("n1")
+    val m2 = d("__s2") / d("n2")
+    val ssw = (d("__q1") - d("__s1") * d("__s1") / d("n1")) +
+      (d("__q2") - d("__s2") * d("__s2") / d("n2"))
+    val pooled = ssw / (d("n1") + d("n2") - lit(2.0))
+    val cohen = (m1 - m2) / sqrt(pooled)
+    val j = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (d("n1") + d("n2")) - lit(9.0))
+    mom.crossJoin(broadcast(u))
+      // long arithmetic bound: 10⁶·n₁·n₂ < 2⁶³ holds to ~3M rows per
+      // group — aggregate upstream past that (the mcnemar convention)
+      .withColumn("u2", col("__u2").cast("long"))
+      .select(col("n1"), col("n2"), col("u2"),
+        expr("(1000000L * (u2 - n1 * n2)) div (n1 * n2)").as("cliffs_q"),
+        when(col("n1") >= 2 && col("n2") >= 2 && ssw > 0,
+          floor(lit(1000000.0) * cohen).cast("long")).as("cohen_d_q"),
+        when(col("n1") >= 2 && col("n2") >= 2 && ssw > 0,
+          floor(lit(1000000.0) * (cohen * j)).cast("long"))
+          .as("hedges_g_q"))
+  }
+
+  /** Theil's uncertainty coefficient U(X|Y) = I(X;Y)/H(X) — the
+    * asymmetric, 0-to-1-normalized association measure ("how much of
+    * the source identity does knowing the language remove"), the
+    * feature-selection companion to [[mutualInfo]]'s raw cell
+    * contributions.
+    *
+    * Both numerator and denominator are integer sums of per-term
+    * quantized contributions (the PSI/q265 pattern):
+    *   hx_q = Σ_r ⌊10⁹·(r/N)·ln(N/r)⌋,
+    *   mi_q = Σ_cells ⌊10⁹·(o/N)·ln(N·o/(r·c))⌋
+    * and u_q = ⌊10⁶·mi_q/hx_q⌋ is one division of the two longs.
+    * Zero-entropy X (one category) → NULL.
+    *
+    * Plan: the chiSquare grid shape — one compute-once cell grid, two
+    * marginal aggs, broadcast joins, scalar output.
+    */
+  def uncertaintyCoefficient(df: DataFrame, rowCol: String,
+                             colCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(rowCol), col(colCol)).na.drop()
+      .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
+      .localCheckpoint(eager = false)
+    val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
+    val tot = rows.agg(sum(col("__r")).as("__t"),
+      count(lit(1)).as("n_rows"))
+    val hx = rows.crossJoin(broadcast(tot))
+      .select(floor(lit(1.0e9) * col("__r").cast("double") *
+        log(col("__t").cast("double") / col("__r").cast("double")) /
+        col("__t").cast("double")).cast("long").as("__h"))
+      .agg(sum(col("__h")).as("hx_q"))
+    val mi = cells
+      .join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
+      .crossJoin(broadcast(tot))
+      .select(floor(lit(1.0e9) * col("o").cast("double") *
+        log((dec(col("__t")) * dec(col("o"))).cast("double") /
+          (dec(col("__r")) * dec(col("__c"))).cast("double")) /
+        col("__t").cast("double")).cast("long").as("__m"))
+      .agg(sum(col("__m")).as("mi_q"))
+    tot.crossJoin(broadcast(hx)).crossJoin(broadcast(mi))
+      .select(col("__t").cast("long").as("n"), col("n_rows"),
+        col("hx_q"), col("mi_q"),
+        when(col("hx_q") > 0,
+          expr("(1000000L * mi_q) div hx_q")).as("u_q"))
+  }
 }

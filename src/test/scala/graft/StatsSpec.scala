@@ -799,4 +799,60 @@ class StatsSpec extends SparkSpec {
     assert(Stats.cochranQ(once, "blk", "trt").collect().toSeq.toString ===
       Stats.cochranQ(dup, "blk", "trt").collect().toSeq.toString)
   }
+
+  // ------------------------------------------------------ effectSizes
+
+  test("effectSizes: hand-computed d, g, and exact Cliff's delta") {
+    // g1 = {2, 4}, g0 = {1, 3}: U = 3 of 4 pairs -> delta = 0.5;
+    // m1=3 m2=2 ssw=4 pooled=2 -> d = 1/sqrt(2); J = 1 - 3/7
+    val df = Seq((2L, true), (4L, true), (1L, false), (3L, false))
+      .toDF("x", "y")
+    val r = Stats.effectSizes(df, "x", col("y")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 6L)))
+    assert(r.getLong(3) === 500000L)
+    val cohen = (3.0 - 2.0) / math.sqrt(4.0 / (2.0 + 2.0 - 2.0))
+    assert(r.getLong(4) === math.floor(1.0e6 * cohen).toLong)
+    val j = 1.0 - 3.0 / (4.0 * 4.0 - 9.0)
+    assert(r.getLong(5) === math.floor(1.0e6 * (cohen * j)).toLong)
+  }
+
+  test("effectSizes: identical groups give delta 0 and d 0") {
+    val df = Seq((5L, true), (7L, true), (5L, false), (7L, false))
+      .toDF("x", "y")
+    val r = Stats.effectSizes(df, "x", col("y")).collect().head
+    assert(r.getLong(3) === 0L) // u2 = n1·n2 exactly under symmetry
+    assert(r.getLong(4) === 0L)
+  }
+
+  test("effectSizes: zero within-group variance yields NULL d") {
+    val df = Seq((5L, true), (5L, true), (3L, false), (3L, false))
+      .toDF("x", "y")
+    val r = Stats.effectSizes(df, "x", col("y")).collect().head
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    assert(r.getLong(3) === 1000000L) // complete separation
+  }
+
+  // ------------------------------------------ uncertaintyCoefficient
+
+  test("uncertaintyCoefficient: bijective association is exactly 1e6 " +
+      "(per-term floors cancel)") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("c", "z"))
+      .toDF("r", "c")
+    val out = Stats.uncertaintyCoefficient(df, "r", "c").collect().head
+    assert(out.getLong(4) === 1000000L)
+  }
+
+  test("uncertaintyCoefficient: exact independence is 0") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val out = Stats.uncertaintyCoefficient(df, "r", "c").collect().head
+    assert(out.getLong(3) === 0L && out.getLong(4) === 0L)
+  }
+
+  test("uncertaintyCoefficient: single row category has zero entropy " +
+      "-> NULL u") {
+    val df = Seq(("a", "x"), ("a", "y")).toDF("r", "c")
+    val out = Stats.uncertaintyCoefficient(df, "r", "c").collect().head
+    assert(out.getLong(2) === 0L && out.isNullAt(4))
+  }
 }
