@@ -11728,6 +11728,74 @@ object Queries {
         CASE WHEN hx_q > 0 THEN (1000000 * mi_q) // hx_q END AS u_q
       FROM tot CROSS JOIN hx CROSS JOIN mi"""))
 
+  /** (q295) Closed-form two-regressor OLS (Stats.olsFit2 scaladoc):
+    * n_chars ~ token count + en-indicator — Cramer determinants as
+    * exact Decimal(38,0) polynomials, one double division per β.
+    */
+  val q295Ols = Q(
+    "q295_a_ols_fit",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars"),
+          TextFns.tokenCount(col("text")).as("ntok"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      operators.Stats.olsFit2(docs, "n_chars", "ntok", "is_en")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(n_chars AS BIGINT) AS y,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 END AS BIGINT) AS x1,
+               CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS x2
+             FROM documents
+             WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS sx1,
+              CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS sx2,
+              CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS sx11,
+              CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS sx22,
+              CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS sx12,
+              CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+              CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS sx1y,
+              CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS sx2y,
+              CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM b),
+      dets AS (SELECT *,
+              CAST(n AS HUGEINT) * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+              sy * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1y * sx22 - sx12 * sx2y)
+                + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+              CAST(n AS HUGEINT) * (sx1y * sx22 - sx12 * sx2y)
+                - sy * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+              CAST(n AS HUGEINT) * (sx11 * sx2y - sx1y * sx12)
+                - sx1 * (sx1 * sx2y - sx1y * sx2)
+                + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+            FROM m),
+      f AS (SELECT n, det,
+              CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+              CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+              CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2,
+              CAST(syy AS DOUBLE) AS syyd, CAST(sy AS DOUBLE) AS syd,
+              CAST(sx1y AS DOUBLE) AS sx1yd, CAST(sx2y AS DOUBLE) AS sx2yd,
+              CAST(n AS DOUBLE) AS nd
+            FROM dets)
+      SELECT n,
+        CASE WHEN det <> 0 THEN CAST(floor(1000000.0 * b0) AS BIGINT) END
+          AS beta0_q,
+        CASE WHEN det <> 0 THEN CAST(floor(1000000.0 * b1) AS BIGINT) END
+          AS beta1_q,
+        CASE WHEN det <> 0 THEN CAST(floor(1000000.0 * b2) AS BIGINT) END
+          AS beta2_q,
+        CASE WHEN det <> 0 AND syyd - syd * syd / nd > 0 THEN
+          CAST(floor(1000000.0 * (1.0 -
+            (syyd - b0 * syd - b1 * sx1yd - b2 * sx2yd)
+            / (syyd - syd * syd / nd))) AS BIGINT)
+        END AS r2_q
+      FROM f"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11810,5 +11878,5 @@ object Queries {
     q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
     q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
-    q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU)
+    q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols)
 }

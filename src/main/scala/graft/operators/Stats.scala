@@ -1647,6 +1647,75 @@ object Stats {
           .as("hedges_g_q"))
   }
 
+  /** Closed-form OLS with intercept and TWO regressors,
+    * y ~ β₀ + β₁x₁ + β₂x₂ — the multiple-regression step up from
+    * [[pearson]]/Theil–Sen: solved by Cramer's rule on the 3×3 normal
+    * equations, whose determinants are degree-3 POLYNOMIALS IN EXACT
+    * INTEGER SUMS (n, Σx₁, Σx₂, Σx₁², Σx₂², Σx₁x₂, Σy, Σx₁y, Σx₂y,
+    * Σy²) — computed entirely in Decimal(38,0), so every βᵢ is ONE
+    * double division of two exact decimals, ⌊10⁶·detᵢ/det⌋.
+    * Exactness bound: triple products of sums must fit 38 digits
+    * (|Σ|³ < 10³⁸ — holds to ~10¹² per sum; quantize inputs upstream
+    * past that). R² = 1 − SSE/SST is one mirrored fp chain over the
+    * unquantized β doubles. NULL β/R² when the design is singular
+    * (det = 0) or SST = 0.
+    *
+    * Plan: ONE hash aggregate over the scan (ten map-side-combined
+    * sums), scalar output — the cheapest possible shape; nothing
+    * iterative, nothing shuffled beyond one row.
+    *
+    * @return (n, beta0_q, beta1_q, beta2_q, r2_q)
+    */
+  def olsFit2(df: DataFrame, yCol: String, x1Col: String,
+              x2Col: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val y = dec(col(yCol).cast("long"))
+    val x1 = dec(col(x1Col).cast("long"))
+    val x2 = dec(col(x2Col).cast("long"))
+    val m = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("sx1"), sum(x2).as("sx2"),
+        sum(x1 * x1).as("sx11"), sum(x2 * x2).as("sx22"),
+        sum(x1 * x2).as("sx12"),
+        sum(y).as("sy"), sum(x1 * y).as("sx1y"), sum(x2 * y).as("sx2y"),
+        sum(y * y).as("syy"))
+    val n = dec(col("n"))
+    val det = n * (col("sx11") * col("sx22") - col("sx12") * col("sx12")) -
+      col("sx1") * (col("sx1") * col("sx22") - col("sx12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("sx12") - col("sx11") * col("sx2"))
+    val det0 =
+      col("sy") * (col("sx11") * col("sx22") - col("sx12") * col("sx12")) -
+      col("sx1") * (col("sx1y") * col("sx22") - col("sx12") * col("sx2y")) +
+      col("sx2") * (col("sx1y") * col("sx12") - col("sx11") * col("sx2y"))
+    val det1 =
+      n * (col("sx1y") * col("sx22") - col("sx12") * col("sx2y")) -
+      col("sy") * (col("sx1") * col("sx22") - col("sx12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("sx2y") - col("sx1y") * col("sx2"))
+    val det2 =
+      n * (col("sx11") * col("sx2y") - col("sx1y") * col("sx12")) -
+      col("sx1") * (col("sx1") * col("sx2y") - col("sx1y") * col("sx2")) +
+      col("sy") * (col("sx1") * col("sx12") - col("sx11") * col("sx2"))
+    val d = (c: Column) => c.cast("double")
+    val b0 = d(det0) / d(det)
+    val b1 = d(det1) / d(det)
+    val b2 = d(det2) / d(det)
+    val sse = d(col("syy")) - b0 * d(col("sy")) - b1 * d(col("sx1y")) -
+      b2 * d(col("sx2y"))
+    val sst = d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n"))
+    m.select(col("n"),
+      when(det =!= 0, floor(lit(1000000.0) * b0).cast("long"))
+        .as("beta0_q"),
+      when(det =!= 0, floor(lit(1000000.0) * b1).cast("long"))
+        .as("beta1_q"),
+      when(det =!= 0, floor(lit(1000000.0) * b2).cast("long"))
+        .as("beta2_q"),
+      when(det =!= 0 && sst > 0,
+        floor(lit(1000000.0) * (lit(1.0) - sse / sst)).cast("long"))
+        .as("r2_q"))
+  }
+
   /** Theil's uncertainty coefficient U(X|Y) = I(X;Y)/H(X) — the
     * asymmetric, 0-to-1-normalized association measure ("how much of
     * the source identity does knowing the language remove"), the

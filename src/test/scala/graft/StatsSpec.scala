@@ -832,6 +832,37 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(3) === 1000000L) // complete separation
   }
 
+  // ---------------------------------------------------------- olsFit2
+
+  test("olsFit2: recovers an exact linear relation with R^2 = 1") {
+    // y = 2 + 3*x1 + 5*x2 exactly -> Cramer division is exact
+    val df = Seq((0L, 0L, 2L), (1L, 0L, 5L), (0L, 1L, 7L), (1L, 1L, 10L),
+      (2L, 1L, 13L)).toDF("x1", "x2", "y")
+    val r = Stats.olsFit2(df, "y", "x1", "x2").collect().head
+    assert(r.getLong(0) === 5L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2000000L, 3000000L, 5000000L)))
+    assert(r.getLong(4) === 1000000L)
+  }
+
+  test("olsFit2: collinear regressors are singular -> NULL betas") {
+    val df = Seq((1L, 1L, 3L), (2L, 2L, 5L), (3L, 3L, 7L))
+      .toDF("x1", "x2", "y")
+    val r = Stats.olsFit2(df, "y", "x1", "x2").collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("olsFit2: null rows are excluded from the fit") {
+    val df = Seq((Some(1L), Some(0L), Some(5L)), (None, Some(1L), Some(9L)),
+      (Some(2L), Some(0L), Some(8L)), (Some(3L), Some(1L), Some(11L)),
+      (Some(4L), Some(1L), Some(14L)))
+      .toDF("x1", "x2", "y")
+    val r = Stats.olsFit2(df, "y", "x1", "x2").collect().head
+    assert(r.getLong(0) === 4L) // y = 2 + 3x1 + 0x2 on the non-null rows
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2000000L, 3000000L, 0L)))
+  }
+
   // ------------------------------------------ uncertaintyCoefficient
 
   test("uncertaintyCoefficient: bijective association is exactly 1e6 " +
