@@ -11796,6 +11796,67 @@ object Queries {
         END AS r2_q
       FROM f"""))
 
+  /** (q296) Partial correlation (Stats.partialCorrelation scaladoc):
+    * n_chars vs token count controlling the en-indicator — three
+    * mirrored pairwise r's over exact decimal sums, one combining
+    * chain.
+    */
+  val q296PartialCorr = Q(
+    "q296_a_partial_corr",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars"),
+          TextFns.tokenCount(col("text")).as("ntok"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      operators.Stats.partialCorrelation(docs, "n_chars", "ntok", "is_en")
+    },
+    Some("""
+      WITH base AS (SELECT CAST(n_chars AS BIGINT) AS a,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 END AS BIGINT) AS b,
+               CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS z
+             FROM documents
+             WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(CAST(a AS HUGEINT)) AS HUGEINT) AS sa,
+              CAST(sum(CAST(b AS HUGEINT)) AS HUGEINT) AS sb,
+              CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+              CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+              CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+              CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+              CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+              CAST(sum(CAST(a AS HUGEINT) * z) AS HUGEINT) AS saz,
+              CAST(sum(CAST(b AS HUGEINT) * z) AS HUGEINT) AS sbz
+            FROM base),
+      f AS (SELECT n,
+              CAST(n * sab - sa * sb AS DOUBLE)
+                / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                  * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS rab,
+              CAST(n * saz - sa * sz AS DOUBLE)
+                / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS raz,
+              CAST(n * sbz - sb * sz AS DOUBLE)
+                / (sqrt(CAST(n * sbb - sb * sb AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rbz,
+              n * saa - sa * sa AS va, n * sbb - sb * sb AS vb,
+              n * szz - sz * sz AS vz
+            FROM m)
+      SELECT CAST(n AS BIGINT) AS n,
+        CASE WHEN va > 0 AND vb > 0 AND vz > 0 THEN
+          CAST(floor(1000000.0 * rab) AS BIGINT) END AS r_ab_q,
+        CASE WHEN va > 0 AND vb > 0 AND vz > 0 THEN
+          CAST(floor(1000000.0 * raz) AS BIGINT) END AS r_az_q,
+        CASE WHEN va > 0 AND vb > 0 AND vz > 0 THEN
+          CAST(floor(1000000.0 * rbz) AS BIGINT) END AS r_bz_q,
+        CASE WHEN va > 0 AND vb > 0 AND vz > 0
+            AND sqrt(1.0 - raz * raz) * sqrt(1.0 - rbz * rbz) > 0 THEN
+          CAST(floor(1000000.0 * ((rab - raz * rbz)
+            / (sqrt(1.0 - raz * raz) * sqrt(1.0 - rbz * rbz))))
+            AS BIGINT)
+        END AS partial_q
+      FROM f"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11878,5 +11939,6 @@ object Queries {
     q280Krippendorff, q281Assortativity, q282Rm3, q283Hubness,
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
     q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
-    q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols)
+    q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols,
+    q296PartialCorr)
 }

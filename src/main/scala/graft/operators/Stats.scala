@@ -1716,6 +1716,69 @@ object Stats {
         .as("r2_q"))
   }
 
+  /** First-order partial correlation r_ab·z — the correlation between
+    * a and b with the confounder z regressed out:
+    *
+    *   r_ab·z = (r_ab − r_az·r_bz) / √((1 − r_az²)(1 − r_bz²))
+    *
+    * the "is doc length related to token count beyond what language
+    * explains" number; the difference r_ab − r_ab·z is the confound's
+    * share. Each pairwise r is one mirrored fp chain over EXACT
+    * decimal sums (numerator n·S_ab − S_a·S_b, denominator
+    * √(n·S_aa − S_a²)·√(n·S_bb − S_b²) — two IEEE-exact sqrts), and
+    * the partial combines the three r doubles in one more mirrored
+    * chain; everything quantized ⌊10⁶·⌋ at the end. NULL when any
+    * marginal variance is 0 or either |r·z| = 1.
+    *
+    * Plan: ONE hash aggregate (nine map-side-combined sums), scalar
+    * output.
+    *
+    * @return (n, r_ab_q, r_az_q, r_bz_q, partial_q)
+    */
+  def partialCorrelation(df: DataFrame, aCol: String, bCol: String,
+                         zCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val a = dec(col(aCol).cast("long"))
+    val b = dec(col(bCol).cast("long"))
+    val z = dec(col(zCol).cast("long"))
+    val m = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(zCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(a).as("sa"), sum(b).as("sb"), sum(z).as("sz"),
+        sum(a * a).as("saa"), sum(b * b).as("sbb"), sum(z * z).as("szz"),
+        sum(a * b).as("sab"), sum(a * z).as("saz"), sum(b * z).as("sbz"))
+    val d = (c: Column) => c.cast("double")
+    val n = dec(col("n"))
+    // ANSI divide-by-zero guard: a degenerate radicand is replaced by 1
+    // INSIDE the (hoisted) subexpression — harmless, because every
+    // output that could see the substituted value is nulled by `ok` /
+    // the denom>0 guard below (values in the admitted region unchanged)
+    def safe(c: Column): Column = when(c > 0, d(c)).otherwise(lit(1.0))
+    def r(sxy: String, sx: String, sy: String, sxx: String,
+          syy: String): Column =
+      d(n * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(safe(n * col(sxx) - col(sx) * col(sx))) *
+          sqrt(safe(n * col(syy) - col(sy) * col(sy))))
+    val rab = r("sab", "sa", "sb", "saa", "sbb")
+    val raz = r("saz", "sa", "sz", "saa", "szz")
+    val rbz = r("sbz", "sb", "sz", "sbb", "szz")
+    val varA = n * col("saa") - col("sa") * col("sa")
+    val varB = n * col("sbb") - col("sb") * col("sb")
+    val varZ = n * col("szz") - col("sz") * col("sz")
+    val denom = sqrt(lit(1.0) - raz * raz) * sqrt(lit(1.0) - rbz * rbz)
+    val denomSafe = when(denom > 0, denom).otherwise(lit(1.0))
+    val ok = varA > 0 && varB > 0 && varZ > 0
+    m.select(col("n"),
+      when(ok, floor(lit(1000000.0) * rab).cast("long")).as("r_ab_q"),
+      when(ok, floor(lit(1000000.0) * raz).cast("long")).as("r_az_q"),
+      when(ok, floor(lit(1000000.0) * rbz).cast("long")).as("r_bz_q"),
+      when(ok && denom > 0,
+        floor(lit(1000000.0) * ((rab - raz * rbz) / denomSafe))
+          .cast("long"))
+        .as("partial_q"))
+  }
+
   /** Theil's uncertainty coefficient U(X|Y) = I(X;Y)/H(X) — the
     * asymmetric, 0-to-1-normalized association measure ("how much of
     * the source identity does knowing the language remove"), the

@@ -863,6 +863,36 @@ class StatsSpec extends SparkSpec {
       ((2000000L, 3000000L, 0L)))
   }
 
+  // ----------------------------------------------- partialCorrelation
+
+  test("partialCorrelation: confound fully explains the correlation") {
+    // a and b both equal z (plus distinct constants): r_ab = 1 via z,
+    // but partialling z out leaves nothing -> denominator 0 -> NULL
+    val df = Seq((1L, 11L, 1L), (0L, 10L, 0L), (1L, 11L, 1L),
+      (0L, 10L, 0L)).toDF("a", "b", "z")
+    val r = Stats.partialCorrelation(df, "a", "b", "z").collect().head
+    assert(r.getLong(1) === 1000000L || r.getLong(1) === 999999L)
+    assert(r.isNullAt(4)) // |r_az| = 1 -> sqrt(1 - r^2) = 0
+  }
+
+  test("partialCorrelation: independent confound leaves r_ab intact") {
+    // z uncorrelated with both (balanced): r_az = r_bz = 0 exactly,
+    // so partial == marginal
+    val df = Seq((1L, 2L, 0L), (2L, 4L, 1L), (1L, 2L, 1L), (2L, 4L, 0L),
+      (3L, 5L, 0L), (4L, 7L, 1L), (3L, 5L, 1L), (4L, 7L, 0L))
+      .toDF("a", "b", "z")
+    val r = Stats.partialCorrelation(df, "a", "b", "z").collect().head
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+    assert(r.getLong(4) === r.getLong(1))
+  }
+
+  test("partialCorrelation: zero-variance column yields NULLs") {
+    val df = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+      .toDF("a", "b", "z")
+    val r = Stats.partialCorrelation(df, "a", "b", "z").collect().head
+    assert(r.isNullAt(1) && r.isNullAt(4))
+  }
+
   // ------------------------------------------ uncertaintyCoefficient
 
   test("uncertaintyCoefficient: bijective association is exactly 1e6 " +
