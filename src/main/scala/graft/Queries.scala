@@ -11857,6 +11857,86 @@ object Queries {
         END AS partial_q
       FROM f"""))
 
+  /** (q297) Durbin–Watson trend-residual diagnostic
+    * (Stats.durbinWatson scaladoc): hourly per-type series, linear
+    * trend from exact sums, per-row quantized residuals, DW as one
+    * division of two exact decimal sums.
+    */
+  val q297DurbinWatson = Q(
+    "q297_a_durbin_watson",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = hourly.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(3600L))))
+        .select("event_type", "bucket")
+        .join(hourly, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.Stats.durbinWatson(dense, "event_type", "bucket", "x")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 3600000000) * 3600 AS bucket FROM events),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.event_type, d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      st AS (SELECT event_type, bucket, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY bucket) AS BIGINT) AS t
+             FROM dense),
+      sums AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS stt1,
+                 CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt2,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(t AS HUGEINT) * x) AS HUGEINT) AS stx
+               FROM st GROUP BY event_type),
+      fit AS (SELECT event_type, n,
+                CAST(CAST(n AS HUGEINT) * stx - stt1 * sx AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * stt2 - stt1 * stt1
+                    AS DOUBLE) AS b1,
+                stt1, sx
+              FROM sums
+              WHERE CAST(n AS HUGEINT) * stt2 - stt1 * stt1 > 0),
+      fit2 AS (SELECT event_type, n, b1,
+                 (CAST(sx AS DOUBLE) - b1 * CAST(stt1 AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS b0
+               FROM fit),
+      r AS (SELECT st.event_type, f.n, f.b1,
+              CAST(floor(1000000.0 * (CAST(st.x AS DOUBLE)
+                - (f.b0 + f.b1 * CAST(st.t AS DOUBLE)))) AS BIGINT) AS eq,
+              st.bucket
+            FROM st JOIN fit2 f USING (event_type)),
+      lg AS (SELECT event_type, n, b1, eq,
+               lag(eq) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS leq
+             FROM r),
+      agg AS (SELECT event_type, max(n) AS n,
+                max(CAST(floor(1000000.0 * b1) AS BIGINT)) AS slope_q,
+                CAST(sum(CASE WHEN leq IS NOT NULL
+                  THEN CAST(eq - leq AS HUGEINT) * (eq - leq)
+                  ELSE 0 END) AS HUGEINT) AS num,
+                CAST(sum(CAST(eq AS HUGEINT) * eq) AS HUGEINT) AS den
+              FROM lg GROUP BY event_type)
+      SELECT event_type, n, slope_q,
+        CASE WHEN n >= 3 AND den > 0 THEN
+          CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+            / CAST(den AS DOUBLE)) AS BIGINT)
+        END AS dw_q
+      FROM agg ORDER BY event_type"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -11940,5 +12020,5 @@ object Queries {
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
     q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
     q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols,
-    q296PartialCorr)
+    q296PartialCorr, q297DurbinWatson)
 }

@@ -1716,6 +1716,71 @@ object Stats {
         .as("r2_q"))
   }
 
+  /** Durbin–Watson residual-autocorrelation diagnostic per group: fit
+    * the linear trend x ~ a + b·t over the group's bucket series
+    * (closed-form simple OLS on exact integer sums), quantize each
+    * residual ONCE to a long (⌊10⁶·(x_t − â − b̂·t)⌋), and test the
+    * residual stream for serial correlation:
+    *
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ e_t²   ∈ [0, 4], 2 ≈ none
+    *
+    * — the "is the de-trended series actually noise" check run before
+    * trusting any per-group rate model; DW → 0 flags momentum the
+    * trend didn't absorb, → 4 flags oscillation. Both DW sums are
+    * exact decimal sums of quantized longs, so the statistic is one
+    * final double division (fp enters only at the per-row quantize,
+    * whose inputs are a literal-identical chain of the two OLS
+    * doubles).
+    *
+    * Plan: one hash agg for the per-group OLS sums, a broadcast-able
+    * join back, one per-group lag window, one hash agg. Groups with
+    * < 3 buckets or a singular trend emit NULL.
+    *
+    * @return (group, n, slope_q, dw_q)
+    */
+  def durbinWatson(buckets: DataFrame, groupCol: String, bucketCol: String,
+                   xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val ws = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+    val staged = buckets
+      .select(col(groupCol), col(bucketCol), col(xCol).cast("long").as("__x"))
+      .withColumn("__t", row_number().over(ws).cast("long"))
+      .localCheckpoint(eager = false)
+    val sums = staged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("__t"))).as("__st"),
+        sum(dec(col("__t")) * dec(col("__t"))).as("__stt"),
+        sum(dec(col("__x"))).as("__sx"),
+        sum(dec(col("__t")) * dec(col("__x"))).as("__stx"))
+    val detT = dec(col("__n")) * col("__stt") - col("__st") * col("__st")
+    val b1 = d(dec(col("__n")) * col("__stx") - col("__st") * col("__sx")) /
+      when(detT > 0, d(detT)).otherwise(lit(1.0))
+    val b0 = (d(col("__sx")) - b1 * d(col("__st"))) / d(col("__n"))
+    val fitted = sums.select(col(groupCol), col("__n"),
+      when(detT > 0, b1).as("__b1"), when(detT > 0, b0).as("__b0"))
+    val resid = staged.join(broadcast(fitted), Seq(groupCol))
+      .withColumn("__eq",
+        floor(lit(1000000.0) *
+          (d(col("__x")) - (col("__b0") + col("__b1") * d(col("__t")))))
+          .cast("long"))
+      .withColumn("__lag", lag(col("__eq"), 1).over(ws))
+    resid.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        max(floor(lit(1000000.0) * col("__b1")).cast("long"))
+          .as("slope_q"),
+        sum(when(col("__lag").isNotNull,
+          dec(col("__eq") - col("__lag")) * dec(col("__eq") - col("__lag")))
+          .otherwise(dec(lit(0L)))).as("__num"),
+        sum(dec(col("__eq")) * dec(col("__eq"))).as("__den"))
+      .select(col(groupCol), col("n"), col("slope_q"),
+        when(col("n") >= 3 && col("__den") > 0,
+          floor(lit(1000000.0) * d(col("__num")) /
+            when(col("__den") > 0, d(col("__den"))).otherwise(lit(1.0)))
+            .cast("long"))
+          .as("dw_q"))
+  }
+
   /** First-order partial correlation r_ab·z — the correlation between
     * a and b with the confounder z regressed out:
     *

@@ -863,6 +863,29 @@ class StatsSpec extends SparkSpec {
       ((2000000L, 3000000L, 0L)))
   }
 
+  // ---------------------------------------------------- durbinWatson
+
+  private def dw(xs: Seq[Long]) = Stats.durbinWatson(
+    xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("g", "bucket", "x"), "g", "bucket", "x")
+    .collect().head
+
+  test("durbinWatson: an exact linear trend has zero residuals -> NULL") {
+    val r = dw(Seq(3L, 5L, 7L, 9L, 11L, 13L))
+    assert(r.getLong(2) === 2000000L) // slope recovered exactly
+    assert(r.isNullAt(3))
+  }
+
+  test("durbinWatson: alternating residuals push DW toward 4, " +
+      "momentum pushes it toward 0") {
+    // trend + (-1)^t oscillation
+    val osc = dw((1 to 40).map(t => t.toLong + (if (t % 2 == 0) 1L else -1L)))
+    assert(osc.getLong(3) > 3000000L, s"oscillation DW = ${osc.getLong(3)}")
+    // step function: long runs of same-sign residuals
+    val mom = dw(Seq.fill(20)(0L) ++ Seq.fill(20)(10L))
+    assert(mom.getLong(3) < 1000000L, s"momentum DW = ${mom.getLong(3)}")
+  }
+
   // ----------------------------------------------- partialCorrelation
 
   test("partialCorrelation: confound fully explains the correlation") {
