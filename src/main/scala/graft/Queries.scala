@@ -11937,6 +11937,161 @@ object Queries {
         END AS dw_q
       FROM agg ORDER BY event_type"""))
 
+  /** (q298) Goodman–Kruskal gamma + Somers' D between the n_chars
+    * bucket and the space-count bucket (Stats.ordinalAssociation
+    * scaladoc): concordance masses from the bounded bucket grid,
+    * exact-integer throughout.
+    */
+  val q298OrdinalAssoc = Q(
+    "q298_a_ordinal_assoc",
+    (s, dir) =>
+      operators.Stats.ordinalAssociation(t(s, dir, "documents"),
+        expr("n_chars div 50"),
+        expr("(length(text) - length(replace(text, ' ', ''))) div 10")),
+    Some("""
+      WITH b AS (SELECT CAST(n_chars AS BIGINT) // 50 AS x,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                 AS BIGINT) // 10 AS y
+             FROM documents
+             WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      grid AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o
+               FROM b GROUP BY 1, 2),
+      cd AS (SELECT
+               coalesce(CAST(sum(CASE WHEN g2.y > g1.y
+                 THEN CAST(g1.o AS HUGEINT) * g2.o END) AS HUGEINT),
+                 0) AS c_p,
+               coalesce(CAST(sum(CASE WHEN g2.y < g1.y
+                 THEN CAST(g1.o AS HUGEINT) * g2.o END) AS HUGEINT),
+                 0) AS d_p
+             FROM grid g1 JOIN grid g2 ON g2.x > g1.x),
+      xm AS (SELECT CAST(sum(CAST(r AS HUGEINT) * (r - 1)) AS HUGEINT)
+                 AS tx2
+             FROM (SELECT CAST(sum(o) AS BIGINT) AS r
+                   FROM grid GROUP BY x)),
+      ym AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT)
+                 AS ty2
+             FROM (SELECT CAST(sum(o) AS BIGINT) AS c
+                   FROM grid GROUP BY y)),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid),
+      f AS (SELECT n, CAST(c_p AS BIGINT) AS c_pairs,
+              CAST(d_p AS BIGINT) AS d_pairs,
+              CAST(CAST(n AS HUGEINT) * (n - 1) - tx2 AS BIGINT) AS ux2,
+              CAST(CAST(n AS HUGEINT) * (n - 1) - ty2 AS BIGINT) AS uy2
+            FROM tot CROSS JOIN cd CROSS JOIN xm CROSS JOIN ym)
+      SELECT n, c_pairs, d_pairs,
+        CASE WHEN c_pairs + d_pairs > 0 THEN
+          (1000000 * (c_pairs - d_pairs)) // (c_pairs + d_pairs)
+        END AS gamma_q,
+        CASE WHEN ux2 > 0 THEN
+          (2000000 * (c_pairs - d_pairs)) // ux2 END AS sdyx_q,
+        CASE WHEN uy2 > 0 THEN
+          (2000000 * (c_pairs - d_pairs)) // uy2 END AS sdxy_q
+      FROM f"""))
+
+  /** (q299) Per-source lang-mix goodness-of-fit battery with
+    * Benjamini–Hochberg FDR control (Stats.gofFdrBattery scaladoc):
+    * 2-df chi-square ⇒ closed-form p = e^{−χ²/2}, integer BH step-up.
+    */
+  val q299FdrBattery = Q(
+    "q299_a_fdr_battery",
+    (s, dir) =>
+      operators.Stats.gofFdrBattery(t(s, dir, "documents"),
+        "source", "lang"),
+    Some("""
+      WITH cnt AS (SELECT source AS g, lang AS c,
+               CAST(count(*) AS BIGINT) AS o
+             FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL
+             GROUP BY 1, 2),
+      top2 AS (SELECT c FROM (SELECT c, sum(o) AS ct FROM cnt
+               GROUP BY c ORDER BY ct DESC, c LIMIT 2)),
+      celled AS (SELECT g,
+               CASE WHEN c IN (SELECT c FROM top2) THEN c
+                 ELSE '~other' END AS cell,
+               CAST(sum(o) AS BIGINT) AS o
+             FROM cnt GROUP BY 1, 2),
+      ct AS (SELECT cell, CAST(sum(o) AS BIGINT) AS ctot
+             FROM celled GROUP BY cell),
+      gt AS (SELECT g, CAST(sum(o) AS BIGINT) AS ng
+             FROM celled GROUP BY g),
+      tt AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM celled),
+      grid AS (SELECT gt.g, gt.ng, ct.cell,
+               CAST(CAST(gt.ng AS HUGEINT) * ct.ctot AS DOUBLE)
+                 / CAST(tt.t AS DOUBLE) AS e,
+               CAST(coalesce(celled.o, 0) AS DOUBLE) AS od
+             FROM gt CROSS JOIN ct CROSS JOIN tt
+             LEFT JOIN celled ON celled.g = gt.g
+               AND celled.cell = ct.cell),
+      chi AS (SELECT g, ng,
+               CAST(sum(CAST(floor(1000000000.0 * (od - e) * (od - e)
+                 / e) AS BIGINT)) AS BIGINT) AS chi_q
+             FROM grid GROUP BY 1, 2),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM chi),
+      p AS (SELECT g, ng, chi_q,
+              CAST(floor(1000000000000.0
+                * exp(-CAST(chi_q AS DOUBLE) / 2000000000.0))
+                AS BIGINT) AS p_q
+            FROM chi),
+      r AS (SELECT g, ng, chi_q, p_q, m,
+              CAST(row_number() OVER (ORDER BY p_q, g) AS BIGINT)
+                AS rank
+            FROM p CROSS JOIN m),
+      a AS (SELECT g, ng, chi_q, p_q, rank,
+              least(min((m * p_q) // rank) OVER (ORDER BY p_q, g
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                1000000000000) AS adj_q
+            FROM r)
+      SELECT g AS source, ng AS n, chi_q, p_q, rank, adj_q,
+        CASE WHEN adj_q <= 50000000000 THEN 1 ELSE 0 END AS reject
+      FROM a ORDER BY rank"""))
+
+  /** (q300) Jarque–Bera normality diagnostic of n_chars per lang
+    * (Stats.jarqueBera scaladoc): exact decimal(38,0) raw moments,
+    * one mirrored fp chain to skew/kurtosis/JB.
+    */
+  val q300JarqueBera = Q(
+    "q300_a_jarque_bera",
+    (s, dir) =>
+      operators.Stats.jarqueBera(t(s, dir, "documents"), "lang",
+        "n_chars"),
+    Some("""
+      WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+             FROM documents
+             WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+              CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+              CAST(sum(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+              CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4
+            FROM b GROUP BY lang),
+      f1 AS (SELECT lang, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+             FROM s),
+      f2 AS (SELECT lang, n, mu,
+               r2 - mu * mu AS m2,
+               r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+               r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                 - 3.0 * mu * mu * mu * mu AS m4
+             FROM f1),
+      f3 AS (SELECT lang, n, mu, m2,
+               m3 / (m2 * sqrt(m2)) AS sk,
+               m4 / (m2 * m2) AS ku
+             FROM f2)
+      SELECT lang, n,
+        CAST(floor(1000000.0 * mu) AS BIGINT) AS mean_q,
+        CASE WHEN n >= 2 AND m2 > 0 THEN
+          CAST(floor(1000000.0 * sk) AS BIGINT) END AS skew_q,
+        CASE WHEN n >= 2 AND m2 > 0 THEN
+          CAST(floor(1000000.0 * ku) AS BIGINT) END AS kurt_q,
+        CASE WHEN n >= 2 AND m2 > 0 THEN
+          CAST(floor(1000000.0 * (CAST(n AS DOUBLE) / 6.0
+            * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0))) AS BIGINT)
+        END AS jb_q
+      FROM f3 ORDER BY lang"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12020,5 +12175,6 @@ object Queries {
     q284PageHinkley, q285MaseBacktest, q286BradleyTerry,
     q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
     q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols,
-    q296PartialCorr, q297DurbinWatson)
+    q296PartialCorr, q297DurbinWatson,
+    q298OrdinalAssoc, q299FdrBattery, q300JarqueBera)
 }

@@ -1891,4 +1891,178 @@ object Stats {
         when(col("hx_q") > 0,
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
+
+  /** Goodman–Kruskal gamma and Somers' D between two ordinal (integer
+    * bucket) expressions — the ordinal-association companions to
+    * [[kendallTau]]: gamma discards every tied pair; Somers' D keeps
+    * pairs tied only on the "dependent" axis in its denominator (the
+    * direction-asymmetric variant used for rank-score diagnostics).
+    *
+    * Concordant/discordant pair masses come from the bucket GRID, not
+    * the row set: C = Σ o_ij·o_kl over cell pairs with k>i, l>j (each
+    * unordered row pair lands in exactly one ordered cell pair), so
+    * the grid self-join is bucket-cardinality²-bounded — never
+    * row-scale — and the right side broadcasts. Tie masses are
+    * closed-form from the marginals (Σr(r−1) = doubled pairs tied on
+    * an axis; doubled throughout so no /2 leaves integers). All sums
+    * are exact decimal(38,0); the gate surface casts to long (safe to
+    * ~10⁹ rows — past that read the decimals) and the three ratios
+    * are quantized integer divisions (both engines truncate toward
+    * zero, verified for negative numerators):
+    *
+    *   gamma_q  = (10⁶·(C−D)) div (C+D)
+    *   sdyx_q   = (2·10⁶·(C−D)) div (n(n−1) − Σr_x(r_x−1))
+    *   sdxy_q   = (2·10⁶·(C−D)) div (n(n−1) − Σr_y(r_y−1))
+    */
+  def ordinalAssociation(df: DataFrame, xOrd: Column,
+                         yOrd: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(xOrd.cast("long").as("__x"),
+        yOrd.cast("long").as("__y"))
+      .na.drop()
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),
+      col("o").as("__bo"))
+    val cd = cells.join(broadcast(b), col("__bx") > col("__x"))
+      .agg(
+        coalesce(sum(when(col("__by") > col("__y"),
+          dec(col("o")) * dec(col("__bo")))), dec(lit(0)))
+          .as("__cc"),
+        coalesce(sum(when(col("__by") < col("__y"),
+          dec(col("o")) * dec(col("__bo")))), dec(lit(0)))
+          .as("__dd"))
+    val xm = cells.groupBy(col("__x")).agg(sum(col("o")).as("__r"))
+      .agg(sum(dec(col("__r")) * (dec(col("__r")) - lit(1))).as("__tx2"))
+    val ym = cells.groupBy(col("__y")).agg(sum(col("o")).as("__c"))
+      .agg(sum(dec(col("__c")) * (dec(col("__c")) - lit(1))).as("__ty2"))
+    val tot = cells.agg(sum(col("o")).as("__n"))
+    tot.crossJoin(broadcast(cd)).crossJoin(broadcast(xm))
+      .crossJoin(broadcast(ym))
+      .select(col("__n").cast("long").as("n"),
+        col("__cc").cast("long").as("c_pairs"),
+        col("__dd").cast("long").as("d_pairs"),
+        (dec(col("__n")) * (dec(col("__n")) - lit(1)) - col("__tx2"))
+          .cast("long").as("__ux2"),
+        (dec(col("__n")) * (dec(col("__n")) - lit(1)) - col("__ty2"))
+          .cast("long").as("__uy2"))
+      .select(col("n"), col("c_pairs"), col("d_pairs"),
+        when(col("c_pairs") + col("d_pairs") > 0,
+          expr("(1000000L * (c_pairs - d_pairs)) div (c_pairs + d_pairs)"))
+          .as("gamma_q"),
+        when(col("__ux2") > 0,
+          expr("(2000000L * (c_pairs - d_pairs)) div __ux2")).as("sdyx_q"),
+        when(col("__uy2") > 0,
+          expr("(2000000L * (c_pairs - d_pairs)) div __uy2")).as("sdxy_q"))
+  }
+
+  /** Jarque–Bera normality diagnostic per group, from exact raw-moment
+    * sums: Σx…Σx⁴ accumulate as decimal(38,0) (x⁴ overflows long at
+    * corpus scale), then ONE mirrored fp chain per group derives the
+    * central moments, skewness, excess-kurtosis and
+    *
+    *   JB = n/6 · (S² + (K−3)²/4)
+    *
+    * with every operand in a fixed order (the same parse tree the
+    * oracle writes), quantized ⌊10⁶·.⌋. Guarded: groups need n ≥ 2 and
+    * non-degenerate variance or the three stats are NULL. Plan: one
+    * scan, one hash agg — the moment sums are the only shuffled state.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = dec(col("__x"))
+    val d = (c: Column) => c.cast("double")
+    val g = df.select(col(groupCol), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__s1"),
+        sum(x * x).as("__s2"), sum(x * x * x).as("__s3"),
+        sum(x * x * x * x).as("__s4"))
+    val nD = d(col("n"))
+    val mu = d(col("__s1")) / nD
+    val m2 = d(col("__s2")) / nD - mu * mu
+    val m3 = d(col("__s3")) / nD - lit(3.0) * mu * (d(col("__s2")) / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = d(col("__s4")) / nD - lit(4.0) * mu * (d(col("__s3")) / nD) +
+      lit(6.0) * mu * mu * (d(col("__s2")) / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val ok = col("n") >= 2 && m2 > 0
+    g.select(col(groupCol), col("n"),
+        floor(lit(1000000.0) * mu).cast("long").as("mean_q"),
+        when(ok, floor(lit(1000000.0) * skew).cast("long")).as("skew_q"),
+        when(ok, floor(lit(1000000.0) * kurt).cast("long")).as("kurt_q"),
+        when(ok, floor(lit(1000000.0) * (nD / lit(6.0) *
+          (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))))
+          .cast("long")).as("jb_q"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Per-group goodness-of-fit battery with Benjamini–Hochberg FDR
+    * control — the multiple-testing layer every per-source drift
+    * audit needs once the source count grows. Each group's
+    * distribution over {top-2 corpus categories, other} is tested
+    * against the corpus shares (3 cells ⇒ exactly 2 df), which makes
+    * the p-value CLOSED-FORM: P(χ²₂ ≥ x) = e^{−x/2} — no incomplete
+    * gamma, just one exp on an exactly-agreed double. Cell
+    * contributions are quantized ⌊10⁹·(o−e)²/e⌋ and summed as
+    * integers (absent cells contribute ⌊10⁹·e⌋ via the full grid);
+    * p_q = ⌊10¹²·e^{−χ²_q/(2·10⁹)}⌋. The BH step-up runs on the
+    * bounded group table: rank ascending by (p_q, group),
+    * raw_i = (m·p_q) div rank, adj_i = min over ranks ≥ i capped at
+    * 10¹² — all integer, so the reject set is engine-exact at
+    * α = 0.05 (adj_q ≤ 5·10¹⁰).
+    *
+    * Plan: one corpus scan to the (group, cat) grid; top-2 and
+    * marginals are bounded broadcasts; the single-partition BH window
+    * runs over #groups rows only.
+    */
+  def gofFdrBattery(df: DataFrame, groupCol: String,
+                    catCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cnt = df.select(col(groupCol).as("__g"), col(catCol).as("__c"))
+      .na.drop()
+      .groupBy(col("__g"), col("__c")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val top2 = cnt.groupBy(col("__c")).agg(sum(col("o")).as("__ct"))
+      .orderBy(col("__ct").desc, col("__c")).limit(2)
+      .select(col("__c"), lit(1).as("__top"))
+    val celled = cnt.join(broadcast(top2), Seq("__c"), "left")
+      .select(col("__g"),
+        when(col("__top").isNotNull, col("__c")).otherwise(lit("~other"))
+          .as("__cell"),
+        col("o"))
+      .groupBy(col("__g"), col("__cell")).agg(sum(col("o")).as("o"))
+      .localCheckpoint(eager = false)
+    val cellTot = celled.groupBy(col("__cell")).agg(sum(col("o")).as("__ct"))
+    val grpTot = celled.groupBy(col("__g")).agg(sum(col("o")).as("__ng"))
+    val tot = celled.agg(sum(col("o")).as("__t"))
+    // full grid: a group missing a cell still contributes (0−e)²/e = e
+    val grid = grpTot.crossJoin(broadcast(cellTot)).crossJoin(broadcast(tot))
+      .join(celled, Seq("__g", "__cell"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val e = (dec(col("__ng")) * dec(col("__ct"))).cast("double") /
+      col("__t").cast("double")
+    val oD = col("o").cast("double")
+    val chi = grid
+      .select(col("__g"), col("__ng"),
+        floor(lit(1.0e9) * (oD - e) * (oD - e) / e).cast("long").as("__cq"))
+      .groupBy(col("__g"), col("__ng")).agg(sum(col("__cq")).as("chi_q"))
+    val m = chi.agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("p_q"), col("__g"))
+    val wTail = Window.orderBy(col("p_q"), col("__g"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    chi.crossJoin(broadcast(m))
+      .withColumn("p_q", floor(lit(1.0e12) *
+        exp(-col("chi_q").cast("double") / lit(2.0e9))).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__raw", expr("(__m * p_q) div rank"))
+      .withColumn("adj_q", least(min(col("__raw")).over(wTail),
+        lit(1000000000000L)))
+      .select(col("__g").as(groupCol), col("__ng").as("n"), col("chi_q"),
+        col("p_q"), col("rank"), col("adj_q"),
+        (col("adj_q") <= lit(50000000000L)).cast("int").as("reject"))
+      .orderBy(col("rank"))
+  }
 }

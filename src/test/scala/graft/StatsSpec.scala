@@ -939,4 +939,75 @@ class StatsSpec extends SparkSpec {
     val out = Stats.uncertaintyCoefficient(df, "r", "c").collect().head
     assert(out.getLong(2) === 0L && out.isNullAt(4))
   }
+
+  test("ordinalAssociation: perfect concordance/discordance hit +-1e6") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val u = Stats.ordinalAssociation(up, col("x"), col("y"))
+      .collect().head
+    assert(u.getLong(1) === 3L && u.getLong(2) === 0L) // C, D
+    assert(u.getLong(3) === 1000000L) // gamma
+    assert(u.getLong(4) === 1000000L && u.getLong(5) === 1000000L)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val d = Stats.ordinalAssociation(down, col("x"), col("y"))
+      .collect().head
+    assert(d.getLong(3) === -1000000L)
+  }
+
+  test("ordinalAssociation: x-ties leave gamma at 1 but dilute " +
+      "Somers' D(x|y)") {
+    // pairs: (1,1)-(1,2) tied on x; the other two concordant
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val r = Stats.ordinalAssociation(df, col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 0L)
+    assert(r.getLong(3) === 1000000L) // gamma ignores the tie
+    assert(r.getLong(4) === 1000000L) // D(y|x): 2 / (3 - 1 x-tied)
+    assert(r.getLong(5) === 666666L)  // D(x|y): 2 / 3 untied-on-y
+  }
+
+  test("ordinalAssociation: constant x -> every pair x-tied -> NULLs") {
+    val df = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    val r = Stats.ordinalAssociation(df, col("x"), col("y"))
+      .collect().head
+    assert(r.isNullAt(3) && r.isNullAt(4)) // gamma, D(y|x)
+    assert(r.getLong(5) === 0L)            // D(x|y): 0 / 3 pairs
+  }
+
+  test("jarqueBera: two-point symmetric data is exact in fp " +
+      "(skew 0, kurtosis 1, JB = n/6)") {
+    val df = Seq(("g", 0L), ("g", 0L), ("g", 1L), ("g", 1L))
+      .toDF("grp", "x")
+    val r = Stats.jarqueBera(df, "grp", "x").collect().head
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 500000L)  // mean 0.5
+    assert(r.getLong(3) === 0L)       // skew exactly 0
+    assert(r.getLong(4) === 1000000L) // kurtosis exactly 1
+    assert(r.getLong(5) === 666666L)  // 4/6 * (2^2/4) = 0.666..
+  }
+
+  test("jarqueBera: constant group has zero variance -> NULL stats") {
+    val df = Seq(("g", 7L), ("g", 7L), ("g", 7L)).toDF("grp", "x")
+    val r = Stats.jarqueBera(df, "grp", "x").collect().head
+    assert(r.getLong(2) === 7000000L)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("gofFdrBattery: the one divergent group ranks first and is " +
+      "the only rejection at alpha=0.05") {
+    // three groups share the corpus mix; gX inverts it
+    val rows =
+      Seq("g1", "g2", "g3").flatMap { g =>
+        Seq.fill(6)((g, "a")) ++ Seq.fill(3)((g, "b")) ++ Seq((g, "c"))
+      } ++ (Seq.fill(1)(("gX", "a")) ++ Seq.fill(3)(("gX", "b")) ++
+        Seq.fill(6)(("gX", "c")))
+    val out = Stats.gofFdrBattery(rows.toDF("g", "cat"), "g", "cat")
+      .collect()
+    assert(out.length === 4)
+    val first = out.head
+    assert(first.getString(0) === "gX" && first.getLong(4) === 1L)
+    assert(first.getInt(6) === 1) // BH-adjusted p below 0.05
+    assert(out.tail.forall(_.getInt(6) === 0))
+    // conforming groups all carry the same (small) chi-square
+    assert(out.tail.map(_.getLong(2)).distinct.length === 1)
+  }
 }
