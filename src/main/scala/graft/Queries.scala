@@ -12092,6 +12092,116 @@ object Queries {
         END AS jb_q
       FROM f3 ORDER BY lang"""))
 
+  /** (q301) Cronbach's alpha over the user × event-type score battery
+    * (Eval.cronbachAlpha scaladoc): sparse-cell trick — zero cells
+    * never materialize — with one exact integer division at the end.
+    */
+  val q301CronbachAlpha = Q(
+    "q301_ml_cronbach_alpha",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("score"))
+      operators.Eval.cronbachAlpha(e, "user_id", "event_type", "score")
+    },
+    Some("""
+      WITH sc AS (SELECT user_id AS u, event_type AS i,
+               CAST(count(*) AS BIGINT) AS s
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             GROUP BY 1, 2),
+      n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM sc),
+      it AS (SELECT i, CAST(sum(CAST(s AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS sxx
+             FROM sc GROUP BY i),
+      ia AS (SELECT CAST(count(*) AS BIGINT) AS k_items,
+               CAST(sum(CAST(n.n AS HUGEINT) * sxx - sx * sx)
+                 AS HUGEINT) AS iv
+             FROM it CROSS JOIN n),
+      su AS (SELECT CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+               CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt
+             FROM (SELECT u, CAST(sum(s) AS BIGINT) AS t
+                   FROM sc GROUP BY u)),
+      f AS (SELECT k_items, n.n AS n_subjects,
+              CAST(iv AS BIGINT) AS item_var2,
+              CAST(CAST(n.n AS HUGEINT) * stt - st * st AS BIGINT)
+                AS total_var2
+            FROM n CROSS JOIN ia CROSS JOIN su)
+      SELECT k_items, n_subjects, item_var2, total_var2,
+        CASE WHEN k_items >= 2 AND total_var2 > 0 THEN
+          CAST((CAST(1000000 AS HUGEINT) * k_items
+              * (total_var2 - item_var2))
+            // ((k_items - 1) * CAST(total_var2 AS HUGEINT)) AS BIGINT)
+        END AS alpha_q
+      FROM f"""))
+
+  /** (q302) Corpus vocabulary-spectrum constants — Yule's K, Sichel's
+    * S, Honoré's R (Curation.vocabSpectrum scaladoc): size-invariant
+    * lexical-richness fingerprints from the tf spectrum.
+    */
+  val q302VocabSpectrum = Q(
+    "q302_tx_vocab_spectrum",
+    (s, dir) =>
+      operators.Curation.vocabSpectrum(t(s, dir, "documents"), "text"),
+    Some("""
+      WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+               '\s+')) AS term
+             FROM documents),
+      tf AS (SELECT term, CAST(count(*) AS BIGINT) AS m FROM t
+             WHERE len(term) > 0 GROUP BY term),
+      a AS (SELECT CAST(sum(m) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS v1,
+              CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS v2,
+              CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS s2
+            FROM tf)
+      SELECT n_tokens, n_types, v1, v2,
+        CAST((CAST(10000000000 AS HUGEINT) * (s2 - n_tokens))
+          // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+          AS yule_k_q,
+        (1000000 * v2) // n_types AS sichel_s_q,
+        CASE WHEN v1 < n_types THEN
+          CAST(floor(1000000.0 * 100.0 * ln(CAST(n_tokens AS DOUBLE))
+            / (1.0 - CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE)))
+            AS BIGINT)
+        END AS honore_r_q
+      FROM a"""))
+
+  /** (q303) Mean segmental type-token ratio per lang, 40-token chunks
+    * (Curation.msttr scaladoc): partial tails dropped, one exact
+    * integer division per group.
+    */
+  val q303Msttr = Q(
+    "q303_tx_msttr",
+    (s, dir) =>
+      operators.Curation.msttr(
+        t(s, dir, "documents").filter(col("lang").isNotNull),
+        "lang", "doc_id", "text", chunkLen = 40)
+        .orderBy("lang"),
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS a
+             FROM documents
+             WHERE lang IS NOT NULL AND text IS NOT NULL),
+      t0 AS (SELECT doc_id, lang, a[g.i] AS term, g.i AS p
+             FROM d, LATERAL unnest(range(1, len(a) + 1)) g(i)),
+      t1 AS (SELECT doc_id, lang, term,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                 AS BIGINT) AS seq,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nt
+             FROM t0 WHERE len(term) > 0),
+      ch AS (SELECT lang, doc_id, (seq - 1) // 40 AS chunk,
+               CAST(count(DISTINCT term) AS BIGINT) AS types
+             FROM t1 WHERE seq <= (nt // 40) * 40
+             GROUP BY 1, 2, 3)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+        (1000000 * CAST(sum(types) AS BIGINT)) // (40 * count(*))
+          AS msttr_q
+      FROM ch GROUP BY lang ORDER BY lang"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12176,5 +12286,6 @@ object Queries {
     q287Unimax, q288NelsonAalen, q289LogRank, q290StupidBackoff,
     q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols,
     q296PartialCorr, q297DurbinWatson,
-    q298OrdinalAssoc, q299FdrBattery, q300JarqueBera)
+    q298OrdinalAssoc, q299FdrBattery, q300JarqueBera,
+    q301CronbachAlpha, q302VocabSpectrum, q303Msttr)
 }

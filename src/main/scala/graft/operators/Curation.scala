@@ -1670,4 +1670,82 @@ object Curation {
       .join(perDoc, Seq(idCol), "left")
       .na.fill(0L, Seq("n_tokens", "n_types"))
   }
+
+  /** Corpus vocabulary-spectrum constants — Yule's K, Sichel's S and
+    * Honoré's R — the lexical-richness fingerprints that stay stable
+    * under corpus growth (unlike raw type counts, which ride Heaps'
+    * law; see q173/q194). From the term-frequency spectrum
+    * V_m = #types occurring m times:
+    *
+    *   K = 10⁴·(Σ m²·V_m − N)/N²      (repeat-rate, size-invariant)
+    *   S = V₂/V                        (dis legomena share)
+    *   R = 100·ln(N)/(1 − V₁/V)        (hapax-driven richness)
+    *
+    * K and S are EXACT integer divisions on decimal(38,0) products
+    * (Σm² = Σ over types of count², which overflows long ×10¹⁰ at
+    * corpus scale); R is one mirrored ln-on-exact-input chain, NULL
+    * for the all-hapax corpus. Plan: explode → term hash agg → one
+    * bounded agg — the same two-shuffle shape as every tf gate; the
+    * spectrum never materializes per-m rows.
+    */
+  def vocabSpectrum(docs: DataFrame, textCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("m"))
+    tf.agg(sum(col("m")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("m") === 2, 1L).otherwise(0L)).as("v2"),
+        sum(dec(col("m")) * dec(col("m"))).as("__s2"))
+      .select(col("n_tokens"), col("n_types"), col("v1"), col("v2"),
+        // integral div, NOT decimal '/': Spark decimal division rounds
+        // HALF_UP at the result scale while DuckDB // truncates
+        expr("""(CAST(10000000000 AS DECIMAL(38,0)) *
+                 (__s2 - CAST(n_tokens AS DECIMAL(38,0))))
+                div (CAST(n_tokens AS DECIMAL(38,0)) *
+                 CAST(n_tokens AS DECIMAL(38,0)))""").as("yule_k_q"),
+        expr("(1000000L * v2) div n_types").as("sichel_s_q"),
+        when(col("v1") < col("n_types"),
+          floor(lit(1000000.0) * lit(100.0) *
+            log(col("n_tokens").cast("double")) /
+            (lit(1.0) - col("v1").cast("double") /
+              col("n_types").cast("double"))).cast("long"))
+          .as("honore_r_q"))
+  }
+
+  /** Mean segmental type-token ratio (MSTTR): tokens are cut into
+    * fixed-length chunks per document (partial tail chunks dropped —
+    * the fixed denominator is what makes segments comparable), the
+    * type count of each chunk is exact, and the per-group mean is ONE
+    * integer division — Σ types / (chunkLen · #chunks) — so the
+    * length-bias of the raw TTR (long docs always score lower) never
+    * enters. Empty tokens are filtered BEFORE sequence numbering on
+    * both engines, so chunk membership is identical.
+    *
+    * Plan: explode + per-doc window (keyed by doc — scales out), one
+    * distinct-per-chunk agg, one bounded per-group agg.
+    */
+  def msttr(docs: DataFrame, groupCol: String, idCol: String,
+            textCol: String, chunkLen: Int): DataFrame = {
+    require(chunkLen >= 2, s"chunkLen ($chunkLen) must be >= 2")
+    val toks = docs
+      .select(col(groupCol), col(idCol),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("__p", "__t")))
+      .filter(length(col("__t")) > 0)
+      .withColumn("__seq", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__p"))))
+      .withColumn("__nt", count(lit(1)).over(
+        Window.partitionBy(col(idCol))))
+      .withColumn("__chunk", expr(s"(__seq - 1) div $chunkLen"))
+      .filter((col("__chunk") + 1) * chunkLen <= col("__nt"))
+    toks.groupBy(col(groupCol), col(idCol), col("__chunk"))
+      .agg(countDistinct(col("__t")).as("__types"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("__types")).as("__st"))
+      .select(col(groupCol), col("n_chunks"),
+        expr(s"(1000000L * __st) div (${chunkLen}L * n_chunks)")
+          .as("msttr_q"))
+  }
 }

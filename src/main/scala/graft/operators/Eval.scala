@@ -919,4 +919,56 @@ object Eval {
       .select(col("__id").as("id"), col("__wins").as("n_wins"),
         col("n_comparisons"), col("__wq").as("w_q"))
   }
+
+  /** Cronbach's alpha internal-consistency coefficient over a sparse
+    * (subject, item, score) table — "do the k items move together
+    * across subjects". Absent cells are score 0, and the key trick is
+    * that ZEROS NEVER MATERIALIZE: Σs and Σs² per item are unchanged
+    * by zero cells, and the subject-total variance needs only the
+    * subjects that appear — so no subject×item grid is built, just
+    * two keyed hash aggs (one by item, one by subject) over the
+    * sparse rows. With population variances scaled n² (var2 = n·Σx²
+    * − (Σx)², exact decimal(38,0)):
+    *
+    *   alpha = k/(k−1) · (1 − Σ_i var2_i / var2_total)
+    *         = k·(var2_T − Σvar2_i) / ((k−1)·var2_T)
+    *
+    * one integer division, quantized ⌊10⁶·alpha⌋ (both engines
+    * truncate toward zero; alpha can be negative for incoherent
+    * batteries and that sign survives exactly). NULL when k < 2 or
+    * the total variance is degenerate.
+    */
+  def cronbachAlpha(scores: DataFrame, subjectCol: String, itemCol: String,
+                    scoreCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = scores.select(col(subjectCol).as("__u"),
+        col(itemCol).as("__i"), col(scoreCol).cast("long").as("__s"))
+      .na.drop()
+      .localCheckpoint(eager = false)
+    val n = base.agg(countDistinct(col("__u")).as("__n"))
+    val items = base.groupBy(col("__i"))
+      .agg(sum(dec(col("__s"))).as("__sx"),
+        sum(dec(col("__s")) * dec(col("__s"))).as("__sxx"))
+    val itemAgg = items.crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("k_items"),
+        sum(dec(col("__n")) * col("__sxx") - col("__sx") * col("__sx"))
+          .as("__iv"))
+    val subj = base.groupBy(col("__u")).agg(sum(col("__s")).as("__t"))
+      .agg(sum(dec(col("__t"))).as("__st"),
+        sum(dec(col("__t")) * dec(col("__t"))).as("__stt"))
+    n.crossJoin(broadcast(itemAgg)).crossJoin(broadcast(subj))
+      .select(col("k_items"), col("__n").as("n_subjects"),
+        col("__iv").cast("long").as("item_var2"),
+        (dec(col("__n")) * col("__stt") - col("__st") * col("__st"))
+          .cast("long").as("total_var2"))
+      .select(col("k_items"), col("n_subjects"), col("item_var2"),
+        col("total_var2"),
+        // decimal operands: 10⁶·k·var2 overflows long at corpus scale
+        when(col("k_items") >= 2 && col("total_var2") > 0,
+          expr("""(CAST(1000000 AS DECIMAL(38,0)) * k_items *
+                   (total_var2 - item_var2))
+                  div ((k_items - 1) *
+                   CAST(total_var2 AS DECIMAL(38,0)))"""))
+          .as("alpha_q"))
+  }
 }

@@ -1047,4 +1047,42 @@ class CurationSpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(s1 > s2)
   }
+
+  test("vocabSpectrum: hand-computed K, S, R on 'a a b'") {
+    val df = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val r = Curation.vocabSpectrum(df, "text").collect().head
+    // N=3, V=2, V1=1 (b), V2=1 (a), S2 = 4+1 = 5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 2L, 1L, 1L)))
+    assert(r.getLong(4) === 10000000000L * 2 / 9) // K: 1e10·(5−3)/9
+    assert(r.getLong(5) === 500000L)              // S: V2/V
+    val expectR = math.floor(1.0e6 * 100.0 * math.log(3.0) /
+      (1.0 - 1.0 / 2.0)).toLong
+    assert(r.getLong(6) === expectR)
+  }
+
+  test("vocabSpectrum: all-hapax corpus has NULL Honore R") {
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r = Curation.vocabSpectrum(df, "text").collect().head
+    assert(r.getLong(2) === 3L && r.isNullAt(6))
+    assert(r.getLong(4) === 0L) // S2 = N for all-hapax → K = 0
+  }
+
+  test("msttr: full chunks only, exact mean of segment type counts") {
+    // tokens: a b | a b | c c | d(tail dropped) → types 2+2+1 over 3
+    val df = Seq((1L, "g", "a b a b c c d")).toDF("doc_id", "grp", "text")
+    val r = Curation.msttr(df, "grp", "doc_id", "text", chunkLen = 2)
+      .collect().head
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1000000L * 5 / 6)
+  }
+
+  test("msttr: docs shorter than one chunk contribute nothing") {
+    val df = Seq((1L, "g", "a b c"), (2L, "h", "x y z w"))
+      .toDF("doc_id", "grp", "text")
+    val out = Curation.msttr(df, "grp", "doc_id", "text", chunkLen = 4)
+      .collect()
+    assert(out.length === 1 && out.head.getString(0) === "h")
+    assert(out.head.getLong(2) === 1000000L) // 4 distinct / 4
+  }
 }

@@ -592,4 +592,33 @@ class EvalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(tot === Map("A" -> 6L, "B" -> 8L, "C" -> 6L))
   }
+
+  test("cronbachAlpha: duplicated item scores give alpha exactly 1") {
+    val df = Seq((1L, "A", 3L), (1L, "B", 3L), (2L, "A", 5L),
+      (2L, "B", 5L), (3L, "A", 9L), (3L, "B", 9L))
+      .toDF("u", "i", "s")
+    val r = Eval.cronbachAlpha(df, "u", "i", "s").collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getLong(4) === 1000000L)
+  }
+
+  test("cronbachAlpha: constant subject totals -> degenerate, NULL") {
+    // B = 10 - A: every subject totals 10, zero total variance
+    val df = Seq((1L, "A", 3L), (1L, "B", 7L), (2L, "A", 5L),
+      (2L, "B", 5L), (3L, "A", 9L), (3L, "B", 1L)).toDF("u", "i", "s")
+    val r = Eval.cronbachAlpha(df, "u", "i", "s").collect().head
+    assert(r.getLong(3) === 0L && r.isNullAt(4))
+  }
+
+  test("cronbachAlpha: absent cells and explicit zeros agree") {
+    val sparse = Seq((1L, "A", 2L), (1L, "B", 4L), (2L, "A", 5L))
+      .toDF("u", "i", "s")
+    val dense = Seq((1L, "A", 2L), (1L, "B", 4L), (2L, "A", 5L),
+      (2L, "B", 0L)).toDF("u", "i", "s")
+    val a = Eval.cronbachAlpha(sparse, "u", "i", "s").collect().head
+    val b = Eval.cronbachAlpha(dense, "u", "i", "s").collect().head
+    assert(a.getLong(2) === b.getLong(2))
+    assert(a.getLong(3) === b.getLong(3))
+    assert(a.getLong(4) === b.getLong(4))
+  }
 }
