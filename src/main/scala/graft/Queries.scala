@@ -12202,6 +12202,163 @@ object Queries {
           AS msttr_q
       FROM ch GROUP BY lang ORDER BY lang"""))
 
+  /** (q304) Gini decision stump on n_chars vs the en-label
+    * (Classify.decisionStump scaladoc): exact cumulative-grid fit,
+    * value-bounded window, deterministic argmax.
+    */
+  val q304DecisionStump = Q(
+    "q304_ml_decision_stump",
+    (s, dir) =>
+      operators.Classify.decisionStump(t(s, dir, "documents"),
+        "n_chars", col("lang") === "en"),
+    Some("""
+      WITH b AS (SELECT CAST(n_chars AS BIGINT) AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents WHERE n_chars IS NOT NULL),
+      g AS (SELECT v, CAST(count(*) AS BIGINT) AS nv,
+              CAST(sum(y) AS BIGINT) AS pv
+            FROM b GROUP BY v),
+      c AS (SELECT v, CAST(sum(nv) OVER (ORDER BY v) AS BIGINT) AS nl,
+              CAST(sum(pv) OVER (ORDER BY v) AS BIGINT) AS pl
+            FROM g),
+      t AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+              CAST(sum(pv) AS BIGINT) AS p FROM g),
+      s AS (SELECT v, nl, pl, n - nl AS nr, p - pl AS pr,
+              nl - pl AS ql, (n - nl) - (p - pl) AS qr, n
+            FROM c CROSS JOIN t WHERE nl < n),
+      sc AS (SELECT v, nl, pl, nr, pr,
+               CAST(floor(1000000000000.0 *
+                 (CAST(CAST(pl AS HUGEINT) * pl
+                     + CAST(ql AS HUGEINT) * ql AS DOUBLE)
+                    / CAST(nl AS DOUBLE)
+                  + CAST(CAST(pr AS HUGEINT) * pr
+                     + CAST(qr AS HUGEINT) * qr AS DOUBLE)
+                    / CAST(nr AS DOUBLE))
+                 / CAST(n AS DOUBLE)) AS BIGINT) AS score_q
+             FROM s)
+      SELECT v AS threshold, nl AS n_left, pl AS pos_left,
+        nr AS n_right, pr AS pos_right, score_q
+      FROM sc ORDER BY score_q DESC, v LIMIT 1"""))
+
+  /** (q305) Multinomial Naive Bayes lang prediction, fit on even
+    * doc_ids and scored on odd (Classify.naiveBayes scaladoc): the
+    * class×vocab grid never materializes; every log term quantized.
+    */
+  val q305NaiveBayes = Q(
+    "q305_ml_naive_bayes",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0 &&
+        col("lang").isNotNull)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      operators.Classify.naiveBayes(train, test, "doc_id", "text", "lang")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred"), col("score_q"),
+          when(col("pred") === col("lang"), 1).otherwise(0)
+            .as("is_correct"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tr AS (SELECT doc_id, lang, text FROM documents
+             WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      te AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      ctf AS (SELECT c, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT lang AS c,
+                      unnest(regexp_split_to_array(lower(trim(text)),
+                        '\s+')) AS term
+                    FROM tr)
+              WHERE len(term) > 0 GROUP BY 1, 2),
+      ctot AS (SELECT c, CAST(sum(tf) AS BIGINT) AS tt
+               FROM ctf GROUP BY c),
+      vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ctf),
+      pri AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS dc
+              FROM tr GROUP BY 1),
+      dt AS (SELECT CAST(sum(dc) AS BIGINT) AS d FROM pri),
+      cls AS (SELECT pri.c,
+                CAST(floor(1000000000.0 * (ln(CAST(dc AS DOUBLE))
+                  - ln(CAST(d AS DOUBLE)))) AS BIGINT) AS prior_q,
+                CAST(floor(1000000000.0 * ln(CAST(tt + v AS DOUBLE)))
+                  AS BIGINT) AS lntv_q
+              FROM pri JOIN ctot ON pri.c = ctot.c
+              CROSS JOIN vv CROSS JOIN dt),
+      dte AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+              FROM (SELECT doc_id,
+                      unnest(regexp_split_to_array(lower(trim(text)),
+                        '\s+')) AS term
+                    FROM te)
+              WHERE len(term) > 0 GROUP BY 1, 2),
+      prt AS (SELECT doc_id, c,
+                CAST(sum(CAST(floor(1000000000.0 * cnt
+                  * ln(CAST(tf + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                  AS part_q
+              FROM dte JOIN ctf USING (term) GROUP BY 1, 2),
+      lens AS (SELECT t2.doc_id, coalesce(l.len, 0) AS len
+               FROM (SELECT DISTINCT doc_id FROM te) t2
+               LEFT JOIN (SELECT doc_id, CAST(sum(cnt) AS BIGINT)
+                   AS len FROM dte GROUP BY 1) l USING (doc_id)),
+      scr AS (SELECT lens.doc_id, cls.c,
+                prior_q + coalesce(part_q, 0) - len * lntv_q AS score_q
+              FROM lens CROSS JOIN cls
+              LEFT JOIN prt ON prt.doc_id = lens.doc_id
+                AND prt.c = cls.c),
+      best AS (SELECT doc_id, c AS pred, score_q,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_q DESC, c) AS rk
+               FROM scr)
+      SELECT b.doc_id, b.pred, b.score_q,
+        CASE WHEN b.pred = d2.lang THEN 1 ELSE 0 END AS is_correct
+      FROM (SELECT doc_id, pred, score_q FROM best WHERE rk = 1) b
+      JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1) d2
+        USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** (q306) Distance correlation between n_chars and the space count
+    * on the md5-ordered 400-row sample (Stats.distanceCorrelation
+    * scaladoc): exact n²-scaled double-centering, one fp chain.
+    */
+  val q306DistanceCorr = Q(
+    "q306_a_distance_corr",
+    (s, dir) =>
+      operators.Stats.distanceCorrelation(
+        t(s, dir, "documents").withColumn("__sp",
+          expr("length(text) - length(replace(text, ' ', ''))")),
+        "doc_id", "n_chars", "__sp", cap = 400),
+    Some("""
+      WITH s AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                 AS BIGINT) AS y
+             FROM documents
+             WHERE n_chars IS NOT NULL AND text IS NOT NULL
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+               1, 15))::BIGINT, doc_id
+             LIMIT 400),
+      p AS (SELECT a.id AS ja, b.id AS jb, abs(a.x - b.x) AS da,
+              abs(a.y - b.y) AS db
+            FROM s a CROSS JOIN s b),
+      rs AS (SELECT ja AS j, CAST(sum(da) AS BIGINT) AS rx,
+               CAST(sum(db) AS BIGINT) AS ry
+             FROM p GROUP BY ja),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(rx) AS BIGINT) AS gx,
+              CAST(sum(ry) AS BIGINT) AS gy FROM rs),
+      ab AS (SELECT n,
+               CAST(n AS HUGEINT) * n * da - CAST(n AS HUGEINT) * ra.rx
+                 - CAST(n AS HUGEINT) * rb.rx + gx AS al,
+               CAST(n AS HUGEINT) * n * db - CAST(n AS HUGEINT) * ra.ry
+                 - CAST(n AS HUGEINT) * rb.ry + gy AS be
+             FROM p JOIN rs ra ON p.ja = ra.j
+             JOIN rs rb ON p.jb = rb.j CROSS JOIN g),
+      f AS (SELECT n, CAST(sum(al * be) AS HUGEINT) AS sab,
+              CAST(sum(al * al) AS HUGEINT) AS saa,
+              CAST(sum(be * be) AS HUGEINT) AS sbb
+            FROM ab GROUP BY n)
+      SELECT n, CASE WHEN saa > 0 AND sbb > 0 THEN
+        CAST(floor(1000000.0 * CAST(sab AS DOUBLE)
+          / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)))
+          AS BIGINT)
+      END AS dcor2_q
+      FROM f"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12287,5 +12444,6 @@ object Queries {
     q291Ppr, q292Pinball, q293EffectSizes, q294TheilsU, q295Ols,
     q296PartialCorr, q297DurbinWatson,
     q298OrdinalAssoc, q299FdrBattery, q300JarqueBera,
-    q301CronbachAlpha, q302VocabSpectrum, q303Msttr)
+    q301CronbachAlpha, q302VocabSpectrum, q303Msttr,
+    q304DecisionStump, q305NaiveBayes, q306DistanceCorr)
 }

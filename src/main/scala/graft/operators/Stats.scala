@@ -1892,6 +1892,71 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** Distance correlation (Székely's dCor) between two integer
+    * columns, on a deterministic md5-ordered sample of `cap` rows —
+    * the dependence measure that catches NONLINEAR relationships
+    * Pearson/Spearman miss (dCor = 0 ⟺ independence, on the sample).
+    * The double-centering is kept EXACT by scaling through n²:
+    *
+    *   α_jk = n²·d_jk − n·r_j − n·r_k + g     (all integers)
+    *
+    * (distance matrices are symmetric so row sums ≡ column sums);
+    * then dCor² = Σαβ / √(Σα²·Σβ²) with the n⁶ scale cancelling. The
+    * three product sums are decimal(38,0)-exact; one mirrored
+    * fp chain (two casts, sqrt, divide) produces ⌊10⁶·dCor²⌋.
+    *
+    * The O(cap²) pair fan-out is the ESTIMATOR'S contract (same
+    * stance as the bootstrap gates q261/q275): cap is fixed, so cost
+    * is corpus-size-INDEPENDENT — the corpus only feeds the
+    * md5-ordered top-cap sample (a TakeOrdered, no global sort).
+    */
+  def distanceCorrelation(df: DataFrame, idCol: String, xCol: String,
+                          yCol: String, cap: Int): DataFrame = {
+    require(cap >= 2 && cap <= 4096, s"cap ($cap) must be in [2, 4096]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val s = df.select(col(idCol).as("__id"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .na.drop()
+      .orderBy(Dedup.md5Hash60(col("__id").cast("string")), col("__id"))
+      .limit(cap)
+      .localCheckpoint(eager = false)
+    val b = s.select(col("__id").as("__jb"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    val pairs = s.crossJoin(b)
+      .select(col("__id").as("__ja"), col("__jb"),
+        abs(col("__x") - col("__xb")).as("__da"),
+        abs(col("__y") - col("__yb")).as("__db"))
+      .localCheckpoint(eager = false)
+    val rs = pairs.groupBy(col("__ja").as("__j"))
+      .agg(sum(col("__da")).as("__rx"), sum(col("__db")).as("__ry"))
+      .localCheckpoint(eager = false)
+    val g = rs.agg(count(lit(1)).as("__n"), sum(col("__rx")).as("__gx"),
+      sum(col("__ry")).as("__gy"))
+    val alpha = dec(col("__n")) * dec(col("__n")) * dec(col("__da")) -
+      dec(col("__n")) * dec(col("__rxa")) -
+      dec(col("__n")) * dec(col("__rxb")) + dec(col("__gx"))
+    val beta = dec(col("__n")) * dec(col("__n")) * dec(col("__db")) -
+      dec(col("__n")) * dec(col("__rya")) -
+      dec(col("__n")) * dec(col("__ryb")) + dec(col("__gy"))
+    pairs
+      .join(broadcast(rs.select(col("__j").as("__ja"),
+        col("__rx").as("__rxa"), col("__ry").as("__rya"))), Seq("__ja"))
+      .join(broadcast(rs.select(col("__j").as("__jb"),
+        col("__rx").as("__rxb"), col("__ry").as("__ryb"))), Seq("__jb"))
+      .crossJoin(broadcast(g))
+      .select(col("__n"), alpha.as("__al"), beta.as("__be"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__al") * col("__be")).as("__sab"),
+        sum(col("__al") * col("__al")).as("__saa"),
+        sum(col("__be") * col("__be")).as("__sbb"))
+      .select(col("__n").as("n"),
+        when(col("__saa") > 0 && col("__sbb") > 0,
+          floor(lit(1000000.0) * d(col("__sab")) /
+            sqrt(d(col("__saa")) * d(col("__sbb")))).cast("long"))
+          .as("dcor2_q"))
+  }
+
   /** Goodman–Kruskal gamma and Somers' D between two ordinal (integer
     * bucket) expressions — the ordinal-association companions to
     * [[kendallTau]]: gamma discards every tied pair; Somers' D keeps
