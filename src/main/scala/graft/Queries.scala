@@ -12359,6 +12359,181 @@ object Queries {
       END AS dcor2_q
       FROM f"""))
 
+  /** (q307) Randomization test for the en-vs-rest n_chars mean gap
+    * (Stats.randomizationTest scaladoc): 200 md5-seeded reallocations,
+    * Monte-Carlo add-one p.
+    */
+  val q307RandomizationTest = Q(
+    "q307_a_randomization_test",
+    (s, dir) =>
+      operators.Stats.randomizationTest(t(s, dir, "documents"),
+        "doc_id", "n_chars", col("lang") === "en", reps = 200),
+    Some("""
+      WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+               CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+             FROM documents
+             WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(g) AS BIGINT) AS n1,
+                CAST(sum(g * x) AS BIGINT) AS s1,
+                CAST(sum((1 - g) * x) AS BIGINT) AS s0
+              FROM b),
+      ob2 AS (SELECT n, n1, (1000000 * n1) // n AS thr,
+                CAST(floor(1000000.0 * (CAST(s1 AS DOUBLE)
+                    / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n - n1 AS DOUBLE)))
+                  AS BIGINT) AS tobs
+              FROM obs),
+      rep AS (SELECT r.r, b.x,
+                CASE WHEN ('0x' || substr(md5(b.id || ':'
+                    || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < o.thr THEN 1 ELSE 0 END AS a
+              FROM b CROSS JOIN (SELECT unnest(range(0, 200)) AS r) r
+              CROSS JOIN ob2 o),
+      pr AS (SELECT r, CAST(sum(a) AS BIGINT) AS rn1,
+               CAST(sum(a * x) AS BIGINT) AS rs1,
+               CAST(sum((1 - a) * x) AS BIGINT) AS rs0
+             FROM rep GROUP BY r),
+      pv AS (SELECT r,
+               CASE WHEN rn1 > 0 AND rn1 < o.n THEN 1 ELSE 0 END
+                 AS valid,
+               CASE WHEN rn1 > 0 AND rn1 < o.n THEN
+                 CAST(floor(1000000.0 * (CAST(rs1 AS DOUBLE)
+                     / CAST(rn1 AS DOUBLE)
+                   - CAST(rs0 AS DOUBLE)
+                     / CAST(o.n - rn1 AS DOUBLE))) AS BIGINT)
+               END AS t
+             FROM pr CROSS JOIN ob2 o),
+      f AS (SELECT CAST(sum(valid) AS BIGINT) AS n_valid,
+              CAST(coalesce(sum(CASE WHEN abs(t) >= abs(o.tobs)
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extreme
+            FROM pv CROSS JOIN ob2 o)
+      SELECT o.n, o.n1, o.tobs AS t_obs_q, f.n_valid, f.n_extreme,
+        (1000000 * (1 + n_extreme)) // (n_valid + 1) AS p_q
+      FROM ob2 o CROSS JOIN f"""))
+
+  /** (q308) Fellegi–Sunter linkage weights over acctbal-adjacent
+    * customer pairs within a nation block (Dedup.fellegiSunter
+    * scaladoc): one pair-table scan, smoothed exact-integer log-odds.
+    */
+  val q308FellegiSunter = Q(
+    "q308_dd_fellegi_sunter",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val p = c.select(col("c_nationkey"), col("c_acctbal").as("a1"),
+          lead("c_acctbal", 1).over(w).as("a2"),
+          col("c_mktsegment").as("s1"),
+          lead("c_mktsegment", 1).over(w).as("s2"),
+          col("c_custkey").as("k1"),
+          lead("c_custkey", 1).over(w).as("k2"))
+        .filter(col("a2").isNotNull)
+      operators.Dedup.fellegiSunter(p,
+        abs(col("a1") - col("a2")) < 100.0,
+        Seq(
+          "f1_segment" -> (col("s1") === col("s2")),
+          "f2_balance_bucket" ->
+            (floor(col("a1") / lit(100.0)) ===
+              floor(col("a2") / lit(100.0))),
+          "f3_key_mod" -> (col("k1") % 10 === col("k2") % 10)))
+    },
+    Some("""
+      WITH p AS (SELECT c_acctbal AS a1,
+               lead(c_acctbal) OVER w AS a2,
+               c_mktsegment AS s1, lead(c_mktsegment) OVER w AS s2,
+               c_custkey AS k1, lead(c_custkey) OVER w AS k2
+             FROM customer
+             WINDOW w AS (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey)),
+      l AS (SELECT
+              CASE WHEN abs(a1 - a2) < 100.0 THEN 1 ELSE 0 END AS mt,
+              CASE WHEN s1 = s2 THEN 1 ELSE 0 END AS f1,
+              CASE WHEN floor(a1 / 100.0) = floor(a2 / 100.0)
+                THEN 1 ELSE 0 END AS f2,
+              CASE WHEN k1 % 10 = k2 % 10 THEN 1 ELSE 0 END AS f3
+            FROM p WHERE a2 IS NOT NULL),
+      ag AS (SELECT CAST(sum(mt) AS BIGINT) AS nm,
+               CAST(sum(1 - mt) AS BIGINT) AS nu,
+               CAST(sum(mt * f1) AS BIGINT) AS am1,
+               CAST(sum((1 - mt) * f1) AS BIGINT) AS au1,
+               CAST(sum(mt * f2) AS BIGINT) AS am2,
+               CAST(sum((1 - mt) * f2) AS BIGINT) AS au2,
+               CAST(sum(mt * f3) AS BIGINT) AS am3,
+               CAST(sum((1 - mt) * f3) AS BIGINT) AS au3
+             FROM l),
+      rows_ AS (
+        SELECT 'f1_segment' AS field, nm, nu, am1 AS am, au1 AS au
+          FROM ag
+        UNION ALL
+        SELECT 'f2_balance_bucket', nm, nu, am2, au2 FROM ag
+        UNION ALL
+        SELECT 'f3_key_mod', nm, nu, am3, au3 FROM ag)
+      SELECT field, nm AS n_match, nu AS n_unmatch, am AS agree_m,
+        au AS agree_u,
+        CAST(floor(1000000.0 * ln(
+          CAST(CAST(am + 1 AS HUGEINT) * (nu + 2) AS DOUBLE)
+          / CAST(CAST(au + 1 AS HUGEINT) * (nm + 2) AS DOUBLE)))
+          AS BIGINT) AS w_agree_q,
+        CAST(floor(1000000.0 * ln(
+          CAST(CAST(nm + 1 - am AS HUGEINT) * (nu + 2) AS DOUBLE)
+          / CAST(CAST(nu + 1 - au AS HUGEINT) * (nm + 2) AS DOUBLE)))
+          AS BIGINT) AS w_disagree_q
+      FROM rows_ ORDER BY field"""))
+
+  /** (q309) Hourly event-count periodogram over candidate periods
+    * 2..24 h (TimeAgg.periodogram scaladoc): integer-quantized
+    * Fourier pair sums on the dense grid, exact power division.
+    */
+  val q309Periodogram = Q(
+    "q309_a_periodogram",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = span
+        .select(explode(sequence(col("__lo"), col("__hi"), lit(3600L)))
+          .as("bucket"))
+        .join(hourly, Seq("bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.periodogram(dense, "bucket", "x",
+        periods = 2 to 24)
+    },
+    Some(s"""
+      WITH e AS (SELECT ($EvUs // 3600000000) * 3600 AS bucket
+             FROM events),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM span, LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (bucket)),
+      st AS (SELECT x, CAST(row_number() OVER (ORDER BY bucket)
+               AS BIGINT) AS t
+             FROM dense),
+      terms AS (SELECT p.p AS period,
+               CAST(floor(1000000.0 * CAST(x AS DOUBLE)
+                 * cos(2.0 * pi() * CAST(t AS DOUBLE)
+                   / CAST(p.p AS DOUBLE))) AS BIGINT) AS c,
+               CAST(floor(1000000.0 * CAST(x AS DOUBLE)
+                 * sin(2.0 * pi() * CAST(t AS DOUBLE)
+                   / CAST(p.p AS DOUBLE))) AS BIGINT) AS s
+             FROM st CROSS JOIN
+               (SELECT unnest(range(2, 25)) AS p) p),
+      ag AS (SELECT period, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS c_q,
+               CAST(sum(s) AS BIGINT) AS s_q
+             FROM terms GROUP BY period)
+      SELECT period, n, c_q, s_q,
+        CAST((CAST(c_q AS HUGEINT) * c_q + CAST(s_q AS HUGEINT) * s_q)
+          // CAST(1000000000000 AS HUGEINT) AS BIGINT) AS power
+      FROM ag ORDER BY period"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12445,5 +12620,6 @@ object Queries {
     q296PartialCorr, q297DurbinWatson,
     q298OrdinalAssoc, q299FdrBattery, q300JarqueBera,
     q301CronbachAlpha, q302VocabSpectrum, q303Msttr,
-    q304DecisionStump, q305NaiveBayes, q306DistanceCorr)
+    q304DecisionStump, q305NaiveBayes, q306DistanceCorr,
+    q307RandomizationTest, q308FellegiSunter, q309Periodogram)
 }

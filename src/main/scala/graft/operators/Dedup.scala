@@ -1314,4 +1314,61 @@ object Dedup {
       .filter(col("edit_sim_q") >= (minEditSim * 1000000).toLong)
       .select(col("id_a"), col("id_b"), col("gap"), col("edit_sim_q"))
   }
+
+  /** Fellegi–Sunter record-linkage weights from a labeled candidate
+    * pair table: per comparison field, the match/unmatch agreement
+    * probabilities (add-one smoothed — a zero cell must not blow up
+    * the log-odds) and the two log₂-free weights in nats,
+    *
+    *   w_agree    = ln(m/u),   m = (a_m+1)/(n_m+2), u = (a_u+1)/(n_u+2)
+    *   w_disagree = ln((1−m)/(1−u))
+    *
+    * evaluated as ln of ONE exact integer ratio (decimal(38,0)
+    * products, one division, one ln — the standing ln-on-exact-inputs
+    * contract), quantized ⌊10⁶·.⌋. The sum of a candidate pair's
+    * per-field weights is its linkage score; the cut thresholds are a
+    * policy choice left to the caller.
+    *
+    * Plan: ONE aggregate row over the pair table (2k+2 conditional
+    * sums, map-side combined), exploded to k bounded field rows — the
+    * pair table is scanned exactly once regardless of field count.
+    * NULL agreement values count as disagreement on both engines.
+    */
+  def fellegiSunter(pairs: DataFrame, matchCol: Column,
+                    fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "fellegiSunter needs at least one field")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mt = when(matchCol, 1L).otherwise(0L)
+    val aggCols =
+      Seq(sum(mt).as("__nm"), sum(lit(1L) - mt).as("__nu")) ++
+      fields.zipWithIndex.flatMap { case ((_, f), i) =>
+        val ag = when(coalesce(f, lit(false)), 1L).otherwise(0L)
+        Seq(sum(mt * ag).as(s"__am$i"), sum((lit(1L) - mt) * ag).as(s"__au$i"))
+      }
+    val one = pairs.agg(aggCols.head, aggCols.tail: _*)
+    val fieldStructs = fields.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("field"), col(s"__am$i").as("__am"),
+        col(s"__au$i").as("__au"))
+    }
+    def lnRatioQ(p: Column, q: Column): Column =
+      floor(lit(1000000.0) * log(p.cast("double") / q.cast("double")))
+        .cast("long")
+    one.select(col("__nm"), col("__nu"),
+        explode(array(fieldStructs: _*)).as("__f"))
+      .select(col("__f.field").as("field"), col("__nm").as("n_match"),
+        col("__nu").as("n_unmatch"), col("__f.__am").as("agree_m"),
+        col("__f.__au").as("agree_u"))
+      .select(col("field"), col("n_match"), col("n_unmatch"),
+        col("agree_m"), col("agree_u"),
+        lnRatioQ(
+          dec(col("agree_m") + 1) * dec(col("n_unmatch") + 2),
+          dec(col("agree_u") + 1) * dec(col("n_match") + 2))
+          .as("w_agree_q"),
+        lnRatioQ(
+          dec(col("n_match") + 1 - col("agree_m")) *
+            dec(col("n_unmatch") + 2),
+          dec(col("n_unmatch") + 1 - col("agree_u")) *
+            dec(col("n_match") + 2)).as("w_disagree_q"))
+      .orderBy(col("field"))
+  }
 }

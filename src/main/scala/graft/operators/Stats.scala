@@ -1892,6 +1892,72 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** Randomization test for a two-group mean difference — the
+    * finite-sample p-value that needs NO normality assumption. Labels
+    * are re-assigned `reps` times by the engine-portable md5₆₀ draw
+    * (u = md5₆₀(id:rep) mod 10⁶ < ⌊10⁶·n₁/n⌋ — binomial re-allocation
+    * matched to the observed group rate; the draw is pure scan-stage
+    * expression, identical on any engine), the observed and resampled
+    * statistics share one quantized fp chain
+    * t_q = ⌊10⁶·(s₁/n₁ − s₀/n₀)⌋, and
+    *
+    *   p_q = ⌊10⁶·(1 + #{|t_r| ≥ |t_obs|}) / (n_valid + 1)⌋
+    *
+    * (the add-one keeps p > 0, the standard Monte-Carlo correction;
+    * degenerate reps with an empty side are excluded from both counts
+    * — identically on both engines, since the draw is shared).
+    *
+    * Plan: one scan for the observed row, one reps-fan-out
+    * (rows×reps) into a single reps-keyed hash agg — map-side
+    * combine does the heavy lifting; no window, no driver loop.
+    */
+  def randomizationTest(df: DataFrame, idCol: String, xCol: String,
+                        label: Column, reps: Int): DataFrame = {
+    require(reps >= 1 && reps <= 10000, s"reps ($reps) out of range")
+    val d = (c: Column) => c.cast("double")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(xCol).cast("long").as("__x"),
+        when(label, 1L).otherwise(0L).as("__g"))
+      .na.drop(Seq("__id", "__x"))
+      .localCheckpoint(eager = false)
+    def tQ(s1: Column, n1: Column, s0: Column, n0: Column): Column =
+      floor(lit(1000000.0) * (d(s1) / d(n1) - d(s0) / d(n0))).cast("long")
+    val obs = base.agg(count(lit(1)).as("__n"), sum(col("__g")).as("__n1"),
+        sum(col("__g") * col("__x")).as("__s1"),
+        sum((lit(1L) - col("__g")) * col("__x")).as("__s0"))
+      .select(col("__n"), col("__n1"),
+        expr("(1000000L * __n1) div __n").as("__thr"),
+        tQ(col("__s1"), col("__n1"), col("__s0"),
+          col("__n") - col("__n1")).as("__tobs"))
+    val assigned = base.crossJoin(broadcast(obs))
+      .select(col("__n"), col("__n1"), col("__thr"), col("__tobs"),
+        col("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__r"), col("__id"))
+      .withColumn("__a",
+        when(Dedup.md5Hash60(concat(col("__id"), lit(":"),
+          col("__r").cast("string"))) % 1000000L < col("__thr"), 1L)
+          .otherwise(0L))
+    val perRep = assigned.groupBy(col("__r"))
+      .agg(first(col("__n")).as("__n"), first(col("__n1")).as("__on1"),
+        first(col("__tobs")).as("__tobs"),
+        sum(col("__a")).as("__rn1"), sum(col("__a") * col("__x")).as("__rs1"),
+        sum((lit(1L) - col("__a")) * col("__x")).as("__rs0"))
+      .withColumn("__valid",
+        (col("__rn1") > 0 && col("__rn1") < col("__n")).cast("long"))
+      .withColumn("__t",
+        when(col("__valid") === 1,
+          tQ(col("__rs1"), col("__rn1"), col("__rs0"),
+            col("__n") - col("__rn1"))))
+    perRep.groupBy(col("__n").as("n"), col("__on1").as("n1"),
+        col("__tobs").as("t_obs_q"))
+      .agg(sum(col("__valid")).as("n_valid"),
+        coalesce(sum(when(abs(col("__t")) >= abs(col("__tobs")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_extreme"))
+      .select(col("n"), col("n1"), col("t_obs_q"), col("n_valid"),
+        col("n_extreme"),
+        expr("(1000000L * (1 + n_extreme)) div (n_valid + 1)").as("p_q"))
+  }
+
   /** Distance correlation (Székely's dCor) between two integer
     * columns, on a deterministic md5-ordered sample of `cap` rows —
     * the dependence measure that catches NONLINEAR relationships

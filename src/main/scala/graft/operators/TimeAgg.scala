@@ -1206,4 +1206,54 @@ object TimeAgg {
           col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** Discrete periodogram of a dense single series at a FIXED set of
+    * candidate periods — "which cycle length dominates this count
+    * series" (the seasonality finder feeding q247's known-period
+    * decomposition). For each period p the Fourier pair at frequency
+    * 1/p is accumulated as integer-quantized terms
+    * ⌊10⁶·x_t·cos(2π·t/p)⌋ (likewise sin) — exact long sums, one
+    * trig call per (row, period) on an exactly-agreed double argument
+    * — and the reported power drops the quantization scale:
+    *
+    *   power = (c_q² + s_q²) div 10¹²   ≈ (Σx·cos)² + (Σx·sin)²
+    *
+    * (decimal(38,0) squares — c_q reaches 10⁶·Σx). t is the 1-based
+    * dense rank of the bucket, so the caller must pass a zero-filled
+    * grid (same contract as durbinWatson/acf).
+    *
+    * Plan: one ordered window to index the series, a bounded
+    * period fan-out (|periods| rows per bucket), one periods-keyed
+    * hash agg — map-side combined, no per-period scans.
+    */
+  def periodogram(series: DataFrame, bucketCol: String, xCol: String,
+                  periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      "periods must be >= 2")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__b"))).cast("long"))
+    val theta = lit(2.0) * lit(math.Pi) * col("__t").cast("double") /
+      col("__p").cast("double")
+    t.select(col("__x"), col("__t"),
+        explode(array(periods.map(lit(_)): _*)).as("__p"))
+      .select(col("__p"),
+        floor(lit(1000000.0) * col("__x").cast("double") * cos(theta))
+          .cast("long").as("__c"),
+        floor(lit(1000000.0) * col("__x").cast("double") * sin(theta))
+          .cast("long").as("__s"))
+      .groupBy(col("__p").cast("long").as("period"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("c_q"),
+        sum(col("__s")).as("s_q"))
+      .select(col("period"), col("n"), col("c_q"), col("s_q"),
+        (dec(col("c_q")) * dec(col("c_q")) +
+          dec(col("s_q")) * dec(col("s_q")))
+          .cast("decimal(38,0)").as("__pw"))
+      .withColumn("power",
+        expr("__pw div CAST(1000000000000 AS DECIMAL(38,0))"))
+      .drop("__pw")
+      .orderBy(col("period"))
+  }
 }

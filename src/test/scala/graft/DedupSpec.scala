@@ -736,4 +736,32 @@ class DedupSpec extends SparkSpec {
       gramSize = 3, window = 4, minShared = 1L, maxFpDf = 200L).collect()
     assert(uncapped.length === 10, "5 docs sharing a run -> C(5,2) pairs")
   }
+
+  test("fellegiSunter: perfectly predictive field gets a positive " +
+      "agree weight, anti-predictive gets negative") {
+    // 4 matches all agree on f_good; 4 unmatches all disagree
+    val pairs = (Seq.fill(4)((true, true, false)) ++
+      Seq.fill(4)((false, false, true))).toDF("mt", "f_good", "f_bad")
+    val out = Dedup.fellegiSunter(pairs, col("mt"),
+      Seq("a_good" -> col("f_good"), "b_bad" -> col("f_bad")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val (nm, nu, am, au, wA, wD) = out("a_good")
+    assert((nm, nu, am, au) === ((4L, 4L, 4L, 0L)))
+    // m = 5/6, u = 1/6 -> w_agree = ln 5 > 0; w_disagree = ln(1/5) < 0
+    assert(wA === math.floor(1e6 * math.log(5.0)).toLong)
+    assert(wD === math.floor(1e6 * math.log(1.0 / 5.0)).toLong)
+    val bad = out("b_bad")
+    assert(bad._5 < 0 && bad._6 > 0) // mirrored for the inverse field
+  }
+
+  test("fellegiSunter: null agreement counts as disagreement") {
+    val pairs = Seq((true, Some(true)), (true, None),
+      (false, Some(false))).toDF("mt", "f")
+    val r = Dedup.fellegiSunter(pairs, col("mt"), Seq("f" -> col("f")))
+      .collect().head
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 1L)))
+    assert(r.getLong(3) === 1L) // only the non-null agree survives
+  }
 }

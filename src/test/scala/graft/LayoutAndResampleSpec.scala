@@ -242,4 +242,28 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(r.getLong(4) === 0L) // naive MAE numerator
     assert(r.isNullAt(6))
   }
+
+  // ---------------------------------------------------------- periodogram
+
+  test("periodogram: a pure cycle concentrates power at its period") {
+    // period-4 square-ish wave over 32 buckets
+    val df = (1 to 32).map(t => (t.toLong * 60L,
+      if (t % 4 == 0) 100L else 0L)).toDF("bucket", "x")
+    val out = TimeAgg.periodogram(df, "bucket", "x", Seq(3, 4, 5, 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(4L) > out(3L) * 10)
+    assert(out(4L) > out(5L) * 10)
+    assert(out(4L) === 640000L) // (8 spikes · 100)² exactly, sin ~ 0
+    // the period-8 harmonic carries the same fundamental energy
+    assert(out(4L) > 0L)
+  }
+
+  test("periodogram: constant series has (near-)zero power off DC") {
+    val df = (1 to 24).map(t => (t.toLong, 50L)).toDF("bucket", "x")
+    val out = TimeAgg.periodogram(df, "bucket", "x", Seq(2, 3, 4, 6, 8, 12))
+      .collect()
+    assert(out.forall(_.getLong(1) === 24L))
+    // full cycles of a constant sum to ~0 (quantization leaves crumbs)
+    assert(out.forall(r => r.getLong(4) < 100L))
+  }
 }

@@ -992,6 +992,32 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("randomizationTest: zero observed gap is never extreme-proof " +
+      "(p stays away from 0) and identical groups give t_obs 0") {
+    val df = (0L to 39L).map(i => (i, 10L, i % 2 == 0))
+      .toDF("id", "x", "g")
+    val r = Stats.randomizationTest(df, "id", "x", col("g"), reps = 50)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((40L, 20L)))
+    assert(r.getLong(2) === 0L) // constant x: every mean gap is 0
+    // every valid rep also has t = 0 => all extreme => p = 1
+    assert(r.getLong(4) === r.getLong(3))
+    assert(r.getLong(5) === 1000000L)
+  }
+
+  test("randomizationTest: huge real gap is extreme under no resample " +
+      "-> p at the Monte-Carlo floor") {
+    // group TRUE x=1000, group FALSE x=0, balanced
+    val df = (0L to 39L).map(i =>
+      (i, if (i % 2 == 0) 1000L else 0L, i % 2 == 0)).toDF("id", "x", "g")
+    val r = Stats.randomizationTest(df, "id", "x", col("g"), reps = 100)
+      .collect().head
+    assert(r.getLong(2) === 1000000000L) // t_obs = 1000 exactly
+    // the md5 draw essentially never re-creates perfect separation
+    assert(r.getLong(4) <= 2L)
+    assert(r.getLong(5) <= 1000000L * 3 / (r.getLong(3) + 1))
+  }
+
   test("gofFdrBattery: the one divergent group ranks first and is " +
       "the only rejection at alpha=0.05") {
     // three groups share the corpus mix; gX inverts it
