@@ -12534,6 +12534,136 @@ object Queries {
           // CAST(1000000000000 AS HUGEINT) AS BIGINT) AS power
       FROM ag ORDER BY period"""))
 
+  /** (q310) Hodges–Lehmann location per lang (Robust.hodgesLehmann
+    * scaladoc): Walsh-average lower median on the value grid, exact
+    * doubled sums.
+    */
+  val q310HodgesLehmann = Q(
+    "q310_a_hodges_lehmann",
+    (s, dir) =>
+      operators.Robust.hodgesLehmann(t(s, dir, "documents"), "lang",
+        "n_chars").orderBy("lang"),
+    Some("""
+      WITH grid AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents
+             WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      w AS (SELECT a.g, a.v + b.v AS s2,
+              CAST(sum(CASE WHEN a.v = b.v
+                THEN (CAST(a.c AS HUGEINT) * (a.c + 1)) // 2
+                ELSE CAST(a.c AS HUGEINT) * b.c END) AS HUGEINT) AS w
+            FROM grid a JOIN grid b ON a.g = b.g AND b.v >= a.v
+            GROUP BY 1, 2),
+      t AS (SELECT g, CAST(sum(w) AS HUGEINT) AS t FROM w GROUP BY g),
+      cm AS (SELECT g, s2, CAST(sum(w) OVER (PARTITION BY g
+               ORDER BY s2) AS HUGEINT) AS cum
+             FROM w),
+      pick AS (SELECT cm.g, cm.s2,
+                 row_number() OVER (PARTITION BY cm.g
+                   ORDER BY cm.s2) AS rk
+               FROM cm JOIN t ON t.g = cm.g
+               WHERE cum >= (t.t + 1) // 2)
+      SELECT p.g AS lang, CAST(t.t AS BIGINT) AS t_pairs, p.s2 AS hl2,
+        (1000000 * p.s2) // 2 AS hl_q
+      FROM pick p JOIN t ON t.g = p.g WHERE rk = 1 ORDER BY lang"""))
+
+  /** (q311) One-way intraclass correlation of n_chars within source
+    * (Stats.iccOneWay scaladoc): anovaF's decomposition re-ratioed
+    * for reliability, quantize-before-sum between groups.
+    */
+  val q311IccOneWay = Q(
+    "q311_a_icc_oneway",
+    (s, dir) =>
+      operators.Stats.iccOneWay(t(s, dir, "documents"), "source",
+        "n_chars"),
+    Some("""
+      WITH b AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+              CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+            FROM b GROUP BY source),
+      g2 AS (SELECT n, s, q,
+               CAST(floor(1000000.0 * CAST(s AS DOUBLE)
+                 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                 AS tq
+             FROM g),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(s) AS HUGEINT) AS ss,
+              CAST(sum(q) AS HUGEINT) AS qq,
+              CAST(sum(tq) AS BIGINT) AS t6,
+              CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS nn
+            FROM g2),
+      f AS (SELECT k, n_total,
+              t6 - CAST(floor(1000000.0 * CAST(ss AS DOUBLE)
+                * CAST(ss AS DOUBLE) / CAST(n_total AS DOUBLE))
+                AS BIGINT) AS ssb_q6,
+              CAST(1000000 * qq - t6 AS BIGINT) AS ssw_q6, nn
+            FROM a),
+      m AS (SELECT k, n_total, ssb_q6, ssw_q6, nn,
+              CAST(ssb_q6 AS DOUBLE) / 1000000.0
+                / CAST(k - 1 AS DOUBLE) AS msb,
+              CAST(ssw_q6 AS DOUBLE) / 1000000.0
+                / CAST(n_total - k AS DOUBLE) AS msw,
+              (CAST(n_total AS DOUBLE) - CAST(nn AS DOUBLE)
+                / CAST(n_total AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+                AS n0
+            FROM f)
+      SELECT k, n_total, ssb_q6, ssw_q6,
+        CASE WHEN k >= 2 AND n_total > k THEN
+          CAST(floor(1000000.0 * (CAST(n_total AS DOUBLE)
+            - CAST(nn AS DOUBLE) / CAST(n_total AS DOUBLE))
+            / CAST(k - 1 AS DOUBLE)) AS BIGINT) END AS n0_q,
+        CASE WHEN k >= 2 AND n_total > k
+            AND (msb + (n0 - 1.0) * msw) > 0 THEN
+          CAST(floor(1000000.0 * (msb - msw)
+            / (msb + (n0 - 1.0) * msw)) AS BIGINT) END AS icc_q
+      FROM m"""))
+
+  /** (q312) Truncated Katz centrality on the mutual 5-NN graph
+    * (Graph.katz scaladoc): 3 exact integer rounds, α = 1/8, β = 10⁶;
+    * the oracle unrolls every round.
+    */
+  val q312Katz = Q(
+    "q312_g_katz",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.katz(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))),
+        rounds = 3, alphaDen = 8L)
+        .orderBy("id")
+    },
+    Some {
+      val iter = (p: String, o: String) => s"""
+      $o AS (SELECT p.u, p.deg, 1000000 + (c.inc // 8) AS x
+             FROM $p p JOIN (
+               SELECT s.v AS u, CAST(sum(p.x) AS BIGINT) AS inc
+               FROM sym s JOIN $p p ON p.u = s.u GROUP BY s.v) c
+               ON c.u = p.u)"""
+      s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a AS u, b AS v FROM mut
+              UNION ALL SELECT b AS u, a AS v FROM mut),
+      dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+             FROM sym GROUP BY u),
+      x0 AS (SELECT u, deg, CAST(1000000 AS BIGINT) AS x FROM dg),
+      ${iter("x0", "x1")},
+      ${iter("x1", "x2")},
+      ${iter("x2", "x3")}
+      SELECT u AS id, deg AS degree, CAST(x AS BIGINT) AS katz_q
+      FROM x3 ORDER BY id"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12621,5 +12751,6 @@ object Queries {
     q298OrdinalAssoc, q299FdrBattery, q300JarqueBera,
     q301CronbachAlpha, q302VocabSpectrum, q303Msttr,
     q304DecisionStump, q305NaiveBayes, q306DistanceCorr,
-    q307RandomizationTest, q308FellegiSunter, q309Periodogram)
+    q307RandomizationTest, q308FellegiSunter, q309Periodogram,
+    q310HodgesLehmann, q311IccOneWay, q312Katz)
 }

@@ -500,4 +500,42 @@ object Graph {
       .crossJoin(broadcast(moments.select(col("skew_q"))))
       .select(col("k_occ"), col("n_points"), col("skew_q"))
   }
+
+  /** Truncated Katz centrality: `rounds` terms of Σ_r α^r·(Aᵀ)^r·1 —
+    * the walk-counting centrality that (unlike [[pageRank]]) rewards
+    * being NEAR well-connected nodes without degree-normalizing away
+    * hub adjacency. α = 1/alphaDen with a power-friendly integer
+    * denominator, so each round is ONE exact integral division:
+    *
+    *   x'_u = β_q + (Σ_{v∈N(u)} x_v) div alphaDen
+    *
+    * (β_q = 10⁶; for the mutual-kNN graphs here max degree ≤ k, so
+    * any alphaDen > k keeps even the untruncated series convergent —
+    * the fixed-round truncation never diverges regardless). Same
+    * materialize-per-round discipline as [[pageRank]]: each iteration
+    * is one join + one agg over the checkpointed edge list, rounds
+    * are bounded — no lineage blow-up, no driver data.
+    */
+  def katz(edges: DataFrame, rounds: Int, alphaDen: Long = 8L): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds ($rounds) must be in [1, 20]")
+    require(alphaDen >= 2L, s"alphaDen ($alphaDen) must be >= 2")
+    val betaQ = 1000000L
+    val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
+      .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+      .localCheckpoint(eager = false)
+    val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
+    val x0 = deg.withColumn("__x", lit(betaQ))
+      .localCheckpoint(eager = false)
+    val ranks = (1 to rounds).foldLeft(x0) { (x, _) =>
+      val inc = sym.join(x.select(col("__u"), col("__x")), Seq("__u"))
+        .groupBy(col("__v").as("__u")).agg(sum(col("__x")).as("__in"))
+      x.select(col("__u"), col("__deg"))
+        .join(inc, Seq("__u"))
+        .select(col("__u"), col("__deg"),
+          (lit(betaQ) + expr(s"__in div ${alphaDen}L")).as("__x"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("__u").as("id"), col("__deg").as("degree"),
+      col("__x").as("katz_q"))
+  }
 }

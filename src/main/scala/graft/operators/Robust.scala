@@ -270,6 +270,60 @@ object Robust {
     * @return (group, n_tail, x_ref, hill_q, alpha_q) — hill on the
     *         10¹² grid, alpha = ⌊10¹²/H⌋ from the quantized H
     */
+  /** Hodges–Lehmann one-sample location estimator per group: the
+    * lower median of the Walsh averages (x_i + x_j)/2 over i ≤ j —
+    * the rank-based center that keeps 29% breakdown and near-normal
+    * efficiency without choosing between mean and median.
+    *
+    * Never materializes the O(n²) row pairs: Walsh mass lives on the
+    * VALUE-GRID pair table — weight c_i·c_j for v_i < v_j and
+    * c_i·(c_i+1)/2 on the diagonal — so the fan-out is bounded by the
+    * per-group distinct-value cardinality squared, not the row count.
+    * Averages stay exact as DOUBLED sums (v_i + v_j); the lower
+    * median is the smallest doubled sum whose cumulative weight
+    * reaches ⌈T/2⌉ = (T+1) div 2 — a pure integer rule, no
+    * interpolation. hl_q = (10⁶·hl2) div 2 keeps the half exact.
+    *
+    * Plan: one scan to the (group, value) grid, one grid self-join
+    * (broadcast right side), one keyed window for the cumulative,
+    * top-1 per group.
+    */
+  def hodgesLehmann(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val grid = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val b = grid.select(col("__g"), col("__v").as("__vb"),
+      col("__c").as("__cb"))
+    val walsh = grid.join(b, Seq("__g"))
+      .filter(col("__vb") >= col("__v"))
+      .select(col("__g"), (col("__v") + col("__vb")).as("__s2"),
+        // diagonal C(c+1,2) via integral div (exact, c(c+1) is even);
+        // decimal branches so no decimal '/' rounding ever enters
+        when(col("__vb") === col("__v"),
+          dec(expr("(__c * (__c + 1)) div 2")))
+          .otherwise(dec(col("__c")) * dec(col("__cb"))).as("__w"))
+      .groupBy(col("__g"), col("__s2"))
+      .agg(sum(col("__w")).cast("decimal(38,0)").as("__w"))
+    val tot = walsh.groupBy(col("__g"))
+      .agg(sum(col("__w")).cast("decimal(38,0)").as("__t"))
+    walsh
+      .withColumn("__cum", sum(col("__w")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__s2"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), Seq("__g"))
+      .filter(col("__cum") >= expr("(__t + 1) div 2"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__s2"))))
+      .filter(col("__rk") === 1)
+      .select(col("__g").as(groupCol), col("__t").cast("long").as("t_pairs"),
+        col("__s2").as("hl2"),
+        expr("(1000000L * hl2) div 2").as("hl_q"))
+  }
+
   def hillTail(df: DataFrame, groupCol: String, valueCol: String,
                k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k ($k) must be in [1, 10000]")

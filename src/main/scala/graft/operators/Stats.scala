@@ -1892,6 +1892,63 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** One-way random-effects intraclass correlation ICC(1) — "how much
+    * of the variance is BETWEEN groups", the reliability companion to
+    * [[anovaF]] (same decomposition, different ratio):
+    *
+    *   ICC = (MSB − MSW) / (MSB + (n₀−1)·MSW)
+    *   n₀  = (N − Σn_g²/N) / (k−1)      (unbalanced-design size)
+    *
+    * Per-group fp terms are quantized BEFORE the cross-group sum
+    * (T_g_q = ⌊10⁶·s_g²/n_g⌋, one division on exact inputs), so the
+    * between-group sum is an integer and partition order can't
+    * perturb it — the same discipline as every entropy gate. The
+    * final ratio is one mirrored fp chain; NULL when k < 2, N ≤ k or
+    * the denominator degenerates. Plan: one hash agg to group
+    * moments, one bounded agg.
+    */
+  def iccOneWay(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val g = df.select(col(groupCol), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(dec(col("__x"))).as("__s"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__q"))
+      .select(col("__n"), col("__s"), col("__q"),
+        floor(lit(1000000.0) * d(col("__s")) * d(col("__s")) /
+          d(col("__n"))).cast("long").as("__tq"))
+    val a = g.agg(count(lit(1)).as("k"), sum(col("__n")).as("n_total"),
+      sum(col("__s")).as("__S"), sum(col("__q")).as("__Q"),
+      sum(col("__tq")).as("__T6"),
+      sum(dec(col("__n")) * dec(col("__n"))).as("__nn"))
+    val ssb = (col("__T6") - floor(lit(1000000.0) * d(col("__S")) *
+      d(col("__S")) / d(col("n_total"))).cast("long")).as("ssb_q6")
+    val ssw = (dec(lit(1000000L)) * col("__Q") - dec(col("__T6")))
+      .cast("decimal(38,0)").as("__ssw6")
+    a.select(col("k"), col("n_total"), ssb, ssw, col("__nn"))
+      .select(col("k"), col("n_total"), col("ssb_q6"),
+        col("__ssw6").cast("long").as("ssw_q6"), col("__nn"))
+      .withColumn("__ok", col("k") >= 2 && col("n_total") > col("k"))
+      .withColumn("n0_q",
+        when(col("__ok"), floor(lit(1000000.0) *
+          (d(col("n_total")) - d(col("__nn")) / d(col("n_total"))) /
+          (col("k") - lit(1L)).cast("double")).cast("long")))
+      .withColumn("icc_q", {
+        val msb = d(col("ssb_q6")) / lit(1000000.0) /
+          (col("k") - lit(1L)).cast("double")
+        val msw = d(col("ssw_q6")) / lit(1000000.0) /
+          (col("n_total") - col("k")).cast("double")
+        val n0 = (d(col("n_total")) - d(col("__nn")) / d(col("n_total"))) /
+          (col("k") - lit(1L)).cast("double")
+        when(col("__ok") &&
+            (msb + (n0 - lit(1.0)) * msw) > 0,
+          floor(lit(1000000.0) * (msb - msw) /
+            (msb + (n0 - lit(1.0)) * msw)).cast("long"))
+      })
+      .drop("__ok", "__nn")
+  }
+
   /** Randomization test for a two-group mean difference — the
     * finite-sample p-value that needs NO normality assumption. Labels
     * are re-assigned `reps` times by the engine-portable md5₆₀ draw

@@ -275,4 +275,15 @@ class GraphSpec extends SparkSpec {
     assert((out.head.getLong(0), out.head.getLong(1)) === ((1L, 2L)))
     assert(out.head.isNullAt(2))
   }
+
+  test("katz: hand-unrolled two rounds on the 1-2-3 path") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.katz(edges, rounds = 2, alphaDen = 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // x1 = 1e6 + nbrSum/8; x2 unrolled by hand
+    assert(out(1L) === 1156250L)
+    assert(out(2L) === 1281250L)
+    assert(out(3L) === 1156250L)
+    assert(out(2L) > out(1L)) // the middle node collects both walks
+  }
 }

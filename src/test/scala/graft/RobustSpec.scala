@@ -256,4 +256,23 @@ class RobustSpec extends SparkSpec {
     assert(out(3L) === ((1000L, 2L, 2L, 2L, 222L)))
     assert(out(4L) === ((200L, 1L, 1L, 1L, 111L)))
   }
+
+  test("hodgesLehmann: hand case {1,2,3} -> HL = 2; robust to the " +
+      "outlier in {0,0,10}") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L)).toDF("grp", "x")
+    val r = Robust.hodgesLehmann(df, "grp", "x").collect().head
+    // 6 Walsh pairs; lower median of doubled sums {2,3,4,4,5,6} is 4
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 4L, 2000000L)))
+    val sk = Seq(("g", 0L), ("g", 0L), ("g", 10L)).toDF("grp", "x")
+    val rs = Robust.hodgesLehmann(sk, "grp", "x").collect().head
+    assert(rs.getLong(2) === 0L) // HL stays at 0, mean would be 3.33
+  }
+
+  test("hodgesLehmann: even run picks the LOWER median pair") {
+    // {1,3}: walsh doubled {2,4,6}, T=3, k=2 -> s2=4 -> HL=2
+    val df = Seq(("g", 1L), ("g", 3L)).toDF("grp", "x")
+    val r = Robust.hodgesLehmann(df, "grp", "x").collect().head
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 4L)))
+  }
 }

@@ -992,6 +992,21 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("iccOneWay: perfect between-group separation gives ICC 1, " +
+      "degenerate variance gives NULL") {
+    val df = Seq(("a", 0L), ("a", 0L), ("b", 10L), ("b", 10L))
+      .toDF("g", "x")
+    val r = Stats.iccOneWay(df, "g", "x").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 4L)))
+    assert(r.getLong(2) === 100000000L) // SSB = 100 on the 1e6 grid
+    assert(r.getLong(3) === 0L)         // SSW = 0
+    assert(r.getLong(4) === 2000000L)   // balanced: n0 = 2
+    assert(r.getLong(5) === 1000000L)
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "x")
+    assert(Stats.iccOneWay(flat, "g", "x").collect().head.isNullAt(5))
+  }
+
   test("randomizationTest: zero observed gap is never extreme-proof " +
       "(p stays away from 0) and identical groups give t_obs 0") {
     val df = (0L to 39L).map(i => (i, 10L, i % 2 == 0))
