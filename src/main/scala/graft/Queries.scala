@@ -12664,6 +12664,182 @@ object Queries {
       FROM x3 ORDER BY id"""
     })
 
+  /** (q313) GPD method-of-moments tail fit over p90 exceedances of
+    * n_chars per lang (Robust.gpdMomFit scaladoc): integer-rank
+    * threshold, exact exceedance moments, ξ sign as the headline.
+    */
+  val q313GpdTail = Q(
+    "q313_a_gpd_tail",
+    (s, dir) =>
+      operators.Robust.gpdMomFit(t(s, dir, "documents"), "lang",
+        "n_chars", bucketWidth = 50L),
+    Some("""
+      WITH b AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+             FROM documents
+             WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      gr AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             FROM b GROUP BY 1, 2),
+      nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM gr GROUP BY g),
+      cum AS (SELECT gr.g, gr.v, nn.n,
+                CAST(sum(c) OVER (PARTITION BY gr.g ORDER BY gr.v)
+                  AS BIGINT) AS cum
+              FROM gr JOIN nn ON nn.g = gr.g),
+      u AS (SELECT g, min(v) AS u FROM cum
+            WHERE cum >= (9 * n + 9) // 10 GROUP BY g),
+      e AS (SELECT b.g, b.v - u.u AS y, u.u
+            FROM b JOIN u ON u.g = b.g WHERE b.v > u.u),
+      s AS (SELECT g, CAST(max(u) AS BIGINT) AS threshold,
+              CAST(count(*) AS BIGINT) AS ne,
+              CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s1,
+              CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2
+            FROM e GROUP BY g),
+      f1 AS (SELECT g, threshold, ne,
+               CAST(s1 AS DOUBLE) / CAST(ne AS DOUBLE) AS m,
+               CAST(s2 AS DOUBLE) / CAST(ne AS DOUBLE) AS r2
+             FROM s),
+      f2 AS (SELECT g, threshold, ne, m, r2 - m * m AS var
+             FROM f1),
+      f3 AS (SELECT g, threshold, ne, m, var, m * m / var AS r
+             FROM f2)
+      SELECT g AS lang, threshold, ne AS n_exceed,
+        CASE WHEN ne >= 2 AND var > 0 THEN
+          CAST(floor(1000000.0 * (1.0 - r) / 2.0) AS BIGINT)
+        END AS xi_q,
+        CASE WHEN ne >= 2 AND var > 0 THEN
+          CAST(floor(1000000.0 * m * (1.0 + r) / 2.0) AS BIGINT)
+        END AS sigma_q
+      FROM f3 ORDER BY lang"""))
+
+  /** (q314) Random-pair cosine anisotropy histogram over a 300-row
+    * md5 sample of the embeddings (Similarity.anisotropyProfile
+    * scaladoc): 21 width-0.1 buckets, shift-then-div flooring.
+    */
+  val q314Anisotropy = Q(
+    "q314_ann_anisotropy",
+    (s, dir) =>
+      operators.Similarity.anisotropyProfile(t(s, dir, "embeddings"),
+        "vec_id", "embedding", cap = 300),
+    Some("""
+      WITH sm AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+             WHERE embedding IS NOT NULL
+             ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+               1, 15))::BIGINT, vec_id
+             LIMIT 300),
+      p AS (SELECT list_sum(list_transform(range(1, len(a.v) + 1),
+                i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+              / NULLIF(sqrt(list_sum(list_transform(
+                    range(1, len(a.v) + 1),
+                    i -> CAST(a.v[i] AS DOUBLE)
+                       * CAST(a.v[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(
+                    range(1, len(b.v) + 1),
+                    i -> CAST(b.v[i] AS DOUBLE)
+                       * CAST(b.v[i] AS DOUBLE)))), 0) AS cos
+            FROM sm a JOIN sm b ON b.id > a.id),
+      q AS (SELECT CAST(floor(1000000.0 * cos) AS BIGINT) AS cq
+            FROM p WHERE cos IS NOT NULL)
+      SELECT ((cq + 1000000) // 100000) - 10 AS bucket,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(cq) AS BIGINT) AS sum_cos_q
+      FROM q GROUP BY 1 ORDER BY 1"""))
+
+  /** (q315) Weighted Jaccard between source vocabularies
+    * (Curation.sourceWeightedJaccard scaladoc): exact Σmin/Σmax via
+    * the shared-terms-only join, full pair matrix from totals.
+    */
+  val q315SourceWjaccard = Q(
+    "q315_s_source_wjaccard",
+    (s, dir) =>
+      operators.Curation.sourceWeightedJaccard(t(s, dir, "documents"),
+        "source", "text"),
+    Some("""
+      WITH tf AS (SELECT g, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT source AS g,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                       '\s+')) AS term
+                   FROM documents WHERE source IS NOT NULL)
+             WHERE len(term) > 0 GROUP BY 1, 2),
+      tot AS (SELECT g, CAST(sum(tf) AS BIGINT) AS t
+              FROM tf GROUP BY g),
+      sh AS (SELECT a.g AS ga, b.g AS gb,
+               CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS mn
+             FROM tf a JOIN tf b ON a.term = b.term AND a.g < b.g
+             GROUP BY 1, 2),
+      m AS (SELECT ta.g AS source_a, tb.g AS source_b,
+              ta.t AS t_a, tb.t AS t_b, coalesce(sh.mn, 0) AS mn
+            FROM tot ta JOIN tot tb ON ta.g < tb.g
+            LEFT JOIN sh ON sh.ga = ta.g AND sh.gb = tb.g)
+      SELECT source_a, source_b, mn AS shared_mass,
+        t_a + t_b - mn AS union_mass,
+        (1000000 * mn) // (t_a + t_b - mn) AS wjaccard_q
+      FROM m ORDER BY source_a, source_b"""))
+
+  /** (q316) V-measure of the heuristic language identifier against
+    * the labeled lang (Stats.vMeasure scaladoc): three quantized
+    * entropy sums, three exact integer ratios.
+    */
+  val q316VMeasure = Q(
+    "q316_ml_v_measure",
+    (s, dir) =>
+      operators.Stats.vMeasure(
+        t(s, dir, "documents").filter(col("text").isNotNull)
+          .select(TextFns.langId(col("text")).as("pred"), col("lang")),
+        "pred", "lang"),
+    Some("""
+      WITH d AS (SELECT lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+              len(list_filter(toks, x -> x IN
+                ('the','and','of','to','a','in','is'))) AS en,
+              len(list_filter(toks, x -> x IN
+                ('el','la','de','los','las','que','y'))) AS es,
+              len(list_filter(toks, x -> x IN
+                ('der','die','das','und','ist','nicht'))) AS de,
+              len(list_filter(toks, x -> x IN
+                ('le','la','les','des','et','est'))) AS fr
+            FROM d),
+      pr AS (SELECT lang,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS pred
+             FROM h),
+      cells AS (SELECT pred, lang, CAST(count(*) AS BIGINT) AS o
+             FROM pr WHERE pred IS NOT NULL AND lang IS NOT NULL
+             GROUP BY 1, 2),
+      r AS (SELECT pred, CAST(sum(o) AS BIGINT) AS rr
+            FROM cells GROUP BY pred),
+      c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS cc
+            FROM cells GROUP BY lang),
+      tt AS (SELECT CAST(sum(rr) AS BIGINT) AS t FROM r),
+      hc AS (SELECT CAST(sum(CAST(floor(1000000000.0
+                 * CAST(rr AS DOUBLE)
+                 * ln(CAST(t AS DOUBLE) / CAST(rr AS DOUBLE))
+                 / CAST(t AS DOUBLE)) AS BIGINT)) AS BIGINT) AS hc_q
+             FROM r CROSS JOIN tt),
+      hk AS (SELECT CAST(sum(CAST(floor(1000000000.0
+                 * CAST(cc AS DOUBLE)
+                 * ln(CAST(t AS DOUBLE) / CAST(cc AS DOUBLE))
+                 / CAST(t AS DOUBLE)) AS BIGINT)) AS BIGINT) AS hk_q
+             FROM c CROSS JOIN tt),
+      mi AS (SELECT CAST(sum(CAST(floor(1000000000.0
+                 * CAST(o AS DOUBLE)
+                 * ln(CAST(CAST(t AS HUGEINT) * o AS DOUBLE)
+                   / CAST(CAST(rr AS HUGEINT) * cc AS DOUBLE))
+                 / CAST(t AS DOUBLE)) AS BIGINT)) AS BIGINT) AS mi_q
+             FROM cells JOIN r USING (pred) JOIN c USING (lang)
+             CROSS JOIN tt)
+      SELECT t AS n, hc_q, hk_q, mi_q,
+        CASE WHEN hc_q > 0 THEN (1000000 * mi_q) // hc_q END
+          AS homogeneity_q,
+        CASE WHEN hk_q > 0 THEN (1000000 * mi_q) // hk_q END
+          AS completeness_q,
+        CASE WHEN hc_q + hk_q > 0 THEN
+          (2000000 * mi_q) // (hc_q + hk_q) END AS v_q
+      FROM tt CROSS JOIN hc CROSS JOIN hk CROSS JOIN mi"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12752,5 +12928,6 @@ object Queries {
     q301CronbachAlpha, q302VocabSpectrum, q303Msttr,
     q304DecisionStump, q305NaiveBayes, q306DistanceCorr,
     q307RandomizationTest, q308FellegiSunter, q309Periodogram,
-    q310HodgesLehmann, q311IccOneWay, q312Katz)
+    q310HodgesLehmann, q311IccOneWay, q312Katz,
+    q313GpdTail, q314Anisotropy, q315SourceWjaccard, q316VMeasure)
 }

@@ -1715,6 +1715,51 @@ object Curation {
           .as("honore_r_q"))
   }
 
+  /** Weighted Jaccard similarity between every pair of source
+    * vocabularies — Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) over the
+    * term-frequency vectors — the corpus-overlap matrix that mixture
+    * design reads before setting source weights (plain Jaccard
+    * ignores mass; MinHash estimates it — this is the exact value at
+    * source granularity, where exactness is affordable).
+    *
+    * Σmax never materializes: max = T_a + T_b − Σ min over SHARED
+    * terms, so the only join is term-keyed over the sparse (source,
+    * term) tf table — per-term fan-out is (#sources with the term)²,
+    * bounded by the source count squared, never corpus-scale. The
+    * full pair matrix (including zero-overlap pairs) comes from the
+    * bounded totals cross-join. One exact integer division per pair.
+    */
+  def sourceWeightedJaccard(docs: DataFrame, groupCol: String,
+                            textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0 && col("__g").isNotNull)
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false)
+    val tot = tf.groupBy(col("__g")).agg(sum(col("__tf")).as("__T"))
+    val shared = tf.join(
+        tf.select(col("__g").as("__g2"), col("__t"),
+          col("__tf").as("__tf2")), Seq("__t"))
+      .filter(col("__g") < col("__g2"))
+      .groupBy(col("__g"), col("__g2"))
+      .agg(sum(least(col("__tf"), col("__tf2"))).as("__min"))
+    tot.select(col("__g").as("source_a"), col("__T").as("__ta"))
+      .crossJoin(broadcast(tot.select(col("__g").as("source_b"),
+        col("__T").as("__tb"))))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared.select(col("__g").as("source_a"),
+        col("__g2").as("source_b"), col("__min")),
+        Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("__min"))
+      .select(col("source_a"), col("source_b"),
+        col("__min").as("shared_mass"),
+        (col("__ta") + col("__tb") - col("__min")).as("union_mass"))
+      .withColumn("wjaccard_q",
+        expr("(1000000L * shared_mass) div union_mass"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Mean segmental type-token ratio (MSTTR): tokens are cut into
     * fixed-length chunks per document (partial tail chunks dropped —
     * the fixed denominator is what makes segments comparable), the

@@ -324,6 +324,51 @@ object Robust {
         expr("(1000000L * hl2) div 2").as("hl_q"))
   }
 
+  /** Generalized-Pareto tail fit by method of moments over the
+    * exceedances of the per-group exact p90 — the peaks-over-threshold
+    * companion to [[hillTail]] (Hill assumes a pure power law; GPD-MOM
+    * also covers light and bounded tails, and its sign of ξ is the
+    * headline: ξ>0 heavy, ξ≈0 exponential, ξ<0 bounded):
+    *
+    *   ξ = (1 − m²/s²)/2,    σ = m·(1−ξ) = m·(1 + m²/s²)/2
+    *
+    * The threshold is [[Quantiles.exactQuantiles]]' integer-rank p90
+    * (never a float percentile), exceedances y = v − u are integers,
+    * so m and s² derive from exact Σy/Σy² and the two outputs are one
+    * mirrored fp chain each, quantized ⌊10⁶·.⌋. NULL when fewer than
+    * 2 exceedances or zero spread. Plan: the quantile's two bounded
+    * passes, then one broadcast threshold join + one hash agg.
+    */
+  def gpdMomFit(df: DataFrame, groupCol: String, valueCol: String,
+                bucketWidth: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val thr = Quantiles.exactQuantiles(df, groupCol, valueCol,
+        bucketWidth, Seq(("u", 9, 10)))
+      .select(col(groupCol), col("value").as("__u"))
+    val agg = df.select(col(groupCol).cast("string").as(groupCol),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .join(broadcast(thr), Seq(groupCol))
+      .filter(col("__v") > col("__u"))
+      .withColumn("__y", col("__v") - col("__u"))
+      .groupBy(col(groupCol))
+      .agg(first(col("__u")).as("threshold"),
+        count(lit(1)).as("n_exceed"),
+        sum(dec(col("__y"))).as("__s1"),
+        sum(dec(col("__y")) * dec(col("__y"))).as("__s2"))
+    val m = d(col("__s1")) / d(col("n_exceed"))
+    val v = d(col("__s2")) / d(col("n_exceed")) - m * m
+    val r = m * m / v
+    val ok = col("n_exceed") >= 2 && v > 0
+    agg.select(col(groupCol), col("threshold"), col("n_exceed"),
+        when(ok, floor(lit(1000000.0) * (lit(1.0) - r) / lit(2.0))
+          .cast("long")).as("xi_q"),
+        when(ok, floor(lit(1000000.0) * m * (lit(1.0) + r) / lit(2.0))
+          .cast("long")).as("sigma_q"))
+      .orderBy(col(groupCol))
+  }
+
   def hillTail(df: DataFrame, groupCol: String, valueCol: String,
                k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"k ($k) must be in [1, 10000]")

@@ -1146,4 +1146,37 @@ object Similarity {
       selected.unionByName(pick(scored, step))
     }
   }
+
+  /** Random-pair cosine profile of an embedding space — the
+    * anisotropy audit ("is every pair ~0.4 similar?") that predicts
+    * whether cosine thresholds and ANN recall will behave before any
+    * index is built. All C(cap,2) pairs of a deterministic
+    * md5-ordered `cap`-row sample are scored with [[cosine]],
+    * quantized ⌊10⁶·cos⌋ and histogrammed into 21 width-0.1 buckets
+    * (shift-then-div so negative cosines floor correctly — bare
+    * integer div truncates toward zero and would double-width the
+    * zero bucket). Zero-norm vectors drop (cosine null).
+    *
+    * Fixed cap ⇒ corpus-size-independent cost (the bootstrap-gate
+    * stance); the corpus feeds only a TakeOrdered sample.
+    */
+  def anisotropyProfile(df: DataFrame, idCol: String, vecCol: String,
+                        cap: Int): DataFrame = {
+    require(cap >= 2 && cap <= 4096, s"cap ($cap) must be in [2, 4096]")
+    val s = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .orderBy(Dedup.md5Hash60(col("__id").cast("string")), col("__id"))
+      .limit(cap)
+      .localCheckpoint(eager = false)
+    val b = s.select(col("__id").as("__jb"), col("__v").as("__vb"))
+    s.crossJoin(broadcast(b)).filter(col("__jb") > col("__id"))
+      .select(floor(lit(1000000.0) * cosine(col("__v"), col("__vb")))
+        .cast("long").as("__cq"))
+      .na.drop()
+      .select(expr("((__cq + 1000000) div 100000) - 10").as("bucket"),
+        col("__cq"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__cq")).as("sum_cos_q"))
+      .orderBy(col("bucket"))
+  }
 }

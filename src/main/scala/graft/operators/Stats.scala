@@ -1892,6 +1892,59 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** V-measure (homogeneity / completeness / their harmonic mean)
+    * between a clustering and reference labels — the entropy-based
+    * external cluster validity that, unlike ARI (q233), separates
+    * "each cluster is one label" from "each label is one cluster".
+    * With H(C|K) = H(C) − I the whole triple reduces to three
+    * integer-quantized entropy sums (the [[uncertaintyCoefficient]]
+    * kernel, ⌊10⁹·.⌋ per term):
+    *
+    *   h = I/H(C),  c = I/H(K),  v = 2I/(H(C)+H(K))
+    *
+    * — three exact integer divisions, no fresh fp. Plan: one scan to
+    * the (cluster, label) grid; marginals broadcast.
+    */
+  def vMeasure(df: DataFrame, clusterCol: String,
+               labelCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(clusterCol), col(labelCol)).na.drop()
+      .groupBy(col(clusterCol), col(labelCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val rows = cells.groupBy(col(clusterCol)).agg(sum(col("o")).as("__r"))
+      .localCheckpoint(eager = false)
+    val cols = cells.groupBy(col(labelCol)).agg(sum(col("o")).as("__c"))
+      .localCheckpoint(eager = false)
+    val tot = rows.agg(sum(col("__r")).as("__t"))
+    def entropyQ(m: DataFrame, cnt: String, as: String) =
+      m.crossJoin(broadcast(tot))
+        .select(floor(lit(1.0e9) * col(cnt).cast("double") *
+          log(col("__t").cast("double") / col(cnt).cast("double")) /
+          col("__t").cast("double")).cast("long").as("__e"))
+        .agg(sum(col("__e")).as(as))
+    val hc = entropyQ(rows, "__r", "hc_q")
+    val hk = entropyQ(cols, "__c", "hk_q")
+    val mi = cells
+      .join(broadcast(rows), Seq(clusterCol))
+      .join(broadcast(cols), Seq(labelCol))
+      .crossJoin(broadcast(tot))
+      .select(floor(lit(1.0e9) * col("o").cast("double") *
+        log((dec(col("__t")) * dec(col("o"))).cast("double") /
+          (dec(col("__r")) * dec(col("__c"))).cast("double")) /
+        col("__t").cast("double")).cast("long").as("__m"))
+      .agg(sum(col("__m")).as("mi_q"))
+    tot.crossJoin(broadcast(hc)).crossJoin(broadcast(hk))
+      .crossJoin(broadcast(mi))
+      .select(col("__t").cast("long").as("n"), col("hc_q"), col("hk_q"),
+        col("mi_q"),
+        when(col("hc_q") > 0, expr("(1000000L * mi_q) div hc_q"))
+          .as("homogeneity_q"),
+        when(col("hk_q") > 0, expr("(1000000L * mi_q) div hk_q"))
+          .as("completeness_q"),
+        when(col("hc_q") + col("hk_q") > 0,
+          expr("(2000000L * mi_q) div (hc_q + hk_q)")).as("v_q"))
+  }
+
   /** One-way random-effects intraclass correlation ICC(1) — "how much
     * of the variance is BETWEEN groups", the reliability companion to
     * [[anovaF]] (same decomposition, different ratio):

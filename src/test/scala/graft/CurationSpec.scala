@@ -1068,6 +1068,19 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(4) === 0L) // S2 = N for all-hapax → K = 0
   }
 
+  test("sourceWeightedJaccard: hand tf vectors, zero-overlap pair " +
+      "still present with wjaccard 0") {
+    val docs = Seq((1L, "a", "x x y"), (2L, "b", "x y y z"),
+      (3L, "c", "q q")).toDF("doc_id", "src", "text")
+    val out = Curation.sourceWeightedJaccard(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a={x:2,y:1}, b={x:1,y:2,z:1}: min mass 2, union 3+4-2=5
+    assert(out(("a", "b")) === ((2L, 5L, 400000L)))
+    assert(out(("a", "c")) === ((0L, 5L, 0L)))
+    assert(out(("b", "c")) === ((0L, 6L, 0L)))
+  }
+
   test("msttr: full chunks only, exact mean of segment type counts") {
     // tokens: a b | a b | c c | d(tail dropped) → types 2+2+1 over 3
     val df = Seq((1L, "g", "a b a b c c d")).toDF("doc_id", "grp", "text")

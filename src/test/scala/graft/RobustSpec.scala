@@ -269,6 +269,28 @@ class RobustSpec extends SparkSpec {
     assert(rs.getLong(2) === 0L) // HL stays at 0, mean would be 3.33
   }
 
+  test("gpdMomFit: exponential-ish exceedances give xi near 0, " +
+      "degenerate spread gives NULL") {
+    // group g: values 1..100 -> p90 rank 90 -> u = 90, exceedances
+    // {1..10}: m = 5.5, var = 8.25, r = 3.666.. -> xi = (1-r)/2 < 0
+    val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "x")
+    val r = Robust.gpdMomFit(df, "grp", "x", bucketWidth = 10L)
+      .collect().head
+    assert(r.getLong(1) === 90L && r.getLong(2) === 10L)
+    val m = 5.5; val va = 38.5 - m * m; val rr = m * m / va
+    assert(r.getLong(3) ===
+      math.floor(1e6 * (1.0 - rr) / 2.0).toLong)
+    assert(r.getLong(4) ===
+      math.floor(1e6 * m * (1.0 + rr) / 2.0).toLong)
+    // constant exceedances: var 0 -> NULLs (u = rank-18 value = 18,
+    // the two 50s exceed it with zero spread)
+    val c = ((1L to 18L).map(v => ("h", v)) ++ Seq.fill(2)(("h", 50L)))
+      .toDF("grp", "x")
+    val rc = Robust.gpdMomFit(c, "grp", "x", bucketWidth = 10L)
+      .collect().head
+    assert(rc.isNullAt(3) && rc.isNullAt(4))
+  }
+
   test("hodgesLehmann: even run picks the LOWER median pair") {
     // {1,3}: walsh doubled {2,4,6}, T=3, k=2 -> s2=4 -> HL=2
     val df = Seq(("g", 1L), ("g", 3L)).toDF("grp", "x")

@@ -569,4 +569,29 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(sil.forall { case (id, (cl, _)) => assign(id) === cl })
     assert(sil.values.forall(_._2 > 0L)) // every point closer to its own side
   }
+
+  test("anisotropyProfile: orthogonal axes land in bucket 0, " +
+      "identical directions in the top bucket; zero vectors drop") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),     // cos 0
+      (3L, Seq(2f, 0f)),                        // cos 1 with id 1
+      (4L, Seq(0f, 0f)))                        // zero-norm: all pairs null
+      .toDF("vec_id", "embedding")
+    val out = Similarity.anisotropyProfile(vecs, "vec_id", "embedding",
+      cap = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs among {1,2,3}: (1,2)=0, (1,3)=1, (2,3)=0 — zero-norm 4 drops
+    assert(out.values.sum === 3L)
+    assert(out(0L) === 2L)
+    assert(out(10L) === 1L) // cos exactly 1 -> cq 1e6 -> top bucket
+  }
+
+  test("anisotropyProfile: negative cosine floors into the -10 bucket") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.anisotropyProfile(vecs, "vec_id", "embedding",
+      cap = 2).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === -10L)
+    assert(out.head.getLong(2) === -1000000L)
+  }
 }

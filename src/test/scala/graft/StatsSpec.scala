@@ -992,6 +992,22 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("vMeasure: identical partitions score 1e6 on all three; " +
+      "single-cluster scores completeness 1e6, homogeneity 0") {
+    val same = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("c", "z"))
+      .toDF("cl", "lb")
+    val r = Stats.vMeasure(same, "cl", "lb").collect().head
+    assert(r.getLong(4) === 1000000L && r.getLong(5) === 1000000L)
+    assert(r.getLong(6) === 1000000L)
+    val one = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("a", "y"))
+      .toDF("cl", "lb")
+    val r1 = Stats.vMeasure(one, "cl", "lb").collect().head
+    assert(r1.getLong(1) === 0L)  // H(C) = 0: one cluster
+    assert(r1.getLong(3) === 0L)  // I = 0
+    assert(r1.isNullAt(4))        // homogeneity 0/0 -> NULL by guard
+    assert(r1.getLong(5) === 0L)  // completeness I/H(K) = 0
+  }
+
   test("iccOneWay: perfect between-group separation gives ICC 1, " +
       "degenerate variance gives NULL") {
     val df = Seq(("a", 0L), ("a", 0L), ("b", 10L), ("b", 10L))
