@@ -1090,6 +1090,39 @@ object ScaleProbe {
       }
     }
 
+    if (section("session11")) {
+      // naive bayes: two explodes + a term-keyed join — expect
+      // ~linear in corpus; the class table stays 5 rows.
+      // wjaccard: per-term fan-out is (#sources with term)² — sources
+      // fixed at 20, so 10x data = 10x scan, bounded join width.
+      // randomization: rows×reps fan-out into ONE hash agg.
+      // hodgesLehmann: value-grid² — n_chars cardinality is ~560
+      // regardless of row count, so growth should be scan-only.
+      for (mult <- Seq(1, 4, 10)) {
+        val docs = (0 until mult).map(r =>
+          spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", concat(col("text"), lit(s" salt$r end$r"))))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        timedCount(s"nbayes  ${mult}x even-fit odd-score",
+          operators.Classify.naiveBayes(
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 0 &&
+              col("lang").isNotNull),
+            docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+            "doc_id", "text", "lang"))
+        timedCount(s"wjacc   ${mult}x 20-source matrix",
+          operators.Curation.sourceWeightedJaccard(docs, "source", "text"))
+        timedCount(s"randtst ${mult}x 200 reps",
+          operators.Stats.randomizationTest(docs, "doc_id", "n_chars",
+            col("lang") === "en", reps = 200))
+        timedCount(s"hlmed   ${mult}x value-grid",
+          operators.Robust.hodgesLehmann(docs, "lang", "n_chars"))
+        docs.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }
