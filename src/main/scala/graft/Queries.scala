@@ -12840,6 +12840,134 @@ object Queries {
           (2000000 * mi_q) // (hc_q + hk_q) END AS v_q
       FROM tt CROSS JOIN hc CROSS JOIN hk CROSS JOIN mi"""))
 
+  /** (q317) Stationary distribution of the user event-type chain by
+    * 5 integer power rounds (TimeAgg.markovStationary scaladoc):
+    * absorbing states freeze mass; the oracle unrolls every round.
+    */
+  val q317MarkovStationary = Q(
+    "q317_a_markov_stationary",
+    (s, dir) =>
+      operators.TimeAgg.markovStationary(ev(s, dir), "user_id",
+        "ts_us", "event_type", "event_id", rounds = 5),
+    Some {
+      val iter = (p: String, o: String) => s"""
+      $o AS (SELECT p.s,
+               (CASE WHEN rt.f IS NOT NULL THEN 0 ELSE p.x END)
+                 + coalesce(c.i, 0) AS x
+             FROM $p p LEFT JOIN rt ON rt.f = p.s
+             LEFT JOIN (
+               SELECT tr.t AS s,
+                 CAST(sum((CAST(p2.x AS HUGEINT) * tr.n) // rt2.r)
+                   AS BIGINT) AS i
+               FROM tr JOIN $p p2 ON p2.s = tr.f
+               JOIN rt rt2 ON rt2.f = tr.f
+               GROUP BY tr.t) c ON c.s = p.s)"""
+      s"""
+      WITH ev0 AS (SELECT user_id, event_id, event_type,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      nx AS (SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS t
+             FROM ev0),
+      tr AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+             FROM nx WHERE t IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT f, CAST(sum(n) AS BIGINT) AS r FROM tr GROUP BY f),
+      st AS (SELECT DISTINCT event_type AS s FROM ev0
+             WHERE event_type IS NOT NULL),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+      x0 AS (SELECT s, 1000000000000 // k AS x FROM st CROSS JOIN kk),
+      ${iter("x0", "x1")},
+      ${iter("x1", "x2")},
+      ${iter("x2", "x3")},
+      ${iter("x3", "x4")},
+      ${iter("x4", "x5")}
+      SELECT p.s AS state, rt.r AS out_total, CAST(p.x AS BIGINT)
+        AS mass_q
+      FROM x5 p LEFT JOIN rt ON rt.f = p.s ORDER BY state"""
+    })
+
+  /** (q318) Rank-biased precision at p=1/2 over the labeled 5-NN
+    * lists (Eval.rbpAtK scaladoc): exactly-dyadic weights, zero fp.
+    */
+  val q318Rbp = Q(
+    "q318_ret_rbp",
+    (s, dir) =>
+      operators.Eval.rbpAtK(labeledKnn(s, dir), k = 5)
+        .orderBy("query_id"),
+    Some(s"""
+      WITH $KnnRelOracle,
+      f AS (SELECT query_id,
+              CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_rel,
+              CAST(sum(CASE WHEN rel
+                THEN (1::BIGINT << CAST(20 - rank AS INT))
+                ELSE 0 END) AS BIGINT) AS u
+            FROM rk WHERE rank <= 5 GROUP BY query_id)
+      SELECT query_id, n_rel, (1000000 * u) // 1048576 AS rbp_q
+      FROM f ORDER BY query_id"""))
+
+  /** (q319) Restricted mean survival time over inter-event durations
+    * (TimeAgg.rmst scaladoc): area under q238's KM step curve, pure
+    * integer given the quantized S.
+    */
+  val q319Rmst = Q(
+    "q319_a_rmst",
+    (s, dir) =>
+      operators.TimeAgg.rmst(
+        operators.TimeAgg.interEventDurations(ev(s, dir), "user_id",
+          "event_id", "ts_us"), "__t", "__obs"),
+    Some(s"""
+      WITH ev0 AS (SELECT user_id, event_id,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      mx AS (SELECT max(us) AS mx FROM ev0),
+      su AS (SELECT us, lead(us) OVER (PARTITION BY user_id
+               ORDER BY us ASC, event_id ASC) AS nxt
+             FROM ev0),
+      du AS (SELECT CASE WHEN nxt IS NOT NULL
+                 THEN (nxt - us) // 86400000000
+                 ELSE (mx - us) // 86400000000 END AS t_days,
+               nxt IS NOT NULL AS obs
+             FROM su CROSS JOIN mx),
+      g AS (SELECT t_days,
+              CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                AS d_events,
+              CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_censored
+            FROM du GROUP BY 1),
+      r AS (SELECT *,
+              CAST(sum(d_events + n_censored) OVER () AS BIGINT)
+                - coalesce(CAST(sum(d_events + n_censored) OVER (
+                    ORDER BY t_days ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n_risk
+            FROM g),
+      q AS (SELECT *,
+              CASE WHEN d_events = 0 THEN 0
+                   WHEN d_events < n_risk THEN
+                CAST(floor(1000000000000.0
+                  * ln(CAST(n_risk - d_events AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE))) AS BIGINT)
+              END AS lnq,
+              max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER (
+                ORDER BY t_days ASC) AS dead
+            FROM r),
+      sv AS (SELECT t_days,
+               CASE WHEN dead = 1 THEN 0
+                 ELSE CAST(floor(1000000.0 * exp(
+                   CAST(sum(lnq) OVER (ORDER BY t_days ASC) AS DOUBLE)
+                     / 1000000000000.0)) AS BIGINT)
+               END AS surv_q
+             FROM q),
+      lg AS (SELECT t_days, surv_q,
+               lag(t_days) OVER (ORDER BY t_days) AS pt,
+               lag(surv_q) OVER (ORDER BY t_days) AS ps
+             FROM sv)
+      SELECT max(t_days) AS horizon_days,
+        CAST(count(*) AS BIGINT) AS n_steps,
+        CAST(sum(coalesce(ps, 1000000) * (t_days - coalesce(pt, 0)))
+          AS BIGINT) AS rmst_q
+      FROM lg"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -12929,5 +13057,6 @@ object Queries {
     q304DecisionStump, q305NaiveBayes, q306DistanceCorr,
     q307RandomizationTest, q308FellegiSunter, q309Periodogram,
     q310HodgesLehmann, q311IccOneWay, q312Katz,
-    q313GpdTail, q314Anisotropy, q315SourceWjaccard, q316VMeasure)
+    q313GpdTail, q314Anisotropy, q315SourceWjaccard, q316VMeasure,
+    q317MarkovStationary, q318Rbp, q319Rmst)
 }

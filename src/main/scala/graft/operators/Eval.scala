@@ -920,6 +920,29 @@ object Eval {
         col("n_comparisons"), col("__wq").as("w_q"))
   }
 
+  /** Rank-biased precision at p = ½ — the top-weighted retrieval
+    * metric whose weights are EXACTLY dyadic: (1−p)p^(i−1) = 2^(−i),
+    * so the whole score is integer in 2^(−20) units (w_i = 2^(20−i),
+    * k ≤ 20) and one integral division recovers the 10⁶ grid:
+    *
+    *   rbp_q = (10⁶ · Σ_{rel, rank ≤ k} 2^(20−rank)) div 2^20
+    *
+    * — no float ever touches the score (nDCG/ERR need log/products;
+    * RBP at a power-of-two persistence doesn't). Plan: one filter +
+    * one per-query hash agg over the ranked table.
+    */
+  def rbpAtK(ranked: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k ($k) must be in [1, 20]")
+    ranked.filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("rel"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - rank AS INT))"))
+          .otherwise(0L)).as("__u"))
+      .select(col("query_id"), col("n_rel"),
+        expr("(1000000L * __u) div 1048576L").as("rbp_q"))
+  }
+
   /** Cronbach's alpha internal-consistency coefficient over a sparse
     * (subject, item, score) table — "do the k items move together
     * across subjects". Absent cells are score 0, and the key trick is

@@ -1207,6 +1207,91 @@ object TimeAgg {
     }.reduce(_ unionByName _)
   }
 
+  /** Restricted mean survival time — the area under the
+    * [[kmFromDurations]] step curve up to the last observed duration:
+    * the single-number survival summary ("expected days retained
+    * within the window") that, unlike the median, exists even when
+    * the curve never crosses ½. Pure integer given the KM gate's
+    * quantized S: each grid step contributes S_prev·Δt (surv_q-scaled
+    * days), with the implicit (t=0, S=10⁶) origin. Plan: the KM
+    * derivation + one lag window over the duration grid (bounded by
+    * the day span, same contract as the KM gate) + one agg row.
+    */
+  def rmst(subjects: DataFrame, durationCol: String,
+           observedCol: String): DataFrame = {
+    val km = kmFromDurations(subjects, durationCol, observedCol)
+    val w = Window.orderBy(col("t_days"))
+    km.withColumn("__pt", lag(col("t_days"), 1).over(w))
+      .withColumn("__ps", lag(col("surv_q"), 1).over(w))
+      .withColumn("__seg", coalesce(col("__ps"), lit(1000000L)) *
+        (col("t_days") - coalesce(col("__pt"), lit(0L))))
+      .agg(max(col("t_days")).as("horizon_days"),
+        count(lit(1)).as("n_steps"),
+        sum(col("__seg")).as("rmst_q"))
+  }
+
+  /** Stationary distribution of the [[markovTransitions]] chain by
+    * `rounds` integer-quantized power iterations — "where does user
+    * traffic settle". Each round redistributes 10¹²-scaled mass along
+    * the observed transition rows:
+    *
+    *   x'_j = Σ_i (x_i · n_ij) div r_i
+    *
+    * (decimal products — x·n overflows long at corpus scale; the div
+    * is exact integral). States with no OUTGOING transitions absorb
+    * (their mass freezes and keeps accumulating); truncation leaks
+    * ≤ |states| units per round — both behaviors are the documented
+    * semantics and replay identically in the oracle's unrolled
+    * rounds. Plan: transitions aggregate once (state²-bounded,
+    * broadcast); each round is one broadcast join + one keyed agg on
+    * the bounded state table.
+    */
+  def markovStationary(events: DataFrame, entityCol: String,
+                       epochMicrosCol: String, typeCol: String,
+                       tieCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) out of range")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val Q = 1000000000000L
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(epochMicrosCol).asc, col(tieCol).asc)
+    val tr = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("__from"), col("__next").as("__to"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val rowTot = tr.groupBy(col("__from")).agg(sum(col("__n")).as("__r"))
+    val states = events.select(col(typeCol).as("__s")).na.drop().distinct()
+      .localCheckpoint(eager = false)
+    val k = states.agg(count(lit(1)).as("__k"))
+    val x0 = states.crossJoin(broadcast(k))
+      .select(col("__s"), expr(s"${Q}L div __k").as("__x"))
+      .localCheckpoint(eager = false)
+    val trR = tr.join(broadcast(rowTot), Seq("__from"))
+    val xs = (1 to rounds).foldLeft(x0) { (x, _) =>
+      val contrib = trR
+        .join(broadcast(x.select(col("__s").as("__from"), col("__x"))),
+          Seq("__from"))
+        .select(col("__to").as("__s"),
+          expr("""(CAST(__x AS DECIMAL(38,0)) * __n)
+                  div CAST(__r AS DECIMAL(38,0))""").as("__c"))
+        .groupBy(col("__s")).agg(sum(col("__c")).as("__in"))
+      // absorbing states keep their mass; emitting states replace it
+      x.join(broadcast(rowTot.select(col("__from").as("__s"),
+          col("__r"))), Seq("__s"), "left")
+        .join(contrib, Seq("__s"), "left")
+        .select(col("__s"),
+          (when(col("__r").isNotNull, lit(0L)).otherwise(col("__x")) +
+            coalesce(col("__in"), lit(0L))).as("__x"))
+        .localCheckpoint(eager = false)
+    }
+    xs.join(broadcast(rowTot.select(col("__from").as("__s"),
+        col("__r").as("out_total"))), Seq("__s"), "left")
+      .select(col("__s").as("state"), col("out_total"),
+        col("__x").as("mass_q"))
+      .orderBy(col("state"))
+  }
+
   /** Discrete periodogram of a dense single series at a FIXED set of
     * candidate periods — "which cycle length dominates this count
     * series" (the seasonality finder feeding q247's known-period

@@ -593,6 +593,19 @@ class EvalSpec extends SparkSpec {
     assert(tot === Map("A" -> 6L, "B" -> 8L, "C" -> 6L))
   }
 
+  test("rbpAtK: dyadic weights are exact — rel at every rank vs " +
+      "rank 1 only") {
+    val ranked = Seq((1L, 1, true), (1L, 2, true), (1L, 3, true),
+      (2L, 1, true), (2L, 2, false), (3L, 1, false), (3L, 2, true))
+      .toDF("query_id", "rank", "rel")
+    val out = Eval.rbpAtK(ranked, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // q1: 1/2+1/4+1/8 = 0.875 exactly; q2: 0.5; q3: 0.25
+    assert(out(1L) === 875000L)
+    assert(out(2L) === 500000L)
+    assert(out(3L) === 250000L)
+  }
+
   test("cronbachAlpha: duplicated item scores give alpha exactly 1") {
     val df = Seq((1L, "A", 3L), (1L, "B", 3L), (2L, "A", 5L),
       (2L, "B", 5L), (3L, "A", 9L), (3L, "B", 9L))

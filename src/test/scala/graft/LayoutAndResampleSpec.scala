@@ -243,6 +243,54 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(r.isNullAt(6))
   }
 
+  // ----------------------------------------------------------------- rmst
+
+  test("rmst: hand KM curve — area of the survival steps") {
+    // 4 subjects: events at t=1 (2 of them), t=3 (1), censor at t=3
+    // S(1) = 1/2, S(3) = 1/4 (then curve ends at horizon 3)
+    val df = Seq((1L, true), (1L, true), (3L, true), (3L, false))
+      .toDF("t", "obs")
+    val r = TimeAgg.rmst(df, "t", "obs").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    // area: [0,1)·1e6 + [1,3)·S(1); the KM gate's quantized-ln chain
+    // puts S(1) at 499999 (floor(1e6·exp(qln(1/2)))), so the exact
+    // integer area is 1e6 + 2·499999
+    assert(r.getLong(2) === 1999998L)
+  }
+
+  test("rmst: no events at all — flat curve, full area") {
+    val df = Seq((5L, false), (5L, false)).toDF("t", "obs")
+    val r = TimeAgg.rmst(df, "t", "obs").collect().head
+    assert(r.getLong(2) === 5000000L) // S = 1 across [0, 5)
+  }
+
+  // ------------------------------------------------- markovStationary
+
+  test("markovStationary: two-state flip-flop converges to the " +
+      "uniform split; absorbing sink collects mass") {
+    // user 1: a b a b a  — pure alternation
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b"), (1L, 5L, "a"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts_us", col("event_id") * 1000000L)
+    val out = TimeAgg.markovStationary(ev, "user_id", "ts_us",
+      "event_type", "event_id", rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // P(a->b)=1, P(b->a)=1: mass oscillates back to the start split
+    assert(out("a") === 500000000000L)
+    assert(out("b") === 500000000000L)
+    // sink: a -> z only, z emits nothing -> all mass ends in z
+    val ev2 = Seq((1L, 1L, "a"), (1L, 2L, "z"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts_us", col("event_id") * 1000000L)
+    val out2 = TimeAgg.markovStationary(ev2, "user_id", "ts_us",
+      "event_type", "event_id", rounds = 3).collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), r.getLong(2)))
+      .toMap
+    assert(out2("a")._2 === 0L)
+    assert(out2("z") === ((None, 1000000000000L)))
+  }
+
   // ---------------------------------------------------------- periodogram
 
   test("periodogram: a pure cycle concentrates power at its period") {
