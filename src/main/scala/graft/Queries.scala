@@ -12968,6 +12968,195 @@ object Queries {
           AS BIGINT) AS rmst_q
       FROM lg"""))
 
+  /** (q320) Kendall's W concordance of daily event-type rankings
+    * (Stats.kendallW scaladoc): Friedman's doubled-midrank grid with
+    * the tie correction, exact to one integral division.
+    */
+  val q320KendallW = Q(
+    "q320_a_kendall_w",
+    (s, dir) =>
+      operators.Stats.kendallW(
+        ev(s, dir).filter(col("event_type").isNotNull)
+          .withColumn("day", expr("ts_us div 86400000000L"))
+          .withColumn("one", lit(1L)),
+        "day", "event_type", "one"),
+    Some(s"""
+      WITH c AS (SELECT $EvUs // 86400000000 AS b, event_type AS t,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      bl AS (SELECT DISTINCT b FROM c),
+      tr AS (SELECT DISTINCT t FROM c),
+      grid AS (SELECT bl.b, tr.t, coalesce(c.x, 0) AS x
+               FROM bl CROSS JOIN tr
+               LEFT JOIN c ON c.b = bl.b AND c.t = tr.t),
+      r AS (SELECT b, t,
+              2 * rank() OVER (PARTITION BY b ORDER BY x)
+                + count(*) OVER (PARTITION BY b, x) - 1 AS r2,
+              count(*) OVER (PARTITION BY b, x) AS tc
+            FROM grid),
+      ties AS (SELECT CAST(sum(CAST(tc AS HUGEINT) * tc - 1)
+                 AS HUGEINT) AS tsum FROM r),
+      rs AS (SELECT t, CAST(sum(r2) AS BIGINT) AS rs FROM r GROUP BY t),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tr),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM bl),
+      d2 AS (SELECT CAST(sum(CAST(rs - n_blocks * (k + 1) AS HUGEINT)
+               * (rs - n_blocks * (k + 1))) AS HUGEINT) AS sum_d2
+             FROM rs CROSS JOIN kk CROSS JOIN nn),
+      f AS (SELECT n_blocks, k,
+              CAST(sum_d2 AS BIGINT) AS sum_d2,
+              CAST(tsum AS BIGINT) AS tie_mass,
+              CAST(n_blocks AS HUGEINT) * n_blocks * k
+                * (CAST(k AS HUGEINT) * k - 1)
+                - CAST(n_blocks AS HUGEINT) * tsum AS den
+            FROM d2 CROSS JOIN ties CROSS JOIN kk CROSS JOIN nn)
+      SELECT n_blocks, k, sum_d2, tie_mass,
+        CASE WHEN den > 0 THEN
+          CAST((CAST(3000000 AS HUGEINT) * sum_d2) // den AS BIGINT)
+        END AS w_q
+      FROM f"""))
+
+  /** (q321) Partial autocorrelation φ₁₁/φ₂₂ of daily per-type counts
+    * (Stats.pacf2 scaladoc): closed Durbin–Levinson step on the
+    * quantized ACF.
+    */
+  val q321Pacf = Q(
+    "q321_a_pacf",
+    (s, dir) => {
+      val daily = ev(s, dir).filter(col("event_type").isNotNull)
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      operators.Stats.pacf2(daily, "event_type", "bucket", "x",
+        stepSec = 86400)
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 86400000000) * 86400 AS bucket FROM events
+             WHERE event_type IS NOT NULL),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+             FROM h GROUP BY 1),
+      grid AS (SELECT event_type, unnest(generate_series(lo, hi, 86400))
+               AS b FROM sp),
+      dense AS (SELECT grid.event_type, grid.b, coalesce(h.x, 0) AS v
+             FROM grid LEFT JOIN h ON h.event_type = grid.event_type
+               AND h.bucket = grid.b),
+      lagged AS (SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+             FROM (VALUES (1), (2)) l(lag)
+             CROSS JOIN dense a
+             JOIN dense b ON b.event_type = a.event_type
+               AND b.b = a.b + l.lag * 86400),
+      ag AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+             FROM lagged GROUP BY 1, 2),
+      rho AS (SELECT event_type, lag,
+               CASE WHEN n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0 THEN
+                 CAST(floor(1000000.0
+                   * CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))))
+                   AS BIGINT)
+               END AS acf_q
+             FROM ag),
+      p1 AS (SELECT event_type, acf_q AS rho1_q FROM rho WHERE lag = 1),
+      p2 AS (SELECT event_type, acf_q AS rho2_q FROM rho WHERE lag = 2),
+      j AS (SELECT p1.event_type, rho1_q, rho2_q,
+              CAST(rho1_q AS DOUBLE) / 1000000.0 AS r1,
+              CAST(rho2_q AS DOUBLE) / 1000000.0 AS r2
+            FROM p1 JOIN p2 USING (event_type))
+      SELECT event_type, rho1_q, rho2_q,
+        CASE WHEN rho1_q IS NOT NULL AND rho2_q IS NOT NULL
+              AND (1.0 - r1 * r1) > 0 THEN
+          CAST(floor(1000000.0 * (r2 - r1 * r1) / (1.0 - r1 * r1))
+            AS BIGINT)
+        END AS phi22_q
+      FROM j ORDER BY event_type"""))
+
+  /** (q322) Burrows' Delta stylometric distance between sources over
+    * the top-50 corpus terms (Curation.burrowsDelta scaladoc):
+    * quantize-first relative frequencies, integer pair distance.
+    */
+  val q322BurrowsDelta = Q(
+    "q322_tx_burrows_delta",
+    (s, dir) =>
+      operators.Curation.burrowsDelta(t(s, dir, "documents"),
+        "source", "text", topM = 50),
+    Some("""
+      WITH tf AS (SELECT g, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT source AS g,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                       '\s+')) AS term
+                   FROM documents WHERE source IS NOT NULL)
+             WHERE len(term) > 0 GROUP BY 1, 2),
+      top AS (SELECT term FROM (SELECT term, sum(tf) AS ct FROM tf
+              GROUP BY term ORDER BY ct DESC, term LIMIT 50)),
+      tot AS (SELECT g, CAST(sum(tf) AS BIGINT) AS tt
+              FROM tf GROUP BY g),
+      grid AS (SELECT tot.g, top.term, coalesce(tf.tf, 0) AS tf, tot.tt
+               FROM tot CROSS JOIN top
+               LEFT JOIN tf ON tf.g = tot.g AND tf.term = top.term),
+      fq AS (SELECT g, term,
+               (CAST(1000000000000 AS HUGEINT) * tf) // tt AS fq
+             FROM grid),
+      m AS (SELECT term, CAST(count(*) AS BIGINT) AS s,
+              CAST(sum(CAST(fq AS HUGEINT)) AS HUGEINT) AS sf,
+              CAST(sum(CAST(fq AS HUGEINT) * fq) AS HUGEINT) AS sff
+            FROM fq GROUP BY term),
+      z AS (SELECT fq.g, fq.term,
+              CASE WHEN s * sff - sf * sf > 0 THEN
+                CAST(floor(1000000.0
+                  * CAST(s * fq.fq - sf AS DOUBLE)
+                  / sqrt(CAST(s * sff - sf * sf AS DOUBLE))) AS BIGINT)
+              ELSE 0 END AS z
+            FROM fq JOIN m USING (term)),
+      d AS (SELECT a.g AS source_a, b.g AS source_b,
+              CAST(sum(abs(a.z - b.z)) AS BIGINT) AS sz
+            FROM z a JOIN z b ON a.term = b.term AND a.g < b.g
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, sz // 50 AS delta_q
+      FROM d ORDER BY source_a, source_b"""))
+
+  /** (q323) Gries' DP dispersion for the top-30 corpus terms
+    * (Curation.dispersionDP scaladoc): exact common-denominator
+    * |share − size-share| masses, one integral division per term.
+    */
+  val q323GriesDp = Q(
+    "q323_tx_gries_dp",
+    (s, dir) =>
+      operators.Curation.dispersionDP(t(s, dir, "documents"),
+        "source", "text", topM = 30),
+    Some("""
+      WITH tf AS (SELECT g, term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT source AS g,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                       '\s+')) AS term
+                   FROM documents WHERE source IS NOT NULL)
+             WHERE len(term) > 0 GROUP BY 1, 2),
+      tt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct
+             FROM tf GROUP BY term),
+      top AS (SELECT term, ct FROM tt ORDER BY ct DESC, term LIMIT 30),
+      parts AS (SELECT g, CAST(sum(tf) AS BIGINT) AS ti
+                FROM tf GROUP BY g),
+      corpus AS (SELECT CAST(sum(ti) AS BIGINT) AS t FROM parts),
+      grid AS (SELECT top.term, top.ct, parts.g, parts.ti, corpus.t,
+               coalesce(tf.tf, 0) AS tf
+               FROM top CROSS JOIN parts CROSS JOIN corpus
+               LEFT JOIN tf ON tf.g = parts.g AND tf.term = top.term),
+      agg AS (SELECT term, ct AS tf_total, t,
+                CAST(sum(abs(CAST(tf AS HUGEINT) * t
+                  - CAST(ti AS HUGEINT) * ct)) AS HUGEINT) AS num
+              FROM grid GROUP BY 1, 2, 3)
+      SELECT term, tf_total,
+        CAST((CAST(1000000 AS HUGEINT) * num)
+          // (CAST(2 AS HUGEINT) * tf_total * t) AS BIGINT) AS dp_q
+      FROM agg ORDER BY term"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -13058,5 +13247,6 @@ object Queries {
     q307RandomizationTest, q308FellegiSunter, q309Periodogram,
     q310HodgesLehmann, q311IccOneWay, q312Katz,
     q313GpdTail, q314Anisotropy, q315SourceWjaccard, q316VMeasure,
-    q317MarkovStationary, q318Rbp, q319Rmst)
+    q317MarkovStationary, q318Rbp, q319Rmst,
+    q320KendallW, q321Pacf, q322BurrowsDelta, q323GriesDp)
 }

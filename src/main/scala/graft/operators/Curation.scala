@@ -1760,6 +1760,115 @@ object Curation {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Burrows' Delta stylometric distance between sources: over the
+    * top-M corpus terms, z-score each source's relative frequency
+    * across sources, then Delta(a,b) = mean |z_a − z_b| — the
+    * classical authorship/register distance (function words dominate
+    * the top-M, so it reads STYLE, not topic).
+    *
+    * Exactness discipline: relative frequencies quantize FIRST
+    * (f_q = (10¹²·tf) div T_s, exact integer), so the cross-source
+    * mean/variance are integer sums — partition order can't perturb
+    * them — and each z is ONE fp chain on exact inputs:
+    * z_q = ⌊10⁶·(S·f_q − Σf_q)/√(S·Σf_q² − (Σf_q)²)⌋ (constant terms
+    * get z 0). Delta is then pure integer: Σ|z_a − z_b| div M.
+    *
+    * Plan: term agg → bounded top-M (tf desc, term asc) → the
+    * sources×M grid (bounded both ways) for z → grid self-join on
+    * term for the pair matrix. Corpus is scanned once.
+    */
+  def burrowsDelta(docs: DataFrame, groupCol: String, textCol: String,
+                   topM: Int): DataFrame = {
+    require(topM >= 1 && topM <= 500, s"topM ($topM) out of range")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val tf = docs
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0 && col("__g").isNotNull)
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false)
+    val top = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__ct"))
+      .orderBy(col("__ct").desc, col("__t")).limit(topM)
+      .select(col("__t"))
+    // NB: resolution is case-insensitive — totals must not be named
+    // __T or they collide with the term column __t
+    val tot = tf.groupBy(col("__g")).agg(sum(col("__tf")).as("__gtot"))
+    val grid = tot.crossJoin(broadcast(top))
+      .join(tf, Seq("__g", "__t"), "left")
+      .na.fill(0L, Seq("__tf"))
+      .withColumn("__fq",
+        // decimal numerator: 10¹²·tf overflows long past tf ~ 9·10⁶
+        expr("(CAST(1000000000000 AS DECIMAL(38,0)) * __tf) div __gtot"))
+      .localCheckpoint(eager = false)
+    val m = grid.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__S"), sum(dec(col("__fq"))).as("__sf"),
+        sum(dec(col("__fq")) * dec(col("__fq"))).as("__sff"))
+      .withColumn("__var2",
+        (dec(col("__S")) * col("__sff") - col("__sf") * col("__sf"))
+          .cast("decimal(38,0)"))
+    val z = grid.join(broadcast(m), Seq("__t"))
+      .select(col("__g"), col("__t"),
+        when(col("__var2") > 0,
+          floor(lit(1000000.0) *
+            d(dec(col("__S")) * dec(col("__fq")) - col("__sf")) /
+            sqrt(d(col("__var2")))).cast("long"))
+          .otherwise(lit(0L)).as("__z"))
+      .localCheckpoint(eager = false)
+    z.join(z.select(col("__g").as("__g2"), col("__t"),
+        col("__z").as("__z2")), Seq("__t"))
+      .filter(col("__g") < col("__g2"))
+      .groupBy(col("__g").as("source_a"), col("__g2").as("source_b"))
+      .agg(sum(abs(col("__z") - col("__z2"))).as("__sz"))
+      .select(col("source_a"), col("source_b"),
+        expr(s"__sz div ${topM}L").as("delta_q"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Gries' DP (deviation of proportions) dispersion for the top-M
+    * corpus terms — "is this term spread like the corpus, or does it
+    * live in a few sources" (DP 0 = perfectly proportional, → 1 =
+    * concentrated; the burstiness-across-shards signal a df count
+    * misses because df ignores mass). With part sizes T_i (tokens)
+    * and term mass TF_t:
+    *
+    *   DP_t = ½ Σ_i |tf_ti/TF_t − T_i/T|
+    *        = (Σ_i |tf_ti·T − T_i·TF_t|) / (2·TF_t·T)
+    *
+    * — the common-denominator form is EXACT decimal(38,0) end to
+    * end; one integral division to the 10⁶ grid. Absent (term,
+    * part) cells contribute their full T_i·TF_t term via the bounded
+    * top-M × parts grid. Plan: one corpus scan, bounded grid math.
+    */
+  def dispersionDP(docs: DataFrame, groupCol: String, textCol: String,
+                   topM: Int): DataFrame = {
+    require(topM >= 1 && topM <= 500, s"topM ($topM) out of range")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = docs
+      .select(col(groupCol).as("__g"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0 && col("__g").isNotNull)
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false)
+    val termTot = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__ct"))
+      .localCheckpoint(eager = false)
+    val top = termTot.orderBy(col("__ct").desc, col("__t")).limit(topM)
+    val parts = tf.groupBy(col("__g")).agg(sum(col("__tf")).as("__ptot"))
+    val corpus = parts.agg(sum(col("__ptot")).as("__ctot"))
+    top.crossJoin(broadcast(parts)).crossJoin(broadcast(corpus))
+      .join(tf, Seq("__g", "__t"), "left")
+      .na.fill(0L, Seq("__tf"))
+      .groupBy(col("__t").as("term"), col("__ct").as("tf_total"),
+        col("__ctot").as("__ctot"))
+      .agg(sum(abs(dec(col("__tf")) * dec(col("__ctot")) -
+        dec(col("__ptot")) * dec(col("__ct")))).as("__num"))
+      .select(col("term"), col("tf_total"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * __num)
+                div (CAST(2 AS DECIMAL(38,0)) * tf_total * __ctot)""")
+          .as("dp_q"))
+      .orderBy(col("term"))
+  }
+
   /** Mean segmental type-token ratio (MSTTR): tokens are cut into
     * fixed-length chunks per document (partial tail chunks dropped —
     * the fixed denominator is what makes segments comparable), the

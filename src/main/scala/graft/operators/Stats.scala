@@ -1892,6 +1892,95 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** Kendall's W coefficient of concordance — "how much do the b
+    * blocks agree on the ranking of the k treatments", the effect
+    * size behind [[friedman]]'s test (same doubled-midrank grid, a
+    * different normalization, WITH the tie correction Friedman's χ²
+    * folds away). With doubled rank sums R2_j and d_j = R2_j −
+    * b(k+1) (exact integers — 2× the centered rank sum):
+    *
+    *   W = 3·Σd_j² / (b²·k·(k²−1) − b·ΣT),   T = Σ_ties (t³−t)
+    *
+    * where ΣT accumulates per grid row as (t²−1) (each member of a
+    * t-tie contributes t²−1, summing to t³−t per tie group) — all
+    * decimal(38,0) exact; one integral division to the 10⁶ grid.
+    * Plan: [[friedman]]'s grid + two bounded aggregates.
+    */
+  def kendallW(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col("__b"), col("__t")).agg(sum(col("__x")).as("__x"))
+      .localCheckpoint(eager = false)
+    val grid = cells.select("__b").distinct()
+      .crossJoin(broadcast(cells.select("__t").distinct()))
+      .join(cells, Seq("__b", "__t"), "left")
+      .na.fill(0L, Seq("__x"))
+      .localCheckpoint(eager = false)
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__b"), col("__x"))
+    val ranked = grid
+      .withColumn("__tc", count(lit(1)).over(wTie))
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank) + col("__tc") - lit(1L))
+    val ties = ranked
+      .agg(sum(dec(col("__tc")) * col("__tc") - lit(1)).as("__tsum"))
+    val b = cells.select("__b").distinct().agg(count(lit(1)).as("n_blocks"))
+    val k = cells.select("__t").distinct().agg(count(lit(1)).as("k"))
+    val d2 = ranked.groupBy(col("__t")).agg(sum(col("__r2")).as("__rs"))
+      .crossJoin(broadcast(b)).crossJoin(broadcast(k))
+      .select((dec(col("__rs")) -
+        dec(col("n_blocks")) * (col("k") + lit(1L))).as("__d"),
+        col("n_blocks"), col("k"))
+      .groupBy(col("n_blocks"), col("k"))
+      .agg(sum(col("__d") * col("__d")).as("__d2"))
+    d2.crossJoin(broadcast(ties))
+      .select(col("n_blocks"), col("k"),
+        col("__d2").cast("long").as("sum_d2"),
+        col("__tsum").cast("long").as("tie_mass"))
+      .withColumn("__den",
+        expr("""CAST(n_blocks AS DECIMAL(38,0)) * n_blocks * k
+                * (CAST(k AS DECIMAL(38,0)) * k - 1)
+                - CAST(n_blocks AS DECIMAL(38,0)) * tie_mass"""))
+      .select(col("n_blocks"), col("k"), col("sum_d2"), col("tie_mass"),
+        when(col("__den") > 0,
+          expr("""(CAST(3000000 AS DECIMAL(38,0)) * sum_d2)
+                  div __den""")).as("w_q"))
+  }
+
+  /** Partial autocorrelation at lags 1 and 2 via the closed
+    * Durbin–Levinson step on [[acf]]'s quantized correlations:
+    * φ₁₁ = ρ₁ and
+    *
+    *   φ₂₂ = (ρ₂ − ρ₁²) / (1 − ρ₁²)
+    *
+    * — "is the lag-2 dependence real or just lag-1 echoed twice", the
+    * AR-order diagnostic. Inputs are the 10⁻⁶-grid ρ_q (exact longs),
+    * so the one fp chain per group starts from exactly-agreed
+    * doubles; NULL when either ρ is undefined or |ρ₁| = 1. Plan:
+    * [[acf]] (materialized once) + one bounded self-join.
+    */
+  def pacf2(buckets: DataFrame, groupCol: String, bucketCol: String,
+            xCol: String, stepSec: Long): DataFrame = {
+    val a = acf(buckets, groupCol, bucketCol, xCol, stepSec, maxLag = 2)
+      .localCheckpoint(eager = false)
+    val l1 = a.filter(col("lag") === 1)
+      .select(col(groupCol), col("acf_q").as("rho1_q"))
+    val l2 = a.filter(col("lag") === 2)
+      .select(col(groupCol), col("acf_q").as("rho2_q"))
+    val r1 = col("rho1_q").cast("double") / lit(1000000.0)
+    val r2 = col("rho2_q").cast("double") / lit(1000000.0)
+    l1.join(l2, Seq(groupCol))
+      .select(col(groupCol), col("rho1_q"), col("rho2_q"),
+        when(col("rho1_q").isNotNull && col("rho2_q").isNotNull &&
+            (lit(1.0) - r1 * r1) > 0,
+          floor(lit(1000000.0) * (r2 - r1 * r1) / (lit(1.0) - r1 * r1))
+            .cast("long")).as("phi22_q"))
+      .orderBy(col(groupCol))
+  }
+
   /** V-measure (homogeneity / completeness / their harmonic mean)
     * between a clustering and reference labels — the entropy-based
     * external cluster validity that, unlike ARI (q233), separates

@@ -1081,6 +1081,34 @@ class CurationSpec extends SparkSpec {
     assert(out(("b", "c")) === ((0L, 6L, 0L)))
   }
 
+  test("burrowsDelta: identical sources are at distance 0, the " +
+      "divergent source is strictly farther") {
+    val docs = Seq((1L, "a", "x y x y z"), (2L, "b", "x y x y z"),
+      (3L, "c", "q q q q q")).toDF("doc_id", "src", "text")
+    val out = Curation.burrowsDelta(docs, "src", "text", topM = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(out(("a", "b")) === 0L)
+    assert(out(("a", "c")) > 0L)
+    assert(out(("a", "c")) === out(("b", "c")))
+  }
+
+  test("dispersionDP: proportional spread is 0, single-source " +
+      "concentration is 1 - its size share") {
+    // sources a,b each 2 tokens; 'x' only in a; 'y' in both once
+    val docs = Seq((1L, "a", "x x"), (2L, "b", "y y"))
+      .toDF("doc_id", "src", "text")
+    val out = Curation.dispersionDP(docs, "src", "text", topM = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("x") === 500000L) // 1 - 0.5
+    assert(out("y") === 500000L)
+    val even = Seq((1L, "a", "x y"), (2L, "b", "x z"))
+      .toDF("doc_id", "src", "text")
+    val o2 = Curation.dispersionDP(even, "src", "text", topM = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(o2("x") === 0L) // x spread exactly like the sizes
+  }
+
   test("msttr: full chunks only, exact mean of segment type counts") {
     // tokens: a b | a b | c c | d(tail dropped) → types 2+2+1 over 3
     val df = Seq((1L, "g", "a b a b c c d")).toDF("doc_id", "grp", "text")

@@ -992,6 +992,44 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("kendallW: perfect concordance is 1e6, perfect reversal is 0") {
+    val agree = Seq(("b1", "a", 1L), ("b1", "b", 2L), ("b1", "c", 3L),
+      ("b2", "a", 10L), ("b2", "b", 20L), ("b2", "c", 30L))
+      .toDF("blk", "trt", "v")
+    val w1 = Stats.kendallW(agree, "blk", "trt", "v").collect().head
+    assert((w1.getLong(0), w1.getLong(1)) === ((2L, 3L)))
+    assert(w1.getLong(3) === 0L) // no ties
+    assert(w1.getLong(4) === 1000000L)
+    val rev = Seq(("b1", "a", 1L), ("b1", "b", 2L),
+      ("b2", "a", 2L), ("b2", "b", 1L)).toDF("blk", "trt", "v")
+    val w0 = Stats.kendallW(rev, "blk", "trt", "v").collect().head
+    assert(w0.getLong(4) === 0L)
+  }
+
+  test("kendallW: all-tied blocks have zero denominator -> NULL") {
+    val df = Seq(("b1", "a", 5L), ("b1", "b", 5L)).toDF("blk", "trt", "v")
+    val r = Stats.kendallW(df, "blk", "trt", "v").collect().head
+    assert(r.isNullAt(4))
+  }
+
+  test("pacf2: phi22 replays the Durbin-Levinson chain on the " +
+      "operator's own rho values; constant series yields NULLs") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("g", i.toLong * 60L, x) }.toDF("grp", "bucket", "x")
+    val r = Stats.pacf2(df, "grp", "bucket", "x", stepSec = 60L)
+      .collect().head
+    val r1 = r.getLong(1).toDouble / 1000000.0
+    val r2 = r.getLong(2).toDouble / 1000000.0
+    assert(r.getLong(3) ===
+      math.floor(1000000.0 * (r2 - r1 * r1) / (1.0 - r1 * r1)).toLong)
+    val const = (0 until 6).map(i => ("g", i.toLong * 60L, 7L))
+      .toDF("grp", "bucket", "x")
+    val rc = Stats.pacf2(const, "grp", "bucket", "x", stepSec = 60L)
+      .collect().head
+    assert(rc.isNullAt(1) && rc.isNullAt(3))
+  }
+
   test("vMeasure: identical partitions score 1e6 on all three; " +
       "single-cluster scores completeness 1e6, homogeneity 0") {
     val same = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("c", "z"))
