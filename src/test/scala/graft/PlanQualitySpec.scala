@@ -1102,4 +1102,52 @@ class PlanQualitySpec extends SparkSpec {
     // lead window and the broadcast max(ts) corpus edge (pruned to ts)
     assert(scans <= 2, s"logRank re-scanned events ($scans):\n$plan")
   }
+
+  test("naiveBayes: every join is keyed or broadcast — no cartesian " +
+      "anywhere, classes fan out via broadcast NLJ") {
+    val plan = planOf("q305_ml_naive_bayes")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    // the docs x classes grid must be a BROADCAST nested loop (classes
+    // are bounded); the (doc, class) score join may be a keyed SMJ —
+    // that one is row-scale on both sides and shuffles on its keys,
+    // which is the intended 100 TB shape
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"classes fan-out didn't broadcast:\n$plan")
+  }
+
+  test("sourceWeightedJaccard: shared-mass join is term-keyed and the " +
+      "pair matrix comes from the bounded totals broadcast") {
+    val plan = planOf("q315_s_source_wjaccard")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"totals pair matrix not broadcast:\n$plan")
+  }
+
+  test("randomizationTest: the reps fan-out lands in ONE hash " +
+      "aggregate (map-side combined), no window") {
+    val plan = planOf("q307_a_randomization_test")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"missing hash agg:\n$plan")
+  }
+
+  test("hodgesLehmann: the Walsh grid self-join broadcasts its right " +
+      "side and the cumulative window is group-keyed") {
+    val plan = planOf("q310_a_hodges_lehmann")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"grid join not broadcast:\n$plan")
+  }
+
+  test("decisionStump: the cumulative window runs on the VALUE grid " +
+      "(post-aggregate), never on corpus rows") {
+    val qe = SparkEntry.queries("q304_ml_decision_stump")(spark, dir)
+      .queryExecution
+    val opt = qe.optimizedPlan.toString
+    // the Window's child must be the value-grid Aggregate, not a scan
+    val lines = opt.split("\n")
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"no window in:\n$opt")
+    assert(lines.drop(wIdx).exists(_.contains("Aggregate")),
+      s"stump window not over the aggregated grid:\n$opt")
+  }
 }
