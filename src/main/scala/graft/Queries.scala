@@ -13157,6 +13157,197 @@ object Queries {
           // (CAST(2 AS HUGEINT) * tf_total * t) AS BIGINT) AS dp_q
       FROM agg ORDER BY term"""))
 
+  /** (q324) Core distances + mutual-reachability edges on the 5-NN
+    * graph (Similarity.mutualReachability scaladoc): HDBSCAN's
+    * density primitive, integer min-folds over quantized cosines.
+    */
+  val q324MutualReach = Q(
+    "q324_ann_mutual_reach",
+    (s, dir) =>
+      operators.Similarity.mutualReachability(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5),
+    Some(s"""
+      WITH $KnnCte,
+      k5 AS (SELECT query_id, neighbor_id, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
+             WHERE rn <= 5),
+      kq AS (SELECT query_id, neighbor_id,
+               CAST(floor(1000000.0 * cos) AS BIGINT) AS cq FROM k5),
+      core AS (SELECT query_id AS id, min(cq) AS core
+               FROM kq GROUP BY 1),
+      ed AS (SELECT least(query_id, neighbor_id) AS a,
+               greatest(query_id, neighbor_id) AS b, max(cq) AS cos_q
+             FROM kq GROUP BY 1, 2)
+      SELECT a AS id_a, b AS id_b, cos_q,
+        least(ca.core, cb.core, ed.cos_q) AS mr_sim_q
+      FROM ed JOIN core ca ON ca.id = ed.a
+      JOIN core cb ON cb.id = ed.b
+      ORDER BY id_a, id_b"""))
+
+  /** (q325) Mood's median test of n_chars across sources
+    * (Stats.moodMedian scaladoc): exact integer-rank grand median,
+    * quantized per-group 2×1 chi-square cells.
+    */
+  val q325MoodMedian = Q(
+    "q325_a_mood_median",
+    (s, dir) =>
+      operators.Stats.moodMedian(t(s, dir, "documents"), "source",
+        "n_chars"),
+    Some("""
+      WITH gv AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+               FROM gv GROUP BY v),
+      tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n FROM vals),
+      med AS (SELECT v AS m, n FROM (SELECT v, n,
+                sum(cv) OVER (ORDER BY v) AS cum
+              FROM vals CROSS JOIN tot)
+              WHERE cum >= (n + 1) // 2 ORDER BY v LIMIT 1),
+      grp AS (SELECT g, m, n, CAST(sum(c) AS BIGINT) AS n_g,
+                CAST(sum(CASE WHEN v > m THEN c ELSE 0 END) AS BIGINT)
+                  AS n_above
+              FROM gv CROSS JOIN med GROUP BY 1, 2, 3),
+      ab AS (SELECT CAST(sum(n_above) AS BIGINT) AS aa FROM grp),
+      f AS (SELECT g, m, n, n_g, n_above,
+              CAST(CAST(n_g AS HUGEINT) * aa AS DOUBLE)
+                / CAST(n AS DOUBLE) AS ea,
+              CAST(CAST(n_g AS HUGEINT) * (n - aa) AS DOUBLE)
+                / CAST(n AS DOUBLE) AS eb
+            FROM grp CROSS JOIN ab)
+      SELECT g AS source, m AS grand_median, n_g, n_above,
+        CASE WHEN ea > 0 THEN CAST(floor(1000000000.0
+          * (CAST(n_above AS DOUBLE) - ea)
+          * (CAST(n_above AS DOUBLE) - ea) / ea) AS BIGINT)
+        END AS cell_above_q,
+        CASE WHEN eb > 0 THEN CAST(floor(1000000000.0
+          * (CAST(n_g - n_above AS DOUBLE) - eb)
+          * (CAST(n_g - n_above AS DOUBLE) - eb) / eb) AS BIGINT)
+        END AS cell_below_q
+      FROM f ORDER BY source"""))
+
+  /** (q326) Wald–Wolfowitz runs test on the dense daily event-count
+    * series (TimeAgg.runsTest scaladoc): above/below-median signs,
+    * exact run counts, one mirrored z chain.
+    */
+  val q326RunsTest = Q(
+    "q326_a_runs_test",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val daily = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      val span = daily.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = span
+        .select(explode(sequence(col("__lo"), col("__hi"), lit(86400L)))
+          .as("bucket"))
+        .join(daily, Seq("bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.runsTest(dense, "bucket", "x")
+    },
+    Some(s"""
+      WITH e AS (SELECT ($EvUs // 86400000000) * 86400 AS bucket
+             FROM events),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM span, LATERAL unnest(range(lo, hi + 1, 86400)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (bucket)),
+      vals AS (SELECT x, CAST(count(*) AS BIGINT) AS cv
+               FROM dense GROUP BY x),
+      tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n0 FROM vals),
+      med AS (SELECT x AS m FROM (SELECT x, n0,
+                sum(cv) OVER (ORDER BY x) AS cum
+              FROM vals CROSS JOIN tot)
+              WHERE cum >= (n0 + 1) // 2 ORDER BY x LIMIT 1),
+      sg AS (SELECT bucket, CASE WHEN x > m THEN 1 ELSE 0 END AS s
+             FROM dense CROSS JOIN med WHERE x <> m),
+      lg AS (SELECT s, lag(s) OVER (ORDER BY bucket) AS p FROM sg),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+              CAST(sum(s) AS BIGINT) AS n_above,
+              CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+              CAST(1 + sum(CASE WHEN p IS NOT NULL AND p <> s
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+            FROM lg),
+      f AS (SELECT n_used, n_above, n_below, n_runs,
+              CAST(CAST(2 AS HUGEINT) * n_above * n_below AS DOUBLE)
+                AS tp,
+              CAST(n_used AS DOUBLE) AS nd
+            FROM a)
+      SELECT n_used, n_above, n_below, n_runs,
+        CASE WHEN n_above > 0 AND n_below > 0 AND n_used >= 2
+              AND (tp * (tp - nd)) / (nd * nd * (nd - 1.0)) > 0 THEN
+          CAST(floor(1000000.0
+            * (CAST(n_runs AS DOUBLE) - (1.0 + tp / nd))
+            / sqrt((tp * (tp - nd)) / (nd * nd * (nd - 1.0))))
+            AS BIGINT)
+        END AS z_q
+      FROM f"""))
+
+  /** (q327) Siegel repeated-medians slope of daily per-type counts
+    * (Robust.siegelSlope scaladoc): two integer-rank median layers
+    * over quantized pairwise slopes, span²-bounded.
+    */
+  val q327SiegelSlope = Q(
+    "q327_a_siegel_slope",
+    (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isNotNull)
+      val daily = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = daily.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(86400L))))
+        .select("event_type", "bucket")
+        .join(daily, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+        .withColumn("day", expr("bucket div 86400L"))
+      operators.Robust.siegelSlope(dense, "event_type", "day", "x")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 86400000000) * 86400 AS bucket FROM events
+             WHERE event_type IS NOT NULL),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 86400)) g(g)),
+      dd AS (SELECT d.event_type, d.bucket // 86400 AS d,
+               coalesce(h.x, 0) AS v
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      p AS (SELECT a.event_type, a.d AS x,
+              CAST(floor(1000000.0 * CAST(b.v - a.v AS DOUBLE)
+                / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS sl
+            FROM dd a JOIN dd b ON b.event_type = a.event_type
+              AND b.d <> a.d),
+      pp AS (SELECT event_type, x, sl,
+               row_number() OVER (PARTITION BY event_type, x
+                 ORDER BY sl) AS rk,
+               count(*) OVER (PARTITION BY event_type, x) AS cnt
+             FROM p),
+      pm AS (SELECT event_type, sl AS med FROM pp
+             WHERE rk = (cnt + 1) // 2),
+      f AS (SELECT event_type, med,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY med) AS rk,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                AS cnt
+            FROM pm)
+      SELECT event_type, cnt AS n_points, med AS slope_q
+      FROM f WHERE rk = (cnt + 1) // 2 ORDER BY event_type"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -13248,5 +13439,6 @@ object Queries {
     q310HodgesLehmann, q311IccOneWay, q312Katz,
     q313GpdTail, q314Anisotropy, q315SourceWjaccard, q316VMeasure,
     q317MarkovStationary, q318Rbp, q319Rmst,
-    q320KendallW, q321Pacf, q322BurrowsDelta, q323GriesDp)
+    q320KendallW, q321Pacf, q322BurrowsDelta, q323GriesDp,
+    q324MutualReach, q325MoodMedian, q326RunsTest, q327SiegelSlope)
 }

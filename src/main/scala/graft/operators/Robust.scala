@@ -324,6 +324,48 @@ object Robust {
         expr("(1000000L * hl2) div 2").as("hl_q"))
   }
 
+  /** Siegel repeated-medians slope per group — the 50 %-breakdown
+    * upgrade of [[theilSen]] (Theil–Sen's single median over all
+    * pairwise slopes breaks at 29 %): for each point i take the
+    * MEDIAN over j of slope(i,j), then the median of those medians.
+    * Slopes quantize ⌊10⁶·Δy/Δx⌋ (one division each, exact inputs) so
+    * both median layers are integer-rank picks (lower median at rank
+    * (cnt+1) div 2) — value-deterministic regardless of tie order.
+    *
+    * Plan: one bucket-grid self-join per group (span²-bounded, the
+    * theilSen contract — NEVER raw rows), a per-(group, i) keyed
+    * window, then a per-group window over |points| rows.
+    */
+  def siegelSlope(buckets: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val b = buckets.select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y")).na.drop()
+      .localCheckpoint(eager = false)
+    val pairs = b.join(
+        b.select(col(groupCol), col("__x").as("__x2"),
+          col("__y").as("__y2")), Seq(groupCol))
+      .filter(col("__x2") =!= col("__x"))
+      .select(col(groupCol), col("__x"),
+        floor(lit(1000000.0) *
+          (col("__y2") - col("__y")).cast("double") /
+          (col("__x2") - col("__x")).cast("double")).cast("long")
+          .as("__sl"))
+    val wI = Window.partitionBy(col(groupCol), col("__x"))
+    val perPoint = pairs
+      .withColumn("__rk", row_number().over(wI.orderBy(col("__sl"))))
+      .withColumn("__cnt", count(lit(1)).over(wI))
+      .filter(col("__rk") === expr("(__cnt + 1) div 2"))
+      .select(col(groupCol), col("__sl").as("__med"))
+    val wG = Window.partitionBy(col(groupCol))
+    perPoint
+      .withColumn("__rk", row_number().over(wG.orderBy(col("__med"))))
+      .withColumn("__cnt", count(lit(1)).over(wG))
+      .filter(col("__rk") === expr("(__cnt + 1) div 2"))
+      .select(col(groupCol), col("__cnt").as("n_points"),
+        col("__med").as("slope_q"))
+      .orderBy(col(groupCol))
+  }
+
   /** Generalized-Pareto tail fit by method of moments over the
     * exceedances of the per-group exact p90 — the peaks-over-threshold
     * companion to [[hillTail]] (Hill assumes a pure power law; GPD-MOM

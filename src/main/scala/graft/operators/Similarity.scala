@@ -1147,6 +1147,42 @@ object Similarity {
     }
   }
 
+  /** Core distances and mutual-reachability edges over the k-NN graph
+    * — the HDBSCAN-style density primitive, in SIMILARITY space: a
+    * point's core similarity is its k-th-neighbor cosine (low core =
+    * sparse region), and an edge's mutual-reachability similarity is
+    *
+    *   mr(a,b) = min(core_a, core_b, cos(a,b))
+    *
+    * (the mirror of max-of-distances): single-linkage over mr edges
+    * is exactly HDBSCAN's mutual-reachability MST step. Cosines
+    * quantize ⌊10⁶·cos⌋ BEFORE the min-folds, so every output is an
+    * exact integer comparison chain. Plan: one brute/ANN top-k, one
+    * per-point min, canonicalized edge dedup, two keyed core joins.
+    */
+  def mutualReachability(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int): DataFrame = {
+    val knn = cosineTopK(df, df, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(lit(1000000.0) * col("cos")).cast("long").as("__cq"))
+      .localCheckpoint(eager = false)
+    val core = knn.groupBy(col("query_id").as("__id"))
+      .agg(min(col("__cq")).as("__core"))
+    val edges = knn.select(
+        least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+        col("__cq"))
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("__cq")).as("cos_q"))
+    edges
+      .join(core.select(col("__id").as("id_a"), col("__core").as("__ca")),
+        Seq("id_a"))
+      .join(core.select(col("__id").as("id_b"), col("__core").as("__cb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_q"),
+        least(col("__ca"), col("__cb"), col("cos_q")).as("mr_sim_q"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Random-pair cosine profile of an embedding space — the
     * anisotropy audit ("is every pair ~0.4 similar?") that predicts
     * whether cosine thresholds and ANN recall will behave before any

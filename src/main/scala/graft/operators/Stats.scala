@@ -1892,6 +1892,61 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** Mood's median test — k-group location comparison by counting
+    * each group's mass strictly above the GRAND lower median: the
+    * coarse-but-assumption-free sibling of [[kruskalWallis]] (only
+    * the sign of each value relative to M matters, so one corrupt
+    * tail can't move it). The median is the exact integer-rank rule
+    * (smallest v with cum ≥ (N+1) div 2) on the value grid; per-group
+    * 2×1 chi-square contributions quantize ⌊10⁹·(o−e)²/e⌋ with e from
+    * exact integer products — summing the bounded per-group rows
+    * gives the test statistic with k−1 df.
+    *
+    * Plan: one scan to the (group, value) grid; the global median
+    * derives from the VALUE-grid window (value-cardinality-bounded);
+    * per-group counts are a second bounded agg.
+    */
+  def moodMedian(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
+    val tot = vals.agg(sum(col("__cv")).as("__n"))
+    val med = vals.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__cv")).over(
+        Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .orderBy(col("__v")).limit(1)
+      .select(col("__v").as("__m"), col("__n"))
+    val grp = gv.crossJoin(broadcast(med))
+      .groupBy(col(groupCol), col("__m"), col("__n"))
+      .agg(sum(col("__c")).as("n_g"),
+        sum(when(col("__v") > col("__m"), col("__c")).otherwise(lit(0L)))
+          .as("n_above"))
+    val above = grp.agg(sum(col("n_above")).as("__A"))
+    grp.crossJoin(broadcast(above))
+      .withColumn("__ea",
+        (dec(col("n_g")) * dec(col("__A"))).cast("double") / d(col("__n")))
+      .withColumn("__eb",
+        (dec(col("n_g")) * dec(col("__n") - col("__A"))).cast("double") /
+          d(col("__n")))
+      .select(col(groupCol), col("__m").as("grand_median"), col("n_g"),
+        col("n_above"),
+        when(col("__ea") > 0, floor(lit(1.0e9) *
+          (d(col("n_above")) - col("__ea")) *
+          (d(col("n_above")) - col("__ea")) / col("__ea")).cast("long"))
+          .as("cell_above_q"),
+        when(col("__eb") > 0, floor(lit(1.0e9) *
+          (d(col("n_g") - col("n_above")) - col("__eb")) *
+          (d(col("n_g") - col("n_above")) - col("__eb")) / col("__eb"))
+          .cast("long")).as("cell_below_q"))
+      .orderBy(col(groupCol))
+  }
+
   /** Kendall's W coefficient of concordance — "how much do the b
     * blocks agree on the ranking of the k treatments", the effect
     * size behind [[friedman]]'s test (same doubled-midrank grid, a

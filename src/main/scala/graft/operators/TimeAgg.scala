@@ -1292,6 +1292,59 @@ object TimeAgg {
       .orderBy(col("state"))
   }
 
+  /** Wald–Wolfowitz runs test on a single bucketed series — "is the
+    * above/below-median pattern random, or does it trend/oscillate".
+    * Values strictly above the series' lower median are +, strictly
+    * below are −, EXACT ties with the median drop (the classical
+    * rule); with n₁ pluses, n₂ minuses and R runs:
+    *
+    *   μ = 1 + 2n₁n₂/n,   σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n−1))
+    *
+    * and z_q = ⌊10⁶·(R−μ)/σ⌋ — counts exact, one mirrored fp chain.
+    * Too-few-runs (z ≪ 0) = trending/clustered; too-many = mean-
+    * reverting. Plan: value-grid median (bounded window), one ordered
+    * lag pass over the series grid (span-bounded, the durbinWatson
+    * contract), one agg row.
+    */
+  def runsTest(series: DataFrame, bucketCol: String,
+               xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val s = series.select(col(bucketCol).as("__b"),
+        col(xCol).cast("long").as("__x")).na.drop()
+      .localCheckpoint(eager = false)
+    val vals = s.groupBy(col("__x")).agg(count(lit(1)).as("__cv"))
+    val tot = vals.agg(sum(col("__cv")).as("__n0"))
+    val med = vals.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__cv")).over(
+        Window.orderBy(col("__x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") >= expr("(__n0 + 1) div 2"))
+      .orderBy(col("__x")).limit(1)
+      .select(col("__x").as("__m"))
+    val signed = s.crossJoin(broadcast(med))
+      .filter(col("__x") =!= col("__m"))
+      .withColumn("__s", (col("__x") > col("__m")).cast("long"))
+      .withColumn("__prev", lag(col("__s"), 1).over(
+        Window.orderBy(col("__b"))))
+    val agg = signed.agg(count(lit(1)).as("n_used"),
+      sum(col("__s")).as("n_above"),
+      (count(lit(1)) - sum(col("__s"))).as("n_below"),
+      (lit(1L) + sum(when(col("__prev").isNotNull &&
+        col("__prev") =!= col("__s"), 1L).otherwise(0L))).as("n_runs"))
+    val twoP = (dec(lit(2)) * dec(col("n_above")) * dec(col("n_below")))
+      .cast("decimal(38,0)")
+    val mu = lit(1.0) + d(twoP) / d(col("n_used"))
+    val va = (d(twoP) * (d(twoP) - d(col("n_used")))) /
+      (d(col("n_used")) * d(col("n_used")) * (d(col("n_used")) - lit(1.0)))
+    agg.select(col("n_used"), col("n_above"), col("n_below"),
+      col("n_runs"),
+      when(col("n_above") > 0 && col("n_below") > 0 &&
+          col("n_used") >= 2 && va > 0,
+        floor(lit(1000000.0) * (d(col("n_runs")) - mu) / sqrt(va))
+          .cast("long")).as("z_q"))
+  }
+
   /** Discrete periodogram of a dense single series at a FIXED set of
     * candidate periods — "which cycle length dominates this count
     * series" (the seasonality finder feeding q247's known-period

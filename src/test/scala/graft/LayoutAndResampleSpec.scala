@@ -264,6 +264,32 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(r.getLong(2) === 5000000L) // S = 1 across [0, 5)
   }
 
+  // -------------------------------------------------------- runsTest
+
+  test("runsTest: alternating signs give the hand z; trending run " +
+      "flips its sign") {
+    // values 1,3 alternate; median 1 drops the 1s?? no: median of
+    // {1,2,3,1,2,3} is 2, the 2s drop, signs alternate -+-+
+    val alt = Seq(1L, 2L, 3L, 1L, 2L, 3L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val r = TimeAgg.runsTest(alt, "bucket", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2L, 2L, 4L)))
+    val z = 1000000.0 * (4.0 - 3.0) / math.sqrt(8.0 * 4.0 / (16.0 * 3.0))
+    assert(r.getLong(4) === math.floor(z).toLong)
+    val trend = Seq(1L, 1L, 2L, 3L, 3L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val rt = TimeAgg.runsTest(trend, "bucket", "x").collect().head
+    assert(rt.getLong(3) === 2L)
+    assert(rt.getLong(4) < 0L) // too few runs: clustered/trending
+  }
+
+  test("runsTest: one-sided series (all above or ties) yields NULL z") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 9L)).toDF("bucket", "x")
+    val r = TimeAgg.runsTest(df, "bucket", "x").collect().head
+    assert(r.getLong(2) === 0L && r.isNullAt(4))
+  }
+
   // ------------------------------------------------- markovStationary
 
   test("markovStationary: two-state flip-flop converges to the " +

@@ -291,6 +291,17 @@ class RobustSpec extends SparkSpec {
     assert(rc.isNullAt(3) && rc.isNullAt(4))
   }
 
+  test("siegelSlope: exact on a clean line and immune to one wild " +
+      "point (repeated medians)") {
+    val clean = (0L to 4L).map(t => ("g", t, 2 * t)).toDF("g", "t", "y")
+    val rc = Robust.siegelSlope(clean, "g", "t", "y").collect().head
+    assert(rc.getLong(2) === 2000000L)
+    val dirty = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
+      ("g", 3L, 100L), ("g", 4L, 8L)).toDF("g", "t", "y")
+    val rd = Robust.siegelSlope(dirty, "g", "t", "y").collect().head
+    assert(rd.getLong(2) === 2000000L) // the outlier's row is outvoted
+  }
+
   test("hodgesLehmann: even run picks the LOWER median pair") {
     // {1,3}: walsh doubled {2,4,6}, T=3, k=2 -> s2=4 -> HL=2
     val df = Seq(("g", 1L), ("g", 3L)).toDF("grp", "x")

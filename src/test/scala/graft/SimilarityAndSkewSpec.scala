@@ -585,6 +585,20 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(out(10L) === 1L) // cos exactly 1 -> cq 1e6 -> top bucket
   }
 
+  test("mutualReachability: k=1 cores and min-fold edges, hand case") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mutualReachability(vecs, "vec_id", "embedding",
+      k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // NN(1)=2 (cos 1), NN(2)=1, NN(3)=1 (cos 0, id tie-break)
+    assert(out((1L, 2L)) === ((1000000L, 1000000L)))
+    // edge (1,3): cos 0; core_3 = 0 drags mutual reachability to 0
+    assert(out((1L, 3L)) === ((0L, 0L)))
+    assert(out.size === 2)
+  }
+
   test("anisotropyProfile: negative cosine floors into the -10 bucket") {
     val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)))
       .toDF("vec_id", "embedding")

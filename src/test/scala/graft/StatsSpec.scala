@@ -992,6 +992,19 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("moodMedian: split groups around the grand median give the " +
+      "hand chi-square cells") {
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(4L, 5L, 6L)
+      .map(("b", _))).toDF("g", "x")
+    val out = Stats.moodMedian(df, "g", "x").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // grand lower median = 3; a has 0 above, b has 3; e = 1.5 each
+    assert(out("a") === ((3L, 3L, 0L, 1500000000L, 1500000000L)))
+    assert(out("b") === ((3L, 3L, 3L, 1500000000L, 1500000000L)))
+  }
+
   test("kendallW: perfect concordance is 1e6, perfect reversal is 0") {
     val agree = Seq(("b1", "a", 1L), ("b1", "b", 2L), ("b1", "c", 3L),
       ("b2", "a", 10L), ("b2", "b", 20L), ("b2", "c", 30L))
