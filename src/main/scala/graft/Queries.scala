@@ -13348,6 +13348,151 @@ object Queries {
       SELECT event_type, cnt AS n_points, med AS slope_q
       FROM f WHERE rk = (cnt + 1) // 2 ORDER BY event_type"""))
 
+  /** (q328) Density micro-clusters: connected components over the
+    * q324 mutual-reachability edges at sim ≥ 0.3 (≈ the edge-mass p90
+    * for these embeddings) — the single-linkage
+    * step of HDBSCAN, composed from mutualReachability + the
+    * dupClusters component engine; the oracle closes the same graph
+    * with a recursive CTE.
+    */
+  val q328DensityClusters = Q(
+    "q328_ann_density_clusters",
+    (s, dir) => {
+      val edges = operators.Similarity.mutualReachability(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .filter(col("mr_sim_q") >= 300000L)
+      Dedup.dupClusters(edges).orderBy("id")
+    },
+    Some(s"""
+      WITH RECURSIVE $KnnCte,
+      k5 AS (SELECT query_id, neighbor_id, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
+             WHERE rn <= 5),
+      kq AS (SELECT query_id, neighbor_id,
+               CAST(floor(1000000.0 * cos) AS BIGINT) AS cq FROM k5),
+      core AS (SELECT query_id AS id, min(cq) AS core
+               FROM kq GROUP BY 1),
+      ed AS (SELECT least(query_id, neighbor_id) AS a,
+               greatest(query_id, neighbor_id) AS b, max(cq) AS cos_q
+             FROM kq GROUP BY 1, 2),
+      mre AS (SELECT a, b FROM (
+                SELECT ed.a, ed.b,
+                  least(ca.core, cb.core, ed.cos_q) AS mr
+                FROM ed JOIN core ca ON ca.id = ed.a
+                JOIN core cb ON cb.id = ed.b)
+              WHERE mr >= 300000),
+      edges AS (SELECT a AS src, b AS dst FROM mre
+                UNION SELECT b, a FROM mre),
+      reach(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+      ORDER BY id"""))
+
+  /** (q329) Wilson score intervals for each source's en-share
+    * (Stats.wilsonInterval scaladoc): small-n-safe CIs, one mirrored
+    * chain per source.
+    */
+  val q329WilsonCi = Q(
+    "q329_a_wilson_ci",
+    (s, dir) =>
+      operators.Stats.wilsonInterval(t(s, dir, "documents"), "source",
+        col("lang") === "en"),
+    Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x
+             FROM documents GROUP BY source),
+      f AS (SELECT source, n, x,
+              CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+              CAST(n AS DOUBLE) AS nd
+            FROM g)
+      SELECT source, n, x, (1000000 * x) // n AS p_q,
+        CAST(floor(1000000.0 * ((ph + 1.96 * 1.96 / (2.0 * nd))
+          - 1.96 * sqrt(ph * (1.0 - ph) / nd
+            + 1.96 * 1.96 / (4.0 * nd * nd)))
+          / (1.0 + 1.96 * 1.96 / nd)) AS BIGINT) AS lo_q,
+        CAST(floor(1000000.0 * ((ph + 1.96 * 1.96 / (2.0 * nd))
+          + 1.96 * sqrt(ph * (1.0 - ph) / nd
+            + 1.96 * 1.96 / (4.0 * nd * nd)))
+          / (1.0 + 1.96 * 1.96 / nd)) AS BIGINT) AS hi_q
+      FROM f ORDER BY source"""))
+
+  /** (q330) Tukey five-number fences per lang on n_chars
+    * (Robust.tukeyFences scaladoc): integer-rank quartiles, doubled
+    * fence comparisons — zero fp anywhere.
+    */
+  val q330TukeyFences = Q(
+    "q330_a_tukey_fences",
+    (s, dir) =>
+      operators.Robust.tukeyFences(t(s, dir, "documents"), "lang",
+        "n_chars"),
+    Some("""
+      WITH gv AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+             FROM documents
+             WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      cum AS (SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                 AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM gv),
+      q1 AS (SELECT g, min(v) AS q1, min(n) AS n FROM cum
+             WHERE cum * 4 >= n GROUP BY g),
+      q2 AS (SELECT g, min(v) AS median FROM cum
+             WHERE cum * 2 >= n GROUP BY g),
+      q3 AS (SELECT g, min(v) AS q3 FROM cum
+             WHERE cum * 4 >= n * 3 GROUP BY g),
+      qs AS (SELECT q1.g, q1.n, q1.q1, q2.median, q3.q3
+             FROM q1 JOIN q2 ON q2.g = q1.g JOIN q3 ON q3.g = q1.g)
+      SELECT gv.g AS lang, qs.n, qs.q1, qs.median, qs.q3,
+        CAST(sum(CASE WHEN 2 * v < 2 * qs.q1 - 3 * (qs.q3 - qs.q1)
+          THEN c ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(sum(CASE WHEN 2 * v > 2 * qs.q3 + 3 * (qs.q3 - qs.q1)
+          THEN c ELSE 0 END) AS BIGINT) AS n_high
+      FROM gv JOIN qs ON qs.g = gv.g
+      GROUP BY 1, 2, 3, 4, 5 ORDER BY lang"""))
+
+  /** (q331) Empirical-Bayes shrinkage of per-source en-rates
+    * (Stats.ebShrinkage scaladoc): quantize-first moments, MOM
+    * beta-binomial prior, posterior means.
+    */
+  val q331EbShrinkage = Q(
+    "q331_s_eb_shrinkage",
+    (s, dir) =>
+      operators.Stats.ebShrinkage(t(s, dir, "documents"), "source",
+        col("lang") === "en"),
+    Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS x
+             FROM documents GROUP BY source),
+      g2 AS (SELECT source, n, x, (1000000000 * x) // n AS pq FROM g),
+      mom AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(CAST(pq AS HUGEINT)) AS HUGEINT) AS m,
+                CAST(sum(CAST(pq AS HUGEINT) * pq) AS HUGEINT) AS mm
+              FROM g2),
+      f AS (SELECT source, n, x, pq, k,
+              CAST(m AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000000.0)
+                AS pbar,
+              (CAST(k AS DOUBLE) * CAST(mm AS DOUBLE)
+                - CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * 1.0e18)
+                AS varp
+            FROM g2 CROSS JOIN mom),
+      f2 AS (SELECT source, n, x, pbar, varp,
+               pbar * (1.0 - pbar) / varp - 1.0 AS nu
+             FROM f)
+      SELECT source, n, x, (1000000 * x) // n AS raw_q,
+        CASE WHEN varp > 0 AND nu > 0 THEN
+          CAST(floor(1000000.0 * (CAST(x AS DOUBLE) + pbar * nu)
+            / (CAST(n AS DOUBLE) + nu)) AS BIGINT)
+        END AS shrunk_q
+      FROM f2 ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -13440,5 +13585,6 @@ object Queries {
     q313GpdTail, q314Anisotropy, q315SourceWjaccard, q316VMeasure,
     q317MarkovStationary, q318Rbp, q319Rmst,
     q320KendallW, q321Pacf, q322BurrowsDelta, q323GriesDp,
-    q324MutualReach, q325MoodMedian, q326RunsTest, q327SiegelSlope)
+    q324MutualReach, q325MoodMedian, q326RunsTest, q327SiegelSlope,
+    q328DensityClusters, q329WilsonCi, q330TukeyFences, q331EbShrinkage)
 }

@@ -324,6 +324,49 @@ object Robust {
         expr("(1000000L * hl2) div 2").as("hl_q"))
   }
 
+  /** Tukey five-number fence audit per group — exact integer-rank
+    * quartiles (lower rule: value at ascending rank ⌈q·n⌉) and the
+    * 1.5·IQR outlier fences evaluated WITHOUT floats: a value is a
+    * low outlier iff 2·v < 2·Q1 − 3·IQR (doubled comparisons keep
+    * the half-steps integral). The boxplot-stat workhorse, exact on
+    * any engine. Plan: one scan to the (group, value) grid; ranks
+    * from a group-keyed window over the grid (value-cardinality-
+    * bounded); fence counts from one more grid pass.
+    */
+  def tukeyFences(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val gv = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gv
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol))))
+      .localCheckpoint(eager = false)
+    def pick(num: Int, den: Int, as: String) = cum
+      .filter(col("__cum") * den >= col("__n") * num)
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as(as), first(col("__n")).as(s"__n_$as"))
+    val qs = pick(1, 4, "q1")
+      .join(pick(1, 2, "median").drop("__n_median"), Seq(groupCol))
+      .join(pick(3, 4, "q3").drop("__n_q3"), Seq(groupCol))
+      .withColumnRenamed("__n_q1", "n")
+    gv.join(broadcast(qs), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n")).as("n"), first(col("q1")).as("q1"),
+        first(col("median")).as("median"), first(col("q3")).as("q3"),
+        sum(when(lit(2L) * col("__v") <
+          lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1")),
+          col("__c")).otherwise(0L)).as("n_low"),
+        sum(when(lit(2L) * col("__v") >
+          lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1")),
+          col("__c")).otherwise(0L)).as("n_high"))
+      .orderBy(col(groupCol))
+  }
+
   /** Siegel repeated-medians slope per group — the 50 %-breakdown
     * upgrade of [[theilSen]] (Theil–Sen's single median over all
     * pairwise slopes breaks at 29 %): for each point i take the

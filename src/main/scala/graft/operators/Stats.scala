@@ -1892,6 +1892,83 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** Wilson score interval for a per-group proportion — the CI that
+    * behaves at small n and extreme rates (the Wald interval collapses
+    * to zero width at p̂ ∈ {0,1}; Wilson doesn't). One mirrored fp
+    * chain per group from the exact (x, n):
+    *
+    *   center = p̂ + z²/2n,  margin = z·√(p̂(1−p̂)/n + z²/4n²)
+    *   [lo, hi] = (center ∓ margin) / (1 + z²/n)
+    *
+    * z is a caller literal (default 1.96) and z² is evaluated as the
+    * same product on both engines. Plan: one hash agg, bounded rows.
+    */
+  def wilsonInterval(df: DataFrame, groupCol: String, success: Column,
+                     z: Double = 1.96): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val g = df.select(col(groupCol),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("x"))
+    val zc = lit(z)
+    val z2 = zc * zc
+    val nD = d(col("n"))
+    val ph = d(col("x")) / nD
+    val center = ph + z2 / (lit(2.0) * nD)
+    val margin = zc * sqrt(ph * (lit(1.0) - ph) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val den = lit(1.0) + z2 / nD
+    g.select(col(groupCol), col("n"), col("x"),
+        expr("(1000000L * x) div n").as("p_q"),
+        floor(lit(1000000.0) * (center - margin) / den).cast("long")
+          .as("lo_q"),
+        floor(lit(1000000.0) * (center + margin) / den).cast("long")
+          .as("hi_q"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Empirical-Bayes (beta-binomial, method of moments) shrinkage of
+    * per-group rates toward the cross-group prior — the "smoothed
+    * source quality rate" every per-shard dashboard needs once small
+    * shards start winning leaderboards on 3 observations. Rates
+    * quantize FIRST (p_q = (10⁹·x) div n, exact), so the cross-group
+    * moment sums are integers; the prior strength
+    *
+    *   ν = p̄(1−p̄)/var(p) − 1,   α = p̄·ν,   β = (1−p̄)·ν
+    *
+    * and each group's posterior mean (x + α)/(n + ν) are one mirrored
+    * fp chain. NULL shrunk rates when the between-group variance is
+    * degenerate or ν ≤ 0 (prior stronger than the data supports the
+    * other way). Plan: one hash agg to groups, one bounded moment agg
+    * broadcast back.
+    */
+  def ebShrinkage(df: DataFrame, groupCol: String,
+                  success: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val g = df.select(col(groupCol),
+        when(success, 1L).otherwise(0L).as("__s"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("x"))
+      .withColumn("__pq", expr("(1000000000L * x) div n"))
+      .localCheckpoint(eager = false)
+    val mom = g.agg(count(lit(1)).as("__k"),
+      sum(dec(col("__pq"))).as("__m"),
+      sum(dec(col("__pq")) * dec(col("__pq"))).as("__mm"))
+    val kD = d(col("__k"))
+    val pbar = d(col("__m")) / (kD * lit(1.0e9))
+    val varp = (kD * d(col("__mm")) - d(col("__m")) * d(col("__m"))) /
+      (kD * kD * lit(1.0e18))
+    val nu = pbar * (lit(1.0) - pbar) / varp - lit(1.0)
+    g.crossJoin(broadcast(mom))
+      .select(col(groupCol), col("n"), col("x"),
+        expr("(1000000L * x) div n").as("raw_q"),
+        when(varp > 0 && nu > 0,
+          floor(lit(1000000.0) * (d(col("x")) + pbar * nu) /
+            (d(col("n")) + nu)).cast("long")).as("shrunk_q"))
+      .orderBy(col(groupCol))
+  }
+
   /** Mood's median test — k-group location comparison by counting
     * each group's mass strictly above the GRAND lower median: the
     * coarse-but-assumption-free sibling of [[kruskalWallis]] (only

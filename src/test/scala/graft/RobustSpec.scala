@@ -291,6 +291,20 @@ class RobustSpec extends SparkSpec {
     assert(rc.isNullAt(3) && rc.isNullAt(4))
   }
 
+  test("tukeyFences: integer-rank quartiles and doubled fence " +
+      "comparisons flag exactly the planted outlier") {
+    val clean = (1L to 8L).map(v => ("g", v)).toDF("g", "v")
+    val rc = Robust.tukeyFences(clean, "g", "v").collect().head
+    assert((rc.getLong(1), rc.getLong(2), rc.getLong(3), rc.getLong(4))
+      === ((8L, 2L, 4L, 6L)))
+    assert((rc.getLong(5), rc.getLong(6)) === ((0L, 0L)))
+    val dirty = ((1L to 7L).map(v => ("g", v)) :+ (("g", 100L)))
+      .toDF("g", "v")
+    val rd = Robust.tukeyFences(dirty, "g", "v").collect().head
+    assert((rd.getLong(2), rd.getLong(4)) === ((2L, 6L)))
+    assert((rd.getLong(5), rd.getLong(6)) === ((0L, 1L)))
+  }
+
   test("siegelSlope: exact on a clean line and immune to one wild " +
       "point (repeated medians)") {
     val clean = (0L to 4L).map(t => ("g", t, 2 * t)).toDF("g", "t", "y")

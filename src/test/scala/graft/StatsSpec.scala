@@ -992,6 +992,43 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("wilsonInterval: textbook 5-of-10 bounds; extreme p-hat keeps " +
+      "nonzero width") {
+    val df = (1L to 10L).map(i => ("g", i <= 5)).toDF("g", "s")
+    val r = Stats.wilsonInterval(df, "g", col("s")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 5L, 500000L)))
+    def wilson(x: Double, n: Double, up: Boolean): Long = {
+      val z = 1.96; val z2 = z * z; val ph = x / n
+      val c = ph + z2 / (2.0 * n)
+      val m = z * math.sqrt(ph * (1.0 - ph) / n + z2 / (4.0 * n * n))
+      math.floor(1e6 * (if (up) c + m else c - m) / (1.0 + z2 / n)).toLong
+    }
+    assert(r.getLong(4) === wilson(5, 10, up = false))
+    assert(r.getLong(5) === wilson(5, 10, up = true))
+    // all-success group: Wald would give [1,1]; Wilson lower bound < 1
+    val all = (1L to 4L).map(i => ("h", true)).toDF("g", "s")
+    val ra = Stats.wilsonInterval(all, "g", col("s")).collect().head
+    assert(ra.getLong(4) < 1000000L && ra.getLong(5) === 1000000L)
+  }
+
+  test("ebShrinkage: extreme small groups pull toward the prior mean; " +
+      "identical rates are degenerate -> NULL") {
+    val rows = (1L to 10L).map(i => ("hi", i <= 9)) ++
+      (1L to 10L).map(i => ("lo", i <= 1)) ++
+      (1L to 10L).map(i => ("mid", i <= 5))
+    val out = Stats.ebShrinkage(rows.toDF("g", "s"), "g", col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out("hi")._2 < out("hi")._1) // 0.9 shrinks down
+    assert(out("lo")._2 > out("lo")._1) // 0.1 shrinks up
+    assert(out("hi")._2 > out("mid")._2 && out("mid")._2 > out("lo")._2)
+    val same = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "s")
+    val rs = Stats.ebShrinkage(same, "g", col("s")).collect().head
+    assert(rs.isNullAt(4)) // zero between-group variance
+  }
+
   test("moodMedian: split groups around the grand median give the " +
       "hand chi-square cells") {
     val df = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(4L, 5L, 6L)
