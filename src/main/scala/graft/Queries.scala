@@ -13493,6 +13493,134 @@ object Queries {
         END AS shrunk_q
       FROM f2 ORDER BY source"""))
 
+  /** (q332) Fano-factor overdispersion of the dense daily per-type
+    * counts (TimeAgg.overdispersion scaladoc): var/mean as ONE exact
+    * integral division — the Poisson-alarm calibration check.
+    */
+  val q332Overdispersion = Q(
+    "q332_a_overdispersion",
+    (s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isNotNull)
+      val daily = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val span = daily.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .withColumn("bucket",
+          explode(sequence(col("__lo"), col("__hi"), lit(86400L))))
+        .select("event_type", "bucket")
+        .join(daily, Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.overdispersion(dense, "event_type", "x")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type,
+               ($EvUs // 86400000000) * 86400 AS bucket FROM events
+             WHERE event_type IS NOT NULL),
+      h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT t.event_type, CAST(g.g AS BIGINT) AS bucket
+             FROM (SELECT DISTINCT event_type FROM h) t CROSS JOIN span,
+               LATERAL unnest(range(lo, hi + 1, 86400)) g(g)),
+      dd AS (SELECT d.event_type, coalesce(h.x, 0) AS v
+             FROM dense0 d LEFT JOIN h USING (event_type, bucket)),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+              CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+            FROM dd GROUP BY 1)
+      SELECT event_type, n AS n_buckets,
+        CAST((1000000 * s) // n AS BIGINT) AS mean_q,
+        CASE WHEN s > 0 THEN
+          CAST((CAST(1000000 AS HUGEINT) * (n * q - s * s))
+            // (CAST(n AS HUGEINT) * s) AS BIGINT) END AS fano_q,
+        CASE WHEN s > 0 THEN
+          CAST((CAST(1000000 AS HUGEINT) * (n * q - s * s)) // s
+            AS BIGINT) END AS chi_q
+      FROM a ORDER BY event_type"""))
+
+  /** (q333) Chapman capture–recapture total-population estimate from
+    * two md5 "detector" samples over the documents
+    * (Stats.chapmanEstimate scaladoc): exact integer estimator and
+    * variance — the dedup-QA "how many are we missing" number.
+    */
+  val q333Chapman = Q(
+    "q333_s_chapman_estimate",
+    (s, dir) =>
+      operators.Stats.chapmanEstimate(t(s, dir, "documents"),
+        Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+          lit(":cr1"))) % 100 < 30,
+        Dedup.md5Hash60(concat(col("doc_id").cast("string"),
+          lit(":cr2"))) % 100 < 30),
+    Some("""
+      WITH b AS (SELECT
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || ':cr1'), 1, 15))::BIGINT % 100 < 30
+                 THEN 1 ELSE 0 END AS m1,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || ':cr2'), 1, 15))::BIGINT % 100 < 30
+                 THEN 1 ELSE 0 END AS m2
+             FROM documents),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_pop,
+              CAST(sum(m1) AS BIGINT) AS n1,
+              CAST(sum(m2) AS BIGINT) AS n2,
+              CAST(sum(m1 * m2) AS BIGINT) AS m_both
+            FROM b)
+      SELECT n_pop, n1, n2, m_both,
+        CAST((CAST(1000000 AS HUGEINT) * (n1 + 1) * (n2 + 1))
+          // (m_both + 1) AS BIGINT) - 1000000 AS chapman_q,
+        CAST((CAST(1000000 AS HUGEINT) * (n1 + 1) * (n2 + 1)
+            * (n1 - m_both) * (n2 - m_both))
+          // (CAST(m_both + 1 AS HUGEINT) * (m_both + 1)
+            * (m_both + 2)) AS BIGINT) AS var_q
+      FROM a"""))
+
+  /** (q334) Leave-one-source-out jackknife of the corpus
+    * space-density ratio (Stats.jackknifeRatio scaladoc): delete-
+    * group ratios and pseudo-values from exact totals.
+    */
+  val q334JackknifeRatio = Q(
+    "q334_a_jackknife_ratio",
+    (s, dir) =>
+      operators.Stats.jackknifeRatio(
+        t(s, dir, "documents")
+          .withColumn("spaces",
+            expr("length(text) - length(replace(text, ' ', ''))")),
+        "source", "spaces", "n_chars"),
+    Some("""
+      WITH b AS (SELECT source,
+               CAST(length(text) - length(replace(text, ' ', ''))
+                 AS BIGINT) AS y,
+               CAST(n_chars AS BIGINT) AS x
+             FROM documents
+             WHERE source IS NOT NULL AND text IS NOT NULL
+               AND n_chars IS NOT NULL),
+      g AS (SELECT source, CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT)
+                 AS yg,
+              CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS xg
+            FROM b GROUP BY source),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(yg) AS HUGEINT) AS yt,
+              CAST(sum(xg) AS HUGEINT) AS xt FROM g)
+      SELECT source, CAST(yg AS BIGINT) AS y_g, CAST(xg AS BIGINT)
+          AS x_g,
+        CASE WHEN xt > 0 THEN
+          CAST(floor(1000000.0 * CAST(yt AS DOUBLE)
+            / CAST(xt AS DOUBLE)) AS BIGINT) END AS r_full_q,
+        CASE WHEN xt - xg > 0 THEN
+          CAST(floor(1000000.0 * CAST(yt - yg AS DOUBLE)
+            / CAST(xt - xg AS DOUBLE)) AS BIGINT) END AS r_loo_q,
+        CASE WHEN xt > 0 AND xt - xg > 0 THEN
+          CAST(floor(1000000.0 * (CAST(k AS DOUBLE)
+              * (CAST(yt AS DOUBLE) / CAST(xt AS DOUBLE))
+            - (CAST(k AS DOUBLE) - 1.0)
+              * (CAST(yt - yg AS DOUBLE) / CAST(xt - xg AS DOUBLE))))
+            AS BIGINT) END AS pseudo_q
+      FROM g CROSS JOIN t ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -13586,5 +13714,6 @@ object Queries {
     q317MarkovStationary, q318Rbp, q319Rmst,
     q320KendallW, q321Pacf, q322BurrowsDelta, q323GriesDp,
     q324MutualReach, q325MoodMedian, q326RunsTest, q327SiegelSlope,
-    q328DensityClusters, q329WilsonCi, q330TukeyFences, q331EbShrinkage)
+    q328DensityClusters, q329WilsonCi, q330TukeyFences, q331EbShrinkage,
+    q332Overdispersion, q333Chapman, q334JackknifeRatio)
 }

@@ -1892,6 +1892,77 @@ object Stats {
           expr("(1000000L * mi_q) div hx_q")).as("u_q"))
   }
 
+  /** Chapman capture–recapture estimate from two deterministic
+    * "samplers" over the same population — the dedup-QA question
+    * "how many duplicates exist IN TOTAL, given what two independent
+    * detectors each caught":
+    *
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    *   V̂ = (n₁+1)(n₂+1)(n₁−m)(n₂−m) / ((m+1)²(m+2))
+    *
+    * — both EXACT integer products with one integral division each
+    * (the +1 Chapman correction also guarantees m+1 > 0). Plan: one
+    * scan, one agg row.
+    */
+  def chapmanEstimate(df: DataFrame, mark1: Column,
+                      mark2: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m1 = when(mark1, 1L).otherwise(0L)
+    val m2 = when(mark2, 1L).otherwise(0L)
+    val _ = dec // decimal arithmetic lives in the exprs below
+    df.agg(count(lit(1)).as("n_pop"), sum(m1).as("n1"), sum(m2).as("n2"),
+        sum(m1 * m2).as("m_both"))
+      .select(col("n_pop"), col("n1"), col("n2"), col("m_both"),
+        // integral div, NOT decimal '/': '/' rounds HALF_UP, // truncates
+        (expr("""(CAST(1000000 AS DECIMAL(38,0)) * (n1 + 1) * (n2 + 1))
+                 div (m_both + 1)""") - lit(1000000L)).as("chapman_q"),
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * (n1 + 1) * (n2 + 1)
+                 * (n1 - m_both) * (n2 - m_both))
+                div (CAST(m_both + 1 AS DECIMAL(38,0)) * (m_both + 1)
+                 * (m_both + 2))""").as("var_q"))
+  }
+
+  /** Leave-one-group-out jackknife for a RATIO estimator ΣY/ΣX — the
+    * influence audit for rate-style metrics (chars-per-token, bytes-
+    * per-doc) where [[looInfluence]]'s plain-mean algebra doesn't
+    * apply. Per group the full and delete-group ratios are one
+    * mirrored fp chain each from exact totals ΣY, ΣX (decimal) and
+    * the group's own sums:
+    *
+    *   R = ΣY/ΣX,   R₋g = (ΣY − y_g)/(ΣX − x_g)
+    *   pseudo_g = k·R − (k−1)·R₋g
+    *
+    * NULL when a group carries the whole X mass. Plan: one keyed hash
+    * agg, bounded totals broadcast back.
+    */
+  def jackknifeRatio(df: DataFrame, groupCol: String, yCol: String,
+                     xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = (c: Column) => c.cast("double")
+    val g = df.select(col(groupCol), col(yCol).cast("long").as("__y"),
+        col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col(groupCol))
+      .agg(sum(dec(col("__y"))).as("__yg"), sum(dec(col("__x"))).as("__xg"))
+      .localCheckpoint(eager = false)
+    val tot = g.agg(count(lit(1)).as("__k"), sum(col("__yg")).as("__yt"),
+      sum(col("__xg")).as("__xt"))
+    val rFull = d(col("__yt")) / d(col("__xt"))
+    val rLoo = d(col("__yt") - col("__yg")) / d(col("__xt") - col("__xg"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("__yg").cast("long").as("y_g"),
+        col("__xg").cast("long").as("x_g"),
+        when(col("__xt") > 0,
+          floor(lit(1000000.0) * rFull).cast("long")).as("r_full_q"),
+        when(col("__xt") - col("__xg") > 0,
+          floor(lit(1000000.0) * rLoo).cast("long")).as("r_loo_q"),
+        when(col("__xt") > 0 && col("__xt") - col("__xg") > 0,
+          floor(lit(1000000.0) * (d(col("__k")) * rFull -
+            (d(col("__k")) - lit(1.0)) * rLoo)).cast("long"))
+          .as("pseudo_q"))
+      .orderBy(col(groupCol))
+  }
+
   /** Wilson score interval for a per-group proportion — the CI that
     * behaves at small n and extreme rates (the Wald interval collapses
     * to zero width at p̂ ∈ {0,1}; Wilson doesn't). One mirrored fp

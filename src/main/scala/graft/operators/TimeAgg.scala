@@ -1292,6 +1292,41 @@ object TimeAgg {
       .orderBy(col("state"))
   }
 
+  /** Per-group overdispersion audit of a dense count series — the
+    * Fano factor var/mean, EXACT as one integral division on the
+    * n²-scaled identity:
+    *
+    *   fano_q = (10⁶·(n·Σx² − (Σx)²)) div (n·Σx)
+    *
+    * (1 = Poisson; ≫1 = bursty/clumped arrivals — the "is this
+    * event stream self-exciting" check that decides whether Poisson
+    * alarms like q156 are even calibrated). The index-of-dispersion
+    * test statistic (n−1)s²/x̄ is the same quantity scaled n/(n−1)·n
+    * — reported as chi_q = (10⁶·(n·Σx² − (Σx)²)) div Σx, ~χ²(n−1)
+    * under Poisson. Zeros are REAL: the caller passes the dense
+    * grid (the durbinWatson contract). Plan: one hash agg.
+    */
+  def overdispersion(series: DataFrame, groupCol: String,
+                     xCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    series.select(col(groupCol), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"), sum(dec(col("__x"))).as("__s"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__q"))
+      .select(col(groupCol), col("n_buckets"),
+        expr("(1000000 * __s) div n_buckets").as("mean_q"),
+        when(col("__s") > 0, expr(
+          """(CAST(1000000 AS DECIMAL(38,0)) *
+              (n_buckets * __q - __s * __s))
+             div (CAST(n_buckets AS DECIMAL(38,0)) * __s)"""))
+          .as("fano_q"),
+        when(col("__s") > 0, expr(
+          """(CAST(1000000 AS DECIMAL(38,0)) *
+              (n_buckets * __q - __s * __s)) div __s""")).as("chi_q"))
+      .orderBy(col(groupCol))
+  }
+
   /** Wald–Wolfowitz runs test on a single bucketed series — "is the
     * above/below-median pattern random, or does it trend/oscillate".
     * Values strictly above the series' lower median are +, strictly

@@ -264,6 +264,21 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(r.getLong(2) === 5000000L) // S = 1 across [0, 5)
   }
 
+  // -------------------------------------------------- overdispersion
+
+  test("overdispersion: constant series has Fano 0, a bursty series " +
+      "exceeds the Poisson line") {
+    val flat = (1 to 10).map(i => ("g", 5L)).toDF("g", "x")
+    val rf = TimeAgg.overdispersion(flat, "g", "x").collect().head
+    assert(rf.getLong(2) === 5000000L && rf.getLong(3) === 0L)
+    // 9 zeros and one 10: mean 1, var 9 -> fano 9
+    val burst = (("g", 10L) +: Seq.fill(9)(("g", 0L))).toDF("g", "x")
+    val rb = TimeAgg.overdispersion(burst, "g", "x").collect().head
+    assert(rb.getLong(2) === 1000000L)
+    assert(rb.getLong(3) === 9000000L)
+    assert(rb.getLong(4) === 90000000L) // chi = n * fano here
+  }
+
   // -------------------------------------------------------- runsTest
 
   test("runsTest: alternating signs give the hand z; trending run " +

@@ -992,6 +992,36 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("chapmanEstimate: textbook capture-recapture numbers") {
+    // population 100, sampler A catches ids < 30, B catches ids % 10 < 3
+    val df = (0L until 100L).map(i => (i, i < 30, i % 10 < 3))
+      .toDF("id", "a", "b")
+    val r = Stats.chapmanEstimate(df, col("a"), col("b")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((100L, 30L, 30L)))
+    val m = r.getLong(3) // ids < 30 with last digit 0,1,2 -> 9
+    assert(m === 9L)
+    // Chapman: (31*31)/10 - 1 = 95.1 -> 95100000 on the 1e6 grid
+    assert(r.getLong(4) === 1000000L * 31 * 31 / 10 - 1000000L)
+    // variance: 31*31*21*21 / ((m+1)^2 (m+2)) = .. / (100*11)
+    assert(r.getLong(5) === 1000000L * 31 * 31 * 21 * 21 / (100 * 11))
+  }
+
+  test("jackknifeRatio: uniform groups leave the ratio unchanged; a " +
+      "heavy group's pseudo-value moves opposite its pull") {
+    val rows = Seq(("a", 10L, 100L), ("b", 10L, 100L), ("c", 80L, 100L))
+    val out = Stats.jackknifeRatio(rows.toDF("g", "y", "x"), "g",
+      "y", "x").collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // full ratio 100/300
+    assert(out("a")._1 === 333333L)
+    // drop a: 90/200 = 0.45; drop c: 20/200 = 0.1
+    assert(out("a")._2 === 450000L)
+    assert(out("c")._2 === 100000L)
+    // pseudo_c = 3*(1/3) - 2*(0.1) = 0.8: c pulls the ratio UP
+    assert(out("c")._3 === 799999L || out("c")._3 === 800000L)
+  }
+
   test("wilsonInterval: textbook 5-of-10 bounds; extreme p-hat keeps " +
       "nonzero width") {
     val df = (1L to 10L).map(i => ("g", i <= 5)).toDF("g", "s")
