@@ -2635,13 +2635,13 @@ object Queries {
       // co-occurrence lift longer word-salad docs give every token;
       // length alone is measured AUC ≈ 0.73 held-out, and the spec
       // pins ≥ 0.9 on a corpus with real class-conditional vocabulary).
-      // Trainer is the quantized batch-gradient path: bit-identical
-      // output for any partitioning or rerun (selfcheck's cross-run
-      // determinism check covers it), but still no SQL oracle — the
-      // iterative sigmoid can't be quantized before a cross-engine
-      // compare (QualityClassifier scaladoc), so the driver's check
-      // stays rows-only with QualityClassifierSpec pinning held-out
-      // separation.
+      // Trainer is the quantized batch-gradient path with the PORTABLE
+      // featurizer (md5-folded buckets) and integer-quantized
+      // coefficient pooling: every gradient is an exact long sum, the
+      // margin's fp chain has a fixed op order, and ln/exp run on
+      // exactly-agreed doubles (the q299/q309 cross-engine contract) —
+      // so the full 30-iteration loop replays in DuckDB as a recursive
+      // CTE carrying (coefficients[], b0, wl) one row per iteration.
       val docs = t(s, dir, "documents")
       val kw = array_contains(TextFns.tokens(col("text")), "spark")
       val train = docs.filter(col("doc_id") % 2 === 0)
@@ -2649,15 +2649,126 @@ object Queries {
       val model = operators.QualityClassifier.trainQuantized(
         train, "text", "label",
         numFeatures = 1 << 15, maxIter = 30, stepSize = 2.0,
-        maskTerms = Set("spark"))
+        maskTerms = Set("spark"), portable = true)
       operators.QualityClassifier.scoreQuantized(
         docs.filter(col("doc_id") % 2 === 1), model, "text",
-        maskTerms = Set("spark"))
+        maskTerms = Set("spark"), portable = true)
         .select(col("doc_id"), kw.as("has_kw"),
           round(col("quality_prob"), 9).as("quality_prob"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH RECURSIVE
+      t0 AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS rawt,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 t -> t <> 'spark') AS u,
+               doc_id % 2 = 0 AS is_train
+             FROM documents),
+      tt AS (SELECT doc_id, is_train,
+               CASE WHEN len(u) >= 2 THEN u ||
+                 list_transform(range(1, len(u)), i -> u[i] || ' ' || u[i+1])
+                 ELSE u END AS terms,
+               CASE WHEN list_contains(rawt, 'spark') THEN 1.0
+                 ELSE 0.0 END AS label,
+               list_contains(rawt, 'spark') AS has_kw
+             FROM t0),
+      tb AS (SELECT doc_id, is_train, label, len(terms) AS n_d,
+               ('0x' || substr(md5(t.term), 1, 15))::BIGINT % 32768 AS b
+             FROM tt, LATERAL unnest(terms) AS t(term)),
+      tokc AS (SELECT doc_id, label, n_d, b,
+                 CAST(count(*) AS BIGINT) AS mult
+               FROM tb WHERE is_train GROUP BY 1, 2, 3, 4),
+      docs0 AS (SELECT doc_id, label, CAST(0 AS BIGINT) AS n_d,
+                  CAST(NULL AS BIGINT) AS b, CAST(0 AS BIGINT) AS mult
+                FROM tt WHERE is_train AND len(terms) = 0),
+      tok AS (SELECT * FROM tokc UNION ALL SELECT * FROM docs0),
+      slots AS (SELECT b, CAST(row_number() OVER (ORDER BY b) AS INT) AS s
+                FROM (SELECT DISTINCT b FROM tokc)),
+      toks AS (SELECT tok.doc_id, CAST(tok.label AS DOUBLE) AS label,
+                 tok.n_d, slots.s, tok.mult
+               FROM tok LEFT JOIN slots USING (b)),
+      ntr AS (SELECT CAST(count(*) AS DOUBLE) AS n
+              FROM tt WHERE is_train),
+      st AS (
+        SELECT 0 AS it,
+          list_transform(range(1, (SELECT count(*) FROM slots) + 1),
+            i -> CAST(0.0 AS DOUBLE)) AS cs,
+          CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS wl
+        UNION ALL
+        SELECT st.it + 1, g.ncs,
+          st.b0 - 2.0 * ((CAST(g.g0 AS DOUBLE) / 1048576.0) / g.n),
+          st.wl - 2.0 * ((CAST(g.g1 AS DOUBLE) / 1048576.0) / g.n)
+        FROM st, LATERAL (
+          WITH m AS (
+            SELECT doc_id, label, n_d, s, mult,
+              CASE WHEN s IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(st.cs[s] * 1073741824.0) AS BIGINT)
+              END AS cq
+            FROM toks),
+          d AS (
+            SELECT *,
+              SUM(cq * mult) OVER (PARTITION BY doc_id) AS sqd,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY s NULLS FIRST) AS rn
+            FROM m),
+          rr AS (
+            SELECT *,
+              1.0 / (1.0 + exp(-(CASE WHEN n_d = 0 THEN st.b0
+                ELSE (st.b0 + st.wl * ln(1.0 + CAST(n_d AS DOUBLE)))
+                  + (CAST(sqd AS DOUBLE) / 1073741824.0)
+                    / CAST(n_d AS DOUBLE) END))) - label AS res
+            FROM d),
+          gg AS (
+            SELECT
+              CAST(sum(CASE WHEN rn = 1
+                THEN CAST(floor(res * 1048576.0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS g0,
+              CAST(sum(CASE WHEN rn = 1 AND n_d > 0
+                THEN CAST(floor(res * ln(1.0 + CAST(n_d AS DOUBLE))
+                  * 1048576.0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS g1
+            FROM rr),
+          gs AS (
+            SELECT s, CAST(sum(CAST(floor(res / CAST(n_d AS DOUBLE)
+                * 16777216.0) AS BIGINT) * mult) AS BIGINT) AS gj
+            FROM rr WHERE s IS NOT NULL GROUP BY s),
+          nc AS (
+            SELECT sl.s,
+              st.cs[sl.s] - 2.0 * ((CAST(coalesce(gs.gj, 0) AS DOUBLE)
+                / 16777216.0) / (SELECT n FROM ntr)
+                + 0.001 * st.cs[sl.s]) AS cnew
+            FROM slots sl LEFT JOIN gs ON gs.s = sl.s)
+          SELECT (SELECT list(cnew ORDER BY s) FROM nc) AS ncs,
+            (SELECT g0 FROM gg) AS g0, (SELECT g1 FROM gg) AS g1,
+            (SELECT n FROM ntr) AS n
+        ) AS g
+        WHERE st.it < 30),
+      fin AS (SELECT cs, b0, wl FROM st WHERE it = 30),
+      sb AS (SELECT tt.doc_id, tt.has_kw, len(tt.terms) AS n_d,
+               slots.s
+             FROM tt, LATERAL unnest(tt.terms) AS t(term)
+             LEFT JOIN slots
+               ON slots.b = ('0x' || substr(md5(t.term), 1, 15))::BIGINT
+                 % 32768
+             WHERE NOT tt.is_train),
+      sq AS (SELECT doc_id, has_kw, n_d,
+               CAST(sum(CASE WHEN s IS NULL THEN 0
+                 ELSE CAST(floor((SELECT cs FROM fin)[s] * 1073741824.0)
+                   AS BIGINT) END) AS BIGINT) AS sqd
+             FROM sb GROUP BY 1, 2, 3),
+      sall AS (SELECT doc_id, has_kw, n_d, sqd FROM sq
+               UNION ALL
+               SELECT doc_id, has_kw, 0, CAST(0 AS BIGINT) FROM tt
+               WHERE NOT is_train AND len(terms) = 0)
+      SELECT doc_id, has_kw,
+        round(1.0 / (1.0 + exp(-(CASE WHEN n_d = 0
+          THEN (SELECT b0 FROM fin)
+          ELSE ((SELECT b0 FROM fin) + (SELECT wl FROM fin)
+              * ln(1.0 + CAST(n_d AS DOUBLE)))
+            + (CAST(sqd AS DOUBLE) / 1073741824.0) / CAST(n_d AS DOUBLE)
+          END))), 9) AS quality_prob
+      FROM sall ORDER BY doc_id"""))
 
   val q87BpeTokenize = Q(
     "q87_tx_bpe_tokenize",
@@ -6633,23 +6744,11 @@ object Queries {
             AS BIGINT) END AS ks_q
       FROM sc GROUP BY g ORDER BY source"""))
 
-  /** (q176) Margin-based cross-corpus pair mining (Similarity
-    * .marginPairs scaladoc): best even-label ↔ odd-label embedding
-    * pairs by the CCMatrix ratio margin, k = 4, margin ≥ 1.0; the
-    * oracle replays the rank-ordered k-term sums and the single
-    * margin division in the same fp order.
+  /** Shared margin-pairs oracle (q176 brute arm, q335 IVF arm at
+    * exact-recall nprobe = nClusters — both must land on the
+    * brute-force answer bit-for-bit, the q41 contract).
     */
-  val q176MarginPairs = Q(
-    "q176_ann_margin_pairs",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.marginPairs(
-        emb.filter(col("label") % 2 === 0),
-        emb.filter(col("label") % 2 === 1),
-        "vec_id", "embedding", k = 4, minMarginQ = 1000000L)
-        .orderBy("a_id")
-    },
-    Some("""
+  private val MarginOracleSql = """
       WITH a AS (SELECT vec_id, embedding AS v FROM embeddings
                  WHERE label % 2 = 0),
       b AS (SELECT vec_id, embedding AS v FROM embeddings
@@ -6691,7 +6790,48 @@ object Queries {
             ORDER BY margin_q DESC, b_id ASC) AS rn FROM m)
       SELECT a_id, b_id, margin_q FROM best
       WHERE rn = 1 AND margin_q >= 1000000
-      ORDER BY a_id"""))
+      ORDER BY a_id"""
+
+  /** (q176) Margin-based cross-corpus pair mining (Similarity
+    * .marginPairs scaladoc): best even-label ↔ odd-label embedding
+    * pairs by the CCMatrix ratio margin, k = 4, margin ≥ 1.0; the
+    * oracle replays the rank-ordered k-term sums and the single
+    * margin division in the same fp order.
+    */
+  val q176MarginPairs = Q(
+    "q176_ann_margin_pairs",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginPairs(
+        emb.filter(col("label") % 2 === 0),
+        emb.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginQ = 1000000L)
+        .orderBy("a_id")
+    },
+    Some(MarginOracleSql))
+
+  /** (q335) The same margin mining through the IVF candidate arm —
+    * the SCALE path (centroid build, cluster assignment, probe
+    * routing, per-cluster scoring) exercised end-to-end at the gate.
+    * nprobe = nClusters is the q41 exact-recall contract: every
+    * cluster is probed, so the IVF machinery must reproduce the brute
+    * crossTopK answer bit-for-bit and the q176 oracle applies
+    * verbatim. The approximate regime (nprobe < nClusters) is
+    * spec-covered (SimilarityAndSkewSpec recall floor).
+    */
+  val q335MarginPairsIvf = Q(
+    "q335_ann_margin_pairs_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginPairs(
+        emb.filter(col("label") % 2 === 0),
+        emb.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginQ = 1000000L,
+        topK = (q, c, id, v, kk) =>
+          Similarity.ivfTopK(q, c, id, v, kk, nClusters = 8, nprobe = 8))
+        .orderBy("a_id")
+    },
+    Some(MarginOracleSql))
 
   /** (q177) Rank-biased overlap by depth (Eval.rboByDepth scaladoc):
     * RBO terms (p = 1/2, k = 8) between the per-source length ranking
@@ -7075,18 +7215,25 @@ object Queries {
   /** Shared oracle fragment for q185/q186: the directed 5-NN graph
     * over embeddings (q28's cosine formula + rank).
     */
+  /** All-pairs cosine + top-5 as a shared oracle fragment. The q05
+    * treatment for the 10× scale point: norms precompute ONCE per
+    * vector and the per-pair kernel is DuckDB's native
+    * `list_dot_product` — verified BITWISE-identical to the
+    * sequential `list_sum(list_transform(range…))` lambda on every
+    * sf0.1 pair (zero diff rows over 4M pairs) and ~100× faster
+    * (38.8 s → 0.4 s at sf0.1), which turns the 10× point's ~65 min
+    * all-pairs stage into ~40 s.
+    */
   private val KnnCte = """
+      nv AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+          sqrt(list_dot_product(
+            list_transform(embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings),
       sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          list_sum(list_transform(range(1, len(q.embedding) + 1),
-            i -> CAST(q.embedding[i] AS DOUBLE)
-               * CAST(c.embedding[i] AS DOUBLE)))
-          / NULLIF(sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
-               i -> CAST(q.embedding[i] AS DOUBLE)
-                  * CAST(q.embedding[i] AS DOUBLE))))
-             * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
-               i -> CAST(c.embedding[i] AS DOUBLE)
-                  * CAST(c.embedding[i] AS DOUBLE)))), 0) AS cos
-        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+          list_dot_product(q.e, c.e) / NULLIF(q.nrm * c.nrm, 0) AS cos
+        FROM nv q JOIN nv c ON q.vec_id <> c.vec_id),
       knn AS (SELECT query_id, neighbor_id FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
@@ -12006,8 +12153,8 @@ object Queries {
       top2 AS (SELECT c FROM (SELECT c, sum(o) AS ct FROM cnt
                GROUP BY c ORDER BY ct DESC, c LIMIT 2)),
       celled AS (SELECT g,
-               CASE WHEN c IN (SELECT c FROM top2) THEN c
-                 ELSE '~other' END AS cell,
+               CASE WHEN c IN (SELECT c FROM top2) THEN 'c:' || c
+                 ELSE 'o:' END AS cell,
                CAST(sum(o) AS BIGINT) AS o
              FROM cnt GROUP BY 1, 2),
       ct AS (SELECT cell, CAST(sum(o) AS BIGINT) AS ctot
@@ -12832,11 +12979,14 @@ object Queries {
              FROM cells JOIN r USING (pred) JOIN c USING (lang)
              CROSS JOIN tt)
       SELECT t AS n, hc_q, hk_q, mi_q,
-        CASE WHEN hc_q > 0 THEN (1000000 * mi_q) // hc_q END
+        CASE WHEN hk_q = 0 THEN CAST(1000000 AS BIGINT)
+             WHEN hk_q > 0 THEN (1000000 * mi_q) // hk_q END
           AS homogeneity_q,
-        CASE WHEN hk_q > 0 THEN (1000000 * mi_q) // hk_q END
+        CASE WHEN hc_q = 0 THEN CAST(1000000 AS BIGINT)
+             WHEN hc_q > 0 THEN (1000000 * mi_q) // hc_q END
           AS completeness_q,
-        CASE WHEN hc_q + hk_q > 0 THEN
+        CASE WHEN hc_q + hk_q = 0 THEN CAST(1000000 AS BIGINT)
+             WHEN hc_q + hk_q > 0 THEN
           (2000000 * mi_q) // (hc_q + hk_q) END AS v_q
       FROM tt CROSS JOIN hc CROSS JOIN hk CROSS JOIN mi"""))
 
@@ -13174,13 +13324,15 @@ object Queries {
              WHERE rn <= 5),
       kq AS (SELECT query_id, neighbor_id,
                CAST(floor(1000000.0 * cos) AS BIGINT) AS cq FROM k5),
-      core AS (SELECT query_id AS id, min(cq) AS core
+      core AS (SELECT query_id AS id,
+               CASE WHEN count(*) >= 5 THEN min(cq) END AS core
                FROM kq GROUP BY 1),
       ed AS (SELECT least(query_id, neighbor_id) AS a,
                greatest(query_id, neighbor_id) AS b, max(cq) AS cos_q
              FROM kq GROUP BY 1, 2)
       SELECT a AS id_a, b AS id_b, cos_q,
-        least(ca.core, cb.core, ed.cos_q) AS mr_sim_q
+        CASE WHEN ca.core IS NOT NULL AND cb.core IS NOT NULL
+          THEN least(ca.core, cb.core, ed.cos_q) END AS mr_sim_q
       FROM ed JOIN core ca ON ca.id = ed.a
       JOIN core cb ON cb.id = ed.b
       ORDER BY id_a, id_b"""))
@@ -13715,5 +13867,6 @@ object Queries {
     q320KendallW, q321Pacf, q322BurrowsDelta, q323GriesDp,
     q324MutualReach, q325MoodMedian, q326RunsTest, q327SiegelSlope,
     q328DensityClusters, q329WilsonCi, q330TukeyFences, q331EbShrinkage,
-    q332Overdispersion, q333Chapman, q334JackknifeRatio)
+    q332Overdispersion, q333Chapman, q334JackknifeRatio,
+    q335MarginPairsIvf)
 }

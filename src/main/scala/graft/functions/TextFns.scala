@@ -57,6 +57,42 @@ object TextFns {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Bag-distance lower bound on Levenshtein — native codegen'd
+    * ([[graft.plans.BagDistanceBound]]): O(n) byte-walk character-bag
+    * difference, guaranteed ≤ the true edit distance. The scan-cost
+    * pre-filter in front of any O(n²) edit-distance verify stage.
+    */
+  def bagDistBound(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.BagDistanceBound(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Levenshtein distance, native fast kernel
+    * ([[graft.plans.FastLevenshtein]]): one-pass code-point packing +
+    * two-row int DP — value-identical to the builtin, ~10× faster (the
+    * builtin re-decodes UTF-8 per DP cell). `thr` ≥ 0 adds the builtin
+    * 3-arg early-exit contract (−1 beyond the threshold); pass a
+    * negative literal for the unbounded form.
+    */
+  def fastLevenshtein(a: Column, b: Column, thr: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.FastLevenshtein(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b),
+        org.apache.spark.sql.GraftColumnBridge.expression(thr)))
+
+  /** Sliding character n-grams, native codegen'd
+    * ([[graft.plans.CharNgrams]]): one byte walk + offset table —
+    * value-identical to `transform(sequence(1, length(t)−n+1),
+    * i -> substring(t, i, n))`, which re-scans the string from byte 0
+    * per window (O(len²) on the q207 profile).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.CharNgrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
   /** BPE-ish subword count estimate: word-piece regex split (letters /
     * digits / other runs), the standard pre-tokenizer shape.
     */

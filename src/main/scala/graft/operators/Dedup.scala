@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,7 @@ object Dedup {
     * O(n²·|text|) re-tokenization per row. Higher-order functions are
     * interpreted, so no codegen subexpression elimination saves you.
     */
-  private def letCol(v: Column)(body: Column => Column): Column =
+  private[operators] def letCol(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
   /** Distinct word n-gram shingles of a text column. */
@@ -131,14 +131,17 @@ object Dedup {
     * set (expression form; [[minHashTable]] is the bulk path).
     */
   def minHashSignature(sh: Column, numHashes: Int,
-                       baseHash: Column => Column = xxBase): Column = {
-    val hs = transform(sh, t => baseHash(t))
-    transform(sequence(lit(0), lit(numHashes - 1)), s => {
-      val a = lit(1000003L) * s + lit(12345L)
-      val b = lit(999983L) * s + lit(7L)
-      array_min(transform(hs, h => (a * h + b) % lit(HashP)))
-    })
-  }
+                       baseHash: Column => Column = xxBase): Column =
+    // letCol: the base-hash array must bind ONCE — referenced raw
+    // inside the per-seed lambda it would re-hash every shingle
+    // numHashes times (interpreted HOFs re-inline; the q215 class)
+    letCol(transform(sh, t => baseHash(t))) { hs =>
+      transform(sequence(lit(0), lit(numHashes - 1)), s => {
+        val a = lit(1000003L) * s + lit(12345L)
+        val b = lit(999983L) * s + lit(7L)
+        array_min(transform(hs, h => (a * h + b) % lit(HashP)))
+      })
+    }
 
   /** MinHash signatures as a table: (id, mh_0..mh_{k-1}) computed by
     * explode + groupBy — the base hash is projected ONCE per token, and
@@ -513,10 +516,22 @@ object Dedup {
     // the normalized text back per candidate side
     val norm = df.select(col(idCol).as("id"),
       lower(trim(col(textCol))).as("__nt"))
+    // Hybrid thresholded kernel: the audit contract emits the EXACT
+    // distance for rejected pairs too, so a bare early-exit (−1 past
+    // the bound) would change the output. Instead: banded O(thr·len)
+    // first — exact whenever d ≤ ⌈(1−minEditSim)·maxLen⌉, i.e. for
+    // every is_dup pair (LSH candidates are mostly true dups) — and
+    // the O(len²) unbounded form only on the −1 rows (CaseWhen codegen
+    // is lazy, so the fallback never runs on the fast path).
     cand
       .join(norm.select(col("id").as("id_a"), col("__nt").as("__ta")), Seq("id_a"))
       .join(norm.select(col("id").as("id_b"), col("__nt").as("__tb")), Seq("id_b"))
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      // UNBOUNDED fast kernel: the audit contract emits the exact
+      // distance for rejected pairs too, so no early-exit — the win
+      // here is FastLevenshtein's packed-int DP vs the builtin's
+      // per-cell UTF-8 re-decode.
+      .withColumn("edit_dist", graft.functions.TextFns.fastLevenshtein(
+        col("__ta"), col("__tb"), lit(-1)).cast("long"))
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double"))
@@ -1302,17 +1317,53 @@ object Dedup {
         .select(col("id_a"), col("id_b"), lit(g).as("gap"),
           col("__ta"), col("__tb"))
     }.reduce(_ unionByName _)
-    pairs
-      .withColumn("__dist", levenshtein(col("__ta"), col("__tb")))
-      .withColumn("edit_sim_q",
-        when(greatest(length(col("__ta")), length(col("__tb"))) === 0,
-          lit(1000000L))
+    // Thresholded Levenshtein early-exit: sim_q ≥ ms ⟺ d ≤
+    // ⌊L·(10⁶−ms)/10⁶⌋ (all-integer algebra, L = max len > 0), so the
+    // 3-arg banded form — O(thr·len) instead of O(len²), returning −1
+    // past the bound — drops EXACTLY the pairs the final filter drops.
+    // ADAPTIVE: the band only wins when it's narrow. At minEditSim <
+    // 0.5 the band covers > half the DP matrix and the banded kernel's
+    // per-cell overhead makes it SLOWER than the plain form (measured
+    // 3.5 s → 6.5 s at the q222 gate's 0.3 cut), so loose cuts keep
+    // the unbounded kernel; both paths emit identical rows.
+    val ms = (minEditSim * 1000000).toLong
+    // Scan-cost candidate pruning BEFORE the O(len²) DP: sim_q ≥ ms ⟺
+    // dist ≤ thr = ⌊L·(10⁶−ms)/10⁶⌋ (all-integer algebra, L = max
+    // len), and the native bag-distance bound (TextExpressions) is a
+    // guaranteed lower bound on the distance — a pair with bag > thr
+    // CANNOT pass the cut, so dropping it before the kernel is
+    // output-identical. On the q222 gate this prunes ~99% of the
+    // window pairs at O(len) each.
+    val scored = pairs
+      .withColumn("__len",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .withColumn("__thr",
+        functions.expr(s"int((__len * ${1000000L - ms}L) div 1000000L)"))
+      .filter(graft.functions.TextFns.bagDistBound(col("__ta"), col("__tb"))
+        <= col("__thr"))
+    // Survivors run the native fast kernel (FastLevenshtein: one-pass
+    // code-point packing, two-row int DP, row-min early exit at __thr)
+    // — value-identical to the builtin, without its per-cell UTF-8
+    // re-decode.
+    val withDist = scored.withColumn("__dist",
+      graft.functions.TextFns.fastLevenshtein(
+        col("__ta"), col("__tb"), col("__thr").cast("int")))
+    // A threshold-miss (−1) maps to NULL sim so the final ≥ms filter
+    // drops it. localCheckpoint before the filter: predicate pushdown
+    // would otherwise substitute the sim ALIAS into the Filter and
+    // evaluate the O(len²) kernel twice per pair (measured 3.9 s →
+    // 6.9 s). The checkpointed frame is the O(n·w) candidate set
+    // projected to 4 scalar columns — bounded at any corpus size.
+    val simmed = withDist
+      .select(col("id_a"), col("id_b"), col("gap"),
+        when(col("__dist") < 0, lit(null).cast("long"))
+          .when(col("__len") === 0, lit(1000000L))
           .otherwise(floor(lit(1000000.0) *
             (lit(1.0) - col("__dist").cast("double") /
-              greatest(length(col("__ta")), length(col("__tb")))
-                .cast("double"))).cast("long")))
-      .filter(col("edit_sim_q") >= (minEditSim * 1000000).toLong)
-      .select(col("id_a"), col("id_b"), col("gap"), col("edit_sim_q"))
+              col("__len").cast("double"))).cast("long"))
+          .as("edit_sim_q"))
+      .localCheckpoint(eager = false)
+    simmed.filter(col("edit_sim_q") >= ms)
   }
 
   /** Fellegi–Sunter record-linkage weights from a labeled candidate

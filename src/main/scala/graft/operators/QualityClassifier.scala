@@ -145,14 +145,26 @@ object QualityClassifier {
     * stateless — the same zero-coordination property as HashingTF.
     */
   private[operators] def featureIndices(textCol: Column, numFeatures: Int,
-                                        maskTerms: Set[String]): Column =
-    transform(terms(textCol, maskTerms), t => pmod(hash(t), lit(numFeatures)))
+                                        maskTerms: Set[String],
+                                        portable: Boolean = false): Column = {
+    // portable: md5-folded bucket (mirrorable in any engine with md5 —
+    // the [[Dedup.md5Base]] trick) instead of Spark-internal Murmur3;
+    // the cross-engine-oracled gate path uses it
+    val h: Column => Column =
+      if (portable) t => pmod(Dedup.md5Hash60(t), lit(numFeatures.toLong)).cast("int")
+      else t => pmod(hash(t), lit(numFeatures))
+    transform(terms(textCol, maskTerms), h)
+  }
 
   // per-occurrence gradient scale: at 10¹¹ docs the long sum stays
   // under 10¹¹·2²⁴ ≈ 1.7·10¹⁸ < Long.MaxValue; intercept rows are one
   // per doc so 2²⁰ leaves the same headroom
   private val FeatScale = (1L << 24).toDouble
   private val InterceptScale = (1L << 20).toDouble
+  // margin-pooling grid: coefficients quantize to ⌊2³⁰·c⌋ before the
+  // per-doc sum, making the pooled sum an exact integer (|c| ≲ 5 ⇒
+  // per-occurrence ≤ 5·2³⁰, × 10³ tokens ≪ 2⁶³)
+  private val CoefScale = (1L << 30).toDouble
 
   /** Deterministic margin: mean-pooled coefficients (fastText's
     * averaging — Σ coef(bucket)/|doc| keeps the vocabulary term's scale
@@ -170,9 +182,15 @@ object QualityClassifier {
       if (idx == null || idx.isEmpty) b0
       else {
         val c = bcCoef.value
-        var s = 0.0
-        idx.foreach(i => s += c(i))
-        b0 + wLen * math.log1p(idx.size.toDouble) + s / idx.size
+        // coefficient pooling on the ⌊2³⁰·c⌋ integer grid: the sum is
+        // order-free (any token order, any engine), and the two fp ops
+        // that remain (grid→double, /n) have a FIXED order — the same
+        // exactness discipline as every oracled gate. ln(1+n) runs on
+        // an exact integer-valued double (the standing ln contract).
+        var sq = 0L
+        idx.foreach(i => sq += math.floor(c(i) * CoefScale).toLong)
+        (b0 + wLen * math.log(1.0 + idx.size.toDouble)) +
+          (sq.toDouble / CoefScale) / idx.size
       }
     }
 
@@ -194,14 +212,16 @@ object QualityClassifier {
   def trainQuantized(docs: DataFrame, textCol: String, labelCol: String,
                      numFeatures: Int = 1 << 18, regParam: Double = 1e-3,
                      maxIter: Int = 60, stepSize: Double = 2.0,
-                     maskTerms: Set[String] = Set.empty): LinearModel = {
+                     maskTerms: Set[String] = Set.empty,
+                     portable: Boolean = false): LinearModel = {
     require(numFeatures > 0, s"numFeatures ($numFeatures) must be positive")
     require(maxIter > 0 && stepSize > 0, "maxIter and stepSize must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val data = docs.select(
         col(labelCol).cast("double").as("__label"),
-        featureIndices(col(textCol), numFeatures, maskTerms).as("__idx"))
+        featureIndices(col(textCol), numFeatures, maskTerms, portable)
+          .as("__idx"))
       .as[(Double, Array[Int])].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -219,15 +239,18 @@ object QualityClassifier {
             val (c, b0, wl) = bc.value
             val (label, idx) = row
             val nTok = if (idx == null) 0 else idx.length
-            var s = 0.0
+            var sq = 0L
             var k = 0
-            while (k < nTok) { s += c(idx(k)); k += 1 }
+            while (k < nTok) {
+              sq += math.floor(c(idx(k)) * CoefScale).toLong; k += 1
+            }
             val margin = if (nTok == 0) b0
-              else b0 + wl * math.log1p(nTok.toDouble) + s / nTok
+              else (b0 + wl * math.log(1.0 + nTok.toDouble)) +
+                (sq.toDouble / CoefScale) / nTok
             val r = 1.0 / (1.0 + math.exp(-margin)) - label
             acc(0) += math.floor(r * InterceptScale).toLong
             if (nTok > 0) {
-              acc(1) += math.floor(r * math.log1p(nTok.toDouble)
+              acc(1) += math.floor(r * math.log(1.0 + nTok.toDouble)
                 * InterceptScale).toLong
               val rq = math.floor(r / nTok * FeatScale).toLong
               k = 0
@@ -260,11 +283,13 @@ object QualityClassifier {
     * partitioning.
     */
   def scoreQuantized(docs: DataFrame, model: LinearModel, textCol: String,
-                     maskTerms: Set[String] = Set.empty): DataFrame = {
+                     maskTerms: Set[String] = Set.empty,
+                     portable: Boolean = false): DataFrame = {
     val bcCoef = docs.sparkSession.sparkContext.broadcast(model.coefficients)
     docs.withColumn("quality_prob",
       lit(1.0) / (lit(1.0) +
         exp(-mixedMargin(bcCoef, model.intercept, model.lengthWeight)(
-          featureIndices(col(textCol), model.numFeatures, maskTerms)))))
+          featureIndices(col(textCol), model.numFeatures, maskTerms,
+            portable)))))
   }
 }

@@ -126,12 +126,13 @@ object Segments {
                        n: Int, k: Int): DataFrame = {
     require(n >= 1 && n <= 8, s"n ($n) must be in [1, 8]")
     require(k >= 1, s"k ($k) must be >= 1")
+    // native one-walk gram generator: the HOF/substring form re-scans
+    // the string from byte 0 per window (O(len²) per doc, q207)
     val grams = docs
       .select(col(groupCol), lower(trim(col(textCol))).as("__t"))
       .filter(length(col("__t")) >= n)
-      .select(col(groupCol), explode(expr(
-        s"transform(sequence(1, length(__t) - ${n - 1}), " +
-          s"i -> substring(__t, i, $n))")).as("gram"))
+      .select(col(groupCol),
+        explode(TextFns.charNgrams(col("__t"), n)).as("gram"))
       .groupBy(col(groupCol), col("gram")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("cnt").desc, col("gram").asc)
@@ -191,12 +192,15 @@ object Segments {
     require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
       s"ns ($ns) must be within [1, 8]")
     ns.map { n =>
-      val tk = toks(textCol)
-      val grams =
+      // letCol binds the token array ONCE per row; a raw toks(textCol)
+      // inside the transform body re-inlines the split per window —
+      // the interpreted-HOF O(windows × |text|) quadratic (q215).
+      val grams = Dedup.letCol(toks(textCol)) { tk =>
         when(size(tk) - lit(n - 1) > 0,
           transform(sequence(lit(1), greatest(size(tk) - lit(n - 1), lit(1))),
             i => array_join(slice(tk, i, lit(n)), " ")))
           .otherwise(array().cast("array<string>"))
+      }
       docs.select(col(groupCol), explode(grams).as("__g"))
         .groupBy(col(groupCol), col("__g"))
         .agg(count(lit(1)).as("__c"))

@@ -1030,7 +1030,9 @@ object Similarity {
     * (margin desc, b_id asc).
     */
   def marginPairs(sideA: DataFrame, sideB: DataFrame, idCol: String,
-                  vecCol: String, k: Int, minMarginQ: Long): DataFrame = {
+                  vecCol: String, k: Int, minMarginQ: Long,
+                  topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+                    crossTopK): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
     // rank-ordered k-sum per query: float-exact only if every engine
     // adds in the same order, hence the explicit element chain
@@ -1045,8 +1047,8 @@ object Similarity {
         .reduceLeft(_ + _)
       ordered.select(col("query_id"), chain.as("__ksum"))
     }
-    val abKnn = crossTopK(sideA, sideB, idCol, vecCol, k)
-    val baKnn = crossTopK(sideB, sideA, idCol, vecCol, k)
+    val abKnn = topK(sideA, sideB, idCol, vecCol, k)
+    val baKnn = topK(sideB, sideA, idCol, vecCol, k)
     val aDen = kSum(abKnn).withColumnRenamed("query_id", "a_id")
       .withColumnRenamed("__ksum", "__sa")
     val bDen = kSum(baKnn).withColumnRenamed("query_id", "b_id")
@@ -1157,8 +1159,12 @@ object Similarity {
     * (the mirror of max-of-distances): single-linkage over mr edges
     * is exactly HDBSCAN's mutual-reachability MST step. Cosines
     * quantize ⌊10⁶·cos⌋ BEFORE the min-folds, so every output is an
-    * exact integer comparison chain. Plan: one brute/ANN top-k, one
-    * per-point min, canonicalized edge dedup, two keyed core joins.
+    * exact integer comparison chain. When a point has fewer than k
+    * neighbors (corpus ≤ k) its k-th-neighbor core is UNDEFINED: the
+    * core — and every mr edge touching the point — is NULL rather
+    * than silently degrading to the last available neighbor. Plan:
+    * one brute/ANN top-k, one per-point min, canonicalized edge
+    * dedup, two keyed core joins.
     */
   def mutualReachability(df: DataFrame, idCol: String, vecCol: String,
                          k: Int): DataFrame = {
@@ -1167,7 +1173,7 @@ object Similarity {
         floor(lit(1000000.0) * col("cos")).cast("long").as("__cq"))
       .localCheckpoint(eager = false)
     val core = knn.groupBy(col("query_id").as("__id"))
-      .agg(min(col("__cq")).as("__core"))
+      .agg(when(count(lit(1)) >= k, min(col("__cq"))).as("__core"))
     val edges = knn.select(
         least(col("query_id"), col("neighbor_id")).as("id_a"),
         greatest(col("query_id"), col("neighbor_id")).as("id_b"),
@@ -1179,7 +1185,10 @@ object Similarity {
       .join(core.select(col("__id").as("id_b"), col("__core").as("__cb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("cos_q"),
-        least(col("__ca"), col("__cb"), col("cos_q")).as("mr_sim_q"))
+        // least() skips NULLs, which would silently drop an undefined
+        // core from the min-fold — gate it explicitly instead.
+        when(col("__ca").isNotNull && col("__cb").isNotNull,
+          least(col("__ca"), col("__cb"), col("cos_q"))).as("mr_sim_q"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -2190,12 +2190,16 @@ object Stats {
     * "each cluster is one label" from "each label is one cluster".
     * With H(C|K) = H(C) − I the whole triple reduces to three
     * integer-quantized entropy sums (the [[uncertaintyCoefficient]]
-    * kernel, ⌊10⁹·.⌋ per term):
+    * kernel, ⌊10⁹·.⌋ per term), C = labels, K = clusters:
     *
     *   h = I/H(C),  c = I/H(K),  v = 2I/(H(C)+H(K))
     *
-    * — three exact integer divisions, no fresh fp. Plan: one scan to
-    * the (cluster, label) grid; marginals broadcast.
+    * — three exact integer divisions, no fresh fp. Degenerate sides
+    * follow the standard convention (Rosenberg & Hirschberg; sklearn):
+    * H(C) = 0 ⇒ homogeneity 1, H(K) = 0 ⇒ completeness 1, both 0 ⇒
+    * v = 1 — a single-cluster partition scores completeness 1 and
+    * homogeneity 0, not NULL. Plan: one scan to the (cluster, label)
+    * grid; marginals broadcast.
     */
   def vMeasure(df: DataFrame, clusterCol: String,
                labelCol: String): DataFrame = {
@@ -2229,12 +2233,15 @@ object Stats {
       .crossJoin(broadcast(mi))
       .select(col("__t").cast("long").as("n"), col("hc_q"), col("hk_q"),
         col("mi_q"),
-        when(col("hc_q") > 0, expr("(1000000L * mi_q) div hc_q"))
+        when(col("hk_q") === 0, lit(1000000L))
+          .when(col("hk_q") > 0, expr("(1000000L * mi_q) div hk_q"))
           .as("homogeneity_q"),
-        when(col("hk_q") > 0, expr("(1000000L * mi_q) div hk_q"))
+        when(col("hc_q") === 0, lit(1000000L))
+          .when(col("hc_q") > 0, expr("(1000000L * mi_q) div hc_q"))
           .as("completeness_q"),
-        when(col("hc_q") + col("hk_q") > 0,
-          expr("(2000000L * mi_q) div (hc_q + hk_q)")).as("v_q"))
+        when(col("hc_q") + col("hk_q") === 0, lit(1000000L))
+          .when(col("hc_q") + col("hk_q") > 0,
+            expr("(2000000L * mi_q) div (hc_q + hk_q)")).as("v_q"))
   }
 
   /** One-way random-effects intraclass correlation ICC(1) — "how much
@@ -2561,10 +2568,13 @@ object Stats {
     val top2 = cnt.groupBy(col("__c")).agg(sum(col("o")).as("__ct"))
       .orderBy(col("__ct").desc, col("__c")).limit(2)
       .select(col("__c"), lit(1).as("__top"))
+    // Tag-prefixed cell key: 'c:'+category for the top-2, 'o:' for the
+    // rest bucket — no data value can collide with the sentinel (a
+    // category literally named '~other' used to merge silently).
     val celled = cnt.join(broadcast(top2), Seq("__c"), "left")
       .select(col("__g"),
-        when(col("__top").isNotNull, col("__c")).otherwise(lit("~other"))
-          .as("__cell"),
+        when(col("__top").isNotNull, concat(lit("c:"), col("__c")))
+          .otherwise(lit("o:")).as("__cell"),
         col("o"))
       .groupBy(col("__g"), col("__cell")).agg(sum(col("o")).as("o"))
       .localCheckpoint(eager = false)

@@ -1404,8 +1404,13 @@ object TimeAgg {
     require(periods.nonEmpty && periods.forall(_ >= 2),
       "periods must be >= 2")
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // NULL x-cells behave like the documented zero-filled grid (they
+    // keep their t index, contribute 0 to the sums, and count in n);
+    // a NULL bucket has no grid position and drops.
     val t = series
-      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .select(col(bucketCol).as("__b"),
+        coalesce(col(xCol).cast("long"), lit(0L)).as("__x"))
+      .filter(col("__b").isNotNull)
       .withColumn("__t",
         row_number().over(Window.orderBy(col("__b"))).cast("long"))
     val theta = lit(2.0) * lit(math.Pi) * col("__t").cast("double") /

@@ -655,6 +655,48 @@ class DedupSpec extends SparkSpec {
     assert(w2 === Set((10L, 20L), (20L, 30L), (10L, 30L)))
   }
 
+  test("sortedNeighborhood: thresholded levenshtein ≡ unbounded form " +
+      "on boundary pairs (sim exactly at / just below the cut)") {
+    // "aaaa x" vs "aaaa y": dist 1, len 6 -> sim_q = 833333
+    val docs = Seq((1L, "aaaa x"), (2L, "aaaa y")).toDF("doc_id", "text")
+    def simAt(cut: Double): Seq[Long] =
+      Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        keyLen = 4, windowSize = 1, minEditSim = cut)
+        .collect().toSeq.map(_.getLong(3))
+    // exactly at the integer cut: floor(0.833333*1e6) = 833333 passes
+    assert(simAt(0.833333) === Seq(833333L))
+    // one ulp above the cut on the 1e6 grid: drops
+    assert(simAt(0.833334) === Seq.empty)
+    // the threshold early-exit keeps the SIM VALUE exact, not just the
+    // verdict: d=1 <= thr at every passing cut
+    assert(simAt(0.5) === Seq(833333L))
+    // empty-vs-empty: L=0 path still reports 1e6 (thr 0, d 0)
+    val empt = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val e = Dedup.sortedNeighborhood(empt, "doc_id", "text",
+      keyLen = 4, windowSize = 1, minEditSim = 1.0).collect()
+    assert(e.map(_.getLong(3)).toSeq === Seq(1000000L))
+  }
+
+  test("fuzzyDedupPairs: hybrid kernel's fallback path reports the " +
+      "EXACT distance for rejected (beyond-threshold) candidates") {
+    // long shared shingle prefix (J ≈ 0.57, 12 single-row bands) makes
+    // candidacy deterministic-certain; the tails diverge far past the
+    // 0.8 bound, forcing the -1 -> unbounded fallback
+    val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "one two three"
+    val tb = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "zzzzzzzzzz qqqqqqqqqq wwwwwwwwww"
+    val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+    val r = Dedup.fuzzyDedupPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 12, minEditSim = 0.8)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(r.length === 1)
+    // the unbounded builtin is the reference the hybrid must match
+    val exact = Seq((ta, tb)).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect().head.getInt(0)
+    assert(r.head._3 === exact.toLong && !r.head._5)
+  }
+
   test("sortedNeighborhood: position order is (key, id), not input order") {
     // id 5's text sorts FIRST despite the largest id
     val docsSn = Seq((1L, "bbb"), (2L, "ccc"), (5L, "aaa"))

@@ -1120,10 +1120,16 @@ class StatsSpec extends SparkSpec {
     val one = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("a", "y"))
       .toDF("cl", "lb")
     val r1 = Stats.vMeasure(one, "cl", "lb").collect().head
-    assert(r1.getLong(1) === 0L)  // H(C) = 0: one cluster
-    assert(r1.getLong(3) === 0L)  // I = 0
-    assert(r1.isNullAt(4))        // homogeneity 0/0 -> NULL by guard
-    assert(r1.getLong(5) === 0L)  // completeness I/H(K) = 0
+    assert(r1.getLong(1) === 0L)        // H(clusters) = 0: one cluster
+    assert(r1.getLong(3) === 0L)        // I = 0
+    assert(r1.getLong(4) === 0L)        // homogeneity I/H(labels) = 0
+    assert(r1.getLong(5) === 1000000L)  // completeness: H(K)=0 -> 1
+    assert(r1.getLong(6) === 0L)        // v = 2I/(H(C)+H(K)) = 0
+    // dual degenerate: single label across clusters -> homogeneity 1
+    val lbl = Seq(("a", "x"), ("b", "x"), ("c", "x")).toDF("cl", "lb")
+    val r2 = Stats.vMeasure(lbl, "cl", "lb").collect().head
+    assert(r2.getLong(4) === 1000000L)  // H(labels)=0 -> homogeneity 1
+    assert(r2.getLong(5) === 0L)        // completeness I/H(clusters)=0
   }
 
   test("iccOneWay: perfect between-group separation gives ICC 1, " +

@@ -222,4 +222,69 @@ class TextFnsSpec extends SparkSpec {
     assert(out("d") === ((0L, 0L, -1L)))
     assert(out("e") === ((0L, 0L, 1000000L)))
   }
+
+  test("fastLevenshtein ≡ builtin levenshtein on random ASCII, " +
+      "multi-byte, and empty inputs; threshold form matches builtin") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdeé漢字 é́"
+    def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val rows = (1 to 200).map(_ =>
+      (word(rnd.nextInt(30)), word(rnd.nextInt(30)))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("é", "e"), ("漢", "字"))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      levenshtein(col("a"), col("b")).as("ref"),
+      TextFns.fastLevenshtein(col("a"), col("b"), lit(-1)).as("fast"),
+      levenshtein(col("a"), col("b"), 5).as("ref5"),
+      TextFns.fastLevenshtein(col("a"), col("b"), lit(5)).as("fast5"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(1) === r.getInt(0), s"unbounded mismatch: $r")
+      assert(r.getInt(3) === r.getInt(2), s"thr=5 mismatch: $r")
+    }
+    // null propagation matches the builtin
+    val nr = Seq((null: String, "x")).toDF("a", "b")
+      .select(TextFns.fastLevenshtein(col("a"), col("b"), lit(-1)))
+      .collect().head
+    assert(nr.isNullAt(0))
+  }
+
+  test("charNgrams ≡ the HOF substring form on ASCII, multi-byte, " +
+      "short, and empty inputs") {
+    val rows = Seq("hello world", "aé漢字x", "ab", "abc", "", "ééé",
+      "mixed é text 漢 with spaces")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = rows.toDF("t")
+      val got = df.select(TextFns.charNgrams(col("t"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val ref = df.select(
+        when(length(col("t")) >= n, expr(
+          s"transform(sequence(1, length(t) - ${n - 1}), " +
+            s"i -> substring(t, i, $n))"))
+          .otherwise(array().cast("array<string>")).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(got === ref, s"n=$n")
+    }
+    // null propagates
+    assert(Seq[String](null).toDF("t")
+      .select(TextFns.charNgrams(col("t"), 3)).collect().head.isNullAt(0))
+  }
+
+  test("bagDistBound is a true lower bound on levenshtein and exact " +
+      "on permutation-free edits") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdeé漢 "
+    def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val rows = (1 to 300).map(_ =>
+      (word(rnd.nextInt(25)), word(rnd.nextInt(25))))
+    val out = rows.toDF("a", "b").select(
+      TextFns.bagDistBound(col("a"), col("b")).as("bag"),
+      levenshtein(col("a"), col("b")).as("lev")).collect()
+    out.foreach(r => assert(r.getInt(0) <= r.getInt(1),
+      s"bag ${r.getInt(0)} > lev ${r.getInt(1)}"))
+    // pure insertion: bound is tight
+    val t = Seq(("abc", "abcxyz")).toDF("a", "b")
+      .select(TextFns.bagDistBound(col("a"), col("b"))).collect().head
+    assert(t.getInt(0) === 3)
+  }
 }
