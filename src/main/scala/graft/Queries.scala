@@ -13773,6 +13773,241 @@ object Queries {
             AS BIGINT) END AS pseudo_q
       FROM g CROSS JOIN t ORDER BY source"""))
 
+  /** (q336) Newman modularity of the embedding LABEL partition over
+    * the canonical 5-NN edge set (Graph.modularity scaladoc): exact
+    * decimal contributions, pmod-floored integer division.
+    */
+  val q336Modularity = Q(
+    "q336_g_modularity",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      val edges = knn.select(
+          least(col("query_id"), col("neighbor_id")).as("a"),
+          greatest(col("query_id"), col("neighbor_id")).as("b"))
+        .distinct()
+      operators.Graph.modularity(edges,
+        emb.select(col("vec_id"), col("label")), "vec_id", "label")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      can AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                greatest(query_id, neighbor_id) AS b FROM knn),
+      lab AS (SELECT vec_id AS id, label AS c FROM embeddings
+              WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      sym0 AS (SELECT a, b FROM can
+               UNION ALL SELECT b AS a, a AS b FROM can),
+      sym AS (SELECT sym0.a, sym0.b, la.c AS ca, lb.c AS cb
+              FROM sym0 JOIN lab la ON la.id = sym0.a
+              JOIN lab lb ON lb.id = sym0.b),
+      m2 AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM sym),
+      byc AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS d_c,
+                CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                  AS e2_in
+              FROM sym GROUP BY ca),
+      nd AS (SELECT c AS community, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM lab WHERE id IN (SELECT a FROM sym) GROUP BY c),
+      pc AS (SELECT byc.community, nd.n_nodes, byc.e2_in, byc.d_c,
+               CAST(1000000000 AS HUGEINT)
+                 * (CAST(byc.e2_in AS HUGEINT) * m2.m2
+                    - CAST(byc.d_c AS HUGEINT) * byc.d_c) AS num,
+               m2.m2 * m2.m2 AS den
+             FROM byc JOIN nd USING (community) CROSS JOIN m2),
+      pq AS (SELECT community, n_nodes, e2_in, d_c,
+               CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+                 AS contrib_q
+             FROM pc),
+      tt AS (SELECT CAST(sum(contrib_q) AS BIGINT) AS modularity_q
+             FROM pq)
+      SELECT community, n_nodes, e2_in, d_c, contrib_q, modularity_q
+      FROM pq CROSS JOIN tt ORDER BY community"""))
+
+  /** (q337) Truncated harmonic centrality, 2 hops, over the mutual
+    * 5-NN edges (Graph.harmonicCentrality scaladoc): exact integer
+    * ⌊10⁶/h⌋ contributions per exact-distance shell.
+    */
+  val q337Harmonic = Q(
+    "q337_g_harmonic",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.harmonicCentrality(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), hops = 2)
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM mut
+                UNION ALL SELECT b AS a, a AS b FROM mut)),
+      d1 AS (SELECT a AS v, b AS u FROM sym),
+      d2 AS (SELECT DISTINCT f.v, s2.a AS u
+             FROM d1 f JOIN sym s2 ON s2.b = f.u
+             WHERE s2.a <> f.v
+               AND NOT EXISTS (SELECT 1 FROM d1 x
+                   WHERE x.v = f.v AND x.u = s2.a)),
+      al AS (SELECT v, 1 AS dd FROM d1
+             UNION ALL SELECT v, 2 AS dd FROM d2)
+      SELECT v AS id, CAST(count(*) AS BIGINT) AS n_reached,
+        CAST(sum(1000000 // dd) AS BIGINT) AS harmonic_q
+      FROM al GROUP BY v ORDER BY id"""))
+
+  /** (q338) Spectral entropy of the hourly-event periodogram
+    * (TimeAgg.spectralEntropy scaladoc): the q309 power table fed to
+    * the quantized entropy kernel.
+    */
+  val q338SpectralEntropy = Q(
+    "q338_a_spectral_entropy",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      val span = hourly.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = span
+        .select(explode(sequence(col("__lo"), col("__hi"), lit(3600L)))
+          .as("bucket"))
+        .join(hourly, Seq("bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.spectralEntropy(dense, "bucket", "x",
+        periods = 2 to 24)
+    },
+    Some(s"""
+      WITH e AS (SELECT ($EvUs // 3600000000) * 3600 AS bucket
+             FROM events),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM span, LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (bucket)),
+      st AS (SELECT x, CAST(row_number() OVER (ORDER BY bucket)
+               AS BIGINT) AS t
+             FROM dense),
+      terms AS (SELECT p.p AS period,
+               CAST(floor(1000000.0 * CAST(x AS DOUBLE)
+                 * cos(2.0 * pi() * CAST(t AS DOUBLE)
+                   / CAST(p.p AS DOUBLE))) AS BIGINT) AS c,
+               CAST(floor(1000000.0 * CAST(x AS DOUBLE)
+                 * sin(2.0 * pi() * CAST(t AS DOUBLE)
+                   / CAST(p.p AS DOUBLE))) AS BIGINT) AS s
+             FROM st CROSS JOIN
+               (SELECT unnest(range(2, 25)) AS p) p),
+      ag AS (SELECT period,
+               CAST(sum(c) AS BIGINT) AS c_q,
+               CAST(sum(s) AS BIGINT) AS s_q
+             FROM terms GROUP BY period),
+      pw AS (SELECT period,
+               CAST((CAST(c_q AS HUGEINT) * c_q
+                 + CAST(s_q AS HUGEINT) * s_q)
+                 // CAST(1000000000000 AS HUGEINT) AS BIGINT) AS power
+             FROM ag),
+      tot AS (SELECT CAST(sum(power) AS BIGINT) AS t,
+                CAST(count(*) AS BIGINT) AS n_periods FROM pw)
+      SELECT n_periods, t AS t_power,
+        CAST(sum(CAST(floor(1000000000.0 * CAST(power AS DOUBLE)
+          * ln(CAST(t AS DOUBLE) / CAST(power AS DOUBLE))
+          / CAST(t AS DOUBLE)) AS BIGINT)) AS BIGINT) AS entropy_q
+      FROM pw CROSS JOIN tot
+      WHERE power > 0 AND t > 0
+      GROUP BY 1, 2"""))
+
+  /** (q339) ROC curve of "n_chars predicts English" (Eval.rocPoints
+    * scaladoc): exact cumulative counts over the distinct-score grid,
+    * integer-quantized rates.
+    */
+  val q339RocPoints = Q(
+    "q339_ml_roc_points",
+    (s, dir) =>
+      operators.Eval.rocPoints(
+        t(s, dir, "documents")
+          .select((col("lang") === "en").cast("long").as("y"),
+            col("n_chars")),
+        "y", "n_chars"),
+    Some("""
+      WITH d AS (SELECT CAST(n_chars AS BIGINT) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents
+             WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      grid AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY s),
+      tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+                CAST(sum(n) AS BIGINT) AS nn FROM grid),
+      c AS (SELECT s, n,
+              CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+              CAST(sum(n) OVER (ORDER BY s DESC) AS BIGINT) AS cum
+            FROM grid)
+      SELECT s AS threshold, n AS n_at, tp, cum - tp AS fp,
+        CASE WHEN p > 0 THEN (1000000 * tp) // p END AS tpr_q,
+        CASE WHEN nn - p > 0 THEN (1000000 * (cum - tp)) // (nn - p) END
+          AS fpr_q
+      FROM c CROSS JOIN tot ORDER BY threshold DESC"""))
+
+  /** (q340) Dyadic-α EWMA (α = 1/8) of hourly event counts per type
+    * (TimeAgg.ewmaDyadic scaladoc): exact integer recurrence on the
+    * 2²⁰ grid; the oracle replays it as a recursive CTE.
+    */
+  val q340Ewma = Q(
+    "q340_a_ewma",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      operators.TimeAgg.ewmaDyadic(hourly, "event_type", "bucket", "x",
+        kShift = 3)
+    },
+    Some(s"""
+      WITH RECURSIVE
+      e AS (SELECT event_type, ($EvUs // 3600000000) * 3600 AS bucket
+            FROM events),
+      h AS (SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS x
+            FROM e WHERE event_type IS NOT NULL AND bucket IS NOT NULL
+            GROUP BY 1, 2),
+      o AS (SELECT event_type, bucket, x,
+              CAST(row_number() OVER (PARTITION BY event_type
+                ORDER BY bucket) AS BIGINT) AS t
+            FROM h),
+      st AS (
+        SELECT event_type, bucket, x, t, x * 1048576 AS s
+        FROM o WHERE t = 1
+        UNION ALL
+        SELECT o.event_type, o.bucket, o.x, o.t,
+          st.s + ((o.x * 1048576 - st.s)
+            - (((o.x * 1048576 - st.s) % 8 + 8) % 8)) // 8
+        FROM st JOIN o ON o.event_type = st.event_type
+          AND o.t = st.t + 1)
+      SELECT event_type, bucket, x, CAST(s AS BIGINT) AS ewma_q
+      FROM st ORDER BY event_type, bucket"""))
+
+  /** (q341) Leakage-safe k-fold plan (Curation.kFoldPlan scaladoc):
+    * fold = md5₆₀(normalized content) mod 5 — content-keyed so
+    * near-dup docs co-locate across folds.
+    */
+  val q341KFold = Q(
+    "q341_s_kfold_plan",
+    (s, dir) =>
+      operators.Curation.kFoldPlan(t(s, dir, "documents"), "doc_id",
+        "text", k = 5),
+    Some("""
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g')), 1, 15))::BIGINT % 5 AS INTEGER) AS fold,
+        ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g')), 1, 15))::BIGINT % 5 = 0 AS is_val_fold0
+      FROM documents ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -13868,5 +14103,6 @@ object Queries {
     q324MutualReach, q325MoodMedian, q326RunsTest, q327SiegelSlope,
     q328DensityClusters, q329WilsonCi, q330TukeyFences, q331EbShrinkage,
     q332Overdispersion, q333Chapman, q334JackknifeRatio,
-    q335MarginPairsIvf)
+    q335MarginPairsIvf, q336Modularity, q337Harmonic,
+    q338SpectralEntropy, q339RocPoints, q340Ewma, q341KFold)
 }

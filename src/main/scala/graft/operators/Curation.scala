@@ -1902,4 +1902,25 @@ object Curation {
         expr(s"(1000000L * __st) div (${chunkLen}L * n_chunks)")
           .as("msttr_q"))
   }
+
+  /** Leakage-safe k-fold cross-validation plan: fold =
+    * md5₆₀(normalized content) mod k — keyed on CONTENT, not row id,
+    * so whitespace/case near-duplicate documents always land in the
+    * same fold (the [[stratifiedSplit]] leakage guard, generalized
+    * from one holdout to k rotations). Pure scan-stage projection,
+    * zero shuffle; the assignment is a reproducible FUNCTION of the
+    * text, so any re-run, engine, or partitioning derives the same
+    * plan.
+    *
+    * @return (id, fold ∈ [0, k), is_val_fold0) ordered by id
+    */
+  def kFoldPlan(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k ($k) must be in [2, 64]")
+    val fold = Dedup.md5Hash60(
+      graft.functions.TextFns.normalizeText(col(textCol))) % k
+    docs.select(col(idCol), fold.cast("int").as("fold"))
+      .withColumn("is_val_fold0", col("fold") === 0)
+      .orderBy(col(idCol))
+  }
 }

@@ -994,4 +994,42 @@ object Eval {
                    CAST(total_var2 AS DECIMAL(38,0)))"""))
           .as("alpha_q"))
   }
+
+  /** ROC curve points at every distinct score threshold — the full
+    * operating-characteristic table behind any single-number AUC
+    * ([[aucExact]]): at threshold s, predict positive iff score ≥ s.
+    *
+    * All counts are exact integer cumulative sums over the DISTINCT-
+    * SCORE grid (never a row-level sort — the value-grid contract);
+    * rates quantize ⌊10⁶·tp/P⌋ / ⌊10⁶·fp/N⌋ as exact integer
+    * divisions, NULL when the class is absent. Descending-score order
+    * makes the table read top-left to bottom-right like the plot.
+    *
+    * @param scored (label ∈ {0,1}, integer-grid score)
+    * @return (threshold, n_at, tp, fp, tpr_q, fpr_q) ordered by
+    *         threshold desc
+    */
+  def rocPoints(scored: DataFrame, labelCol: String,
+                scoreCol: String): DataFrame = {
+    val d = scored.select(col(scoreCol).cast("long").as("__s"),
+      col(labelCol).cast("long").as("__y")).na.drop()
+    val grid = d.groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum(col("__pos")).as("__tp_all"),
+      sum(col("__n")).as("__n_all"))
+    grid
+      .withColumn("tp", sum(col("__pos")).over(w))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("__s").as("threshold"), col("__n").as("n_at"),
+        col("tp"), (col("__cum") - col("tp")).as("fp"),
+        when(col("__tp_all") > 0,
+          expr("(1000000L * tp) div __tp_all")).as("tpr_q"),
+        when(col("__n_all") - col("__tp_all") > 0,
+          expr("(1000000L * (__cum - tp)) div (__n_all - __tp_all)"))
+          .as("fpr_q"))
+      .orderBy(col("threshold").desc)
+  }
 }

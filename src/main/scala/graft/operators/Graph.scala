@@ -538,4 +538,107 @@ object Graph {
     ranks.select(col("__u").as("id"), col("__deg").as("degree"),
       col("__x").as("katz_q"))
   }
+
+  /** Newman modularity of a GIVEN vertex partition over a canonical
+    * undirected edge frame (`a < b`, deduplicated) — "how much more
+    * intra-community edge mass than a degree-preserving random graph
+    * would have": the standard objective every community detection
+    * (label propagation q185, density clusters q328) is scored by.
+    *
+    *   Q = Σ_c ( e_c/m − (d_c / 2m)² )
+    *
+    * evaluated on the DIRECTED-symmetric counts m2 = 2m, e2_c (both
+    * directions of intra-c edges), d_c (degree mass in c), so every
+    * per-community contribution is ONE exact decimal(38,0) integer
+    * division: contrib_q = ⌊10⁹·(e2_c·m2 − d_c²) / m2²⌋ — no float
+    * anywhere, partition-order free. Unlabeled endpoints drop with
+    * their edges (documented; mirror the label frame's coverage).
+    *
+    * Plan: symmetrize → two broadcast-able label joins → one hash agg
+    * to the community grid → one bounded agg for the total; never
+    * more than 2·|E| rows in flight.
+    *
+    * @param edges  canonical undirected edges (a, b), a < b
+    * @param labels (id, community) — one row per labeled vertex
+    * @return per-community (community, n_nodes, e2_in, d_c, contrib_q)
+    *         with the partition total modularity_q repeated, ordered
+    *         by community
+    */
+  def modularity(edges: DataFrame, labels: DataFrame, idCol: String,
+                 communityCol: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val lab = labels.select(col(idCol).as("__id"),
+      col(communityCol).as("__c")).na.drop()
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .join(lab.select(col("__id").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(lab.select(col("__id").as("b"), col("__c").as("__cb")), Seq("b"))
+      .localCheckpoint(eager = false)
+    val m2 = sym.agg(count(lit(1)).as("__m2"))
+    val byC = sym.groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L))
+          .as("e2_in"))
+    val nodes = lab.join(
+        sym.select(col("a").as("__id")).distinct(), Seq("__id"), "left_semi")
+      .groupBy(col("__c").as("community")).agg(count(lit(1)).as("n_nodes"))
+    // exact FLOOR division on decimals (a negative contribution must
+    // floor, and decimal `/`+cast rounds HALF_UP while `div` truncates
+    // toward zero): subtract the nonnegative pmod first, then the
+    // division is an exact multiple and every engine agrees
+    val perC = byC.join(nodes, Seq("community"))
+      .crossJoin(broadcast(m2))
+      .withColumn("__num",
+        dec(lit(1000000000L)) * (dec(col("e2_in")) * dec(col("__m2")) -
+          dec(col("d_c")) * dec(col("d_c"))))
+      .withColumn("__den", dec(col("__m2")) * dec(col("__m2")))
+      .withColumn("contrib_q",
+        expr("(__num - pmod(__num, __den)) div __den"))
+    val tot = perC.agg(sum(col("contrib_q")).as("modularity_q"))
+    perC.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("e2_in"), col("d_c"),
+        col("contrib_q"), col("modularity_q"))
+      .orderBy(col("community"))
+  }
+
+  /** Truncated harmonic centrality over a canonical undirected edge
+    * frame: H_h(v) = Σ_{u ≠ v, d(v,u) ≤ h} 1/d(v,u) with the sum cut
+    * at `hops` — the bounded-radius closeness variant that actually
+    * terminates on a 100 TB graph (full closeness needs the full
+    * APSP). Per-hop contributions are exact integers
+    * (⌊10⁶/h⌋ per vertex at exact distance h), so the score is an
+    * exact long sum.
+    *
+    * Plan: `hops` rounds of frontier expansion — each an equi-join of
+    * the previous frontier with the symmetric edge list followed by an
+    * anti-join against the already-reached set (min-distance
+    * semantics), localCheckpointed per round. On a kNN graph the
+    * reached set is bounded by n·k^h rows; `hops` ≤ 4 enforced.
+    *
+    * @return (id, n_reached, harmonic_q) ordered by id
+    */
+  def harmonicCentrality(edges: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 4, s"hops ($hops) must be in [1, 4]")
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val d1 = sym.select(col("a").as("__v"), col("b").as("__u"),
+      lit(1).as("__d"))
+    val reached = (2 to hops).foldLeft(d1) { (acc, h) =>
+      val frontier = acc.filter(col("__d") === h - 1)
+      val next = frontier
+        .join(sym.select(col("b").as("__u"), col("a").as("__w")), Seq("__u"))
+        .filter(col("__w") =!= col("__v"))
+        .select(col("__v"), col("__w").as("__u")).distinct()
+        .join(acc.select(col("__v"), col("__u")), Seq("__v", "__u"),
+          "left_anti")
+        .withColumn("__d", lit(h))
+      acc.unionByName(next).localCheckpoint(eager = false)
+    }
+    reached.groupBy(col("__v").as("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000L div __d")).as("harmonic_q"))
+      .orderBy(col("id"))
+  }
 }

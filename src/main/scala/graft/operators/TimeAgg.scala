@@ -1434,4 +1434,84 @@ object TimeAgg {
       .drop("__pw")
       .orderBy(col("period"))
   }
+
+  /** Spectral entropy of the [[periodogram]] power distribution —
+    * "is the series' energy concentrated in one cycle or smeared
+    * across all of them": low entropy = strong seasonality at one
+    * period, max (ln n_periods) = white noise. The single-number
+    * seasonality-strength summary q309's raw periodogram feeds.
+    *
+    * Each positive power's term quantizes ⌊10⁹·(p/T)·ln(T/p)⌋ on the
+    * exact integer (power, total) pair — the [[graft.operators.Stats]]
+    * entropy kernel, ln on an exact integer ratio (the standing ln
+    * contract) — and the entropy is their order-free long sum.
+    * Zero-power periods contribute 0 (the p·ln p limit) by dropping.
+    *
+    * Plan: the periodogram's bounded period table + one broadcast
+    * total + one bounded agg.
+    */
+  def spectralEntropy(series: DataFrame, bucketCol: String, xCol: String,
+                      periods: Seq[Int]): DataFrame = {
+    val pg = periodogram(series, bucketCol, xCol, periods)
+      .localCheckpoint(eager = false)
+    val tot = pg.agg(sum(col("power")).as("__t"),
+      count(lit(1)).as("n_periods"))
+    pg.crossJoin(broadcast(tot))
+      .filter(col("power") > 0 && col("__t") > 0)
+      .select(col("n_periods"), col("__t").cast("long").as("t_power"),
+        floor(lit(1.0e9) * col("power").cast("double") *
+          log(col("__t").cast("double") / col("power").cast("double")) /
+          col("__t").cast("double")).cast("long").as("__e"))
+      .groupBy(col("n_periods"), col("t_power"))
+      .agg(sum(col("__e")).as("entropy_q"))
+  }
+
+  /** Dyadic-α exponential moving average per key — EWMA with
+    * α = 1/2^kShift so the ENTIRE recurrence runs on an exact integer
+    * grid (state S on the 2²⁰ sub-grid):
+    *
+    *   S_1 = x_1·Q,   S_t = S_{t−1} + ⌊(x_t·Q − S_{t−1}) / 2^k⌋
+    *
+    * — floor division implemented as (d − pmod(d, m)) div m, which
+    * both engines evaluate identically for NEGATIVE deltas too
+    * (decimal `div` truncates toward zero, `//` floors; subtracting
+    * the nonnegative pmod first makes the division an exact multiple
+    * so the disagreement vanishes). The whole smoother is therefore
+    * bit-reproducible and fully SQL-replayable (the oracle is a
+    * recursive CTE over (key, t)).
+    *
+    * A sequential recurrence cannot parallelize WITHIN a key: the fold
+    * runs inside one `aggregate` HOF over the key's collected bucket
+    * series, which is the documented bounded-grid contract (same as
+    * [[periodogram]]/acf — keys are unbounded, per-key grids are not).
+    *
+    * @return (key, bucket, x, ewma_q) — ewma_q on the x·2²⁰ grid
+    */
+  def ewmaDyadic(series: DataFrame, keyCol: String, bucketCol: String,
+                 xCol: String, kShift: Int): DataFrame = {
+    require(kShift >= 1 && kShift <= 16,
+      s"kShift ($kShift) must be in [1, 16]")
+    val q = 1L << 20
+    val m = 1L << kShift
+    val g = series
+      .select(col(keyCol).as("__k"),
+        struct(col(bucketCol).cast("long").as("b"),
+          col(xCol).cast("long").as("x")).as("__e"))
+      .na.drop()
+      .groupBy(col("__k"))
+      .agg(array_sort(collect_list(col("__e"))).as("__s"))
+    val states = expr(s"""
+      aggregate(__s, cast(array() as array<bigint>),
+        (acc, e) -> acc || array(CASE WHEN size(acc) = 0 THEN e.x * ${q}L
+          ELSE element_at(acc, -1) +
+            ((e.x * ${q}L - element_at(acc, -1)) -
+             pmod(e.x * ${q}L - element_at(acc, -1), ${m}L)) div ${m}L
+          END))""")
+    g.withColumn("__st", states)
+      .select(col("__k").as(keyCol),
+        posexplode(expr("arrays_zip(__s, __st)")))
+      .select(col(keyCol), col("col.__s.b").as("bucket"),
+        col("col.__s.x").as("x"), col("col.__st").as("ewma_q"))
+      .orderBy(col(keyCol), col("bucket"))
+  }
 }

@@ -1126,4 +1126,21 @@ class CurationSpec extends SparkSpec {
     assert(out.length === 1 && out.head.getString(0) === "h")
     assert(out.head.getLong(2) === 1000000L) // 4 distinct / 4
   }
+
+  test("kFoldPlan: content-keyed folds co-locate whitespace variants " +
+      "and cover all of [0, k)") {
+    val docs = Seq((1L, "a  b"), (2L, "A b "), (3L, " a B"),
+      (4L, "something else entirely here"), (5L, "third distinct text"),
+      (6L, "fourth distinct content"), (7L, "fifth one more"))
+      .toDF("doc_id", "text")
+    val out = Curation.kFoldPlan(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // whitespace/case variants of the same content share a fold
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    assert(out.values.forall(f => f >= 0 && f < 5))
+    // deterministic across invocations
+    val again = Curation.kFoldPlan(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === out)
+  }
 }

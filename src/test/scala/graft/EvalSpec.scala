@@ -634,4 +634,22 @@ class EvalSpec extends SparkSpec {
     assert(a.getLong(3) === b.getLong(3))
     assert(a.getLong(4) === b.getLong(4))
   }
+
+  test("rocPoints: hand-checked curve, perfect separator hits (0,1)") {
+    // scores 4,3 positive; 2,1 negative -> at thr 3: tp=2 fp=0
+    val df = Seq((4L, 1L), (3L, 1L), (2L, 0L), (1L, 0L))
+      .toDF("score", "y")
+    val out = Eval.rocPoints(df, "y", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(4L) === ((1L, 0L, 500000L, 0L)))
+    assert(out(3L) === ((2L, 0L, 1000000L, 0L)))
+    assert(out(2L) === ((2L, 1L, 1000000L, 500000L)))
+    assert(out(1L) === ((2L, 2L, 1000000L, 1000000L)))
+    // single-class input: the absent class's rate is NULL, not a crash
+    val onec = Seq((5L, 1L), (4L, 1L)).toDF("score", "y")
+    val r = Eval.rocPoints(onec, "y", "score").collect()
+    assert(r.forall(row => row.isNullAt(5)) && r.forall(!_.isNullAt(4)))
+  }
 }

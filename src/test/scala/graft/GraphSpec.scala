@@ -286,4 +286,52 @@ class GraphSpec extends SparkSpec {
     assert(out(3L) === 1156250L)
     assert(out(2L) > out(1L)) // the middle node collects both walks
   }
+
+  test("modularity: two clean communities score high, hand-checked") {
+    // two triangles joined by one bridge: communities = the triangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "c")
+    val out = Graph.modularity(edges, labels, "id", "c").collect()
+    // m2 = 14; per community: e2_in = 6, d_c = 7
+    // contrib = floor(1e9*(6*14 - 49)/196) = floor(1e9*35/196)
+    val want = 1000000000L * 35 / 196
+    out.foreach { r =>
+      assert(r.getLong(2) === 6L && r.getLong(3) === 7L)
+      assert(r.getLong(4) === want)
+      assert(r.getLong(5) === 2 * want)
+    }
+    // a random-ish partition scores lower than the natural one
+    val bad = Seq((1L, "x"), (2L, "y"), (3L, "x"),
+      (4L, "y"), (5L, "x"), (6L, "y")).toDF("id", "c")
+    val q2 = Graph.modularity(edges, bad, "id", "c")
+      .collect().head.getLong(5)
+    assert(q2 < 2 * want)
+  }
+
+  test("modularity: negative contributions floor (not truncate)") {
+    // one cross-community edge only: e2_in = 0, contrib < 0
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val labels = Seq((1L, "x"), (2L, "y")).toDF("id", "c")
+    val out = Graph.modularity(edges, labels, "id", "c").collect()
+    // m2 = 2, d_c = 1: contrib = floor(1e9*(0 - 1)/4) = -250000000
+    out.foreach(r => assert(r.getLong(4) === -250000000L))
+  }
+
+  test("harmonicCentrality: path graph hand-checked at 2 hops") {
+    // path 1-2-3-4: node 2 reaches {1,3} at d=1, {4} at d=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.harmonicCentrality(edges, hops = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((2L, 1500000L))) // 1/1 + 1/2
+    assert(out(2L) === ((3L, 2500000L))) // 1+1+1/2
+    assert(out(3L) === ((3L, 2500000L)))
+    assert(out(4L) === ((2L, 1500000L)))
+    // hops=1 is just degree * 1e6
+    val h1 = Graph.harmonicCentrality(edges, hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h1(2L) === 2000000L && h1(1L) === 1000000L)
+  }
 }

@@ -355,4 +355,38 @@ class LayoutAndResampleSpec extends SparkSpec {
     // full cycles of a constant sum to ~0 (quantization leaves crumbs)
     assert(out.forall(r => r.getLong(4) < 100L))
   }
+
+  test("spectralEntropy: one dominant cycle scores far below uniform") {
+    val cyc = (1 to 32).map(t => (t.toLong * 60L,
+      if (t % 4 == 0) 100L else 0L)).toDF("bucket", "x")
+    val r = TimeAgg.spectralEntropy(cyc, "bucket", "x", Seq(3, 4, 5, 8))
+      .collect().head
+    // near-total concentration at period 4 -> entropy near 0
+    assert(r.getLong(2) < 400000000L) // << ln(4) = 1.386e9 on the grid
+    // exact value matches the entropy kernel applied to the
+    // periodogram's own power table
+    val pw = TimeAgg.periodogram(cyc, "bucket", "x", Seq(3, 4, 5, 8))
+      .collect().map(_.getLong(4)).filter(_ > 0)
+    val t = pw.sum
+    val want = pw.map(p => math.floor(1.0e9 * p.toDouble *
+      math.log(t.toDouble / p.toDouble) / t.toDouble).toLong).sum
+    assert(r.getLong(2) === want && r.getLong(1) === t)
+  }
+
+  test("ewmaDyadic: exact integer recurrence, hand-unrolled") {
+    val df = Seq(("k", 1L, 8L), ("k", 2L, 0L), ("k", 3L, 16L))
+      .toDF("key", "bucket", "x")
+    val out = TimeAgg.ewmaDyadic(df, "key", "bucket", "x", kShift = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val q = 1L << 20
+    val s1 = 8 * q
+    val s2 = s1 + Math.floorDiv(0 * q - s1, 8)   // negative delta floors
+    val s3 = s2 + Math.floorDiv(16 * q - s2, 8)
+    assert(out(1L) === s1 && out(2L) === s2 && out(3L) === s3)
+    // constant series is a fixed point
+    val const = (1 to 5).map(i => ("c", i.toLong, 7L))
+      .toDF("key", "bucket", "x")
+    assert(TimeAgg.ewmaDyadic(const, "key", "bucket", "x", 3)
+      .collect().forall(_.getLong(3) === 7 * q))
+  }
 }
