@@ -940,6 +940,22 @@ class PlanQualitySpec extends SparkSpec {
     val aggIdx = plan.indexOf("Aggregate")
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"top-k window not over the aggregated grid:\n$plan")
+    // round 9: the gram generator is the native one-walk expression,
+    // not the HOF substring form that re-scans from byte 0 per window
+    assert(plan.contains("char_ngrams"),
+      s"native char_ngrams expression missing from the scan:\n$plan")
+  }
+
+  test("distinctNgramRatio: letCol binds ONE split per n-branch " +
+      "(the q215 interpreted-HOF retokenization guard)") {
+    val r = graft.operators.Segments.distinctNgramRatio(
+      spark.read.parquet(s"$dir/documents.parquet"), "lang", "text",
+      Seq(1, 2, 3))
+    val plan = r.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits <= 3,
+      s"tokenization re-inlined ($splits split() calls for 3 branches):\n" +
+        plan.take(4000))
   }
 
   test("kNN top-k plans a map-side PARTIAL WindowGroupLimit") {
