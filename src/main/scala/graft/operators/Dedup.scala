@@ -526,6 +526,9 @@ object Dedup {
     cand
       .join(norm.select(col("id").as("id_a"), col("__nt").as("__ta")), Seq("id_a"))
       .join(norm.select(col("id").as("id_b"), col("__nt").as("__tb")), Seq("id_b"))
+      // explicit width for the CPU-bound DP stage (the q222 note: AQE
+      // coalesces the byte-small candidate frame onto too few tasks)
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism)
       // UNBOUNDED fast kernel: the audit contract emits the exact
       // distance for rejected pairs too, so no early-exit — the win
       // here is FastLevenshtein's packed-int DP vs the builtin's
@@ -1334,7 +1337,12 @@ object Dedup {
     // CANNOT pass the cut, so dropping it before the kernel is
     // output-identical. On the q222 gate this prunes ~99% of the
     // window pairs at O(len) each.
+    // Explicit width for the DP stage: the candidate frame is small in
+    // BYTES (AQE coalesces a ~10 MB shuffle output to one task) but
+    // heavy in CPU (O(len²) per pair) — a user repartition is exempt
+    // from AQE coalescing, so the kernel keeps session parallelism.
     val scored = pairs
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__len",
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
       .withColumn("__thr",
