@@ -1123,6 +1123,52 @@ object ScaleProbe {
       }
     }
 
+    if (section("session12")) {
+      // modularity: symmetrize + 2 label joins + community-grid agg —
+      // expect linear in edges, flat in communities (label count fixed).
+      // harmonic h=2: frontier joins bounded by n·k² on a kNN graph —
+      // expect ~linear in vertices.
+      // ewma: per-key sequential fold over the bounded bucket grid —
+      // flat in events (grid fixed), linear in keys.
+      for (mult <- Seq(1, 4, 10)) {
+        val emb0 = spark.read
+          .parquet("/root/testdata/sf0.01/embeddings.parquet")
+        val emb = (0 until mult).map(r =>
+          emb0.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+            // rotate one dimension per replica so copies aren't twins
+            .withColumn("embedding", org.apache.spark.sql.functions.expr(
+              s"concat(slice(embedding, ${1 + (r % 4)}, " +
+                s"size(embedding) - ${r % 4}), " +
+                s"slice(embedding, 1, ${r % 4}))")))
+          .reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        val knn = operators.Similarity.cosineTopK(emb, emb, "vec_id",
+          "embedding", k = 5)
+        val canonical = knn.select(
+            least(col("query_id"), col("neighbor_id")).as("a"),
+            greatest(col("query_id"), col("neighbor_id")).as("b"))
+          .distinct().localCheckpoint(eager = false)
+        timedCount(s"modul   ${mult}x vertices (10 labels)",
+          operators.Graph.modularity(canonical,
+            emb.select(col("vec_id"), col("label")), "vec_id", "label"))
+        timedCount(s"harm2   ${mult}x vertices h=2",
+          operators.Graph.harmonicCentrality(canonical, hops = 2))
+        emb.unpersist()
+      }
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val evs = ev.withColumn("ts_us", operators.TimeAgg.epochMicros(ev))
+      for (keys <- Seq(5, 50)) {
+        val hourly = evs
+          .withColumn("k", pmod(col("user_id"), lit(keys.toLong)))
+          .withColumn("bucket",
+            operators.TimeAgg.timeBucketSec(col("ts_us"), 3600))
+          .groupBy(col("k"), col("bucket")).agg(count(lit(1)).as("x"))
+        timedCount(s"ewma    $keys keys hourly grid",
+          operators.TimeAgg.ewmaDyadic(hourly, "k", "bucket", "x", 3))
+      }
+    }
+
     spark.stop()
   }
 }
