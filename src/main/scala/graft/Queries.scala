@@ -14008,6 +14008,113 @@ object Queries {
           '\s+', ' ', 'g')), 1, 15))::BIGINT % 5 = 0 AS is_val_fold0
       FROM documents ORDER BY doc_id"""))
 
+  /** (q342) Luhn-validated PAN audit (Curation.luhnAudit scaladoc):
+    * digit runs 13–19 checked with the mod-10 checksum. Deterministic
+    * test vectors (one valid, one invalid, one valid) inject on both
+    * engines so both verdicts cut.
+    */
+  val q342Luhn = Q(
+    "q342_tx_luhn_audit",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("t2",
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 10 === 0, lit(" 4532015112830366"))
+            .when(col("doc_id") % 10 === 5, lit(" 4532015112830367"))
+            .when(col("doc_id") % 10 === 7, lit(" 4111111111111111"))
+            .otherwise(lit(""))))
+      Curation.luhnAudit(d, "doc_id", "t2")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, coalesce(text, '') ||
+               CASE WHEN doc_id % 10 = 0 THEN ' 4532015112830366'
+                    WHEN doc_id % 10 = 5 THEN ' 4532015112830367'
+                    WHEN doc_id % 10 = 7 THEN ' 4111111111111111'
+                    ELSE '' END AS t
+             FROM documents),
+      r AS (SELECT doc_id,
+              list_filter(regexp_extract_all(t, '[0-9]+'),
+                r -> length(r) >= 13 AND length(r) <= 19) AS runs
+            FROM d)
+      SELECT doc_id, CAST(len(runs) AS BIGINT) AS n_digit_runs,
+        CAST(len(list_filter(runs, r ->
+          list_sum(list_transform(range(1, length(r) + 1), i ->
+            CASE WHEN i % 2 = 1
+              THEN ascii(substr(r, length(r) + 1 - CAST(i AS INT), 1)) - 48
+              ELSE CASE WHEN (ascii(substr(r,
+                  length(r) + 1 - CAST(i AS INT), 1)) - 48) * 2 > 9
+                THEN (ascii(substr(r,
+                  length(r) + 1 - CAST(i AS INT), 1)) - 48) * 2 - 9
+                ELSE (ascii(substr(r,
+                  length(r) + 1 - CAST(i AS INT), 1)) - 48) * 2 END
+            END)) % 10 = 0)) AS BIGINT) AS n_luhn_valid
+      FROM r ORDER BY doc_id"""))
+
+  /** (q343) Frequency-ranked vocabulary id map
+    * (Curation.vocabIdMap scaladoc): top-200 corpus terms with
+    * contiguous rank ids.
+    */
+  val q343VocabIds = Q(
+    "q343_tx_vocab_ids",
+    (s, dir) =>
+      Curation.vocabIdMap(t(s, dir, "documents"), "text", 200),
+    Some("""
+      WITH tok AS (SELECT unnest(regexp_split_to_array(
+               lower(trim(text)), '\s+')) AS term
+             FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+            FROM tok WHERE length(term) > 0 GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT 200)
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+          AS BIGINT) AS vocab_id, term, freq
+      FROM c ORDER BY vocab_id"""))
+
+  /** (q344) High-entropy secret-token audit
+    * (Curation.secretTokenAudit scaladoc): base64/hex-shaped runs
+    * scored by quantized per-char entropy. A deterministic 34-char
+    * md5-hex key (flags, H ≈ ln 16) and a 2-symbol 20-char string
+    * (doesn't, H = ln 2) inject on both engines.
+    */
+  val q344Secrets = Q(
+    "q344_tx_secret_audit",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("t2",
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" sk"), md5(col("doc_id").cast("string"))))
+            .when(col("doc_id") % 7 === 3, lit(" aAaAaAaAaAaAaAaAaAaA"))
+            .otherwise(lit(""))))
+      Curation.secretTokenAudit(d, "doc_id", "t2")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, coalesce(text, '') ||
+               CASE WHEN doc_id % 7 = 0
+                 THEN ' sk' || md5(CAST(doc_id AS VARCHAR))
+                    WHEN doc_id % 7 = 3 THEN ' aAaAaAaAaAaAaAaAaAaA'
+                    ELSE '' END AS t
+             FROM documents),
+      tok AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\s+'))
+                AS tk FROM d),
+      cand AS (SELECT doc_id, tk FROM tok
+               WHERE regexp_matches(tk, '^[A-Za-z0-9+/=_-]{20,}$')),
+      ch AS (SELECT doc_id, tk,
+               unnest(list_transform(range(1, length(tk) + 1),
+                 i -> substr(tk, CAST(i AS INT), 1))) AS c
+             FROM cand),
+      cc AS (SELECT doc_id, tk, c, CAST(count(*) AS BIGINT) AS n_c
+             FROM ch GROUP BY 1, 2, 3),
+      pt AS (SELECT doc_id, tk,
+               CAST(sum(CAST(floor(1000000000.0 * CAST(n_c AS DOUBLE)
+                 * ln(CAST(n AS DOUBLE) / CAST(n_c AS DOUBLE))
+                 / CAST(n AS DOUBLE)) AS BIGINT)) AS BIGINT) AS h
+             FROM (SELECT *, sum(n_c) OVER (PARTITION BY doc_id, tk)
+                     AS n FROM cc)
+             GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        CAST(sum(CASE WHEN h >= 2500000000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        CAST(max(h) AS BIGINT) AS max_entropy_q
+      FROM pt GROUP BY doc_id ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -14104,5 +14211,6 @@ object Queries {
     q328DensityClusters, q329WilsonCi, q330TukeyFences, q331EbShrinkage,
     q332Overdispersion, q333Chapman, q334JackknifeRatio,
     q335MarginPairsIvf, q336Modularity, q337Harmonic,
-    q338SpectralEntropy, q339RocPoints, q340Ewma, q341KFold)
+    q338SpectralEntropy, q339RocPoints, q340Ewma, q341KFold,
+    q342Luhn, q343VocabIds, q344Secrets)
 }

@@ -1923,4 +1923,119 @@ object Curation {
       .withColumn("is_val_fold0", col("fold") === 0)
       .orderBy(col(idCol))
   }
+
+  /** Luhn-validated payment-card-number audit: contiguous digit runs
+    * of plausible PAN length (13–19) checked with the Luhn mod-10
+    * checksum — the verification step that separates real card
+    * numbers from phone numbers/ids and cuts the false-positive rate
+    * of a bare digit-run regex by ~10× (the PCI-scrubbing pre-pass a
+    * PII pipeline runs before redaction).
+    *
+    * Pure scan-stage: runs extract with one regexp pass; the checksum
+    * is an integer fold over ≤19 bound lambda chars (no re-inline —
+    * the run is a lambda variable). All-integer output.
+    *
+    * @return (id, n_digit_runs, n_luhn_valid) ordered by id
+    */
+  def luhnAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // extract MAXIMAL digit runs, then length-filter: a bounded-width
+    // regex ({13,19}) would carve the first 19 digits out of a longer
+    // run and miscount it as a candidate
+    val runs = expr(
+      s"filter(regexp_extract_all(coalesce($textCol, ''), '[0-9]+', 0), " +
+        "r -> length(r) >= 13 AND length(r) <= 19)")
+    val valid = expr("""
+      size(filter(__runs, r ->
+        aggregate(sequence(1, length(r)), 0,
+          (acc, i) -> acc + (CASE WHEN i % 2 = 1
+            THEN ascii(substring(r, length(r) + 1 - i, 1)) - 48
+            ELSE CASE WHEN (ascii(substring(r, length(r) + 1 - i, 1)) - 48) * 2 > 9
+              THEN (ascii(substring(r, length(r) + 1 - i, 1)) - 48) * 2 - 9
+              ELSE (ascii(substring(r, length(r) + 1 - i, 1)) - 48) * 2 END
+            END)) % 10 = 0))""")
+    docs.select(col(idCol), runs.as("__runs"))
+      .select(col(idCol), size(col("__runs")).cast("long").as("n_digit_runs"),
+        valid.cast("long").as("n_luhn_valid"))
+      .orderBy(col(idCol))
+  }
+
+  /** High-entropy token audit — the truffleHog-style secret detector:
+    * candidate tokens are base64/hex-shaped runs (≥ `minLen` chars of
+    * [A-Za-z0-9+/=_-]); each candidate's per-character Shannon entropy
+    * quantizes ⌊10⁹·(c/n)·ln(n/c)⌋ per distinct char (the standing
+    * entropy kernel — exact integer ratios into ln) and sums as longs,
+    * so the flag threshold is engine-exact. A 32-char hex API key
+    * scores ≈ ln 16 ≈ 2.77·10⁹; "aaaa…" scores 0.
+    *
+    * Plan: explode candidates → explode chars → one (id, token, char)
+    * hash agg → per-token entropy agg → per-doc rollup. Candidate
+    * tokens are rare and bounded, so the char explode is tiny relative
+    * to the corpus scan.
+    *
+    * @return (id, n_candidates, n_flagged, max_entropy_q) ordered by
+    *         id — only docs WITH candidates appear (inner shape;
+    *         callers left-join back if they need zeros)
+    */
+  def secretTokenAudit(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 20,
+                       flagEntropyQ: Long = 2500000000L): DataFrame = {
+    require(minLen >= 8, s"minLen ($minLen) must be >= 8")
+    val cand = docs
+      .select(col(idCol), explode(split(coalesce(col(textCol), lit("")),
+        "\\s+")).as("__tok"))
+      .filter(col("__tok").rlike(s"^[A-Za-z0-9+/=_-]{$minLen,}$$"))
+    // position-indexed char extraction (not split(t, '')) so both
+    // engines enumerate IDENTICAL char multisets; candidates are ≤ ~50
+    // ASCII chars so the per-position substring is trivial
+    val chars = cand
+      .select(col(idCol), col("__tok"),
+        explode(expr(
+          "transform(sequence(1, length(__tok)), i -> substring(__tok, i, 1))"))
+          .as("__ch"))
+      .groupBy(col(idCol), col("__tok"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    val perTok = chars
+      .withColumn("__n", sum(col("__c"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("__tok"))))
+      .select(col(idCol), col("__tok"),
+        floor(lit(1.0e9) * col("__c").cast("double") *
+          log(col("__n").cast("double") / col("__c").cast("double")) /
+          col("__n").cast("double")).cast("long").as("__e"))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(sum(col("__e")).as("__h"))
+    perTok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__h") >= flagEntropyQ, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(col("__h")).as("max_entropy_q"))
+      .orderBy(col(idCol))
+  }
+
+  /** Frequency-ranked vocabulary id map — the tokenizer-adjacent
+    * artifact every training pipeline materializes once: the top
+    * `vocabSize` corpus terms by (frequency desc, term asc) with their
+    * contiguous 1-based ids (rank order = id order, so embedding
+    * tables and frequency-bucketed dropout read straight off it).
+    *
+    * Plan: explode → one map-side-combined term count → TakeOrdered
+    * top-N → a window over N rows only (the zipfSlope shape).
+    *
+    * @return (vocab_id, term, freq) ordered by vocab_id
+    */
+  def vocabIdMap(docs: DataFrame, textCol: String,
+                 vocabSize: Int): DataFrame = {
+    require(vocabSize > 0 && vocabSize <= 1000000,
+      s"vocabSize ($vocabSize) must be in [1, 1000000]")
+    val counts = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term").asc)
+    counts.orderBy(col("freq").desc, col("term").asc).limit(vocabSize)
+      .withColumn("vocab_id", row_number().over(w).cast("long"))
+      .select(col("vocab_id"), col("term"), col("freq"))
+      .orderBy(col("vocab_id"))
+  }
 }

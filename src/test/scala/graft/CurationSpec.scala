@@ -1143,4 +1143,52 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again === out)
   }
+
+  test("luhnAudit: textbook vectors validate, off-by-one fails, " +
+      "short/long runs never candidates") {
+    val docs = Seq(
+      (1L, "pay 4532015112830366 now"),        // valid PAN
+      (2L, "id 4532015112830367 here"),        // checksum off by one
+      (3L, "num 4111111111111111 and 79927398713"), // valid + 11-digit (not a candidate)
+      (4L, "12345678901234567890123 too long"), // 23 digits: not a candidate
+      (5L, "no digits at all"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.luhnAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(2L) === ((1L, 0L)))
+    assert(out(3L) === ((1L, 1L))) // the 11-digit run is below PAN length
+    assert(out(4L) === ((0L, 0L)))
+    assert(out(5L) === ((0L, 0L)) && out(6L) === ((0L, 0L)))
+  }
+
+  test("secretTokenAudit: hex key flags, repeated-alphabet string " +
+      "scores exactly ln 2, short tokens never candidates") {
+    val key = "deadbeef0123456789abcdef01234567" // 32 hex chars
+    val docs = Seq(
+      (1L, s"token $key end"),
+      (2L, "word aAaAaAaAaAaAaAaAaAaA tail"), // 20 chars, 2 symbols
+      (3L, "short b64run123 under the length floor"))
+      .toDF("doc_id", "text")
+    val out = Curation.secretTokenAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 === 1L && out(1L)._2 === 1L)
+    assert(out(1L)._3 > 2500000000L)
+    // two equally-frequent symbols: H = 2 * floor(1e9 * 0.5 * ln 2)
+    val ln2 = math.floor(1.0e9 * 0.5 * math.log(2.0)).toLong
+    assert(out(2L) === ((1L, 0L, 2 * ln2)))
+    assert(!out.contains(3L)) // no candidates -> no row (inner shape)
+  }
+
+  test("vocabIdMap: ids are contiguous frequency ranks with " +
+      "deterministic term tie-break") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
+    val out = Curation.vocabIdMap(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // a: 3, b: 3, c: 2 -> tie (a, b) breaks term-ascending
+    assert(out.toSeq === Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 2L)))
+  }
 }
