@@ -7216,13 +7216,19 @@ object Queries {
     * over embeddings (q28's cosine formula + rank).
     */
   /** All-pairs cosine + top-5 as a shared oracle fragment. The q05
-    * treatment for the 10× scale point: norms precompute ONCE per
-    * vector and the per-pair kernel is DuckDB's native
-    * `list_dot_product` — verified BITWISE-identical to the
-    * sequential `list_sum(list_transform(range…))` lambda on every
-    * sf0.1 pair (zero diff rows over 4M pairs) and ~100× faster
-    * (38.8 s → 0.4 s at sf0.1), which turns the 10× point's ~65 min
-    * all-pairs stage into ~40 s.
+    * treatment for the 10× scale point, two fixes:
+    * (1) norms precompute ONCE per vector and the per-pair kernel is
+    * DuckDB's native `list_dot_product` — verified BITWISE-identical
+    * to the sequential `list_sum(list_transform(range…))` lambda on
+    * every sf0.1 pair (zero diff rows over 4M pairs); the scoring
+    * stage drops to 1.9 s at sf1.
+    * (2) the top-5 rank runs a two-pass bucket prune (the engine's
+    * exactRanks trick): coarse ⌊100·cos⌋ counts find each query's
+    * 5th-best bucket, the row_number window then sorts only the
+    * ~bucket-sized survivors instead of all N−1 neighbors — 318 s →
+    * 9.8 s at sf1 (20k vectors / 400M pairs), output verified
+    * row-identical to the plain window at sf0.1. `knn` is
+    * MATERIALIZED so multi-reference oracles compute it once.
     */
   private val KnnCte = """
       nv AS (SELECT vec_id,
@@ -7234,10 +7240,22 @@ object Queries {
       sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           list_dot_product(q.e, c.e) / NULLIF(q.nrm * c.nrm, 0) AS cos
         FROM nv q JOIN nv c ON q.vec_id <> c.vec_id),
-      knn AS (SELECT query_id, neighbor_id FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                  ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
-              WHERE rn <= 5)"""
+      th AS (SELECT query_id, max(b) AS tb FROM (
+               SELECT query_id, b,
+                 sum(cnt) OVER (PARTITION BY query_id ORDER BY b DESC)
+                   AS cum
+               FROM (SELECT query_id, CAST(floor(100 * cos) AS INT) AS b,
+                       count(*) AS cnt
+                     FROM sc WHERE cos IS NOT NULL GROUP BY 1, 2))
+             WHERE cum >= 5 GROUP BY query_id),
+      knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+              SELECT sc.query_id, sc.neighbor_id, sc.cos,
+                row_number() OVER (PARTITION BY sc.query_id
+                  ORDER BY sc.cos DESC, sc.neighbor_id ASC) AS rn
+              FROM sc LEFT JOIN th USING (query_id)
+              WHERE sc.cos IS NOT NULL
+                AND (th.tb IS NULL OR floor(100 * sc.cos) >= th.tb))
+            WHERE rn <= 5)"""
 
   /** (q185) Bounded-round label propagation (Graph.labelPropagate
     * scaladoc): 20 % seeded labels spread over the directed 5-NN graph
