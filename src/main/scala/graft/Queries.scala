@@ -7248,7 +7248,7 @@ object Queries {
                        count(*) AS cnt
                      FROM sc WHERE cos IS NOT NULL GROUP BY 1, 2))
              WHERE cum >= 5 GROUP BY query_id),
-      knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+      knn AS MATERIALIZED (SELECT query_id, neighbor_id, cos FROM (
               SELECT sc.query_id, sc.neighbor_id, sc.cos,
                 row_number() OVER (PARTITION BY sc.query_id
                   ORDER BY sc.cos DESC, sc.neighbor_id ASC) AS rn
@@ -8682,8 +8682,9 @@ object Queries {
                 AS pos
             FROM b),
       pr AS (SELECT a.id AS id_a, bb.id AS id_b,
-               CAST(bb.pos - a.pos AS INT) AS gap, a.t AS ta, bb.t AS tb
-             FROM p a JOIN p bb ON bb.pos - a.pos BETWEEN 1 AND 3),
+               CAST(g.g AS INT) AS gap, a.t AS ta, bb.t AS tb
+             FROM p a CROSS JOIN (SELECT unnest(range(1, 4)) AS g) g
+             JOIN p bb ON bb.pos = a.pos + g.g),
       sc AS (SELECT id_a, id_b, gap,
                CASE WHEN greatest(length(ta), length(tb)) = 0
                  THEN CAST(1000000 AS BIGINT)
@@ -13336,10 +13337,7 @@ object Queries {
         "vec_id", "embedding", k = 5),
     Some(s"""
       WITH $KnnCte,
-      k5 AS (SELECT query_id, neighbor_id, cos FROM (
-               SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
-             WHERE rn <= 5),
+      k5 AS (SELECT query_id, neighbor_id, cos FROM knn),
       kq AS (SELECT query_id, neighbor_id,
                CAST(floor(1000000.0 * cos) AS BIGINT) AS cq FROM k5),
       core AS (SELECT query_id AS id,
@@ -13535,10 +13533,7 @@ object Queries {
     },
     Some(s"""
       WITH RECURSIVE $KnnCte,
-      k5 AS (SELECT query_id, neighbor_id, cos FROM (
-               SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY cos DESC, neighbor_id ASC) AS rn FROM sc)
-             WHERE rn <= 5),
+      k5 AS (SELECT query_id, neighbor_id, cos FROM knn),
       kq AS (SELECT query_id, neighbor_id,
                CAST(floor(1000000.0 * cos) AS BIGINT) AS cq FROM k5),
       core AS (SELECT query_id AS id, min(cq) AS core
