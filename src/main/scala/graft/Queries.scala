@@ -2700,12 +2700,15 @@ object Queries {
           st.b0 - 2.0 * ((CAST(g.g0 AS DOUBLE) / 1048576.0) / g.n),
           st.wl - 2.0 * ((CAST(g.g1 AS DOUBLE) / 1048576.0) / g.n)
         FROM st, LATERAL (
-          WITH m AS (
-            SELECT doc_id, label, n_d, s, mult,
-              CASE WHEN s IS NULL THEN CAST(0 AS BIGINT)
-                ELSE CAST(floor(st.cs[s] * 1073741824.0) AS BIGINT)
+          WITH cw AS (
+            SELECT CAST(generate_subscripts(st.cs, 1) AS INT) AS s,
+              unnest(st.cs) AS c),
+          m AS (
+            SELECT t.doc_id, t.label, t.n_d, t.s, t.mult,
+              CASE WHEN t.s IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(cw.c * 1073741824.0) AS BIGINT)
               END AS cq
-            FROM toks),
+            FROM toks t LEFT JOIN cw ON cw.s = t.s),
           d AS (
             SELECT *,
               SUM(cq * mult) OVER (PARTITION BY doc_id) AS sqd,
@@ -2734,11 +2737,11 @@ object Queries {
                 * 16777216.0) AS BIGINT) * mult) AS BIGINT) AS gj
             FROM rr WHERE s IS NOT NULL GROUP BY s),
           nc AS (
-            SELECT sl.s,
-              st.cs[sl.s] - 2.0 * ((CAST(coalesce(gs.gj, 0) AS DOUBLE)
+            SELECT cw.s,
+              cw.c - 2.0 * ((CAST(coalesce(gs.gj, 0) AS DOUBLE)
                 / 16777216.0) / (SELECT n FROM ntr)
-                + 0.001 * st.cs[sl.s]) AS cnew
-            FROM slots sl LEFT JOIN gs ON gs.s = sl.s)
+                + 0.001 * cw.c) AS cnew
+            FROM cw LEFT JOIN gs ON gs.s = cw.s)
           SELECT (SELECT list(cnew ORDER BY s) FROM nc) AS ncs,
             (SELECT g0 FROM gg) AS g0, (SELECT g1 FROM gg) AS g1,
             (SELECT n FROM ntr) AS n
@@ -2752,11 +2755,15 @@ object Queries {
                ON slots.b = ('0x' || substr(md5(t.term), 1, 15))::BIGINT
                  % 32768
              WHERE NOT tt.is_train),
-      sq AS (SELECT doc_id, has_kw, n_d,
-               CAST(sum(CASE WHEN s IS NULL THEN 0
-                 ELSE CAST(floor((SELECT cs FROM fin)[s] * 1073741824.0)
+      fcw AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
+                unnest(cs) AS c
+              FROM fin),
+      sq AS (SELECT sb.doc_id, sb.has_kw, sb.n_d,
+               CAST(sum(CASE WHEN sb.s IS NULL THEN 0
+                 ELSE CAST(floor(fcw.c * 1073741824.0)
                    AS BIGINT) END) AS BIGINT) AS sqd
-             FROM sb GROUP BY 1, 2, 3),
+             FROM sb LEFT JOIN fcw ON fcw.s = sb.s
+             GROUP BY 1, 2, 3),
       sall AS (SELECT doc_id, has_kw, n_d, sqd FROM sq
                UNION ALL
                SELECT doc_id, has_kw, 0, CAST(0 AS BIGINT) FROM tt
