@@ -10075,8 +10075,12 @@ object Queries {
         "text", window = 2, minCount = 5L, rounds = 3)
         .orderBy("term"),
     Some {
+      // each round is MATERIALIZED: the recurrence references the
+      // previous round TWICE, and DuckDB re-executes an inlined CTE
+      // per reference — 3 rounds re-ran the pair explode ~8x and blew
+      // the 10x point past 1200 s
       val iter = (p: String, o: String) => s"""
-      $o AS (SELECT p.u, p.deg, p.n,
+      $o AS MATERIALIZED (SELECT p.u, p.deg, p.n,
                (3000000000000 // (20 * p.n)) + c.inc AS r
              FROM $p p JOIN (
                SELECT s.v AS u,
@@ -10096,11 +10100,11 @@ object Queries {
                 least(t1.i + 2, len(ts)) + 1)) t2(j)),
       ed AS (SELECT a, b FROM (SELECT a, b, count(*) AS c FROM p
                GROUP BY a, b) WHERE c >= 5 AND a <> b),
-      sym AS (SELECT a AS u, b AS v FROM ed
+      sym AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
               UNION ALL SELECT b AS u, a AS v FROM ed),
       dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dg),
-      r0 AS (SELECT u, deg, n, 1000000000000 // n AS r
+      r0 AS MATERIALIZED (SELECT u, deg, n, 1000000000000 // n AS r
              FROM dg CROSS JOIN nn),
       ${iter("r0", "r1")},
       ${iter("r1", "r2")},
