@@ -57,6 +57,18 @@ object TextFns {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Upper bound on Jaro–Winkler — native codegen'd
+    * ([[graft.plans.JaroWinklerUpperBound]]): O(n) byte-walk
+    * common-character bound, guaranteed ≥ the true similarity. The
+    * scan-cost pre-filter in front of the full greedy-matching kernel
+    * in blocked linkage.
+    */
+  def jaroWinklerBound(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.JaroWinklerUpperBound(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Bag-distance lower bound on Levenshtein — native codegen'd
     * ([[graft.plans.BagDistanceBound]]): O(n) byte-walk character-bag
     * difference, guaranteed ≤ the true edit distance. The scan-cost
@@ -91,6 +103,20 @@ object TextFns {
   def charNgrams(text: Column, n: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.CharNgrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** Distinct word n-gram shingles, native codegen'd
+    * ([[graft.plans.WordNgrams]]): one byte walk — value-identical to
+    * the composable `array_distinct(transform(sequence(...),
+    * i -> array_join(slice(split(lower(trim(t)), "\s+"), i, n), " ")))`
+    * form, which materializes a token array plus a slice copy and an
+    * array_join build per window (the q23 shingle-construction cost).
+    * NULL text → NULL (see [[graft.operators.Dedup.shingles]] for the
+    * NULL→empty coercion the dedup pipelines layer on).
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.WordNgrams(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
   /** BPE-ish subword count estimate: word-piece regex split (letters /

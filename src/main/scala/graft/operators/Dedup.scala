@@ -30,8 +30,22 @@ object Dedup {
   private[operators] def letCol(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles of a text column — native one-walk
+    * kernel ([[graft.plans.WordNgrams]]); NULL text coerces to an empty
+    * array (the historical HOF form's `when` guard took NULL down the
+    * otherwise-branch). Value-identical to [[shinglesHof]], locked by
+    * DedupSpec's equivalence property.
+    */
+  def shingles(text: Column, n: Int): Column =
+    coalesce(graft.functions.TextFns.wordNgrams(text, n),
+      array().cast("array<string>"))
+
+  /** The composable higher-order form of [[shingles]] — kept as the
+    * equivalence-spec reference (interpreted lambdas: one slice copy +
+    * array_join build per window; the native kernel replaced it on the
+    * hot path).
+    */
+  private[graft] def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val cnt  = greatest(size(toks) - lit(n - 1), lit(0))
     when(cnt > 0,
@@ -516,13 +530,6 @@ object Dedup {
     // the normalized text back per candidate side
     val norm = df.select(col(idCol).as("id"),
       lower(trim(col(textCol))).as("__nt"))
-    // Hybrid thresholded kernel: the audit contract emits the EXACT
-    // distance for rejected pairs too, so a bare early-exit (−1 past
-    // the bound) would change the output. Instead: banded O(thr·len)
-    // first — exact whenever d ≤ ⌈(1−minEditSim)·maxLen⌉, i.e. for
-    // every is_dup pair (LSH candidates are mostly true dups) — and
-    // the O(len²) unbounded form only on the −1 rows (CaseWhen codegen
-    // is lazy, so the fallback never runs on the fast path).
     cand
       .join(norm.select(col("id").as("id_a"), col("__nt").as("__ta")), Seq("id_a"))
       .join(norm.select(col("id").as("id_b"), col("__nt").as("__tb")), Seq("id_b"))

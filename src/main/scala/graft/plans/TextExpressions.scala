@@ -175,6 +175,90 @@ object JaroWinklerSim {
   }
 }
 
+/** Native codegen'd UPPER BOUND on [[JaroWinklerSim]] — the O(|a|+|b|)
+  * pre-filter that lets a blocked linkage verifier skip the
+  * O(|a|·window) greedy-matching kernel on pairs that cannot possibly
+  * reach the similarity cut (the [[BagDistanceBound]] recipe, adapted
+  * to the Jaro family).
+  *
+  * Bound derivation: Jaro's matched-character count m is at most the
+  * common-character count c = Σ_ch min(count_a(ch), count_b(ch)) over
+  * character multisets (every matched position consumes one common
+  * character), and transpositions only lower the score, so
+  * j ≤ (c/|a| + c/|b| + 1)/3 (c > 0; c = 0 forces j = 0). Characters
+  * bucket by UTF-8 LEAD byte (continuation bytes skipped — one count
+  * per code point, no decoding): bucketing is an alphabet projection,
+  * which only GROWS the min-sum, so the bound stays valid for any
+  * Unicode input. The Winkler boost maps j to at most
+  * 0.6·j + 0.4 (prefix length capped at 4), applied whenever the
+  * bound exceeds 0.7 — monotone in j, so bounding j bounds jw.
+  * Guarantee: jw_bound(a, b) ≥ jaro_winkler(a, b); a pair with
+  * bound < threshold drops without running the full kernel, and the
+  * survivors' similarities are computed exactly — output-identical,
+  * scan-cost pruning (locked by a JaroWinklerSpec dominance property).
+  */
+case class JaroWinklerUpperBound(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string) arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler_bound"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerUpperBound.bound(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.JaroWinklerUpperBound.bound($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(newLeft, newRight)
+}
+
+object JaroWinklerUpperBound {
+
+  /** See [[JaroWinklerUpperBound]] for the bound proof. One 256-slot
+    * count array, two byte walks, one fold — no decode.
+    */
+  def bound(a: UTF8String, b: UTF8String): Double = {
+    val cnt = new Array[Int](256)
+    val na0 = a.numBytes()
+    val nb0 = b.numBytes()
+    var la = 0
+    var lb = 0
+    var i = 0
+    while (i < na0) {
+      val x = a.getByte(i) & 0xFF
+      if ((x & 0xC0) != 0x80) { cnt(x) += 1; la += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < nb0) {
+      val x = b.getByte(i) & 0xFF
+      if ((x & 0xC0) != 0x80) { cnt(x) -= 1; lb += 1 }
+      i += 1
+    }
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    // c = Σ min(countA, countB) = la − Σ_positive-diff
+    var posDiff = 0
+    var j = 0
+    while (j < 256) { if (cnt(j) > 0) posDiff += cnt(j); j += 1 }
+    val c = la - posDiff
+    if (c <= 0) return 0.0
+    val jb = (c.toDouble / la + c.toDouble / lb + 1.0) / 3.0
+    if (jb > 0.7) 0.6 * jb + 0.4 else jb
+  }
+}
+
 /** Native codegen'd Unicode NFC normalization — the canonical-
   * composition pass every dedup/fingerprint stage needs BEFORE
   * hashing (the same visible text arrives as precomposed é or as
@@ -554,6 +638,118 @@ object CharNgrams {
   }
 }
 
+/** Native codegen'd distinct word n-gram shingles — the scan stage of
+  * every shingle-based dedup pipeline (n-gram Jaccard, MinHash/LSH,
+  * decontamination, winnowing).
+  *
+  * The composable form — `array_distinct(transform(sequence(1,
+  * size(toks)−n+1), i -> array_join(slice(toks, i, n), ' ')))` over
+  * `toks = split(lower(trim(t)), '\s+')` — is an interpreted
+  * higher-order lambda that materializes the full token array, then
+  * per WINDOW allocates a slice copy plus an array_join string build
+  * (q23's measured cost: the explode feeding candidate generation is
+  * dominated by shingle construction, not the join). This expression
+  * walks the bytes ONCE: space-trim, lowercase, record token byte
+  * boundaries, then copy each window's bytes straight into its output
+  * string — no token-array objects, no slice copies, no interpreted
+  * lambda dispatch.
+  *
+  * Result semantics are IDENTICAL to the composable form (locked by a
+  * TextFnsSpec equivalence property over unicode/whitespace-edge
+  * inputs, and to the DuckDB oracle's string_split_regex mirror):
+  *  - SQL trim strips 0x20 spaces ONLY; other ASCII whitespace at the
+  *    ends survives into split, which (limit −1) keeps the resulting
+  *    empty edge pieces as tokens ("" participates in shingles).
+  *  - Java's `\s` is ASCII-only ([ \t\n\x0B\f\r]) — multi-byte UTF-8
+  *    never matches, so tokenization needs no decoding; lowercasing
+  *    uses the same UTF8String.toLowerCase as the builtin `lower`.
+  *  - Windows are space-joined; duplicates drop with first-occurrence
+  *    order kept (array_distinct semantics).
+  *  - Fewer than n tokens → empty array. NULL → NULL (callers wanting
+  *    the HOF form's NULL→empty coercion add a coalesce — see
+  *    [[graft.operators.Dedup.shingles]]).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 16, s"n ($n) must be in [1, 16]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.grams(input.asInstanceOf[UTF8String], n)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WordNgrams.grams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private def isWs(b: Byte): Boolean = // Java regex \s (ASCII-only)
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** See [[WordNgrams]] for the semantics contract. */
+  def grams(s0: UTF8String,
+            n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // lower(trim(t)): same kernels the builtins use (trim = 0x20 only;
+    // lowercase never creates/removes ASCII whitespace, so token
+    // boundaries computed after are identical to the composable form)
+    val s = s0.trim().toLowerCase()
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // token boundaries, Java split(regex="\s+", limit=-1) semantics:
+    // leading/trailing empty pieces kept when the edge char is
+    // (non-space) whitespace; empty input is one empty token
+    val starts = new java.util.ArrayList[Integer]()
+    val ends   = new java.util.ArrayList[Integer]()
+    var start = 0
+    var i = 0
+    while (i < nb) {
+      if (isWs(bytes(i))) {
+        starts.add(start); ends.add(i)
+        while (i < nb && isWs(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    starts.add(start); ends.add(nb) // final piece ("" if ws-terminated/empty)
+    val nt = starts.size()
+    val count = nt - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var k = 0
+    while (k < count) {
+      var len = n - 1 // the joining spaces
+      var j = 0
+      while (j < n) { len += ends.get(k + j) - starts.get(k + j); j += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { out(pos) = ' '; pos += 1 }
+        val from = starts.get(k + j)
+        val tl = ends.get(k + j) - from
+        System.arraycopy(bytes, from, out, pos, tl)
+        pos += tl
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}
+
 /** Registry for the text expressions (merged into [[GraftFunctions]] /
   * [[GraftExtensions]]).
   */
@@ -567,9 +763,23 @@ object TextExpressionFunctions {
         require(c.length == 2, s"jaro_winkler takes 2 arguments, got ${c.length}")
         JaroWinklerSim(c(0), c(1)): Expression
       }),
+      ("jaro_winkler_bound", (c: Seq[Expression]) => {
+        require(c.length == 2,
+          s"jaro_winkler_bound takes 2 arguments, got ${c.length}")
+        JaroWinklerUpperBound(c(0), c(1)): Expression
+      }),
       ("bag_dist_bound", (c: Seq[Expression]) => {
         require(c.length == 2, s"bag_dist_bound takes 2 arguments, got ${c.length}")
         BagDistanceBound(c(0), c(1)): Expression
+      }),
+      ("word_ngrams", (c: Seq[Expression]) => {
+        require(c.length == 2, s"word_ngrams takes 2 arguments, got ${c.length}")
+        val n = c(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an int literal, got $other")
+        }
+        WordNgrams(c(0), n): Expression
       }),
       ("char_ngrams", (c: Seq[Expression]) => {
         require(c.length == 2, s"char_ngrams takes 2 arguments, got ${c.length}")

@@ -946,6 +946,23 @@ class PlanQualitySpec extends SparkSpec {
       s"native char_ngrams expression missing from the scan:\n$plan")
   }
 
+  test("explodedShingles: shingle generation is the native word_ngrams " +
+      "one-walk kernel, not the HOF split/slice/array_join chain") {
+    // pin the pre-snapshot frame (ngramJaccard/minHashLsh localCheckpoint
+    // it, which hides the scan expression behind a LogicalRDD)
+    val r = graft.operators.Dedup.explodedShingles(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      shingleN = 3)
+    val plan = r.queryExecution.optimizedPlan.toString
+    assert(plan.contains("word_ngrams"),
+      s"native word_ngrams expression missing from the shingle scan:\n" +
+        plan.take(4000))
+    // the old form materialized a token array + per-window slice/join:
+    // none of that machinery should survive in the shingle stage
+    assert(!plan.contains("array_join") && !plan.contains("slice("),
+      s"HOF shingle build still in the plan:\n${plan.take(4000)}")
+  }
+
   test("distinctNgramRatio: letCol binds ONE split per n-branch " +
       "(the q215 interpreted-HOF retokenization guard)") {
     val r = graft.operators.Segments.distinctNgramRatio(

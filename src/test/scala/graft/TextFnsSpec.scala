@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.operators.Dedup
 
 class TextFnsSpec extends SparkSpec {
   import spark.implicits._
@@ -268,6 +269,34 @@ class TextFnsSpec extends SparkSpec {
     // null propagates
     assert(Seq[String](null).toDF("t")
       .select(TextFns.charNgrams(col("t"), 3)).collect().head.isNullAt(0))
+  }
+
+  test("wordNgrams ≡ the HOF split/slice/array_join shingle form on " +
+      "random whitespace-heavy unicode and every edge fixture") {
+    val rnd = new scala.util.Random(23)
+    // alphabet stresses every tokenizer edge: all five Java-\s ASCII
+    // whitespace chars, case folding, multi-byte (incl. a char whose
+    // lowercase differs), repeated words (distinct-order check)
+    val alpha = "aAbB éÉ漢\t\n\f\r  the the"
+    def doc(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val rows: Seq[String] = (1 to 300).map(_ => doc(rnd.nextInt(60))) ++
+      Seq("", " ", "\t", "a", "a b", "a b c", "\tlead", "trail\t",
+        " pad ", "a  b\t\nc", "x x x x", "ÉÉ éé Éé")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = rows.toDF("t")
+      val got = df.select(Dedup.shingles(col("t"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val ref = df.select(Dedup.shinglesHof(col("t"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(got === ref, s"n=$n")
+    }
+    // NULL text coerces to empty (the HOF when-guard behavior)
+    assert(Seq[String](null).toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]]
+      .collect().head === Seq.empty[String])
+    // the raw expression propagates NULL (documented contract)
+    assert(Seq[String](null).toDF("t")
+      .select(TextFns.wordNgrams(col("t"), 3)).collect().head.isNullAt(0))
   }
 
   test("bagDistBound is a true lower bound on levenshtein and exact " +
