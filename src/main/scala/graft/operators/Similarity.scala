@@ -997,6 +997,13 @@ object Similarity {
       blockOf(col(nameCol)).as("__blk"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
+      // O(n) upper-bound prune before the O(n·window) kernel
+      // ([[graft.plans.JaroWinklerUpperBound]]): bound ≥ true sim, so
+      // dropping bound-below-threshold pairs is output-identical (the
+      // q222 bag-bound recipe; equivalence pinned in JaroWinklerSpec)
+      .filter(floor(lit(1000000.0) *
+        graft.functions.TextFns.jaroWinklerBound(col("__na"), col("__nb")))
+        .cast("long") >= simQMin)
       .withColumn("sim_q",
         floor(lit(1000000.0) *
           graft.functions.TextFns.jaroWinkler(col("__na"), col("__nb")))

@@ -57,6 +57,49 @@ class JaroWinklerSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("jaroWinklerBound dominates the true similarity on random " +
+      "unicode strings (the prune-validity property)") {
+    val rnd = new scala.util.Random(37)
+    val alpha = "abcdeé漢 zy"
+    def word(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (1 to 400).map(_ =>
+      (word(rnd.nextInt(20)), word(rnd.nextInt(20)))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("martha", "marhta"),
+        ("same", "same"), ("aaa", "zzz"))
+    val out = pairs.toDF("a", "b").select(
+      TextFns.jaroWinklerBound(col("a"), col("b")).as("ub"),
+      TextFns.jaroWinkler(col("a"), col("b")).as("sim")).collect()
+    out.foreach(r => assert(r.getDouble(0) >= r.getDouble(1),
+      s"bound ${r.getDouble(0)} < sim ${r.getDouble(1)}"))
+    // identical strings: bound is tight at 1.0
+    assert(jw("same", "same") === 1.0)
+  }
+
+  test("blockedLinkage prune ≡ no-prune: the bound filter drops no " +
+      "accepted pair at any threshold") {
+    val rnd = new scala.util.Random(41)
+    val nouns = Seq("bolt", "gear", "ring")
+    val adjs = Seq("red", "rod", "blue", "bleu", "green", "grene", "teal")
+    val rows = (1 to 60).map(i =>
+      (i.toLong, s"${adjs(rnd.nextInt(adjs.length))} ${nouns(rnd.nextInt(nouns.length))}"))
+    val df = rows.toDF("id", "name")
+    for (thr <- Seq(0L, 600000L, 900000L)) {
+      val got = Similarity.blockedLinkage(df, "id", "name",
+        n => element_at(split(n, " "), -1), simQMin = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: same block join + full JW, NO prune
+      val ref = df.as[(Long, String)].collect().toSeq
+      val blocks = ref.groupBy(_._2.split(" ").last)
+      val expect = blocks.values.flatMap { g =>
+        for {
+          (ia, na) <- g; (ib, nb) <- g if ia < ib
+          sq = math.floor(1000000.0 * jw(na, nb)).toLong if sq >= thr
+        } yield (ia, ib, sq)
+      }.toSet
+      assert(got === expect, s"thr=$thr")
+    }
+  }
+
   test("blockedLinkage: blocks bound candidates, threshold filters, id_a < id_b") {
     val df = Seq((1L, "red bolt"), (2L, "rod bolt"), (3L, "red gear"),
       (4L, "blue bolt")).toDF("id", "name")
