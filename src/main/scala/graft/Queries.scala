@@ -2642,10 +2642,17 @@ object Queries {
       // exactly-agreed doubles (the q299/q309 cross-engine contract) —
       // so the full 30-iteration loop replays in DuckDB as a recursive
       // CTE carrying (coefficients[], b0, wl) one row per iteration.
+      // NULL-text contract (both arms): the label is text-derived BY
+      // CONSTRUCTION (documents carries no label column), so a NULL
+      // text yields has_kw = NULL but trains/scores as label 0 with an
+      // empty term array — the coalesce below keeps the non-nullable
+      // Double encoder from rejecting the row, and the oracle's
+      // coalesce(split, []) keeps the same docs on its n_d = 0 path
+      // instead of vanishing through unnest(NULL)
       val docs = t(s, dir, "documents")
       val kw = array_contains(TextFns.tokens(col("text")), "spark")
       val train = docs.filter(col("doc_id") % 2 === 0)
-        .withColumn("label", kw.cast("double"))
+        .withColumn("label", coalesce(kw, lit(false)).cast("double"))
       val model = operators.QualityClassifier.trainQuantized(
         train, "text", "label",
         numFeatures = 1 << 15, maxIter = 30, stepSize = 2.0,
@@ -2661,7 +2668,8 @@ object Queries {
       WITH RECURSIVE
       t0 AS (SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\s+') AS rawt,
-               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               list_filter(coalesce(
+                   regexp_split_to_array(lower(trim(text)), '\s+'), []),
                  t -> t <> 'spark') AS u,
                doc_id % 2 = 0 AS is_train
              FROM documents),
@@ -6839,6 +6847,165 @@ object Queries {
         .orderBy("a_id")
     },
     Some(MarginOracleSql))
+
+  /** (q345) Margin mining in the APPROXIMATE IVF regime (nprobe 3 of
+    * 8 — the production setting, vs q335's exact-recall nprobe =
+    * nClusters), audited against the brute arm with the measured
+    * recall itself hash-checked (the q107 pattern lifted to the
+    * margin-pairs path): the oracle replays the whole IVF machinery —
+    * first-8-by-id centroids per corpus side, nearest-centroid
+    * assignment, top-3 probe routing, within-cluster exact cosine,
+    * rank-ordered k-sums, the margin division — in SQL for BOTH
+    * directions, plus the q176 brute algebra, and compares the two
+    * best-pair sets. Output is one row: pair counts from each arm,
+    * exact-pair hits, and ⌊10⁶·recall⌋.
+    */
+  val q345IvfMarginRecall = Q(
+    "q345_ann_ivf_margin_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("label") % 2 === 0)
+      val b = emb.filter(col("label") % 2 === 1)
+      val brute = Similarity.marginPairs(a, b, "vec_id", "embedding",
+        k = 4, minMarginQ = 1000000L)
+      val ivf = Similarity.marginPairs(a, b, "vec_id", "embedding",
+        k = 4, minMarginQ = 1000000L,
+        topK = (qq, cc, id, v, kk) =>
+          Similarity.ivfTopK(qq, cc, id, v, kk, nClusters = 8, nprobe = 3))
+      val hits = brute.select(col("a_id"), col("b_id"))
+        .join(ivf.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"))
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(ivf.agg(count(lit(1)).as("n_ivf")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_pair_hits")))
+        .select(col("n_brute"), col("n_ivf"), col("n_pair_hits"),
+          when(col("n_brute") > 0,
+            floor(lit(1000000.0) * col("n_pair_hits").cast("double") /
+              col("n_brute").cast("double")).cast("long"))
+            .as("recall_q"))
+    },
+    Some("""
+      WITH ea AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             FROM embeddings WHERE label % 2 = 0),
+      eb AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+             FROM embeddings WHERE label % 2 = 1),
+      ab AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(a.e, b.e) / NULLIF(a.nrm * b.nrm, 0) AS cos
+             FROM ea a CROSS JOIN eb b),
+      rka AS (SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
+                ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn FROM ab),
+      rkb AS (SELECT b_id, a_id, cos, row_number() OVER (PARTITION BY b_id
+                ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn FROM ab),
+      sa AS (SELECT a_id,
+          coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 3 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 4 THEN cos END), 0) AS s
+        FROM rka WHERE rn <= 4 GROUP BY a_id),
+      sb AS (SELECT b_id,
+          coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 3 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 4 THEN cos END), 0) AS s
+        FROM rkb WHERE rn <= 4 GROUP BY b_id),
+      cand AS (SELECT rka.a_id, rka.b_id, rka.cos, sa.s AS sa, sb.s AS sb
+        FROM rka JOIN sa USING (a_id) JOIN sb USING (b_id)
+        WHERE rka.rn <= 4),
+      m AS (SELECT a_id, b_id,
+          CAST(floor(1000000.0 * (cos / (sa / 8.0 + sb / 8.0)))
+            AS BIGINT) AS margin_q
+        FROM cand WHERE (sa / 8.0 + sb / 8.0) > 0 AND cos IS NOT NULL),
+      best AS (SELECT a_id, b_id, margin_q,
+          row_number() OVER (PARTITION BY a_id
+            ORDER BY margin_q DESC, b_id ASC) AS rn FROM m),
+      bp AS (SELECT a_id, b_id FROM best
+             WHERE rn = 1 AND margin_q >= 1000000),
+      cb AS (SELECT vec_id AS cid, e AS centroid, nrm AS cnrm FROM eb
+             ORDER BY vec_id LIMIT 8),
+      ca AS (SELECT vec_id AS cid, e AS centroid, nrm AS cnrm FROM ea
+             ORDER BY vec_id LIMIT 8),
+      asgb AS (SELECT b_id, cluster FROM (
+                 SELECT v.vec_id AS b_id, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.e, c.centroid)
+                       / NULLIF(v.nrm * c.cnrm, 0) DESC NULLS LAST,
+                       c.cid ASC) AS rn
+                 FROM eb v CROSS JOIN cb c) WHERE rn = 1),
+      asga AS (SELECT a_id, cluster FROM (
+                 SELECT v.vec_id AS a_id, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.e, c.centroid)
+                       / NULLIF(v.nrm * c.cnrm, 0) DESC NULLS LAST,
+                       c.cid ASC) AS rn
+                 FROM ea v CROSS JOIN ca c) WHERE rn = 1),
+      pra AS (SELECT a_id, cluster FROM (
+                SELECT q.vec_id AS a_id, c.cid AS cluster,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.e, c.centroid)
+                      / NULLIF(q.nrm * c.cnrm, 0) DESC NULLS LAST,
+                      c.cid ASC) AS rn
+                FROM ea q CROSS JOIN cb c) WHERE rn <= 3),
+      prb AS (SELECT b_id, cluster FROM (
+                SELECT q.vec_id AS b_id, c.cid AS cluster,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(q.e, c.centroid)
+                      / NULLIF(q.nrm * c.cnrm, 0) DESC NULLS LAST,
+                      c.cid ASC) AS rn
+                FROM eb q CROSS JOIN ca c) WHERE rn <= 3),
+      iab AS (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
+              JOIN asgb ON asgb.b_id = ab.b_id
+              JOIN pra ON pra.a_id = ab.a_id
+                AND pra.cluster = asgb.cluster),
+      iba AS (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
+              JOIN asga ON asga.a_id = ab.a_id
+              JOIN prb ON prb.b_id = ab.b_id
+                AND prb.cluster = asga.cluster),
+      irka AS (SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn FROM iab),
+      irkb AS (SELECT b_id, a_id, cos, row_number() OVER (PARTITION BY b_id
+                 ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn FROM iba),
+      isa AS (SELECT a_id,
+          coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 3 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 4 THEN cos END), 0) AS s
+        FROM irka WHERE rn <= 4 GROUP BY a_id),
+      isb AS (SELECT b_id,
+          coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 3 THEN cos END), 0)
+          + coalesce(MAX(CASE WHEN rn = 4 THEN cos END), 0) AS s
+        FROM irkb WHERE rn <= 4 GROUP BY b_id),
+      icand AS (SELECT irka.a_id, irka.b_id, irka.cos,
+                  isa.s AS sa, isb.s AS sb
+        FROM irka JOIN isa USING (a_id) JOIN isb USING (b_id)
+        WHERE irka.rn <= 4),
+      im AS (SELECT a_id, b_id,
+          CAST(floor(1000000.0 * (cos / (sa / 8.0 + sb / 8.0)))
+            AS BIGINT) AS margin_q
+        FROM icand WHERE (sa / 8.0 + sb / 8.0) > 0 AND cos IS NOT NULL),
+      ibest AS (SELECT a_id, b_id, margin_q,
+          row_number() OVER (PARTITION BY a_id
+            ORDER BY margin_q DESC, b_id ASC) AS rn FROM im),
+      ip AS (SELECT a_id, b_id FROM ibest
+             WHERE rn = 1 AND margin_q >= 1000000),
+      h AS (SELECT CAST(count(*) AS BIGINT) AS n_pair_hits
+            FROM bp JOIN ip USING (a_id, b_id))
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM bp) AS n_brute,
+        (SELECT CAST(count(*) AS BIGINT) FROM ip) AS n_ivf,
+        h.n_pair_hits,
+        CASE WHEN (SELECT count(*) FROM bp) > 0 THEN
+          CAST(floor(1000000.0 * CAST(h.n_pair_hits AS DOUBLE)
+            / CAST((SELECT count(*) FROM bp) AS DOUBLE)) AS BIGINT)
+        END AS recall_q
+      FROM h"""))
 
   /** (q177) Rank-biased overlap by depth (Eval.rboByDepth scaladoc):
     * RBO terms (p = 1/2, k = 8) between the per-source length ranking
@@ -13547,14 +13714,16 @@ object Queries {
       k5 AS (SELECT query_id, neighbor_id, cos FROM knn),
       kq AS (SELECT query_id, neighbor_id,
                CAST(floor(1000000.0 * cos) AS BIGINT) AS cq FROM k5),
-      core AS (SELECT query_id AS id, min(cq) AS core
+      core AS (SELECT query_id AS id,
+               CASE WHEN count(*) >= 5 THEN min(cq) END AS core
                FROM kq GROUP BY 1),
       ed AS (SELECT least(query_id, neighbor_id) AS a,
                greatest(query_id, neighbor_id) AS b, max(cq) AS cos_q
              FROM kq GROUP BY 1, 2),
       mre AS (SELECT a, b FROM (
                 SELECT ed.a, ed.b,
-                  least(ca.core, cb.core, ed.cos_q) AS mr
+                  CASE WHEN ca.core IS NOT NULL AND cb.core IS NOT NULL
+                    THEN least(ca.core, cb.core, ed.cos_q) END AS mr
                 FROM ed JOIN core ca ON ca.id = ed.a
                 JOIN core cb ON cb.id = ed.b)
               WHERE mr >= 300000),
@@ -14236,5 +14405,5 @@ object Queries {
     q332Overdispersion, q333Chapman, q334JackknifeRatio,
     q335MarginPairsIvf, q336Modularity, q337Harmonic,
     q338SpectralEntropy, q339RocPoints, q340Ewma, q341KFold,
-    q342Luhn, q343VocabIds, q344Secrets)
+    q342Luhn, q343VocabIds, q344Secrets, q345IvfMarginRecall)
 }

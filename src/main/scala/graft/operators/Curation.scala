@@ -1972,9 +1972,19 @@ object Curation {
     * tokens are rare and bounded, so the char explode is tiny relative
     * to the corpus scan.
     *
+    * Counting contract: the char aggregation groups by (id, token
+    * VALUE, char), so repeated occurrences of the same candidate token
+    * in one doc collapse into one row — `n_candidates`/`n_flagged`
+    * count DISTINCT candidate token values per doc, not occurrences
+    * (entropy is a function of the value, so per-occurrence rows would
+    * add duplicate work for identical verdicts; a leaked key pasted
+    * twice is one secret). The DuckDB oracle mirrors the same
+    * distinct-value grouping.
+    *
     * @return (id, n_candidates, n_flagged, max_entropy_q) ordered by
     *         id — only docs WITH candidates appear (inner shape;
-    *         callers left-join back if they need zeros)
+    *         callers left-join back if they need zeros);
+    *         n_candidates/n_flagged are distinct-value counts (above)
     */
   def secretTokenAudit(docs: DataFrame, idCol: String, textCol: String,
                        minLen: Int = 20,
