@@ -14308,6 +14308,222 @@ object Queries {
         CAST(max(h) AS BIGINT) AS max_entropy_q
       FROM pt GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** (q346) Bartlett's variance-homogeneity test of n_chars across
+    * sources (Stats.bartlett scaladoc): anovaF's integer
+    * sum-of-squared-deviations per group, per-group ⌊10⁹·ln s²⌋
+    * quantization × integer (n−1), exact 10¹² div (n−1) reciprocal
+    * sum, one mirrored fp chain for the final statistic.
+    */
+  val q346Bartlett = Q(
+    "q346_a_bartlett",
+    (s, dir) =>
+      operators.Stats.bartlett(t(s, dir, "documents"), "source",
+        "n_chars"),
+    Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                 AS BIGINT) AS q
+             FROM documents
+             WHERE source IS NOT NULL AND n_chars IS NOT NULL
+             GROUP BY 1),
+      f AS (SELECT n, q - CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) AS BIGINT) AS ssd
+            FROM g),
+      e AS (SELECT n, ssd,
+              (n - 1) * CAST(floor(1000000000.0
+                * ln(CAST(ssd AS DOUBLE) / CAST(n - 1 AS DOUBLE)))
+                AS BIGINT) AS lnq,
+              1000000000000 // (n - 1) AS inv
+            FROM f WHERE n >= 2 AND ssd > 0),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(ssd) AS BIGINT) AS pooled_ssd_l,
+              CAST(sum(lnq) AS BIGINT) AS sumlog_term_l,
+              CAST(sum(inv) AS BIGINT) AS invsum_q
+            FROM e),
+      p AS (SELECT *, (n_total - k) * CAST(floor(1000000000.0
+              * ln(CAST(pooled_ssd_l AS DOUBLE)
+                / CAST(n_total - k AS DOUBLE))) AS BIGINT)
+              AS pooled_term_l
+            FROM a)
+      SELECT k, n_total, pooled_ssd_l, sumlog_term_l, pooled_term_l,
+        invsum_q,
+        CASE WHEN k >= 2 AND n_total > k THEN
+          CAST(floor(1000000.0
+            * (CAST(pooled_term_l - sumlog_term_l AS DOUBLE)
+                / 1000000000.0)
+            / (1.0 + (CAST(invsum_q AS DOUBLE) / 1000000000000.0
+                - 1.0 / CAST(n_total - k AS DOUBLE))
+              / (3.0 * CAST(k - 1 AS DOUBLE)))) AS BIGINT)
+        END AS stat_q
+      FROM p"""))
+
+  /** (q347) G-test of source×lang independence (Stats.gTest scaladoc):
+    * the mutualInfo ln kernel — decimal products into ONE double cast,
+    * ⌊10⁹·o·ln((N·o)/(r·c))⌋ per cell, order-free long fold, ×2.
+    */
+  val q347GTest = Q(
+    "q347_a_g_test",
+    (s, dir) =>
+      operators.Stats.gTest(t(s, dir, "documents"), "source", "lang"),
+    Some("""
+      WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+             FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt
+            FROM cells GROUP BY 1),
+      c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct
+            FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cells),
+      x AS (SELECT tt, CAST(floor(1000000000.0 * CAST(o AS DOUBLE)
+              * ln(CAST(CAST(tt AS HUGEINT) * o AS DOUBLE)
+                / CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE))) AS BIGINT)
+              AS gq
+            FROM cells JOIN r USING (source) JOIN c USING (lang)
+            CROSS JOIN t)
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(max(tt) AS BIGINT) AS n_total,
+        CAST(sum(gq) AS BIGINT) AS g_sum_q,
+        CAST(2 * sum(gq) AS BIGINT) AS g_q
+      FROM x"""))
+
+  /** (q348) Cox–Stuart trend test on the dense daily event-count
+    * series (TimeAgg.coxStuart scaladoc): first-half/second-half sign
+    * pairs, exact integer counts, one sqrt/divide.
+    */
+  val q348CoxStuart = Q(
+    "q348_a_cox_stuart",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val daily = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      val span = daily.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = span
+        .select(explode(sequence(col("__lo"), col("__hi"), lit(86400L)))
+          .as("bucket"))
+        .join(daily, Seq("bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.coxStuart(dense, "bucket", "x")
+    },
+    Some(s"""
+      WITH e AS (SELECT ($EvUs // 86400000000) * 86400 AS bucket
+             FROM events),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM span, LATERAL unnest(range(lo, hi + 1, 86400)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (bucket)),
+      idx AS (SELECT x, row_number() OVER (ORDER BY bucket) AS i
+              FROM dense),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+      pr AS (SELECT a.x AS x1, b.x AS x2
+             FROM idx a CROSS JOIN tot
+             JOIN idx b ON b.i = a.i + (n // 2)
+               + CASE WHEN n % 2 = 1 THEN 1 ELSE 0 END
+             WHERE a.i <= n // 2),
+      ag AS (SELECT
+              CAST(sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_plus,
+              CAST(sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_minus
+             FROM pr)
+      SELECT (SELECT n FROM tot) AS n_series,
+        n_plus + n_minus AS n_pairs, n_plus, n_minus,
+        CASE WHEN n_plus + n_minus > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(2 * n_plus - (n_plus + n_minus) AS DOUBLE)
+            / sqrt(CAST(n_plus + n_minus AS DOUBLE))) AS BIGINT)
+        END AS z_q
+      FROM ag"""))
+
+  /** (q349) Rich-club coefficient curve over the mutual 5-NN graph
+    * (Graph.richClub scaladoc): per degree threshold k, how densely
+    * the above-k "club" interconnects — one degree agg, one bounded
+    * threshold explode, no per-k graph rescans.
+    */
+  val q349RichClub = Q(
+    "q349_g_rich_club",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.richClub(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), maxK = 8)
+        .orderBy("k")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+                SELECT a AS id FROM mut UNION ALL SELECT b FROM mut)
+              GROUP BY id),
+      ks AS (SELECT CAST(k.k AS INT) AS k
+             FROM (SELECT unnest(range(1, 9)) AS k) k),
+      np AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM ks JOIN deg ON deg.dg > ks.k GROUP BY ks.k),
+      ep AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+             FROM ks JOIN (SELECT least(da.dg, db.dg) AS m FROM mut
+                 JOIN deg da ON da.id = mut.a
+                 JOIN deg db ON db.id = mut.b) e
+               ON e.m > ks.k GROUP BY ks.k)
+      SELECT np.k, np.n_nodes, coalesce(ep.n_edges, 0) AS n_edges,
+        CASE WHEN np.n_nodes >= 2 THEN
+          CAST(floor(1000000.0
+            * CAST(2 * coalesce(ep.n_edges, 0) AS DOUBLE)
+            / CAST(np.n_nodes * (np.n_nodes - 1) AS DOUBLE)) AS BIGINT)
+        END AS phi_q
+      FROM np LEFT JOIN ep USING (k) ORDER BY k"""))
+
+  /** (q350) Theil's U2 persistence-forecast ratio on the dense daily
+    * event-count series (TimeAgg.theilU2 scaladoc): exact long
+    * Σ(x−prev)² and Σprev², two sqrts, one division.
+    */
+  val q350TheilU2 = Q(
+    "q350_a_theil_u2",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val daily = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      val span = daily.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = span
+        .select(explode(sequence(col("__lo"), col("__hi"), lit(86400L)))
+          .as("bucket"))
+        .join(daily, Seq("bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.TimeAgg.theilU2(dense, "bucket", "x")
+    },
+    Some(s"""
+      WITH e AS (SELECT ($EvUs // 86400000000) * 86400 AS bucket
+             FROM events),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM span, LATERAL unnest(range(lo, hi + 1, 86400)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (bucket)),
+      lg AS (SELECT x, lag(x) OVER (ORDER BY bucket) AS p FROM dense)
+      SELECT CAST(count(*) AS BIGINT) AS n_used,
+        CAST(sum((x - p) * (x - p)) AS BIGINT) AS sse_naive_l,
+        CAST(sum(p * p) AS BIGINT) AS ss_prev_l,
+        CASE WHEN sum(p * p) > 0 THEN
+          CAST(floor(1000000.0
+            * sqrt(CAST(sum((x - p) * (x - p)) AS DOUBLE))
+            / sqrt(CAST(sum(p * p) AS DOUBLE))) AS BIGINT)
+        END AS u2_q
+      FROM lg WHERE p IS NOT NULL"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -14405,5 +14621,6 @@ object Queries {
     q332Overdispersion, q333Chapman, q334JackknifeRatio,
     q335MarginPairsIvf, q336Modularity, q337Harmonic,
     q338SpectralEntropy, q339RocPoints, q340Ewma, q341KFold,
-    q342Luhn, q343VocabIds, q344Secrets, q345IvfMarginRecall)
+    q342Luhn, q343VocabIds, q344Secrets, q345IvfMarginRecall,
+    q346Bartlett, q347GTest, q348CoxStuart, q349RichClub, q350TheilU2)
 }

@@ -70,6 +70,55 @@ object Graph {
           .otherwise(lit(0L)))
   }
 
+  /** Rich-club coefficient curve over an undirected edge frame
+    * (`a < b` canonical form): for each degree threshold k in
+    * 1..maxK, restrict to the "club" of nodes with degree > k and
+    * measure how densely they interconnect —
+    *
+    *   φ(k) = 2·E_k / (N_k·(N_k−1)),
+    *
+    * quantized ⌊10⁶·⌋ (NULL when N_k < 2). φ(k) → 1 means the
+    * high-degree nodes form a near-clique (hub oligarchy — in a kNN
+    * graph over embeddings, a hubness symptom the q283 k-occurrence
+    * profile sees from the other side); φ(k) near the global density
+    * means degree carries no club structure.
+    *
+    * Plan: one degree hash agg, degrees joined back to each edge
+    * endpoint (two broadcast-able id joins), then ONE explode of the
+    * bounded 1..maxK threshold range on the edge/node frames feeding
+    * two hash aggs — no per-k rescan of the graph, no join wider than
+    * the edge list. maxK is a small constant (degree cap = k on
+    * symmetrized kNN input), so the explode multiplies bounded frames
+    * by a constant.
+    *
+    * @return (k, n_nodes, n_edges, phi_q) ordered by k
+    */
+  def richClub(edges: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 1 && maxK <= 64, s"maxK ($maxK) must be in [1, 64]")
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+      .localCheckpoint(eager = false)
+    val ks = explode(sequence(lit(1), lit(maxK))).as("k")
+    val nodesPerK = deg.select(col("__d"), ks)
+      .filter(col("__d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val ed = e
+      .join(deg.select(col("id").as("a"), col("__d").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("__d").as("__db")), Seq("b"))
+    val edgesPerK = ed.select(least(col("__da"), col("__db")).as("__m"), ks)
+      .filter(col("__m") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    nodesPerK.join(edgesPerK, Seq("k"), "left")
+      .na.fill(0L, Seq("n_edges"))
+      .select(col("k").cast("int").as("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") >= 2,
+          floor(lit(1000000.0) * (lit(2L) * col("n_edges")).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1)).cast("double"))
+            .cast("long")).as("phi_q"))
+  }
+
   /** Bounded-round label propagation from a seed set: each round,
     * every still-unlabeled vertex adopts the MAJORITY label among its
     * already-labeled kNN neighbors (ties → smallest label); seeds and

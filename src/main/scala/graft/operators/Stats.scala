@@ -1334,6 +1334,112 @@ object Stats {
             .cast("long")).as("f_q"))
   }
 
+  /** Bartlett's test of variance homogeneity across k groups (the
+    * parametric spread test [[brownForsythe]] robustifies; Bartlett
+    * is the textbook companion when normality is defensible):
+    *
+    *   χ² = [ (N−k)·ln s_p² − Σ (n_j−1)·ln s_j² ] / C,
+    *   C  = 1 + ( Σ 1/(n_j−1) − 1/(N−k) ) / (3(k−1)),
+    *
+    * with s_j² the unbiased group variance and s_p² the pooled one.
+    *
+    * Exactness: the group sum-of-squared-deviations is the [[anovaF]]
+    * integer device (ssd_j = ΣX² − ⌊S²/n⌋, a long); each variance is
+    * ONE long/long double division; ln runs on those exactly-agreed
+    * doubles (the standing ln contract) and quantizes ⌊10⁹·⌋ PER
+    * GROUP, multiplied by the integer (n_j−1) and folded as an
+    * order-free long sum. The reciprocal sum quantizes as the exact
+    * integer 10¹² div (n_j−1) per group. One mirrored fp chain builds
+    * the final statistic. Groups with n_j < 2 or zero spread
+    * (ssd ≤ 0, where ln is undefined) are excluded and reported via
+    * k/n_total (the scipy-adjacent convention, documented here as the
+    * operator's contract).
+    *
+    * Plan: one hash agg to per-group moments, one k-row fold.
+    *
+    * @return one row (k, n_total, pooled_ssd_l, sumlog_term_l,
+    *         pooled_term_l, invsum_q, stat_q)
+    */
+  def bartlett(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__q"))
+      .withColumn("__ssd",
+        col("__q") - floor(col("__s").cast("double") *
+          col("__s").cast("double") / col("__n").cast("double")).cast("long"))
+      .filter(col("__n") >= 2 && col("__ssd") > 0)
+      // s_j² = ssd/(n−1): one long/long division; ⌊10⁹·ln⌋ quantized
+      // per group, ×(n−1) exact in integers
+      .withColumn("__lnq",
+        (col("__n") - 1) * floor(lit(1.0e9) *
+          log(col("__ssd").cast("double") / (col("__n") - 1).cast("double")))
+          .cast("long"))
+      // integer div (Spark `/` on longs is DOUBLE division)
+      .withColumn("__inv", expr("CAST(1000000000000 AS BIGINT) div (__n - 1)"))
+    g.agg(count(lit(1)).as("k"), sum(col("__n")).as("n_total"),
+        sum(col("__ssd")).as("pooled_ssd_l"),
+        sum(col("__lnq")).as("sumlog_term_l"),
+        sum(col("__inv")).as("invsum_q"))
+      .select(col("k"), col("n_total"), col("pooled_ssd_l"),
+        col("sumlog_term_l"), col("invsum_q"),
+        ((col("n_total") - col("k")) * floor(lit(1.0e9) *
+          log(col("pooled_ssd_l").cast("double") /
+            (col("n_total") - col("k")).cast("double"))).cast("long"))
+          .as("pooled_term_l"))
+      .select(col("k"), col("n_total"), col("pooled_ssd_l"),
+        col("sumlog_term_l"), col("pooled_term_l"), col("invsum_q"),
+        when(col("k") >= 2 && col("n_total") > col("k"),
+          floor(lit(1000000.0) *
+            ((col("pooled_term_l") - col("sumlog_term_l")).cast("double") /
+              lit(1.0e9)) /
+            (lit(1.0) + (col("invsum_q").cast("double") / lit(1.0e12) -
+              lit(1.0) / (col("n_total") - col("k")).cast("double")) /
+              (lit(3.0) * (col("k") - lit(1L)).cast("double"))))
+            .cast("long")).as("stat_q"))
+  }
+
+  /** G-test (log-likelihood-ratio independence test) over a
+    * contingency of two categorical columns — [[chiSquare]]'s
+    * information-theoretic twin (G = 2N·MI in nats):
+    *
+    *   G = 2·Σ_cells o·ln(o/e),  e = r·c/N.
+    *
+    * Exactness: the [[mutualInfo]] kernel exactly — the ln argument is
+    * (N·o)/(r·c) with both products in decimal(38,0) before ONE cast
+    * to double, the per-cell contribution quantizes ⌊10⁹·o·ln⌋ as a
+    * long, and the fold is an order-free long sum; zero cells
+    * contribute zero by the o·ln(o) → 0 convention (they never enter
+    * the grid). Plan: one corpus scan to the cell grid, marginals
+    * broadcast back, one k-cell fold.
+    *
+    * @return one row (n_cells, n_total, g_sum_q = Σ⌊10⁹·o·ln(o/e)⌋,
+    *         g_q = 2·g_sum_q)
+    */
+  def gTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(col(rowCol), col(colCol)).na.drop()
+      .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
+    val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
+    val tot = cells.agg(sum(col("o")).as("__t"))
+    cells
+      .join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
+      .crossJoin(broadcast(tot))
+      .select(col("o"), col("__t"),
+        floor(lit(1.0e9) * col("o").cast("double") *
+          log((dec(col("__t")) * dec(col("o"))).cast("double") /
+            (dec(col("__r")) * dec(col("__c"))).cast("double")))
+          .cast("long").as("__gq"))
+      .agg(count(lit(1)).as("n_cells"), max(col("__t")).as("n_total"),
+        sum(col("__gq")).as("g_sum_q"))
+      .select(col("n_cells"), col("n_total"), col("g_sum_q"),
+        (lit(2L) * col("g_sum_q")).as("g_q"))
+  }
+
   /** Brown–Forsythe robust variance-equality test ("do the groups
     * differ in SPREAD, not location"): [[anovaF]] applied to the
     * absolute deviations |x − median_g| — the median-centered Levene

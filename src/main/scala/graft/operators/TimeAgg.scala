@@ -1380,6 +1380,85 @@ object TimeAgg {
           .cast("long")).as("z_q"))
   }
 
+  /** Cox–Stuart trend test on a single bucketed series — the sign-test
+    * cousin of [[runsTest]] aimed squarely at MONOTONE drift: pair
+    * element i of the first half with element i+m of the second
+    * (m = ⌊n/2⌋, middle element dropped when n is odd), count rises
+    * and falls, drop exact ties; under no-trend the rise count is
+    * Binomial(n', 1/2), summarized as z = (2·n_plus − n')/√n'.
+    *
+    * Everything up to the single sqrt/divide is exact integers (pair
+    * signs, counts); z_q = ⌊10⁶·z⌋ is one mirrored fp chain. Plan:
+    * one ordered window to dense-rank the series, one SELF EQUI-JOIN
+    * on (rank, rank+m) — span-bounded like every dense-series op, no
+    * row pairing beyond the n' index matches — then one agg row.
+    * Dense-grid contract: the caller zero-fills missing buckets
+    * (durbinWatson/acf/runsTest's shared contract).
+    *
+    * @return one row (n_series, n_pairs, n_plus, n_minus, z_q)
+    */
+  def coxStuart(series: DataFrame, bucketCol: String,
+                xCol: String): DataFrame = {
+    val s = series.select(col(bucketCol).as("__b"),
+        col(xCol).cast("long").as("__x")).na.drop()
+      .withColumn("__i", row_number().over(Window.orderBy(col("__b"))))
+      .localCheckpoint(eager = false)
+    val tot = s.agg(count(lit(1)).as("__n"))
+    val paired = s.crossJoin(broadcast(tot))
+      .withColumn("__m", expr("__n div 2"))
+      .filter(col("__i") <= col("__m"))
+      .join(s.select(col("__i").as("__i2"), col("__x").as("__x2")),
+        col("__i2") === col("__i") + col("__m") +
+          when(col("__n") % 2 === 1, lit(1L)).otherwise(lit(0L)))
+    val agg = paired.agg(max(col("__n")).as("n_series"),
+      sum(when(col("__x2") > col("__x"), 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("__x2") < col("__x"), 1L).otherwise(0L)).as("n_minus"))
+    agg.select(col("n_series"),
+      (col("n_plus") + col("n_minus")).as("n_pairs"),
+      col("n_plus"), col("n_minus"),
+      when(col("n_plus") + col("n_minus") > 0,
+        floor(lit(1000000.0) *
+          (lit(2L) * col("n_plus") - (col("n_plus") + col("n_minus")))
+            .cast("double") /
+          sqrt((col("n_plus") + col("n_minus")).cast("double")))
+          .cast("long")).as("z_q"))
+  }
+
+  /** Theil's U2 forecast-quality ratio of the naive (last-value)
+    * forecast on a dense bucketed series — "does ANY model have room
+    * to beat persistence":
+    *
+    *   U2 = √(Σ(x_t − x_{t−1})²) / √(Σ x_{t−1}²),
+    *
+    * over t = 2..n. Both sums are exact longs (integer diffs and
+    * squares); the two sqrts and one division are the only fp ops,
+    * in a fixed order, so ⌊10⁶·U2⌋ is engine-identical. U2 < 1 means
+    * the series has persistence-beating structure worth modeling
+    * (compare [[maseBacktest]], which scores a CANDIDATE forecast
+    * against the same baseline).
+    *
+    * Plan: one ordered lag window over the dense grid + one agg row
+    * (the durbinWatson shape; zero-filled-grid contract shared).
+    *
+    * @return one row (n_used, sse_naive_l, ss_prev_l, u2_q)
+    */
+  def theilU2(series: DataFrame, bucketCol: String,
+              xCol: String): DataFrame = {
+    val s = series.select(col(bucketCol).as("__b"),
+        col(xCol).cast("long").as("__x")).na.drop()
+      .withColumn("__p", lag(col("__x"), 1).over(Window.orderBy(col("__b"))))
+      .filter(col("__p").isNotNull)
+    s.agg(count(lit(1)).as("n_used"),
+        sum((col("__x") - col("__p")) * (col("__x") - col("__p")))
+          .as("sse_naive_l"),
+        sum(col("__p") * col("__p")).as("ss_prev_l"))
+      .select(col("n_used"), col("sse_naive_l"), col("ss_prev_l"),
+        when(col("ss_prev_l") > 0,
+          floor(lit(1000000.0) * sqrt(col("sse_naive_l").cast("double")) /
+            sqrt(col("ss_prev_l").cast("double"))).cast("long"))
+          .as("u2_q"))
+  }
+
   /** Discrete periodogram of a dense single series at a FIXED set of
     * candidate periods — "which cycle length dominates this count
     * series" (the seasonality finder feeding q247's known-period

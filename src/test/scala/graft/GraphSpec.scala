@@ -32,6 +32,25 @@ class GraphSpec extends SparkSpec {
       r.getLong(3) === 1000000L))
   }
 
+  test("richClub: clique-plus-pendant hand curve; thresholds with an " +
+      "empty club vanish") {
+    // 4-clique {1,2,3,4} (deg 3 each, except 4 which also feeds a
+    // pendant 5 → deg 4); pendant 5 has deg 1
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val edges = ((for (a <- vs; b <- vs if a < b) yield (a, b)) :+
+      ((4L, 5L))).toDF("a", "b")
+    val out = Graph.richClub(edges, maxK = 6).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // k=1: club {1,2,3,4} (deg>1), all 6 clique edges inside → φ=1
+    assert(out(1) === ((4L, 6L, 1000000L)))
+    assert(out(2) === ((4L, 6L, 1000000L)))
+    // k=3: only vertex 4 (deg 4) qualifies → N=1 → φ NULL
+    assert(out(3) === ((1L, 0L, -1L)))
+    // k=4..: empty club → threshold rows absent entirely
+    assert(!out.contains(4) && !out.contains(6))
+  }
+
   test("labelPropagate: labels spread along a chain, one hop per round") {
     // seed 1; chain 1-2-3-4 (directed both ways so votes flow)
     val knn = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),

@@ -305,6 +305,52 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(r.getLong(2) === 0L && r.isNullAt(4))
   }
 
+  // ---------------------------------------------------- coxStuart
+
+  test("coxStuart: monotone rise is all-plus (z = √n'), odd length " +
+      "drops the middle, ties drop") {
+    // n=6, m=3: pairs (1,4),(2,5),(3,6) over 1..6 — all rising
+    val rise = (1L to 6L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val r = TimeAgg.coxStuart(rise, "bucket", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 3L, 3L, 0L)))
+    assert(r.getLong(4) === math.floor(1000000.0 * 3.0 / math.sqrt(3.0)).toLong)
+    // n=5 (odd): middle x_3 dropped; pairs (1,4),(2,5); one tie drops
+    val odd = Seq(1L, 7L, 100L, 1L, 3L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val ro = TimeAgg.coxStuart(odd, "bucket", "x").collect().head
+    // (1,1) ties out; (7,3) falls
+    assert((ro.getLong(0), ro.getLong(1), ro.getLong(2), ro.getLong(3)) ===
+      ((5L, 1L, 0L, 1L)))
+    assert(ro.getLong(4) === math.floor(1000000.0 * -1.0 / 1.0).toLong)
+    // constant series: every pair ties -> no pairs, NULL z
+    val flat = Seq.fill(4)(5L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val rf = TimeAgg.coxStuart(flat, "bucket", "x").collect().head
+    assert(rf.getLong(1) === 0L && rf.isNullAt(4))
+  }
+
+  // ----------------------------------------------------- theilU2
+
+  test("theilU2: hand sums; constant series scores 0; zero history " +
+      "is NULL") {
+    val s = Seq(1L, 2L, 3L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val r = TimeAgg.theilU2(s, "bucket", "x").collect().head
+    // diffs [1,1] -> sse 2; prev² [1,4] -> 5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 5L)))
+    assert(r.getLong(3) ===
+      math.floor(1000000.0 * math.sqrt(2.0) / math.sqrt(5.0)).toLong)
+    val flat = Seq.fill(3)(5L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    assert(TimeAgg.theilU2(flat, "bucket", "x").collect().head.getLong(3) === 0L)
+    val zeros = Seq(0L, 0L, 7L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    // prev values all zero -> ss_prev 0 -> U2 undefined
+    assert(TimeAgg.theilU2(zeros, "bucket", "x").collect().head.isNullAt(3))
+  }
+
   // ------------------------------------------------- markovStationary
 
   test("markovStationary: two-state flip-flop converges to the " +

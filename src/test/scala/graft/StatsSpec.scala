@@ -695,6 +695,68 @@ class StatsSpec extends SparkSpec {
     assert(out.length === 5)
   }
 
+  // ---- bartlett / gTest -----------------------------------------------------
+
+  test("bartlett: equal variances score ~0; a spread gap is detected; " +
+      "the statistic replays the documented fp chain") {
+    // identical spread (shifted copies): every group variance equals
+    // the pooled one, so pooled_term == sumlog and the statistic is 0
+    val same = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 11L), ("b", 12L), ("b", 13L)).toDF("g", "x")
+    val r0 = Stats.bartlett(same, "g", "x").collect().head
+    assert(r0.getLong(6) === 0L)
+    // genuine gap: a tight, b wide
+    val gap = Seq(("a", 10L), ("a", 11L), ("a", 10L), ("a", 11L),
+      ("b", 1L), ("b", 20L), ("b", 40L), ("b", 2L)).toDF("g", "x")
+    val r = Stats.bartlett(gap, "g", "x").collect().head
+    val (k, n) = (r.getLong(0), r.getLong(1))
+    assert((k, n) === ((2L, 8L)))
+    // replay the chain by hand
+    val ssdA = (2 * 100L + 2 * 121L) - math.floor(42.0 * 42.0 / 4.0).toLong
+    val sB = 63L
+    val qB = 1L + 400L + 1600L + 4L
+    val ssdB = qB - math.floor(sB.toDouble * sB / 4.0).toLong
+    def lnq(ssd: Long, nj: Long) =
+      (nj - 1) * math.floor(1.0e9 * math.log(ssd.toDouble / (nj - 1))).toLong
+    val sumlog = lnq(ssdA, 4) + lnq(ssdB, 4)
+    val pooled = (n - k) * math.floor(1.0e9 *
+      math.log((ssdA + ssdB).toDouble / (n - k))).toLong
+    val inv = 1000000000000L / 3 * 2 // two groups of n_j = 4
+    val cFac = 1.0 + (inv.toDouble / 1.0e12 - 1.0 / (n - k)) / (3.0 * (k - 1))
+    val want = math.floor(1000000.0 * ((pooled - sumlog).toDouble / 1.0e9) / cFac).toLong
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((ssdA + ssdB, sumlog, pooled, inv)))
+    assert(r.getLong(6) === want)
+    assert(r.getLong(6) > 1000000L) // the gap registers as chi2 > 1
+    // zero-variance group is excluded (ln undefined), k reflects it
+    val degen = Seq(("a", 5L), ("a", 5L), ("b", 1L), ("b", 9L)).toDF("g", "x")
+    val rd = Stats.bartlett(degen, "g", "x").collect().head
+    assert(rd.getLong(0) === 1L && rd.isNullAt(6)) // k=1 -> no statistic
+  }
+
+  test("gTest: independent table scores ~0; G = 2N·MI against the " +
+      "mutualInfo kernel on a dependent table") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    // perfectly independent 2x2 (all margins equal)
+    val ind = Seq(("r1", "c1"), ("r1", "c2"), ("r2", "c1"), ("r2", "c2"))
+      .toDF("r", "c")
+    val ri = Stats.gTest(ind, "r", "c").collect().head
+    assert(ri.getLong(0) === 4L && ri.getLong(1) === 4L)
+    assert(math.abs(ri.getLong(3)) <= 4L) // ±1 quantization per cell
+    // dependent: diagonal-heavy
+    val dep = (Seq.fill(8)(("r1", "c1")) ++ Seq.fill(8)(("r2", "c2")) ++
+      Seq(("r1", "c2"), ("r2", "c1"))).toDF("r", "c")
+    val rg = Stats.gTest(dep, "r", "c").collect().head
+    // g_sum_q (10⁹·Σo·ln) vs Σ mi_contrib_q (10⁶·Σo·ln/N): same value
+    // at a N·10³ scale gap, within per-cell quantization slack
+    val mi = Stats.mutualInfo(dep, "r", "c")
+      .agg(fsum(col("mi_contrib_q"))).collect().head.getLong(0)
+    val n = rg.getLong(1)
+    assert(math.abs(rg.getLong(2) - mi * n * 1000L) < 2000L * n * 4L,
+      s"g_sum_q ${rg.getLong(2)} vs N*1000*mi ${mi * n * 1000L}")
+    assert(rg.getLong(3) > 0L)
+  }
+
   // ---- anovaF / brownForsythe ----------------------------------------------
 
   test("anovaF: textbook two-group case") {
