@@ -14524,6 +14524,401 @@ object Queries {
         END AS u2_q
       FROM lg WHERE p IS NOT NULL"""))
 
+  /** Unrolled k-truss peel for the q351 oracle: each round computes
+    * every surviving edge's triangle support (triangles enumerate once
+    * as x < y < z and credit all three edges) and keeps edges with
+    * support ≥ minSup — exactly [[graft.operators.Graph.kTruss]]'s
+    * bounded loop (peeling a fixpoint is the identity, so a converged
+    * engine loop equals the full unroll).
+    */
+  private def trussPeelSql(rounds: Int, minSup: Int): String = {
+    val sb = new StringBuilder
+    // every e$i is MATERIALIZED: each round references the previous
+    // round 4× (three wedge legs + the semi-join), so default CTE
+    // inlining would expand the base 4^rounds times
+    def triSql(e: String, tag: String): String = s"""
+      t$tag AS MATERIALIZED (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+              FROM $e w1 JOIN $e w2 ON w2.a = w1.a AND w1.b < w2.b
+              JOIN $e w3 ON w3.a = w1.b AND w3.b = w2.b),
+      s$tag AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+                SELECT x AS a, y AS b FROM t$tag
+                UNION ALL SELECT x AS a, z AS b FROM t$tag
+                UNION ALL SELECT y AS a, z AS b FROM t$tag) GROUP BY 1, 2)"""
+    for (i <- 0 until rounds) {
+      val e = if (i == 0) "mut" else s"e$i"
+      sb.append(triSql(e, i.toString)).append(",")
+      sb.append(s"""
+      e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM $e e JOIN s$i s
+                  ON s.a = e.a AND s.b = e.b AND s.support >= $minSup),""")
+    }
+    sb.append(triSql(s"e$rounds", "f"))
+    sb.toString
+  }
+
+  /** (q351) k-truss (k=3) of the mutual 5-NN graph (Graph.kTruss
+    * scaladoc): every surviving edge sits in ≥ 1 triangle among
+    * survivors — the dense-cluster/bridge split the dedup pair graphs
+    * use (the mutual 5-NN graph has no 4-truss at this sf); the
+    * oracle unrolls the full 8-round peel.
+    */
+  val q351KTruss = Q(
+    "q351_g_ktruss",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.kTruss(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))),
+        k = 3, rounds = 8)
+        .orderBy("a", "b")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS MATERIALIZED (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      ${trussPeelSql(rounds = 8, minSup = 1)}
+      SELECT a, b, support FROM sf WHERE support >= 1 ORDER BY a, b"""))
+
+  /** (q352) Brunner–Munzel generalized-Wilcoxon test of n_chars
+    * between sources src0 and src1 (Stats.brunnerMunzel scaladoc):
+    * doubled-rank grid, decimal rank-variance numerators, one mirrored
+    * fp chain for W.
+    */
+  val q352BrunnerMunzel = Q(
+    "q352_a_brunner_munzel",
+    (s, dir) =>
+      operators.Stats.brunnerMunzel(t(s, dir, "documents"), "source",
+        "n_chars", "src0", "src1"),
+    Some("""
+      WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+             FROM documents
+             WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+      grid AS (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt
+               FROM v GROUP BY 1, 2),
+      p AS (SELECT x, CAST(sum(cnt) AS BIGINT) AS pcnt
+            FROM grid GROUP BY 1),
+      pr AS (SELECT x,
+               2 * sum(pcnt) OVER (ORDER BY x) - pcnt + 1 AS R2 FROM p),
+      wr AS (SELECT g, x, cnt,
+               2 * sum(cnt) OVER (PARTITION BY g ORDER BY x) - cnt + 1
+                 AS w2
+             FROM grid),
+      j AS (SELECT g, cnt, R2, w2 FROM wr JOIN pr USING (x)),
+      per AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+                CAST(sum(cnt * R2) AS BIGINT) AS D
+              FROM j GROUP BY 1),
+      e AS (SELECT j.g, max(per.n) AS n, max(per.D) AS D,
+              CAST(sum(CAST(cnt AS HUGEINT)
+                * (per.n * (R2 - w2 + per.n + 1) - per.D)
+                * (per.n * (R2 - w2 + per.n + 1) - per.D)) AS HUGEINT)
+                AS E
+            FROM j JOIN per USING (g) GROUP BY 1),
+      one AS (SELECT
+              max(CASE WHEN g = 'src0' THEN n END) AS n_a,
+              max(CASE WHEN g = 'src1' THEN n END) AS n_b,
+              max(CASE WHEN g = 'src0' THEN D END) AS d_a_l,
+              max(CASE WHEN g = 'src1' THEN D END) AS d_b_l,
+              max(CASE WHEN g = 'src0' THEN E END) AS ea,
+              max(CASE WHEN g = 'src1' THEN E END) AS eb
+            FROM e)
+      SELECT n_a, n_b, d_a_l, d_b_l,
+        CAST(floor(1000000.0 * CAST(ea AS DOUBLE)
+          / (4.0 * CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+            * CAST(n_a - 1 AS DOUBLE))) AS BIGINT) AS v_a_q,
+        CAST(floor(1000000.0 * CAST(eb AS DOUBLE)
+          / (4.0 * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+            * CAST(n_b - 1 AS DOUBLE))) AS BIGINT) AS v_b_q,
+        CAST(floor(1000000.0
+          * CAST(d_b_l - n_b * (n_b + 1) AS DOUBLE)
+          / (2.0 * CAST(n_a * n_b AS DOUBLE))) AS BIGINT) AS phat_q,
+        CASE WHEN n_a >= 2 AND n_b >= 2 AND (ea > 0 OR eb > 0) THEN
+          CAST(floor(1000000.0
+            * CAST(n_a * d_b_l - n_b * d_a_l AS DOUBLE)
+            / (CAST(n_a + n_b AS DOUBLE)
+              * sqrt(CAST(ea AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE)
+                + CAST(eb AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE))))
+            AS BIGINT)
+        END AS w_q
+      FROM one"""))
+
+  /** (q353) Ansari–Bradley two-sample scale test of n_chars between
+    * sources src2 and src3 (Stats.ansariBradley scaladoc): integer
+    * fold-toward-extremes scores on the doubled-rank grid, exact
+    * finite-population moments, one mirrored z chain.
+    */
+  val q353AnsariBradley = Q(
+    "q353_a_ansari_bradley",
+    (s, dir) =>
+      operators.Stats.ansariBradley(t(s, dir, "documents"), "source",
+        "n_chars", "src2", "src3"),
+    Some("""
+      WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+             FROM documents
+             WHERE source IN ('src2', 'src3') AND n_chars IS NOT NULL),
+      grid AS (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt
+               FROM v GROUP BY 1, 2),
+      p AS (SELECT x, CAST(sum(cnt) AS BIGINT) AS pcnt
+            FROM grid GROUP BY 1),
+      pr AS (SELECT x,
+               2 * sum(pcnt) OVER (ORDER BY x) - pcnt + 1 AS R2 FROM p),
+      j AS (SELECT g, cnt, R2 FROM grid JOIN pr USING (x)),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS N FROM grid),
+      sc AS (SELECT g, cnt, least(R2, 2 * (N + 1) - R2) AS a2
+             FROM j CROSS JOIN tot),
+      one AS (SELECT (SELECT N FROM tot) AS n_total,
+              CAST(sum(CASE WHEN g = 'src2' THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN g = 'src3' THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN g = 'src2' THEN cnt * a2 ELSE 0 END)
+                AS BIGINT) AS t2_l,
+              CAST(sum(cnt * a2) AS BIGINT) AS s2_l,
+              CAST(sum(CAST(cnt AS HUGEINT) * CAST(a2 AS HUGEINT)
+                * CAST(a2 AS HUGEINT)) AS HUGEINT) AS q4
+            FROM sc)
+      SELECT n_a, n_b, n_total, t2_l, s2_l, q4 AS q4_l,
+        CASE WHEN n_total >= 3 AND CAST(n_total AS HUGEINT) * q4
+            - CAST(s2_l AS HUGEINT) * CAST(s2_l AS HUGEINT) > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(n_total AS HUGEINT) * CAST(t2_l AS HUGEINT)
+              - CAST(n_a AS HUGEINT) * CAST(s2_l AS HUGEINT) AS DOUBLE)
+            / sqrt(CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                * (CAST(n_total AS HUGEINT) * q4
+                  - CAST(s2_l AS HUGEINT) * CAST(s2_l AS HUGEINT))
+                AS DOUBLE)
+              / CAST(n_total - 1 AS DOUBLE))) AS BIGINT)
+        END AS z_q
+      FROM one"""))
+
+  /** (q354) Page's L trend test for ordered alternatives — blocks =
+    * lang, treatments = source (hypothesized order = ascending source
+    * key), observation = Σn_chars per cell (Stats.pageL scaladoc):
+    * integer L on the doubled within-block rank grid, exact moments,
+    * one sqrt.
+    */
+  val q354PageTrend = Q(
+    "q354_a_page_trend",
+    (s, dir) =>
+      operators.Stats.pageL(t(s, dir, "documents"), "lang", "source",
+        "n_chars"),
+    Some("""
+      WITH cells AS (SELECT lang AS b, source AS t,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS x
+             FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL
+               AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+      full0 AS (SELECT b, t, x,
+               count(*) OVER (PARTITION BY b) AS kb
+             FROM cells),
+      full1 AS (SELECT b, t, x FROM full0 CROSS JOIN kk
+                WHERE kb = k),
+      ranked AS (SELECT b, t,
+               2 * count(*) OVER (PARTITION BY b ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 + count(*) OVER (PARTITION BY b ORDER BY x
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS R2
+             FROM full1),
+      ord AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT)
+                AS c
+              FROM (SELECT DISTINCT t FROM cells)),
+      one AS (SELECT CAST(sum(c * R2) AS BIGINT) AS l2_l,
+               CAST(count(*) AS BIGINT) AS nc
+             FROM ranked JOIN ord USING (t))
+      SELECT CAST(nc // k AS BIGINT) AS n_blocks, k, l2_l,
+        (nc // k) * k * (k + 1) * (k + 1) AS e4_l,
+        (nc // k) * k * k * (k + 1) * (k * k - 1) AS v144_l,
+        CASE WHEN nc // k >= 1 AND k >= 2 THEN
+          CAST(floor(3000000.0
+            * CAST(2 * l2_l - (nc // k) * k * (k + 1) * (k + 1) AS DOUBLE)
+            / sqrt(CAST((nc // k) * k * k * (k + 1) * (k * k - 1)
+                AS DOUBLE))) AS BIGINT)
+        END AS z_q
+      FROM one CROSS JOIN kk"""))
+
+  /** Shared dense-HOURLY event-count grid (the q348/q350 daily grid at
+    * 3600-s buckets — 720 points, enough depth for lag/blocksize
+    * structure).
+    */
+  private def denseHourly(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val hourly = e
+      .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 3600))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+    val span = hourly.agg(min(col("bucket")).as("__lo"),
+      max(col("bucket")).as("__hi"))
+    span
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(3600L)))
+        .as("bucket"))
+      .join(hourly, Seq("bucket"), "left")
+      .na.fill(0L, Seq("x"))
+  }
+
+  private val DenseHourlySql = s"""
+      eh AS (SELECT ($EvUs // 3600000000) * 3600 AS bucket
+             FROM events),
+      hh AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM eh GROUP BY 1),
+      spanh AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM hh),
+      dense0h AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM spanh, LATERAL unnest(range(lo, hi + 1, 3600)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(hh.x, 0) AS x
+             FROM dense0h d LEFT JOIN hh USING (bucket))"""
+
+  /** (q355) Ljung–Box white-noise test to lag 8 on the dense hourly
+    * event-count series (TimeAgg.ljungBox scaladoc): n-scaled centered
+    * integers, decimal autocovariance numerators, quantized per-lag
+    * terms so the cumulative Q is an order-free integer sum.
+    */
+  val q355LjungBox = Q(
+    "q355_a_ljung_box",
+    (s, dir) =>
+      operators.TimeAgg.ljungBox(denseHourly(s, dir), "bucket", "x",
+        maxLag = 8),
+    Some(s"""
+      WITH $DenseHourlySql,
+      idx AS (SELECT x, CAST(row_number() OVER (ORDER BY bucket)
+                AS BIGINT) AS t
+              FROM dense),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS S FROM idx),
+      c AS (SELECT t, n * x - S AS xc, n FROM idx CROSS JOIN tot),
+      base AS (SELECT max(n) AS n,
+                CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS num0
+              FROM c),
+      nums AS (SELECT l.lag,
+                CAST(sum(CAST(a.xc AS HUGEINT) * b.xc) AS HUGEINT)
+                  AS numk
+              FROM (SELECT CAST(k.k AS BIGINT) AS lag
+                    FROM (SELECT unnest(range(1, 9)) AS k) k) l
+              JOIN c a ON true
+              JOIN c b ON b.t = a.t + l.lag
+              GROUP BY 1),
+      terms AS (SELECT lag, n,
+                CAST(floor(1000000000.0 * CAST(numk AS DOUBLE)
+                  / CAST(num0 AS DOUBLE)) AS BIGINT) AS r_q,
+                CAST(floor(1000000000000.0
+                  * CAST(n * (n + 2) AS DOUBLE)
+                  * (CAST(numk AS DOUBLE) / CAST(num0 AS DOUBLE))
+                  * (CAST(numk AS DOUBLE) / CAST(num0 AS DOUBLE))
+                  / CAST(n - lag AS DOUBLE)) AS BIGINT) AS term_q
+              FROM nums CROSS JOIN base
+              WHERE num0 > 0 AND lag < n)
+      SELECT lag, n, r_q, term_q,
+        CAST(sum(term_q) OVER (ORDER BY lag) AS BIGINT) AS lb_cum_q
+      FROM terms ORDER BY lag"""))
+
+  /** (q356) Lo–MacKinlay variance-ratio test (q=5) on the dense hourly
+    * event-count levels (TimeAgg.varianceRatio scaladoc): exact
+    * drift-cleared increment numerators, one division for VR, one
+    * mirrored chain for z.
+    */
+  val q356VarianceRatio = Q(
+    "q356_a_variance_ratio",
+    (s, dir) =>
+      operators.TimeAgg.varianceRatio(denseHourly(s, dir), "bucket", "x",
+        q = 5),
+    Some(s"""
+      WITH $DenseHourlySql,
+      idx AS (SELECT x, CAST(row_number() OVER (ORDER BY bucket)
+                AS BIGINT) AS t
+              FROM dense),
+      ends AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                max(CASE WHEN t = 1 THEN x END) AS x1,
+                max(t) AS tn
+              FROM idx),
+      ev2 AS (SELECT n, (SELECT x FROM idx WHERE t = (SELECT tn FROM ends))
+                - x1 AS delta
+             FROM ends),
+      d1 AS (SELECT CAST(sum(CAST((n - 1) * (a.x - b.x) - 1 * delta
+                AS HUGEINT)
+                * ((n - 1) * (a.x - b.x) - 1 * delta)) AS HUGEINT)
+                AS numB,
+              max(n) AS n, max(delta) AS delta
+            FROM idx a JOIN idx b ON a.t = b.t + 1 CROSS JOIN ev2),
+      dq AS (SELECT CAST(sum(CAST((n - 1) * (a.x - b.x) - 5 * delta
+                AS HUGEINT)
+                * ((n - 1) * (a.x - b.x) - 5 * delta)) AS HUGEINT)
+                AS numA
+            FROM idx a JOIN idx b ON a.t = b.t + 5 CROSS JOIN ev2)
+      SELECT n, CAST(5 AS BIGINT) AS q, delta AS delta_l,
+        CAST(numB AS BIGINT) AS num1_l,
+        CAST(numA AS BIGINT) AS numq_l,
+        CASE WHEN numB > 0 THEN
+          CAST(floor(1000000.0 * CAST(numA AS DOUBLE)
+            / (5.0 * CAST(numB AS DOUBLE))) AS BIGINT)
+        END AS vr_q,
+        CASE WHEN numB > 0 AND n > 6 THEN
+          CAST(floor(1000000.0
+            * (CAST(numA AS DOUBLE) / (5.0 * CAST(numB AS DOUBLE)) - 1.0)
+            / sqrt(4.8 / CAST(n - 1 AS DOUBLE))) AS BIGINT)
+        END AS z_q
+      FROM d1 CROSS JOIN dq"""))
+
+  /** (q357) Hurst exponent by rescaled-range analysis over block sizes
+    * 8/16/32/64 on the dense hourly series (TimeAgg.hurstRS scaladoc):
+    * rational (R/S)² per block, one ln per size, quantized-grid OLS
+    * slope.
+    */
+  val q357HurstRS = Q(
+    "q357_a_hurst_rs",
+    (s, dir) =>
+      operators.TimeAgg.hurstRS(denseHourly(s, dir), "bucket", "x",
+        sizes = Seq(8, 16, 32, 64)),
+    Some(s"""
+      WITH $DenseHourlySql,
+      idx AS (SELECT x, CAST(row_number() OVER (ORDER BY bucket)
+                AS BIGINT) AS t
+              FROM dense),
+      bl AS (SELECT t, x, CAST(s.s AS BIGINT) AS nb,
+               (t - 1) // CAST(s.s AS BIGINT) AS blk,
+               t - ((t - 1) // CAST(s.s AS BIGINT)) * CAST(s.s AS BIGINT)
+                 AS pos
+             FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s) s),
+      w AS (SELECT nb, blk, pos, x,
+              sum(x) OVER (PARTITION BY nb, blk ORDER BY pos) AS P,
+              sum(x) OVER (PARTITION BY nb, blk) AS Sb,
+              count(*) OVER (PARTITION BY nb, blk) AS cnt
+            FROM bl),
+      per AS (SELECT nb, blk,
+               max(nb * P - pos * Sb) - min(nb * P - pos * Sb) AS Rn,
+               CAST(sum(CAST(nb * x - Sb AS HUGEINT) * (nb * x - Sb))
+                 AS HUGEINT) AS num0
+             FROM w WHERE cnt = nb GROUP BY 1, 2
+             HAVING CAST(sum(CAST(nb * x - Sb AS HUGEINT) * (nb * x - Sb))
+               AS HUGEINT) > 0),
+      rs AS (SELECT nb,
+               CAST(floor(1000000.0
+                 * CAST(CAST(Rn AS HUGEINT) * Rn * nb AS DOUBLE)
+                 / CAST(num0 AS DOUBLE)) AS BIGINT) AS rs2q
+             FROM per),
+      bySize AS (SELECT nb AS block_n,
+               CAST(count(*) AS BIGINT) AS m_blocks,
+               CAST(sum(rs2q) AS BIGINT) AS rs2_sum_q
+             FROM rs GROUP BY 1 HAVING sum(rs2q) > 0),
+      y AS (SELECT block_n, m_blocks, rs2_sum_q,
+              CAST(floor(500000000.0 * ln(CAST(rs2_sum_q AS DOUBLE)
+                / (1000000.0 * CAST(m_blocks AS DOUBLE)))) AS BIGINT)
+                AS y_q,
+              CAST(floor(1000000000.0 * ln(CAST(block_n AS DOUBLE)))
+                AS BIGINT) AS xq
+            FROM bySize),
+      slope AS (SELECT CASE WHEN count(*) >= 2 THEN
+              CAST(floor(1000000.0
+                * CAST(count(*) * sum(CAST(xq AS HUGEINT) * y_q)
+                  - sum(CAST(xq AS HUGEINT)) * sum(CAST(y_q AS HUGEINT))
+                  AS DOUBLE)
+                / CAST(count(*) * sum(CAST(xq AS HUGEINT) * xq)
+                  - sum(CAST(xq AS HUGEINT)) * sum(CAST(xq AS HUGEINT))
+                  AS DOUBLE)) AS BIGINT)
+            END AS hurst_q FROM y)
+      SELECT block_n, m_blocks, rs2_sum_q, y_q, hurst_q
+      FROM y CROSS JOIN slope ORDER BY block_n"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -14622,5 +15017,7 @@ object Queries {
     q335MarginPairsIvf, q336Modularity, q337Harmonic,
     q338SpectralEntropy, q339RocPoints, q340Ewma, q341KFold,
     q342Luhn, q343VocabIds, q344Secrets, q345IvfMarginRecall,
-    q346Bartlett, q347GTest, q348CoxStuart, q349RichClub, q350TheilU2)
+    q346Bartlett, q347GTest, q348CoxStuart, q349RichClub, q350TheilU2,
+    q351KTruss, q352BrunnerMunzel, q353AnsariBradley, q354PageTrend,
+    q355LjungBox, q356VarianceRatio, q357HurstRS)
 }

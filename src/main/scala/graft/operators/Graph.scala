@@ -690,4 +690,62 @@ object Graph {
         sum(expr("1000000L div __d")).as("harmonic_q"))
       .orderBy(col("id"))
   }
+
+  /** k-truss decomposition restricted to one k: the maximal subgraph
+    * in which every EDGE sits in at least k−2 triangles — the
+    * edge-level cousin of [[kCore]] (a k-truss is always inside a
+    * (k−1)-core, but is much stricter: it keeps only edges whose
+    * endpoints share enough neighborhood, which is exactly the
+    * "dense duplicate cluster vs incidental bridge" distinction the
+    * dedup pair graphs need). Input is the canonical undirected
+    * `a < b` frame.
+    *
+    * Peel loop (bounded rounds, fixpoint-detected): per round compute
+    * each surviving edge's SUPPORT (triangles through it) via the
+    * [[triangleStats]] wedge join — triangles enumerate once as
+    * x < y < z and credit all three edges — then drop edges with
+    * support < k−2. Dropping an edge can break other triangles, so
+    * iterate; support is monotone decreasing, so the loop converges.
+    *
+    * Scale shape: each round is the wedge self-equi-join (Σ deg²
+    * rows, deg ≤ k on symmetrized kNN input), one closing equi-join,
+    * one explode×3 + hash agg, two semi-joins — the kCore round plan
+    * plus a triangle count; localCheckpoint per round caps lineage.
+    *
+    * @return surviving edges (a, b, support) — support from the
+    *         final converged round
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k ($k) must be >= 3")
+    require(rounds >= 1 && rounds <= 64, s"rounds ($rounds) must be in [1, 64]")
+    def support(e: DataFrame): DataFrame = {
+      val wedges = e.select(col("a").as("x"), col("b").as("y"))
+        .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x"))
+        .filter(col("y") < col("z"))
+      val tri = wedges.join(e.select(col("a").as("y"), col("b").as("z")),
+        Seq("y", "z"))
+      tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("x").as("a"), col("z").as("b")),
+          struct(col("y").as("a"), col("z").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var cur = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    var curCount = cur.count()
+    var r = 0
+    var done = curCount == 0L
+    while (r < rounds && !done) {
+      val keep = support(cur).filter(col("support") >= k - 2)
+      val next = cur.join(keep.select(col("a"), col("b")), Seq("a", "b"),
+          "left_semi")
+        .localCheckpoint(eager = false)
+      val nextCount = next.count()
+      done = nextCount == curCount || nextCount == 0L
+      cur = next; curCount = nextCount; r += 1
+    }
+    cur.join(support(cur), Seq("a", "b"), "left")
+      .na.fill(0L, Seq("support"))
+      .filter(col("support") >= k - 2)
+  }
 }

@@ -2714,4 +2714,228 @@ object Stats {
         (col("adj_q") <= lit(50000000000L)).cast("int").as("reject"))
       .orderBy(col("rank"))
   }
+
+  /** Shared rank grid for the two-sample rank tests below: collapse the
+    * two samples to a (group, value, cnt) grid, then derive pooled and
+    * within-group MID-ranks on the DOUBLED grid (2·midrank is always an
+    * integer, so ties never touch a float):
+    *
+    *   2R_v (pooled) = 2·pcum_v − pcnt_v + 1,
+    *   2r_v (within) = 2·wcum_v − cnt_v + 1,
+    *
+    * with pcum/wcum running counts over the value-ordered grid. The
+    * windows run over the DISTINCT-VALUE grid, not the corpus (the
+    * brownForsythe scale contract: one corpus scan to the grid, then
+    * bounded-grid windows).
+    */
+  private def rankGrid(df: DataFrame, groupCol: String, xCol: String,
+                       gA: String, gB: String): DataFrame = {
+    val grid = df
+      .filter(col(groupCol).isin(gA, gB) && col(xCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__cnt"))
+    val pooled = grid.groupBy(col("__v")).agg(sum(col("__cnt")).as("__pcnt"))
+      .withColumn("__pcum", sum(col("__pcnt")).over(Window.orderBy(col("__v"))))
+      .withColumn("__R2", lit(2L) * col("__pcum") - col("__pcnt") + 1L)
+      .select(col("__v"), col("__R2"))
+    grid
+      .withColumn("__wcum", sum(col("__cnt"))
+        .over(Window.partitionBy(col("__g")).orderBy(col("__v"))))
+      // NOTE "__w2", not "__r2": Spark resolution is case-insensitive,
+      // so "__r2" would collide with the pooled "__R2" at the join
+      .withColumn("__w2", lit(2L) * col("__wcum") - col("__cnt") + 1L)
+      .join(pooled, Seq("__v"))
+  }
+
+  /** Brunner–Munzel test ("generalized Wilcoxon") of the stochastic
+    * ordering P(X_A < X_B) + ½P(X_A = X_B) = ½ between two named
+    * groups — the rank test that stays valid under unequal variances
+    * AND unequal shapes, where Mann–Whitney's permutation null does
+    * not (Brunner & Munzel 2000, Biometrical J. 42).
+    *
+    * Exact skeleton on the doubled-rank grid ([[rankGrid]]): per row
+    * d = 2R − 2r + (n_g + 1) is an integer; the rank-variance
+    * numerator E_g = Σ(n_g·d − D_g)² with D_g = Σ2R accumulates in
+    * decimal(38,0) (n_g·d ~ n²; squared ~ n⁴ — past long at corpus
+    * scale); the statistic
+    *
+    *   W = (n_A·D_B − n_B·D_A) / ((n_A+n_B)·√(E_A/(n_A(n_A−1)) + E_B/(n_B(n_B−1))))
+    *
+    * is one mirrored fp chain (two casts, one add, one sqrt, one
+    * divide). p̂ = (D_B − n_B(n_B+1)) / (2·n_A·n_B) is the
+    * common-language effect size, exact rational → one division.
+    *
+    * Plan: one corpus scan → grid, two bounded-grid windows, two
+    * broadcast one-row joins, one final fold. No corpus shuffle wider
+    * than (group, value).
+    *
+    * @return one row (n_a, n_b, d_a_l, d_b_l, v_a_q, v_b_q, phat_q,
+    *         w_q) with v_g_q = ⌊10⁶·E_g/(4n_g²(n_g−1))⌋ and
+    *         w_q = ⌊10⁶·W⌋
+    */
+  def brunnerMunzel(df: DataFrame, groupCol: String, xCol: String,
+                    gA: String, gB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val g = rankGrid(df, groupCol, xCol, gA, gB)
+    val per = g.groupBy(col("__g"))
+      .agg(sum(col("__cnt")).as("__n"),
+        sum(col("__cnt") * col("__R2")).as("__D"))
+    // "__dd", not "__d": a column named "__d" would case-insensitively
+    // REPLACE the per-group "__D" sum from the withColumn
+    val e = g.join(broadcast(per), Seq("__g"))
+      .withColumn("__dd", col("__R2") - col("__w2") + col("__n") + 1L)
+      .withColumn("__t", dec38(col("__n") * col("__dd") - col("__D")))
+      .groupBy(col("__g"), col("__n"), col("__D"))
+      .agg(sum(dec38(col("__cnt")) * col("__t") * col("__t")).as("__E"))
+    val pick = (c: String, grp: String) =>
+      max(when(col("__g") === grp, col(c)))
+    val one = e.agg(
+      pick("__n", gA).as("n_a"), pick("__n", gB).as("n_b"),
+      pick("__D", gA).as("d_a_l"), pick("__D", gB).as("d_b_l"),
+      pick("__E", gA).as("__ea"), pick("__E", gB).as("__eb"))
+    val vq = (eCol: Column, n: Column) =>
+      floor(lit(1.0e6) * eCol.cast("double") /
+        (lit(4.0) * n.cast("double") * n.cast("double") *
+          (n - 1L).cast("double"))).cast("long")
+    val va = col("__ea").cast("double") /
+      (col("n_a") * (col("n_a") - 1L)).cast("double")
+    val vb = col("__eb").cast("double") /
+      (col("n_b") * (col("n_b") - 1L)).cast("double")
+    one.select(col("n_a"), col("n_b"), col("d_a_l"), col("d_b_l"),
+      vq(col("__ea"), col("n_a")).as("v_a_q"),
+      vq(col("__eb"), col("n_b")).as("v_b_q"),
+      floor(lit(1.0e6) *
+        (col("d_b_l") - col("n_b") * (col("n_b") + 1L)).cast("double") /
+        (lit(2.0) * (col("n_a") * col("n_b")).cast("double")))
+        .cast("long").as("phat_q"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 &&
+        (col("__ea") > 0 || col("__eb") > 0),
+        floor(lit(1.0e6) *
+          (col("n_a") * col("d_b_l") - col("n_b") * col("d_a_l"))
+            .cast("double") /
+          ((col("n_a") + col("n_b")).cast("double") * sqrt(va + vb)))
+          .cast("long")).as("w_q"))
+  }
+
+  /** Ansari–Bradley two-sample SCALE test: are the two groups equally
+    * dispersed around a common center? Scores are the fold of the
+    * pooled rank toward the extremes, a_i = min(R_i, N+1−R_i) — small
+    * at both tails, large in the middle — so a concentrated sample
+    * collects LARGE scores. Unlike Fligner–Killeen (normal quantiles)
+    * or Mood (squared deviations), the AB score is pure integer
+    * arithmetic on the doubled-rank grid: 2a = min(2R, 2(N+1)−2R).
+    *
+    * The statistic is T = Σ_{i∈A} a_i with the exact
+    * finite-population moments of a linear rank statistic under ties:
+    *
+    *   E[T] = n_A·S/N,   Var[T] = n_A·n_B·(N·Q − S²)/(N²(N−1)),
+    *
+    * S = Σa, Q = Σa² over the pooled sample (both exact integers on
+    * the doubled grid; products in decimal(38,0) — S² ~ N⁴ passes
+    * long at corpus scale). z = (T − E)/√Var as one mirrored chain on
+    * the ×2 grid: z = (N·t2 − n_A·s2) / √(n_A·n_B·(N·q4 − s2²)/(N−1))
+    * with t2 = 2T, s2 = 2S, q4 = 4Q.
+    *
+    * Plan: identical to [[brunnerMunzel]] — grid, one bounded window,
+    * one fold.
+    *
+    * @return one row (n_a, n_b, n_total, t2_l, s2_l, q4_l, z_q)
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, xCol: String,
+                    gA: String, gB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val g = rankGrid(df, groupCol, xCol, gA, gB)
+    val tot = g.agg(sum(col("__cnt")).as("__N"))
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("__a2",
+        least(col("__R2"), lit(2L) * (col("__N") + 1L) - col("__R2")))
+    val one = scored.agg(
+      max(col("__N")).as("n_total"),
+      sum(when(col("__g") === gA, col("__cnt")).otherwise(0L)).as("n_a"),
+      sum(when(col("__g") === gB, col("__cnt")).otherwise(0L)).as("n_b"),
+      sum(when(col("__g") === gA, col("__cnt") * col("__a2"))
+        .otherwise(0L)).as("t2_l"),
+      sum(col("__cnt") * col("__a2")).as("s2_l"),
+      sum(dec38(col("__cnt")) * dec38(col("__a2")) * dec38(col("__a2")))
+        .as("__q4"))
+    one.select(col("n_a"), col("n_b"), col("n_total"), col("t2_l"),
+      col("s2_l"), col("__q4").as("q4_l"),
+      when(col("n_total") >= 3 &&
+        dec38(col("n_total")) * col("__q4") -
+          dec38(col("s2_l")) * dec38(col("s2_l")) > 0,
+        floor(lit(1.0e6) *
+          (dec38(col("n_total")) * dec38(col("t2_l")) -
+            dec38(col("n_a")) * dec38(col("s2_l"))).cast("double") /
+          sqrt((dec38(col("n_a")) * dec38(col("n_b")) *
+            (dec38(col("n_total")) * col("__q4") -
+              dec38(col("s2_l")) * dec38(col("s2_l")))).cast("double") /
+            (col("n_total") - 1L).cast("double")))
+          .cast("long")).as("z_q"))
+  }
+
+  /** Page's L trend test for ordered alternatives in a complete
+    * randomized-block design — [[friedman]]'s directional sibling:
+    * where Friedman asks "do the k treatments differ at all across n
+    * blocks", Page asks "do they INCREASE in a pre-specified order",
+    * which is strictly more powerful when the order is right. The
+    * hypothesized order here is the treatment's ascending sort key —
+    * the caller encodes the hypothesis in the treatment labels.
+    *
+    *   L = Σ_j c_j·R_j  (c_j = hypothesized rank of treatment j,
+    *                     R_j = Σ over blocks of treatment j's
+    *                     within-block mid-rank),
+    *   E[L] = n·k(k+1)²/4,  Var[L] = n·k²(k+1)(k²−1)/144,
+    *   z = (L − E)/√Var = 3·(2L·2/2… ) — carried on the ×2/×4 integer
+    *   grids: l2 = 2L, e4 = 4E = n·k(k+1)², v144 = 144·Var, and
+    *   z = 3·(2·l2 − e4)/√v144 (one sqrt, one divide).
+    *
+    * Cell observation = Σx per (block, treatment), exact long.
+    * Incomplete blocks (missing a treatment) are dropped — Page's
+    * design requirement. Within-block mid-ranks make ties exact on
+    * the doubled grid; the no-tie Var is the documented convention
+    * (ties are rare on continuous-ish cell sums).
+    *
+    * Plan: one corpus scan → k·n cell grid, per-block bounded window
+    * for ranks, one k-row fold. Nothing wider than the cell grid ever
+    * shuffles.
+    *
+    * @return one row (n_blocks, k, l2_l, e4_l, v144_l, z_q)
+    */
+  def pageL(df: DataFrame, blockCol: String, treatCol: String,
+            xCol: String): DataFrame = {
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(xCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(sum(col(xCol).cast("long")).as("__x"))
+      .localCheckpoint(eager = false)
+    val k = cells.select(col("__t")).distinct().count().toInt
+    val full = cells
+      .withColumn("__kb", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .filter(col("__kb") === k)
+    // within-block doubled mid-rank of the cell value
+    val ranked = full
+      .withColumn("__lt", count(lit(1)).over(Window.partitionBy(col("__b"))
+        .orderBy(col("__x")).rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__eq", count(lit(1)).over(Window.partitionBy(col("__b"))
+        .orderBy(col("__x")).rangeBetween(0, 0)))
+      .withColumn("__R2", lit(2L) * col("__lt") + col("__eq") + 1L)
+    // hypothesized order: ascending treatment sort key
+    val order = cells.select(col("__t")).distinct()
+      .withColumn("__c", row_number().over(Window.orderBy(col("__t")))
+        .cast("long"))
+    val one = ranked.join(broadcast(order), Seq("__t"))
+      .agg((sum(col("__c") * col("__R2"))).as("l2_l"),
+        (count(lit(1)) / lit(k)).cast("long").as("n_blocks"))
+    val kL = lit(k.toLong)
+    one.select(col("n_blocks"), kL.as("k"), col("l2_l"),
+      (col("n_blocks") * kL * (kL + 1L) * (kL + 1L)).as("e4_l"),
+      (col("n_blocks") * kL * kL * (kL + 1L) * (kL * kL - 1L)).as("v144_l"),
+      when(col("n_blocks") >= 1 && kL >= 2,
+        floor(lit(3.0e6) *
+          (lit(2L) * col("l2_l") -
+            col("n_blocks") * kL * (kL + 1L) * (kL + 1L)).cast("double") /
+          sqrt((col("n_blocks") * kL * kL * (kL + 1L) * (kL * kL - 1L))
+            .cast("double"))).cast("long")).as("z_q"))
+  }
 }

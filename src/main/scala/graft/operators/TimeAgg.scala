@@ -1593,4 +1593,232 @@ object TimeAgg {
         col("col.__s.x").as("x"), col("col.__st").as("ewma_q"))
       .orderBy(col(keyCol), col("bucket"))
   }
+
+  /** Shared exact-centering helper for the serial-correlation tests:
+    * index the bucket-ordered series 1..n and attach the n-SCALED
+    * centered value xc_t = n·x_t − S (an exact integer — the mean
+    * never becomes a float; every covariance numerator divides out
+    * the n² at the very end). One bounded-grid window, one broadcast
+    * one-row total.
+    */
+  private def centeredIdx(series: DataFrame, bucketCol: String,
+                          xCol: String): DataFrame = {
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__b"))).cast("long"))
+    val tot = t.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__S"))
+    t.crossJoin(broadcast(tot))
+      .withColumn("__xc", col("__n") * col("__x") - col("__S"))
+  }
+
+  /** Ljung–Box portmanteau test of residual serial correlation on a
+    * bucketed series — "is this series white noise up to lag m", the
+    * standard post-fit autocorrelation audit ([[acf]] gives the
+    * correlogram; this gives the one test statistic drift monitors
+    * alert on):
+    *
+    *   Q(m) = n(n+2)·Σ_{k=1..m} r_k²/(n−k).
+    *
+    * Exactness: autocovariance numerators on the n-scaled centered
+    * grid — num_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) is an exact
+    * decimal(38,0) (the n² factors cancel in r_k = num_k/num_0, ONE
+    * double division); per-lag contributions quantize
+    * ⌊10¹²·n(n+2)·r_k²/(n−k)⌋ as longs so the cumulative statistic is
+    * an order-free integer sum, not a float fold.
+    *
+    * Plan: one window to index, one m-way explode + equi-join on the
+    * shifted index (m·n rows — lag depth is bounded), one hash agg
+    * per lag, one bounded window for the cumulative Q. Series length
+    * is a bounded grid (buckets), never the corpus.
+    *
+    * @return per-lag rows (lag, n, r_q = ⌊10⁹·r_k⌋, term_q,
+    *         lb_cum_q = Σ_{j≤k} term_j), ordered by lag
+    */
+  def ljungBox(series: DataFrame, bucketCol: String, xCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag ($maxLag) must be in [1, 64]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val c0 = centeredIdx(series, bucketCol, xCol)
+      .localCheckpoint(eager = false)
+    val base = c0.agg(max(col("__n")).as("__n"),
+      sum(dec(col("__xc")) * dec(col("__xc"))).as("__num0"))
+    val lagged = c0
+      .select(col("__t"), col("__xc"),
+        explode(sequence(lit(1), lit(maxLag))).as("__k"))
+      .withColumn("__t2", col("__t") + col("__k"))
+      .join(c0.select(col("__t").as("__t2"), col("__xc").as("__xc2")),
+        Seq("__t2"))
+      .groupBy(col("__k").cast("long").as("lag"))
+      .agg(sum(dec(col("__xc")) * dec(col("__xc2"))).as("__num"))
+    val r = col("__num").cast("double") / col("__num0").cast("double")
+    val terms = lagged.crossJoin(broadcast(base))
+      .filter(col("__num0") > 0 && col("lag") < col("__n"))
+      .select(col("lag"), col("__n").as("n"),
+        floor(lit(1.0e9) * r).cast("long").as("r_q"),
+        floor(lit(1.0e12) *
+          (col("__n") * (col("__n") + 2L)).cast("double") * r * r /
+          (col("__n") - col("lag")).cast("double")).cast("long")
+          .as("term_q"))
+    terms
+      .withColumn("lb_cum_q", sum(col("term_q"))
+        .over(Window.orderBy(col("lag"))))
+      .orderBy(col("lag"))
+  }
+
+  /** Lo–MacKinlay variance-ratio test on a bucketed level series —
+    * "do q-period increments have q× the variance of 1-period
+    * increments" (VR = 1 under a random walk; VR < 1 = mean
+    * reversion, VR > 1 = trending). The standard market-efficiency /
+    * drift-persistence audit, here on event-count levels.
+    *
+    * With drift μ̂ = (x_n − x_1)/T (T = n−1 intervals) both variance
+    * numerators clear their denominators exactly:
+    *
+    *   numB = Σ_{t=2..n} (T·(x_t − x_{t−1}) − Δ)²,
+    *   numA = Σ_{t=q+1..n} (T·(x_t − x_{t−q}) − q·Δ)²,
+    *   VR   = numA / (q·numB)    (the T² scale factors cancel;
+    *                              overlapping q-diffs, T·q normalizer)
+    *
+    * — exact decimal(38,0) integers into ONE double division. The
+    * homoskedastic z-score uses φ(q) = 2(2q−1)(q−1)/(3q·T):
+    * z = (VR−1)/√φ, a second mirrored chain.
+    *
+    * Plan: one indexing window, two shifted self-equi-joins on the
+    * bounded bucket grid, one fold.
+    *
+    * @return one row (n, q, delta_l, num1_l, numq_l, vr_q = ⌊10⁶·VR⌋,
+    *         z_q = ⌊10⁶·z⌋)
+    */
+  def varianceRatio(series: DataFrame, bucketCol: String, xCol: String,
+                    q: Int): DataFrame = {
+    require(q >= 2 && q <= 64, s"q ($q) must be in [2, 64]")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__b"))).cast("long"))
+      .localCheckpoint(eager = false)
+    val ends = t.agg(count(lit(1)).as("__n"),
+      max(when(col("__t") === 1L, col("__x"))).as("__x1"),
+      max(col("__t")).as("__tn"))
+    val endVal = t.join(broadcast(ends), col("__t") === col("__tn"))
+      .select(col("__n"), (col("__x") - col("__x1")).as("__delta"))
+    val diff = (k: Int) => t
+      .select((col("__t") + k).as("__t"), col("__x").as("__xp"))
+      .join(t, Seq("__t"))
+      .select((col("__x") - col("__xp")).as("__d"))
+      .crossJoin(broadcast(endVal))
+      .select(col("__n"), col("__delta"),
+        dec((col("__n") - 1L) * col("__d") - lit(k.toLong) * col("__delta"))
+          .as("__z"))
+      .agg(max(col("__n")).as("__n"), max(col("__delta")).as("__delta"),
+        sum(col("__z") * col("__z")).as("__num"))
+    val b = diff(1).select(col("__n"), col("__delta"),
+      col("__num").as("__numB"))
+    val a = diff(q).select(col("__num").as("__numA"))
+    val tD = (col("__n") - 1L).cast("double")
+    val vr = col("__numA").cast("double") /
+      (lit(q.toDouble) * col("__numB").cast("double"))
+    val phi = lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / tD
+    b.crossJoin(a)
+      .select(col("__n").as("n"), lit(q.toLong).as("q"),
+        col("__delta").as("delta_l"),
+        col("__numB").cast("long").as("num1_l"),
+        col("__numA").cast("long").as("numq_l"),
+        when(col("__numB") > 0,
+          floor(lit(1.0e6) * vr).cast("long")).as("vr_q"),
+        when(col("__numB") > 0 && col("__n") > q + 1,
+          floor(lit(1.0e6) * (vr - lit(1.0)) / sqrt(phi)).cast("long"))
+          .as("z_q"))
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis over dyadic
+    * block sizes — the long-memory audit (H ≈ 0.5 = memoryless,
+    * H → 1 = persistent trends, H < 0.5 = anti-persistent): chop the
+    * series into complete blocks of each size, compute the block's
+    * rescaled range, and read H as the log–log slope of R/S against
+    * block size.
+    *
+    * Everything stays rational until one ln per size point:
+    *
+    *   n_b·C_t = n_b·P_t − t·S_b    (cumulative deviation, ×n_b),
+    *   Rn_b    = max n_b·C − min n_b·C            (exact integer),
+    *   (R/S)²  = Rn_b²·n_b / num0_b               (num0 = Σ(n_b·x−S_b)²),
+    *   rs2_q   = ⌊10⁶·(R/S)²⌋                      (ONE double division),
+    *   y_q     = ⌊5·10⁸·ln(Σrs2_q / (10⁶·m))⌋      (½ln of the size's
+    *                                               mean (R/S)²),
+    *   x_q     = ⌊10⁹·ln size⌋,
+    *   H       = OLS slope of y on x over the size points — computed
+    *             on the quantized integer grid (p·Σxy − Σx·Σy) /
+    *             (p·Σxx − Σx²) in decimal(38,0), one final division.
+    *
+    * Plan: sizes explode the indexed series |sizes|× (bounded), one
+    * window per (size, block) for the running sum, two hash aggs, a
+    * |sizes|-row fold. Bucket grid only — never the corpus.
+    *
+    * @return per-size rows (block_n, m_blocks, rs2_sum_q, y_q,
+    *         hurst_q) — hurst_q = ⌊10⁶·H⌋ repeated on every row
+    */
+  def hurstRS(series: DataFrame, bucketCol: String, xCol: String,
+              sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 4),
+      "block sizes must be >= 4")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__b"))).cast("long"))
+    val blocks = t
+      .select(col("__t"), col("__x"),
+        explode(array(sizes.map(s => lit(s.toLong)): _*)).as("__nb"))
+      .withColumn("__blk", expr("(__t - 1) div __nb"))
+      // complete blocks only
+      .withColumn("__pos",
+        col("__t") - col("__blk") * col("__nb")) // 1..nb within block
+    val w = Window.partitionBy(col("__nb"), col("__blk"))
+    val per = blocks
+      .withColumn("__P", sum(col("__x")).over(w.orderBy(col("__t"))))
+      .withColumn("__Sb", sum(col("__x")).over(w))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") === col("__nb"))
+      .withColumn("__nc", col("__nb") * col("__P") - col("__pos") * col("__Sb"))
+      .withColumn("__xc", col("__nb") * col("__x") - col("__Sb"))
+      .groupBy(col("__nb"), col("__blk"))
+      .agg((max(col("__nc")) - min(col("__nc"))).as("__Rn"),
+        sum(dec(col("__xc")) * dec(col("__xc"))).as("__num0"))
+      .filter(col("__num0") > 0)
+      .select(col("__nb"),
+        floor(lit(1.0e6) *
+          (dec(col("__Rn")) * dec(col("__Rn")) * dec(col("__nb")))
+            .cast("double") / col("__num0").cast("double"))
+          .cast("long").as("__rs2q"))
+    val bySize = per.groupBy(col("__nb").as("block_n"))
+      .agg(count(lit(1)).as("m_blocks"), sum(col("__rs2q")).as("rs2_sum_q"))
+      .filter(col("rs2_sum_q") > 0)
+      .withColumn("y_q", floor(lit(5.0e8) *
+        log(col("rs2_sum_q").cast("double") /
+          (lit(1.0e6) * col("m_blocks").cast("double")))).cast("long"))
+      .withColumn("__xq",
+        floor(lit(1.0e9) * log(col("block_n").cast("double"))).cast("long"))
+      .localCheckpoint(eager = false)
+    val slope = bySize.agg(count(lit(1)).as("__p"),
+        sum(dec(col("__xq"))).as("__sx"), sum(dec(col("y_q"))).as("__sy"),
+        sum(dec(col("__xq")) * dec(col("y_q"))).as("__sxy"),
+        sum(dec(col("__xq")) * dec(col("__xq"))).as("__sxx"))
+      .select(when(col("__p") >= 2,
+        floor(lit(1.0e6) *
+          (col("__p") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+          (col("__p") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")).cast("long")).as("hurst_q"))
+    bySize.select(col("block_n"), col("m_blocks"), col("rs2_sum_q"),
+        col("y_q"))
+      .crossJoin(broadcast(slope))
+      .orderBy(col("block_n"))
+  }
 }

@@ -353,4 +353,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(h1(2L) === 2000000L && h1(1L) === 1000000L)
   }
+
+  test("kTruss: pendant edge peels, shared-edge support counts, " +
+      "k=4 cascades to empty") {
+    // triangle 1-2-3 + pendant 3-4: the pendant sits in no triangle
+    val g1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val t3 = Graph.kTruss(g1, k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(t3.values.forall(_ === 1L))
+    // two triangles sharing edge 2-3: support(2,3)=2, others 1
+    val g2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val t3b = Graph.kTruss(g2, k = 3, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3b((2L, 3L)) === 2L)
+    assert(t3b.size === 5 && t3b.count(_._2 === 1L) === 4)
+    // k=4 needs support >= 2 everywhere: first peel keeps only (2,3),
+    // whose support then drops to 0 -> empty fixpoint
+    assert(Graph.kTruss(g2, k = 4, rounds = 8).count() === 0L)
+  }
 }

@@ -435,4 +435,90 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(TimeAgg.ewmaDyadic(const, "key", "bucket", "x", 3)
       .collect().forall(_.getLong(3) === 7 * q))
   }
+
+  // ------------------------------------------------------ ljungBox
+
+  test("ljungBox: alternating series hand-checked per lag, cumulative " +
+      "Q is the running sum") {
+    // x = 1,2,1,2: xc = 4x-6 = -2,2,-2,2; num0 = 16
+    // lag1: -12 -> r=-0.75; lag2: 8 -> r=0.5; lag3: -4 -> r=-0.25
+    val s = Seq(1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val out = TimeAgg.ljungBox(s, "bucket", "x", maxLag = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((-750000000L, 4500000000000L, 4500000000000L)))
+    assert(out(2L) === ((500000000L, 3000000000000L, 7500000000000L)))
+    assert(out(3L) === ((-250000000L, 1500000000000L, 9000000000000L)))
+    // lags beyond n-1 drop (the n-k divisor would hit zero)
+    assert(TimeAgg.ljungBox(s, "bucket", "x", maxLag = 8).count() === 3L)
+  }
+
+  // ------------------------------------------------- varianceRatio
+
+  test("varianceRatio: oscillating series hand-checked; perfect " +
+      "trend has zero 1-period variance -> NULL") {
+    // x = 1,2,1,2,1,2 with q=2: numB = 120, numA = 16,
+    // VR = 16/240, z = (VR-1)/sqrt(0.2)
+    val s = Seq(1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val r = TimeAgg.varianceRatio(s, "bucket", "x", q = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 2L, 1L)))
+    assert((r.getLong(3), r.getLong(4)) === ((120L, 16L)))
+    assert(r.getLong(5) === math.floor(1.0e6 * 16.0 / (2.0 * 120.0)).toLong)
+    val vr = 16.0 / (2.0 * 120.0)
+    val phi = 2.0 * 3 * 1 / (3.0 * 2) / 5.0
+    assert(r.getLong(6) ===
+      math.floor(1.0e6 * (vr - 1.0) / math.sqrt(phi)).toLong)
+    // x = 1..10: every 1-period diff equals the drift -> numB = 0
+    val trend = (1L to 10L).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val rt = TimeAgg.varianceRatio(trend, "bucket", "x", q = 2)
+      .collect().head
+    assert(rt.getLong(3) === 0L && rt.isNullAt(5) && rt.isNullAt(6))
+  }
+
+  // ------------------------------------------------------- hurstRS
+
+  test("hurstRS: replays the documented chain against a scala " +
+      "reimplementation; block bookkeeping correct") {
+    val xs = Seq(3L, 7L, 2L, 9L, 4L, 8L, 1L, 6L, 5L, 2L, 9L, 3L,
+      7L, 4L, 8L, 2L, 6L, 1L)
+    val s = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("bucket", "x")
+    val out = TimeAgg.hurstRS(s, "bucket", "x", sizes = Seq(4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 18 points: four complete 4-blocks, two complete 8-blocks
+    assert(out(4L)._1 === 4L && out(8L)._1 === 2L)
+    // scala replay of the per-block chain
+    def rs2q(block: Seq[Long]): Long = {
+      val nb = block.length.toLong
+      val sb = block.sum
+      val cums = block.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (p, i) => nb * p - (i + 1) * sb }
+      val rn = BigDecimal(cums.max - cums.min)
+      val num0 = block.map(x => BigDecimal(nb * x - sb).pow(2)).sum
+      math.floor(1.0e6 * (rn * rn * nb).toDouble / num0.toDouble).toLong
+    }
+    def sizeRow(nb: Int): (Long, Long) = {
+      val qs = xs.grouped(nb).filter(_.length == nb).map(rs2q).toSeq
+      val sum = qs.sum
+      (sum, math.floor(5.0e8 *
+        math.log(sum.toDouble / (1.0e6 * qs.length))).toLong)
+    }
+    assert((out(4L)._2, out(4L)._3) === sizeRow(4))
+    assert((out(8L)._2, out(8L)._3) === sizeRow(8))
+    // slope replay on the quantized grid
+    val pts = Seq(4, 8).map { nb =>
+      (math.floor(1.0e9 * math.log(nb.toDouble)).toLong, sizeRow(nb)._2)
+    }
+    val p = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = pts.map { case (x, _) => BigInt(x) * x }.sum
+    val want = math.floor(1.0e6 * (BigInt(p) * sxy - BigInt(sx) * sy).toDouble /
+      (BigInt(p) * sxx - BigInt(sx) * sx).toDouble).toLong
+    assert(out(4L)._4 === want && out(8L)._4 === want)
+  }
 }

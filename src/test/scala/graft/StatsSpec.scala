@@ -1253,4 +1253,73 @@ class StatsSpec extends SparkSpec {
     // conforming groups all carry the same (small) chi-square
     assert(out.tail.map(_.getLong(2)).distinct.length === 1)
   }
+
+  // ---- brunnerMunzel / ansariBradley / pageL --------------------------------
+
+  test("brunnerMunzel: interleaved samples hand-checked; perfect " +
+      "separation degenerates to NULL W with p-hat 1; midrank ties") {
+    // A={1,3,5}, B={2,4,6}: D_A=18, D_B=24, E_A=E_B=72, v=1,
+    // W = 18/(6*sqrt(24)), phat = 12/18
+    val inter = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 2L), ("b", 4L), ("b", 6L)).toDF("g", "x")
+    val r = Stats.brunnerMunzel(inter, "g", "x", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 18L, 24L)))
+    assert((r.getLong(4), r.getLong(5)) === ((1000000L, 1000000L)))
+    assert(r.getLong(6) === 666666L)
+    assert(r.getLong(7) ===
+      math.floor(1.0e6 * 18.0 / (6.0 * math.sqrt(24.0))).toLong)
+    // perfect separation: both rank variances are 0 -> W undefined
+    val sep = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "x")
+    val rs = Stats.brunnerMunzel(sep, "g", "x", "a", "b").collect().head
+    assert(rs.isNullAt(7) && rs.getLong(6) === 1000000L)
+    // ties: A={1,1}, B={1,2} -> E_A=0, E_B=8, W=1 (doubled midranks)
+    val tie = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L)).toDF("g", "x")
+    val rt = Stats.brunnerMunzel(tie, "g", "x", "a", "b").collect().head
+    assert((rt.getLong(2), rt.getLong(3)) === ((8L, 12L)))
+    assert((rt.getLong(4), rt.getLong(5)) === ((0L, 500000L)))
+    assert(rt.getLong(7) === 1000000L)
+  }
+
+  test("ansariBradley: extremes-vs-middle hand-checked; equal-scale " +
+      "interleave scores z near 0") {
+    // A={1,4} (extremes), B={2,3} (middle): 2a = 2,4,4,2;
+    // t2=4, s2=12, q4=40, z = -8/sqrt(4*16/3) = -sqrt(3)
+    val r = Stats.ansariBradley(
+      Seq(("a", 1L), ("a", 4L), ("b", 2L), ("b", 3L)).toDF("g", "x"),
+      "g", "x", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 4L)))
+    assert((r.getLong(3), r.getLong(4)) === ((4L, 12L)))
+    assert(r.getDecimal(5).longValue === 40L)
+    assert(r.getLong(6) ===
+      math.floor(1.0e6 * -8.0 / math.sqrt(4.0 * 16.0 / 3.0)).toLong)
+    // same dispersion interleaved: T sits at its expectation exactly
+    val even = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L)).toDF("g", "x")
+    val re = Stats.ansariBradley(even, "g", "x", "a", "b").collect().head
+    // t2 = 2+4 = 6 = n_a*s2/N = 2*12/4 -> z = 0
+    assert(re.getLong(3) === 6L && re.getLong(6) === 0L)
+  }
+
+  test("pageL: perfectly ordered blocks hit the exact z; incomplete " +
+      "blocks drop; reversed order flips the sign") {
+    // 2 complete blocks, x rising with treatment key order:
+    // L = 28, E = 24, Var = 4 -> z = 2
+    val df = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 1L), ("b2", "t2", 2L), ("b2", "t3", 3L),
+      ("b3", "t1", 9L), ("b3", "t2", 9L)) // incomplete: dropped
+      .toDF("blk", "trt", "x")
+    val r = Stats.pageL(df, "blk", "trt", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 3L, 56L)))
+    assert((r.getLong(3), r.getLong(4)) === ((96L, 576L)))
+    assert(r.getLong(5) === 2000000L)
+    // anti-ordered data: L = 2*(1*6+2*4+3*2) = 40 -> z = -2
+    val rev = Seq(
+      ("b1", "t1", 3L), ("b1", "t2", 2L), ("b1", "t3", 1L),
+      ("b2", "t1", 3L), ("b2", "t2", 2L), ("b2", "t3", 1L))
+      .toDF("blk", "trt", "x")
+    assert(Stats.pageL(rev, "blk", "trt", "x").collect().head
+      .getLong(5) === -2000000L)
+  }
 }
