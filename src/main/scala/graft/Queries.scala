@@ -14919,6 +14919,165 @@ object Queries {
       SELECT block_n, m_blocks, rs2_sum_q, y_q, hurst_q
       FROM y CROSS JOIN slope ORDER BY block_n"""))
 
+  /** (q358) Gwet's AC1 agreement between the stored lang label and the
+    * n-gram language-ID prediction (Eval.gwetAc1 scaladoc) — the
+    * prevalence-robust complement to q167's Cohen's κ on the same
+    * rater pair: rational to the last step via the cleared
+    * 4N²(Q−1) denominator.
+    */
+  val q358GwetAc1 = Q(
+    "q358_ml_gwet_ac1",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+        .filter(col("pred").isNotNull)
+      operators.Eval.gwetAc1(d, "lang", "pred")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT lang AS a,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS b
+             FROM h WHERE lang IS NOT NULL),
+      cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+             FROM pr GROUP BY 1, 2),
+      ma AS (SELECT a AS q, CAST(sum(n) AS BIGINT) AS ca
+             FROM cm GROUP BY 1),
+      mb AS (SELECT b AS q, CAST(sum(n) AS BIGINT) AS cb
+             FROM cm GROUP BY 1),
+      cats AS (SELECT coalesce(ma.ca, 0) + coalesce(mb.cb, 0) AS m
+               FROM ma FULL JOIN mb USING (q)),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS N,
+                CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                  AS A
+              FROM cm),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cats,
+                max(N) AS n_rows, max(A) AS agree,
+                CAST(sum(CAST(m AS HUGEINT) * (2 * N - m)) AS HUGEINT)
+                  AS B
+              FROM cats CROSS JOIN tot)
+      SELECT n_rows, agree, n_cats, B AS b_l,
+        CASE WHEN n_cats >= 2 AND CAST(4 AS HUGEINT) * n_rows * n_rows
+            * (n_cats - 1) - B > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(4 AS HUGEINT) * agree * n_rows * (n_cats - 1)
+              - B AS DOUBLE)
+            / CAST(CAST(4 AS HUGEINT) * n_rows * n_rows * (n_cats - 1)
+              - B AS DOUBLE)) AS BIGINT)
+        END AS ac1_q
+      FROM agg"""))
+
+  /** (q359) Mann–Kendall monotone-trend test on the dense hourly
+    * event-count series (TimeAgg.mannKendall scaladoc): exact S over
+    * all pairs of the bounded bucket grid, integer tie-corrected
+    * 18·Var, continuity-corrected z.
+    */
+  val q359MannKendall = Q(
+    "q359_a_mann_kendall",
+    (s, dir) =>
+      operators.TimeAgg.mannKendall(denseHourly(s, dir), "bucket", "x"),
+    Some(s"""
+      WITH $DenseHourlySql,
+      idx AS (SELECT x, CAST(row_number() OVER (ORDER BY bucket)
+                AS BIGINT) AS t
+              FROM dense),
+      pr AS (SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+               AS s_l
+             FROM idx a JOIN idx b ON b.t > a.t),
+      ti AS (SELECT CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT)
+               AS tie, CAST(sum(c) AS BIGINT) AS n
+             FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                   FROM idx GROUP BY x)),
+      one AS (SELECT n, s_l,
+                n * (n - 1) * (2 * n + 5) - coalesce(tie, 0) AS var18_l
+              FROM pr CROSS JOIN ti)
+      SELECT n, s_l, var18_l,
+        CASE WHEN var18_l > 0 AND s_l <> 0 THEN
+          CAST(floor(1000000.0
+            * CAST(s_l - sign(s_l) AS DOUBLE)
+            / sqrt(CAST(var18_l AS DOUBLE) / 18.0)) AS BIGINT)
+        WHEN var18_l > 0 THEN 0
+        END AS z_q
+      FROM one"""))
+
+  /** (q360) Turning-point randomness test on the dense hourly series
+    * (TimeAgg.turningPoints scaladoc): strict local extrema count,
+    * exact moments, one sqrt.
+    */
+  val q360TurningPoints = Q(
+    "q360_a_turning_points",
+    (s, dir) =>
+      operators.TimeAgg.turningPoints(denseHourly(s, dir), "bucket", "x"),
+    Some(s"""
+      WITH $DenseHourlySql,
+      w AS (SELECT x,
+              lag(x) OVER (ORDER BY bucket) AS p,
+              lead(x) OVER (ORDER BY bucket) AS nx
+            FROM dense),
+      one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                  AND ((x > p AND x > nx) OR (x < p AND x < nx))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+              FROM w)
+      SELECT n, t_points,
+        CASE WHEN n >= 4 THEN
+          CAST(floor(1000000.0
+            * CAST(3 * t_points - 2 * (n - 2) AS DOUBLE)
+            / (3.0 * sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0)))
+            AS BIGINT)
+        END AS z_q
+      FROM one"""))
+
+  /** (q361) Bartels rank von Neumann randomness test on the dense
+    * hourly series (TimeAgg.bartelsRank scaladoc): doubled mid-ranks,
+    * exact num4/den4, one division for RVN, one mirrored z chain.
+    */
+  val q361BartelsRank = Q(
+    "q361_a_bartels_rank",
+    (s, dir) =>
+      operators.TimeAgg.bartelsRank(denseHourly(s, dir), "bucket", "x"),
+    Some(s"""
+      WITH $DenseHourlySql,
+      r AS (SELECT bucket, x,
+              2 * count(*) OVER (ORDER BY x
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                + count(*) OVER (ORDER BY x
+                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS R2
+            FROM dense),
+      rr AS (SELECT R2, lead(R2) OVER (ORDER BY bucket) AS R2n FROM r),
+      one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN R2n IS NOT NULL
+                  THEN (R2 - R2n) * (R2 - R2n) ELSE 0 END) AS BIGINT)
+                  AS num4_l
+              FROM rr),
+      dn AS (SELECT CAST(sum((R2 - (n + 1)) * (R2 - (n + 1)))
+               AS BIGINT) AS den4_l
+             FROM r CROSS JOIN one)
+      SELECT n, num4_l, den4_l,
+        CASE WHEN den4_l > 0 THEN
+          CAST(floor(1000000.0 * CAST(num4_l AS DOUBLE)
+            / CAST(den4_l AS DOUBLE)) AS BIGINT)
+        END AS rvn_q,
+        CASE WHEN den4_l > 0 AND n >= 4 THEN
+          CAST(floor(1000000.0
+            * (CAST(num4_l AS DOUBLE) / CAST(den4_l AS DOUBLE) - 2.0)
+            / sqrt(CAST(4 * (n - 2) * (5 * n * n - 2 * n - 9) AS DOUBLE)
+              / CAST(5 * n * (n + 1) * (n - 1) * (n - 1) AS DOUBLE)))
+            AS BIGINT)
+        END AS z_q
+      FROM one CROSS JOIN dn"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15019,5 +15178,6 @@ object Queries {
     q342Luhn, q343VocabIds, q344Secrets, q345IvfMarginRecall,
     q346Bartlett, q347GTest, q348CoxStuart, q349RichClub, q350TheilU2,
     q351KTruss, q352BrunnerMunzel, q353AnsariBradley, q354PageTrend,
-    q355LjungBox, q356VarianceRatio, q357HurstRS)
+    q355LjungBox, q356VarianceRatio, q357HurstRS,
+    q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank)
 }

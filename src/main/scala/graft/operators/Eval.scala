@@ -1032,4 +1032,62 @@ object Eval {
           .as("fpr_q"))
       .orderBy(col("threshold").desc)
   }
+
+  /** Gwet's AC1 inter-rater agreement — [[cohenKappa]]'s
+    * paradox-resistant cousin: kappa collapses when one category
+    * dominates (high agreement, near-zero kappa); AC1's chance term
+    * uses the probability a rater assigns a category RANDOMLY
+    * (π_q(1−π_q) mass), which stays stable under skewed prevalence —
+    * the standard choice for LLM-judge agreement audits where most
+    * items share the majority label.
+    *
+    *   p_a  = A/N,
+    *   p_e  = Σ_q π_q(1−π_q)/(Q−1),  π_q = m_q/(2N),
+    *   AC1  = (p_a − p_e)/(1 − p_e)
+    *
+    * with m_q = (rater-1 count + rater-2 count) of category q, Q = the
+    * union category count. Clearing the 4N²(Q−1) denominator keeps it
+    * rational to the last step:
+    *
+    *   AC1 = (4·A·N·(Q−1) − B) / (4·N²·(Q−1) − B),  B = Σ m_q(2N−m_q)
+    *
+    * — exact decimal(38,0) integers into ONE double division.
+    *
+    * Plan: one corpus scan to the (a, b) cell grid, two bounded
+    * marginal aggs unioned into the category frame, one fold.
+    *
+    * @return one row (n_rows, agree, n_cats, b_l, ac1_q = ⌊10⁶·AC1⌋)
+    */
+  def gwetAc1(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val cm = df.select(col(colA).as("__a"), col(colB).as("__b"))
+      .na.drop()
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val ma = cm.groupBy(col("__a").as("__q")).agg(sum(col("__n")).as("__ca"))
+    val mb = cm.groupBy(col("__b").as("__q")).agg(sum(col("__n")).as("__cb"))
+    val cats = ma.join(mb, Seq("__q"), "full")
+      .select(col("__q"),
+        (coalesce(col("__ca"), lit(0L)) + coalesce(col("__cb"), lit(0L)))
+          .as("__m"))
+    val tot = cm.agg(sum(col("__n")).as("__N"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("__A"))
+    val catAgg = cats.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_cats"), max(col("__N")).as("n_rows"),
+        max(col("__A")).as("agree"),
+        sum(dec38(col("__m")) * (lit(2L) * col("__N") - col("__m")))
+          .as("__B"))
+    catAgg.select(col("n_rows"), col("agree"), col("n_cats"),
+      col("__B").as("b_l"),
+      when(col("n_cats") >= 2 &&
+        dec38(lit(4L)) * dec38(col("n_rows")) * dec38(col("n_rows")) *
+          dec38(col("n_cats") - 1L) - col("__B") > 0,
+        floor(lit(1.0e6) *
+          (dec38(lit(4L)) * dec38(col("agree")) * dec38(col("n_rows")) *
+            dec38(col("n_cats") - 1L) - col("__B")).cast("double") /
+          (dec38(lit(4L)) * dec38(col("n_rows")) * dec38(col("n_rows")) *
+            dec38(col("n_cats") - 1L) - col("__B")).cast("double"))
+          .cast("long")).as("ac1_q"))
+  }
 }

@@ -1821,4 +1821,136 @@ object TimeAgg {
       .crossJoin(broadcast(slope))
       .orderBy(col("block_n"))
   }
+
+  /** Mann–Kendall trend test on a bucketed series — the standard
+    * nonparametric monotone-trend detector ([[coxStuart]]'s
+    * full-power sibling: Cox–Stuart compares half-series pairs; MK
+    * scores EVERY pair):
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i),
+    *   Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18,
+    *   z = (S ∓ 1)/√Var  (continuity-corrected; 0 when S = 0)
+    *
+    * — S, the tie correction, and 18·Var are exact integers; the z is
+    * one mirrored chain. The pair enumeration is a self-equi-join of
+    * the BUCKET grid with itself (n²/2 rows — n is the bounded bucket
+    * count, never the corpus; 720 hourly points = 259k pairs), the tie
+    * groups one hash agg on the value grid.
+    *
+    * @return one row (n, s_l, var18_l, z_q)
+    */
+  def mannKendall(series: DataFrame, bucketCol: String,
+                  xCol: String): DataFrame = {
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .withColumn("__t",
+        row_number().over(Window.orderBy(col("__b"))).cast("long"))
+      .localCheckpoint(eager = false)
+    val pairs = t.select(col("__t").as("__t1"), col("__x").as("__x1"))
+      .join(t.select(col("__t").as("__t2"), col("__x").as("__x2")),
+        col("__t1") < col("__t2"))
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_l"))
+    val ties = t.groupBy(col("__x")).agg(count(lit(1)).as("__tp"))
+      .agg(sum(col("__tp") * (col("__tp") - 1L) *
+        (lit(2L) * col("__tp") + 5L)).as("__tie"),
+        sum(col("__tp")).as("n"))
+    val one = pairs.crossJoin(broadcast(ties))
+      .withColumn("var18_l",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          coalesce(col("__tie"), lit(0L)))
+    one.select(col("n"), col("s_l"), col("var18_l"),
+      when(col("var18_l") > 0 && col("s_l") =!= 0L,
+        floor(lit(1.0e6) *
+          (col("s_l") - signum(col("s_l")).cast("long")).cast("double") /
+          sqrt(col("var18_l").cast("double") / lit(18.0))).cast("long"))
+        .otherwise(when(col("var18_l") > 0, lit(0L))).as("z_q"))
+  }
+
+  /** Turning-point test of serial randomness — count the strict local
+    * extrema: an i.i.d. series turns at 2/3 of its interior points;
+    * fewer turns = trending/sticky, more = oscillating:
+    *
+    *   E[T] = 2(n−2)/3,  Var(T) = (16n−29)/90,
+    *   z = (3T − 2(n−2)) / (3·√((16n−29)/90))
+    *
+    * — T and 3T − 2(n−2) exact integers, one sqrt. Ties produce no
+    * turning point (strict inequalities), the documented convention.
+    * Plan: one lag/lead window over the bounded bucket grid, one fold.
+    *
+    * @return one row (n, t_points, z_q)
+    */
+  def turningPoints(series: DataFrame, bucketCol: String,
+                    xCol: String): DataFrame = {
+    val w = Window.orderBy(col("__b"))
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .withColumn("__p", lag(col("__x"), 1).over(w))
+      .withColumn("__nx", lead(col("__x"), 1).over(w))
+    val one = t.agg(count(lit(1)).as("n"),
+      sum(when(col("__p").isNotNull && col("__nx").isNotNull &&
+        ((col("__x") > col("__p") && col("__x") > col("__nx")) ||
+          (col("__x") < col("__p") && col("__x") < col("__nx"))),
+        1L).otherwise(0L)).as("t_points"))
+    one.select(col("n"), col("t_points"),
+      when(col("n") >= 4,
+        floor(lit(1.0e6) *
+          (lit(3L) * col("t_points") - lit(2L) * (col("n") - 2L))
+            .cast("double") /
+          (lit(3.0) * sqrt((lit(16L) * col("n") - 29L).cast("double") /
+            lit(90.0)))).cast("long")).as("z_q"))
+  }
+
+  /** Bartels rank test (the rank von Neumann ratio) of serial
+    * randomness — [[runsTest]]'s variance-based sibling, more
+    * powerful against smooth autocorrelation:
+    *
+    *   RVN = Σ_{t<n} (R_t − R_{t+1})² / Σ_t (R_t − (n+1)/2)²
+    *
+    * with mid-ranks; E[RVN] = 2, Var ≈ 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+    * On the DOUBLED rank grid both sums are exact integers
+    * (num4 = 4·num, den4 = 4·den — the 4s cancel), so RVN is one
+    * double division and z one mirrored chain.
+    *
+    * Plan: two bounded-grid windows (rank derivation via the exact
+    * strict-below/equal counts, then one lead), one fold.
+    *
+    * @return one row (n, num4_l, den4_l, rvn_q = ⌊10⁶·RVN⌋, z_q)
+    */
+  def bartelsRank(series: DataFrame, bucketCol: String,
+                  xCol: String): DataFrame = {
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"))
+      .na.drop()
+      .withColumn("__lt", count(lit(1)).over(Window.orderBy(col("__x"))
+        .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__eq", count(lit(1)).over(Window.orderBy(col("__x"))
+        .rangeBetween(0, 0)))
+      .withColumn("__R2", lit(2L) * col("__lt") + col("__eq") + 1L)
+      .withColumn("__R2n", lead(col("__R2"), 1)
+        .over(Window.orderBy(col("__b"))))
+    val one = t.agg(count(lit(1)).as("n"),
+      sum(when(col("__R2n").isNotNull,
+        (col("__R2") - col("__R2n")) * (col("__R2") - col("__R2n")))
+        .otherwise(0L)).as("num4_l"))
+    // den4 needs n: Σ(2R − (n+1))² = Σ4R² − 2(n+1)Σ2R + n(n+1)² — but
+    // a second pass with n in hand is simpler and stays on the grid
+    val den = t.crossJoin(broadcast(one.select(col("n"))))
+      .agg(sum((col("__R2") - (col("n") + 1L)) *
+        (col("__R2") - (col("n") + 1L))).as("den4_l"))
+    val rvn = col("num4_l").cast("double") / col("den4_l").cast("double")
+    val varr = (lit(4L) * (col("n") - 2L) *
+      (lit(5L) * col("n") * col("n") - lit(2L) * col("n") - 9L))
+      .cast("double") /
+      (lit(5L) * col("n") * (col("n") + 1L) * (col("n") - 1L) *
+        (col("n") - 1L)).cast("double")
+    one.select(col("n"), col("num4_l")).crossJoin(den)
+      .select(col("n"), col("num4_l"), col("den4_l"),
+        when(col("den4_l") > 0,
+          floor(lit(1.0e6) * rvn).cast("long")).as("rvn_q"),
+        when(col("den4_l") > 0 && col("n") >= 4,
+          floor(lit(1.0e6) * (rvn - lit(2.0)) / sqrt(varr)).cast("long"))
+          .as("z_q"))
+  }
 }

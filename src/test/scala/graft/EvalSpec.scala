@@ -652,4 +652,25 @@ class EvalSpec extends SparkSpec {
     val r = Eval.rocPoints(onec, "y", "score").collect()
     assert(r.forall(row => row.isNullAt(5)) && r.forall(!_.isNullAt(4)))
   }
+
+  test("gwetAc1: hand-checked; stays high where kappa paradoxes to 0; " +
+      "single category degenerates to NULL") {
+    // N=4, A=3, m_a=5, m_b=3 -> B=30, AC1 = 18/34
+    val d = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("a", "b"))
+      .toDF("r1", "r2")
+    val out = Eval.gwetAc1(d, "r1", "r2").collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ===
+      ((4L, 3L, 2L)))
+    assert(out.getDecimal(3).longValue === 30L)
+    assert(out.getLong(4) === math.floor(1.0e6 * 18.0 / 34.0).toLong)
+    // the kappa paradox fixture: 9 agreements on 'a', 1 disagreement —
+    // Cohen's kappa is 0 (rater 1 is constant); AC1 stays near 0.9
+    val skew = (Seq.fill(9)(("a", "a")) :+ (("a", "b"))).toDF("r1", "r2")
+    val rs = Eval.gwetAc1(skew, "r1", "r2").collect().head
+    assert(rs.getLong(4) === math.floor(1.0e6 * 322.0 / 362.0).toLong)
+    assert(rs.getLong(4) > 880000L)
+    // everyone agrees on one category: Q=1 -> chance term undefined
+    val one = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    assert(Eval.gwetAc1(one, "r1", "r2").collect().head.isNullAt(4))
+  }
 }

@@ -521,4 +521,73 @@ class LayoutAndResampleSpec extends SparkSpec {
       (BigInt(p) * sxx - BigInt(sx) * sx).toDouble).toLong
     assert(out(4L)._4 === want && out(8L)._4 === want)
   }
+
+  // --------------------------------------------------- mannKendall
+
+  test("mannKendall: hand-checked S with and without ties; constant " +
+      "series has zero variance -> NULL z") {
+    def series(xs: Seq[Long]) = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    // 1,3,2,4: S = 4 (5 concordant, 1 discordant), no ties
+    val r = TimeAgg.mannKendall(series(Seq(1L, 3L, 2L, 4L)),
+      "bucket", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 4L, 156L)))
+    assert(r.getLong(3) ===
+      math.floor(1.0e6 * 3.0 / math.sqrt(156.0 / 18.0)).toLong)
+    // 1,2,2,3: tie group of 2 subtracts 2*1*9 = 18
+    val rt = TimeAgg.mannKendall(series(Seq(1L, 2L, 2L, 3L)),
+      "bucket", "x").collect().head
+    assert((rt.getLong(1), rt.getLong(2)) === ((5L, 138L)))
+    assert(rt.getLong(3) ===
+      math.floor(1.0e6 * 4.0 / math.sqrt(138.0 / 18.0)).toLong)
+    // falling series: continuity correction adds 1
+    val rf = TimeAgg.mannKendall(series(Seq(3L, 2L, 1L)),
+      "bucket", "x").collect().head
+    assert(rf.getLong(1) === -3L)
+    assert(rf.getLong(3) ===
+      math.floor(1.0e6 * -2.0 / math.sqrt(66.0 / 18.0)).toLong)
+    // constant: S = 0 and the tie correction zeroes the variance
+    val rc = TimeAgg.mannKendall(series(Seq(2L, 2L, 2L)),
+      "bucket", "x").collect().head
+    assert(rc.getLong(1) === 0L && rc.getLong(2) === 0L && rc.isNullAt(3))
+  }
+
+  // ------------------------------------------------- turningPoints
+
+  test("turningPoints: zigzag counts every interior point, monotone " +
+      "counts none") {
+    def series(xs: Seq[Long]) = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    val r = TimeAgg.turningPoints(series(Seq(1L, 3L, 2L, 4L, 3L)),
+      "bucket", "x").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((5L, 3L)))
+    assert(r.getLong(2) === math.floor(1.0e6 * 3.0 /
+      (3.0 * math.sqrt(51.0 / 90.0))).toLong)
+    val rm = TimeAgg.turningPoints(series((1L to 5L)),
+      "bucket", "x").collect().head
+    assert(rm.getLong(1) === 0L)
+    assert(rm.getLong(2) === math.floor(1.0e6 * -6.0 /
+      (3.0 * math.sqrt(51.0 / 90.0))).toLong)
+  }
+
+  // --------------------------------------------------- bartelsRank
+
+  test("bartelsRank: monotone series hand-checked; tied zigzag sits " +
+      "exactly at the null RVN = 2") {
+    def series(xs: Seq[Long]) = xs.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+    // 1,2,3,4: 2R = 2,4,6,8; num4 = 12, den4 = 20, RVN = 0.6
+    val r = TimeAgg.bartelsRank(series(Seq(1L, 2L, 3L, 4L)),
+      "bucket", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 12L, 20L)))
+    assert(r.getLong(3) === 600000L)
+    val varr = (4.0 * 2 * (5 * 16 - 8 - 9)) / (5.0 * 4 * 5 * 9)
+    assert(r.getLong(4) ===
+      math.floor(1.0e6 * (0.6 - 2.0) / math.sqrt(varr)).toLong)
+    // 1,2,2,1 with doubled midranks 3,7,7,3: num4 = 32, den4 = 16
+    val rt = TimeAgg.bartelsRank(series(Seq(1L, 2L, 2L, 1L)),
+      "bucket", "x").collect().head
+    assert((rt.getLong(1), rt.getLong(2)) === ((32L, 16L)))
+    assert(rt.getLong(3) === 2000000L && rt.getLong(4) === 0L)
+  }
 }
