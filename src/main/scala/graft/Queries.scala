@@ -15078,6 +15078,162 @@ object Queries {
         END AS z_q
       FROM one CROSS JOIN dn"""))
 
+  /** Shared two-sample ECDF grid oracle fragment (Robust.ecdfGrid):
+    * pooled distinct-value grid with per-group cumulative counts and
+    * value sums, per-value pooled multiplicity, gap to next value,
+    * and one-row totals.
+    */
+  private def ecdfSql(gA: String, gB: String): String = s"""
+      v2 AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+             FROM documents
+             WHERE source IN ('$gA', '$gB') AND n_chars IS NOT NULL),
+      cnts AS (SELECT x AS v,
+               CAST(sum(CASE WHEN g = '$gA' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN g = '$gB' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+             FROM v2 GROUP BY 1),
+      grid AS (SELECT v, ca, cb, ca + cb AS c_pool,
+               sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS cum_a,
+               sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS cum_b,
+               sum(ca * v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS scum_a,
+               sum(cb * v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                 AS scum_b,
+               coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS gap
+             FROM cnts),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                CAST(sum(cb) AS BIGINT) AS nb,
+                CAST(sum(ca * v) AS BIGINT) AS sa,
+                CAST(sum(cb * v) AS BIGINT) AS sb
+              FROM cnts)"""
+
+  /** (q362) Exact 1-Wasserstein distance of n_chars between src0 and
+    * src1 (Robust.wasserstein1 scaladoc): ECDF-gap mass on the pooled
+    * value grid, exact decimal numerator, one division.
+    */
+  val q362Wasserstein = Q(
+    "q362_a_wasserstein1",
+    (s, dir) =>
+      operators.Robust.wasserstein1(t(s, dir, "documents"), "source",
+        "n_chars", "src0", "src1"),
+    Some(s"""
+      WITH ${ecdfSql("src0", "src1")}
+      SELECT na AS n_a, nb AS n_b,
+        CAST(sum(abs(CAST(cum_a AS HUGEINT) * nb
+          - CAST(cum_b AS HUGEINT) * na) * gap) AS HUGEINT) AS num_l,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(sum(abs(CAST(cum_a AS HUGEINT) * nb
+              - CAST(cum_b AS HUGEINT) * na) * gap) AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)
+        END AS w1_q
+      FROM grid CROSS JOIN tot GROUP BY na, nb"""))
+
+  /** (q363) Two-sample Cramér–von Mises statistic of n_chars between
+    * src2 and src3 (Robust.cramerVonMises scaladoc): count-weighted
+    * L2 of the ECDF difference, exact decimal numerator.
+    */
+  val q363CramerVonMises = Q(
+    "q363_a_cramer_von_mises",
+    (s, dir) =>
+      operators.Robust.cramerVonMises(t(s, dir, "documents"), "source",
+        "n_chars", "src2", "src3"),
+    Some(s"""
+      WITH ${ecdfSql("src2", "src3")}
+      SELECT na AS n_a, nb AS n_b,
+        CAST(sum(CAST(c_pool AS HUGEINT)
+          * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+          * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na))
+          AS HUGEINT) AS num_l,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(sum(CAST(c_pool AS HUGEINT)
+              * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
+              * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na))
+              AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+              * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)))
+            AS BIGINT)
+        END AS t_q
+      FROM grid CROSS JOIN tot GROUP BY na, nb"""))
+
+  /** (q364) Exact squared energy distance of n_chars between src4 and
+    * src5 (Robust.energyDistance scaladoc): pairwise-|diff|
+    * expectations from sorted-grid prefix sums, denominators cleared
+    * to one division.
+    */
+  val q364EnergyDistance = Q(
+    "q364_a_energy_distance",
+    (s, dir) =>
+      operators.Robust.energyDistance(t(s, dir, "documents"), "source",
+        "n_chars", "src4", "src5"),
+    Some(s"""
+      WITH ${ecdfSql("src4", "src5")},
+      ab AS (SELECT ca, cb,
+               (CAST(cum_a AS HUGEINT) * v - scum_a)
+                 + ((CAST(sa AS HUGEINT) - scum_a)
+                   - (CAST(na AS HUGEINT) - cum_a) * v) AS absA,
+               (CAST(cum_b AS HUGEINT) * v - scum_b)
+                 + ((CAST(sb AS HUGEINT) - scum_b)
+                   - (CAST(nb AS HUGEINT) - cum_b) * v) AS absB,
+               na, nb
+             FROM grid CROSS JOIN tot),
+      agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+               CAST(sum(CAST(cb AS HUGEINT) * absA) AS HUGEINT) AS sab_l,
+               CAST(sum(CAST(ca AS HUGEINT) * absA) AS HUGEINT) AS saa_l,
+               CAST(sum(CAST(cb AS HUGEINT) * absB) AS HUGEINT) AS sbb_l
+             FROM ab)
+      SELECT n_a, n_b, sab_l, saa_l, sbb_l,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(2 AS HUGEINT) * sab_l * n_a * n_b
+              - saa_l * n_b * n_b - sbb_l * n_a * n_a AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+              * CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
+        END AS e2_q
+      FROM agg"""))
+
+  /** (q365) Seasonal Mann–Kendall (Hirsch–Slack) on the dense hourly
+    * series with hour-of-day seasons (TimeAgg.seasonalMannKendall
+    * scaladoc): per-season pairs only, exact summed S and 18·Var.
+    */
+  val q365SeasonalMK = Q(
+    "q365_a_seasonal_mk",
+    (s, dir) =>
+      operators.TimeAgg.seasonalMannKendall(denseHourly(s, dir),
+        "bucket", "x", expr("(bucket % 86400) div 3600")),
+    Some(s"""
+      WITH $DenseHourlySql,
+      se AS (SELECT bucket, x, (bucket % 86400) // 3600 AS s
+             FROM dense),
+      idx AS (SELECT s, x, CAST(row_number() OVER (PARTITION BY s
+                ORDER BY bucket) AS BIGINT) AS t
+              FROM se),
+      pr AS (SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT)
+               AS s_l
+             FROM idx a JOIN idx b ON b.s = a.s AND b.t > a.t),
+      ti0 AS (SELECT s, CAST(count(*) AS BIGINT) AS c
+              FROM idx GROUP BY s, x),
+      ti1 AS (SELECT s, CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT)
+                AS tie, CAST(sum(c) AS BIGINT) AS ns
+              FROM ti0 GROUP BY s),
+      ti AS (SELECT CAST(sum(ns * (ns - 1) * (2 * ns + 5) - tie)
+               AS BIGINT) AS var18_l,
+               CAST(sum(ns) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_seasons
+             FROM ti1)
+      SELECT n, n_seasons, s_l, var18_l,
+        CASE WHEN var18_l > 0 AND s_l <> 0 THEN
+          CAST(floor(1000000.0
+            * CAST(s_l - sign(s_l) AS DOUBLE)
+            / sqrt(CAST(var18_l AS DOUBLE) / 18.0)) AS BIGINT)
+        WHEN var18_l > 0 THEN 0
+        END AS z_q
+      FROM pr CROSS JOIN ti"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15179,5 +15335,7 @@ object Queries {
     q346Bartlett, q347GTest, q348CoxStuart, q349RichClub, q350TheilU2,
     q351KTruss, q352BrunnerMunzel, q353AnsariBradley, q354PageTrend,
     q355LjungBox, q356VarianceRatio, q357HurstRS,
-    q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank)
+    q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank,
+    q362Wasserstein, q363CramerVonMises, q364EnergyDistance,
+    q365SeasonalMK)
 }

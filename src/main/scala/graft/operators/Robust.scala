@@ -483,4 +483,148 @@ object Robust {
           expr("CAST(CAST(1000000000000000000000000 AS DECIMAL(38,0))" +
             " div hill_q AS LONG)")))
   }
+
+  /** Shared two-sample ECDF grid: the pooled DISTINCT-value grid with
+    * each group's cumulative count at every value (ECDFs step at every
+    * observed value), the per-value pooled multiplicity, and the gap
+    * to the next value. One corpus scan to the (group, value) counts,
+    * bounded-grid windows after — the [[ksDrift]] scale contract.
+    *
+    * @return (v, c_pool, gap, cum_a, cum_b, scum_a, scum_b) plus
+    *         broadcast-joined one-row totals (__na, __nb, __sa, __sb)
+    */
+  private def ecdfGrid(df: DataFrame, groupCol: String, xCol: String,
+                       gA: String, gB: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isin(gA, gB) && col(xCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val byV = counts.groupBy(col("__v")).agg(
+      sum(when(col("__g") === gA, col("__c")).otherwise(0L)).as("__ca"),
+      sum(when(col("__g") === gB, col("__c")).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      sum(col("__ca") * col("__v")).as("__sa"),
+      sum(col("__cb") * col("__v")).as("__sb"))
+    byV
+      .withColumn("c_pool", col("__ca") + col("__cb"))
+      .withColumn("cum_a", sum(col("__ca")).over(w))
+      .withColumn("cum_b", sum(col("__cb")).over(w))
+      .withColumn("scum_a", sum(col("__ca") * col("__v")).over(w))
+      .withColumn("scum_b", sum(col("__cb") * col("__v")).over(w))
+      .withColumn("gap",
+        coalesce(lead(col("__v"), 1).over(Window.orderBy(col("__v"))) -
+          col("__v"), lit(0L)))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Exact 1-Wasserstein (earth mover's) distance between two named
+    * groups' empirical distributions of an integer metric — the drift
+    * statistic that reports HOW FAR the mass moved, where [[ksDrift]]
+    * reports the largest single ECDF gap (KS can miss a broad small
+    * shift that moves a lot of mass):
+    *
+    *   W₁ = ∫|F_A − F_B| = Σ_v |cum_a(v)·n_b − cum_b(v)·n_a|·gap(v)
+    *        / (n_a·n_b)
+    *
+    * — the numerator is an exact decimal(38,0) sum over the pooled
+    * value grid, the division the ONE fp op.
+    *
+    * @return one row (n_a, n_b, num_l, w1_q = ⌊10⁶·W₁⌋)
+    */
+  def wasserstein1(df: DataFrame, groupCol: String, xCol: String,
+                   gA: String, gB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    ecdfGrid(df, groupCol, xCol, gA, gB)
+      .select(col("__na"), col("__nb"),
+        (abs(dec38(col("cum_a")) * col("__nb") -
+          dec38(col("cum_b")) * col("__na")) * col("gap")).as("__t"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum(col("__t")).as("num_l"))
+      .select(col("n_a"), col("n_b"), col("num_l"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(lit(1.0e6) * col("num_l").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .cast("long")).as("w1_q"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic — the WHOLE-curve ECDF
+    * discrepancy ([[ksDrift]] = sup norm, [[wasserstein1]] = L1 of
+    * the difference, CvM = count-weighted L2):
+    *
+    *   T = (n_a·n_b / N²)·Σ_z (F_A(z) − F_B(z))²   (z over all N
+    *       pooled sample points, ties via multiplicity)
+    *     = Σ_v c_pool(v)·(cum_a(v)·n_b − cum_b(v)·n_a)²
+    *       / (n_a·n_b·N²)
+    *
+    * — exact decimal numerator, one division.
+    *
+    * @return one row (n_a, n_b, num_l, t_q = ⌊10⁶·T⌋)
+    */
+  def cramerVonMises(df: DataFrame, groupCol: String, xCol: String,
+                     gA: String, gB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val d = dec38(col("cum_a")) * col("__nb") -
+      dec38(col("cum_b")) * col("__na")
+    ecdfGrid(df, groupCol, xCol, gA, gB)
+      .select(col("__na"), col("__nb"),
+        (dec38(col("c_pool")) * d * d).as("__t"))
+      .groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum(col("__t")).as("num_l"))
+      .select(col("n_a"), col("n_b"), col("num_l"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(lit(1.0e6) * col("num_l").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double")))
+            .cast("long")).as("t_q"))
+  }
+
+  /** Exact (squared) energy distance between two named groups — the
+    * characteristic-function drift metric that is zero IFF the
+    * distributions are identical, sensitive to shape differences KS
+    * underweights:
+    *
+    *   E² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+    *
+    * Each pairwise-|diff| expectation computes EXACTLY from the
+    * sorted-grid prefix sums (no pair enumeration): with cum/scum
+    * the cumulative count/value-sum at v,
+    *
+    *   Σ_x |x − v| = (cum·v − scum) + ((S_tot − scum) − (n − cum)·v)
+    *
+    * so S_XY = Σ_v cY(v)·Σ_x|x−v| is one grid fold per pair. Clearing
+    * denominators: E²·n_a²·n_b² = 2·S_AB·n_a·n_b − S_AA·n_b² −
+    * S_BB·n_a², an exact decimal — then ONE division.
+    *
+    * @return one row (n_a, n_b, sab_l, saa_l, sbb_l, e2_q = ⌊10⁶·E²⌋)
+    */
+  def energyDistance(df: DataFrame, groupCol: String, xCol: String,
+                     gA: String, gB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    def absSum(cum: Column, scum: Column, n: Column, stot: Column) =
+      (dec38(cum) * col("__v") - scum) +
+        ((dec38(stot) - scum) - (dec38(n) - cum) * col("__v"))
+    val g = ecdfGrid(df, groupCol, xCol, gA, gB)
+      .withColumn("__absA",
+        absSum(col("cum_a"), dec38(col("scum_a")), col("__na"), col("__sa")))
+      .withColumn("__absB",
+        absSum(col("cum_b"), dec38(col("scum_b")), col("__nb"), col("__sb")))
+    val one = g.groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(
+        sum(dec38(col("__cb")) * col("__absA")).as("sab_l"),
+        sum(dec38(col("__ca")) * col("__absA")).as("saa_l"),
+        sum(dec38(col("__cb")) * col("__absB")).as("sbb_l"))
+    one.select(col("n_a"), col("n_b"), col("sab_l"), col("saa_l"),
+      col("sbb_l"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        floor(lit(1.0e6) *
+          (lit(2L).cast("decimal(38,0)") * col("sab_l") * col("n_a") *
+            col("n_b") - col("saa_l") * col("n_b") * col("n_b") -
+            col("sbb_l") * col("n_a") * col("n_a")).cast("double") /
+          (col("n_a").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double") * col("n_b").cast("double")))
+          .cast("long")).as("e2_q"))
+  }
 }

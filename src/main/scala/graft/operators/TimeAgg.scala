@@ -1867,6 +1867,52 @@ object TimeAgg {
         .otherwise(when(col("var18_l") > 0, lit(0L))).as("z_q"))
   }
 
+  /** Seasonal Mann–Kendall (Hirsch–Slack) — [[mannKendall]] with the
+    * pair enumeration CONFINED to each season (hour-of-day, weekday):
+    * a diurnal cycle contributes no spurious trend signal because
+    * cross-season pairs never form; the per-season S and 18·Var sum
+    * exactly and the total z is one chain on the sums.
+    *
+    * Plan: the per-season pair join keys on (season, t) so the n²
+    * blow-up shrinks to Σ_s n_s² — with k seasons of equal size,
+    * 1/k of the unrestricted cost; everything else is [[mannKendall]].
+    *
+    * @return one row (n, n_seasons, s_l, var18_l, z_q)
+    */
+  def seasonalMannKendall(series: DataFrame, bucketCol: String,
+                          xCol: String, season: Column): DataFrame = {
+    val t = series
+      .select(col(bucketCol).as("__b"), col(xCol).cast("long").as("__x"),
+        season.cast("long").as("__s"))
+      .na.drop()
+      .withColumn("__t", row_number()
+        .over(Window.partitionBy(col("__s")).orderBy(col("__b")))
+        .cast("long"))
+      .localCheckpoint(eager = false)
+    val pairs = t.select(col("__s"), col("__t").as("__t1"),
+        col("__x").as("__x1"))
+      .join(t.select(col("__s"), col("__t").as("__t2"),
+        col("__x").as("__x2")), Seq("__s"))
+      .filter(col("__t1") < col("__t2"))
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long")).as("s_l"))
+    val ties = t.groupBy(col("__s"), col("__x"))
+      .agg(count(lit(1)).as("__tp"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__tp") * (col("__tp") - 1L) *
+        (lit(2L) * col("__tp") + 5L)).as("__tie"),
+        sum(col("__tp")).as("__ns"))
+      .agg(sum(col("__ns") * (col("__ns") - 1L) *
+        (lit(2L) * col("__ns") + 5L) - col("__tie")).as("var18_l"),
+        sum(col("__ns")).as("n"), count(lit(1)).as("n_seasons"))
+    val one = pairs.crossJoin(broadcast(ties))
+    one.select(col("n"), col("n_seasons"), col("s_l"), col("var18_l"),
+      when(col("var18_l") > 0 && col("s_l") =!= 0L,
+        floor(lit(1.0e6) *
+          (col("s_l") - signum(col("s_l")).cast("long")).cast("double") /
+          sqrt(col("var18_l").cast("double") / lit(18.0))).cast("long"))
+        .otherwise(when(col("var18_l") > 0, lit(0L))).as("z_q"))
+  }
+
   /** Turning-point test of serial randomness — count the strict local
     * extrema: an i.i.d. series turns at 2/3 of its interior points;
     * fewer turns = trending/sticky, more = oscillating:

@@ -590,4 +590,33 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert((rt.getLong(1), rt.getLong(2)) === ((32L, 16L)))
     assert(rt.getLong(3) === 2000000L && rt.getLong(4) === 0L)
   }
+
+  // ------------------------------------------- seasonalMannKendall
+
+  test("seasonalMannKendall: opposing seasonal trends cancel to S=0; " +
+      "aligned trends sum; no cross-season pairs form") {
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("bucket", "x", "s")
+    // season 0 rises (+3), season 1 falls (-3): total S = 0, z = 0
+    val opp = df(Seq((0L, 1L, 0L), (1L, 2L, 0L), (2L, 3L, 0L),
+      (3L, 3L, 1L), (4L, 2L, 1L), (5L, 1L, 1L)))
+    val r = TimeAgg.seasonalMannKendall(opp, "bucket", "x", col("s"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 2L, 0L, 132L)))
+    assert(r.getLong(4) === 0L)
+    // both rise: S = 6 with continuity correction
+    val up = df(Seq((0L, 1L, 0L), (1L, 2L, 0L), (2L, 3L, 0L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L)))
+    val ru = TimeAgg.seasonalMannKendall(up, "bucket", "x", col("s"))
+      .collect().head
+    assert(ru.getLong(2) === 6L)
+    assert(ru.getLong(4) ===
+      math.floor(1.0e6 * 5.0 / math.sqrt(132.0 / 18.0)).toLong)
+    // contrast with unrestricted MK on the same rows: pooled n=6
+    // variance 510 minus pooled ties (three values twice: 3 x 18),
+    // vs the seasonal tie-free per-season sum of 132 above
+    assert(TimeAgg.mannKendall(opp, "bucket", "x")
+      .collect().head.getLong(2) === (510L - 3 * 18L))
+  }
 }

@@ -322,4 +322,48 @@ class RobustSpec extends SparkSpec {
     val r = Robust.hodgesLehmann(df, "grp", "x").collect().head
     assert((r.getLong(1), r.getLong(2)) === ((3L, 4L)))
   }
+
+  test("wasserstein1: interleaved pair hand-checked; identical " +
+      "distributions score 0; a pure shift scores the shift") {
+    val d = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L)).toDF("g", "x")
+    val r = Robust.wasserstein1(d, "g", "x", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDecimal(2).longValue === 4L && r.getLong(3) === 1000000L)
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "x")
+    assert(Robust.wasserstein1(same, "g", "x", "a", "b")
+      .collect().head.getLong(3) === 0L)
+    // b = a + 5 exactly: W1 = 5
+    val shift = Seq(("a", 1L), ("a", 2L), ("b", 6L), ("b", 7L))
+      .toDF("g", "x")
+    assert(Robust.wasserstein1(shift, "g", "x", "a", "b")
+      .collect().head.getLong(3) === 5000000L)
+  }
+
+  test("cramerVonMises: interleaved pair hand-checked; identical " +
+      "distributions score 0") {
+    val d = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L)).toDF("g", "x")
+    val r = Robust.cramerVonMises(d, "g", "x", "a", "b").collect().head
+    // T = nm/N^2 * sum (F_A - F_B)^2 = 4/16 * 0.5 = 0.125
+    assert(r.getDecimal(2).longValue === 8L && r.getLong(3) === 125000L)
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "x")
+    assert(Robust.cramerVonMises(same, "g", "x", "a", "b")
+      .collect().head.getLong(3) === 0L)
+  }
+
+  test("energyDistance: hand-checked vs the pairwise definition; " +
+      "identical distributions score 0") {
+    // A={0,2}, B={1,3}: 2E|X-Y| - E|X-X'| - E|Y-Y'| = 3 - 1 - 1 = 1
+    val d = Seq(("a", 0L), ("a", 2L), ("b", 1L), ("b", 3L)).toDF("g", "x")
+    val r = Robust.energyDistance(d, "g", "x", "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert((r.getDecimal(2).longValue, r.getDecimal(3).longValue,
+      r.getDecimal(4).longValue) === ((6L, 4L, 4L)))
+    assert(r.getLong(5) === 1000000L)
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "x")
+    assert(Robust.energyDistance(same, "g", "x", "a", "b")
+      .collect().head.getLong(5) === 0L)
+  }
 }
