@@ -15234,6 +15234,84 @@ object Queries {
         END AS z_q
       FROM pr CROSS JOIN ti"""))
 
+  /** (q366) Grubbs' max-studentized-deviation outlier test on
+    * documents.n_chars (Stats.grubbs scaladoc): exact max|n·x−S| and
+    * Σ(n·x−S)², one two-sqrt chain.
+    */
+  val q366Grubbs = Q(
+    "q366_a_grubbs",
+    (s, dir) => operators.Stats.grubbs(t(s, dir, "documents"), "n_chars"),
+    Some("""
+      WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+             WHERE n_chars IS NOT NULL),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS S FROM v),
+      c AS (SELECT n, n * x - S AS xc FROM v CROSS JOIN tot)
+      SELECT n, CAST(max(abs(xc)) AS BIGINT) AS maxdev_l,
+        CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS num0_l,
+        CASE WHEN n >= 3 AND sum(CAST(xc AS HUGEINT) * xc) > 0 THEN
+          CAST(floor(1000000.0 * CAST(max(abs(xc)) AS DOUBLE)
+            * sqrt(CAST(n - 1 AS DOUBLE))
+            / sqrt(CAST(sum(CAST(xc AS HUGEINT) * xc) AS DOUBLE)))
+            AS BIGINT)
+        END AS g_q
+      FROM c GROUP BY n"""))
+
+  /** (q367) Quade weighted-block test over the lang×source cell grid
+    * (Stats.quade scaladoc): within-block doubled ranks × doubled
+    * range-rank block weights, exact decimal sums, one division.
+    */
+  val q367Quade = Q(
+    "q367_a_quade",
+    (s, dir) =>
+      operators.Stats.quade(t(s, dir, "documents"), "lang", "source",
+        "n_chars"),
+    Some("""
+      WITH cells AS (SELECT lang AS b, source AS t,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS x
+             FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL
+               AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+      full0 AS (SELECT b, t, x,
+               count(*) OVER (PARTITION BY b) AS kb
+             FROM cells),
+      full1 AS (SELECT b, t, x FROM full0 CROSS JOIN kk WHERE kb = k),
+      ranked AS (SELECT b, t,
+               2 * count(*) OVER (PARTITION BY b ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 + count(*) OVER (PARTITION BY b ORDER BY x
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS R2
+             FROM full1),
+      rg AS (SELECT b, max(x) - min(x) AS rgv FROM full1 GROUP BY b),
+      rr AS (SELECT b,
+               2 * count(*) OVER (ORDER BY rgv
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 + count(*) OVER (ORDER BY rgv
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) + 1 AS Q2
+             FROM rg),
+      s4 AS (SELECT t, Q2 * (R2 - (k + 1)) AS S4
+             FROM ranked JOIN rr USING (b) CROSS JOIN kk),
+      a AS (SELECT CAST(sum(CAST(S4 AS HUGEINT) * S4) AS HUGEINT)
+               AS a16_l,
+               CAST(count(*) // (SELECT k FROM kk) AS BIGINT)
+                 AS n_blocks
+             FROM s4),
+      bj AS (SELECT CAST(sum(CAST(sj AS HUGEINT) * sj) AS HUGEINT)
+               AS b16n_l
+             FROM (SELECT CAST(sum(S4) AS BIGINT) AS sj
+                   FROM s4 GROUP BY t))
+      SELECT n_blocks, (SELECT k FROM kk) AS k, a16_l, b16n_l,
+        CASE WHEN n_blocks >= 2
+            AND CAST(n_blocks AS HUGEINT) * a16_l - b16n_l > 0 THEN
+          CAST(floor(1000000.0
+            * CAST((n_blocks - 1) * b16n_l AS DOUBLE)
+            / CAST(CAST(n_blocks AS HUGEINT) * a16_l - b16n_l AS DOUBLE))
+            AS BIGINT)
+        END AS f_q
+      FROM a CROSS JOIN bj"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15337,5 +15415,5 @@ object Queries {
     q355LjungBox, q356VarianceRatio, q357HurstRS,
     q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank,
     q362Wasserstein, q363CramerVonMises, q364EnergyDistance,
-    q365SeasonalMK)
+    q365SeasonalMK, q366Grubbs, q367Quade)
 }

@@ -2938,4 +2938,103 @@ object Stats {
           sqrt((col("n_blocks") * kL * kL * (kL + 1L) * (kL * kL - 1L))
             .cast("double"))).cast("long")).as("z_q"))
   }
+
+  /** Grubbs' maximum-studentized-deviation outlier test on an integer
+    * metric — "is the most extreme value too extreme for a sample of
+    * this size": G = max|x − x̄| / s. On the n-scaled centered grid
+    * the numerator max|n·x − S| is an exact integer and the (n−1)
+    * sample variance clears its denominators:
+    *
+    *   G = max|n·x − S| · √(n−1) / √(Σ(n·x − S)²)
+    *
+    * — one mirrored two-sqrt chain on exact integers. Plan: one
+    * corpus scan feeding one hash agg (the Σ and max fold together;
+    * S comes from a broadcast one-row pre-agg).
+    *
+    * @return one row (n, maxdev_l = max|n·x−S|, num0_l, g_q = ⌊10⁶·G⌋)
+    */
+  def grubbs(df: DataFrame, xCol: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val v = df.select(col(xCol).cast("long").as("__x")).na.drop()
+    val tot = v.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__S"))
+    val c = v.crossJoin(broadcast(tot))
+      .withColumn("__xc", col("__n") * col("__x") - col("__S"))
+    c.groupBy(col("__n"))
+      .agg(max(abs(col("__xc"))).as("maxdev_l"),
+        sum(dec38(col("__xc")) * dec38(col("__xc"))).as("num0_l"))
+      .select(col("__n").as("n"), col("maxdev_l"), col("num0_l"),
+        when(col("__n") >= 3 && col("num0_l") > 0,
+          floor(lit(1.0e6) * col("maxdev_l").cast("double") *
+            sqrt((col("__n") - 1L).cast("double")) /
+            sqrt(col("num0_l").cast("double"))).cast("long")).as("g_q"))
+  }
+
+  /** Quade test for treatment differences in a randomized-block
+    * design — [[friedman]] with blocks WEIGHTED by how much signal
+    * they carry: each block's weight is the rank of its sample range,
+    * so flat blocks (all treatments alike) stop diluting the
+    * statistic. The standard upgrade when block sizes of effect vary
+    * wildly — exactly the source×lang cell grids here.
+    *
+    * Doubled-rank grids keep every tie exact: within-block treatment
+    * mid-ranks 2r, block range-rank mid-ranks Q2, and
+    *
+    *   S4_bt = Q2_b · (2r_bt − (k+1)),   S4_j = Σ_b S4_bj,
+    *   F = (n−1)·Σ_j S4_j² / (n·Σ_bt S4_bt² − Σ_j S4_j²)
+    *
+    * — every sum an exact decimal(38,0), ONE double division (F is
+    * scale-invariant, so the ×4 grids cancel). NULL when the
+    * denominator degenerates (all blocks tied).
+    *
+    * Plan: the [[pageL]] cell grid + two bounded-grid windows (ranks
+    * within block, range-ranks across blocks) + two folds.
+    *
+    * @return one row (n_blocks, k, a16_l, b16n_l, f_q = ⌊10⁶·F⌋)
+    */
+  def quade(df: DataFrame, blockCol: String, treatCol: String,
+            xCol: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(xCol).isNotNull)
+      .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(sum(col(xCol).cast("long")).as("__x"))
+      .localCheckpoint(eager = false)
+    val k = cells.select(col("__t")).distinct().count().toInt
+    val full = cells
+      .withColumn("__kb", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .filter(col("__kb") === k)
+    val ranked = full
+      .withColumn("__lt", count(lit(1)).over(Window.partitionBy(col("__b"))
+        .orderBy(col("__x")).rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__eq", count(lit(1)).over(Window.partitionBy(col("__b"))
+        .orderBy(col("__x")).rangeBetween(0, 0)))
+      .withColumn("__R2", lit(2L) * col("__lt") + col("__eq") + 1L)
+    // block weights: doubled mid-rank of the block's sample range
+    val ranges = full.groupBy(col("__b"))
+      .agg((max(col("__x")) - min(col("__x"))).as("__rg"))
+      .withColumn("__rlt", count(lit(1)).over(Window.orderBy(col("__rg"))
+        .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__req", count(lit(1)).over(Window.orderBy(col("__rg"))
+        .rangeBetween(0, 0)))
+      .select(col("__b"),
+        (lit(2L) * col("__rlt") + col("__req") + 1L).as("__Q2"))
+    val s = ranked.join(ranges, Seq("__b"))
+      .withColumn("__S4", col("__Q2") * (col("__R2") - lit(k + 1L)))
+      .localCheckpoint(eager = false)
+    val a = s.agg(sum(dec38(col("__S4")) * dec38(col("__S4"))).as("a16_l"),
+      (count(lit(1)) / lit(k)).cast("long").as("n_blocks"))
+    val bj = s.groupBy(col("__t"))
+      .agg(sum(col("__S4")).as("__Sj"))
+      .agg(sum(dec38(col("__Sj")) * dec38(col("__Sj"))).as("b16n_l"))
+    a.crossJoin(bj)
+      .select(col("n_blocks"), lit(k.toLong).as("k"), col("a16_l"),
+        col("b16n_l"),
+        when(col("n_blocks") >= 2 &&
+          dec38(col("n_blocks")) * col("a16_l") - col("b16n_l") > 0,
+          floor(lit(1.0e6) *
+            ((col("n_blocks") - 1L) * col("b16n_l")).cast("double") /
+            (dec38(col("n_blocks")) * col("a16_l") - col("b16n_l"))
+              .cast("double")).cast("long")).as("f_q"))
+  }
 }

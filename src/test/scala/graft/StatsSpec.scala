@@ -1322,4 +1322,36 @@ class StatsSpec extends SparkSpec {
     assert(Stats.pageL(rev, "blk", "trt", "x").collect().head
       .getLong(5) === -2000000L)
   }
+
+  test("grubbs: hand-checked outlier; constant sample degenerates " +
+      "to NULL") {
+    // {1,2,3,10}: maxdev = |4*10-16| = 24, num0 = 800
+    val d = Seq(1L, 2L, 3L, 10L).toDF("x")
+    val r = Stats.grubbs(d, "x").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 24L)))
+    assert(r.getDecimal(2).longValue === 800L)
+    assert(r.getLong(3) === math.floor(1.0e6 * 24.0 * math.sqrt(3.0) /
+      math.sqrt(800.0)).toLong)
+    assert(Stats.grubbs(Seq(5L, 5L, 5L).toDF("x"), "x")
+      .collect().head.isNullAt(3))
+  }
+
+  test("quade: classical 3-block/2-treatment example gives F = 4/19; " +
+      "4x-scaled integer grids match the textbook statistic") {
+    // ranges 2/6/4 -> block weights 1/3/2; classical F = 4/19
+    val d = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 3L),
+      ("b2", "t1", 2L), ("b2", "t2", 8L),
+      ("b3", "t1", 5L), ("b3", "t2", 1L)).toDF("blk", "trt", "x")
+    val r = Stats.quade(d, "blk", "trt", "x").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert((r.getDecimal(2).longValue, r.getDecimal(3).longValue) ===
+      ((112L, 32L)))
+    assert(r.getLong(4) === math.floor(1.0e6 * 64.0 / 304.0).toLong)
+    // identical treatments everywhere: every S4 = 0 -> NULL F
+    val flat = Seq(
+      ("b1", "t1", 2L), ("b1", "t2", 2L),
+      ("b2", "t1", 7L), ("b2", "t2", 7L)).toDF("blk", "trt", "x")
+    assert(Stats.quade(flat, "blk", "trt", "x").collect().head.isNullAt(4))
+  }
 }
