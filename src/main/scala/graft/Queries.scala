@@ -15312,6 +15312,53 @@ object Queries {
         END AS f_q
       FROM a CROSS JOIN bj"""))
 
+  /** (q368) Integer eigenvector centrality over the mutual 5-NN graph
+    * (Graph.eigenvectorCentrality scaladoc): 4 power-iteration rounds
+    * on the 10¹² L1 grid; the oracle unrolls every round with the
+    * q210 normalization idiom (HUGEINT product, `//` by the exact
+    * round total).
+    */
+  val q368Eigenvector = Q(
+    "q368_g_eigenvector",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.eigenvectorCentrality(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), rounds = 4)
+        .orderBy("id")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        val prev = if (i == 1) "x0" else s"x${i - 1}"
+        s"""
+      r$i AS (SELECT s.b AS v, CAST(sum(p.x) AS HUGEINT) AS raw
+             FROM sym s JOIN $prev p ON p.v = s.a GROUP BY s.b),
+      x$i AS MATERIALIZED (SELECT v.v,
+               coalesce(CAST((1000000000000::HUGEINT * r.raw)
+                 // (SELECT sum(raw) FROM r$i) AS BIGINT), 0) AS x
+             FROM v LEFT JOIN r$i r ON r.v = v.v)"""
+      }.mkString(",")
+      s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS MATERIALIZED (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS MATERIALIZED (SELECT a, b FROM mut
+              UNION SELECT b AS a, a AS b FROM mut),
+      v AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
+      x0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS x FROM v),
+      $rounds,
+      deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS degree
+              FROM sym GROUP BY 1)
+      SELECT v.v AS id, coalesce(deg.degree, 0) AS degree,
+        x4.x AS eig_q
+      FROM v LEFT JOIN deg USING (v) JOIN x4 USING (v)
+      ORDER BY id"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15415,5 +15462,5 @@ object Queries {
     q355LjungBox, q356VarianceRatio, q357HurstRS,
     q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank,
     q362Wasserstein, q363CramerVonMises, q364EnergyDistance,
-    q365SeasonalMK, q366Grubbs, q367Quade)
+    q365SeasonalMK, q366Grubbs, q367Quade, q368Eigenvector)
 }

@@ -748,4 +748,52 @@ object Graph {
       .na.fill(0L, Seq("support"))
       .filter(col("support") >= k - 2)
   }
+
+  /** Bounded-round integer eigenvector centrality over a canonical
+    * undirected `a < b` edge frame — the prestige score [[katz]]
+    * approximates with damping and [[hits]] splits into hub/authority:
+    * here the single symmetric fixed point x ∝ A·x, by power
+    * iteration on the [[hits]] integer grid (x⁰ = Q, one
+    * neighbor-sum + exact-integer L1 renormalization per round —
+    * rankings are norm-invariant, and L1 is the one norm whose
+    * normalizer is an exact integer sum).
+    *
+    * Plan per round: one edge equi-join + hash agg (the Pregel shape)
+    * plus a broadcast one-row total; lazy localCheckpoint caps
+    * lineage. Isolated vertices keep score 0 and stay in the output.
+    *
+    * @return (id, degree, eig_q) — eig_q on the 10¹² L1 grid
+    */
+  def eigenvectorCentrality(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) must be in [1, 10]")
+    val Q = 1000000000000L
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val verts = sym.select(col("a").as("__v")).distinct()
+      .localCheckpoint(eager = false)
+    def step(score: DataFrame): DataFrame = {
+      val raw = sym.join(score.select(col("__v").as("a"), col("__x")),
+          Seq("a"))
+        .groupBy(col("b").as("__v"))
+        .agg(sum(col("__x").cast("decimal(38,0)")).as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      val scaled = raw.crossJoin(broadcast(tot))
+        .select(col("__v"),
+          expr(s"CAST((CAST(${Q}L AS DECIMAL(38,0)) * __raw) div __tot AS LONG)")
+            .as("__x"))
+      verts.join(scaled, Seq("__v"), "left")
+        .select(col("__v"), coalesce(col("__x"), lit(0L)).as("__x"))
+        .localCheckpoint(eager = false)
+    }
+    val x0 = verts.select(col("__v"), lit(Q).as("__x"))
+    val xf = (1 to rounds).foldLeft(x0)((s, _) => step(s))
+    val deg = sym.groupBy(col("a").as("__v")).agg(count(lit(1)).as("degree"))
+    verts.join(deg, Seq("__v"), "left")
+      .join(xf, Seq("__v"))
+      .select(col("__v").as("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("__x").as("eig_q"))
+  }
 }

@@ -373,4 +373,24 @@ class GraphSpec extends SparkSpec {
     // whose support then drops to 0 -> empty fixpoint
     assert(Graph.kTruss(g2, k = 4, rounds = 8).count() === 0L)
   }
+
+  test("eigenvectorCentrality: star concentrates on the hub; path " +
+      "converges to the uniform L1 fixed point") {
+    val Q = 1000000000000L
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val s1 = Graph.eigenvectorCentrality(star, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // round 1: raw = (3Q, Q, Q, Q), total 6Q
+    assert(s1(1L) === ((3L, Q / 2)))
+    assert(s1(2L) === ((1L, Q / 6)) && s1(4L) === ((1L, Q / 6)))
+    // path 1-2-3 reaches uniform x = Q/3 by round 2 and stays there
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p2 = Graph.eigenvectorCentrality(path, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p2.values.toSet === Set(Q / 3))
+    val p4 = Graph.eigenvectorCentrality(path, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p4.values.forall(v => math.abs(v - Q / 3) <= 1))
+  }
 }
