@@ -15359,6 +15359,62 @@ object Queries {
       ORDER BY id"""
     })
 
+  /** (q369) Wilcoxon signed-rank test of per-user activity drift —
+    * each user's event count in the first half of the span vs the
+    * second half (Stats.wilcoxonSignedRank scaladoc): paired d per
+    * user, distinct-|d| grid mid-ranks, exact tie-corrected 48·Var.
+    */
+  val q369SignedRank = Q(
+    "q369_a_wilcoxon_signed_rank",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val ud = e.filter(col("user_id").isNotNull)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      val mid = ud.agg(((min(col("day")) + max(col("day")) + 1L) /
+        lit(2L)).cast("long").as("__mid"))
+      val per = ud.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("__mid"), 1L).otherwise(0L))
+          .as("before"),
+          sum(when(col("day") >= col("__mid"), 1L).otherwise(0L))
+          .as("after"))
+      operators.Stats.wilcoxonSignedRank(per, "before", "after")
+    },
+    Some(s"""
+      WITH ud AS (SELECT user_id, $EvUs // 86400000000 AS day
+             FROM events WHERE user_id IS NOT NULL),
+      sp AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ud),
+      per AS (SELECT user_id,
+               CAST(sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT)
+                 AS b,
+               CAST(sum(CASE WHEN day >= mid THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a
+             FROM ud CROSS JOIN sp GROUP BY 1),
+      dd AS (SELECT a - b AS d FROM per WHERE a - b <> 0),
+      grid AS (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pos
+             FROM dd GROUP BY 1),
+      ranked AS (SELECT cnt, pos,
+               2 * sum(cnt) OVER (ORDER BY ad) - cnt + 1 AS R2
+             FROM grid),
+      one AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_used,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+               CAST(sum(pos * R2) AS BIGINT) AS w2_l,
+               CAST(2::HUGEINT * sum(cnt) * (sum(cnt) + 1)
+                 * (2 * sum(cnt) + 1)
+                 - sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                 AS HUGEINT) AS var48_l
+             FROM ranked)
+      SELECT n_used, n_pos, n_neg, w2_l, var48_l,
+        CASE WHEN n_used >= 1 AND var48_l > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(2 * w2_l - n_used * (n_used + 1) AS DOUBLE)
+            / (4.0 * sqrt(CAST(var48_l AS DOUBLE) / 48.0))) AS BIGINT)
+        END AS z_q
+      FROM one"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15462,5 +15518,6 @@ object Queries {
     q355LjungBox, q356VarianceRatio, q357HurstRS,
     q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank,
     q362Wasserstein, q363CramerVonMises, q364EnergyDistance,
-    q365SeasonalMK, q366Grubbs, q367Quade, q368Eigenvector)
+    q365SeasonalMK, q366Grubbs, q367Quade, q368Eigenvector,
+    q369SignedRank)
 }

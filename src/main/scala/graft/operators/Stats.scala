@@ -2969,6 +2969,59 @@ object Stats {
             sqrt(col("num0_l").cast("double"))).cast("long")).as("g_q"))
   }
 
+  /** Wilcoxon signed-rank test for PAIRED samples — the matched
+    * before/after companion to [[mannWhitney]] (which assumes
+    * independent groups): per unit, d = after − before; zero
+    * differences drop (Wilcoxon's convention), |d| values get pooled
+    * mid-ranks, and W⁺ = Σ ranks of the positive differences. Sign
+    * counts ride along (the sign test is the coarser free companion).
+    *
+    * Scale contract: the ranks come from the DISTINCT-|d| GRID (one
+    * hash agg from the corpus scan, then bounded-grid windows — the
+    * [[rankGrid]] shape), never a corpus-wide window. Doubled
+    * mid-ranks keep ties exact:
+    *
+    *   W2 = 2·W⁺ = Σ_{d>0} 2R_{|d|},
+    *   48·Var = 2n'(n'+1)(2n'+1) − Σ_ties (t³ − t),
+    *   z = (2·W2 − n'(n'+1)) / (4·√(48·Var / 48))
+    *
+    * — every sum an exact integer, one mirrored two-op chain.
+    *
+    * @param df frame with one row per paired unit
+    * @return one row (n_used, n_pos, n_neg, w2_l, var48_l, z_q)
+    */
+  def wilcoxonSignedRank(df: DataFrame, beforeCol: String,
+                         afterCol: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val d = df.select((col(afterCol).cast("long") -
+        col(beforeCol).cast("long")).as("__d"))
+      .na.drop()
+      .filter(col("__d") =!= 0L)
+    val grid = d.groupBy(abs(col("__d")).as("__a"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__pos"))
+    val ranked = grid
+      .withColumn("__cum", sum(col("__cnt")).over(Window.orderBy(col("__a"))))
+      .withColumn("__R2", lit(2L) * col("__cum") - col("__cnt") + 1L)
+    val one = ranked.agg(
+      sum(col("__cnt")).as("n_used"),
+      sum(col("__pos")).as("n_pos"),
+      (sum(col("__cnt")) - sum(col("__pos"))).as("n_neg"),
+      sum(col("__pos") * col("__R2")).as("w2_l"),
+      sum(dec38(col("__cnt")) * col("__cnt") * col("__cnt") - col("__cnt"))
+        .as("__tie"))
+    one.select(col("n_used"), col("n_pos"), col("n_neg"), col("w2_l"),
+      (dec38(lit(2L)) * col("n_used") * (col("n_used") + 1L) *
+        (lit(2L) * col("n_used") + 1L) - col("__tie")).as("var48_l"))
+      .withColumn("z_q",
+        when(col("n_used") >= 1 && col("var48_l") > 0,
+          floor(lit(1.0e6) *
+            (lit(2L) * col("w2_l") -
+              col("n_used") * (col("n_used") + 1L)).cast("double") /
+            (lit(4.0) * sqrt(col("var48_l").cast("double") / lit(48.0))))
+            .cast("long")))
+  }
+
   /** Quade test for treatment differences in a randomized-block
     * design — [[friedman]] with blocks WEIGHTED by how much signal
     * they carry: each block's weight is the rank of its sample range,

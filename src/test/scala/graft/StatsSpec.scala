@@ -1354,4 +1354,27 @@ class StatsSpec extends SparkSpec {
       ("b2", "t1", 7L), ("b2", "t2", 7L)).toDF("blk", "trt", "x")
     assert(Stats.quade(flat, "blk", "trt", "x").collect().head.isNullAt(4))
   }
+
+  test("wilcoxonSignedRank: hand-checked without and with ties; " +
+      "zero differences drop; all-zero degenerates") {
+    // d = +1,-2,+3,+4: W2 = 2+6+8 = 16, 48Var = 360
+    val d1 = Seq((0L, 1L), (2L, 0L), (0L, 3L), (0L, 4L)).toDF("b", "a")
+    val r = Stats.wilcoxonSignedRank(d1, "b", "a").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 3L, 1L, 16L)))
+    assert(r.getDecimal(4).longValue === 360L)
+    assert(r.getLong(5) === math.floor(1.0e6 * 12.0 /
+      (4.0 * math.sqrt(360.0 / 48.0))).toLong)
+    // ties: d = +1,+1,-1,+2 -> midrank 2R(1)=4, tie term 24
+    val d2 = Seq((0L, 1L), (0L, 1L), (1L, 0L), (0L, 2L)).toDF("b", "a")
+    val rt = Stats.wilcoxonSignedRank(d2, "b", "a").collect().head
+    assert(rt.getLong(3) === 16L && rt.getDecimal(4).longValue === 336L)
+    // zeros drop; an all-zero sample has no test
+    val dz = Seq((5L, 5L), (7L, 7L), (1L, 2L)).toDF("b", "a")
+    assert(Stats.wilcoxonSignedRank(dz, "b", "a")
+      .collect().head.getLong(0) === 1L)
+    val all0 = Seq((5L, 5L), (7L, 7L)).toDF("b", "a")
+    assert(Stats.wilcoxonSignedRank(all0, "b", "a")
+      .collect().head.isNullAt(5))
+  }
 }
