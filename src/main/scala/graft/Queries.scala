@@ -15415,6 +15415,87 @@ object Queries {
         END AS z_q
       FROM one"""))
 
+  /** (q370) Bowker symmetry test of the lang↔language-ID confusion
+    * matrix (Stats.bowker scaladoc): does misclassification flow
+    * symmetrically between category pairs — McNemar's k-class
+    * generalization on the q167/q358 rater pair.
+    */
+  val q370Bowker = Q(
+    "q370_ml_bowker",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TextFns.langId(col("text")).as("pred"))
+        .filter(col("pred").isNotNull)
+      operators.Stats.bowker(d, "lang", "pred")
+    },
+    Some("""
+      WITH d AS (SELECT lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT lang AS a,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS b
+             FROM h WHERE lang IS NOT NULL),
+      cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+             FROM pr GROUP BY 1, 2),
+      up AS (SELECT a, b, n FROM cm WHERE a < b),
+      lo AS (SELECT b AS a, a AS b, n AS m FROM cm WHERE a > b),
+      pairs AS (SELECT coalesce(up.n, 0) AS n, coalesce(lo.m, 0) AS m
+                FROM up FULL JOIN lo USING (a, b)
+                WHERE coalesce(up.n, 0) + coalesce(lo.m, 0) > 0),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows FROM cm)
+      SELECT n_rows, CAST(count(*) AS BIGINT) AS df,
+        CAST(sum(CAST(floor(1000000000.0
+          * CAST((n - m) * (n - m) AS DOUBLE)
+          / CAST(n + m AS DOUBLE)) AS BIGINT)) AS BIGINT) AS chi2_q
+      FROM pairs CROSS JOIN tt GROUP BY n_rows"""))
+
+  /** (q371) One-sample KS distance of the md5 doc_id shard assignment
+    * against the discrete uniform over 64 buckets (Stats.ksUniform
+    * scaladoc) — the ordered-lean shard-balance audit; bucket =
+    * md5-fold of the id mod 64 (the engine-portable q29 hash family).
+    */
+  val q371KsUniform = Q(
+    "q371_a_ks_uniform",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select((operators.Dedup.md5Hash60(col("doc_id").cast("string")) %
+          64L).as("bucket"))
+      operators.Stats.ksUniform(d, "bucket", k = 64)
+    },
+    Some("""
+      WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+               % 64 AS bucket
+             FROM documents WHERE doc_id IS NOT NULL),
+      counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                 FROM b WHERE bucket >= 0 AND bucket < 64 GROUP BY 1),
+      grid AS (SELECT CAST(g.g AS BIGINT) AS bucket, coalesce(c, 0) AS c
+               FROM (SELECT unnest(range(0, 64)) AS g) g
+               LEFT JOIN counts ON counts.bucket = g.g),
+      cums AS (SELECT bucket,
+                 sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                   AS cum
+               FROM grid),
+      tt AS (SELECT max(cum) AS n FROM cums)
+      SELECT CAST(n AS BIGINT) AS n, CAST(64 AS BIGINT) AS k,
+        CAST(max(abs(64 * cum - (bucket + 1) * n)) AS BIGINT)
+          AS maxnum_l,
+        CASE WHEN n > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(max(abs(64 * cum - (bucket + 1) * n)) AS DOUBLE)
+            / (64.0 * CAST(n AS DOUBLE))) AS BIGINT)
+        END AS d_q
+      FROM cums CROSS JOIN tt GROUP BY n"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15519,5 +15600,5 @@ object Queries {
     q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank,
     q362Wasserstein, q363CramerVonMises, q364EnergyDistance,
     q365SeasonalMK, q366Grubbs, q367Quade, q368Eigenvector,
-    q369SignedRank)
+    q369SignedRank, q370Bowker, q371KsUniform)
 }

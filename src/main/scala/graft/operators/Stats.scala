@@ -3022,6 +3022,87 @@ object Stats {
             .cast("long")))
   }
 
+  /** One-sample Kolmogorov–Smirnov distance against the DISCRETE
+    * UNIFORM over k ordered buckets — the shard-balance audit for
+    * hash/rendezvous/Feistel bucket assignments ([[chiSquare]] sees
+    * per-bucket imbalance; KS sees a systematic LEAN across the
+    * ordered range that per-bucket χ² dilutes):
+    *
+    *   D = max_j |cum_j/N − (j+1)/k|
+    *     = max_j |k·cum_j − (j+1)·N| / (k·N)
+    *
+    * — exact integers to one final division. Empty buckets count (the
+    * grid is the full 0..k−1 range, not just observed buckets). Plan:
+    * one corpus scan to k counts, one k-row window.
+    *
+    * @return one row (n, k, maxnum_l, d_q = ⌊10⁶·D⌋)
+    */
+  def ksUniform(df: DataFrame, bucketCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val counts = df.select(col(bucketCol).cast("long").as("__b"))
+      .na.drop()
+      .filter(col("__b") >= 0 && col("__b") < k)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val grid = counts.sparkSession.range(0, k)
+      .select(col("id").as("__b"))
+      .join(counts, Seq("__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__b"))))
+    val tot = grid.agg(max(col("__cum")).as("__n"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        abs(lit(k.toLong) * col("__cum") - (col("__b") + 1L) * col("__n"))
+          .as("__num"))
+      .groupBy(col("__n").as("n"))
+      .agg(max(col("__num")).as("maxnum_l"))
+      .select(col("n"), lit(k.toLong).as("k"), col("maxnum_l"),
+        when(col("n") > 0,
+          floor(lit(1.0e6) * col("maxnum_l").cast("double") /
+            (lit(k.toDouble) * col("n").cast("double"))).cast("long"))
+          .as("d_q"))
+  }
+
+  /** Bowker's test of symmetry for a PAIRED k×k contingency table —
+    * McNemar's k-category generalization: does the confusion between
+    * categories flow symmetrically (label i → j as often as j → i)?
+    * An asymmetric flow means the second rater/model systematically
+    * drifts toward some categories — the confusion-matrix audit
+    * McNemar can only give for 2 classes:
+    *
+    *   χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji),   df = #pairs with
+    *        n_ij + n_ji > 0
+    *
+    * Per-pair contributions quantize ⌊10⁹·(n_ij−n_ji)²/(n_ij+n_ji)⌋
+    * as longs (ONE double division per cell pair), so the statistic
+    * is an order-free integer sum. Plan: one corpus scan to the cell
+    * grid, one self-join on the mirrored key (k² grid rows), one fold.
+    *
+    * @return one row (n_rows, df, chi2_q = Σ⌊10⁹·term⌋)
+    */
+  def bowker(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.select(col(colA).as("__a"), col(colB).as("__b"))
+      .na.drop()
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    // upper triangle (i<j) full-outer-joined with the MIRRORED lower
+    // triangle: a pair present on only one side still tests (against 0)
+    val pairs = cells.filter(col("__a") < col("__b"))
+      .join(cells.filter(col("__a") > col("__b"))
+        .select(col("__b").as("__a"), col("__a").as("__b"),
+          col("__n").as("__m")), Seq("__a", "__b"), "full_outer")
+      .na.fill(0L, Seq("__n", "__m"))
+      .filter(col("__n") + col("__m") > 0)
+    val tot = cells.agg(sum(col("__n")).as("n_rows"))
+    pairs
+      .select(floor(lit(1.0e9) *
+        ((col("__n") - col("__m")) * (col("__n") - col("__m")))
+          .cast("double") /
+        (col("__n") + col("__m")).cast("double")).cast("long").as("__t"))
+      .agg(count(lit(1)).as("df"), sum(col("__t")).as("chi2_q"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_rows"), col("df"), col("chi2_q"))
+  }
+
   /** Quade test for treatment differences in a randomized-block
     * design — [[friedman]] with blocks WEIGHTED by how much signal
     * they carry: each block's weight is the rank of its sample range,

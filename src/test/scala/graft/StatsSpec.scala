@@ -1377,4 +1377,30 @@ class StatsSpec extends SparkSpec {
     assert(Stats.wilcoxonSignedRank(all0, "b", "a")
       .collect().head.isNullAt(5))
   }
+
+  test("bowker: asymmetric flows hand-checked; one-sided pairs test " +
+      "against zero; symmetric table scores 0") {
+    // (a->b:3, b->a:1) term 1e9; (a->c:2, c->a absent) term 2e9
+    val d = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(2)(("a", "c")) ++ Seq.fill(5)(("a", "a")))
+      .toDF("r1", "r2")
+    val r = Stats.bowker(d, "r1", "r2").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((11L, 2L, 3000000000L)))
+    val sym = (Seq.fill(2)(("a", "b")) ++ Seq.fill(2)(("b", "a")))
+      .toDF("r1", "r2")
+    val rs = Stats.bowker(sym, "r1", "r2").collect().head
+    assert(rs.getLong(1) === 1L && rs.getLong(2) === 0L)
+  }
+
+  test("ksUniform: uniform buckets score 0; total concentration " +
+      "scores (k-1)/k; out-of-range buckets drop") {
+    val u = Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L).toDF("bucket")
+    val ru = Stats.ksUniform(u, "bucket", k = 4).collect().head
+    assert((ru.getLong(0), ru.getLong(2), ru.getLong(3)) === ((8L, 0L, 0L)))
+    val c = Seq(0L, 0L, 0L, 0L, 0L, 9L).toDF("bucket") // 9 out of range
+    val rc = Stats.ksUniform(c, "bucket", k = 4).collect().head
+    assert((rc.getLong(0), rc.getLong(2)) === ((5L, 15L)))
+    assert(rc.getLong(3) === 750000L)
+  }
 }
