@@ -8859,6 +8859,13 @@ object Queries {
                CAST(g.g AS INT) AS gap, a.t AS ta, bb.t AS tb
              FROM p a CROSS JOIN (SELECT unnest(range(1, 4)) AS g) g
              JOIN p bb ON bb.pos = a.pos + g.g),
+      -- length prune (the q05 pre-reduction treatment, 10x point):
+      -- levenshtein >= |len diff|, so 10*|Δlen| > 7*maxlen implies
+      -- sim < 0.3 and the pair cannot reach the output filter —
+      -- value-identical, skips the O(len²) kernel on hopeless pairs
+      prp AS (SELECT * FROM pr
+              WHERE 10 * abs(length(ta) - length(tb))
+                <= 7 * greatest(length(ta), length(tb))),
       sc AS (SELECT id_a, id_b, gap,
                CASE WHEN greatest(length(ta), length(tb)) = 0
                  THEN CAST(1000000 AS BIGINT)
@@ -8867,7 +8874,7 @@ object Queries {
                      / CAST(greatest(length(ta), length(tb)) AS DOUBLE)))
                    AS BIGINT)
                END AS edit_sim_q
-             FROM pr)
+             FROM prp)
       SELECT id_a, id_b, gap, edit_sim_q FROM sc
       WHERE edit_sim_q >= 300000
       ORDER BY id_a, id_b"""))
