@@ -13734,14 +13734,27 @@ object Queries {
                 FROM ed JOIN core ca ON ca.id = ed.a
                 JOIN core cb ON cb.id = ed.b)
               WHERE mr >= 300000),
-      edges AS (SELECT a AS src, b AS dst FROM mre
+      edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM mre
                 UNION SELECT b, a FROM mre),
-      reach(id, comp) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-      SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id
-      ORDER BY id"""))
+      -- hash-to-min label propagation, 20 unrolled rounds: per round
+      -- every node takes the min of its own label, its neighbors'
+      -- labels, and its label's label (the pointer-jumping double
+      -- hop), so coverage doubles per round — 2^20 >> any component
+      -- diameter here. The naive reach(id, comp) closure kept every
+      -- (node, reachable-comp) pair and blew past the 10x budget;
+      -- this keeps exactly |V| rows per round. Exact at convergence,
+      -- and non-convergence would FAIL the hash check loudly.
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM edges),
+      ${(1 to 20).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT v, min(l) AS l FROM (
+             SELECT v, l FROM l${i - 1}
+             UNION ALL SELECT e.dst AS v, p.l
+               FROM l${i - 1} p JOIN edges e ON e.src = p.v
+             UNION ALL SELECT a.v, b.l
+               FROM l${i - 1} a JOIN l${i - 1} b ON b.v = a.l
+           ) GROUP BY v)"""
+      }.mkString(",\n      ")}
+      SELECT v AS id, l AS cluster_id FROM l20 ORDER BY id"""))
 
   /** (q329) Wilson score intervals for each source's en-share
     * (Stats.wilsonInterval scaladoc): small-n-safe CIs, one mirrored
