@@ -6896,13 +6896,39 @@ object Queries {
                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
              FROM embeddings WHERE label % 2 = 1),
-      ab AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      -- MATERIALIZED + the KnnCte two-pass bucket prune on every rank
+      -- stage (the 10x treatment): ab is read 4x downstream, and the
+      -- top-4 windows only need the rows at or above each key's
+      -- 4th-best coarse bucket. Downstream consumes rn <= 4 only, and
+      -- the prune keeps a superset of those rows with their order
+      -- intact, so the result is value-identical.
+      ab AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                list_dot_product(a.e, b.e) / NULLIF(a.nrm * b.nrm, 0) AS cos
              FROM ea a CROSS JOIN eb b),
+      tha AS (SELECT a_id, max(b) AS tb FROM (
+               SELECT a_id, b,
+                 sum(cnt) OVER (PARTITION BY a_id ORDER BY b DESC) AS cum
+               FROM (SELECT a_id, CAST(floor(100 * cos) AS INT) AS b,
+                       count(*) AS cnt
+                     FROM ab WHERE cos IS NOT NULL GROUP BY 1, 2))
+             WHERE cum >= 4 GROUP BY a_id),
+      thb AS (SELECT b_id, max(b) AS tb FROM (
+               SELECT b_id, b,
+                 sum(cnt) OVER (PARTITION BY b_id ORDER BY b DESC) AS cum
+               FROM (SELECT b_id, CAST(floor(100 * cos) AS INT) AS b,
+                       count(*) AS cnt
+                     FROM ab WHERE cos IS NOT NULL GROUP BY 1, 2))
+             WHERE cum >= 4 GROUP BY b_id),
       rka AS (SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
-                ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn FROM ab),
+                ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn
+              FROM ab LEFT JOIN tha USING (a_id)
+              WHERE ab.cos IS NOT NULL
+                AND (tb IS NULL OR floor(100 * ab.cos) >= tb)),
       rkb AS (SELECT b_id, a_id, cos, row_number() OVER (PARTITION BY b_id
-                ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn FROM ab),
+                ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn
+              FROM ab LEFT JOIN thb USING (b_id)
+              WHERE ab.cos IS NOT NULL
+                AND (tb IS NULL OR floor(100 * ab.cos) >= tb)),
       sa AS (SELECT a_id,
           coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
           + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
@@ -6959,18 +6985,38 @@ object Queries {
                       / NULLIF(q.nrm * c.cnrm, 0) DESC NULLS LAST,
                       c.cid ASC) AS rn
                 FROM eb q CROSS JOIN ca c) WHERE rn <= 3),
-      iab AS (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
+      iab AS MATERIALIZED (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
               JOIN asgb ON asgb.b_id = ab.b_id
               JOIN pra ON pra.a_id = ab.a_id
                 AND pra.cluster = asgb.cluster),
-      iba AS (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
+      iba AS MATERIALIZED (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
               JOIN asga ON asga.a_id = ab.a_id
               JOIN prb ON prb.b_id = ab.b_id
                 AND prb.cluster = asga.cluster),
+      itha AS (SELECT a_id, max(b) AS tb FROM (
+               SELECT a_id, b,
+                 sum(cnt) OVER (PARTITION BY a_id ORDER BY b DESC) AS cum
+               FROM (SELECT a_id, CAST(floor(100 * cos) AS INT) AS b,
+                       count(*) AS cnt
+                     FROM iab WHERE cos IS NOT NULL GROUP BY 1, 2))
+             WHERE cum >= 4 GROUP BY a_id),
+      ithb AS (SELECT b_id, max(b) AS tb FROM (
+               SELECT b_id, b,
+                 sum(cnt) OVER (PARTITION BY b_id ORDER BY b DESC) AS cum
+               FROM (SELECT b_id, CAST(floor(100 * cos) AS INT) AS b,
+                       count(*) AS cnt
+                     FROM iba WHERE cos IS NOT NULL GROUP BY 1, 2))
+             WHERE cum >= 4 GROUP BY b_id),
       irka AS (SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
-                 ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn FROM iab),
+                 ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn
+               FROM iab LEFT JOIN itha USING (a_id)
+               WHERE iab.cos IS NOT NULL
+                 AND (tb IS NULL OR floor(100 * iab.cos) >= tb)),
       irkb AS (SELECT b_id, a_id, cos, row_number() OVER (PARTITION BY b_id
-                 ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn FROM iba),
+                 ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn
+               FROM iba LEFT JOIN ithb USING (b_id)
+               WHERE iba.cos IS NOT NULL
+                 AND (tb IS NULL OR floor(100 * iba.cos) >= tb)),
       isa AS (SELECT a_id,
           coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
           + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
