@@ -15,7 +15,10 @@ tmo = float(os.environ.get("SELFCHECK_QUERY_TIMEOUT_S", "0") or 0)
 
 con = duckdb.connect()
 con.execute("SET memory_limit='48GB'")
-con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# one spill dir per process: two concurrent selfchecks sharing a temp
+# dir corrupt each other's spill files (learned the hard way at 10x)
+spill = os.environ.get("SELFCHECK_SPILL_DIR", f"/tmp/duckdb_spill_{os.getpid()}")
+con.execute(f"SET temp_directory='{spill}'")
 for tname in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
     # driver testdata = one file per table; Spark-written (e.g. the
