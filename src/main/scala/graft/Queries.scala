@@ -6902,11 +6902,12 @@ object Queries {
       -- 4th-best coarse bucket. Downstream consumes rn <= 4 only, and
       -- the prune keeps a superset of those rows with their order
       -- intact, so the result is value-identical.
-      -- NOT materialized: at 10x the 400M-pair frame (and the routed
-      -- subsets) spilled past the box's disk when materialized; each
-      -- reference streams its own ea x eb scan instead (native
-      -- list_dot_product keeps a full scan in the tens of seconds)
-      ab AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      -- NOT MATERIALIZED (explicit hint): DuckDB auto-materializes any
+      -- CTE referenced more than once, and at 10x the 100M-pair frame
+      -- (plus the routed subsets) spilled past the box's disk; the
+      -- hint makes each reference stream its own ea x eb scan through
+      -- the native list_dot_product kernel instead
+      ab AS NOT MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                list_dot_product(a.e, b.e) / NULLIF(a.nrm * b.nrm, 0) AS cos
              FROM ea a CROSS JOIN eb b),
       tha AS (SELECT a_id, max(b) AS tb FROM (
@@ -6989,11 +6990,11 @@ object Queries {
                       / NULLIF(q.nrm * c.cnrm, 0) DESC NULLS LAST,
                       c.cid ASC) AS rn
                 FROM eb q CROSS JOIN ca c) WHERE rn <= 3),
-      iab AS (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
+      iab AS NOT MATERIALIZED (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
               JOIN asgb ON asgb.b_id = ab.b_id
               JOIN pra ON pra.a_id = ab.a_id
                 AND pra.cluster = asgb.cluster),
-      iba AS (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
+      iba AS NOT MATERIALIZED (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
               JOIN asga ON asga.a_id = ab.a_id
               JOIN prb ON prb.b_id = ab.b_id
                 AND prb.cluster = asga.cluster),
