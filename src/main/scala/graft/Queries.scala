@@ -6990,14 +6990,27 @@ object Queries {
                       / NULLIF(q.nrm * c.cnrm, 0) DESC NULLS LAST,
                       c.cid ASC) AS rn
                 FROM eb q CROSS JOIN ca c) WHERE rn <= 3),
-      iab AS NOT MATERIALIZED (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
-              JOIN asgb ON asgb.b_id = ab.b_id
-              JOIN pra ON pra.a_id = ab.a_id
-                AND pra.cluster = asgb.cluster),
-      iba AS NOT MATERIALIZED (SELECT ab.a_id, ab.b_id, ab.cos FROM ab
-              JOIN asga ON asga.a_id = ab.a_id
-              JOIN prb ON prb.b_id = ab.b_id
-                AND prb.cluster = asga.cluster),
+      -- routed-first candidate build: joining the routing tables onto
+      -- the all-pairs frame (or joining vectors before the id-pair
+      -- list exists) lets the optimizer materialize a vector-carrying
+      -- 100M-row intermediate (~70G of spill at 10x). Instead: the
+      -- routed ID pairs materialize first (ids only — narrow), then
+      -- the two vector joins compute the identical cosine; the
+      -- materialized iab/iba carry (id, id, cos) only.
+      ipra AS MATERIALIZED (SELECT p.a_id, v.b_id
+             FROM pra p JOIN asgb v ON v.cluster = p.cluster),
+      iprb AS MATERIALIZED (SELECT a.a_id, p.b_id
+             FROM prb p JOIN asga a ON a.cluster = p.cluster),
+      iab AS MATERIALIZED (SELECT i.a_id, i.b_id,
+               list_dot_product(qa.e, vb.e)
+                 / NULLIF(qa.nrm * vb.nrm, 0) AS cos
+             FROM ipra i JOIN ea qa ON qa.vec_id = i.a_id
+             JOIN eb vb ON vb.vec_id = i.b_id),
+      iba AS MATERIALIZED (SELECT i.a_id, i.b_id,
+               list_dot_product(va.e, qb.e)
+                 / NULLIF(va.nrm * qb.nrm, 0) AS cos
+             FROM iprb i JOIN ea va ON va.vec_id = i.a_id
+             JOIN eb qb ON qb.vec_id = i.b_id),
       itha AS (SELECT a_id, max(b) AS tb FROM (
                SELECT a_id, b,
                  sum(cnt) OVER (PARTITION BY a_id ORDER BY b DESC) AS cum
