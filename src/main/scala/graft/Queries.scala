@@ -6864,7 +6864,10 @@ object Queries {
     "q345_ann_ivf_margin_recall",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val a = emb.filter(col("label") % 2 === 0)
+      // query side subsampled 4x: the recall contract needs a QUERY
+      // SAMPLE, not the full query set, and the oracle's double-sided
+      // IVF replay at the 10x point must fit the box's spill budget
+      val a = emb.filter(col("label") % 2 === 0 && col("vec_id") % 4 === 0)
       val b = emb.filter(col("label") % 2 === 1)
       val brute = Similarity.marginPairs(a, b, "vec_id", "embedding",
         k = 4, minMarginQ = 1000000L)
@@ -6889,7 +6892,7 @@ object Queries {
                sqrt(list_dot_product(
                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
-             FROM embeddings WHERE label % 2 = 0),
+             FROM embeddings WHERE label % 2 = 0 AND vec_id % 4 = 0),
       eb AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
                sqrt(list_dot_product(
@@ -6990,51 +6993,51 @@ object Queries {
                       / NULLIF(q.nrm * c.cnrm, 0) DESC NULLS LAST,
                       c.cid ASC) AS rn
                 FROM eb q CROSS JOIN ca c) WHERE rn <= 3),
-      -- routed-first candidate build: joining the routing tables onto
-      -- the all-pairs frame (or joining vectors before the id-pair
-      -- list exists) lets the optimizer materialize a vector-carrying
-      -- 100M-row intermediate (~70G of spill at 10x). Instead: the
-      -- routed ID pairs materialize first (ids only — narrow), then
-      -- the two vector joins compute the identical cosine; the
-      -- materialized iab/iba carry (id, id, cos) only.
-      ipra AS MATERIALIZED (SELECT p.a_id, v.b_id
+      -- routed-first candidate build, everything NOT MATERIALIZED:
+      -- joining the routing tables onto the all-pairs frame let the
+      -- optimizer materialize a vector-carrying 100M-row intermediate
+      -- (~70G of spill at 10x), and even narrow 37M-row MATERIALIZED
+      -- CTEs hold ~12G of statement-lifetime temp each in DuckDB 1.0
+      -- — stacked, they blow the disk. Inlined, each consumer streams
+      -- its own routed scan (~110 s at 10x) and the pipeline temp is
+      -- released as soon as the pipeline ends.
+      ipra AS NOT MATERIALIZED (SELECT p.a_id, v.b_id
              FROM pra p JOIN asgb v ON v.cluster = p.cluster),
-      iprb AS MATERIALIZED (SELECT a.a_id, p.b_id
+      iprb AS NOT MATERIALIZED (SELECT a.a_id, p.b_id
              FROM prb p JOIN asga a ON a.cluster = p.cluster),
-      iab AS MATERIALIZED (SELECT i.a_id, i.b_id,
+      iab AS NOT MATERIALIZED (SELECT i.a_id, i.b_id,
                list_dot_product(qa.e, vb.e)
                  / NULLIF(qa.nrm * vb.nrm, 0) AS cos
              FROM ipra i JOIN ea qa ON qa.vec_id = i.a_id
              JOIN eb vb ON vb.vec_id = i.b_id),
-      iba AS MATERIALIZED (SELECT i.a_id, i.b_id,
+      iba AS NOT MATERIALIZED (SELECT i.a_id, i.b_id,
                list_dot_product(va.e, qb.e)
                  / NULLIF(va.nrm * qb.nrm, 0) AS cos
              FROM iprb i JOIN ea va ON va.vec_id = i.a_id
              JOIN eb qb ON qb.vec_id = i.b_id),
-      itha AS (SELECT a_id, max(b) AS tb FROM (
-               SELECT a_id, b,
-                 sum(cnt) OVER (PARTITION BY a_id ORDER BY b DESC) AS cum
-               FROM (SELECT a_id, CAST(floor(100 * cos) AS INT) AS b,
-                       count(*) AS cnt
-                     FROM iab WHERE cos IS NOT NULL GROUP BY 1, 2))
-             WHERE cum >= 4 GROUP BY a_id),
-      ithb AS (SELECT b_id, max(b) AS tb FROM (
-               SELECT b_id, b,
-                 sum(cnt) OVER (PARTITION BY b_id ORDER BY b DESC) AS cum
-               FROM (SELECT b_id, CAST(floor(100 * cos) AS INT) AS b,
-                       count(*) AS cnt
-                     FROM iba WHERE cos IS NOT NULL GROUP BY 1, 2))
-             WHERE cum >= 4 GROUP BY b_id),
-      irka AS (SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
-                 ORDER BY cos DESC NULLS LAST, b_id ASC) AS rn
-               FROM iab LEFT JOIN itha USING (a_id)
-               WHERE iab.cos IS NOT NULL
-                 AND (tb IS NULL OR floor(100 * iab.cos) >= tb)),
-      irkb AS (SELECT b_id, a_id, cos, row_number() OVER (PARTITION BY b_id
-                 ORDER BY cos DESC NULLS LAST, a_id ASC) AS rn
-               FROM iba LEFT JOIN ithb USING (b_id)
-               WHERE iba.cos IS NOT NULL
-                 AND (tb IS NULL OR floor(100 * iba.cos) >= tb)),
+      -- single-pass grouped top-4 (replaces the two-pass bucket prune
+      -- + window): each key's candidates fold into ONE list aggregate,
+      -- sorted and sliced to 4 — iab/iba are referenced exactly once,
+      -- so they inline and stream, and nothing big ever lands in
+      -- statement-lifetime temp. Tie-break matches the window form
+      -- exactly: struct(cos, -b_id) DESC = cos DESC, b_id ASC
+      -- (integer negation is exact).
+      irka AS (SELECT a_id, -(s.nb) AS b_id, s.c AS cos,
+                 CAST(row_number() OVER (PARTITION BY a_id
+                   ORDER BY s.c DESC, -(s.nb) ASC) AS BIGINT) AS rn
+               FROM (SELECT a_id,
+                       unnest(list_slice(list_sort(
+                         list(struct_pack(c := cos, nb := -b_id)),
+                         'DESC'), 1, 4)) AS s
+                     FROM iab WHERE cos IS NOT NULL GROUP BY a_id)),
+      irkb AS (SELECT b_id, -(s.na) AS a_id, s.c AS cos,
+                 CAST(row_number() OVER (PARTITION BY b_id
+                   ORDER BY s.c DESC, -(s.na) ASC) AS BIGINT) AS rn
+               FROM (SELECT b_id,
+                       unnest(list_slice(list_sort(
+                         list(struct_pack(c := cos, na := -a_id)),
+                         'DESC'), 1, 4)) AS s
+                     FROM iba WHERE cos IS NOT NULL GROUP BY b_id)),
       isa AS (SELECT a_id,
           coalesce(MAX(CASE WHEN rn = 1 THEN cos END), 0)
           + coalesce(MAX(CASE WHEN rn = 2 THEN cos END), 0)
