@@ -15583,6 +15583,336 @@ object Queries {
         END AS d_q
       FROM cums CROSS JOIN tt GROUP BY n"""))
 
+  /** (q372) Pettitt changepoint test on the dense daily event-count
+    * series (Stats.pettitt scaladoc): rank-based level-shift detection
+    * with the shift day; doubled mid-ranks, one prefix-sum window.
+    */
+  val q372Pettitt = Q(
+    "q372_a_pettitt",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val daily = e
+        .withColumn("bucket", TimeAgg.timeBucketSec(col("ts_us"), 86400))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      val span = daily.agg(min(col("bucket")).as("__lo"),
+        max(col("bucket")).as("__hi"))
+      val dense = span
+        .select(explode(sequence(col("__lo"), col("__hi"), lit(86400L)))
+          .as("bucket"))
+        .join(daily, Seq("bucket"), "left")
+        .na.fill(0L, Seq("x"))
+      operators.Stats.pettitt(dense, "bucket", "x")
+    },
+    Some(s"""
+      WITH e AS (SELECT ($EvUs // 86400000000) * 86400 AS bucket
+             FROM events),
+      h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS x
+            FROM e GROUP BY 1),
+      span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+      dense0 AS (SELECT CAST(g.g AS BIGINT) AS bucket
+             FROM span, LATERAL unnest(range(lo, hi + 1, 86400)) g(g)),
+      dense AS (SELECT d.bucket, coalesce(h.x, 0) AS x
+             FROM dense0 d LEFT JOIN h USING (bucket)),
+      g AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM dense GROUP BY x),
+      gg AS (SELECT x, c,
+               coalesce(sum(c) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS lt
+             FROM g),
+      rk AS (SELECT d.bucket, 2 * gg.lt + gg.c + 1 AS R2
+             FROM dense d JOIN gg ON gg.x = d.x),
+      pre AS (SELECT bucket,
+               CAST(sum(R2) OVER (ORDER BY bucket) AS BIGINT) AS S,
+               row_number() OVER (ORDER BY bucket) AS t
+             FROM rk),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dense),
+      u AS (SELECT bucket, abs(S - t * (n + 1)) AS U
+            FROM pre CROSS JOIN tot WHERE t < n),
+      kk AS (SELECT CAST(max(U) AS BIGINT) AS k_stat FROM u)
+      SELECT n, k_stat,
+        (SELECT min(bucket) FROM u WHERE U = k_stat) AS t_star,
+        CASE WHEN n >= 2 THEN
+          CAST(floor(1000000.0 * 2.0 * exp(-6.0
+            * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT)
+        END AS p_q
+      FROM tot CROSS JOIN kk"""))
+
+  /** (q373) Kuiper's V of the md5 shard assignment against the
+    * discrete uniform (Stats.kuiper scaladoc): D⁺ + D⁻ on the q371
+    * grid — the rotation-sensitive shard-balance audit.
+    */
+  val q373Kuiper = Q(
+    "q373_a_kuiper",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select((operators.Dedup.md5Hash60(col("doc_id").cast("string")) %
+          64L).as("bucket"))
+      operators.Stats.kuiper(d, "bucket", k = 64)
+    },
+    Some("""
+      WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+               % 64 AS bucket
+             FROM documents WHERE doc_id IS NOT NULL),
+      counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c
+                 FROM b WHERE bucket >= 0 AND bucket < 64 GROUP BY 1),
+      grid AS (SELECT CAST(g.g AS BIGINT) AS bucket, coalesce(c, 0) AS c
+               FROM (SELECT unnest(range(0, 64)) AS g) g
+               LEFT JOIN counts ON counts.bucket = g.g),
+      cums AS (SELECT bucket,
+                 sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                   AS cum
+               FROM grid),
+      tt AS (SELECT max(cum) AS n FROM cums),
+      fold AS (SELECT CAST(n AS BIGINT) AS n,
+               CAST(greatest(max(64 * cum - (bucket + 1) * n), 0)
+                 AS BIGINT) AS dplus_l,
+               CAST(greatest(max((bucket + 1) * n - 64 * cum), 0)
+                 AS BIGINT) AS dminus_l
+             FROM cums CROSS JOIN tt GROUP BY n)
+      SELECT n, CAST(64 AS BIGINT) AS k, dplus_l, dminus_l,
+        CASE WHEN n > 0 THEN
+          CAST(floor(1000000.0 * CAST(dplus_l + dminus_l AS DOUBLE)
+            / (64.0 * CAST(n AS DOUBLE))) AS BIGINT)
+        END AS v_q
+      FROM fold"""))
+
+  /** (q374) Link-prediction battery over the mutual 5-NN graph
+    * (Graph.linkPredictionScores scaladoc): common neighbors,
+    * resource allocation, Jaccard, preferential attachment from one
+    * wedge pass — the q241 Adamic–Adar scaffold, three more scores.
+    */
+  val q374LinkPrediction = Q(
+    "q374_g_link_prediction",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.linkPredictionScores(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))), topK = 40)
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+              FROM sym GROUP BY 1),
+      adj AS (SELECT a AS z, b AS x FROM sym),
+      wed AS (SELECT w1.x AS x, w2.x AS y, w1.z
+              FROM adj w1 JOIN adj w2 ON w2.z = w1.z AND w1.x < w2.x),
+      cand AS (SELECT x, y, z FROM wed
+               WHERE NOT EXISTS (SELECT 1 FROM mut
+                   WHERE mut.a = wed.x AND mut.b = wed.y)),
+      pp AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(1000000000 // dg) AS BIGINT) AS ra_q
+             FROM cand JOIN deg USING (z) GROUP BY 1, 2)
+      SELECT pp.x, pp.y, pp.common_neighbors, pp.ra_q,
+        (1000000 * pp.common_neighbors)
+          // (dx.dg + dy.dg - pp.common_neighbors) AS jaccard_q,
+        dx.dg * dy.dg AS pa_l
+      FROM pp JOIN deg dx ON dx.z = pp.x JOIN deg dy ON dy.z = pp.y
+      ORDER BY pp.ra_q DESC, pp.x, pp.y LIMIT 40"""))
+
+  /** (q375) Yuen's trimmed-mean test of n_chars, src0 vs src1
+    * (Robust.yuenTrimmed scaladoc): 20 % trimmed means over winsorized
+    * variance — the outlier-proof Welch t on the q362 sample pair.
+    */
+  val q375Yuen = Q(
+    "q375_a_yuen_trimmed",
+    (s, dir) =>
+      operators.Robust.yuenTrimmed(t(s, dir, "documents"), "source",
+        "n_chars", "src0", "src1"),
+    Some("""
+      WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+             FROM documents
+             WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+      p AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) AS i,
+              CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM b),
+      p2 AS (SELECT g, v, i, n, (n * 1) // 5 AS tr FROM p),
+      bd AS (SELECT g, max(CASE WHEN i = tr + 1 THEN v END) AS lo,
+               max(CASE WHEN i = n - tr THEN v END) AS hi
+             FROM p2 GROUP BY g),
+      st AS (SELECT p2.g, max(n) AS nn, max(tr) AS gg,
+               CAST(sum(CASE WHEN i > tr AND i <= n - tr THEN v END)
+                 AS BIGINT) AS tsum,
+               sum(CAST(least(greatest(v, lo), hi) AS HUGEINT)) AS wsum,
+               sum(CAST(least(greatest(v, lo), hi) AS HUGEINT)
+                 * least(greatest(v, lo), hi)) AS wsq
+             FROM p2 JOIN bd USING (g) GROUP BY p2.g),
+      st2 AS (SELECT g, nn, gg, tsum, nn - 2 * gg AS h,
+               CAST(nn AS HUGEINT) * wsq - wsum * wsum AS ssn
+             FROM st)
+      SELECT a.nn AS n_a, b2.nn AS n_b, a.h AS h_a, b2.h AS h_b,
+        a.tsum AS tsum_a, b2.tsum AS tsum_b,
+        CASE WHEN a.h >= 2 AND b2.h >= 2 THEN
+          CAST(floor(1000000.0
+            * (CAST(a.tsum AS DOUBLE) / CAST(a.h AS DOUBLE)
+              - CAST(b2.tsum AS DOUBLE) / CAST(b2.h AS DOUBLE))
+            / sqrt(CAST(a.ssn AS DOUBLE)
+                / (CAST(a.nn AS DOUBLE) * CAST(a.h AS DOUBLE)
+                  * CAST(a.h - 1 AS DOUBLE))
+              + CAST(b2.ssn AS DOUBLE)
+                / (CAST(b2.nn AS DOUBLE) * CAST(b2.h AS DOUBLE)
+                  * CAST(b2.h - 1 AS DOUBLE)))) AS BIGINT)
+        END AS t_q
+      FROM (SELECT * FROM st2 WHERE g = 'src0') a
+      CROSS JOIN (SELECT * FROM st2 WHERE g = 'src1') b2"""))
+
+  /** (q376) Seasonal/trend strength of the q247 decomposition
+    * (TimeAgg.decompositionStrength scaladoc): Hyndman's F_S/F_T from
+    * exact n-cleared variance numerators, one division + clamp each.
+    */
+  val q376DecompStrength = Q(
+    "q376_a_decomp_strength",
+    (s, dir) =>
+      operators.TimeAgg.decompositionStrength(
+        ev(s, dir).filter(col("event_type").isNotNull),
+        "event_type", "ts_us"),
+    Some(s"""
+      WITH c AS (SELECT event_type, $EvUs // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS lo, max(d) AS hi
+             FROM c GROUP BY 1),
+      grid AS (SELECT sp.event_type, u.day
+               FROM sp, LATERAL unnest(range(lo, hi + 1)) u(day)),
+      dn AS (SELECT g.event_type, g.day, coalesce(c.x, 0) AS x
+             FROM grid g LEFT JOIN c
+               ON c.event_type = g.event_type AND c.d = g.day),
+      ma AS (SELECT event_type, day, x,
+               count(*) OVER w AS wn,
+               CAST(sum(x) OVER w AS BIGINT) AS s7
+             FROM dn WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      f AS (SELECT event_type, day, x,
+              (1000000 * s7) // 7 AS trend_q,
+              1000000 * x - (1000000 * s7) // 7 AS detr_q,
+              (day + 3) % 7 AS dow
+            FROM ma WHERE wn = 7),
+      se AS (SELECT event_type, dow,
+               CAST(floor(CAST(sum(detr_q) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_q
+             FROM f GROUP BY 1, 2),
+      j AS (SELECT f.event_type, f.detr_q,
+              f.detr_q - se.seasonal_q AS resid_q,
+              1000000 * f.x - se.seasonal_q AS tr
+            FROM f JOIN se USING (event_type, dow)),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(resid_q AS HUGEINT)) AS sr,
+              sum(CAST(resid_q AS HUGEINT) * resid_q) AS sr2,
+              sum(CAST(detr_q AS HUGEINT)) AS sd,
+              sum(CAST(detr_q AS HUGEINT) * detr_q) AS sd2,
+              sum(CAST(tr AS HUGEINT)) AS st,
+              sum(CAST(tr AS HUGEINT) * tr) AS st2
+            FROM j GROUP BY 1)
+      SELECT event_type, n,
+        CASE WHEN n * sd2 - sd * sd > 0 THEN
+          CAST(floor(1000000.0 * greatest(0.0, 1.0
+            - CAST(n * sr2 - sr * sr AS DOUBLE)
+            / CAST(n * sd2 - sd * sd AS DOUBLE))) AS BIGINT)
+        END AS fs_q,
+        CASE WHEN n * st2 - st * st > 0 THEN
+          CAST(floor(1000000.0 * greatest(0.0, 1.0
+            - CAST(n * sr2 - sr * sr AS DOUBLE)
+            / CAST(n * st2 - st * st AS DOUBLE))) AS BIGINT)
+        END AS ft_q
+      FROM a ORDER BY event_type"""))
+
+  /** (q377) Entropy rate of the user event-type Markov chain
+    * (TimeAgg.markovEntropyRate scaladoc): −Σ πᵢ p_ij ln p_ij with π
+    * from the q317 integer power rounds — per-cell quantized terms.
+    */
+  val q377MarkovEntropy = Q(
+    "q377_a_markov_entropy_rate",
+    (s, dir) =>
+      operators.TimeAgg.markovEntropyRate(ev(s, dir), "user_id",
+        "ts_us", "event_type", "event_id", rounds = 5),
+    Some {
+      val iter = (p: String, o: String) => s"""
+      $o AS (SELECT p.s,
+               (CASE WHEN rt.f IS NOT NULL THEN 0 ELSE p.x END)
+                 + coalesce(c.i, 0) AS x
+             FROM $p p LEFT JOIN rt ON rt.f = p.s
+             LEFT JOIN (
+               SELECT tr.t AS s,
+                 CAST(sum((CAST(p2.x AS HUGEINT) * tr.n) // rt2.r)
+                   AS BIGINT) AS i
+               FROM tr JOIN $p p2 ON p2.s = tr.f
+               JOIN rt rt2 ON rt2.f = tr.f
+               GROUP BY tr.t) c ON c.s = p.s)"""
+      s"""
+      WITH ev0 AS (SELECT user_id, event_id, event_type,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      nx AS (SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS t
+             FROM ev0),
+      tr AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+             FROM nx WHERE t IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT f, CAST(sum(n) AS BIGINT) AS r FROM tr GROUP BY f),
+      st AS (SELECT DISTINCT event_type AS s FROM ev0
+             WHERE event_type IS NOT NULL),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+      x0 AS (SELECT s, 1000000000000 // k AS x FROM st CROSS JOIN kk),
+      ${iter("x0", "x1")},
+      ${iter("x1", "x2")},
+      ${iter("x2", "x3")},
+      ${iter("x3", "x4")},
+      ${iter("x4", "x5")},
+      cells AS (SELECT tr.f, tr.t, tr.n, rt.r, p.x AS mass
+                FROM tr JOIN rt USING (f) JOIN x5 p ON p.s = tr.f),
+      terms AS (SELECT CAST(floor(1000000000.0
+                  * ((CAST(mass AS DOUBLE) / 1000000000000.0)
+                    * (CAST(n AS DOUBLE) / CAST(r AS DOUBLE)))
+                  * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                  AS BIGINT) AS tq
+                FROM cells)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_states,
+        (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+        (SELECT CAST(sum(tq) AS BIGINT) FROM terms) AS h_q"""
+    })
+
+  /** (q378) TwoNN intrinsic dimension of the embedding corpus
+    * (Similarity.twoNN scaladoc): top-2 cosine neighbor distance
+    * ratios, per-point quantized ln terms, the Facco MLE.
+    */
+  val q378TwoNN = Q(
+    "q378_ann_twonn",
+    (s, dir) =>
+      Similarity.twoNN(t(s, dir, "embeddings"), "vec_id", "embedding"),
+    Some(s"""
+      WITH $KnnCte,
+      r2 AS (SELECT query_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rn
+             FROM knn),
+      pv AS (SELECT query_id,
+               max(CASE WHEN rn = 1 THEN cos END) AS c1,
+               max(CASE WHEN rn = 2 THEN cos END) AS c2
+             FROM r2 GROUP BY 1),
+      tq AS (SELECT CAST(floor(1000000.0
+               * ln((1.0 - c2) / (1.0 - c1))) AS BIGINT) AS term
+             FROM pv
+             WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c1 < 1.0),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_valid,
+               CAST(sum(term) AS BIGINT) AS sum_logratio_q FROM tq)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+          AS n_points,
+        n_valid, sum_logratio_q,
+        CASE WHEN sum_logratio_q > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(2000000 * n_valid AS DOUBLE)
+            / CAST(sum_logratio_q AS DOUBLE)) AS BIGINT)
+        END AS id_q
+      FROM agg"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -15687,5 +16017,7 @@ object Queries {
     q358GwetAc1, q359MannKendall, q360TurningPoints, q361BartelsRank,
     q362Wasserstein, q363CramerVonMises, q364EnergyDistance,
     q365SeasonalMK, q366Grubbs, q367Quade, q368Eigenvector,
-    q369SignedRank, q370Bowker, q371KsUniform)
+    q369SignedRank, q370Bowker, q371KsUniform,
+    q372Pettitt, q373Kuiper, q374LinkPrediction, q375Yuen,
+    q376DecompStrength, q377MarkovEntropy, q378TwoNN)
 }

@@ -796,4 +796,58 @@ object Graph {
         coalesce(col("degree"), lit(0L)).as("degree"),
         col("__x").as("eig_q"))
   }
+
+  /** Link-prediction score battery over an undirected edge frame
+    * (`a < b` canonical) — the three classical neighborhood scores
+    * [[adamicAdar]] does NOT cover, computed together from ONE wedge
+    * pass per non-adjacent candidate pair (x, y):
+    *
+    *   common_neighbors = |N(x) ∩ N(y)|                  (exact long)
+    *   ra_q   = Σ_{z ∈ N(x)∩N(y)} ⌊10⁹ / deg(z)⌋         (resource
+    *            allocation — integer per-term, order-free sum)
+    *   jaccard_q = ⌊10⁶·cn / (deg(x)+deg(y)−cn)⌋         (ONE division)
+    *   pa_l   = deg(x)·deg(y)                  (preferential attachment)
+    *
+    * Resource allocation's 1/deg (vs Adamic–Adar's 1/ln deg) punishes
+    * hub intermediaries harder — on a near-dup candidate graph it is
+    * the score that keeps template-hub bridges out of the top ranks.
+    *
+    * Plan shape (the adamicAdar scaffold): wedge self-equi-join on the
+    * shared neighbor, anti-join against existing edges, one hash agg
+    * per pair, a degree broadcast for the closed-form columns, then
+    * TakeOrderedAndProject for the top-k — no global sort. Σ deg²
+    * wedge volume is capped by k² per vertex on symmetrized kNN input
+    * (the documented contract, as for adamicAdar).
+    *
+    * @return top `topK` rows (x, y, common_neighbors, ra_q, jaccard_q,
+    *         pa_l) by (ra_q desc, x, y)
+    */
+  def linkPredictionScores(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
+    val adj = sym.select(col("a").as("z"), col("b").as("x"))
+    val wedges = adj
+      .join(adj.select(col("z"), col("x").as("y")), Seq("z"))
+      .filter(col("x") < col("y"))
+    val cand = wedges.join(
+      e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"),
+      "left_anti")
+    val perPair = cand
+      .join(deg, Seq("z"))
+      .withColumn("__raq", expr("1000000000L div __deg"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__raq")).as("ra_q"))
+    perPair
+      .join(deg.select(col("z").as("x"), col("__deg").as("__dx")), Seq("x"))
+      .join(deg.select(col("z").as("y"), col("__deg").as("__dy")), Seq("y"))
+      .select(col("x"), col("y"), col("common_neighbors"), col("ra_q"),
+        expr("(1000000L * common_neighbors) div (__dx + __dy - common_neighbors)")
+          .as("jaccard_q"),
+        (col("__dx") * col("__dy")).as("pa_l"))
+      .orderBy(col("ra_q").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+  }
 }

@@ -627,4 +627,87 @@ object Robust {
             col("n_b").cast("double") * col("n_b").cast("double")))
           .cast("long")).as("e2_q"))
   }
+
+  /** Yuen's trimmed-mean two-sample test — the Welch t that a handful
+    * of boilerplate mega-documents can't drag: each side drops its
+    * g = ⌊n·trimNum/trimDen⌋ smallest and largest order statistics,
+    * compares TRIMMED means, and scales by the WINSORIZED variance
+    * (clamp, don't drop, for the spread — Yuen 1974's pairing).
+    *
+    * Exact pipeline: one per-group sort (row_number by value — equal
+    * values make the position choice irrelevant for every sum below),
+    * trimmed sums Σv over positions (g, n−g], winsorized sums
+    * Σw / Σw² with w = clamp(v, v_{g+1}, v_{n−g}) as exact
+    * longs/decimals. With h = n − 2g, SSW·n = n·Σw² − (Σw)² (the
+    * n-cleared centered sum, decimal-exact),
+    *
+    *   d_j = (n_j·Σw² − (Σw)²) / (n_j · h_j·(h_j−1))     [double]
+    *   t   = (Σt₁/h₁ − Σt₂/h₂) / sqrt(d₁ + d₂)
+    *
+    * — five double ops in a FIXED order after exact integer
+    * arithmetic, mirrored verbatim in the oracle.
+    *
+    * Plan shape: two hash aggregations over one per-group sorted
+    * window pass; the quantile clamp values ride the same window (max
+    * over the prefix at position g+1 / n−g) — no second scan, no
+    * driver collect.
+    *
+    * @return one row (n_a, n_b, h_a, h_b, tsum_a, tsum_b, t_q)
+    */
+  def yuenTrimmed(df: DataFrame, groupCol: String, xCol: String,
+                  gA: String, gB: String,
+                  trimNum: Int = 1, trimDen: Int = 5): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"trim fraction $trimNum/$trimDen must sit in [0, 1/2)")
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df
+      .filter(col(groupCol) === gA || col(groupCol) === gB)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
+      .na.drop()
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val pos = base
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__g"))))
+      .withColumn("__trim", expr(s"(__n * $trimNum) div $trimDen"))
+    // the clamp bounds are order statistics at positions trim+1 and
+    // n−trim — grab each with a conditional max over the full group
+    val bounds = pos.groupBy(col("__g"))
+      .agg(max(when(col("__i") === col("__trim") + 1L, col("__v")))
+          .as("__lo"),
+        max(when(col("__i") === col("__n") - col("__trim"), col("__v")))
+          .as("__hi"))
+    val stats = pos.join(broadcast(bounds), Seq("__g"))
+      .withColumn("__w",
+        least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("__nn"), max(col("__trim")).as("__gg"),
+        sum(when(col("__i") > col("__trim") &&
+          col("__i") <= col("__n") - col("__trim"), col("__v")))
+          .as("__tsum"),
+        sum(dec38(col("__w"))).as("__wsum"),
+        sum(dec38(col("__w")) * dec38(col("__w"))).as("__wsq"))
+      .withColumn("__h", col("__nn") - lit(2L) * col("__gg"))
+      .withColumn("__ssn",
+        dec38(col("__nn")) * col("__wsq") - col("__wsum") * col("__wsum"))
+    val a = stats.filter(col("__g") === gA)
+    val b = stats.filter(col("__g") === gB)
+    a.crossJoin(b.select(col("__nn").as("__nn2"), col("__gg").as("__gg2"),
+        col("__tsum").as("__tsum2"), col("__h").as("__h2"),
+        col("__ssn").as("__ssn2")))
+      .select(col("__nn").as("n_a"), col("__nn2").as("n_b"),
+        col("__h").as("h_a"), col("__h2").as("h_b"),
+        col("__tsum").as("tsum_a"), col("__tsum2").as("tsum_b"),
+        when(col("__h") >= 2 && col("__h2") >= 2,
+          floor(lit(1.0e6) *
+            (col("__tsum").cast("double") / col("__h").cast("double") -
+              col("__tsum2").cast("double") / col("__h2").cast("double")) /
+            sqrt(col("__ssn").cast("double") /
+                (col("__nn").cast("double") * col("__h").cast("double") *
+                  (col("__h") - 1L).cast("double")) +
+              col("__ssn2").cast("double") /
+                (col("__nn2").cast("double") * col("__h2").cast("double") *
+                  (col("__h2") - 1L).cast("double"))))
+            .cast("long")).as("t_q"))
+  }
 }

@@ -1231,4 +1231,51 @@ object Similarity {
       .agg(count(lit(1)).as("n_pairs"), sum(col("__cq")).as("sum_cos_q"))
       .orderBy(col("bucket"))
   }
+
+  /** TwoNN intrinsic-dimension estimate of an embedding column
+    * (Facco et al. 2017) — the embedding-quality audit that catches
+    * collapse a variance profile can't: vectors living on a
+    * d-dimensional manifold inside a 64-d ambient space have
+    * first-to-second-neighbor distance ratios μ = d₂/d₁ distributed
+    * Pareto(d), so d̂ = n / Σ ln μ (the MLE).
+    *
+    * Cosine geometry: d² = 2(1 − cos), so ln μᵢ = ½·ln((1 − c₂)/(1 − c₁))
+    * from the top-2 cosines — each point contributes the DOUBLED term
+    *
+    *   term_q = ⌊10⁶ · ln((1−c₂)/(1−c₁))⌋      (= 2·ln μ, quantized)
+    *
+    * and d̂ = 2·n_valid / (Σterm/10⁶), quantized once:
+    * id_q = ⌊10⁶ · (2·n_valid·10⁶) / s_l⌋. Points with c₁ = 1 (exact
+    * duplicates — d₁ = 0 breaks the ratio; dedup is a different
+    * operator) or fewer than two neighbors are excluded and REPORTED
+    * via n_valid vs n_points.
+    *
+    * Plan shape: one brute top-2 kNN ([[cosineTopK]] — map-side
+    * partial WindowGroupLimit, broadcast query side) + one pivot agg
+    * per query + one fold; at scale the kNN stage swaps for
+    * [[ivfTopKIndexed]] unchanged downstream.
+    *
+    * @return one row (n_points, n_valid, sum_logratio_q, id_q)
+    */
+  def twoNN(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val knn = cosineTopK(emb, emb, idCol, vecCol, k = 2)
+    val piv = knn.groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1, col("cos"))).as("__c1"),
+        max(when(col("rank") === 2, col("cos"))).as("__c2"))
+      .filter(col("__c1").isNotNull && col("__c2").isNotNull &&
+        col("__c1") < 1.0)
+      .select(floor(lit(1.0e6) *
+        log((lit(1.0) - col("__c2")) / (lit(1.0) - col("__c1"))))
+        .cast("long").as("__term"))
+    val nPoints = emb.agg(count(lit(1)).as("n_points"))
+    piv.agg(count(lit(1)).as("n_valid"),
+        sum(col("__term")).as("sum_logratio_q"))
+      .crossJoin(nPoints)
+      .select(col("n_points"), col("n_valid"), col("sum_logratio_q"),
+        when(col("sum_logratio_q") > 0,
+          floor(lit(1.0e6) *
+            (lit(2000000L) * col("n_valid")).cast("double") /
+            col("sum_logratio_q").cast("double")).cast("long"))
+          .as("id_q"))
+  }
 }

@@ -3171,4 +3171,118 @@ object Stats {
             (dec38(col("n_blocks")) * col("a16_l") - col("b16n_l"))
               .cast("double")).cast("long")).as("f_q"))
   }
+
+  /** Pettitt's changepoint test on an ordered series — the rank-based
+    * (distribution-free) "did the level shift, and when?" audit for a
+    * daily count series: a Mann–Whitney comparison of every prefix
+    * against its suffix, maximized over the split point.
+    *
+    * With doubled mid-ranks R2ᵢ = 2·s_v + c_v + 1 (s_v = #smaller,
+    * c_v = #ties — INTEGER even under ties) the prefix statistic is
+    * exactly
+    *
+    *   U_t = Σ_{i≤t} R2ᵢ − t·(n+1)
+    *
+    * (the classical 2·ΣRᵢ − t(n+1) with the doubling absorbed), and
+    * K = max_{1≤t<n} |U_t|, t* = the earliest order key attaining K.
+    * The approximate significance 2·exp(−6K²/(n³+n²)) quantizes to
+    * p_q = ⌊10⁶·p⌋ — ONE exp on exact integers, same op both engines.
+    *
+    * Plan: one value-grid window pass for the doubled mid-ranks (tie
+    * groups, not rows), one join back, one ordered prefix-sum window,
+    * one max fold. No pair enumeration anywhere — O(n log n) at any
+    * scale, vs the textbook O(n²) sign-matrix definition.
+    *
+    * @param orderCol total order of the series (e.g. day bucket)
+    * @param valueCol the measured level (long-castable)
+    * @return one row (n, k_stat, t_star, p_q)
+    */
+  def pettitt(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(orderCol).cast("long").as("__o"),
+      col(valueCol).cast("long").as("__x")).na.drop()
+    val ranked = base
+      .withColumn("__lt", count(lit(1)).over(Window.orderBy(col("__x"))
+        .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__eq", count(lit(1)).over(Window.orderBy(col("__x"))
+        .rangeBetween(0, 0)))
+      .withColumn("__R2", lit(2L) * col("__lt") + col("__eq") + 1L)
+    val n1 = ranked.agg(count(lit(1)).as("__n"))
+    val pre = ranked
+      .withColumn("__t", count(lit(1)).over(Window.orderBy(col("__o"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__S", sum(col("__R2")).over(Window.orderBy(col("__o"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val u = pre.crossJoin(broadcast(n1))
+      .filter(col("__t") < col("__n"))
+      .select(col("__n"), col("__o"),
+        abs(col("__S") - col("__t") * (col("__n") + 1L)).as("__U"))
+    // n is small (a dense time grid) — the single-partition max window
+    // is a deliberate non-issue, same device as the other series tests
+    u.withColumn("__K", max(col("__U")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("__U") === col("__K"))
+      .groupBy(col("__n").as("n"))
+      .agg(max(col("__K")).as("k_stat"), min(col("__o")).as("t_star"))
+      .select(col("n"), col("k_stat"), col("t_star"),
+        when(col("n") >= 2,
+          floor(lit(1.0e6) * lit(2.0) *
+            exp(lit(-6.0) * col("k_stat").cast("double") *
+              col("k_stat").cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double") +
+                col("n").cast("double") * col("n").cast("double"))))
+            .cast("long")).as("p_q"))
+  }
+
+  /** Kuiper's V statistic of a bucket assignment against the discrete
+    * uniform over k buckets — the [[ksUniform]] audit's
+    * rotation-sensitive sibling: V = D⁺ + D⁻ catches a shard
+    * imbalance that pushes mass BOTH ways (one hot and one cold
+    * region), which the one-sided max |gap| of KS can halve away.
+    *
+    * On the k·n integer grid (cum = running count through bucket b):
+    *
+    *   D⁺_l = max(0, max_b (k·cum_b − (b+1)·n))
+    *   D⁻_l = max(0, max_b ((b+1)·n − k·cum_b))
+    *   V_l  = D⁺_l + D⁻_l,   v_q = ⌊10⁶·V_l/(k·n)⌋
+    *
+    * Both numerators compare the ECDF to the uniform CDF at bucket
+    * RIGHT edges — the same convention as ksUniform, documented here
+    * as the contract (the continuous-case left-limit refinement has
+    * no analogue on an integer lattice). Exact integers to the last
+    * division.
+    *
+    * Plan shape: identical to ksUniform — bucket hash-agg, k-row
+    * dense grid, one ordered window, one fold.
+    *
+    * @return one row (n, k, dplus_l, dminus_l, v_q)
+    */
+  def kuiper(df: DataFrame, bucketCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val counts = df.select(col(bucketCol).cast("long").as("__b"))
+      .na.drop()
+      .filter(col("__b") >= 0 && col("__b") < k)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val grid = counts.sparkSession.range(0, k)
+      .select(col("id").as("__b"))
+      .join(counts, Seq("__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__b"))))
+    val tot = grid.agg(max(col("__cum")).as("__n"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        (lit(k.toLong) * col("__cum") - (col("__b") + 1L) * col("__n"))
+          .as("__gap"))
+      .groupBy(col("__n").as("n"))
+      .agg(greatest(max(col("__gap")), lit(0L)).as("dplus_l"),
+        greatest(max(-col("__gap")), lit(0L)).as("dminus_l"))
+      .select(col("n"), lit(k.toLong).as("k"), col("dplus_l"),
+        col("dminus_l"),
+        when(col("n") > 0,
+          floor(lit(1.0e6) *
+            (col("dplus_l") + col("dminus_l")).cast("double") /
+            (lit(k.toDouble) * col("n").cast("double"))).cast("long"))
+          .as("v_q"))
+  }
 }

@@ -1999,4 +1999,87 @@ object TimeAgg {
           floor(lit(1.0e6) * (rvn - lit(2.0)) / sqrt(varr)).cast("long"))
           .as("z_q"))
   }
+
+  /** Seasonal/trend STRENGTH of each group's [[seasonalDecompose]]
+    * output — Hyndman's forecasting-audit pair, the one-number answer
+    * to "is this series worth a seasonal model":
+    *
+    *   F_S = max(0, 1 − Var(R) / Var(S + R))     (S + R = detr_q)
+    *   F_T = max(0, 1 − Var(R) / Var(T + R))     (T + R = 10⁶·x − S)
+    *
+    * Variance ratios cancel n, so each Var is carried as the exact
+    * n-cleared decimal numerator n·Σv² − (Σv)² over the SAME rows —
+    * one double division + clamp per group, quantized ⌊10⁶·F⌋.
+    *
+    * Plan shape: one hash agg over the decomposition frame (itself
+    * two window passes), per-group output — nothing new shuffles.
+    *
+    * @return one row per group (groupCol, n, fs_q, ft_q)
+    */
+  def decompositionStrength(events: DataFrame, groupCol: String,
+                            epochMicrosCol: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val d = seasonalDecompose(events, groupCol, epochMicrosCol)
+      .withColumn("__tr", lit(1000000L) * col("x") - col("seasonal_q"))
+    def varNum(v: Column, n: Column, s: Column, sq: Column) =
+      dec38(n) * sq - s * s
+    val agg = d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec38(col("resid_q"))).as("__sr"),
+        sum(dec38(col("resid_q")) * dec38(col("resid_q"))).as("__sr2"),
+        sum(dec38(col("detr_q"))).as("__sd"),
+        sum(dec38(col("detr_q")) * dec38(col("detr_q"))).as("__sd2"),
+        sum(dec38(col("__tr"))).as("__st"),
+        sum(dec38(col("__tr")) * dec38(col("__tr"))).as("__st2"))
+      .withColumn("__vr", varNum(col("resid_q"), col("n"), col("__sr"), col("__sr2")))
+      .withColumn("__vd", varNum(col("detr_q"), col("n"), col("__sd"), col("__sd2")))
+      .withColumn("__vt", varNum(col("__tr"), col("n"), col("__st"), col("__st2")))
+    agg.select(col(groupCol), col("n"),
+        when(col("__vd") > 0,
+          floor(lit(1.0e6) * greatest(lit(0.0),
+            lit(1.0) - col("__vr").cast("double") /
+              col("__vd").cast("double"))).cast("long")).as("fs_q"),
+        when(col("__vt") > 0,
+          floor(lit(1.0e6) * greatest(lit(0.0),
+            lit(1.0) - col("__vr").cast("double") /
+              col("__vt").cast("double"))).cast("long")).as("ft_q"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Entropy RATE of the per-entity event-type Markov chain — bits of
+    * genuine novelty per step once the chain's structure is priced in:
+    * H = −Σᵢ πᵢ Σⱼ p_ij·ln p_ij, with π from [[markovStationary]]'s
+    * integer power rounds and p_ij from [[markovTransitions]]' exact
+    * counts. The session-behavior audit [[tokenEntropy]]-style
+    * marginal entropy overstates: a chain that alternates a↔b has
+    * high marginal entropy but ZERO entropy rate.
+    *
+    * Per-cell quantization (the established ln device): each (i, j)
+    * contributes ⌊10⁹·(π_q/10¹²)·(n/r)·ln(r/n)⌋ — exact integers into
+    * three double ops in fixed order, order-free long sum. Cells with
+    * n = r (deterministic rows) contribute ln(1) = 0 exactly.
+    *
+    * @return one row (n_states, n_cells, h_q = Σ per-cell terms)
+    */
+  def markovEntropyRate(events: DataFrame, entityCol: String,
+                        epochMicrosCol: String, typeCol: String,
+                        tieCol: String, rounds: Int): DataFrame = {
+    val pi = markovStationary(events, entityCol, epochMicrosCol, typeCol,
+      tieCol, rounds)
+    val tr = markovTransitions(events, entityCol, epochMicrosCol, typeCol,
+      tieCol)
+    val cells = tr.join(
+      pi.select(col("state").as("from_type"), col("mass_q")),
+      Seq("from_type"))
+      .withColumn("__term",
+        floor(lit(1.0e9) *
+          ((col("mass_q").cast("double") / lit(1.0e12)) *
+            (col("n").cast("double") / col("row_n").cast("double"))) *
+          log(col("row_n").cast("double") / col("n").cast("double")))
+          .cast("long"))
+    val nStates = pi.agg(count(lit(1)).as("n_states"))
+    cells.agg(count(lit(1)).as("n_cells"), sum(col("__term")).as("h_q"))
+      .crossJoin(nStates)
+      .select(col("n_states"), col("n_cells"), col("h_q"))
+  }
 }

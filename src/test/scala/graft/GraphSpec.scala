@@ -393,4 +393,33 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(p4.values.forall(v => math.abs(v - Q / 3) <= 1))
   }
+
+  test("linkPredictionScores: path wedge hand-checked; adjacent pairs " +
+      "excluded; RA halves through a degree-2 hub") {
+    import spark.implicits._
+    // path 1-2-3: only candidate (1,3) through hub 2 (deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.linkPredictionScores(path, topK = 10).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) === ((1L, 3L)))
+    assert(row.getLong(2) === 1L)            // common neighbors
+    assert(row.getLong(3) === 500000000L)    // 1e9 / deg(2)
+    assert(row.getLong(4) === 1000000L)      // 1/(1+1-1)
+    assert(row.getLong(5) === 1L)            // pa = deg(1)*deg(3)
+    // triangle 1-2-3 plus pendant 4 on 3: candidates (1,4), (2,4)
+    // via hub 3 (deg 3) — the closed triangle pairs never appear
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rt = Graph.linkPredictionScores(tri, topK = 10).collect()
+    assert(rt.map(r0 => (r0.getLong(0), r0.getLong(1))).toSet ===
+      Set((1L, 4L), (2L, 4L)))
+    rt.foreach { r0 =>
+      assert(r0.getLong(3) === 1000000000L / 3L)
+      assert(r0.getLong(4) === 1000000L / 2L) // 1/(2+1-1)
+      assert(r0.getLong(5) === 2L)
+    }
+    // topK cuts on (ra_q desc, x, y): hub path keeps the lowest x
+    val cut = Graph.linkPredictionScores(tri, topK = 1).collect()
+    assert((cut.head.getLong(0), cut.head.getLong(1)) === ((1L, 4L)))
+  }
 }

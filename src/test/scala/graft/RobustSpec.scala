@@ -366,4 +366,29 @@ class RobustSpec extends SparkSpec {
     assert(Robust.energyDistance(same, "g", "x", "a", "b")
       .collect().head.getLong(5) === 0L)
   }
+
+  test("yuenTrimmed: hand-checked 20% trim on 1..10 vs 2..11; outlier " +
+      "immunity the plain mean lacks") {
+    import spark.implicits._
+    val a = (1L to 10L).map(("a", _)); val b = (2L to 11L).map(("b", _))
+    val r = Robust.yuenTrimmed((a ++ b).toDF("g", "v"), "g", "v",
+      "a", "b").collect().head
+    // g=2, h=6, trimmed sums 33/39; SSW·n = 10·345 − 55² = 425 each
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 10L, 6L, 6L)))
+    assert((r.getLong(4), r.getLong(5)) === ((33L, 39L)))
+    val d = 425.0 / (10.0 * 6.0 * 5.0)
+    assert(r.getLong(6) === math.floor(1.0e6 *
+      (33.0 / 6.0 - 39.0 / 6.0) / math.sqrt(d + d)).toLong)
+    // a 1e6 outlier replacing 11 lands in the trimmed/clamped tail:
+    // every reported number is IDENTICAL — the robustness contract
+    val bo = b.dropRight(1) :+ (("b", 1000000L))
+    val ro = Robust.yuenTrimmed((a ++ bo).toDF("g", "v"), "g", "v",
+      "a", "b").collect().head
+    assert(ro.getLong(5) === 39L && ro.getLong(6) === r.getLong(6))
+    // degenerate: h < 2 yields no statistic
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    assert(Robust.yuenTrimmed(tiny, "g", "v", "a", "b")
+      .collect().head.isNullAt(6))
+  }
 }

@@ -608,4 +608,27 @@ class SimilarityAndSkewSpec extends SparkSpec {
     assert(out.head.getLong(0) === -10L)
     assert(out.head.getLong(2) === -1000000L)
   }
+
+  test("twoNN: exact duplicates are excluded (d1 = 0 has no ratio); " +
+      "tied top-2 contributes zero; hand-checked MLE") {
+    import spark.implicits._
+    // v1 == v2 exactly: both excluded (c1 = 1); v3 sees two cos-0
+    // neighbors -> ln(1/1) = 0, so the sum is 0 and the MLE undefined
+    val dup = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)),
+      (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val rd = Similarity.twoNN(dup, "vec_id", "embedding").collect().head
+    assert((rd.getLong(0), rd.getLong(1), rd.getLong(2)) === ((3L, 1L, 0L)))
+    assert(rd.isNullAt(3))
+    // fan at 0, 45, 90 degrees: c = cos45 = 1/sqrt(2); v2's top-2 tie
+    // (term 0), v1 and v3 each contribute ln((1-0)/(1-c))
+    val fan = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 1f)),
+      (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val rf = Similarity.twoNN(fan, "vec_id", "embedding").collect().head
+    val c = 1.0 / (1.0 * math.sqrt(2.0))
+    val term = math.floor(1.0e6 * math.log((1.0 - 0.0) / (1.0 - c))).toLong
+    assert((rf.getLong(0), rf.getLong(1)) === ((3L, 3L)))
+    assert(rf.getLong(2) === 2L * term)
+    assert(rf.getLong(3) === math.floor(1.0e6 *
+      (2000000L * 3L).toDouble / (2L * term).toDouble).toLong)
+  }
 }

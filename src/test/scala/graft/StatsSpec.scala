@@ -1403,4 +1403,38 @@ class StatsSpec extends SparkSpec {
     assert((rc.getLong(0), rc.getLong(2)) === ((5L, 15L)))
     assert(rc.getLong(3) === 750000L)
   }
+
+  test("pettitt: clean level shift lands K and t_star at the break; " +
+      "constant series scores zero with p = 2") {
+    // [0,0,0,10,10,10]: R2(0)=4, R2(10)=10; U = 3,6,9,6,3 -> K=9 at t=3
+    val d = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L), (5L, 10L),
+      (6L, 10L)).toDF("o", "x")
+    val r = Stats.pettitt(d, "o", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 9L, 3L)))
+    assert(r.getLong(3) === math.floor(1.0e6 * 2.0 *
+      math.exp(-6.0 * 81.0 / (216.0 + 36.0))).toLong)
+    // constant: every U_t = 0, earliest t wins, p quantizes to 2.0
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("o", "x")
+    val rf = Stats.pettitt(flat, "o", "x").collect().head
+    assert((rf.getLong(1), rf.getLong(2), rf.getLong(3)) ===
+      ((0L, 1L, 2000000L)))
+  }
+
+  test("kuiper: uniform scores 0; one-sided pile-up matches the KS " +
+      "numerator; two-sided imbalance sums both gaps") {
+    val u = Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L).toDF("bucket")
+    val ru = Stats.kuiper(u, "bucket", k = 4).collect().head
+    assert((ru.getLong(2), ru.getLong(3), ru.getLong(4)) === ((0L, 0L, 0L)))
+    // all mass in bucket 0: D+ = 15 (the ksUniform numerator), D- = 0
+    val c = Seq(0L, 0L, 0L, 0L, 0L).toDF("bucket")
+    val rc = Stats.kuiper(c, "bucket", k = 4).collect().head
+    assert((rc.getLong(2), rc.getLong(3), rc.getLong(4)) ===
+      ((15L, 0L, 750000L)))
+    // [0,3,3]: hot bucket 0 early (D+ = 1) AND hole before 3 (D- = 5):
+    // V numerator 6 of 12 — KS alone would report only 5
+    val two = Seq(0L, 3L, 3L).toDF("bucket")
+    val rt = Stats.kuiper(two, "bucket", k = 4).collect().head
+    assert((rt.getLong(2), rt.getLong(3), rt.getLong(4)) ===
+      ((1L, 5L, 500000L)))
+  }
 }

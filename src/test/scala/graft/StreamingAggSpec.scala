@@ -442,4 +442,59 @@ class StreamingAggSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(3) === (1000000L * 12) / 7))
     assert(out(1).getLong(2) === 0L) // the densified zero day
   }
+
+  test("decompositionStrength: pure weekly pattern maxes F_S with F_T " +
+      "undefined; pure linear trend maxes F_T with F_S undefined") {
+    val day0 = 20000L
+    val pattern = Array(3L, -1L, -2L, 0L, 1L, 2L, -3L)
+    val seasonal = (for {
+      d <- 0 until 21; day = day0 + d
+      x = 5L + pattern(((day + 3) % 7).toInt); _ <- 1L to x
+    } yield Tuple1(day * 86400000000L))
+      .toDF("ts_us").withColumn("g", lit("s"))
+    val rs = TimeAgg.decompositionStrength(seasonal, "g", "ts_us")
+      .collect().head
+    // residual variance 0, seasonal carries everything; trend+resid
+    // is the constant 5e6 -> F_T has no denominator
+    assert(rs.getLong(1) === 15L && rs.getLong(2) === 1000000L)
+    assert(rs.isNullAt(3))
+    // linear ramp: MA-7 reproduces the center exactly, detrended = 0
+    val ramp = (for {
+      d <- 0 until 13; _ <- 0 until (d + 1)
+    } yield Tuple1((day0 + d) * 86400000000L))
+      .toDF("ts_us").withColumn("g", lit("t"))
+    val rt = TimeAgg.decompositionStrength(ramp, "g", "ts_us")
+      .collect().head
+    assert(rt.isNullAt(2) && rt.getLong(3) === 1000000L)
+  }
+
+  test("markovEntropyRate: deterministic flip-flop has zero rate; " +
+      "branching chain matches the per-cell quantized fold") {
+    val flip = (0 until 8).map(i =>
+      ("u1", i.toLong, 1000L + i, if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val rf = TimeAgg.markovEntropyRate(flip, "user_id", "ts_us",
+      "event_type", "event_id", rounds = 5).collect().head
+    assert((rf.getLong(0), rf.getLong(1), rf.getLong(2)) === ((2L, 2L, 0L)))
+    // [a,b,a,c]: from-a branches 50/50 — expected recomputed from the
+    // exact component outputs with the operator's own op order
+    val br = Seq(("u1", 0L, 1000L, "a"), ("u1", 1L, 1001L, "b"),
+      ("u1", 2L, 1002L, "a"), ("u1", 3L, 1003L, "c"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val pi = TimeAgg.markovStationary(br, "user_id", "ts_us",
+      "event_type", "event_id", rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val tr = TimeAgg.markovTransitions(br, "user_id", "ts_us",
+      "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val expected = tr.map { case (f, n, rn) =>
+      math.floor(1.0e9 * ((pi(f).toDouble / 1.0e12) *
+        (n.toDouble / rn.toDouble)) *
+        math.log(rn.toDouble / n.toDouble)).toLong
+    }.sum
+    val rb = TimeAgg.markovEntropyRate(br, "user_id", "ts_us",
+      "event_type", "event_id", rounds = 5).collect().head
+    assert((rb.getLong(0), rb.getLong(1)) === ((3L, 3L)))
+    assert(rb.getLong(2) === expected && rb.getLong(2) > 0L)
+  }
 }
