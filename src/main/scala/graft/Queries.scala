@@ -15913,6 +15913,311 @@ object Queries {
         END AS id_q
       FROM agg"""))
 
+  /** (q379) Hellinger distance between src0 and src1's lang
+    * distributions (Stats.hellingerDrift scaladoc): bounded corpus
+    * drift, per-cell ⌊10⁹·√(p·q)⌋ terms, empty cells contribute 0.
+    */
+  val q379Hellinger = Q(
+    "q379_a_hellinger_drift",
+    (s, dir) =>
+      operators.Stats.hellingerDrift(t(s, dir, "documents"), "source",
+        "lang", "src0", "src1"),
+    Some("""
+      WITH cells AS (SELECT lang,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+             FROM documents
+             WHERE source IN ('src0', 'src1') AND lang IS NOT NULL
+             GROUP BY lang),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+      terms AS (SELECT na, nb,
+               CAST(floor(1000000000.0 * sqrt(
+                 CAST(ca * cb AS DOUBLE) / CAST(na * nb AS DOUBLE)))
+                 AS BIGINT) AS t
+             FROM cells CROSS JOIN tot)
+      SELECT na AS n_a, nb AS n_b, CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(sum(t) AS BIGINT) AS bc_q,
+        CASE WHEN na > 0 AND nb > 0 THEN
+          CAST(floor(1000000.0 * sqrt(1.0
+            - CAST(sum(t) AS DOUBLE) / 1000000000.0)) AS BIGINT)
+        END AS hellinger_q
+      FROM terms GROUP BY na, nb"""))
+
+  /** (q380) Blomqvist's β of (n_chars, whitespace token count)
+    * (Stats.blomqvistBeta scaladoc): quadrant concordance around the
+    * two lower medians; on-median points excluded and counted.
+    */
+  val q380Blomqvist = Q(
+    "q380_a_blomqvist_beta",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val blank = length(trim(col("text"))) === 0
+      operators.Stats.blomqvistBeta(
+        d.select(col("n_chars"),
+          when(blank, lit(0L))
+            .otherwise(TextFns.tokenCount(col("text")).cast("long"))
+            .as("n_tok")),
+        "n_chars", "n_tok")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(regexp_split_to_array(lower(trim(text)),
+                   '\s+')) AS BIGINT) END AS y
+             FROM documents
+             WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      mx AS (SELECT min(v) AS medx FROM (
+               SELECT v, sum(c) OVER (ORDER BY v) AS cum, n FROM (
+                 SELECT x AS v, count(*) AS c FROM b GROUP BY x)
+               CROSS JOIN (SELECT count(*) AS n FROM b))
+             WHERE cum * 2 >= n),
+      my AS (SELECT min(v) AS medy FROM (
+               SELECT v, sum(c) OVER (ORDER BY v) AS cum, n FROM (
+                 SELECT y AS v, count(*) AS c FROM b GROUP BY y)
+               CROSS JOIN (SELECT count(*) AS n FROM b))
+             WHERE cum * 2 >= n),
+      q AS (SELECT CASE WHEN x = medx OR y = medy THEN 'on'
+                  WHEN (x > medx) = (y > medy) THEN 'conc'
+                  ELSE 'disc' END AS qd
+            FROM b CROSS JOIN mx CROSS JOIN my)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN qd = 'conc' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_conc,
+        CAST(sum(CASE WHEN qd = 'disc' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_disc,
+        CAST(sum(CASE WHEN qd = 'on' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_on,
+        CASE WHEN sum(CASE WHEN qd IN ('conc', 'disc') THEN 1 ELSE 0 END) > 0
+          THEN CAST(floor(1000000.0
+            * CAST(sum(CASE WHEN qd = 'conc' THEN 1 ELSE 0 END)
+              - sum(CASE WHEN qd = 'disc' THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CASE WHEN qd = 'conc' THEN 1 ELSE 0 END)
+              + sum(CASE WHEN qd = 'disc' THEN 1 ELSE 0 END) AS DOUBLE))
+            AS BIGINT)
+        END AS beta_q
+      FROM q"""))
+
+  /** (q381) Lin's concordance of the whitespace token count vs the
+    * subword count (Stats.linCcc scaladoc): is the cheap tokenizer
+    * interchangeable with the subword-ish one — n²-cleared integer
+    * rational, one division (r alone would bless the scale offset).
+    */
+  val q381LinCcc = Q(
+    "q381_ml_lin_ccc",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val blank = length(trim(col("text"))) === 0
+      operators.Stats.linCcc(
+        d.select(
+          when(blank, lit(0L))
+            .otherwise(TextFns.tokenCount(col("text")).cast("long"))
+            .as("n_tok"),
+          TextFns.subwordCount(col("text")).cast("long").as("n_sub")),
+        "n_tok", "n_sub")
+    },
+    Some("""
+      WITH b AS (SELECT
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(regexp_split_to_array(lower(trim(text)),
+                   '\s+')) AS BIGINT) END AS x,
+               CAST(len(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 t -> len(t) > 0)) AS BIGINT) AS y
+             FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy
+            FROM b)
+      SELECT n, 2 * (n * sxy - sx * sy) AS a2_l,
+        (n * sxx - sx * sx) + (n * syy - sy * sy)
+          + (sx - sy) * (sx - sy) AS den_l,
+        CASE WHEN (n * sxx - sx * sx) + (n * syy - sy * sy)
+            + (sx - sy) * (sx - sy) > 0 THEN
+          CAST(floor(1000000.0
+            * CAST(2 * (n * sxy - sx * sy) AS DOUBLE)
+            / CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+              + (sx - sy) * (sx - sy) AS DOUBLE)) AS BIGINT)
+        END AS ccc_q
+      FROM s"""))
+
+  /** (q382) Average-neighbor-degree curve of the mutual 5-NN graph
+    * (Graph.avgNeighborDegree scaladoc): the per-degree mixing
+    * profile behind q312's assortativity scalar.
+    */
+  val q382AvgNbrDeg = Q(
+    "q382_g_avg_neighbor_degree",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.avgNeighborDegree(operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id"))))
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS dg
+              FROM sym GROUP BY 1),
+      st AS (SELECT sym.a, sym.b, da.dg AS dga, db.dg AS dgb
+             FROM sym JOIN deg da ON da.v = sym.a
+             JOIN deg db ON db.v = sym.b)
+      SELECT dga AS k, CAST(count(DISTINCT a) AS BIGINT) AS n_nodes,
+        CAST(sum(dgb) AS BIGINT) AS sum_nbr_deg,
+        CAST(floor(1000000.0 * CAST(sum(dgb) AS DOUBLE)
+          / CAST(dga * count(DISTINCT a) AS DOUBLE)) AS BIGINT)
+          AS knn_q
+      FROM st GROUP BY dga ORDER BY k"""))
+
+  /** (q383) Seasonal-residual outlier days: Tukey fences over the
+    * q247 decomposition residuals per event type — "which days were
+    * anomalous AFTER weekday seasonality is priced out", the
+    * composition the raw-count fences (q330) get wrong every Monday.
+    */
+  val q383SeasonalOutliers = Q(
+    "q383_a_seasonal_residual_outliers",
+    (s, dir) => {
+      val decomp = operators.TimeAgg.seasonalDecompose(
+        ev(s, dir).filter(col("event_type").isNotNull),
+        "event_type", "ts_us")
+      operators.Robust.tukeyFences(decomp, "event_type", "resid_q")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH c AS (SELECT event_type, $EvUs // 86400000000 AS d,
+               CAST(count(*) AS BIGINT) AS x
+             FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      sp AS (SELECT event_type, min(d) AS lo, max(d) AS hi
+             FROM c GROUP BY 1),
+      grid AS (SELECT sp.event_type, u.day
+               FROM sp, LATERAL unnest(range(lo, hi + 1)) u(day)),
+      dn AS (SELECT g.event_type, g.day, coalesce(c.x, 0) AS x
+             FROM grid g LEFT JOIN c
+               ON c.event_type = g.event_type AND c.d = g.day),
+      ma AS (SELECT event_type, day, x,
+               count(*) OVER w AS wn,
+               CAST(sum(x) OVER w AS BIGINT) AS s7
+             FROM dn WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      f AS (SELECT event_type, day, x,
+              1000000 * x - (1000000 * s7) // 7 AS detr_q,
+              (day + 3) % 7 AS dow
+            FROM ma WHERE wn = 7),
+      se AS (SELECT event_type, dow,
+               CAST(floor(CAST(sum(detr_q) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_q
+             FROM f GROUP BY 1, 2),
+      r AS (SELECT f.event_type, f.detr_q - se.seasonal_q AS v
+            FROM f JOIN se USING (event_type, dow)),
+      gv AS (SELECT event_type AS g, v, CAST(count(*) AS BIGINT) AS c
+             FROM r GROUP BY 1, 2),
+      cum AS (SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                 AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM gv),
+      q1 AS (SELECT g, min(v) AS q1, min(n) AS n FROM cum
+             WHERE cum * 4 >= n GROUP BY g),
+      q2 AS (SELECT g, min(v) AS median FROM cum
+             WHERE cum * 2 >= n GROUP BY g),
+      q3 AS (SELECT g, min(v) AS q3 FROM cum
+             WHERE cum * 4 >= n * 3 GROUP BY g),
+      qs AS (SELECT q1.g, q1.n, q1.q1, q2.median, q3.q3
+             FROM q1 JOIN q2 ON q2.g = q1.g JOIN q3 ON q3.g = q1.g)
+      SELECT gv.g AS event_type, qs.n, qs.q1, qs.median, qs.q3,
+        CAST(sum(CASE WHEN 2 * v < 2 * qs.q1 - 3 * (qs.q3 - qs.q1)
+          THEN c ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(sum(CASE WHEN 2 * v > 2 * qs.q3 + 3 * (qs.q3 - qs.q1)
+          THEN c ELSE 0 END) AS BIGINT) AS n_high
+      FROM gv JOIN qs ON qs.g = gv.g
+      GROUP BY 1, 2, 3, 4, 5 ORDER BY event_type"""))
+
+  /** (q384) Moran's I + Geary's C of the stored label over the mutual
+    * 5-NN graph (Graph.spatialAutocorrelation scaladoc): the
+    * label-homophily audit — integer mean-clearing, two exact folds,
+    * one division each.
+    */
+  val q384SpatialAutocorr = Q(
+    "q384_g_spatial_autocorr",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.spatialAutocorrelation(
+        operators.Graph.mutualEdges(
+          knn.select(col("query_id"), col("neighbor_id"))),
+        emb.select(col("vec_id"), col("label")))
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      v AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS x
+            FROM embeddings WHERE label IS NOT NULL),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS S FROM v),
+      z AS (SELECT id, x, n, CAST(n AS HUGEINT) * x - S AS z
+            FROM v CROSS JOIN tt),
+      folds AS (SELECT CAST(count(*) AS BIGINT) AS w_l,
+               sum(za.z * zb.z) AS num_i_l,
+               sum(CAST(za.n AS HUGEINT) * za.n
+                 * (za.x - zb.x) * (za.x - zb.x)) AS num_c_l
+             FROM sym JOIN z za ON za.id = sym.a
+             JOIN z zb ON zb.id = sym.b),
+      dd AS (SELECT max(n) AS n, sum(z * z) AS den_l FROM z)
+      SELECT n, w_l, num_i_l, num_c_l, den_l,
+        CASE WHEN den_l > 0 AND w_l > 0 THEN
+          CAST(floor(1000000.0 * CAST(n * num_i_l AS DOUBLE)
+            / CAST(w_l * den_l AS DOUBLE)) AS BIGINT)
+        END AS moran_q,
+        CASE WHEN den_l > 0 AND w_l > 0 THEN
+          CAST(floor(1000000.0 * CAST((n - 1) * num_c_l AS DOUBLE)
+            / CAST(2 * w_l * den_l AS DOUBLE)) AS BIGINT)
+        END AS geary_q
+      FROM dd CROSS JOIN folds"""))
+
+  /** (q385) Quantile–quantile drift profile of n_chars, src2 vs src3
+    * (Robust.qqDrift scaladoc): all 19 vigintile gaps — the
+    * where-did-it-shift companion to q363/q364's single numbers.
+    */
+  val q385QqDrift = Q(
+    "q385_a_qq_drift",
+    (s, dir) =>
+      operators.Robust.qqDrift(t(s, dir, "documents"), "source",
+        "n_chars", "src2", "src3"),
+    Some("""
+      WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+             FROM documents
+             WHERE source IN ('src2', 'src3') AND n_chars IS NOT NULL),
+      cum AS (SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                 AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                   FROM b GROUP BY 1, 2)),
+      ps AS (SELECT CAST(p.p AS BIGINT) AS p
+             FROM (SELECT unnest(range(1, 20)) AS p) p),
+      quant AS (SELECT g, p, min(v) AS q
+                FROM cum CROSS JOIN ps
+                WHERE cum * 20 >= p * n GROUP BY 1, 2)
+      SELECT a.p, a.q AS q_a, b2.q AS q_b, a.q - b2.q AS gap
+      FROM (SELECT p, q FROM quant WHERE g = 'src2') a
+      JOIN (SELECT p, q FROM quant WHERE g = 'src3') b2 USING (p)
+      ORDER BY p"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -16019,5 +16324,7 @@ object Queries {
     q365SeasonalMK, q366Grubbs, q367Quade, q368Eigenvector,
     q369SignedRank, q370Bowker, q371KsUniform,
     q372Pettitt, q373Kuiper, q374LinkPrediction, q375Yuen,
-    q376DecompStrength, q377MarkovEntropy, q378TwoNN)
+    q376DecompStrength, q377MarkovEntropy, q378TwoNN,
+    q379Hellinger, q380Blomqvist, q381LinCcc, q382AvgNbrDeg,
+    q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift)
 }

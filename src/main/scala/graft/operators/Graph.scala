@@ -850,4 +850,104 @@ object Graph {
       .orderBy(col("ra_q").desc, col("x").asc, col("y").asc)
       .limit(topK)
   }
+
+  /** Average-neighbor-degree curve knn(k) over an undirected edge
+    * frame — the per-degree PROFILE behind [[degreeAssortativity]]'s
+    * single number: for each observed degree k, the mean degree of
+    * the neighbors of degree-k vertices. A falling curve
+    * (disassortative hubs wired to leaves) vs a rising one
+    * (assortative core) diagnoses WHERE the mixing lives, which the
+    * scalar r cannot.
+    *
+    *   knn(k) = (Σ_{v: deg v = k} Σ_{u∈N(v)} deg u) / (k·|{v: deg v = k}|)
+    *
+    * Numerator and denominator are exact longs (one edge equi-join to
+    * stamp neighbor degrees, two hash aggs); ONE division per degree
+    * class, ⌊10⁶·⌋.
+    *
+    * @return (k, n_nodes, sum_nbr_deg, knn_q) ordered by k
+    */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("__d"))
+    val stamped = sym
+      .join(deg.select(col("v").as("a"), col("__d").as("__da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("__d").as("__db")), Seq("b"))
+    stamped.groupBy(col("__da").as("k"))
+      .agg((countDistinct(col("a"))).as("n_nodes"),
+        sum(col("__db")).as("sum_nbr_deg"))
+      .select(col("k"), col("n_nodes"), col("sum_nbr_deg"),
+        floor(lit(1.0e6) * col("sum_nbr_deg").cast("double") /
+          (col("k") * col("n_nodes")).cast("double")).cast("long")
+          .as("knn_q"))
+      .orderBy(col("k"))
+  }
+
+  /** Moran's I and Geary's C of a vertex attribute over an undirected
+    * edge frame — "do similar documents carry similar labels": the
+    * graph-autocorrelation pair behind every homophily / label-noise
+    * audit on a kNN similarity graph. I is the edge-covariance lens
+    * (global clustering of high/low values), C the edge-difference
+    * lens (local heterogeneity); a corpus can pass one and fail the
+    * other, which is why both ship from ONE edge pass.
+    *
+    * Mean-clearing stays integer by scaling: zᵢ = n·xᵢ − S (S = Σx),
+    * so with W = 2·|E| (binary weights, both directions),
+    *
+    *   I = (n/W) · (Σ_dir z_i·z_j) / (Σ z²)
+    *   C = ((n−1)/(2W)) · (Σ_dir n²·(x_i−x_j)²) / (Σ z²)
+    *
+    * Every sum is an exact decimal(38,0) (z ~ n·x keeps n³x² well
+    * under 10³⁸ at any plausible corpus); each statistic is ONE
+    * double division of two exact products, ⌊10⁶·⌋. Vertices missing
+    * an attribute drop; edges keep only present endpoints (reported
+    * via n vs the edge count).
+    *
+    * Plan shape: two broadcast-joined edge stamps (value on each
+    * endpoint), two hash folds — no shuffle beyond the value join.
+    *
+    * @param values (id, value) attribute frame
+    * @return one row (n, w_l, num_i_l, num_c_l, den_l, moran_q,
+    *         geary_q)
+    */
+  def spatialAutocorrelation(edges: DataFrame,
+                             values: DataFrame): DataFrame = {
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = values.select(col(values.columns.head).as("__id"),
+      col(values.columns(1)).cast("long").as("__x")).na.drop()
+      .localCheckpoint(eager = false)
+    val tot = v.agg(count(lit(1)).as("__n"), sum(dec38(col("__x"))).as("__S"))
+    val z = v.crossJoin(broadcast(tot))
+      .select(col("__id"), col("__x"), col("__n"),
+        (dec38(col("__n")) * col("__x") - col("__S")).as("__z"))
+      .localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val stamped = sym
+      .join(z.select(col("__id").as("a"), col("__x").as("__xa"),
+        col("__z").as("__za"), col("__n")), Seq("a"))
+      .join(z.select(col("__id").as("b"), col("__x").as("__xb"),
+        col("__z").as("__zb")), Seq("b"))
+    val folds = stamped.agg(count(lit(1)).as("w_l"),
+      sum(col("__za") * col("__zb")).as("num_i_l"),
+      sum(dec38(col("__n")) * col("__n") *
+        (col("__xa") - col("__xb")) * (col("__xa") - col("__xb")))
+        .as("num_c_l"))
+    val den = z.agg(max(col("__n")).as("n"),
+      sum(col("__z") * col("__z")).as("den_l"))
+    den.crossJoin(folds)
+      .select(col("n"), col("w_l"), col("num_i_l"), col("num_c_l"),
+        col("den_l"),
+        when(col("den_l") > 0 && col("w_l") > 0,
+          floor(lit(1.0e6) *
+            (dec38(col("n")) * col("num_i_l")).cast("double") /
+            (dec38(col("w_l")) * col("den_l")).cast("double"))
+            .cast("long")).as("moran_q"),
+        when(col("den_l") > 0 && col("w_l") > 0,
+          floor(lit(1.0e6) *
+            ((dec38(col("n")) - 1) * col("num_c_l")).cast("double") /
+            (lit(2L).cast("decimal(38,0)") * col("w_l") * col("den_l"))
+              .cast("double")).cast("long")).as("geary_q"))
+  }
 }

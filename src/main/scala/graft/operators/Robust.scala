@@ -710,4 +710,44 @@ object Robust {
                   (col("__h2") - 1L).cast("double"))))
             .cast("long")).as("t_q"))
   }
+
+  /** Quantile–quantile drift profile between two groups — WHERE in
+    * the distribution did the shift happen: at each vigintile
+    * p/20 (p = 1..19), both groups' integer-rank lower quantiles
+    * (first value with 20·cum ≥ p·n — the [[tukeyFences]] rank
+    * convention) and their signed gap. [[ksDrift]] answers "how far
+    * apart at the worst point"; this answers "is it the tails or the
+    * body", which decides whether a dedup cap or a length filter is
+    * the fix.
+    *
+    * Exact end to end: value-grid cumulative counts per group, one
+    * 19-row broadcast grid join, min-fold per (group, p) — zero fp
+    * anywhere.
+    *
+    * @return 19 rows (p, q_a, q_b, gap = q_a − q_b) ordered by p
+    */
+  def qqDrift(df: DataFrame, groupCol: String, xCol: String,
+              gA: String, gB: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol) === gA || col(groupCol) === gB)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
+      .na.drop()
+    val cum = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy(col("__g"))))
+    val ps = base.sparkSession.range(1, 20).select(col("id").as("p"))
+    val quant = cum.crossJoin(broadcast(ps))
+      .filter(col("__cum") * 20 >= col("p") * col("__n"))
+      .groupBy(col("__g"), col("p")).agg(min(col("__v")).as("__q"))
+    quant.filter(col("__g") === gA)
+      .select(col("p"), col("__q").as("q_a"))
+      .join(quant.filter(col("__g") === gB)
+        .select(col("p"), col("__q").as("q_b")), Seq("p"))
+      .select(col("p"), col("q_a"), col("q_b"),
+        (col("q_a") - col("q_b")).as("gap"))
+      .orderBy(col("p"))
+  }
 }

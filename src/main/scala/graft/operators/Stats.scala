@@ -3285,4 +3285,141 @@ object Stats {
             (lit(k.toDouble) * col("n").cast("double"))).cast("long"))
           .as("v_q"))
   }
+
+  /** Hellinger distance between two groups' categorical distributions
+    * — the BOUNDED drift metric ([[psi]] explodes on empty cells,
+    * [[jsDivergence]] needs two logs per cell; Hellinger is √ of a
+    * bounded quadratic form, the standard "how far apart are these
+    * two corpora" number in [0, 1]):
+    *
+    *   BC = Σ_i √(p_i·q_i),   H = √(1 − BC)
+    *
+    * Per-cell quantization: ⌊10⁹·√((c_a·c_b)/(n_a·n_b))⌋ — exact
+    * integer products into ONE division and ONE sqrt per cell (cells
+    * missing on either side contribute exactly 0, no smoothing —
+    * that's BC's virtue over KL). Since each floored term
+    * underestimates, Σ ≤ 10⁹ and 1 − bc_q/10⁹ ≥ 0 always — the final
+    * ⌊10⁶·√(1 − bc_q/10⁹)⌋ is total.
+    *
+    * Plan: one cell hash-agg per group from one scan (conditional
+    * counts), broadcast one-row totals, per-cell fold.
+    *
+    * @return one row (n_a, n_b, n_cells, bc_q, hellinger_q)
+    */
+  def hellingerDrift(df: DataFrame, groupCol: String, catCol: String,
+                     gA: String, gB: String): DataFrame = {
+    val cells = df
+      .filter((col(groupCol) === gA || col(groupCol) === gB) &&
+        col(catCol).isNotNull)
+      .groupBy(col(catCol).as("__c"))
+      .agg(sum(when(col(groupCol) === gA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === gB, 1L).otherwise(0L)).as("__cb"))
+    val tot = cells.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        floor(lit(1.0e9) * sqrt(
+          (col("__ca") * col("__cb")).cast("double") /
+            (col("__na") * col("__nb")).cast("double"))).cast("long")
+          .as("__t"))
+    terms.groupBy(col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__t")).as("bc_q"))
+      .select(col("n_a"), col("n_b"), col("n_cells"), col("bc_q"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(lit(1.0e6) * sqrt(lit(1.0) -
+            col("bc_q").cast("double") / lit(1.0e9))).cast("long"))
+          .as("hellinger_q"))
+  }
+
+  /** Blomqvist's β (the medial correlation coefficient) — rank
+    * correlation at its most robust: split the plane at the two
+    * MEDIANS and count quadrant concordance,
+    *
+    *   β = (n₁₊₃ − n₂₊₄) / (n₁₊₃ + n₂₊₄)
+    *
+    * (n₁₊₃ = both above or both below, n₂₊₄ = mixed; points ON either
+    * median line are excluded and REPORTED as n_on — the convention
+    * that keeps the statistic a pure sign count). One division,
+    * quantized ⌊10⁶·β⌋. Medians are the integer-rank lower medians
+    * (first value with 2·cum ≥ n — the [[Quantiles]] convention).
+    *
+    * Where [[spearman]] needs full rank grids and [[kendallTau]]
+    * pair counts, β needs two order statistics and one scan — the
+    * O(n) dependence screen that survives any monotone transform and
+    * 50 % contamination.
+    *
+    * @return one row (n, n_conc, n_disc, n_on, beta_q)
+    */
+  def blomqvistBeta(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).na.drop()
+      .localCheckpoint(eager = false)
+    def median(c: String): DataFrame = {
+      val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))))
+      val n = g.agg(max(col("__cum")).as("__n"))
+      g.crossJoin(broadcast(n)).filter(col("__cum") * 2 >= col("__n"))
+        .agg(min(col("__v")).as(s"__med$c"))
+    }
+    val quads = base
+      .crossJoin(broadcast(median("__x")))
+      .crossJoin(broadcast(median("__y")))
+      .select(
+        when(col("__x") === col("__med__x") ||
+          col("__y") === col("__med__y"), lit("on"))
+          .when((col("__x") > col("__med__x")) ===
+            (col("__y") > col("__med__y")), lit("conc"))
+          .otherwise(lit("disc")).as("__q"))
+    quads.agg(count(lit(1)).as("n"),
+        sum(when(col("__q") === "conc", 1L).otherwise(0L)).as("n_conc"),
+        sum(when(col("__q") === "disc", 1L).otherwise(0L)).as("n_disc"),
+        sum(when(col("__q") === "on", 1L).otherwise(0L)).as("n_on"))
+      .select(col("n"), col("n_conc"), col("n_disc"), col("n_on"),
+        when(col("n_conc") + col("n_disc") > 0,
+          floor(lit(1.0e6) *
+            (col("n_conc") - col("n_disc")).cast("double") /
+            (col("n_conc") + col("n_disc")).cast("double")).cast("long"))
+          .as("beta_q"))
+  }
+
+  /** Lin's concordance correlation coefficient — "does y REPRODUCE x"
+    * (not merely correlate): Pearson's r times a bias-correction
+    * factor penalizing scale and location shifts,
+    *
+    *   CCC = 2·cov(x,y) / (var x + var y + (x̄ − ȳ)²)
+    *
+    * The n²-cleared form is a pure integer rational: with
+    * A = n·Σxy − Σx·Σy, B = n·Σx² − (Σx)², C = n·Σy² − (Σy)²,
+    *
+    *   CCC = 2A / (B + C + (Σx − Σy)²)
+    *
+    * — decimal(38,0) sums, ONE double division, ⌊10⁶·⌋. The metric
+    * behind "is the cheap token-count estimator interchangeable with
+    * the stored count" — r alone would bless a consistently-2×-off
+    * estimator; CCC won't.
+    *
+    * @return one row (n, a2_l, den_l, ccc_q)
+    */
+  def linCcc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).na.drop()
+    base.agg(count(lit(1)).as("n"),
+        sum(dec38(col("__x"))).as("__sx"), sum(dec38(col("__y"))).as("__sy"),
+        sum(dec38(col("__x")) * dec38(col("__x"))).as("__sxx"),
+        sum(dec38(col("__y")) * dec38(col("__y"))).as("__syy"),
+        sum(dec38(col("__x")) * dec38(col("__y"))).as("__sxy"))
+      .select(col("n"),
+        (lit(2L).cast("decimal(38,0)") *
+          (dec38(col("n")) * col("__sxy") - col("__sx") * col("__sy")))
+          .as("a2_l"),
+        ((dec38(col("n")) * col("__sxx") - col("__sx") * col("__sx")) +
+          (dec38(col("n")) * col("__syy") - col("__sy") * col("__sy")) +
+          (col("__sx") - col("__sy")) * (col("__sx") - col("__sy")))
+          .as("den_l"))
+      .select(col("n"), col("a2_l"), col("den_l"),
+        when(col("den_l") > 0,
+          floor(lit(1.0e6) * col("a2_l").cast("double") /
+            col("den_l").cast("double")).cast("long")).as("ccc_q"))
+  }
 }

@@ -422,4 +422,36 @@ class GraphSpec extends SparkSpec {
     val cut = Graph.linkPredictionScores(tri, topK = 1).collect()
     assert((cut.head.getLong(0), cut.head.getLong(1)) === ((1L, 4L)))
   }
+
+  test("avgNeighborDegree: star graph — hub sees leaves (knn=1), " +
+      "leaves see the hub (knn=3)") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Graph.avgNeighborDegree(star).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(3L) === ((1L, 3L, 1000000L)))
+    assert(out(1L) === ((3L, 9L, 3000000L)))
+    assert(out.size === 2)
+  }
+
+  test("spatialAutocorrelation: clustered path I=1/3 C=1/2, " +
+      "alternating path I=-1 C=3/2; unvalued endpoints drop edges") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 5L), (4L, 5L))
+      .toDF("id", "x")
+    val rc = Graph.spatialAutocorrelation(path, clustered).collect().head
+    assert((rc.getLong(0), rc.getLong(1)) === ((4L, 6L)))
+    assert(rc.getDecimal(4).longValue === 256L)
+    assert(rc.getLong(5) === 333333L && rc.getLong(6) === 500000L)
+    val alternating = Seq((1L, 1L), (2L, 5L), (3L, 1L), (4L, 5L))
+      .toDF("id", "x")
+    val ra = Graph.spatialAutocorrelation(path, alternating).collect().head
+    assert(ra.getLong(5) === -1000000L && ra.getLong(6) === 1500000L)
+    // vertex 4 unvalued: its edge leaves the weight count
+    val partial = Seq((1L, 1L), (2L, 3L), (3L, 9L)).toDF("id", "x")
+    assert(Graph.spatialAutocorrelation(path, partial)
+      .collect().head.getLong(1) === 4L)
+  }
 }

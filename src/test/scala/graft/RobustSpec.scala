@@ -391,4 +391,23 @@ class RobustSpec extends SparkSpec {
     assert(Robust.yuenTrimmed(tiny, "g", "v", "a", "b")
       .collect().head.isNullAt(6))
   }
+
+  test("qqDrift: uniform +10 shift gaps every vigintile by -10; a " +
+      "pure max-tail outlier moves NO vigintile") {
+    import spark.implicits._
+    val a = (1L to 20L).map(("a", _)); val b = (11L to 30L).map(("b", _))
+    val out = Robust.qqDrift((a ++ b).toDF("g", "v"), "g", "v", "a", "b")
+      .collect()
+    assert(out.length === 19)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0))        // q_a(p) = p
+      assert(r.getLong(3) === -10L)
+    }
+    // same body, one huge outlier: the profile is flat zero — the
+    // tail story ksDrift/max-gap would shout about isn't HERE
+    val bo = (1L to 19L).map(("b", _)) :+ (("b", 1000L))
+    val oo = Robust.qqDrift((a ++ bo).toDF("g", "v"), "g", "v", "a", "b")
+      .collect()
+    assert(oo.forall(_.getLong(3) === 0L))
+  }
 }

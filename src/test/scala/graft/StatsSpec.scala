@@ -1437,4 +1437,51 @@ class StatsSpec extends SparkSpec {
     assert((rt.getLong(2), rt.getLong(3), rt.getLong(4)) ===
       ((1L, 5L, 500000L)))
   }
+
+  test("hellingerDrift: identical distributions score 0; disjoint " +
+      "support scores 1; one-sided cells contribute zero") {
+    val same = Seq(("A", "a"), ("A", "a"), ("A", "b"), ("A", "b"),
+      ("B", "a"), ("B", "b")).toDF("g", "c")
+    val rs = Stats.hellingerDrift(same, "g", "c", "A", "B")
+      .collect().head
+    // each cell: sqrt((2*1)/(4*2)) = 0.5 exactly -> bc sums to 1e9
+    assert((rs.getLong(0), rs.getLong(1), rs.getLong(2)) === ((4L, 2L, 2L)))
+    assert(rs.getLong(3) === 1000000000L && rs.getLong(4) === 0L)
+    val disj = Seq(("A", "a"), ("A", "a"), ("B", "b"), ("B", "b"),
+      ("B", "b")).toDF("g", "c")
+    val rd = Stats.hellingerDrift(disj, "g", "c", "A", "B")
+      .collect().head
+    assert(rd.getLong(3) === 0L && rd.getLong(4) === 1000000L)
+  }
+
+  test("blomqvistBeta: monotone pairs score +1, antitone -1; " +
+      "on-median points excluded and counted") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val ru = Stats.blomqvistBeta(up, "x", "y").collect().head
+    assert((ru.getLong(1), ru.getLong(2), ru.getLong(3), ru.getLong(4)) ===
+      ((2L, 0L, 1L, 1000000L)))
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    val rd = Stats.blomqvistBeta(down, "x", "y").collect().head
+    assert((rd.getLong(1), rd.getLong(2), rd.getLong(4)) ===
+      ((0L, 2L, -1000000L)))
+    // everything on a median line: no quadrant count, no beta
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(Stats.blomqvistBeta(flat, "x", "y").collect().head.isNullAt(4))
+  }
+
+  test("linCcc: identity reproduces 1; a pure +1 shift pays the " +
+      "location penalty exactly") {
+    val id = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Stats.linCcc(id, "x", "y").collect().head.getLong(3) ===
+      1000000L)
+    // x=[1,2,3], y=x+1: A = B = 6, den = 6+6+9 -> 12/21
+    val sh = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val r = Stats.linCcc(sh, "x", "y").collect().head
+    assert(r.getDecimal(1).longValue === 12L)
+    assert(r.getDecimal(2).longValue === 21L)
+    assert(r.getLong(3) === math.floor(1.0e6 * 12.0 / 21.0).toLong)
+    // constants on both sides: zero denominator, no coefficient
+    val const = Seq((5L, 5L), (5L, 5L)).toDF("x", "y")
+    assert(Stats.linCcc(const, "x", "y").collect().head.isNullAt(3))
+  }
 }
