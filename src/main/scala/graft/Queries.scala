@@ -16218,6 +16218,270 @@ object Queries {
       JOIN (SELECT p, q FROM quant WHERE g = 'src3') b2 USING (p)
       ORDER BY p"""))
 
+  /** (q386) Van Elteren stratified rank test: src0 vs src1 n_chars
+    * within lang strata (Stats.vanElteren scaladoc) — per-stratum
+    * doubled-midrank Wilcoxon, locally-best weights, tie-corrected.
+    */
+  val q386VanElteren = Q(
+    "q386_a_van_elteren",
+    (s, dir) =>
+      operators.Stats.vanElteren(t(s, dir, "documents"), "lang",
+        "source", "n_chars", "src0", "src1"),
+    Some("""
+      WITH grid AS (SELECT lang AS s, CAST(n_chars AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca
+             FROM documents
+             WHERE source IN ('src0', 'src1') AND lang IS NOT NULL
+               AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      rk AS (SELECT s, v, c, ca,
+               coalesce(sum(c) OVER (PARTITION BY s ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS lt
+             FROM grid),
+      st AS (SELECT s, CAST(sum(c) AS BIGINT) AS nt,
+               CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(ca * (2 * lt + c + 1)) AS BIGINT) AS W2,
+               sum(CAST(c AS HUGEINT) * c * c - c) AS TS
+             FROM rk GROUP BY s),
+      terms AS (SELECT
+              CAST(floor(1000000000.0
+                * CAST(W2 - na * (nt + 1) AS DOUBLE)
+                / CAST(nt + 1 AS DOUBLE)) AS BIGINT) AS dq,
+              CASE WHEN nt >= 2 THEN
+                CAST(floor(1000000000.0
+                  * CAST(CAST(na AS HUGEINT) * (nt - na)
+                    * (CAST(nt AS HUGEINT) * (nt - 1) * (nt + 1) - TS)
+                    AS DOUBLE)
+                  / CAST(CAST(3 AS HUGEINT) * nt * (nt - 1) * (nt + 1)
+                    * (nt + 1) AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS vq
+            FROM st)
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        CAST(sum(dq) AS BIGINT) AS d_sum_q,
+        CAST(sum(vq) AS BIGINT) AS v_sum_q,
+        CASE WHEN sum(vq) > 0 THEN
+          CAST(floor(1000000.0 * CAST(sum(dq) AS DOUBLE)
+            / sqrt(1000000000.0 * CAST(sum(vq) AS DOUBLE))) AS BIGINT)
+        END AS z_q
+      FROM terms"""))
+
+  /** (q387) Upper-tail dependence of (n_chars, whitespace token
+    * count) at the 90th percentile (Stats.tailDependence scaladoc):
+    * co-extreme counts, λ_U and the independence-excess ratio.
+    */
+  val q387TailDependence = Q(
+    "q387_a_tail_dependence",
+    (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val blank = length(trim(col("text"))) === 0
+      operators.Stats.tailDependence(
+        d.select(col("n_chars"),
+          when(blank, lit(0L))
+            .otherwise(TextFns.tokenCount(col("text")).cast("long"))
+            .as("n_tok")),
+        "n_chars", "n_tok")
+    },
+    Some("""
+      WITH b AS (SELECT CAST(n_chars AS BIGINT) AS x,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(regexp_split_to_array(lower(trim(text)),
+                   '\s+')) AS BIGINT) END AS y
+             FROM documents
+             WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      qx AS (SELECT min(v) AS qx FROM (
+               SELECT v, sum(c) OVER (ORDER BY v) AS cum, n FROM (
+                 SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+                 FROM b GROUP BY x)
+               CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM b))
+             WHERE cum * 10 >= 9 * n),
+      qy AS (SELECT min(v) AS qy FROM (
+               SELECT v, sum(c) OVER (ORDER BY v) AS cum, n FROM (
+                 SELECT y AS v, CAST(count(*) AS BIGINT) AS c
+                 FROM b GROUP BY y)
+               CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM b))
+             WHERE cum * 10 >= 9 * n),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               max(qx) AS q_x, max(qy) AS q_y,
+               CAST(sum(CASE WHEN x > qx THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_x,
+               CAST(sum(CASE WHEN y > qy THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_y,
+               CAST(sum(CASE WHEN x > qx AND y > qy THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_joint
+             FROM b CROSS JOIN qx CROSS JOIN qy)
+      SELECT n, q_x, q_y, n_x, n_y, n_joint,
+        CASE WHEN n > 0 THEN
+          CAST(floor(1000000.0 * CAST(10 * n_joint AS DOUBLE)
+            / CAST(n * 1 AS DOUBLE)) AS BIGINT)
+        END AS lambda_q,
+        CASE WHEN n_x > 0 AND n_y > 0 THEN
+          CAST(floor(1000000.0 * CAST(n_joint * n AS DOUBLE)
+            / CAST(n_x * n_y AS DOUBLE)) AS BIGINT)
+        END AS ratio_q
+      FROM ag"""))
+
+  /** (q388) Kaplan–Meier with Greenwood standard errors over the
+    * inter-event durations (TimeAgg.kmGreenwood scaladoc): the q238
+    * curve plus the cumulative Greenwood sum and per-step se.
+    */
+  val q388KmGreenwood = Q(
+    "q388_a_km_greenwood",
+    (s, dir) =>
+      operators.TimeAgg.kmGreenwood(
+        operators.TimeAgg.interEventDurations(ev(s, dir), "user_id",
+          "event_id", "ts_us"), "__t", "__obs")
+        .orderBy("t_days"),
+    Some(s"""
+      WITH ev0 AS (SELECT user_id, event_id,
+               CAST($EvUs AS BIGINT) AS us FROM events),
+      mx AS (SELECT max(us) AS mx FROM ev0),
+      su AS (SELECT us, lead(us) OVER (PARTITION BY user_id
+               ORDER BY us ASC, event_id ASC) AS nxt
+             FROM ev0),
+      du AS (SELECT CASE WHEN nxt IS NOT NULL
+                 THEN (nxt - us) // 86400000000
+                 ELSE (mx - us) // 86400000000 END AS t_days,
+               nxt IS NOT NULL AS obs
+             FROM su CROSS JOIN mx),
+      g AS (SELECT t_days,
+              CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                AS d_events,
+              CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_censored
+            FROM du GROUP BY 1),
+      r AS (SELECT *,
+              CAST(sum(d_events + n_censored) OVER () AS BIGINT)
+                - coalesce(CAST(sum(d_events + n_censored) OVER (
+                    ORDER BY t_days ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n_risk
+            FROM g),
+      q AS (SELECT *,
+              CASE WHEN d_events = 0 THEN 0
+                   WHEN d_events < n_risk THEN
+                CAST(floor(1000000000000.0
+                  * ln(CAST(n_risk - d_events AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE))) AS BIGINT)
+              END AS lnq,
+              CASE WHEN d_events = 0 THEN 0
+                   WHEN d_events < n_risk THEN
+                CAST(floor(1000000000000.0
+                  * CAST(d_events AS DOUBLE)
+                  / CAST(n_risk * (n_risk - d_events) AS DOUBLE))
+                  AS BIGINT)
+              END AS gterm,
+              max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER (
+                ORDER BY t_days ASC) AS dead
+            FROM r),
+      f AS (SELECT t_days, n_risk, d_events, n_censored,
+              CASE WHEN dead = 1 THEN 0
+                ELSE CAST(floor(1000000.0 * exp(
+                  CAST(sum(lnq) OVER (ORDER BY t_days ASC) AS DOUBLE)
+                    / 1000000000000.0)) AS BIGINT)
+              END AS surv_q,
+              CAST(sum(gterm) OVER (ORDER BY t_days ASC) AS BIGINT)
+                AS g_cum_l
+            FROM q)
+      SELECT t_days, n_risk, d_events, n_censored, surv_q, g_cum_l,
+        CASE WHEN surv_q = 0 THEN 0
+          ELSE CAST(floor(CAST(surv_q AS DOUBLE)
+            * sqrt(CAST(g_cum_l AS DOUBLE) / 1000000000000.0))
+            AS BIGINT)
+        END AS se_q
+      FROM f ORDER BY t_days"""))
+
+  /** (q389) Degree-inequality audit of the mutual 5-NN graph: Gini
+    * of the degree distribution (Stats.gini over Graph degrees) —
+    * high inequality flags hub-dominated similarity structure.
+    */
+  val q389DegreeGini = Q(
+    "q389_g_degree_gini",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      val e = operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id")))
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("degree"))
+        .select(lit("knn").as("g"), col("id"), col("degree"))
+      operators.Stats.gini(deg, "g", "id", "degree")
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS w
+              FROM sym GROUP BY 1),
+      rk AS (SELECT w,
+               CAST(row_number() OVER (ORDER BY w ASC, id ASC)
+                 AS BIGINT) AS i
+             FROM deg),
+      ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(w) AS BIGINT) AS total,
+               CAST(sum(CAST(i AS HUGEINT) * w) AS HUGEINT) AS sw
+             FROM rk)
+      SELECT 'knn' AS g, n, total,
+        CASE WHEN total > 0 THEN
+          CAST(floor(1000000.0 *
+            CAST(2 * sw - (CAST(n AS HUGEINT) + 1) * total AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * total AS DOUBLE)) AS BIGINT)
+        END AS gini_q
+      FROM ag"""))
+
+  /** (q390) IPF raking weights toward uniform source × lang marginals
+    * (Packing.ipfWeights scaladoc): 3 integer-grid rounds, the oracle
+    * unrolls every half-step.
+    */
+  val q390IpfWeights = Q(
+    "q390_s_ipf_weights",
+    (s, dir) =>
+      operators.Packing.ipfWeights(t(s, dir, "documents"), "source",
+        "lang", rounds = 3),
+    Some {
+      val rowStep = (p: String, o: String, m: String) => s"""
+      $m AS (SELECT r, sum(CAST(cnt AS HUGEINT) * w) AS mass
+             FROM $p GROUP BY r),
+      $o AS (SELECT p.r, p.c, p.cnt,
+               (CAST(w AS HUGEINT) * tot * 1000000000000)
+                 // (CAST(nr AS HUGEINT) * mass) AS w
+             FROM $p p JOIN $m USING (r) CROSS JOIN tt)"""
+      val colStep = (p: String, o: String, m: String) => s"""
+      $m AS (SELECT c, sum(CAST(cnt AS HUGEINT) * w) AS mass
+             FROM $p GROUP BY c),
+      $o AS (SELECT p.r, p.c, p.cnt,
+               (CAST(w AS HUGEINT) * tot * 1000000000000)
+                 // (CAST(nc AS HUGEINT) * mass) AS w
+             FROM $p p JOIN $m USING (c) CROSS JOIN tt)"""
+      s"""
+      WITH cells AS (SELECT source AS r, lang AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM documents
+             WHERE source IS NOT NULL AND lang IS NOT NULL
+             GROUP BY 1, 2),
+      tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+               CAST(count(DISTINCT r) AS BIGINT) AS nr,
+               CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cells),
+      w0 AS (SELECT r, c, cnt, CAST(1000000000000 AS HUGEINT) AS w
+             FROM cells),
+      ${rowStep("w0", "w1", "m1")},
+      ${colStep("w1", "w2", "m2")},
+      ${rowStep("w2", "w3", "m3")},
+      ${colStep("w3", "w4", "m4")},
+      ${rowStep("w4", "w5", "m5")},
+      ${colStep("w5", "w6", "m6")}
+      SELECT r AS source, c AS lang, cnt AS n, CAST(w AS BIGINT) AS w_q
+      FROM w6 ORDER BY source, lang"""
+    })
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -16326,5 +16590,7 @@ object Queries {
     q372Pettitt, q373Kuiper, q374LinkPrediction, q375Yuen,
     q376DecompStrength, q377MarkovEntropy, q378TwoNN,
     q379Hellinger, q380Blomqvist, q381LinCcc, q382AvgNbrDeg,
-    q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift)
+    q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift,
+    q386VanElteren, q387TailDependence, q388KmGreenwood,
+    q389DegreeGini, q390IpfWeights)
 }

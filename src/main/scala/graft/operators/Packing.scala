@@ -763,4 +763,64 @@ object Packing {
           expr("(1000000L * alloc_tokens) div t_tokens")).otherwise(lit(0L))
           .as("epochs_q"))
   }
+
+  /** Iterative proportional fitting (raking) of per-cell sampling
+    * weights toward UNIFORM row and column marginals — the 2-D mixing
+    * op the 1-D allocators ([[temperatureMix]], [[unimaxAllocation]])
+    * can't express: "balance the corpus across sources AND languages
+    * JOINTLY", where fixing one marginal alone skews the other.
+    *
+    * Integer grid (Q = 10¹², the [[graft.operators.TimeAgg]] Markov /
+    * HITS device): w⁰ = Q per observed cell; each round alternates a
+    * row and a column step
+    *
+    *   row:  w ← (w·N·Q) div (R·mass_r),  mass_r = Σ_c n·w
+    *   col:  w ← (w·N·Q) div (C·mass_c),  mass_c = Σ_r n·w
+    *
+    * so after the row step every row's weighted mass is N·Q/R up to
+    * the per-cell floor — exact decimal(38,0) arithmetic, every
+    * engine and partition order agreeing bit-for-bit. Classical IPF
+    * converges geometrically; `rounds` = 3 is the shipped default
+    * (the audit gate checks the ACHIEVED marginals, not an oracle of
+    * convergence).
+    *
+    * Plan: per half-step one hash agg (marginal masses, R or C rows)
+    * + one broadcast join back — 2·rounds tiny stages over a frame
+    * bounded by the distinct cell count, never the corpus.
+    *
+    * @return (rowv, colv, n, w_q) ordered — multiply a cell's rows by
+    *         w_q/Q to hit the raked mix
+    */
+  def ipfWeights(df: DataFrame, rowCol: String, colCol: String,
+                 rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) out of range")
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val Q = 1000000000000L
+    val cells = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val tot = cells.agg(sum(col("__n")).as("__tot"),
+      countDistinct(col("__r")).as("__nr"),
+      countDistinct(col("__c")).as("__nc"))
+    val w0 = cells.crossJoin(broadcast(tot))
+      .withColumn("__w", lit(Q))
+    def step(cur: DataFrame, keyCol: String, kCol: String): DataFrame = {
+      val mass = cur.groupBy(col(keyCol).as("__k"))
+        .agg(sum(dec38(col("__n")) * col("__w")).as("__mass"))
+      cur.join(broadcast(mass), cur(keyCol) === mass("__k"))
+        .withColumn("__w",
+          expr(s"""CAST((CAST(__w AS DECIMAL(38,0)) * __tot * ${Q}L)
+                   div (CAST($kCol AS DECIMAL(38,0)) * __mass) AS BIGINT)"""))
+        .drop("__k", "__mass")
+        .localCheckpoint(eager = false)
+    }
+    val fitted = (1 to rounds).foldLeft(w0) { (cur, _) =>
+      step(step(cur, "__r", "__nr"), "__c", "__nc")
+    }
+    fitted.select(col("__r").as(rowCol), col("__c").as(colCol),
+        col("__n").as("n"), col("__w").as("w_q"))
+      .orderBy(col(rowCol), col(colCol))
+  }
 }

@@ -3422,4 +3422,138 @@ object Stats {
           floor(lit(1.0e6) * col("a2_l").cast("double") /
             col("den_l").cast("double")).cast("long")).as("ccc_q"))
   }
+
+  /** Van Elteren's stratified rank test — "is treatment A shifted vs
+    * B once the stratum (shard, language, cohort) is held fixed": the
+    * locally-best weighted combination of per-stratum Wilcoxon
+    * rank-sums, the design-correct replacement for pooling strata
+    * into one Mann–Whitney (which Simpson's-paradoxes the moment
+    * stratum sizes differ between arms).
+    *
+    * Doubled mid-ranks keep every stratum integer (R2 = 2·lt + t + 1
+    * on the per-stratum value grid). With W2_s = Σ_{i∈A} R2ᵢ,
+    * E[W2_s] = n_s·(N_s+1) exactly, so each stratum contributes
+    *
+    *   d_s = (W2_s − n_s·(N_s+1)) / (N_s+1)            [⌊10⁹·⌋]
+    *   v_s = n_s·m_s·(N(N−1)(N+1) − Σ(t³−t))
+    *         / (3·N(N−1)·(N+1)²)                        [⌊10⁹·⌋]
+    *
+    * (the tie-corrected W2 variance over the squared weight), and
+    * z = Σd / √(10⁹·Σv) — per-stratum ONE division each on exact
+    * decimals, the established quantize-then-sum device. Strata where
+    * either arm is empty contribute exactly 0 to both sums;
+    * single-observation strata have no variance and are excluded
+    * from v (N ≥ 2 guard).
+    *
+    * Plan: one (stratum, value) grid agg, two per-stratum windows,
+    * one fold — no per-row ranking, no cross-stratum shuffle beyond
+    * the grid.
+    *
+    * @return one row (n_strata, d_sum_q, v_sum_q, z_q)
+    */
+  def vanElteren(df: DataFrame, stratumCol: String, groupCol: String,
+                 valueCol: String, gA: String, gB: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val grid = df
+      .filter((col(groupCol) === gA || col(groupCol) === gB) &&
+        col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("__s"), col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .na.drop()
+      .groupBy(col("__s"), col("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__g") === gA, 1L).otherwise(0L)).as("__ca"))
+    val wS = Window.partitionBy(col("__s")).orderBy(col("__v"))
+    val ranked = grid
+      .withColumn("__lt", coalesce(sum(col("__c")).over(
+        wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__R2", lit(2L) * col("__lt") + col("__c") + 1L)
+    // the per-stratum frame materializes (localCheckpoint) before the
+    // quantized-term projection: the term expressions then run in their
+    // own fresh codegen stage over plain long/decimal columns, with
+    // nothing fused back into the window/aggregate pipeline
+    val strata = ranked.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__vanN"), sum(col("__ca")).as("__vanA"),
+        sum(col("__ca") * col("__R2")).as("__vanW"),
+        sum(dec38(col("__c")) * col("__c") * col("__c") - col("__c"))
+          .as("__vanT"))
+      .withColumn("__vanM", col("__vanN") - col("__vanA"))
+      .localCheckpoint(eager = false)
+    val terms = strata.select(
+      floor(lit(1.0e9) *
+        (col("__vanW") - col("__vanA") * (col("__vanN") + 1L))
+          .cast("double") /
+        (col("__vanN") + 1L).cast("double")).cast("long").as("__dq"),
+      when(col("__vanN") >= 2,
+        floor(lit(1.0e9) *
+          (dec38(col("__vanA")) * col("__vanM") *
+            (dec38(col("__vanN")) * (col("__vanN") - 1L) *
+              (col("__vanN") + 1L) - col("__vanT"))).cast("double") /
+          (lit(3L).cast("decimal(38,0)") * col("__vanN") *
+            (col("__vanN") - 1L) * (col("__vanN") + 1L) *
+            (col("__vanN") + 1L)).cast("double")).cast("long"))
+        .otherwise(lit(0L)).as("__vq"))
+    terms.agg(count(lit(1)).as("n_strata"),
+        sum(col("__dq")).as("d_sum_q"), sum(col("__vq")).as("v_sum_q"))
+      .select(col("n_strata"), col("d_sum_q"), col("v_sum_q"),
+        when(col("v_sum_q") > 0,
+          floor(lit(1.0e6) * col("d_sum_q").cast("double") /
+            sqrt(lit(1.0e9) * col("v_sum_q").cast("double")))
+            .cast("long")).as("z_q"))
+  }
+
+  /** Empirical upper-tail dependence of a numeric pair — do the
+    * EXTREMES co-occur (the question correlation answers worst):
+    * with both marginal thresholds at the p = pNum/pDen lower
+    * quantile (the integer-rank convention),
+    *
+    *   λ_U = P(X > q_x, Y > q_y) / (1 − p)
+    *       = pDen·n_joint / (n·(pDen − pNum))            [⌊10⁶·⌋]
+    *
+    * plus the independence-excess ratio n_joint·n/(n_x·n_y) (1 under
+    * independence, ⌊10⁶·⌋) — exact integer counts into one division
+    * each. The co-extreme audit behind "do long documents and long
+    * token counts spike on the same items", where a body-level
+    * correlation says nothing about joint tails.
+    *
+    * @return one row (n, q_x, q_y, n_x, n_y, n_joint, lambda_q,
+    *         ratio_q)
+    */
+  def tailDependence(df: DataFrame, xCol: String, yCol: String,
+                     pNum: Int = 9, pDen: Int = 10): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum < pDen,
+      s"p fraction $pNum/$pDen must sit in (0, 1)")
+    val base = df.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y")).na.drop()
+      .localCheckpoint(eager = false)
+    def quantile(c: String): DataFrame = {
+      val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))))
+      val n = g.agg(max(col("__cum")).as("__n"))
+      g.crossJoin(broadcast(n))
+        .filter(col("__cum") * pDen >= lit(pNum.toLong) * col("__n"))
+        .agg(min(col("__v")).as(s"__q$c"))
+    }
+    base
+      .crossJoin(broadcast(quantile("__x")))
+      .crossJoin(broadcast(quantile("__y")))
+      .agg(count(lit(1)).as("n"),
+        max(col("__q__x")).as("q_x"), max(col("__q__y")).as("q_y"),
+        sum(when(col("__x") > col("__q__x"), 1L).otherwise(0L)).as("n_x"),
+        sum(when(col("__y") > col("__q__y"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("__x") > col("__q__x") &&
+          col("__y") > col("__q__y"), 1L).otherwise(0L)).as("n_joint"))
+      .select(col("n"), col("q_x"), col("q_y"), col("n_x"), col("n_y"),
+        col("n_joint"),
+        when(col("n") > 0,
+          floor(lit(1.0e6) *
+            (lit(pDen.toLong) * col("n_joint")).cast("double") /
+            (col("n") * lit((pDen - pNum).toLong)).cast("double"))
+            .cast("long")).as("lambda_q"),
+        when(col("n_x") > 0 && col("n_y") > 0,
+          floor(lit(1.0e6) *
+            (col("n_joint") * col("n")).cast("double") /
+            (col("n_x") * col("n_y")).cast("double")).cast("long"))
+          .as("ratio_q"))
+  }
 }

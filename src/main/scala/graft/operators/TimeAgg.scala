@@ -2082,4 +2082,42 @@ object TimeAgg {
       .crossJoin(nStates)
       .select(col("n_states"), col("n_cells"), col("h_q"))
   }
+
+  /** [[kmFromDurations]] with Greenwood confidence machinery — the
+    * survival curve plus how much to TRUST each step: the cumulative
+    * Greenwood sum and the standard error
+    *
+    *   G(t)  = Σ_{tᵢ≤t} dᵢ / (nᵢ·(nᵢ−dᵢ))       [per-step ⌊10¹²·⌋]
+    *   se(t) = S(t)·√G(t)                        [⌊10⁶·, via the
+    *           already-quantized surv_q — one multiply + one sqrt⌋]
+    *
+    * Event-free steps contribute exactly 0; the step that kills the
+    * whole risk set (d = n) has S = 0 and se pinned to 0 (the
+    * Greenwood term is undefined there and never needed). Same
+    * bounded duration-grid plan as the base estimator plus one more
+    * ordered window.
+    *
+    * @return (t_days, n_risk, d_events, n_censored, surv_q, g_cum_l,
+    *         se_q)
+    */
+  def kmGreenwood(subjects: DataFrame, durationCol: String,
+                  observedCol: String): DataFrame = {
+    val km = kmFromDurations(subjects, durationCol, observedCol)
+    val wCum = Window.orderBy(col("t_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km
+      .withColumn("__g",
+        when(col("d_events") === 0, lit(0L))
+          .when(col("d_events") < col("n_risk"),
+            floor(lit(1.0e12) * col("d_events").cast("double") /
+              (col("n_risk") * (col("n_risk") - col("d_events")))
+                .cast("double")).cast("long")))
+      .withColumn("g_cum_l", sum(col("__g")).over(wCum))
+      .select(col("t_days"), col("n_risk"), col("d_events"),
+        col("n_censored"), col("surv_q"), col("g_cum_l"),
+        when(col("surv_q") === 0, lit(0L))
+          .otherwise(floor(col("surv_q").cast("double") *
+            sqrt(col("g_cum_l").cast("double") / lit(1.0e12)))
+            .cast("long")).as("se_q"))
+  }
 }

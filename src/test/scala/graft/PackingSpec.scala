@@ -496,4 +496,41 @@ class PackingSpec extends SparkSpec {
     // A_1 = 150 > 10 -> none saturated -> each gets 10 div 3 = 3
     assert(out.values.map(_._1).toSeq.sorted === Seq(3L, 3L, 3L))
   }
+
+  test("ipfWeights: balanced table is a fixed point; skewed 2x2 " +
+      "matches a BigInt replay of the integer recursion") {
+    val Q = BigInt(1000000000000L)
+    val balanced = Seq(("r1", "a"), ("r1", "b"), ("r2", "a"), ("r2", "b"))
+      .toDF("r", "c")
+    val rb = Packing.ipfWeights(balanced, "r", "c", rounds = 3)
+      .collect()
+    assert(rb.length === 4 && rb.forall(_.getLong(3) === Q.toLong))
+    // counts [[2,1],[1,1]]: replay the exact div chain
+    val skew = (Seq.fill(2)(("r1", "a")) ++ Seq(("r1", "b"), ("r2", "a"),
+      ("r2", "b"))).toDF("r", "c")
+    val out = Packing.ipfWeights(skew, "r", "c", rounds = 3)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) ->
+        BigInt(r0.getLong(3))).toMap
+    var w = Map(("r1", "a") -> Q, ("r1", "b") -> Q,
+      ("r2", "a") -> Q, ("r2", "b") -> Q)
+    val n = Map(("r1", "a") -> BigInt(2), ("r1", "b") -> BigInt(1),
+      ("r2", "a") -> BigInt(1), ("r2", "b") -> BigInt(1))
+    val (bigN, bigR, bigC) = (BigInt(5), BigInt(2), BigInt(2))
+    def stepBy(key: ((String, String)) => String, k: BigInt): Unit = {
+      // keys form a SET — map to products via a Seq first, or equal
+      // per-cell masses collapse before the sum (the Set.map trap)
+      val mass = w.keys.toSeq.groupBy(key).map { case (g, cells) =>
+        g -> cells.map(cl => n(cl) * w(cl)).sum }
+      w = w.map { case (cl, wv) =>
+        cl -> (wv * bigN * Q) / (k * mass(key(cl))) }
+    }
+    (1 to 3).foreach { _ => stepBy(_._1, bigR); stepBy(_._2, bigC) }
+    assert(out === w)
+    // after the final column step every column's weighted mass sits
+    // within one floor per cell of the uniform target N*Q/C
+    val colMass = w.keys.groupBy(_._2).map { case (cv, cells) =>
+      cv -> cells.map(cl => n(cl) * w(cl)).sum }
+    colMass.values.foreach(m =>
+      assert((bigN * Q / bigC - m) >= 0 && (bigN * Q / bigC - m) < 4))
+  }
 }

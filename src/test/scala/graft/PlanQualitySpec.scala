@@ -1183,4 +1183,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(lines.drop(wIdx).exists(_.contains("Aggregate")),
       s"stump window not over the aggregated grid:\n$opt")
   }
+
+  test("linkPredictionScores: wedge equi-join + TakeOrdered top-k, " +
+      "no global sort, no cartesian") {
+    val plan = planOf("q374_g_link_prediction")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian crept in:\n$plan")
+  }
+
+  test("twoNN: the top-2 reduction plans a partial WindowGroupLimit " +
+      "(the q185 kNN canary shape)") {
+    val plan = planOf("q378_ann_twonn")
+    assert(plan.contains("WindowGroupLimit"),
+      s"partial top-k stopped planning:\n$plan")
+  }
+
+  test("spatialAutocorrelation: value stamps broadcast onto edges, " +
+      "no SMJ on the edge pipeline") {
+    val plan = planOf("q384_g_spatial_autocorr")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"value stamp join not broadcast:\n$plan")
+  }
+
+  test("ipfWeights: every marginal-mass join broadcasts (cell frame " +
+      "never shuffles), no SMJ") {
+    val plan = planOf("q390_s_ipf_weights")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mass join not broadcast:\n$plan")
+  }
 }

@@ -1484,4 +1484,46 @@ class StatsSpec extends SparkSpec {
     val const = Seq((5L, 5L), (5L, 5L)).toDF("x", "y")
     assert(Stats.linCcc(const, "x", "y").collect().head.isNullAt(3))
   }
+
+  test("vanElteren: opposing strata cancel exactly; fully-tied " +
+      "stratum contributes nothing; single stratum hand-checked") {
+    // s1: A below B (d = -0.8), s2: A above B (d = +0.8): z = 0
+    val opp = Seq(("s1", "A", 1L), ("s1", "A", 2L), ("s1", "B", 3L),
+      ("s1", "B", 4L), ("s2", "A", 5L), ("s2", "A", 6L),
+      ("s2", "B", 3L), ("s2", "B", 4L)).toDF("s", "g", "v")
+    val ro = Stats.vanElteren(opp, "s", "g", "v", "A", "B")
+      .collect().head
+    assert(ro.getLong(0) === 2L && ro.getLong(1) === 0L)
+    assert(ro.getLong(2) === 2L * 266666666L)
+    assert(ro.getLong(3) === 0L)
+    // a stratum of pure ties: d = 0 AND tie-corrected variance = 0
+    val tied = opp.union(Seq(("s3", "A", 7L), ("s3", "A", 7L),
+      ("s3", "B", 7L), ("s3", "B", 7L)).toDF("s", "g", "v"))
+    val rt = Stats.vanElteren(tied, "s", "g", "v", "A", "B")
+      .collect().head
+    assert(rt.getLong(0) === 3L && rt.getLong(1) === ro.getLong(1))
+    assert(rt.getLong(2) === ro.getLong(2))
+    // one shifted stratum: z replays the operator's own fp ops
+    val one = Seq(("s1", "A", 1L), ("s1", "A", 2L), ("s1", "B", 3L),
+      ("s1", "B", 4L)).toDF("s", "g", "v")
+    val r1 = Stats.vanElteren(one, "s", "g", "v", "A", "B")
+      .collect().head
+    assert((r1.getLong(1), r1.getLong(2)) === ((-800000000L, 266666666L)))
+    assert(r1.getLong(3) === math.floor(1.0e6 * -800000000.0 /
+      math.sqrt(1.0e9 * 266666666.0)).toLong)
+  }
+
+  test("tailDependence: comonotone pair has lambda 1 and 10x " +
+      "independence excess; antitone pair has empty joint tail") {
+    val co = (1L to 10L).map(i => (i, i)).toDF("x", "y")
+    val rc = Stats.tailDependence(co, "x", "y").collect().head
+    assert((rc.getLong(1), rc.getLong(2)) === ((9L, 9L)))
+    assert((rc.getLong(3), rc.getLong(4), rc.getLong(5)) ===
+      ((1L, 1L, 1L)))
+    assert(rc.getLong(6) === 1000000L && rc.getLong(7) === 10000000L)
+    val anti = (1L to 10L).map(i => (i, 11L - i)).toDF("x", "y")
+    val ra = Stats.tailDependence(anti, "x", "y").collect().head
+    assert(ra.getLong(5) === 0L)
+    assert(ra.getLong(6) === 0L && ra.getLong(7) === 0L)
+  }
 }

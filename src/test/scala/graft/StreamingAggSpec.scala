@@ -497,4 +497,24 @@ class StreamingAggSpec extends SparkSpec {
     assert((rb.getLong(0), rb.getLong(1)) === ((3L, 3L)))
     assert(rb.getLong(2) === expected && rb.getLong(2) > 0L)
   }
+
+  test("kmGreenwood: exact Greenwood increments; whole-risk-set death " +
+      "pins se to 0; censor-only steps add nothing") {
+    val subj = Seq((1L, true), (1L, true), (2L, true))
+      .toDF("t", "obs")
+    val out = TimeAgg.kmGreenwood(subj, "t", "obs")
+      .orderBy("t_days").collect()
+    // t=1: d=2 of n=3 -> g = floor(1e12 * 2/3)
+    assert(out(0).getLong(5) === 666666666666L)
+    assert(out(0).getLong(6) === math.floor(
+      out(0).getLong(4).toDouble *
+        math.sqrt(666666666666L.toDouble / 1.0e12)).toLong)
+    // t=2: d = n_risk -> S = 0, se = 0 by the contract
+    assert(out(1).getLong(4) === 0L && out(1).getLong(6) === 0L)
+    val cens = Seq((1L, true), (2L, false)).toDF("t", "obs")
+    val oc = TimeAgg.kmGreenwood(cens, "t", "obs")
+      .orderBy("t_days").collect()
+    assert(oc(0).getLong(5) === 500000000000L)
+    assert(oc(1).getLong(5) === 500000000000L) // censor step: +0
+  }
 }
