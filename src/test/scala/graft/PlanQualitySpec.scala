@@ -1199,19 +1199,23 @@ class PlanQualitySpec extends SparkSpec {
       s"partial top-k stopped planning:\n$plan")
   }
 
-  test("spatialAutocorrelation: value stamps broadcast onto edges, " +
-      "no SMJ on the edge pipeline") {
+  test("spatialAutocorrelation: value stamps broadcast onto the edge " +
+      "frame; the single-row den fold cross-broadcasts (mutualEdges' " +
+      "keyed semi-join keeps its usual shuffle — that one is fine)") {
     val plan = planOf("q384_g_spatial_autocorr")
-    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"value stamp join not broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"den fold not cross-broadcast:\n$plan")
   }
 
-  test("ipfWeights: every marginal-mass join broadcasts (cell frame " +
-      "never shuffles), no SMJ") {
+  test("ipfWeights: rounds materialize per half-step (output reads " +
+      "the checkpointed cell frame; only the final ORDER BY exchanges)") {
     val plan = planOf("q390_s_ipf_weights")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"mass join not broadcast:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"final round not checkpoint-materialized:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected shuffle beyond the output sort:\n$plan")
   }
 }
