@@ -16482,6 +16482,103 @@ object Queries {
       FROM w6 ORDER BY source, lang"""
     })
 
+  /** (q391) Join-count statistics of the odd-label flag over the
+    * mutual 5-NN graph (Graph.joinCounts scaladoc): BB/BW/WW edge
+    * counts vs permutation-null expectations — binary homophily.
+    */
+  val q391JoinCounts = Q(
+    "q391_g_join_counts",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.joinCounts(
+        operators.Graph.mutualEdges(
+          knn.select(col("query_id"), col("neighbor_id"))),
+        emb.select(col("vec_id"), col("label") % 2))
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      v AS (SELECT vec_id AS id,
+               CASE WHEN CAST(label AS BIGINT) % 2 <> 0 THEN 1
+                 ELSE 0 END AS bflag
+             FROM embeddings WHERE label IS NOT NULL),
+      ej AS (SELECT va.bflag AS ba, vb.bflag AS b2
+             FROM mut JOIN v va ON va.id = mut.a
+             JOIN v vb ON vb.id = mut.b),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS vn,
+               CAST(sum(bflag) AS BIGINT) AS v1 FROM v),
+      f AS (SELECT CAST(count(*) AS BIGINT) AS w_edges,
+              CAST(sum(ba * b2) AS BIGINT) AS bb,
+              CAST(sum(CASE WHEN ba <> b2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS bw,
+              CAST(sum((1 - ba) * (1 - b2)) AS BIGINT) AS ww
+            FROM ej)
+      SELECT vn AS n, v1 AS n1, w_edges, bb, bw, ww,
+        CASE WHEN vn >= 2 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(w_edges AS HUGEINT) * v1 * (v1 - 1) AS DOUBLE)
+            / CAST(CAST(vn AS HUGEINT) * (vn - 1) AS DOUBLE))
+            AS BIGINT) END AS e_bb_q,
+        CASE WHEN vn >= 2 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(2 AS HUGEINT) * w_edges * v1 * (vn - v1)
+              AS DOUBLE)
+            / CAST(CAST(vn AS HUGEINT) * (vn - 1) AS DOUBLE))
+            AS BIGINT) END AS e_bw_q,
+        CASE WHEN vn >= 2 THEN
+          CAST(floor(1000000.0
+            * CAST(CAST(w_edges AS HUGEINT) * (vn - v1) * (vn - v1 - 1)
+              AS DOUBLE)
+            / CAST(CAST(vn AS HUGEINT) * (vn - 1) AS DOUBLE))
+            AS BIGINT) END AS e_ww_q
+      FROM f CROSS JOIN tt"""))
+
+  /** (q392) Local Moran's I hotspots of the stored label over the
+    * mutual 5-NN graph (Graph.localMoran scaladoc): the per-vertex
+    * LISA table behind q384's global number — top 30 by |lisa|.
+    */
+  val q392LocalMoran = Q(
+    "q392_g_local_moran",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.localMoran(
+        operators.Graph.mutualEdges(
+          knn.select(col("query_id"), col("neighbor_id"))),
+        emb.select(col("vec_id"), col("label")), topK = 30)
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      v AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS x
+            FROM embeddings WHERE label IS NOT NULL),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS vn,
+               sum(CAST(x AS HUGEINT)) AS S FROM v),
+      z AS (SELECT id, x, CAST(vn AS HUGEINT) * x - S AS zz
+            FROM v CROSS JOIN tt),
+      dd AS (SELECT sum(zz * zz) AS den FROM z),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      nbr AS (SELECT sym.a AS id, CAST(count(*) AS BIGINT) AS degree,
+               sum(zb.zz) AS zsum
+             FROM sym JOIN z zb ON zb.id = sym.b GROUP BY sym.a)
+      SELECT z.id, z.x, nbr.degree,
+        CAST(floor(1000000.0 * CAST(z.zz * zsum AS DOUBLE)
+          / CAST(den AS DOUBLE)) AS BIGINT) AS lisa_q
+      FROM z JOIN nbr ON nbr.id = z.id CROSS JOIN dd
+      WHERE den > 0
+      ORDER BY abs(lisa_q) DESC, z.id LIMIT 30"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -16592,5 +16689,5 @@ object Queries {
     q379Hellinger, q380Blomqvist, q381LinCcc, q382AvgNbrDeg,
     q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift,
     q386VanElteren, q387TailDependence, q388KmGreenwood,
-    q389DegreeGini, q390IpfWeights)
+    q389DegreeGini, q390IpfWeights, q391JoinCounts, q392LocalMoran)
 }

@@ -950,4 +950,105 @@ object Graph {
             (lit(2L).cast("decimal(38,0)") * col("w_l") * col("den_l"))
               .cast("double")).cast("long")).as("geary_q"))
   }
+
+  /** Join-count statistics of a BINARY vertex attribute over an
+    * undirected edge frame — the categorical answer to
+    * [[spatialAutocorrelation]]: of the graph's edges, how many
+    * connect 1–1 (BB), 1–0 (BW), 0–0 (WW), against the
+    * permutation-null expectations
+    *
+    *   E[BB] = E·n₁(n₁−1)/(n(n−1)),  E[WW] = E·n₀(n₀−1)/(n(n−1)),
+    *   E[BW] = E·2n₁n₀/(n(n−1))
+    *
+    * — all EXACT integer counts plus one division per expectation
+    * (⌊10⁶·⌋, edge-count units). BB ≫ E[BB] is label clustering on
+    * the similarity graph — the one-scan homophily audit when the
+    * label is a flag (dup/clean, en/other, toxic/safe). Vertices
+    * without the attribute drop; edges keep only valued endpoints.
+    *
+    * @param values (id, flag) — flag long-castable, nonzero = B
+    * @return one row (n, n1, w_edges, bb, bw, ww, e_bb_q, e_bw_q,
+    *         e_ww_q)
+    */
+  def joinCounts(edges: DataFrame, values: DataFrame): DataFrame = {
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = values.select(col(values.columns.head).as("__id"),
+      (col(values.columns(1)).cast("long") =!= 0L).cast("long").as("__b"))
+      .na.drop()
+      .localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b"))
+      .join(v.select(col("__id").as("a"), col("__b").as("__ba")), Seq("a"))
+      .join(v.select(col("__id").as("b"), col("__b").as("__bb")), Seq("b"))
+    val tot = v.agg(count(lit(1)).as("__vn"), sum(col("__b")).as("__v1"))
+    val folds = e.agg(count(lit(1)).as("w_edges"),
+      sum(col("__ba") * col("__bb")).as("bb"),
+      sum(when(col("__ba") =!= col("__bb"), 1L).otherwise(0L)).as("bw"),
+      sum((lit(1L) - col("__ba")) * (lit(1L) - col("__bb"))).as("ww"))
+    folds.crossJoin(broadcast(tot))
+      .select(col("__vn").as("n"), col("__v1").as("n1"), col("w_edges"),
+        col("bb"), col("bw"), col("ww"),
+        when(col("__vn") >= 2,
+          floor(lit(1.0e6) *
+            (dec38(col("w_edges")) * col("__v1") * (col("__v1") - 1L))
+              .cast("double") /
+            (dec38(col("__vn")) * (col("__vn") - 1L)).cast("double"))
+            .cast("long")).as("e_bb_q"),
+        when(col("__vn") >= 2,
+          floor(lit(1.0e6) *
+            (lit(2L).cast("decimal(38,0)") * col("w_edges") * col("__v1") *
+              (col("__vn") - col("__v1"))).cast("double") /
+            (dec38(col("__vn")) * (col("__vn") - 1L)).cast("double"))
+            .cast("long")).as("e_bw_q"),
+        when(col("__vn") >= 2,
+          floor(lit(1.0e6) *
+            (dec38(col("w_edges")) * (col("__vn") - col("__v1")) *
+              (col("__vn") - col("__v1") - 1L)).cast("double") /
+            (dec38(col("__vn")) * (col("__vn") - 1L)).cast("double"))
+            .cast("long")).as("e_ww_q"))
+  }
+
+  /** Local Moran's I (LISA) hotspot table — WHERE the clustering that
+    * [[spatialAutocorrelation]] averages into one number actually
+    * lives: per vertex, on the same integer-cleared z grid
+    * (zᵢ = n·xᵢ − S),
+    *
+    *   lisa_q(i) = ⌊10⁶ · zᵢ·Σ_{j∈N(i)} zⱼ / Σ_k z²_k⌋
+    *
+    * — one neighbor-sum equi-join + hash agg, exact decimal products,
+    * ONE division per vertex. Positive = the vertex sits in a
+    * like-valued cluster (hot/cold spot); negative = a spatial
+    * outlier wedged among unlike neighbors. Top-|lisa| rows surface
+    * the duplicate nests / label islands on a kNN corpus graph.
+    *
+    * @return top `topK` rows (id, x, degree, lisa_q) by
+    *         (|lisa_q| desc, id)
+    */
+  def localMoran(edges: DataFrame, values: DataFrame,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, s"topK ($topK) must be >= 1")
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = values.select(col(values.columns.head).as("__id"),
+      col(values.columns(1)).cast("long").as("__x")).na.drop()
+      .localCheckpoint(eager = false)
+    val tot = v.agg(count(lit(1)).as("__vn"), sum(dec38(col("__x"))).as("__S"))
+    val z = v.crossJoin(broadcast(tot))
+      .select(col("__id"), col("__x"),
+        (dec38(col("__vn")) * col("__x") - col("__S")).as("__z"))
+      .localCheckpoint(eager = false)
+    val den = z.agg(sum(col("__z") * col("__z")).as("__den"))
+    val e = edges.select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val nbr = sym
+      .join(z.select(col("__id").as("b"), col("__z").as("__zb")), Seq("b"))
+      .groupBy(col("a").as("__id"))
+      .agg(count(lit(1)).as("degree"), sum(col("__zb")).as("__zsum"))
+    z.join(nbr, Seq("__id"))
+      .crossJoin(broadcast(den))
+      .filter(col("__den") > 0)
+      .select(col("__id").as("id"), col("__x").as("x"), col("degree"),
+        floor(lit(1.0e6) * (col("__z") * col("__zsum")).cast("double") /
+          col("__den").cast("double")).cast("long").as("lisa_q"))
+      .orderBy(abs(col("lisa_q")).desc, col("id").asc)
+      .limit(topK)
+  }
 }

@@ -454,4 +454,34 @@ class GraphSpec extends SparkSpec {
     assert(Graph.spatialAutocorrelation(path, partial)
       .collect().head.getLong(1) === 4L)
   }
+
+  test("joinCounts: path with a clean flag boundary — one BB, one BW, " +
+      "one WW edge; expectations hand-checked; unvalued edges drop") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val flags = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L))
+      .toDF("id", "f")
+    val r = Graph.joinCounts(path, flags).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 3L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1L, 1L, 1L)))
+    assert((r.getLong(6), r.getLong(7), r.getLong(8)) ===
+      ((500000L, 2000000L, 500000L)))
+    val partial = Seq((1L, 1L), (2L, 1L), (3L, 0L)).toDF("id", "f")
+    assert(Graph.joinCounts(path, partial).collect().head.getLong(2) === 2L)
+  }
+
+  test("localMoran: cluster endpoints are the hotspots, boundary " +
+      "vertices score zero; topK cuts by |lisa| then id") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 5L), (4L, 5L))
+      .toDF("id", "x")
+    val out = Graph.localMoran(path, clustered, topK = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 250000L && out(4L) === 250000L)
+    assert(out(2L) === 0L && out(3L) === 0L)
+    val top2 = Graph.localMoran(path, clustered, topK = 2).collect()
+      .map(_.getLong(0)).toList
+    assert(top2 === List(1L, 4L))
+  }
 }
