@@ -16579,6 +16579,84 @@ object Queries {
       WHERE den > 0
       ORDER BY abs(lisa_q) DESC, z.id LIMIT 30"""))
 
+  /** (q393) Hill tail index of the mutual 5-NN DEGREE distribution
+    * (Robust.hillTail on Graph degrees): is the similarity graph
+    * hub-dominated — the q224 estimator pointed at graph structure.
+    */
+  val q393DegreeHill = Q(
+    "q393_g_degree_hill",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      val e = operators.Graph.mutualEdges(
+        knn.select(col("query_id"), col("neighbor_id")))
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("degree"))
+        .select(lit("knn").as("g"), col("degree"))
+      operators.Robust.hillTail(deg, "g", "degree", k = 20)
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      sym AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+      deg AS (SELECT 'knn' AS g, CAST(count(*) AS BIGINT) AS v
+              FROM sym GROUP BY a),
+      r2 AS (SELECT g, v, row_number() OVER (PARTITION BY g
+               ORDER BY v DESC) AS rn
+             FROM deg WHERE v > 0),
+      top AS (SELECT * FROM r2 WHERE rn <= 21),
+      rf AS (SELECT g, CAST(min(v) AS BIGINT) AS ref,
+               CAST(count(*) AS BIGINT) AS n
+             FROM top GROUP BY g HAVING count(*) >= 2),
+      t AS (SELECT top.g, CAST(count(*) AS BIGINT) AS n_tail,
+              any_value(rf.ref) AS x_ref,
+              CAST(sum(CAST(floor(1000000000000.0
+                * ln(CAST(top.v AS DOUBLE) / CAST(rf.ref AS DOUBLE)))
+                AS BIGINT)) AS BIGINT) AS hsum
+            FROM top JOIN rf USING (g)
+            WHERE top.rn < rf.n GROUP BY top.g)
+      SELECT g, n_tail, x_ref, hsum // n_tail AS hill_q,
+        CASE WHEN hsum // n_tail > 0 THEN
+          CAST(1000000000000000000000000::HUGEINT // (hsum // n_tail)
+            AS BIGINT)
+        END AS alpha_q
+      FROM t"""))
+
+  /** (q394) Reciprocity of the directed 5-NN graph
+    * (Graph.reciprocity scaladoc): what share of neighbor claims are
+    * returned — the one-number hubness headline for q283.
+    */
+  val q394Reciprocity = Q(
+    "q394_g_reciprocity",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      operators.Graph.reciprocity(
+        knn.select(col("query_id"), col("neighbor_id")))
+    },
+    Some(s"""
+      WITH $KnnCte,
+      d AS (SELECT DISTINCT query_id AS a, neighbor_id AS b FROM knn),
+      mut AS (SELECT d.a, d.b FROM d
+              WHERE EXISTS (SELECT 1 FROM d r
+                  WHERE r.a = d.b AND r.b = d.a)
+                AND d.a < d.b),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_directed FROM d),
+      nm AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM mut)
+      SELECT n_directed, n_mutual,
+        CASE WHEN n_directed > 0 THEN
+          CAST(floor(1000000.0 * CAST(2 * n_mutual AS DOUBLE)
+            / CAST(n_directed AS DOUBLE)) AS BIGINT)
+        END AS reciprocity_q
+      FROM nd CROSS JOIN nm"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -16689,5 +16767,6 @@ object Queries {
     q379Hellinger, q380Blomqvist, q381LinCcc, q382AvgNbrDeg,
     q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift,
     q386VanElteren, q387TailDependence, q388KmGreenwood,
-    q389DegreeGini, q390IpfWeights, q391JoinCounts, q392LocalMoran)
+    q389DegreeGini, q390IpfWeights, q391JoinCounts, q392LocalMoran,
+    q393DegreeHill, q394Reciprocity)
 }

@@ -1051,4 +1051,34 @@ object Graph {
       .orderBy(abs(col("lisa_q")).desc, col("id").asc)
       .limit(topK)
   }
+
+  /** Reciprocity of a DIRECTED kNN edge frame — the fraction of
+    * "i names j among its neighbors" edges that j returns:
+    *
+    *   r = 2·|mutual pairs| / |directed edges|        [⌊10⁶·⌋]
+    *
+    * The one-number hubness audit: isotropic embeddings sit near the
+    * k-regular maximum; a low r means hub vectors absorb neighbor
+    * slots they don't reciprocate (the q283 hubness profile's
+    * headline). One distinct + one semi-join + two counts — exact
+    * integers, one division.
+    *
+    * @return one row (n_directed, n_mutual, reciprocity_q)
+    */
+  def reciprocity(knn: DataFrame): DataFrame = {
+    val d = knn.select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nd = d.agg(count(lit(1)).as("n_directed"))
+    val mut = d.join(d.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .agg(count(lit(1)).as("n_mutual"))
+    nd.crossJoin(mut)
+      .select(col("n_directed"), col("n_mutual"),
+        when(col("n_directed") > 0,
+          floor(lit(1.0e6) * (lit(2L) * col("n_mutual")).cast("double") /
+            col("n_directed").cast("double")).cast("long"))
+          .as("reciprocity_q"))
+  }
 }

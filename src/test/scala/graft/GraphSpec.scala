@@ -484,4 +484,22 @@ class GraphSpec extends SparkSpec {
       .map(_.getLong(0)).toList
     assert(top2 === List(1L, 4L))
   }
+
+  test("reciprocity: fully mutual kNN scores 1; one-way chains score " +
+      "0; mixed hand case") {
+    import spark.implicits._
+    val mutual = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("query_id", "neighbor_id")
+    assert(Graph.reciprocity(mutual).collect().head.getLong(2) ===
+      1000000L)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("query_id", "neighbor_id")
+    val rc = Graph.reciprocity(chain).collect().head
+    assert((rc.getLong(0), rc.getLong(1), rc.getLong(2)) === ((3L, 0L, 0L)))
+    // 3 directed edges, 1 mutual pair: r = 2/3
+    val mixed = Seq((1L, 2L), (2L, 1L), (2L, 3L))
+      .toDF("query_id", "neighbor_id")
+    assert(Graph.reciprocity(mixed).collect().head.getLong(2) ===
+      math.floor(1.0e6 * 2.0 / 3.0).toLong)
+  }
 }
