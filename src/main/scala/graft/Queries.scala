@@ -16657,6 +16657,185 @@ object Queries {
         END AS reciprocity_q
       FROM nd CROSS JOIN nm"""))
 
+  /** (q395) Training data map: held-out probabilities at iteration 10
+    * vs 30 of the q85 quantized trainer — Swayamdipta-style training
+    * dynamics ("crossed" = the decision flipped between checkpoints,
+    * the ambiguity flag used to triage label noise). The batch
+    * trainer's iteration-t state is a pure function of iteration
+    * t−1, so train(maxIter=10) IS the 30-iteration run's prefix —
+    * the engine trains twice while the oracle reads two rows of the
+    * SAME recursive CTE (the checkpoint-extraction contract this
+    * gate exists to pin).
+    */
+  val q395DataMap = Q(
+    "q395_ml_training_data_map",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kw = array_contains(TextFns.tokens(col("text")), "spark")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("label", coalesce(kw, lit(false)).cast("double"))
+      def fit(iters: Int) = operators.QualityClassifier.trainQuantized(
+        train, "text", "label",
+        numFeatures = 1 << 15, maxIter = iters, stepSize = 2.0,
+        maskTerms = Set("spark"), portable = true)
+      val held = docs.filter(col("doc_id") % 2 === 1)
+      val early = operators.QualityClassifier.scoreQuantized(
+        held, fit(10), "text", maskTerms = Set("spark"), portable = true)
+        .select(col("doc_id"), kw.as("has_kw"),
+          round(col("quality_prob"), 9).as("p_early"))
+      val late = operators.QualityClassifier.scoreQuantized(
+        held, fit(30), "text", maskTerms = Set("spark"), portable = true)
+        .select(col("doc_id"), round(col("quality_prob"), 9).as("p_late"))
+      early.join(late, Seq("doc_id"))
+        .select(col("doc_id"), col("has_kw"), col("p_early"),
+          col("p_late"),
+          ((col("p_early") >= 0.5) =!= (col("p_late") >= 0.5))
+            .as("crossed"),
+          (col("has_kw") === (col("p_late") >= 0.5)).as("late_correct"))
+        .orderBy("doc_id")
+    },
+    Some("""
+WITH RECURSIVE
+      t0 AS (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS rawt,
+               list_filter(coalesce(
+                   regexp_split_to_array(lower(trim(text)), '\s+'), []),
+                 t -> t <> 'spark') AS u,
+               doc_id % 2 = 0 AS is_train
+             FROM documents),
+      tt AS (SELECT doc_id, is_train,
+               CASE WHEN len(u) >= 2 THEN u ||
+                 list_transform(range(1, len(u)), i -> u[i] || ' ' || u[i+1])
+                 ELSE u END AS terms,
+               CASE WHEN list_contains(rawt, 'spark') THEN 1.0
+                 ELSE 0.0 END AS label,
+               list_contains(rawt, 'spark') AS has_kw
+             FROM t0),
+      tb AS (SELECT doc_id, is_train, label, len(terms) AS n_d,
+               ('0x' || substr(md5(t.term), 1, 15))::BIGINT % 32768 AS b
+             FROM tt, LATERAL unnest(terms) AS t(term)),
+      tokc AS (SELECT doc_id, label, n_d, b,
+                 CAST(count(*) AS BIGINT) AS mult
+               FROM tb WHERE is_train GROUP BY 1, 2, 3, 4),
+      docs0 AS (SELECT doc_id, label, CAST(0 AS BIGINT) AS n_d,
+                  CAST(NULL AS BIGINT) AS b, CAST(0 AS BIGINT) AS mult
+                FROM tt WHERE is_train AND len(terms) = 0),
+      tok AS (SELECT * FROM tokc UNION ALL SELECT * FROM docs0),
+      slots AS (SELECT b, CAST(row_number() OVER (ORDER BY b) AS INT) AS s
+                FROM (SELECT DISTINCT b FROM tokc)),
+      toks AS (SELECT tok.doc_id, CAST(tok.label AS DOUBLE) AS label,
+                 tok.n_d, slots.s, tok.mult
+               FROM tok LEFT JOIN slots USING (b)),
+      ntr AS (SELECT CAST(count(*) AS DOUBLE) AS n
+              FROM tt WHERE is_train),
+      st AS (
+        SELECT 0 AS it,
+          list_transform(range(1, (SELECT count(*) FROM slots) + 1),
+            i -> CAST(0.0 AS DOUBLE)) AS cs,
+          CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS wl
+        UNION ALL
+        SELECT st.it + 1, g.ncs,
+          st.b0 - 2.0 * ((CAST(g.g0 AS DOUBLE) / 1048576.0) / g.n),
+          st.wl - 2.0 * ((CAST(g.g1 AS DOUBLE) / 1048576.0) / g.n)
+        FROM st, LATERAL (
+          WITH cw AS (
+            SELECT CAST(generate_subscripts(st.cs, 1) AS INT) AS s,
+              unnest(st.cs) AS c),
+          m AS (
+            SELECT t.doc_id, t.label, t.n_d, t.s, t.mult,
+              CASE WHEN t.s IS NULL THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(cw.c * 1073741824.0) AS BIGINT)
+              END AS cq
+            FROM toks t LEFT JOIN cw ON cw.s = t.s),
+          d AS (
+            SELECT *,
+              SUM(cq * mult) OVER (PARTITION BY doc_id) AS sqd,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY s NULLS FIRST) AS rn
+            FROM m),
+          rr AS (
+            SELECT *,
+              1.0 / (1.0 + exp(-(CASE WHEN n_d = 0 THEN st.b0
+                ELSE (st.b0 + st.wl * ln(1.0 + CAST(n_d AS DOUBLE)))
+                  + (CAST(sqd AS DOUBLE) / 1073741824.0)
+                    / CAST(n_d AS DOUBLE) END))) - label AS res
+            FROM d),
+          gg AS (
+            SELECT
+              CAST(sum(CASE WHEN rn = 1
+                THEN CAST(floor(res * 1048576.0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS g0,
+              CAST(sum(CASE WHEN rn = 1 AND n_d > 0
+                THEN CAST(floor(res * ln(1.0 + CAST(n_d AS DOUBLE))
+                  * 1048576.0) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS g1
+            FROM rr),
+          gs AS (
+            SELECT s, CAST(sum(CAST(floor(res / CAST(n_d AS DOUBLE)
+                * 16777216.0) AS BIGINT) * mult) AS BIGINT) AS gj
+            FROM rr WHERE s IS NOT NULL GROUP BY s),
+          nc AS (
+            SELECT cw.s,
+              cw.c - 2.0 * ((CAST(coalesce(gs.gj, 0) AS DOUBLE)
+                / 16777216.0) / (SELECT n FROM ntr)
+                + 0.001 * cw.c) AS cnew
+            FROM cw LEFT JOIN gs ON gs.s = cw.s)
+          SELECT (SELECT list(cnew ORDER BY s) FROM nc) AS ncs,
+            (SELECT g0 FROM gg) AS g0, (SELECT g1 FROM gg) AS g1,
+            (SELECT n FROM ntr) AS n
+        ) AS g
+        WHERE st.it < 30),
+      f10 AS (SELECT cs, b0, wl FROM st WHERE it = 10),
+      f30 AS (SELECT cs, b0, wl FROM st WHERE it = 30),
+      sb AS (SELECT tt.doc_id, tt.has_kw, len(tt.terms) AS n_d,
+               slots.s
+             FROM tt, LATERAL unnest(tt.terms) AS t(term)
+             LEFT JOIN slots
+               ON slots.b = ('0x' || substr(md5(t.term), 1, 15))::BIGINT
+                 % 32768
+             WHERE NOT tt.is_train),
+      cw10 AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
+                unnest(cs) AS c
+              FROM f10),
+      cw30 AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
+                unnest(cs) AS c
+              FROM f30),
+      sq2 AS (SELECT sb.doc_id, sb.has_kw, sb.n_d,
+               CAST(sum(CASE WHEN sb.s IS NULL THEN 0
+                 ELSE CAST(floor(cw10.c * 1073741824.0)
+                   AS BIGINT) END) AS BIGINT) AS sqd10,
+               CAST(sum(CASE WHEN sb.s IS NULL THEN 0
+                 ELSE CAST(floor(cw30.c * 1073741824.0)
+                   AS BIGINT) END) AS BIGINT) AS sqd30
+             FROM sb LEFT JOIN cw10 ON cw10.s = sb.s
+             LEFT JOIN cw30 ON cw30.s = sb.s
+             GROUP BY 1, 2, 3),
+      sall AS (SELECT doc_id, has_kw, n_d, sqd10, sqd30 FROM sq2
+               UNION ALL
+               SELECT doc_id, has_kw, 0, CAST(0 AS BIGINT),
+                 CAST(0 AS BIGINT) FROM tt
+               WHERE NOT is_train AND len(terms) = 0),
+      scored AS (SELECT doc_id, has_kw,
+        round(1.0 / (1.0 + exp(-(CASE WHEN n_d = 0
+          THEN (SELECT b0 FROM f10)
+          ELSE ((SELECT b0 FROM f10) + (SELECT wl FROM f10)
+              * ln(1.0 + CAST(n_d AS DOUBLE)))
+            + (CAST(sqd10 AS DOUBLE) / 1073741824.0)
+              / CAST(n_d AS DOUBLE)
+          END))), 9) AS p_early,
+        round(1.0 / (1.0 + exp(-(CASE WHEN n_d = 0
+          THEN (SELECT b0 FROM f30)
+          ELSE ((SELECT b0 FROM f30) + (SELECT wl FROM f30)
+              * ln(1.0 + CAST(n_d AS DOUBLE)))
+            + (CAST(sqd30 AS DOUBLE) / 1073741824.0)
+              / CAST(n_d AS DOUBLE)
+          END))), 9) AS p_late
+        FROM sall)
+      SELECT doc_id, has_kw, p_early, p_late,
+        (p_early >= 0.5) <> (p_late >= 0.5) AS crossed,
+        has_kw = (p_late >= 0.5) AS late_correct
+      FROM scored ORDER BY doc_id"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -16768,5 +16947,5 @@ object Queries {
     q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift,
     q386VanElteren, q387TailDependence, q388KmGreenwood,
     q389DegreeGini, q390IpfWeights, q391JoinCounts, q392LocalMoran,
-    q393DegreeHill, q394Reciprocity)
+    q393DegreeHill, q394Reciprocity, q395DataMap)
 }
