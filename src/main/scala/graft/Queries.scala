@@ -16836,6 +16836,64 @@ WITH RECURSIVE
         has_kw = (p_late >= 0.5) AS late_correct
       FROM scored ORDER BY doc_id"""))
 
+  /** (q396) Group-fairness audit of the marker-heuristic en-classifier
+    * across sources (Eval.fairnessAudit scaladoc): per-source
+    * selection rate, TPR/FPR, and the disparate-impact ratio against
+    * the pooled rate — exact counts, one division per rate.
+    */
+  val q396Fairness = Q(
+    "q396_ml_fairness_audit",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextFns.langId(col("text")).as("pred"))
+      operators.Eval.fairnessAudit(d, "source",
+        col("pred") === "en", col("lang") === "en")
+    },
+    Some("""
+      WITH d AS (SELECT source, lang,
+          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT source, lang,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','de','los','las','que','y'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','et','est'))) AS fr
+        FROM d),
+      pr AS (SELECT source,
+               (CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END) = 'en' AS p,
+               lang = 'en' AS y
+             FROM h WHERE source IS NOT NULL AND lang IS NOT NULL),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sel,
+               CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tp,
+               CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp
+             FROM pr GROUP BY source),
+      pool AS (SELECT CAST(sum(n) AS BIGINT) AS np,
+               CAST(sum(n_sel) AS BIGINT) AS nsp FROM per)
+      SELECT source, n, n_pos, n_sel,
+        CAST(floor(1000000.0 * CAST(n_sel AS DOUBLE)
+          / CAST(n AS DOUBLE)) AS BIGINT) AS sel_q,
+        CASE WHEN n_pos > 0 THEN
+          CAST(floor(1000000.0 * CAST(tp AS DOUBLE)
+            / CAST(n_pos AS DOUBLE)) AS BIGINT) END AS tpr_q,
+        CASE WHEN n - n_pos > 0 THEN
+          CAST(floor(1000000.0 * CAST(fp AS DOUBLE)
+            / CAST(n - n_pos AS DOUBLE)) AS BIGINT) END AS fpr_q,
+        CASE WHEN nsp > 0 THEN
+          CAST(floor(1000000.0 * CAST(n_sel * np AS DOUBLE)
+            / CAST(n * nsp AS DOUBLE)) AS BIGINT) END AS dp_q
+      FROM per CROSS JOIN pool ORDER BY source"""))
+
   /** All queries, in gate order. */
   val all: Seq[Q] = Seq(
     q01PricingAgg, q02RoutesJoin, q03LeftEnrich, q04DualDim,
@@ -16947,5 +17005,5 @@ WITH RECURSIVE
     q383SeasonalOutliers, q384SpatialAutocorr, q385QqDrift,
     q386VanElteren, q387TailDependence, q388KmGreenwood,
     q389DegreeGini, q390IpfWeights, q391JoinCounts, q392LocalMoran,
-    q393DegreeHill, q394Reciprocity, q395DataMap)
+    q393DegreeHill, q394Reciprocity, q395DataMap, q396Fairness)
 }

@@ -1090,4 +1090,59 @@ object Eval {
             dec38(col("n_cats") - 1L) - col("__B")).cast("double"))
           .cast("long")).as("ac1_q"))
   }
+
+  /** Group-fairness audit of a binary classifier — the per-group rate
+    * battery behind demographic-parity and equalized-odds checks: for
+    * each group g (vs the POOLED corpus),
+    *
+    *   sel_q = ⌊10⁶·P(ŷ=1 | g)⌋            (selection rate)
+    *   tpr_q = ⌊10⁶·P(ŷ=1 | y=1, g)⌋       (equal opportunity)
+    *   fpr_q = ⌊10⁶·P(ŷ=1 | y=0, g)⌋       (the other EO arm)
+    *   dp_q  = ⌊10⁶·sel_g / sel_pooled⌋    (disparate-impact ratio —
+    *           the four-fifths-rule number)
+    *
+    * — exact integer counts, ONE division per reported rate (dp_q
+    * divides the two exact count products: (n_sel_g·n_pool) /
+    * (n_g·n_sel_pool), so no quantized-by-quantized division).
+    * Groups missing a class report NULL for that arm rather than a
+    * fake 0 — an absent positive class is "cannot audit", not
+    * "perfectly calibrated". One scan, one hash agg, one broadcast
+    * one-row pooled join.
+    *
+    * @return per group (groupCol, n, n_pos, n_sel, sel_q, tpr_q,
+    *         fpr_q, dp_q) ordered by group
+    */
+  def fairnessAudit(df: DataFrame, groupCol: String, pred: Column,
+                    label: Column): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && pred.isNotNull && label.isNotNull)
+      .select(col(groupCol).as("__g"),
+        pred.cast("boolean").as("__p"), label.cast("boolean").as("__y"))
+    val per = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("__tp"),
+        sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("__fp"))
+    val pooled = per.agg(sum(col("n")).as("__np"),
+      sum(col("n_sel")).as("__nsp"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("__g").as(groupCol), col("n"), col("n_pos"),
+        col("n_sel"),
+        floor(lit(1.0e6) * col("n_sel").cast("double") /
+          col("n").cast("double")).cast("long").as("sel_q"),
+        when(col("n_pos") > 0,
+          floor(lit(1.0e6) * col("__tp").cast("double") /
+            col("n_pos").cast("double")).cast("long")).as("tpr_q"),
+        when(col("n") - col("n_pos") > 0,
+          floor(lit(1.0e6) * col("__fp").cast("double") /
+            (col("n") - col("n_pos")).cast("double")).cast("long"))
+          .as("fpr_q"),
+        when(col("__nsp") > 0,
+          floor(lit(1.0e6) *
+            (col("n_sel") * col("__np")).cast("double") /
+            (col("n") * col("__nsp")).cast("double")).cast("long"))
+          .as("dp_q"))
+      .orderBy(col(groupCol))
+  }
 }

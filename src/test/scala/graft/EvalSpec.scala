@@ -673,4 +673,23 @@ class EvalSpec extends SparkSpec {
     val one = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
     assert(Eval.gwetAc1(one, "r1", "r2").collect().head.isNullAt(4))
   }
+
+  test("fairnessAudit: per-group rates and disparate-impact ratio " +
+      "hand-checked; a group without negatives reports NULL fpr") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      ("A", true, true), ("A", true, false), ("A", false, true),
+      ("A", false, false),
+      ("B", true, true), ("B", true, true)).toDF("g", "p", "y")
+    val out = Eval.fairnessAudit(d, "g", col("p"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 2L, 2L)))
+    assert((a.getLong(4), a.getLong(5), a.getLong(6)) ===
+      ((500000L, 500000L, 500000L)))
+    // dp_A = (2*6)/(4*4), dp_B = (2*6)/(2*4)
+    assert(a.getLong(7) === 750000L && b.getLong(7) === 1500000L)
+    assert(b.getLong(5) === 1000000L)
+    assert(b.isNullAt(6)) // no negatives in B: FPR is unauditable
+  }
 }
