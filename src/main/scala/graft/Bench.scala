@@ -100,14 +100,25 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total     = r3(cold.map(_._2).sum)
     val totalWarm = r3(warm.map(_._2).sum)
+    // Box-contention evidence in the artifact itself: round 10's driver
+    // cold total came in 2.4× the same build's quiet-box run and nothing
+    // in the JSON could adjudicate why. loadavg (1-min, sampled at end)
+    // and the machine-wide process count make a contaminated run
+    // self-documenting.
+    val loadAvg = r3(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
+    val nProcs =
+      try java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        .filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+      catch { case _: Throwable => -1L }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(cold)},"value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadAvg,"nprocs":$nProcs,"queries":${fmt(cold)},"value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     System.err.println(s"# warm (min-of-2): total=$totalWarm sec, queries=${fmt(warm)}")
 
     val compactHead =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,"sf":"$sfDir","n_queries":${cold.size},"queries_full":"bench_out.json","queries":{"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,"loadavg":$loadAvg,"nprocs":$nProcs,"sf":"$sfDir","n_queries":${cold.size},"queries_full":"bench_out.json","queries":{"""
     val entries = cold.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val budget = 1800 - compactHead.length - 2 // closing "}}"

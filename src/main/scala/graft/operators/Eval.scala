@@ -1138,10 +1138,14 @@ object Eval {
           floor(lit(1.0e6) * col("__fp").cast("double") /
             (col("n") - col("n_pos")).cast("double")).cast("long"))
           .as("fpr_q"),
+        // count products go through decimal(38,0): at ~1e9-row groups
+        // n_sel*n_pool would wrap int64 silently where the oracle's
+        // BIGINT multiply errors — the dec38 device used elsewhere here
         when(col("__nsp") > 0,
           floor(lit(1.0e6) *
-            (col("n_sel") * col("__np")).cast("double") /
-            (col("n") * col("__nsp")).cast("double")).cast("long"))
+            (col("n_sel").cast("decimal(38,0)") * col("__np")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("__nsp")).cast("double"))
+            .cast("long"))
           .as("dp_q"))
       .orderBy(col(groupCol))
   }

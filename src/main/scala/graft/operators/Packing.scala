@@ -804,23 +804,35 @@ object Packing {
     val tot = cells.agg(sum(col("__n")).as("__tot"),
       countDistinct(col("__r")).as("__nr"),
       countDistinct(col("__c")).as("__nc"))
+    // __w stays DECIMAL(38,0) across every half-step (cast to long only
+    // in the final select): the oracle carries HUGEINT end-to-end, and a
+    // long __w would silently wrap once tot/k > ~9.2e6 against a 1-row
+    // cell (w' = tot·Q/(k·n_cell) > int64). Spark's `div` returns LONG —
+    // the very wrap being avoided — so exact integral division is
+    // (num − pmod(num, den)) / den: the numerator is made exactly
+    // divisible first, and dividing an exact multiple is lossless in
+    // DECIMAL(38,6). Remaining contract: num = w·tot·Q < 10³⁸ (the
+    // oracle's HUGEINT ceiling is the same order).
     val w0 = cells.crossJoin(broadcast(tot))
-      .withColumn("__w", lit(Q))
+      .withColumn("__w", lit(Q).cast("decimal(38,0)"))
     def step(cur: DataFrame, keyCol: String, kCol: String): DataFrame = {
       val mass = cur.groupBy(col(keyCol).as("__k"))
         .agg(sum(dec38(col("__n")) * col("__w")).as("__mass"))
       cur.join(broadcast(mass), cur(keyCol) === mass("__k"))
+        .withColumn("__num",
+          expr(s"__w * CAST(__tot AS DECIMAL(38,0)) * ${Q}L"))
+        .withColumn("__den",
+          expr(s"CAST($kCol AS DECIMAL(38,0)) * __mass"))
         .withColumn("__w",
-          expr(s"""CAST((CAST(__w AS DECIMAL(38,0)) * __tot * ${Q}L)
-                   div (CAST($kCol AS DECIMAL(38,0)) * __mass) AS BIGINT)"""))
-        .drop("__k", "__mass")
+          expr("CAST((__num - pmod(__num, __den)) / __den AS DECIMAL(38,0))"))
+        .drop("__k", "__mass", "__num", "__den")
         .localCheckpoint(eager = false)
     }
     val fitted = (1 to rounds).foldLeft(w0) { (cur, _) =>
       step(step(cur, "__r", "__nr"), "__c", "__nc")
     }
     fitted.select(col("__r").as(rowCol), col("__c").as(colCol),
-        col("__n").as("n"), col("__w").as("w_q"))
+        col("__n").as("n"), col("__w").cast("long").as("w_q"))
       .orderBy(col(rowCol), col(colCol))
   }
 }

@@ -2021,7 +2021,7 @@ object TimeAgg {
     val dec38 = (c: Column) => c.cast("decimal(38,0)")
     val d = seasonalDecompose(events, groupCol, epochMicrosCol)
       .withColumn("__tr", lit(1000000L) * col("x") - col("seasonal_q"))
-    def varNum(v: Column, n: Column, s: Column, sq: Column) =
+    def varNum(n: Column, s: Column, sq: Column) =
       dec38(n) * sq - s * s
     val agg = d.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
@@ -2031,9 +2031,9 @@ object TimeAgg {
         sum(dec38(col("detr_q")) * dec38(col("detr_q"))).as("__sd2"),
         sum(dec38(col("__tr"))).as("__st"),
         sum(dec38(col("__tr")) * dec38(col("__tr"))).as("__st2"))
-      .withColumn("__vr", varNum(col("resid_q"), col("n"), col("__sr"), col("__sr2")))
-      .withColumn("__vd", varNum(col("detr_q"), col("n"), col("__sd"), col("__sd2")))
-      .withColumn("__vt", varNum(col("__tr"), col("n"), col("__st"), col("__st2")))
+      .withColumn("__vr", varNum(col("n"), col("__sr"), col("__sr2")))
+      .withColumn("__vd", varNum(col("n"), col("__sd"), col("__sd2")))
+      .withColumn("__vt", varNum(col("n"), col("__st"), col("__st2")))
     agg.select(col(groupCol), col("n"),
         when(col("__vd") > 0,
           floor(lit(1.0e6) * greatest(lit(0.0),
@@ -2046,7 +2046,7 @@ object TimeAgg {
       .orderBy(col(groupCol))
   }
 
-  /** Entropy RATE of the per-entity event-type Markov chain — bits of
+  /** Entropy RATE of the per-entity event-type Markov chain — nats of
     * genuine novelty per step once the chain's structure is priced in:
     * H = −Σᵢ πᵢ Σⱼ p_ij·ln p_ij, with π from [[markovStationary]]'s
     * integer power rounds and p_ij from [[markovTransitions]]' exact

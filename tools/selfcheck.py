@@ -2,7 +2,7 @@
 """Local stand-in for the driver's correctness gate: run Verify's parquet
 dumps against the DuckDB oracle and compare values (columns sorted by
 name, rows sorted, exact equality)."""
-import json, math, os, sys, threading
+import json, math, os, sys, threading, time
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -12,6 +12,15 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # whole process OOM-killed); a timed-out oracle is a statement about
 # the oracle's cost, not the engine, and reports as TIMEOUT not FAIL.
 tmo = float(os.environ.get("SELFCHECK_QUERY_TIMEOUT_S", "0") or 0)
+# per-oracle COST ceiling in seconds (round-11 guard: one expensive
+# oracle zeroed the whole round-10 driver board — q395's 30-iteration
+# recursive-CTE replay exceeded 240s at sf0.001 alone). Unlike the
+# timeout above, the ceiling doesn't interrupt: the oracle finishes and
+# its answer is still compared, but a breach is counted as FAIL so an
+# over-budget gate can never land quietly. Default 30s; 0 disables
+# (use for 10x/100x scale probes where oracle cost is expected).
+ceil_s = float(os.environ.get("SELFCHECK_MAX_ORACLE_S", "30") or 0)
+oracle_secs = {}  # name -> oracle wall seconds, for the summary
 
 con = duckdb.connect()
 con.execute("SET memory_limit='48GB'")
@@ -43,10 +52,11 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 only = {q.strip() for q in os.environ.get("SELFCHECK_ONLY", "").split(",") if q.strip()}
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
-ok = fail = timeout = 0
+ok = fail = timeout = slow = 0
 for name, sql in sorted(oracle.items()):
     timer = threading.Timer(tmo, con.interrupt) if tmo > 0 else None
     if timer: timer.start()
+    t0 = time.monotonic()
     try:
         exp = con.sql(sql).df()
     except Exception as e:
@@ -57,6 +67,14 @@ for name, sql in sorted(oracle.items()):
         continue
     finally:
         if timer: timer.cancel()
+        oracle_secs[name] = time.monotonic() - t0
+    if ceil_s > 0 and oracle_secs[name] > ceil_s:
+        # still compare values below so a slow gate also reports whether
+        # it is at least CORRECT; slowness alone fails the run (exit 1)
+        print(f"SLOW {name}: oracle took {oracle_secs[name]:.1f}s "
+              f"(> {ceil_s:.0f}s ceiling) — bound its input or iterations "
+              f"before this gate ships")
+        slow += 1
     try:
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
     except Exception as e:
@@ -91,7 +109,7 @@ for name, sql in sorted(oracle.items()):
     if mismatches:
         print(f"FAIL {name}: value mismatches {mismatches[:4]}"); fail += 1
     else:
-        print(f"OK   {name} ({len(got)} rows)"); ok += 1
+        print(f"OK   {name} ({len(got)} rows, oracle {oracle_secs[name]:.1f}s)"); ok += 1
 
 # rows-only entries; with SELFCHECK_DET_DIR=<dir of a SECOND Verify run>
 # each no-oracle gate is also checked for cross-run bit-determinism
@@ -123,5 +141,12 @@ for d in sorted(glob.glob(f"{outdir}/*/")):
     except Exception as e:
         print(f"FAIL {name}: {e}"); fail += 1
 
-print(f"\n{ok} ok, {fail} fail" + (f", {timeout} oracle-timeout" if timeout else ""))
-sys.exit(1 if fail else 0)
+if oracle_secs:
+    tot = sum(oracle_secs.values())
+    top = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+    print(f"\noracle wall time: {tot:.1f}s total over {len(oracle_secs)} oracles; slowest: "
+          + ", ".join(f"{n}={s:.1f}s" for n, s in top))
+print(f"\n{ok} ok, {fail} fail"
+      + (f", {timeout} oracle-timeout" if timeout else "")
+      + (f", {slow} over the {ceil_s:.0f}s oracle ceiling" if slow else ""))
+sys.exit(1 if fail or slow else 0)
