@@ -16459,14 +16459,14 @@ object Queries {
       $m AS (SELECT r, sum(CAST(cnt AS HUGEINT) * w) AS mass
              FROM $p GROUP BY r),
       $o AS (SELECT p.r, p.c, p.cnt,
-               (CAST(w AS HUGEINT) * tot * 1000000000000)
+               (CAST(w AS HUGEINT) * tot * 1000000)
                  // (CAST(nr AS HUGEINT) * mass) AS w
              FROM $p p JOIN $m USING (r) CROSS JOIN tt)"""
       val colStep = (p: String, o: String, m: String) => s"""
       $m AS (SELECT c, sum(CAST(cnt AS HUGEINT) * w) AS mass
              FROM $p GROUP BY c),
       $o AS (SELECT p.r, p.c, p.cnt,
-               (CAST(w AS HUGEINT) * tot * 1000000000000)
+               (CAST(w AS HUGEINT) * tot * 1000000)
                  // (CAST(nc AS HUGEINT) * mass) AS w
              FROM $p p JOIN $m USING (c) CROSS JOIN tt)"""
       s"""
@@ -16478,7 +16478,7 @@ object Queries {
       tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
                CAST(count(DISTINCT r) AS BIGINT) AS nr,
                CAST(count(DISTINCT c) AS BIGINT) AS nc FROM cells),
-      w0 AS (SELECT r, c, cnt, CAST(1000000000000 AS HUGEINT) AS w
+      w0 AS (SELECT r, c, cnt, CAST(1000000 AS HUGEINT) AS w
              FROM cells),
       ${rowStep("w0", "w1", "m1")},
       ${colStep("w1", "w2", "m2")},

@@ -770,9 +770,9 @@ object Packing {
     * can't express: "balance the corpus across sources AND languages
     * JOINTLY", where fixing one marginal alone skews the other.
     *
-    * Integer grid (Q = 10¹², the [[graft.operators.TimeAgg]] Markov /
-    * HITS device): w⁰ = Q per observed cell; each round alternates a
-    * row and a column step
+    * Integer grid (Q = 10⁶ — a deliberately SMALL grid, see below):
+    * w⁰ = Q per observed cell; each round alternates a row and a
+    * column step
     *
     *   row:  w ← (w·N·Q) div (R·mass_r),  mass_r = Σ_c n·w
     *   col:  w ← (w·N·Q) div (C·mass_c),  mass_c = Σ_r n·w
@@ -783,6 +783,18 @@ object Packing {
     * converges geometrically; `rounds` = 3 is the shipped default
     * (the audit gate checks the ACHIEVED marginals, not an oracle of
     * convergence).
+    *
+    * Grid-size bound (why Q = 10⁶, not the 10¹² used by the Markov /
+    * HITS device): a half-step caps any cell's weight at N·Q/k (a
+    * 1-row cell absorbing its whole marginal target), so the next
+    * step's numerator w·N·Q reaches N²·Q²/k — the binding ceiling on
+    * BOTH engines (decimal(38,0) here, HUGEINT in the oracle). At
+    * Q = 10¹² that ceiling bit at N ≈ 1.8×10⁷ rows (a corpus size,
+    * not an edge case); at Q = 10⁶ the operator is exact to
+    * N ≈ 1.4×10¹³ rows, and the 1 ppm weight resolution is far below
+    * any sampling-weight use. Weights stay decimal(38,0) across
+    * half-steps (cast to long only in the final select) so an
+    * intermediate above int64 carries exactly instead of wrapping.
     *
     * Plan: per half-step one hash agg (marginal masses, R or C rows)
     * + one broadcast join back — 2·rounds tiny stages over a frame
@@ -795,7 +807,7 @@ object Packing {
                  rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) out of range")
     val dec38 = (c: Column) => c.cast("decimal(38,0)")
-    val Q = 1000000000000L
+    val Q = 1000000L
     val cells = df
       .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
       .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
@@ -806,13 +818,14 @@ object Packing {
       countDistinct(col("__c")).as("__nc"))
     // __w stays DECIMAL(38,0) across every half-step (cast to long only
     // in the final select): the oracle carries HUGEINT end-to-end, and a
-    // long __w would silently wrap once tot/k > ~9.2e6 against a 1-row
+    // long __w would silently wrap once tot/k > ~9.2e12 against a 1-row
     // cell (w' = tot·Q/(k·n_cell) > int64). Spark's `div` returns LONG —
     // the very wrap being avoided — so exact integral division is
     // (num − pmod(num, den)) / den: the numerator is made exactly
     // divisible first, and dividing an exact multiple is lossless in
-    // DECIMAL(38,6). Remaining contract: num = w·tot·Q < 10³⁸ (the
-    // oracle's HUGEINT ceiling is the same order).
+    // DECIMAL(38,6). The scaladoc's N ≈ 1.4e13 grid bound is the
+    // remaining contract (num = w·tot·Q < 10³⁸, same order as the
+    // oracle's HUGEINT ceiling).
     val w0 = cells.crossJoin(broadcast(tot))
       .withColumn("__w", lit(Q).cast("decimal(38,0)"))
     def step(cur: DataFrame, keyCol: String, kCol: String): DataFrame = {

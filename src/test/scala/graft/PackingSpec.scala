@@ -499,7 +499,7 @@ class PackingSpec extends SparkSpec {
 
   test("ipfWeights: balanced table is a fixed point; skewed 2x2 " +
       "matches a BigInt replay of the integer recursion") {
-    val Q = BigInt(1000000000000L)
+    val Q = BigInt(1000000L)
     val balanced = Seq(("r1", "a"), ("r1", "b"), ("r2", "a"), ("r2", "b"))
       .toDF("r", "c")
     val rb = Packing.ipfWeights(balanced, "r", "c", rounds = 3)
@@ -532,5 +532,37 @@ class PackingSpec extends SparkSpec {
       cv -> cells.map(cl => n(cl) * w(cl)).sum }
     colMass.values.foreach(m =>
       assert((bigN * Q / bigC - m) >= 0 && (bigN * Q / bigC - m) < 4))
+  }
+
+  test("ipfWeights: a singleton cell in a large corpus rakes to its " +
+      "huge upweight exactly (decimal carry, no int64 wrap)") {
+    // 100k rows in (a,x) + 1 row in (b,y): the row step must hand the
+    // singleton its whole marginal target, w ~ N*Q/2 = 5e10 — a 50,000x
+    // upweight whose div chain runs through the decimal(38,0) carry.
+    // BigInt replay pins every floor; the old long-per-half-step code
+    // would only diverge past int64 (N > ~1.8e13 at Q=1e6, untestable
+    // in-spec), but this pins the exact arithmetic on the same path.
+    val nBig = 100000L
+    val df = spark.range(nBig + 1).select(
+      when(col("id") < nBig, "a").otherwise("b").as("r"),
+      when(col("id") < nBig, "x").otherwise("y").as("c"))
+    val out = Packing.ipfWeights(df, "r", "c", rounds = 2)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) ->
+        BigInt(r0.getLong(3))).toMap
+    val Q = BigInt(1000000L)
+    var w = Map(("a", "x") -> Q, ("b", "y") -> Q)
+    val n = Map(("a", "x") -> BigInt(nBig), ("b", "y") -> BigInt(1))
+    val (bigN, k) = (BigInt(nBig + 1), BigInt(2))
+    def stepBy(key: ((String, String)) => String): Unit = {
+      val mass = w.keys.toSeq.groupBy(key).map { case (g, cells) =>
+        g -> cells.map(cl => n(cl) * w(cl)).sum }
+      w = w.map { case (cl, wv) =>
+        cl -> (wv * bigN * Q) / (k * mass(key(cl))) }
+    }
+    (1 to 2).foreach { _ => stepBy(_._1); stepBy(_._2) }
+    assert(out === w)
+    // the singleton's weight really is in the ~N*Q/2 regime — the
+    // whole point of the fixture
+    assert(w(("b", "y")) > Q * 10000)
   }
 }
