@@ -1755,8 +1755,9 @@ object Curation {
       .select(col("source_a"), col("source_b"),
         col("__min").as("shared_mass"),
         (col("__ta") + col("__tb") - col("__min")).as("union_mass"))
+      // dec38: 10⁶·shared_mass wraps int64 past ~9.2e12 shared tokens
       .withColumn("wjaccard_q",
-        expr("(1000000L * shared_mass) div union_mass"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * shared_mass) div union_mass"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -1899,8 +1900,9 @@ object Curation {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_chunks"), sum(col("__types")).as("__st"))
       .select(col(groupCol), col("n_chunks"),
-        expr(s"(1000000L * __st) div (${chunkLen}L * n_chunks)")
-          .as("msttr_q"))
+        // dec38: 10⁶·Σtypes wraps int64 past ~9.2e12 chunked tokens
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * __st) div " +
+          s"(${chunkLen}L * n_chunks)").as("msttr_q"))
   }
 
   /** Leakage-safe k-fold cross-validation plan: fold =

@@ -565,7 +565,9 @@ object Eval {
       .groupBy(col("query_id"))
       .agg(sum(col("__term")).as("__err_s"))
       .select(col("query_id"),
-        expr(s"(1000000000000L * __err_s) div ${scale.toLong}L")
+        // dec38: 10¹²·__err_s wraps int64 once scale > ~9.2e6 (deeper k
+        // or a larger grade lcm than the shipped k=5 config)
+        expr(s"(CAST(1000000000000 AS DECIMAL(38,0)) * __err_s) div ${scale.toLong}L")
           .as("err_q"))
   }
 
@@ -679,7 +681,10 @@ object Eval {
       .select(col("n"), col("both_right"), col("both_wrong"),
         col("b"), col("c"),
         when(col("b") + col("c") > 0,
-          expr("(1000000L * (b - c) * (b - c)) div (b + c)")).as("stat_q"))
+          // dec38: 10⁶·(b−c)² wraps int64 once the discordant-count gap
+          // passes ~3e6 rows — an ordinary corpus size, not an edge case
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * (b - c) * (b - c)) div (b + c)"))
+          .as("stat_q"))
   }
 
   /** Decile (or n-bin) lift table of an integer score against a binary
@@ -725,7 +730,10 @@ object Eval {
       .select(col("bin"), col("n"), col("positives"),
         expr("(1000000L * positives) div n").as("rate_q"),
         when(col("__totP") > 0,
-          expr("(1000000L * __cumP * __N) div (__cumN * __totP)"))
+          // dec38 BOTH sides: 10⁶·cumP·N and cumN·totP are count×count
+          // products that wrap int64 past ~3e6 / ~3e9 rows respectively
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * __cumP * __N) div " +
+            "(CAST(__cumN AS DECIMAL(38,0)) * __totP)"))
           .otherwise(lit(0L)).as("cum_lift_q"))
   }
 
@@ -904,13 +912,17 @@ object Eval {
           Seq("__a"))
         .join(cur.select(col("__id").as("__b"), col("__wq").as("__wb")),
           Seq("__b"))
-        .withColumn("__t", expr("(__p * 1000000000000L) div (__wa + __wb)"))
+        // dec38: a matchup heavier than ~9.2e6 comparisons wraps
+        // __p·10¹² in long arithmetic
+        .withColumn("__t",
+          expr("(CAST(__p AS DECIMAL(38,0)) * 1000000000000L) div (__wa + __wb)"))
         .groupBy(col("__a").as("__id")).agg(sum(col("__t")).as("__d"))
       items.join(d, Seq("__id"))
         .select(col("__id"),
           when(col("__d") > 0,
-            expr("(__wins * 1000000000000L) div __d")).otherwise(lit(0L))
-            .as("__wq"))
+            // same wrap class: total wins scale with corpus comparisons
+            expr("(CAST(__wins AS DECIMAL(38,0)) * 1000000000000L) div __d"))
+            .otherwise(lit(0L)).as("__wq"))
         .localCheckpoint(eager = false)
     }
     val tot = pairs.groupBy(col("__a").as("__id"))

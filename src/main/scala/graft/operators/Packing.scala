@@ -702,8 +702,10 @@ object Packing {
       sum(col("t_size")).as("__tt"))
     g.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("t_size"), col("n_docs"), col("s_q"),
-        expr("(1000000L * s_q) div __ss").as("w_q"),
-        expr("(1000000L * t_size) div __tt").as("nat_q"))
+        // dec38: 10⁶·t_size (and ·s_q) wraps int64 once one source
+        // passes ~9.2e12 tokens — inside a 100 TB corpus's range
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * s_q) div __ss").as("w_q"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * t_size) div __tt").as("nat_q"))
   }
 
   /** UniMax budget allocation (Chung et al. 2023): spread a token
@@ -760,8 +762,9 @@ object Packing {
       .select(col("source"), col("t_tokens"), col("cap"),
         col("alloc_tokens"),
         when(col("t_tokens") > 0,
-          expr("(1000000L * alloc_tokens) div t_tokens")).otherwise(lit(0L))
-          .as("epochs_q"))
+          // dec38: 10⁶·alloc_tokens wraps int64 past ~9.2e12 tokens
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * alloc_tokens) div t_tokens"))
+          .otherwise(lit(0L)).as("epochs_q"))
   }
 
   /** Iterative proportional fitting (raking) of per-cell sampling

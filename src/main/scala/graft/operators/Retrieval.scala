@@ -279,7 +279,10 @@ object Retrieval {
       .orderBy(col("rm_weight_q").desc, col("term").asc)
     fb.join(fbTf, Seq("doc_id"))
       .join(broadcast(fbDl), Seq("doc_id"))
-      .withColumn("__c", expr("(1000000000000L * tf) div dl"))
+      // dec38: 10¹²·tf wraps int64 for a term repeated >9.2e6 times in
+      // one (pathologically concatenated) document
+      .withColumn("__c",
+        expr("(CAST(1000000000000 AS DECIMAL(38,0)) * tf) div dl"))
       .groupBy(col("query_id"), col("term"))
       .agg(sum(col("__c")).as("rm_weight_q"))
       .withColumn("term_rank", row_number().over(w))

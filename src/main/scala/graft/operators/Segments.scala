@@ -287,8 +287,8 @@ object Segments {
     * from the same count-of-counts grid as [[goodTuring]] (f1 = hapax,
     * f2 = dis legomena; the +1 correction keeps it defined at f2 = 0).
     * chao1_q = 10⁶·n_types + (10⁶·f1·(f1−1)) div (2·(f2+1)) — pure
-    * integer arithmetic, exact to ~3M hapax per group (the 10⁶·f1²
-    * long bound), engine-identical. The vocabulary-budget planner's
+    * integer arithmetic — the 10⁶·f1² product runs in decimal(38,0)
+    * so billion-hapax vocabularies stay exact — engine-identical. The vocabulary-budget planner's
     * companion to goodTuring's unseen-mass rate: GT says how OFTEN a
     * new type appears next token; Chao1 says how MANY remain.
     */
@@ -297,8 +297,9 @@ object Segments {
     goodTuring(docs, groupCol, textCol)
       .select(col(groupCol), col("n_types"), col("n_hapax"),
         col("n_dis"),
-        expr("1000000L * n_types + (1000000L * n_hapax * (n_hapax - 1))" +
-          " div (2L * (n_dis + 1))").as("chao1_q"))
+        expr("1000000L * n_types + (CAST(1000000 AS DECIMAL(38,0)) " +
+          "* n_hapax * (n_hapax - 1)) div (2L * (n_dis + 1))")
+          .as("chao1_q"))
 
   /** Per-token burstiness (Church & Gale 1995): the variance-to-mean
     * ratio of a token's per-document count, zeros included — content

@@ -1741,11 +1741,14 @@ object Stats {
     val j = lit(1.0) - lit(3.0) /
       (lit(4.0) * (d("n1") + d("n2")) - lit(9.0))
     mom.crossJoin(broadcast(u))
-      // long arithmetic bound: 10⁶·n₁·n₂ < 2⁶³ holds to ~3M rows per
-      // group — aggregate upstream past that (the mcnemar convention)
+      // dec38 products: 10⁶·n₁·n₂ wraps int64 past ~3M rows per group.
+      // The remaining long bound is the u2 OUTPUT column itself
+      // (n₁·n₂ ≤ 9.2e18 pairs ⇔ ~3e9 rows per group).
       .withColumn("u2", col("__u2").cast("long"))
       .select(col("n1"), col("n2"), col("u2"),
-        expr("(1000000L * (u2 - n1 * n2)) div (n1 * n2)").as("cliffs_q"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * " +
+          "(u2 - CAST(n1 AS DECIMAL(38,0)) * n2)) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2)").as("cliffs_q"),
         when(col("n1") >= 2 && col("n2") >= 2 && ssw > 0,
           floor(lit(1000000.0) * cohen).cast("long")).as("cohen_d_q"),
         when(col("n1") >= 2 && col("n2") >= 2 && ssw > 0,
@@ -2127,7 +2130,9 @@ object Stats {
         when(success, 1L).otherwise(0L).as("__s"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("__s")).as("x"))
-      .withColumn("__pq", expr("(1000000000L * x) div n"))
+      // dec38: 10⁹·x wraps int64 for a group with >9.2e9 successes
+      .withColumn("__pq",
+        expr("(CAST(1000000000 AS DECIMAL(38,0)) * x) div n"))
       .localCheckpoint(eager = false)
     val mom = g.agg(count(lit(1)).as("__k"),
       sum(dec(col("__pq"))).as("__m"),
@@ -2593,13 +2598,17 @@ object Stats {
         (dec(col("__n")) * (dec(col("__n")) - lit(1)) - col("__ty2"))
           .cast("long").as("__uy2"))
       .select(col("n"), col("c_pairs"), col("d_pairs"),
+        // dec38: pair counts are O(n²) — 10⁶·(c−d) wraps int64 already
+        // at ~4e6 rows
         when(col("c_pairs") + col("d_pairs") > 0,
-          expr("(1000000L * (c_pairs - d_pairs)) div (c_pairs + d_pairs)"))
-          .as("gamma_q"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * (c_pairs - d_pairs)) " +
+            "div (c_pairs + d_pairs)")).as("gamma_q"),
         when(col("__ux2") > 0,
-          expr("(2000000L * (c_pairs - d_pairs)) div __ux2")).as("sdyx_q"),
+          expr("(CAST(2000000 AS DECIMAL(38,0)) * (c_pairs - d_pairs)) " +
+            "div __ux2")).as("sdyx_q"),
         when(col("__uy2") > 0,
-          expr("(2000000L * (c_pairs - d_pairs)) div __uy2")).as("sdxy_q"))
+          expr("(CAST(2000000 AS DECIMAL(38,0)) * (c_pairs - d_pairs)) " +
+            "div __uy2")).as("sdxy_q"))
   }
 
   /** Jarque–Bera normality diagnostic per group, from exact raw-moment
@@ -2706,7 +2715,10 @@ object Stats {
       .withColumn("p_q", floor(lit(1.0e12) *
         exp(-col("chi_q").cast("double") / lit(2.0e9))).cast("long"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("__raw", expr("(__m * p_q) div rank"))
+      // dec38: m·p_q wraps int64 once the hypothesis count passes
+      // ~9.2e6 groups — a large-audit size, not an edge case
+      .withColumn("__raw",
+        expr("(CAST(__m AS DECIMAL(38,0)) * p_q) div rank"))
       .withColumn("adj_q", least(min(col("__raw")).over(wTail),
         lit(1000000000000L)))
       .select(col("__g").as(groupCol), col("__ng").as("n"), col("chi_q"),

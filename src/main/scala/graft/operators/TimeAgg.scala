@@ -579,8 +579,11 @@ object TimeAgg {
     buckets
       .withColumn("__t", count(lit(1)).over(w))
       .withColumn("__p", sum(x).over(w))
+      // dec38: 10⁶·t·x wraps int64 once bucket values reach ~1e9 over a
+      // ~1e5-bucket series — ordinary at full event volume
       .withColumn("__dq",
-        expr(s"(1000000L * (__t * CAST($xCol AS BIGINT) - __p)) div __t")
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * " +
+          s"(CAST(__t AS DECIMAL(38,0)) * CAST($xCol AS BIGINT) - __p)) div __t")
           - lit(deltaQ))
       .withColumn("__u", sum(col("__dq")).over(w))
       .withColumn("__minu", least(min(col("__u")).over(w), lit(0L)))
@@ -634,10 +637,12 @@ object TimeAgg {
           abs(x - col("__lags"))).otherwise(lit(0L))).as("test_mae_num"),
         sum(when(col("__t") > col("__ntr") && col("__lags").isNotNull,
           lit(1L)).otherwise(lit(0L))).as("n_scored"))
+      // dec38 both sides: the error-sum × count triple products wrap
+      // int64 at corpus-scale per-bucket magnitudes
       .withColumn("mase_q",
         when(col("naive_mae_num") > 0 && col("n_scored") > 0,
-          expr("(1000000L * test_mae_num * (n_train - 1L)) div " +
-            "(n_scored * naive_mae_num)")))
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * test_mae_num * (n_train - 1L)) div " +
+            "(CAST(n_scored AS DECIMAL(38,0)) * naive_mae_num)")))
       .select(col(groupCol), col("n_train"), col("n_test"),
         col("n_scored"), col("naive_mae_num"), col("test_mae_num"),
         col("mase_q"))
@@ -681,8 +686,9 @@ object TimeAgg {
       .agg(count(lit(1)).as("n_scored"),
         sum(col("__l")).as("pinball_num"))
       .select(col(groupCol), col("n_scored"), col("pinball_num"),
-        expr(s"(1000000L * pinball_num) div (${tauDen}L * n_scored)")
-          .as("pinball_mean_q"))
+        // dec38: 10⁶·Σloss wraps int64 past ~9.2e12 loss units
+        expr(s"(CAST(1000000 AS DECIMAL(38,0)) * pinball_num) div " +
+          s"(${tauDen}L * n_scored)").as("pinball_mean_q"))
   }
 
   /** Pairwise association rules over per-entity item baskets
@@ -977,7 +983,10 @@ object TimeAgg {
         Window.partitionBy(lit(1))))
       .withColumn("n_risk",
         col("__tot") - coalesce(sum(col("__leave")).over(wCumPrev), lit(0L)))
-      .withColumn("__hq", expr("(1000000000000L * d_events) div n_risk"))
+      // dec38: 10¹²·d_events wraps int64 once one duration bucket holds
+      // >9.2e6 events (quotient ≤ 10¹² always fits the long result)
+      .withColumn("__hq",
+        expr("(CAST(1000000000000 AS DECIMAL(38,0)) * d_events) div n_risk"))
       .withColumn("cumhaz_q", sum(col("__hq")).over(wCum))
       .select(col("t_days"), col("n_risk"), col("d_events"),
         col("n_censored"), col("cumhaz_q"))
@@ -1030,8 +1039,11 @@ object TimeAgg {
       .withColumn("nn", col("n1") + col("n0"))
       .withColumn("dd", col("d1") + col("d0"))
       .filter(col("dd") > 0)
+      // dec38: d1·nn and dd·n1 are events×at-risk products — with 10⁹
+      // on top they wrap int64 already at d1·nn > 9.2e9, a small study
       .withColumn("__oeq",
-        expr("(1000000000L * (d1 * nn - dd * n1)) div nn"))
+        expr("(CAST(1000000000 AS DECIMAL(38,0)) * " +
+          "(CAST(d1 AS DECIMAL(38,0)) * nn - CAST(dd AS DECIMAL(38,0)) * n1)) div nn"))
       .withColumn("__vq",
         when(col("nn") > 1,
           floor(lit(1.0e9) *
