@@ -62,6 +62,15 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
             print(f"TIMEOUT {name}: oracle exceeded {tmo:.0f}s in DuckDB"); timeout += 1
+            if ceil_s > 0:
+                # when the cost ceiling is active, an interrupted oracle is
+                # the worst over-budget case (cost >= tmo, answer unknown) —
+                # it must fail the run, not slip past the `slow` counter
+                # (round-11 review: the q395 failure class re-enabled by the
+                # TIMEOUT path's `continue`)
+                oracle_secs[name] = time.monotonic() - t0
+                print(f"SLOW {name}: interrupted at {oracle_secs[name]:.1f}s "
+                      f"with the {ceil_s:.0f}s ceiling active"); slow += 1
         else:
             print(f"FAIL {name}: oracle error: {e}"); fail += 1
         continue
