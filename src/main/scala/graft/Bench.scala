@@ -78,6 +78,15 @@ object Bench {
         q.name -> dt
       }
 
+    // Pre-run loadavg: sampled BEFORE the timed passes so it measures
+    // box contention, not the bench's own full-tilt load (the end-of-run
+    // sample is always ~n_cores on any box once three passes have run).
+    val loadAvgPre = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.rint(v * 1000) / 1000
+    }
+
     val cold = pass()
     // min-of-2 warm: each pass re-runs q.run (fresh plan each time —
     // only codegen/JIT/page cache carry over), then take the per-query
@@ -102,23 +111,27 @@ object Bench {
     val totalWarm = r3(warm.map(_._2).sum)
     // Box-contention evidence in the artifact itself: round 10's driver
     // cold total came in 2.4× the same build's quiet-box run and nothing
-    // in the JSON could adjudicate why. loadavg (1-min, sampled at end)
-    // and the machine-wide process count make a contaminated run
+    // in the JSON could adjudicate why. loadavg_pre (1-min, sampled
+    // before the first timed pass — the contention signal; the end
+    // sample mostly measures the bench itself) plus the end sample and
+    // the machine-wide process count make a contaminated run
     // self-documenting.
     val loadAvg = r3(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
-    val nProcs =
-      try java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
-        .filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+    val nProcs = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+      try s.filter(p => p.getFileName.toString.forall(_.isDigit)).count()
       catch { case _: Throwable => -1L }
+      finally s.close()
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","loadavg":$loadAvg,"nprocs":$nProcs,"queries":${fmt(cold)},"value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","loadavg_pre":$loadAvgPre,"loadavg":$loadAvg,"nprocs":$nProcs,"queries":${fmt(cold)},"value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     System.err.println(s"# warm (min-of-2): total=$totalWarm sec, queries=${fmt(warm)}")
 
     val compactHead =
-      s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,"loadavg":$loadAvg,"nprocs":$nProcs,"sf":"$sfDir","n_queries":${cold.size},"queries_full":"bench_out.json","queries":{"""
+      s"""{"metric":"total","value":$total,"unit":"sec","value_warm":$totalWarm,"loadavg_pre":$loadAvgPre,"loadavg":$loadAvg,"nprocs":$nProcs,"sf":"$sfDir","n_queries":${cold.size},"queries_full":"bench_out.json","queries":{"""
     val entries = cold.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val budget = 1800 - compactHead.length - 2 // closing "}}"

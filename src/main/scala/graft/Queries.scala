@@ -16798,8 +16798,8 @@ WITH RECURSIVE
             (SELECT n FROM ntr) AS n
         ) AS g
         WHERE st.it < 3),
-      f10 AS (SELECT cs, b0, wl FROM st WHERE it = 2),
-      f30 AS (SELECT cs, b0, wl FROM st WHERE it = 3),
+      fEarly AS (SELECT cs, b0, wl FROM st WHERE it = 2),
+      fLate AS (SELECT cs, b0, wl FROM st WHERE it = 3),
       sb AS (SELECT tt.doc_id, tt.has_kw, len(tt.terms) AS n_d,
                slots.s
              FROM tt, LATERAL unnest(tt.terms) AS t(term)
@@ -16807,21 +16807,21 @@ WITH RECURSIVE
                ON slots.b = ('0x' || substr(md5(t.term), 1, 15))::BIGINT
                  % 32768
              WHERE tt.doc_id % 2 = 1),
-      cw10 AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
+      cwEarly AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
                 unnest(cs) AS c
-              FROM f10),
-      cw30 AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
+              FROM fEarly),
+      cwLate AS (SELECT CAST(generate_subscripts(cs, 1) AS INT) AS s,
                 unnest(cs) AS c
-              FROM f30),
+              FROM fLate),
       sq2 AS (SELECT sb.doc_id, sb.has_kw, sb.n_d,
                CAST(sum(CASE WHEN sb.s IS NULL THEN 0
-                 ELSE CAST(floor(cw10.c * 1073741824.0)
+                 ELSE CAST(floor(cwEarly.c * 1073741824.0)
                    AS BIGINT) END) AS BIGINT) AS sqd10,
                CAST(sum(CASE WHEN sb.s IS NULL THEN 0
-                 ELSE CAST(floor(cw30.c * 1073741824.0)
+                 ELSE CAST(floor(cwLate.c * 1073741824.0)
                    AS BIGINT) END) AS BIGINT) AS sqd30
-             FROM sb LEFT JOIN cw10 ON cw10.s = sb.s
-             LEFT JOIN cw30 ON cw30.s = sb.s
+             FROM sb LEFT JOIN cwEarly ON cwEarly.s = sb.s
+             LEFT JOIN cwLate ON cwLate.s = sb.s
              GROUP BY 1, 2, 3),
       sall AS (SELECT doc_id, has_kw, n_d, sqd10, sqd30 FROM sq2
                UNION ALL
@@ -16830,15 +16830,15 @@ WITH RECURSIVE
                WHERE doc_id % 2 = 1 AND len(terms) = 0),
       scored AS (SELECT doc_id, has_kw,
         round(1.0 / (1.0 + exp(-(CASE WHEN n_d = 0
-          THEN (SELECT b0 FROM f10)
-          ELSE ((SELECT b0 FROM f10) + (SELECT wl FROM f10)
+          THEN (SELECT b0 FROM fEarly)
+          ELSE ((SELECT b0 FROM fEarly) + (SELECT wl FROM fEarly)
               * ln(1.0 + CAST(n_d AS DOUBLE)))
             + (CAST(sqd10 AS DOUBLE) / 1073741824.0)
               / CAST(n_d AS DOUBLE)
           END))), 9) AS p_early,
         round(1.0 / (1.0 + exp(-(CASE WHEN n_d = 0
-          THEN (SELECT b0 FROM f30)
-          ELSE ((SELECT b0 FROM f30) + (SELECT wl FROM f30)
+          THEN (SELECT b0 FROM fLate)
+          ELSE ((SELECT b0 FROM fLate) + (SELECT wl FROM fLate)
               * ln(1.0 + CAST(n_d AS DOUBLE)))
             + (CAST(sqd30 AS DOUBLE) / 1073741824.0)
               / CAST(n_d AS DOUBLE)

@@ -728,7 +728,8 @@ object Eval {
         Window.orderBy(col("bin").asc).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("bin"), col("n"), col("positives"),
-        expr("(1000000L * positives) div n").as("rate_q"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * positives) div n")
+          .as("rate_q"),
         when(col("__totP") > 0,
           // dec38 BOTH sides: 10⁶·cumP·N and cumN·totP are count×count
           // products that wrap int64 past ~3e6 / ~3e9 rows respectively

@@ -2099,7 +2099,7 @@ object Stats {
       z2 / (lit(4.0) * nD * nD))
     val den = lit(1.0) + z2 / nD
     g.select(col(groupCol), col("n"), col("x"),
-        expr("(1000000L * x) div n").as("p_q"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * x) div n").as("p_q"),
         floor(lit(1000000.0) * (center - margin) / den).cast("long")
           .as("lo_q"),
         floor(lit(1000000.0) * (center + margin) / den).cast("long")
@@ -2144,7 +2144,7 @@ object Stats {
     val nu = pbar * (lit(1.0) - pbar) / varp - lit(1.0)
     g.crossJoin(broadcast(mom))
       .select(col(groupCol), col("n"), col("x"),
-        expr("(1000000L * x) div n").as("raw_q"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * x) div n").as("raw_q"),
         when(varp > 0 && nu > 0,
           floor(lit(1000000.0) * (d(col("x")) + pbar * nu) /
             (d(col("n")) + nu)).cast("long")).as("shrunk_q"))
