@@ -42,6 +42,17 @@ object Bench {
     val inventory = only.map(o => Queries.all.filter(q => o(q.name)))
       .getOrElse(Queries.all)
 
+    // Pre-run loadavg: sampled BEFORE the untimed warm-up AND the timed
+    // passes, so the 1-minute average reflects what the box was doing
+    // before this bench touched it (sampling after the warm-up — as
+    // rounds ≤11 did — already folds several seconds of the bench's own
+    // warm-up work plus the launching sbt/JVM into the "pre" number).
+    val loadAvgPre = {
+      val v = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.rint(v * 1000) / 1000
+    }
+
     // Untimed session warm-up: the FIRST query of a pass otherwise
     // absorbs one-time costs (codegen infrastructure, first parquet
     // footer read, shuffle/broadcast init) — measured ~3 s billed to
@@ -78,15 +89,6 @@ object Bench {
         q.name -> dt
       }
 
-    // Pre-run loadavg: sampled BEFORE the timed passes so it measures
-    // box contention, not the bench's own full-tilt load (the end-of-run
-    // sample is always ~n_cores on any box once three passes have run).
-    val loadAvgPre = {
-      val v = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      math.rint(v * 1000) / 1000
-    }
-
     val cold = pass()
     // min-of-2 warm: each pass re-runs q.run (fresh plan each time —
     // only codegen/JIT/page cache carry over), then take the per-query
@@ -118,12 +120,15 @@ object Bench {
     // self-documenting.
     val loadAvg = r3(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
-    val nProcs = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
-      try s.filter(p => p.getFileName.toString.forall(_.isDigit)).count()
-      catch { case _: Throwable => -1L }
-      finally s.close()
-    }
+    val nProcs =
+      // the Files.list itself is inside the try: on a box without /proc
+      // it throws NoSuchFileException, and an uncaught throw here would
+      // lose the whole run's output AFTER all timed passes completed
+      try {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        try s.filter(p => p.getFileName.toString.forall(_.isDigit)).count()
+        finally s.close()
+      } catch { case _: Throwable => -1L }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","loadavg_pre":$loadAvgPre,"loadavg":$loadAvg,"nprocs":$nProcs,"queries":${fmt(cold)},"value_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}"""
     println(line)

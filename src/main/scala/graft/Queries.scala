@@ -43,6 +43,21 @@ object Queries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Casts wide integer *output* columns to string for the driver
+    * compare. These columns are decimal(38,0) on the Spark side and
+    * HUGEINT in the oracle; the values are equal but the driver's
+    * hasher serializes int128 and decimal128 differently (the round-11
+    * board's only failure class). Both engines render the integers
+    * digit-identically as text — Spark's scale-0 decimal has no point
+    * or exponent, matching DuckDB's `HUGEINT -> VARCHAR` — so string
+    * is the wrap-safe carrier with driver-passing precedent. The
+    * operators themselves keep their numeric return types; only the
+    * gate output is normalized, mirrored by `CAST(.. AS VARCHAR)` in
+    * the oracle's final SELECT.
+    */
+  private def wideStr(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
+
   /** DuckDB-side epoch-micros for events.ts — exact for both fixture
     * regimes: TIMESTAMP-micros reads as TIMESTAMP (cast is identity),
     * INT64-nanos reads as TIMESTAMP_NS (cast truncates to micros, the
@@ -14747,8 +14762,8 @@ object Queries {
   val q353AnsariBradley = Q(
     "q353_a_ansari_bradley",
     (s, dir) =>
-      operators.Stats.ansariBradley(t(s, dir, "documents"), "source",
-        "n_chars", "src2", "src3"),
+      wideStr(operators.Stats.ansariBradley(t(s, dir, "documents"),
+        "source", "n_chars", "src2", "src3"), "q4_l"),
     Some("""
       WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
              FROM documents
@@ -14774,7 +14789,7 @@ object Queries {
               CAST(sum(CAST(cnt AS HUGEINT) * CAST(a2 AS HUGEINT)
                 * CAST(a2 AS HUGEINT)) AS HUGEINT) AS q4
             FROM sc)
-      SELECT n_a, n_b, n_total, t2_l, s2_l, q4 AS q4_l,
+      SELECT n_a, n_b, n_total, t2_l, s2_l, CAST(q4 AS VARCHAR) AS q4_l,
         CASE WHEN n_total >= 3 AND CAST(n_total AS HUGEINT) * q4
             - CAST(s2_l AS HUGEINT) * CAST(s2_l AS HUGEINT) > 0 THEN
           CAST(floor(1000000.0
@@ -15026,7 +15041,7 @@ object Queries {
       val d = t(s, dir, "documents")
         .select(col("lang"), TextFns.langId(col("text")).as("pred"))
         .filter(col("pred").isNotNull)
-      operators.Eval.gwetAc1(d, "lang", "pred")
+      wideStr(operators.Eval.gwetAc1(d, "lang", "pred"), "b_l")
     },
     Some("""
       WITH d AS (SELECT lang,
@@ -15062,7 +15077,7 @@ object Queries {
                 CAST(sum(CAST(m AS HUGEINT) * (2 * N - m)) AS HUGEINT)
                   AS B
               FROM cats CROSS JOIN tot)
-      SELECT n_rows, agree, n_cats, B AS b_l,
+      SELECT n_rows, agree, n_cats, CAST(B AS VARCHAR) AS b_l,
         CASE WHEN n_cats >= 2 AND CAST(4 AS HUGEINT) * n_rows * n_rows
             * (n_cats - 1) - B > 0 THEN
           CAST(floor(1000000.0
@@ -15212,13 +15227,14 @@ object Queries {
   val q362Wasserstein = Q(
     "q362_a_wasserstein1",
     (s, dir) =>
-      operators.Robust.wasserstein1(t(s, dir, "documents"), "source",
-        "n_chars", "src0", "src1"),
+      wideStr(operators.Robust.wasserstein1(t(s, dir, "documents"),
+        "source", "n_chars", "src0", "src1"), "num_l"),
     Some(s"""
       WITH ${ecdfSql("src0", "src1")}
       SELECT na AS n_a, nb AS n_b,
-        CAST(sum(abs(CAST(cum_a AS HUGEINT) * nb
-          - CAST(cum_b AS HUGEINT) * na) * gap) AS HUGEINT) AS num_l,
+        CAST(CAST(sum(abs(CAST(cum_a AS HUGEINT) * nb
+          - CAST(cum_b AS HUGEINT) * na) * gap) AS HUGEINT) AS VARCHAR)
+          AS num_l,
         CASE WHEN na > 0 AND nb > 0 THEN
           CAST(floor(1000000.0
             * CAST(sum(abs(CAST(cum_a AS HUGEINT) * nb
@@ -15234,15 +15250,15 @@ object Queries {
   val q363CramerVonMises = Q(
     "q363_a_cramer_von_mises",
     (s, dir) =>
-      operators.Robust.cramerVonMises(t(s, dir, "documents"), "source",
-        "n_chars", "src2", "src3"),
+      wideStr(operators.Robust.cramerVonMises(t(s, dir, "documents"),
+        "source", "n_chars", "src2", "src3"), "num_l"),
     Some(s"""
       WITH ${ecdfSql("src2", "src3")}
       SELECT na AS n_a, nb AS n_b,
-        CAST(sum(CAST(c_pool AS HUGEINT)
+        CAST(CAST(sum(CAST(c_pool AS HUGEINT)
           * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na)
           * (CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na))
-          AS HUGEINT) AS num_l,
+          AS HUGEINT) AS VARCHAR) AS num_l,
         CASE WHEN na > 0 AND nb > 0 THEN
           CAST(floor(1000000.0
             * CAST(sum(CAST(c_pool AS HUGEINT)
@@ -15263,8 +15279,9 @@ object Queries {
   val q364EnergyDistance = Q(
     "q364_a_energy_distance",
     (s, dir) =>
-      operators.Robust.energyDistance(t(s, dir, "documents"), "source",
-        "n_chars", "src4", "src5"),
+      wideStr(operators.Robust.energyDistance(t(s, dir, "documents"),
+        "source", "n_chars", "src4", "src5"),
+        "sab_l", "saa_l", "sbb_l"),
     Some(s"""
       WITH ${ecdfSql("src4", "src5")},
       ab AS (SELECT ca, cb,
@@ -15281,7 +15298,8 @@ object Queries {
                CAST(sum(CAST(ca AS HUGEINT) * absA) AS HUGEINT) AS saa_l,
                CAST(sum(CAST(cb AS HUGEINT) * absB) AS HUGEINT) AS sbb_l
              FROM ab)
-      SELECT n_a, n_b, sab_l, saa_l, sbb_l,
+      SELECT n_a, n_b, CAST(sab_l AS VARCHAR) AS sab_l,
+        CAST(saa_l AS VARCHAR) AS saa_l, CAST(sbb_l AS VARCHAR) AS sbb_l,
         CASE WHEN n_a > 0 AND n_b > 0 THEN
           CAST(floor(1000000.0
             * CAST(CAST(2 AS HUGEINT) * sab_l * n_a * n_b
@@ -15335,7 +15353,9 @@ object Queries {
     */
   val q366Grubbs = Q(
     "q366_a_grubbs",
-    (s, dir) => operators.Stats.grubbs(t(s, dir, "documents"), "n_chars"),
+    (s, dir) =>
+      wideStr(operators.Stats.grubbs(t(s, dir, "documents"), "n_chars"),
+        "num0_l"),
     Some("""
       WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
              WHERE n_chars IS NOT NULL),
@@ -15343,7 +15363,8 @@ object Queries {
                 CAST(sum(x) AS BIGINT) AS S FROM v),
       c AS (SELECT n, n * x - S AS xc FROM v CROSS JOIN tot)
       SELECT n, CAST(max(abs(xc)) AS BIGINT) AS maxdev_l,
-        CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS num0_l,
+        CAST(CAST(sum(CAST(xc AS HUGEINT) * xc) AS HUGEINT) AS VARCHAR)
+          AS num0_l,
         CASE WHEN n >= 3 AND sum(CAST(xc AS HUGEINT) * xc) > 0 THEN
           CAST(floor(1000000.0 * CAST(max(abs(xc)) AS DOUBLE)
             * sqrt(CAST(n - 1 AS DOUBLE))
@@ -15359,8 +15380,8 @@ object Queries {
   val q367Quade = Q(
     "q367_a_quade",
     (s, dir) =>
-      operators.Stats.quade(t(s, dir, "documents"), "lang", "source",
-        "n_chars"),
+      wideStr(operators.Stats.quade(t(s, dir, "documents"), "lang",
+        "source", "n_chars"), "a16_l", "b16n_l"),
     Some("""
       WITH cells AS (SELECT lang AS b, source AS t,
                CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS x
@@ -15397,7 +15418,9 @@ object Queries {
                AS b16n_l
              FROM (SELECT CAST(sum(S4) AS BIGINT) AS sj
                    FROM s4 GROUP BY t))
-      SELECT n_blocks, (SELECT k FROM kk) AS k, a16_l, b16n_l,
+      SELECT n_blocks, (SELECT k FROM kk) AS k,
+        CAST(a16_l AS VARCHAR) AS a16_l,
+        CAST(b16n_l AS VARCHAR) AS b16n_l,
         CASE WHEN n_blocks >= 2
             AND CAST(n_blocks AS HUGEINT) * a16_l - b16n_l > 0 THEN
           CAST(floor(1000000.0
@@ -15473,7 +15496,8 @@ object Queries {
           .as("before"),
           sum(when(col("day") >= col("__mid"), 1L).otherwise(0L))
           .as("after"))
-      operators.Stats.wilcoxonSignedRank(per, "before", "after")
+      wideStr(operators.Stats.wilcoxonSignedRank(per, "before", "after"),
+        "var48_l")
     },
     Some(s"""
       WITH ud AS (SELECT user_id, $EvUs // 86400000000 AS day
@@ -15502,7 +15526,8 @@ object Queries {
                  - sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
                  AS HUGEINT) AS var48_l
              FROM ranked)
-      SELECT n_used, n_pos, n_neg, w2_l, var48_l,
+      SELECT n_used, n_pos, n_neg, w2_l,
+        CAST(var48_l AS VARCHAR) AS var48_l,
         CASE WHEN n_used >= 1 AND var48_l > 0 THEN
           CAST(floor(1000000.0
             * CAST(2 * w2_l - n_used * (n_used + 1) AS DOUBLE)
@@ -16018,13 +16043,13 @@ object Queries {
     (s, dir) => {
       val d = t(s, dir, "documents").filter(col("text").isNotNull)
       val blank = length(trim(col("text"))) === 0
-      operators.Stats.linCcc(
+      wideStr(operators.Stats.linCcc(
         d.select(
           when(blank, lit(0L))
             .otherwise(TextFns.tokenCount(col("text")).cast("long"))
             .as("n_tok"),
           TextFns.subwordCount(col("text")).cast("long").as("n_sub")),
-        "n_tok", "n_sub")
+        "n_tok", "n_sub"), "a2_l", "den_l")
     },
     Some("""
       WITH b AS (SELECT
@@ -16041,9 +16066,9 @@ object Queries {
               sum(CAST(y AS HUGEINT) * y) AS syy,
               sum(CAST(x AS HUGEINT) * y) AS sxy
             FROM b)
-      SELECT n, 2 * (n * sxy - sx * sy) AS a2_l,
-        (n * sxx - sx * sx) + (n * syy - sy * sy)
-          + (sx - sy) * (sx - sy) AS den_l,
+      SELECT n, CAST(2 * (n * sxy - sx * sy) AS VARCHAR) AS a2_l,
+        CAST((n * sxx - sx * sx) + (n * syy - sy * sy)
+          + (sx - sy) * (sx - sy) AS VARCHAR) AS den_l,
         CASE WHEN (n * sxx - sx * sx) + (n * syy - sy * sy)
             + (sx - sy) * (sx - sy) > 0 THEN
           CAST(floor(1000000.0
@@ -16160,10 +16185,11 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val knn = Similarity.cosineTopK(emb, emb, "vec_id", "embedding",
         k = 5)
-      operators.Graph.spatialAutocorrelation(
+      wideStr(operators.Graph.spatialAutocorrelation(
         operators.Graph.mutualEdges(
           knn.select(col("query_id"), col("neighbor_id"))),
-        emb.select(col("vec_id"), col("label")))
+        emb.select(col("vec_id"), col("label"))),
+        "num_i_l", "num_c_l", "den_l")
     },
     Some(s"""
       WITH $KnnCte,
@@ -16186,7 +16212,9 @@ object Queries {
              FROM sym JOIN z za ON za.id = sym.a
              JOIN z zb ON zb.id = sym.b),
       dd AS (SELECT max(n) AS n, sum(z * z) AS den_l FROM z)
-      SELECT n, w_l, num_i_l, num_c_l, den_l,
+      SELECT n, w_l, CAST(num_i_l AS VARCHAR) AS num_i_l,
+        CAST(num_c_l AS VARCHAR) AS num_c_l,
+        CAST(den_l AS VARCHAR) AS den_l,
         CASE WHEN den_l > 0 AND w_l > 0 THEN
           CAST(floor(1000000.0 * CAST(n * num_i_l AS DOUBLE)
             / CAST(w_l * den_l AS DOUBLE)) AS BIGINT)

@@ -346,14 +346,30 @@ object Graph {
     * — each task forwards at most k rows, no global sort ever
     * materializes.
     *
+    * `maxDegree` (opt-in, 0 = off) removes the kNN-input contract: on
+    * an ARBITRARY skewed graph one hub of degree d contributes d²
+    * wedges — quadratic in the hub's reach — so with the cap set,
+    * vertices with symmetric degree > maxDegree are excluded as wedge
+    * INTERMEDIARIES (they keep their x/y endpoint roles and their true
+    * degree in every weight). Wedge volume is then ≤ n·maxDegree² for
+    * any input. The semantics mirror the q29 `maxBandBucket` pattern —
+    * a deterministic documented drop, not a sample — and the dropped
+    * terms are exactly the ones the 1/ln(deg) weight already sends
+    * toward zero: a hub past the cap contributes ≤ ⌊10⁹/ln(cap)⌋ per
+    * pair, the smallest weight class in the sum.
+    *
     * @return (x, y, common_neighbors, aa_q) — top `topK` candidate links
     */
-  def adamicAdar(edges: DataFrame, topK: Int): DataFrame = {
+  def adamicAdar(edges: DataFrame, topK: Int, maxDegree: Int = 0): DataFrame = {
     require(topK >= 1, s"topK ($topK) must be >= 1")
     val e = edges.select(col("a"), col("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
-    val adj = sym.select(col("a").as("z"), col("b").as("x"))
+    val adjAll = sym.select(col("a").as("z"), col("b").as("x"))
+    val adj =
+      if (maxDegree <= 0) adjAll
+      else adjAll.join(
+        deg.filter(col("__deg") <= maxDegree).select(col("z")), Seq("z"))
     val wedges = adj
       .join(adj.select(col("z"), col("x").as("y")), Seq("z"))
       .filter(col("x") < col("y"))
@@ -817,17 +833,28 @@ object Graph {
     * per pair, a degree broadcast for the closed-form columns, then
     * TakeOrderedAndProject for the top-k — no global sort. Σ deg²
     * wedge volume is capped by k² per vertex on symmetrized kNN input
-    * (the documented contract, as for adamicAdar).
+    * (the documented contract, as for adamicAdar) — or, with the
+    * opt-in `maxDegree` cap (0 = off), by n·maxDegree² on ANY input:
+    * vertices with symmetric degree > maxDegree are excluded as wedge
+    * intermediaries (same drop semantics and rationale as
+    * [[adamicAdar]]'s cap — resource allocation's 1/deg weight makes
+    * over-cap hubs the smallest contribution class; their true degree
+    * still feeds jaccard_q/pa_l unchanged).
     *
     * @return top `topK` rows (x, y, common_neighbors, ra_q, jaccard_q,
     *         pa_l) by (ra_q desc, x, y)
     */
-  def linkPredictionScores(edges: DataFrame, topK: Int): DataFrame = {
+  def linkPredictionScores(edges: DataFrame, topK: Int,
+                           maxDegree: Int = 0): DataFrame = {
     require(topK >= 1, s"topK ($topK) must be >= 1")
     val e = edges.select(col("a"), col("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
-    val adj = sym.select(col("a").as("z"), col("b").as("x"))
+    val adjAll = sym.select(col("a").as("z"), col("b").as("x"))
+    val adj =
+      if (maxDegree <= 0) adjAll
+      else adjAll.join(
+        deg.filter(col("__deg") <= maxDegree).select(col("z")), Seq("z"))
     val wedges = adj
       .join(adj.select(col("z"), col("x").as("y")), Seq("z"))
       .filter(col("x") < col("y"))

@@ -287,8 +287,14 @@ object Segments {
     * from the same count-of-counts grid as [[goodTuring]] (f1 = hapax,
     * f2 = dis legomena; the +1 correction keeps it defined at f2 = 0).
     * chao1_q = 10⁶·n_types + (10⁶·f1·(f1−1)) div (2·(f2+1)) — pure
-    * integer arithmetic — the 10⁶·f1² product runs in decimal(38,0)
-    * so billion-hapax vocabularies stay exact — engine-identical. The vocabulary-budget planner's
+    * integer arithmetic — the 10⁶·f1² product runs in decimal(38,0),
+    * but the div result narrows back to int64, so the result is exact
+    * only while the QUOTIENT fits: 10⁶·f1²/(2·(f2+1)) < 2⁶³, i.e.
+    * f1 ≲ 3·10⁶·√(f2+1). The widening protects the numerator from
+    * overflow; a hapax-heavy corpus where f2 stays tiny as f1 grows
+    * past ~3M still wraps the quotient (same residual-bound phrasing
+    * as Stats.cliffs/u2) — engine-identical either way, as the oracle
+    * narrows through BIGINT at the same point. The vocabulary-budget planner's
     * companion to goodTuring's unseen-mass rate: GT says how OFTEN a
     * new type appears next token; Chao1 says how MANY remain.
     */

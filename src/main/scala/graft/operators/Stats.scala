@@ -2715,10 +2715,17 @@ object Stats {
       .withColumn("p_q", floor(lit(1.0e12) *
         exp(-col("chi_q").cast("double") / lit(2.0e9))).cast("long"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      // dec38: m·p_q wraps int64 once the hypothesis count passes
-      // ~9.2e6 groups — a large-audit size, not an edge case
+      // dec38 product AND a decimal-side cap: Spark's `div` always
+      // narrows its quotient to int64, so even a decimal numerator
+      // wraps once m·p_q/rank ≥ 2⁶³ (p_q ≈ 1e12 at rank 1 → m ≈ 9.2e6
+      // hypotheses). Since adj_q is clamped to 1e12 anyway, capping the
+      // NUMERATOR at rank·1e12 first is an identity transform —
+      // least(m·p_q, rank·1e12) div rank ≡ least(m·p_q div rank, 1e12)
+      // — that keeps the quotient ≤ 1e12 (< 2⁶³) for ANY m, making the
+      // step exact at every audit size instead of bounded at ~9.2e6.
       .withColumn("__raw",
-        expr("(CAST(__m AS DECIMAL(38,0)) * p_q) div rank"))
+        expr("least(CAST(__m AS DECIMAL(38,0)) * p_q, " +
+          "CAST(rank AS DECIMAL(38,0)) * 1000000000000) div rank"))
       .withColumn("adj_q", least(min(col("__raw")).over(wTail),
         lit(1000000000000L)))
       .select(col("__g").as(groupCol), col("__ng").as("n"), col("chi_q"),

@@ -206,6 +206,35 @@ class GraphSpec extends SparkSpec {
     assert(rows(0).getLong(3) === math.floor(1.0e9 / math.log(3.0)).toLong)
   }
 
+  test("adamicAdar/linkPredictionScores: opt-in maxDegree cap drops " +
+      "over-cap hubs as intermediaries only; inclusive boundary is " +
+      "identical to uncapped") {
+    // star center 1 (deg 4) over leaves 2..5, plus edge (2,3) so two
+    // deg-2 vertices exist whose wedges all hit adjacent pairs
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+      .toDF("a", "b")
+    val open = Graph.adamicAdar(edges, topK = 10).collect()
+    assert(open.length === 5) // leaf pairs via the center, minus (2,3)
+    // cap below the hub degree: center 1 no longer mediates; the only
+    // remaining wedge centers (2 and 3, deg 2) close adjacent pairs
+    assert(Graph.adamicAdar(edges, topK = 10, maxDegree = 3).isEmpty)
+    // cap is inclusive (<=): maxDegree == hub degree changes nothing
+    val at = Graph.adamicAdar(edges, topK = 10, maxDegree = 4).collect()
+    assert(at.map(_.toSeq).toSet === open.map(_.toSeq).toSet)
+
+    val lOpen = Graph.linkPredictionScores(edges, topK = 10).collect()
+    assert(lOpen.length === 5)
+    assert(Graph.linkPredictionScores(edges, topK = 10, maxDegree = 3)
+      .isEmpty)
+    val lAt = Graph.linkPredictionScores(edges, topK = 10, maxDegree = 4)
+      .collect()
+    assert(lAt.map(_.toSeq).toSet === lOpen.map(_.toSeq).toSet)
+    // capped run still uses TRUE degrees in the closed-form columns:
+    // (4,5) via center only — jaccard 1/(1+1-1), pa = deg4*deg5 = 1
+    val p45 = lAt.find(r => r.getLong(0) == 4L && r.getLong(1) == 5L).get
+    assert(p45.getLong(4) === 1000000L && p45.getLong(5) === 1L)
+  }
+
   // ---------------------------------------------- degreeAssortativity
 
   test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {

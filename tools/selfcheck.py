@@ -52,8 +52,29 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 only = {q.strip() for q in os.environ.get("SELFCHECK_ONLY", "").split(",") if q.strip()}
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
+# Oracle OUTPUT-TYPE allowlist: the only types with driver-passing
+# precedent (round-11 board: 246 VARCHAR / 1356 BIGINT / 88 DOUBLE /
+# 65 INTEGER / 44 BOOLEAN / 1 DATE columns across the 386 green gates).
+# HUGEINT and DECIMAL are explicitly OUT: the driver's hasher serializes
+# int128/decimal128 differently from Spark's decimal(38,0) even when
+# values are equal — exactly the round-11 10-gate failure class. A new
+# wide type may only join this list after a gate of that type has passed
+# the driver once.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE"}
 ok = fail = timeout = slow = 0
 for name, sql in sorted(oracle.items()):
+    try:  # bind-time output-type lint — no execution cost
+        rel = con.sql(sql)
+        badtypes = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                    if str(t) not in ALLOWED_TYPES]
+        if badtypes:
+            print(f"FAIL {name}: oracle output type(s) outside the "
+                  f"driver-passing allowlist: {badtypes} — cast to VARCHAR "
+                  f"(or BIGINT with a documented bound) on BOTH sides")
+            fail += 1
+            continue
+    except Exception:
+        pass  # bind errors surface with full context at execution below
     timer = threading.Timer(tmo, con.interrupt) if tmo > 0 else None
     if timer: timer.start()
     t0 = time.monotonic()
@@ -93,7 +114,12 @@ for name, sql in sorted(oracle.items()):
     if list(exp.columns) != list(got.columns):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); fail += 1; continue
     if list(exp.dtypes) != list(got.dtypes):
-        print(f"WARN {name}: dtypes {dict(zip(got.columns, got.dtypes))} vs {dict(zip(exp.columns, exp.dtypes))}")
+        # FAIL, not WARN: the round-11 board's only failure class was 10
+        # gates whose VALUES matched while the driver hashed their typed
+        # representations differently (HUGEINT vs decimal128) — a dtype
+        # WARN here is exactly the blind spot that shipped them.
+        print(f"FAIL {name}: dtypes {dict(zip(got.columns, got.dtypes))} vs {dict(zip(exp.columns, exp.dtypes))}")
+        fail += 1; continue
     exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
     got = got.sort_values(by=list(got.columns), ignore_index=True)
     if len(exp) != len(got):
