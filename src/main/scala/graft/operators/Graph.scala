@@ -136,8 +136,17 @@ object Graph {
   def labelPropagate(knn: DataFrame, seeds: DataFrame, idCol: String,
                      labelCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    // edges is referenced once per round (often an expensive kNN
+    // pipeline upstream) and each round's label frame is referenced
+    // THREE times by the next round (vote join, anti-join, union) —
+    // without materialization the plan tree grows ~3× per round and
+    // the kNN subtree is planned `rounds` times (the r12-baseline q185
+    // cold pass re-planned the full corpus scan per round). Lazy
+    // localCheckpoints linearize both (guide §2.4 / §3.3 plan
+    // truncation); results are unchanged.
     val edges = knn.select(col("query_id").as("__v"),
       col("neighbor_id").as("__n"))
+      .localCheckpoint(eager = false)
     val seed = seeds.select(col(idCol).as("__v"),
       col(labelCol).as("label"), lit(0).as("round_assigned"))
     (1 to rounds).foldLeft(seed) { (labels, round) =>
@@ -152,7 +161,7 @@ object Graph {
       val newly = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("__v"), col("label"), lit(round).as("round_assigned"))
-      labels.unionByName(newly)
+      labels.unionByName(newly).localCheckpoint(eager = false)
     }.withColumnRenamed("__v", idCol)
   }
 
@@ -435,12 +444,16 @@ object Graph {
         .groupBy(col(groupKey).as("__v"))
         .agg(sum(col(scoreCol).cast("decimal(38,0)")).as("__raw"))
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
-      val scaled = raw.crossJoin(broadcast(tot))
+      // Sparse carrier: a vertex absent from `raw` holds score 0, and
+      // 0-score rows contribute 0 to the next half-step's sums — so
+      // skipping the per-half-step full-vertex rejoin (one shuffle
+      // join per half-step, two per round — guide §2.4) is
+      // output-identical once zeros are coalesced back in the final
+      // projection below.
+      raw.crossJoin(broadcast(tot))
         .select(col("__v"),
           expr(s"CAST((CAST(${Q}L AS DECIMAL(38,0)) * __raw) div __tot AS LONG)")
             .as(outCol))
-      verts.join(scaled, Seq("__v"), "left")
-        .select(col("__v"), coalesce(col(outCol), lit(0L)).as(outCol))
         .localCheckpoint(eager = false)
     }
     val h0 = verts.select(col("__v"), lit(Q).as("__h"))
@@ -455,12 +468,13 @@ object Graph {
     verts
       .join(outDeg, Seq("__v"), "left")
       .join(inDeg, Seq("__v"), "left")
-      .join(hubs, Seq("__v"))
-      .join(auths, Seq("__v"))
+      .join(hubs, Seq("__v"), "left")
+      .join(auths, Seq("__v"), "left")
       .select(col("__v").as("id"),
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
-        col("__h").as("hub_q"), col("__a").as("auth_q"))
+        coalesce(col("__h"), lit(0L)).as("hub_q"),
+        coalesce(col("__a"), lit(0L)).as("auth_q"))
   }
 
   /** Degree assortativity of an undirected edge frame (`a < b`
@@ -795,22 +809,27 @@ object Graph {
         .groupBy(col("b").as("__v"))
         .agg(sum(col("__x").cast("decimal(38,0)")).as("__raw"))
       val tot = raw.agg(sum(col("__raw")).as("__tot"))
-      val scaled = raw.crossJoin(broadcast(tot))
+      // A vertex absent from `raw` (no scored in-neighbor) is exactly
+      // a score of 0 — and a 0-score row contributes 0 to every
+      // downstream sum — so the sparse frame IS the dense one; zeros
+      // are re-attached once at the end (left join + coalesce) instead
+      // of re-joining the full vertex table every round (guide §2.4:
+      // one full-vertex-set shuffle join per round removed; r12
+      // measured plan 4 → 3 exchanges per round, same rows out).
+      raw.crossJoin(broadcast(tot))
         .select(col("__v"),
           expr(s"CAST((CAST(${Q}L AS DECIMAL(38,0)) * __raw) div __tot AS LONG)")
             .as("__x"))
-      verts.join(scaled, Seq("__v"), "left")
-        .select(col("__v"), coalesce(col("__x"), lit(0L)).as("__x"))
         .localCheckpoint(eager = false)
     }
     val x0 = verts.select(col("__v"), lit(Q).as("__x"))
     val xf = (1 to rounds).foldLeft(x0)((s, _) => step(s))
     val deg = sym.groupBy(col("a").as("__v")).agg(count(lit(1)).as("degree"))
     verts.join(deg, Seq("__v"), "left")
-      .join(xf, Seq("__v"))
+      .join(xf, Seq("__v"), "left")
       .select(col("__v").as("id"),
         coalesce(col("degree"), lit(0L)).as("degree"),
-        col("__x").as("eig_q"))
+        coalesce(col("__x"), lit(0L)).as("eig_q"))
   }
 
   /** Link-prediction score battery over an undirected edge frame

@@ -1054,7 +1054,15 @@ object Similarity {
         .reduceLeft(_ + _)
       ordered.select(col("query_id"), chain.as("__ksum"))
     }
+    // abKnn feeds TWO consumers (the aDen k-sum and the scored pair
+    // frame) and its upstream is the expensive ANN scan; without a
+    // materialization Catalyst plans the whole topK subtree twice —
+    // the r12-baseline q335 plan had 12 parquet scans of the corpus
+    // and zero ReusedExchange nodes (guide §2.4: remove duplicate
+    // work feeding exchanges). Both knn frames are bounded (|side|·k
+    // rows), so the lazy localCheckpoint is cheap at any corpus scale.
     val abKnn = topK(sideA, sideB, idCol, vecCol, k)
+      .localCheckpoint(eager = false)
     val baKnn = topK(sideB, sideA, idCol, vecCol, k)
     val aDen = kSum(abKnn).withColumnRenamed("query_id", "a_id")
       .withColumnRenamed("__ksum", "__sa")
