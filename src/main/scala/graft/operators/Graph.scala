@@ -22,11 +22,21 @@ object Graph {
     * one-way edges), emitted once with `a < b`.
     */
   def mutualEdges(knn: DataFrame): DataFrame = {
+    // d is referenced twice (probe side + reversed build side) and its
+    // upstream is typically the full kNN pipeline; the result is
+    // referenced 2–5× by every downstream graph op (symmetrization
+    // unions, degree aggs, wedge self-joins). Without materialization
+    // Catalyst re-plans the kNN once per reference — the r12-baseline
+    // q241 plan held 56 parquet scans and zero ReusedExchange (guide
+    // §2.4). Both frames are ≤ |knn| rows; lazy localCheckpoints keep
+    // the kNN single-pass at any scale.
     val d = knn.select(col("query_id").as("a"), col("neighbor_id").as("b"))
       .distinct()
+      .localCheckpoint(eager = false)
     val rev = d.select(col("b").as("a"), col("a").as("b"))
     d.join(rev, Seq("a", "b"), "left_semi")
       .filter(col("a") < col("b"))
+      .localCheckpoint(eager = false)
   }
 
   /** Per-vertex triangle counts and local clustering coefficients over
@@ -48,7 +58,8 @@ object Graph {
     * @return (id, degree, triangles, clustering_q)
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    // four references (degree agg, two wedge sides, the closing join)
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val deg = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -95,7 +106,7 @@ object Graph {
     */
   def richClub(edges: DataFrame, maxK: Int): DataFrame = {
     require(maxK >= 1 && maxK <= 64, s"maxK ($maxK) must be in [1, 64]")
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val deg = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("__d"))
@@ -198,8 +209,12 @@ object Graph {
     // next twice — without materialization lineage re-executes the
     // whole upstream once per round (and grows exponentially in the
     // fold). localCheckpoint keeps every iteration ONE join + one agg.
-    val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
-      .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+    // materialize the input once BEFORE the symmetrizing union — both
+    // union arms otherwise execute the upstream edge pipeline (kNN,
+    // co-occurrence aggregation, ...) independently (guide §2.4)
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val sym = e0.select(col("a").as("__u"), col("b").as("__v"))
+      .unionByName(e0.select(col("b").as("__u"), col("a").as("__v")))
       .localCheckpoint(eager = false)
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
     val n = deg.select(lit(1).as("__one"),
@@ -249,8 +264,12 @@ object Graph {
                            rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds ($rounds) must be in [1, 20]")
     val Q = 1000000000000L
-    val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
-      .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+    // materialize the input once BEFORE the symmetrizing union — both
+    // union arms otherwise execute the upstream edge pipeline (kNN,
+    // co-occurrence aggregation, ...) independently (guide §2.4)
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val sym = e0.select(col("a").as("__u"), col("b").as("__v"))
+      .unionByName(e0.select(col("b").as("__u"), col("a").as("__v")))
       .localCheckpoint(eager = false)
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
       .join(seeds.select(col("id").as("__u"), lit(1L).as("__seed")),
@@ -371,7 +390,10 @@ object Graph {
     */
   def adamicAdar(edges: DataFrame, topK: Int, maxDegree: Int = 0): DataFrame = {
     require(topK >= 1, s"topK ($topK) must be >= 1")
-    val e = edges.select(col("a"), col("b"))
+    // e anchors five references (degree agg, both wedge sides, the
+    // adjacency anti-join) — materialize once so the upstream edge
+    // pipeline is planned and executed a single time (guide §2.4).
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
     val adjAll = sym.select(col("a").as("z"), col("b").as("x"))
@@ -500,7 +522,7 @@ object Graph {
     * @return one row: (m_edges, sx, sxy, sxx, assortativity_q)
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("__v"))
       .agg(count(lit(1)).as("__deg"))
@@ -599,8 +621,12 @@ object Graph {
     require(rounds >= 1 && rounds <= 20, s"rounds ($rounds) must be in [1, 20]")
     require(alphaDen >= 2L, s"alphaDen ($alphaDen) must be >= 2")
     val betaQ = 1000000L
-    val sym = edges.select(col("a").as("__u"), col("b").as("__v"))
-      .unionByName(edges.select(col("b").as("__u"), col("a").as("__v")))
+    // materialize the input once BEFORE the symmetrizing union — both
+    // union arms otherwise execute the upstream edge pipeline (kNN,
+    // co-occurrence aggregation, ...) independently (guide §2.4)
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val sym = e0.select(col("a").as("__u"), col("b").as("__v"))
+      .unionByName(e0.select(col("b").as("__u"), col("a").as("__v")))
       .localCheckpoint(eager = false)
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
     val x0 = deg.withColumn("__x", lit(betaQ))
@@ -648,7 +674,7 @@ object Graph {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val lab = labels.select(col(idCol).as("__id"),
       col(communityCol).as("__c")).na.drop()
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .join(lab.select(col("__id").as("a"), col("__c").as("__ca")), Seq("a"))
       .join(lab.select(col("__id").as("b"), col("__c").as("__cb")), Seq("b"))
@@ -797,7 +823,7 @@ object Graph {
   def eigenvectorCentrality(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) must be in [1, 10]")
     val Q = 1000000000000L
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(eager = false)
@@ -866,7 +892,10 @@ object Graph {
   def linkPredictionScores(edges: DataFrame, topK: Int,
                            maxDegree: Int = 0): DataFrame = {
     require(topK >= 1, s"topK ($topK) must be >= 1")
-    val e = edges.select(col("a"), col("b"))
+    // e anchors five references (degree agg, both wedge sides, the
+    // adjacency anti-join) — materialize once so the upstream edge
+    // pipeline is planned and executed a single time (guide §2.4).
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
     val adjAll = sym.select(col("a").as("z"), col("b").as("x"))
@@ -914,7 +943,7 @@ object Graph {
     * @return (k, n_nodes, sum_nbr_deg, knn_q) ordered by k
     */
   def avgNeighborDegree(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("__d"))
     val stamped = sym
