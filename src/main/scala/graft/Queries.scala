@@ -6892,12 +6892,16 @@ object Queries {
       // IVF replay at the 10x point must fit the box's spill budget
       val a = emb.filter(col("label") % 2 === 0 && col("vec_id") % 4 === 0)
       val b = emb.filter(col("label") % 2 === 1)
+      // each arm is referenced twice (the hit join and its own count);
+      // checkpoint so the double-sided margin pipelines run once each
+      // (r12: the unmaterialized plan re-ran both arms — 8 corpus scans)
       val brute = Similarity.marginPairs(a, b, "vec_id", "embedding",
-        k = 4, minMarginQ = 1000000L)
+        k = 4, minMarginQ = 1000000L).localCheckpoint(false)
       val ivf = Similarity.marginPairs(a, b, "vec_id", "embedding",
         k = 4, minMarginQ = 1000000L,
         topK = (qq, cc, id, v, kk) =>
           Similarity.ivfTopK(qq, cc, id, v, kk, nClusters = 8, nprobe = 3))
+        .localCheckpoint(false)
       val hits = brute.select(col("a_id"), col("b_id"))
         .join(ivf.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"))
       brute.agg(count(lit(1)).as("n_brute"))

@@ -263,9 +263,16 @@ object Retrieval {
                    maxTermDf: Int = Int.MaxValue): DataFrame = {
     require(fbDocs > 0, s"fbDocs ($fbDocs) must be positive")
     require(fbTerms > 0, s"fbTerms ($fbTerms) must be positive")
+    // fb anchors two references (the distinct id set and the final
+    // weight join) and its upstream is the whole BM25 pipeline; fbTf
+    // likewise feeds fbDl and the join. Materialize both (bounded:
+    // |queries|·fbDocs rows, and the feedback docs' term table) so
+    // neither pipeline is planned twice (guide §2.4 — the r12 baseline
+    // q282 plan re-ran BM25 end-to-end for each reference).
     val fb = bm25TopK(queries, corpus, idCol, textCol, k = fbDocs,
         maxTermDf = maxTermDf)
       .select(col("query_id"), col("doc_id"))
+      .localCheckpoint(eager = false)
     val fbIds = fb.select(col("doc_id")).distinct()
     val fbTf = corpus
       .join(broadcast(fbIds), corpus(idCol) === fbIds("doc_id"), "left_semi")
@@ -274,6 +281,7 @@ object Retrieval {
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val fbDl = fbTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rm_weight_q").desc, col("term").asc)

@@ -89,11 +89,18 @@ object Robust {
                   bucketWidth: Long, k: Int = 3): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
     val med = Seq(("med", 1, 2))
+    // medians is |groups| rows but its plan is a corpus-wide quantile
+    // pass; dev is referenced twice more (the MAD quantile pass and
+    // the final outlier agg). Unmaterialized, the r12-baseline q170
+    // plan re-scanned the input 8 times (guide §2.4) — checkpoint the
+    // tiny medians frame and the dev frame so each pass runs once.
     val medians = Quantiles.exactQuantiles(df, groupCol, valueQCol,
         bucketWidth, med)
       .select(col(groupCol), col("value").as("med_q"))
+      .localCheckpoint(eager = false)
     val dev = df.join(broadcast(medians), Seq(groupCol))
       .withColumn("__dev", abs(col(valueQCol).cast("long") - col("med_q")))
+      .localCheckpoint(eager = false)
     val mads = Quantiles.exactQuantiles(dev, groupCol, "__dev",
         bucketWidth, med)
       .select(col(groupCol), col("value").as("mad_q"))
