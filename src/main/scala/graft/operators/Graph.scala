@@ -341,10 +341,17 @@ object Graph {
     var r = 0
     var done = curCount == 0L
     while (r < rounds && !done) {
-      val alive = degrees(cur).filter(col("core_degree") >= k)
+      // peel by ANTI-joining the DEAD set (degree < k) instead of
+      // semi-joining the alive set: after round one the dead set is
+      // the handful of vertices that just dropped below k, so the
+      // join's build side is small enough for a broadcast hash join
+      // (guide §3.1) — the alive-side semi-join build was always
+      // ~|V|. Identical semantics: an edge survives iff neither
+      // endpoint is dead.
+      val dead = degrees(cur).filter(col("core_degree") < k)
       val next = cur
-        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
+        .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
         .select(col("a"), col("b"))
         .localCheckpoint(eager = false)
       val nextCount = next.count()

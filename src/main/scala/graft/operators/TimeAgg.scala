@@ -1262,46 +1262,65 @@ object TimeAgg {
                        epochMicrosCol: String, typeCol: String,
                        tieCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) out of range")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
     val Q = 1000000000000L
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col(epochMicrosCol).asc, col(tieCol).asc)
+    // ONE distributed pass builds the transition grid; the power
+    // iteration then runs on the driver over that bounded grid
+    // (states are a categorical type column — ≤ K states, ≤ K²
+    // observed transitions; capped below, the q317 analogue of the
+    // exactQuantiles bucket-count collect and the IVF centroid
+    // table). The previous per-round join/agg version shuffled the
+    // same tiny grid 3× per round — 15+ shuffles for rounds = 5
+    // (guide §2.4: remove shuffles outright; the grid never grows
+    // with the corpus, only the one aggregation pass does).
     val tr = events
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(typeCol).as("__from"), col("__next").as("__to"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
-    val rowTot = tr.groupBy(col("__from")).agg(sum(col("__n")).as("__r"))
     val states = events.select(col(typeCol).as("__s")).na.drop().distinct()
-      .localCheckpoint(eager = false)
-    val k = states.agg(count(lit(1)).as("__k"))
-    val x0 = states.crossJoin(broadcast(k))
-      .select(col("__s"), expr(s"${Q}L div __k").as("__x"))
-      .localCheckpoint(eager = false)
-    val trR = tr.join(broadcast(rowTot), Seq("__from"))
-    val xs = (1 to rounds).foldLeft(x0) { (x, _) =>
-      val contrib = trR
-        .join(broadcast(x.select(col("__s").as("__from"), col("__x"))),
-          Seq("__from"))
-        .select(col("__to").as("__s"),
-          expr("""(CAST(__x AS DECIMAL(38,0)) * __n)
-                  div CAST(__r AS DECIMAL(38,0))""").as("__c"))
-        .groupBy(col("__s")).agg(sum(col("__c")).as("__in"))
-      // absorbing states keep their mass; emitting states replace it
-      x.join(broadcast(rowTot.select(col("__from").as("__s"),
-          col("__r"))), Seq("__s"), "left")
-        .join(contrib, Seq("__s"), "left")
-        .select(col("__s"),
-          (when(col("__r").isNotNull, lit(0L)).otherwise(col("__x")) +
-            coalesce(col("__in"), lit(0L))).as("__x"))
-        .localCheckpoint(eager = false)
+    val stRows = states.collect().map(_.get(0))
+    require(stRows.length <= 4096,
+      s"markovStationary state space (${stRows.length}) exceeds the " +
+        "bounded-grid contract (4096) — states must be categorical")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("state", states.schema.head.dataType, nullable = true),
+      StructField("out_total", LongType, nullable = true),
+      StructField("mass_q", LongType, nullable = false)))
+    if (stRows.isEmpty) {
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
-    xs.join(broadcast(rowTot.select(col("__from").as("__s"),
-        col("__r").as("out_total"))), Seq("__s"), "left")
-      .select(col("__s").as("state"), col("out_total"),
-        col("__x").as("mass_q"))
-      .orderBy(col("state"))
+    // null FROM-states never reach the iteration (the rank vector is
+    // keyed by the non-null state set), matching the frame version
+    val trRows = tr.collect()
+      .map(row => (row.get(0), row.get(1), row.getLong(2)))
+      .filter(_._1 != null)
+    val rowTot: Map[Any, Long] =
+      trRows.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val k = stRows.length.toLong
+    // identical integer arithmetic to the SQL recurrence: x0 = Q div k;
+    // per transition ⌊x_f·n / r_f⌋ (exact in BigInt — the frame version
+    // used decimal(38,0) `div`), absorbing states keep their mass
+    var x: Map[Any, Long] = stRows.map(s => s -> Q / k).toMap
+    for (_ <- 1 to rounds) {
+      val inflow = scala.collection.mutable.Map[Any, Long]().withDefaultValue(0L)
+      trRows.foreach { case (f, t, n) =>
+        inflow(t) += ((BigInt(x(f)) * n) / rowTot(f)).toLong
+      }
+      x = stRows.map { s =>
+        s -> ((if (rowTot.contains(s)) 0L else x(s)) + inflow(s))
+      }.toMap
+    }
+    import scala.jdk.CollectionConverters._
+    val out = stRows.toSeq.map { s =>
+      org.apache.spark.sql.Row(
+        s, rowTot.get(s).map(java.lang.Long.valueOf).orNull, x(s))
+    }
+    spark.createDataFrame(out.asJava, schema).orderBy(col("state"))
   }
 
   /** Per-group overdispersion audit of a dense count series — the
