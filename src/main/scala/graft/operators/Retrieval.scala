@@ -264,11 +264,12 @@ object Retrieval {
     require(fbDocs > 0, s"fbDocs ($fbDocs) must be positive")
     require(fbTerms > 0, s"fbTerms ($fbTerms) must be positive")
     // fb anchors two references (the distinct id set and the final
-    // weight join) and its upstream is the whole BM25 pipeline; fbTf
-    // likewise feeds fbDl and the join. Materialize both (bounded:
-    // |queries|·fbDocs rows, and the feedback docs' term table) so
-    // neither pipeline is planned twice (guide §2.4 — the r12 baseline
-    // q282 plan re-ran BM25 end-to-end for each reference).
+    // weight join) and its upstream is the whole BM25 pipeline —
+    // materialize it so BM25 runs once (guide §2.4; bounded:
+    // |queries|·fbDocs rows). fbTf also has two consumers (fbDl + the
+    // join) but its duplicated subtrees are byte-identical, so AQE's
+    // runtime stage reuse already deduplicates them — left
+    // unmaterialized (and visible to the plan-shape spec).
     val fb = bm25TopK(queries, corpus, idCol, textCol, k = fbDocs,
         maxTermDf = maxTermDf)
       .select(col("query_id"), col("doc_id"))
@@ -281,7 +282,6 @@ object Retrieval {
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
     val fbDl = fbTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rm_weight_q").desc, col("term").asc)
