@@ -397,9 +397,15 @@ object Eval {
     */
   def averagePrecision(df: DataFrame, idCol: String, scoreCol: String,
                        labelCol: Column): DataFrame = {
+    // base feeds the score grid AND the per-row join below — two
+    // non-identical subtrees AQE cannot stage-share — and scoreCol is
+    // often a computed text feature (q212 scores every document), so
+    // materialize the narrow (id, score, label) projection once
+    // (guide §2.4; three fixed-width columns, linear at any scale)
     val base = df.filter(col(scoreCol).isNotNull)
       .select(col(idCol).as("__id"), col(scoreCol).cast("long").as("__s"),
         when(labelCol, 1L).otherwise(0L).as("__y"))
+      .localCheckpoint(eager = false)
     val grid = base.groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     val wg = Window.orderBy(col("__s").desc)
