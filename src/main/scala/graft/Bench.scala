@@ -30,6 +30,10 @@ object Bench {
       // 8.5s in-bench vs 1.1s isolated). Static conf, set before the
       // session exists.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // physical top-k rewrite (BoundedTopKRule) + the inet/array/text
+      // function set; semantics-preserving — Verify grades the same
+      // extension set
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

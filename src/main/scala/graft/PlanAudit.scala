@@ -22,24 +22,36 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val inventory = filt.map(f => Queries.all.filter(_.name.contains(f)))
       .getOrElse(Queries.all)
-    def count(s: String, needle: String): Int =
-      s.sliding(needle.length).count(_ == needle)
+    // Node counting anchored on the formatted plan's DETAILS section
+    // lines — "(12) NodeName [codegen id : 3]" — one line per physical
+    // node. Raw substring sliding (the r12 version) double-counted:
+    // "Exchange" also matched every Reused/Broadcast/ShuffleExchange
+    // occurrence and each node appears in both the tree and the
+    // details, so scans came out 2x and exch−reuse drifted.
+    val nodeLine = """^\((\d+)\) (.+?)(?:\s+\[codegen id : \d+\])?\s*$""".r
+    def nodeNames(p: String): Seq[String] = p.linesIterator.collect {
+      case nodeLine(_, name) => name.trim
+    }.toSeq
     inventory.foreach { q =>
       try {
         val t0 = System.nanoTime()
         val df = q.run(spark, sfDir)
         val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         val planMs = (System.nanoTime() - t0) / 1e6
-        println(f"${q.name}%-42s scans=${count(p, "Scan parquet")}%3d " +
-          f"exch=${count(p, "Exchange")}%3d reuse=${count(p, "ReusedExchange")}%2d " +
-          f"bnlj=${count(p, "BroadcastNestedLoopJoin")}%2d smj=${count(p, "SortMergeJoin")}%2d " +
-          f"bhj=${count(p, "BroadcastHashJoin")}%2d cart=${count(p, "CartesianProduct")}%2d " +
-          f"win=${count(p, "Window [")}%2d lines=${p.linesIterator.size}%5d planMs=$planMs%8.1f")
+        val nodes = nodeNames(p)
+        def n(pred: String => Boolean): Int = nodes.count(pred)
+        println(f"${q.name}%-42s scans=${n(_.startsWith("Scan parquet"))}%3d " +
+          f"exch=${n(_ == "Exchange")}%3d reuse=${n(_.startsWith("ReusedExchange"))}%2d " +
+          f"bnlj=${n(_.startsWith("BroadcastNestedLoopJoin"))}%2d smj=${n(_.startsWith("SortMergeJoin"))}%2d " +
+          f"bhj=${n(_.startsWith("BroadcastHashJoin"))}%2d cart=${n(_.startsWith("CartesianProduct"))}%2d " +
+          f"win=${n(_ == "Window")}%2d topk=${n(_.startsWith("GraftBoundedTopK"))}%2d " +
+          f"lines=${p.linesIterator.size}%5d planMs=$planMs%8.1f")
       } catch { case e: Throwable =>
         println(s"${q.name} ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}")
       }

@@ -15,6 +15,10 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
       // parquet reader rejects; read as raw nanos longs instead
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // physical top-k rewrite + inet/array/text functions (the same
+      // semantics-preserving extension set Bench runs with, so the
+      // correctness dump grades the plans the bench times)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

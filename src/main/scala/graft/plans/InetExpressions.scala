@@ -199,5 +199,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (GraftFunctions.descriptors ++ ArrayFunctions.descriptors ++
       TextExpressionFunctions.descriptors).foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteInetContains)
+    // physical rewrite: Sort + partial WindowGroupLimit → bounded heap
+    // (queryStagePrepRules run AFTER EnsureRequirements, so the local
+    // sort the rule removes is already in the plan)
+    ext.injectQueryStagePrepRule(BoundedTopKRule.apply)
   }
 }

@@ -981,10 +981,12 @@ class PlanQualitySpec extends SparkSpec {
     // task forwarded), or a hot query gathers corpus-sized input on
     // one partition
     val plan = planOf("q28_ann_cosine_topk")
-    assert(plan.contains("WindowGroupLimit"),
-      s"no WindowGroupLimit in the top-k plan:\n$plan")
-    assert(plan.contains("Partial"),
-      s"no PARTIAL (map-side) group limit in the top-k plan:\n$plan")
+    // either Spark's Sort + Partial WindowGroupLimit, or the engine's
+    // BoundedTopK heap that replaces the pair (same ≤ k-per-query-per-
+    // task bound, no sort) — both satisfy the contract
+    assert(plan.contains("GraftBoundedTopK") ||
+      (plan.contains("WindowGroupLimit") && plan.contains("Partial")),
+      s"no map-side group limit in the top-k plan:\n$plan")
   }
 
   test("hillTail's per-group top-(k+1) lowers to a partial group limit") {
