@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -6896,12 +6897,12 @@ object Queries {
       // checkpoint so the double-sided margin pipelines run once each
       // (r12: the unmaterialized plan re-ran both arms — 8 corpus scans)
       val brute = Similarity.marginPairs(a, b, "vec_id", "embedding",
-        k = 4, minMarginQ = 1000000L).localCheckpoint(false)
+        k = 4, minMarginQ = 1000000L).mat
       val ivf = Similarity.marginPairs(a, b, "vec_id", "embedding",
         k = 4, minMarginQ = 1000000L,
         topK = (qq, cc, id, v, kk) =>
           Similarity.ivfTopK(qq, cc, id, v, kk, nClusters = 8, nprobe = 3))
-        .localCheckpoint(false)
+        .mat
       val hits = brute.select(col("a_id"), col("b_id"))
         .join(ivf.select(col("a_id"), col("b_id")), Seq("a_id", "b_id"))
       brute.agg(count(lit(1)).as("n_brute"))

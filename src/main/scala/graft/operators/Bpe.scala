@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -230,7 +231,7 @@ object Bpe {
     val seed = udf((w: String) => codePoints(w).toSeq)
     var cur = wordFreqs
       .select(seed(col("word")).as("syms"), col("freq").cast("long").as("freq"))
-      .localCheckpoint(eager = false)
+      .mat
     val merges = Vector.newBuilder[Merge]
     var rank = 0
     var round = 0
@@ -262,7 +263,7 @@ object Bpe {
         }
         cur = cur.withColumn("syms", applyAll(col("syms")))
         round += 1
-        if (round % checkpointEvery == 0) cur = cur.localCheckpoint(eager = false)
+        if (round % checkpointEvery == 0) cur = cur.mat
       }
     }
     merges.result()

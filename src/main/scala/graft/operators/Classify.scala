@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -99,7 +100,7 @@ object Classify {
       .filter(length(col("__t")) > 0)
     val classTf = terms(train, col(classCol).as("__c"))
       .groupBy(col("__c"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val classTot = classTf.groupBy(col("__c")).agg(sum(col("__tf")).as("__T"))
     val vocab = classTf.select(col("__t")).distinct()
       .agg(count(lit(1)).as("__V"))
@@ -115,7 +116,7 @@ object Classify {
           .cast("long").as("__lntv_q"))
     val docTerms = terms(test, col(idCol))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(eager = false)
+      .mat
     val part = docTerms.join(classTf, Seq("__t"))
       .select(col(idCol), col("__c"),
         floor(lit(1.0e9) * col("__cnt").cast("double") *

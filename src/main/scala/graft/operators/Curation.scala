@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -115,7 +116,7 @@ object Curation {
     // without it the corpus explode+aggregate runs twice (same pattern
     // as Similarity.cosineCandidates' signature snapshot)
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .mat
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
@@ -270,7 +271,7 @@ object Curation {
       .select(explode(TextFns.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .mat
     val total = counts.agg(sum(col("c")).as("total"))
     counts.crossJoin(broadcast(total))
   }
@@ -396,7 +397,7 @@ object Curation {
     // pipeline (explode + LM join + per-doc aggregate) runs twice
     // (the fitUnigramLm compute-once contract)
     val scored = unigramScore(docs, lm, idCol, textCol)
-      .localCheckpoint(eager = false)
+      .mat
     val cuts = scored.agg(
       percentile(col("logprob_mean"), lit(lowFrac)).as("__lo"),
       percentile(col("logprob_mean"), lit(highFrac)).as("__hi"))
@@ -553,7 +554,7 @@ object Curation {
       .agg(
         sum(when(col(srcCol) === targetSource, 1L).otherwise(0L)).as("ct"),
         sum(when(col(srcCol) === targetSource, 0L).otherwise(1L)).as("cr"))
-      .localCheckpoint(eager = false)
+      .mat
     val totals = counts.agg(
       sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
       count(lit(1)).as("v"))
@@ -636,12 +637,12 @@ object Curation {
     val bi = transitions(corpus.select(lit(0L).as("__id"), col(textCol)),
         "__id", textCol)
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint(eager = false)
+      .mat
     val uni = corpus
       .select(explode(filter(TextFns.tokens(col(textCol)),
         t => length(t) > 0)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cu"))
-      .localCheckpoint(eager = false)
+      .mat
     val scalars = uni.agg(sum(col("cu")).as("__n"),
       count(lit(1)).as("__v"))
     val score =
@@ -717,7 +718,7 @@ object Curation {
     val c12 = transitions(docs.select(lit(0L).as("__id"), col(textCol)),
         "__id", textCol)
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint(eager = false)
+      .mat
     val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs
       .select(explode(filter(TextFns.tokens(col(textCol)),
@@ -785,7 +786,7 @@ object Curation {
     val c12 = transitions(docs.select(lit(0L).as("__id"), col(textCol)),
         "__id", textCol)
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint(eager = false)
+      .mat
     val ctx = c12.groupBy(col("t1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
     val cont = c12.groupBy(col("t2")).agg(count(lit(1)).as("n1m"))
@@ -1241,12 +1242,12 @@ object Curation {
       .select(explode(filter(TextFns.tokens(col(textCol)),
         t => length(t) > 0)).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .mat
     val nTot = uni.agg(sum(col("c")).as("n_tot"))
     val pc = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
-      .localCheckpoint(eager = false)
+      .mat
     val pTot = pc.agg(sum(col("c_xy")).as("p_tot"))
     pc
       .join(uni.select(col("t").as("a"), col("c").as("c_x")), Seq("a"))
@@ -1317,7 +1318,7 @@ object Curation {
       .filter(length(col("term")) > 0)
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("a"))
-      .localCheckpoint(eager = false)
+      .mat
     val termTot = st.groupBy(col("term")).agg(sum(col("a")).as("ct"))
     val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("ns"))
     val nTot = srcTot.agg(sum(col("ns")).as("n_tot"))
@@ -1403,7 +1404,7 @@ object Curation {
       .filter(length(col("term")) > 0)
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+      .mat
     val vocab = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
       .orderBy(col("ct").desc, col("term").asc)
       .limit(vocabSize)
@@ -1736,7 +1737,7 @@ object Curation {
         explode(TextFns.tokens(col(textCol))).as("__t"))
       .filter(length(col("__t")) > 0 && col("__g").isNotNull)
       .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = tf.groupBy(col("__g")).agg(sum(col("__tf")).as("__T"))
     val shared = tf.join(
         tf.select(col("__g").as("__g2"), col("__t"),
@@ -1788,7 +1789,7 @@ object Curation {
         explode(TextFns.tokens(col(textCol))).as("__t"))
       .filter(length(col("__t")) > 0 && col("__g").isNotNull)
       .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val top = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__ct"))
       .orderBy(col("__ct").desc, col("__t")).limit(topM)
       .select(col("__t"))
@@ -1801,7 +1802,7 @@ object Curation {
       .withColumn("__fq",
         // decimal numerator: 10¹²·tf overflows long past tf ~ 9·10⁶
         expr("(CAST(1000000000000 AS DECIMAL(38,0)) * __tf) div __gtot"))
-      .localCheckpoint(eager = false)
+      .mat
     val m = grid.groupBy(col("__t"))
       .agg(count(lit(1)).as("__S"), sum(dec(col("__fq"))).as("__sf"),
         sum(dec(col("__fq")) * dec(col("__fq"))).as("__sff"))
@@ -1815,7 +1816,7 @@ object Curation {
             d(dec(col("__S")) * dec(col("__fq")) - col("__sf")) /
             sqrt(d(col("__var2")))).cast("long"))
           .otherwise(lit(0L)).as("__z"))
-      .localCheckpoint(eager = false)
+      .mat
     z.join(z.select(col("__g").as("__g2"), col("__t"),
         col("__z").as("__z2")), Seq("__t"))
       .filter(col("__g") < col("__g2"))
@@ -1850,9 +1851,9 @@ object Curation {
         explode(TextFns.tokens(col(textCol))).as("__t"))
       .filter(length(col("__t")) > 0 && col("__g").isNotNull)
       .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val termTot = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__ct"))
-      .localCheckpoint(eager = false)
+      .mat
     val top = termTot.orderBy(col("__ct").desc, col("__t")).limit(topM)
     val parts = tf.groupBy(col("__g")).agg(sum(col("__tf")).as("__ptot"))
     val corpus = parts.agg(sum(col("__ptot")).as("__ctot"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -122,7 +123,7 @@ object Eval {
                   predCol: String): DataFrame = {
     val cm = df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .mat
     val byTruth = cm.groupBy(col("truth")).agg(sum(col("n")).as("n_truth"))
     val byPred = cm.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
     val tp = cm.filter(col("truth") === col("pred"))
@@ -405,7 +406,7 @@ object Eval {
     val base = df.filter(col(scoreCol).isNotNull)
       .select(col(idCol).as("__id"), col(scoreCol).cast("long").as("__s"),
         when(labelCol, 1L).otherwise(0L).as("__y"))
-      .localCheckpoint(eager = false)
+      .mat
     val grid = base.groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     val wg = Window.orderBy(col("__s").desc)
@@ -458,7 +459,7 @@ object Eval {
         sum(((col("__s") - lit(1000000L) * col("__y")) *
           (col("__s") - lit(1000000L) * col("__y"))).cast("decimal(38,0)"))
           .as("__sq"))
-      .localCheckpoint(eager = false) // ≤10-row grid feeds two subtrees
+      .mat // ≤10-row grid feeds two subtrees
     val tot = buckets.agg(sum(col("__n")).as("__nt"), sum(col("__pos")).as("__post"),
       sum(col("__sq")).as("__sqt"))
     val pbarMinusObar = col("__conf_q").cast("double") / (col("__n").cast("double") * lit(1000000.0)) -
@@ -509,7 +510,7 @@ object Eval {
     val grid = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .na.drop()
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     val cells = grid.agg(sum(c2(col("__n"))).as("__sij"),
       sum(col("__n")).as("__nn"))
     val aMarg = grid.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
@@ -633,7 +634,7 @@ object Eval {
     val d = (c: Column) => c.cast("decimal(38,0)")
     val grid = ratings.groupBy(col(itemCol).as("__i"), col(ratingCol).as("__c"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     val perItem = grid.groupBy(col("__i"))
       .agg(sum(col("__n") * col("__n")).as("__ssq"))
       .agg(count(lit(1)).as("__ni"),
@@ -770,7 +771,7 @@ object Eval {
         when(label, 1L).otherwise(0L).as("__y"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
-      .localCheckpoint(eager = false)
+      .mat
     // single-partition windows are safe: the frame is the B-row bin
     // table, bounded by the caller's bucketing, never the input
     val wPre = Window.orderBy(col("b").asc)
@@ -834,12 +835,12 @@ object Eval {
     val grid = ratings
       .groupBy(col(itemCol).as("__i"), col(ratingCol).as("__c"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     val units = grid.groupBy(col("__i"))
       .agg(sum(col("__n")).as("__m"),
         sum(col("__n") * col("__n")).as("__ssq"))
       .filter(col("__m") >= 2)
-      .localCheckpoint(eager = false)
+      .mat
     // Σ_k n_uk(m_u − n_uk) = m_u² − Σ_k n_uk²
     val perUnit = units.agg(
       count(lit(1)).as("n_units"),
@@ -898,20 +899,20 @@ object Eval {
       col(loserCol).as("__l"))
     val nij = wl.groupBy(col("__w"), col("__l"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     // symmetric matchup totals pairs_ij (i as __a, opponent __b)
     val pairs = nij.select(col("__w").as("__a"), col("__l").as("__b"),
         col("__n"))
       .unionByName(nij.select(col("__l").as("__a"), col("__w").as("__b"),
         col("__n")))
       .groupBy(col("__a"), col("__b")).agg(sum(col("__n")).as("__p"))
-      .localCheckpoint(eager = false)
+      .mat
     val wins = nij.groupBy(col("__w").as("__id"))
       .agg(sum(col("__n")).as("__wins"))
     val items = pairs.select(col("__a").as("__id")).distinct()
       .join(wins, Seq("__id"), "left")
       .select(col("__id"), coalesce(col("__wins"), lit(0L)).as("__wins"))
-      .localCheckpoint(eager = false)
+      .mat
     val w0 = items.select(col("__id"), lit(1000000L).as("__wq"))
     val fitted = (1 to iters).foldLeft(w0) { (cur, _) =>
       val d = pairs
@@ -930,7 +931,7 @@ object Eval {
             // same wrap class: total wins scale with corpus comparisons
             expr("(CAST(__wins AS DECIMAL(38,0)) * 1000000000000L) div __d"))
             .otherwise(lit(0L)).as("__wq"))
-        .localCheckpoint(eager = false)
+        .mat
     }
     val tot = pairs.groupBy(col("__a").as("__id"))
       .agg(sum(col("__p")).as("n_comparisons"))
@@ -986,7 +987,7 @@ object Eval {
     val base = scores.select(col(subjectCol).as("__u"),
         col(itemCol).as("__i"), col(scoreCol).cast("long").as("__s"))
       .na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val n = base.agg(countDistinct(col("__u")).as("__n"))
     val items = base.groupBy(col("__i"))
       .agg(sum(dec(col("__s"))).as("__sx"),
@@ -1082,7 +1083,7 @@ object Eval {
     val cm = df.select(col(colA).as("__a"), col(colB).as("__b"))
       .na.drop()
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     val ma = cm.groupBy(col("__a").as("__q")).agg(sum(col("__n")).as("__ca"))
     val mb = cm.groupBy(col("__b").as("__q")).agg(sum(col("__n")).as("__cb"))
     val cats = ma.join(mb, Seq("__q"), "full")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,11 +33,11 @@ object Graph {
     // the kNN single-pass at any scale.
     val d = knn.select(col("query_id").as("a"), col("neighbor_id").as("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val rev = d.select(col("b").as("a"), col("a").as("b"))
     d.join(rev, Seq("a", "b"), "left_semi")
       .filter(col("a") < col("b"))
-      .localCheckpoint(eager = false)
+      .mat
   }
 
   /** Per-vertex triangle counts and local clustering coefficients over
@@ -59,7 +60,7 @@ object Graph {
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     // four references (degree agg, two wedge sides, the closing join)
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val deg = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -106,11 +107,11 @@ object Graph {
     */
   def richClub(edges: DataFrame, maxK: Int): DataFrame = {
     require(maxK >= 1 && maxK <= 64, s"maxK ($maxK) must be in [1, 64]")
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val deg = e.select(col("a").as("id"))
       .unionByName(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("__d"))
-      .localCheckpoint(eager = false)
+      .mat
     val ks = explode(sequence(lit(1), lit(maxK))).as("k")
     val nodesPerK = deg.select(col("__d"), ks)
       .filter(col("__d") > col("k"))
@@ -157,7 +158,7 @@ object Graph {
     // truncation); results are unchanged.
     val edges = knn.select(col("query_id").as("__v"),
       col("neighbor_id").as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     val seed = seeds.select(col(idCol).as("__v"),
       col(labelCol).as("label"), lit(0).as("round_assigned"))
     (1 to rounds).foldLeft(seed) { (labels, round) =>
@@ -172,7 +173,7 @@ object Graph {
       val newly = votes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("__v"), col("label"), lit(round).as("round_assigned"))
-      labels.unionByName(newly).localCheckpoint(eager = false)
+      labels.unionByName(newly).mat
     }.withColumnRenamed("__v", idCol)
   }
 
@@ -212,17 +213,17 @@ object Graph {
     // materialize the input once BEFORE the symmetrizing union — both
     // union arms otherwise execute the upstream edge pipeline (kNN,
     // co-occurrence aggregation, ...) independently (guide §2.4)
-    val e0 = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e0 = edges.select(col("a"), col("b")).mat
     val sym = e0.select(col("a").as("__u"), col("b").as("__v"))
       .unionByName(e0.select(col("b").as("__u"), col("a").as("__v")))
-      .localCheckpoint(eager = false)
+      .mat
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
     val n = deg.select(lit(1).as("__one"),
       count(lit(1)).cast("long").as("__n"))
     val r0 = deg.crossJoin(broadcast(n).drop("__one"))
       .select(col("__u"), col("__deg"), col("__n"),
         expr(s"${Q}L div __n").as("__r"))
-      .localCheckpoint(eager = false)
+      .mat
     val ranks = (1 to rounds).foldLeft(r0) { (r, _) =>
       val contrib = sym
         .join(r.select(col("__u"), col("__deg"), col("__r")), Seq("__u"))
@@ -234,7 +235,7 @@ object Graph {
         .select(col("__u"), col("__deg"), col("__n"),
           (expr(s"(3L * ${Q}L) div (20L * __n)") + col("__in"))
             .cast("long").as("__r"))
-        .localCheckpoint(eager = false)
+        .mat
       // inner join is lossless: every vertex has degree >= 1, so every
       // vertex receives at least its own neighbors' contributions
     }
@@ -267,10 +268,10 @@ object Graph {
     // materialize the input once BEFORE the symmetrizing union — both
     // union arms otherwise execute the upstream edge pipeline (kNN,
     // co-occurrence aggregation, ...) independently (guide §2.4)
-    val e0 = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e0 = edges.select(col("a"), col("b")).mat
     val sym = e0.select(col("a").as("__u"), col("b").as("__v"))
       .unionByName(e0.select(col("b").as("__u"), col("a").as("__v")))
-      .localCheckpoint(eager = false)
+      .mat
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
       .join(seeds.select(col("id").as("__u"), lit(1L).as("__seed")),
         Seq("__u"), "left")
@@ -282,7 +283,7 @@ object Graph {
       .select(col("__u"), col("__deg"), col("__seed"), col("__s"),
         when(col("__seed") === 1, expr(s"${Q}L div __s")).otherwise(lit(0L))
           .as("__r"))
-      .localCheckpoint(eager = false)
+      .mat
     val ranks = (1 to rounds).foldLeft(r0) { (r, _) =>
       val contrib = sym
         .join(r.select(col("__u"), col("__deg"), col("__r")), Seq("__u"))
@@ -295,7 +296,7 @@ object Graph {
           (when(col("__seed") === 1,
             expr(s"(3L * ${Q}L) div (20L * __s)")).otherwise(lit(0L)) +
             col("__in")).cast("long").as("__r"))
-        .localCheckpoint(eager = false)
+        .mat
     }
     ranks.select(col("__u").as("id"), col("__deg").as("degree"),
       col("__seed").as("seed"), col("__r").as("rank_q"))
@@ -336,7 +337,13 @@ object Graph {
       e.select(col("a").as("id"))
         .unionByName(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
-    var cur = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    // the anti-join peel below is equivalent to the alive-set semi-join
+    // only for NON-NULL endpoints (a null endpoint never matches the
+    // dead set, so its edge would survive every round) — enforce the
+    // precondition here instead of assuming it of callers; a no-op for
+    // mutualEdges-shaped input, whose a < b filter already drops nulls
+    var cur = edges.select(col("a"), col("b")).na.drop()
+      .mat
     var curCount = cur.count()
     var r = 0
     var done = curCount == 0L
@@ -353,7 +360,7 @@ object Graph {
         .join(dead.select(col("id").as("a")), Seq("a"), "left_anti")
         .join(dead.select(col("id").as("b")), Seq("b"), "left_anti")
         .select(col("a"), col("b"))
-        .localCheckpoint(eager = false)
+        .mat
       val nextCount = next.count()
       done = nextCount == curCount || nextCount == 0L
       cur = next; curCount = nextCount; r += 1
@@ -400,7 +407,7 @@ object Graph {
     // e anchors five references (degree agg, both wedge sides, the
     // adjacency anti-join) — materialize once so the upstream edge
     // pipeline is planned and executed a single time (guide §2.4).
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
     val adjAll = sym.select(col("a").as("z"), col("b").as("x"))
@@ -459,11 +466,11 @@ object Graph {
     val Q = 1000000000000L
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val verts = e.select(col("__s").as("__v"))
       .unionByName(e.select(col("__d").as("__v")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .mat
     // one L1-normalized half-step: raw_v = Σ joinSide score, then
     // scale to the Q grid by the exact integer total
     def halfStep(score: DataFrame, scoreCol: String,
@@ -483,7 +490,7 @@ object Graph {
         .select(col("__v"),
           expr(s"CAST((CAST(${Q}L AS DECIMAL(38,0)) * __raw) div __tot AS LONG)")
             .as(outCol))
-        .localCheckpoint(eager = false)
+        .mat
     }
     val h0 = verts.select(col("__v"), lit(Q).as("__h"))
     val (hubs, auths) = (1 to rounds).foldLeft((h0, h0.select(col("__v"), lit(0L).as("__a")))) {
@@ -529,7 +536,7 @@ object Graph {
     * @return one row: (m_edges, sx, sxy, sxx, assortativity_q)
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("__v"))
       .agg(count(lit(1)).as("__deg"))
@@ -631,13 +638,13 @@ object Graph {
     // materialize the input once BEFORE the symmetrizing union — both
     // union arms otherwise execute the upstream edge pipeline (kNN,
     // co-occurrence aggregation, ...) independently (guide §2.4)
-    val e0 = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e0 = edges.select(col("a"), col("b")).mat
     val sym = e0.select(col("a").as("__u"), col("b").as("__v"))
       .unionByName(e0.select(col("b").as("__u"), col("a").as("__v")))
-      .localCheckpoint(eager = false)
+      .mat
     val deg = sym.groupBy(col("__u")).agg(count(lit(1)).as("__deg"))
     val x0 = deg.withColumn("__x", lit(betaQ))
-      .localCheckpoint(eager = false)
+      .mat
     val ranks = (1 to rounds).foldLeft(x0) { (x, _) =>
       val inc = sym.join(x.select(col("__u"), col("__x")), Seq("__u"))
         .groupBy(col("__v").as("__u")).agg(sum(col("__x")).as("__in"))
@@ -645,7 +652,7 @@ object Graph {
         .join(inc, Seq("__u"))
         .select(col("__u"), col("__deg"),
           (lit(betaQ) + expr(s"__in div ${alphaDen}L")).as("__x"))
-        .localCheckpoint(eager = false)
+        .mat
     }
     ranks.select(col("__u").as("id"), col("__deg").as("degree"),
       col("__x").as("katz_q"))
@@ -681,11 +688,11 @@ object Graph {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val lab = labels.select(col(idCol).as("__id"),
       col(communityCol).as("__c")).na.drop()
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .join(lab.select(col("__id").as("a"), col("__c").as("__ca")), Seq("a"))
       .join(lab.select(col("__id").as("b"), col("__c").as("__cb")), Seq("b"))
-      .localCheckpoint(eager = false)
+      .mat
     val m2 = sym.agg(count(lit(1)).as("__m2"))
     val byC = sym.groupBy(col("__ca").as("community"))
       .agg(count(lit(1)).as("d_c"),
@@ -734,7 +741,7 @@ object Graph {
     val e = edges.select(col("a"), col("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val d1 = sym.select(col("a").as("__v"), col("b").as("__u"),
       lit(1).as("__d"))
     val reached = (2 to hops).foldLeft(d1) { (acc, h) =>
@@ -746,7 +753,7 @@ object Graph {
         .join(acc.select(col("__v"), col("__u")), Seq("__v", "__u"),
           "left_anti")
         .withColumn("__d", lit(h))
-      acc.unionByName(next).localCheckpoint(eager = false)
+      acc.unionByName(next).mat
     }
     reached.groupBy(col("__v").as("id"))
       .agg(count(lit(1)).as("n_reached"),
@@ -794,7 +801,7 @@ object Graph {
         .select(col("__e.a").as("a"), col("__e.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
-    var cur = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    var cur = edges.select(col("a"), col("b")).mat
     var curCount = cur.count()
     var r = 0
     var done = curCount == 0L
@@ -802,7 +809,7 @@ object Graph {
       val keep = support(cur).filter(col("support") >= k - 2)
       val next = cur.join(keep.select(col("a"), col("b")), Seq("a", "b"),
           "left_semi")
-        .localCheckpoint(eager = false)
+        .mat
       val nextCount = next.count()
       done = nextCount == curCount || nextCount == 0L
       cur = next; curCount = nextCount; r += 1
@@ -830,12 +837,12 @@ object Graph {
   def eigenvectorCentrality(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) must be in [1, 10]")
     val Q = 1000000000000L
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val verts = sym.select(col("a").as("__v")).distinct()
-      .localCheckpoint(eager = false)
+      .mat
     def step(score: DataFrame): DataFrame = {
       val raw = sym.join(score.select(col("__v").as("a"), col("__x")),
           Seq("a"))
@@ -853,7 +860,7 @@ object Graph {
         .select(col("__v"),
           expr(s"CAST((CAST(${Q}L AS DECIMAL(38,0)) * __raw) div __tot AS LONG)")
             .as("__x"))
-        .localCheckpoint(eager = false)
+        .mat
     }
     val x0 = verts.select(col("__v"), lit(Q).as("__x"))
     val xf = (1 to rounds).foldLeft(x0)((s, _) => step(s))
@@ -902,7 +909,7 @@ object Graph {
     // e anchors five references (degree agg, both wedge sides, the
     // adjacency anti-join) — materialize once so the upstream edge
     // pipeline is planned and executed a single time (guide §2.4).
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
     val adjAll = sym.select(col("a").as("z"), col("b").as("x"))
@@ -950,7 +957,7 @@ object Graph {
     * @return (k, n_nodes, sum_nbr_deg, knn_q) ordered by k
     */
   def avgNeighborDegree(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("a"), col("b")).mat
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("__d"))
     val stamped = sym
@@ -998,12 +1005,12 @@ object Graph {
     val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val v = values.select(col(values.columns.head).as("__id"),
       col(values.columns(1)).cast("long").as("__x")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val tot = v.agg(count(lit(1)).as("__n"), sum(dec38(col("__x"))).as("__S"))
     val z = v.crossJoin(broadcast(tot))
       .select(col("__id"), col("__x"), col("__n"),
         (dec38(col("__n")) * col("__x") - col("__S")).as("__z"))
-      .localCheckpoint(eager = false)
+      .mat
     val e = edges.select(col("a"), col("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val stamped = sym
@@ -1057,7 +1064,7 @@ object Graph {
     val v = values.select(col(values.columns.head).as("__id"),
       (col(values.columns(1)).cast("long") =!= 0L).cast("long").as("__b"))
       .na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val e = edges.select(col("a"), col("b"))
       .join(v.select(col("__id").as("a"), col("__b").as("__ba")), Seq("a"))
       .join(v.select(col("__id").as("b"), col("__b").as("__bb")), Seq("b"))
@@ -1111,12 +1118,12 @@ object Graph {
     val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val v = values.select(col(values.columns.head).as("__id"),
       col(values.columns(1)).cast("long").as("__x")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val tot = v.agg(count(lit(1)).as("__vn"), sum(dec38(col("__x"))).as("__S"))
     val z = v.crossJoin(broadcast(tot))
       .select(col("__id"), col("__x"),
         (dec38(col("__vn")) * col("__x") - col("__S")).as("__z"))
-      .localCheckpoint(eager = false)
+      .mat
     val den = z.agg(sum(col("__z") * col("__z")).as("__den"))
     val e = edges.select(col("a"), col("b"))
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
@@ -1150,7 +1157,7 @@ object Graph {
   def reciprocity(knn: DataFrame): DataFrame = {
     val d = knn.select(col("query_id").as("a"), col("neighbor_id").as("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val nd = d.agg(count(lit(1)).as("n_directed"))
     val mut = d.join(d.select(col("b").as("a"), col("a").as("b")),
         Seq("a", "b"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -608,7 +609,7 @@ object Packing {
         col(sizeCol).cast("long").as("__s"))
       .filter(col("__s") > 0)
       .withColumn("__bucket", expr(s"__id div ${idBucketWidth}L"))
-      .localCheckpoint(eager = false)
+      .mat
     val perBucket = base.groupBy(col("__bucket"))
       .agg(sum(col("__s")).as("__bs"))
     val wB = Window.orderBy(col("__bucket").asc)
@@ -678,7 +679,7 @@ object Packing {
         floor(lit(1000000.0) *
           sqrt(col("c").cast("double") * sqrt(col("c").cast("double"))))
           .cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = counts.agg(sum(col("s_q")).as("__ss"))
     counts.crossJoin(broadcast(tot))
       .select(col("token"), col("c"), col("s_q"),
@@ -697,7 +698,7 @@ object Packing {
       .withColumn("s_q",
         floor(lit(1000000.0) * sqrt(col("t_size").cast("double")))
           .cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = g.agg(sum(col("s_q")).as("__ss"),
       sum(col("t_size")).as("__tt"))
     g.crossJoin(broadcast(tot))
@@ -739,7 +740,7 @@ object Packing {
       .agg(sum(TextFns.tokenCount(col(textCol))).cast("long")
         .as("t_tokens"))
       .withColumn("cap", col("t_tokens") * lit(maxEpochs.toLong))
-      .localCheckpoint(eager = false)
+      .mat
     val wAsc = Window.orderBy(col("cap").asc, col("source").asc)
     val wCumPrev = wAsc.rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(lit(1))
@@ -815,7 +816,7 @@ object Packing {
       .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
       .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = cells.agg(sum(col("__n")).as("__tot"),
       countDistinct(col("__r")).as("__nr"),
       countDistinct(col("__c")).as("__nc"))
@@ -842,7 +843,7 @@ object Packing {
         .withColumn("__w",
           expr("CAST((__num - pmod(__num, __den)) / __den AS DECIMAL(38,0))"))
         .drop("__k", "__mass", "__num", "__den")
-        .localCheckpoint(eager = false)
+        .mat
     }
     val fitted = (1 to rounds).foldLeft(w0) { (cur, _) =>
       step(step(cur, "__r", "__nr"), "__c", "__nc")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +53,7 @@ object Retrieval {
     // snapshot: tf feeds df, dl, and the match join (q80 contract)
     val tf = terms.groupBy(col("doc_id_"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val dl = tf.groupBy(col("doc_id_")).agg(sum(col("tf")).as("dl"))
     val n = docCount.getOrElse(corpus.count())
     // avgdl as ONE exact division of exact longs; broadcast scalar
@@ -195,7 +196,7 @@ object Retrieval {
     // snapshot: tf feeds cf, df, dl, and the match join (q80 contract)
     val tf = terms.groupBy(col("doc_id_"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val dl = tf.groupBy(col("doc_id_")).agg(sum(col("tf")).as("dl"))
     val ctot = dl.agg(sum(col("dl")).as("c_tot"))
     val vocab = tf.groupBy(col("term"))
@@ -273,7 +274,7 @@ object Retrieval {
     val fb = bm25TopK(queries, corpus, idCol, textCol, k = fbDocs,
         maxTermDf = maxTermDf)
       .select(col("query_id"), col("doc_id"))
-      .localCheckpoint(eager = false)
+      .mat
     val fbIds = fb.select(col("doc_id")).distinct()
     val fbTf = corpus
       .join(broadcast(fbIds), corpus(idCol) === fbIds("doc_id"), "left_semi")

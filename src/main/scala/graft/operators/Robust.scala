@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,10 +98,10 @@ object Robust {
     val medians = Quantiles.exactQuantiles(df, groupCol, valueQCol,
         bucketWidth, med)
       .select(col(groupCol), col("value").as("med_q"))
-      .localCheckpoint(eager = false)
+      .mat
     val dev = df.join(broadcast(medians), Seq(groupCol))
       .withColumn("__dev", abs(col(valueQCol).cast("long") - col("med_q")))
-      .localCheckpoint(eager = false)
+      .mat
     val mads = Quantiles.exactQuantiles(dev, groupCol, "__dev",
         bucketWidth, med)
       .select(col(groupCol), col("value").as("mad_q"))
@@ -236,7 +237,7 @@ object Robust {
     // upstream aggregation for each join arm
     val b = buckets.select(col(groupCol), col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val pairs = b.join(
         b.select(col(groupCol), col("__x").as("__x2"), col("__y").as("__y2")),
         Seq(groupCol))
@@ -302,7 +303,7 @@ object Robust {
         col(valueCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val b = grid.select(col("__g"), col("__v").as("__vb"),
       col("__c").as("__cb"))
     val walsh = grid.join(b, Seq("__g"))
@@ -345,14 +346,14 @@ object Robust {
     val gv = df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = gv
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(
         Window.partitionBy(col(groupCol))))
-      .localCheckpoint(eager = false)
+      .mat
     def pick(num: Int, den: Int, as: String) = cum
       .filter(col("__cum") * den >= col("__n") * num)
       .groupBy(col(groupCol))
@@ -390,7 +391,7 @@ object Robust {
                   yCol: String): DataFrame = {
     val b = buckets.select(col(groupCol), col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val pairs = b.join(
         b.select(col(groupCol), col("__x").as("__x2"),
           col("__y").as("__y2")), Seq(groupCol))

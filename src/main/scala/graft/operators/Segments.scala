@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -389,7 +390,7 @@ object Segments {
       .select(col("__g"), col("__id"), col("__pid"),
         transform(col("__st"), s => s.getField("__t")).as("__ptoks"))
       .filter(size(col("__ptoks")) <= maxPhraseLen)
-      .localCheckpoint(eager = false)
+      .mat
     val wordScores = phrases
       .select(col("__g"), size(col("__ptoks")).cast("long").as("__len"),
         explode(col("__ptoks")).as("__w"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -161,7 +162,7 @@ object Sketches {
                       k: Int): DataFrame = {
     val m = kmvMinima(values, setCol, valueCol, k)
       .select(col(setCol).as("__s"), col("h"))
-      .localCheckpoint(eager = false)
+      .mat
     val sets = m.select(col("__s")).distinct()
     val pairs = sets.select(col("__s").as("set_a"))
       .crossJoin(broadcast(sets.select(col("__s").as("set_b"))))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -222,7 +223,7 @@ object Stats {
     // without materialization the corpus scan re-executes per subtree
     val cells = df.select(col(rowCol), col(colCol)).na.drop()
       .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
     val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
     val tot = cells.agg(sum(col("o")).as("__t"))
@@ -320,7 +321,7 @@ object Stats {
     // aggregate subtrees — one corpus scan, not four
     val gi = df.select(col(groupCol), col(itemCol)).na.drop()
       .groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val corpus = gi.groupBy(col(itemCol)).agg(sum(col("__c")).as("__ct"))
     val totals = gi.groupBy(col(groupCol)).agg(sum(col("__c")).as("__s"))
     val grand = gi.agg(sum(col("__c")).as("__t"))
@@ -368,7 +369,7 @@ object Stats {
     val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
       .withColumn("__cum",
         coalesce(sum(col("__nv")).over(
@@ -413,7 +414,7 @@ object Stats {
     // compute-once cell grid (see chiSquare)
     val cells = df.select(col(rowCol), col(colCol)).na.drop()
       .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
     val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
     val tot = cells.agg(sum(col("o")).as("__t"))
@@ -447,7 +448,7 @@ object Stats {
       .filter(col("__d") =!= "")
       .groupBy(col("__d").cast("int").as("digit"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // 9-row grid: scan once, not twice
+      .mat // 9-row grid: scan once, not twice
     val tot = d.agg(sum(col("n")).as("__t"))
     d.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
@@ -486,9 +487,9 @@ object Stats {
     // compute-once: the present grid feeds four aggregate subtrees
     val gi = df.select(col(groupCol), col(itemCol)).na.drop()
       .groupBy(col(groupCol), col(itemCol)).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val corpus = gi.groupBy(col(itemCol)).agg(sum(col("__c")).as("__ct"))
-      .localCheckpoint(eager = false)
+      .mat
     val totals = gi.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ng"))
     val grand = gi.agg(sum(col("__c")).as("__t"))
     val withRest = broadcast(totals.crossJoin(grand)
@@ -561,7 +562,7 @@ object Stats {
       .join(buckets.select(col(groupCol), col(bucketCol).as("__b"),
         col(valueCol).cast("long").as("__v")), Seq(groupCol, "__b"), "left")
       .select(col(groupCol), col("__b"), coalesce(col("__v"), lit(0L)).as("__v"))
-      .localCheckpoint(eager = false)
+      .mat
     val lagged = (1 to maxLag).map { l =>
       val shifted = dense.select(col(groupCol),
         (col("__b") - lit(l * stepSec)).as("__b"), col("__v").as("__y"))
@@ -612,7 +613,7 @@ object Stats {
       .select(col(groupCol), col("__b"),
         coalesce(col("__x"), lit(0L)).as("__x"),
         coalesce(col("__y"), lit(0L)).as("__y"))
-      .localCheckpoint(eager = false)
+      .mat
     val lagged = (-maxLag to maxLag).map { l =>
       val shifted = dense.select(col(groupCol),
         (col("__b") - lit(l * stepSec)).as("__b"),
@@ -666,7 +667,7 @@ object Stats {
         col(xCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val groups = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
     val vals = cells.select(col("__v")).distinct()
     val grid = groups.select(col("__g"))
@@ -677,7 +678,7 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = grid
       .withColumn("__below", sum(col("__c")).over(wCum) - col("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val j2 = cum.as("a").join(cum.as("b"),
         col("a.__v") === col("b.__v") && col("a.__g") < col("b.__g"))
       .agg(sum(col("b.__c") *
@@ -727,7 +728,7 @@ object Stats {
     val base = df.select(col(groupCol).as("__g"), col(keyCol).as("__k"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val rhs = base.select(col("__g"), col("__k").as("__k2"),
       col("__x").as("__x2"), col("__y").as("__y2"))
     val pairs = base.join(rhs, Seq("__g")).filter(col("__k") < col("__k2"))
@@ -777,7 +778,7 @@ object Stats {
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n1"), sum(dec(col("__x"))).as("__s1"),
         sum(dec(col("__x")) * dec(col("__x"))).as("__q1"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = g.agg(sum(col("n1")).as("__nt"), sum(col("__s1")).as("__st"),
       sum(col("__q1")).as("__qt"))
     val d = (c: Column) => c.cast("double")
@@ -827,7 +828,7 @@ object Stats {
         col(valueCol).cast("long").as("__x"))
       .na.drop()
       .groupBy(col("__b"), col("__t")).agg(sum(col("__x")).as("__x"))
-      .localCheckpoint(eager = false)
+      .mat
     val grid = cells.select("__b").distinct()
       .crossJoin(broadcast(cells.select("__t").distinct()))
       .join(cells, Seq("__b", "__t"), "left")
@@ -877,7 +878,7 @@ object Stats {
     val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
       .withColumn("__cum",
         coalesce(sum(col("__nv")).over(
@@ -927,7 +928,7 @@ object Stats {
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"),
         (count(lit(1)) - sum(col("__a"))).as("__cb"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = cells.agg(sum(col("__ca")).as("n_a"),
       sum(col("__cb")).as("n_b"))
     val w = Window.orderBy(col("__v"))
@@ -968,7 +969,7 @@ object Stats {
   def cochranQ(df: DataFrame, blockCol: String,
                treatCol: String): DataFrame = {
     val pres = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"))
-      .na.drop().distinct().localCheckpoint(eager = false)
+      .na.drop().distinct().mat
     val kT = pres.select(col("__t")).distinct().agg(count(lit(1)).as("k"))
     val rows = pres.groupBy(col("__b")).agg(count(lit(1)).as("__r"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("__r")).as("__sr"),
@@ -1018,7 +1019,7 @@ object Stats {
         expr(s"CAST($valueCol AS LONG) div ${binWidth}L").as("__b"))
       .na.drop()
       .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val bins = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
     val nb = bins.agg(count(lit(1)).as("__nbins"), sum(col("__cb")).as("__ntot"))
     val groups = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
@@ -1127,7 +1128,7 @@ object Stats {
     val arms = base.groupBy(col("__v"))
       .agg(count(lit(1)).as("n"), sum(dec(col("__y"))).as("__sy"),
         sum(dec(col("__x"))).as("__sx"))
-      .localCheckpoint(eager = false)
+      .mat
     val pooled = base.agg(count(lit(1)).as("__n"),
       sum(dec(col("__x"))).as("__tsx"), sum(dec(col("__y"))).as("__tsy"),
       sum(dec(col("__x")) * dec(col("__x"))).as("__sxx"),
@@ -1421,7 +1422,7 @@ object Stats {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val cells = df.select(col(rowCol), col(colCol)).na.drop()
       .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
     val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
     val tot = cells.agg(sum(col("o")).as("__t"))
@@ -1460,7 +1461,7 @@ object Stats {
     val gv = df.select(col(groupCol).as("__g"), col(xCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val wCum = Window.partitionBy(col("__g")).orderBy(col("__v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("__g"))
@@ -1542,7 +1543,7 @@ object Stats {
     val base = df.select(col(idCol).cast("string").as("__id"),
         col(valueCol).cast("long").as("__v"))
       .na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val est = base.agg(count(lit(1)).as("n"),
       expr("(1000000L * CAST(sum(__v) AS decimal(38,0))) div count(1)")
         .cast("long").as("est_mean_q"))
@@ -1601,7 +1602,7 @@ object Stats {
     val base = df.select(col(idCol).cast("string").as("__id"),
         col(valueCol).cast("long").as("__v"))
       .na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     // exact corpus lower median from the value grid
     val grid0 = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
     val wCum0 = Window.orderBy(col("__v").asc)
@@ -1710,7 +1711,7 @@ object Stats {
     val g1 = label.cast("boolean")
     val base = df.filter(x.isNotNull)
       .select(x.as("__x"), when(g1, 1L).otherwise(0L).as("__g"))
-      .localCheckpoint(eager = false)
+      .mat
     val grid = base.groupBy(col("__x"))
       .agg(sum(col("__g")).as("__c1"),
         sum(lit(1L) - col("__g")).as("__c2"))
@@ -1855,7 +1856,7 @@ object Stats {
     val staged = buckets
       .select(col(groupCol), col(bucketCol), col(xCol).cast("long").as("__x"))
       .withColumn("__t", row_number().over(ws).cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val sums = staged.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"),
         sum(dec(col("__t"))).as("__st"),
@@ -1974,9 +1975,9 @@ object Stats {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val cells = df.select(col(rowCol), col(colCol)).na.drop()
       .groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val rows = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
-      .localCheckpoint(eager = false)
+      .mat
     val cols = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
     val tot = rows.agg(sum(col("__r")).as("__t"),
       count(lit(1)).as("n_rows"))
@@ -2053,7 +2054,7 @@ object Stats {
       .na.drop()
       .groupBy(col(groupCol))
       .agg(sum(dec(col("__y"))).as("__yg"), sum(dec(col("__x"))).as("__xg"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = g.agg(count(lit(1)).as("__k"), sum(col("__yg")).as("__yt"),
       sum(col("__xg")).as("__xt"))
     val rFull = d(col("__yt")) / d(col("__xt"))
@@ -2133,7 +2134,7 @@ object Stats {
       // dec38: 10⁹·x wraps int64 for a group with >9.2e9 successes
       .withColumn("__pq",
         expr("(CAST(1000000000 AS DECIMAL(38,0)) * x) div n"))
-      .localCheckpoint(eager = false)
+      .mat
     val mom = g.agg(count(lit(1)).as("__k"),
       sum(dec(col("__pq"))).as("__m"),
       sum(dec(col("__pq")) * dec(col("__pq"))).as("__mm"))
@@ -2171,7 +2172,7 @@ object Stats {
     val gv = df.select(col(groupCol), col(xCol).cast("long").as("__v"))
       .na.drop()
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val vals = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__cv"))
     val tot = vals.agg(sum(col("__cv")).as("__n"))
     val med = vals.crossJoin(broadcast(tot))
@@ -2227,12 +2228,12 @@ object Stats {
         col(valueCol).cast("long").as("__x"))
       .na.drop()
       .groupBy(col("__b"), col("__t")).agg(sum(col("__x")).as("__x"))
-      .localCheckpoint(eager = false)
+      .mat
     val grid = cells.select("__b").distinct()
       .crossJoin(broadcast(cells.select("__t").distinct()))
       .join(cells, Seq("__b", "__t"), "left")
       .na.fill(0L, Seq("__x"))
-      .localCheckpoint(eager = false)
+      .mat
     val wRank = Window.partitionBy(col("__b")).orderBy(col("__x"))
     val wTie = Window.partitionBy(col("__b"), col("__x"))
     val ranked = grid
@@ -2279,7 +2280,7 @@ object Stats {
   def pacf2(buckets: DataFrame, groupCol: String, bucketCol: String,
             xCol: String, stepSec: Long): DataFrame = {
     val a = acf(buckets, groupCol, bucketCol, xCol, stepSec, maxLag = 2)
-      .localCheckpoint(eager = false)
+      .mat
     val l1 = a.filter(col("lag") === 1)
       .select(col(groupCol), col("acf_q").as("rho1_q"))
     val l2 = a.filter(col("lag") === 2)
@@ -2317,11 +2318,11 @@ object Stats {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val cells = df.select(col(clusterCol), col(labelCol)).na.drop()
       .groupBy(col(clusterCol), col(labelCol)).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val rows = cells.groupBy(col(clusterCol)).agg(sum(col("o")).as("__r"))
-      .localCheckpoint(eager = false)
+      .mat
     val cols = cells.groupBy(col(labelCol)).agg(sum(col("o")).as("__c"))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = rows.agg(sum(col("__r")).as("__t"))
     def entropyQ(m: DataFrame, cnt: String, as: String) =
       m.crossJoin(broadcast(tot))
@@ -2439,7 +2440,7 @@ object Stats {
         col(xCol).cast("long").as("__x"),
         when(label, 1L).otherwise(0L).as("__g"))
       .na.drop(Seq("__id", "__x"))
-      .localCheckpoint(eager = false)
+      .mat
     def tQ(s1: Column, n1: Column, s0: Column, n0: Column): Column =
       floor(lit(1000000.0) * (d(s1) / d(n1) - d(s0) / d(n0))).cast("long")
     val obs = base.agg(count(lit(1)).as("__n"), sum(col("__g")).as("__n1"),
@@ -2506,17 +2507,17 @@ object Stats {
       .na.drop()
       .orderBy(Dedup.md5Hash60(col("__id").cast("string")), col("__id"))
       .limit(cap)
-      .localCheckpoint(eager = false)
+      .mat
     val b = s.select(col("__id").as("__jb"), col("__x").as("__xb"),
       col("__y").as("__yb"))
     val pairs = s.crossJoin(b)
       .select(col("__id").as("__ja"), col("__jb"),
         abs(col("__x") - col("__xb")).as("__da"),
         abs(col("__y") - col("__yb")).as("__db"))
-      .localCheckpoint(eager = false)
+      .mat
     val rs = pairs.groupBy(col("__ja").as("__j"))
       .agg(sum(col("__da")).as("__rx"), sum(col("__db")).as("__ry"))
-      .localCheckpoint(eager = false)
+      .mat
     val g = rs.agg(count(lit(1)).as("__n"), sum(col("__rx")).as("__gx"),
       sum(col("__ry")).as("__gy"))
     val alpha = dec(col("__n")) * dec(col("__n")) * dec(col("__da")) -
@@ -2572,7 +2573,7 @@ object Stats {
         yOrd.cast("long").as("__y"))
       .na.drop()
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val b = cells.select(col("__x").as("__bx"), col("__y").as("__by"),
       col("o").as("__bo"))
     val cd = cells.join(broadcast(b), col("__bx") > col("__x"))
@@ -2679,7 +2680,7 @@ object Stats {
     val cnt = df.select(col(groupCol).as("__g"), col(catCol).as("__c"))
       .na.drop()
       .groupBy(col("__g"), col("__c")).agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val top2 = cnt.groupBy(col("__c")).agg(sum(col("o")).as("__ct"))
       .orderBy(col("__ct").desc, col("__c")).limit(2)
       .select(col("__c"), lit(1).as("__top"))
@@ -2692,7 +2693,7 @@ object Stats {
           .otherwise(lit("o:")).as("__cell"),
         col("o"))
       .groupBy(col("__g"), col("__cell")).agg(sum(col("o")).as("o"))
-      .localCheckpoint(eager = false)
+      .mat
     val cellTot = celled.groupBy(col("__cell")).agg(sum(col("o")).as("__ct"))
     val grpTot = celled.groupBy(col("__g")).agg(sum(col("o")).as("__ng"))
     val tot = celled.agg(sum(col("o")).as("__t"))
@@ -2927,7 +2928,7 @@ object Stats {
         col(xCol).isNotNull)
       .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
       .agg(sum(col(xCol).cast("long")).as("__x"))
-      .localCheckpoint(eager = false)
+      .mat
     val k = cells.select(col("__t")).distinct().count().toInt
     val full = cells
       .withColumn("__kb", count(lit(1)).over(Window.partitionBy(col("__b"))))
@@ -3102,7 +3103,7 @@ object Stats {
     val cells = df.select(col(colA).as("__a"), col(colB).as("__b"))
       .na.drop()
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false)
+      .mat
     // upper triangle (i<j) full-outer-joined with the MIRRORED lower
     // triangle: a pair present on only one side still tests (against 0)
     val pairs = cells.filter(col("__a") < col("__b"))
@@ -3152,7 +3153,7 @@ object Stats {
         col(xCol).isNotNull)
       .groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
       .agg(sum(col(xCol).cast("long")).as("__x"))
-      .localCheckpoint(eager = false)
+      .mat
     val k = cells.select(col("__t")).distinct().count().toInt
     val full = cells
       .withColumn("__kb", count(lit(1)).over(Window.partitionBy(col("__b"))))
@@ -3174,7 +3175,7 @@ object Stats {
         (lit(2L) * col("__rlt") + col("__req") + 1L).as("__Q2"))
     val s = ranked.join(ranges, Seq("__b"))
       .withColumn("__S4", col("__Q2") * (col("__R2") - lit(k + 1L)))
-      .localCheckpoint(eager = false)
+      .mat
     val a = s.agg(sum(dec38(col("__S4")) * dec38(col("__S4"))).as("a16_l"),
       (count(lit(1)) / lit(k)).cast("long").as("n_blocks"))
     val bj = s.groupBy(col("__t"))
@@ -3372,7 +3373,7 @@ object Stats {
   def blomqvistBeta(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     def median(c: String): DataFrame = {
       val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
         .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))))
@@ -3497,7 +3498,7 @@ object Stats {
         sum(dec38(col("__c")) * col("__c") * col("__c") - col("__c"))
           .as("__vanT"))
       .withColumn("__vanM", col("__vanN") - col("__vanA"))
-      .localCheckpoint(eager = false)
+      .mat
     val terms = strata.select(
       floor(lit(1.0e9) *
         (col("__vanW") - col("__vanA") * (col("__vanN") + 1L))
@@ -3544,7 +3545,7 @@ object Stats {
       s"p fraction $pNum/$pDen must sit in (0, 1)")
     val base = df.select(col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     def quantile(c: String): DataFrame = {
       val g = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
         .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -717,7 +718,7 @@ object TimeAgg {
     // aggregate subtrees — one corpus scan, not four
     val baskets = df.select(col(entityCol).as("__e"), col(itemCol).as("__i"))
       .na.drop().distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val nEnt = baskets.agg(countDistinct(col("__e")).as("__nn"))
     val item = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = baskets
@@ -763,7 +764,7 @@ object TimeAgg {
     val grid = events.select(col(groupCol), dow.as("dow"))
       .groupBy(col(groupCol), col("dow"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .mat
     val totals = grid.groupBy(col(groupCol)).agg(sum(col("n")).as("__tot"))
     grid.join(broadcast(totals), Seq(groupCol))
       .select(col(groupCol), col("dow"), col("n"),
@@ -797,7 +798,7 @@ object TimeAgg {
         sum(col(valueCol).cast("decimal(18,2)")).as("__mon"))
       .withColumn("monetary_cents", (col("__mon") * 100).cast("long"))
       .withColumn("__all", lit("all"))
-      .localCheckpoint(eager = false) // feeds three rank passes + the join
+      .mat // feeds three rank passes + the join
     def binOf(metric: String, width: Long, out: String): DataFrame =
       graft.operators.Quantiles.exactRanks(
         per.select(col(userCol), col("__all"), col(metric)),
@@ -1156,7 +1157,7 @@ object TimeAgg {
       .withColumn("trend_q", expr("(1000000L * __s7) div 7"))
       .withColumn("detr_q", lit(1000000L) * col("x") - col("trend_q"))
       .withColumn("__dow", pmod(col("__day") + 3, lit(7L)))
-      .localCheckpoint(eager = false)
+      .mat
     val seasonal = withMa.groupBy(col("__g"), col("__dow"))
       .agg(floor(sum(col("detr_q")).cast("double") /
         count(lit(1)).cast("double")).cast("long").as("seasonal_q"))
@@ -1197,7 +1198,7 @@ object TimeAgg {
     val base = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
         col(epochMicrosCol).cast("long").as("__ts"))
       .na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val s0 = base.filter(col("__t") === steps.head)
       .groupBy(col("__u")).agg(min(col("__ts")).as("__anchor"))
       .withColumn("__prev", col("__anchor"))
@@ -1280,10 +1281,22 @@ object TimeAgg {
       .groupBy(col(typeCol).as("__from"), col("__next").as("__to"))
       .agg(count(lit(1)).as("__n"))
     val states = events.select(col(typeCol).as("__s")).na.drop().distinct()
-    val stRows = states.collect().map(_.get(0))
-    require(stRows.length <= 4096,
-      s"markovStationary state space (${stRows.length}) exceeds the " +
-        "bounded-grid contract (4096) — states must be categorical")
+    // Driver fast path only while the grid is provably collectable:
+    // ≤ 4096 states (probed with a LIMIT, so a high-cardinality type
+    // column never collects) and ≤ 2²⁰ observed transition cells
+    // (grids are ≤ states² — the cell cap bounds driver memory where
+    // the state cap alone would admit 16.7M rows). Anything wider
+    // falls back to the distributed per-round iteration below —
+    // slower, but no driver collect and no failure mode.
+    val stRows = states.limit(4097).collect().map(_.get(0))
+    if (stRows.length > 4096) {
+      return markovStationaryDistributed(tr, states, rounds)
+    }
+    val maxCells = 1 << 20
+    val trRaw = tr.limit(maxCells + 1).collect()
+    if (trRaw.length > maxCells) {
+      return markovStationaryDistributed(tr, states, rounds)
+    }
     val spark = events.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(
@@ -1296,7 +1309,7 @@ object TimeAgg {
     }
     // null FROM-states never reach the iteration (the rank vector is
     // keyed by the non-null state set), matching the frame version
-    val trRows = tr.collect()
+    val trRows = trRaw
       .map(row => (row.get(0), row.get(1), row.getLong(2)))
       .filter(_._1 != null)
     val rowTot: Map[Any, Long] =
@@ -1321,6 +1334,51 @@ object TimeAgg {
         s, rowTot.get(s).map(java.lang.Long.valueOf).orNull, x(s))
     }
     spark.createDataFrame(out.asJava, schema).orderBy(col("state"))
+  }
+
+  /** Distributed power iteration for [[markovStationary]] state spaces
+    * too wide for the driver grid (the round-11 implementation): each
+    * round is one broadcast join + one keyed agg over the transition
+    * frame. Same integer recurrence — x0 = Q div k, per-transition
+    * ⌊x_f·n / r_f⌋ in decimal(38,0), absorbing states keep their mass —
+    * so the result is value-identical to the driver path wherever both
+    * are defined.
+    */
+  private def markovStationaryDistributed(tr: DataFrame, states: DataFrame,
+                                          rounds: Int): DataFrame = {
+    val Q = 1000000000000L
+    val trC = tr.mat
+    val rowTot = trC.filter(col("__from").isNotNull)
+      .groupBy(col("__from")).agg(sum(col("__n")).as("__r"))
+    val statesC = states.mat
+    val k = statesC.agg(count(lit(1)).as("__k"))
+    val x0 = statesC.crossJoin(broadcast(k))
+      .select(col("__s"), expr(s"${Q}L div __k").as("__x"))
+      .mat
+    val trR = trC.filter(col("__from").isNotNull)
+      .join(broadcast(rowTot), Seq("__from"))
+    val xs = (1 to rounds).foldLeft(x0) { (x, _) =>
+      val contrib = trR
+        .join(broadcast(x.select(col("__s").as("__from"), col("__x"))),
+          Seq("__from"))
+        .select(col("__to").as("__s"),
+          expr("""(CAST(__x AS DECIMAL(38,0)) * __n)
+                  div CAST(__r AS DECIMAL(38,0))""").as("__c"))
+        .groupBy(col("__s")).agg(sum(col("__c")).as("__in"))
+      // absorbing states keep their mass; emitting states replace it
+      x.join(broadcast(rowTot.select(col("__from").as("__s"),
+          col("__r"))), Seq("__s"), "left")
+        .join(contrib, Seq("__s"), "left")
+        .select(col("__s"),
+          (when(col("__r").isNotNull, lit(0L)).otherwise(col("__x")) +
+            coalesce(col("__in"), lit(0L))).as("__x"))
+        .mat
+    }
+    xs.join(broadcast(rowTot.select(col("__from").as("__s"),
+        col("__r").as("out_total"))), Seq("__s"), "left")
+      .select(col("__s").as("state"), col("out_total"),
+        col("__x").as("mass_q"))
+      .orderBy(col("state"))
   }
 
   /** Per-group overdispersion audit of a dense count series — the
@@ -1378,7 +1436,7 @@ object TimeAgg {
     val d = (c: Column) => c.cast("double")
     val s = series.select(col(bucketCol).as("__b"),
         col(xCol).cast("long").as("__x")).na.drop()
-      .localCheckpoint(eager = false)
+      .mat
     val vals = s.groupBy(col("__x")).agg(count(lit(1)).as("__cv"))
     val tot = vals.agg(sum(col("__cv")).as("__n0"))
     val med = vals.crossJoin(broadcast(tot))
@@ -1433,7 +1491,7 @@ object TimeAgg {
     val s = series.select(col(bucketCol).as("__b"),
         col(xCol).cast("long").as("__x")).na.drop()
       .withColumn("__i", row_number().over(Window.orderBy(col("__b"))))
-      .localCheckpoint(eager = false)
+      .mat
     val tot = s.agg(count(lit(1)).as("__n"))
     val paired = s.crossJoin(broadcast(tot))
       .withColumn("__m", expr("__n div 2"))
@@ -1563,7 +1621,7 @@ object TimeAgg {
   def spectralEntropy(series: DataFrame, bucketCol: String, xCol: String,
                       periods: Seq[Int]): DataFrame = {
     val pg = periodogram(series, bucketCol, xCol, periods)
-      .localCheckpoint(eager = false)
+      .mat
     val tot = pg.agg(sum(col("power")).as("__t"),
       count(lit(1)).as("n_periods"))
     pg.crossJoin(broadcast(tot))
@@ -1673,7 +1731,7 @@ object TimeAgg {
       s"maxLag ($maxLag) must be in [1, 64]")
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val c0 = centeredIdx(series, bucketCol, xCol)
-      .localCheckpoint(eager = false)
+      .mat
     val base = c0.agg(max(col("__n")).as("__n"),
       sum(dec(col("__xc")) * dec(col("__xc"))).as("__num0"))
     val lagged = c0
@@ -1732,7 +1790,7 @@ object TimeAgg {
       .na.drop()
       .withColumn("__t",
         row_number().over(Window.orderBy(col("__b"))).cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val ends = t.agg(count(lit(1)).as("__n"),
       max(when(col("__t") === 1L, col("__x"))).as("__x1"),
       max(col("__t")).as("__tn"))
@@ -1836,7 +1894,7 @@ object TimeAgg {
           (lit(1.0e6) * col("m_blocks").cast("double")))).cast("long"))
       .withColumn("__xq",
         floor(lit(1.0e9) * log(col("block_n").cast("double"))).cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val slope = bySize.agg(count(lit(1)).as("__p"),
         sum(dec(col("__xq"))).as("__sx"), sum(dec(col("y_q"))).as("__sy"),
         sum(dec(col("__xq")) * dec(col("y_q"))).as("__sxy"),
@@ -1877,7 +1935,7 @@ object TimeAgg {
       .na.drop()
       .withColumn("__t",
         row_number().over(Window.orderBy(col("__b"))).cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val pairs = t.select(col("__t").as("__t1"), col("__x").as("__x1"))
       .join(t.select(col("__t").as("__t2"), col("__x").as("__x2")),
         col("__t1") < col("__t2"))
@@ -1919,7 +1977,7 @@ object TimeAgg {
       .withColumn("__t", row_number()
         .over(Window.partitionBy(col("__s")).orderBy(col("__b")))
         .cast("long"))
-      .localCheckpoint(eager = false)
+      .mat
     val pairs = t.select(col("__s"), col("__t").as("__t1"),
         col("__x").as("__x1"))
       .join(t.select(col("__s"), col("__t").as("__t2"),

@@ -378,6 +378,38 @@ class LayoutAndResampleSpec extends SparkSpec {
     assert(out2("z") === ((None, 1000000000000L)))
   }
 
+  test("markovStationary: >4096 states falls back to the distributed " +
+      "iteration and reproduces the integer recurrence") {
+    // one user walking a 4100-state chain s0000 -> s0001 -> ... ->
+    // s4099 (absorbing): every transition has n = r = 1, so after
+    // 3 rounds mass has shifted 3 steps and the sink holds 4 shares
+    val n = 4100
+    val ev = (0 until n).map(i => (1L, i.toLong, f"s$i%04d"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts_us", col("event_id") * 1000000L)
+    val df = TimeAgg.markovStationary(ev, "user_id", "ts_us",
+      "event_type", "event_id", rounds = 3)
+    // the driver fast path would return a collected LocalRelation;
+    // above the state cap the plan must stay distributed (joins over
+    // checkpointed frames)
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .exists(l => !l.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "expected the distributed fallback plan, got a collected grid")
+    val out = df.collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+    assert(out.size === n)
+    val x0 = 1000000000000L / n
+    // emitting states: mass 0 for the first `rounds`, x0 behind the wave
+    assert(out("s0000") === ((Some(1L), 0L)))
+    assert(out("s0002") === ((Some(1L), 0L)))
+    assert(out("s0003") === ((Some(1L), x0)))
+    assert(out("s2050") === ((Some(1L), x0)))
+    assert(out("s4098") === ((Some(1L), x0)))
+    // absorbing sink: its own share plus one inflow per round
+    assert(out("s4099") === ((None, 4L * x0)))
+  }
+
   // ---------------------------------------------------------- periodogram
 
   test("periodogram: a pure cycle concentrates power at its period") {
