@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,6 +51,13 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
+    // self-kNN (the mutual-kNN graph family passes the same frame twice):
+    // cosine is symmetric, so score each unordered pair ONCE and mirror —
+    // half the dot products of the `queries ≠ corpus` path below
+    // (`spark.graft.selfknn.mirror=false` is the measurement off-switch)
+    if ((queries eq corpus) && queries.sparkSession.conf
+        .get("spark.graft.selfknn.mirror", "true").toBoolean)
+      return selfCosineTopK(queries, idCol, vecCol, k)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("__qn")))
@@ -58,6 +66,35 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
+  }
+
+  /** [[cosineTopK]] where queries and corpus are the SAME frame: the
+    * scoring loop visits only ordered pairs (a < b) — n²/2 dot products
+    * instead of n² — and emits both directions of each pair through one
+    * 2-element explode (one pass; no duplicated subtree for AQE to
+    * miss). Row-for-row identical to the two-sided scan it replaces:
+    * cosine is bit-symmetric (IEEE multiply commutes per element and
+    * [[dot]]'s fold order is positional, so dot(a,b) ≡ dot(b,a) and
+    * __qn·__cn ≡ __cn·__qn), `a < b` plus the mirror reproduces exactly
+    * the `query_id =!= neighbor_id` pair set (null ids fail both
+    * predicates), and [[topKPerQuery]] ranks the same rows the same way.
+    */
+  private def selfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int): DataFrame = {
+    val q = broadcast(
+      df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("__qn")))
+    val c = balanced(df).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("__cn"))
+    val half = q.join(c, col("query_id") < col("neighbor_id"))
+      .withColumn("cos", hoistedCosine)
+    val mirrored = half.select(explode(array(
+        struct(col("query_id"), col("neighbor_id"), col("cos")),
+        struct(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cos")))).as("__p"))
+      .select(col("__p.query_id").as("query_id"),
+        col("__p.neighbor_id").as("neighbor_id"), col("__p.cos").as("cos"))
+    topKPerQuery(mirrored, k)
   }
 
   /** cosine() with BOTH norms precomputed as row columns (`__qn`,
@@ -679,7 +716,7 @@ object Similarity {
       // sides — compute it once per table, not 2-3×
       val sigs = base.select(col("id"),
         lshSignature(col("v"), dim, planes, t * planes).as("sig"))
-        .localCheckpoint(false)
+        .mat
       val capped = Dedup.capByKey(sigs, sigs, Seq("sig"), maxBucket)
       val a = capped.select(col("sig"), col("id").as("id_a"))
       val b = capped.select(col("sig"), col("id").as("id_b"))
@@ -734,7 +771,7 @@ object Similarity {
     val sigs = df
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         lshSignature(col(vecCol), dim, planes).as("cluster"))
-      .localCheckpoint(eager = false)
+      .mat
     // quantized exact per-cluster centroid (partition-order-free):
     // integer sums of floor(x·1e6), one division at the end
     val cents = sigs
@@ -748,7 +785,7 @@ object Similarity {
     val scored = sigs.join(cents, Seq("cluster"))
       .withColumn("ccos", cosine(col("v"), col("centroid")))
       .select(col("cluster"), col("id"), col("v"), col("ccos"))
-      .localCheckpoint(eager = false)
+      .mat
     // within-cluster candidate pairs, degenerate buckets capped — the
     // loser of each pair (larger (ccos, id)) is dropped; distinct on
     // the loser id is the whole "exists" quantifier
@@ -806,13 +843,13 @@ object Similarity {
         explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .mat
     val kept = tf.join(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxTermDf)
         .select("term"),
       Seq("term"))
-      .localCheckpoint(eager = false)
+      .mat
     val norms = kept.groupBy(col("id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val dots = kept.select(col("term"), col("id").as("id_a"), col("tf").as("tfa"))
@@ -1062,7 +1099,7 @@ object Similarity {
     // work feeding exchanges). Both knn frames are bounded (|side|·k
     // rows), so the lazy localCheckpoint is cheap at any corpus scale.
     val abKnn = topK(sideA, sideB, idCol, vecCol, k)
-      .localCheckpoint(eager = false)
+      .mat
     val baKnn = topK(sideB, sideA, idCol, vecCol, k)
     val aDen = kSum(abKnn).withColumnRenamed("query_id", "a_id")
       .withColumnRenamed("__ksum", "__sa")
@@ -1130,7 +1167,7 @@ object Similarity {
     val cand = crossTopK(queries, corpus, idCol, vecCol, m)
       .join(cvec, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("__cv"))
-      .localCheckpoint(eager = false)
+      .mat
     val pairSim = cand.select(col("query_id"), col("neighbor_id").as("__ia"),
         col("__cv").as("__va"))
       .join(cand.select(col("query_id"), col("neighbor_id").as("__ib"),
@@ -1138,7 +1175,7 @@ object Similarity {
       .filter(col("__ia") =!= col("__ib"))
       .select(col("query_id"), col("__ia"), col("__ib"),
         cosine(col("__va"), col("__vb")).as("__sim"))
-      .localCheckpoint(eager = false)
+      .mat
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("neighbor_id").asc)
     def pick(scored: DataFrame, step: Int): DataFrame = scored
@@ -1186,7 +1223,7 @@ object Similarity {
     val knn = cosineTopK(df, df, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"),
         floor(lit(1000000.0) * col("cos")).cast("long").as("__cq"))
-      .localCheckpoint(eager = false)
+      .mat
     val core = knn.groupBy(col("query_id").as("__id"))
       .agg(when(count(lit(1)) >= k, min(col("__cq"))).as("__core"))
     val edges = knn.select(
@@ -1227,7 +1264,7 @@ object Similarity {
       .filter(col("__v").isNotNull)
       .orderBy(Dedup.md5Hash60(col("__id").cast("string")), col("__id"))
       .limit(cap)
-      .localCheckpoint(eager = false)
+      .mat
     val b = s.select(col("__id").as("__jb"), col("__v").as("__vb"))
     s.crossJoin(broadcast(b)).filter(col("__jb") > col("__id"))
       .select(floor(lit(1000000.0) * cosine(col("__v"), col("__vb")))
