@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Mat._
 import org.apache.spark.sql.{Column, DataFrame, functions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -78,7 +79,7 @@ object Dedup {
   /** Lazy local checkpoint: compute-once/read-many for a frame consumed
     * by several subtrees of one returned plan (see NOTE above).
     */
-  private def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+  private def snapshot(df: DataFrame): DataFrame = df.mat
 
   /** The frequency-cap guard shared by every candidate generator: keep
     * only `df` rows whose key group (counted over `countFrom`, usually
@@ -115,9 +116,18 @@ object Dedup {
     * — the default hash family stays xxhash64; pass `baseHash =
     * Dedup.md5Base` (minhash) / `tokenHash = Dedup.md5Hash60` (simhash)
     * when cross-engine reproducibility matters more than CPU.
+    *
+    * One native expression ([[graft.plans.Md5Prefix60]]: digest → top
+    * 60 bits), value-identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` it replaces
+    * — which paid five per-row string format round-trips (hex render,
+    * substring, base-16 parse, base-10 render, long parse) for the
+    * same 60 bits.
     */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.Md5Prefix60(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Universal-hash family for minhash: h_s(t) = (a_s·H(t) + b_s) mod p
     * with p = 2^31−1, fixed multipliers, and ONE base hash H per token
@@ -1084,7 +1094,7 @@ object Dedup {
     val fps = winnowFingerprints(docs, idCol, textCol, gramSize, window,
         gramKeyOf)
       .select(col(idCol).as("id"), col("fp")).distinct()
-      .localCheckpoint(eager = false)
+      .mat
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxFpDf)
       .select(col("fp"))
@@ -1307,7 +1317,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
         coalesce(norm, lit("")).as("__t"))
       .withColumn("__key", substring(col("__t"), 1, keyLen))
-      .localCheckpoint(eager = false)
+      .mat
     val grid = base.groupBy(col("__key")).agg(count(lit(1)).as("__n"))
     val wg = Window.orderBy(col("__key").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1318,7 +1328,7 @@ object Dedup {
     val positioned = base.join(offsets, Seq("__key"))
       .withColumn("__pos", col("__before") + row_number().over(wb))
       .select(col("id"), col("__t"), col("__pos"))
-      .localCheckpoint(eager = false)
+      .mat
     val pairs = (1 to windowSize).map { g =>
       positioned.select(col("id").as("id_a"), col("__t").as("__ta"),
           (col("__pos") + g).as("__pos"))
@@ -1377,7 +1387,7 @@ object Dedup {
             (lit(1.0) - col("__dist").cast("double") /
               col("__len").cast("double"))).cast("long"))
           .as("edit_sim_q"))
-      .localCheckpoint(eager = false)
+      .mat
     simmed.filter(col("edit_sim_q") >= ms)
   }
 

@@ -14,6 +14,23 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog"))  // exact dup of 1
     .toDF("doc_id", "text")
 
+  test("md5Hash60 native expression equals the composed " +
+      "conv(substring(md5)) form it replaced") {
+    // the oracle contract: ('0x' || substr(md5(t),1,15))::BIGINT —
+    // exercise ascii, unicode (multi-byte UTF8), empty, whitespace-only
+    // and null inputs
+    val vals = Seq("a", "", " ", "the quick brown fox", "héllo wörld 键盘",
+      "0", "\n\t", "x" * 5000, null)
+    val df = vals.toDF("s")
+    val got = df.select(Dedup.md5Hash60(col("s"))).as[Option[Long]].collect()
+    val want = df.select(
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .as[Option[Long]].collect()
+    assert(got.toSeq === want.toSeq)
+    assert(got.count(_.isEmpty) === 1) // the null row only
+    assert(got.flatten.forall(_ >= 0L)) // top-60-bit values are non-negative
+  }
+
   test("exact dedup groups identical content") {
     val r = Dedup.exact(docs, md5(col("text")), "doc_id")
     val dups = r.filter(col("n_dups") > 1).collect()
