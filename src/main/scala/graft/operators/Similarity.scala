@@ -1076,7 +1076,7 @@ object Similarity {
   def marginPairs(sideA: DataFrame, sideB: DataFrame, idCol: String,
                   vecCol: String, k: Int, minMarginQ: Long,
                   topK: (DataFrame, DataFrame, String, String, Int) => DataFrame =
-                    crossTopK): DataFrame = {
+                    crossTopKFn): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
     // rank-ordered k-sum per query: float-exact only if every engine
     // adds in the same order, hence the explicit element chain
@@ -1098,9 +1098,23 @@ object Similarity {
     // and zero ReusedExchange nodes (guide §2.4: remove duplicate
     // work feeding exchanges). Both knn frames are bounded (|side|·k
     // rows), so the lazy localCheckpoint is cheap at any corpus scale.
-    val abKnn = topK(sideA, sideB, idCol, vecCol, k)
-      .mat
-    val baKnn = topK(sideB, sideA, idCol, vecCol, k)
+    //
+    // With the default brute topK the A→B and B→A scans score the SAME
+    // |A|·|B| pair set twice (cosine is bit-symmetric); the fused path
+    // scores each pair once and ranks both orientations out of one
+    // two-element explode — half the dot products, one materialized
+    // (|A|+|B|)·k frame instead of two scans.
+    // (`spark.graft.marginpairs.fused=false` is the measurement off-switch)
+    val (abKnn, baKnn) =
+      if ((topK eq crossTopKFn) && sideA.sparkSession.conf
+          .get("spark.graft.marginpairs.fused", "true").toBoolean) {
+        val fused = fusedCrossTopK(sideA, sideB, idCol, vecCol, k).mat
+        (fused.filter(col("__o") === 0).drop("__o"),
+          fused.filter(col("__o") === 1).drop("__o"))
+      } else {
+        (topK(sideA, sideB, idCol, vecCol, k).mat,
+          topK(sideB, sideA, idCol, vecCol, k))
+      }
     val aDen = kSum(abKnn).withColumnRenamed("query_id", "a_id")
       .withColumnRenamed("__ksum", "__sa")
     val bDen = kSum(baKnn).withColumnRenamed("query_id", "b_id")
@@ -1137,6 +1151,45 @@ object Similarity {
     val scored = q.crossJoin(c)
       .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
+  }
+
+  /** [[crossTopK]] as a stable value, so [[marginPairs]] can recognize
+    * the default by reference (a method default arg eta-expands to a
+    * fresh lambda per call).
+    */
+  private val crossTopKFn: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+    crossTopK
+
+  /** Both directions of [[crossTopK]] out of ONE scoring pass: score
+    * each (a, b) pair once — cosine is bit-symmetric, see
+    * [[selfCosineTopK]] — and rank a 2-element explode of the two
+    * orientations, partitioned by (orientation, query). Per
+    * orientation, the ranked rows are exactly
+    * `topKPerQuery(crossTopK(...), k)`'s: same pair set, same cosine
+    * bits, same (cos desc, neighbor_id asc) order.
+    *
+    * @return (__o ∈ {0: A→B, 1: B→A}, query_id, rank, neighbor_id, cos)
+    */
+  private def fusedCrossTopK(sideA: DataFrame, sideB: DataFrame,
+                             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      sideA.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("__qn")))
+    val c = balanced(sideB).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("__cn"))
+    val both = q.crossJoin(c)
+      .withColumn("cos", hoistedCosine)
+      .select(explode(array(
+        struct(lit(0).as("o"), col("query_id"), col("neighbor_id"), col("cos")),
+        struct(lit(1).as("o"), col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cos")))).as("__p"))
+      .select(col("__p.o").as("__o"), col("__p.query_id").as("query_id"),
+        col("__p.neighbor_id").as("neighbor_id"), col("__p.cos").as("cos"))
+    val w = Window.partitionBy(col("__o"), col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("__o", "query_id", "rank", "neighbor_id", "cos")
   }
 
   /** MMR (maximal marginal relevance) diversity re-ranking: from each

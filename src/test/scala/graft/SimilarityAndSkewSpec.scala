@@ -543,6 +543,28 @@ class SimilarityAndSkewSpec extends SparkSpec {
       minMarginQ = 0L).count() === 0L)
   }
 
+  test("marginPairs: fused one-pass scoring equals two independent scans") {
+    // ids are DISJOINT across sides, so cosineTopK (self-id exclusion
+    // vacuous) is exactly the two-scan crossTopK the fused default
+    // replaced — compare the full output including ties and a zero
+    // vector on each side
+    val rnd = new scala.util.Random(11)
+    def v() = Seq.fill(4)(rnd.nextInt(5).toFloat)
+    val a = ((1L to 12L).map(i => (i, v())) ++ Seq((13L, Seq(0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val b = ((101L to 115L).map(i => (i, v())) ++ Seq((116L, Seq(0f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val fused = Similarity.marginPairs(a, b, "vec_id", "embedding",
+      k = 3, minMarginQ = 0L).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val twoScan = Similarity.marginPairs(a, b, "vec_id", "embedding",
+      k = 3, minMarginQ = 0L,
+      topK = (qq, cc, id, vc, kk) => Similarity.cosineTopK(qq, cc, id, vc, kk))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused === twoScan)
+    assert(fused.nonEmpty)
+  }
+
   // -------------------------------------------------------------- mmrRerank
 
   test("mmrRerank: diversity penalty displaces the near-duplicate second hit") {
