@@ -51,13 +51,6 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
-    // self-kNN (the mutual-kNN graph family passes the same frame twice):
-    // cosine is symmetric, so score each unordered pair ONCE and mirror —
-    // half the dot products of the `queries ≠ corpus` path below
-    // (`spark.graft.selfknn.mirror=false` is the measurement off-switch)
-    if ((queries eq corpus) && queries.sparkSession.conf
-        .get("spark.graft.selfknn.mirror", "true").toBoolean)
-      return selfCosineTopK(queries, idCol, vecCol, k)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("__qn")))
@@ -66,35 +59,6 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", hoistedCosine)
     topKPerQuery(scored, k)
-  }
-
-  /** [[cosineTopK]] where queries and corpus are the SAME frame: the
-    * scoring loop visits only ordered pairs (a < b) — n²/2 dot products
-    * instead of n² — and emits both directions of each pair through one
-    * 2-element explode (one pass; no duplicated subtree for AQE to
-    * miss). Row-for-row identical to the two-sided scan it replaces:
-    * cosine is bit-symmetric (IEEE multiply commutes per element and
-    * [[dot]]'s fold order is positional, so dot(a,b) ≡ dot(b,a) and
-    * __qn·__cn ≡ __cn·__qn), `a < b` plus the mirror reproduces exactly
-    * the `query_id =!= neighbor_id` pair set (null ids fail both
-    * predicates), and [[topKPerQuery]] ranks the same rows the same way.
-    */
-  private def selfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
-                             k: Int): DataFrame = {
-    val q = broadcast(
-      df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        norm(col(vecCol)).as("__qn")))
-    val c = balanced(df).select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), norm(col(vecCol)).as("__cn"))
-    val half = q.join(c, col("query_id") < col("neighbor_id"))
-      .withColumn("cos", hoistedCosine)
-    val mirrored = half.select(explode(array(
-        struct(col("query_id"), col("neighbor_id"), col("cos")),
-        struct(col("neighbor_id").as("query_id"),
-          col("query_id").as("neighbor_id"), col("cos")))).as("__p"))
-      .select(col("__p.query_id").as("query_id"),
-        col("__p.neighbor_id").as("neighbor_id"), col("__p.cos").as("cos"))
-    topKPerQuery(mirrored, k)
   }
 
   /** cosine() with BOTH norms precomputed as row columns (`__qn`,
@@ -1161,8 +1125,9 @@ object Similarity {
     crossTopK
 
   /** Both directions of [[crossTopK]] out of ONE scoring pass: score
-    * each (a, b) pair once — cosine is bit-symmetric, see
-    * [[selfCosineTopK]] — and rank a 2-element explode of the two
+    * each (a, b) pair once — cosine is bit-symmetric: IEEE multiply
+    * commutes per element and [[dot]]'s fold is positional — and rank
+    * a 2-element explode of the two
     * orientations, partitioned by (orientation, query). Per
     * orientation, the ranked rows are exactly
     * `topKPerQuery(crossTopK(...), k)`'s: same pair set, same cosine

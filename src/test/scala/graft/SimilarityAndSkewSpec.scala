@@ -49,30 +49,6 @@ class SimilarityAndSkewSpec extends SparkSpec {
     }
   }
 
-  test("self-kNN mirror is row-identical to the two-sided scan " +
-      "(ties, zero vectors, duplicate ids)") {
-    // stress the mirror's equivalence claims: identical vectors (cos
-    // 1.0 ties broken by id), a zero vector (null cosine, ranks last),
-    // and a duplicated id (excluded from pairing with itself by id,
-    // like the =!= join)
-    val rows = (0L until 10L).map(i => (i, axisVec((i % 3).toInt, 1.0f + 0.1f * i))) ++
-      Seq((10L, Seq.fill(6)(0.0f)), (3L, axisVec(1, 9.9f)))
-    val df = rows.toDF("vec_id", "embedding")
-    def run(): Set[(Long, Int, Long, Option[Double])] =
-      Similarity.cosineTopK(df, df, "vec_id", "embedding", k = 4)
-        .select("query_id", "rank", "neighbor_id", "cos")
-        .as[(Long, Int, Long, Option[Double])].collect().toSet
-    val mirrored = run()
-    val old = spark.conf.getOption("spark.graft.selfknn.mirror")
-    spark.conf.set("spark.graft.selfknn.mirror", "false")
-    val want = try run() finally old match {
-      case Some(v) => spark.conf.set("spark.graft.selfknn.mirror", v)
-      case None => spark.conf.unset("spark.graft.selfknn.mirror")
-    }
-    assert(mirrored === want)
-    assert(mirrored.nonEmpty)
-  }
-
   test("topK ties break by neighbor id even across salt groups") {
     // 10 identical corpus vectors: every cosine is 1.0, so the salted
     // local prune must use the SAME (cos desc, id asc) total order as
