@@ -400,7 +400,17 @@ object Similarity {
   }
 
   /** Assign every corpus row to its nearest centroid (one broadcast
-    * cross-product pass; N·k dot products, no shuffle of the corpus).
+    * cross-product pass; N·k dot products, no shuffle of the corpus...
+    * of anything BUT the corpus: the groupBy ships each row once).
+    *
+    * A shuffle-free projection form (argmax inlined as `array_max`
+    * over per-centroid structs) was tried and REVERTED: without the
+    * aggregate acting as an expression barrier, Catalyst duplicates
+    * the k-cosine argmax into the `isnotnull(cluster)` filter pushed
+    * below the downstream cluster join and into the join exchange's
+    * partitioning — 3× the dot products (measured q41 0.48 → 1.48 s,
+    * q110 0.96 → 2.12 s warm). The aggregate materializes `cluster`
+    * as a concrete attribute exactly once.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame =
